@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import graft.models.{Retail, TestdataAdapter}
+import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -10,7 +10,9 @@ import graft.models.{Retail, TestdataAdapter}
   * the harness tables; `oracleSql` carries the DuckDB-equivalent SQL. Column
   * names and types are aligned on both sides (the driver hash-compares after
   * sorting columns by name). Doubles that feed keys or outputs go through
-  * DECIMAL casts so the text/rounding semantics are engine-stable.
+  * DECIMAL casts (engine-stable text/rounding), double arithmetic keeps the
+  * same IEEE expression shape on both sides, and DuckDB-side literals are
+  * CAST to DOUBLE where DuckDB would otherwise type them DECIMAL.
   */
 object SparkEntry {
 
@@ -26,141 +28,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RetailQueries.queries ++ MetaQueries.queries ++ MmsQueries.queries ++
-      SyncQueries.queries ++ CheckQueries.queries ++ LlmQueries.queries
+      SyncQueries.queries ++ CheckQueries.queries ++ LlmQueries.queries ++
+      StreamQueries.queries
 
   def oracleSql: Map[String, String] =
     RetailQueries.oracle ++ MetaQueries.oracle ++ MmsQueries.oracle ++
-      SyncQueries.oracle ++ CheckQueries.oracle ++ LlmQueries.oracle
-}
-
-/** Shared DuckDB SQL fragments for the oracle side. */
-object OracleCtes {
-  /** DuckDB twin of TestdataAdapter.rawInvoices + country. */
-  val retail: String = """
-WITH raw_invoices AS (
-  SELECT CAST(o.o_orderkey AS VARCHAR) AS InvoiceNo,
-         concat('SC', CAST(l.l_partkey AS VARCHAR)) AS StockCode,
-         p.p_name AS Description,
-         CAST(CASE WHEN l.l_orderkey % 53 = 0 THEN -l.l_quantity ELSE l.l_quantity END AS INTEGER) AS Quantity,
-         CASE WHEN o.o_orderkey % 2 = 0 THEN strftime(o.o_orderdate, '%m/%d/%Y %H:%M')
-              ELSE strftime(o.o_orderdate, '%-m/%-d/%Y %-H:%M') END AS InvoiceDate,
-         CASE WHEN l.l_partkey % 41 = 0 THEN 0.0 ELSE l.l_extendedprice END AS UnitPrice,
-         CASE WHEN o.o_custkey % 37 = 0 THEN NULL ELSE o.o_custkey END AS CustomerID,
-         n.n_name AS Country
-  FROM lineitem l
-  JOIN orders o ON l.l_orderkey = o.o_orderkey
-  JOIN part p ON l.l_partkey = p.p_partkey
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN nation n ON c.c_nationkey = n.n_nationkey
-), country_map AS (
-  SELECT n_name AS nicename, upper(substring(n_name, 1, 2)) AS iso FROM nation
-)"""
-
-  /** dbt_utils surrogate key in DuckDB (md5 of '-'-joined coalesced casts). */
-  def sk(cols: String*): String =
-    "md5(concat_ws('-', " + cols.map(c => s"coalesce(CAST($c AS VARCHAR), '')").mkString(", ") + "))"
-
-  /** Engine-stable money text: double → DECIMAL(18,2) → VARCHAR. */
-  def money(c: String): String = s"CAST($c AS DECIMAL(18,2))"
-
-  val parsedTs: String =
-    "CASE WHEN length(InvoiceDate) = 16 THEN strptime(InvoiceDate, '%m/%d/%Y %H:%M') " +
-      "ELSE strptime(InvoiceDate, '%-m/%-d/%Y %-H:%M') END"
-}
-
-object RetailQueries {
-  import OracleCtes._
-
-  private def raw(s: SparkSession, d: String) = TestdataAdapter.rawInvoices(s, d)
-  private def ctry(s: SparkSession, d: String) = TestdataAdapter.country(s, d)
-
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "retail_dim_customer" -> ((s, d) => Retail.dimCustomer(raw(s, d), ctry(s, d))),
-    "retail_dim_product" -> ((s, d) => Retail.dimProduct(raw(s, d))),
-    "retail_dim_datetime" -> ((s, d) =>
-      Retail.dimDatetime(raw(s, d), TestdataAdapter.parseAdapterTs)),
-    "retail_fct_invoices" -> ((s, d) => Retail.fctInvoices(raw(s, d), ctry(s, d))),
-    "retail_report_customer" -> ((s, d) => {
-      val r = raw(s, d); val c = ctry(s, d)
-      Retail.reportCustomerInvoices(Retail.fctInvoices(r, c), Retail.dimCustomer(r, c))
-    }),
-    "retail_report_product" -> ((s, d) => Retail.reportProductInvoices(raw(s, d))),
-    "retail_report_year" -> ((s, d) => {
-      val r = raw(s, d)
-      Retail.reportYearInvoices(
-        Retail.fctInvoices(r, ctry(s, d)),
-        Retail.dimDatetime(r, TestdataAdapter.parseAdapterTs))
-    })
-  )
-
-  private val productId = sk("StockCode", "Description", money("UnitPrice"))
-  private val customerId = sk("CustomerID", "Country")
-  private val datetimeId = sk("InvoiceDate")
-
-  val oracle: Map[String, String] = Map(
-    "retail_dim_customer" -> s"""$retail
-SELECT $customerId AS customer_id, r.Country AS country, cm.iso AS iso
-FROM (SELECT DISTINCT CustomerID, Country FROM raw_invoices WHERE CustomerID IS NOT NULL) r
-LEFT JOIN country_map cm ON r.Country = cm.nicename""",
-
-    "retail_dim_product" -> s"""$retail
-SELECT DISTINCT $productId AS product_id, StockCode AS stock_code,
-       Description AS description, CAST(UnitPrice AS DECIMAL(18,2)) AS unit_price
-FROM raw_invoices WHERE UnitPrice > 0""",
-
-    "retail_dim_datetime" -> s"""$retail
-SELECT $datetimeId AS datetime_id, $parsedTs AS datetime,
-       CAST(year($parsedTs) AS INTEGER) AS year,
-       CAST(month($parsedTs) AS INTEGER) AS month,
-       CAST(day($parsedTs) AS INTEGER) AS day,
-       CAST(hour($parsedTs) AS INTEGER) AS hour,
-       CAST(minute($parsedTs) AS INTEGER) AS minute,
-       CAST(dayofweek($parsedTs) + 1 AS INTEGER) AS weekday
-FROM (SELECT DISTINCT InvoiceDate FROM raw_invoices)""",
-
-    "retail_fct_invoices" -> s"""$retail
-SELECT InvoiceNo AS invoice_id, $datetimeId AS datetime_id, $productId AS product_id,
-       $customerId AS customer_id, CAST(Quantity * UnitPrice AS DECIMAL(18,2)) AS total
-FROM raw_invoices
-WHERE Quantity > 0 AND CustomerID IS NOT NULL AND UnitPrice > 0""",
-
-    "retail_report_customer" -> s"""$retail
-SELECT Country AS country, count(DISTINCT InvoiceNo) AS total_invoices,
-       CAST(sum(CAST(Quantity * UnitPrice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue
-FROM raw_invoices
-WHERE Quantity > 0 AND CustomerID IS NOT NULL AND UnitPrice > 0
-GROUP BY Country""",
-
-    "retail_report_product" -> s"""$retail
-SELECT StockCode AS stock_code, CAST(sum(Quantity) AS BIGINT) AS total_quantity_sold
-FROM raw_invoices WHERE Quantity > 0 AND UnitPrice > 0
-GROUP BY StockCode""",
-
-    "retail_report_year" -> s"""$retail
-SELECT CAST(year($parsedTs) AS INTEGER) AS year, count(DISTINCT InvoiceNo) AS num_invoices
-FROM raw_invoices
-WHERE Quantity > 0 AND CustomerID IS NOT NULL AND UnitPrice > 0
-GROUP BY 1"""
-  )
-}
-
-object MetaQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
-}
-object MmsQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
-}
-object SyncQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
-}
-object CheckQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
-}
-object LlmQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
+      SyncQueries.oracle ++ CheckQueries.oracle ++ LlmQueries.oracle ++
+      StreamQueries.oracle
 }

@@ -1,0 +1,106 @@
+package graft.models
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Fns._
+
+/** The taico/meta dbt models (reference: include/dbt/models/taico/meta/):
+  * the flagship pipeline's transform + incremental-staging semantics
+  * (SURVEY.md §2.8, §2.9, §3.1).
+  */
+object Meta {
+
+  /** fb_meta_ads_transformed.sql:1-72 — the flagship transform:
+    * comma-decimal numeric casts (F1/F2), objective→media_type CASE remap
+    * (F6), optimization_goal IN-guard, literal channel, surrogate row id
+    * (W1), net/net-net spend derivations (F13), left join to campaign
+    * names on a synthesized key (J1).
+    *
+    * W1 note: the reference's `row_number() over ()` has no defined order;
+    * we pin `order by ad_id` for determinism (SURVEY.md §7 risks). At
+    * cluster scale an unpartitioned window is a single-task sort — callers
+    * that only need uniqueness should prefer monotonically_increasing_id;
+    * kept here because the reference's id IS a dense 1..N numbering.
+    *
+    * campaigns join (J1): right side is a dimension (thousands of rows at
+    * most) — broadcast, so the fact side never shuffles. */
+  def fbAdsTransformed(adsInsights: DataFrame, campaigns: DataFrame): DataFrame = {
+    val campDim = broadcast(
+      campaigns.select(
+        concat(lit("campaign_id_"), substring(col("id"), 4, Int.MaxValue)).as("campaign_id"), // :28
+        col("name").as("campaign")))
+    adsInsights
+      .select(
+        col("ad_id"), col("campaign_id"),
+        to_date(col("date_start")).as("date"),                         // F8 :6
+        col("clicks").cast(IntegerType).as("clicks"),                  // F2 :8-10
+        col("impressions").cast(IntegerType).as("impressions"),
+        col("unique_clicks").cast(IntegerType).as("unique"),
+        commaDecimal(col("spend")).as("spend"),                        // F1 :11-14
+        commaDecimal(col("cpm")).as("cpm"),
+        commaDecimal(col("cpc")).as("cpc"),
+        commaDecimal(col("conversion_values")).as("revenue"),
+        col("account_name").as("publisher"),                           // P1 :15-21
+        col("account_id").cast(StringType).as("property"),
+        col("account_name").as("owner"),
+        when(col("objective") === "CONVERSIONS", "Conversion Ad")      // F6 :42-47
+          .when(col("objective") === "TRAFFIC", "Traffic Ad")
+          .when(col("objective") === "VIDEO_VIEWS", "Video Ad")
+          .otherwise("Other Ad").as("media_type"),
+        guardedEnum(col("optimization_goal"),                          // F6 :48-51
+          Seq("Classical", "CRM", "Digital"), "Other").as("media_cluster"),
+        lit("facebook").as("channel"),                                 // F14 :38
+        lit("group_placeholder").as("product_group"),                  // F14 :63-65
+        lit("product_placeholder").as("product"),
+        lit("audience_placeholder").as("audience"),
+        col("created_time").cast(TimestampType).as("added_at"),        // F2 :61-62
+        col("updated_time").cast(TimestampType).as("updated_at"))
+      .withColumn("id", row_number().over(Window.orderBy(col("ad_id"))).cast(LongType)) // W1 :36
+      // F13 :66-68 — net derivations stay DOUBLE: both engines then compute
+      // the identical IEEE product (a DECIMAL cast would expose the engines'
+      // different rounding modes on exact midpoints).
+      .withColumn("gross_media_cost", col("spend"))
+      .withColumn("net_media_cost", col("spend").cast(DoubleType) * 0.9)
+      .withColumn("net_net_media_cost", col("spend").cast(DoubleType) * 0.8)
+      .join(campDim, Seq("campaign_id"), "left")                       // J1 :26-31,71
+  }
+
+  /** main_taico_staging.sql:3-6,40-78 — dbt incremental materialization:
+    * keep `existing`, append source rows with `updated_at` past the
+    * high-watermark (A6), then last-writer-wins dedup on the unique key
+    * (I1). The watermark is a scalar broadcast (one-row agg), the dedup a
+    * keyed window — no full-table re-shuffle of `existing` is needed when
+    * the output is partitioned by key at rest. */
+  def incrementalMerge(existing: DataFrame, source: DataFrame,
+                       uniqueKey: Seq[String], watermarkCol: String = "updated_at",
+                       tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val wmRow = existing.agg(max(col(watermarkCol)).as("wm")).collect()(0)
+    val newRows =
+      if (wmRow.isNullAt(0)) source
+      else source.filter(col(watermarkCol) > lit(wmRow.get(0)))
+    val keyCols = uniqueKey.map(col)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(watermarkCol).desc +: tieBreak.map(col(_).asc): _*)
+    existing.unionByName(newRows)                                       // U1 :73-78
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** cleaned_data.sql:2-25 — null-coalescing defaults (F7) + comma-decimal
+    * money casts over the 26-col wide table. */
+  def cleanedData(raw: DataFrame): DataFrame =
+    raw.select(
+      col("id"), col("date"),
+      coalesce(col("channel"), lit("N/A")).as("channel"),
+      coalesce(col("campaign"), lit("N/A")).as("campaign"),
+      coalesce(col("publisher"), lit("N/A")).as("publisher"),
+      coalesce(col("clicks"), lit(0)).as("clicks"),
+      coalesce(col("impressions"), lit(0)).as("impressions"),
+      commaDecimal(col("media_cost_eur")).as("media_cost_eur"),
+      commaDecimal(col("cpm")).as("cpm"),
+      commaDecimal(col("cpc")).as("cpc"),
+      coalesce(col("revenue"), lit(0.0)).as("revenue"))
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.checks._
+import graft.functions.Fns.commaDecimal
+import graft.models.TestdataAdapter
+
+/** Data-quality operator queries (SURVEY.md §2.10 Q1-Q12, §2.7 U2): the
+  * check library evaluated over harness tables, plus the staging composite
+  * validator and the symmetric set-sync diff. */
+object CheckQueries {
+
+  private def lineitemChecks = Seq(
+    SchemaSuperset(Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag"),
+      name = "schema_superset"),
+    RowCountMin(100, name = "row_count_min"),
+    NonNull(Seq("l_orderkey", "l_partkey"), name = "non_null_keys"),
+    UniqueKey(Seq("l_orderkey", "l_linenumber"), name = "unique_line"),
+    RangeMin("l_quantity", 1, name = "qty_gte_1"),
+    RangeMin("l_discount", 0.01, name = "disc_gte_min"),
+    AcceptedValues("l_returnflag", Seq("A", "N", "R"), name = "returnflag_enum"),
+    ColumnGte("l_extendedprice", "l_quantity", name = "price_gte_qty"),
+    FailedRowsWhere(col("l_discount") > 0.08, name = "high_discount"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_lineitem_suite" -> ((s, d) =>
+      Checks.evaluateDf(Tables.lineitem(s, d), lineitemChecks)),
+
+    "dq_staging_composite" -> ((s, d) => {
+      val w = TestdataAdapter.mainWide(s, d)
+      val input = w.select(
+        col("id"), col("date"), col("channel"), col("campaign"),
+        col("clicks"), col("impressions"),
+        commaDecimal(col("media_cost_eur")).as("media_cost_eur"),
+        commaDecimal(col("cpc")).as("cpc"), col("revenue"))
+      Checks.evaluateDf(input, Checks.stagingDataChecks())
+    }),
+
+    "dq_failed_rows" -> ((s, d) =>
+      Checks.failedRows(Tables.orders(s, d),
+          FailedRowsWhere(col("o_totalprice") < 1500))
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    "dq_set_sync" -> ((s, d) =>
+      Checks.setSyncDiff(
+        Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d).filter(col("c_custkey") % 3 =!= 0), "c_custkey"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dq_lineitem_suite" -> """
+WITH agg AS (
+  SELECT count(*) AS n,
+    CAST(sum(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+    CAST(sum(CASE WHEN l_quantity < 1 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+    CAST(sum(CASE WHEN l_discount < 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+    CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v_rf,
+    CAST(sum(CASE WHEN l_extendedprice < l_quantity THEN 1 ELSE 0 END) AS BIGINT) AS v_gte,
+    CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS v_hd
+  FROM lineitem),
+dup AS (
+  SELECT CAST((SELECT count(*) FROM lineitem) -
+              (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS BIGINT) AS d)
+SELECT 'schema_superset' AS check_name, CAST(0 AS BIGINT) AS violations, true AS passed
+UNION ALL SELECT 'row_count_min', CASE WHEN n >= 100 THEN 0 ELSE 100 - n END, n >= 100 FROM agg
+UNION ALL SELECT 'non_null_keys', v_nn, v_nn = 0 FROM agg
+UNION ALL SELECT 'unique_line', d, d = 0 FROM dup
+UNION ALL SELECT 'qty_gte_1', v_qty, v_qty = 0 FROM agg
+UNION ALL SELECT 'disc_gte_min', v_disc, v_disc = 0 FROM agg
+UNION ALL SELECT 'returnflag_enum', v_rf, v_rf = 0 FROM agg
+UNION ALL SELECT 'price_gte_qty', v_gte, v_gte = 0 FROM agg
+UNION ALL SELECT 'high_discount', v_hd, v_hd = 0 FROM agg""",
+
+    "dq_staging_composite" -> s"""${OracleCtes.mainWide},
+staged AS (
+  SELECT id, date, channel, campaign, clicks, impressions,
+         CAST(replace(media_cost_eur, ',', '.') AS DECIMAL(18,2)) AS media_cost_eur,
+         CAST(replace(cpc, ',', '.') AS DECIMAL(18,2)) AS cpc, revenue
+  FROM main_wide),
+agg AS (
+  SELECT count(*) AS n,
+    CAST(sum(CASE WHEN id IS NULL OR date IS NULL OR channel IS NULL OR campaign IS NULL
+                    OR clicks IS NULL OR impressions IS NULL OR media_cost_eur IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+    CAST(sum(CASE WHEN clicks < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_clicks,
+    CAST(sum(CASE WHEN media_cost_eur < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_cost,
+    CAST(sum(CASE WHEN media_cost_eur < cpc THEN 1 ELSE 0 END) AS BIGINT) AS v_cpc,
+    CAST(sum(CASE WHEN revenue < media_cost_eur THEN 1 ELSE 0 END) AS BIGINT) AS v_rev
+  FROM staged),
+dups AS (
+  SELECT CAST((SELECT count(*) FROM staged) -
+              (SELECT count(*) FROM (SELECT DISTINCT * FROM staged)) AS BIGINT) AS dr,
+         CAST((SELECT count(*) FROM staged) -
+              (SELECT count(DISTINCT id) FROM staged) AS BIGINT) AS di)
+SELECT 'dup_rows' AS check_name, dr AS violations, dr = 0 AS passed FROM dups
+UNION ALL SELECT 'min_rows', CASE WHEN n >= 100 THEN 0 ELSE 100 - n END, n >= 100 FROM agg
+UNION ALL SELECT 'unique_id', di, di = 0 FROM dups
+UNION ALL SELECT 'non_null_critical', v_nn, v_nn = 0 FROM agg
+UNION ALL SELECT 'clicks_gte_0', v_clicks, v_clicks = 0 FROM agg
+UNION ALL SELECT 'cost_gte_0', v_cost, v_cost = 0 FROM agg
+UNION ALL SELECT 'cost_gte_cpc', v_cpc, v_cpc = 0 FROM agg
+UNION ALL SELECT 'revenue_gte_cost', v_rev, v_rev = 0 FROM agg""",
+
+    "dq_failed_rows" -> """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 1500""",
+
+    "dq_set_sync" -> """
+WITH s AS (SELECT DISTINCT o_custkey AS value FROM orders),
+     t AS (SELECT DISTINCT c_custkey AS value FROM customer WHERE c_custkey % 3 <> 0)
+SELECT value, 'missing_in_target' AS direction FROM (SELECT value FROM s EXCEPT SELECT value FROM t)
+UNION ALL
+SELECT value, 'extra_in_target' AS direction FROM (SELECT value FROM t EXCEPT SELECT value FROM s)"""
+  )
+}

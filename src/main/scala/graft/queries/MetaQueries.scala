@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.models.{Meta, TestdataAdapter}
+
+/** taico/meta model queries: the flagship transform (P1, F1-F8, F13-F14,
+  * W1, J1), the incremental staging merge (A6, U1, I1), and the cleaning
+  * model (F7, F1). SURVEY.md §2.8-§2.9. */
+object MetaQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "meta_fb_ads_transformed" -> ((s, d) =>
+      Meta.fbAdsTransformed(TestdataAdapter.adsInsights(s, d), TestdataAdapter.campaigns(s, d))),
+
+    "meta_incremental_staging" -> ((s, d) => {
+      val t = Meta.fbAdsTransformed(TestdataAdapter.adsInsights(s, d), TestdataAdapter.campaigns(s, d))
+        .select("ad_id", "campaign_id", "date", "spend", "updated_at")
+      val existing = t.filter(col("updated_at") <= lit("2024-01-20 00:00:00").cast("timestamp"))
+      Meta.incrementalMerge(existing, t, Seq("campaign_id", "date"),
+        watermarkCol = "updated_at", tieBreak = Seq("ad_id"))
+    }),
+
+    "meta_cleaned_data" -> ((s, d) =>
+      Meta.cleanedData(TestdataAdapter.mainWide(s, d)))
+  )
+
+  /** DuckDB twin of TestdataAdapter.adsInsights + campaigns + the model. */
+  private val adsCte = """
+WITH ads AS (
+  SELECT concat('ad_', lpad(CAST(event_id AS VARCHAR), 8, '0')) AS ad_id,
+         concat('campaign_id_', CAST(user_id % 20 AS VARCHAR)) AS campaign_id,
+         CASE event_type WHEN 'purchase' THEN 'CONVERSIONS' WHEN 'click' THEN 'TRAFFIC'
+              WHEN 'view' THEN 'VIDEO_VIEWS' WHEN 'signup' THEN 'LINK_CLICKS'
+              ELSE 'OUTCOME_ENGAGEMENT' END AS objective,
+         CAST(event_id % 1000 AS VARCHAR) AS clicks,
+         CAST((event_id * 7) % 100000 AS VARCHAR) AS impressions,
+         CAST(event_id % 500 AS VARCHAR) AS unique_clicks,
+         replace(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), '.', ',') AS spend,
+         concat(CAST(((event_id * 13) % 100000) // 100 AS VARCHAR), ',', lpad(CAST(((event_id * 13) % 100000) % 100 AS VARCHAR), 2, '0')) AS cpm,
+         concat(CAST(((event_id * 17) % 10000) // 100 AS VARCHAR), ',', lpad(CAST(((event_id * 17) % 10000) % 100 AS VARCHAR), 2, '0')) AS cpc,
+         concat(CAST(((event_id * 23) % 1000000) // 100 AS VARCHAR), ',', lpad(CAST(((event_id * 23) % 1000000) % 100 AS VARCHAR), 2, '0')) AS conversion_values,
+         strftime(ts, '%Y-%m-%d') AS date_start,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS created_time,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS updated_time,
+         concat('Account ', CAST(user_id % 5 AS VARCHAR)) AS account_name,
+         CAST(user_id % 5 AS VARCHAR) AS account_id,
+         CASE user_id % 4 WHEN 0 THEN 'Classical' WHEN 1 THEN 'CRM'
+              WHEN 2 THEN 'Digital' ELSE 'Legacy' END AS optimization_goal
+  FROM events
+), campaigns AS (
+  SELECT concat('cmp', CAST(k AS VARCHAR)) AS id, concat('Campaign #', CAST(k AS VARCHAR)) AS name,
+         'ACTIVE' AS status, 'CONVERSIONS' AS objective
+  FROM (SELECT DISTINCT user_id % 20 AS k FROM events) WHERE k < 15
+), transformed AS (
+  SELECT a.campaign_id, a.ad_id,
+         CAST(a.date_start AS DATE) AS date,
+         CAST(a.clicks AS INTEGER) AS clicks,
+         CAST(a.impressions AS INTEGER) AS impressions,
+         CAST(a.unique_clicks AS INTEGER) AS "unique",
+         CAST(replace(a.spend, ',', '.') AS DECIMAL(18,2)) AS spend,
+         CAST(replace(a.cpm, ',', '.') AS DECIMAL(18,2)) AS cpm,
+         CAST(replace(a.cpc, ',', '.') AS DECIMAL(18,2)) AS cpc,
+         CAST(replace(a.conversion_values, ',', '.') AS DECIMAL(18,2)) AS revenue,
+         a.account_name AS publisher, a.account_id AS property, a.account_name AS owner,
+         CASE a.objective WHEN 'CONVERSIONS' THEN 'Conversion Ad' WHEN 'TRAFFIC' THEN 'Traffic Ad'
+              WHEN 'VIDEO_VIEWS' THEN 'Video Ad' ELSE 'Other Ad' END AS media_type,
+         CASE WHEN a.optimization_goal IN ('Classical','CRM','Digital')
+              THEN a.optimization_goal ELSE 'Other' END AS media_cluster,
+         'facebook' AS channel, 'group_placeholder' AS product_group,
+         'product_placeholder' AS product, 'audience_placeholder' AS audience,
+         CAST(a.created_time AS TIMESTAMP) AS added_at,
+         CAST(a.updated_time AS TIMESTAMP) AS updated_at,
+         CAST(row_number() OVER (ORDER BY a.ad_id) AS BIGINT) AS id,
+         CAST(replace(a.spend, ',', '.') AS DECIMAL(18,2)) AS gross_media_cost,
+         CAST(CAST(replace(a.spend, ',', '.') AS DECIMAL(18,2)) AS DOUBLE) * CAST(0.9 AS DOUBLE) AS net_media_cost,
+         CAST(CAST(replace(a.spend, ',', '.') AS DECIMAL(18,2)) AS DOUBLE) * CAST(0.8 AS DOUBLE) AS net_net_media_cost,
+         c.name AS campaign
+  FROM ads a
+  LEFT JOIN campaigns c
+    ON a.campaign_id = concat('campaign_id_', substring(c.id, 4))
+)"""
+
+  val oracle: Map[String, String] = Map(
+    "meta_fb_ads_transformed" -> s"""$adsCte
+SELECT * FROM transformed""",
+
+    "meta_incremental_staging" -> s"""$adsCte,
+narrow AS (
+  SELECT ad_id, campaign_id, date, spend, updated_at FROM transformed
+), existing AS (
+  SELECT * FROM narrow WHERE updated_at <= TIMESTAMP '2024-01-20 00:00:00'
+), merged AS (
+  SELECT * FROM existing
+  UNION ALL
+  SELECT * FROM narrow WHERE updated_at > (SELECT max(updated_at) FROM existing)
+)
+SELECT ad_id, campaign_id, date, spend, updated_at FROM (
+  SELECT *, row_number() OVER (PARTITION BY campaign_id, date
+                               ORDER BY updated_at DESC, ad_id ASC) AS rn
+  FROM merged
+) WHERE rn = 1""",
+
+    "meta_cleaned_data" -> s"""${OracleCtes.mainWide}
+SELECT id, date,
+       coalesce(channel, 'N/A') AS channel,
+       coalesce(campaign, 'N/A') AS campaign,
+       coalesce(publisher, 'N/A') AS publisher,
+       coalesce(clicks, 0) AS clicks,
+       coalesce(impressions, 0) AS impressions,
+       CAST(replace(media_cost_eur, ',', '.') AS DECIMAL(18,2)) AS media_cost_eur,
+       CAST(replace(cpm, ',', '.') AS DECIMAL(18,2)) AS cpm,
+       CAST(replace(cpc, ',', '.') AS DECIMAL(18,2)) AS cpc,
+       coalesce(revenue, CAST(0 AS DOUBLE)) AS revenue
+FROM main_wide"""
+  )
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sync.DimSync
+
+/** Dimension-sync algebra queries (SURVEY.md §2.3 J5-J7, §2.4 A1-A2, §3.2):
+  * the set-based re-expression of sync_data.py's row-at-a-time loops. The
+  * "dimension" is simulated as a subset of the source values so both the
+  * insert path (new names) and delete path (stale names) are non-empty. */
+object SyncQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J6: source values missing from the dim → idempotent insert set
+    "sync_insert_missing" -> ((s, d) => {
+      val customer = Tables.customer(s, d)
+      val dim = customer.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_name").as("name")).distinct()
+      DimSync.insertMissing(customer, "c_name", dim)
+    }),
+    // J7: dim values absent from the source → stale delete set
+    "sync_delete_stale" -> ((s, d) => {
+      val customer = Tables.customer(s, d)
+      val dim = customer.select(col("c_name").as("name")).distinct()
+      DimSync.deleteStale(dim, customer.filter(col("c_custkey") % 7 =!= 0), "c_name")
+    }),
+    // A2+J5+A4: distinct combination tuples, names resolved to ids through
+    // broadcast dims; combinations whose supplier is filtered out drop (the
+    // pandas inner-merge semantics).
+    // Names are the dimension identity (reference dims are (id, name,
+    // company_id) keyed by name): dim id = min source key per name.
+    "sync_combinations" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val part = Tables.part(s, d)
+      val pDim = part.groupBy(col("p_name").as("name"))
+        .agg(min(col("p_partkey")).as("id")).select(col("id"), col("name"))
+      val sDim = Tables.supplier(s, d).filter(col("s_suppkey") % 10 =!= 0)
+        .groupBy(col("s_name").as("name"))
+        .agg(min(col("s_suppkey")).as("id")).select(col("id"), col("name"))
+      val main = li
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_name"), col("s_name"), col("l_returnflag"))
+      DimSync.resolveCombinations(main, Seq("p_name", "s_name", "l_returnflag"), Map(
+        "p_name" -> pDim, "s_name" -> sDim))
+        .withColumnRenamed("p_name_id", "part_id")
+        .withColumnRenamed("s_name_id", "supplier_id")
+        .withColumnRenamed("l_returnflag", "returnflag")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sync_insert_missing" -> """
+SELECT DISTINCT c_name AS name FROM customer
+WHERE c_name IS NOT NULL
+  AND c_name NOT IN (SELECT c_name FROM customer WHERE c_custkey % 7 <> 0)""",
+
+    "sync_delete_stale" -> """
+SELECT DISTINCT c_name AS name FROM customer
+WHERE c_name NOT IN (SELECT c_name FROM customer WHERE c_custkey % 7 <> 0 AND c_name IS NOT NULL)""",
+
+    "sync_combinations" -> """
+WITH pdim AS (SELECT p_name AS name, min(p_partkey) AS id FROM part GROUP BY p_name),
+     sdim AS (SELECT s_name AS name, min(s_suppkey) AS id FROM supplier
+              WHERE s_suppkey % 10 <> 0 GROUP BY s_name),
+     main AS (SELECT DISTINCT p.p_name, s.s_name, l.l_returnflag
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+SELECT DISTINCT pd.id AS part_id, sd.id AS supplier_id, m.l_returnflag AS returnflag
+FROM main m
+JOIN pdim pd ON m.p_name = pd.name
+JOIN sdim sd ON m.s_name = sd.name"""
+  )
+}

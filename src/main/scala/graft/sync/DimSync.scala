@@ -1,0 +1,80 @@
+package graft.sync
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The BigQuery→PostgreSQL dimension-sync engine re-expressed as set
+  * operations (reference: include/scripts/sync_data.py, orchestrated by
+  * dags/etl.py — SURVEY.md §2.3 J5-J7, §2.4 A1-A4, §3.2).
+  *
+  * The reference loops row-at-a-time `INSERT WHERE NOT EXISTS` / `DELETE`
+  * statements (sync_data.py:250-252,185-187) — its scalability bottleneck.
+  * Here every step is a distributed anti/semi join, so the same algebra
+  * holds at 100 TB: distinct-project first (shrinks to key cardinality),
+  * then broadcast the small side.
+  */
+object DimSync {
+
+  /** A1 — `SELECT DISTINCT <dim> WHERE <dim> IS NOT NULL` (sync_data.py:206-218). */
+  def distinctValues(source: DataFrame, valueCol: String): DataFrame =
+    source.select(col(valueCol).as("name")).filter(col("name").isNotNull).distinct()
+
+  /** J6 — idempotent insert set: source values not yet in the dimension
+    * (`INSERT … WHERE NOT EXISTS`, sync_data.py:242-252). */
+  def insertMissing(source: DataFrame, sourceCol: String,
+                    dim: DataFrame, dimNameCol: String = "name"): DataFrame =
+    distinctValues(source, sourceCol)
+      .join(dim.select(col(dimNameCol).as("name")), Seq("name"), "left_anti")
+
+  /** J7 — stale deletion set: dimension values absent from the source
+    * (`existing[~existing.name.isin(...)]` → DELETE, sync_data.py:254-269). */
+  def deleteStale(dim: DataFrame, source: DataFrame, sourceCol: String,
+                  dimNameCol: String = "name"): DataFrame =
+    dim.join(distinctValues(source, sourceCol)
+        .withColumnRenamed("name", dimNameCol), Seq(dimNameCol), "left_anti")
+
+  /** A2+J5+P2+A4 — media-combination resolution: distinct combination tuple
+    * from the wide table, inner-merged through each dimension to map names
+    * → ids (unmatched names drop, as pandas inner merge does,
+    * sync_data.py:118-153). `dims` maps combination column → (id, name)
+    * dimension; each dim is broadcast. */
+  def resolveCombinations(main: DataFrame, combinationCols: Seq[String],
+                          dims: Map[String, DataFrame]): DataFrame = {
+    val distinctCombos = main.select(combinationCols.map(col): _*).distinct()
+    val resolved = combinationCols.foldLeft(distinctCombos) { (acc, c) =>
+      dims.get(c) match {
+        case Some(dim) =>
+          val d = broadcast(dim.select(col("id").as(s"${c}_id"), col("name").as(c)))
+          acc.join(d, Seq(c), "inner")
+        case None => acc
+      }
+    }
+    resolved.select(combinationCols.flatMap(c =>
+      if (dims.contains(c)) Seq(col(s"${c}_id")) else Seq(col(c))): _*)
+      .dropDuplicates()
+  }
+
+  /** S14 — staging-table clone (DDL clone + `INSERT INTO staging SELECT *
+    * FROM production`, sync_data.py:34-104) as parquet path overwrite. */
+  def stagingClone(spark: SparkSession, productionPath: String, stagingPath: String): Unit =
+    spark.read.parquet(productionPath).write.mode(SaveMode.Overwrite).parquet(stagingPath)
+
+  /** C5/S10-S13 — blue-green promote: backup → overwrite production from
+    * staging → validate → restore backup on failure (the flagship DAG's
+    * switch_to_production + rollback_production_table,
+    * taico_facebook_data_etl_dag.py:136-222; backup/restore macros are
+    * invoked but undefined in the reference — reconstructed intent).
+    * `validate` receives the promoted table; any exception (or `false`)
+    * triggers rollback. Returns true when the promote stuck. */
+  def promote(spark: SparkSession, stagingPath: String, productionPath: String,
+              backupPath: String, validate: DataFrame => Boolean): Boolean = {
+    spark.read.parquet(productionPath).write.mode(SaveMode.Overwrite).parquet(backupPath)
+    spark.read.parquet(stagingPath).write.mode(SaveMode.Overwrite).parquet(productionPath)
+    val ok =
+      try validate(spark.read.parquet(productionPath))
+      catch { case _: Exception => false }
+    if (!ok) // rollback (ONE_FAILED trigger rule)
+      spark.read.parquet(backupPath).write.mode(SaveMode.Overwrite).parquet(productionPath)
+    ok
+  }
+}
