@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.checks._
+
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1, Some("a"), 10.0, 5.0),
+    (2, Some("a"), -1.0, 2.0),  // range violation; cost < cpc violation
+    (3, None, 3.0, 1.0),        // null name
+    (3, Some("c"), 4.0, 1.0)    // duplicate id
+  ).toDF("id", "name", "cost", "cpc")
+
+  test("NonNull counts null rows (Q3/Q6)") {
+    val r = Checks.evaluate(df, Seq(NonNull(Seq("name"))))
+    assert(r.head == CheckResult("non_null", 1, passed = false))
+  }
+
+  test("UniqueKey counts duplicates beyond first per key (Q7/A8)") {
+    val r = Checks.evaluate(df, Seq(UniqueKey(Seq("id"), name = "uid")))
+    assert(r.head == CheckResult("uid", 1, passed = false))
+  }
+
+  test("full-row duplicate check (Q4)") {
+    val d2 = df.union(df.limit(1))
+    val r = Checks.evaluate(d2, Seq(UniqueKey(Seq.empty, name = "dup")))
+    assert(r.head == CheckResult("dup", 1, passed = false))
+  }
+
+  test("RowCountMin (Q2/A7)") {
+    val r = Checks.evaluate(df, Seq(RowCountMin(100, name = "mn")))
+    assert(r.head == CheckResult("mn", 96, passed = false))
+    assert(Checks.evaluate(df, Seq(RowCountMin(4))).head.passed)
+  }
+
+  test("RangeMin / ColumnGte (Q9)") {
+    val r = Checks.evaluate(df, Seq(
+      RangeMin("cost", 0, name = "pos"), ColumnGte("cost", "cpc", name = "gte")))
+    assert(r(0) == CheckResult("pos", 1, passed = false))
+    assert(r(1) == CheckResult("gte", 1, passed = false))
+  }
+
+  test("schema checks need no job (Q1/Q5) and typed columns (Q9)") {
+    val r = Checks.evaluate(df, Seq(
+      SchemaSuperset(Seq("id", "name")),
+      SchemaExact(Seq("id", "name", "cost", "cpc"), name = "exact"),
+      SchemaExact(Seq("id"), name = "bad_exact"),
+      TypedColumns(Map("id" -> org.apache.spark.sql.types.IntegerType))))
+    assert(r.map(_.passed) == Seq(true, true, false, true))
+  }
+
+  test("AcceptedValues (Q12/A9)") {
+    val r = Checks.evaluate(df, Seq(AcceptedValues("name", Seq("a"), name = "av")))
+    // 'c' invalid; null is not counted (SQL three-valued logic, as in dbt)
+    assert(r.head == CheckResult("av", 1, passed = false))
+  }
+
+  test("failedRows returns the violating rows (Q11)") {
+    val rows = Checks.failedRows(df, FailedRowsWhere($"cost" < 0)).collect()
+    assert(rows.length == 1 && rows(0).getInt(0) == 2)
+  }
+
+  test("setSyncDiff reports both directions (Q8/U2)") {
+    val src = Seq("a", "b", "c").toDF("v")
+    val tgt = Seq("b", "c", "d").toDF("w")
+    val out = Checks.setSyncDiff(src, "v", tgt, "w")
+      .as[(String, String)].collect().toSet
+    assert(out == Set("a" -> "missing_in_target", "d" -> "extra_in_target"))
+  }
+
+  test("stagingDataChecks composite matches reference validator shape (Q9)") {
+    val staging = Seq(
+      (1L, "2024-01-01", "tv", "c1", 5, 10, 2.0, 1.0, 10.0),
+      (2L, "2024-01-01", "tv", "c1", -1, 10, 0.5, 1.0, 0.1)
+    ).toDF("id", "date", "channel", "campaign", "clicks", "impressions",
+      "media_cost_eur", "cpc", "revenue")
+    val r = Checks.evaluate(staging, Checks.stagingDataChecks())
+    val byName = r.map(c => c.check_name -> c.violations).toMap
+    assert(byName("clicks_gte_0") == 1)   // -1 clicks
+    assert(byName("cost_gte_cpc") == 1)   // 0.5 < 1.0
+    assert(byName("revenue_gte_cost") == 1) // 0.1 < 0.5
+    assert(byName("unique_id") == 0)
+  }
+}
