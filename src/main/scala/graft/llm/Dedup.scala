@@ -1,0 +1,187 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Fns.{md5long63, md5u64}
+import org.apache.spark.sql.graft.CosineSimilarity.cosineSim
+
+/** Deduplication operators for LLM training-data pipelines: exact
+  * (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine
+  * near-dup. (Extension phase, SURVEY.md §7.9 / BASELINE.json north_star.)
+  *
+  * Scale design notes:
+  *  - Exact dedup is a single hash aggregation on md5(text) — the digest
+  *    (16 bytes) shuffles instead of the document body.
+  *  - Candidate generation for the pairwise operators is always inverted-
+  *    index style (explode → join on shingle/band/bucket), never a cross
+  *    join; hot shingles are capped (`maxShingleFreq`) the way web-scale
+  *    dedup pipelines drop stop-shingles, so one viral n-gram cannot
+  *    produce a quadratic bucket.
+  *  - Verification (true Jaccard / hamming / cosine) runs only on the
+  *    candidate pairs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: one row per text with >1 occurrence,
+    * canonical = min doc_id (keep-first policy). */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Distinct keep-set under exact dedup: the min doc_id per text. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+
+  /** (doc_id, shingle) pairs: distinct word n-grams per document. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val ws = split(col("text"), " ")
+    docs.select(col("doc_id"),
+        when(size(ws) >= n,
+          transform(sequence(lit(0), size(ws) - n),
+            i => array_join(slice(ws, i + 1, lit(n)), " ")))
+          .otherwise(array().cast(ArrayType(StringType))).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .distinct()
+  }
+
+  /** Candidate pairs sharing ≥1 shingle, with exact Jaccard similarity.
+    * `maxShingleFreq` drops shingles present in more docs than the cap
+    * (stop-shingle pruning — bounds the worst bucket at scale). Jaccard is
+    * emitted as an exact integer division; the threshold test is
+    * cross-multiplied so no floating-point rounding is involved. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.6,
+                        maxShingleFreq: Long = 1000): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleFreq)
+    val pruned = sh.join(broadcast(rare.select("shingle")), Seq("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+
+    val inter = pruned.select(col("doc_id").as("a"), col("shingle"))
+      .join(pruned.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+
+    val num = lit((minJaccard * 1e6).round)
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      // jaccard >= minJaccard  ⟺  inter * 1e6 >= uni * round(minJaccard*1e6)
+      .filter(col("inter") * 1000000L >= col("uni") * num)
+      .select(col("a"), col("b"),
+        col("inter").cast(DoubleType)./(col("uni").cast(DoubleType)).as("jaccard"))
+  }
+
+  /** MinHash signatures: k hash functions h_i(s) = md5_64(i ':' s), min per
+    * doc — one aggregation pass computes all k mins. The hash matches
+    * DuckDB's md5_number_lower bit-for-bit, keeping LSH oracle-checkable. */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
+    sh.groupBy("doc_id").agg(
+      min(md5u64(concat(lit(s"0:"), col("shingle")))).as("mh0"),
+      (1 until k).map(i =>
+        min(md5u64(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i")): _*)
+
+  /** MinHash-LSH near-dup pairs: band the k-row signature into `bands`
+    * groups, bucket-join on (band index, band hash), then verify candidates
+    * with exact Jaccard ≥ minJaccard. */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+                      minJaccard: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val sh = shingles(docs, n).cache()
+    val sig = minhashSignatures(sh, k)
+    val banded = sig.select(col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws("|", (0 until rows).map(r => col(s"mh${b * rows + r}").cast(StringType)): _*)).as("bh"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+
+    val cand = banded.select(col("doc_id").as("a"), col("band"), col("bh"))
+      .join(banded.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle").as("shingle")), Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+
+    val num = lit((minJaccard * 1e6).round)
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .filter(col("inter") * 1000000L >= col("uni") * num)
+      .select(col("a"), col("b"),
+        col("inter").cast(DoubleType)./(col("uni").cast(DoubleType)).as("jaccard"))
+  }
+
+  /** 63-bit SimHash per document: token-frequency-weighted bit votes over
+    * md5-derived word hashes (bit j of the fingerprint is the sign of the
+    * weighted vote sum). One groupBy(doc, word) + one groupBy(doc). */
+  def simhash(docs: DataFrame, bits: Int = 63): DataFrame = {
+    val wordCounts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5long63(col("word")))
+    val votes = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"v$j")
+    }
+    val voted = wordCounts.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val fp = (0 until bits).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxHamming via
+    * bit_count(xor). Candidates come from matching any of 4 16-bit key
+    * chunks (LSH on fingerprint segments — near-identical fingerprints
+    * must collide on ≥1 chunk when maxHamming < chunks). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val fp = simhash(docs)
+    val chunks = fp.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.key"))
+    chunks.select(col("doc_id").as("a"), col("simhash").as("fa"), col("chunk"), col("key"))
+      .join(chunks.select(col("doc_id").as("b"), col("simhash").as("fb"), col("chunk"), col("key")),
+        Seq("chunk", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `minCosine`, via the
+    * native CosineSimilarity expression. Candidate generation is a
+    * sign-bucket LSH (random-hyperplane style on fixed axes) so the join is
+    * bucketed, with the caveat that cross-bucket near-dups at the bucket
+    * boundary are missed — `exhaustive = true` does the full a<b join. */
+  def embeddingNearDupPairs(embeddings: DataFrame, minCosine: Double = 0.5,
+                            exhaustive: Boolean = true): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val pairs =
+      if (exhaustive)
+        e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+          .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), col("a") < col("b"))
+      else {
+        val bucketed = e.withColumn("bucket", Similarity.signBucket(col("embedding")))
+        bucketed.select(col("vec_id").as("a"), col("embedding").as("ea"), col("bucket"))
+          .join(bucketed.select(col("vec_id").as("b"), col("embedding").as("eb"), col("bucket")),
+            Seq("bucket"))
+          .filter(col("a") < col("b"))
+      }
+    pairs.withColumn("cosine", round(cosineSim(col("ea"), col("eb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select("a", "b", "cosine")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** A decoded-media record: typed metadata + a fixed-size feature vector.
+  * The decode itself is STUBBED (no image/audio codecs in this
+  * environment) — see [[Multimodal.stubDecode]] — but the Spark-side
+  * plumbing (schema, binary column handling, partition-wise batch decode,
+  * feature shape) is real and tested. */
+case class MediaMeta(
+    media_id: Long,
+    byte_len: Long,
+    checksum: String,
+    width: Int,
+    height: Int,
+    channels: Int,
+    frame_count: Int)
+
+/** Multimodal-column operators (extension phase, SURVEY.md §7.9): treat
+  * image/audio/video as opaque BINARY columns with typed metadata;
+  * decode / feature-extract runs partition-wise (mapPartitions — one
+  * decoder init per partition, the Scala analog of a batched Pandas UDF
+  * over mapInPandas), never row-at-a-time on the driver. */
+object Multimodal {
+
+  /** STUB decoder — deterministic fake standing in for a real image/audio
+    * codec (libs not present in this container). Metadata is derived
+    * purely from the bytes so tests and oracles can reproduce it. A real
+    * deployment swaps this one function for e.g. a JNI codec call; the
+    * surrounding plumbing is unchanged. */
+  def stubDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val checksum = md.digest(bytes).map("%02x".format(_)).mkString
+    val n = bytes.length.toLong
+    MediaMeta(
+      media_id = id,
+      byte_len = n,
+      checksum = checksum,
+      width = (n % 640).toInt,
+      height = ((n * 7) % 480).toInt,
+      channels = 3,
+      frame_count = (n % 30).toInt)
+  }
+
+  /** Partition-wise decode of a (id, content: binary) DataFrame into typed
+    * metadata. The decoder is initialized once per partition (the `it =>`
+    * prologue), exactly where a real codec would set up its context. */
+  def decodeMetadata(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here (JNI context, model, …)
+        it.map { case (id, bytes) => stubDecode(id, bytes) }
+      }
+  }
+
+  /** Fixed-size feature vector per media item (stub: deterministic floats
+    * from the checksum bytes — stands in for an embedding model). */
+  def features(media: DataFrame, dim: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          val vec = (0 until dim).map(i => (digest(i % 16) & 0xFF) / 255.0f).toArray
+          (id, vec)
+        }
+      }
+      .toDF("media_id", "feature")
+  }
+
+  /** Adapter: wrap a text corpus as opaque binary media (UTF-8 bytes) —
+    * the harness has no true binary tables, so documents stand in. */
+  def documentsAsMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      col("text").cast(org.apache.spark.sql.types.BinaryType).as("content"))
+}

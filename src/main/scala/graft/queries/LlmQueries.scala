@@ -1,10 +1,306 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
 
 /** LLM-data-pipeline operator queries (extension phase, SURVEY.md §7.9):
-  * dedup family, similarity search, text analysis, multimodal plumbing. */
+  * dedup family, similarity search, text analysis, multimodal plumbing.
+  * Oracle SQL is generated where the operator is wide (minhash signatures,
+  * simhash bit votes) — hashing is md5-based specifically so DuckDB's
+  * md5_number_lower reproduces it bit-for-bit. */
 object LlmQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_exact_dup_groups" -> ((s, d) => Dedup.exactDupGroups(Tables.documents(s, d))),
+    "llm_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    "llm_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    "llm_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
+    "llm_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "llm_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    "llm_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d))),
+    "llm_ann_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, 5)
+    }),
+    "llm_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e.filter(col("vec_id") < 10), e, 5)
+    }),
+    "llm_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, 5)
+    }),
+    "llm_lang_id" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextStats.langId(col("text")).as("lang_pred"))),
+    "llm_quality" -> ((s, d) =>
+      TextStats.qualityMetrics(Tables.documents(s, d))
+        .select("doc_id", "n_words", "n_chars_measured", "avg_word_len",
+          "stopword_ratio", "alpha_ratio", "quality_keep")),
+    "llm_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_ws_tokens"),
+        TextStats.tokenCount(col("text")).as("n_bpe_tokens"))),
+    "llm_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fingerprint"))),
+    "llm_multimodal_meta" -> ((s, d) =>
+      Multimodal.decodeMetadata(
+        Multimodal.documentsAsMedia(Tables.documents(s, d))).toDF()),
+    "llm_multimodal_features" -> ((s, d) =>
+      Multimodal.features(Multimodal.documentsAsMedia(Tables.documents(s, d))))
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB: (doc_id, shingle) distinct word 3-grams. */
+  private val shinglesCte = """
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS words,
+                 unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i
+          FROM documents)
+  )
+)"""
+
+  /** DuckDB twin of Fns.md5u64: md5_number_lower as DECIMAL(20,0). */
+  private def dsk(expr: String): String = s"CAST(md5_number_lower($expr) AS DECIMAL(20,0))"
+
+  /** DuckDB double-accumulation cosine over list_zip (field names list_1/2). */
+  private def cosSql(a: String, b: String): String =
+    s"""(SELECT sum(CAST(z.l1 AS DOUBLE) * CAST(z.l2 AS DOUBLE)) /
+        (sqrt(sum(CAST(z.l1 AS DOUBLE) * CAST(z.l1 AS DOUBLE))) *
+         sqrt(sum(CAST(z.l2 AS DOUBLE) * CAST(z.l2 AS DOUBLE))))
+        FROM (SELECT unnest($a) AS l1, unnest($b) AS l2) z)"""
+
+  private val jaccardVerify = """
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+verified AS (
+  SELECT i.a, i.b, i.inter, sa.sz + sb.sz - i.inter AS uni
+  FROM inter i
+  JOIN sizes sa ON i.a = sa.doc_id
+  JOIN sizes sb ON i.b = sb.doc_id
+)"""
+
+  private val simhashVotes: String = {
+    val h = "CAST(CAST(md5_number_lower(word) AS HUGEINT) % CAST(9223372036854775808 AS HUGEINT) AS BIGINT)"
+    val votes = (0 until 63).map(j =>
+      s"CAST(sum(CASE WHEN (h >> $j) & 1 = 1 THEN cnt ELSE -cnt END) AS BIGINT) AS v$j").mkString(",\n    ")
+    val fp = (0 until 63).map(j =>
+      s"CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
+    s"""
+wc AS (
+  SELECT doc_id, word, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY doc_id, word
+), hashed AS (SELECT doc_id, $h AS h, cnt FROM wc),
+voted AS (
+  SELECT doc_id,
+    $votes
+  FROM hashed GROUP BY doc_id
+), fps AS (SELECT doc_id, $fp AS simhash FROM voted)"""
+  }
+
+  private val minhashCtes: String = {
+    val k = 16; val bands = 4; val rows = 4
+    val mins = (0 until k).map(i =>
+      s"min(${dsk(s"concat('$i:', shingle)")}) AS mh$i").mkString(",\n    ")
+    val bandRows = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => s"CAST(mh${b * rows + r} AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""
+sig AS (
+  SELECT doc_id,
+    $mins
+  FROM sh GROUP BY doc_id
+), banded AS (
+  $bandRows
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+), inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN sh p ON p.doc_id = c.a
+  JOIN sh q ON q.doc_id = c.b AND q.shingle = p.shingle
+  GROUP BY c.a, c.b
+)"""
+  }
+
+  /** Language-ID argmax fold, mirrored exactly (earlier language wins ties). */
+  private val langIdSql: String = {
+    val scores = TextStats.langMarkers.map { case (lang, ms) =>
+      val inList = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), w -> w IN ($inList))) AS s_$lang"
+    }.mkString(",\n    ")
+    val folded = TextStats.langMarkers.tail.foldLeft(
+      (s"'${TextStats.langMarkers.head._1}'", s"s_${TextStats.langMarkers.head._1}")) {
+      case ((bl, bs), (lang, _)) =>
+        (s"CASE WHEN s_$lang > $bs THEN '$lang' ELSE $bl END",
+          s"CASE WHEN s_$lang > $bs THEN s_$lang ELSE $bs END")
+    }._1
+    s"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    $scores
+  FROM documents
+)
+SELECT doc_id, lang, $folded AS lang_pred FROM scored"""
+  }
+
+  private val stopList =
+    TextStats.langMarkers.flatMap(_._2).distinct.map(m => s"'$m'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "llm_exact_dup_groups" -> """
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+
+    "llm_exact_dedup" -> """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)""",
+
+    "llm_ngram_jaccard" -> s"""
+WITH $shinglesCte,
+rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle) WHERE df <= 1000),
+pruned AS (SELECT doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM pruned x JOIN pruned y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+$jaccardVerify
+SELECT a, b, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+FROM verified WHERE inter * 1000000 >= uni * 600000""",
+
+    "llm_minhash_lsh" -> s"""
+WITH $shinglesCte,
+$minhashCtes,
+$jaccardVerify
+SELECT a, b, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+FROM verified WHERE inter * 1000000 >= uni * 500000""",
+
+    "llm_simhash" -> s"""
+WITH $simhashVotes
+SELECT doc_id, simhash FROM fps""",
+
+    "llm_simhash_pairs" -> s"""
+WITH $simhashVotes,
+chunks AS (
+  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 16)) & 65535 AS key
+  FROM fps, (SELECT unnest([0, 1, 2, 3]) AS c)
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 8""",
+
+    "llm_embedding_neardup" -> s"""
+WITH pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         round(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+)
+SELECT a, b, cosine FROM pairs WHERE cosine >= 0.5""",
+
+    "llm_ann_topk" -> s"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5""",
+
+    "llm_ann_lsh" -> s"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
+          CASE WHEN embedding[17] > 0 THEN 2 ELSE 0 END +
+          CASE WHEN embedding[33] > 0 THEN 1 ELSE 0 END) AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
+  FROM bucketed q JOIN bucketed c
+    ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5""",
+
+    "llm_ann_ivf" -> s"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < 8
+), assigned AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(${cosSql("e.embedding", "c.centroid")}, 6) DESC, c.cell_id ASC) AS crank
+  FROM embeddings e, cents c
+), cells AS (SELECT vec_id, embedding, cell_id FROM assigned WHERE crank = 1),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
+  FROM cells q JOIN cells c
+    ON q.cell_id = c.cell_id AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5""",
+
+    "llm_lang_id" -> langIdSql,
+
+    "llm_quality" -> s"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+    CAST(length(text) AS BIGINT) AS n_chars_measured,
+    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS BIGINT) AS stop_hits,
+    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars
+  FROM documents
+)
+SELECT doc_id, n_words, n_chars_measured,
+  CAST(n_chars_measured - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) AS avg_word_len,
+  CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE) AS stopword_ratio,
+  CAST(alpha_chars AS DOUBLE) / CAST(n_chars_measured AS DOUBLE) AS alpha_ratio,
+  (n_words >= 5 AND n_words <= 10000 AND stop_hits * 100 >= n_words
+   AND alpha_chars * 10 >= n_chars_measured * 6) AS quality_keep
+FROM m""",
+
+    "llm_token_count" -> """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents""",
+
+    "llm_fingerprint" -> """
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+FROM documents""",
+
+    "llm_multimodal_meta" -> """
+SELECT doc_id AS media_id,
+  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+  md5(text) AS checksum,
+  CAST(octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS width,
+  CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels,
+  CAST(octet_length(CAST(text AS BLOB)) % 30 AS INTEGER) AS frame_count
+FROM documents""",
+
+    "llm_multimodal_features" -> s"""
+SELECT doc_id AS media_id,
+  [${(0 until 8).map(i =>
+        s"CAST(CAST((md5_number_upper(text) >> ${8 * i}) & 255 AS FLOAT) / CAST(255 AS FLOAT) AS FLOAT)")
+        .mkString(", ")}] AS feature
+FROM documents"""
+  )
 }
