@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming-shaped capability (SURVEY.md §2.9): the reference's
+  * incremental materialization re-expressed as Structured Streaming, plus
+  * the windowed aggregations a streaming events feed needs. Every
+  * transform here works identically on a batch DataFrame and a streaming
+  * one (`spark.readStream`) — the batch twin is what the oracle checks
+  * (StreamQueries), the streaming path is exercised in EventsStreamSpec.
+  */
+object EventsStream {
+
+  /** Tumbling 1-hour windowed counts/sums per event type, 2-hour
+    * watermark for late data (I1's streaming flavor). On a stream this
+    * emits append-mode finalized windows; on a batch frame it is a plain
+    * group-by. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("total_value"))
+      .select(col("window.start").as("hour_ts"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming dedup on a business key within the watermark horizon —
+    * the streaming analog of the incremental unique_key merge (I1).
+    * Batch equivalent: earliest-event-wins keyed dedup (StreamQueries
+    * pins the deterministic tie-break). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** File-based streaming reader for an events-shaped directory — the
+    * productionized entry: readStream → transform → writeStream with
+    * checkpointing is the deployment shape at scale. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+      .parquet(dir)
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventsStream
+
+/** Drives the Structured Streaming pipelines through a real MemoryStream
+  * micro-batch execution (not just the batch twins). */
+class EventsStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourlyByType aggregates tumbling windows on a real stream (I1 streaming flavor)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = ms.toDF()
+      .toDF("event_id", "ts", "event_type", "value")
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+    val q = EventsStream.hourlyByType(events).writeStream
+      .format("memory").queryName("hourly_test").outputMode("complete").start()
+    try {
+      ms.addData(
+        (1L, ts("2024-01-01 10:05:00"), "click", 1.5),
+        (2L, ts("2024-01-01 10:55:00"), "click", 2.5),
+        (3L, ts("2024-01-01 11:05:00"), "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_test")
+        .orderBy("hour_ts", "event_type").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n_events") == 2)
+      assert(rows(0).getAs[java.math.BigDecimal]("total_value").toString == "4.00")
+      assert(rows(1).getAs[String]("event_type") == "view")
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops same-key events inside the horizon") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsStream.dedupWithinWatermark(events).writeStream
+      .format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+        (2L, ts("2024-01-01 10:10:00"), 7L, "click", 2.0), // dup key within watermark
+        (3L, ts("2024-01-01 10:20:00"), 8L, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_test").collect()
+      assert(rows.length == 2) // the duplicate (7, click) was dropped
+    } finally q.stop()
+  }
+}

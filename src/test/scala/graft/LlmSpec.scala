@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 1
+    (3L, "completely different words entirely here now today"),
+    (4L, "the quick brown fox jumps over the lazy dog")   // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id per text") {
+    val groups = Dedup.exactDupGroups(docs).collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("canonical_id") == 1L
+      && groups(0).getAs[Long]("dup_count") == 2L)
+    val kept = Dedup.exactDedup(docs).as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
+  test("shingles are distinct word n-grams") {
+    val sh = Dedup.shingles(docs.filter($"doc_id" === 1), 3).as[(Long, String)].collect()
+    assert(sh.length == 7) // 9 words -> 7 trigrams, all distinct here
+    assert(sh.map(_._2).contains("the quick brown"))
+  }
+
+  test("ngramJaccardPairs finds near-dups above threshold, exact dups at 1.0") {
+    val asMap = Dedup.ngramJaccardPairs(docs, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(asMap((1L, 4L)) == 1.0)
+    assert(asMap.contains((1L, 2L)) && asMap((1L, 2L)) > 0.5 && asMap((1L, 2L)) < 1.0)
+    assert(!asMap.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhashLshPairs surfaces the same near-dup structure") {
+    val pairs = Dedup.minhashLshPairs(docs, 3, 16, 4, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical docs identical fingerprints; near-dups small hamming") {
+    val fps = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(4L))
+    val ham12 = java.lang.Long.bitCount(fps(1L) ^ fps(2L))
+    val ham13 = java.lang.Long.bitCount(fps(1L) ^ fps(3L))
+    assert(ham12 < ham13)
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f))   // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("native CosineSimilarity expression computes correct values") {
+    import org.apache.spark.sql.graft.CosineSimilarity.cosineSim
+    val sim = vecs.as("a").join(vecs.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("x"), $"b.vec_id".as("y"),
+        cosineSim($"a.embedding", $"b.embedding").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(sim((0L, 2L))) < 1e-12)
+    assert(math.abs(sim((0L, 3L)) + 1.0) < 1e-12)
+    assert(sim((0L, 1L)) > 0.99)
+  }
+
+  test("bruteForceTopK ranks by cosine with deterministic ties") {
+    val out = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, 2).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // nearest first
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 2))
+  }
+
+  test("embeddingNearDupPairs respects the threshold") {
+    val pairs = Dedup.embeddingNearDupPairs(vecs, 0.9).collect()
+    assert(pairs.length == 1)
+    assert((pairs(0).getLong(0), pairs(0).getLong(1)) == (0L, 1L))
+  }
+
+  test("text stats: langId, quality, tokens, fingerprint") {
+    val t = Seq((1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze ist da")).toDF("doc_id", "text")
+    val langs = t.select($"doc_id", TextStats.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) == "en" && langs(2L) == "de")
+
+    val q = TextStats.qualityMetrics(t).where($"doc_id" === 1).collect()(0)
+    assert(q.getAs[Long]("n_words") == 8)
+    assert(q.getAs[Boolean]("quality_keep"))
+
+    val tok = t.where($"doc_id" === 1)
+      .select(TextStats.tokenCount($"text")).as[Long].collect()(0)
+    assert(tok == 8)
+
+    // fingerprint is order- and duplicate-insensitive
+    val fp = Seq((1L, "b a a c"), (2L, "c b a")).toDF("doc_id", "text")
+      .select(TextStats.fingerprint($"text")).as[String].collect()
+    assert(fp(0) == fp(1))
+  }
+
+  test("multimodal: partition-wise stub decode preserves schema and determinism") {
+    val media = Multimodal.documentsAsMedia(docs)
+    val meta = Multimodal.decodeMetadata(media).collect().map(m => m.media_id -> m).toMap
+    assert(meta(1L).checksum == meta(4L).checksum) // same bytes, same decode
+    assert(meta(1L).byte_len == 43L)
+    assert(meta(1L).width == (43 % 640) && meta(1L).channels == 3)
+    val feats = Multimodal.features(media).collect()
+    assert(feats.forall(_.getSeq[Float](1).length == 8))
+  }
+}
