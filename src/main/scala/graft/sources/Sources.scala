@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY.md §2.1). Connector ingestion (S1: Airbyte
+  * → warehouse) is out-of-engine — the harness pre-lands parquet; these
+  * wrappers cover the in-engine load/store operators with explicit schemas
+  * (ingest-with-declared-schema mirrors the reference's validate-at-the-
+  * door posture; inference is opt-in, never default).
+  */
+object Sources {
+
+  /** S2 — CSV scan with declared schema (header mode matches the
+    * reference's pandas read_csv defaults). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S2 variant — schema-inferred CSV (diagnostic use only). */
+  def readCsvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S3 — CSV sink. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** JSON scan/sink (Airbyte-landing shape). */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** S10 — CTAS full overwrite (`CREATE OR REPLACE TABLE … AS SELECT`). */
+  def overwriteTable(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S11 — INSERT-append (`insert_data` dbt macro). */
+  def appendTable(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** S12 — TRUNCATE: overwrite with the empty prefix of the same schema. */
+  def truncateTable(spark: SparkSession, path: String): Unit = {
+    val empty = spark.read.parquet(path).limit(0)
+    empty.write.mode(SaveMode.Overwrite).parquet(s"$path.__truncating")
+    overwriteTable(spark.read.parquet(s"$path.__truncating"), path)
+  }
+
+  /** S13 — backup/restore table ops (macros invoked but undefined in the
+    * reference; reconstructed intent — copy table, copy back). */
+  def backupTable(spark: SparkSession, path: String, backupPath: String): Unit =
+    overwriteTable(spark.read.parquet(path), backupPath)
+  def restoreTable(spark: SparkSession, backupPath: String, path: String): Unit =
+    overwriteTable(spark.read.parquet(backupPath), path)
+
+  /** Partitioned parquet sink — the at-scale default for fact tables
+    * (date-partitioned output enables partition pruning on the watermark
+    * and date-range scans; SURVEY.md §4 incremental-scan note). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+}
