@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: absorb JVM/codegen/session init so timings measure queries,
+    // not first-use JIT (runs a shuffle + a parquet read + codegen once).
+    spark.range(1000000).selectExpr("sum(id) as s", "count(distinct id % 7) as d").collect()
+    try spark.read.parquet(s"$sfDir/nation.parquet").count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -54,10 +54,16 @@ object Fns {
     * DECIMAL(20,0). Bit-for-bit equal to DuckDB's `md5_number_lower`, which
     * makes hash-dependent operators (MinHash, SimHash) oracle-checkable.
     * `conv` interprets 16 hex chars as an unsigned 64-bit value. */
-  def md5u64(c: Column): Column = {
+  def md5u64(c: Column): Column = md5u64At(c, 17)
+
+  /** Upper 64 bits (digest bytes 0..7, little-endian) — DuckDB's
+    * `md5_number_upper`. */
+  def md5u64Upper(c: Column): Column = md5u64At(c, 1)
+
+  private def md5u64At(c: Column, hexStart: Int): Column = {
     val hex = md5(c)
-    // digest bytes 8..15 are hex chars 17..32; little-endian ⇒ reverse pairs
-    val le = concat((0 until 8).reverse.map(i => substring(hex, 17 + 2 * i, 2)): _*)
+    // little-endian ⇒ reverse the byte pairs
+    val le = concat((0 until 8).reverse.map(i => substring(hex, hexStart + 2 * i, 2)): _*)
     conv(le, 16, 10).cast(DecimalType(20, 0))
   }
 
@@ -65,6 +71,14 @@ object Fns {
     * bitwise ops (&, ^, bit_count) stay in native LongType codegen. */
   def md5long63(c: Column): Column =
     (md5u64(c) % lit(BigDecimal("9223372036854775808"))).cast(LongType)
+
+  /** 58-bit folds of the two md5 halves. One md5 per input yields a 2-seed
+    * tabulation family h_i(x) = lo58 + i*hi58 that stays inside signed-64
+    * arithmetic for i ≤ 15 (16*2^58 < 2^63) — ANSI-overflow-safe in Spark
+    * and reproducible in DuckDB from md5_number_lower/upper. */
+  val fold58: BigDecimal = BigDecimal(1L << 58)
+  def md5lo58(c: Column): Column = (md5u64(c) % lit(fold58)).cast(LongType)
+  def md5hi58(c: Column): Column = (md5u64Upper(c) % lit(fold58)).cast(LongType)
 
   /** F6-style guarded enum remap: keep values in `allowed`, else `other`.
     * Reference: fb_meta_ads_transformed.sql:48-51 (media_cluster IN-guard). */

@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.functions.Fns.{md5long63, md5u64}
+import graft.functions.Fns.{md5hi58, md5lo58, md5long63}
 import org.apache.spark.sql.graft.CosineSimilarity.cosineSim
 
 /** Deduplication operators for LLM training-data pipelines: exact
@@ -77,14 +77,17 @@ object Dedup {
         col("inter").cast(DoubleType)./(col("uni").cast(DoubleType)).as("jaccard"))
   }
 
-  /** MinHash signatures: k hash functions h_i(s) = md5_64(i ':' s), min per
-    * doc — one aggregation pass computes all k mins. The hash matches
-    * DuckDB's md5_number_lower bit-for-bit, keeping LSH oracle-checkable. */
+  /** MinHash signatures: k hash functions from a 2-seed tabulation family
+    * h_i(s) = lo58(s) + i*hi58(s) — ONE md5 per shingle (not k), all-long
+    * arithmetic, one aggregation pass computes all k mins. lo58/hi58 fold
+    * DuckDB's md5_number_lower/upper, keeping LSH oracle-checkable. */
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
-    sh.groupBy("doc_id").agg(
-      min(md5u64(concat(lit(s"0:"), col("shingle")))).as("mh0"),
-      (1 until k).map(i =>
-        min(md5u64(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i")): _*)
+    sh.select(col("doc_id"),
+        md5lo58(col("shingle")).as("lo"), md5hi58(col("shingle")).as("hi"))
+      .groupBy("doc_id").agg(
+        min(col("lo")).as("mh0"),
+        (1 until k).map(i =>
+          min(col("lo") + lit(i.toLong) * col("hi")).as(s"mh$i")): _*)
 
   /** MinHash-LSH near-dup pairs: band the k-row signature into `bands`
     * groups, bucket-join on (band index, band hash), then verify candidates

@@ -35,8 +35,12 @@ object TestdataAdapter {
           .otherwise(col("l_quantity")).cast(IntegerType).as("Quantity"),
         when(col("o_orderkey") % 2 === 0, date_format(col("o_orderdate"), "MM/dd/yyyy HH:mm"))
           .otherwise(date_format(col("o_orderdate"), "M/d/yyyy H:mm")).as("InvoiceDate"),
+        // p_retailprice (per-part list price), NOT l_extendedprice: the
+        // price is part of the product surrogate key, so a line-level value
+        // would explode dim_product to fact cardinality — unbroadcastable
+        // at scale and unfaithful to the reference's unit-price semantics.
         when(col("l_partkey") % 41 === 0, lit(0.0))
-          .otherwise(col("l_extendedprice")).as("UnitPrice"),
+          .otherwise(col("p_retailprice")).as("UnitPrice"),
         when(col("o_custkey") % 37 === 0, lit(null).cast(LongType))
           .otherwise(col("o_custkey")).as("CustomerID"),
         col("n_name").as("Country"))

@@ -107,8 +107,11 @@ voted AS (
 
   private val minhashCtes: String = {
     val k = 16; val bands = 4; val rows = 4
+    val m58 = 1L << 58
+    val lo = s"CAST(CAST(md5_number_lower(shingle) AS HUGEINT) % $m58 AS BIGINT)"
+    val hi = s"CAST(CAST(md5_number_upper(shingle) AS HUGEINT) % $m58 AS BIGINT)"
     val mins = (0 until k).map(i =>
-      s"min(${dsk(s"concat('$i:', shingle)")}) AS mh$i").mkString(",\n    ")
+      s"min($lo + $i * $hi) AS mh$i").mkString(",\n    ")
     val bandRows = (0 until bands).map { b =>
       val cols = (0 until rows).map(r => s"CAST(mh${b * rows + r} AS VARCHAR)").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bh FROM sig"
