@@ -15,10 +15,17 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id) as s", "count(distinct id % 7) as d").collect()
     try spark.read.parquet(s"$sfDir/nation.parquet").count()
     catch { case _: Throwable => () }
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+      val t0 = System.nanoTime(); val g0 = gcMillis
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-28s ${sec}%8.2f s  gc=${gcMillis - g0} ms")
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -48,6 +48,24 @@ object Dedup {
       .distinct()
   }
 
+  /** Hashed shingle set: (doc_id, lo, hi) with the shingle replaced by its
+    * two 58-bit md5 folds. All downstream dedup joins/aggregations then
+    * shuffle 16 bytes of longs instead of the shingle text — the difference
+    * between shuffling the corpus and shuffling fingerprints at 100 TB.
+    * Hash collisions are shared with the DuckDB oracle by construction, so
+    * results stay bit-identical. */
+  def hashedShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val ws = split(col("text"), " ")
+    docs.select(col("doc_id"),
+        when(size(ws) >= n,
+          transform(sequence(lit(0), size(ws) - n),
+            i => array_join(slice(ws, i + 1, lit(n)), " ")))
+          .otherwise(array().cast(ArrayType(StringType))).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), md5lo58(col("shingle")).as("lo"), md5hi58(col("shingle")).as("hi"))
+      .distinct()
+  }
+
   /** Candidate pairs sharing ≥1 shingle, with exact Jaccard similarity.
     * `maxShingleFreq` drops shingles present in more docs than the cap
     * (stop-shingle pruning — bounds the worst bucket at scale). Jaccard is
@@ -55,14 +73,14 @@ object Dedup {
     * cross-multiplied so no floating-point rounding is involved. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.6,
                         maxShingleFreq: Long = 1000): DataFrame = {
-    val sh = shingles(docs, n).cache()
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sh = hashedShingles(docs, n).cache()
+    val rare = sh.groupBy("lo", "hi").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq)
-    val pruned = sh.join(broadcast(rare.select("shingle")), Seq("shingle"))
+    val pruned = sh.join(broadcast(rare.select("lo", "hi")), Seq("lo", "hi"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
 
-    val inter = pruned.select(col("doc_id").as("a"), col("shingle"))
-      .join(pruned.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+    val inter = pruned.select(col("doc_id").as("a"), col("lo"), col("hi"))
+      .join(pruned.select(col("doc_id").as("b"), col("lo"), col("hi")), Seq("lo", "hi"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
 
@@ -82,12 +100,10 @@ object Dedup {
     * arithmetic, one aggregation pass computes all k mins. lo58/hi58 fold
     * DuckDB's md5_number_lower/upper, keeping LSH oracle-checkable. */
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
-    sh.select(col("doc_id"),
-        md5lo58(col("shingle")).as("lo"), md5hi58(col("shingle")).as("hi"))
-      .groupBy("doc_id").agg(
-        min(col("lo")).as("mh0"),
-        (1 until k).map(i =>
-          min(col("lo") + lit(i.toLong) * col("hi")).as(s"mh$i")): _*)
+    sh.groupBy("doc_id").agg(
+      min(col("lo")).as("mh0"),
+      (1 until k).map(i =>
+        min(col("lo") + lit(i.toLong) * col("hi")).as(s"mh$i")): _*)
 
   /** MinHash-LSH near-dup pairs: band the k-row signature into `bands`
     * groups, bucket-join on (band index, band hash), then verify candidates
@@ -95,7 +111,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
                       minJaccard: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sh = shingles(docs, n).cache()
+    val sh = hashedShingles(docs, n).cache()
     val sig = minhashSignatures(sh, k)
     val banded = sig.select(col("doc_id"),
         explode(array((0 until bands).map { b =>
@@ -111,8 +127,8 @@ object Dedup {
 
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
-      .join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("shingle").as("shingle")), Seq("b", "shingle"))
+      .join(sh.select(col("doc_id").as("a"), col("lo"), col("hi")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("lo"), col("hi")), Seq("b", "lo", "hi"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
 
     val num = lit((minJaccard * 1e6).round)

@@ -56,10 +56,14 @@ object LlmQueries {
 
   // ---------------------------------------------------------------- oracle
 
-  /** DuckDB: (doc_id, shingle) distinct word 3-grams. */
-  private val shinglesCte = """
+  /** DuckDB: (doc_id, lo, hi) distinct hashed word 3-grams (twin of
+    * Dedup.hashedShingles — 58-bit folds of md5_number_lower/upper). */
+  private val shinglesCte = s"""
 sh AS (
-  SELECT DISTINCT doc_id, shingle FROM (
+  SELECT DISTINCT doc_id,
+    CAST(CAST(md5_number_lower(shingle) AS HUGEINT) % ${1L << 58} AS BIGINT) AS lo,
+    CAST(CAST(md5_number_upper(shingle) AS HUGEINT) % ${1L << 58} AS BIGINT) AS hi
+  FROM (
     SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
     FROM (SELECT doc_id, string_split(text, ' ') AS words,
                  unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i
@@ -107,11 +111,8 @@ voted AS (
 
   private val minhashCtes: String = {
     val k = 16; val bands = 4; val rows = 4
-    val m58 = 1L << 58
-    val lo = s"CAST(CAST(md5_number_lower(shingle) AS HUGEINT) % $m58 AS BIGINT)"
-    val hi = s"CAST(CAST(md5_number_upper(shingle) AS HUGEINT) % $m58 AS BIGINT)"
     val mins = (0 until k).map(i =>
-      s"min($lo + $i * $hi) AS mh$i").mkString(",\n    ")
+      s"min(lo + $i * hi) AS mh$i").mkString(",\n    ")
     val bandRows = (0 until bands).map { b =>
       val cols = (0 until rows).map(r => s"CAST(mh${b * rows + r} AS VARCHAR)").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bh FROM sig"
@@ -130,7 +131,7 @@ sig AS (
   SELECT c.a, c.b, count(*) AS inter
   FROM cand c
   JOIN sh p ON p.doc_id = c.a
-  JOIN sh q ON q.doc_id = c.b AND q.shingle = p.shingle
+  JOIN sh q ON q.doc_id = c.b AND q.lo = p.lo AND q.hi = p.hi
   GROUP BY c.a, c.b
 )"""
   }
@@ -169,11 +170,11 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)""",
 
     "llm_ngram_jaccard" -> s"""
 WITH $shinglesCte,
-rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle) WHERE df <= 1000),
-pruned AS (SELECT doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
+rare AS (SELECT lo, hi FROM (SELECT lo, hi, count(*) AS df FROM sh GROUP BY lo, hi) WHERE df <= 1000),
+pruned AS (SELECT doc_id, sh.lo, sh.hi FROM sh JOIN rare ON sh.lo = rare.lo AND sh.hi = rare.hi),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-  FROM pruned x JOIN pruned y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  FROM pruned x JOIN pruned y ON x.lo = y.lo AND x.hi = y.hi AND x.doc_id < y.doc_id
   GROUP BY x.doc_id, y.doc_id
 ),
 $jaccardVerify

@@ -26,6 +26,16 @@ object MiscQueries {
         .orderBy(col("p_partkey").asc)
         .limit(10)),
 
+    // S5: the universal SQL-text extract primitive (client.query(q)) —
+    // spark.sql over a registered view; the result stays distributed
+    // instead of collapsing to the driver as the reference's to_dataframe.
+    "misc_sql_extract" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_type, count(*) AS n, min(user_id) AS min_user
+               FROM events_v WHERE event_type IS NOT NULL
+               GROUP BY event_type""")
+    }),
+
     // U1: UNION ALL of two incremental slices (column-name aligned).
     "misc_union_all" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -44,6 +54,10 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
 
     "misc_limited_fetch" -> """
 SELECT p_brand, p_type, p_partkey FROM part ORDER BY p_partkey ASC LIMIT 10""",
+
+    "misc_sql_extract" -> """
+SELECT event_type, count(*) AS n, min(user_id) AS min_user
+FROM events WHERE event_type IS NOT NULL GROUP BY event_type""",
 
     "misc_union_all" -> """
 SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'

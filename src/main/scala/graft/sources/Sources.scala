@@ -52,6 +52,21 @@ object Sources {
   def restoreTable(spark: SparkSession, backupPath: String, path: String): Unit =
     overwriteTable(spark.read.parquet(backupPath), path)
 
+  /** S8 — relational scan over JDBC (the reference's per-dimension
+    * PostgreSQL reads, sync_data.py:126-134). `predicates` pushes the
+    * company_id filter to the database. Untestable in this environment
+    * (no database server) — the wrapper documents the mapping. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               props: java.util.Properties, predicates: Array[String] = Array.empty): DataFrame =
+    if (predicates.isEmpty) spark.read.jdbc(url, table, props)
+    else spark.read.jdbc(url, table, predicates, props)
+
+  /** S9 — set-based JDBC sink, replacing the reference's row-at-a-time
+    * INSERT loop (sync_data.py:250-252). Untestable here; see S8 note. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                props: java.util.Properties, mode: SaveMode = SaveMode.Append): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
+
   /** Partitioned parquet sink — the at-scale default for fact tables
     * (date-partitioned output enables partition pruning on the watermark
     * and date-range scans; SURVEY.md §4 incremental-scan note). */

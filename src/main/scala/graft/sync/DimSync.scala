@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object DimSync {
 
-  /** A1 — `SELECT DISTINCT <dim> WHERE <dim> IS NOT NULL` (sync_data.py:206-218). */
+  /** A1 — `SELECT DISTINCT <dim> WHERE <dim> IS NOT NULL` (sync_data.py:206-218);
+    * the null drop is P6 (`df.dropna(subset=['name'])`,
+    * bigquery_to_postgres_dbt_pipeline.py:56). */
   def distinctValues(source: DataFrame, valueCol: String): DataFrame =
-    source.select(col(valueCol).as("name")).filter(col("name").isNotNull).distinct()
+    source.select(col(valueCol).as("name")).na.drop(Seq("name")).distinct()
 
   /** J6 — idempotent insert set: source values not yet in the dimension
     * (`INSERT … WHERE NOT EXISTS`, sync_data.py:242-252). */
