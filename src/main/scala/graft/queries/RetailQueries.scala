@@ -65,6 +65,9 @@ object RetailQueries {
   // by logical plan, so every retail query shares one materialization of
   // the 5-way adapter join instead of recomputing it per dim.
   private def raw(s: SparkSession, d: String) = TestdataAdapter.rawInvoices(s, d).cache()
+  // The fact is likewise shared (plan-matched) by the report queries.
+  private def fct(s: SparkSession, d: String) =
+    Retail.fctInvoices(raw(s, d), ctry(s, d)).cache()
   private def ctry(s: SparkSession, d: String) = TestdataAdapter.country(s, d)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -72,18 +75,13 @@ object RetailQueries {
     "retail_dim_product" -> ((s, d) => Retail.dimProduct(raw(s, d))),
     "retail_dim_datetime" -> ((s, d) =>
       Retail.dimDatetime(raw(s, d), TestdataAdapter.parseAdapterTs)),
-    "retail_fct_invoices" -> ((s, d) => Retail.fctInvoices(raw(s, d), ctry(s, d))),
-    "retail_report_customer" -> ((s, d) => {
-      val r = raw(s, d); val c = ctry(s, d)
-      Retail.reportCustomerInvoices(Retail.fctInvoices(r, c), Retail.dimCustomer(r, c))
-    }),
+    "retail_fct_invoices" -> ((s, d) => fct(s, d)),
+    "retail_report_customer" -> ((s, d) =>
+      Retail.reportCustomerInvoices(fct(s, d), Retail.dimCustomer(raw(s, d), ctry(s, d)))),
     "retail_report_product" -> ((s, d) => Retail.reportProductInvoices(raw(s, d))),
-    "retail_report_year" -> ((s, d) => {
-      val r = raw(s, d)
-      Retail.reportYearInvoices(
-        Retail.fctInvoices(r, ctry(s, d)),
-        Retail.dimDatetime(r, TestdataAdapter.parseAdapterTs))
-    })
+    "retail_report_year" -> ((s, d) =>
+      Retail.reportYearInvoices(fct(s, d),
+        Retail.dimDatetime(raw(s, d), TestdataAdapter.parseAdapterTs)))
   )
 
   private val productId = sk("StockCode", "Description", money("UnitPrice"))
