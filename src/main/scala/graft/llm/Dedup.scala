@@ -36,17 +36,21 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
 
-  /** (doc_id, shingle) pairs: distinct word n-grams per document. */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  /** Per-document distinct shingle ARRAY. Dedup happens inside the row
+    * (array_distinct) — shingle-set semantics need uniqueness per doc only,
+    * so no cross-partition shuffle is ever required for it. */
+  private def shingleArray(n: Int): Column = {
     val ws = split(col("text"), " ")
-    docs.select(col("doc_id"),
-        when(size(ws) >= n,
-          transform(sequence(lit(0), size(ws) - n),
-            i => array_join(slice(ws, i + 1, lit(n)), " ")))
-          .otherwise(array().cast(ArrayType(StringType))).as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .distinct()
+    array_distinct(
+      when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => array_join(slice(ws, i + 1, lit(n)), " ")))
+        .otherwise(array().cast(ArrayType(StringType))))
   }
+
+  /** (doc_id, shingle) pairs: distinct word n-grams per document. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), explode(shingleArray(n)).as("shingle"))
 
   /** Hashed shingle set: (doc_id, lo, hi) with the shingle replaced by its
     * two 58-bit md5 folds. All downstream dedup joins/aggregations then
@@ -54,17 +58,9 @@ object Dedup {
     * between shuffling the corpus and shuffling fingerprints at 100 TB.
     * Hash collisions are shared with the DuckDB oracle by construction, so
     * results stay bit-identical. */
-  def hashedShingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val ws = split(col("text"), " ")
-    docs.select(col("doc_id"),
-        when(size(ws) >= n,
-          transform(sequence(lit(0), size(ws) - n),
-            i => array_join(slice(ws, i + 1, lit(n)), " ")))
-          .otherwise(array().cast(ArrayType(StringType))).as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+  def hashedShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), explode(shingleArray(n)).as("shingle"))
       .select(col("doc_id"), md5lo58(col("shingle")).as("lo"), md5hi58(col("shingle")).as("hi"))
-      .distinct()
-  }
 
   /** Candidate pairs sharing ≥1 shingle, with exact Jaccard similarity.
     * `maxShingleFreq` drops shingles present in more docs than the cap

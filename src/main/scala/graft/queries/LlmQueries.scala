@@ -60,11 +60,11 @@ object LlmQueries {
     * Dedup.hashedShingles — 58-bit folds of md5_number_lower/upper). */
   private val shinglesCte = s"""
 sh AS (
-  SELECT DISTINCT doc_id,
+  SELECT doc_id,
     CAST(CAST(md5_number_lower(shingle) AS HUGEINT) % ${1L << 58} AS BIGINT) AS lo,
     CAST(CAST(md5_number_upper(shingle) AS HUGEINT) % ${1L << 58} AS BIGINT) AS hi
   FROM (
-    SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+    SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
     FROM (SELECT doc_id, string_split(text, ' ') AS words,
                  unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i
           FROM documents)
