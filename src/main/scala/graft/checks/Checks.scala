@@ -56,16 +56,24 @@ object Checks {
     case _ => None
   }
 
-  /** Evaluate a suite in (at most) one scan + one dedup-shape job per
-    * UniqueKey check. Returns one CheckResult row per check. */
+  /** Evaluate a suite in AT MOST ONE job: row-level violation counts,
+    * the row count, and every UniqueKey's distinct-key count all fold into
+    * a single aggregation (multiple count_distincts expand in one pass).
+    * Schema checks are metadata-only. Returns one CheckResult per check. */
   def evaluate(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] = {
     val rowLevel = checks.flatMap(c => violationCond(c).map(c.name -> _))
-    val needsCount = checks.exists(_.isInstanceOf[RowCountMin]) || rowLevel.nonEmpty
+    val uniques = checks.collect { case u: UniqueKey => u }
+    val needsCount = checks.exists(_.isInstanceOf[RowCountMin]) ||
+      rowLevel.nonEmpty || uniques.nonEmpty
 
     val aggCols =
       (if (needsCount) Seq(count(lit(1)).as("__n")) else Seq.empty) ++
         rowLevel.map { case (n, cond) =>
           sum(when(cond, 1L).otherwise(0L)).as(s"__v_$n")
+        } ++
+        uniques.map { u =>
+          val keyCols = if (u.cols.isEmpty) df.columns.toSeq else u.cols
+          count_distinct(struct(keyCols.map(col): _*)).as(s"__d_${u.name}")
         }
     val aggRow = if (aggCols.nonEmpty) Some(df.agg(aggCols.head, aggCols.tail: _*).collect()(0)) else None
     def aggVal(name: String): Long =
@@ -85,9 +93,8 @@ object Checks {
       case c @ RowCountMin(min, _) =>
         val n = aggVal("__n")
         CheckResult(c.name, if (n >= min) 0L else min - n, n >= min)
-      case c @ UniqueKey(cols, _) =>
-        val keyed = if (cols.isEmpty) df else df.select(cols.map(col): _*)
-        val dups = keyed.count() - keyed.distinct().count()
+      case c: UniqueKey =>
+        val dups = aggVal("__n") - aggVal(s"__d_${c.name}")
         CheckResult(c.name, dups, dups == 0L)
       case c =>
         val v = aggVal(s"__v_${c.name}")

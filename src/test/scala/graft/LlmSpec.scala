@@ -84,6 +84,16 @@ class LlmSpec extends SparkSpec {
     assert((pairs(0).getLong(0), pairs(0).getLong(1)) == (0L, 1L))
   }
 
+  test("bucketed near-dup variant finds same-bucket pairs only (scale path)") {
+    // 64-dim vectors so the sign-bucket axes (1/17/33) exist
+    val base = Array.fill(64)(0.0f)
+    val mk = (v: Float) => { val a = base.clone(); a(0) = v; a(1) = 0.5f; a }
+    val big = Seq((0L, mk(1.0f)), (1L, mk(0.99f)), (2L, { val a = base.clone(); a(0) = -1.0f; a }))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(big, 0.9, exhaustive = false).collect()
+    assert(pairs.length == 1 && pairs(0).getLong(0) == 0L && pairs(0).getLong(1) == 1L)
+  }
+
   test("text stats: langId, quality, tokens, fingerprint") {
     val t = Seq((1L, "the cat and the dog of the house"),
       (2L, "der hund und die katze ist da")).toDF("doc_id", "text")
