@@ -75,4 +75,26 @@ object TextStats {
     * 64-bit rolling variant for joinable keys. */
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(words(text))), " "))
+
+  /** Training-sequence chunking: fixed-size word windows with overlap
+    * (stride = size - overlap). Chunk starts at i*stride; short documents
+    * yield one whole-document chunk; the final window clamps at the end.
+    * Pure per-row array work — no shuffle, scales with the scan. */
+  def chunkDocuments(df: DataFrame, size: Int = 32, overlap: Int = 8,
+                     textCol: String = "text"): DataFrame = {
+    require(overlap < size, "overlap must be smaller than chunk size")
+    val stride = size - overlap
+    val ws = words(col(textCol))
+    val len = org.apache.spark.sql.functions.size(ws)
+    // nChunks = 1 if len <= size else ceil((len-size)/stride) + 1
+    val nChunks = when(len <= size, lit(1))
+      .otherwise(((len - size + stride - 1).cast(DoubleType) / stride).cast(IntegerType) + 1)
+    df.select(col("doc_id"),
+        explode(transform(sequence(lit(0), nChunks - 1), i => struct(
+          i.as("chunk_idx"),
+          array_join(slice(ws, i * stride + 1, lit(size)), " ").as("chunk_text"),
+          org.apache.spark.sql.functions.size(slice(ws, i * stride + 1, lit(size))).cast(LongType).as("n_tokens")
+        ))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"), col("c.n_tokens"))
+  }
 }

@@ -51,7 +51,9 @@ object LlmQueries {
       Multimodal.decodeMetadata(
         Multimodal.documentsAsMedia(Tables.documents(s, d))).toDF()),
     "llm_multimodal_features" -> ((s, d) =>
-      Multimodal.features(Multimodal.documentsAsMedia(Tables.documents(s, d))))
+      Multimodal.features(Multimodal.documentsAsMedia(Tables.documents(s, d)))),
+    "llm_chunking" -> ((s, d) =>
+      TextStats.chunkDocuments(Tables.documents(s, d), size = 32, overlap = 8))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -299,6 +301,22 @@ SELECT doc_id AS media_id,
   CAST(3 AS INTEGER) AS channels,
   CAST(octet_length(CAST(text AS BLOB)) % 30 AS INTEGER) AS frame_count
 FROM documents""",
+
+    "llm_chunking" -> """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), chunked AS (
+  SELECT doc_id, words, n,
+         unnest(generate_series(0,
+           CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END - 1)) AS i
+  FROM base
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       array_to_string(words[i*24+1 : i*24+32], ' ') AS chunk_text,
+       CAST(len(words[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens
+FROM chunked""",
 
     "llm_multimodal_features" -> s"""
 SELECT doc_id AS media_id,

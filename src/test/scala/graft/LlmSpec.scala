@@ -115,6 +115,21 @@ class LlmSpec extends SparkSpec {
     assert(fp(0) == fp(1))
   }
 
+  test("chunkDocuments windows with overlap, clamps the tail, whole-doc for short texts") {
+    val t = Seq((1L, (1 to 50).map(i => s"w$i").mkString(" ")), // 50 words
+      (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextStats.chunkDocuments(t, size = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // doc 1: stride 24 -> chunks at 0 (32 words) and 24 (26 words)
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.length == 2)
+    assert(d1(0).getAs[Long]("n_tokens") == 32 && d1(1).getAs[Long]("n_tokens") == 26)
+    assert(d1(1).getAs[String]("chunk_text").startsWith("w25 "))
+    // doc 2: one whole-document chunk
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getAs[String]("chunk_text") == "a b c")
+  }
+
   test("multimodal: partition-wise stub decode preserves schema and determinism") {
     val media = Multimodal.documentsAsMedia(docs)
     val meta = Multimodal.decodeMetadata(media).collect().map(m => m.media_id -> m).toMap
