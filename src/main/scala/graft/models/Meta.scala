@@ -26,7 +26,15 @@ object Meta {
     *
     * campaigns join (J1): right side is a dimension (thousands of rows at
     * most) — broadcast, so the fact side never shuffles. */
-  def fbAdsTransformed(adsInsights: DataFrame, campaigns: DataFrame): DataFrame = {
+  def fbAdsTransformed(adsInsights: DataFrame, campaigns: DataFrame): DataFrame =
+    fbAdsTransformed(adsInsights, campaigns, denseId = true)
+
+  /** denseId=false swaps the reference-faithful dense 1..N numbering (an
+    * unpartitioned window = single-task sort) for
+    * monotonically_increasing_id — unique but sparse ids, fully parallel.
+    * Use it when only uniqueness matters at cluster scale. */
+  def fbAdsTransformed(adsInsights: DataFrame, campaigns: DataFrame,
+                       denseId: Boolean): DataFrame = {
     val campDim = broadcast(
       campaigns.select(
         concat(lit("campaign_id_"), substring(col("id"), 4, Int.MaxValue)).as("campaign_id"), // :28
@@ -57,7 +65,9 @@ object Meta {
         lit("audience_placeholder").as("audience"),
         col("created_time").cast(TimestampType).as("added_at"),        // F2 :61-62
         col("updated_time").cast(TimestampType).as("updated_at"))
-      .withColumn("id", row_number().over(Window.orderBy(col("ad_id"))).cast(LongType)) // W1 :36
+      .withColumn("id",                                                // W1 :36
+        if (denseId) row_number().over(Window.orderBy(col("ad_id"))).cast(LongType)
+        else monotonically_increasing_id())
       // F13 :66-68 — net derivations stay DOUBLE: both engines then compute
       // the identical IEEE product (a DECIMAL cast would expose the engines'
       // different rounding modes on exact midpoints).
