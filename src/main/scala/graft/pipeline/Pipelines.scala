@@ -80,6 +80,15 @@ object Pipelines {
       StageResult("switch_to_production", promoted, if (promoted) "promoted" else "rolled_back"))
   }
 
+  /** transform_csv.py:1-12 — the standalone CSV transform: read, distinct
+    * values of one column, write back out. */
+  def transformCsv(spark: SparkSession, inPath: String, outPath: String,
+                   column: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    val df = graft.sources.Sources.readCsv(spark, inPath, schema)
+    graft.sources.Sources.writeCsv(
+      df.select(col(column)).na.drop().distinct(), outPath)
+  }
+
   /** §3.2 dimension sync: per-dimension fan-out (C2) with branch-on-empty
     * (C3); returns per-dimension insert/delete counts. */
   def syncLifecycle(spark: SparkSession, dir: String): Seq[StageResult] = {

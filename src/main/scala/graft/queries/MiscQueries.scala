@@ -36,6 +36,14 @@ object MiscQueries {
                GROUP BY event_type""")
     }),
 
+    // JSON landing-shape extraction (Airbyte payloads land as JSON text):
+    // typed from_json struct access, codegen-friendly.
+    "misc_json_extract" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType))))("k").as("k_val"))),
+
     // U1: UNION ALL of two incremental slices (column-name aligned).
     "misc_union_all" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -58,6 +66,10 @@ SELECT p_brand, p_type, p_partkey FROM part ORDER BY p_partkey ASC LIMIT 10""",
     "misc_sql_extract" -> """
 SELECT event_type, count(*) AS n, min(user_id) AS min_user
 FROM events WHERE event_type IS NOT NULL GROUP BY event_type""",
+
+    "misc_json_extract" -> """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+FROM events""",
 
     "misc_union_all" -> """
 SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'

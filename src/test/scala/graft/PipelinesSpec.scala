@@ -27,6 +27,19 @@ class PipelinesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/production").count() == prodCount)
   }
 
+  test("transformCsv dedups a column end-to-end (transform_csv.py)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tcsv").toString
+    Seq(("a", 1), ("a", 2), ("b", 3), (null, 4)).toDF("name", "v")
+      .write.option("header", "true").csv(s"$dir/in")
+    val schema = StructType(Seq(StructField("name", StringType), StructField("v", IntegerType)))
+    Pipelines.transformCsv(spark, s"$dir/in", s"$dir/out", "name", schema)
+    val out = spark.read.option("header", "true").csv(s"$dir/out")
+      .as[String].collect().toSet
+    assert(out == Set("a", "b"))
+  }
+
   test("sync lifecycle fans out per dimension with counts (§3.2)") {
     val stages = Pipelines.syncLifecycle(spark, dir)
     assert(stages.length == 3 && stages.forall(_.ok))
