@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for the 100 TB posture. AQE's skew-join
+  * splitting (on by default) handles most cases at runtime; these are the
+  * explicit tools for the two patterns AQE cannot fix:
+  *
+  *  - a hot grouping key concentrating an aggregation on one reducer →
+  *    [[saltedAggregate]] (two-phase: pre-aggregate per salt, then final);
+  *  - a hot join key against a non-broadcastable dimension →
+  *    [[replicatedSaltedJoin]] (replicate the dim per salt, spread the
+  *    fact deterministically).
+  *
+  * Salts are derived deterministically (hash of a caller-chosen spread
+  * column) so results are reproducible run-to-run.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, n) from a spread column (use a high-
+    * cardinality column NOT part of the key, e.g. the row's unique id). */
+  def saltOf(spread: Column, n: Int): Column =
+    pmod(xxhash64(spread), lit(n)).cast("int")
+
+  /** Two-phase salted sum/count aggregation: groupBy(keys + salt) partial,
+    * then groupBy(keys) final. `sums` maps output column → input column.
+    * Equivalent to df.groupBy(keys).agg(sum/count) for any input. */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], spread: Column,
+                      sums: Map[String, String], countCol: Option[String] = None,
+                      saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", saltOf(spread, saltBuckets))
+    val partialAggs =
+      sums.map { case (out, in) => sum(col(in)).as(s"__p_$out") }.toSeq ++
+        countCol.map(c => count(lit(1)).as(s"__p_$c")).toSeq
+    val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    val finalAggs =
+      sums.keys.map(out => sum(col(s"__p_$out")).as(out)).toSeq ++
+        countCol.map(c => sum(col(s"__p_$c")).as(c)).toSeq
+    partial.groupBy(keys.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
+  /** Salted equi join: the dimension is replicated once per salt value
+    * (explode), the fact side is salted deterministically, and the join
+    * runs on (keys + salt) — a hot key's rows spread over `saltBuckets`
+    * reducers instead of one. Semantically identical to
+    * fact.join(dim, keys, joinType). */
+  def replicatedSaltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                           spread: Column, joinType: String = "inner",
+                           saltBuckets: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", saltOf(spread, saltBuckets))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedFact.join(replicatedDim, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

@@ -72,4 +72,14 @@ object Sources {
     * and date-range scans; SURVEY.md §4 incremental-scan note). */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed managed table — pre-shuffled layout so repeated joins/aggs
+    * on the bucket key skip their exchange entirely (the co-located-join
+    * path for fact×fact joins too big to broadcast). Requires the session
+    * catalog (saveAsTable). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).bucketBy(numBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
+  }
 }
