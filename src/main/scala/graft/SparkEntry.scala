@@ -29,10 +29,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RetailQueries.queries ++ MetaQueries.queries ++ MmsQueries.queries ++
       SyncQueries.queries ++ CheckQueries.queries ++ LlmQueries.queries ++
-      StreamQueries.queries ++ MiscQueries.queries
+      StreamQueries.queries ++ MiscQueries.queries ++ TpchQueries.queries
 
   def oracleSql: Map[String, String] =
     RetailQueries.oracle ++ MetaQueries.oracle ++ MmsQueries.oracle ++
       SyncQueries.oracle ++ CheckQueries.oracle ++ LlmQueries.oracle ++
-      StreamQueries.oracle ++ MiscQueries.oracle
+      StreamQueries.oracle ++ MiscQueries.oracle ++ TpchQueries.oracle
 }

@@ -76,6 +76,47 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(words(text))), " "))
 
+  /** Repetition detection: the classic quality signal — share of the most
+    * frequent token. One keyed aggregation; ratios exact-division doubles,
+    * the flag an integer cross-multiplication. */
+  def repetitionMetrics(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(col("doc_id"), explode(words(col(textCol))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        max(col("cnt")).as("max_cnt"),
+        sum(col("cnt")).as("n_tokens"))
+      .select(col("doc_id"),
+        col("max_cnt").cast(DoubleType)./(col("n_tokens").cast(DoubleType)).as("top_token_ratio"),
+        (col("max_cnt") * lit(5L) >= col("n_tokens")).as("repetitive")) // ratio >= 0.2
+
+  /** Token-stream packing (LLM pretraining style): chunks are concatenated
+    * in a deterministic order within each `partitionCol` group and cut into
+    * packs of `budget` tokens — pack_id = tokens-before div budget. The
+    * running sum is a keyed window, so packing parallelizes per group
+    * (the per-source shard is the unit of work at scale). */
+  def packChunks(chunks: DataFrame, budget: Int, partitionCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partitionCol))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("running", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        ((col("running") - col("n_tokens")).cast(DoubleType) / budget).cast(LongType))
+      .select(col(partitionCol), col("doc_id"), col("chunk_idx"),
+        col("n_tokens"), col("pack_id"))
+  }
+
+  /** PII scrubbing: email/phone redaction + found counts. Patterns stay in
+    * the RE2 ∩ Java-regex common subset so oracles replicate exactly. */
+  val emailRe = "[a-zA-Z0-9]+@[a-zA-Z0-9.]+[a-zA-Z]"
+  val phoneRe = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+  def piiCounts(text: Column): (Column, Column) = (
+    size(regexp_extract_all(text, lit(emailRe), lit(0))).cast(LongType),
+    size(regexp_extract_all(text, lit(phoneRe), lit(0))).cast(LongType))
+
   /** Training-sequence chunking: fixed-size word windows with overlap
     * (stride = size - overlap). Chunk starts at i*stride; short documents
     * yield one whole-document chunk; the final window clamps at the end.

@@ -53,7 +53,28 @@ object LlmQueries {
     "llm_multimodal_features" -> ((s, d) =>
       Multimodal.features(Multimodal.documentsAsMedia(Tables.documents(s, d)))),
     "llm_chunking" -> ((s, d) =>
-      TextStats.chunkDocuments(Tables.documents(s, d), size = 32, overlap = 8))
+      TextStats.chunkDocuments(Tables.documents(s, d), size = 32, overlap = 8)),
+    "llm_repetition" -> ((s, d) =>
+      TextStats.repetitionMetrics(Tables.documents(s, d))),
+    "llm_packing" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val chunks = TextStats.chunkDocuments(docs, size = 32, overlap = 8)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      TextStats.packChunks(chunks, budget = 256)
+    }),
+    "llm_pii_redact" -> ((s, d) => {
+      // harness text carries no PII — inject deterministic markers so the
+      // redaction path actually fires, then scrub them back out
+      val withPii = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("pii_text"))
+      val (emails, phones) = (TextStats.piiCounts(col("pii_text"))._1,
+        TextStats.piiCounts(col("pii_text"))._2)
+      withPii.select(col("doc_id"),
+        TextStats.redactPii(col("pii_text")).as("clean_text"),
+        emails.as("emails_found"), phones.as("phones_found"))
+    })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -317,6 +338,54 @@ SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
        array_to_string(words[i*24+1 : i*24+32], ' ') AS chunk_text,
        CAST(len(words[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens
 FROM chunked""",
+
+    "llm_repetition" -> """
+WITH wc AS (
+  SELECT doc_id, word, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY doc_id, word
+), agg AS (
+  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_cnt, CAST(sum(cnt) AS BIGINT) AS n_tokens
+  FROM wc GROUP BY doc_id
+)
+SELECT doc_id, CAST(max_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_ratio,
+       max_cnt * 5 >= n_tokens AS repetitive
+FROM agg""",
+
+    "llm_packing" -> """
+WITH base AS (
+  SELECT d.source, c.doc_id, c.chunk_idx, c.n_tokens FROM (
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           CAST(len(words[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id, string_split(text, ' ') AS words,
+                 unnest(generate_series(0,
+                   CASE WHEN len(string_split(text, ' ')) <= 32 THEN 1
+                        ELSE (len(string_split(text, ' ')) - 32 + 23) // 24 + 1 END - 1)) AS i
+          FROM documents)
+  ) c JOIN documents d ON c.doc_id = d.doc_id
+), packed AS (
+  SELECT source, doc_id, chunk_idx, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC, chunk_idx ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM base
+)
+SELECT source, doc_id, chunk_idx, n_tokens,
+       CAST((running - n_tokens) // 256 AS BIGINT) AS pack_id
+FROM packed""",
+
+    "llm_pii_redact" -> """
+WITH pii AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com or +1-555-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS pii_text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(pii_text, '[a-zA-Z0-9]+@[a-zA-Z0-9.]+[a-zA-Z]', '<EMAIL>', 'g'),
+                 '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(pii_text, '[a-zA-Z0-9]+@[a-zA-Z0-9.]+[a-zA-Z]')) AS BIGINT) AS emails_found,
+  CAST(len(regexp_extract_all(pii_text, '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS phones_found
+FROM pii""",
 
     "llm_multimodal_features" -> s"""
 SELECT doc_id AS media_id,

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Classic warehouse analytics over the harness star schema (TPC-H-shaped
+  * pricing summary / shipping-priority / local-volume queries) — general
+  * OLAP capability beyond the reference's own models, and the canonical
+  * shapes the engine must keep fast at scale: partial-agg group-bys,
+  * broadcast-dim joins over a large fact, decimal-exact money math.
+  *
+  * Decimal discipline (cross-engine exact): money doubles are cast to
+  * DECIMAL(18,2) per row (tie-free — inputs are 2-dec values), products
+  * keep their full scale, sums stay DECIMAL; averages are emitted as
+  * sum-decimal→double / count (identical IEEE division both engines) —
+  * never a decimal division, whose scale/rounding rules differ.
+  */
+object TpchQueries {
+
+  private def dec2(c: String) = col(c).cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1-shaped pricing summary: scan-heavy partial+final aggregation.
+    "tpch_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2("l_quantity")).cast(DecimalType(38, 2)).as("sum_qty"),
+          sum(dec2("l_extendedprice")).cast(DecimalType(38, 2)).as("sum_base_price"),
+          sum(dec2("l_extendedprice") * (lit(BigDecimal(1).setScale(2)) - dec2("l_discount")))
+            .cast(DecimalType(38, 4)).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty",
+          col("sum_qty").cast(DoubleType) / col("count_order").cast(DoubleType))
+        .withColumn("avg_price",
+          col("sum_base_price").cast(DoubleType) / col("count_order").cast(DoubleType))),
+
+    // Q3-shaped shipping priority: selective dim filter -> fact join ->
+    // grouped revenue -> deterministic top-k.
+    "tpch_top_orders" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampType))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1997-01-01 00:00:00").cast(TimestampType))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec2("l_extendedprice") * (lit(BigDecimal(1).setScale(2)) - dec2("l_discount")))
+          .cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Q5-shaped local-supplier volume: 6-way star join, region-filtered,
+    // revenue per nation. Dims broadcast; the two fact-side tables join
+    // on their keys.
+    "tpch_regional_volume" -> ((s, d) => {
+      val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val nat = Tables.nation(s, d).join(broadcast(asia),
+        col("n_regionkey") === col("r_regionkey"))
+      val supp = Tables.supplier(s, d)
+      val cust = Tables.customer(s, d)
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec2("l_extendedprice") * (lit(BigDecimal(1).setScale(2)) - dec2("l_discount")))
+          .cast(DecimalType(38, 4)).as("revenue"))
+    })
+  )
+
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  val oracle: Map[String, String] = Map(
+    "tpch_pricing_summary" -> s"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+  CAST(sum($discPrice) AS DECIMAL(38,4)) AS sum_disc_price,
+  count(*) AS count_order,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS avg_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+
+    "tpch_top_orders" -> s"""
+SELECT o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate, o.o_orderpriority,
+       CAST(sum($discPrice) AS DECIMAL(38,4)) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10""",
+
+    "tpch_regional_volume" -> s"""
+SELECT n.n_name,
+       CAST(sum($discPrice) AS DECIMAL(38,4)) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name"""
+  )
+}
