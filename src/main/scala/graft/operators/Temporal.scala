@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators Spark lacks as built-ins, composed from keyed
+  * windows (preference order (a) of the build brief: compose existing ops
+  * before reaching for a custom plan node).
+  *
+  * Both operators cost exactly ONE shuffle (hash by key) + an in-partition
+  * sort — the minimal possible for temporally-ordered per-key semantics,
+  * and the shape that scales: no self-join, no range cross product.
+  */
+object Temporal {
+
+  /** As-of join: for each left row, the single right row with the greatest
+    * `tsCol` ≤ the left row's (per `key`) — DuckDB/kdb ASOF semantics.
+    *
+    * Implementation: tag + union both sides, one window per key ordered by
+    * (ts, side, seq) with rights sorted before lefts at equal ts (so
+    * ts-equal rights match, = the `>=` convention), then carry the last
+    * non-null right payload forward (`last(..., ignoreNulls)` over an
+    * unbounded-preceding frame). Left rows with no prior right keep nulls
+    * (left-outer semantics).
+    *
+    * `rightCols` name the right-side payload columns to surface; they must
+    * not collide with left column names. `seqCol` breaks ordering ties
+    * deterministically (a unique id present on both sides). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               seqCol: String, rightCols: Seq[String]): DataFrame = {
+    val payload = struct(rightCols.map(col): _*)
+    val r = right.select(col(key), col(tsCol), col(seqCol), payload.as("__rp"))
+      .withColumn("__side", lit(0))
+    val l = left.withColumn("__rp", lit(null).cast(r.schema("__rp").dataType))
+      .withColumn("__side", lit(1))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).asc, col("__side").asc, col(seqCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leftCols = left.columns.map(col)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__matched", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols ++ rightCols.map(c => col(s"__matched.$c").as(c)): _*)
+  }
+
+  /** Sessionization: per-key session numbering with an inactivity gap —
+    * a new session starts when the time since the previous event exceeds
+    * `gapSeconds` (or at the first event). Returns the input plus
+    * `session_seq` (1-based per key). */
+  def sessionize(events: DataFrame, key: String, tsCol: String, seqCol: String,
+                 gapSeconds: Long): DataFrame = {
+    val order = Window.partitionBy(col(key)).orderBy(col(tsCol).asc, col(seqCol).asc)
+    val prev = lag(col(tsCol), 1).over(order)
+    val isNew = when(prev.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(prev) > gapSeconds * 1000000L, 1L).otherwise(0L)
+    events
+      .withColumn("__new", isNew)
+      .withColumn("session_seq",
+        sum(col("__new")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+}

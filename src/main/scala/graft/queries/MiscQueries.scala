@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.Temporal
 
 /** Remaining small operators (SURVEY.md §2.6 L1/L2, §2.7 U1): top-k with a
   * pinned order (the reference's bare LIMIT is nondeterministic — the
@@ -36,6 +37,27 @@ object MiscQueries {
                GROUP BY event_type""")
     }),
 
+    // As-of join: each purchase matched to the user's most recent prior
+    // (or simultaneous) click — one shuffle, no range cross product.
+    "temporal_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_id").as("click_event_id"), col("ts").as("click_ts"))
+      Temporal.asofJoin(purchases, clicks,
+          key = "user_id", tsCol = "ts", seqCol = "event_id",
+          rightCols = Seq("click_event_id", "click_ts"))
+        .select(col("event_id"), col("user_id"), col("click_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+    }),
+
+    // Sessionization: 30-minute inactivity gap per user.
+    "temporal_sessionize" -> ((s, d) =>
+      Temporal.sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 1800)
+        .select(col("event_id"), col("user_id"), col("session_seq"))),
+
     // JSON landing-shape extraction (Airbyte payloads land as JSON text):
     // typed from_json struct access, codegen-friendly.
     "misc_json_extract" -> ((s, d) =>
@@ -66,6 +88,25 @@ SELECT p_brand, p_type, p_partkey FROM part ORDER BY p_partkey ASC LIMIT 10""",
     "misc_sql_extract" -> """
 SELECT event_type, count(*) AS n, min(user_id) AS min_user
 FROM events WHERE event_type IS NOT NULL GROUP BY event_type""",
+
+    "temporal_asof_join" -> """
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""",
+
+    "temporal_sessionize" -> """
+SELECT event_id, user_id,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+FROM (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+)""",
 
     "misc_json_extract" -> """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val

@@ -1,0 +1,42 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin picks the greatest right ts <= left ts, equal-ts matches, no-prior keeps null") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 09:30:00")), // equal to a right ts -> matches it
+      (3L, 11L, ts("2024-01-01 08:00:00"))  // no prior right for user 11
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 09:00:00")),
+      (101L, 10L, ts("2024-01-01 09:30:00")),
+      (102L, 11L, ts("2024-01-01 09:45:00")) // after left's ts
+    ).toDF("event_id", "user_id", "ts")
+      .withColumn("click_event_id", col("event_id"))
+    val out = Temporal.asofJoin(left, right, "user_id", "ts", "event_id", Seq("click_event_id"))
+      .orderBy("event_id").collect()
+    assert(out(0).getAs[Long]("click_event_id") == 101L) // latest prior
+    assert(out(1).getAs[Long]("click_event_id") == 101L) // ts-equal match
+    assert(out(2).isNullAt(out(2).fieldIndex("click_event_id"))) // left outer
+  }
+
+  test("sessionize numbers sessions per key with the inactivity gap") {
+    val e = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 10:10:00")), // same session (10 min)
+      (3L, 7L, ts("2024-01-01 11:00:00")), // 50 min gap -> new session
+      (4L, 8L, ts("2024-01-01 10:00:00"))  // other user -> own session 1
+    ).toDF("event_id", "user_id", "ts")
+    val out = Temporal.sessionize(e, "user_id", "ts", "event_id", gapSeconds = 1800)
+      .orderBy("event_id").collect().map(_.getAs[Long]("session_seq")).toSeq
+    assert(out == Seq(1L, 1L, 2L, 1L))
+  }
+}
