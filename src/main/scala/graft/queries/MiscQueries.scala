@@ -66,6 +66,25 @@ object MiscQueries {
           org.apache.spark.sql.types.StructField("k",
             org.apache.spark.sql.types.IntegerType))))("k").as("k_val"))),
 
+    // Hierarchical totals: ROLLUP over (returnflag, linestatus) — the
+    // grouping-sets family, decimal-exact measures.
+    "misc_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("sum_qty"))),
+
+    // Sketch aggregates: approximate distinct + quantiles. Engine
+    // approximations differ by design, so no SQL oracle — the driver
+    // records a rows-only check; exactness is asserted against exact
+    // counterparts in MiscSketchSpec instead.
+    "misc_approx_sketch" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))),
+
     // U1: UNION ALL of two incremental slices (column-name aligned).
     "misc_union_all" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -107,6 +126,12 @@ FROM (
               THEN 1 ELSE 0 END AS is_new
   FROM events
 )""",
+
+    "misc_rollup" -> """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 
     "misc_json_extract" -> """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
