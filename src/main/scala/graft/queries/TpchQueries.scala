@@ -73,8 +73,44 @@ object TpchQueries {
         .groupBy(col("n_name"))
         .agg(sum(dec2("l_extendedprice") * (lit(BigDecimal(1).setScale(2)) - dec2("l_discount")))
           .cast(DecimalType(38, 4)).as("revenue"))
-    })
+    }),
+
+    "tpch_min_cost_supplier" -> ((s, d) => minCostSql(s, d)),
+    "tpch_bilateral_volume" -> ((s, d) => bilateralVolume(s, d))
   )
+
+  /** Correlated-subquery shape (min-cost supplier per part, Q2-like):
+    * written as SQL text so Catalyst's subquery decorrelation
+    * (RewriteCorrelatedScalarSubquery) does the planning — the point is
+    * that the engine takes declarative correlated SQL and produces a
+    * join+agg plan, not that we hand-write the join. */
+  private def minCostSql(spark: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(spark, d).createOrReplaceTempView("li_v")
+    spark.sql("""
+      SELECT l_partkey, l_suppkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS min_price
+      FROM li_v l1
+      WHERE l_extendedprice = (SELECT min(l_extendedprice) FROM li_v l2
+                               WHERE l2.l_partkey = l1.l_partkey)""")
+  }
+
+  /** Q7-like bilateral volume: two-nation shipping pairs by year. */
+  private def bilateralVolume(spark: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(spark, d).filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, d).filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(spark, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("supp_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("cust_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(sum(dec2("l_extendedprice") * (lit(BigDecimal(1).setScale(2)) - dec2("l_discount")))
+        .cast(DecimalType(38, 4)).as("volume"))
+  }
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
@@ -117,6 +153,26 @@ JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA'
-GROUP BY n.n_name"""
+GROUP BY n.n_name""",
+
+    "tpch_min_cost_supplier" -> """
+SELECT l_partkey, l_suppkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS min_price
+FROM lineitem l1
+WHERE l_extendedprice = (SELECT min(l_extendedprice) FROM lineitem l2
+                         WHERE l2.l_partkey = l1.l_partkey)""",
+
+    "tpch_bilateral_volume" -> s"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+       CAST(sum($discPrice) AS DECIMAL(38,4)) AS volume
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2') AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)"""
   )
 }
