@@ -46,4 +46,23 @@ object EventsStream {
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType))))
       .parquet(dir)
+
+  /** End-to-end streaming dedup job: file source → watermark dedup →
+    * parquet sink, one Trigger.AvailableNow pass, exactly-once via the
+    * checkpoint (a restart with the same checkpoint reprocesses nothing).
+    * Blocks until the micro-batches drain; returns the streaming query's
+    * run id. */
+  def runDedupJob(spark: SparkSession, inDir: String, outDir: String,
+                  checkpointDir: String): String = {
+    val q = dedupWithinWatermark(readEventsStream(spark, inDir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.runId.toString
+  }
 }

@@ -35,6 +35,24 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runDedupJob: file source -> sink with checkpoint, exactly-once on restart") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stream").toString
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "click", 2.0, "{}"), // dup key
+      (3L, ts("2024-01-01 10:20:00"), 8L, "view", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/in")
+
+    EventsStream.runDedupJob(spark, s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+
+    // restart with the same checkpoint: nothing reprocessed, no duplicates
+    EventsStream.runDedupJob(spark, s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+  }
+
   test("dedupWithinWatermark drops same-key events inside the horizon") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, Long, String, Double)]
