@@ -17,11 +17,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+    GraftFunctions.all.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
-  val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+  private type Descriptor = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val cosineSimDescriptor: Descriptor = (
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
     (exprs: Seq[Expression]) => {
@@ -29,9 +31,33 @@ object GraftFunctions {
       CosineSimilarity(exprs.head, exprs(1))
     })
 
+  /** Scalar helpers as concrete Catalyst trees (builders must return
+    * resolved nodes — the Column bridge would hand the registry an
+    * unresolved ColumnNodeExpression). Semantics mirror graft.functions.Fns. */
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, ConcatWs, Literal, Lower, Md5, RegExpReplace}
+  import org.apache.spark.sql.types.{DecimalType, StringType}
+
+  private def descriptor(name: String)(builder: Seq[Expression] => Expression): Descriptor =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(graft.functions.Fns.getClass.getName, name),
+      builder)
+
+  val all: Seq[Descriptor] = Seq(
+    cosineSimDescriptor,
+    descriptor("surrogate_key") { exprs =>
+      Md5(Cast(ConcatWs(Literal("-") +: exprs.map(e =>
+        Coalesce(Seq(Cast(e, StringType), Literal(""))))), org.apache.spark.sql.types.BinaryType))
+    },
+    descriptor("norm_name") { exprs =>
+      Lower(RegExpReplace(exprs.head, Literal("[^a-zA-Z0-9]"), Literal("")))
+    },
+    descriptor("comma_decimal") { exprs =>
+      Cast(RegExpReplace(exprs.head, Literal(","), Literal(".")), DecimalType(18, 2))
+    })
+
   /** Register into an existing session's function registry. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = cosineSimDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -14,4 +14,15 @@ class GraftExtensionsSpec extends SparkSpec {
       .as[Double].collect()
     assert(math.abs(out(0)) < 1e-12 && math.abs(out(1) - 1.0) < 1e-12)
   }
+
+  test("scalar helpers are SQL-callable: surrogate_key, norm_name, comma_decimal") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT surrogate_key('a', 'b') AS sk, norm_name('RTL-Nitro') AS nn, comma_decimal('12,34') AS cd")
+      .collect()(0)
+    assert(r.getString(0) == java.security.MessageDigest.getInstance("MD5")
+      .digest("a-b".getBytes).map("%02x".format(_)).mkString)
+    assert(r.getString(1) == "rtlnitro")
+    assert(r.getDecimal(2).toString == "12.34")
+  }
 }
