@@ -31,8 +31,10 @@ object MiscQueries {
     // spark.sql over a registered view; the result stays distributed
     // instead of collapsing to the driver as the reference's to_dataframe.
     "misc_sql_extract" -> ((s, d) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
       Tables.events(s, d).createOrReplaceTempView("events_v")
-      s.sql("""SELECT event_type, count(*) AS n, min(user_id) AS min_user
+      s.sql("""SELECT event_type, surrogate_key(event_type) AS type_key,
+                      count(*) AS n, min(user_id) AS min_user
                FROM events_v WHERE event_type IS NOT NULL
                GROUP BY event_type""")
     }),
@@ -105,7 +107,8 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
 SELECT p_brand, p_type, p_partkey FROM part ORDER BY p_partkey ASC LIMIT 10""",
 
     "misc_sql_extract" -> """
-SELECT event_type, count(*) AS n, min(user_id) AS min_user
+SELECT event_type, md5(concat_ws('-', coalesce(CAST(event_type AS VARCHAR), ''))) AS type_key,
+       count(*) AS n, min(user_id) AS min_user
 FROM events WHERE event_type IS NOT NULL GROUP BY event_type""",
 
     "temporal_asof_join" -> """
