@@ -68,17 +68,18 @@ object Fns {
   }
 
   /** md5u64 folded into a non-negative signed 63-bit Long (mod 2^63) so
-    * bitwise ops (&, ^, bit_count) stay in native LongType codegen. */
-  def md5long63(c: Column): Column =
-    (md5u64(c) % lit(BigDecimal("9223372036854775808"))).cast(LongType)
+    * bitwise ops (&, ^, bit_count) stay in native LongType codegen.
+    * Backed by the native Md5Fold expression (one digest + integer ops;
+    * the composed hex→conv→decimal chain, kept as md5u64 above, is the
+    * reference implementation FnsSpec cross-checks against). */
+  def md5long63(c: Column): Column = org.apache.spark.sql.graft.Md5Fold.lo(c, 63)
 
   /** 58-bit folds of the two md5 halves. One md5 per input yields a 2-seed
     * tabulation family h_i(x) = lo58 + i*hi58 that stays inside signed-64
     * arithmetic for i ≤ 15 (16*2^58 < 2^63) — ANSI-overflow-safe in Spark
     * and reproducible in DuckDB from md5_number_lower/upper. */
-  val fold58: BigDecimal = BigDecimal(1L << 58)
-  def md5lo58(c: Column): Column = (md5u64(c) % lit(fold58)).cast(LongType)
-  def md5hi58(c: Column): Column = (md5u64Upper(c) % lit(fold58)).cast(LongType)
+  def md5lo58(c: Column): Column = org.apache.spark.sql.graft.Md5Fold.lo(c, 58)
+  def md5hi58(c: Column): Column = org.apache.spark.sql.graft.Md5Fold.hi(c, 58)
 
   /** F6-style guarded enum remap: keep values in `allowed`, else `other`.
     * Reference: fb_meta_ads_transformed.sql:48-51 (media_cluster IN-guard). */

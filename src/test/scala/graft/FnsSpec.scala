@@ -51,6 +51,25 @@ class FnsSpec extends SparkSpec {
     assert(out(0) == "8250560606382298838")
   }
 
+  test("native Md5Fold matches the composed md5u64 chain and DuckDB md5_number_*") {
+    val df = Seq("abc", "the quick brown", "", "Straße 42").toDF("x")
+    // lo58 == md5u64 % 2^58; hi58 == md5u64Upper % 2^58 (decimal reference path)
+    val rows = df.select(
+      md5lo58($"x").as("lo"), md5hi58($"x").as("hi"), md5long63($"x").as("l63"),
+      (md5u64($"x") % lit(BigDecimal(1L << 58))).cast("long").as("lo_ref"),
+      (md5u64Upper($"x") % lit(BigDecimal(1L << 58))).cast("long").as("hi_ref"),
+      (md5u64($"x") % lit(BigDecimal("9223372036854775808"))).cast("long").as("l63_ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(3) && r.getLong(1) == r.getLong(4)
+        && r.getLong(2) == r.getLong(5), r.toString)
+    }
+    // duckdb: select md5_number_upper('abc') = 12704604231530709392;
+    // 12704604231530709392 % 2^58 = 12704604231530709392 & (2^58-1)
+    val abc = rows(0)
+    assert(abc.getLong(1) == (java.lang.Long.parseUnsignedLong("12704604231530709392") & ((1L << 58) - 1)))
+  }
+
   test("guardedEnum keeps allowed values, defaults the rest (F6)") {
     val out = Seq("CRM", "Nope", null).toDF("x")
       .select(guardedEnum($"x", Seq("Classical", "CRM", "Digital"), "Other").as("v"))
