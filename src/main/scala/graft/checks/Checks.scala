@@ -61,6 +61,9 @@ object Checks {
     * a single aggregation (multiple count_distincts expand in one pass).
     * Schema checks are metadata-only. Returns one CheckResult per check. */
   def evaluate(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] = {
+    val dupNames = checks.groupBy(_.name).collect { case (n, cs) if cs.size > 1 => n }
+    require(dupNames.isEmpty,
+      s"check names must be unique (they key the aggregation columns); duplicated: ${dupNames.mkString(", ")}")
     val rowLevel = checks.flatMap(c => violationCond(c).map(c.name -> _))
     val uniques = checks.collect { case u: UniqueKey => u }
     val needsCount = checks.exists(_.isInstanceOf[RowCountMin]) ||

@@ -62,18 +62,21 @@ object Dedup {
     docs.select(col("doc_id"), explode(shingleArray(n)).as("shingle"))
       .select(col("doc_id"), md5lo58(col("shingle")).as("lo"), md5hi58(col("shingle")).as("hi"))
 
-  /** Candidate pairs sharing ≥1 shingle, with exact Jaccard similarity.
-    * `maxShingleFreq` drops shingles present in more docs than the cap
-    * (stop-shingle pruning — bounds the worst bucket at scale). Jaccard is
-    * emitted as an exact integer division; the threshold test is
-    * cross-multiplied so no floating-point rounding is involved. */
+  /** Candidate pairs sharing ≥1 shingle, with exact Jaccard similarity
+    * over the PRUNED shingle space: `maxShingleFreq` drops stop-shingles
+    * (present in more docs than the cap — bounds the worst bucket at
+    * scale), and both intersections AND set sizes are computed after
+    * pruning so the ratio is self-consistent. The hot set (shingles above
+    * the cap) is what gets broadcast — it is tiny by construction, where
+    * the rare set is ~the whole vocabulary. Jaccard is an exact integer
+    * division; the threshold test is cross-multiplied (no FP rounding). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.6,
                         maxShingleFreq: Long = 1000): DataFrame = {
-    val sh = hashedShingles(docs, n).cache()
-    val rare = sh.groupBy("lo", "hi").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleFreq)
-    val pruned = sh.join(broadcast(rare.select("lo", "hi")), Seq("lo", "hi"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sh = hashedShingles(docs, n)
+    val hot = sh.groupBy("lo", "hi").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleFreq)
+    val pruned = sh.join(broadcast(hot.select("lo", "hi")), Seq("lo", "hi"), "left_anti").cache()
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("sz"))
 
     val inter = pruned.select(col("doc_id").as("a"), col("lo"), col("hi"))
       .join(pruned.select(col("doc_id").as("b"), col("lo"), col("hi")), Seq("lo", "hi"))
@@ -157,15 +160,21 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: hamming distance ≤ maxHamming via
-    * bit_count(xor). Candidates come from matching any of 4 16-bit key
-    * chunks (LSH on fingerprint segments — near-identical fingerprints
-    * must collide on ≥1 chunk when maxHamming < chunks). */
+    * bit_count(xor). Candidates come from matching any of 9 7-bit key
+    * chunks: by pigeonhole, two fingerprints within hamming distance h
+    * MUST agree on at least one chunk whenever h < number of chunks, so
+    * 9 chunks make the candidate set complete for the default
+    * maxHamming = 8 (4×16-bit chunking would silently miss pairs whose
+    * differing bits spread across all four chunks). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val nChunks = 9; val chunkBits = 7 // 9*7 = 63 bits
+    require(maxHamming < nChunks, s"chunk LSH is only complete for maxHamming < $nChunks")
     val fp = simhash(docs)
+    val chunkMask = (1L << chunkBits) - 1
     val chunks = fp.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(c =>
+        explode(array((0 until nChunks).map(c =>
           struct(lit(c).as("chunk"),
-            shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("ck"))
+            shiftright(col("simhash"), c * chunkBits).bitwiseAND(chunkMask).as("key"))): _*)).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.key"))
     chunks.select(col("doc_id").as("a"), col("simhash").as("fa"), col("chunk"), col("key"))
       .join(chunks.select(col("doc_id").as("b"), col("simhash").as("fb"), col("chunk"), col("key")),

@@ -45,10 +45,17 @@ object Skew {
     * (explode), the fact side is salted deterministically, and the join
     * runs on (keys + salt) — a hot key's rows spread over `saltBuckets`
     * reducers instead of one. Semantically identical to
-    * fact.join(dim, keys, joinType). */
+    * fact.join(dim, keys, joinType) for fact-preserving join types ONLY
+    * (inner / left / left_semi / left_anti): a right/full outer join would
+    * emit every unmatched dim row once per salt replica, so those types
+    * are rejected. */
   def replicatedSaltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                            spread: Column, joinType: String = "inner",
                            saltBuckets: Int = 16): DataFrame = {
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+    require(allowed(joinType.toLowerCase.replace(" ", "")),
+      s"replicatedSaltedJoin preserves semantics only for fact-preserving join types, got: $joinType")
     val saltedFact = fact.withColumn("__salt", saltOf(spread, saltBuckets))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))

@@ -97,7 +97,7 @@ object Pipelines {
     dims.map { d =>
       val source = main
       val dim = main.select(col(d).as("name")).filter(col("name").isNotNull)
-        .distinct().limit(2) // simulated current dimension state
+        .distinct().orderBy("name").limit(2) // simulated state; ordered ⇒ deterministic counts
       val values = DimSync.distinctValues(source, d)
       if (values.isEmpty) // C3: branch-on-empty → skip
         StageResult(s"sync_$d", ok = true, "skip")

@@ -69,8 +69,7 @@ object LlmQueries {
         concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
           lit("@example.com or +1-555-"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("pii_text"))
-      val (emails, phones) = (TextStats.piiCounts(col("pii_text"))._1,
-        TextStats.piiCounts(col("pii_text"))._2)
+      val (emails, phones) = TextStats.piiCounts(col("pii_text"))
       withPii.select(col("doc_id"),
         TextStats.redactPii(col("pii_text")).as("clean_text"),
         emails.as("emails_found"), phones.as("phones_found"))
@@ -193,14 +192,21 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)""",
 
     "llm_ngram_jaccard" -> s"""
 WITH $shinglesCte,
-rare AS (SELECT lo, hi FROM (SELECT lo, hi, count(*) AS df FROM sh GROUP BY lo, hi) WHERE df <= 1000),
-pruned AS (SELECT doc_id, sh.lo, sh.hi FROM sh JOIN rare ON sh.lo = rare.lo AND sh.hi = rare.hi),
+hot AS (SELECT lo, hi FROM (SELECT lo, hi, count(*) AS df FROM sh GROUP BY lo, hi) WHERE df > 1000),
+pruned AS (SELECT doc_id, lo, hi FROM sh WHERE NOT EXISTS
+             (SELECT 1 FROM hot WHERE hot.lo = sh.lo AND hot.hi = sh.hi)),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
   FROM pruned x JOIN pruned y ON x.lo = y.lo AND x.hi = y.hi AND x.doc_id < y.doc_id
   GROUP BY x.doc_id, y.doc_id
 ),
-$jaccardVerify
+sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+verified AS (
+  SELECT i.a, i.b, i.inter, sa.sz + sb.sz - i.inter AS uni
+  FROM inter i
+  JOIN sizes sa ON i.a = sa.doc_id
+  JOIN sizes sb ON i.b = sb.doc_id
+)
 SELECT a, b, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
 FROM verified WHERE inter * 1000000 >= uni * 600000""",
 
@@ -218,8 +224,8 @@ SELECT doc_id, simhash FROM fps""",
     "llm_simhash_pairs" -> s"""
 WITH $simhashVotes,
 chunks AS (
-  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 16)) & 65535 AS key
-  FROM fps, (SELECT unnest([0, 1, 2, 3]) AS c)
+  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 7)) & 127 AS key
+  FROM fps, (SELECT unnest(generate_series(0, 8)) AS c)
 )
 SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
        CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming

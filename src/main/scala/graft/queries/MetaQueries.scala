@@ -93,7 +93,11 @@ narrow AS (
 ), merged AS (
   SELECT * FROM existing
   UNION ALL
-  SELECT * FROM narrow WHERE updated_at > (SELECT max(updated_at) FROM existing)
+  -- coalesce: an empty existing slice (NULL watermark) must admit ALL
+  -- source rows, matching Meta.incrementalMerge's null-watermark branch
+  SELECT * FROM narrow
+  WHERE updated_at > coalesce((SELECT max(updated_at) FROM existing),
+                              TIMESTAMP '0001-01-01 00:00:00')
 )
 SELECT ad_id, campaign_id, date, spend, updated_at FROM (
   SELECT *, row_number() OVER (PARTITION BY campaign_id, date

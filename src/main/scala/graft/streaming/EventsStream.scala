@@ -6,10 +6,12 @@ import org.apache.spark.sql.types._
 
 /** Streaming-shaped capability (SURVEY.md §2.9): the reference's
   * incremental materialization re-expressed as Structured Streaming, plus
-  * the windowed aggregations a streaming events feed needs. Every
-  * transform here works identically on a batch DataFrame and a streaming
-  * one (`spark.readStream`) — the batch twin is what the oracle checks
-  * (StreamQueries), the streaming path is exercised in EventsStreamSpec.
+  * the windowed aggregations a streaming events feed needs.
+  * `hourlyByType` works on batch and streaming frames alike;
+  * `dedupWithinWatermark` is streaming-only (Spark rejects it on batch
+  * datasets) — its batch twin is the earliest-wins keyed dedup in
+  * StreamQueries, which is what the oracle checks. The streaming paths
+  * are exercised end-to-end in EventsStreamSpec.
   */
 object EventsStream {
 
