@@ -53,6 +53,21 @@ class LlmSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("simhashPairs candidate generation is complete vs brute force (pigeonhole)") {
+    // wider corpus: every hamming<=8 pair found by exhaustive comparison
+    // must be produced by the chunked LSH
+    val many = (1L to 40L).map(i => (i, s"w${i % 5} common words here plus w${i % 7} and w${i % 3}"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.simhash(many).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 8
+    } yield (a, b)).toSet
+    val lsh = Dedup.simhashPairs(many, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute, s"missed: ${brute -- lsh}; extra: ${lsh -- brute}")
+  }
+
   private lazy val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f)),
     (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
