@@ -9,10 +9,19 @@ import graft.queries._
   * Each `queries` entry is an operator (or model) from SURVEY.md §2 run over
   * the harness tables; `oracleSql` carries the DuckDB-equivalent SQL. Column
   * names and types are aligned on both sides (the driver hash-compares after
-  * sorting columns by name). Doubles that feed keys or outputs go through
-  * DECIMAL casts (engine-stable text/rounding), double arithmetic keeps the
-  * same IEEE expression shape on both sides, and DuckDB-side literals are
-  * CAST to DOUBLE where DuckDB would otherwise type them DECIMAL.
+  * sorting columns by name).
+  *
+  * Output type contract (CORRECTNESS_r01 lesson — every DECIMAL-output
+  * query hash-failed in the driver even though values matched): NO
+  * DecimalType and NO ArrayType in any registered output. Money math
+  * aggregates in exact DECIMAL internally (order-independent) and casts to
+  * DOUBLE at the output boundary — a correctly-rounded, engine-identical
+  * conversion while unscaled sums stay below 2^53. Doubles that feed
+  * surrogate keys still go through DECIMAL→string (engine-stable text);
+  * double arithmetic keeps the same IEEE expression shape on both sides,
+  * and DuckDB-side literals are CAST to DOUBLE where DuckDB would
+  * otherwise type them DECIMAL. graft.Verify refuses to dump a violating
+  * schema; tools/selfcheck.py re-checks both sides.
   */
 object SparkEntry {
 

@@ -15,10 +15,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Driver comparers sort+hash result cells: DECIMAL survives as
+    // engine-specific decimal objects (vs float64 on the oracle side) and
+    // ARRAY cells are unhashable — both hard-fail the round even when the
+    // values are right. Refuse them loudly at dump time instead.
+    def banned(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case a: org.apache.spark.sql.types.ArrayType => true
+      case m: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => true
+      case _ => false
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val bad = df.schema.fields.filter(f => banned(f.dataType))
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"driver-unhashable output column types: " +
+            bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -11,12 +11,15 @@ import org.apache.spark.sql.types._
   */
 object Fns {
 
-  /** F1 — decimal-comma → dot then numeric cast.
+  /** F1 — decimal-comma → dot then numeric cast. DOUBLE, matching the
+    * reference's `cast(replace(spend, ',', '.') as float64)` — and the only
+    * cross-engine-stable choice: a decimal string parses to the identical
+    * nearest double in Spark and DuckDB, while DECIMAL outputs survive
+    * engine-specific decimal→float normalization downstream.
     * Reference: include/dbt/models/taico/meta/fb_meta_ads_transformed.sql:11-14
-    * (`cast(replace(spend, ',', '.') as float64)`) and
-    * include/dbt/models/data_cleaning/cleaned_data.sql:20-24 (decimal variant). */
-  def commaDecimal(c: Column, precision: Int = 18, scale: Int = 2): Column =
-    regexp_replace(c, ",", ".").cast(DecimalType(precision, scale))
+    * and include/dbt/models/data_cleaning/cleaned_data.sql:20-24. */
+  def commaDecimal(c: Column): Column =
+    regexp_replace(c, ",", ".").cast(DoubleType)
 
   /** F15 — dbt_utils.generate_surrogate_key (dbt_utils 1.1.1): md5 of the
     * '-'-joined, null-coalesced string casts of the key columns.

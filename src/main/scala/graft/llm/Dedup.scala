@@ -186,19 +186,22 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs above `minCosine`, via the
-    * native CosineSimilarity expression. Candidate generation is a
-    * sign-bucket LSH (random-hyperplane style on fixed axes) so the join is
-    * bucketed, with the caveat that cross-bucket near-dups at the bucket
-    * boundary are missed — `exhaustive = true` does the full a<b join. */
+    * native CosineSimilarity expression. The DEFAULT candidate generation
+    * is hyperplane-LSH-bucketed (2^nBits buckets, same-bucket pairs only):
+    * the join is an equi join on the bucket — the only shape that survives
+    * a 100 TB corpus. Cross-bucket near-dups at bucket boundaries are
+    * missed by design; `exhaustive = true` opts into the full a<b theta
+    * join (cartesian — small corpora only). */
   def embeddingNearDupPairs(embeddings: DataFrame, minCosine: Double = 0.5,
-                            exhaustive: Boolean = true): DataFrame = {
+                            exhaustive: Boolean = false, nBits: Int = 6): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding"))
     val pairs =
       if (exhaustive)
         e.select(col("vec_id").as("a"), col("embedding").as("ea"))
           .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), col("a") < col("b"))
       else {
-        val bucketed = e.withColumn("bucket", Similarity.signBucket(col("embedding")))
+        val bucketed = e.withColumn("bucket",
+          Similarity.hyperplaneBucket(col("embedding"), nBits))
         bucketed.select(col("vec_id").as("a"), col("embedding").as("ea"), col("bucket"))
           .join(bucketed.select(col("vec_id").as("b"), col("embedding").as("eb"), col("bucket")),
             Seq("bucket"))

@@ -9,21 +9,35 @@ import org.apache.spark.sql.graft.CosineSimilarity.cosineSim
   * (extension phase, SURVEY.md §7.9 / BASELINE.json north_star).
   *
   * Baseline: brute-force cosine top-k (query set × corpus, ranked by a
-  * keyed window). Scale path: sign-bucket LSH (random-hyperplane on fixed
-  * axes) or IVF with deterministic centroids — both shrink the join from
-  * |Q|×|N| to |Q|×|N|/buckets at the cost of recall near cell boundaries.
+  * keyed window). Scale paths:
+  *
+  *  - `lshTopK`: k-bit hyperplane LSH. Plane i separates on
+  *    `emb[2i] > emb[2i+1]` (normal = e_{2i} − e_{2i+1}) — comparison-only,
+  *    so the bucket is bit-identical in any engine, and 2^k buckets shrink
+  *    the join from |Q|×|N| to |Q|×|N|/2^k. Queries multi-probe the k
+  *    Hamming-1 neighbor buckets (k+1 probes) to recover boundary losses;
+  *    corpus rows hash once. A probed bucket join is a plain shuffle/
+  *    broadcast equi join — no window over the cross product.
+  *  - `ivfTopK`: inverted-file cells with `ceil(sqrt(|corpus|))` centroids
+  *    (the standard IVF sizing). Assignment is a per-row argmax fold over
+  *    a broadcast centroid array: one map-side pass, no shuffle, no
+  *    per-vector window.
   *
   * Ranking is deterministic: (round(cosine,6) DESC, vec_id ASC) — the
   * rounding makes cross-engine rank stable under last-ulp differences.
   */
 object Similarity {
 
-  /** 3-bit sign bucket on fixed axes (dims 0/16/32): a degenerate but
-    * deterministic random-hyperplane LSH. */
-  def signBucket(emb: Column): Column =
-    (when(element_at(emb, 1) > 0f, 4).otherwise(0) +
-      when(element_at(emb, 17) > 0f, 2).otherwise(0) +
-      when(element_at(emb, 33) > 0f, 1).otherwise(0))
+  /** k-bit hyperplane bucket: bit i is set iff `emb[2i] > emb[2i+1]`
+    * (0-based dims; element_at is 1-based). Pure comparisons — no float
+    * arithmetic — so every engine computes the identical bucket. Vectors
+    * shorter than 2·nBits dims leave the missing bits 0 (the size guard
+    * short-circuits before element_at, keeping ANSI mode happy). */
+  def hyperplaneBucket(emb: Column, nBits: Int): Column =
+    (0 until nBits).map { i =>
+      when(size(emb) > 2 * i + 1 &&
+        element_at(emb, 2 * i + 1) > element_at(emb, 2 * i + 2), 1 << i).otherwise(0)
+    }.reduce(_ + _)
 
   /** Brute-force cosine top-k neighbors for each query vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
@@ -31,51 +45,72 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosineSim(col("qe"), col("ce")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankTopK(scored, k)
   }
 
-  /** LSH-bucketed top-k: only candidates in the query's sign bucket are
-    * scored. Same output shape as bruteForceTopK; recall < 1 by design. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-      signBucket(col("embedding")).as("bucket"))
+  /** LSH-bucketed top-k: corpus rows hash to one bucket; each query probes
+    * its own bucket plus the `nBits` Hamming-1 flips. Each (query,
+    * neighbor) pair joins at most once (probe buckets are distinct and a
+    * neighbor has one bucket). Recall < 1 by design; multi-probe recovers
+    * most boundary losses at (nBits+1)× query fan-out — queries are the
+    * small side, so the fan-out is cheap at scale. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nBits: Int = 6, multiProbe: Boolean = true): DataFrame = {
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
-      signBucket(col("embedding")).as("bucket"))
+      hyperplaneBucket(col("embedding"), nBits).as("bucket"))
+    val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      hyperplaneBucket(col("embedding"), nBits).as("qbucket"))
+    val probes =
+      if (multiProbe)
+        array(col("qbucket") +: (0 until nBits).map(i =>
+          col("qbucket").bitwiseXOR(lit(1 << i))): _*)
+      else array(col("qbucket"))
+    val q = qb.select(col("query_id"), col("qe"), explode(probes).as("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosineSim(col("qe"), col("ce")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankTopK(scored, k)
   }
 
-  /** IVF top-k: corpus is partitioned into cells by nearest centroid
-    * (centroids = the first `nCells` corpus vectors — deterministic);
-    * queries probe their own nearest cell only. Broadcast centroids keep
-    * assignment a map-side pass. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int = 8): DataFrame = {
-    val centroids = broadcast(
-      corpus.orderBy("vec_id").limit(nCells)
-        .select(col("vec_id").as("cell_id"), col("embedding").as("centroid")))
-    def assign(df: DataFrame, idc: String, ec: String): DataFrame = {
-      val w = Window.partitionBy(col(idc))
-        .orderBy(round(cosineSim(col(ec), col("centroid")), 6).desc, col("cell_id").asc)
-      df.join(centroids, lit(true))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") === 1)
-        .drop("centroid", "crank")
-    }
-    val q = assign(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id", "qe")
-    val c = assign(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), "neighbor_id", "ce")
+  /** IVF top-k. Centroids are the first `nCells` corpus vectors by vec_id
+    * (deterministic; `nCells <= 0` → ceil(sqrt(|corpus|)), the standard
+    * IVF sizing). Cell assignment is an argmax fold over the broadcast
+    * centroid list — tie-break on smaller cell_id, so the result is
+    * independent of the collect_list order — executed per row inside
+    * codegen: no shuffle and no window over corpus×cells. Queries probe
+    * their own cell only (single-probe; boundary recall loss is the
+    * documented IVF trade-off). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int = 0): DataFrame = {
+    val cells =
+      if (nCells > 0) nCells
+      else math.ceil(math.sqrt(corpus.count().toDouble)).toInt.max(1)
+    val cents = broadcast(
+      corpus.orderBy("vec_id").limit(cells)
+        .agg(collect_list(struct(col("vec_id").as("cell_id"), col("embedding").as("centroid")))
+          .as("cents")))
+    def assign(df: DataFrame, ec: String): DataFrame =
+      df.crossJoin(cents) // one-row broadcast: a map-side pass
+        .withColumn("cell_id",
+          aggregate(col("cents"),
+            struct(lit(-2.0).as("cos"), lit(Long.MaxValue).as("cell")),
+            (acc, x) => {
+              val cos = round(cosineSim(col(ec), x.getField("centroid")), 6)
+              val cell = x.getField("cell_id")
+              when(cos > acc.getField("cos") ||
+                  (cos === acc.getField("cos") && cell < acc.getField("cell")),
+                struct(cos.as("cos"), cell.as("cell"))).otherwise(acc)
+            },
+            acc => acc.getField("cell")))
+        .drop("cents")
+    val q = assign(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "qe")
+    val c = assign(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), "ce")
     val scored = q.join(c, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosineSim(col("qe"), col("ce")), 6))
+    rankTopK(scored, k)
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -25,8 +25,10 @@ object Mms {
       lit("DE").as("property"),
       concat(col("Spot_laenge").cast(StringType), lit(" second spot")).as("media_type"), // F3 :8
       lit("Classical").as("media_cluster"),
-      col("BRW").cast(DecimalType(18, 2)).as("unique"),
-      col("GRP").cast(DecimalType(18, 2)).as("grp_circulation"),
+      // BRW/GRP stay DOUBLE (source doubles are exact 2-dec values; a
+      // DECIMAL cast only invites engine-specific decimal normalization)
+      col("BRW").cast(DoubleType).as("unique"),
+      col("GRP").cast(DoubleType).as("grp_circulation"),
       col("Firma").as("owner"),
       col("Produkt").as("product"),
       col("Audience").as("audience"),
@@ -50,9 +52,9 @@ object Mms {
         col("ET").cast(DateType).as("date"),
         blockCode(col("Blockkodierung")).as("block_code"),
         col("Vermarkter").as("marketer"),
-        col("Grundpreis_AR").cast(DecimalType(18, 2)).as("gross_media_cost"),
-        col("Netto_AR").cast(DecimalType(18, 2)).as("net_media_cost"),
-        col("N_N_AR").cast(DecimalType(18, 2)).as("net_net_media_cost"))
+        col("Grundpreis_AR").cast(DoubleType).as("gross_media_cost"),
+        col("Netto_AR").cast(DoubleType).as("net_media_cost"),
+        col("N_N_AR").cast(DoubleType).as("net_net_media_cost"))
 
   /** staging_performance_cost_combined.sql:24-50 — J2: left join
     * performance × costs on (block_code, date, normalized publisher).

@@ -41,7 +41,9 @@ object Retail {
       .select(
         surrogateKey(col("StockCode"), col("Description"), moneyStr(col("UnitPrice"))).as("product_id"),
         col("StockCode").as("stock_code"), col("Description").as("description"),
-        col("UnitPrice").cast(DecimalType(18, 2)).as("unit_price"))
+        // DOUBLE passthrough (source prices are exact 2-dec): DECIMAL in the
+        // output would survive to engine-specific decimal normalization
+        col("UnitPrice").as("unit_price"))
       .distinct()
 
   /** dim_datetime — distinct two-format parse of InvoiceDate + EXTRACT parts.
@@ -74,7 +76,9 @@ object Retail {
         surrogateKey(col("InvoiceDate")).as("datetime_id"),
         surrogateKey(col("StockCode"), col("Description"), moneyStr(col("UnitPrice"))).as("product_id"),
         surrogateKey(col("CustomerID"), col("Country")).as("customer_id"),
-        (col("Quantity") * col("UnitPrice")).cast(DecimalType(18, 2)).as("total")) // :11
+        // int × 2-dec double: the same correctly-rounded IEEE product in
+        // every engine — no decimal cast needed or wanted in the output
+        (col("Quantity") * col("UnitPrice")).as("total")) // :11
     fact
       .join(broadcast(dimDatetime(rawInvoices).select("datetime_id")), Seq("datetime_id"))
       .join(broadcast(dimProduct(rawInvoices).select("product_id")), Seq("product_id"))
@@ -90,7 +94,10 @@ object Retail {
       .groupBy(col("country"))
       .agg(
         countDistinct(col("invoice_id")).as("total_invoices"),
-        sum(col("total")).cast(DecimalType(18, 2)).as("total_revenue"))
+        // aggregate in exact DECIMAL (order-independent — each total is an
+        // exact ≤2-dec value), emit DOUBLE (correctly-rounded cast in both
+        // engines while the unscaled sum stays below 2^53)
+        sum(col("total").cast(DecimalType(18, 2))).cast(DoubleType).as("total_revenue"))
 
   /** report_product_invoices — per-product quantity sold (soda:
     * report_product_invoices.yml, total_quantity_sold). */

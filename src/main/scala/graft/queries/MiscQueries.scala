@@ -69,23 +69,36 @@ object MiscQueries {
             org.apache.spark.sql.types.IntegerType))))("k").as("k_val"))),
 
     // Hierarchical totals: ROLLUP over (returnflag, linestatus) — the
-    // grouping-sets family, decimal-exact measures.
+    // grouping-sets family; decimal-exact aggregation, DOUBLE at the
+    // output boundary (cross-engine-stable).
     "misc_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("sum_qty"))),
+            .cast(org.apache.spark.sql.types.DoubleType).as("sum_qty"))),
 
-    // Sketch aggregates: approximate distinct + quantiles. Engine
-    // approximations differ by design, so no SQL oracle — the driver
-    // records a rows-only check; exactness is asserted against exact
-    // counterparts in MiscSketchSpec instead.
+    // Sketch aggregates: approximate distinct + quantiles. Engine sketches
+    // differ by design, so the oracle-checkable contract is the error
+    // BOUND, not the estimate: emit the exact answers plus booleans
+    // asserting each sketch landed inside its tolerance (HLL ±5%; KLL-ish
+    // percentile_approx within the exact p45..p55 / p98..p99.5 value
+    // bands at accuracy=1000). The oracle states the same row with the
+    // bounds as literal true — any sketch regression flips a green row.
     "misc_approx_sketch" -> ((s, d) =>
       Tables.lineitem(s, d).agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey")).as("acd"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50a"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99a"),
+        expr("percentile(l_extendedprice, array(0.45D, 0.55D, 0.98D, 0.995D))").as("pex"))
+      .select(col("exact_orders"),
+        (abs(col("acd") - col("exact_orders")) * 20 <= col("exact_orders"))
+          .as("approx_distinct_within_5pct"),
+        (col("p50a") >= element_at(col("pex"), 1) &&
+          col("p50a") <= element_at(col("pex"), 2)).as("p50_in_band"),
+        (col("p99a") >= element_at(col("pex"), 3) &&
+          col("p99a") <= element_at(col("pex"), 4)).as("p99_in_band"))),
 
     // U1: UNION ALL of two incremental slices (column-name aligned).
     "misc_union_all" -> ((s, d) => {
@@ -132,9 +145,16 @@ FROM (
 
     "misc_rollup" -> """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "misc_approx_sketch" -> """
+SELECT count(DISTINCT l_orderkey) AS exact_orders,
+       true AS approx_distinct_within_5pct,
+       true AS p50_in_band,
+       true AS p99_in_band
+FROM lineitem""",
 
     "misc_json_extract" -> """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val

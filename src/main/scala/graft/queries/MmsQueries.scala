@@ -51,8 +51,8 @@ WITH sheet AS (
          'TV' AS channel, Motiv AS campaign, Sender AS publisher, 'DE' AS property,
          concat(CAST(Spot_laenge AS VARCHAR), ' second spot') AS media_type,
          'Classical' AS media_cluster,
-         CAST(BRW AS DECIMAL(18,2)) AS "unique",
-         CAST(GRP AS DECIMAL(18,2)) AS grp_circulation,
+         BRW AS "unique",
+         GRP AS grp_circulation,
          Firma AS owner, Produkt AS product, Audience AS audience,
          'MMS' AS product_group,
          regexp_replace(Block, $blockRe) AS block_code
@@ -64,9 +64,9 @@ WITH sheet AS (
          CAST(ET AS DATE) AS date,
          regexp_replace(Blockkodierung, $blockRe) AS block_code,
          Vermarkter AS marketer,
-         CAST(Grundpreis_AR AS DECIMAL(18,2)) AS gross_media_cost,
-         CAST(Netto_AR AS DECIMAL(18,2)) AS net_media_cost,
-         CAST(N_N_AR AS DECIMAL(18,2)) AS net_net_media_cost
+         Grundpreis_AR AS gross_media_cost,
+         Netto_AR AS net_media_cost,
+         N_N_AR AS net_net_media_cost
   FROM costs_raw WHERE ET IS NOT NULL
 )"""
 

@@ -96,7 +96,7 @@ LEFT JOIN country_map cm ON r.Country = cm.nicename""",
 
     "retail_dim_product" -> s"""$retail
 SELECT DISTINCT $productId AS product_id, StockCode AS stock_code,
-       Description AS description, CAST(UnitPrice AS DECIMAL(18,2)) AS unit_price
+       Description AS description, UnitPrice AS unit_price
 FROM raw_invoices WHERE UnitPrice > 0""",
 
     "retail_dim_datetime" -> s"""$retail
@@ -111,13 +111,13 @@ FROM (SELECT DISTINCT InvoiceDate FROM raw_invoices)""",
 
     "retail_fct_invoices" -> s"""$retail
 SELECT InvoiceNo AS invoice_id, $datetimeId AS datetime_id, $productId AS product_id,
-       $customerId AS customer_id, CAST(Quantity * UnitPrice AS DECIMAL(18,2)) AS total
+       $customerId AS customer_id, Quantity * UnitPrice AS total
 FROM raw_invoices
 WHERE Quantity > 0 AND CustomerID IS NOT NULL AND UnitPrice > 0""",
 
     "retail_report_customer" -> s"""$retail
 SELECT Country AS country, count(DISTINCT InvoiceNo) AS total_invoices,
-       CAST(sum(CAST(Quantity * UnitPrice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue
+       CAST(sum(CAST(Quantity * UnitPrice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
 FROM raw_invoices
 WHERE Quantity > 0 AND CustomerID IS NOT NULL AND UnitPrice > 0
 GROUP BY Country""",

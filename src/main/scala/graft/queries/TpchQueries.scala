@@ -13,9 +13,13 @@ import graft.Tables
   *
   * Decimal discipline (cross-engine exact): money doubles are cast to
   * DECIMAL(18,2) per row (tie-free — inputs are 2-dec values), products
-  * keep their full scale, sums stay DECIMAL; averages are emitted as
-  * sum-decimal→double / count (identical IEEE division both engines) —
-  * never a decimal division, whose scale/rounding rules differ.
+  * keep their full scale, sums aggregate in DECIMAL (exact, order-
+  * independent) — but every OUTPUT column is DOUBLE (the decimal→double
+  * cast is correctly rounded in both engines; DECIMAL outputs are
+  * normalized differently by downstream decimal→float conversions).
+  * Averages divide the sum-double by the count-double (identical IEEE
+  * division) — never a decimal division, whose scale/rounding rules
+  * differ per engine.
   */
 object TpchQueries {
 
@@ -28,15 +32,13 @@ object TpchQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec2("l_quantity")).cast(DecimalType(38, 2)).as("sum_qty"),
-          sum(dec2("l_extendedprice")).cast(DecimalType(38, 2)).as("sum_base_price"),
+          sum(dec2("l_quantity")).cast(DoubleType).as("sum_qty"),
+          sum(dec2("l_extendedprice")).cast(DoubleType).as("sum_base_price"),
           sum(dec2("l_extendedprice") * (lit(BigDecimal(1).setScale(2)) - dec2("l_discount")))
-            .cast(DecimalType(38, 4)).as("sum_disc_price"),
+            .cast(DoubleType).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
-        .withColumn("avg_qty",
-          col("sum_qty").cast(DoubleType) / col("count_order").cast(DoubleType))
-        .withColumn("avg_price",
-          col("sum_base_price").cast(DoubleType) / col("count_order").cast(DoubleType))),
+        .withColumn("avg_qty", col("sum_qty") / col("count_order").cast(DoubleType))
+        .withColumn("avg_price", col("sum_base_price") / col("count_order").cast(DoubleType))),
 
     // Q3-shaped shipping priority: selective dim filter -> fact join ->
     // grouped revenue -> deterministic top-k.
@@ -50,7 +52,7 @@ object TpchQueries {
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum(dec2("l_extendedprice") * (lit(BigDecimal(1).setScale(2)) - dec2("l_discount")))
-          .cast(DecimalType(38, 4)).as("revenue"))
+          .cast(DoubleType).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
     }),
@@ -72,7 +74,7 @@ object TpchQueries {
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum(dec2("l_extendedprice") * (lit(BigDecimal(1).setScale(2)) - dec2("l_discount")))
-          .cast(DecimalType(38, 4)).as("revenue"))
+          .cast(DoubleType).as("revenue"))
     }),
 
     "tpch_min_cost_supplier" -> ((s, d) => minCostSql(s, d)),
@@ -87,7 +89,7 @@ object TpchQueries {
   private def minCostSql(spark: SparkSession, d: String): DataFrame = {
     Tables.lineitem(spark, d).createOrReplaceTempView("li_v")
     spark.sql("""
-      SELECT l_partkey, l_suppkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS min_price
+      SELECT l_partkey, l_suppkey, l_extendedprice AS min_price
       FROM li_v l1
       WHERE l_extendedprice = (SELECT min(l_extendedprice) FROM li_v l2
                                WHERE l2.l_partkey = l1.l_partkey)""")
@@ -109,7 +111,7 @@ object TpchQueries {
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("ship_year"))
       .agg(sum(dec2("l_extendedprice") * (lit(BigDecimal(1).setScale(2)) - dec2("l_discount")))
-        .cast(DecimalType(38, 4)).as("volume"))
+        .cast(DoubleType).as("volume"))
   }
 
   private val discPrice =
@@ -118,13 +120,13 @@ object TpchQueries {
   val oracle: Map[String, String] = Map(
     "tpch_pricing_summary" -> s"""
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-  CAST(sum($discPrice) AS DECIMAL(38,4)) AS sum_disc_price,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum($discPrice) AS DOUBLE) AS sum_disc_price,
   count(*) AS count_order,
-  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
     / CAST(count(*) AS DOUBLE) AS avg_qty,
-  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
     / CAST(count(*) AS DOUBLE) AS avg_price
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -132,7 +134,7 @@ GROUP BY l_returnflag, l_linestatus""",
 
     "tpch_top_orders" -> s"""
 SELECT o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate, o.o_orderpriority,
-       CAST(sum($discPrice) AS DECIMAL(38,4)) AS revenue
+       CAST(sum($discPrice) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -145,7 +147,7 @@ LIMIT 10""",
 
     "tpch_regional_volume" -> s"""
 SELECT n.n_name,
-       CAST(sum($discPrice) AS DECIMAL(38,4)) AS revenue
+       CAST(sum($discPrice) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -156,7 +158,7 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name""",
 
     "tpch_min_cost_supplier" -> """
-SELECT l_partkey, l_suppkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS min_price
+SELECT l_partkey, l_suppkey, l_extendedprice AS min_price
 FROM lineitem l1
 WHERE l_extendedprice = (SELECT min(l_extendedprice) FROM lineitem l2
                          WHERE l2.l_partkey = l1.l_partkey)""",
@@ -164,7 +166,7 @@ WHERE l_extendedprice = (SELECT min(l_extendedprice) FROM lineitem l2
     "tpch_bilateral_volume" -> s"""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
-       CAST(sum($discPrice) AS DECIMAL(38,4)) AS volume
+       CAST(sum($discPrice) AS DOUBLE) AS volume
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey

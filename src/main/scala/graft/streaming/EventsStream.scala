@@ -25,7 +25,9 @@ object EventsStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("total_value"))
+        // exact decimal aggregation (order-independent), DOUBLE at the
+        // output boundary (engine-stable decimal→double cast)
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
       .select(col("window.start").as("hour_ts"), col("event_type"),
         col("n_events"), col("total_value"))
 

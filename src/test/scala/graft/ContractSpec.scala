@@ -12,9 +12,9 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("oracle coverage is near-total (rows-only checks are the exception)") {
+  test("oracle coverage is total") {
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(unchecked == Set("misc_approx_sketch"), s"queries without oracle: $unchecked")
+    assert(unchecked.isEmpty, s"queries without oracle: $unchecked")
   }
 
   test("every registered query analyzes at sf0.001") {

@@ -30,7 +30,7 @@ class EventsStreamSpec extends SparkSpec {
         .orderBy("hour_ts", "event_type").collect()
       assert(rows.length == 2)
       assert(rows(0).getAs[Long]("n_events") == 2)
-      assert(rows(0).getAs[java.math.BigDecimal]("total_value").toString == "4.00")
+      assert(rows(0).getAs[Double]("total_value") == 4.0)
       assert(rows(1).getAs[String]("event_type") == "view")
     } finally q.stop()
   }

@@ -8,8 +8,8 @@ class FnsSpec extends SparkSpec {
 
   test("commaDecimal parses decimal-comma strings (F1)") {
     val out = Seq("12,34", "0,5", "7").toDF("x")
-      .select(commaDecimal($"x").as("v")).as[java.math.BigDecimal].collect()
-    assert(out.map(_.toString).toSeq == Seq("12.34", "0.50", "7.00"))
+      .select(commaDecimal($"x").as("v")).as[Double].collect()
+    assert(out.toSeq == Seq(12.34, 0.5, 7.0))
   }
 
   test("surrogateKey matches dbt_utils generate_surrogate_key semantics (F15)") {

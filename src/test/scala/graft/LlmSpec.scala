@@ -100,7 +100,8 @@ class LlmSpec extends SparkSpec {
   }
 
   test("bucketed near-dup variant finds same-bucket pairs only (scale path)") {
-    // 64-dim vectors so the sign-bucket axes (1/17/33) exist
+    // 64-dim vectors matching the harness embedding shape (hyperplane
+    // bucket bit 0 compares dims 0 vs 1)
     val base = Array.fill(64)(0.0f)
     val mk = (v: Float) => { val a = base.clone(); a(0) = v; a(1) = 0.5f; a }
     val big = Seq((0L, mk(1.0f)), (1L, mk(0.99f)), (2L, { val a = base.clone(); a(0) = -1.0f; a }))

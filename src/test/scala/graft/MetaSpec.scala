@@ -28,7 +28,7 @@ class MetaSpec extends SparkSpec {
     assert(cols.length == 26) // 26-col wide shape, config.py:84-99
     val r1 = rows(0)
     assert(r1.getAs[Int]("clicks") == 10)
-    assert(r1.getAs[java.math.BigDecimal]("spend").toString == "12.34")
+    assert(r1.getAs[Double]("spend") == 12.34)
     assert(r1.getAs[String]("media_type") == "Conversion Ad")
     assert(r1.getAs[String]("media_cluster") == "CRM")
     assert(r1.getAs[String]("campaign") == "Campaign Seven") // J1 matched
@@ -65,7 +65,7 @@ class MetaSpec extends SparkSpec {
     val r = Meta.cleanedData(raw).collect()(0)
     assert(r.getAs[String]("channel") == "N/A")
     assert(r.getAs[Int]("clicks") == 0)
-    assert(r.getAs[java.math.BigDecimal]("media_cost_eur").toString == "1.50")
+    assert(r.getAs[Double]("media_cost_eur") == 1.5)
   }
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)

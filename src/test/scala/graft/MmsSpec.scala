@@ -39,8 +39,8 @@ class MmsSpec extends SparkSpec {
     val combined = Mms.performanceCostCombined(Mms.lbStaged(sheet), Mms.normalizedCosts(costs))
       .orderBy("date").collect()
     // RTL Nitro: 'rtl nitro' normalizes equal -> match
-    assert(combined(0).getAs[java.math.BigDecimal]("gross_media_cost").toString == "10.00")
+    assert(combined(0).getAs[Double]("gross_media_cost") == 10.0)
     // Super RTL vs 'SUP-RTL!!' -> 'superrtl' vs 'suprtl': MUST NOT match
-    assert(combined(1).getAs[java.math.BigDecimal]("gross_media_cost") == null)
+    assert(combined(1).isNullAt(combined(1).fieldIndex("gross_media_cost")))
   }
 }

@@ -47,8 +47,8 @@ class RetailSpec extends SparkSpec {
     val f = Retail.fctInvoices(raw, country).collect()
     // drops: qty<=0 row, price<=0 row, null-customer row
     assert(f.length == 2)
-    val totals = f.map(_.getDecimal(4).toString).toSet
-    assert(totals == Set("15.30", "13.56")) // 6*2.55, 4*3.39
+    val totals = f.map(_.getDouble(4)).toSet
+    assert(totals == Set(6 * 2.55, 4 * 3.39))
   }
 
   test("reports reconstruct soda-checked aggregates (A10)") {

@@ -7,7 +7,15 @@ Reads <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB against views
 named after the harness tables, and compares: column names (sorted),
 dtypes (loose), and cell values after sorting rows by all columns.
+
+Additionally enforces the driver-comparer type contract (learned from
+CORRECTNESS_r01: every DECIMAL-output query hash-failed, an array column
+crashed the comparer): the Spark parquet read via pyarrow must contain no
+decimal.Decimal and no ndarray/list cells, and the oracle SQL must not
+produce DECIMAL-typed columns (duckdb .df() silently floats them, the
+driver's normalization may not).
 """
+import decimal
 import json
 import math
 import sys
@@ -24,6 +32,22 @@ def canon(df):
     df = df.sort_values(by=list(df.columns), ignore_index=True,
                         key=lambda s: s.map(lambda v: str(v)))
     return df
+
+
+def type_leaks(path):
+    """Driver-comparer contract scan over the Spark parquet as pyarrow/pandas
+    sees it: decimal.Decimal or array-valued cells poison sort+hash."""
+    import numpy as np
+    import pandas as pd
+    df = pd.read_parquet(path)
+    for c in df.columns:
+        if str(df[c].dtype) == "object":
+            for v in df[c].dropna().head(50):
+                if isinstance(v, decimal.Decimal):
+                    return f"column {c} holds decimal.Decimal"
+                if isinstance(v, (np.ndarray, list, dict)):
+                    return f"column {c} holds {type(v).__name__}"
+    return None
 
 
 def cells_equal(a, b):
@@ -63,9 +87,21 @@ def main():
         if only and name not in only:
             continue
         try:
+            rel = con.sql(sql)
+            dec_cols = [c for c, t in zip(rel.columns, rel.types)
+                        if "DECIMAL" in str(t).upper()]
+            if dec_cols:
+                print(f"FAIL {name}: oracle emits DECIMAL columns {dec_cols}")
+                n_fail += 1
+                continue
+            leak = type_leaks(f"{out_dir}/{name}")
+            if leak:
+                print(f"FAIL {name}: spark output type leak: {leak}")
+                n_fail += 1
+                continue
             spark_df = canon(con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
-            duck_df = canon(con.sql(sql).df())
+            duck_df = canon(rel.df())
         except Exception as e:
             print(f"FAIL {name}: load/exec error: {e}")
             n_fail += 1
