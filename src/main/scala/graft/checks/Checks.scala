@@ -24,6 +24,10 @@ final case class SchemaSuperset(expected: Seq[String], name: String = "schema_su
 final case class SchemaExact(expected: Seq[String], name: String = "schema_exact") extends Check
 /** Q9 dtype asserts (validate_staging_data.py:32-38). */
 final case class TypedColumns(types: Map[String, DataType], name: String = "typed_columns") extends Check
+/** Q10 soda `schema:` item carrying both facets (required columns + column
+  * types) under a single check name (soda checks/transform YAMLs). */
+final case class SchemaAndTypes(required: Seq[String], types: Map[String, DataType],
+                                name: String = "schema") extends Check
 /** Q2/A7 (validate_row_count): df.count >= min (MIN_ROWS=100, config.py:115). */
 final case class RowCountMin(min: Long, name: String = "row_count_min") extends Check
 /** Q3/Q6 (validate_null_values / validate_non_null): no nulls in critical cols. */
@@ -93,6 +97,11 @@ object Checks {
         val actual = df.schema.fields.map(f => f.name -> f.dataType).toMap
         val bad = types.count { case (n, t) => !actual.get(n).contains(t) }
         CheckResult(c.name, bad.toLong, bad == 0)
+      case c @ SchemaAndTypes(required, types, _) =>
+        val actual = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        val missing = required.count(r => !actual.contains(r))
+        val badTypes = types.count { case (n, t) => !actual.get(n).contains(t) }
+        CheckResult(c.name, (missing + badTypes).toLong, missing + badTypes == 0)
       case c @ RowCountMin(min, _) =>
         val n = aggVal("__n")
         CheckResult(c.name, if (n >= min) 0L else min - n, n >= min)

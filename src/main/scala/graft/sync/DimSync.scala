@@ -56,6 +56,43 @@ object DimSync {
       .dropDuplicates()
   }
 
+  /** S8+S9+J6+J7 — the full dimension sync over JDBC, the reference's
+    * actual deployment shape (BigQuery source → PostgreSQL dimension,
+    * sync_data.py:126-134 read / :242-268 write-back): read the dimension,
+    * append the missing names (ids continue from max(id), mirroring the
+    * target's sequence semantics), and delete stale rows set-based — one
+    * batched DELETE…IN instead of the reference's per-row loop. Returns
+    * (inserted, deleted) counts.
+    *
+    * Scale notes: the id window runs over the INSERT DELTA only (dimension
+    * cardinality, not fact volume) — a deliberate single-task pass over a
+    * small set; the stale keys are collected for the DELETE because a JDBC
+    * DELETE is driver-side by nature (same contract as the reference,
+    * minus the row-at-a-time loop). */
+  def syncDimensionJdbc(spark: SparkSession, source: DataFrame, sourceCol: String,
+                        url: String, table: String,
+                        props: java.util.Properties): (Long, Long) = {
+    import graft.sources.Sources
+    val dim = Sources.readJdbc(spark, url, table, props)
+    val inserts = insertMissing(source, sourceCol, dim).cache()
+    val base = dim.agg(coalesce(max(col("id")), lit(0L)).as("m")).collect()(0).getLong(0)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("name"))
+    val withIds = inserts.select((row_number().over(w).cast("long") + base).as("id"), col("name"))
+    Sources.writeJdbc(withIds, url, table, props)
+    val nInserted = inserts.count()
+    inserts.unpersist()
+    val stale = deleteStale(dim, source, sourceCol)
+      .select(col("name")).collect().map(_.getString(0))
+    if (stale.nonEmpty) {
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try stale.grouped(1000).foreach { batch =>
+        val in = batch.map(n => s"'${n.replace("'", "''")}'").mkString(", ")
+        conn.createStatement().executeUpdate(s"DELETE FROM $table WHERE name IN ($in)")
+      } finally conn.close()
+    }
+    (nInserted, stale.length.toLong)
+  }
+
   /** S14 — staging-table clone (DDL clone + `INSERT INTO staging SELECT *
     * FROM production`, sync_data.py:34-104) as parquet path overwrite. */
   def stagingClone(spark: SparkSession, productionPath: String, stagingPath: String): Unit =
