@@ -112,12 +112,17 @@ object Dedup {
     val rows = k / bands
     val sh = hashedShingles(docs, n).cache()
     val sig = minhashSignatures(sh, k)
+    // cached: the banded signature is tiny (doc_id + band + 16-byte hash,
+    // bands rows/doc) but its subtree — shingle scan + k min-aggregates —
+    // is the expensive part, and the self-join below would compute it
+    // twice otherwise (at cluster scale you would persist it the same way)
     val banded = sig.select(col("doc_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             md5(concat_ws("|", (0 until rows).map(r => col(s"mh${b * rows + r}").cast(StringType)): _*)).as("bh"))
         }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+      .cache()
 
     val cand = banded.select(col("doc_id").as("a"), col("band"), col("bh"))
       .join(banded.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
@@ -171,11 +176,14 @@ object Dedup {
     require(maxHamming < nChunks, s"chunk LSH is only complete for maxHamming < $nChunks")
     val fp = simhash(docs)
     val chunkMask = (1L << chunkBits) - 1
+    // cached: 9 small rows/doc, but the simhash subtree (word explode +
+    // 63 bit votes) is expensive and the self-join would run it twice
     val chunks = fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until nChunks).map(c =>
           struct(lit(c).as("chunk"),
             shiftright(col("simhash"), c * chunkBits).bitwiseAND(chunkMask).as("key"))): _*)).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.key"))
+      .cache()
     chunks.select(col("doc_id").as("a"), col("simhash").as("fa"), col("chunk"), col("key"))
       .join(chunks.select(col("doc_id").as("b"), col("simhash").as("fb"), col("chunk"), col("key")),
         Seq("chunk", "key"))

@@ -46,8 +46,40 @@ object CheckQueries {
     "dq_set_sync" -> ((s, d) =>
       Checks.setSyncDiff(
         Tables.orders(s, d), "o_custkey",
-        Tables.customer(s, d).filter(col("c_custkey") % 3 =!= 0), "c_custkey"))
+        Tables.customer(s, d).filter(col("c_custkey") % 3 =!= 0), "c_custkey")),
+
+    // Declarative path: the SAME evaluator driven by a SodaCL config file
+    // (the reference's soda layer) instead of hand-built Scala — the
+    // loader is itself an oracle-gated operator.
+    "dq_soda_yaml" -> ((s, d) =>
+      Checks.evaluateDf(Tables.lineitem(s, d), SodaYaml.parse(lineitemSodaYaml).checks))
   )
+
+  /** SodaCL fixture over the harness lineitem table (the reference's
+    * checks-for-table file shape, include/soda/checks). */
+  private val lineitemSodaYaml = """
+checks for lineitem:
+  - schema:
+      fail:
+        when required column missing: [l_orderkey, l_quantity, l_returnflag]
+        when wrong column type:
+          l_orderkey: bigint
+          l_returnflag: string
+  - missing_count(l_orderkey) = 0:
+      name: keys_present
+  - duplicate_count(l_orderkey) = 0:
+      name: order_unique
+  - invalid_count(l_linenumber) = 0:
+      name: linenumber_range
+      valid min: 1
+      valid max: 7
+  - min(l_quantity):
+      fail: when < 1
+  - failed rows:
+      name: high_discount
+      fail query: |
+        SELECT l_orderkey FROM lineitem WHERE l_discount > 0.08
+"""
 
   val oracle: Map[String, String] = Map(
     "dq_lineitem_suite" -> """
@@ -76,8 +108,8 @@ UNION ALL SELECT 'high_discount', v_hd, v_hd = 0 FROM agg""",
     "dq_staging_composite" -> s"""${OracleCtes.mainWide},
 staged AS (
   SELECT id, date, channel, campaign, clicks, impressions,
-         CAST(replace(media_cost_eur, ',', '.') AS DECIMAL(18,2)) AS media_cost_eur,
-         CAST(replace(cpc, ',', '.') AS DECIMAL(18,2)) AS cpc, revenue
+         CAST(replace(media_cost_eur, ',', '.') AS DOUBLE) AS media_cost_eur,
+         CAST(replace(cpc, ',', '.') AS DOUBLE) AS cpc, revenue
   FROM main_wide),
 agg AS (
   SELECT count(*) AS n,
@@ -111,6 +143,22 @@ WITH s AS (SELECT DISTINCT o_custkey AS value FROM orders),
      t AS (SELECT DISTINCT c_custkey AS value FROM customer WHERE c_custkey % 3 <> 0)
 SELECT value, 'missing_in_target' AS direction FROM (SELECT value FROM s EXCEPT SELECT value FROM t)
 UNION ALL
-SELECT value, 'extra_in_target' AS direction FROM (SELECT value FROM t EXCEPT SELECT value FROM s)"""
+SELECT value, 'extra_in_target' AS direction FROM (SELECT value FROM t EXCEPT SELECT value FROM s)""",
+
+    "dq_soda_yaml" -> """
+WITH agg AS (
+  SELECT count(*) AS n,
+    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_mk,
+    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d_ok,
+    CAST(sum(CASE WHEN l_linenumber < 1 OR l_linenumber > 7 THEN 1 ELSE 0 END) AS BIGINT) AS v_ln,
+    CAST(sum(CASE WHEN l_quantity < 1 THEN 1 ELSE 0 END) AS BIGINT) AS v_q,
+    CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS v_hd
+  FROM lineitem)
+SELECT 'schema_0' AS check_name, CAST(0 AS BIGINT) AS violations, true AS passed
+UNION ALL SELECT 'keys_present', v_mk, v_mk = 0 FROM agg
+UNION ALL SELECT 'order_unique', n - d_ok, n - d_ok = 0 FROM agg
+UNION ALL SELECT 'linenumber_range', v_ln, v_ln = 0 FROM agg
+UNION ALL SELECT 'min_l_quantity', v_q, v_q = 0 FROM agg
+UNION ALL SELECT 'high_discount', v_hd, v_hd = 0 FROM agg"""
   )
 }
