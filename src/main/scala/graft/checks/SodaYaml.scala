@@ -62,6 +62,7 @@ object SodaYaml {
     val base = lines.head.indent
     if (lines.head.text.startsWith("- ")) parseSeq(lines, base)
     else if (lines.size == 1 && lines.head.text.startsWith("[")) parseFlowList(lines.head.text)
+    else if (lines.size == 1 && !lines.head.text.contains(":")) Scalar(lines.head.text)
     else parseMap(lines, base)
   }
 
@@ -133,20 +134,30 @@ object SodaYaml {
   private val MinOf = """min\(([^)]+)\)""".r
   private val FailWhen = """when\s*(<=|<)\s*(-?[0-9.]+)""".r
 
-  def parse(text: String): Suite = {
+  /** Parse a file that may carry several `checks for <table>:` blocks
+    * (SodaCL allows one file per scan covering many tables). */
+  def parseAll(text: String): Seq[Suite] = {
     val root = parseBlock(lex(text)) match {
       case m: Mapping => m
       case other => throw new IllegalArgumentException(s"expected a top-level mapping, got $other")
     }
-    val (header, body) = root.entries match {
-      case Seq((k, v)) if k.startsWith("checks for ") => (k.stripPrefix("checks for ").trim, v)
-      case other => throw new IllegalArgumentException(s"expected one 'checks for <table>:' root, got keys ${other.map(_._1)}")
+    root.entries.map {
+      case (k, body) if k.startsWith("checks for ") =>
+        val items = body match {
+          case Sequence(is) => is
+          case other => throw new IllegalArgumentException(s"expected a check list under '$k', got $other")
+        }
+        Suite(k.stripPrefix("checks for ").trim,
+          items.zipWithIndex.map { case (n, idx) => toCheck(n, idx) })
+      case (k, _) => throw new IllegalArgumentException(s"expected 'checks for <table>:', got '$k'")
     }
-    val items = body match {
-      case Sequence(is) => is
-      case other => throw new IllegalArgumentException(s"expected a check list, got $other")
-    }
-    Suite(header, items.zipWithIndex.map { case (n, idx) => toCheck(n, idx) })
+  }
+
+  /** Single-suite convenience over [[parseAll]]. */
+  def parse(text: String): Suite = parseAll(text) match {
+    case Seq(one) => one
+    case many => throw new IllegalArgumentException(
+      s"file holds ${many.size} suites (${many.map(_.table)}); use parseAll")
   }
 
   /** Load every .yml/.yaml under a directory — the runner shape of
@@ -156,7 +167,7 @@ object SodaYaml {
     require(files != null, s"not a directory: $dir")
     files.toSeq.filter(f => f.getName.endsWith(".yml") || f.getName.endsWith(".yaml"))
       .sortBy(_.getName)
-      .map(f => parse(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
+      .flatMap(f => parseAll(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
   }
 
   private def toCheck(item: Node, idx: Int): Check = item match {
@@ -226,9 +237,13 @@ object SodaYaml {
         case Some(Scalar(sql)) => sql
         case other => throw new IllegalArgumentException(s"failed rows needs a fail query, got $other")
       }
-      val wh = q.toUpperCase.lastIndexOf("WHERE")
-      require(wh >= 0, s"fail query must contain a WHERE predicate: $q")
-      FailedRowsWhere(expr(q.substring(wh + 5).trim), named(conf, s"failed_rows_$idx"))
+      // predicate = everything after the FIRST word-boundary WHERE (the
+      // reference's fail queries are single-table SELECT…WHERE; a nested
+      // subquery predicate parses but will only analyze if it references
+      // the suite table — document, don't guess)
+      val wh = "(?i)\\bWHERE\\b".r.findFirstMatchIn(q).getOrElse(
+        throw new IllegalArgumentException(s"fail query must contain a WHERE predicate: $q"))
+      FailedRowsWhere(expr(q.substring(wh.end).trim), named(conf, s"failed_rows_$idx"))
     case other => throw new IllegalArgumentException(s"unsupported SodaCL check: $other")
   }
 }

@@ -115,7 +115,11 @@ object Dedup {
     // cached: the banded signature is tiny (doc_id + band + 16-byte hash,
     // bands rows/doc) but its subtree — shingle scan + k min-aggregates —
     // is the expensive part, and the self-join below would compute it
-    // twice otherwise (at cluster scale you would persist it the same way)
+    // twice otherwise (at cluster scale you would persist it the same
+    // way). The cache lives until the session drops it (the returned plan
+    // still references it, so it cannot be unpersisted here); long-lived
+    // sessions batching many corpora should spark.catalog.clearCache()
+    // between batches.
     val banded = sig.select(col("doc_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),

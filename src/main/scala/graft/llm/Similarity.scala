@@ -74,7 +74,9 @@ object Similarity {
 
   /** IVF top-k. Centroids are the first `nCells` corpus vectors by vec_id
     * (deterministic; `nCells <= 0` → ceil(sqrt(|corpus|)), the standard
-    * IVF sizing). Cell assignment is an argmax fold over the broadcast
+    * IVF sizing — note the sizing count() runs eagerly at call time, a
+    * metadata-only job on parquet sources; pass nCells explicitly to keep
+    * construction fully lazy). Cell assignment is an argmax fold over the broadcast
     * centroid list — tie-break on smaller cell_id, so the result is
     * independent of the collect_list order — executed per row inside
     * codegen: no shuffle and no window over corpus×cells. Queries probe

@@ -81,10 +81,12 @@ object MiscQueries {
     // Sketch aggregates: approximate distinct + quantiles. Engine sketches
     // differ by design, so the oracle-checkable contract is the error
     // BOUND, not the estimate: emit the exact answers plus booleans
-    // asserting each sketch landed inside its tolerance (HLL ±5%; KLL-ish
-    // percentile_approx within the exact p45..p55 / p98..p99.5 value
-    // bands at accuracy=1000). The oracle states the same row with the
-    // bounds as literal true — any sketch regression flips a green row.
+    // asserting each sketch landed inside its tolerance (HLL ±15% ≈ 3σ at
+    // the default rsd=0.05 — a 1σ band would flip red on a healthy sketch
+    // for ~1/3 of datasets; percentile_approx within the exact
+    // p45..p55 / p98..p99.5 value bands at accuracy=1000). The oracle
+    // states the same row with the bounds as literal true — a sketch
+    // regression flips a green row.
     "misc_approx_sketch" -> ((s, d) =>
       Tables.lineitem(s, d).agg(
         countDistinct(col("l_orderkey")).as("exact_orders"),
@@ -93,8 +95,8 @@ object MiscQueries {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99a"),
         expr("percentile(l_extendedprice, array(0.45D, 0.55D, 0.98D, 0.995D))").as("pex"))
       .select(col("exact_orders"),
-        (abs(col("acd") - col("exact_orders")) * 20 <= col("exact_orders"))
-          .as("approx_distinct_within_5pct"),
+        (abs(col("acd") - col("exact_orders")) * 100 <= col("exact_orders") * 15)
+          .as("approx_distinct_within_15pct"),
         (col("p50a") >= element_at(col("pex"), 1) &&
           col("p50a") <= element_at(col("pex"), 2)).as("p50_in_band"),
         (col("p99a") >= element_at(col("pex"), 3) &&
@@ -151,7 +153,7 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 
     "misc_approx_sketch" -> """
 SELECT count(DISTINCT l_orderkey) AS exact_orders,
-       true AS approx_distinct_within_5pct,
+       true AS approx_distinct_within_15pct,
        true AS p50_in_band,
        true AS p99_in_band
 FROM lineitem""",

@@ -73,24 +73,35 @@ object DimSync {
                         url: String, table: String,
                         props: java.util.Properties): (Long, Long) = {
     import graft.sources.Sources
-    val dim = Sources.readJdbc(spark, url, table, props)
-    val inserts = insertMissing(source, sourceCol, dim).cache()
-    val base = dim.agg(coalesce(max(col("id")), lit(0L)).as("m")).collect()(0).getLong(0)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("name"))
-    val withIds = inserts.select((row_number().over(w).cast("long") + base).as("id"), col("name"))
-    Sources.writeJdbc(withIds, url, table, props)
-    val nInserted = inserts.count()
-    inserts.unpersist()
-    val stale = deleteStale(dim, source, sourceCol)
-      .select(col("name")).collect().map(_.getString(0))
-    if (stale.nonEmpty) {
-      val conn = java.sql.DriverManager.getConnection(url, props)
-      try stale.grouped(1000).foreach { batch =>
-        val in = batch.map(n => s"'${n.replace("'", "''")}'").mkString(", ")
-        conn.createStatement().executeUpdate(s"DELETE FROM $table WHERE name IN ($in)")
-      } finally conn.close()
-    }
-    (nInserted, stale.length.toLong)
+    // one JDBC scan: the cached snapshot feeds max(id), the insert delta,
+    // AND the stale set — all computed BEFORE the write-back, so nothing
+    // depends on re-reading a table we just mutated
+    val dim = Sources.readJdbc(spark, url, table, props).cache()
+    try {
+      val inserts = insertMissing(source, sourceCol, dim).cache()
+      try {
+        val base = dim.agg(coalesce(max(col("id")), lit(0L)).as("m")).collect()(0).getLong(0)
+        val stale = deleteStale(dim, source, sourceCol)
+          .select(col("name")).collect().map(_.getString(0))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("name"))
+        val withIds = inserts.select((row_number().over(w).cast("long") + base).as("id"), col("name"))
+        Sources.writeJdbc(withIds, url, table, props)
+        val nInserted = inserts.count()
+        if (stale.nonEmpty) {
+          // `table` is interpolated unquoted on purpose: it then resolves
+          // under the same identifier rules as the read/write above
+          val conn = java.sql.DriverManager.getConnection(url, props)
+          try {
+            val st = conn.createStatement()
+            try stale.grouped(1000).foreach { batch =>
+              val in = batch.map(n => s"'${n.replace("'", "''")}'").mkString(", ")
+              st.executeUpdate(s"DELETE FROM $table WHERE name IN ($in)")
+            } finally st.close()
+          } finally conn.close()
+        }
+        (nInserted, stale.length.toLong)
+      } finally inserts.unpersist()
+    } finally dim.unpersist()
   }
 
   /** S14 — staging-table clone (DDL clone + `INSERT INTO staging SELECT *

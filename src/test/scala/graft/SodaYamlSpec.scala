@@ -72,26 +72,39 @@ checks for dim_product:
     assert(got("min_total_sold") == ((1L, false)))                // 0 <= 0
     assert(got("No free products") == ((1L, false)))              // p3
 
-    // identical to the hand-built equivalents
+    // the loaded suite's results equal a hand-built equivalent suite's,
+    // check for check (same semantics, hand-chosen names)
     import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
     val hand = Checks.evaluate(df, Seq(
-      UniqueKey(Seq("product_id"), "u"), NonNull(Seq("product_id"), "n"),
-      FailedRowsWhere(col("weekday") < 0 || col("weekday") > 6, "w"),
-      RangeMin("unit_price", 0.0, "p"),
-      FailedRowsWhere(col("unit_price") <= 0.0, "t0"),
-      FailedRowsWhere(col("unit_price") === 0.0 && col("total_sold") > 0, "fr")))
-      .map(_.violations)
-    assert(hand == Seq(1L, 1L, 1L, 1L, 2L, 1L))
+      SchemaAndTypes(Seq("product_id", "description", "unit_price"),
+        Map("product_id" -> StringType, "unit_price" -> DoubleType), "h_schema"),
+      UniqueKey(Seq("product_id"), "h_unique"),
+      NonNull(Seq("product_id"), "h_nonnull"),
+      FailedRowsWhere(col("weekday") < 0 || col("weekday") > 6, "h_weekday"),
+      RangeMin("unit_price", 0.0, "h_price"),
+      FailedRowsWhere(col("total_sold") <= 0.0, "h_sold"),
+      FailedRowsWhere(col("unit_price") === 0.0 && col("total_sold") > 0, "h_free")))
+    val yaml = Checks.evaluate(df, suite.checks)
+    assert(yaml.map(r => (r.violations, r.passed)) == hand.map(r => (r.violations, r.passed)))
   }
 
   test("loadDir reads every yml in a directory (runner shape)") {
     val dir = java.nio.file.Files.createTempDirectory("soda_checks")
     java.nio.file.Files.writeString(dir.resolve("a.yml"), yml)
+    // b.yml: a bare item (no colon — the common SodaCL short form) and a
+    // second suite in the same file (SodaCL allows several per file)
     java.nio.file.Files.writeString(dir.resolve("b.yml"),
-      "checks for other:\n  - missing_count(x) = 0:\n")
+      """checks for other:
+        |  - missing_count(x) = 0
+        |checks for third:
+        |  - duplicate_count(y) = 0:
+        |      name: y unique
+        |""".stripMargin)
     val suites = SodaYaml.loadDir(dir.toString)
-    assert(suites.map(_.table) == Seq("dim_product", "other"))
+    assert(suites.map(_.table) == Seq("dim_product", "other", "third"))
     assert(suites(1).checks == Seq(NonNull(Seq("x"), "missing_x")))
+    assert(suites(2).checks == Seq(UniqueKey(Seq("y"), "y unique")))
   }
 
   test("rejects constructs outside the supported subset") {

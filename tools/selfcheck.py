@@ -35,18 +35,21 @@ def canon(df):
 
 
 def type_leaks(path):
-    """Driver-comparer contract scan over the Spark parquet as pyarrow/pandas
-    sees it: decimal.Decimal or array-valued cells poison sort+hash."""
-    import numpy as np
-    import pandas as pd
-    df = pd.read_parquet(path)
-    for c in df.columns:
-        if str(df[c].dtype) == "object":
-            for v in df[c].dropna().head(50):
-                if isinstance(v, decimal.Decimal):
-                    return f"column {c} holds decimal.Decimal"
-                if isinstance(v, (np.ndarray, list, dict)):
-                    return f"column {c} holds {type(v).__name__}"
+    """Driver-comparer contract scan on the Spark parquet SCHEMA (complete,
+    unlike value sampling): decimal columns surface as decimal.Decimal
+    cells and nested types as ndarray/dict cells in pandas readers, both
+    of which poison the driver's sort+hash."""
+    import glob
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+    for f in glob.glob(f"{path}/*.parquet"):
+        for field in pq.read_schema(f):
+            t = field.type
+            if pt.is_decimal(t):
+                return f"column {field.name} is {t}"
+            if (pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t)
+                    or pt.is_struct(t) or pt.is_map(t)):
+                return f"column {field.name} is nested ({t})"
     return None
 
 
