@@ -42,7 +42,11 @@ object Meta {
     adsInsights
       .select(
         col("ad_id"), col("campaign_id"),
-        to_date(col("date_start")).as("date"),                         // F8 :6
+        // TIMESTAMP, not DATE: the reference casts to date (F8 :6), but
+        // DATE cells normalize asymmetrically in pandas-based comparers
+        // (datetime.date vs datetime64); midnight timestamps carry the
+        // same information and hash-match — callers can cast back
+        to_timestamp(col("date_start")).as("date"),                    // F8 :6
         col("clicks").cast(IntegerType).as("clicks"),                  // F2 :8-10
         col("impressions").cast(IntegerType).as("impressions"),
         col("unique_clicks").cast(IntegerType).as("unique"),
@@ -103,7 +107,7 @@ object Meta {
     * money casts over the 26-col wide table. */
   def cleanedData(raw: DataFrame): DataFrame =
     raw.select(
-      col("id"), col("date"),
+      col("id"), col("date").cast(TimestampType).as("date"),
       coalesce(col("channel"), lit("N/A")).as("channel"),
       coalesce(col("campaign"), lit("N/A")).as("campaign"),
       coalesce(col("publisher"), lit("N/A")).as("publisher"),

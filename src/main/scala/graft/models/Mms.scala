@@ -18,7 +18,8 @@ object Mms {
     * projections (nondeterministic by nature). */
   def lbStaged(sheet: DataFrame, withAddedAt: Boolean = false): DataFrame = {
     val base = sheet.select(
-      to_date(col("datum"), "dd.MM.yyyy").as("date"),                  // F9 :1
+      // midnight TIMESTAMP (see Meta.fbAdsTransformed date note)
+      to_timestamp(col("datum"), "dd.MM.yyyy").as("date"),             // F9 :1
       lit("TV").as("channel"),                                         // F14 :2
       col("Motiv").as("campaign"),
       col("Sender").as("publisher"),
@@ -49,7 +50,7 @@ object Mms {
           .when(col("Medien") === "rtl nitro", "RTL Nitro")
           .when(col("Medien") === "disney channel", "Disney Channel")
           .otherwise(col("Medien")).as("publisher"),
-        col("ET").cast(DateType).as("date"),
+        col("ET").cast(TimestampType).as("date"),
         blockCode(col("Blockkodierung")).as("block_code"),
         col("Vermarkter").as("marketer"),
         col("Grundpreis_AR").cast(DoubleType).as("gross_media_cost"),

@@ -61,7 +61,7 @@ WITH ads AS (
   FROM (SELECT DISTINCT user_id % 20 AS k FROM events) WHERE k < 15
 ), transformed AS (
   SELECT a.campaign_id, a.ad_id,
-         CAST(a.date_start AS DATE) AS date,
+         CAST(a.date_start AS TIMESTAMP) AS date,
          CAST(a.clicks AS INTEGER) AS clicks,
          CAST(a.impressions AS INTEGER) AS impressions,
          CAST(a.unique_clicks AS INTEGER) AS "unique",
@@ -112,7 +112,7 @@ SELECT ad_id, campaign_id, date, spend, updated_at FROM (
 ) WHERE rn = 1""",
 
     "meta_cleaned_data" -> s"""${OracleCtes.mainWide}
-SELECT id, date,
+SELECT id, CAST(date AS TIMESTAMP) AS date,
        coalesce(channel, 'N/A') AS channel,
        coalesce(campaign, 'N/A') AS campaign,
        coalesce(publisher, 'N/A') AS publisher,

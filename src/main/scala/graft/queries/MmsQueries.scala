@@ -47,7 +47,7 @@ WITH sheet AS (
          CAST((event_id * 3) % 50000 AS DOUBLE) / CAST(100 AS DOUBLE) AS N_N_AR
   FROM events WHERE event_id % 2 = 0
 ), staged AS (
-  SELECT CAST(strptime(datum, '%d.%m.%Y') AS DATE) AS date,
+  SELECT strptime(datum, '%d.%m.%Y') AS date,
          'TV' AS channel, Motiv AS campaign, Sender AS publisher, 'DE' AS property,
          concat(CAST(Spot_laenge AS VARCHAR), ' second spot') AS media_type,
          'Classical' AS media_cluster,
@@ -61,7 +61,7 @@ WITH sheet AS (
   SELECT CASE Medien WHEN 'RTL2' THEN 'RTL II' WHEN 'SUP RTL' THEN 'Super RTL'
               WHEN 'Tele5' THEN 'Tele 5' WHEN 'rtl nitro' THEN 'RTL Nitro'
               WHEN 'disney channel' THEN 'Disney Channel' ELSE Medien END AS publisher,
-         CAST(ET AS DATE) AS date,
+         CAST(ET AS TIMESTAMP) AS date,
          regexp_replace(Blockkodierung, $blockRe) AS block_code,
          Vermarkter AS marketer,
          Grundpreis_AR AS gross_media_cost,

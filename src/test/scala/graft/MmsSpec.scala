@@ -23,7 +23,7 @@ class MmsSpec extends SparkSpec {
 
   test("lbStaged parses German dates, reformats block codes (mms_lb_staged.sql)") {
     val out = Mms.lbStaged(sheet).orderBy("date").collect()
-    assert(out(0).getAs[java.sql.Date]("date").toString == "2024-01-05")
+    assert(out(0).getAs[java.sql.Timestamp]("date").toString == "2024-01-05 00:00:00.0")
     assert(out(0).getAs[String]("block_code") == "12-34-56-78")
     assert(out(0).getAs[String]("media_type") == "20 second spot")
     assert(out(0).getAs[String]("channel") == "TV")
