@@ -28,15 +28,18 @@ import org.apache.spark.sql.graft.CosineSimilarity.cosineSim
   */
 object Similarity {
 
-  /** k-bit hyperplane bucket: bit i is set iff `emb[2i] > emb[2i+1]`
-    * (0-based dims; element_at is 1-based). Pure comparisons — no float
-    * arithmetic — so every engine computes the identical bucket. Vectors
-    * shorter than 2·nBits dims leave the missing bits 0 (the size guard
-    * short-circuits before element_at, keeping ANSI mode happy). */
-  def hyperplaneBucket(emb: Column, nBits: Int): Column =
+  /** k-bit hyperplane bucket: bit i is set iff
+    * `emb[startDim + 2i] > emb[startDim + 2i + 1]` (0-based dims;
+    * element_at is 1-based). Pure comparisons — no float arithmetic — so
+    * every engine computes the identical bucket. Vectors shorter than
+    * startDim + 2·nBits dims leave the missing bits 0 (the size guard
+    * short-circuits before element_at, keeping ANSI mode happy).
+    * Distinct `startDim`s give independent bucketings for banded LSH. */
+  def hyperplaneBucket(emb: Column, nBits: Int, startDim: Int = 0): Column =
     (0 until nBits).map { i =>
-      when(size(emb) > 2 * i + 1 &&
-        element_at(emb, 2 * i + 1) > element_at(emb, 2 * i + 2), 1 << i).otherwise(0)
+      val a = startDim + 2 * i
+      when(size(emb) > a + 1 &&
+        element_at(emb, a + 1) > element_at(emb, a + 2), 1 << i).otherwise(0)
     }.reduce(_ + _)
 
   /** Brute-force cosine top-k neighbors for each query vector. */
@@ -80,9 +83,13 @@ object Similarity {
     * centroid list — tie-break on smaller cell_id, so the result is
     * independent of the collect_list order — executed per row inside
     * codegen: no shuffle and no window over corpus×cells. Queries probe
-    * their own cell only (single-probe; boundary recall loss is the
-    * documented IVF trade-off). */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int = 0): DataFrame = {
+    * their `nProbe` nearest cells (multi-probe recovers boundary recall;
+    * the probe ranking explodes query×cells, but queries are the small
+    * side by definition, so that window never touches corpus volume). A
+    * corpus vector lives in exactly one cell, so a (query, neighbor) pair
+    * joins at most once even with nProbe > 1. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int = 0,
+              nProbe: Int = 1): DataFrame = {
     val cells =
       if (nCells > 0) nCells
       else math.ceil(math.sqrt(corpus.count().toDouble)).toInt.max(1)
@@ -104,7 +111,21 @@ object Similarity {
             },
             acc => acc.getField("cell")))
         .drop("cents")
-    val q = assign(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "qe")
+    val qSel = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val q =
+      if (nProbe <= 1) assign(qSel, "qe")
+      else {
+        val pw = Window.partitionBy(col("query_id"))
+          .orderBy(col("pc").desc, col("cell_id").asc)
+        qSel.crossJoin(cents)
+          .select(col("query_id"), col("qe"), explode(col("cents")).as("cent"))
+          .select(col("query_id"), col("qe"),
+            col("cent.cell_id").as("cell_id"),
+            round(cosineSim(col("qe"), col("cent.centroid")), 6).as("pc"))
+          .withColumn("crank", row_number().over(pw))
+          .filter(col("crank") <= nProbe)
+          .select(col("query_id"), col("qe"), col("cell_id"))
+      }
     val c = assign(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), "ce")
     val scored = q.join(c, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))

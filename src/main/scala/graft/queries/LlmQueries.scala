@@ -20,7 +20,10 @@ object LlmQueries {
     "llm_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
     "llm_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "llm_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
-    "llm_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d))),
+    // 4 bits × 8 bands: the low-threshold tuning (harness τ=0.5 sits at
+    // θ≈60° where 6-bit bands recall ~20%; see Dedup scaladoc)
+    "llm_embedding_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), nBits = 4, nBands = 8)),
     "llm_ann_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, 5)
@@ -31,7 +34,7 @@ object LlmQueries {
     }),
     "llm_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, 5)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, 5, nProbe = 2)
     }),
     "llm_lang_id" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"), col("lang"),
@@ -109,13 +112,17 @@ sh AS (
          sqrt(sum(CAST(z.l2 AS DOUBLE) * CAST(z.l2 AS DOUBLE))))
         FROM (SELECT unnest($a) AS l1, unnest($b) AS l2) z)"""
 
-  /** DuckDB twin of Similarity.hyperplaneBucket(_, 6): bit i set iff
-    * embedding[2i] > embedding[2i+1] (0-based; DuckDB lists are 1-based).
-    * Comparison-only — bit-identical across engines. */
-  private val hyperplaneBucketSql: String =
-    (0 until 6).map { i =>
-      s"(CASE WHEN embedding[${2 * i + 1}] > embedding[${2 * i + 2}] THEN ${1 << i} ELSE 0 END)"
+  /** DuckDB twin of Similarity.hyperplaneBucket(_, 6, start): bit i set
+    * iff embedding[start + 2i] > embedding[start + 2i + 1] (0-based;
+    * DuckDB lists are 1-based). Comparison-only — bit-identical across
+    * engines. */
+  private def hyperplaneBucketSqlAt(start: Int, nBits: Int = 6): String =
+    (0 until nBits).map { i =>
+      val a = start + 2 * i
+      s"(CASE WHEN embedding[${a + 1}] > embedding[${a + 2}] THEN ${1 << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  private val hyperplaneBucketSql: String = hyperplaneBucketSqlAt(0)
 
   private val jaccardVerify = """
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -248,11 +255,17 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 8""",
 
     "llm_embedding_neardup" -> s"""
 WITH bucketed AS (
-  SELECT vec_id, embedding, $hyperplaneBucketSql AS bucket FROM embeddings
+  SELECT vec_id, embedding,
+         ${(0 until 8).map(t => s"${hyperplaneBucketSqlAt(8 * t, 4)} AS bk$t").mkString(",\n         ")}
+  FROM embeddings
+), cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM bucketed x JOIN bucketed y
+    ON x.vec_id < y.vec_id
+   AND (${(0 until 8).map(t => s"x.bk$t = y.bk$t").mkString(" OR ")})
 ), pairs AS (
-  SELECT x.vec_id AS a, y.vec_id AS b,
-         round(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
-  FROM bucketed x JOIN bucketed y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  SELECT c.a, c.b, round(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
+  FROM cand c JOIN embeddings x ON c.a = x.vec_id JOIN embeddings y ON c.b = y.vec_id
 )
 SELECT a, b, cosine FROM pairs WHERE cosine >= 0.5""",
 
@@ -295,11 +308,14 @@ WITH cents AS (
            ORDER BY round(${cosSql("e.embedding", "c.centroid")}, 6) DESC, c.cell_id ASC) AS crank
   FROM embeddings e, cents c
 ), cells AS (SELECT vec_id, embedding, cell_id FROM assigned WHERE crank = 1),
+qprobes AS (
+  SELECT vec_id, embedding, cell_id FROM assigned WHERE vec_id < 10 AND crank <= 2
+),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
-  FROM cells q JOIN cells c
-    ON q.cell_id = c.cell_id AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+  FROM qprobes q JOIN cells c
+    ON q.cell_id = c.cell_id AND q.vec_id <> c.vec_id
 )
 SELECT query_id, neighbor_id, cosine,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
