@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // comma-separated allowlist for targeted timing runs (empty = all)
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,7 +23,7 @@ object Bench {
     // the timed pass measures steady-state execution instead of charging
     // one-time materialization to whichever query touches it first
     // (round-1 lesson: 85 s "query times" that were 95% cache build).
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       System.err.println(f"[bench-warm] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
@@ -30,7 +33,7 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime(); val g0 = gcMillis
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
