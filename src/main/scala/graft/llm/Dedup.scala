@@ -94,6 +94,22 @@ object Dedup {
         col("inter").cast(DoubleType)./(col("uni").cast(DoubleType)).as("jaccard"))
   }
 
+  /** Training-data DECONTAMINATION: flag corpus documents that share at
+    * least `minHits` distinct n-gram shingles with ANY benchmark/eval
+    * document (the leakage check run before training). The benchmark
+    * shingle set is distinct-projected and broadcast — eval suites are
+    * tiny next to a 100 TB corpus, so the corpus side never shuffles:
+    * this is a map-side semi join plus a keyed count. Returns
+    * (doc_id, bench_hits) for flagged documents. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+                    minHits: Long = 2): DataFrame = {
+    val c = hashedShingles(corpus, n)
+    val b = broadcast(hashedShingles(benchmark, n).select("lo", "hi").distinct())
+    c.join(b, Seq("lo", "hi"))
+      .groupBy("doc_id").agg(count(lit(1)).as("bench_hits"))
+      .filter(col("bench_hits") >= minHits)
+  }
+
   /** MinHash signatures: k hash functions from a 2-seed tabulation family
     * h_i(s) = lo58(s) + i*hi58(s) — ONE md5 per shingle (not k), all-long
     * arithmetic, one aggregation pass computes all k mins. lo58/hi58 fold

@@ -36,6 +36,21 @@ object LlmQueries {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, 5, nProbe = 2)
     }),
+    // Decontamination: docs sharing >= 3 shingles with the pseudo
+    // benchmark slice (doc_id % 97 == 0 stands in for an eval set).
+    "llm_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), minHits = 3)
+    }),
+
+    // Deterministic 25% hash sample keyed on doc_id (reproducible,
+    // partition-independent, pure pushed-down filter).
+    "llm_sample" -> ((s, d) =>
+      graft.operators.Sampling.hashSample(Tables.documents(s, d), "doc_id", 250000)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     "llm_lang_id" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"), col("lang"),
         TextStats.langId(col("text")).as("lang_pred"))),
@@ -321,6 +336,20 @@ SELECT query_id, neighbor_id, cosine,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
 FROM scored
 QUALIFY rank <= 5""",
+
+    "llm_decontaminate" -> s"""
+WITH $shinglesCte,
+bench AS (SELECT DISTINCT lo, hi FROM sh WHERE doc_id % 97 = 0),
+corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+SELECT c.doc_id, count(*) AS bench_hits
+FROM corp c JOIN bench b ON c.lo = b.lo AND c.hi = b.hi
+GROUP BY c.doc_id
+HAVING count(*) >= 3""",
+
+    "llm_sample" -> s"""
+SELECT doc_id, lang, source FROM documents
+WHERE CAST(CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT) % ${1L << 58} AS BIGINT)
+        % 1000000 < 250000""",
 
     "llm_lang_id" -> langIdSql,
 

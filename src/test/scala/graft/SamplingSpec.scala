@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Dedup
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = (1L to 1000L).map(i => (i, if (i % 3 == 0) "web" else "curated"))
+    .toDF("id", "source")
+
+  test("hashSample is deterministic, key-driven, and ~ppm sized") {
+    val a = Sampling.hashSample(rows, "id", 250000).select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(rows.repartition(7), "id", 250000)
+      .select("id").as[Long].collect().toSet
+    assert(a == b) // partition-independent
+    assert(a.size > 150 && a.size < 350) // ~25% of 1000
+    // monotone: a smaller rate yields a subset (same hash, lower gate)
+    val small = Sampling.hashSample(rows, "id", 100000).select("id").as[Long].collect().toSet
+    assert(small.subsetOf(a))
+  }
+
+  test("stratifiedHashSample applies per-stratum rates") {
+    val out = Sampling.stratifiedHashSample(rows, "id", "source",
+      Map("web" -> 0), defaultPpm = 1000000)
+    val srcs = out.select("source").distinct().as[String].collect().toSet
+    assert(srcs == Set("curated")) // web sampled out entirely, curated kept fully
+    assert(out.count() == rows.filter($"source" === "curated").count())
+  }
+
+  test("decontaminate flags docs overlapping the benchmark by >= minHits shingles") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares 4+ distinct 3-grams with the benchmark sentence
+      (1L, "a copy of the quick brown fox jumps over it"),
+      // shares none
+      (2L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.decontaminate(corpus, bench, n = 3, minHits = 3).collect()
+    assert(flagged.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(flagged(0).getAs[Long]("bench_hits") >= 3)
+  }
+}
