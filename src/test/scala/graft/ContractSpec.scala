@@ -24,6 +24,22 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  test("no registered query emits driver-unhashable types (DECIMAL/ARRAY/MAP/STRUCT)") {
+    // mirrors graft.Verify's runtime guard: DECIMAL cells normalize
+    // asymmetrically across comparer readers and nested cells are
+    // unhashable — both hard-fail the external correctness gate
+    import org.apache.spark.sql.types._
+    val banned: DataType => Boolean = {
+      case _: DecimalType | _: ArrayType | _: MapType | _: StructType => true
+      case _ => false
+    }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, dir).schema.fields.filter(f => banned(f.dataType))
+      assert(bad.isEmpty,
+        s"$name emits banned output types: ${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+    }
+  }
+
   test("flagship entry returns rows (t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
