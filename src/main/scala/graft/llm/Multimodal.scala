@@ -17,6 +17,21 @@ case class MediaMeta(
     channels: Int,
     frame_count: Int)
 
+/** Resized media item: opaque payload + verifiable metadata. */
+case class ResizedMedia(
+    media_id: Long,
+    out_width: Int,
+    out_height: Int,
+    content: Array[Byte],
+    out_len: Long,
+    checksum: String)
+
+/** One sampled video frame (media_id × frame_idx grain). */
+case class SampledFrame(
+    media_id: Long,
+    frame_idx: Int,
+    frame_checksum: String)
+
 /** Multimodal-column operators (extension phase, SURVEY.md §7.9): treat
   * image/audio/video as opaque BINARY columns with typed metadata;
   * decode / feature-extract runs partition-wise (mapPartitions — one
@@ -72,6 +87,56 @@ object Multimodal {
         }
       }
       .toDF("media_id", "feature")
+  }
+
+  /** STUB resize — a real implementation decodes, scales pixels, and
+    * re-encodes; the stub emits a deterministic 16-byte payload derived
+    * from (content, target box) so schema, checksums, and partition-wise
+    * plumbing are testable end-to-end. Swap this one function for a real
+    * codec; everything around it is unchanged. */
+  def stubResize(bytes: Array[Byte], width: Int, height: Int): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes ++ s":${width}x$height".getBytes("UTF-8"))
+
+  /** Resize every media item to a target box, partition-wise (one codec
+    * init per partition). Output keeps the binary opaque and carries the
+    * payload checksum + dimensions as verifiable metadata. */
+  def resize(media: DataFrame, width: Int, height: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition scaler/codec init would go here
+        it.map { case (id, bytes) =>
+          val out = stubResize(bytes, width, height)
+          ResizedMedia(id, width, height, out, out.length.toLong,
+            out.map("%02x".format(_)).mkString)
+        }
+      }
+  }
+
+  /** Sample every `everyN`-th frame of each media item (video path). A
+    * real implementation seeks + decodes frames; the stub derives the
+    * frame count from the decoded metadata and each frame's payload from
+    * (content, frame index). One input row fans out to its sampled
+    * frames inside mapPartitions — no driver involvement, no shuffle. */
+  def sampleFrames(media: DataFrame, everyN: Int = 5): Dataset[SampledFrame] = {
+    require(everyN > 0, s"everyN must be positive: $everyN")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          val meta = stubDecode(id, bytes)
+          (0 until meta.frame_count by everyN).map { i =>
+            val frame = md.digest(bytes ++ s":frame:$i".getBytes("UTF-8"))
+            SampledFrame(id, i, frame.map("%02x".format(_)).mkString)
+          }
+        }
+      }
   }
 
   /** Adapter: wrap a text corpus as opaque binary media (UTF-8 bytes) —

@@ -76,6 +76,15 @@ object LlmQueries {
       f.select(col("media_id") +:
         (0 until 8).map(i => element_at(col("feature"), i + 1).as(s"f$i")): _*)
     }),
+    // Resize / frame-sample plumbing (stub codecs, real partition-wise
+    // fan-out); binary payload column excluded from the gated output.
+    "llm_multimodal_resize" -> ((s, d) =>
+      Multimodal.resize(Multimodal.documentsAsMedia(Tables.documents(s, d)), 256, 256)
+        .toDF().select("media_id", "out_width", "out_height", "out_len", "checksum")),
+    "llm_multimodal_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.documentsAsMedia(Tables.documents(s, d)), everyN = 5)
+        .toDF()),
+
     "llm_chunking" -> ((s, d) =>
       TextStats.chunkDocuments(Tables.documents(s, d), size = 32, overlap = 8)),
     "llm_repetition" -> ((s, d) =>
@@ -390,6 +399,23 @@ SELECT doc_id AS media_id,
   CAST(3 AS INTEGER) AS channels,
   CAST(octet_length(CAST(text AS BLOB)) % 30 AS INTEGER) AS frame_count
 FROM documents""",
+
+    "llm_multimodal_resize" -> """
+SELECT doc_id AS media_id, CAST(256 AS INTEGER) AS out_width,
+       CAST(256 AS INTEGER) AS out_height, CAST(16 AS BIGINT) AS out_len,
+       md5(concat(text, ':256x256')) AS checksum
+FROM documents""",
+
+    "llm_multimodal_frames" -> """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           CAST(octet_length(CAST(text AS BLOB)) % 30 AS INTEGER) - 1, 5)) AS i
+  FROM documents
+)
+SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+       md5(concat(text, ':frame:', CAST(i AS VARCHAR))) AS frame_checksum
+FROM f""",
 
     "llm_chunking" -> """
 WITH base AS (
