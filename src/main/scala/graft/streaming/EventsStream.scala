@@ -57,9 +57,21 @@ object EventsStream {
     * Blocks until the micro-batches drain; returns the streaming query's
     * run id. */
   def runDedupJob(spark: SparkSession, inDir: String, outDir: String,
-                  checkpointDir: String): String = {
-    val q = dedupWithinWatermark(readEventsStream(spark, inDir))
-      .writeStream
+                  checkpointDir: String): String =
+    runJob(dedupWithinWatermark(readEventsStream(spark, inDir)), outDir, checkpointDir)
+
+  /** End-to-end incremental materialization of the hourly rollup: file
+    * source → watermark → tumbling-window agg → parquet sink (append mode
+    * emits only FINALIZED windows — the streaming twin of the
+    * `stream_hourly_by_type` batch query, and the deployment shape of the
+    * reference's scheduled incremental models: new files land, the next
+    * AvailableNow pass folds exactly the unseen data in). */
+  def runHourlyJob(spark: SparkSession, inDir: String, outDir: String,
+                   checkpointDir: String): String =
+    runJob(hourlyByType(readEventsStream(spark, inDir)), outDir, checkpointDir)
+
+  private def runJob(df: DataFrame, outDir: String, checkpointDir: String): String = {
+    val q = df.writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)

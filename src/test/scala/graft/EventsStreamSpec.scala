@@ -53,6 +53,36 @@ class EventsStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").count() == 2)
   }
 
+  test("runHourlyJob: incremental file-source rollup matches the batch twin on closed windows") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_hourly").toString
+    val batch1 = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.5, "{}"),
+      (2L, ts("2024-01-01 10:55:00"), 7L, "click", 2.5, "{}"),
+      (3L, ts("2024-01-01 14:00:00"), 8L, "view", 4.0, "{}")) // advances watermark past 10:00-11:00
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    batch1.write.parquet(s"$dir/in")
+    EventsStream.runHourlyJob(spark, s"$dir/in", s"$dir/out", s"$dir/ckpt")
+
+    // append-mode sink holds only FINALIZED windows (watermark = 14:00 - 2h
+    // = 12:00 closes the 10:00 window; 14:00's own window is still open)
+    val out1 = spark.read.parquet(s"$dir/out").collect()
+    assert(out1.length == 1)
+    assert(out1(0).getAs[Long]("n_events") == 2 && out1(0).getAs[Double]("total_value") == 4.0)
+
+    // incremental: a NEW file lands, the next AvailableNow pass folds only
+    // the unseen data and closes the next window
+    Seq((4L, ts("2024-01-01 14:30:00"), 9L, "view", 1.0, "{}"),
+        (5L, ts("2024-01-01 18:00:00"), 9L, "click", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(s"$dir/in")
+    EventsStream.runHourlyJob(spark, s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    val out2 = spark.read.parquet(s"$dir/out")
+      .orderBy("hour_ts", "event_type").collect()
+    assert(out2.length == 2) // + finalized 14:00 window (2 views, 5.0)
+    assert(out2(1).getAs[Long]("n_events") == 2 && out2(1).getAs[Double]("total_value") == 5.0)
+  }
+
   test("dedupWithinWatermark drops same-key events inside the horizon") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, Long, String, Double)]
