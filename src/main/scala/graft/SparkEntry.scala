@@ -25,6 +25,18 @@ import graft.queries._
   */
 object SparkEntry {
 
+  /** The output-type contract's blacklist, shared by graft.Verify's
+    * runtime guard and ContractSpec's schema test so the two gates cannot
+    * drift: DECIMAL cells normalize asymmetrically across comparer
+    * readers; nested cells are unhashable. */
+  def bannedOutputType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _: org.apache.spark.sql.types.ArrayType => true
+    case _: org.apache.spark.sql.types.MapType => true
+    case _: org.apache.spark.sql.types.StructType => true
+    case _ => false
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The retail star-schema fact build: scan→filter→surrogate keys→3 dim
     * joins (SURVEY.md §3.3). */

@@ -19,17 +19,10 @@ object Verify {
     // engine-specific decimal objects (vs float64 on the oracle side) and
     // ARRAY cells are unhashable — both hard-fail the round even when the
     // values are right. Refuse them loudly at dump time instead.
-    def banned(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case _: org.apache.spark.sql.types.DecimalType => true
-      case a: org.apache.spark.sql.types.ArrayType => true
-      case m: org.apache.spark.sql.types.MapType => true
-      case s: org.apache.spark.sql.types.StructType => true
-      case _ => false
-    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        val bad = df.schema.fields.filter(f => banned(f.dataType))
+        val bad = df.schema.fields.filter(f => SparkEntry.bannedOutputType(f.dataType))
         if (bad.nonEmpty) throw new IllegalStateException(
           s"driver-unhashable output column types: " +
             bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))

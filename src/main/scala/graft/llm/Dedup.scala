@@ -95,9 +95,11 @@ object Dedup {
   }
 
   /** Training-data DECONTAMINATION: flag corpus documents that share at
-    * least `minHits` distinct n-gram shingles with ANY benchmark/eval
-    * document (the leakage check run before training). The benchmark
-    * shingle set is distinct-projected and broadcast — eval suites are
+    * least `minHits` distinct n-gram shingles with the benchmark/eval
+    * SET AS A WHOLE (hits count against the union of all benchmark
+    * shingles, not per benchmark document — tune `minHits` accordingly).
+    * The benchmark shingle set is distinct-projected and broadcast —
+    * eval suites are
     * tiny next to a 100 TB corpus, so the corpus side never shuffles:
     * this is a map-side semi join plus a keyed count. Returns
     * (doc_id, bench_hits) for flagged documents. */
@@ -241,14 +243,26 @@ object Dedup {
         e.select(col("vec_id").as("a"), col("embedding").as("ea"))
           .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), col("a") < col("b"))
       else {
-        val bucketed = e.select(col("vec_id") +: (0 until nBands).map(t =>
-          Similarity.hyperplaneBucket(col("embedding"), nBits, 2 * nBits * t).as(s"bk$t")): _*)
-        val cand = (0 until nBands).map { t =>
-          bucketed.select(col("vec_id").as("a"), col(s"bk$t").as("bucket"))
-            .join(bucketed.select(col("vec_id").as("b"), col(s"bk$t").as("bucket")), Seq("bucket"))
-            .filter(col("a") < col("b"))
-            .select("a", "b")
-        }.reduce(_ unionByName _).distinct()
+        // explode to (vec_id, band, bucket) and self-join ONCE on
+        // (band, bucket) — the minhash banded-candidate shape: one
+        // shuffle instead of nBands separate self-joins. The size guard
+        // drops bands whose dims lie past the vector end: without it an
+        // out-of-range band would hash EVERY vector to bucket 0 and its
+        // join would degenerate to the full a<b cross product.
+        val banded = e.select(col("vec_id"),
+            explode(array((0 until nBands).map { t =>
+              struct(lit(t).as("band"),
+                Similarity.hyperplaneBucket(col("embedding"), nBits, 2 * nBits * t).as("bucket"),
+                (size(col("embedding")) > 2 * nBits * t + 1).as("in_range"))
+            }: _*)).as("bb"))
+          .filter(col("bb.in_range"))
+          .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
+          .cache()
+        val cand = banded.select(col("vec_id").as("a"), col("band"), col("bucket"))
+          .join(banded.select(col("vec_id").as("b"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
         cand
           .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
           .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))

@@ -95,8 +95,11 @@ object Multimodal {
     * plumbing are testable end-to-end. Swap this one function for a real
     * codec; everything around it is unchanged. */
   def stubResize(bytes: Array[Byte], width: Int, height: Int): Array[Byte] =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(bytes ++ s":${width}x$height".getBytes("UTF-8"))
+    resizePayload(java.security.MessageDigest.getInstance("MD5"), bytes, width, height)
+
+  private def resizePayload(md: java.security.MessageDigest, bytes: Array[Byte],
+                            width: Int, height: Int): Array[Byte] =
+    md.digest(bytes ++ s":${width}x$height".getBytes("UTF-8"))
 
   /** Resize every media item to a target box, partition-wise (one codec
     * init per partition). Output keeps the binary opaque and carries the
@@ -107,9 +110,11 @@ object Multimodal {
     media.select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition scaler/codec init would go here
+        // per-partition codec init: one digest (stand-in for a scaler
+        // context) reused across the partition's rows
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) =>
-          val out = stubResize(bytes, width, height)
+          val out = resizePayload(md, bytes, width, height)
           ResizedMedia(id, width, height, out, out.length.toLong,
             out.map("%02x".format(_)).mkString)
         }

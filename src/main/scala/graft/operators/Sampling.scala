@@ -19,10 +19,16 @@ import graft.functions.Fns.md5lo58
   */
 object Sampling {
 
+  /** The shared gate: md5-fold of the (null-coalesced) key under a ppm
+    * Column. NULL keys hash as the empty string so a ppm=1000000 sample
+    * is the identity — a NULL gate would silently drop those rows. */
+  private def gate(key: Column, ppm: Column): Column =
+    md5lo58(coalesce(key.cast(StringType), lit(""))) % 1000000L < ppm.cast("long")
+
   /** Keep rows where md5-fold(key) lands under `ppm` of the 1e6 gate. */
   def hashSampleGate(key: Column, ppm: Int): Column = {
     require(ppm >= 0 && ppm <= 1000000, s"ppm out of range: $ppm")
-    md5lo58(key.cast(StringType)) % 1000000L < ppm.toLong
+    gate(key, lit(ppm))
   }
 
   /** Deterministic `ppm`/1e6 sample keyed on `keyCol`. */
@@ -40,6 +46,6 @@ object Sampling {
     val rate = ratesPpm.foldLeft(lit(defaultPpm)) { case (acc, (stratum, ppm)) =>
       when(col(strataCol) === stratum, lit(ppm)).otherwise(acc)
     }
-    df.filter(md5lo58(col(keyCol).cast(StringType)) % 1000000L < rate.cast("long"))
+    df.filter(gate(col(keyCol), rate))
   }
 }

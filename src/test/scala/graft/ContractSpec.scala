@@ -25,16 +25,10 @@ class ContractSpec extends SparkSpec {
   }
 
   test("no registered query emits driver-unhashable types (DECIMAL/ARRAY/MAP/STRUCT)") {
-    // mirrors graft.Verify's runtime guard: DECIMAL cells normalize
-    // asymmetrically across comparer readers and nested cells are
-    // unhashable — both hard-fail the external correctness gate
-    import org.apache.spark.sql.types._
-    val banned: DataType => Boolean = {
-      case _: DecimalType | _: ArrayType | _: MapType | _: StructType => true
-      case _ => false
-    }
+    // the SAME predicate graft.Verify enforces at dump time — shared via
+    // SparkEntry.bannedOutputType so the two gates cannot drift
     SparkEntry.queries.foreach { case (name, fn) =>
-      val bad = fn(spark, dir).schema.fields.filter(f => banned(f.dataType))
+      val bad = fn(spark, dir).schema.fields.filter(f => SparkEntry.bannedOutputType(f.dataType))
       assert(bad.isEmpty,
         s"$name emits banned output types: ${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
     }
