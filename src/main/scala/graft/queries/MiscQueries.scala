@@ -102,6 +102,20 @@ object MiscQueries {
         (col("p99a") >= element_at(col("pex"), 3) &&
           col("p99a") <= element_at(col("pex"), 4)).as("p99_in_band"))),
 
+    // Skyline (Pareto frontier): cheapest-AND-earliest orders — rows no
+    // other row beats on both price and date. Two-phase distributed
+    // operator (per-partition frontier, then global pass over the tiny
+    // union); the oracle states the same set as a quadratic NOT EXISTS,
+    // restricted to a 1/13 slice to keep the oracle's nested loop cheap.
+    "misc_skyline" -> ((s, d) =>
+      graft.operators.Skyline.skyline(
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            unix_micros(col("o_orderdate")
+              .cast(org.apache.spark.sql.types.TimestampType)).as("order_date_us")),
+        minimize = Seq("o_totalprice", "order_date_us"))),
+
     // U1: UNION ALL of two incremental slices (column-name aligned).
     "misc_union_all" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -161,6 +175,17 @@ FROM lineitem""",
     "misc_json_extract" -> """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
 FROM events""",
+
+    "misc_skyline" -> """
+WITH o AS (
+  SELECT o_orderkey, o_totalprice, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS order_date_us
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT * FROM o x
+WHERE NOT EXISTS (
+  SELECT 1 FROM o y
+  WHERE y.o_totalprice <= x.o_totalprice AND y.order_date_us <= x.order_date_us
+    AND (y.o_totalprice < x.o_totalprice OR y.order_date_us < x.order_date_us))""",
 
     "misc_union_all" -> """
 SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'
