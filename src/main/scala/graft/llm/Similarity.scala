@@ -133,6 +133,24 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Incremental top-k maintenance: fold a NEW corpus batch into an
+    * existing per-query top-k WITHOUT rescoring the old corpus (the
+    * incremental-session idea of the top-k literature, e.g. EDBT 2020's
+    * incremental top-k similarity framework). Scores |Q|×|batch| fresh
+    * candidates, unions the k existing rows per query, re-ranks — cost
+    * scales with the batch, not the corpus. Exact: a row in the true
+    * top-k over (old ∪ batch) is in the old top-k or in the batch. */
+  def incrementalTopK(existing: DataFrame, queries: DataFrame, batch: DataFrame,
+                      k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = batch.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val fresh = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosineSim(col("qe"), col("ce")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    rankTopK(existing.select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .unionByName(fresh), k)
+  }
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

@@ -19,6 +19,29 @@ class SkylineSpec extends SparkSpec {
     assert(out == brute(pts))
   }
 
+  test("skyline is idempotent (frontier of a frontier is itself)") {
+    val pts = (1L to 200L).map(i => (i, (i * 31 % 101).toDouble, (i * 57 % 103).toDouble))
+    val once = Skyline.skyline(pts.toDF("id", "x", "y").repartition(4), Seq("x", "y"))
+    val twice = Skyline.skyline(once, Seq("x", "y"))
+    assert(once.select("id").as[Long].collect().toSet ==
+      twice.select("id").as[Long].collect().toSet)
+  }
+
+  test("incrementalTopK over a corpus split equals top-k over the union") {
+    import graft.llm.Similarity
+    val dim = 8
+    def vec(seed: Long) = Array.tabulate(dim)(j => ((seed * 31 + j * 7) % 13 - 6).toFloat)
+    val all = (0L until 40L).map(i => (i, vec(i)))
+    val queries = all.take(3).toDF("vec_id", "embedding")
+    val (oldC, newC) = all.splitAt(25)
+    val full = Similarity.bruteForceTopK(queries, all.toDF("vec_id", "embedding"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val existing = Similarity.bruteForceTopK(queries, oldC.toDF("vec_id", "embedding"), 5)
+    val incr = Similarity.incrementalTopK(existing, queries, newC.toDF("vec_id", "embedding"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(incr == full)
+  }
+
   test("duplicates of an undominated point all survive; dominated rows drop") {
     val pts = Seq((1L, 1.0, 5.0), (2L, 1.0, 5.0), // duplicate frontier points
       (3L, 2.0, 6.0), // dominated by 1/2
