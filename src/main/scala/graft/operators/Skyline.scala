@@ -65,4 +65,13 @@ object Skyline {
       .repartition(1) // the union of local frontiers is small by construction
       .mapPartitions(localSkyline _)
   }
+
+  /** The same semantics as a FIRST-CLASS Catalyst operator (logical node +
+    * planner strategy + physical operator over InternalRows — SURVEY.md
+    * §7 extension tier (c), registered via GraftExtensions): the skyline
+    * appears in `explain` as its own node and composes with Catalyst's
+    * pushdown/pruning like any built-in. SkylineSpec asserts both paths
+    * produce the identical frontier. */
+  def skylineNative(df: DataFrame, minimize: Seq[String]): DataFrame =
+    org.apache.spark.sql.graft.SkylinePlan.of(df, minimize)
 }

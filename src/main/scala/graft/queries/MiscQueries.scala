@@ -108,7 +108,9 @@ object MiscQueries {
     // union); the oracle states the same set as a quadratic NOT EXISTS,
     // restricted to a 1/13 slice to keep the oracle's nested loop cheap.
     "misc_skyline" -> ((s, d) =>
-      graft.operators.Skyline.skyline(
+      // the native Catalyst operator path (SkylineNode/SkylineExec);
+      // SkylineSpec proves it equal to the portable mapPartitions path
+      graft.operators.Skyline.skylineNative(
         Tables.orders(s, d)
           .filter(col("o_orderkey") % 13 === 0)
           .select(col("o_orderkey"), col("o_totalprice"),

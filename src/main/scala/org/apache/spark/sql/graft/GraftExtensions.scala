@@ -16,8 +16,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * SQL text, keeping the codegen'd primitive loop.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => SkylineStrategy)
+  }
 }
 
 object GraftFunctions {
@@ -35,7 +37,7 @@ object GraftFunctions {
     * resolved nodes — the Column bridge would hand the registry an
     * unresolved ColumnNodeExpression). Semantics mirror graft.functions.Fns. */
   import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, ConcatWs, Literal, Lower, Md5, RegExpReplace}
-  import org.apache.spark.sql.types.{DecimalType, StringType}
+  import org.apache.spark.sql.types.StringType
 
   private def descriptor(name: String)(builder: Seq[Expression] => Expression): Descriptor =
     (FunctionIdentifier(name),
@@ -52,7 +54,9 @@ object GraftFunctions {
       Lower(RegExpReplace(exprs.head, Literal("[^a-zA-Z0-9]"), Literal("")))
     },
     descriptor("comma_decimal") { exprs =>
-      Cast(RegExpReplace(exprs.head, Literal(","), Literal(".")), DecimalType(18, 2))
+      // DOUBLE, mirroring Fns.commaDecimal (round-3 output-type policy:
+      // DECIMAL is banned from oracle-facing outputs)
+      Cast(RegExpReplace(exprs.head, Literal(","), Literal(".")), org.apache.spark.sql.types.DoubleType)
     })
 
   /** Register into an existing session's function registry. */

@@ -23,6 +23,6 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getString(0) == java.security.MessageDigest.getInstance("MD5")
       .digest("a-b".getBytes).map("%02x".format(_)).mkString)
     assert(r.getString(1) == "rtlnitro")
-    assert(r.getDecimal(2).toString == "12.34")
+    assert(r.getDouble(2) == 12.34)
   }
 }

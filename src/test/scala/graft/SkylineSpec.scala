@@ -19,6 +19,16 @@ class SkylineSpec extends SparkSpec {
     assert(out == brute(pts))
   }
 
+  test("native Catalyst skyline operator equals the mapPartitions path and brute force") {
+    val pts = (1L to 400L).map(i => (i, (i * 131 % 499).toDouble, (i * 37 % 503).toDouble))
+    val df = pts.toDF("id", "x", "y").repartition(6)
+    val native = Skyline.skylineNative(df, Seq("x", "y"))
+    // SkylineExec renders as "Skyline [cols]" (nodeName strips Exec)
+    assert(native.queryExecution.executedPlan.toString.contains("Skyline [x"))
+    assert(native.select("id").as[Long].collect().toSet == brute(pts))
+    assert(Skyline.skyline(df, Seq("x", "y")).select("id").as[Long].collect().toSet == brute(pts))
+  }
+
   test("skyline is idempotent (frontier of a frontier is itself)") {
     val pts = (1L to 200L).map(i => (i, (i * 31 % 101).toDouble, (i * 57 % 103).toDouble))
     val once = Skyline.skyline(pts.toDF("id", "x", "y").repartition(4), Seq("x", "y"))
