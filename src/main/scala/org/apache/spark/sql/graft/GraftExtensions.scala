@@ -59,9 +59,12 @@ object GraftFunctions {
       Cast(RegExpReplace(exprs.head, Literal(","), Literal(".")), org.apache.spark.sql.types.DoubleType)
     })
 
-  /** Register into an existing session's function registry. */
-  def register(spark: SparkSession): Unit =
+  /** Register into an existing session: SQL functions + the Skyline
+    * planner strategy (so SkylineNode plans without the config path). */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    SkylinePlan.install(spark)
+  }
 }

@@ -6,19 +6,22 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import scala.collection.mutable.ArrayBuffer
+import graft.operators.SkylineCore
 
 /** Skyline as a FIRST-CLASS Catalyst operator — the full custom-operator
   * extension path (logical node → planner strategy → physical operator,
   * SURVEY.md §7's tier (c)), for the semantics `graft.operators.Skyline`
-  * also provides through mapPartitions. The logical node composes with
-  * the rest of the plan (Catalyst still pushes filters below it via its
-  * child, prunes columns it outputs, and explains it like any operator),
-  * and the physical operator implements the two-phase distributed
-  * frontier directly over InternalRows — no row conversion, no encoder.
+  * also provides through mapPartitions (same [[SkylineCore]] frontier
+  * logic, so the paths cannot diverge). The logical node composes with
+  * the rest of the plan and explains like any operator; the physical
+  * operator runs the two-phase distributed frontier directly over
+  * InternalRows — no row conversion, no encoder.
   *
-  * Registered by [[GraftExtensions]] (config path) or
-  * [[GraftFunctions.register]] (running session).
+  * Registration: the config path
+  * (`spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`)
+  * injects [[SkylineStrategy]] at session build; [[GraftFunctions.register]]
+  * installs it into a running session; [[SkylinePlan.of]] self-registers
+  * if neither has.
   */
 case class SkylineNode(minimize: Seq[Expression], child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
@@ -33,36 +36,26 @@ case class SkylineExec(minimize: Seq[Expression], child: SparkPlan) extends Unar
     copy(child = newChild)
 
   override protected def doExecute(): RDD[InternalRow] = {
+    // everything the task closures capture is local: two bound
+    // expressions and SkylineCore's static functions — NOT `this` (which
+    // would drag the whole physical plan tree into every closure)
     val bound = minimize.map(BindReferences.bindReference(_, child.output))
-    def frontierPass(it: Iterator[InternalRow]): Iterator[InternalRow] = {
-      val frontier = ArrayBuffer.empty[(InternalRow, Array[Double])]
-      it.foreach { row =>
-        val r = row.copy() // iterator rows are reused buffers
-        val v = bound.map(_.eval(r) match {
-          case n: java.lang.Number => n.doubleValue()
-          case other => throw new IllegalArgumentException(
-            s"skyline minimize expression must be numeric and non-null, got $other")
-        }).toArray
-        if (!frontier.exists { case (_, w) => dominates(w, v) }) {
-          frontier.filterInPlace { case (_, w) => !dominates(v, w) }
-          frontier += ((r, v))
-        }
-      }
-      frontier.iterator.map(_._1)
-    }
-    val local = child.execute().mapPartitions(frontierPass)
-    // global pass over the union of local frontiers (small by construction)
-    local.coalesce(1).mapPartitions(frontierPass)
-  }
-
-  private def dominates(a: Array[Double], b: Array[Double]): Boolean = {
-    var allLe = true; var oneLt = false; var i = 0
-    while (i < a.length && allLe) {
-      if (a(i) > b(i)) allLe = false
-      else if (a(i) < b(i)) oneLt = true
-      i += 1
-    }
-    allLe && oneLt
+    val vals = (r: InternalRow) => bound.map(_.eval(r) match {
+      case n: java.lang.Number => n.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"skyline minimize expression must be numeric and non-null, got $other")
+    }).toArray
+    // values are materialized to doubles BEFORE the dominance check, so
+    // the reused row buffer is only copied when a row enters the frontier
+    val retain = (r: InternalRow) => r.copy()
+    val pass = (it: Iterator[InternalRow]) =>
+      SkylineCore.frontierPass[InternalRow](it, vals, retain)
+    child.execute().mapPartitions(pass)
+      // real shuffle boundary: coalesce(1) would be a narrow dependency
+      // and serialize phase 1 onto the single global task
+      .repartition(1)
+      .mapPartitions(pass)
   }
 }
 
@@ -75,15 +68,22 @@ object SkylineStrategy extends SparkStrategy {
 
 object SkylinePlan {
 
+  /** Install [[SkylineStrategy]] into a running session (idempotent;
+    * sessions built with the GraftExtensions config already have it). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val present = cs.sessionState.planner.strategies.contains(SkylineStrategy) ||
+      cs.experimental.extraStrategies.contains(SkylineStrategy)
+    if (!present)
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ SkylineStrategy
+  }
+
   /** Wrap `df` in a SkylineNode minimizing the named (numeric, non-null)
-    * columns. Injects [[SkylineStrategy]] into the session's planner if
-    * the extensions path has not already. */
+    * columns. */
   def of(df: DataFrame, minimize: Seq[String]): DataFrame = {
     require(minimize.nonEmpty, "skyline needs at least one minimize column")
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (!spark.experimental.extraStrategies.contains(SkylineStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ SkylineStrategy
+    install(spark)
     val analyzed = df.queryExecution.analyzed
     val resolver = spark.sessionState.analyzer.resolver
     val exprs: Seq[Expression] = minimize.map { name =>

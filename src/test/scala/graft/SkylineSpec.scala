@@ -29,6 +29,15 @@ class SkylineSpec extends SparkSpec {
     assert(Skyline.skyline(df, Seq("x", "y")).select("id").as[Long].collect().toSet == brute(pts))
   }
 
+  test("both paths accept DECIMAL minimize columns") {
+    val df = Seq((1L, BigDecimal("1.00")), (2L, BigDecimal("2.00")), (3L, BigDecimal("1.00")))
+      .toDF("id", "price")
+    assert(Skyline.skylineNative(df, Seq("price")).select("id").as[Long].collect().toSet
+      == Set(1L, 3L)) // equal mins tie — both survive
+    assert(Skyline.skyline(df, Seq("price")).select("id").as[Long].collect().toSet
+      == Set(1L, 3L))
+  }
+
   test("skyline is idempotent (frontier of a frontier is itself)") {
     val pts = (1L to 200L).map(i => (i, (i * 31 % 101).toDouble, (i * 57 % 103).toDouble))
     val once = Skyline.skyline(pts.toDF("id", "x", "y").repartition(4), Seq("x", "y"))
