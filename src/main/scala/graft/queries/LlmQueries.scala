@@ -51,6 +51,13 @@ object LlmQueries {
       graft.operators.Sampling.hashSample(Tables.documents(s, d), "doc_id", 250000)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // Source-weighted corpus mixing: src0 upsampled to 90%, src1 dropped,
+    // everything else at the 30% default — one codegen'd CASE gate.
+    "llm_sample_stratified" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedHashSample(Tables.documents(s, d),
+          "doc_id", "source", Map("src0" -> 900000, "src1" -> 0), defaultPpm = 300000)
+        .select(col("doc_id"), col("source"))),
+
     "llm_lang_id" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"), col("lang"),
         TextStats.langId(col("text")).as("lang_pred"))),
@@ -359,6 +366,12 @@ HAVING count(*) >= 3""",
 SELECT doc_id, lang, source FROM documents
 WHERE CAST(CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT) % ${1L << 58} AS BIGINT)
         % 1000000 < 250000""",
+
+    "llm_sample_stratified" -> s"""
+SELECT doc_id, source FROM documents
+WHERE CAST(CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT) % ${1L << 58} AS BIGINT)
+        % 1000000 <
+      CASE source WHEN 'src0' THEN 900000 WHEN 'src1' THEN 0 ELSE 300000 END""",
 
     "llm_lang_id" -> langIdSql,
 
