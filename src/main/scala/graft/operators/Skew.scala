@@ -41,6 +41,28 @@ object Skew {
     partial.groupBy(keys.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
   }
 
+  /** Skew DIAGNOSTICS: per-key weight of the `topK` heaviest keys plus
+    * distribution stats — the measurement that decides whether salting or
+    * broadcast is warranted BEFORE burning a 100 TB shuffle on a hot key.
+    * One aggregation pass over the keys (count per key → top-k by weight,
+    * a TakeOrdered — no full sort); `skew_ratio` is the heaviest key's
+    * share relative to a perfectly uniform spread (1.0 = uniform, ≥ the
+    * partition count ⇒ one reducer owns the stage). */
+  def skewReport(df: DataFrame, keys: Seq[String], topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("key_rows"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("key_rows")).as("total_rows")).collect()(0)
+    val nKeys = stats.getLong(0).max(1L)
+    val total = stats.getLong(1).max(1L)
+    counts
+      .orderBy(col("key_rows").desc, struct(keys.map(col): _*).asc)
+      .limit(topK)
+      .withColumn("share", col("key_rows").cast("double") / total.toDouble)
+      .withColumn("skew_ratio",
+        col("key_rows").cast("double") / (total.toDouble / nKeys.toDouble))
+  }
+
   /** Salted equi join: the dimension is replicated once per salt value
     * (explode), the fact side is salted deterministically, and the join
     * runs on (keys + salt) — a hot key's rows spread over `saltBuckets`

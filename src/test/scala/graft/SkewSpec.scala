@@ -47,4 +47,15 @@ class SkewSpec extends SparkSpec {
     assert(exchanges <= 1, plan)
     assert(joined.count() == 810)
   }
+
+  test("skewReport surfaces the hot key with its share and skew ratio") {
+    val r = graft.operators.Skew.skewReport(fact, Seq("key"), topK = 3).collect()
+    assert(r.length == 3)
+    val top = r.head
+    assert(top.getAs[String]("key") == "hot")
+    assert(top.getAs[Long]("key_rows") == 800L)
+    assert(math.abs(top.getAs[Double]("share") - 0.8) < 1e-12)
+    // 21 distinct keys, 1000 rows -> uniform = 1000/21; hot = 800
+    assert(math.abs(top.getAs[Double]("skew_ratio") - 800.0 / (1000.0 / 21.0)) < 1e-9)
+  }
 }
