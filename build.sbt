@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to the parent stdout/stderr instead of
+// through sbt's logger: the logger prefixes every stdout line with
+// "[info] ", which makes Bench's machine-readable JSON line unparseable
+// to anything doing a per-line json parse on the captured output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

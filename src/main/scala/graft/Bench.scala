@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
+  * prints ONE machine-readable JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":0.1}`.
+  *
+  * Timing discipline (this host is shared; co-tenant load inflates a single
+  * run of one query 5-25x):
+  *   - a full untimed warm-up pass first (caches, parquet footers, codegen);
+  *   - then THREE timed runs per query, reporting the MEDIAN — one noise
+  *     spike cannot corrupt a reported number;
+  *   - per-query seconds rounded to 2 decimals so the whole JSON line stays
+  *     under ~1.9 KB (downstream log capture keeps only a 2000-char tail).
+  */
 object Bench {
+  private val TimedRuns = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,12 +40,13 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id) as s", "count(distinct id % 7) as d").collect()
     try spark.read.parquet(s"$sfDir/nation.parquet").count()
     catch { case _: Throwable => () }
+    val selected = SparkEntry.queries.filter(q => only.isEmpty || only(q._1))
     // Full untimed warm-up pass: materializes the plan-matched shared
     // caches (retail raw/fct), parquet footers, and per-query codegen, so
-    // the timed pass measures steady-state execution instead of charging
+    // the timed passes measure steady-state execution instead of charging
     // one-time materialization to whichever query touches it first
     // (round-1 lesson: 85 s "query times" that were 95% cache build).
-    SparkEntry.queries.filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       System.err.println(f"[bench-warm] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
@@ -40,17 +56,30 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    val results = SparkEntry.queries.filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
-      val t0 = System.nanoTime(); val g0 = gcMillis
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s ${sec}%8.2f s  gc=${gcMillis - g0} ms")
-      name -> sec
+    val results = selected.map { case (name, fn) =>
+      val runs = (1 to TimedRuns).map { i =>
+        val t0 = System.nanoTime(); val g0 = gcMillis
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-28s run$i ${sec}%8.2f s  gc=${gcMillis - g0} ms")
+        sec
+      }.sorted
+      name -> runs(TimedRuns / 2) // median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // sf as a number when the dir follows the sf<N> convention (shorter and
+    // typed for downstream consumers), else fall back to the raw path.
+    val sfLit = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":$sfLit}"""
+    // Quiesce Spark before emitting the JSON so no late executor/log line
+    // interleaves into the machine-readable line on a combined capture.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    System.err.flush()
+    Thread.sleep(100)
+    println(line)
+    System.out.flush()
   }
 }
