@@ -50,10 +50,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RetailQueries.queries ++ MetaQueries.queries ++ MmsQueries.queries ++
       SyncQueries.queries ++ CheckQueries.queries ++ LlmQueries.queries ++
-      StreamQueries.queries ++ MiscQueries.queries ++ TpchQueries.queries
+      StreamQueries.queries ++ MiscQueries.queries ++ TpchQueries.queries ++
+      AnalyticsQueries.queries
 
   def oracleSql: Map[String, String] =
     RetailQueries.oracle ++ MetaQueries.oracle ++ MmsQueries.oracle ++
       SyncQueries.oracle ++ CheckQueries.oracle ++ LlmQueries.oracle ++
-      StreamQueries.oracle ++ MiscQueries.oracle ++ TpchQueries.oracle
+      StreamQueries.oracle ++ MiscQueries.oracle ++ TpchQueries.oracle ++
+      AnalyticsQueries.oracle
 }

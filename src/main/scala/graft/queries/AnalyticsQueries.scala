@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import graft.Tables
+import graft.operators.RangeJoin
+
+/** Classic warehouse analytics beyond the reference's own surface: window
+  * frames, PIVOT, exact grouped percentiles, and a bin-bucketed range
+  * join. Money sums follow the output-type contract: aggregate in exact
+  * DECIMAL (order-independent), cast to DOUBLE at the boundary. */
+object AnalyticsQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Window-frame family over the per-customer order history: lag,
+    // running total (unbounded preceding), 3-row moving sum, and
+    // row_number — one shuffle (hash by customer) + in-partition sort
+    // serves all four frames.
+    "misc_window_analytics" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ma3 = w.rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).as("order_seq"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        sum(col("o_totalprice").cast(dec)).over(cum).cast(DoubleType).as("cum_spend"),
+        sum(col("o_totalprice").cast(dec)).over(ma3).cast(DoubleType).as("ma3_spend"))
+    }),
+
+    // PIVOT: revenue by nation x order status, statuses as columns.
+    // Explicit pivot values keep the plan a single pass (no distinct-scan
+    // to discover columns) — the posture that survives a 100x fact.
+    "misc_pivot" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      // nation is genuinely tiny → broadcast; customer is a real dim that
+      // grows with the data → leave the fact⋈customer strategy to
+      // Catalyst/AQE (shuffle hash at scale, auto-broadcast when small)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast(dec)).cast(DoubleType))
+        .select(col("n_name"), col("F").as("rev_f"), col("O").as("rev_o"),
+          col("P").as("rev_p"))
+    }),
+
+    // Exact grouped percentiles (interpolated), rounded to 6 decimals at
+    // the boundary (both engines interpolate linearly; the rounding
+    // absorbs last-ulp divergence, same policy as the cosine queries).
+    "misc_group_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("pct"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          round(element_at(col("pct"), 1), 6).as("p25"),
+          round(element_at(col("pct"), 2), 6).as("p50"),
+          round(element_at(col("pct"), 3), 6).as("p75"))),
+
+    // Bin-bucketed range join: orders matched into overlapping promo
+    // windows (a deterministic 25-row range dim derived from nation).
+    // The equi-join on bin replaces the BroadcastNestedLoopJoin Spark
+    // would otherwise plan for BETWEEN — the shape that still works when
+    // the range side is millions of intervals. 90-day bins ~ the longest
+    // promo length (150d → ≤3 bins/range).
+    "misc_range_join" -> ((s, d) => {
+      val promos = Tables.nation(s, d).select(
+        col("n_nationkey").cast(LongType).as("promo_id"),
+        (lit(9131L) + col("n_nationkey") * 90L).as("start_day"),
+        (lit(9131L) + col("n_nationkey") * 90L + 30L +
+          (col("n_nationkey") % 5) * 30L).as("end_day"))
+      val pts = Tables.orders(s, d).select(
+        datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01")))
+          .cast(LongType).as("day"),
+        col("o_totalprice"))
+      RangeJoin.pointInRange(pts, promos, "day", "start_day", "end_day", 90L)
+        .groupBy(col("promo_id"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast(DoubleType).as("revenue"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "misc_window_analytics" -> """
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER w AS INTEGER) AS order_seq,
+       lag(o_totalprice, 1) OVER w AS prev_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma3_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""",
+
+    "misc_pivot" -> """
+SELECT n_name,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+
+    "misc_group_percentile" -> """
+SELECT l_returnflag, count(*) AS n,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+FROM lineitem GROUP BY l_returnflag""",
+
+    "misc_range_join" -> """
+WITH promos AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS promo_id,
+         9131 + n_nationkey * 90 AS start_day,
+         9131 + n_nationkey * 90 + 30 + (n_nationkey % 5) * 30 AS end_day
+  FROM nation
+), pts AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+         o_totalprice
+  FROM orders
+)
+SELECT promo_id, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM pts JOIN promos ON day BETWEEN start_day AND end_day
+GROUP BY promo_id"""
+  )
+}
