@@ -22,6 +22,21 @@ object LlmQueries {
     "llm_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     // 4 bits × 8 bands: the low-threshold tuning (harness τ=0.5 sits at
     // θ≈60° where 6-bit bands recall ~20%; see Dedup scaladoc)
+    // Near-dup CLUSTERING: LSH pairs (minhash ∪ simhash) are only
+    // candidate edges — the dedup policy acts on their transitive
+    // closure. Components via alternating large-star/small-star
+    // (O(log n) rounds); canonical doc = component min.
+    "llm_dup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.minhashLshPairs(docs).select(col("a"), col("b"))
+        .unionByName(Dedup.simhashPairs(docs).select(col("a"), col("b")))
+      val comp = graft.operators.ConnectedComponents
+        .connectedComponents(edges, "a", "b")
+      val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "component")
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+          col("cluster_size"), (col("node") === col("component")).as("is_canonical"))
+    }),
     "llm_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), nBits = 4, nBands = 8)),
     "llm_ann_topk" -> ((s, d) => {
@@ -283,6 +298,40 @@ SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
        CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
 FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 8""",
+
+    // same edge set as llm_minhash_lsh ∪ llm_simhash_pairs, then
+    // transitive closure as a recursive CTE: labels spread along edges,
+    // pruned to lbl < target (a label ≥ the node loses to the node's own
+    // seed anyway), min per node = component id.
+    "llm_dup_clusters" -> s"""
+WITH RECURSIVE $shinglesCte,
+$minhashCtes,
+$jaccardVerify,
+$simhashVotes,
+chunks AS (
+  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 7)) & 127 AS key
+  FROM fps, (SELECT unnest(generate_series(0, 8)) AS c)
+),
+mh_pairs AS (
+  SELECT a, b FROM verified WHERE inter * 1000000 >= uni * 500000),
+sh_pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 8),
+edges AS (SELECT a, b FROM mh_pairs UNION SELECT a, b FROM sh_pairs),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node WHERE r.lbl < s.b
+),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
+       c.node = c.cluster_id AS is_canonical
+FROM comp c
+JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id) s
+  USING (cluster_id)""",
 
     "llm_embedding_neardup" -> s"""
 WITH bucketed AS (
