@@ -138,4 +138,62 @@ object TextStats {
         ))).as("c"))
       .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"), col("c.n_tokens"))
   }
+
+  /** First-fit-decreasing bin packing of chunks into token-budget bins,
+    * independently per `partitionCol` (source) group — tighter packing
+    * than `packChunks`'s running-sum next-fit (FFD wastes ≤ ~22% in the
+    * worst case vs next-fit's ~50%). FFD is inherently sequential per
+    * group: the group's items are buffered and sorted in-task
+    * (n_tokens DESC, doc_id ASC, chunk_idx ASC — a total order, so the
+    * result is deterministic and partition-count-independent). Groups are
+    * processed in parallel across sources; a single giant source is one
+    * task's memory — at real scale you'd salt such a source into
+    * sub-groups, trading a little packing quality for parallelism, the
+    * same caveat `packChunks` documents. Returns 1-based `bin_idx`. */
+  def packChunksFfd(chunks: DataFrame, budget: Int,
+                    partitionCol: String = "source"): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.select(col(partitionCol).cast(StringType).as("src"),
+        col("doc_id").cast(LongType), col("chunk_idx").cast(IntegerType),
+        col("n_tokens").cast(LongType))
+      .as[(String, Long, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (src, it) =>
+        val items = it.toArray.sortBy(t => (-t._4, t._2, t._3))
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        items.iterator.map { case (_, docId, chunkIdx, n) =>
+          var i = 0
+          while (i < loads.length && loads(i) + n > budget) i += 1
+          if (i == loads.length) loads += n else loads(i) += n
+          (src, docId, chunkIdx, n, (i + 1).toLong)
+        }
+      }
+      .toDF(partitionCol, "doc_id", "chunk_idx", "n_tokens", "bin_idx")
+  }
+
+  /** Top-k characteristic terms per document by tf-idf
+    * (tf × ln(N/df)). Two keyed aggregations (both map-side-combinable:
+    * per-(doc,term) counts, then per-term document frequency), one
+    * broadcast of the single-row corpus count, and a per-doc top-k
+    * window — nothing driver-side, nothing quadratic. Scores are rounded
+    * to 6 decimals BEFORE ranking (ties then break on the term) so the
+    * ranking is stable across engines' last-ulp log differences. */
+  def tfIdfTopK(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
+    val terms = docs.select(col("doc_id"),
+        explode(words(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rnk"))
+  }
 }

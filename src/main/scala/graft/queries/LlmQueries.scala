@@ -107,6 +107,10 @@ object LlmQueries {
       Multimodal.sampleFrames(Multimodal.documentsAsMedia(Tables.documents(s, d)), everyN = 5)
         .toDF()),
 
+    // Characteristic-term extraction: top-3 terms per doc by tf-idf.
+    "llm_tfidf" -> ((s, d) =>
+      TextStats.tfIdfTopK(Tables.documents(s, d), k = 3)),
+
     "llm_chunking" -> ((s, d) =>
       TextStats.chunkDocuments(Tables.documents(s, d), size = 32, overlap = 8)),
     "llm_repetition" -> ((s, d) =>
@@ -116,6 +120,14 @@ object LlmQueries {
       val chunks = TextStats.chunkDocuments(docs, size = 32, overlap = 8)
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       TextStats.packChunks(chunks, budget = 256)
+    }),
+    // FFD packing: same chunk stream as llm_packing, but first-fit-
+    // decreasing instead of running-sum next-fit.
+    "llm_packing_ffd" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val chunks = TextStats.chunkDocuments(docs, size = 32, overlap = 8)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      TextStats.packChunksFfd(chunks, budget = 256)
     }),
     "llm_pii_redact" -> ((s, d) => {
       // harness text carries no PII — inject deterministic markers so the
@@ -298,6 +310,24 @@ SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
        CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
 FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 8""",
+
+    "llm_tfidf" -> """
+WITH terms AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE len(term) > 0
+), tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+  FROM tf t JOIN dfreq d USING (term), n
+)
+SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rnk
+  FROM scored)
+WHERE rnk <= 3""",
 
     // same edge set as llm_minhash_lsh ∪ llm_simhash_pairs, then
     // transitive closure as a recursive CTE: labels spread along edges,
@@ -528,6 +558,45 @@ WITH base AS (
 SELECT source, doc_id, chunk_idx, n_tokens,
        CAST((running - n_tokens) // 256 AS BIGINT) AS pack_id
 FROM packed""",
+
+    // exact FFD replay: one recursion step consumes one item per source
+    // (seq from a total order: n_tokens DESC, doc_id, chunk_idx); `loads`
+    // carries each source's bin fill levels, first fitting bin via a
+    // filtered index list, else a new bin is appended.
+    "llm_packing_ffd" -> """
+WITH RECURSIVE base AS (
+  SELECT d.source, c.doc_id, c.chunk_idx, c.n_tokens FROM (
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           CAST(len(words[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id, string_split(text, ' ') AS words,
+                 unnest(generate_series(0,
+                   CASE WHEN len(string_split(text, ' ')) <= 32 THEN 1
+                        ELSE (len(string_split(text, ' ')) - 32 + 23) // 24 + 1 END - 1)) AS i
+          FROM documents)
+  ) c JOIN documents d ON c.doc_id = d.doc_id
+), ordered AS (
+  SELECT source, doc_id, chunk_idx, n_tokens,
+         CAST(row_number() OVER (PARTITION BY source
+           ORDER BY n_tokens DESC, doc_id ASC, chunk_idx ASC) AS BIGINT) AS seq
+  FROM base
+), ffd(source, seq, doc_id, chunk_idx, n_tokens, bin_idx, loads) AS (
+  SELECT source, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST([] AS BIGINT[])
+  FROM (SELECT DISTINCT source FROM ordered)
+  UNION ALL
+  SELECT o.source, o.seq, o.doc_id, o.chunk_idx, o.n_tokens,
+         CASE WHEN fit.fi IS NULL THEN len(f.loads) + 1 ELSE fit.fi END,
+         CASE WHEN fit.fi IS NULL THEN list_append(f.loads, o.n_tokens)
+              ELSE f.loads[:fit.fi-1] || [f.loads[fit.fi] + o.n_tokens] || f.loads[fit.fi+1:] END
+  FROM ffd f
+  JOIN ordered o ON o.source = f.source AND o.seq = f.seq + 1
+  LEFT JOIN LATERAL (
+    SELECT list_filter(generate_series(1, len(f.loads)),
+                       x -> f.loads[x] + o.n_tokens <= 256)[1] AS fi
+  ) fit ON true
+)
+SELECT source, doc_id, chunk_idx, n_tokens, bin_idx
+FROM ffd WHERE seq > 0""",
 
     "llm_pii_redact" -> """
 WITH pii AS (
