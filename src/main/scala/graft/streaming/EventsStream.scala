@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -69,6 +69,73 @@ object EventsStream {
   def runHourlyJob(spark: SparkSession, inDir: String, outDir: String,
                    checkpointDir: String): String =
     runJob(hourlyByType(readEventsStream(spark, inDir)), outDir, checkpointDir)
+
+  /** one event for the stateful sessionizer (ts kept as TIMESTAMP for the
+    * watermark, micros for the gap arithmetic) */
+  case class SessEvent(event_id: Long, ts: java.sql.Timestamp, ts_us: Long, user_id: Long)
+  /** per-user open-session state: running session counter + the open
+    * session's bounds */
+  case class SessAccum(seq: Long, startUs: Long, endUs: Long, n: Long)
+  /** a finalized session */
+  case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
+                        start_us: Long, end_us: Long)
+
+  /** Stateful streaming sessionization: per-user sessions closed by an
+    * inactivity gap, emitted ONLY when finalized — either a later event
+    * opens the next session, or the event-time watermark passes the open
+    * session's gap horizon (GroupStateTimeout.EventTimeTimeout). This is
+    * the `KeyValueGroupedDataset.flatMapGroupsWithState` surface: state is
+    * a 4-field accumulator per user, not the user's events, so state size
+    * is O(active users) regardless of event volume.
+    *
+    * Within a micro-batch the group's events are sorted by (ts, event_id)
+    * before folding; cross-batch reordering inside the watermark folds
+    * late events into the open session (bounded staleness — exact late
+    * re-sessionization would need per-event state). The batch twin with
+    * identical semantics on ordered input is Temporal.sessionize. */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapSeconds * 1000000L
+    events.select(col("event_id").cast(LongType), col("ts").cast(TimestampType),
+        unix_micros(col("ts")).as("ts_us"), col("user_id").cast(LongType))
+      .withWatermark("ts", "2 hours")
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessAccum, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessEvent], state: GroupState[SessAccum]) =>
+          if (state.hasTimedOut) {
+            val a = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, a.seq, a.n, a.startUs, a.endUs))
+          } else {
+            val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption.orNull
+            evs.foreach { e =>
+              if (cur == null) cur = SessAccum(1L, e.ts_us, e.ts_us, 1L)
+              else if (e.ts_us - cur.endUs > gapUs) {
+                closed += SessionOut(user, cur.seq, cur.n, cur.startUs, cur.endUs)
+                cur = SessAccum(cur.seq + 1, e.ts_us, e.ts_us, 1L)
+              } else cur = cur.copy(
+                startUs = math.min(cur.startUs, e.ts_us),
+                endUs = math.max(cur.endUs, e.ts_us), n = cur.n + 1)
+            }
+            if (cur == null) closed.iterator // spurious empty invocation
+            else {
+              state.update(cur)
+              // timeout must sit above the current watermark (Spark
+              // rejects a timeout at/below it — possible when the open
+              // session's horizon is already inside the watermark delay)
+              state.setTimeoutTimestamp(math.max(
+                cur.endUs / 1000L + gapSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+              closed.iterator
+            }
+          }
+      }
+  }
 
   private def runJob(df: DataFrame, outDir: String, checkpointDir: String): String = {
     val q = df.writeStream

@@ -99,4 +99,51 @@ class EventsStreamSpec extends SparkSpec {
       assert(rows.length == 2) // the duplicate (7, click) was dropped
     } finally q.stop()
   }
+
+  test("sessionizeStream finalizes sessions via gap and event-time timeout, matching the batch twin") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Long)]
+    val events = ms.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventsStream.sessionizeStream(events, gapSeconds = 1800).writeStream
+      .format("memory").queryName("sess_test").outputMode("append").start()
+    try {
+      // batch 1: user 7 opens a session; user 8 opens one
+      ms.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L),
+        (2L, ts("2024-01-01 10:10:00"), 7L),
+        (3L, ts("2024-01-01 10:00:00"), 8L))
+      q.processAllAvailable()
+      // batch 2: user 7's third event continues the session, the fourth
+      // (50 min later) closes it and opens session 2
+      ms.addData(
+        (4L, ts("2024-01-01 10:20:00"), 7L),
+        (5L, ts("2024-01-01 11:10:00"), 7L))
+      q.processAllAvailable()
+      // flush: advance the watermark far past everything so event-time
+      // timeouts finalize the open sessions (watermark delay is 2 h)
+      ms.addData((99L, ts("2024-01-02 09:00:00"), 99L))
+      q.processAllAvailable()
+      ms.addData((100L, ts("2024-01-03 09:00:00"), 99L))
+      q.processAllAvailable()
+
+      val got = spark.table("sess_test")
+        .select("user_id", "session_seq", "n_events", "start_us", "end_us")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      def us(s: String) = ts(s).getTime * 1000L
+      assert(got.contains((7L, 1L, 3L, us("2024-01-01 10:00:00"), us("2024-01-01 10:20:00"))))
+      assert(got.contains((7L, 2L, 1L, us("2024-01-01 11:10:00"), us("2024-01-01 11:10:00"))))
+      assert(got.contains((8L, 1L, 1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:00:00"))))
+
+      // the batch twin agrees on sessions closed by the stream (users 7, 8)
+      val batch = graft.operators.Temporal.sessionize(
+        Seq((1L, ts("2024-01-01 10:00:00"), 7L), (2L, ts("2024-01-01 10:10:00"), 7L),
+          (3L, ts("2024-01-01 10:00:00"), 8L), (4L, ts("2024-01-01 10:20:00"), 7L),
+          (5L, ts("2024-01-01 11:10:00"), 7L)).toDF("event_id", "ts", "user_id"),
+          "user_id", "ts", "event_id", 1800)
+        .groupBy($"user_id", $"session_seq")
+        .agg(count(lit(1)).as("n"), min(unix_micros($"ts")).as("s"), max(unix_micros($"ts")).as("e"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(batch == got.filter(_._1 != 99L))
+    } finally q.stop()
+  }
 }
