@@ -118,6 +118,33 @@ object MiscQueries {
               .cast(org.apache.spark.sql.types.TimestampType)).as("order_date_us")),
         minimize = Seq("o_totalprice", "order_date_us"))),
 
+    // Heavy hitters via the native Misra-Gries imperative aggregate
+    // (constant memory, mergeable across partitions). The oracle-checkable
+    // contract is the sketch's GUARANTEE, not its layout-dependent
+    // candidate set: every term with freq > n/k is captured, and every
+    // reported estimate sits in [true - n/k, true] — emitted as booleans
+    // alongside the exact counts (same posture as misc_approx_sketch).
+    // click+view are collapsed to one ~40% term so the capture guarantee
+    // actually binds at k=4.
+    "misc_heavy_hitters" -> ((s, d) => {
+      val k = 4
+      val e = Tables.events(s, d).filter(col("event_type").isNotNull)
+        .select(when(col("event_type").isin("click", "view"), lit("engage"))
+          .otherwise(col("event_type")).as("term"))
+      val total = e.agg(count(lit(1)).as("n"))
+      val cands = e.agg(org.apache.spark.sql.graft.MisraGries(col("term"), k).as("cs"))
+        .select(explode(col("cs")).as("c"))
+        .select(col("c.term").as("term"), col("c.est").as("est"))
+      e.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .join(cands, Seq("term"), "left")
+        .select(col("term"), col("cnt"),
+          (col("cnt") * k <= col("n") || col("est").isNotNull).as("hh_captured"),
+          (col("est").isNull ||
+            (col("est") <= col("cnt") && col("est") * k + col("n") >= col("cnt") * k))
+            .as("est_ok"))
+    }),
+
     // U1: UNION ALL of two incremental slices (column-name aligned).
     "misc_union_all" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -188,6 +215,14 @@ WHERE NOT EXISTS (
   SELECT 1 FROM o y
   WHERE y.o_totalprice <= x.o_totalprice AND y.order_date_us <= x.order_date_us
     AND (y.o_totalprice < x.o_totalprice OR y.order_date_us < x.order_date_us))""",
+
+    "misc_heavy_hitters" -> """
+WITH t AS (
+  SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engage' ELSE event_type END AS term
+  FROM events WHERE event_type IS NOT NULL
+)
+SELECT term, count(*) AS cnt, true AS hh_captured, true AS est_ok
+FROM t GROUP BY term""",
 
     "misc_union_all" -> """
 SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'
