@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => SkylineStrategy)
+    ext.injectOptimizerRule(_ => RangeBinJoinRule)
   }
 }
 
@@ -66,5 +67,8 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
     SkylinePlan.install(spark)
+    if (!spark.experimental.extraOptimizations.contains(RangeBinJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeBinJoinRule
   }
 }
