@@ -46,24 +46,30 @@ object ConnectedComponents {
     // m = min(N(c) ∪ {c}); small-star(center c): the below-or-equal
     // neighborhood (plus c itself) links to its minimum. Both emit only
     // (bigger, smaller) pairs, keeping the canonical orientation.
+    //
+    // Per-center minima come from a keyed WINDOW min rather than a
+    // groupBy + join-back: one shuffle per star instead of two (the sort
+    // a window costs is the same machinery a sort-merge join would
+    // spend). Duplicate edges are not dropped inside large-star —
+    // small-star's terminal distinct canonicalizes, duplicates only ride
+    // along for one round.
+    val byCenter = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
     def largeStar(cur: DataFrame): DataFrame = {
       val nbrs = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
-      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      nbrs.filter(col("v") > col("u"))
-        .join(mins, "u")
+      nbrs.withColumn("m", least(min(col("v")).over(byCenter), col("u")))
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
     }
     def smallStar(cur: DataFrame): DataFrame = {
-      val mins = cur.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val relink = cur.join(mins, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-      val self = mins.select(col("u"), col("m").as("v"))
-      relink.union(self)
-        .filter(col("u") =!= col("v"))
-        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      // emit (v, m) for every below-neighbor v plus the center's own
+      // (u, m) — the explode keeps it one window pass over the edges
+      cur.withColumn("m", min(col("v")).over(byCenter))
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("e"))
+        .filter(col("e.a") =!= col("e.b"))
+        .select(greatest(col("e.a"), col("e.b")).as("u"),
+          least(col("e.a"), col("e.b")).as("v"))
         .distinct()
     }
 
