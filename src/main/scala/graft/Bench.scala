@@ -66,13 +66,20 @@ object Bench {
       }.sorted
       name -> runs(TimedRuns / 2) // median
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale would render 45,23 — invalid JSON
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // sf as a number when the dir follows the sf<N> convention (shorter and
-    // typed for downstream consumers), else fall back to the raw path.
-    val sfLit = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("\"" + sfDir + "\"")
-    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":$sfLit}"""
+    // sf as a number when the dir ends in a well-formed sf<N> segment
+    // (anchored — no trailing-dot captures, no mid-word 'sf' matches);
+    // else the raw path, JSON-escaped.
+    val sfLit = "(?:^|/)sf([0-9]+(?:\\.[0-9]+)?)(?=/|$)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1))
+      .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfLit}"""
     // Quiesce Spark before emitting the JSON so no late executor/log line
     // interleaves into the machine-readable line on a combined capture.
     spark.sparkContext.setLogLevel("ERROR")

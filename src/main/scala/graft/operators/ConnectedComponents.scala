@@ -73,6 +73,16 @@ object ConnectedComponents {
         .distinct()
     }
 
+    // Dataset.unpersist is a no-op for a localCheckpoint'd frame (the
+    // blocks live on the raw RDD, which CacheManager never saw) — free
+    // each superseded round's blocks by unpersisting the LogicalRDD's
+    // underlying RDD directly, or 50 rounds of edge sets pile up in
+    // storage until a driver GC.
+    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+
     var sig = signature(e)
     var converged = false
     var it = 0
@@ -80,7 +90,7 @@ object ConnectedComponents {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       val nextSig = signature(next)
       converged = nextSig == sig
-      e.unpersist()
+      checkpointRdd(e).foreach(_.unpersist(blocking = false))
       e = next; sig = nextSig; it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

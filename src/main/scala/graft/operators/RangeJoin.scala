@@ -32,7 +32,10 @@ object RangeJoin {
   def pointInRange(points: DataFrame, ranges: DataFrame, pointCol: String,
                    loCol: String, hiCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val binned = ranges.withColumn("__bin",
+    // inverted (lo > hi) or null-bounded ranges match nothing under
+    // BETWEEN — drop them BEFORE the explode, where sequence(start, stop)
+    // would otherwise count DOWNWARD and blow up on one dirty row
+    val binned = ranges.filter(col(loCol) <= col(hiCol)).withColumn("__bin",
       explode(sequence(floor(col(loCol) / binWidth).cast("long"),
         floor(col(hiCol) / binWidth).cast("long"))))
     val pts = points.withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))

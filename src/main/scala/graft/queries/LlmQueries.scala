@@ -20,8 +20,6 @@ object LlmQueries {
     "llm_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
     "llm_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "llm_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
-    // 4 bits × 8 bands: the low-threshold tuning (harness τ=0.5 sits at
-    // θ≈60° where 6-bit bands recall ~20%; see Dedup scaladoc)
     // Near-dup CLUSTERING: LSH pairs (minhash ∪ simhash) are only
     // candidate edges — the dedup policy acts on their transitive
     // closure. Components via alternating large-star/small-star
@@ -37,6 +35,8 @@ object LlmQueries {
         .select(col("node").as("doc_id"), col("component").as("cluster_id"),
           col("cluster_size"), (col("node") === col("component")).as("is_canonical"))
     }),
+    // 4 bits × 8 bands: the low-threshold tuning (harness τ=0.5 sits at
+    // θ≈60° where 6-bit bands recall ~20%; see Dedup scaladoc)
     "llm_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), nBits = 4, nBands = 8)),
     "llm_ann_topk" -> ((s, d) => {

@@ -92,8 +92,17 @@ object EventsStream {
     * before folding; cross-batch reordering inside the watermark folds
     * late events into the open session (bounded staleness — exact late
     * re-sessionization would need per-event state). The batch twin with
-    * identical semantics on ordered input is Temporal.sessionize. */
-  def sessionizeStream(events: DataFrame, gapSeconds: Long): Dataset[SessionOut] = {
+    * identical semantics on ordered input is Temporal.sessionize.
+    *
+    * After a timeout finalizes a session, the per-user SEQ COUNTER is
+    * retained (state with n=0) for `retainSeconds` more, so the next
+    * session numbers seq+1 instead of restarting at 1 — otherwise
+    * (user_id, session_seq) keys would collide across timeout boundaries.
+    * A user idle past the retention horizon is dropped entirely and their
+    * numbering restarts at 1 (the documented state-size/uniqueness
+    * trade). */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long,
+                       retainSeconds: Long = 30L * 86400L): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = gapSeconds * 1000000L
@@ -107,14 +116,28 @@ object EventsStream {
         (user: Long, it: Iterator[SessEvent], state: GroupState[SessAccum]) =>
           if (state.hasTimedOut) {
             val a = state.get
-            state.remove()
-            Iterator.single(SessionOut(user, a.seq, a.n, a.startUs, a.endUs))
+            if (a.n == 0) {
+              // retention horizon passed with no new session: finally
+              // drop the counter
+              state.remove()
+              Iterator.empty
+            } else {
+              // finalize the open session but KEEP the seq counter
+              // (n=0 marker) so the user's next session numbers seq+1
+              state.update(a.copy(n = 0L))
+              state.setTimeoutTimestamp(math.max(
+                a.endUs / 1000L + retainSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+              Iterator.single(SessionOut(user, a.seq, a.n, a.startUs, a.endUs))
+            }
           } else {
             val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
             var cur = state.getOption.orNull
             evs.foreach { e =>
               if (cur == null) cur = SessAccum(1L, e.ts_us, e.ts_us, 1L)
+              else if (cur.n == 0) // closed-by-timeout marker: next session
+                cur = SessAccum(cur.seq + 1, e.ts_us, e.ts_us, 1L)
               else if (e.ts_us - cur.endUs > gapUs) {
                 closed += SessionOut(user, cur.seq, cur.n, cur.startUs, cur.endUs)
                 cur = SessAccum(cur.seq + 1, e.ts_us, e.ts_us, 1L)
@@ -128,8 +151,12 @@ object EventsStream {
               // timeout must sit above the current watermark (Spark
               // rejects a timeout at/below it — possible when the open
               // session's horizon is already inside the watermark delay)
+              // open session times out after the gap; a bare counter
+              // marker (possible when an invocation carried no events)
+              // times out after the retention horizon
               state.setTimeoutTimestamp(math.max(
-                cur.endUs / 1000L + gapSeconds * 1000L,
+                cur.endUs / 1000L +
+                  (if (cur.n == 0) retainSeconds else gapSeconds) * 1000L,
                 state.getCurrentWatermarkMs() + 1L))
               closed.iterator
             }

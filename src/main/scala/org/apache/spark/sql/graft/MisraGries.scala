@@ -82,11 +82,17 @@ case class MisraGries(child: Expression, k: Int,
     }.asInstanceOf[Array[Any]])
   }
 
+  // length-prefixed raw UTF-8, not writeUTF — writeUTF throws on terms
+  // over 64 KiB, and a sketch over an arbitrary string column (long text
+  // values are exactly where skew diagnosis runs) must not care
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    buf.foreach { case (t, c) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -95,7 +101,11 @@ case class MisraGries(child: Expression, k: Int,
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { val t = in.readUTF(); buf.update(t, in.readLong()); i += 1 }
+    while (i < n) {
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     buf
   }
 

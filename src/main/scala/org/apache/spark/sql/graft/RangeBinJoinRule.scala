@@ -33,12 +33,16 @@ object RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val width = conf.getConfString(WidthConf, "").trim
     if (width.isEmpty) plan
-    else {
-      val w = width.toLong
-      require(w > 0, s"$WidthConf must be positive, got $w")
-      plan.transformUp {
-        case j: Join => rewrite(j, w).getOrElse(j)
-      }
+    else width.toLongOption.filter(_ > 0) match {
+      case None =>
+        // a malformed width must not fail every query in the session —
+        // the rule is an optimization, warn and stand down
+        logWarning(s"ignoring invalid $WidthConf='$width' (need a positive long)")
+        plan
+      case Some(w) =>
+        plan.transformUp {
+          case j: Join => rewrite(j, w).getOrElse(j)
+        }
     }
   }
 
@@ -95,13 +99,18 @@ object RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         val pBin = Alias(floorDiv(p, w), "__graft_bin_p")()
         val newPoint = Project(pointSide.output :+ pBin, pointSide)
         val rBinAttr = AttributeReference("__graft_bin_r", LongType, nullable = false)()
+        // inverted (lo > hi) or null-bounded ranges match nothing under
+        // the band predicate — filter them out BEFORE the explode, where
+        // Sequence(start, stop) would otherwise count DOWNWARD and blow
+        // up on a single dirty row
+        val sane = Filter(LessThanOrEqual(lo, hi), rangeSide)
         val gen = Generate(
           // explicit timeZoneId: optimizer-introduced expressions never
           // pass through ResolveTimeZone, and Sequence is timezone-aware
           Explode(Sequence(floorDiv(lo, w), floorDiv(hi, w), None,
             Some(conf.sessionLocalTimeZone))),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
-          generatorOutput = Seq(rBinAttr), child = rangeSide)
+          generatorOutput = Seq(rBinAttr), child = sane)
         val newCond = And(EqualTo(pBin.toAttribute, rBinAttr), cond)
         val (nl, nr) = if (pointIsLeft) (newPoint, gen) else (gen, newPoint)
         Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))

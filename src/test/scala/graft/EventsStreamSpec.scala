@@ -144,6 +144,16 @@ class EventsStreamSpec extends SparkSpec {
         .agg(count(lit(1)).as("n"), min(unix_micros($"ts")).as("s"), max(unix_micros($"ts")).as("e"))
         .as[(Long, Long, Long, Long, Long)].collect().toSet
       assert(batch == got.filter(_._1 != 99L))
+
+      // a session AFTER a timeout-finalized one must number seq+1, not
+      // restart at 1 (the counter survives finalization)
+      ms.addData((6L, ts("2024-01-03 10:00:00"), 7L))
+      q.processAllAvailable()
+      ms.addData((101L, ts("2024-01-05 09:00:00"), 99L))
+      q.processAllAvailable()
+      val seqs = spark.table("sess_test").filter($"user_id" === 7L)
+        .select("session_seq").as[Long].collect().toSet
+      assert(seqs == Set(1L, 2L, 3L), s"got $seqs")
     } finally q.stop()
   }
 }

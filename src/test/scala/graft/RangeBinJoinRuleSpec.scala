@@ -55,6 +55,23 @@ class RangeBinJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("inverted (lo > hi) ranges match nothing under the rewrite (no descending explode)") {
+    val p1 = Seq((1L, 5L)).toDF("pid", "p")
+    val r1 = Seq((7L, 0L, 10L), (8L, 2000000000L, 0L)).toDF("rid", "lo", "hi")
+    val got = withWidth("1") {
+      p1.join(r1, $"p" >= $"lo" && $"p" <= $"hi")
+        .select("rid").as[Long].collect().toSeq
+    }
+    assert(got == Seq(7L))
+  }
+
+  test("a malformed width conf is ignored instead of failing every query") {
+    withWidth("90days") {
+      assert(spark.range(3).count() == 3)
+      assert(bandJoin.count() > 0)
+    }
+  }
+
   test("outer joins and non-integral bands are not rewritten") {
     withWidth("10") {
       val leftOuter = pts.join(ranges, $"p" >= $"lo" && $"p" <= $"hi", "left")

@@ -35,6 +35,15 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 3L))
   }
 
+  test("inverted (lo > hi) ranges match nothing instead of exploding a descending sequence") {
+    val pts = Seq((1L, 5L)).toDF("pid", "p")
+    // one sane range and one wildly inverted one (would be ~1e9 bins)
+    val ranges = Seq((7L, 0L, 10L), (8L, 1000000000L, 0L)).toDF("rid", "lo", "hi")
+    val got = RangeJoin.pointInRange(pts, ranges, "p", "lo", "hi", 1L)
+      .select("rid").as[Long].collect().toSeq
+    assert(got == Seq(7L))
+  }
+
   test("plan is an equi-join: no nested-loop / cartesian node") {
     val pts = spark.range(100).select(col("id").as("p"))
     val ranges = spark.range(10).select(col("id").as("rid"),
