@@ -78,6 +78,20 @@ object MiscQueries {
           sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
             .cast(org.apache.spark.sql.types.DoubleType).as("sum_qty"))),
 
+    // GROUPING SETS beyond what ROLLUP can express (the middle set keeps
+    // linestatus, not the rollup prefix), with grouping_id disambiguating
+    // aggregated-away NULLs from data NULLs.
+    "misc_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs_v")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               grouping_id(l_returnflag, l_linestatus) AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs_v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""")
+    }),
+
     // Sketch aggregates: approximate distinct + quantiles. Engine sketches
     // differ by design, so the oracle-checkable contract is the error
     // BOUND, not the estimate: emit the exact answers plus booleans
@@ -193,6 +207,14 @@ SELECT l_returnflag, l_linestatus, count(*) AS n,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "misc_grouping_sets" -> """
+SELECT l_returnflag, l_linestatus,
+       grouping_id(l_returnflag, l_linestatus) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""",
 
     "misc_approx_sketch" -> """
 SELECT count(DISTINCT l_orderkey) AS exact_orders,
