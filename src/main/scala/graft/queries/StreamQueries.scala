@@ -42,6 +42,52 @@ object StreamQueries {
           .otherwise(abs(z) > lit(3.0)).as("is_anomaly"))
     }),
 
+    // Funnel analysis: users progressing view → click → purchase in
+    // order. Stage k's timestamp is the user's earliest stage-k event at
+    // or after their stage-(k-1) time — three keyed aggregations chained
+    // by broadcast-friendly equi-joins, no per-user event sorting, no
+    // window over the raw stream. Emits one row per stage with reached
+    // counts (stage timestamps are intermediate, not output, so the
+    // reduction is a tiny 3-row frame).
+    "stream_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      def stage(evType: String, prev: DataFrame, withinUs: Option[Long]): DataFrame = {
+        val base = e.filter(col("event_type") === evType)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts_us") >= col("prev_us"))
+        withinUs.fold(base)(us => base.filter(col("ts_us") < col("prev_us") + us))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("prev_us"))
+      }
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("prev_us"))
+      // click any time after the first view; purchase must convert within
+      // an hour of that click (the constraint that makes the funnel narrow)
+      val s2 = stage("click", s1, None)
+      val s3 = stage("purchase", s2, Some(3600000000L))
+      s1.agg(count(lit(1)).as("n_users")).select(lit(1L).as("stage"), lit("view").as("event_type"), col("n_users"))
+        .unionByName(s2.agg(count(lit(1)).as("n_users")).select(lit(2L).as("stage"), lit("click").as("event_type"), col("n_users")))
+        .unionByName(s3.agg(count(lit(1)).as("n_users")).select(lit(3L).as("stage"), lit("purchase").as("event_type"), col("n_users")))
+    }),
+
+    // SCD Type 2 history build: each user's event_type as a
+    // slowly-changing state — consecutive repeats collapsed (lag), then
+    // validity intervals from the next change (lead). One shuffle, two
+    // frames off the same keyed sort.
+    "sync_scd2_history" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val e = Tables.events(s, d).filter(col("event_type").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("__prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("__prev_type").isNull || col("__prev_type") =!= col("event_type"))
+      e.select(col("user_id"), col("event_type"),
+        col("ts_us").as("valid_from_us"),
+        lead(col("ts_us"), 1).over(byUser).as("valid_to_us"),
+        lead(col("ts_us"), 1).over(byUser).isNull.as("is_current"))
+    }),
+
     // Batch twin of dropDuplicatesWithinWatermark: earliest-wins keyed
     // dedup with a deterministic tie-break (the streaming op keeps the
     // first arrival; batch pins arrival order = (ts, event_id)).
@@ -57,6 +103,41 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_funnel" -> """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+), s1 AS (
+  SELECT user_id, min(ts_us) AS prev_us FROM e WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts_us) AS prev_us
+  FROM e JOIN s1 ON e.user_id = s1.user_id AND e.ts_us >= s1.prev_us
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts_us) AS prev_us
+  FROM e JOIN s2 ON e.user_id = s2.user_id AND e.ts_us >= s2.prev_us
+                AND e.ts_us < s2.prev_us + 3600000000
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type, (SELECT count(*) FROM s1) AS n_users
+UNION ALL SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM s2)
+UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s3)""",
+
+    "sync_scd2_history" -> """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC) AS prev_type
+  FROM events WHERE event_type IS NOT NULL
+), changes AS (
+  SELECT user_id, event_id, event_type, ts_us FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, ts_us AS valid_from_us,
+       lead(ts_us) OVER w AS valid_to_us,
+       lead(ts_us) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)""",
+
     // z-score anomaly detection over the hourly series: trailing-24h
     // mean/variance from exact integer window sums (sum, sum-of-squares
     // are LONGs → the double arithmetic has an identical shape on both
