@@ -59,11 +59,15 @@ object StreamQueries {
         withinUs.fold(base)(us => base.filter(col("ts_us") < col("prev_us") + us))
           .groupBy(col("user_id")).agg(min(col("ts_us")).as("prev_us"))
       }
+      // each stage frame is tiny (one row per funnel user) but its
+      // lineage is a full scan+join+agg, and the three count branches
+      // below would otherwise re-execute it per reference — cache so the
+      // plan-matched subtree is materialized once
       val s1 = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts_us")).as("prev_us"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("prev_us")).cache()
       // click any time after the first view; purchase must convert within
       // an hour of that click (the constraint that makes the funnel narrow)
-      val s2 = stage("click", s1, None)
+      val s2 = stage("click", s1, None).cache()
       val s3 = stage("purchase", s2, Some(3600000000L))
       s1.agg(count(lit(1)).as("n_users")).select(lit(1L).as("stage"), lit("view").as("event_type"), col("n_users"))
         .unionByName(s2.agg(count(lit(1)).as("n_users")).select(lit(2L).as("stage"), lit("click").as("event_type"), col("n_users")))
@@ -74,7 +78,7 @@ object StreamQueries {
     // slowly-changing state — consecutive repeats collapsed (lag), then
     // validity intervals from the next change (lead). One shuffle, two
     // frames off the same keyed sort.
-    "sync_scd2_history" -> ((s, d) => {
+    "stream_scd2_history" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us").asc, col("event_id").asc)
       val e = Tables.events(s, d).filter(col("event_type").isNotNull)
@@ -122,7 +126,7 @@ SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type, (SELECT count(*) FROM s
 UNION ALL SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM s2)
 UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s3)""",
 
-    "sync_scd2_history" -> """
+    "stream_scd2_history" -> """
 WITH ordered AS (
   SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
          lag(event_type) OVER (PARTITION BY user_id
