@@ -1,0 +1,39 @@
+package graft
+
+/** Scale-posture regression gate: the physical plan of every registered
+  * query is checked for the two shapes that do not survive a 100x fact —
+  * CartesianProduct (never acceptable) and BroadcastNestedLoopJoin
+  * (acceptable ONLY where the build side is a deliberate tiny broadcast:
+  * a one-row corpus count, the collected centroid array, or the
+  * brute-force ANN baseline that is exhaustive by definition).
+  *
+  * A new query that accidentally plans a nested loop (a typo'd join key,
+  * a non-equi condition Catalyst can't hash) fails here, not in a 100 TB
+  * run. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** queries whose BroadcastNestedLoopJoin is a documented tiny-broadcast
+    * (1-row frames or the exhaustive baseline), not an accident */
+  private val bnljAllowed = Set(
+    "llm_ann_topk",        // brute-force baseline: exhaustive by definition
+    "llm_ann_ivf",         // 1-row collected-centroids broadcast
+    "llm_tfidf",           // 1-row corpus-count broadcast
+    "misc_heavy_hitters"   // 1-row total + 1-row sketch broadcast
+  )
+
+  test("no cartesian products; nested-loop joins only where a tiny broadcast is deliberate") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan =
+        try fn(spark, dir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      val cartesian = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+      if (cartesian || bnlj)
+        Some(s"$name: ${if (cartesian) "CartesianProduct " else ""}${if (bnlj) "BroadcastNestedLoopJoin" else ""}")
+      else None
+    }
+    assert(offenders.isEmpty, s"scale-hostile plans:\n${offenders.mkString("\n")}")
+  }
+}
