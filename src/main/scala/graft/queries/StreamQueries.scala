@@ -42,6 +42,18 @@ object StreamQueries {
           .otherwise(abs(z) > lit(3.0)).as("is_anomaly"))
     }),
 
+    // Batch twin of the stream-stream interval join (EventsStream.
+    // clickAttribution runs unchanged on batch frames — the watermarks
+    // are optimizer-eliminated): clicks attributed to same-user
+    // purchases within 30 minutes.
+    "stream_attribution" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      EventsStream.clickAttribution(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"),
+        withinSeconds = 1800)
+    }),
+
     // Funnel analysis: users progressing view → click → purchase in
     // order. Stage k's timestamp is the user's earliest stage-k event at
     // or after their stage-(k-1) time — three keyed aggregations chained
@@ -107,6 +119,20 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_attribution" -> """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts, p.purchase_ts, p.purchase_value
+FROM c JOIN p ON c.user_id = p.user_id
+             AND p.purchase_ts >= c.click_ts
+             AND p.purchase_ts <= c.click_ts + INTERVAL 1800 SECOND""",
+
     "stream_funnel" -> """
 WITH e AS (
   SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events

@@ -70,6 +70,30 @@ object EventsStream {
                    checkpointDir: String): String =
     runJob(hourlyByType(readEventsStream(spark, inDir)), outDir, checkpointDir)
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * purchases landing within `withinSeconds` after it — attribution, the
+    * canonical two-stream join. Both sides carry watermarks and the join
+    * condition bounds event time in BOTH directions, so Spark can size
+    * the join state and evict expired rows (an unbounded-interval
+    * stream-stream join would hold state forever). Works identically on
+    * batch frames (the condition is a plain interval predicate there). */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       withinSeconds: Long): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "2 hours")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** one event for the stateful sessionizer (ts kept as TIMESTAMP for the
     * watermark, micros for the gap arithmetic) */
   case class SessEvent(event_id: Long, ts: java.sql.Timestamp, ts_us: Long, user_id: Long)

@@ -100,6 +100,30 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickAttribution joins two real streams within the interval, state-bounded by watermarks") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long, Double)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    def df(ms: MemoryStream[(Long, Timestamp, Long, Double)]) =
+      ms.toDF().toDF("event_id", "ts", "user_id", "value")
+    val q = EventsStream.clickAttribution(df(clicks), df(purchases), withinSeconds = 1800)
+      .writeStream.format("memory").queryName("attr_test").outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L, 0.0),
+        (2L, ts("2024-01-01 12:00:00"), 7L, 0.0), // no purchase within 30 min
+        (3L, ts("2024-01-01 10:00:00"), 8L, 0.0))
+      purchases.addData(
+        (50L, ts("2024-01-01 10:20:00"), 7L, 9.5), // within 30 min of click 1
+        (51L, ts("2024-01-01 09:50:00"), 7L, 1.0), // BEFORE the click: excluded
+        (52L, ts("2024-01-01 11:00:00"), 8L, 3.0)) // 60 min after click 3: excluded
+      q.processAllAvailable()
+      val got = spark.table("attr_test")
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 50L)))
+    } finally q.stop()
+  }
+
   test("sessionizeStream finalizes sessions via gap and event-time timeout, matching the batch twin") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, Long)]
