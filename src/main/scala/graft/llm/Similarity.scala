@@ -75,6 +75,63 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** the one-row broadcastable centroid list frame */
+  private def centsFrame(centroids: DataFrame): DataFrame =
+    broadcast(centroids.agg(
+      collect_list(struct(col("cell_id"), col("centroid"))).as("cents")))
+
+  /** per-row argmax-fold cell assignment against a broadcast centroid
+    * list — map-side, codegen'd, tie-break on smaller cell_id so the
+    * result is independent of the collect_list order */
+  private def assignCells(df: DataFrame, embCol: String, cents: DataFrame): DataFrame =
+    df.crossJoin(cents) // one-row broadcast: a map-side pass
+      .withColumn("cell_id",
+        aggregate(col("cents"),
+          struct(lit(-2.0).as("cos"), lit(Long.MaxValue).as("cell")),
+          (acc, x) => {
+            val cos = round(cosineSim(col(embCol), x.getField("centroid")), 6)
+            val cell = x.getField("cell_id")
+            when(cos > acc.getField("cos") ||
+                (cos === acc.getField("cos") && cell < acc.getField("cell")),
+              struct(cos.as("cos"), cell.as("cell"))).otherwise(acc)
+          },
+          acc => acc.getField("cell")))
+      .drop("cents")
+
+  /** Lloyd-iteration k-means over the embedding column, returning
+    * (cell_id, centroid) — trained centroids for [[ivfTopK]] instead of
+    * its first-k-vectors default (better-balanced cells → better recall
+    * per probe). Deterministic AND partition-layout-independent: init is
+    * the k lowest vec_ids, assignment is the shared tie-broken argmax
+    * fold, and the mean update accumulates in DECIMAL (order-independent
+    * exact sums — a float sum would make the trained centroids depend on
+    * shuffle order). Each iteration is one map-side assignment pass plus
+    * one (cell, dim)-keyed aggregation; per-iteration localCheckpoint
+    * keeps the plan from growing with the iteration count. Empty cells
+    * drop out (standard Lloyd behavior). */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got k=$k iters=$iters")
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    var cents = base.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val assigned = assignCells(base, "embedding", centsFrame(cents))
+      cents = assigned
+        .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(27, 10))) /
+          count(lit(1))).cast(org.apache.spark.sql.types.FloatType).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    cents
+  }
+
   /** IVF top-k. Centroids are the first `nCells` corpus vectors by vec_id
     * (deterministic; `nCells <= 0` → ceil(sqrt(|corpus|)), the standard
     * IVF sizing — note the sizing count() runs eagerly at call time, a
@@ -89,28 +146,16 @@ object Similarity {
     * corpus vector lives in exactly one cell, so a (query, neighbor) pair
     * joins at most once even with nProbe > 1. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int = 0,
-              nProbe: Int = 1): DataFrame = {
-    val cells =
-      if (nCells > 0) nCells
-      else math.ceil(math.sqrt(corpus.count().toDouble)).toInt.max(1)
-    val cents = broadcast(
+              nProbe: Int = 1, centroids: Option[DataFrame] = None): DataFrame = {
+    val centroidDf = centroids.getOrElse {
+      val cells =
+        if (nCells > 0) nCells
+        else math.ceil(math.sqrt(corpus.count().toDouble)).toInt.max(1)
       corpus.orderBy("vec_id").limit(cells)
-        .agg(collect_list(struct(col("vec_id").as("cell_id"), col("embedding").as("centroid")))
-          .as("cents")))
-    def assign(df: DataFrame, ec: String): DataFrame =
-      df.crossJoin(cents) // one-row broadcast: a map-side pass
-        .withColumn("cell_id",
-          aggregate(col("cents"),
-            struct(lit(-2.0).as("cos"), lit(Long.MaxValue).as("cell")),
-            (acc, x) => {
-              val cos = round(cosineSim(col(ec), x.getField("centroid")), 6)
-              val cell = x.getField("cell_id")
-              when(cos > acc.getField("cos") ||
-                  (cos === acc.getField("cos") && cell < acc.getField("cell")),
-                struct(cos.as("cos"), cell.as("cell"))).otherwise(acc)
-            },
-            acc => acc.getField("cell")))
-        .drop("cents")
+        .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+    }
+    val cents = centsFrame(centroidDf)
+    def assign(df: DataFrame, ec: String): DataFrame = assignCells(df, ec, cents)
     val qSel = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val q =
       if (nProbe <= 1) assign(qSel, "qe")
