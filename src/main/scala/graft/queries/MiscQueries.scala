@@ -78,6 +78,45 @@ object MiscQueries {
           sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
             .cast(org.apache.spark.sql.types.DoubleType).as("sum_qty"))),
 
+    // Fact-fact join over BUCKETED tables: both sides land pre-hashed on
+    // the join key (8 buckets, sorted), so the sort-merge join needs NO
+    // shuffle exchange — the layout that makes a repeated 100 TB
+    // fact⋈fact join affordable. Tables are written once per session
+    // into the (gitignored) warehouse; the merge hint keeps the join
+    // SMJ so the bucket layout, not a broadcast, is what's exercised.
+    "misc_bucketed_join" -> ((s, d) => {
+      val tag = new java.io.File(d).getName.replaceAll("[^a-zA-Z0-9]", "_")
+      val ot = s"graft_orders_bkt_$tag"; val lt = s"graft_lineitem_bkt_$tag"
+      // a fresh JVM has an empty in-memory catalog but the previous run's
+      // warehouse directory may remain — clear the orphan or saveAsTable
+      // fails with LOCATION_ALREADY_EXISTS
+      def ensure(table: String, df: => org.apache.spark.sql.DataFrame,
+                 bucketCol: String): Unit =
+        if (!s.catalog.tableExists(table)) {
+          val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+          val loc = new java.io.File(wh, table)
+          if (loc.exists()) {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+            }
+            rm(loc)
+          }
+          graft.sources.Sources.writeBucketed(df, table, bucketCol, 8, Some(bucketCol))
+        }
+      ensure(ot, Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        "o_orderkey")
+      ensure(lt, Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_extendedprice"), col("l_discount")), "l_orderkey")
+      val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+      val o = s.table(ot); val l = s.table(lt)
+      o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(dec) *
+            (lit(BigDecimal(1).setScale(2)) - col("l_discount").cast(dec)))
+            .cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
+    }),
+
     // GROUPING SETS beyond what ROLLUP can express (the middle set keeps
     // linestatus, not the rollup prefix), with grouping_id disambiguating
     // aggregated-away NULLs from data NULLs.
@@ -207,6 +246,13 @@ SELECT l_returnflag, l_linestatus, count(*) AS n,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "misc_bucketed_join" -> """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority""",
 
     "misc_grouping_sets" -> """
 SELECT l_returnflag, l_linestatus,
