@@ -118,7 +118,7 @@ object Similarity {
     var i = 0
     while (i < iters) {
       val assigned = assignCells(base, "embedding", centsFrame(cents))
-      cents = assigned
+      val next = assigned
         .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell_id"), col("pos"))
         .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(27, 10))) /
@@ -127,6 +127,10 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("centroid"))
         .localCheckpoint(true)
+      // free the superseded iteration's blocks (k rows each, but they
+      // accumulate per call otherwise — same hygiene as the CC loop)
+      graft.operators.Checkpoints.release(cents)
+      cents = next
       i += 1
     }
     cents

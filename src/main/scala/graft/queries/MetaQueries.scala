@@ -20,12 +20,21 @@ object MetaQueries {
         denseId = false).drop("id")),
 
     "meta_incremental_staging" -> ((s, d) => {
+      // The narrow projection feeds THREE evaluations of the transform
+      // subtree (watermark agg inside incrementalMerge, `existing`, and
+      // the source union) — materialize it once, and materialize the
+      // merged result (one row per key — tiny) so the projection's blocks
+      // can be released before returning.
       val t = Meta.fbAdsTransformed(TestdataAdapter.adsInsights(s, d), TestdataAdapter.campaigns(s, d),
         denseId = false)
         .select("ad_id", "campaign_id", "date", "spend", "updated_at")
+        .localCheckpoint(true)
       val existing = t.filter(col("updated_at") <= lit("2024-01-20 00:00:00").cast("timestamp"))
-      Meta.incrementalMerge(existing, t, Seq("campaign_id", "date"),
+      val merged = Meta.incrementalMerge(existing, t, Seq("campaign_id", "date"),
         watermarkCol = "updated_at", tieBreak = Seq("ad_id"))
+        .localCheckpoint(true)
+      graft.operators.Checkpoints.release(t)
+      merged
     }),
 
     "meta_cleaned_data" -> ((s, d) =>

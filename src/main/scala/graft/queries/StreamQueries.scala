@@ -73,17 +73,23 @@ object StreamQueries {
       }
       // each stage frame is tiny (one row per funnel user) but its
       // lineage is a full scan+join+agg, and the three count branches
-      // below would otherwise re-execute it per reference — cache so the
-      // plan-matched subtree is materialized once
+      // below would otherwise re-execute it per reference — materialize
+      // each stage once, then release the blocks after the (3-row) result
+      // is itself materialized so repeated invocations don't accumulate
+      // session-lifetime storage
       val s1 = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts_us")).as("prev_us")).cache()
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("prev_us")).localCheckpoint(true)
       // click any time after the first view; purchase must convert within
       // an hour of that click (the constraint that makes the funnel narrow)
-      val s2 = stage("click", s1, None).cache()
+      val s2 = stage("click", s1, None).localCheckpoint(true)
       val s3 = stage("purchase", s2, Some(3600000000L))
-      s1.agg(count(lit(1)).as("n_users")).select(lit(1L).as("stage"), lit("view").as("event_type"), col("n_users"))
+      val out = s1.agg(count(lit(1)).as("n_users")).select(lit(1L).as("stage"), lit("view").as("event_type"), col("n_users"))
         .unionByName(s2.agg(count(lit(1)).as("n_users")).select(lit(2L).as("stage"), lit("click").as("event_type"), col("n_users")))
         .unionByName(s3.agg(count(lit(1)).as("n_users")).select(lit(3L).as("stage"), lit("purchase").as("event_type"), col("n_users")))
+        .localCheckpoint(true)
+      graft.operators.Checkpoints.release(s1)
+      graft.operators.Checkpoints.release(s2)
+      out
     }),
 
     // SCD Type 2 history build: each user's event_type as a
