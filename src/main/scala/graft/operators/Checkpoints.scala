@@ -14,10 +14,17 @@ import org.apache.spark.sql.DataFrame
   */
 object Checkpoints {
 
-  /** Free the storage blocks behind a localCheckpoint'd frame. Safe on
-    * any frame: a plan without a LogicalRDD leaf is left untouched. */
+  /** Free the storage blocks behind a localCheckpoint'd frame. Only acts
+    * when the frame IS the checkpoint — i.e. its analyzed plan's root is
+    * the LogicalRDD the checkpoint produced. A frame merely DERIVED from
+    * a checkpoint is left untouched: collecting a LogicalRDD from
+    * anywhere inside such a plan could free a still-live upstream
+    * checkpoint whose lineage is truncated, making every later use fail
+    * unrecoverably ("checkpoint block not found"). */
   def release(df: DataFrame): Unit =
-    df.queryExecution.optimizedPlan.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(blocking = false))
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 }

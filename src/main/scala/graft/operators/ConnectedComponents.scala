@@ -73,24 +73,20 @@ object ConnectedComponents {
         .distinct()
     }
 
-    // Dataset.unpersist is a no-op for a localCheckpoint'd frame (the
-    // blocks live on the raw RDD, which CacheManager never saw) — free
-    // each superseded round's blocks by unpersisting the LogicalRDD's
-    // underlying RDD directly, or 50 rounds of edge sets pile up in
-    // storage until a driver GC.
-    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.optimizedPlan.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }
-
     var sig = signature(e)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // LAZY localCheckpoint: the signature aggregation is the first
+      // action over the marked RDD, so ONE job per round both
+      // materializes the round's blocks and computes the convergence
+      // scalar (an eager checkpoint + separate agg paid two passes).
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == sig
-      checkpointRdd(e).foreach(_.unpersist(blocking = false))
+      // free the superseded round's blocks, or maxIter rounds of edge
+      // sets pile up in executor storage until a driver GC
+      Checkpoints.release(e)
       e = next; sig = nextSig; it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

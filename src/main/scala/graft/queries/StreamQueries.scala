@@ -76,7 +76,12 @@ object StreamQueries {
       // below would otherwise re-execute it per reference — materialize
       // each stage once, then release the blocks after the (3-row) result
       // is itself materialized so repeated invocations don't accumulate
-      // session-lifetime storage
+      // session-lifetime storage. Tradeoff vs cache(): checkpointed
+      // blocks cannot be recomputed after executor loss (lineage is
+      // truncated) and construction is eager — right for this bench
+      // harness; a cluster deployment with dynamic allocation should
+      // prefer cache()+unpersist here and reserve localCheckpoint for
+      // iterative lineage truncation (CC, k-means).
       val s1 = e.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts_us")).as("prev_us")).localCheckpoint(true)
       // click any time after the first view; purchase must convert within
