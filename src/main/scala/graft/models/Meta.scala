@@ -103,6 +103,39 @@ object Meta {
       .drop("__rn")
   }
 
+  /** Last-writer-wins snapshot: one row per `uniqueKey`, the greatest
+    * `watermarkCol` winning, ties broken by `tieBreak` ascending. */
+  def latestByKey(df: DataFrame, uniqueKey: Seq[String], watermarkCol: String,
+                  tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val w = Window.partitionBy(uniqueKey.map(col): _*)
+      .orderBy(col(watermarkCol).desc +: tieBreak.map(col(_).asc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** TRUE MERGE / upsert semantics (dbt's `merge` strategy on
+    * main_taico_staging.sql:3-6): the deduplicated SOURCE row replaces
+    * the existing row for every matched unique key REGARDLESS of which
+    * side carries the newer watermark — when matched UPDATE, when not
+    * matched INSERT. This pins the documented divergence from
+    * [[incrementalMerge]]'s last-writer-wins union: the two agree
+    * whenever every source row is strictly newer than the target's
+    * watermark (the steady-state incremental run), and differ under
+    * reprocessing/backfill overlap, where MERGE lets a re-delivered
+    * OLDER row overwrite a newer target row. Source-side duplicate keys
+    * are resolved last-writer-wins first (a real MERGE raises on
+    * multiple matches; dbt pre-dedupes the same way). Shape: one keyed
+    * window over the source + one anti join — no shuffle of the target
+    * beyond the join, and the anti join broadcasts whenever the batch
+    * is small, the common incremental case. */
+  def mergeUpsert(existing: DataFrame, source: DataFrame, uniqueKey: Seq[String],
+                  watermarkCol: String = "updated_at",
+                  tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val s = latestByKey(source, uniqueKey, watermarkCol, tieBreak)
+    existing.join(s, uniqueKey, "left_anti").unionByName(s)
+  }
+
   /** cleaned_data.sql:2-25 — null-coalescing defaults (F7) + comma-decimal
     * money casts over the 26-col wide table. */
   def cleanedData(raw: DataFrame): DataFrame =

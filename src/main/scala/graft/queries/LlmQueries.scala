@@ -129,6 +129,39 @@ object LlmQueries {
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       TextStats.packChunksFfd(chunks, budget = 256)
     }),
+    // Driver-verified ANN recall: banded-LSH top-k scored against the
+    // brute-force ground truth per query — the measured recall the LSH
+    // tuning comments claim, as a checked column instead of a comment.
+    // Exact double: n_hits/n_true is integer-over-integer division.
+    "llm_ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val truth = Similarity.bruteForceTopK(q, e, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.lshTopK(q, e, 5)
+        .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
+      truth.join(approx,
+          truth("query_id") === approx("a_qid") &&
+            truth("neighbor_id") === approx("a_nid"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_true"), count(col("a_nid")).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast(org.apache.spark.sql.types.DoubleType) /
+            col("n_true").cast(org.apache.spark.sql.types.DoubleType))
+    }),
+
+    // Incremental top-k maintenance == full recompute: fold the %5==0
+    // batch into the top-k over the %5!=0 corpus and check against the
+    // full-corpus oracle — the exactness claim of incrementalTopK
+    // (a true top-k row is in the old top-k or in the batch), driver-
+    // verified. Cost scales with the batch, not the corpus.
+    "llm_ann_incremental" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val existing = Similarity.bruteForceTopK(q, e.filter(col("vec_id") % 5 =!= 0), 5)
+      Similarity.incrementalTopK(existing, q, e.filter(col("vec_id") % 5 === 0), 5)
+    }),
+
     "llm_pii_redact" -> ((s, d) => {
       // harness text carries no PII — inject deterministic markers so the
       // redaction path actually fires, then scrub them back out
@@ -261,6 +294,20 @@ SELECT doc_id, lang, $folded AS lang_pred FROM scored"""
   private val stopList =
     TextStats.langMarkers.flatMap(_._2).distinct.map(m => s"'$m'").mkString(", ")
 
+  /** brute-force cosine top-5 for queries vec_id < 10 over the FULL
+    * corpus — the oracle for llm_ann_topk and (because the incremental
+    * fold is exact) llm_ann_incremental */
+  private def annTopkSql: String = s"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5"""
+
   val oracle: Map[String, String] = Map(
     "llm_exact_dup_groups" -> """
 SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS dup_count
@@ -379,16 +426,46 @@ WITH bucketed AS (
 )
 SELECT a, b, cosine FROM pairs WHERE cosine >= 0.5""",
 
-    "llm_ann_topk" -> s"""
-WITH scored AS (
+    "llm_ann_topk" -> annTopkSql,
+
+    // full recompute over the whole corpus — green proves the
+    // incremental fold (old top-k + fresh batch scores) is EXACT
+    "llm_ann_incremental" -> annTopkSql,
+
+    "llm_ann_recall" -> s"""
+WITH bf AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
   FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM bf) WHERE rank <= 5
+), bucketed AS (
+  SELECT vec_id, embedding, $hyperplaneBucketSql AS bucket FROM embeddings
+), probes AS (
+  SELECT vec_id, embedding,
+         unnest([bucket, ${(0 until 6).map(i => s"xor(bucket, ${1 << i})").mkString(", ")}]) AS bucket
+  FROM bucketed WHERE vec_id < 10
+), ascored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
+  FROM probes q JOIN bucketed c
+    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM ascored) WHERE rank <= 5
 )
-SELECT query_id, neighbor_id, cosine,
-       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
-FROM scored
-QUALIFY rank <= 5""",
+SELECT t.query_id, count(*) AS n_true, count(a.neighbor_id) AS n_hits,
+       CAST(count(a.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+FROM truth t LEFT JOIN approx a
+  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+GROUP BY t.query_id""",
 
     "llm_ann_lsh" -> s"""
 WITH bucketed AS (

@@ -37,6 +37,32 @@ object MetaQueries {
       merged
     }),
 
+    // TRUE-MERGE fidelity pin: a backfill batch (updated_at in
+    // (01-10, 01-14]) is merged into the incremental snapshot as of
+    // 01-15. The batch does NOT contain the keys' newest rows, so MERGE
+    // (source wins on match — dbt's `merge` strategy) overwrites newer
+    // target rows with re-delivered older ones, which is exactly where
+    // it diverges from incrementalMerge's last-writer-wins union. The
+    // oracle replays when-matched-update/when-not-matched-insert in SQL.
+    "meta_merge_semantics" -> ((s, d) => {
+      val t = Meta.fbAdsTransformed(TestdataAdapter.adsInsights(s, d), TestdataAdapter.campaigns(s, d),
+        denseId = false)
+        .select("ad_id", "campaign_id", "date", "spend", "updated_at")
+        .localCheckpoint(true)
+      val key = Seq("campaign_id", "date")
+      val existing = Meta.latestByKey(
+        t.filter(col("updated_at") <= lit("2024-01-15 00:00:00").cast("timestamp")),
+        key, "updated_at", Seq("ad_id"))
+      val batch = t.filter(
+        col("updated_at") > lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("updated_at") <= lit("2024-01-14 00:00:00").cast("timestamp"))
+      val out = Meta.mergeUpsert(existing, batch, key,
+        watermarkCol = "updated_at", tieBreak = Seq("ad_id"))
+        .localCheckpoint(true)
+      graft.operators.Checkpoints.release(t)
+      out
+    }),
+
     "meta_cleaned_data" -> ((s, d) =>
       Meta.cleanedData(TestdataAdapter.mainWide(s, d)))
   )
@@ -119,6 +145,29 @@ SELECT ad_id, campaign_id, date, spend, updated_at FROM (
                                ORDER BY updated_at DESC, ad_id ASC) AS rn
   FROM merged
 ) WHERE rn = 1""",
+
+    "meta_merge_semantics" -> s"""$adsCte,
+narrow AS (
+  SELECT ad_id, campaign_id, date, spend, updated_at FROM transformed
+), existing AS (
+  SELECT ad_id, campaign_id, date, spend, updated_at FROM (
+    SELECT *, row_number() OVER (PARTITION BY campaign_id, date
+                                 ORDER BY updated_at DESC, ad_id ASC) AS rn
+    FROM narrow WHERE updated_at <= TIMESTAMP '2024-01-15 00:00:00'
+  ) WHERE rn = 1
+), batch AS (
+  SELECT ad_id, campaign_id, date, spend, updated_at FROM (
+    SELECT *, row_number() OVER (PARTITION BY campaign_id, date
+                                 ORDER BY updated_at DESC, ad_id ASC) AS rn
+    FROM narrow WHERE updated_at > TIMESTAMP '2024-01-10 00:00:00'
+                  AND updated_at <= TIMESTAMP '2024-01-14 00:00:00'
+  ) WHERE rn = 1
+)
+SELECT e.ad_id, e.campaign_id, e.date, e.spend, e.updated_at FROM existing e
+WHERE NOT EXISTS (SELECT 1 FROM batch b
+                  WHERE b.campaign_id = e.campaign_id AND b.date = e.date)
+UNION ALL
+SELECT ad_id, campaign_id, date, spend, updated_at FROM batch""",
 
     "meta_cleaned_data" -> s"""${OracleCtes.mainWide}
 SELECT id, CAST(date AS TIMESTAMP) AS date,

@@ -198,6 +198,86 @@ object MiscQueries {
             .as("est_ok"))
     }),
 
+    // Salted two-phase aggregation (Skew.saltedAggregate): the hot-key
+    // insurance for a 100 TB groupBy — partial sums per (key, salt)
+    // spread a hot key over 16 reducers, the final pass folds 16 rows
+    // per key. The oracle is the PLAIN group-by: green means the salted
+    // plan is bit-identical to the unsalted one (exact DECIMAL partials
+    // make the two-stage sum order-independent; DOUBLE only at the
+    // output boundary).
+    "misc_salted_agg" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+      val li = Tables.lineitem(s, d).select(
+        col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+        col("l_quantity").cast(dec).as("qty"),
+        col("l_extendedprice").cast(dec).as("price"))
+      graft.operators.Skew.saltedAggregate(li,
+          keys = Seq("l_returnflag", "l_linestatus"), spread = col("l_orderkey"),
+          sums = Map("sum_qty" -> "qty", "sum_price" -> "price"),
+          countCol = Some("n"), saltBuckets = 16)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty").cast(org.apache.spark.sql.types.DoubleType).as("sum_qty"),
+          col("sum_price").cast(org.apache.spark.sql.types.DoubleType).as("sum_price"),
+          col("n"))
+    }),
+
+    // Salted replicated join (Skew.replicatedSaltedJoin): the dimension
+    // is exploded once per salt, the fact salted deterministically, the
+    // join runs on (key, salt) — a hot orderkey spreads over 8 reducers.
+    // Oracle = the plain join: green proves replication changes nothing.
+    "misc_salted_join" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+      val fact = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
+      val dim = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.replicatedSaltedJoin(fact, dim, Seq("o_orderkey"),
+          spread = struct(col("o_orderkey"), col("l_linenumber")), saltBuckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(dec) *
+            (lit(BigDecimal(1).setScale(2)) - col("l_discount").cast(dec)))
+            .cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
+    }),
+
+    // Z-order pruning evidence (Layout.zValue2): simulate the file
+    // layout both ways — linear (x, y) sort vs Morton-interleaved — cut
+    // into 64 equal files (ntile), and count the files a min-side
+    // predicate on x, on y, and on both would have to read from their
+    // min/max footer stats. Green + zorder's files_y < linear's is the
+    // driver-visible proof that the interleaved layout prunes on EITHER
+    // column where a linear sort only prunes its prefix. (The global
+    // ntile is the SIMULATION's device so DuckDB can replay the exact
+    // assignment; the real write path, Layout.writeZOrdered, uses
+    // repartitionByRange — no global window — and stays covered by
+    // LayoutSpec.)
+    "misc_zorder_pruning" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d).select(
+        col("l_partkey").cast("long").as("x"),
+        col("l_suppkey").cast("long").as("y"),
+        (col("l_orderkey").cast("long") * 10 + col("l_linenumber")).as("rid"))
+      val filed = li
+        .withColumn("z", graft.operators.Layout.zValue2(col("x"), col("y")))
+        .withColumn("f_lin",
+          ntile(64).over(w.orderBy(col("x").asc, col("y").asc, col("rid").asc)))
+        .withColumn("f_z", ntile(64).over(w.orderBy(col("z").asc, col("rid").asc)))
+      val bounds = broadcast(li.agg(
+        expr("max(x) div 8").as("hx"), expr("max(y) div 8").as("hy")))
+      def stats(fcol: String, layout: String): DataFrame =
+        filed.groupBy(col(fcol).as("f"))
+          .agg(min("x").as("min_x"), min("y").as("min_y"))
+          .withColumn("layout", lit(layout))
+      stats("f_lin", "linear").unionByName(stats("f_z", "zorder"))
+        .crossJoin(bounds)
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("files_total"),
+          sum(when(col("min_x") <= col("hx"), 1L).otherwise(0L)).as("files_x"),
+          sum(when(col("min_y") <= col("hy"), 1L).otherwise(0L)).as("files_y"),
+          sum(when(col("min_x") <= col("hx") && col("min_y") <= col("hy"), 1L)
+            .otherwise(0L)).as("files_xy"))
+    }),
+
     // U1: UNION ALL of two incremental slices (column-name aligned).
     "misc_union_all" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -295,6 +375,69 @@ FROM t GROUP BY term""",
     "misc_union_all" -> """
 SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'
 UNION ALL
-SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O'"""
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O'""",
+
+    // the PLAIN aggregation — green proves the salted two-phase plan
+    // changes nothing
+    "misc_salted_agg" -> """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    // the PLAIN join — green proves salt replication changes nothing
+    "misc_salted_join" -> """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority""",
+
+    "misc_zorder_pruning" -> s"""
+WITH zbase AS (
+  SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
+         CAST(l_orderkey AS BIGINT) * 10 + l_linenumber AS rid
+  FROM lineitem
+), $mortonCtes,
+filed AS (
+  SELECT x, y,
+         ntile(64) OVER (ORDER BY x ASC, y ASC, rid ASC) AS f_lin,
+         ntile(64) OVER (ORDER BY z ASC, rid ASC) AS f_z
+  FROM zed
+), bounds AS (SELECT max(x) // 8 AS hx, max(y) // 8 AS hy FROM zbase),
+stats AS (
+  SELECT 'linear' AS layout, f_lin AS f, min(x) AS min_x, min(y) AS min_y
+  FROM filed GROUP BY f_lin
+  UNION ALL
+  SELECT 'zorder' AS layout, f_z AS f, min(x) AS min_x, min(y) AS min_y
+  FROM filed GROUP BY f_z
+)
+SELECT layout, count(*) AS files_total,
+       count(*) FILTER (WHERE min_x <= hx) AS files_x,
+       count(*) FILTER (WHERE min_y <= hy) AS files_y,
+       count(*) FILTER (WHERE min_x <= hx AND min_y <= hy) AS files_xy
+FROM stats CROSS JOIN bounds
+GROUP BY layout"""
   )
+
+  /** DuckDB twin of Layout.spread/zValue2: the 5 shift-or-mask Morton
+    * rounds as CHAINED CTE stages — each stage references the previous
+    * one's vx/vy once, where a single nested expression would copy the
+    * base subtree 2^5 times. Masks are the classic Morton constants
+    * (0x0000FFFF0000FFFF … 0x5555555555555555) in decimal because DuckDB
+    * has no hex literals in this position. */
+  private def mortonCtes: String = {
+    val rounds = Seq(
+      (16, 281470681808895L), (8, 71777214294589695L),
+      (4, 1085102592571150095L), (2, 3689348814741910323L),
+      (1, 6148914691236517205L))
+    val stages = rounds.zipWithIndex.map { case ((sh, mask), i) =>
+      s"m${i + 1} AS (SELECT x, y, rid, ((vx | (vx << $sh)) & $mask) AS vx," +
+        s" ((vy | (vy << $sh)) & $mask) AS vy FROM m$i)"
+    }
+    s"""m0 AS (SELECT x, y, rid, x & 2147483647 AS vx, y & 2147483647 AS vy FROM zbase),
+${stages.mkString(",\n")},
+zed AS (SELECT x, y, rid, (vx | (vy << 1)) AS z FROM m5)"""
+  }
 }

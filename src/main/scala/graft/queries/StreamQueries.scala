@@ -115,6 +115,24 @@ object StreamQueries {
         lead(col("ts_us"), 1).over(byUser).isNull.as("is_current"))
     }),
 
+    // Batch twin of EventsStream.sessionizeStream (the
+    // flatMapGroupsWithState sessionizer): gap-closed per-user sessions
+    // aggregated to the stream's SessionOut shape — (user_id,
+    // session_seq, n_events, start_us, end_us). EventsStreamSpec proves
+    // the stateful streaming path emits exactly these rows; this entry
+    // puts the shared semantics under the DuckDB gate. One shuffle
+    // (hash by user) feeds both the session numbering window and the
+    // final per-session aggregate.
+    "stream_sessionize" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      graft.operators.Temporal.sessionize(e, "user_id", "ts", "event_id", 1800)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
+    }),
+
     // Batch twin of dropDuplicatesWithinWatermark: earliest-wins keyed
     // dedup with a deterministic tie-break (the streaming op keeps the
     // first arrival; batch pins arrival order = (ts, event_id)).
@@ -216,6 +234,28 @@ SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2""",
+
+    "stream_sessionize" -> """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+), sess AS (
+  SELECT user_id, ts_us,
+         CAST(sum(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts_us ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts_us) AS start_us, max(ts_us) AS end_us
+FROM sess GROUP BY user_id, session_seq""",
 
     "stream_dedup_by_key" -> """
 SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS first_ts, event_id AS first_event_id

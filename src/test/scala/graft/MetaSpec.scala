@@ -56,6 +56,39 @@ class MetaSpec extends SparkSpec {
     assert(merged.map(_.getDouble(2)).toSeq == Seq(1.0, 9.0, 3.0)) // k2 updated
   }
 
+  test("mergeUpsert: true MERGE replays a backfill; incrementalMerge's LWW ignores it (pinned divergence)") {
+    val key = Seq("ad_id", "date")
+    val existing = Seq(
+      ("k1", "2024-01-01", 1.0, ts("2024-01-05 00:00:00")), // newer than the backfill's k1
+      ("k2", "2024-01-01", 2.0, ts("2024-01-01 00:00:00"))
+    ).toDF("ad_id", "date", "spend", "updated_at")
+    val backfill = Seq(
+      ("k1", "2024-01-01", 9.0, ts("2024-01-03 00:00:00")), // re-delivered OLDER row
+      ("k3", "2024-01-01", 3.0, ts("2024-01-02 00:00:00"))
+    ).toDF("ad_id", "date", "spend", "updated_at")
+    // MERGE: when matched UPDATE — the older batch row replaces k1
+    val merged = Meta.mergeUpsert(existing, backfill, key, tieBreak = Seq("ad_id"))
+      .orderBy("ad_id").collect()
+    assert(merged.map(r => (r.getString(0), r.getDouble(2))).toSeq ==
+      Seq(("k1", 9.0), ("k2", 2.0), ("k3", 3.0)))
+    // LWW: every backfill row sits at/below the high-watermark (01-05),
+    // so incrementalMerge drops the whole batch — k3 never lands
+    val lww = Meta.incrementalMerge(existing, backfill, key, tieBreak = Seq("ad_id"))
+      .orderBy("ad_id").collect()
+    assert(lww.map(r => (r.getString(0), r.getDouble(2))).toSeq ==
+      Seq(("k1", 1.0), ("k2", 2.0)))
+    // steady state (every source row past the watermark): the two agree
+    val steady = Seq(
+      ("k2", "2024-01-01", 9.0, ts("2024-01-06 00:00:00")),
+      ("k3", "2024-01-01", 3.0, ts("2024-01-07 00:00:00"))
+    ).toDF("ad_id", "date", "spend", "updated_at")
+    val a = Meta.mergeUpsert(existing, steady, key, tieBreak = Seq("ad_id"))
+      .orderBy("ad_id").collect().toSeq
+    val b = Meta.incrementalMerge(existing, steady, key, tieBreak = Seq("ad_id"))
+      .orderBy("ad_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("cleanedData coalesces nulls and parses comma money (cleaned_data.sql)") {
     val raw = Seq(
       (1L, "2024-01-01", null.asInstanceOf[String], null.asInstanceOf[String],

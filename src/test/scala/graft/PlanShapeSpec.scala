@@ -19,8 +19,11 @@ class PlanShapeSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "llm_ann_topk",        // brute-force baseline: exhaustive by definition
     "llm_ann_ivf",         // 1-row collected-centroids broadcast
+    "llm_ann_recall",      // brute-force ground-truth side of the recall check
+    "llm_ann_incremental", // query-set × batch scoring: exhaustive over the BATCH by design
     "llm_tfidf",           // 1-row corpus-count broadcast
-    "misc_heavy_hitters"   // 1-row total + 1-row sketch broadcast
+    "misc_heavy_hitters",  // 1-row total + 1-row sketch broadcast
+    "misc_zorder_pruning"  // 1-row predicate-bounds broadcast onto 128 stat rows
   )
 
   test("no cartesian products; nested-loop joins only where a tiny broadcast is deliberate") {
