@@ -75,6 +75,43 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Banded hyperplane LSH top-k: `nBands` INDEPENDENT `nBits`-bit
+    * bucketings (band t consumes dims [2·nBits·t, 2·nBits·(t+1))); a
+    * corpus row is a candidate if it shares ANY band's bucket with the
+    * query. Per-plane agreement for a pair at angle θ is p = 1 − θ/π, so
+    * candidate recall is 1 − (1 − p^nBits)^nBands — the OR over bands is
+    * what single-bucket [[lshTopK]] (p^nBits, plus Hamming-1 probes)
+    * cannot reach at low-similarity thresholds; the 4×8 default is the
+    * measured harness tuning (see Dedup.embeddingNearDupPairs). Shape:
+    * both sides explode to (band, bucket) signatures and meet in ONE
+    * equi-join — the minhash banded-candidate pattern — then pair dedup
+    * and exact rescoring. Corpus fan-out is nBands× of (id, bucket)
+    * signatures in the shuffle, not payloads; the out-of-range guard
+    * keeps a short vector from hashing every band to bucket 0 and
+    * degenerating the join. */
+  def lshTopKBanded(queries: DataFrame, corpus: DataFrame, k: Int,
+                    nBits: Int = 4, nBands: Int = 8): DataFrame = {
+    def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+          explode(array((0 until nBands).map { t =>
+            struct(lit(t).as("band"),
+              hyperplaneBucket(col("embedding"), nBits, 2 * nBits * t).as("bucket"),
+              (size(col("embedding")) > 2 * nBits * t + 1).as("in_range"))
+          }: _*)).as("bb"))
+        .filter(col("bb.in_range"))
+        .select(col(idAs), col(embAs),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val q = banded(queries, "query_id", "qe")
+    val c = banded(corpus, "neighbor_id", "ce")
+    val scored = q.join(c, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // every copy of a pair carries the same (qe, ce), so the arbitrary
+      // survivor of the dedup is value-deterministic
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", round(cosineSim(col("qe"), col("ce")), 6))
+    rankTopK(scored, k)
+  }
+
   /** the one-row broadcastable centroid list frame */
   private def centsFrame(centroids: DataFrame): DataFrame =
     broadcast(centroids.agg(

@@ -129,25 +129,45 @@ object LlmQueries {
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       TextStats.packChunksFfd(chunks, budget = 256)
     }),
-    // Driver-verified ANN recall: banded-LSH top-k scored against the
-    // brute-force ground truth per query — the measured recall the LSH
-    // tuning comments claim, as a checked column instead of a comment.
-    // Exact double: n_hits/n_true is integer-over-integer division.
+    // Banded-LSH top-k: the OR-over-bands candidate family that keeps
+    // recall at LOW similarity thresholds where single-bucket LSH
+    // (p^6 agreement + Hamming-1 probes) collapses — the scale path the
+    // near-dup tuning already uses, now as a top-k search operator.
+    "llm_ann_banded" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopKBanded(e.filter(col("vec_id") < 10), e, 5)
+    }),
+
+    // Driver-verified ANN recall: every approximate index (single-bucket
+    // LSH, banded LSH, trained-cells IVF) scored against the brute-force
+    // ground truth per query — the measured-recall claims as checked
+    // columns instead of comments. Exact doubles: hits/n_true is
+    // integer-over-integer division.
     "llm_ann_recall" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
       val truth = Similarity.bruteForceTopK(q, e, 5)
         .select(col("query_id"), col("neighbor_id"))
-      val approx = Similarity.lshTopK(q, e, 5)
-        .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
-      truth.join(approx,
-          truth("query_id") === approx("a_qid") &&
-            truth("neighbor_id") === approx("a_nid"), "left")
+      def pairs(df: DataFrame, mark: String): DataFrame =
+        df.select(col("query_id"), col("neighbor_id"), lit(1L).as(mark))
+      val dbl = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DoubleType)
+      truth
+        .join(pairs(Similarity.lshTopK(q, e, 5), "m_lsh"),
+          Seq("query_id", "neighbor_id"), "left")
+        .join(pairs(Similarity.lshTopKBanded(q, e, 5), "m_banded"),
+          Seq("query_id", "neighbor_id"), "left")
+        .join(pairs(Similarity.ivfTopK(q, e, 5, nProbe = 2), "m_ivf"),
+          Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_true"), count(col("a_nid")).as("n_hits"))
-        .withColumn("recall",
-          col("n_hits").cast(org.apache.spark.sql.types.DoubleType) /
-            col("n_true").cast(org.apache.spark.sql.types.DoubleType))
+        .agg(count(lit(1)).as("n_true"),
+          count(col("m_lsh")).as("hits_lsh"),
+          count(col("m_banded")).as("hits_banded"),
+          count(col("m_ivf")).as("hits_ivf"))
+        .select(col("query_id"), col("n_true"),
+          col("hits_lsh"), (dbl(col("hits_lsh")) / dbl(col("n_true"))).as("recall_lsh"),
+          col("hits_banded"), (dbl(col("hits_banded")) / dbl(col("n_true"))).as("recall_banded"),
+          col("hits_ivf"), (dbl(col("hits_ivf")) / dbl(col("n_true"))).as("recall_ivf"))
     }),
 
     // Incremental top-k maintenance == full recompute: fold the %5==0
@@ -432,6 +452,27 @@ SELECT a, b, cosine FROM pairs WHERE cosine >= 0.5""",
     // incremental fold (old top-k + fresh batch scores) is EXACT
     "llm_ann_incremental" -> annTopkSql,
 
+    "llm_ann_banded" -> s"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         ${(0 until 8).map(t => s"${hyperplaneBucketSqlAt(8 * t, 4)} AS bk$t").mkString(",\n         ")}
+  FROM embeddings
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bucketed q JOIN bucketed c
+    ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+   AND (${(0 until 8).map(t => s"q.bk$t = c.bk$t").mkString(" OR ")})
+), scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         round(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
+  FROM cand cd JOIN embeddings x ON cd.query_id = x.vec_id
+               JOIN embeddings y ON cd.neighbor_id = y.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5""",
+
     "llm_ann_recall" -> s"""
 WITH bf AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -443,28 +484,77 @@ WITH bf AS (
            row_number() OVER (PARTITION BY query_id
                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
     FROM bf) WHERE rank <= 5
-), bucketed AS (
+), lbucketed AS (
   SELECT vec_id, embedding, $hyperplaneBucketSql AS bucket FROM embeddings
-), probes AS (
+), lprobes AS (
   SELECT vec_id, embedding,
          unnest([bucket, ${(0 until 6).map(i => s"xor(bucket, ${1 << i})").mkString(", ")}]) AS bucket
-  FROM bucketed WHERE vec_id < 10
-), ascored AS (
+  FROM lbucketed WHERE vec_id < 10
+), lscored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
-  FROM probes q JOIN bucketed c
+  FROM lprobes q JOIN lbucketed c
     ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-), approx AS (
+), lsh AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
-    FROM ascored) WHERE rank <= 5
+    FROM lscored) WHERE rank <= 5
+), bbucketed AS (
+  SELECT vec_id, embedding,
+         ${(0 until 8).map(t => s"${hyperplaneBucketSqlAt(8 * t, 4)} AS bk$t").mkString(",\n         ")}
+  FROM embeddings
+), bcand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bbucketed q JOIN bbucketed c
+    ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+   AND (${(0 until 8).map(t => s"q.bk$t = c.bk$t").mkString(" OR ")})
+), bscored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         round(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
+  FROM bcand cd JOIN embeddings x ON cd.query_id = x.vec_id
+                JOIN embeddings y ON cd.neighbor_id = y.vec_id
+), banded AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM bscored) WHERE rank <= 5
+), cents AS (
+  SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings
+  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)
+), assigned AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(${cosSql("e.embedding", "c.centroid")}, 6) DESC, c.cell_id ASC) AS crank
+  FROM embeddings e, cents c
+), cells AS (SELECT vec_id, embedding, cell_id FROM assigned WHERE crank = 1),
+qprobes AS (
+  SELECT vec_id, embedding, cell_id FROM assigned WHERE vec_id < 10 AND crank <= 2
+), iscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
+  FROM qprobes q JOIN cells c
+    ON q.cell_id = c.cell_id AND q.vec_id <> c.vec_id
+), ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM iscored) WHERE rank <= 5
 )
-SELECT t.query_id, count(*) AS n_true, count(a.neighbor_id) AS n_hits,
-       CAST(count(a.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
-FROM truth t LEFT JOIN approx a
-  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+SELECT t.query_id, count(*) AS n_true,
+       count(l.neighbor_id) AS hits_lsh,
+       CAST(count(l.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_lsh,
+       count(b.neighbor_id) AS hits_banded,
+       CAST(count(b.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_banded,
+       count(i.neighbor_id) AS hits_ivf,
+       CAST(count(i.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivf
+FROM truth t
+LEFT JOIN lsh l ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+LEFT JOIN banded b ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+LEFT JOIN ivf i ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
 GROUP BY t.query_id""",
 
     "llm_ann_lsh" -> s"""

@@ -278,6 +278,27 @@ object MiscQueries {
             .otherwise(0L)).as("files_xy"))
     }),
 
+    // Bloom-filter pre-join (BloomJoin.bloomFiltered): the selective-dim
+    // runtime filter — a bloom over the dim keys broadcasts in KBs and
+    // drops non-matching fact rows MAP-SIDE before the join shuffle.
+    // Oracle = the plain join: green proves no-false-negatives (every
+    // true match survives the bloom) and that the trailing equi join
+    // scrubs the false positives — the result is identical, only the
+    // shuffled volume changes.
+    "misc_bloom_prejoin" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+      val dim = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val fact = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+      graft.operators.BloomJoin
+        .bloomFiltered(fact, "l_orderkey", dim, "o_orderkey", expectedItems = 100000L)
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(dec))
+            .cast(org.apache.spark.sql.types.DoubleType).as("sum_price"))
+    }),
+
     // U1: UNION ALL of two incremental slices (column-name aligned).
     "misc_union_all" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -376,6 +397,15 @@ FROM t GROUP BY term""",
 SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'
 UNION ALL
 SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O'""",
+
+    // the PLAIN join — green proves the bloom pre-filter admits every
+    // true match and the join scrubs its false positives
+    "misc_bloom_prejoin" -> """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 400000
+GROUP BY o_orderpriority""",
 
     // the PLAIN aggregation — green proves the salted two-phase plan
     // changes nothing
