@@ -35,6 +35,24 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, ppm: Int): DataFrame =
     df.filter(hashSampleGate(col(keyCol), ppm))
 
+  /** Exact k-per-group deterministic sample (a reservoir with a hash
+    * order): rank rows inside each group by the md5 of their key and
+    * keep the first `k`. Reproducible across runs and partitionings
+    * (the order depends only on the key), independent of any data
+    * ordering, and exactly k rows per group (fewer only when the group
+    * is smaller). One shuffle (hash by group) + an in-partition sort —
+    * the per-group twin of hashSample's fixed-rate gate, for the
+    * "n examples per source/language" curation shape. */
+  def perGroupSample(df: DataFrame, groupCol: String, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit("pg-"), col(keyCol).cast(StringType))).asc,
+        col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Stratified deterministic sample: per-stratum rates in ppm, with a
     * default for unlisted strata. One codegen'd CASE — no per-stratum
     * jobs, no shuffle; the standard shape for source-weighted corpus

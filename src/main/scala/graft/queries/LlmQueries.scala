@@ -73,6 +73,12 @@ object LlmQueries {
           "doc_id", "source", Map("src0" -> 900000, "src1" -> 0), defaultPpm = 300000)
         .select(col("doc_id"), col("source"))),
 
+    // Exact 5-per-source deterministic reservoir (hash-ordered window) —
+    // the "n examples per source" curation sample.
+    "llm_sample_per_source" -> ((s, d) =>
+      graft.operators.Sampling.perGroupSample(Tables.documents(s, d), "source", "doc_id", 5)
+        .select(col("doc_id"), col("source"))),
+
     "llm_lang_id" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"), col("lang"),
         TextStats.langId(col("text")).as("lang_pred"))),
@@ -618,6 +624,14 @@ SELECT doc_id, source FROM documents
 WHERE CAST(CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT) % ${1L << 58} AS BIGINT)
         % 1000000 <
       CASE source WHEN 'src0' THEN 900000 WHEN 'src1' THEN 0 ELSE 300000 END""",
+
+    "llm_sample_per_source" -> """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+           ORDER BY md5(concat('pg-', CAST(doc_id AS VARCHAR))) ASC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 5""",
 
     "llm_lang_id" -> langIdSql,
 

@@ -42,6 +42,19 @@ class SamplingSpec extends SparkSpec {
     assert(frames == Map(1L -> Seq(0), 2L -> Seq(0, 5)))
   }
 
+  test("perGroupSample: exactly k per group, short groups whole, partition-layout-independent") {
+    import graft.operators.Sampling
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+      .union(Seq((1000L, "tiny")).toDF("id", "g")) // 1-row group
+    val s = Sampling.perGroupSample(df, "g", "id", 7)
+    val byGroup = s.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup == Map("g0" -> 7L, "g1" -> 7L, "g2" -> 7L, "tiny" -> 1L))
+    // identical sample from a different physical layout
+    val s2 = Sampling.perGroupSample(df.repartition(13), "g", "id", 7)
+    assert(s.exceptAll(s2).count() == 0 && s2.exceptAll(s).count() == 0)
+  }
+
   test("decontaminate flags docs overlapping the benchmark by >= minHits shingles") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val corpus = Seq(
