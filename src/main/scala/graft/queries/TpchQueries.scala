@@ -77,6 +77,64 @@ object TpchQueries {
           .cast(DoubleType).as("revenue"))
     }),
 
+    // Q4-shaped priority check: EXISTS → left-semi join with a composite
+    // (equi + range) condition — orders with any line shipped more than
+    // 90 days after the order date.
+    "tpch_late_orders" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      Tables.orders(s, d)
+        .join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // Q14-shaped promo share: conditional decimal aggregation (sum over a
+    // CASE with no ELSE — nulls drop out of the sum identically in both
+    // engines); the share divides the two DOUBLE-cast sums, the one IEEE
+    // shape that is engine-stable.
+    "tpch_promo_revenue" -> ((s, d) => {
+      val product =
+        dec2("l_extendedprice") * (lit(BigDecimal(1).setScale(2)) - dec2("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-03-01 00:00:00").cast(TimestampType))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", product)).cast(DoubleType).as("promo_revenue"),
+          sum(product).cast(DoubleType).as("total_revenue"))
+        .withColumn("promo_share",
+          lit(100.0) * col("promo_revenue") / col("total_revenue"))
+    }),
+
+    // Q10-shaped returned-item report: 4-way star join over the returned
+    // slice, per-customer revenue, deterministic top-20.
+    "tpch_returned_customers" -> ((s, d) =>
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(dec2("l_extendedprice") * (lit(BigDecimal(1).setScale(2)) - dec2("l_discount")))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)),
+
+    // Q19-shaped bracketed predicate: equi join + an OR-of-ANDs residual
+    // mixing columns from BOTH sides — the disjunction Catalyst keeps as
+    // a post-join filter while still hashing the equi key.
+    "tpch_bracketed_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity") >= 1 && col("l_quantity") <= 20) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity") >= 10 && col("l_quantity") <= 30))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec2("l_extendedprice") * (lit(BigDecimal(1).setScale(2)) - dec2("l_discount")))
+            .cast(DoubleType).as("revenue"))),
+
     "tpch_min_cost_supplier" -> ((s, d) => minCostSql(s, d)),
     "tpch_bilateral_volume" -> ((s, d) => bilateralVolume(s, d))
   )
@@ -118,6 +176,39 @@ object TpchQueries {
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
   val oracle: Map[String, String] = Map(
+    "tpch_late_orders" -> """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority""",
+
+    "tpch_promo_revenue" -> s"""
+SELECT promo_revenue, total_revenue,
+       (CAST(100 AS DOUBLE) * promo_revenue) / total_revenue AS promo_share
+FROM (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPrice END) AS DOUBLE) AS promo_revenue,
+         CAST(sum($discPrice) AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00')""",
+
+    "tpch_returned_customers" -> s"""
+SELECT c_custkey, c_name, n_name, revenue FROM (
+  SELECT c_custkey, c_name, n_name, CAST(sum($discPrice) AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, n_name)
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+
+    "tpch_bracketed_revenue" -> s"""
+SELECT count(*) AS n_lines, CAST(sum($discPrice) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)""",
+
     "tpch_pricing_summary" -> s"""
 SELECT l_returnflag, l_linestatus,
   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
