@@ -18,6 +18,14 @@ object TextStats {
   /** Whitespace tokenization (split on single spaces; the corpus shape). */
   def words(text: Column): Column = split(text, " ")
 
+  /** Canonical normalization for dedup keys: lowercase, map everything
+    * outside [a-z0-9 ] to a space, collapse whitespace runs, trim — the
+    * first step before exact/minhash dedup, so casing and punctuation
+    * variants of the same text collapse to one key. Pure codegen'd
+    * column ops (two regexp passes), no shuffle. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** BPE-ish token count: runs of letters, runs of digits, or any single
     * non-space symbol — the standard pre-tokenizer regex family. */
   val bpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"

@@ -79,6 +79,14 @@ object LlmQueries {
       graft.operators.Sampling.perGroupSample(Tables.documents(s, d), "source", "doc_id", 5)
         .select(col("doc_id"), col("source"))),
 
+    // Canonical normalization (pre-dedup key): harness docs are already
+    // lowercase [a-z ], so the is_changed flag doubles as a data-shape
+    // assertion the oracle checks.
+    "llm_normalize" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextStats.normalizeText(col("text")).as("norm_text"),
+        (TextStats.normalizeText(col("text")) =!= col("text")).as("is_changed"))),
+
     "llm_lang_id" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"), col("lang"),
         TextStats.langId(col("text")).as("lang_pred"))),
@@ -632,6 +640,12 @@ SELECT doc_id, source FROM (
            ORDER BY md5(concat('pg-', CAST(doc_id AS VARCHAR))) ASC, doc_id ASC) AS rn
   FROM documents
 ) WHERE rn <= 5""",
+
+    "llm_normalize" -> """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) <> text AS is_changed
+FROM documents""",
 
     "llm_lang_id" -> langIdSql,
 
