@@ -70,6 +70,43 @@ object EventsStream {
                    checkpointDir: String): String =
     runJob(hourlyByType(readEventsStream(spark, inDir)), outDir, checkpointDir)
 
+  /** End-to-end streaming UPSERT job: file source → `foreachBatch` MERGE
+    * into a parquet target maintained as latest-row-per-(user, type) —
+    * the streaming deployment shape of the incremental model when the
+    * sink must be updated IN PLACE rather than appended (the dedup job's
+    * append-mode sibling). Each micro-batch applies `Meta.mergeUpsert`
+    * (source wins on match) against the current target, so a
+    * re-delivered key overwrites its target row — true MERGE semantics,
+    * batch by batch, with the checkpoint guaranteeing restarts
+    * reprocess nothing.
+    *
+    * The merged frame is materialized (`localCheckpoint`) before the
+    * overwrite — the read-then-overwrite hazard of a plain parquet
+    * target; a transactional table format's MERGE INTO replaces this
+    * two-step at production scale, with `foreachBatch` staying the
+    * integration point. Local-path target by design (the demo sink). */
+  def runUpsertJob(spark: SparkSession, inDir: String, targetDir: String,
+                   checkpointDir: String): String = {
+    val q = readEventsStream(spark, inDir).writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cur =
+          if (new java.io.File(targetDir).exists()) spark.read.parquet(targetDir)
+          else batch.limit(0).toDF()
+        val merged = graft.models.Meta.mergeUpsert(cur, batch.toDF(),
+            uniqueKey = Seq("user_id", "event_type"), watermarkCol = "ts",
+            tieBreak = Seq("event_id"))
+          .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(targetDir)
+        graft.operators.Checkpoints.release(merged)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.runId.toString
+  }
+
   /** Stream-stream interval join: each click joined to the same user's
     * purchases landing within `withinSeconds` after it — attribution, the
     * canonical two-stream join. Both sides carry watermarks and the join

@@ -83,6 +83,34 @@ class EventsStreamSpec extends SparkSpec {
     assert(out2(1).getAs[Long]("n_events") == 2 && out2(1).getAs[Double]("total_value") == 5.0)
   }
 
+  test("runUpsertJob maintains a latest-by-key parquet target; re-delivery overwrites (MERGE semantics)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_upsert").toString
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 7L, "click", 2.0, "{}"), // newer same key
+      (3L, ts("2024-01-01 10:30:00"), 8L, "view", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/in")
+    EventsStream.runUpsertJob(spark, s"$dir/in", s"$dir/tgt", s"$dir/ckpt")
+    val t1 = spark.read.parquet(s"$dir/tgt").orderBy("user_id").collect()
+    assert(t1.length == 2)
+    assert(t1(0).getAs[Double]("value") == 2.0) // (7, click): latest in batch wins
+
+    // wave 2: only the NEW files feed the next batch (checkpoint), and a
+    // re-delivered OLDER (7, click) row overwrites the newer target row —
+    // the pinned true-MERGE divergence from last-writer-wins
+    Seq((4L, ts("2024-01-01 09:00:00"), 7L, "click", 9.0, "{}"),
+        (5L, ts("2024-01-01 12:00:00"), 9L, "signup", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(s"$dir/in")
+    EventsStream.runUpsertJob(spark, s"$dir/in", s"$dir/tgt", s"$dir/ckpt")
+    val t2 = spark.read.parquet(s"$dir/tgt").orderBy("user_id", "event_type").collect()
+    assert(t2.length == 3)
+    assert(t2(0).getAs[Double]("value") == 9.0)
+    assert(t2(2).getAs[Double]("value") == 5.0)
+  }
+
   test("dedupWithinWatermark drops same-key events inside the horizon") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, Long, String, Double)]
