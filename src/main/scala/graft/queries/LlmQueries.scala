@@ -35,6 +35,42 @@ object LlmQueries {
         .select(col("node").as("doc_id"), col("component").as("cluster_id"),
           col("cluster_size"), (col("node") === col("component")).as("is_canonical"))
     }),
+    // The north-star COMPOSITION: the curation funnel a training-data
+    // pipeline actually runs, as one query — normalize → exact dedup on
+    // the normalized key → near-dup clustering (minhash ∪ simhash
+    // candidates → connected components, canonical-only survives) →
+    // quality gate → token budget of the surviving corpus. Output is the
+    // per-stage funnel (counts + kept tokens), so the oracle re-derives
+    // the ENTIRE chain in SQL. Every stage is an operator already gated
+    // on its own; this row proves they compose.
+    "llm_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = docs
+        .groupBy(md5(TextStats.normalizeText(col("text"))).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val edges = Dedup.minhashLshPairs(docs).select(col("a"), col("b"))
+        .unionByName(Dedup.simhashPairs(docs).select(col("a"), col("b")))
+      val nonCanonical = graft.operators.ConnectedComponents
+        .connectedComponents(edges, "a", "b")
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      val afterNear = exact.join(nonCanonical, Seq("doc_id"), "left_anti")
+      val quality = TextStats.qualityMetrics(docs)
+        .filter(col("quality_keep")).select("doc_id")
+      val kept = docs
+        .join(afterNear, Seq("doc_id"), "left_semi")
+        .join(quality, Seq("doc_id"), "left_semi")
+      val tails = kept.agg(count(lit(1)).as("n_quality_kept"),
+        sum(TextStats.tokenCount(col("text"))).as("tokens_kept"))
+      docs.agg(count(lit(1)).as("n_raw"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact_kept")))
+        .crossJoin(afterNear.agg(count(lit(1)).as("n_neardup_kept")))
+        .crossJoin(tails)
+        .select("n_raw", "n_exact_kept", "n_neardup_kept",
+          "n_quality_kept", "tokens_kept")
+    }),
+
     // 4 bits × 8 bands: the low-threshold tuning (harness τ=0.5 sits at
     // θ≈60° where 6-bit bands recall ~20%; see Dedup scaladoc)
     "llm_embedding_neardup" -> ((s, d) =>
@@ -443,6 +479,60 @@ SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
 FROM comp c
 JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id) s
   USING (cluster_id)""",
+
+    "llm_curation_pipeline" -> s"""
+WITH RECURSIVE $shinglesCte,
+$minhashCtes,
+$jaccardVerify,
+$simhashVotes,
+chunks AS (
+  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 7)) & 127 AS key
+  FROM fps, (SELECT unnest(generate_series(0, 8)) AS c)
+),
+mh_pairs AS (
+  SELECT a, b FROM verified WHERE inter * 1000000 >= uni * 500000),
+sh_pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 8),
+edges AS (SELECT a, b FROM mh_pairs UNION SELECT a, b FROM sh_pairs),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node WHERE r.lbl < s.b
+),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+noncanon AS (SELECT node AS doc_id FROM comp WHERE node <> cluster_id),
+exact AS (
+  SELECT min(doc_id) AS doc_id FROM (
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+    FROM documents) GROUP BY h),
+afternear AS (
+  SELECT doc_id FROM exact
+  WHERE doc_id NOT IN (SELECT doc_id FROM noncanon)),
+quality AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      CAST(length(text) AS BIGINT) AS n_chars_measured,
+      CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS BIGINT) AS stop_hits,
+      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars
+    FROM documents)
+  WHERE n_words >= 5 AND n_words <= 10000 AND stop_hits * 100 >= n_words
+    AND alpha_chars * 10 >= n_chars_measured * 6),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM afternear)
+    AND d.doc_id IN (SELECT doc_id FROM quality))
+SELECT (SELECT count(*) FROM documents) AS n_raw,
+       (SELECT count(*) FROM exact) AS n_exact_kept,
+       (SELECT count(*) FROM afternear) AS n_neardup_kept,
+       count(*) AS n_quality_kept,
+       CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT) AS tokens_kept
+FROM kept""",
 
     "llm_embedding_neardup" -> s"""
 WITH bucketed AS (
