@@ -135,6 +135,71 @@ object TpchQueries {
           sum(dec2("l_extendedprice") * (lit(BigDecimal(1).setScale(2)) - dec2("l_discount")))
             .cast(DoubleType).as("revenue"))),
 
+    // Q6-shaped forecast: pure filter-aggregate, no join — the predicate
+    // trio pushes to the scan; revenue aggregates exactly (the 2dp ×
+    // 2dp product is an exact 4dp decimal).
+    "tpch_forecast_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast(TimestampType) &&
+          col("l_discount") >= lit(0.05) && col("l_discount") <= lit(0.07) &&
+          col("l_quantity") < lit(24))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec2("l_extendedprice") * dec2("l_discount"))
+            .cast(DoubleType).as("revenue"))),
+
+    // Q13-shaped order-count distribution: LEFT join so zero-order
+    // customers land in the 0 bucket, then a histogram of the counts —
+    // the two-level aggregation shape.
+    "tpch_order_distribution" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))),
+
+    // Q15-shaped top supplier: per-supplier quarterly revenue, then the
+    // max-revenue row(s) via rank() over the SUPPLIER-cardinality frame
+    // (a dim-sized window, not a fact-sized one) — ties all kept, like
+    // the spec's `= max(total_revenue)` subquery.
+    "tpch_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-04-01 00:00:00").cast(TimestampType))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec2("l_extendedprice") * (lit(BigDecimal(1).setScale(2)) - dec2("l_discount")))
+          .cast(DoubleType).as("total_revenue"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("total_revenue").desc)
+      rev.join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("__rk", rank().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+
+    // Q22-shaped sales opportunity: rich customers (above the positive-
+    // balance mean — an exact DECIMAL sum divided as DOUBLE, never a
+    // bare double avg whose summation order differs per engine) with no
+    // RECENT orders (anti join on the filtered fact; every harness
+    // customer has SOME order, so recency is what makes the anti join
+    // bite), grouped by nation.
+    "tpch_sales_opportunity" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val threshold = broadcast(cust.filter(col("c_acctbal") > 0)
+        .agg((sum(dec2("c_acctbal")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avg_bal")))
+      cust.crossJoin(threshold)
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast(TimestampType))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec2("c_acctbal")).cast(DoubleType).as("totacctbal"))
+    }),
+
     "tpch_min_cost_supplier" -> ((s, d) => minCostSql(s, d)),
     "tpch_bilateral_volume" -> ((s, d) => bilateralVolume(s, d))
   )
@@ -208,6 +273,45 @@ SELECT count(*) AS n_lines, CAST(sum($discPrice) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)""",
+
+    "tpch_forecast_revenue" -> s"""
+SELECT count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= CAST('0.05' AS DOUBLE) AND l_discount <= CAST('0.07' AS DOUBLE)
+  AND l_quantity < 24""",
+
+    "tpch_order_distribution" -> """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count""",
+
+    "tpch_top_supplier" -> s"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(sum($discPrice) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+
+    "tpch_sales_opportunity" -> """
+WITH t AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bal
+  FROM customer WHERE c_acctbal > 0)
+SELECT n_name, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey CROSS JOIN t
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY n_name""",
 
     "tpch_pricing_summary" -> s"""
 SELECT l_returnflag, l_linestatus,
