@@ -25,7 +25,8 @@ class PlanShapeSpec extends SparkSpec {
     "llm_curation_pipeline", // 1-row per-stage funnel counts crossed into one row
     "misc_heavy_hitters",  // 1-row total + 1-row sketch broadcast
     "misc_zorder_pruning", // 1-row predicate-bounds broadcast onto 128 stat rows
-    "tpch_sales_opportunity" // 1-row mean-balance threshold broadcast
+    "tpch_sales_opportunity", // 1-row mean-balance threshold broadcast
+    "tpch_important_parts"    // 1-row group-total threshold broadcast
   )
 
   test("no cartesian products; nested-loop joins only where a tiny broadcast is deliberate") {
