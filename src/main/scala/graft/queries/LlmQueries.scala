@@ -71,6 +71,49 @@ object LlmQueries {
           "n_quality_kept", "tokens_kept")
     }),
 
+    // Keep-best dedup policy: within each near-dup cluster, survive the
+    // single best document (longest text, doc_id tie-break) instead of
+    // the arbitrary canonical-min — the selection a real curation run
+    // uses. The argmax is a keyed window over CLUSTER cardinality (never
+    // the corpus), singletons bypass the window entirely via anti join.
+    "llm_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast(LongType).as("n_chars_kept"))
+      val edges = Dedup.minhashLshPairs(Tables.documents(s, d)).select(col("a"), col("b"))
+        .unionByName(Dedup.simhashPairs(Tables.documents(s, d)).select(col("a"), col("b")))
+      val comp = graft.operators.ConnectedComponents
+        .connectedComponents(edges, "a", "b")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars_kept").desc, col("doc_id").asc)
+      val best = comp
+        .join(docs, comp("node") === docs("doc_id"))
+        .select(col("doc_id"), col("component").as("cluster_id"), col("n_chars_kept"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+      val singles = docs
+        .join(comp.select(col("node")), docs("doc_id") === col("node"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"), col("n_chars_kept"))
+      best.unionByName(singles)
+    }),
+    // Corpus n-gram table: the statistics every data-mixing /
+    // contamination audit starts from — explode word bigrams, count
+    // occurrences and document frequency, keep the >= 5 tail. Explode +
+    // partial-agg combine map-side; nothing shuffles document text.
+    "llm_ngram_table" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      Tables.documents(s, d)
+        .filter(size(ws) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(ws) - 1),
+          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_occurrences") >= 5L)
+    }),
+
     // 4 bits × 8 bands: the low-threshold tuning (harness τ=0.5 sits at
     // θ≈60° where 6-bit bands recall ~20%; see Dedup scaladoc)
     "llm_embedding_neardup" -> ((s, d) =>
@@ -479,6 +522,51 @@ SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
 FROM comp c
 JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id) s
   USING (cluster_id)""",
+
+    "llm_dedup_keep_best" -> s"""
+WITH RECURSIVE $shinglesCte,
+$minhashCtes,
+$jaccardVerify,
+$simhashVotes,
+chunks AS (
+  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 7)) & 127 AS key
+  FROM fps, (SELECT unnest(generate_series(0, 8)) AS c)
+),
+mh_pairs AS (
+  SELECT a, b FROM verified WHERE inter * 1000000 >= uni * 500000),
+sh_pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 8),
+edges AS (SELECT a, b FROM mh_pairs UNION SELECT a, b FROM sh_pairs),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node WHERE r.lbl < s.b
+),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+meas AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_kept FROM documents),
+ranked AS (
+  SELECT c.node AS doc_id, c.cluster_id, m.n_chars_kept,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY m.n_chars_kept DESC, c.node ASC) AS rn
+  FROM comp c JOIN meas m ON m.doc_id = c.node)
+SELECT doc_id, cluster_id, n_chars_kept FROM ranked WHERE rn = 1
+UNION ALL
+SELECT m.doc_id, m.doc_id AS cluster_id, m.n_chars_kept
+FROM meas m WHERE m.doc_id NOT IN (SELECT node FROM comp)""",
+
+    "llm_ngram_table" -> """
+SELECT bigram, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS bigram
+      FROM (SELECT doc_id, string_split(text, ' ') AS words,
+                   unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+            FROM documents))
+GROUP BY bigram
+HAVING count(*) >= 5""",
 
     "llm_curation_pipeline" -> s"""
 WITH RECURSIVE $shinglesCte,

@@ -71,6 +71,39 @@ object MiscQueries {
     // Hierarchical totals: ROLLUP over (returnflag, linestatus) — the
     // grouping-sets family; decimal-exact aggregation, DOUBLE at the
     // output boundary (cross-engine-stable).
+    // CUBE over the order dims: all four grouping-set combinations in one
+    // pass (Expand + partial agg — no re-scan per set), with GROUPING()
+    // flags so downstream can tell a subtotal row from a real NULL group.
+    "misc_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast(org.apache.spark.sql.types.IntegerType).as("g_status"),
+          grouping(col("o_orderpriority")).cast(org.apache.spark.sql.types.IntegerType).as("g_prio"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DoubleType).as("total"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("g_status"), col("g_prio"), col("n_orders"), col("total"))),
+
+    // The ranking-window family over one keyed sort: rank, dense_rank,
+    // percent_rank, cume_dist, ntile — all five share a single window
+    // (one shuffle + one sort, per-nation partitions). The order key is
+    // (acctbal, custkey) so ties cannot make percent_rank/ntile
+    // nondeterministic.
+    "misc_window_ranks" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          rank().over(w).cast(org.apache.spark.sql.types.LongType).as("rnk"),
+          dense_rank().over(w).cast(org.apache.spark.sql.types.LongType).as("drnk"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
     "misc_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -341,6 +374,25 @@ FROM (
               THEN 1 ELSE 0 END AS is_new
   FROM events
 )""",
+
+    "misc_cube" -> """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    "misc_window_ranks" -> """
+SELECT c_custkey, c_nationkey,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       percent_rank() OVER w AS prank,
+       cume_dist() OVER w AS cdist,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)""",
 
     "misc_rollup" -> """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
