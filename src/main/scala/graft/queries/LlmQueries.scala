@@ -114,6 +114,38 @@ object LlmQueries {
         .filter(col("n_occurrences") >= 5L)
     }),
 
+    // Edit-distance verify pass: exact Levenshtein over the LSH candidate
+    // pairs ONLY (never all-pairs — the quadratic stays bounded by the
+    // banding). Text shuffles just for the surviving candidates; the
+    // near-identical flag is an integer cross-multiplication
+    // (dist*5 <= max_len ⇔ similarity >= 0.8), no float threshold.
+    "llm_edit_verify" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cands = Dedup.minhashLshPairs(docs).select(col("a"), col("b"))
+      cands
+        .join(docs.select(col("doc_id").as("a"), col("text").as("text_a")), Seq("a"))
+        .join(docs.select(col("doc_id").as("b"), col("text").as("text_b")), Seq("b"))
+        .select(col("a"), col("b"),
+          levenshtein(col("text_a"), col("text_b")).cast(LongType).as("edit_dist"),
+          greatest(length(col("text_a")), length(col("text_b"))).cast(LongType).as("max_len"))
+        .withColumn("near_identical", col("edit_dist") * lit(5L) <= col("max_len"))
+    }),
+    // Incremental dedup: the arrival-time path — a NEW batch (doc_id%10
+    // stands in for today's crawl) checked against the standing corpus by
+    // normalized content digest. Only digests join; at 100 TB the corpus
+    // side is a pre-materialized digest index, not a re-scan.
+    "llm_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val key = md5(TextStats.normalizeText(col("text")))
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), key.as("h"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(key.as("h")).distinct()
+      batch
+        .join(corpus.withColumn("hit", lit(true)), Seq("h"), "left")
+        .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_dup"))
+    }),
+
     // 4 bits × 8 bands: the low-threshold tuning (harness τ=0.5 sits at
     // θ≈60° where 6-bit bands recall ~20%; see Dedup scaladoc)
     "llm_embedding_neardup" -> ((s, d) =>
@@ -522,6 +554,29 @@ SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
 FROM comp c
 JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id) s
   USING (cluster_id)""",
+
+    "llm_edit_verify" -> s"""
+WITH $shinglesCte,
+$minhashCtes,
+$jaccardVerify,
+pairs AS (
+  SELECT a, b FROM verified WHERE inter * 1000000 >= uni * 500000)
+SELECT p.a, p.b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+       CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len,
+       levenshtein(da.text, db.text) * 5 <= greatest(length(da.text), length(db.text)) AS near_identical
+FROM pairs p
+JOIN documents da ON da.doc_id = p.a
+JOIN documents db ON db.doc_id = p.b""",
+
+    "llm_incremental_dedup" -> """
+WITH keyed AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+  FROM documents)
+SELECT b.doc_id,
+       b.h IN (SELECT h FROM keyed WHERE doc_id % 10 <> 0) AS is_dup
+FROM keyed b WHERE b.doc_id % 10 = 0""",
 
     "llm_dedup_keep_best" -> s"""
 WITH RECURSIVE $shinglesCte,
