@@ -54,6 +54,18 @@ object StreamQueries {
         withinSeconds = 1800)
     }),
 
+    // The funnel-loss complement: LEFT OUTER interval join, so clicks
+    // that never converted emit with NULL purchase columns (in streaming
+    // they surface at watermark eviction; this batch run is the
+    // identical end-state).
+    "stream_attribution_outer" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      EventsStream.clickAttributionLeftOuter(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"),
+        withinSeconds = 1800)
+    }),
+
     // Funnel analysis: users progressing view → click → purchase in
     // order. Stage k's timestamp is the user's earliest stage-k event at
     // or after their stage-(k-1) time — three keyed aggregations chained
@@ -161,6 +173,20 @@ SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts, p.purchase_ts, p.purcha
 FROM c JOIN p ON c.user_id = p.user_id
              AND p.purchase_ts >= c.click_ts
              AND p.purchase_ts <= c.click_ts + INTERVAL 1800 SECOND""",
+
+    "stream_attribution_outer" -> """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts, p.purchase_ts, p.purchase_value
+FROM c LEFT JOIN p ON c.user_id = p.user_id
+                  AND p.purchase_ts >= c.click_ts
+                  AND p.purchase_ts <= c.click_ts + INTERVAL 1800 SECOND""",
 
     "stream_funnel" -> """
 WITH e AS (

@@ -131,6 +131,32 @@ object EventsStream {
         col("click_ts"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Left-outer variant of the interval join: every click emits, matched
+    * or not — unmatched clicks surface with NULL purchase columns once
+    * the watermark proves no purchase can still arrive in the window.
+    * This is the funnel-loss stream (clicks that never converted), which
+    * an inner join silently drops. Same bounded state as the inner
+    * variant; the outer rows are emitted at state eviction time, so
+    * results are complete only after the watermark passes — identical
+    * end-state to the batch left join on the same frames. */
+  def clickAttributionLeftOuter(clicks: DataFrame, purchases: DataFrame,
+                                withinSeconds: Long): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "2 hours")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $withinSeconds SECONDS"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** one event for the stateful sessionizer (ts kept as TIMESTAMP for the
     * watermark, micros for the gap arithmetic) */
   case class SessEvent(event_id: Long, ts: java.sql.Timestamp, ts_us: Long, user_id: Long)

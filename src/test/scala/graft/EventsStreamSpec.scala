@@ -152,6 +152,51 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickAttributionLeftOuter emits unconverted clicks with NULL purchase at watermark eviction") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long, Double)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    def df(ms: MemoryStream[(Long, Timestamp, Long, Double)]) =
+      ms.toDF().toDF("event_id", "ts", "user_id", "value")
+    val q = EventsStream.clickAttributionLeftOuter(df(clicks), df(purchases), withinSeconds = 1800)
+      .writeStream.format("memory").queryName("attr_outer_test").outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L, 0.0),  // converts
+        (2L, ts("2024-01-01 12:00:00"), 7L, 0.0),  // never converts
+        (3L, ts("2024-01-01 10:00:00"), 8L, 0.0))  // purchase outside window
+      purchases.addData(
+        (50L, ts("2024-01-01 10:20:00"), 7L, 9.5),
+        (52L, ts("2024-01-01 11:00:00"), 8L, 3.0))
+      q.processAllAvailable()
+      // push both watermarks far past every click's join window so the
+      // outer (NULL) rows for clicks 2 and 3 are evicted and emitted
+      clicks.addData((99L, ts("2024-01-03 00:00:00"), 99L, 0.0))
+      purchases.addData((98L, ts("2024-01-03 00:00:00"), 99L, 0.0))
+      q.processAllAvailable()
+      clicks.addData((97L, ts("2024-01-04 00:00:00"), 99L, 0.0))
+      purchases.addData((96L, ts("2024-01-04 00:00:00"), 99L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_outer_test")
+        .select("click_id", "purchase_id").as[(Long, Option[Long])].collect().toSet
+      assert(got.contains((1L, Some(50L))), s"matched click missing: $got")
+      assert(got.contains((2L, None)), s"unconverted click 2 missing: $got")
+      assert(got.contains((3L, None)), s"out-of-window click 3 missing: $got")
+      // streaming end-state == batch left join on the same frames
+      val batch = EventsStream.clickAttributionLeftOuter(
+        spark.table("attr_outer_test").sparkSession.createDataFrame(Seq(
+          (1L, ts("2024-01-01 10:00:00"), 7L, 0.0),
+          (2L, ts("2024-01-01 12:00:00"), 7L, 0.0),
+          (3L, ts("2024-01-01 10:00:00"), 8L, 0.0))).toDF("event_id", "ts", "user_id", "value"),
+        spark.createDataFrame(Seq(
+          (50L, ts("2024-01-01 10:20:00"), 7L, 9.5),
+          (52L, ts("2024-01-01 11:00:00"), 8L, 3.0))).toDF("event_id", "ts", "user_id", "value"),
+        withinSeconds = 1800)
+        .select("click_id", "purchase_id").as[(Long, Option[Long])].collect().toSet
+      assert((got.filter(_._1 <= 3L)) == batch, s"stream end-state $got != batch $batch")
+    } finally q.stop()
+  }
+
   test("sessionizeStream finalizes sessions via gap and event-time timeout, matching the batch twin") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, Long)]
