@@ -73,6 +73,38 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Dynamic partition overwrite — the incremental-backfill sink: only
+    * the partitions PRESENT in `df` are replaced, untouched partitions
+    * survive. This is how a daily re-run lands one day of a 100 TB
+    * date-partitioned fact without rewriting (or locking) the other
+    * 3,000 days. Static overwrite (the `writePartitioned` default) would
+    * drop every existing partition first. */
+  def overwritePartitionsDynamic(df: DataFrame, path: String,
+                                 partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(path)
+
+  /** Small-file compaction: rewrite a table at ~`targetRowsPerFile` rows
+    * per file. Streaming sinks and repeated dynamic-partition appends
+    * accrete thousands of KB-scale files; at cluster scale the scan cost
+    * becomes file-open-bound (driver listing + one task per file), so
+    * periodic compaction is part of operating the table, not an
+    * optimization. Staged through a sibling path (same pattern as
+    * truncateTable) because a lazy scan cannot overwrite its own input.
+    * Row-count-based sizing is deliberate: row width varies per table, so
+    * callers pick targetRowsPerFile from their row size to hit the
+    * 128 MB-1 GB file sweet spot. */
+  def compactTable(spark: SparkSession, path: String,
+                   targetRowsPerFile: Long): Unit = {
+    val staged = s"$path.__compacting"
+    val src = spark.read.parquet(path)
+    val n = math.max(1L, math.ceil(
+      src.count().toDouble / targetRowsPerFile).toLong).toInt
+    src.repartition(n).write.mode(SaveMode.Overwrite).parquet(staged)
+    overwriteTable(spark.read.parquet(staged), path)
+  }
+
   /** Bucketed managed table — pre-shuffled layout so repeated joins/aggs
     * on the bucket key skip their exchange entirely (the co-located-join
     * path for fact×fact joins too big to broadcast). Requires the session
