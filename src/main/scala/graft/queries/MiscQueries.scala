@@ -173,6 +173,30 @@ object MiscQueries {
     // p45..p55 / p98..p99.5 value bands at accuracy=1000). The oracle
     // states the same row with the bounds as literal true — a sketch
     // regression flips a green row.
+    // Re-aggregatable sketch rollup: per-nation HLL sketches UNIONED up
+    // to regions — the two-level pattern that lets a 100 TB distinct
+    // count pre-aggregate per partition/day and merge later, instead of
+    // re-scanning raw keys at every rollup level. The oracle pins the
+    // exact counts; the sketch estimate is asserted in-tolerance as a
+    // boolean (sketches are approximate by contract, not a hash-match).
+    "misc_sketch_rollup" -> ((s, d) => {
+      val perNation = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
+          countDistinct(col("c_custkey")).as("exact_n"))
+      perNation
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+          // customers belong to exactly one nation, so the exact region
+          // distinct is the sum of per-nation distincts — integer-exact
+          sum(col("exact_n")).as("exact_customers"))
+        .select(col("r_name"), col("exact_customers"),
+          (abs(col("est") - col("exact_customers")) * 100 <= col("exact_customers") * 5)
+            .as("union_est_within_5pct"))
+    }),
+
     "misc_approx_sketch" -> ((s, d) =>
       Tables.lineitem(s, d).agg(
         countDistinct(col("l_orderkey")).as("exact_orders"),
@@ -414,6 +438,14 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""",
+
+    "misc_sketch_rollup" -> """
+SELECT r_name, CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_customers,
+       true AS union_est_within_5pct
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name""",
 
     "misc_approx_sketch" -> """
 SELECT count(DISTINCT l_orderkey) AS exact_orders,
