@@ -114,6 +114,22 @@ object LlmQueries {
         .filter(col("n_occurrences") >= 5L)
     }),
 
+    // Dataset-card rollup: the per-source summary every corpus release
+    // ships — doc/language/char/token counts in ONE aggregation pass
+    // (all sums map-side combinable; the lone distinct is over the tiny
+    // lang domain). Mean doc length divides two exact integers.
+    "llm_doc_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(length(col("text")).cast(LongType)).as("total_chars"),
+          sum(TextStats.tokenCount(col("text"))).as("total_tokens"))
+        .withColumn("mean_chars",
+          col("total_chars").cast(org.apache.spark.sql.types.DoubleType) /
+            col("n_docs").cast(org.apache.spark.sql.types.DoubleType))),
+
     // Edit-distance verify pass: exact Levenshtein over the LSH candidate
     // pairs ONLY (never all-pairs — the quadratic stays bounded by the
     // banding). Text shuffles just for the surviving candidates; the
@@ -554,6 +570,15 @@ SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
 FROM comp c
 JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id) s
   USING (cluster_id)""",
+
+    "llm_doc_stats" -> """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_tokens,
+       CAST(sum(length(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars
+FROM documents
+GROUP BY source""",
 
     "llm_edit_verify" -> s"""
 WITH $shinglesCte,
