@@ -173,6 +173,21 @@ object MiscQueries {
     // p45..p55 / p98..p99.5 value bands at accuracy=1000). The oracle
     // states the same row with the bounds as literal true — a sketch
     // regression flips a green row.
+    // Native top-k AGGREGATE (TopKAgg): per-group bounded heaps that
+    // combine map-side and merge at reduce time — the shuffle carries at
+    // most k entries per group per partition, vs the window idiom's
+    // full-group shuffle+sort. The oracle IS the window idiom, so this
+    // row pins aggregate == window exactly (deterministic via the
+    // payload tiebreak).
+    "misc_topk_aggregate" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(org.apache.spark.sql.graft.TopKAgg(
+          col("c_acctbal"), col("c_custkey"), 3).as("tk"))
+        .select(col("c_nationkey"), posexplode(col("tk")))
+        .select(col("c_nationkey"), (col("pos") + 1).cast(org.apache.spark.sql.types.LongType).as("rnk"),
+          col("col.payload").as("c_custkey"), col("col.score").as("c_acctbal"))),
+
     // Re-aggregatable sketch rollup: per-nation HLL sketches UNIONED up
     // to regions — the two-level pattern that lets a 100 TB distinct
     // count pre-aggregate per partition/day and merge later, instead of
@@ -438,6 +453,14 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""",
+
+    "misc_topk_aggregate" -> """
+SELECT c_nationkey, CAST(rnk AS BIGINT) AS rnk, c_custkey, c_acctbal
+FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+      FROM customer)
+WHERE rnk <= 3""",
 
     "misc_sketch_rollup" -> """
 SELECT r_name, CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_customers,
