@@ -237,11 +237,17 @@ object Similarity {
       .unionByName(fresh), k)
   }
 
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
-  }
+  /** Per-query top-k via the native mergeable TopKAgg heap aggregate:
+    * partial k-heaps combine map-side, so the shuffle moves at most k
+    * candidates per query per partition — the window idiom this replaces
+    * (row_number over (cosine DESC, neighbor_id ASC)) shuffled and sorted
+    * EVERY scored candidate. Ordering and output schema are identical to
+    * the window form (TopKAggSpec pins the equivalence). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(org.apache.spark.sql.graft.TopKAgg(col("cosine"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.payload").as("neighbor_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast(org.apache.spark.sql.types.IntegerType).as("rank"))
 }

@@ -45,8 +45,22 @@ object GraftFunctions {
       new ExpressionInfo(graft.functions.Fns.getClass.getName, name),
       builder)
 
+  val topkDescriptor: Descriptor = (
+    FunctionIdentifier("topk_agg"),
+    new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 3, "topk_agg expects (score DOUBLE, payload BIGINT, k literal INT)")
+      val k = exprs(2) match {
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"topk_agg k must be an integer literal, got $other")
+      }
+      TopKAgg(exprs.head, exprs(1), k).toAggregateExpression()
+    })
+
   val all: Seq[Descriptor] = Seq(
     cosineSimDescriptor,
+    topkDescriptor,
     descriptor("surrogate_key") { exprs =>
       Md5(Cast(ConcatWs(Literal("-") +: exprs.map(e =>
         Coalesce(Seq(Cast(e, StringType), Literal(""))))), org.apache.spark.sql.types.BinaryType))

@@ -25,4 +25,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getString(1) == "rtlnitro")
     assert(r.getDouble(2) == 12.34)
   }
+
+  test("topk_agg is SQL-callable as a grouped aggregate") {
+    GraftFunctions.register(spark)
+    Seq((1L, 3.0, 10L), (1L, 5.0, 11L), (1L, 4.0, 12L), (2L, 1.0, 20L))
+      .toDF("g", "s", "p").createOrReplaceTempView("tk_in")
+    val out = spark.sql(
+      """SELECT g, e.payload AS p, e.score AS s
+         FROM (SELECT g, topk_agg(s, p, 2) AS tk FROM tk_in GROUP BY g)
+         LATERAL VIEW explode(tk) AS e""")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 11L, 5.0), (1L, 12L, 4.0), (2L, 20L, 1.0)))
+  }
 }
