@@ -45,17 +45,22 @@ object LlmQueries {
     // on its own; this row proves they compose.
     "llm_curation_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // the stage frames are doc_id-only (corpus-count rows × 8 bytes) and
+      // each feeds BOTH the next stage and its own funnel count — cache
+      // them or the md5-normalize scan and the CC anti join re-run per
+      // consumer. IDs, never text: cheap even at full corpus scale.
       val exact = docs
         .groupBy(md5(TextStats.normalizeText(col("text"))).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
+        .cache()
       val edges = Dedup.minhashLshPairs(docs).select(col("a"), col("b"))
         .unionByName(Dedup.simhashPairs(docs).select(col("a"), col("b")))
       val nonCanonical = graft.operators.ConnectedComponents
         .connectedComponents(edges, "a", "b")
         .filter(col("node") =!= col("component"))
         .select(col("node").as("doc_id"))
-      val afterNear = exact.join(nonCanonical, Seq("doc_id"), "left_anti")
+      val afterNear = exact.join(nonCanonical, Seq("doc_id"), "left_anti").cache()
       val quality = TextStats.qualityMetrics(docs)
         .filter(col("quality_keep")).select("doc_id")
       val kept = docs
