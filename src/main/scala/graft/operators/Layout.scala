@@ -41,6 +41,31 @@ object Layout {
   def zValue2(x: Column, y: Column): Column =
     spread(x).bitwiseOR(shiftleft(spread(y), 1))
 
+  /** N-column Z-value: each column contributes its low 62/n bits,
+    * bit-interleaved round-robin (column j owns bit positions i*n + j).
+    * Built as a flat OR of shift/mask terms — all constant-shift column
+    * expressions, codegen'd like the 2-column fast path. For n == 2 the
+    * layout matches [[zValue2]] bit-for-bit (column 0 on even bits).
+    * Same contract: non-negative integral columns, quantize first. */
+  def zValueN(cols: Seq[Column]): Column = {
+    require(cols.size >= 2 && cols.size <= 8, s"zValueN takes 2-8 columns, got ${cols.size}")
+    val n = cols.size
+    val b = 62 / n
+    val masked = cols.map(_.cast(LongType).bitwiseAND(lit((1L << b) - 1L)))
+    val terms = for { i <- 0 until b; j <- 0 until n } yield
+      shiftleft(shiftright(masked(j), i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** [[writeZOrdered]] for 2+ clustering columns. */
+  def writeZOrderedN(df: DataFrame, path: String, zCols: Seq[String],
+                     numFiles: Int): Unit =
+    df.withColumn("__z", zValueN(zCols.map(col)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
   /** Write `df` parquet clustered by the Z-order of (xCol, yCol):
     * range-partitioned by z-key (one z-contiguous file per task), sorted
     * within partitions so row-group stats are tight on both columns. */
