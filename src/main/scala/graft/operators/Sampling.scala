@@ -35,6 +35,12 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, ppm: Int): DataFrame =
     df.filter(hashSampleGate(col(keyCol), ppm))
 
+  /** The gate with a COLUMN rate: each row carries its own ppm (e.g. a
+    * per-source rate joined in) — the primitive behind quota/mixture
+    * sampling where rates are computed from the data. */
+  def hashSampleGateCol(key: Column, ppmCol: Column): Column =
+    gate(key, ppmCol)
+
   /** Exact k-per-group deterministic sample (a reservoir with a hash
     * order): rank rows inside each group by the md5 of their key and
     * keep the first `k`. Reproducible across runs and partitionings

@@ -119,6 +119,33 @@ object LlmQueries {
         .filter(col("n_occurrences") >= 5L)
     }),
 
+    // Mixture sampling: downsample each source to a TOKEN budget — the
+    // data-mixing step that turns "what we crawled" into "what we
+    // train on". Per-source rates derive from the data (integer-exact
+    // ppm = budget*1e6 div total, capped at 1e6), broadcast-join back,
+    // and gate rows with the same deterministic md5 gate as llm_sample.
+    // Output is the per-source mixing report; sources whose sample came
+    // up empty still report (left join from the rate table).
+    "llm_mixture_sample" -> ((s, d) => {
+      val budget = 800L // tokens per source
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextStats.tokenCount(col("text")).as("n_tok"))
+      val rates = toks.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("total_tok"))
+        .withColumn("rate_ppm",
+          least(lit(1000000L), expr(s"(${budget} * 1000000) div total_tok")))
+      val kept = toks
+        .join(broadcast(rates.select(col("source"), col("rate_ppm"))), Seq("source"))
+        .filter(graft.operators.Sampling.hashSampleGateCol(col("doc_id"), col("rate_ppm")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tokens_kept"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("total_tok"), col("rate_ppm"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+    }),
+
     // Dataset-card rollup: the per-source summary every corpus release
     // ships — doc/language/char/token counts in ONE aggregation pass
     // (all sums map-side combinable; the lone distinct is over the tiny
@@ -575,6 +602,26 @@ SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
 FROM comp c
 JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id) s
   USING (cluster_id)""",
+
+    "llm_mixture_sample" -> s"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tok
+  FROM documents),
+rates AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tok,
+         least(1000000, (800 * 1000000) // CAST(sum(n_tok) AS BIGINT)) AS rate_ppm
+  FROM toks GROUP BY source),
+kept AS (
+  SELECT t.source, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(t.n_tok) AS BIGINT) AS tokens_kept
+  FROM toks t JOIN rates r USING (source)
+  WHERE CAST(CAST(md5_number_lower(CAST(t.doc_id AS VARCHAR)) AS HUGEINT) % ${1L << 58} AS BIGINT)
+          % 1000000 < r.rate_ppm
+  GROUP BY t.source)
+SELECT r.source, r.total_tok, CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+       coalesce(k.n_kept, 0) AS n_kept, coalesce(k.tokens_kept, 0) AS tokens_kept
+FROM rates r LEFT JOIN kept k USING (source)""",
 
     "llm_doc_stats" -> """
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
