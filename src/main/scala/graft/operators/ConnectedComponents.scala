@@ -81,6 +81,9 @@ object ConnectedComponents {
       // action over the marked RDD, so ONE job per round both
       // materializes the round's blocks and computes the convergence
       // scalar (an eager checkpoint + separate agg paid two passes).
+      // (Batching two alternations per checkpoint was tried and measured
+      // SLOWER at sf0.1 — the deeper per-job plan (4 window shuffles)
+      // costs more than the job-scheduling overhead it saves.)
       val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == sig
