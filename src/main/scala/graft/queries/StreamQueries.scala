@@ -15,6 +15,12 @@ object StreamQueries {
     "stream_hourly_by_type" -> ((s, d) =>
       EventsStream.hourlyByType(Tables.events(s, d))),
 
+    // Chained stateful aggregations: hourly counts re-aggregated to the
+    // hour's top type inside ONE streaming query (watermark propagates
+    // through both states). This batch run is the identical end-state.
+    "stream_trending" -> ((s, d) =>
+      EventsStream.trendingType(Tables.events(s, d))),
+
     // z-score anomaly detection on the hourly per-type series: trailing
     // 24h mean/stddev from EXACT integer window sums (no Welford path —
     // sum and sum-of-squares of counts are longs, so the double math has
@@ -260,6 +266,17 @@ SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2""",
+
+    "stream_trending" -> """
+WITH counts AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT hour_ts, event_type AS top_type, n AS top_n
+FROM (SELECT *, row_number() OVER (PARTITION BY hour_ts
+                                   ORDER BY n DESC, event_type DESC) AS rn
+      FROM counts)
+WHERE rn = 1""",
 
     "stream_sessionize" -> """
 WITH e AS (

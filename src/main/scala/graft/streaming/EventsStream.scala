@@ -31,6 +31,24 @@ object EventsStream {
       .select(col("window.start").as("hour_ts"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** CHAINED stateful aggregations in one streaming query: hourly
+    * per-type counts (stateful agg #1) re-aggregated to the hour's top
+    * type (stateful agg #2, grouped on the same event-time window so
+    * the watermark propagates through both states — Spark's chained
+    * time-window aggregation support). The argmax is max(struct(n,
+    * type)): deterministic under count ties (type string breaks them),
+    * and the second state holds one struct per open window, not the
+    * type domain. Works identically on batch frames. */
+  def trendingType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window"))
+      .agg(max(struct(col("n"), col("event_type"))).as("top"))
+      .select(col("window.start").as("hour_ts"),
+        col("top.event_type").as("top_type"), col("top.n").as("top_n"))
+
   /** Streaming dedup on a business key within the watermark horizon —
     * the streaming analog of the incremental unique_key merge (I1).
     * Batch equivalent: earliest-event-wins keyed dedup (StreamQueries

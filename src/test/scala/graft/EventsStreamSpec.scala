@@ -152,6 +152,47 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trendingType chains two stateful aggregations in one streaming query") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Long, String)]
+    val events = ms.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val q = EventsStream.trendingType(events).writeStream
+      .format("memory").queryName("trend_test").outputMode("append").start()
+    try {
+      // hour 10: 2 clicks vs 1 view; hour 11: tie (1 click, 1 view) —
+      // the struct max breaks it toward the larger type string
+      ms.addData(
+        (1L, ts("2024-01-01 10:05:00"), 1L, "click"),
+        (2L, ts("2024-01-01 10:15:00"), 2L, "click"),
+        (3L, ts("2024-01-01 10:25:00"), 3L, "view"),
+        (4L, ts("2024-01-01 11:05:00"), 1L, "click"),
+        (5L, ts("2024-01-01 11:10:00"), 2L, "view"))
+      q.processAllAvailable()
+      // advance the watermark (2h delay) past both hours so both chained
+      // states finalize and emit
+      ms.addData((99L, ts("2024-01-01 16:00:00"), 9L, "noise"))
+      q.processAllAvailable()
+      ms.addData((100L, ts("2024-01-01 18:00:00"), 9L, "noise"))
+      q.processAllAvailable()
+      val got = spark.table("trend_test")
+        .select("hour_ts", "top_type", "top_n")
+        .as[(Timestamp, String, Long)].collect()
+        .filter(_._1.getTime <= ts("2024-01-01 11:00:00").getTime).toSet
+      assert(got == Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L),
+        (ts("2024-01-01 11:00:00"), "view", 1L)), s"got $got")
+      // end-state == the batch twin on the same frame
+      val batch = EventsStream.trendingType(spark.createDataFrame(Seq(
+        (1L, ts("2024-01-01 10:05:00"), 1L, "click"),
+        (2L, ts("2024-01-01 10:15:00"), 2L, "click"),
+        (3L, ts("2024-01-01 10:25:00"), 3L, "view"),
+        (4L, ts("2024-01-01 11:05:00"), 1L, "click"),
+        (5L, ts("2024-01-01 11:10:00"), 2L, "view"))).toDF("event_id", "ts", "user_id", "event_type"))
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
+
   test("clickAttributionLeftOuter emits unconverted clicks with NULL purchase at watermark eviction") {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long, Double)]
