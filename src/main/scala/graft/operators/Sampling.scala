@@ -37,9 +37,12 @@ object Sampling {
 
   /** The gate with a COLUMN rate: each row carries its own ppm (e.g. a
     * per-source rate joined in) — the primitive behind quota/mixture
-    * sampling where rates are computed from the data. */
+    * sampling where rates are computed from the data. The rate is
+    * clamped to [0, 1e6] (the scalar twin's require, applied per row):
+    * a computed rate that overflows or goes negative degrades to
+    * keep-nothing/keep-all instead of an undefined modular compare. */
   def hashSampleGateCol(key: Column, ppmCol: Column): Column =
-    gate(key, ppmCol)
+    gate(key, greatest(lit(0L), least(lit(1000000L), ppmCol.cast("long"))))
 
   /** Exact k-per-group deterministic sample (a reservoir with a hash
     * order): rank rows inside each group by the md5 of their key and

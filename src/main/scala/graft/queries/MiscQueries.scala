@@ -329,11 +329,16 @@ object MiscQueries {
         col("l_partkey").cast("long").as("x"),
         col("l_suppkey").cast("long").as("y"),
         (col("l_orderkey").cast("long") * 10 + col("l_linenumber")).as("rid"))
+      // cached: both stats() branches consume this frame, and its two
+      // global window sorts are the query's dominant cost — uncached
+      // they re-run once per branch (same lesson as the curation
+      // funnel's stage frames)
       val filed = li
         .withColumn("z", graft.operators.Layout.zValue2(col("x"), col("y")))
         .withColumn("f_lin",
           ntile(64).over(w.orderBy(col("x").asc, col("y").asc, col("rid").asc)))
         .withColumn("f_z", ntile(64).over(w.orderBy(col("z").asc, col("rid").asc)))
+        .cache()
       val bounds = broadcast(li.agg(
         expr("max(x) div 8").as("hx"), expr("max(y) div 8").as("hy")))
       def stats(fcol: String, layout: String): DataFrame =

@@ -103,6 +103,12 @@ object Sources {
       src.count().toDouble / targetRowsPerFile).toLong).toInt
     src.repartition(n).write.mode(SaveMode.Overwrite).parquet(staged)
     overwriteTable(spark.read.parquet(staged), path)
+    // drop the staged copy — leaving it would double the table's
+    // footprint on every maintenance run
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(staged), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+    ()
   }
 
   /** Bucketed managed table — pre-shuffled layout so repeated joins/aggs

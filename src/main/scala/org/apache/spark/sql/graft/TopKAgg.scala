@@ -49,7 +49,9 @@ case class TopKAgg(scoreChild: Expression, payloadChild: Expression, k: Int,
     }
 
   override def createAggregationBuffer(): java.util.PriorityQueue[(Double, Long)] =
-    new java.util.PriorityQueue[(Double, Long)](k, heapOrder)
+    // initial capacity grows on demand — an eager k-slot array per GROUP
+    // buffer would pin O(k) memory for every group regardless of size
+    new java.util.PriorityQueue[(Double, Long)](math.min(k, 16), heapOrder)
 
   private def admit(buf: java.util.PriorityQueue[(Double, Long)],
                     score: Double, payload: Long): Unit =
