@@ -17,6 +17,30 @@ object Pipelines {
 
   final case class StageResult(stage: String, ok: Boolean, detail: String)
 
+  /** C6's in-engine half: bounded retry with fixed delay for a pipeline
+    * stage — the reference's `default_args(retries=2, retry_delay=10min)`
+    * as a function combinator (the DAG-level alerting e-mail stays
+    * out-of-engine with the scheduler). `attempts` counts TOTAL tries;
+    * only the final failure escapes, earlier ones are recorded on it as
+    * suppressed exceptions so a post-mortem sees every try. */
+  def withRetries[T](attempts: Int, delayMillis: Long = 0L)(stage: => T): T = {
+    require(attempts >= 1, s"attempts must be >= 1: $attempts")
+    val failures = scala.collection.mutable.ArrayBuffer.empty[Throwable]
+    var i = 0
+    while (i < attempts) {
+      try return stage
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          failures += e
+          i += 1
+          if (i < attempts && delayMillis > 0) Thread.sleep(delayMillis)
+      }
+    }
+    val last = failures.last
+    failures.init.foreach(last.addSuppressed)
+    throw last
+  }
+
   private def gate(stage: String, df: DataFrame, checks: Seq[Check]): StageResult = {
     val failed = Checks.evaluate(df, checks).filterNot(_.passed)
     StageResult(stage, failed.isEmpty,

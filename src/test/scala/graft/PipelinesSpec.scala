@@ -45,4 +45,21 @@ class PipelinesSpec extends SparkSpec {
     assert(stages.length == 3 && stages.forall(_.ok))
     assert(stages.forall(s => s.detail == "skip" || s.detail.startsWith("insert=")))
   }
+
+  test("withRetries retries transient failures, surfaces the final one with history (C6)") {
+    var calls = 0
+    val got = Pipelines.withRetries(3) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException(s"transient $calls")
+      "ok"
+    }
+    assert(got == "ok" && calls == 3)
+
+    var calls2 = 0
+    val e = intercept[RuntimeException] {
+      Pipelines.withRetries(2) { calls2 += 1; throw new RuntimeException(s"fail $calls2") }
+    }
+    assert(calls2 == 2 && e.getMessage == "fail 2")
+    assert(e.getSuppressed.map(_.getMessage).toSeq == Seq("fail 1"))
+  }
 }
