@@ -70,8 +70,26 @@ object Bench {
     // comma-decimal locale would render 45,23 — invalid JSON
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // The driver's log capture keeps only the LAST 2000 chars of output;
+    // a queries map over the full registry (118 names) runs ~2.9 KB and
+    // gets its head truncated, making the line unparseable (BENCH_r05's
+    // "parsed": null). Emit the slowest entries up to a hard byte budget
+    // plus a rollup of what was omitted — the full map still goes to
+    // stderr above, run by run.
+    val budgetBytes = 1600
+    val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    val entries = bySlowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val keptN = {
+      var used = 0; var n = 0
+      while (n < entries.length && used + entries(n).length + 1 <= budgetBytes) {
+        used += entries(n).length + 1; n += 1
+      }
+      n
+    }
+    val omitted = bySlowest.drop(keptN)
+    val qs = entries.take(keptN).mkString("{", ",", "}") +
+      s""","n_queries":${results.size},"n_omitted":${omitted.size}""" +
+      s""","omitted_sum":${fmt(omitted.map(_._2).sum)}"""
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // sf as a number when the dir ends in a well-formed sf<N> segment
     // (anchored — no trailing-dot captures, no mid-word 'sf' matches);
