@@ -43,4 +43,36 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join: pairs (l, r) whose inclusive integral
+    * intervals [lLo,lHi] × [rLo,rHi] intersect. Same bin trick as
+    * [[pointInRange]], but BOTH sides explode to their covering bins, so
+    * a pair spanning several shared bins would match once per bin — the
+    * match is therefore claimed only in the FIRST shared bin
+    * (max(floor(lLo/w), floor(rLo/w))), which keeps the join
+    * duplicate-free without a distinct over arbitrary payload columns.
+    * An overlapping pair always shares that bin: the later-starting
+    * interval's first bin contains its lo, which (on overlap) lies
+    * within the other interval's bin span. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lLoCol: String, lHiCol: String,
+                      rLoCol: String, rHiCol: String,
+                      binWidth: Long,
+                      keyCols: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, lo: String, hi: String) =
+      df.filter(col(lo) <= col(hi)).withColumn("__bin",
+        explode(sequence(floor(col(lo) / binWidth).cast("long"),
+          floor(col(hi) / binWidth).cast("long"))))
+    // keyCols (same names both sides, e.g. an entity id for self-overlap)
+    // ride the equi key alongside the bin, so the hash join partitions on
+    // (key, bin) — candidates never cross entities
+    binned(left, lLoCol, lHiCol)
+      .join(binned(right, rLoCol, rHiCol), "__bin" +: keyCols)
+      .filter(col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol))
+      .filter(col("__bin") ===
+        greatest(floor(col(lLoCol) / binWidth).cast("long"),
+          floor(col(rLoCol) / binWidth).cast("long")))
+      .drop("__bin")
+  }
 }

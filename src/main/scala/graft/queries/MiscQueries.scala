@@ -173,6 +173,35 @@ object MiscQueries {
     // p45..p55 / p98..p99.5 value bands at accuracy=1000). The oracle
     // states the same row with the bounds as literal true — a sketch
     // regression flips a green row.
+    // Interval-OVERLAP join (RangeJoin.intervalOverlap): concurrent open
+    // orders per customer — both sides explode to covering bins, hash
+    // join on (customer, bin), first-shared-bin claim keeps it
+    // duplicate-free with no distinct. The plain formulation of this
+    // self-join (equi + two inequalities) Catalyst handles fine WITH the
+    // customer key; the binned operator is for the keyless case where
+    // that plan degenerates — the oracle pins the binned path to the
+    // naive semantics.
+    "misc_interval_overlap" -> ((s, d) => {
+      val iv = Tables.orders(s, d).select(
+        col("o_custkey").as("cust"),
+        col("o_orderkey"),
+        datediff(col("o_orderdate").cast(org.apache.spark.sql.types.DateType),
+          lit("1995-01-01").cast(org.apache.spark.sql.types.DateType))
+          .cast(org.apache.spark.sql.types.LongType).as("lo"))
+        .withColumn("hi", col("lo") + 30L)
+      val l = iv.select(col("cust"), col("o_orderkey").as("k1"),
+        col("lo").as("lo1"), col("hi").as("hi1"))
+      val r = iv.select(col("cust"), col("o_orderkey").as("k2"),
+        col("lo").as("lo2"), col("hi").as("hi2"))
+      graft.operators.RangeJoin
+        .intervalOverlap(l, r, "lo1", "hi1", "lo2", "hi2",
+          binWidth = 32L, keyCols = Seq("cust"))
+        .filter(col("k1") < col("k2"))
+        .select(col("cust"), col("k1"), col("k2"),
+          (least(col("hi1"), col("hi2")) - greatest(col("lo1"), col("lo2")) + 1L)
+            .as("overlap_days"))
+    }),
+
     // Native top-k AGGREGATE (TopKAgg): per-group bounded heaps that
     // combine map-side and merge at reduce time — the shuffle carries at
     // most k entries per group per partition, vs the window idiom's
@@ -458,6 +487,18 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""",
+
+    "misc_interval_overlap" -> """
+WITH iv AS (
+  SELECT o_custkey AS cust, o_orderkey AS k,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS lo,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) + 30 AS hi
+  FROM orders)
+SELECT a.cust, a.k AS k1, b.k AS k2,
+       least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS overlap_days
+FROM iv a JOIN iv b
+  ON a.cust = b.cust AND a.k < b.k
+ AND a.lo <= b.hi AND b.lo <= a.hi""",
 
     "misc_topk_aggregate" -> """
 SELECT c_nationkey, CAST(rnk AS BIGINT) AS rnk, c_custkey, c_acctbal

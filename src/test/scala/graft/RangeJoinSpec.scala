@@ -53,4 +53,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"expected a hash equi-join on the bin, got:\n$plan")
   }
+
+  test("intervalOverlap == naive overlap join, duplicate-free across shared bins") {
+    val rng = new scala.util.Random(23)
+    // intervals up to 5 bins long so most overlapping pairs share SEVERAL
+    // bins — the first-shared-bin claim must still emit each pair once
+    val mk = (n: Int, tag: String) => (1 to n).map { i =>
+      val lo = rng.nextInt(200).toLong; (s"$tag$i", lo, lo + rng.nextInt(50))
+    }
+    import spark.implicits._
+    val l = mk(120, "L").toDF("lid", "llo", "lhi")
+    val r = mk(150, "R").toDF("rid", "rlo", "rhi")
+    val got = RangeJoin.intervalOverlap(l, r, "llo", "lhi", "rlo", "rhi", binWidth = 10L)
+      .select("lid", "rid").as[(String, String)].collect()
+    val naive = l.crossJoin(r)
+      .filter(col("llo") <= col("rhi") && col("rlo") <= col("lhi"))
+      .select("lid", "rid").as[(String, String)].collect()
+    assert(got.length == got.toSet.size, "duplicate pairs emitted")
+    assert(got.toSet == naive.toSet,
+      s"mismatch: missing=${(naive.toSet -- got.toSet).take(5)} extra=${(got.toSet -- naive.toSet).take(5)}")
+  }
 }
