@@ -44,6 +44,29 @@ object Temporal {
       .select(leftCols ++ rightCols.map(c => col(s"__matched.$c").as(c)): _*)
   }
 
+  /** Forward as-of: each left row takes the EARLIEST right row at or
+    * after its timestamp (the "next event" join — next click after a
+    * purchase, next reading after an alarm). Same union + keyed-window
+    * machinery as [[asofJoin]] mirrored forward: one shuffle, no range
+    * join. At equal timestamps the right row is eligible (inclusive),
+    * matching an ASOF `l.ts <= r.ts`. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                      seqCol: String, rightCols: Seq[String]): DataFrame = {
+    val payload = struct(rightCols.map(col): _*)
+    val r = right.select(col(key), col(tsCol), col(seqCol), payload.as("__rp"))
+      .withColumn("__side", lit(1))
+    val l = left.withColumn("__rp", lit(null).cast(r.schema("__rp").dataType))
+      .withColumn("__side", lit(0))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).asc, col("__side").asc, col(seqCol).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val leftCols = left.columns.map(col)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__matched", first(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(leftCols ++ rightCols.map(c => col(s"__matched.$c").as(c)): _*)
+  }
+
   /** Sessionization: per-key session numbering with an inactivity gap —
     * a new session starts when the time since the previous event exceeds
     * `gapSeconds` (or at the first event). Returns the input plus

@@ -55,6 +55,45 @@ object MiscQueries {
           (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
     }),
 
+    // Forward as-of: the next click at-or-after each purchase — the
+    // mirror of temporal_asof_join, checked against DuckDB's native
+    // forward ASOF (l.ts <= r.ts).
+    "temporal_asof_forward" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_id").as("click_event_id"), col("ts").as("click_ts"))
+      Temporal.asofJoinForward(purchases, clicks,
+          key = "user_id", tsCol = "ts", seqCol = "event_id",
+          rightCols = Seq("click_event_id", "click_ts"))
+        .select(col("event_id"), col("user_id"), col("click_event_id"),
+          (unix_micros(col("click_ts")) - unix_micros(col("ts"))).as("gap_us"))
+    }),
+
+    // Value-based window frame (RANGE, not ROWS): trailing-90-day spend
+    // per customer — the frame bound is a DOMAIN distance, so a customer
+    // with sparse orders still gets exactly the last 90 days, not the
+    // last N rows. One keyed sort, decimal-exact running sums.
+    "misc_window_range_frame" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+      val day = datediff(col("o_orderdate").cast(org.apache.spark.sql.types.DateType),
+        lit("1995-01-01").cast(org.apache.spark.sql.types.DateType))
+        .cast(org.apache.spark.sql.types.LongType)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("__day").asc)
+        .rangeBetween(-90L, 0L)
+      Tables.orders(s, d)
+        .withColumn("__day", day)
+        .withColumn("trailing_90d_spend",
+          sum(col("o_totalprice").cast(dec)).over(w)
+            .cast(org.apache.spark.sql.types.DoubleType))
+        .withColumn("trailing_90d_orders", count(lit(1)).over(w))
+        .select(col("o_orderkey"), col("o_custkey"), col("__day").as("order_day"),
+          col("trailing_90d_spend"), col("trailing_90d_orders"))
+    }),
+
     // Sessionization: 30-minute inactivity gap per user.
     "temporal_sessionize" -> ((s, d) =>
       Temporal.sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 1800)
@@ -435,6 +474,25 @@ WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHE
 SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
        epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""",
+
+    "temporal_asof_forward" -> """
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
+       epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts""",
+
+    "misc_window_range_frame" -> """
+SELECT o_orderkey, o_custkey,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS order_day,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey
+                    ORDER BY CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_90d_spend,
+       CAST(count(*) OVER (PARTITION BY o_custkey
+                    ORDER BY CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_90d_orders
+FROM orders""",
 
     "temporal_sessionize" -> """
 SELECT event_id, user_id,

@@ -28,6 +28,25 @@ class TemporalSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("click_event_id"))) // left outer
   }
 
+  test("asofJoinForward picks the smallest right ts >= left ts, equal-ts matches, no-later keeps null") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 09:15:00")), // earliest at-or-after is 100 (09:30)
+      (2L, 10L, ts("2024-01-01 09:30:00")), // equal to a right ts -> matches it
+      (3L, 11L, ts("2024-01-01 10:00:00"))  // no later right for user 11
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 09:30:00")),
+      (101L, 10L, ts("2024-01-01 10:30:00")),
+      (102L, 11L, ts("2024-01-01 09:45:00")) // before left's ts
+    ).toDF("event_id", "user_id", "ts")
+      .withColumn("click_event_id", col("event_id"))
+    val out = Temporal.asofJoinForward(left, right, "user_id", "ts", "event_id", Seq("click_event_id"))
+      .orderBy("event_id").collect()
+    assert(out(0).getAs[Long]("click_event_id") == 100L) // earliest at-or-after
+    assert(out(1).getAs[Long]("click_event_id") == 100L) // ts-equal match
+    assert(out(2).isNullAt(out(2).fieldIndex("click_event_id"))) // left outer
+  }
+
   test("sessionize numbers sessions per key with the inactivity gap") {
     val e = Seq(
       (1L, 7L, ts("2024-01-01 10:00:00")),
