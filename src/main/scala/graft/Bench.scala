@@ -71,7 +71,7 @@ object Bench {
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     // The driver's log capture keeps only the LAST 2000 chars of output;
-    // a queries map over the full registry (118 names) runs ~2.9 KB and
+    // a queries map over the full registry (121 names) runs ~2.9 KB and
     // gets its head truncated, making the line unparseable (BENCH_r05's
     // "parsed": null). Emit the slowest entries up to a hard byte budget
     // plus a rollup of what was omitted — the full map still goes to
@@ -87,9 +87,7 @@ object Bench {
       n
     }
     val omitted = bySlowest.drop(keptN)
-    val qs = entries.take(keptN).mkString("{", ",", "}") +
-      s""","n_queries":${results.size},"n_omitted":${omitted.size}""" +
-      s""","omitted_sum":${fmt(omitted.map(_._2).sum)}"""
+    val qs = entries.take(keptN).mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // sf as a number when the dir ends in a well-formed sf<N> segment
     // (anchored — no trailing-dot captures, no mid-word 'sf' matches);
@@ -97,7 +95,9 @@ object Bench {
     val sfLit = "(?:^|/)sf([0-9]+(?:\\.[0-9]+)?)(?=/|$)".r.findFirstMatchIn(sfDir)
       .map(_.group(1))
       .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfLit}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""n_queries":${results.size},"n_omitted":${omitted.size},""" +
+      s""""omitted_sum":${fmt(omitted.map(_._2).sum)},"sf":$sfLit}"""
     // Quiesce Spark before emitting the JSON so no late executor/log line
     // interleaves into the machine-readable line on a combined capture.
     spark.sparkContext.setLogLevel("ERROR")

@@ -54,16 +54,24 @@ object Temporal {
                       seqCol: String, rightCols: Seq[String]): DataFrame = {
     val payload = struct(rightCols.map(col): _*)
     val r = right.select(col(key), col(tsCol), col(seqCol), payload.as("__rp"))
-      .withColumn("__side", lit(1))
-    val l = left.withColumn("__rp", lit(null).cast(r.schema("__rp").dataType))
       .withColumn("__side", lit(0))
+    val l = left.withColumn("__rp", lit(null).cast(r.schema("__rp").dataType))
+      .withColumn("__side", lit(1))
+    // DESCENDING time with a running [unboundedPreceding, currentRow]
+    // frame: Spark evaluates running frames incrementally (O(n) per key),
+    // while a [currentRow, unboundedFollowing] frame re-aggregates the
+    // partition tail PER ROW (aggregates can't be un-applied — O(n²)).
+    // In DESC order, `last` non-null before the left row = the smallest
+    // right ts >= left ts; side 0 < 1 keeps equal-ts rights eligible and
+    // seq DESC makes the nearest equal-ts right the smallest seq —
+    // identical semantics to a forward scan, linear cost.
     val w = Window.partitionBy(col(key))
-      .orderBy(col(tsCol).asc, col("__side").asc, col(seqCol).asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col(tsCol).desc, col("__side").asc, col(seqCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val leftCols = left.columns.map(col)
     l.unionByName(r, allowMissingColumns = true)
-      .withColumn("__matched", first(col("__rp"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 0)
+      .withColumn("__matched", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select(leftCols ++ rightCols.map(c => col(s"__matched.$c").as(c)): _*)
   }
 

@@ -37,7 +37,9 @@ object Pipelines {
       }
     }
     val last = failures.last
-    failures.init.foreach(last.addSuppressed)
+    // `ne` guard: a stage that rethrows the SAME Throwable instance every
+    // try would otherwise hit the JVM's self-suppression rejection
+    failures.init.filter(_ ne last).foreach(last.addSuppressed)
     throw last
   }
 

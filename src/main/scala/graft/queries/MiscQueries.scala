@@ -107,9 +107,6 @@ object MiscQueries {
           org.apache.spark.sql.types.StructField("k",
             org.apache.spark.sql.types.IntegerType))))("k").as("k_val"))),
 
-    // Hierarchical totals: ROLLUP over (returnflag, linestatus) — the
-    // grouping-sets family; decimal-exact aggregation, DOUBLE at the
-    // output boundary (cross-engine-stable).
     // CUBE over the order dims: all four grouping-set combinations in one
     // pass (Expand + partial agg — no re-scan per set), with GROUPING()
     // flags so downstream can tell a subtotal row from a real NULL group.
@@ -143,6 +140,9 @@ object MiscQueries {
           ntile(4).over(w).as("quartile"))
     }),
 
+    // Hierarchical totals: ROLLUP over (returnflag, linestatus) — the
+    // grouping-sets family; decimal-exact aggregation, DOUBLE at the
+    // output boundary (cross-engine-stable).
     "misc_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -203,15 +203,6 @@ object MiscQueries {
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""")
     }),
 
-    // Sketch aggregates: approximate distinct + quantiles. Engine sketches
-    // differ by design, so the oracle-checkable contract is the error
-    // BOUND, not the estimate: emit the exact answers plus booleans
-    // asserting each sketch landed inside its tolerance (HLL ±15% ≈ 3σ at
-    // the default rsd=0.05 — a 1σ band would flip red on a healthy sketch
-    // for ~1/3 of datasets; percentile_approx within the exact
-    // p45..p55 / p98..p99.5 value bands at accuracy=1000). The oracle
-    // states the same row with the bounds as literal true — a sketch
-    // regression flips a green row.
     // Interval-OVERLAP join (RangeJoin.intervalOverlap): concurrent open
     // orders per customer — both sides explode to covering bins, hash
     // join on (customer, bin), first-shared-bin claim keeps it
@@ -280,6 +271,15 @@ object MiscQueries {
             .as("union_est_within_5pct"))
     }),
 
+    // Sketch aggregates: approximate distinct + quantiles. Engine sketches
+    // differ by design, so the oracle-checkable contract is the error
+    // BOUND, not the estimate: emit the exact answers plus booleans
+    // asserting each sketch landed inside its tolerance (HLL ±15% ≈ 3σ at
+    // the default rsd=0.05 — a 1σ band would flip red on a healthy sketch
+    // for ~1/3 of datasets; percentile_approx within the exact
+    // p45..p55 / p98..p99.5 value bands at accuracy=1000). The oracle
+    // states the same row with the bounds as literal true — a sketch
+    // regression flips a green row.
     "misc_approx_sketch" -> ((s, d) =>
       Tables.lineitem(s, d).agg(
         countDistinct(col("l_orderkey")).as("exact_orders"),
