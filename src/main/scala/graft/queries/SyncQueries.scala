@@ -47,6 +47,25 @@ object SyncQueries {
         .withColumnRenamed("p_name_id", "part_id")
         .withColumnRenamed("s_name_id", "supplier_id")
         .withColumnRenamed("l_returnflag", "returnflag")
+    }),
+
+    // SCD2 APPLY: one snapshot load folded into a versioned history.
+    // The fixture derives both sides from `customer` so all four cases
+    // occur: %7==0 keys are new (absent from history), %3==0 keys changed
+    // (history carries a stale balance), %11==0 keys were deleted
+    // (absent from the snapshot), the rest are unchanged pass-throughs.
+    "sync_scd2_apply" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val history = c.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).as("bal"),
+          lit(0L).as("valid_from"),
+          lit(null).cast("long").as("valid_to"))
+      val snapshot = c.filter(col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal").as("bal"))
+      DimSync.scd2Apply(history, snapshot,
+        keyCols = Seq("c_custkey"), attrCols = Seq("bal"), asOf = 100L)
     })
   )
 
@@ -71,6 +90,31 @@ WITH pdim AS (SELECT p_name AS name, min(p_partkey) AS id FROM part GROUP BY p_n
 SELECT DISTINCT pd.id AS part_id, sd.id AS supplier_id, m.l_returnflag AS returnflag
 FROM main m
 JOIN pdim pd ON m.p_name = pd.name
-JOIN sdim sd ON m.s_name = sd.name"""
+JOIN sdim sd ON m.s_name = sd.name""",
+
+    "sync_scd2_apply" -> """
+WITH history AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal,
+         CAST(0 AS BIGINT) AS valid_from,
+         CAST(NULL AS BIGINT) AS valid_to
+  FROM customer WHERE c_custkey % 7 <> 0),
+snap AS (
+  SELECT c_custkey, c_acctbal AS bal FROM customer WHERE c_custkey % 11 <> 0),
+j AS (
+  SELECT coalesce(h.c_custkey, s.c_custkey) AS c_custkey,
+         h.bal AS h_bal, h.valid_from AS h_vf,
+         s.bal AS s_bal,
+         h.c_custkey IS NOT NULL AS in_hist,
+         s.c_custkey IS NOT NULL AS in_snap
+  FROM history h FULL JOIN snap s ON h.c_custkey = s.c_custkey)
+SELECT c_custkey, h_bal AS bal, h_vf AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+FROM j WHERE in_hist AND in_snap AND NOT (h_bal IS DISTINCT FROM s_bal)
+UNION ALL
+SELECT c_custkey, h_bal AS bal, h_vf AS valid_from, CAST(100 AS BIGINT) AS valid_to
+FROM j WHERE in_hist AND (NOT in_snap OR h_bal IS DISTINCT FROM s_bal)
+UNION ALL
+SELECT c_custkey, s_bal AS bal, CAST(100 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+FROM j WHERE in_snap AND (NOT in_hist OR h_bal IS DISTINCT FROM s_bal)"""
   )
 }

@@ -106,6 +106,43 @@ object DimSync {
 
   /** S14 — staging-table clone (DDL clone + `INSERT INTO staging SELECT *
     * FROM production`, sync_data.py:34-104) as parquet path overwrite. */
+  /** SCD Type-2 APPLY: fold a full snapshot into a versioned history —
+    * the incremental maintenance step behind every slowly-changing
+    * dimension (the from-scratch history BUILD is `stream_scd2_history`;
+    * this is the per-load twin). One full-outer hash join of the OPEN
+    * rows against the snapshot classifies every key:
+    *   - attrs equal          → the open row stays open (pass-through);
+    *   - attrs differ         → the open row closes at `asOf`, a new
+    *                            version opens at `asOf`;
+    *   - key only in history  → deleted upstream: the open row closes;
+    *   - key only in snapshot → new entity: a version opens at `asOf`.
+    * Already-closed rows pass through untouched. Attr comparison is
+    * null-safe (`<=>`), so NULL→value and value→NULL both count as
+    * changes. Scale shape: closed-history pass-through never joins;
+    * the single join hashes on the key. */
+  def scd2Apply(history: DataFrame, snapshot: DataFrame,
+                keyCols: Seq[String], attrCols: Seq[String], asOf: Long,
+                validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame = {
+    val outCols = (keyCols ++ attrCols).map(col) :+ col(validFrom) :+ col(validTo)
+    val closed = history.filter(col(validTo).isNotNull).select(outCols: _*)
+    val open = history.filter(col(validTo).isNull)
+    val snap = snapshot.select(
+      keyCols.map(col) ++ attrCols.map(a => col(a).as(s"__s_$a")): _*)
+      .withColumn("__in_snap", lit(true))
+    val j = open.join(snap, keyCols, "full_outer")
+    val inHist = col(validFrom).isNotNull
+    val inSnap = col("__in_snap").isNotNull
+    val attrsDiffer = attrCols.map(a => !(col(a) <=> col(s"__s_$a"))).reduce(_ || _)
+    val stillOpen = j.filter(inHist && inSnap && !attrsDiffer).select(outCols: _*)
+    val nowClosed = j.filter(inHist && (!inSnap || attrsDiffer))
+      .withColumn(validTo, lit(asOf)).select(outCols: _*)
+    val newVersions = j.filter(inSnap && (!inHist || attrsDiffer))
+      .select((keyCols.map(col) ++ attrCols.map(a => col(s"__s_$a").as(a)) :+
+        lit(asOf).as(validFrom) :+
+        lit(null).cast(history.schema(validTo).dataType).as(validTo)): _*)
+    closed.unionByName(stillOpen).unionByName(nowClosed).unionByName(newVersions)
+  }
+
   def stagingClone(spark: SparkSession, productionPath: String, stagingPath: String): Unit =
     spark.read.parquet(productionPath).write.mode(SaveMode.Overwrite).parquet(stagingPath)
 

@@ -47,4 +47,30 @@ class DimSyncSpec extends SparkSpec {
     assert(DimSync.promote(spark, stage, prod, backup, df => df.count() == 1))
     assert(spark.read.parquet(prod).as[(Int, String)].collect().toSet == Set(2 -> "new"))
   }
+
+  test("scd2Apply covers change/delete/insert/unchanged, and an identical re-apply is a no-op") {
+    val history = Seq(
+      (1L, 10.0, 0L, Option.empty[Long]),  // unchanged
+      (2L, 20.0, 0L, Option.empty[Long]),  // will change to 25.0
+      (3L, 30.0, 0L, Option.empty[Long]),  // deleted upstream
+      (4L, 5.0, 0L, Some(50L)),            // already closed: pass-through
+      (4L, 6.0, 50L, Option.empty[Long])   // current version of key 4, unchanged
+    ).toDF("k", "bal", "valid_from", "valid_to")
+    val snapshot = Seq((1L, 10.0), (2L, 25.0), (4L, 6.0), (9L, 99.0))
+      .toDF("k", "bal")
+    val once = DimSync.scd2Apply(history, snapshot, Seq("k"), Seq("bal"), asOf = 100L)
+    val got = once.as[(Long, Double, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, 10.0, 0L, None),        // unchanged stays open
+      (2L, 20.0, 0L, Some(100L)),  // old version closed
+      (2L, 25.0, 100L, None),      // new version opened
+      (3L, 30.0, 0L, Some(100L)),  // deleted: closed, no new version
+      (4L, 5.0, 0L, Some(50L)),    // historical row untouched
+      (4L, 6.0, 50L, None),        // current version unchanged
+      (9L, 99.0, 100L, None)       // brand-new key
+    ), s"got $got")
+    // idempotence: folding the SAME snapshot again changes nothing
+    val twice = DimSync.scd2Apply(once, snapshot, Seq("k"), Seq("bal"), asOf = 200L)
+    assert(twice.as[(Long, Double, Long, Option[Long])].collect().toSet == got)
+  }
 }
