@@ -146,6 +146,21 @@ object LlmQueries {
           coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
     }),
 
+    // Deterministic train/val/test split: the same md5 gate as the
+    // samplers partitions the corpus 90/5/5 by doc_id hash — stable
+    // across runs, partitionings and engines, so a document can never
+    // leak between splits when the pipeline re-runs. Output is the split
+    // report (counts + token mass per split).
+    "llm_train_val_test" -> ((s, d) => {
+      val h = graft.functions.Fns.md5lo58(col("doc_id").cast("string")) % 1000000L
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(h < 900000L, "train").when(h < 950000L, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextStats.tokenCount(col("text"))).as("n_tokens"))
+    }),
+
     // Dataset-card rollup: the per-source summary every corpus release
     // ships — doc/language/char/token counts in ONE aggregation pass
     // (all sums map-side combinable; the lone distinct is over the tiny
@@ -602,6 +617,17 @@ SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
 FROM comp c
 JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id) s
   USING (cluster_id)""",
+
+    "llm_train_val_test" -> s"""
+SELECT CASE WHEN h < 900000 THEN 'train' WHEN h < 950000 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM (
+  SELECT CAST(CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT) % ${1L << 58} AS BIGINT)
+           % 1000000 AS h,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tok
+  FROM documents)
+GROUP BY 1""",
 
     "llm_mixture_sample" -> s"""
 WITH toks AS (

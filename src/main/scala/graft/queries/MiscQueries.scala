@@ -94,6 +94,25 @@ object MiscQueries {
           col("trailing_90d_spend"), col("trailing_90d_orders"))
     }),
 
+    // Retention cohorts: users grouped by first-active week, activity
+    // counted per week-offset — the classic triangle matrix. Weeks are
+    // exact integer day-counts div 7 (engine-identical), never a
+    // date_trunc whose week-start convention could differ. Two keyed
+    // aggregations + one join; the distinct shrinks the fact to
+    // (user, week) before anything else touches it.
+    "misc_retention_cohorts" -> ((s, d) => {
+      val week = floor(datediff(col("ts").cast(org.apache.spark.sql.types.DateType),
+        lit("1995-01-01").cast(org.apache.spark.sql.types.DateType)) / 7)
+        .cast(org.apache.spark.sql.types.LongType)
+      val userWeeks = Tables.events(s, d)
+        .select(col("user_id"), week.as("week")).distinct()
+      val cohorts = userWeeks.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      userWeeks.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_index"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+    }),
+
     // Sessionization: 30-minute inactivity gap per user.
     "temporal_sessionize" -> ((s, d) =>
       Temporal.sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 1800)
@@ -481,6 +500,17 @@ WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHE
 SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
        epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts""",
+
+    "misc_retention_cohorts" -> """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+  FROM events),
+coh AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+SELECT c.cohort_week, u.week - c.cohort_week AS week_index,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_users
+FROM uw u JOIN coh c USING (user_id)
+GROUP BY c.cohort_week, u.week - c.cohort_week""",
 
     "misc_window_range_frame" -> """
 SELECT o_orderkey, o_custkey,
