@@ -152,7 +152,7 @@ object LlmQueries {
     // leak between splits when the pipeline re-runs. Output is the split
     // report (counts + token mass per split).
     "llm_train_val_test" -> ((s, d) => {
-      val h = graft.functions.Fns.md5lo58(col("doc_id").cast("string")) % 1000000L
+      val h = graft.functions.Fns.md5lo58(coalesce(col("doc_id").cast("string"), lit(""))) % 1000000L
       Tables.documents(s, d)
         .withColumn("split",
           when(h < 900000L, "train").when(h < 950000L, "val").otherwise("test"))

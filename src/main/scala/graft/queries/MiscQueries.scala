@@ -103,7 +103,6 @@ object MiscQueries {
     "misc_retention_cohorts" -> ((s, d) => {
       val week = floor(datediff(col("ts").cast(org.apache.spark.sql.types.DateType),
         lit("1995-01-01").cast(org.apache.spark.sql.types.DateType)) / 7)
-        .cast(org.apache.spark.sql.types.LongType)
       val userWeeks = Tables.events(s, d)
         .select(col("user_id"), week.as("week")).distinct()
       val cohorts = userWeeks.groupBy(col("user_id"))

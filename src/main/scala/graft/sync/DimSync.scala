@@ -104,8 +104,6 @@ object DimSync {
     } finally dim.unpersist()
   }
 
-  /** S14 — staging-table clone (DDL clone + `INSERT INTO staging SELECT *
-    * FROM production`, sync_data.py:34-104) as parquet path overwrite. */
   /** SCD Type-2 APPLY: fold a full snapshot into a versioned history —
     * the incremental maintenance step behind every slowly-changing
     * dimension (the from-scratch history BUILD is `stream_scd2_history`;
@@ -123,14 +121,18 @@ object DimSync {
   def scd2Apply(history: DataFrame, snapshot: DataFrame,
                 keyCols: Seq[String], attrCols: Seq[String], asOf: Long,
                 validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame = {
+    require(attrCols.nonEmpty, "scd2Apply needs at least one tracked attribute column")
     val outCols = (keyCols ++ attrCols).map(col) :+ col(validFrom) :+ col(validTo)
     val closed = history.filter(col(validTo).isNotNull).select(outCols: _*)
-    val open = history.filter(col(validTo).isNull)
+    // presence flags on BOTH sides: inferring history presence from a
+    // data column (e.g. valid_from IS NOT NULL) would silently drop an
+    // open row whose valid_from is legitimately NULL
+    val open = history.filter(col(validTo).isNull).withColumn("__in_hist", lit(true))
     val snap = snapshot.select(
       keyCols.map(col) ++ attrCols.map(a => col(a).as(s"__s_$a")): _*)
       .withColumn("__in_snap", lit(true))
     val j = open.join(snap, keyCols, "full_outer")
-    val inHist = col(validFrom).isNotNull
+    val inHist = col("__in_hist").isNotNull
     val inSnap = col("__in_snap").isNotNull
     val attrsDiffer = attrCols.map(a => !(col(a) <=> col(s"__s_$a"))).reduce(_ || _)
     val stillOpen = j.filter(inHist && inSnap && !attrsDiffer).select(outCols: _*)
@@ -143,6 +145,8 @@ object DimSync {
     closed.unionByName(stillOpen).unionByName(nowClosed).unionByName(newVersions)
   }
 
+  /** S14 — staging-table clone (DDL clone + `INSERT INTO staging SELECT *
+    * FROM production`, sync_data.py:34-104) as parquet path overwrite. */
   def stagingClone(spark: SparkSession, productionPath: String, stagingPath: String): Unit =
     spark.read.parquet(productionPath).write.mode(SaveMode.Overwrite).parquet(stagingPath)
 

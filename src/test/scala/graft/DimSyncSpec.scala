@@ -73,4 +73,24 @@ class DimSyncSpec extends SparkSpec {
     val twice = DimSync.scd2Apply(once, snapshot, Seq("k"), Seq("bal"), asOf = 200L)
     assert(twice.as[(Long, Double, Long, Option[Long])].collect().toSet == got)
   }
+
+  test("scd2Apply: NULL attr transitions count as changes; NULL valid_from rows are not dropped") {
+    val history = Seq(
+      (1L, Option(10.0), Option(0L), Option.empty[Long]),       // value -> NULL: change
+      (2L, Option.empty[Double], Option(0L), Option.empty[Long]), // NULL -> value: change
+      (3L, Option.empty[Double], Option(0L), Option.empty[Long]), // NULL -> NULL: unchanged
+      (4L, Option(4.0), Option.empty[Long], Option.empty[Long])   // open row with NULL valid_from: must survive
+    ).toDF("k", "bal", "valid_from", "valid_to")
+    val snapshot = Seq(
+      (1L, Option.empty[Double]), (2L, Option(2.0)), (3L, Option.empty[Double]),
+      (4L, Option(4.0))).toDF("k", "bal")
+    val got = DimSync.scd2Apply(history, snapshot, Seq("k"), Seq("bal"), asOf = 9L)
+      .as[(Long, Option[Double], Option[Long], Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, Some(10.0), Some(0L), Some(9L)), (1L, None, Some(9L), None),
+      (2L, None, Some(0L), Some(9L)), (2L, Some(2.0), Some(9L), None),
+      (3L, None, Some(0L), None),
+      (4L, Some(4.0), None, None)  // unchanged open row, NULL valid_from intact
+    ), s"got $got")
+  }
 }
