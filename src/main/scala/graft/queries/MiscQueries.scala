@@ -112,6 +112,34 @@ object MiscQueries {
         .agg(countDistinct(col("user_id")).as("active_users"))
     }),
 
+    // Time-series gap fill: the sparse hourly series per event type is
+    // densified onto the full hourly grid (sequence-explode between each
+    // type's min and max hour — generated, never scanned) and gaps carry
+    // the last observed value forward (keyed window, last ignoreNulls).
+    // Sums aggregate in DECIMAL; the hour grid is exact timestamps.
+    "misc_gap_fill" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+      val hour = date_trunc("hour", col("ts"))
+      val sparse = Tables.events(s, d)
+        // thin the series so real gaps exist on the hourly grid
+        .filter(col("event_id") % 19 === 0)
+        .groupBy(col("event_type"), hour.as("hour_ts"))
+        .agg(sum(col("value").cast(dec)).cast(org.apache.spark.sql.types.DoubleType)
+          .as("obs_value"))
+      val grid = sparse.groupBy(col("event_type"))
+        .agg(min(col("hour_ts")).as("lo"), max(col("hour_ts")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("hour_ts").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      grid.join(sparse, Seq("event_type", "hour_ts"), "left")
+        .withColumn("filled_value", last(col("obs_value"), ignoreNulls = true).over(w))
+        .withColumn("was_observed", col("obs_value").isNotNull)
+        .select(col("event_type"), col("hour_ts"), col("filled_value"), col("was_observed"))
+    }),
+
     // Sessionization: 30-minute inactivity gap per user.
     "temporal_sessionize" -> ((s, d) =>
       Temporal.sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 1800)
@@ -499,6 +527,23 @@ WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHE
 SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
        epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts""",
+
+    "misc_gap_fill" -> """
+WITH sparse AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS obs_value
+  FROM events WHERE event_id % 19 = 0
+  GROUP BY 1, 2),
+grid AS (
+  SELECT event_type, unnest(generate_series(min(hour_ts), max(hour_ts), INTERVAL 1 HOUR)) AS hour_ts
+  FROM sparse GROUP BY event_type)
+SELECT g.event_type, g.hour_ts,
+       last_value(s.obs_value IGNORE NULLS)
+         OVER (PARTITION BY g.event_type ORDER BY g.hour_ts ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       s.obs_value IS NOT NULL AS was_observed
+FROM grid g LEFT JOIN sparse s
+  ON g.event_type = s.event_type AND g.hour_ts = s.hour_ts""",
 
     "misc_retention_cohorts" -> """
 WITH uw AS (
