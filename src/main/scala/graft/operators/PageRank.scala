@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over an edge list — the weighted-iteration graph operator
+  * (connected components covers the label-propagation family; this is
+  * the fixed-point mass-diffusion family: influence/centrality scoring
+  * over citation, link or interaction graphs).
+  *
+  * Per round: contributions = rank/out-degree shipped along edges (one
+  * hash join edges⋈ranks on src + one groupBy dst), then
+  * rank' = (1-d)/n + d·(contributions + dangling mass/n). Dangling
+  * nodes' mass redistributes uniformly, so total rank stays 1 and the
+  * iteration is a proper stochastic fixed point. Each round
+  * localCheckpoints the new ranks (truncating lineage that would
+  * otherwise grow by two shuffles per round) and releases the previous
+  * round's blocks — the same hygiene as the connected-components loop.
+  * Convergence is the L1 delta against the previous round, computed in
+  * the SAME job that materializes the checkpoint.
+  *
+  * Scale shape: state is one (node, rank) row per node; every round is
+  * two shuffles hash-partitioned on node id. Spec-gated (not DuckDB-
+  * hashable): distributed double summation is order-dependent, so
+  * equality is asserted within tolerance against a sequential reference.
+  */
+object PageRank {
+
+  /** Ranks for every node appearing in `edges` (directed src→dst).
+    * Returns (node, rank) with ranks summing to 1. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               damping: Double = 0.85, tol: Double = 1e-8,
+               maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count().toDouble
+    require(n > 0, "pageRank needs at least one edge")
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank")).localCheckpoint(true)
+    var it = 0
+    var delta = Double.MaxValue
+    while (delta > tol && it < maxIter) {
+      val withDeg = ranks.join(outDeg, ranks("node") === outDeg("src"), "left")
+      // dangling nodes (no out-edges) donate their mass to everyone
+      val danglingMass = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val contribs = withDeg.filter(col("deg").isNotNull)
+        .select(col("node"), (col("rank") / col("deg")).as("share"))
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
+      val next = nodes
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(nodes("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("inflow"), lit(0.0)) + lit(danglingMass / n)))
+            .as("rank"))
+        .localCheckpoint(false)
+      // one job: materializes the checkpoint AND computes the L1 delta
+      delta = next.join(ranks.withColumnRenamed("rank", "prev"), Seq("node"))
+        .agg(sum(abs(col("rank") - col("prev")))).head().getDouble(0)
+      Checkpoints.release(ranks)
+      ranks = next
+      it += 1
+    }
+    require(delta <= tol, s"pageRank did not converge in $maxIter rounds (delta=$delta)")
+    ranks
+  }
+}

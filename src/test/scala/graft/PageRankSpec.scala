@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PageRank
+
+/** PageRank == a sequential in-memory reference on the same graph, within
+  * float tolerance (distributed double summation is order-dependent, so
+  * exact equality is the wrong assertion — 1e-6 per node is far above
+  * reordering noise and far below any algorithmic error). */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** sequential fixed-point reference, same dangling handling */
+  private def reference(edges: Seq[(Long, Long)], d: Double, tol: Double): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).distinct }
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    var delta = 1.0
+    while (delta > tol) {
+      val dangling = nodes.filterNot(out.contains).map(rank).sum
+      val inflow = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      out.foreach { case (s, dsts) => dsts.foreach { t => inflow(t) += rank(s) / dsts.size } }
+      val next = nodes.map(v => v -> ((1 - d) / n + d * (inflow(v) + dangling / n))).toMap
+      delta = nodes.map(v => math.abs(next(v) - rank(v))).sum
+      rank = next
+    }
+    rank
+  }
+
+  test("pageRank matches the sequential reference within tolerance; ranks sum to 1") {
+    // a directed graph with a hub (1), a cycle (2->3->4->2) and a
+    // dangling node (5, no out-edges)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 2L), (2L, 5L), (3L, 5L))
+    val got = PageRank.pageRank(edges.toDF("src", "dst"), "src", "dst", tol = 1e-10)
+      .as[(Long, Double)].collect().toMap
+    val want = reference(edges, 0.85, 1e-10)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - want(v)) < 1e-6, s"node $v: got $r want ${want(v)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"ranks sum to ${got.values.sum}")
+    // the hub's targets outrank the hub itself (it only receives (1-d)/n)
+    assert(got(2L) > got(1L) && got(3L) > got(1L))
+  }
+
+  test("pageRank on a symmetric cycle is uniform") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val got = PageRank.pageRank(edges.toDF("src", "dst"), "src", "dst", tol = 1e-12)
+      .as[(Long, Double)].collect().toMap
+    got.values.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-9, s"got $got"))
+  }
+}
