@@ -11,13 +11,15 @@ import org.apache.spark.sql.functions._
   * Per round: contributions = rank/out-degree shipped along edges (one
   * hash join edges⋈ranks on src + one groupBy dst), then
   * rank' = (1-d)/n + d·(contributions + dangling mass/n). Dangling
-  * nodes' mass redistributes uniformly, so total rank stays 1 and the
-  * iteration is a proper stochastic fixed point. Each round
-  * localCheckpoints the new ranks (truncating lineage that would
-  * otherwise grow by two shuffles per round) and releases the previous
-  * round's blocks — the same hygiene as the connected-components loop.
-  * Convergence is the L1 delta against the previous round, computed in
-  * the SAME job that materializes the checkpoint.
+  * nodes' mass redistributes uniformly (folded into the plan as a 1-row
+  * broadcast, not a separate driver action), so total rank stays 1 and
+  * the iteration is a proper stochastic fixed point. TWO jobs per
+  * round, each shuffle paid once: the ranks⋈out-degree join is eagerly
+  * checkpointed (both the dangling aggregate and the contributions read
+  * its blocks), then the delta job materializes the lazily-checkpointed
+  * next ranks while computing the L1 convergence scalar; superseded
+  * block sets are released every round — the same hygiene as the
+  * connected-components loop.
   *
   * Scale shape: state is one (node, rank) row per node; every round is
   * two shuffles hash-partitioned on node id. Spec-gated (not DuckDB-
@@ -30,7 +32,11 @@ object PageRank {
     * Returns (node, rank) with ranks summing to 1. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                damping: Double = 0.85, tol: Double = 1e-8,
-               maxIter: Int = 50): DataFrame = {
+               maxIter: Int = 200): DataFrame = {
+    // the L1 delta contracts geometrically at rate ~damping, so tol=1e-8
+    // at d=0.85 needs ~log(tol)/log(d) ≈ 114 rounds on an ordinary graph
+    // — the default budget leaves headroom (CC's 50 does NOT transfer:
+    // star rounds converge in O(log n), diffusion converges at rate d)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
@@ -48,29 +54,40 @@ object PageRank {
     var it = 0
     var delta = Double.MaxValue
     while (delta > tol && it < maxIter) {
+      // job 1: materialize the join once; dangling agg and contribs both
+      // read its blocks instead of re-running the shuffle
       val withDeg = ranks.join(outDeg, ranks("node") === outDeg("src"), "left")
-      // dangling nodes (no out-edges) donate their mass to everyone
-      val danglingMass = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+        .localCheckpoint(true)
+      // dangling nodes (no out-edges) donate their mass to everyone —
+      // a 1-row broadcast INSIDE the plan, not a separate driver action
+      val dangling = broadcast(withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
       val contribs = withDeg.filter(col("deg").isNotNull)
         .select(col("node"), (col("rank") / col("deg")).as("share"))
         .join(e, col("node") === col("src"))
         .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
       val next = nodes
         .join(contribs, nodes("node") === contribs("dst"), "left")
+        .crossJoin(dangling)
         .select(nodes("node"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("inflow"), lit(0.0)) + lit(danglingMass / n)))
+            lit(damping) * (coalesce(col("inflow"), lit(0.0)) + col("dm") / lit(n)))
             .as("rank"))
         .localCheckpoint(false)
-      // one job: materializes the checkpoint AND computes the L1 delta
+      // job 2: materializes the checkpoint AND computes the L1 delta
       delta = next.join(ranks.withColumnRenamed("rank", "prev"), Seq("node"))
         .agg(sum(abs(col("rank") - col("prev")))).head().getDouble(0)
       Checkpoints.release(ranks)
+      Checkpoints.release(withDeg)
       ranks = next
       it += 1
     }
     require(delta <= tol, s"pageRank did not converge in $maxIter rounds (delta=$delta)")
+    // the returned frame is a materialized LogicalRDD; the working-set
+    // checkpoints are no longer reachable — free their blocks
+    Checkpoints.release(e)
+    Checkpoints.release(nodes)
+    Checkpoints.release(outDeg)
     ranks
   }
 }
