@@ -234,6 +234,25 @@ object LlmQueries {
         docs.filter(col("doc_id") % 97 === 0), minHits = 3)
     }),
 
+    // Contamination REPORT: the decontamination flags rolled up per
+    // source — what a data audit actually publishes (which slices of the
+    // corpus leak benchmark content, and how badly). Counts are exact
+    // integers; the rate divides them as doubles.
+    "llm_contamination_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val flagged = Dedup.decontaminate(
+        corpus, docs.filter(col("doc_id") % 97 === 0), minHits = 3)
+        .withColumn("is_contaminated", lit(true))
+      corpus.join(flagged.select(col("doc_id"), col("is_contaminated")), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
+        .withColumn("contamination_rate",
+          col("n_contaminated").cast(org.apache.spark.sql.types.DoubleType) /
+            col("n_docs").cast(org.apache.spark.sql.types.DoubleType))
+    }),
+
     // Deterministic 25% hash sample keyed on doc_id (reproducible,
     // partition-independent, pure pushed-down filter).
     "llm_sample" -> ((s, d) =>
@@ -957,6 +976,21 @@ SELECT c.doc_id, count(*) AS bench_hits
 FROM corp c JOIN bench b ON c.lo = b.lo AND c.hi = b.hi
 GROUP BY c.doc_id
 HAVING count(*) >= 3""",
+
+    "llm_contamination_report" -> s"""
+WITH $shinglesCte,
+bench AS (SELECT DISTINCT lo, hi FROM sh WHERE doc_id % 97 = 0),
+corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+flagged AS (
+  SELECT c.doc_id FROM corp c JOIN bench b ON c.lo = b.lo AND c.hi = b.hi
+  GROUP BY c.doc_id HAVING count(*) >= 3)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS contamination_rate
+FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+WHERE d.doc_id % 97 <> 0
+GROUP BY d.source""",
 
     "llm_sample" -> s"""
 SELECT doc_id, lang, source FROM documents
