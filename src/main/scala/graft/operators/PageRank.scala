@@ -53,41 +53,133 @@ object PageRank {
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank")).localCheckpoint(true)
     var it = 0
     var delta = Double.MaxValue
-    while (delta > tol && it < maxIter) {
-      // job 1: materialize the join once; dangling agg and contribs both
-      // read its blocks instead of re-running the shuffle
-      val withDeg = ranks.join(outDeg, ranks("node") === outDeg("src"), "left")
-        .localCheckpoint(true)
-      // dangling nodes (no out-edges) donate their mass to everyone —
-      // a 1-row broadcast INSIDE the plan, not a separate driver action
-      val dangling = broadcast(withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
-      val contribs = withDeg.filter(col("deg").isNotNull)
-        .select(col("node"), (col("rank") / col("deg")).as("share"))
-        .join(e, col("node") === col("src"))
-        .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
-      val next = nodes
-        .join(contribs, nodes("node") === contribs("dst"), "left")
-        .crossJoin(dangling)
-        .select(nodes("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("inflow"), lit(0.0)) + col("dm") / lit(n)))
-            .as("rank"))
-        .localCheckpoint(false)
-      // job 2: materializes the checkpoint AND computes the L1 delta
-      delta = next.join(ranks.withColumnRenamed("rank", "prev"), Seq("node"))
-        .agg(sum(abs(col("rank") - col("prev")))).head().getDouble(0)
+    // working-set frames live in vars so the error path (non-convergence
+    // require, or any mid-loop failure) can release their checkpoint
+    // blocks too — without this they leak until the session ends
+    var withDeg: DataFrame = null
+    var next: DataFrame = null
+    try {
+      while (delta > tol && it < maxIter) {
+        // job 1: materialize the join once; dangling agg and contribs both
+        // read its blocks instead of re-running the shuffle
+        withDeg = ranks.join(outDeg, ranks("node") === outDeg("src"), "left")
+          .localCheckpoint(true)
+        // dangling nodes (no out-edges) donate their mass to everyone —
+        // a 1-row broadcast INSIDE the plan, not a separate driver action
+        val dangling = broadcast(withDeg.filter(col("deg").isNull)
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
+        val contribs = withDeg.filter(col("deg").isNotNull)
+          .select(col("node"), (col("rank") / col("deg")).as("share"))
+          .join(e, col("node") === col("src"))
+          .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
+        next = nodes
+          .join(contribs, nodes("node") === contribs("dst"), "left")
+          .crossJoin(dangling)
+          .select(nodes("node"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * (coalesce(col("inflow"), lit(0.0)) + col("dm") / lit(n)))
+              .as("rank"))
+          .localCheckpoint(false)
+        // job 2: materializes the checkpoint AND computes the L1 delta
+        delta = next.join(ranks.withColumnRenamed("rank", "prev"), Seq("node"))
+          .agg(sum(abs(col("rank") - col("prev")))).head().getDouble(0)
+        Checkpoints.release(ranks)
+        Checkpoints.release(withDeg)
+        withDeg = null
+        ranks = next; next = null
+        it += 1
+      }
+      require(delta <= tol, s"pageRank did not converge in $maxIter rounds (delta=$delta)")
+      ranks
+    } catch { case t: Throwable =>
+      // free the in-flight working set; `ranks` is superseded on error
       Checkpoints.release(ranks)
-      Checkpoints.release(withDeg)
-      ranks = next
-      it += 1
+      if (withDeg != null) Checkpoints.release(withDeg)
+      if (next != null) Checkpoints.release(next)
+      throw t
+    } finally {
+      // the returned frame is a materialized LogicalRDD; the shared
+      // inputs are no longer reachable on ANY exit path — free them
+      Checkpoints.release(e)
+      Checkpoints.release(nodes)
+      Checkpoints.release(outDeg)
     }
-    require(delta <= tol, s"pageRank did not converge in $maxIter rounds (delta=$delta)")
-    // the returned frame is a materialized LogicalRDD; the working-set
-    // checkpoints are no longer reachable — free their blocks
-    Checkpoints.release(e)
-    Checkpoints.release(nodes)
-    Checkpoints.release(outDeg)
-    ranks
+  }
+
+  /** Fixed-ITERATION, fixed-POINT-arithmetic PageRank — the oracle-gated
+    * variant. Ranks are carried as BIGINT mass units out of `massUnit`
+    * total (default 10^12), every per-round operation is integer
+    * (truncating `div`, exact long sums), and the round count is fixed
+    * rather than tolerance-converged — so the result is bit-identical in
+    * ANY engine and under ANY partitioning/summation order, which a
+    * floating-point rank never is (distributed double sums are
+    * order-dependent; a convergence test can flap across engines).
+    * Production systems use the same trick for reproducible centrality
+    * scores. Mass conservation: truncation remainders (from init div,
+    * share div and the damping div) are dropped deterministically, so
+    * total mass decays by < n units per round — irrelevant at 10^12
+    * granularity and identical in every engine.
+    *
+    * Same two-jobs-per-round shape and checkpoint hygiene as [[pageRank]];
+    * `dampNum/dampDen` is the rational damping factor (85/100 = 0.85).
+    * Returns (node: long, rank_fp: long). */
+  def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                         iters: Int = 5, massUnit: Long = 1000000000000L,
+                         dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampNum < dampDen,
+      s"need iters >= 1 and 0 < dampNum < dampDen; got $iters, $dampNum/$dampDen")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRankFixedPoint needs at least one edge")
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // (1-d)/n of the total mass, in units — driver-side long division,
+    // matching the oracle's `((dampDen-dampNum)*massUnit) // (dampDen*n)`
+    val base = (dampDen - dampNum) * massUnit / (dampDen * n)
+    var ranks = nodes.select(col("node"), lit(massUnit / n).as("rank_fp"))
+      .localCheckpoint(true)
+    var it = 0
+    var withDeg: DataFrame = null
+    try {
+      while (it < iters) {
+        withDeg = ranks.join(outDeg, ranks("node") === outDeg("src"), "left")
+          .localCheckpoint(true)
+        val dangling = broadcast(withDeg.filter(col("deg").isNull)
+          .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dm")))
+        val contribs = withDeg.filter(col("deg").isNotNull)
+          .select(col("node"), expr("rank_fp div deg").as("share"))
+          .join(e, col("node") === col("src"))
+          .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
+        val next = nodes
+          .join(contribs, nodes("node") === contribs("dst"), "left")
+          .crossJoin(dangling)
+          .select(nodes("node"),
+            (lit(base) + expr(
+              s"($dampNum * (coalesce(inflow, 0L) + dm div ${n}L)) div $dampDen"))
+              .as("rank_fp"))
+          .localCheckpoint(true)
+        Checkpoints.release(ranks)
+        Checkpoints.release(withDeg)
+        withDeg = null
+        ranks = next
+        it += 1
+      }
+      ranks
+    } catch { case t: Throwable =>
+      Checkpoints.release(ranks)
+      if (withDeg != null) Checkpoints.release(withDeg)
+      throw t
+    } finally {
+      Checkpoints.release(e)
+      Checkpoints.release(nodes)
+      Checkpoints.release(outDeg)
+    }
   }
 }

@@ -13,6 +13,10 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
   * md5_number_lower reproduces it bit-for-bit. */
 object LlmQueries {
 
+  /** Committed deterministic binary fixtures (tools/gen_media_fixtures.py)
+    * — the real-bytes input both sides of llm_multimodal_binary read. */
+  private val mediaFixturesDir = "/root/repo/fixtures/media"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_exact_dup_groups" -> ((s, d) => Dedup.exactDupGroups(Tables.documents(s, d))),
     "llm_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
@@ -49,18 +53,18 @@ object LlmQueries {
       // each feeds BOTH the next stage and its own funnel count — cache
       // them or the md5-normalize scan and the CC anti join re-run per
       // consumer. IDs, never text: cheap even at full corpus scale.
-      val exact = docs
+      val exact = graft.QueryCaches.scoped(docs
         .groupBy(md5(TextStats.normalizeText(col("text"))).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-        .cache()
+        .select("doc_id"))
       val edges = Dedup.minhashLshPairs(docs).select(col("a"), col("b"))
         .unionByName(Dedup.simhashPairs(docs).select(col("a"), col("b")))
       val nonCanonical = graft.operators.ConnectedComponents
         .connectedComponents(edges, "a", "b")
         .filter(col("node") =!= col("component"))
         .select(col("node").as("doc_id"))
-      val afterNear = exact.join(nonCanonical, Seq("doc_id"), "left_anti").cache()
+      val afterNear = graft.QueryCaches.scoped(
+        exact.join(nonCanonical, Seq("doc_id"), "left_anti"))
       val quality = TextStats.qualityMetrics(docs)
         .filter(col("quality_keep")).select("doc_id")
       val kept = docs
@@ -313,6 +317,34 @@ object LlmQueries {
     "llm_multimodal_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.documentsAsMedia(Tables.documents(s, d)), everyN = 5)
         .toDF()),
+    // REAL-bytes multimodal path: spark.read.format("binaryFile") over
+    // committed deterministic fixture files (fixtures/media, see
+    // tools/gen_media_fixtures.py) — the production ingestion shape for
+    // opaque media (one row per object, content + length + path
+    // metadata), not a generated column. decodeMetadata and features run
+    // on the actual file bytes; the gate checks byte length (against the
+    // source's own length metadata — oracle pins the boolean TRUE),
+    // md5 checksum, stub-decoded dimensions, and the first feature
+    // byte. At scale the same reader fans out over an object store
+    // listing; only the fixture dir is harness-local.
+    "llm_multimodal_binary" -> ((s, d) => {
+      val bin = s.read.format("binaryFile").load(s"$mediaFixturesDir/*.bin")
+        .select(
+          regexp_extract(col("path"), "media_([0-9]+)\\.bin$", 1)
+            .cast(LongType).as("media_id"),
+          col("length").as("src_len"), col("content"))
+      val meta = Multimodal.decodeMetadata(bin).toDF()
+      val featB0 = Multimodal.features(bin)
+        .select(col("media_id"),
+          round(element_at(col("feature"), 1) * 255)
+            .cast(org.apache.spark.sql.types.IntegerType).as("feat_b0"))
+      meta.join(featB0, Seq("media_id"))
+        .join(bin.select(col("media_id"), col("src_len")), Seq("media_id"))
+        .select(col("media_id"), col("byte_len"),
+          (col("byte_len") === col("src_len")).as("len_matches_source"),
+          col("checksum"), col("width"), col("height"), col("channels"),
+          col("frame_count"), col("feat_b0"))
+    }),
 
     // Characteristic-term extraction: top-3 terms per doc by tf-idf.
     "llm_tfidf" -> ((s, d) =>
@@ -351,21 +383,9 @@ object LlmQueries {
     // columns instead of comments. Exact doubles: hits/n_true is
     // integer-over-integer division.
     "llm_ann_recall" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") < 10)
-      val truth = Similarity.bruteForceTopK(q, e, 5)
-        .select(col("query_id"), col("neighbor_id"))
-      def pairs(df: DataFrame, mark: String): DataFrame =
-        df.select(col("query_id"), col("neighbor_id"), lit(1L).as(mark))
       val dbl = (c: org.apache.spark.sql.Column) =>
         c.cast(org.apache.spark.sql.types.DoubleType)
-      truth
-        .join(pairs(Similarity.lshTopK(q, e, 5), "m_lsh"),
-          Seq("query_id", "neighbor_id"), "left")
-        .join(pairs(Similarity.lshTopKBanded(q, e, 5), "m_banded"),
-          Seq("query_id", "neighbor_id"), "left")
-        .join(pairs(Similarity.ivfTopK(q, e, 5, nProbe = 2), "m_ivf"),
-          Seq("query_id", "neighbor_id"), "left")
+      annRecallMarks(s, d)
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("n_true"),
           count(col("m_lsh")).as("hits_lsh"),
@@ -375,6 +395,31 @@ object LlmQueries {
           col("hits_lsh"), (dbl(col("hits_lsh")) / dbl(col("n_true"))).as("recall_lsh"),
           col("hits_banded"), (dbl(col("hits_banded")) / dbl(col("n_true"))).as("recall_banded"),
           col("hits_ivf"), (dbl(col("hits_ivf")) / dbl(col("n_true"))).as("recall_ivf"))
+    }),
+
+    // Recall FLOORS as a driver gate: the same hit marks aggregated over
+    // all queries, with boolean floor columns whose ORACLE side is the
+    // literal TRUE — so a recall regression (a broken probe ring, a
+    // degraded index default) flips the computed boolean against the
+    // oracle's expectation and hash-fails the round. The recall doubles
+    // themselves are cross-checked as exact integer-over-integer
+    // divisions, like llm_ann_recall.
+    "llm_ann_recall_floor" -> ((s, d) => {
+      val dbl = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DoubleType)
+      annRecallMarks(s, d)
+        .agg(count(lit(1)).as("n_true"),
+          count(col("m_lsh")).as("hits_lsh"),
+          count(col("m_banded")).as("hits_banded"),
+          count(col("m_ivf")).as("hits_ivf"))
+        .select(col("n_true"),
+          (dbl(col("hits_lsh")) / dbl(col("n_true"))).as("recall_lsh"),
+          (dbl(col("hits_banded")) / dbl(col("n_true"))).as("recall_banded"),
+          (dbl(col("hits_ivf")) / dbl(col("n_true"))).as("recall_ivf"))
+        .select(col("n_true"), col("recall_lsh"), col("recall_banded"), col("recall_ivf"),
+          (col("recall_lsh") >= AnnRecallFloors.lsh).as("lsh_floor_ok"),
+          (col("recall_banded") >= AnnRecallFloors.banded).as("banded_floor_ok"),
+          (col("recall_ivf") >= AnnRecallFloors.ivf).as("ivf_floor_ok"))
     }),
 
     // Incremental top-k maintenance == full recompute: fold the %5==0
@@ -424,6 +469,36 @@ sh AS (
   private def dsk(expr: String): String = s"CAST(md5_number_lower($expr) AS DECIMAL(20,0))"
 
   /** DuckDB double-accumulation cosine over list_zip (field names list_1/2). */
+  /** Asserted minimum recalls for the approximate ANN paths (gated by
+    * llm_ann_recall_floor against oracle-side literal TRUE). Measured on
+    * the harness embeddings at sf0.01: lsh 0.64 (radius-2 probes; was
+    * 0.36 at radius 1), banded 0.72, ivf 0.90 — floors sit under the
+    * measurement with a small margin so data-drift noise doesn't flap
+    * the gate, but any structural regression fails it. */
+  private object AnnRecallFloors {
+    val lsh = 0.55
+    val banded = 0.70
+    val ivf = 0.85
+  }
+
+  /** Shared core of the two ANN-recall gates: brute-force ground-truth
+    * pairs LEFT-joined with a presence mark per approximate index. */
+  private def annRecallMarks(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(q, e, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def pairs(df: DataFrame, mark: String): DataFrame =
+      df.select(col("query_id"), col("neighbor_id"), lit(1L).as(mark))
+    truth
+      .join(pairs(Similarity.lshTopK(q, e, 5), "m_lsh"),
+        Seq("query_id", "neighbor_id"), "left")
+      .join(pairs(Similarity.lshTopKBanded(q, e, 5), "m_banded"),
+        Seq("query_id", "neighbor_id"), "left")
+      .join(pairs(Similarity.ivfTopK(q, e, 5, nProbe = 2), "m_ivf"),
+        Seq("query_id", "neighbor_id"), "left")
+  }
+
   private def cosSql(a: String, b: String): String =
     s"""(SELECT sum(CAST(z.l1 AS DOUBLE) * CAST(z.l2 AS DOUBLE)) /
         (sqrt(sum(CAST(z.l1 AS DOUBLE) * CAST(z.l1 AS DOUBLE))) *
@@ -441,6 +516,86 @@ sh AS (
     }.mkString("(", " + ", ")")
 
   private val hyperplaneBucketSql: String = hyperplaneBucketSqlAt(0)
+
+  /** DuckDB twin of lshTopK's multi-probe ring — built from the SAME
+    * Similarity.probeMasks(6, 2) the Spark side uses, so the probe sets
+    * cannot drift. */
+  private val lshProbeListSql: String =
+    Similarity.probeMasks(6, 2)
+      .map(m => if (m == 0) "bucket" else s"xor(bucket, $m)").mkString(", ")
+
+  /** Shared CTE chain of the two ANN-recall oracles: brute-force ground
+    * truth plus the lsh / banded / ivf top-5 replays. */
+  private def annRecallCtesSql: String = s"""bf AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM bf) WHERE rank <= 5
+), lbucketed AS (
+  SELECT vec_id, embedding, $hyperplaneBucketSql AS bucket FROM embeddings
+), lprobes AS (
+  SELECT vec_id, embedding,
+         unnest([$lshProbeListSql]) AS bucket
+  FROM lbucketed WHERE vec_id < 10
+), lscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
+  FROM lprobes q JOIN lbucketed c
+    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+), lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM lscored) WHERE rank <= 5
+), bbucketed AS (
+  SELECT vec_id, embedding,
+         ${(0 until 8).map(t => s"${hyperplaneBucketSqlAt(8 * t, 4)} AS bk$t").mkString(",\n         ")}
+  FROM embeddings
+), bcand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bbucketed q JOIN bbucketed c
+    ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+   AND (${(0 until 8).map(t => s"q.bk$t = c.bk$t").mkString(" OR ")})
+), bscored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         round(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
+  FROM bcand cd JOIN embeddings x ON cd.query_id = x.vec_id
+                JOIN embeddings y ON cd.neighbor_id = y.vec_id
+), banded AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM bscored) WHERE rank <= 5
+), cents AS (
+  SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings
+  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)
+), assigned AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(${cosSql("e.embedding", "c.centroid")}, 6) DESC, c.cell_id ASC) AS crank
+  FROM embeddings e, cents c
+), cells AS (SELECT vec_id, embedding, cell_id FROM assigned WHERE crank = 1),
+qprobes AS (
+  SELECT vec_id, embedding, cell_id FROM assigned WHERE vec_id < 10 AND crank <= 2
+), iscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
+  FROM qprobes q JOIN cells c
+    ON q.cell_id = c.cell_id AND q.vec_id <> c.vec_id
+), ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM iscored) WHERE rank <= 5
+)"""
 
   private val jaccardVerify = """
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -843,76 +998,7 @@ FROM scored
 QUALIFY rank <= 5""",
 
     "llm_ann_recall" -> s"""
-WITH bf AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
-  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
-), truth AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
-    FROM bf) WHERE rank <= 5
-), lbucketed AS (
-  SELECT vec_id, embedding, $hyperplaneBucketSql AS bucket FROM embeddings
-), lprobes AS (
-  SELECT vec_id, embedding,
-         unnest([bucket, ${(0 until 6).map(i => s"xor(bucket, ${1 << i})").mkString(", ")}]) AS bucket
-  FROM lbucketed WHERE vec_id < 10
-), lscored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
-  FROM lprobes q JOIN lbucketed c
-    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-), lsh AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
-    FROM lscored) WHERE rank <= 5
-), bbucketed AS (
-  SELECT vec_id, embedding,
-         ${(0 until 8).map(t => s"${hyperplaneBucketSqlAt(8 * t, 4)} AS bk$t").mkString(",\n         ")}
-  FROM embeddings
-), bcand AS (
-  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-  FROM bbucketed q JOIN bbucketed c
-    ON q.vec_id < 10 AND q.vec_id <> c.vec_id
-   AND (${(0 until 8).map(t => s"q.bk$t = c.bk$t").mkString(" OR ")})
-), bscored AS (
-  SELECT cd.query_id, cd.neighbor_id,
-         round(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
-  FROM bcand cd JOIN embeddings x ON cd.query_id = x.vec_id
-                JOIN embeddings y ON cd.neighbor_id = y.vec_id
-), banded AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
-    FROM bscored) WHERE rank <= 5
-), cents AS (
-  SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings
-  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)
-), assigned AS (
-  SELECT e.vec_id, e.embedding, c.cell_id,
-         row_number() OVER (PARTITION BY e.vec_id
-           ORDER BY round(${cosSql("e.embedding", "c.centroid")}, 6) DESC, c.cell_id ASC) AS crank
-  FROM embeddings e, cents c
-), cells AS (SELECT vec_id, embedding, cell_id FROM assigned WHERE crank = 1),
-qprobes AS (
-  SELECT vec_id, embedding, cell_id FROM assigned WHERE vec_id < 10 AND crank <= 2
-), iscored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
-  FROM qprobes q JOIN cells c
-    ON q.cell_id = c.cell_id AND q.vec_id <> c.vec_id
-), ivf AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
-    FROM iscored) WHERE rank <= 5
-)
+WITH $annRecallCtesSql
 SELECT t.query_id, count(*) AS n_true,
        count(l.neighbor_id) AS hits_lsh,
        CAST(count(l.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_lsh,
@@ -926,12 +1012,27 @@ LEFT JOIN banded b ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
 LEFT JOIN ivf i ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
 GROUP BY t.query_id""",
 
+    // the floor booleans are LITERAL TRUE on the oracle side — the gate
+    // asserts the Spark-computed recall clears the floor, it does not
+    // recompute the comparison (recomputing would make the gate vacuous)
+    "llm_ann_recall_floor" -> s"""
+WITH $annRecallCtesSql
+SELECT count(*) AS n_true,
+       CAST(count(l.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_lsh,
+       CAST(count(b.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_banded,
+       CAST(count(i.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_ivf,
+       TRUE AS lsh_floor_ok, TRUE AS banded_floor_ok, TRUE AS ivf_floor_ok
+FROM truth t
+LEFT JOIN lsh l ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+LEFT JOIN banded b ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+LEFT JOIN ivf i ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id""",
+
     "llm_ann_lsh" -> s"""
 WITH bucketed AS (
   SELECT vec_id, embedding, $hyperplaneBucketSql AS bucket FROM embeddings
 ), probes AS (
   SELECT vec_id, embedding,
-         unnest([bucket, ${(0 until 6).map(i => s"xor(bucket, ${1 << i})").mkString(", ")}]) AS bucket
+         unnest([$lshProbeListSql]) AS bucket
   FROM bucketed WHERE vec_id < 10
 ), scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1046,6 +1147,26 @@ FROM documents""",
 SELECT doc_id,
   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
 FROM documents""",
+
+    // real-bytes twin: DuckDB reads the same fixture files (read_text —
+    // the fixtures are printable ASCII by construction, so the bytes are
+    // simultaneously a binary payload and valid UTF-8). feat_b0 (first
+    // md5-digest byte) is recovered via a 256-row hex→int lookup join.
+    "llm_multimodal_binary" -> s"""
+WITH raw AS (
+  SELECT CAST(regexp_extract(filename, 'media_([0-9]+)\\.bin', 1) AS BIGINT) AS media_id,
+         content, CAST(size AS BIGINT) AS byte_len, md5(content) AS checksum
+  FROM read_text('$mediaFixturesDir/*.bin')
+), hexmap AS (
+  SELECT v, printf('%02x', v) AS hx FROM (SELECT unnest(generate_series(0, 255)) AS v)
+)
+SELECT r.media_id, r.byte_len, TRUE AS len_matches_source, r.checksum,
+       CAST(r.byte_len % 640 AS INTEGER) AS width,
+       CAST((r.byte_len * 7) % 480 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(r.byte_len % 30 AS INTEGER) AS frame_count,
+       CAST(h.v AS INTEGER) AS feat_b0
+FROM raw r JOIN hexmap h ON substr(r.checksum, 1, 2) = h.hx""",
 
     "llm_multimodal_meta" -> """
 SELECT doc_id AS media_id,

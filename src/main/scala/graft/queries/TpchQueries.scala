@@ -160,9 +160,13 @@ object TpchQueries {
         .agg(count(lit(1)).as("custdist"))),
 
     // Q15-shaped top supplier: per-supplier quarterly revenue, then the
-    // max-revenue row(s) via rank() over the SUPPLIER-cardinality frame
-    // (a dim-sized window, not a fact-sized one) — ties all kept, like
-    // the spec's `= max(total_revenue)` subquery.
+    // max-revenue row(s) via a 1-row broadcast `max(total_revenue)`
+    // equi-filter — the spec's own `= max(total_revenue)` subquery shape.
+    // Ties all kept. No window at all: the previous unpartitioned
+    // rank() was dim-sized here but was the one global window in a
+    // registered plan, and a global window is a single-task sort at any
+    // cardinality — the broadcast-max filter scales with the aggregate
+    // instead.
     "tpch_top_supplier" -> ((s, d) => {
       val rev = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
@@ -170,10 +174,10 @@ object TpchQueries {
         .groupBy(col("l_suppkey"))
         .agg(sum(dec2("l_extendedprice") * (lit(BigDecimal(1).setScale(2)) - dec2("l_discount")))
           .cast(DoubleType).as("total_revenue"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("total_revenue").desc)
+      val best = broadcast(rev.agg(max(col("total_revenue")).as("__max_rev")))
       rev.join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-        .withColumn("__rk", rank().over(w))
-        .filter(col("__rk") === 1)
+        .crossJoin(best)
+        .filter(col("total_revenue") === col("__max_rev"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
     }),
 

@@ -58,7 +58,13 @@ case class TopKAgg(scoreChild: Expression, payloadChild: Expression, k: Int,
     if (buf.size < k) buf.add((score, payload))
     else {
       val worst = buf.peek()
-      val better = score > worst._1 || (score == worst._1 && payload < worst._2)
+      // Double.compare, not primitive > : the admission test must use the
+      // SAME total order as heapOrder, or a NaN score (sorted greatest,
+      // like Spark's window ordering) is kept when it arrives before the
+      // heap fills but rejected after — making results arrival-order
+      // dependent (cosineSim yields NaN for zero-norm vectors)
+      val c = java.lang.Double.compare(score, worst._1)
+      val better = c > 0 || (c == 0 && payload < worst._2)
       if (better) { buf.poll(); buf.add((score, payload)) }
     }
 

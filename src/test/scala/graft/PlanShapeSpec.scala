@@ -20,14 +20,45 @@ class PlanShapeSpec extends SparkSpec {
     "llm_ann_topk",        // brute-force baseline: exhaustive by definition
     "llm_ann_ivf",         // 1-row collected-centroids broadcast
     "llm_ann_recall",      // brute-force ground-truth side of the recall check
+    "llm_ann_recall_floor", // same marks frame as llm_ann_recall, aggregated
     "llm_ann_incremental", // query-set × batch scoring: exhaustive over the BATCH by design
     "llm_tfidf",           // 1-row corpus-count broadcast
     "llm_curation_pipeline", // 1-row per-stage funnel counts crossed into one row
     "misc_heavy_hitters",  // 1-row total + 1-row sketch broadcast
     "misc_zorder_pruning", // 1-row predicate-bounds broadcast onto 128 stat rows
     "tpch_sales_opportunity", // 1-row mean-balance threshold broadcast
-    "tpch_important_parts"    // 1-row group-total threshold broadcast
+    "tpch_important_parts",   // 1-row group-total threshold broadcast
+    "tpch_top_supplier"       // 1-row max-revenue threshold broadcast
   )
+
+  /** Pinned shuffle-exchange counts for the most expensive registered
+    * queries (the r6 bench top-5): a future edit that silently adds a
+    * shuffle — a lost broadcast hint, a misaligned partitioning, an
+    * accidental repartition — fails here instead of surfacing as a
+    * throughput regression at scale. Counts are of the FINAL returned
+    * plan (loops like connected components materialize LogicalRDDs
+    * internally; their per-round shuffles are the operators' own specs'
+    * business). BroadcastExchange is deliberately NOT counted — turning
+    * a shuffle join into a broadcast join is an improvement and may
+    * change freely. */
+  private val pinnedShuffles = Map(
+    "llm_curation_pipeline" -> 11,
+    "llm_ngram_table" -> 2,
+    "llm_dedup_keep_best" -> 4,
+    "llm_dup_clusters" -> 4,
+    "llm_decontaminate" -> 2
+  )
+
+  test("headline queries keep their pinned shuffle-exchange counts") {
+    val shuffleRe = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+    val offenders = pinnedShuffles.toSeq.sortBy(_._1).flatMap { case (name, expected) =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      val actual = shuffleRe.findAllIn(plan).size
+      if (actual != expected) Some(s"$name: expected $expected shuffle exchanges, plan has $actual")
+      else None
+    }
+    assert(offenders.isEmpty, s"shuffle-count drift:\n${offenders.mkString("\n")}")
+  }
 
   test("no cartesian products; nested-loop joins only where a tiny broadcast is deliberate") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
