@@ -123,14 +123,47 @@ object Dedup {
       (1 until k).map(i =>
         min(col("lo") + lit(i.toLong) * col("hi")).as(s"mh$i")): _*)
 
+  /** Banded minhash signature rows (doc_id, band, bh) — the LSH INDEX: at
+    * cluster scale this is what gets persisted (bucketed by (band, bh))
+    * and what incremental batches probe. */
+  def bandedMinhash(sh: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    minhashSignatures(sh, k).select(col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws("|", (0 until rows).map(r => col(s"mh${b * rows + r}").cast(StringType)): _*)).as("bh"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+  }
+
+  /** Exact-Jaccard verification of candidate (a, b) pairs against the two
+    * sides' shingle sets. Integer-exact threshold (cross-multiplied), and
+    * the output jaccard is a single integer-over-integer double division
+    * — engine-stable. */
+  private def jaccardVerified(cand: DataFrame, shA: DataFrame, shB: DataFrame,
+                              minJaccard: Double): DataFrame = {
+    val sizesA = shA.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(shA.select(col("doc_id").as("a"), col("lo"), col("hi")), Seq("a"))
+      .join(shB.select(col("doc_id").as("b"), col("lo"), col("hi")), Seq("b", "lo", "hi"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val num = lit((minJaccard * 1e6).round)
+    inter
+      .join(sizesA.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizesB.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .filter(col("inter") * 1000000L >= col("uni") * num)
+      .select(col("a"), col("b"),
+        col("inter").cast(DoubleType)./(col("uni").cast(DoubleType)).as("jaccard"))
+  }
+
   /** MinHash-LSH near-dup pairs: band the k-row signature into `bands`
     * groups, bucket-join on (band index, band hash), then verify candidates
     * with exact Jaccard ≥ minJaccard. */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
                       minJaccard: Double = 0.5): DataFrame = {
-    val rows = k / bands
     val sh = graft.QueryCaches.scoped(hashedShingles(docs, n))
-    val sig = minhashSignatures(sh, k)
     // cached: the banded signature is tiny (doc_id + band + 16-byte hash,
     // bands rows/doc) but its subtree — shingle scan + k min-aggregates —
     // is the expensive part, and the self-join below would compute it
@@ -138,32 +171,33 @@ object Dedup {
     // way). Registered QueryCaches.scoped — the returned plan still
     // references the cache so it cannot be unpersisted HERE; the harness
     // mains release all scoped caches after each query's final action.
-    val banded = graft.QueryCaches.scoped(sig.select(col("doc_id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            md5(concat_ws("|", (0 until rows).map(r => col(s"mh${b * rows + r}").cast(StringType)): _*)).as("bh"))
-        }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bh")))
-
+    val banded = graft.QueryCaches.scoped(bandedMinhash(sh, k, bands))
     val cand = banded.select(col("doc_id").as("a"), col("band"), col("bh"))
       .join(banded.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
+    jaccardVerified(cand, sh, sh, minJaccard)
+  }
 
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("a"), col("lo"), col("hi")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("lo"), col("hi")), Seq("b", "lo", "hi"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-
-    val num = lit((minJaccard * 1e6).round)
-    inter
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
-      .withColumn("uni", col("sza") + col("szb") - col("inter"))
-      .filter(col("inter") * 1000000L >= col("uni") * num)
-      .select(col("a"), col("b"),
-        col("inter").cast(DoubleType)./(col("uni").cast(DoubleType)).as("jaccard"))
+  /** INCREMENTAL near-dup: new `batch` documents probed against the
+    * existing `corpus` — the daily-crawl-vs-index shape. Candidates come
+    * from the batch's band signatures equi-joined against the corpus's
+    * band INDEX ([[bandedMinhash]] — precomputed and bucket-stored in
+    * production, recomputed here), so cost scales with the batch and the
+    * matched buckets, never a corpus self-join; the corpus never
+    * re-pairs with itself. Returns (a = batch doc, b = corpus doc,
+    * jaccard ≥ minJaccard), exact-verified like [[minhashLshPairs]]. */
+  def incrementalNearDupPairs(corpus: DataFrame, batch: DataFrame, n: Int = 3,
+                              k: Int = 16, bands: Int = 4,
+                              minJaccard: Double = 0.5): DataFrame = {
+    val shB = graft.QueryCaches.scoped(hashedShingles(batch, n))
+    val shC = graft.QueryCaches.scoped(hashedShingles(corpus, n))
+    val cand = bandedMinhash(shB, k, bands)
+      .select(col("doc_id").as("a"), col("band"), col("bh"))
+      .join(bandedMinhash(shC, k, bands)
+        .select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
+      .select("a", "b").distinct()
+    jaccardVerified(cand, shB, shC, minJaccard)
   }
 
   /** 63-bit SimHash per document: token-frequency-weighted bit votes over

@@ -212,6 +212,16 @@ object LlmQueries {
         .join(corpus.withColumn("hit", lit(true)), Seq("h"), "left")
         .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_dup"))
     }),
+    // Incremental NEAR-dup: the %10==0 slice as the new crawl batch
+    // probed against the rest as the standing corpus — batch band
+    // signatures equi-join the corpus band index, exact-Jaccard verify;
+    // the corpus never self-pairs (cost scales with the batch).
+    "llm_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    }),
 
     // 4 bits × 8 bands: the low-threshold tuning (harness τ=0.5 sits at
     // θ≈60° where 6-bit bands recall ~20%; see Dedup scaladoc)
@@ -625,7 +635,9 @@ voted AS (
 ), fps AS (SELECT doc_id, $fp AS simhash FROM voted)"""
   }
 
-  private val minhashCtes: String = {
+  /** sig + banded: the minhash band-signature index (shared by the
+    * self-join pair oracles AND the incremental batch-vs-corpus one). */
+  private val minhashSigBandedCtes: String = {
     val k = 16; val bands = 4; val rows = 4
     val mins = (0 until k).map(i =>
       s"min(lo + $i * hi) AS mh$i").mkString(",\n    ")
@@ -640,7 +652,10 @@ sig AS (
   FROM sh GROUP BY doc_id
 ), banded AS (
   $bandRows
-), cand AS (
+)"""
+  }
+
+  private val minhashCtes: String = s"""$minhashSigBandedCtes, cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
 ), inter AS (
@@ -650,7 +665,6 @@ sig AS (
   JOIN sh q ON q.doc_id = c.b AND q.lo = p.lo AND q.hi = p.hi
   GROUP BY c.a, c.b
 )"""
-  }
 
   /** Language-ID argmax fold, mirrored exactly (earlier language wins ties). */
   private val langIdSql: String = {
@@ -854,6 +868,30 @@ WITH keyed AS (
 SELECT b.doc_id,
        b.h IN (SELECT h FROM keyed WHERE doc_id % 10 <> 0) AS is_dup
 FROM keyed b WHERE b.doc_id % 10 = 0""",
+
+    // batch (doc_id%10=0) band signatures vs corpus band index; the
+    // Jaccard verify reads each side's own shingle set — identical to
+    // the Spark split since every doc lives on exactly one side
+    "llm_incremental_neardup" -> s"""
+WITH $shinglesCte,
+$minhashSigBandedCtes,
+icand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh
+  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
+), iinter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM icand c
+  JOIN sh p ON p.doc_id = c.a
+  JOIN sh q ON q.doc_id = c.b AND q.lo = p.lo AND q.hi = p.hi
+  GROUP BY c.a, c.b
+), isizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+SELECT i.a, i.b,
+       CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+FROM iinter i
+JOIN isizes sa ON i.a = sa.doc_id
+JOIN isizes sb ON i.b = sb.doc_id
+WHERE i.inter * 1000000 >= (sa.sz + sb.sz - i.inter) * 500000""",
 
     "llm_dedup_keep_best" -> s"""
 WITH RECURSIVE $shinglesCte,

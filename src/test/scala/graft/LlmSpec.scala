@@ -42,6 +42,28 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("incrementalNearDupPairs == full-corpus LSH restricted to batch×corpus") {
+    // the exactness claim: probing the corpus band index with the batch's
+    // signatures yields exactly the cross pairs the full self-join finds
+    // (identical signatures, identical verify) — nothing extra, nothing
+    // missed. Wider corpus so buckets actually collide across the split.
+    val many = (1L to 30L).map { i =>
+      (i, s"shared prefix words here w${i % 4} middle part w${i % 3} tail w${i % 2}")
+    }.toDF("doc_id", "text")
+    val batch = many.filter($"doc_id" % 5 === 0)
+    val corpus = many.filter($"doc_id" % 5 =!= 0)
+    val inc = Dedup.incrementalNearDupPairs(corpus, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = Dedup.minhashLshPairs(many).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val crossFromFull = full.collect {
+      case ((a, b), j) if a % 5 == 0 && b % 5 != 0 => (a, b) -> j
+      case ((a, b), j) if b % 5 == 0 && a % 5 != 0 => (b, a) -> j
+    }.toMap
+    assert(inc == crossFromFull, s"inc=$inc full-cross=$crossFromFull")
+    assert(inc.nonEmpty, "fixture produced no cross pairs — weak test")
+  }
+
   test("simhash: identical docs identical fingerprints; near-dups small hamming") {
     val fps = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps(1L) == fps(4L))

@@ -50,4 +50,28 @@ class PageRankSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     got.values.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-9, s"got $got"))
   }
+
+  test("pageRankFixedPoint is partitioning-invariant, conserves mass, tracks the double variant") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 2L), (2L, 5L), (3L, 5L))
+    val U = 1000000000000L
+    val base = PageRank.pageRankFixedPoint(edges.toDF("src", "dst"), "src", "dst", iters = 20)
+      .as[(Long, Long)].collect().toMap
+    // bit-identical under a different partition layout — the whole point
+    // of the fixed-point variant (a double rank would differ in the last
+    // ulps and can flip a rounded comparison)
+    val re = PageRank.pageRankFixedPoint(edges.toDF("src", "dst").repartition(7),
+      "src", "dst", iters = 20).as[(Long, Long)].collect().toMap
+    assert(base == re, "fixed-point ranks changed under repartitioning")
+    // truncation drops < n units per round: 20 rounds x 5 nodes bounds
+    // the total decay; nothing is created
+    val total = base.values.sum
+    assert(total <= U && total > U - 20L * 5 * 2, s"mass $total out of bounds")
+    // after 20 rounds both variants are near their common fixed point —
+    // the integer ranks must track the double ranks to ~1e-6 relative
+    val dbl = PageRank.pageRank(edges.toDF("src", "dst"), "src", "dst", tol = 1e-12)
+      .as[(Long, Double)].collect().toMap
+    base.foreach { case (v, r) =>
+      assert(math.abs(r.toDouble / U - dbl(v)) < 1e-5, s"node $v: fp ${r.toDouble / U} dbl ${dbl(v)}")
+    }
+  }
 }

@@ -42,6 +42,22 @@ class TopKAggSpec extends SparkSpec {
     assert(all.count() == rows.size)
   }
 
+  test("TopKAgg ranks NaN scores first regardless of arrival order or partitioning") {
+    // NaN sorts GREATEST in Spark's ordering (the window idiom keeps it
+    // at rank 1); admission must use the same total order, or a NaN
+    // arriving after the heap fills is rejected while an early NaN is
+    // kept — partitioning-dependent output. cosineSim yields NaN for
+    // zero-norm vectors, so this is a reachable input.
+    val nan = Double.NaN
+    val early = Seq((1L, nan, 10L), (1L, 5.0, 11L), (1L, 4.0, 12L), (1L, 3.0, 13L))
+    val late = Seq((1L, 5.0, 11L), (1L, 4.0, 12L), (1L, 3.0, 13L), (1L, nan, 10L))
+    for ((rows, tag) <- Seq((early, "early"), (late, "late")); n <- Seq(1, 3)) {
+      val got = aggTopK(rows.toDF("g", "s", "p").repartition(n), 2)
+        .select(col("rnk"), col("p")).as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L), (2L, 11L)), s"NaN-$tag at $n partitions: $got")
+    }
+  }
+
   test("TopKAgg skips null scores/payloads") {
     val df = Seq[(Long, Option[Double], Option[Long])](
       (1L, Some(5.0), Some(10L)), (1L, None, Some(11L)),
