@@ -145,38 +145,47 @@ object PageRank {
     val base = (dampDen - dampNum) * massUnit / (dampDen * n)
     var ranks = nodes.select(col("node"), lit(massUnit / n).as("rank_fp"))
       .localCheckpoint(true)
-    var it = 0
-    var withDeg: DataFrame = null
+    // ONE job per round: the eager ranks⋈outDeg checkpoint is the round's
+    // only action — it also materializes the PREVIOUS round's lazy next-
+    // ranks checkpoint (no convergence scalar is needed here, unlike
+    // [[pageRank]], so the second job per round would be pure overhead).
+    // The last round's ranks checkpoint is eager instead, so the result
+    // is materialized before the finally releases the shared inputs.
+    var prevWithDeg: DataFrame = null
     try {
+      var it = 0
       while (it < iters) {
-        withDeg = ranks.join(outDeg, ranks("node") === outDeg("src"), "left")
+        val withDeg = ranks.join(outDeg, ranks("node") === outDeg("src"), "left")
           .localCheckpoint(true)
+        // everything downstream reads withDeg's blocks — the superseded
+        // rank frame and the previous round's join are both releasable
+        Checkpoints.release(ranks)
+        if (prevWithDeg != null) Checkpoints.release(prevWithDeg)
         val dangling = broadcast(withDeg.filter(col("deg").isNull)
           .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dm")))
         val contribs = withDeg.filter(col("deg").isNotNull)
           .select(col("node"), expr("rank_fp div deg").as("share"))
           .join(e, col("node") === col("src"))
           .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
-        val next = nodes
+        ranks = nodes
           .join(contribs, nodes("node") === contribs("dst"), "left")
           .crossJoin(dangling)
           .select(nodes("node"),
             (lit(base) + expr(
               s"($dampNum * (coalesce(inflow, 0L) + dm div ${n}L)) div $dampDen"))
               .as("rank_fp"))
-          .localCheckpoint(true)
-        Checkpoints.release(ranks)
-        Checkpoints.release(withDeg)
-        withDeg = null
-        ranks = next
+          .localCheckpoint(it == iters - 1)
+        prevWithDeg = withDeg
         it += 1
       }
       ranks
     } catch { case t: Throwable =>
       Checkpoints.release(ranks)
-      if (withDeg != null) Checkpoints.release(withDeg)
       throw t
     } finally {
+      // the returned frame is materialized (last round eager); the last
+      // round's join and the shared inputs are releasable on every path
+      if (prevWithDeg != null) Checkpoints.release(prevWithDeg)
       Checkpoints.release(e)
       Checkpoints.release(nodes)
       Checkpoints.release(outDeg)
