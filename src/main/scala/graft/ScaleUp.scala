@@ -21,9 +21,20 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   private val Shift = 1000000000L
 
+  /** Distinct letter permutation per copy: rotation (i % 26) composed
+    * with a copy-block transposition (i / 26) — plain rotations alone
+    * repeat after 26 copies, which would make copies i and i+26 exact
+    * text duplicates and reintroduce the artificial cross-copy dup
+    * blowup at factor > 26. Distinct for i < 26 * 14. */
   private def rotAlphabet(i: Int): (String, String) = {
     val a = ('a' to 'z').mkString
-    val r = a.drop(i % 26) + a.take(i % 26)
+    val arr = (a.drop(i % 26) + a.take(i % 26)).toCharArray
+    val s = i / 26
+    if (s > 0) {
+      val p = (s - 1) * 2 % 24
+      val t = arr(p); arr(p) = arr(p + 1); arr(p + 1) = t
+    }
+    val r = new String(arr)
     (a + a.toUpperCase, r + r.toUpperCase)
   }
 
