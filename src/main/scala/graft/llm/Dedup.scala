@@ -225,7 +225,20 @@ object Dedup {
     * MUST agree on at least one chunk whenever h < number of chunks, so
     * 9 chunks make the candidate set complete for the default
     * maxHamming = 8 (4×16-bit chunking would silently miss pairs whose
-    * differing bits spread across all four chunks). */
+    * differing bits spread across all four chunks).
+    *
+    * REJECTED ALTERNATIVE (measured, do not retry): Manku et al. (WWW'07)
+    * wide keys — 10 6-bit chunks keyed on the C(10,2)=45 chunk PAIRS
+    * (12-bit keys, complete for h ≤ 8). On real fingerprints at 100×
+    * harness scale it generates 3.4× fewer candidate rows (3.1B vs
+    * 10.8B) yet runs SLOWER end-to-end: 20.7 s vs 15.9 s at 100×, and
+    * 1.17 s vs 0.44 s at sf0.1. Sort-merge join streams the long
+    * ~n/128-row matching runs of the coarse scheme faster per row than
+    * the 45-table layout's short runs, and the 5× larger exploded/cached
+    * side adds fixed cost (shuffled-hash hint: 49 s — worse; uncached
+    * explode: 87 s — much worse). Wide keys only pay off once per-bucket
+    * candidates dominate wall-clock, i.e. corpora well beyond 10⁶ docs
+    * per partition-group; revisit then, with a hot-bucket cap. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
     val nChunks = 9; val chunkBits = 7 // 9*7 = 63 bits
     require(maxHamming < nChunks, s"chunk LSH is only complete for maxHamming < $nChunks")
