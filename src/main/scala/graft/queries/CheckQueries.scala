@@ -52,7 +52,15 @@ object CheckQueries {
     // (the reference's soda layer) instead of hand-built Scala — the
     // loader is itself an oracle-gated operator.
     "dq_soda_yaml" -> ((s, d) =>
-      Checks.evaluateDf(Tables.lineitem(s, d), SodaYaml.parse(lineitemSodaYaml).checks))
+      Checks.evaluateDf(Tables.lineitem(s, d), SodaYaml.parse(lineitemSodaYaml).checks)),
+
+    // One-pass column profiling over the fact table: every metric for
+    // every column from a single scan (see Profiler scaladoc; the oracle
+    // recomputes each column's row independently).
+    "dq_profile" -> ((s, d) =>
+      Profiler.profile(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber", "l_quantity",
+          "l_returnflag", "l_linestatus", "l_shipdate")))
   )
 
   /** SodaCL fixture over the harness lineitem table (the reference's
@@ -159,6 +167,38 @@ UNION ALL SELECT 'keys_present', v_mk, v_mk = 0 FROM agg
 UNION ALL SELECT 'order_unique', n - d_ok, n - d_ok = 0 FROM agg
 UNION ALL SELECT 'linenumber_range', v_ln, v_ln = 0 FROM agg
 UNION ALL SELECT 'min_l_quantity', v_q, v_q = 0 FROM agg
-UNION ALL SELECT 'high_discount', v_hd, v_hd = 0 FROM agg"""
+UNION ALL SELECT 'high_discount', v_hd, v_hd = 0 FROM agg""",
+
+    "dq_profile" -> """
+SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+       count(*) - count(l_orderkey) AS n_nulls,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv,
+       CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+       CAST(max(l_orderkey) AS VARCHAR) AS max_val FROM lineitem
+UNION ALL
+SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber),
+       CAST(count(DISTINCT l_linenumber) AS BIGINT),
+       CAST(min(l_linenumber) AS VARCHAR),
+       CAST(max(l_linenumber) AS VARCHAR) FROM lineitem
+UNION ALL
+SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+       CAST(count(DISTINCT l_quantity) AS BIGINT),
+       CAST(CAST(min(l_quantity) AS BIGINT) AS VARCHAR),
+       CAST(CAST(max(l_quantity) AS BIGINT) AS VARCHAR) FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+       CAST(count(DISTINCT l_returnflag) AS BIGINT),
+       CAST(min(l_returnflag) AS VARCHAR),
+       CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
+UNION ALL
+SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+       CAST(count(DISTINCT l_linestatus) AS BIGINT),
+       CAST(min(l_linestatus) AS VARCHAR),
+       CAST(max(l_linestatus) AS VARCHAR) FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+       CAST(count(DISTINCT l_shipdate) AS BIGINT),
+       strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+       strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') FROM lineitem"""
   )
 }

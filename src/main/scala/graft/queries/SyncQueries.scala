@@ -66,6 +66,26 @@ object SyncQueries {
         .select(col("c_custkey"), col("c_acctbal").as("bal"))
       DimSync.scd2Apply(history, snapshot,
         keyCols = Seq("c_custkey"), attrCols = Seq("bal"), asOf = 100L)
+    }),
+
+    // CDC snapshot diff: the fixture derives both snapshots from
+    // `customer` so every op occurs — %97==3 keys are absent from the
+    // old snapshot (I), %89==5 keys absent from the new (D), %13==0
+    // keys moved balance and %17==0 keys switched segment (U, with
+    // changed_cols naming one or both). Everything else is unchanged
+    // and must NOT appear.
+    "sync_cdc_diff" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val oldSnap = c.filter(col("c_custkey") % 97 =!= 3)
+      val newSnap = c.filter(col("c_custkey") % 89 =!= 5)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 13 === 0, col("c_acctbal") + lit(10.0))
+            .otherwise(col("c_acctbal")))
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 17 === 0, lit("REASSIGNED"))
+            .otherwise(col("c_mktsegment")))
+      DimSync.cdcDiff(oldSnap, newSnap, "c_custkey",
+        Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
     })
   )
 
@@ -115,6 +135,35 @@ SELECT c_custkey, h_bal AS bal, h_vf AS valid_from, CAST(100 AS BIGINT) AS valid
 FROM j WHERE in_hist AND (NOT in_snap OR h_bal IS DISTINCT FROM s_bal)
 UNION ALL
 SELECT c_custkey, s_bal AS bal, CAST(100 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
-FROM j WHERE in_snap AND (NOT in_hist OR h_bal IS DISTINCT FROM s_bal)"""
+FROM j WHERE in_snap AND (NOT in_hist OR h_bal IS DISTINCT FROM s_bal)""",
+
+    "sync_cdc_diff" -> """
+WITH old_snap AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 97 <> 3),
+new_snap AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + CAST(10.0 AS DOUBLE)
+              ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN c_custkey % 17 = 0 THEN 'REASSIGNED'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 89 <> 5)
+SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'I'
+            WHEN n.c_custkey IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       CASE WHEN o.c_custkey IS NULL OR n.c_custkey IS NULL THEN ''
+            ELSE concat_ws(',',
+              CASE WHEN o.c_name IS DISTINCT FROM n.c_name THEN 'c_name' END,
+              CASE WHEN o.c_nationkey IS DISTINCT FROM n.c_nationkey THEN 'c_nationkey' END,
+              CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'c_acctbal' END,
+              CASE WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'c_mktsegment' END)
+       END AS changed_cols
+FROM old_snap o FULL JOIN new_snap n ON o.c_custkey = n.c_custkey
+WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+   OR o.c_name IS DISTINCT FROM n.c_name
+   OR o.c_nationkey IS DISTINCT FROM n.c_nationkey
+   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+   OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment"""
   )
 }

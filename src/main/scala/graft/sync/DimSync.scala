@@ -150,6 +150,40 @@ object DimSync {
     closed.unionByName(stillOpen).unionByName(nowClosed).unionByName(newVersions)
   }
 
+  /** CDC snapshot diff: derive the change feed between two snapshots of
+    * a keyed table — the set-based form of "what would a CDC connector
+    * have emitted" when the upstream offers no log (the reference syncs
+    * full dimension snapshots, sync_data.py:126-153; diffing them is how
+    * an incremental consumer avoids re-applying the whole dimension).
+    * Emits one row per changed key: op I (key only in `newSnap`),
+    * D (only in `oldSnap`), U (present in both with any compared column
+    * differing, null-safely), plus `changed_cols` — a comma-joined list
+    * of the differing columns (empty for I/D). Unchanged keys are
+    * filtered before anything wide is materialized, so the output scales
+    * with the delta, not the table; the single full-outer join hashes on
+    * the key. */
+  def cdcDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+              compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "cdcDiff needs at least one compared column")
+    val o = oldSnap.select(col(keyCol) +:
+      compareCols.map(c => col(c).as(s"__o_$c")): _*).withColumn("__in_old", lit(true))
+    val n = newSnap.select(col(keyCol) +:
+      compareCols.map(c => col(c).as(s"__n_$c")): _*).withColumn("__in_new", lit(true))
+    val differs = compareCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c"))).reduce(_ || _)
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("op",
+        when(col("__in_old").isNull, lit("I"))
+          .when(col("__in_new").isNull, lit("D"))
+          .when(differs, lit("U")))
+      .filter(col("op").isNotNull)
+      .withColumn("changed_cols",
+        when(col("op") === "U", concat_ws(",",
+          compareCols.map(c =>
+            when(!(col(s"__o_$c") <=> col(s"__n_$c")), lit(c))): _*))
+          .otherwise(lit("")))
+      .select(col(keyCol), col("op"), col("changed_cols"))
+  }
+
   /** S14 — staging-table clone (DDL clone + `INSERT INTO staging SELECT *
     * FROM production`, sync_data.py:34-104) as parquet path overwrite. */
   def stagingClone(spark: SparkSession, productionPath: String, stagingPath: String): Unit =

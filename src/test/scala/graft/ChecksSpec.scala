@@ -70,6 +70,24 @@ class ChecksSpec extends SparkSpec {
     assert(out == Set("a" -> "missing_in_target", "d" -> "extra_in_target"))
   }
 
+  test("Profiler.profile computes nulls/ndv/extrema per column in one pass") {
+    val t = Seq(
+      (1L, Some("x"), Some(2.0)),
+      (2L, Some("y"), Some(5.0)),
+      (3L, None, Some(2.0)),
+      (4L, Some("x"), None)
+    ).toDF("id", "s", "d")
+    val p = graft.checks.Profiler.profile(t, Seq("id", "s", "d"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(p("s") == ((4L, 1L, 2L, "x", "y")))
+    assert(p("d") == ((4L, 1L, 2L, "2", "5"))) // double extrema render through BIGINT
+    // the scale path swaps exact ndv for HLL++; same shape, sketched counts
+    val approx = graft.checks.Profiler.profile(t, Seq("id"), exactNdv = false).collect()
+    assert(approx.head.getLong(3) > 0L)
+  }
+
   test("stagingDataChecks composite matches reference validator shape (Q9)") {
     val staging = Seq(
       (1L, "2024-01-01", "tv", "c1", 5, 10, 2.0, 1.0, 10.0),

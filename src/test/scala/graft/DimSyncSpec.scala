@@ -33,6 +33,25 @@ class DimSyncSpec extends SparkSpec {
     assert(rows.length == 2) // dup collapsed, radio row dropped
   }
 
+  test("cdcDiff emits I/U/D with null-safe change detection, drops unchanged keys") {
+    val oldSnap = Seq(
+      (1L, Some("a"), Some(10)),  // unchanged — must not appear
+      (2L, Some("b"), Some(20)),  // value change on v2
+      (3L, Some("c"), None),      // null → value counts as change
+      (4L, Some("d"), Some(40))   // deleted
+    ).toDF("k", "v1", "v2")
+    val newSnap = Seq(
+      (1L, Some("a"), Some(10)),
+      (2L, Some("b"), Some(99)),
+      (3L, Some("c"), Some(30)),
+      (5L, Some("e"), Option.empty[Int]) // inserted (with a null attr)
+    ).toDF("k", "v1", "v2")
+    val out = DimSync.cdcDiff(oldSnap, newSnap, "k", Seq("v1", "v2"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(
+      (2L, "U", "v2"), (3L, "U", "v2"), (4L, "D", ""), (5L, "I", "")))
+  }
+
   test("promote applies staging and rolls back on failed validation (C5)") {
     val dir = Files.createTempDirectory("graft_promote").toString
     val prod = s"$dir/prod"; val stage = s"$dir/stage"; val backup = s"$dir/backup"
