@@ -103,6 +103,33 @@ object Meta {
       .drop("__rn")
   }
 
+  /** Raw rows → the mergeable partial-aggregate form of an incremental
+    * aggregate table: one row per key with each aggregate's PARTIAL
+    * (sums and counts — anything that merges by addition). This is what
+    * gets persisted as the state table. */
+  def toPartials(raw: DataFrame, keys: Seq[String],
+                 partials: Seq[(String, Column)]): DataFrame =
+    raw.groupBy(keys.map(col): _*)
+      .agg(partials.head._2.as(partials.head._1),
+        partials.tail.map { case (n, c) => c.as(n) }: _*)
+
+  /** Incremental AGGREGATE maintenance (IVM): fold an already-partial
+    * delta batch into the persisted aggregate state WITHOUT rescanning
+    * history — the only affordable way to keep a grouped rollup current
+    * over an append-only 100 TB fact. Every partial column merges by
+    * SUM (counts are sums of 1s; averages/ratios derive from their
+    * sum+count partials at read time), so the merge is
+    * `state ∪ delta-partials → groupBy(keys) → sum(each)`: the shuffle
+    * moves only group-cardinality rows from each side, never raw
+    * history. Exactly equal to a full recompute when the partial
+    * aggregates are order-independent (exact DECIMAL sums, counts) —
+    * the `meta_ivm_agg` oracle pins that equivalence. */
+  def incrementalAggMerge(state: DataFrame, deltaPartials: DataFrame,
+                          keys: Seq[String], partialCols: Seq[String]): DataFrame =
+    state.unionByName(deltaPartials).groupBy(keys.map(col): _*)
+      .agg(sum(col(partialCols.head)).as(partialCols.head),
+        partialCols.tail.map(p => sum(col(p)).as(p)): _*)
+
   /** Last-writer-wins snapshot: one row per `uniqueKey`, the greatest
     * `watermarkCol` winning, ties broken by `tieBreak` ascending. */
   def latestByKey(df: DataFrame, uniqueKey: Seq[String], watermarkCol: String,

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 import graft.models.{Meta, TestdataAdapter}
 
 /** taico/meta model queries: the flagship transform (P1, F1-F8, F13-F14,
@@ -64,7 +65,24 @@ object MetaQueries {
     }),
 
     "meta_cleaned_data" -> ((s, d) =>
-      Meta.cleanedData(TestdataAdapter.mainWide(s, d)))
+      Meta.cleanedData(TestdataAdapter.mainWide(s, d))),
+
+    // IVM equivalence pin: the state (partials over the %10≠0 "history")
+    // merged with a delta batch (%10==0) must equal the full recompute —
+    // which is exactly what the oracle runs. Exact DECIMAL sums make the
+    // partial merge order-independent; doubles only at the boundary.
+    "meta_ivm_agg" -> ((s, d) => {
+      val e = Tables.events(s, d).select(
+        col("event_type"), hour(col("ts")).as("hr"), col("event_id"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+      val keys = Seq("event_type", "hr")
+      val parts = Seq("n" -> count(lit(1)), "sv" -> sum(col("v")))
+      val state = Meta.toPartials(e.filter(col("event_id") % 10 =!= 0), keys, parts)
+      val delta = Meta.toPartials(e.filter(col("event_id") % 10 === 0), keys, parts)
+      Meta.incrementalAggMerge(state, delta, keys, Seq("n", "sv"))
+        .select(col("event_type"), col("hr"), col("n").as("n_events"),
+          col("sv").cast(org.apache.spark.sql.types.DoubleType).as("total_value"))
+    })
   )
 
   /** DuckDB twin of TestdataAdapter.adsInsights + campaigns + the model. */
@@ -180,6 +198,12 @@ SELECT id, CAST(date AS TIMESTAMP) AS date,
        CAST(replace(cpm, ',', '.') AS DOUBLE) AS cpm,
        CAST(replace(cpc, ',', '.') AS DOUBLE) AS cpc,
        coalesce(revenue, CAST(0 AS DOUBLE)) AS revenue
-FROM main_wide"""
+FROM main_wide""",
+
+    // Full recompute — the IVM merge must be indistinguishable from it.
+    "meta_ivm_agg" -> """
+SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type, hr"""
   )
 }

@@ -89,6 +89,26 @@ class MetaSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("incrementalAggMerge folds batches to the full-recompute state (IVM)") {
+    val raw = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 5L),
+      ("a", 4L, 1L), ("c", 5L, 7L), ("b", 6L, 2L)
+    ).toDF("k", "id", "v")
+    val keys = Seq("k")
+    val parts = Seq("n" -> count(lit(1)), "sv" -> sum(col("v")))
+    val full = Meta.toPartials(raw, keys, parts)
+    // fold three delta batches (id % 3) one at a time onto an empty state
+    val folded = (0L until 3L).foldLeft(full.limit(0)) { (state, i) =>
+      Meta.incrementalAggMerge(state,
+        Meta.toPartials(raw.filter(col("id") % 3 === i), keys, parts),
+        keys, Seq("n", "sv"))
+    }
+    assert(folded.orderBy("k").collect().toSeq == full.orderBy("k").collect().toSeq)
+    // a group absent from a delta passes through the merge unchanged
+    val plusEmpty = Meta.incrementalAggMerge(full, full.limit(0), keys, Seq("n", "sv"))
+    assert(plusEmpty.orderBy("k").collect().toSeq == full.orderBy("k").collect().toSeq)
+  }
+
   test("cleanedData coalesces nulls and parses comma money (cleaned_data.sql)") {
     val raw = Seq(
       (1L, "2024-01-01", null.asInstanceOf[String], null.asInstanceOf[String],
