@@ -125,6 +125,43 @@ object EventsStream {
     q.runId.toString
   }
 
+  /** End-to-end streaming IVM job: file source → `foreachBatch` folding
+    * each micro-batch's PARTIAL aggregates into a parquet aggregate-state
+    * table via `Meta.incrementalAggMerge` — the streaming deployment of
+    * incremental aggregate maintenance (the upsert job's aggregate
+    * sibling). Per micro-batch the work is one partial agg over the
+    * batch plus a group-cardinality merge with the state; raw history is
+    * never rescanned, so the state table stays current over an unbounded
+    * feed at per-batch cost. Same read-then-overwrite staging caveat as
+    * `runUpsertJob` (a transactional format's MERGE replaces the
+    * two-step at production scale). */
+  def runIvmAggJob(spark: SparkSession, inDir: String, stateDir: String,
+                   checkpointDir: String): String = {
+    val keys = Seq("event_type")
+    val partialCols = Seq("n", "sv")
+    def partials(df: DataFrame): DataFrame =
+      graft.models.Meta.toPartials(df, keys,
+        Seq("n" -> count(lit(1)), "sv" -> sum(col("value").cast(DecimalType(18, 2)))))
+    val q = readEventsStream(spark, inDir).writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val delta = partials(batch.toDF())
+        val cur =
+          if (new java.io.File(stateDir).exists()) spark.read.parquet(stateDir)
+          else delta.limit(0)
+        val merged = graft.models.Meta
+          .incrementalAggMerge(cur, delta, keys, partialCols)
+          .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(stateDir)
+        graft.operators.Checkpoints.release(merged)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.runId.toString
+  }
+
   /** Stream-stream interval join: each click joined to the same user's
     * purchases landing within `withinSeconds` after it — attribution, the
     * canonical two-stream join. Both sides carry watermarks and the join

@@ -111,6 +111,27 @@ class EventsStreamSpec extends SparkSpec {
     assert(t2(2).getAs[Double]("value") == 5.0)
   }
 
+  test("runIvmAggJob folds micro-batches into the aggregate state; two waves == full recompute") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_ivm").toString
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.5, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 7L, "click", 2.0, "{}"),
+      (3L, ts("2024-01-01 10:30:00"), 8L, "view", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/in")
+    EventsStream.runIvmAggJob(spark, s"$dir/in", s"$dir/state", s"$dir/ckpt")
+    // wave 2: the checkpoint feeds only the new file into the fold
+    Seq((4L, ts("2024-01-01 12:00:00"), 9L, "click", 4.0, "{}"),
+        (5L, ts("2024-01-01 12:30:00"), 9L, "signup", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(s"$dir/in")
+    EventsStream.runIvmAggJob(spark, s"$dir/in", s"$dir/state", s"$dir/ckpt")
+    val state = spark.read.parquet(s"$dir/state").orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue)).toSeq
+    assert(state == Seq(("click", 3L, 7.5), ("signup", 1L, 5.0), ("view", 1L, 3.0)))
+  }
+
   test("dedupWithinWatermark drops same-key events inside the horizon") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, Long, String, Double)]
