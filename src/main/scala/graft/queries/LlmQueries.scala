@@ -370,6 +370,26 @@ object LlmQueries {
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       TextStats.packChunks(chunks, budget = 256)
     }),
+    // Balanced output sharding via the distributed two-pass prefix sum
+    // (PrefixSum.withGlobalPrefixSum — NO global window): shard boundary
+    // = truncating div of the exclusive token prefix by the total, so
+    // shard token sums differ by at most one document. The oracle
+    // replays the same running sum as a plain global window (DuckDB can
+    // afford it at sf0.01) and must land on identical shards.
+    "llm_token_shards" -> ((s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      val cum = graft.operators.PrefixSum.withGlobalPrefixSum(
+        toks, "doc_id", "n_tokens", "cum_tokens", numPartitions = 16)
+      val total = broadcast(toks.agg(sum(col("n_tokens")).as("__total")))
+      cum.crossJoin(total)
+        .withColumn("shard_id",
+          expr("((cum_tokens - n_tokens) * 8) div __total"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+    }),
+
     // FFD packing: same chunk stream as llm_packing, but first-fit-
     // decreasing instead of running-sum next-fit.
     "llm_packing_ffd" -> ((s, d) => {
@@ -1185,6 +1205,21 @@ FROM documents""",
 SELECT doc_id,
   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
 FROM documents""",
+
+    "llm_token_shards" -> """
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM toks),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM toks)
+SELECT CAST(((cum_tokens - n_tokens) * 8) // total AS BIGINT) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+FROM cum, tot GROUP BY 1""",
 
     // real-bytes twin: DuckDB reads the same fixture files (read_text —
     // the fixtures are printable ASCII by construction, so the bytes are

@@ -28,7 +28,8 @@ class PlanShapeSpec extends SparkSpec {
     "misc_zorder_pruning", // 1-row predicate-bounds broadcast onto 128 stat rows
     "tpch_sales_opportunity", // 1-row mean-balance threshold broadcast
     "tpch_important_parts",   // 1-row group-total threshold broadcast
-    "tpch_top_supplier"       // 1-row max-revenue threshold broadcast
+    "tpch_top_supplier",      // 1-row max-revenue threshold broadcast
+    "llm_token_shards"        // 1-row total-tokens broadcast
   )
 
   /** Pinned shuffle-exchange counts for the most expensive registered
