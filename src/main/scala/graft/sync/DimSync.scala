@@ -83,13 +83,14 @@ object DimSync {
         val base = dim.agg(coalesce(max(col("id")), lit(0L)).as("m")).collect()(0).getLong(0)
         val stale = deleteStale(dim, source, sourceCol)
           .select(col("name")).collect().map(_.getString(0))
-        // GLOBAL window — single-task sort, safe ONLY because `inserts`
-        // is a dimension DELTA (names absent from a dim table: thousands
-        // at most, by the sync contract). Do NOT reuse this id-assignment
-        // for fact-sized frames; use monotonically_increasing_id or a
-        // zipWithIndex-style per-partition offset scheme there.
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col("name"))
-        val withIds = inserts.select((row_number().over(w).cast("long") + base).as("id"), col("name"))
+        // name-ordered dense ids as a prefix sum of 1s — the distributed
+        // two-pass scheme (range-partition + broadcast offsets), so id
+        // assignment stays parallel even if a backfill delta is
+        // fact-sized; no global single-task window anywhere in the sync
+        val numbered = graft.operators.PrefixSum.withGlobalPrefixSum(
+          inserts.withColumn("__one", lit(1L)), "name", "__one", "__rn",
+          numPartitions = inserts.sparkSession.sessionState.conf.numShufflePartitions)
+        val withIds = numbered.select((col("__rn") + base).as("id"), col("name"))
         Sources.writeJdbc(withIds, url, table, props)
         val nInserted = inserts.count()
         if (stale.nonEmpty) {
