@@ -315,4 +315,43 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select("a", "b", "cosine")
   }
+
+  /** Span-level repetition coverage — the document-internal view of
+    * Lee et al., ACL 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): for each document, the fraction of its word n-gram
+    * POSITIONS whose n-gram also occurs in at least one OTHER document.
+    * Whole-doc dedup (exactDedup / minhashLshPairs) misses boilerplate
+    * stitched into otherwise-unique pages; this measures it so a pipeline
+    * can drop or trim high-coverage docs.
+    *
+    * Scale shape: positional grams explode once; the shared-gram set is a
+    * hash aggregation on the gram (count distinct docs, partial-agg
+    * map-side) filtered to n_docs > 1, then rejoined LEFT SEMI — only
+    * grams that are actually shared flow through the second shuffle, and
+    * the per-doc rollup shuffles (doc_id, count) longs. Nothing ever
+    * shuffles document text except the gram strings themselves; at 100 TB
+    * swap the gram string for its md5 fold (same plan shape, 8-byte keys)
+    * — kept textual here so the DuckDB oracle is byte-identical.
+    * Output: (doc_id, n_grams, n_repeated, dup_frac) for docs with >= n
+    * words; dup_frac divides two exact longs (engine-identical double). */
+  def repeatedSpanCoverage(docs: DataFrame, n: Int = 5): DataFrame = {
+    val ws = split(col("text"), " ")
+    val eligible = docs.filter(size(ws) >= n)
+    val grams = eligible.select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + 1, lit(n)), " "))).as("gram"))
+    val shared = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("gram"))
+    val repeated = grams.join(shared, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_repeated"))
+    eligible
+      .select(col("doc_id"), (size(ws) - (n - 1)).cast(LongType).as("n_grams"))
+      .join(repeated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
+      .withColumn("dup_frac",
+        col("n_repeated").cast(DoubleType) / col("n_grams").cast(DoubleType))
+  }
 }

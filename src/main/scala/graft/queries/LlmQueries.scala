@@ -122,6 +122,13 @@ object LlmQueries {
           countDistinct(col("doc_id")).as("n_docs"))
         .filter(col("n_occurrences") >= 5L)
     }),
+    // Span-level repetition coverage (Lee et al., ACL 2022): per doc, the
+    // fraction of word-5-gram POSITIONS whose gram also occurs in another
+    // document — the boilerplate signal whole-doc dedup can't see. Only
+    // shared grams survive the semi-join back; per-doc rollup shuffles
+    // (doc_id, count) longs.
+    "llm_span_dedup" -> ((s, d) =>
+      Dedup.repeatedSpanCoverage(Tables.documents(s, d), n = 5)),
 
     // Mixture sampling: downsample each source to a TOKEN budget — the
     // data-mixing step that turns "what we crawled" into "what we
@@ -957,6 +964,19 @@ FROM (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS bigram
             FROM documents))
 GROUP BY bigram
 HAVING count(*) >= 5""",
+
+    "llm_span_dedup" -> """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+e AS (SELECT doc_id, w FROM t WHERE len(w) >= 5),
+g AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM e)),
+shared AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+rep AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_repeated
+        FROM g WHERE gram IN (SELECT gram FROM shared) GROUP BY doc_id)
+SELECT e.doc_id, CAST(len(e.w) - 4 AS BIGINT) AS n_grams,
+       CAST(coalesce(r.n_repeated, 0) AS BIGINT) AS n_repeated,
+       CAST(coalesce(r.n_repeated, 0) AS DOUBLE) / CAST(len(e.w) - 4 AS DOUBLE) AS dup_frac
+FROM e LEFT JOIN rep r ON r.doc_id = e.doc_id""",
 
     "llm_curation_pipeline" -> s"""
 WITH RECURSIVE $shinglesCte,

@@ -86,6 +86,24 @@ object SyncQueries {
             .otherwise(col("c_mktsegment")))
       DimSync.cdcDiff(oldSnap, newSnap, "c_custkey",
         Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    }),
+
+    // Bucketed checksum table compare: the O(1)-shuffle sync validator —
+    // each side scans once into 64 (count, xor-of-row-hash) buckets; the
+    // fixture perturbs orders (%997 keys deleted, %613 priorities
+    // corrupted) so some buckets mismatch and the rest prove in_sync.
+    // Hashed columns are int/string only: double→string rendering is not
+    // engine-stable, so a real deployment routes doubles through
+    // moneyStr (DECIMAL→string) exactly like the surrogate-key path.
+    "sync_checksum_compare" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_orderdate")
+      val dst = orders.filter(col("o_orderkey") % 997 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 613 === 0, lit("X-CORRUPTED"))
+            .otherwise(col("o_orderpriority")))
+      DimSync.checksumCompare(orders, dst, cols, buckets = 64)
     })
   )
 
@@ -164,6 +182,39 @@ WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
    OR o.c_name IS DISTINCT FROM n.c_name
    OR o.c_nationkey IS DISTINCT FROM n.c_nationkey
    OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
-   OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment"""
+   OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment""",
+
+    "sync_checksum_compare" -> {
+      def rh(rel: String) = s"""
+  SELECT CAST(CAST(md5_number_lower(concat_ws('|',
+           coalesce(CAST(o_orderkey AS VARCHAR), ''),
+           coalesce(CAST(o_custkey AS VARCHAR), ''),
+           coalesce(o_orderstatus, ''),
+           coalesce(o_orderpriority, ''),
+           coalesce(CAST(o_orderdate AS VARCHAR), ''))) AS HUGEINT)
+         % CAST(9223372036854775808 AS HUGEINT) AS BIGINT) AS rh
+  FROM $rel"""
+      s"""
+WITH dst AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 613 = 0 THEN 'X-CORRUPTED'
+              ELSE o_orderpriority END AS o_orderpriority,
+         o_orderdate
+  FROM orders WHERE o_orderkey % 997 <> 0),
+sh AS (${rh("orders")}),
+dh AS (${rh("dst")}),
+sa AS (SELECT rh % 64 AS bucket, CAST(count(*) AS BIGINT) AS src_rows,
+              bit_xor(rh) AS src_xor FROM sh GROUP BY 1),
+da AS (SELECT rh % 64 AS bucket, CAST(count(*) AS BIGINT) AS dst_rows,
+              bit_xor(rh) AS dst_xor FROM dh GROUP BY 1)
+SELECT coalesce(sa.bucket, da.bucket) AS bucket,
+       CAST(coalesce(src_rows, 0) AS BIGINT) AS src_rows,
+       CAST(coalesce(dst_rows, 0) AS BIGINT) AS dst_rows,
+       CAST(coalesce(src_xor, 0) AS BIGINT) AS src_xor,
+       CAST(coalesce(dst_xor, 0) AS BIGINT) AS dst_xor,
+       coalesce(src_rows, 0) = coalesce(dst_rows, 0)
+         AND coalesce(src_xor, 0) = coalesce(dst_xor, 0) AS in_sync
+FROM sa FULL JOIN da ON sa.bucket = da.bucket"""
+    }
   )
 }

@@ -185,6 +185,46 @@ object DimSync {
       .select(col(keyCol), col("op"), col("changed_cols"))
   }
 
+  /** Bucketed content fingerprint of a table: rows hash to a 63-bit
+    * md5 fold of their '|'-joined string form and land in `buckets`
+    * buckets by hash; each bucket aggregates (row count, XOR of row
+    * hashes). XOR is order- and partition-independent and detects any
+    * single changed/added/removed row, so two tables compare by their
+    * `buckets`-row fingerprints — ONE scan per table and a shuffle of
+    * `buckets` rows, never a row-level join. This is how a 100 TB sync
+    * is validated hourly: the full-join alternative (dq_set_sync /
+    * cdcDiff) shuffles both tables; this shuffles 64 longs and then
+    * cdcDiff runs only on the buckets that mismatch. */
+  def bucketChecksum(df: DataFrame, cols: Seq[String], buckets: Int = 64): DataFrame = {
+    require(cols.nonEmpty, "bucketChecksum needs at least one column")
+    val rowStr = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast(org.apache.spark.sql.types.StringType), lit(""))): _*)
+    df.select(graft.functions.Fns.md5long63(rowStr).as("rh"))
+      .withColumn("bucket", col("rh") % buckets)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(rh)").as("xor_hash"))
+  }
+
+  /** Fingerprint diff of two tables: full-outer join of the two
+    * `bucketChecksum` outputs (tiny — `buckets` rows) with per-bucket row
+    * counts, hashes, and an `in_sync` verdict. Empty buckets coalesce to
+    * (0, 0) so a bucket present on one side only still compares. */
+  def checksumCompare(src: DataFrame, dst: DataFrame, cols: Seq[String],
+                      buckets: Int = 64): DataFrame = {
+    val a = bucketChecksum(src, cols, buckets)
+      .select(col("bucket"), col("n_rows").as("src_rows"), col("xor_hash").as("src_xor"))
+    val b = bucketChecksum(dst, cols, buckets)
+      .select(col("bucket"), col("n_rows").as("dst_rows"), col("xor_hash").as("dst_xor"))
+    a.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("src_rows"), lit(0L)).as("src_rows"),
+        coalesce(col("dst_rows"), lit(0L)).as("dst_rows"),
+        coalesce(col("src_xor"), lit(0L)).as("src_xor"),
+        coalesce(col("dst_xor"), lit(0L)).as("dst_xor"))
+      .withColumn("in_sync",
+        col("src_rows") === col("dst_rows") && col("src_xor") === col("dst_xor"))
+  }
+
   /** S14 — staging-table clone (DDL clone + `INSERT INTO staging SELECT *
     * FROM production`, sync_data.py:34-104) as parquet path overwrite. */
   def stagingClone(spark: SparkSession, productionPath: String, stagingPath: String): Unit =

@@ -112,4 +112,22 @@ class DimSyncSpec extends SparkSpec {
       (4L, Some(4.0), None, None)  // unchanged open row, NULL valid_from intact
     ), s"got $got")
   }
+
+  test("checksumCompare: identical tables are in_sync on every bucket; any row edit/delete flips only its buckets") {
+    val base = (1L to 200L).map(i => (i, s"name_$i", s"grp_${i % 5}"))
+      .toDF("id", "name", "grp")
+    val same = DimSync.checksumCompare(base, base, Seq("id", "name", "grp"), buckets = 8)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(same.length == 8 && same.forall(_._6), s"got ${same.mkString(",")}")
+    assert(same.map(_._2).sum == 200L) // counts partition the table
+
+    val perturbed = base.filter($"id" =!= 7L) // one delete
+      .withColumn("name", when($"id" === 13L, lit("EDITED")).otherwise($"name"))
+    val diff = DimSync.checksumCompare(base, perturbed, Seq("id", "name", "grp"), buckets = 8)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    val bad = diff.filter(!_._6)
+    // exactly the buckets of rows 7 (delete) and 13 (old+new hash) mismatch
+    assert(bad.nonEmpty && bad.length <= 3, s"got ${diff.mkString(",")}")
+    assert(diff.map(_._2).sum == 200L && diff.map(_._3).sum == 199L)
+  }
 }

@@ -177,4 +177,17 @@ class LlmSpec extends SparkSpec {
     val feats = Multimodal.features(media).collect()
     assert(feats.forall(_.getSeq[Float](1).length == 8))
   }
+
+  test("repeatedSpanCoverage: positional 5-gram coverage counts cross-doc shares only") {
+    val t = Seq(
+      (1L, "a b c d e f"),   // grams: "a b c d e", "b c d e f"
+      (2L, "x a b c d e"),   // grams: "x a b c d", "a b c d e" (shared with doc 1)
+      (3L, "p q r s t"),     // one unique gram
+      (4L, "too short")      // < 5 words: excluded
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpanCoverage(t, n = 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)), s"got ${got.mkString(",")}")
+  }
 }
