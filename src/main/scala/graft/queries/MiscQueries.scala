@@ -20,6 +20,23 @@ object MiscQueries {
         .limit(10)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
 
+    // Exact global quantiles WITHOUT a total sort: histogram-refinement
+    // selection (operators/Selection) — a handful of aggregation passes,
+    // never a range-partitioned sort, which is the only exact-percentile
+    // shape that survives 100 TB. collectCap is set below sf0.01's row
+    // count so the refinement loop itself is what the gate exercises.
+    // The interpolation formula is textually mirrored in the oracle so
+    // the double arithmetic is engine-identical.
+    "misc_exact_quantiles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+      val ps = graft.operators.Selection.quantileCont(
+        li, "v", Seq(0.25, 0.5, 0.75, 0.99), collectCap = 10000)
+      val n = Tables.lineitem(s, d).count()
+      import s.implicits._
+      Seq((n, ps(0), ps(1), ps(2), ps(3)))
+        .toDF("n", "p25", "p50", "p75", "p99")
+    }),
+
     // S7: projected, bounded fetch (selected_fields + max_results).
     "misc_limited_fetch" -> ((s, d) =>
       Tables.part(s, d)
@@ -564,6 +581,32 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
 
     "misc_limited_fetch" -> """
 SELECT p_brand, p_type, p_partkey FROM part ORDER BY p_partkey ASC LIMIT 10""",
+
+    // Interpolation formula textually mirrors Selection.quantileCont:
+    // x[frn+1] + (rn - frn) * (x[frn+2] - x[frn+1]); when rn lands on an
+    // integer rank the (rn - frn) factor is exactly 0.0 and the formula
+    // collapses to x[frn+1] in both engines.
+    "misc_exact_quantiles" -> """
+WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+             row_number() OVER (ORDER BY l_extendedprice) AS rn
+      FROM lineitem),
+k AS (SELECT q, CAST(q * (n - 1) AS DOUBLE) AS rnq,
+             floor(CAST(q * (n - 1) AS DOUBLE)) AS frn
+      FROM c, (SELECT CAST(0.25 AS DOUBLE) AS q UNION ALL
+               SELECT CAST(0.5 AS DOUBLE) UNION ALL
+               SELECT CAST(0.75 AS DOUBLE) UNION ALL
+               SELECT CAST(0.99 AS DOUBLE))),
+p AS (SELECT k.q, lo.v + (k.rnq - k.frn) * (hi.v - lo.v) AS pv
+      FROM k
+      JOIN s lo ON lo.rn = CAST(k.frn AS BIGINT) + 1
+      JOIN s hi ON hi.rn = CAST(k.frn AS BIGINT) + 2)
+SELECT c.n,
+       (SELECT pv FROM p WHERE q = 0.25) AS p25,
+       (SELECT pv FROM p WHERE q = 0.5)  AS p50,
+       (SELECT pv FROM p WHERE q = 0.75) AS p75,
+       (SELECT pv FROM p WHERE q = 0.99) AS p99
+FROM c""",
 
     "misc_sql_extract" -> """
 SELECT event_type, md5(concat_ws('-', coalesce(CAST(event_type AS VARCHAR), ''))) AS type_key,
