@@ -39,6 +39,29 @@ object LlmQueries {
         .select(col("node").as("doc_id"), col("component").as("cluster_id"),
           col("cluster_size"), (col("node") === col("component")).as("is_canonical"))
     }),
+    // Cluster-aware split: near-dup CLUSTERS are the atomic unit of
+    // split assignment. llm_train_val_test hashes doc_id, which can put
+    // two near-identical docs in train and test — leakage no per-doc
+    // gate can see. Hashing the CLUSTER id (component for clustered
+    // docs, own id for singletons) keeps every cluster in one split;
+    // the same 58-bit md5 gate keeps it deterministic across engines,
+    // runs and partitionings. Per-doc output so the oracle checks the
+    // complete assignment, not a summary.
+    "llm_cluster_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.minhashLshPairs(docs).select(col("a"), col("b"))
+        .unionByName(Dedup.simhashPairs(docs).select(col("a"), col("b")))
+      val comp = graft.operators.ConnectedComponents
+        .connectedComponents(edges, "a", "b")
+      val base = docs.select(col("doc_id"))
+      val gid = base.join(comp, base("doc_id") === comp("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("group_id"))
+      val h = graft.functions.Fns.md5lo58(col("group_id").cast("string")) % 1000000L
+      gid.withColumn("split",
+        when(h < 900000L, "train").when(h < 950000L, "val").otherwise("test"))
+    }),
+
     // The north-star COMPOSITION: the curation funnel a training-data
     // pipeline actually runs, as one query — normalize → exact dedup on
     // the normalized key → near-dup clustering (minhash ∪ simhash
@@ -832,6 +855,39 @@ SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
 FROM comp c
 JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id) s
   USING (cluster_id)""",
+
+    "llm_cluster_split" -> s"""
+WITH RECURSIVE $shinglesCte,
+$minhashCtes,
+$jaccardVerify,
+$simhashVotes,
+chunks AS (
+  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 7)) & 127 AS key
+  FROM fps, (SELECT unnest(generate_series(0, 8)) AS c)
+),
+mh_pairs AS (
+  SELECT a, b FROM verified WHERE inter * 1000000 >= uni * 500000),
+sh_pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 8),
+edges AS (SELECT a, b FROM mh_pairs UNION SELECT a, b FROM sh_pairs),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node WHERE r.lbl < s.b
+),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+g AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+SELECT doc_id, group_id,
+       CASE WHEN h < 900000 THEN 'train' WHEN h < 950000 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, group_id,
+             CAST(CAST(md5_number_lower(CAST(group_id AS VARCHAR)) AS HUGEINT) % ${1L << 58} AS BIGINT)
+               % 1000000 AS h
+      FROM g)""",
 
     "llm_train_val_test" -> s"""
 SELECT CASE WHEN h < 900000 THEN 'train' WHEN h < 950000 THEN 'val' ELSE 'test' END AS split,

@@ -120,4 +120,15 @@ object Sources {
     val w = df.write.mode(SaveMode.Overwrite).bucketBy(numBuckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
   }
+
+  /** Schema-evolved read: one logical table whose parquet batches were
+    * written under drifting schemas (columns added/dropped over time — the
+    * normal life of a landed source; the reference's BigQuery loads get
+    * this from `autodetect`+`WRITE_APPEND`). `mergeSchema` unions the
+    * footer schemas at planning time; rows from batches that predate a
+    * column read it as NULL. Merging is a planning-time cost over file
+    * FOOTERS only (no data scan), so it holds at 100 TB where the
+    * alternative — a migration rewriting every old file — does not. */
+  def readEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 }

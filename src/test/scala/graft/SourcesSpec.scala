@@ -79,4 +79,21 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 1000)
     assert(back.selectExpr("sum(id)").as[Long].head() == 499500L)
   }
+
+  test("readEvolved merges drifting batch schemas; pre-evolution rows read added columns as NULL") {
+    val dir = tmp()
+    // batch 1: (id, name) — the original landing schema
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").write.parquet(s"$dir/b1")
+    // batch 2: (id, name, score) — a column added upstream
+    Seq((3L, "c", 0.5)).toDF("id", "name", "score").write.parquet(s"$dir/b2")
+    // batch 3: (id, score) — name dropped upstream
+    Seq((4L, 0.9)).toDF("id", "score").write.parquet(s"$dir/b3")
+    val ev = Sources.readEvolved(spark, s"$dir/b1", s"$dir/b2", s"$dir/b3")
+    assert(ev.columns.sorted.toSeq == Seq("id", "name", "score"))
+    val rows = ev.select("id", "name", "score")
+      .as[(Long, Option[String], Option[Double])].collect().toSet
+    assert(rows == Set(
+      (1L, Some("a"), None), (2L, Some("b"), None),
+      (3L, Some("c"), Some(0.5)), (4L, None, Some(0.9))), s"got $rows")
+  }
 }
