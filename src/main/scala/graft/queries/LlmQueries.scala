@@ -368,11 +368,14 @@ object LlmQueries {
     // byte. At scale the same reader fans out over an object store
     // listing; only the fixture dir is harness-local.
     "llm_multimodal_binary" -> ((s, d) => {
-      val bin = s.read.format("binaryFile").load(s"$mediaFixturesDir/*.bin")
+      val bin = graft.sources.Sources.readBinaryFiles(s, mediaFixturesDir, "*.bin")
         .select(
+          // the fixture's numeric id (oracle joins on it) replaces the
+          // reader's path-hash media_id; glob pruning + listing-time
+          // length metadata come from the shared source helper
           regexp_extract(col("path"), "media_([0-9]+)\\.bin$", 1)
             .cast(LongType).as("media_id"),
-          col("length").as("src_len"), col("content"))
+          col("byte_len").as("src_len"), col("content"))
       val meta = Multimodal.decodeMetadata(bin).toDF()
       val featB0 = Multimodal.features(bin)
         .select(col("media_id"),

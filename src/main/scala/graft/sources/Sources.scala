@@ -131,4 +131,27 @@ object Sources {
     * alternative — a migration rewriting every old file — does not. */
   def readEvolved(spark: SparkSession, paths: String*): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
+  /** Raw-media ingestion via Spark's `binaryFile` source — the first hop
+    * of the multimodal pipeline: a directory of image/audio/video blobs
+    * becomes one row per FILE, `(media_id, path, byte_len, content)`,
+    * ready for `Multimodal.decodeMetadata`/`features`. `pathGlobFilter`
+    * prunes at file-LISTING time, so non-matching files cost zero bytes
+    * read. `media_id` is the 58-bit md5 fold of the path — stable across
+    * re-listings and partitionings (a zipWithIndex id would not be). At
+    * scale the source never splits a file but DOES bin many small files
+    * per task under `spark.sql.files.maxPartitionBytes`, so a landing of
+    * millions of small media files coalesces instead of one-task-per-file;
+    * oversized blobs are guarded by `spark.sql.sources.binaryFile.maxLength`. */
+  def readBinaryFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        graft.functions.Fns.md5lo58(col("path")).as("media_id"),
+        col("path"),
+        col("length").as("byte_len"),
+        col("content"))
+  }
 }

@@ -80,6 +80,30 @@ class SourcesSpec extends SparkSpec {
     assert(back.selectExpr("sum(id)").as[Long].head() == 499500L)
   }
 
+  test("readBinaryFiles ingests a media directory; glob prunes at listing time; checksums survive the pipeline") {
+    val dir = tmp()
+    val payloads = Map("a.img" -> Array.tabulate(300)(i => (i % 251).toByte),
+      "b.img" -> Array.tabulate(77)(i => (i * 3 % 256).toByte),
+      "skip.txt" -> Array[Byte](1, 2, 3))
+    payloads.foreach { case (name, bytes) =>
+      Files.write(java.nio.file.Paths.get(dir, name), bytes) }
+    val media = graft.sources.Sources.readBinaryFiles(spark, dir, "*.img")
+    val rows = media.collect()
+    assert(rows.length == 2, "glob must exclude skip.txt")
+    assert(rows.map(_.getAs[Long]("media_id")).distinct.length == 2)
+    // byte_len comes from the file STATUS (no content scan needed to know it)
+    assert(rows.map(r => r.getAs[String]("path").split('/').last -> r.getAs[Long]("byte_len")).toMap
+      == Map("a.img" -> 300L, "b.img" -> 77L))
+    // content flows into the decode stage; checksum matches a local md5
+    val meta = graft.llm.Multimodal.decodeMetadata(media).collect()
+    val expected = payloads.filterKeys(_.endsWith(".img")).values.map { b =>
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    }.toSet
+    assert(meta.map(_.checksum).toSet == expected)
+    assert(meta.map(m => m.byte_len).toSet == Set(300L, 77L))
+  }
+
   test("readEvolved merges drifting batch schemas; pre-evolution rows read added columns as NULL") {
     val dir = tmp()
     // batch 1: (id, name) — the original landing schema
