@@ -525,6 +525,29 @@ object MiscQueries {
       graft.operators.PageRank.pageRankFixedPoint(edges, "src", "dst", iters = 5)
     }),
 
+    // Degree-ordered triangle counting (operators/Triangles, Suri &
+    // Vassilvitskii WWW 2011) over the co-purchase graph: parts
+    // co-ordered in the same 1995 order are linked; per-part triangle
+    // counts measure basket cliquishness. The orientation bounds the
+    // wedge intermediate at O(m^1.5) regardless of hub parts — the shape
+    // that survives a power-law co-purchase graph at 100 TB. The (deg,
+    // id) total order is mirrored by DuckDB row comparison, so the
+    // enumeration is engine-identical and integer-exact.
+    "misc_triangle_count" -> ((s, d) => {
+      val li = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00")
+          .cast(org.apache.spark.sql.types.TimestampType) &&
+          col("o_orderdate") < lit("1996-01-01 00:00:00")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      graft.operators.Triangles.triangleCounts(edges, "a", "b")
+    }),
+
     // U1: UNION ALL of two incremental slices (column-name aligned).
     "misc_union_all" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -574,6 +597,33 @@ pr0 AS (SELECT node, CAST(1000000000000 // pr_n.n AS BIGINT) AS rank_fp
         FROM pr_nodes CROSS JOIN pr_n),
 ${(0 until 5).map(i => pagerankIterCte(s"pr$i", s"pr${i + 1}")).mkString(",")}
 SELECT node, rank_fp FROM pr5""",
+
+    // degree-ordered triangle enumeration replay: same (deg, id) total
+    // order via row comparison, same one-wedge-per-triangle closure
+    "misc_triangle_count" -> """
+WITH li AS (
+  SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-01-01'),
+e AS (
+  SELECT DISTINCT x.pk AS u, y.pk AS v
+  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY n),
+de AS (
+  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg END AS dkd,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS dki
+  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+tri AS (
+  SELECT w1.src AS x, w1.dki AS y, w2.dki AS z
+  FROM de w1 JOIN de w2 ON w1.src = w2.src AND (w1.dkd, w1.dki) < (w2.dkd, w2.dki)
+  JOIN de c ON c.src = w1.dki AND c.dkd = w2.dkd AND c.dki = w2.dki),
+corners AS (SELECT x AS node FROM tri UNION ALL SELECT y AS node FROM tri
+            UNION ALL SELECT z AS node FROM tri)
+SELECT c.node, d.deg AS degree, CAST(count(*) AS BIGINT) AS triangles
+FROM corners c JOIN deg d ON d.n = c.node GROUP BY c.node, d.deg""",
 
     "misc_topk_orders" -> """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
