@@ -354,4 +354,38 @@ object Dedup {
       .withColumn("dup_frac",
         col("n_repeated").cast(DoubleType) / col("n_grams").cast(DoubleType))
   }
+
+  /** Paragraph-level dedup, the CCNet/Dolma cleaning shape: dedup at a
+    * sub-document grain and REASSEMBLE the documents from the surviving
+    * pieces (vs whole-doc dedup, which keeps or drops entire docs). The
+    * grain here is fixed `blockWords`-word blocks (the synthetic corpus
+    * has no newline paragraph marks; a real corpus would split on "\n\n"
+    * upstream — everything below is grain-agnostic). The FIRST global
+    * occurrence of each distinct block survives — "first" by the
+    * deterministic (doc_id, position) total order, never arrival order,
+    * so the result is partitioning-independent. One hash aggregation
+    * over block digests picks keepers; one equi-join marks instances;
+    * one per-doc aggregation stitches survivors back in position order.
+    * The output IS the cleaned corpus, so the corpus text crossing the
+    * shuffle once is inherent; the keeper election itself moves only
+    * (digest, 8-byte position key) pairs. */
+  def paragraphDedup(docs: DataFrame, blockWords: Int = 16): DataFrame = {
+    val blocks = TextStats.chunkDocuments(docs, size = blockWords, overlap = 0)
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("pos"),
+        col("chunk_text").as("blk"))
+      .withColumn("h", md5(col("blk")))
+      .withColumn("k", col("doc_id") * 1000000L + col("pos"))
+    val keeper = blocks.groupBy(col("h")).agg(min(col("k")).as("keep_k"))
+    blocks.join(keeper, "h")
+      .withColumn("kept", col("k") === col("keep_k"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("kept").cast(LongType)).as("n_kept"),
+        // array_sort on (pos, …) makes the collect order deterministic;
+        // a doc whose every block lost elsewhere reassembles to ""
+        array_join(transform(
+          filter(array_sort(collect_list(struct(col("pos"), col("kept"), col("blk")))),
+            x => x.getField("kept")),
+          x => x.getField("blk")), " ").as("kept_text"))
+  }
 }

@@ -153,6 +153,13 @@ object LlmQueries {
     "llm_span_dedup" -> ((s, d) =>
       Dedup.repeatedSpanCoverage(Tables.documents(s, d), n = 5)),
 
+    // Paragraph-grain dedup + doc REASSEMBLY (the CCNet/Dolma cleaning
+    // shape): first global occurrence of each 16-word block survives,
+    // docs are stitched back from survivors. The gated output is the
+    // cleaned corpus itself — text, not just counts.
+    "llm_paragraph_dedup" -> ((s, d) =>
+      Dedup.paragraphDedup(Tables.documents(s, d))),
+
     // Mixture sampling: downsample each source to a TOKEN budget — the
     // data-mixing step that turns "what we crawled" into "what we
     // train on". Per-source rates derive from the data (integer-exact
@@ -1023,6 +1030,26 @@ FROM (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS bigram
             FROM documents))
 GROUP BY bigram
 HAVING count(*) >= 5""",
+
+    // block segmentation mirrors chunkDocuments(size=16, overlap=0);
+    // keeper election and position-ordered reassembly replayed exactly
+    "llm_paragraph_dedup" -> """
+WITH pw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+pb AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(words, i*16+1, i*16+16), ' ') AS blk
+  FROM (SELECT doc_id, words,
+               unnest(generate_series(0, greatest(CAST(ceil(len(words)/16.0) AS BIGINT), 1) - 1)) AS i
+        FROM pw) t),
+pk AS (SELECT md5(blk) AS h, min(doc_id*1000000+pos) AS keep_k
+       FROM pb GROUP BY md5(blk)),
+pm AS (SELECT b.doc_id, b.pos, b.blk,
+              (b.doc_id*1000000+b.pos = k.keep_k) AS kept
+       FROM pb b JOIN pk k ON md5(b.blk) = k.h)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN kept THEN blk END, ' ' ORDER BY pos), '') AS kept_text
+FROM pm GROUP BY doc_id""",
 
     "llm_span_dedup" -> """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

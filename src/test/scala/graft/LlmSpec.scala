@@ -190,4 +190,20 @@ class LlmSpec extends SparkSpec {
     assert(got.toSeq == Seq(
       (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)), s"got ${got.mkString(",")}")
   }
+
+  test("paragraphDedup: first (doc_id, pos) occurrence survives; docs reassemble in position order") {
+    def blk(p: String) = (1 to 16).map(i => s"$p$i").mkString(" ")
+    val (a, b, c, d) = (blk("a"), blk("b"), blk("c"), blk("d"))
+    val docs = Seq(
+      (1L, s"$a $b"),  // defines A and B
+      (2L, s"$b $c"),  // B lost to doc 1; C survives
+      (3L, a),         // A lost to doc 1 → reassembles to ""
+      (4L, s"$d $d")   // within-doc repeat: only the first D survives
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, s"$a $b"), (2L, 2L, 1L, c),
+      (3L, 1L, 0L, ""), (4L, 2L, 1L, d)), s"got $got")
+  }
 }
