@@ -548,6 +548,33 @@ object MiscQueries {
       graft.operators.Triangles.triangleCounts(edges, "a", "b")
     }),
 
+    // Grouped Pearson correlation + sample covariance from EXACT decimal
+    // moments: one scan, six map-combinable partial aggregates (n, Σx,
+    // Σy, Σx², Σy², Σxy) — the only statistics shape that holds at
+    // 100 TB (partials merge associatively; no second pass, no
+    // centering). Spark's built-in corr() accumulates doubles, whose
+    // summation order is partitioning-dependent; exact DECIMAL moments
+    // are order-independent, and the closed-form double arithmetic on
+    // top is textually mirrored by the oracle, so the result is
+    // engine-identical AND partitioning-identical.
+    "misc_correlation" -> ((s, d) => {
+      val dt = org.apache.spark.sql.types.DecimalType(18, 2)
+      val x = col("l_quantity").cast(dt)
+      val y = col("l_extendedprice").cast(dt)
+      val dbl = (c: String) => col(c).cast(org.apache.spark.sql.types.DoubleType)
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          ((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+            (sqrt(dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
+              sqrt(dbl("n") * dbl("syy") - dbl("sy") * dbl("sy"))))
+            .as("corr_qty_price"),
+          ((dbl("sxy") - dbl("sx") * dbl("sy") / dbl("n")) / (dbl("n") - lit(1.0)))
+            .as("cov_qty_price"))
+    }),
+
     // U1: UNION ALL of two incremental slices (column-name aligned).
     "misc_union_all" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -597,6 +624,25 @@ pr0 AS (SELECT node, CAST(1000000000000 // pr_n.n AS BIGINT) AS rank_fp
         FROM pr_nodes CROSS JOIN pr_n),
 ${(0 until 5).map(i => pagerankIterCte(s"pr$i", s"pr${i + 1}")).mkString(",")}
 SELECT node, rank_fp FROM pr5""",
+
+    // exact-decimal moments, identical closed-form double arithmetic
+    "misc_correlation" -> """
+WITH m AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS corr_qty_price,
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) /
+       (CAST(n AS DOUBLE) - 1.0) AS cov_qty_price
+FROM m""",
 
     // degree-ordered triangle enumeration replay: same (deg, id) total
     // order via row comparison, same one-wedge-per-triangle closure
