@@ -121,6 +121,43 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * k most-similar vectors with a DIFFERENT label — close in embedding
+    * space (hard) yet semantically negative, the pairs that move a
+    * contrastive loss most. Candidates come from the same banded-LSH
+    * band-collision join as [[lshTopKBanded]] (never all-pairs); the
+    * label-inequality prune runs ON the collision join output before any
+    * scoring, so same-label (easy-positive) collisions never reach the
+    * cosine. Labels re-attach after ranking via two id-keyed joins so the
+    * ranking shuffle carries only (id, score) pairs. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int,
+                    nBits: Int = 4, nBands: Int = 8): DataFrame = {
+    def banded(df: DataFrame, idAs: String, embAs: String, lblAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+          col("label").as(lblAs),
+          explode(array((0 until nBands).map { t =>
+            struct(lit(t).as("band"),
+              hyperplaneBucket(col("embedding"), nBits, 2 * nBits * t).as("bucket"),
+              (size(col("embedding")) > 2 * nBits * t + 1).as("in_range"))
+          }: _*)).as("bb"))
+        .filter(col("bb.in_range"))
+        .select(col(idAs), col(embAs), col(lblAs),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val q = banded(anchors, "query_id", "qe", "albl")
+    val c = banded(corpus, "neighbor_id", "ce", "nlbl")
+    val scored = q.join(c, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id") && col("albl") =!= col("nlbl"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", round(cosineSim(col("qe"), col("ce")), 6))
+    rankTopK(scored, k)
+      .join(anchors.select(col("vec_id").as("query_id"), col("label").as("anchor_label")),
+        "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("label").as("neighbor_label")),
+        "neighbor_id")
+      .select(col("query_id"), col("anchor_label"), col("neighbor_id"),
+        col("neighbor_label"), col("cosine"), col("rank"))
+  }
+
   /** the one-row broadcastable centroid list frame */
   private def centsFrame(centroids: DataFrame): DataFrame =
     broadcast(centroids.agg(

@@ -447,6 +447,15 @@ object LlmQueries {
       Similarity.lshTopKBanded(e.filter(col("vec_id") < 10), e, 5)
     }),
 
+    // Hard-negative mining: top-5 most-similar DIFFERENT-label vectors
+    // per anchor — the contrastive-training pair generator. Same banded
+    // candidate family as llm_ann_banded; the label prune runs on the
+    // collision join before any cosine.
+    "llm_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.hardNegatives(e.filter(col("vec_id") < 50), e, 5)
+    }),
+
     // Driver-verified ANN recall: every approximate index (single-bucket
     // LSH, banded LSH, trained-cells IVF) scored against the brute-force
     // ground truth per query — the measured-recall claims as checked
@@ -1157,6 +1166,29 @@ WITH bucketed AS (
                JOIN embeddings y ON cd.neighbor_id = y.vec_id
 )
 SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5""",
+
+    // banded-bucket replay + label-inequality prune + windowed top-5
+    "llm_hard_negatives" -> s"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, label,
+         ${(0 until 8).map(t => s"${hyperplaneBucketSqlAt(8 * t, 4)} AS bk$t").mkString(",\n         ")}
+  FROM embeddings
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, q.label AS anchor_label,
+                  c.vec_id AS neighbor_id, c.label AS neighbor_label
+  FROM bucketed q JOIN bucketed c
+    ON q.vec_id < 50 AND q.vec_id <> c.vec_id AND q.label <> c.label
+   AND (${(0 until 8).map(t => s"q.bk$t = c.bk$t").mkString(" OR ")})
+), scored AS (
+  SELECT cd.query_id, cd.anchor_label, cd.neighbor_id, cd.neighbor_label,
+         round(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
+  FROM cand cd JOIN embeddings x ON cd.query_id = x.vec_id
+               JOIN embeddings y ON cd.neighbor_id = y.vec_id
+)
+SELECT query_id, anchor_label, neighbor_id, neighbor_label, cosine,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
 FROM scored
 QUALIFY rank <= 5""",
