@@ -533,20 +533,17 @@ object MiscQueries {
     // that survives a power-law co-purchase graph at 100 TB. The (deg,
     // id) total order is mirrored by DuckDB row comparison, so the
     // enumeration is engine-identical and integer-exact.
-    "misc_triangle_count" -> ((s, d) => {
-      val li = Tables.orders(s, d)
-        .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00")
-          .cast(org.apache.spark.sql.types.TimestampType) &&
-          col("o_orderdate") < lit("1996-01-01 00:00:00")
-            .cast(org.apache.spark.sql.types.TimestampType))
-        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val edges = li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b"))
-      graft.operators.Triangles.triangleCounts(edges, "a", "b")
-    }),
+    "misc_triangle_count" -> ((s, d) =>
+      graft.operators.Triangles.triangleCounts(coPurchaseEdges(s, d), "a", "b")),
+
+    // k-core peeling (operators/KCore) on the same co-purchase graph:
+    // 6 fixed peel rounds at threshold 12 extract the dense basket
+    // kernel. Fixed rounds — not peel-to-fixpoint — keep the job count
+    // bounded and the DuckDB unroll exact (kcoreIterCte), the same
+    // determinism contract as misc_pagerank.
+    "misc_kcore" -> ((s, d) =>
+      graft.operators.KCore.kCorePeel(coPurchaseEdges(s, d), "a", "b",
+        k = 12, rounds = 6)),
 
     // Grouped Pearson correlation + sample covariance from EXACT decimal
     // moments: one scan, six map-combinable partial aggregates (n, Σx,
@@ -585,6 +582,44 @@ object MiscQueries {
             .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
     })
   )
+
+  /** The 1995 co-purchase graph shared by the graph-analytics queries:
+    * parts co-ordered in the same order are linked (distinct canonical
+    * pairs; per-order fan-out is bounded by basket size, so edge
+    * generation is a shuffle join on orderkey, never quadratic in parts). */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00")
+        .cast(org.apache.spark.sql.types.TimestampType) &&
+        col("o_orderdate") < lit("1996-01-01 00:00:00")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+  }
+
+  /** The co-purchase edge CTEs shared by the graph-analytics oracles
+    * (mirrors coPurchaseEdges; `e` is the canonical distinct pair set). */
+  private val coPurchaseCte: String = """li AS (
+  SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-01-01'),
+e AS MATERIALIZED (
+  SELECT DISTINCT x.pk AS u, y.pk AS v
+  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk)"""
+
+  /** One unrolled peel round of the fixed-round k-core replay (DuckDB
+    * side of misc_kcore): degree count, survivor filter, induced edges. */
+  private def kcoreIterCte(prev: String, cur: String, k: Int): String = s"""
+kd_$cur AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT u AS n FROM $prev UNION ALL SELECT v AS n FROM $prev) GROUP BY n),
+ka_$cur AS (SELECT n FROM kd_$cur WHERE deg >= $k),
+$cur AS MATERIALIZED (SELECT p.u, p.v FROM $prev p
+         JOIN ka_$cur au ON au.n = p.u JOIN ka_$cur av ON av.n = p.v)"""
 
   /** One unrolled rank-diffusion round of the fixed-point PageRank
     * replay (DuckDB side of misc_pagerank). Unrolled plain CTEs instead
@@ -646,15 +681,8 @@ FROM m""",
 
     // degree-ordered triangle enumeration replay: same (deg, id) total
     // order via row comparison, same one-wedge-per-triangle closure
-    "misc_triangle_count" -> """
-WITH li AS (
-  SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
-  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
-    AND o.o_orderdate < TIMESTAMP '1996-01-01'),
-e AS (
-  SELECT DISTINCT x.pk AS u, y.pk AS v
-  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+    "misc_triangle_count" -> s"""
+WITH $coPurchaseCte,
 deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
         FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY n),
 de AS (
@@ -670,6 +698,13 @@ corners AS (SELECT x AS node FROM tri UNION ALL SELECT y AS node FROM tri
             UNION ALL SELECT z AS node FROM tri)
 SELECT c.node, d.deg AS degree, CAST(count(*) AS BIGINT) AS triangles
 FROM corners c JOIN deg d ON d.n = c.node GROUP BY c.node, d.deg""",
+
+    // six unrolled peel rounds at k=12 — see kcoreIterCte
+    "misc_kcore" -> s"""
+WITH $coPurchaseCte,
+${(0 until 6).map(i => kcoreIterCte(if (i == 0) "e" else s"ke$i", s"ke${i + 1}", 12)).mkString(",")}
+SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
+FROM (SELECT u AS n FROM ke6 UNION ALL SELECT v AS n FROM ke6) GROUP BY n""",
 
     "misc_topk_orders" -> """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
