@@ -61,6 +61,18 @@ object Sources {
     if (predicates.isEmpty) spark.read.jdbc(url, table, props)
     else spark.read.jdbc(url, table, predicates, props)
 
+  /** S8 at scale — range-partitioned parallel JDBC scan: `numPartitions`
+    * concurrent range queries over `partitionCol` instead of ONE serial
+    * cursor dragging the whole table through a single connection. This is
+    * the difference between a 10-minute and a multi-hour dimension sync
+    * once the source table stops fitting a single cursor's throughput;
+    * bounds come from the caller (a prior min/max query, or the known id
+    * domain) so the stride split is planning-time only. */
+  def readJdbcPartitioned(spark: SparkSession, url: String, table: String,
+                          props: java.util.Properties, partitionCol: String,
+                          lower: Long, upper: Long, numPartitions: Int): DataFrame =
+    spark.read.jdbc(url, table, partitionCol, lower, upper, numPartitions, props)
+
   /** S9 — set-based JDBC sink, replacing the reference's row-at-a-time
     * INSERT loop (sync_data.py:250-252). Untestable here; see S8 note. */
   def writeJdbc(df: DataFrame, url: String, table: String,
@@ -131,6 +143,32 @@ object Sources {
     * alternative — a migration rewriting every old file — does not. */
   def readEvolved(spark: SparkSession, paths: String*): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
+  /** Validate-at-the-door CSV read with a quarantine lane: PERMISSIVE
+    * parse capturing each malformed line verbatim in `_corrupt_record`
+    * instead of silently nulling fields (default) or killing the job
+    * (FAILFAST) — at 100 TB a landed feed ALWAYS has a few bad lines,
+    * and dropping them silently is how row counts drift. Returns
+    * (good, bad): parsed rows, and the raw offending lines for the
+    * dead-letter audit. The one `.cache()` is required — Spark refuses
+    * to answer a query that reads ONLY the corrupt-record column off an
+    * unmaterialized CSV relation (the parser would never run); callers
+    * landing both lanes to disk should unpersist after the writes. */
+  def readCsvAudited(spark: SparkSession, path: String,
+                     schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val raw = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .csv(path)
+      .cache()
+    val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, bad)
+  }
 
   /** Raw-media ingestion via Spark's `binaryFile` source — the first hop
     * of the multimodal pipeline: a directory of image/audio/video blobs

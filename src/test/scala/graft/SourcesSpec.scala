@@ -80,6 +80,35 @@ class SourcesSpec extends SparkSpec {
     assert(back.selectExpr("sum(id)").as[Long].head() == 499500L)
   }
 
+  test("readCsvAudited quarantines malformed lines verbatim; good rows parse clean") {
+    val dir = tmp()
+    Files.write(java.nio.file.Paths.get(dir, "feed.csv"),
+      "id,name,v\n1,a,1.5\noops,b,2.5\n3,c,9.9,extra\n4,d,2.0\n".getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+    val (good, bad) = graft.sources.Sources.readCsvAudited(spark, s"$dir/feed.csv", schema)
+    assert(good.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 1.5), (4L, "d", 2.0)))
+    assert(bad.as[String].collect().toSet == Set("oops,b,2.5", "3,c,9.9,extra"))
+  }
+
+  test("readJdbcPartitioned splits the scan into parallel range queries") {
+    val url = "jdbc:derby:memory:graftsrc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().executeUpdate(
+        "CREATE TABLE facts (id BIGINT NOT NULL, amt DOUBLE NOT NULL)")
+      val ps = conn.prepareStatement("INSERT INTO facts VALUES (?, ?)")
+      (1L to 1000L).foreach { i => ps.setLong(1, i); ps.setDouble(2, i * 0.5); ps.addBatch() }
+      ps.executeBatch()
+    } finally conn.close()
+    val df = graft.sources.Sources.readJdbcPartitioned(spark, url, "facts",
+      new java.util.Properties(), "id", 1L, 1001L, 4)
+    assert(df.rdd.getNumPartitions == 4, "four concurrent range cursors")
+    assert(df.count() == 1000)
+    assert(df.selectExpr("sum(id)").collect()(0).getLong(0) == 500500L)
+  }
+
   test("readBinaryFiles ingests a media directory; glob prunes at listing time; checksums survive the pipeline") {
     val dir = tmp()
     val payloads = Map("a.img" -> Array.tabulate(300)(i => (i % 251).toByte),
