@@ -396,6 +396,51 @@ object LlmQueries {
           col("frame_count"), col("feat_b0"))
     }),
 
+    // BM25 ranked retrieval (Robertson-Sparck Jones, k1=1.2 b=0.75): the
+    // full-text-search capability over the corpus — one term explode,
+    // one per-doc conditional aggregate, corpus stats as two 1-row
+    // broadcasts, TakeOrderedAndProject top-20 (no global sort). The
+    // per-term scores add in FIXED textual order and every double step
+    // is mirrored by the oracle, so ln() + round(6) is engine-identical
+    // (the llm_tfidf discipline).
+    "llm_bm25_search" -> ((s, d) => {
+      val dbl = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DoubleType)
+      val qterms = Seq("join", "hash", "stream")
+      val ws = split(col("text"), " ")
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        org.apache.spark.sql.functions.size(ws)
+          .cast(org.apache.spark.sql.types.LongType).as("dl"), ws.as("w"))
+      val tfAggs = qterms.map(t =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+      val tfs = base.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+        .groupBy(col("doc_id"), col("dl"))
+        .agg(tfAggs.head, tfAggs.tail: _*)
+      val dfAggs = qterms.map(t =>
+        count(when(col("term") === t, true)).as(s"df_$t"))
+      val dfr = broadcast(
+        base.select(col("doc_id"), explode(array_distinct(col("w"))).as("term"))
+          .agg(dfAggs.head, dfAggs.tail: _*))
+      val stats = broadcast(base
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .select(col("n_docs"),
+          (dbl(col("sum_dl")) / dbl(col("n_docs"))).as("avgdl")))
+      def termScore(t: String) =
+        log(((dbl(col("n_docs")) - dbl(col(s"df_$t")) + lit(0.5)) /
+          (dbl(col(s"df_$t")) + lit(0.5))) + lit(1.0)) *
+          ((dbl(col(s"tf_$t")) * lit(2.2)) /
+            (dbl(col(s"tf_$t")) + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (dbl(col("dl")) / col("avgdl")))))
+      tfs.crossJoin(stats).crossJoin(dfr)
+        .withColumn("score",
+          round(termScore("join") + termScore("hash") + termScore("stream"), 6))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), col("dl"), col("tf_join"), col("tf_hash"),
+          col("tf_stream"), col("score"))
+    }),
+
     // Characteristic-term extraction: top-3 terms per doc by tf-idf.
     "llm_tfidf" -> ((s, d) =>
       TextStats.tfIdfTopK(Tables.documents(s, d), k = 3)),
@@ -773,7 +818,38 @@ SELECT query_id, neighbor_id, cosine,
 FROM scored
 QUALIFY rank <= 5"""
 
+  /** One BM25 term's score contribution (DuckDB replay, k1=1.2 b=0.75) —
+    * textually mirrors the Spark termScore: same parenthesization, same
+    * literal constants, so every double step is engine-identical. */
+  private def bm25TermSql(t: String): String =
+    s"ln(((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / " +
+      s"(CAST(df_$t AS DOUBLE) + 0.5)) + 1.0) * " +
+      s"((CAST(tf_$t AS DOUBLE) * 2.2) / (CAST(tf_$t AS DOUBLE) + 1.2 * " +
+      s"(0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))"
+
   val oracle: Map[String, String] = Map(
+    "llm_bm25_search" -> s"""
+WITH bw AS (SELECT doc_id, string_split(text, ' ') AS w,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+bstats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS avgdl
+           FROM bw),
+bdf AS (SELECT CAST(count(CASE WHEN term = 'join' THEN 1 END) AS BIGINT) AS df_join,
+               CAST(count(CASE WHEN term = 'hash' THEN 1 END) AS BIGINT) AS df_hash,
+               CAST(count(CASE WHEN term = 'stream' THEN 1 END) AS BIGINT) AS df_stream
+        FROM (SELECT doc_id, unnest(list_distinct(w)) AS term FROM bw)),
+btf AS (SELECT doc_id, dl,
+               CAST(sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf_join,
+               CAST(sum(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf_hash,
+               CAST(sum(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS tf_stream
+        FROM (SELECT doc_id, dl, unnest(w) AS term FROM bw) GROUP BY doc_id, dl)
+SELECT doc_id, dl, tf_join, tf_hash, tf_stream, score
+FROM (SELECT t.doc_id, t.dl, t.tf_join, t.tf_hash, t.tf_stream,
+             round(${bm25TermSql("join")} + ${bm25TermSql("hash")} + ${bm25TermSql("stream")}, 6) AS score
+      FROM btf t CROSS JOIN bstats CROSS JOIN bdf)
+WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 20""",
+
     "llm_exact_dup_groups" -> """
 SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS dup_count
 FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
