@@ -158,6 +158,74 @@ object Similarity {
         col("neighbor_label"), col("cosine"), col("rank"))
   }
 
+  /** Symmetric per-dimension int8 scalar quantization — the embedding
+    * compression that turns a 100 TB float32 corpus into ~25 TB of int8
+    * codes (4× smaller scans, shuffles and cache residency) at a small
+    * recall cost: `code_d = round(x_d / max|x_d| * 127)`. The per-dim
+    * scales are a ≤dim-row broadcast computed in one pass (max is
+    * order-independent, so the scales are partitioning-exact); codes are
+    * exact integers, so every downstream dot product is engine- and
+    * partitioning-exact — no float summation order anywhere. Returns
+    * (vec_id, codes, norm2). */
+  def quantizeInt8(vectors: DataFrame): DataFrame = {
+    val dims = vectors.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos", "x")))
+    val scales = dims.groupBy(col("pos"))
+      .agg(max(abs(col("x").cast(org.apache.spark.sql.types.DoubleType))).as("s"))
+    dims.join(broadcast(scales), "pos")
+      .select(col("vec_id"), col("pos"),
+        when(col("s") > 0,
+          round(col("x").cast(org.apache.spark.sql.types.DoubleType) / col("s") * 127).cast(org.apache.spark.sql.types.LongType))
+          .otherwise(0L).as("code"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("code")))),
+        e => e.getField("code")).as("codes"))
+      .withColumn("norm2",
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c * c))
+  }
+
+  /** Top-k over int8 codes: banded-LSH candidates (same family as
+    * [[lshTopKBanded]]) scored with integer code dot products — the
+    * compressed-corpus search path. The float cosine re-attaches per
+    * SURVIVOR only (k rows per query), so the gated output shows the
+    * quantization error directly while the hot path never touches
+    * float payloads. */
+  def int8TopK(anchors: DataFrame, corpus: DataFrame, k: Int,
+               nBits: Int = 4, nBands: Int = 8): DataFrame = {
+    def banded(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+          explode(array((0 until nBands).map { t =>
+            struct(lit(t).as("band"),
+              hyperplaneBucket(col("embedding"), nBits, 2 * nBits * t).as("bucket"),
+              (size(col("embedding")) > 2 * nBits * t + 1).as("in_range"))
+          }: _*)).as("bb"))
+        .filter(col("bb.in_range"))
+        .select(col(idAs), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded(anchors, "query_id")
+      .join(banded(corpus, "neighbor_id"), Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val codes = quantizeInt8(corpus)
+    val scored = cand
+      .join(codes.select(col("vec_id").as("query_id"),
+        col("codes").as("ca"), col("norm2").as("na")), "query_id")
+      .join(codes.select(col("vec_id").as("neighbor_id"),
+        col("codes").as("cb"), col("norm2").as("nb")), "neighbor_id")
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("dot",
+        aggregate(zip_with(col("ca"), col("cb"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("cosine", round(col("dot").cast(org.apache.spark.sql.types.DoubleType) /
+        (sqrt(col("na").cast(org.apache.spark.sql.types.DoubleType)) * sqrt(col("nb").cast(org.apache.spark.sql.types.DoubleType))), 6))
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cosine")), k)
+      .join(corpus.select(col("vec_id").as("query_id"), col("embedding").as("fa")),
+        "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("fb")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("cos_int8"),
+        round(cosineSim(col("fa"), col("fb")), 6).as("cos_float"), col("rank"))
+  }
+
   /** the one-row broadcastable centroid list frame */
   private def centsFrame(centroids: DataFrame): DataFrame =
     broadcast(centroids.agg(

@@ -501,6 +501,15 @@ object LlmQueries {
       Similarity.hardNegatives(e.filter(col("vec_id") < 50), e, 5)
     }),
 
+    // Compressed-corpus search: banded candidates scored on int8 CODES
+    // (4× smaller than float32 — the 100 TB embedding-store shape), the
+    // float cosine re-attached per survivor as the quantization audit.
+    // Integer code arithmetic makes the whole path engine-exact.
+    "llm_ann_int8" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.int8TopK(e.filter(col("vec_id") < 10), e, 5)
+    }),
+
     // Driver-verified ANN recall: every approximate index (single-bucket
     // LSH, banded LSH, trained-cells IVF) scored against the brute-force
     // ground truth per query — the measured-recall claims as checked
@@ -1245,6 +1254,49 @@ SELECT query_id, neighbor_id, cosine,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
 FROM scored
 QUALIFY rank <= 5""",
+
+    // banded-bucket replay + integer-code scoring; rank on the ROUNDED
+    // quantized cosine, float cosine re-derived per survivor
+    "llm_ann_int8" -> s"""
+WITH bucketed AS (
+  SELECT vec_id,
+         ${(0 until 8).map(t => s"${hyperplaneBucketSqlAt(8 * t, 4)} AS bk$t").mkString(",\n         ")}
+  FROM embeddings
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bucketed q JOIN bucketed c
+    ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+   AND (${(0 until 8).map(t => s"q.bk$t = c.bk$t").mkString(" OR ")})
+), qd AS (
+  SELECT vec_id, g.i AS pos, CAST(embedding[g.i + 1] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) g
+), qs AS (SELECT pos, max(abs(x)) AS s FROM qd GROUP BY pos),
+qc AS (
+  SELECT vec_id, pos,
+         CASE WHEN s > 0 THEN CAST(round(x / s * 127) AS BIGINT) ELSE 0 END AS code
+  FROM qd JOIN qs USING (pos)
+), sc AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(sum(qa.code * qb.code) AS BIGINT) AS dot,
+         CAST(sum(qa.code * qa.code) AS BIGINT) AS na,
+         CAST(sum(qb.code * qb.code) AS BIGINT) AS nb
+  FROM cand c
+  JOIN qc qa ON qa.vec_id = c.query_id
+  JOIN qc qb ON qb.vec_id = c.neighbor_id AND qb.pos = qa.pos
+  GROUP BY c.query_id, c.neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id,
+         round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos_int8,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) DESC,
+                    neighbor_id ASC) AS INTEGER) AS rank
+  FROM sc WHERE na > 0 AND nb > 0
+)
+SELECT r.query_id, r.neighbor_id, r.cos_int8,
+       round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos_float, r.rank
+FROM r JOIN embeddings x ON r.query_id = x.vec_id
+       JOIN embeddings y ON r.neighbor_id = y.vec_id
+WHERE r.rank <= 5""",
 
     // banded-bucket replay + label-inequality prune + windowed top-5
     "llm_hard_negatives" -> s"""
