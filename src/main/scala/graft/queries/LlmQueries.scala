@@ -160,6 +160,31 @@ object LlmQueries {
     "llm_paragraph_dedup" -> ((s, d) =>
       Dedup.paragraphDedup(Tables.documents(s, d))),
 
+    // Temperature-reweighted mixture (α = 0.5): sampling weights
+    // w_s = T_s^α / Σ T^α — the standard multilingual/multi-source
+    // rebalancing (sqrt flattens the head, lifts the tail) from the
+    // multilingual-pretraining literature. α = 0.5 keeps it engine-exact:
+    // sqrt is IEEE correctly-rounded, and the normalizer Z sums the
+    // per-source terms by an ASCENDING-sorted left fold on BOTH engines
+    // (array_sort+aggregate here, list_sort+list_reduce in the oracle),
+    // so even the double summation order is pinned. Per-source output:
+    // weight and the token allocation from a 1M-token budget.
+    "llm_mixture_temperature" -> ((s, d) => {
+      val dbl = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DoubleType)
+      val per = Tables.documents(s, d).groupBy(col("source"))
+        .agg(sum(TextStats.tokenCount(col("text"))).as("total_tok"))
+        .withColumn("w", sqrt(dbl(col("total_tok"))))
+      val z = broadcast(per.agg(
+        aggregate(array_sort(collect_list(col("w"))), lit(0.0), (a, x) => a + x)
+          .as("z")))
+      per.crossJoin(z)
+        .select(col("source"), col("total_tok"),
+          round(col("w") / col("z"), 6).as("weight"),
+          floor(col("w") / col("z") * lit(1000000.0))
+            .cast(org.apache.spark.sql.types.LongType).as("alloc_tokens"))
+    }),
+
     // Mixture sampling: downsample each source to a TOKEN budget — the
     // data-mixing step that turns "what we crawled" into "what we
     // train on". Per-source rates derive from the data (integer-exact
@@ -1003,6 +1028,18 @@ FROM (
          CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tok
   FROM documents)
 GROUP BY 1""",
+
+    // sqrt-temperature weights; Z summed by sorted left fold both sides
+    "llm_mixture_temperature" -> """
+WITH per AS (
+  SELECT source,
+         CAST(sum(CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)) AS BIGINT) AS total_tok
+  FROM documents GROUP BY source),
+pw AS (SELECT source, total_tok, sqrt(CAST(total_tok AS DOUBLE)) AS w FROM per),
+z AS (SELECT list_reduce(list_sort(list(w)), (a, x) -> a + x) AS z FROM pw)
+SELECT source, total_tok, round(w / z, 6) AS weight,
+       CAST(floor((w / z) * 1000000.0) AS BIGINT) AS alloc_tokens
+FROM pw, z""",
 
     "llm_mixture_sample" -> s"""
 WITH toks AS (

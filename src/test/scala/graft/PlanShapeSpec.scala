@@ -30,7 +30,8 @@ class PlanShapeSpec extends SparkSpec {
     "tpch_important_parts",   // 1-row group-total threshold broadcast
     "tpch_top_supplier",      // 1-row max-revenue threshold broadcast
     "llm_token_shards",       // 1-row total-tokens broadcast
-    "llm_bm25_search"         // 1-row corpus-stats + 1-row per-term-df broadcasts
+    "llm_bm25_search",        // 1-row corpus-stats + 1-row per-term-df broadcasts
+    "llm_mixture_temperature" // 1-row normalizer broadcast
   )
 
   /** Pinned shuffle-exchange counts for the most expensive registered
