@@ -368,16 +368,19 @@ object Dedup {
     * one per-doc aggregation stitches survivors back in position order.
     * The output IS the cleaned corpus, so the corpus text crossing the
     * shuffle once is inherent; the keeper election itself moves only
-    * (digest, 8-byte position key) pairs. */
+    * (digest, (doc_id, pos) struct) pairs. */
   def paragraphDedup(docs: DataFrame, blockWords: Int = 16): DataFrame = {
     val blocks = TextStats.chunkDocuments(docs, size = blockWords, overlap = 0)
       .select(col("doc_id"), col("chunk_idx").cast(LongType).as("pos"),
         col("chunk_text").as("blk"))
       .withColumn("h", md5(col("blk")))
-      .withColumn("k", col("doc_id") * 1000000L + col("pos"))
-    val keeper = blocks.groupBy(col("h")).agg(min(col("k")).as("keep_k"))
+    // lexicographic struct-min, NOT a packed doc_id*C+pos long — a packed
+    // key collides for docs with ≥C blocks and misorders for negative ids
+    val keeper = blocks.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keep"))
     blocks.join(keeper, "h")
-      .withColumn("kept", col("k") === col("keep_k"))
+      .withColumn("kept",
+        col("doc_id") === col("keep.doc_id") && col("pos") === col("keep.pos"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_blocks"),
         sum(col("kept").cast(LongType)).as("n_kept"),

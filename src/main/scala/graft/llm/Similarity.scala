@@ -205,7 +205,14 @@ object Similarity {
       .join(banded(corpus, "neighbor_id"), Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
-    val codes = quantizeInt8(corpus)
+    // Quantize over anchors ∪ corpus so an anchor row absent from the
+    // corpus still gets codes (corpus-only lookup would silently drop
+    // it); when anchors ⊆ corpus the union is the corpus and the scales
+    // are unchanged. A vec_id present on both sides keeps one row.
+    val codes = quantizeInt8(
+      anchors.select(col("vec_id"), col("embedding"))
+        .unionByName(corpus.select(col("vec_id"), col("embedding")))
+        .dropDuplicates("vec_id"))
     val scored = cand
       .join(codes.select(col("vec_id").as("query_id"),
         col("codes").as("ca"), col("norm2").as("na")), "query_id")
@@ -218,7 +225,7 @@ object Similarity {
       .withColumn("cosine", round(col("dot").cast(org.apache.spark.sql.types.DoubleType) /
         (sqrt(col("na").cast(org.apache.spark.sql.types.DoubleType)) * sqrt(col("nb").cast(org.apache.spark.sql.types.DoubleType))), 6))
     rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cosine")), k)
-      .join(corpus.select(col("vec_id").as("query_id"), col("embedding").as("fa")),
+      .join(anchors.select(col("vec_id").as("query_id"), col("embedding").as("fa")),
         "query_id")
       .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("fb")),
         "neighbor_id")

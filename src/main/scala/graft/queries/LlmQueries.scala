@@ -14,8 +14,13 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
 object LlmQueries {
 
   /** Committed deterministic binary fixtures (tools/gen_media_fixtures.py)
-    * — the real-bytes input both sides of llm_multimodal_binary read. */
-  private val mediaFixturesDir = "/root/repo/fixtures/media"
+    * — the real-bytes input both sides of llm_multimodal_binary read.
+    * Resolved relative to the checkout (overridable via env) and
+    * absolutized once, so the SAME path is interpolated into both the
+    * Spark reader and the dumped oracle SQL regardless of checkout
+    * location. */
+  private val mediaFixturesDir = sys.env.getOrElse("GRAFT_MEDIA_FIXTURES",
+    new java.io.File("fixtures/media").getAbsolutePath)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_exact_dup_groups" -> ((s, d) => Dedup.exactDupGroups(Tables.documents(s, d))),
@@ -1172,10 +1177,12 @@ pb AS (
   FROM (SELECT doc_id, words,
                unnest(generate_series(0, greatest(CAST(ceil(len(words)/16.0) AS BIGINT), 1) - 1)) AS i
         FROM pw) t),
-pk AS (SELECT md5(blk) AS h, min(doc_id*1000000+pos) AS keep_k
-       FROM pb GROUP BY md5(blk)),
+pk AS (SELECT h, doc_id AS kd, pos AS kp FROM (
+         SELECT md5(blk) AS h, doc_id, pos,
+                row_number() OVER (PARTITION BY md5(blk) ORDER BY doc_id, pos) AS rn
+         FROM pb) WHERE rn = 1),
 pm AS (SELECT b.doc_id, b.pos, b.blk,
-              (b.doc_id*1000000+b.pos = k.keep_k) AS kept
+              (b.doc_id = k.kd AND b.pos = k.kp) AS kept
        FROM pb b JOIN pk k ON md5(b.blk) = k.h)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

@@ -152,8 +152,9 @@ object Sources {
     * (good, bad): parsed rows, and the raw offending lines for the
     * dead-letter audit. The one `.cache()` is required — Spark refuses
     * to answer a query that reads ONLY the corrupt-record column off an
-    * unmaterialized CSV relation (the parser would never run); callers
-    * landing both lanes to disk should unpersist after the writes. */
+    * unmaterialized CSV relation (the parser would never run); the
+    * cache is registered with [[graft.QueryCaches]] so the harness
+    * release hook covers it like every other per-query cache. */
   def readCsvAudited(spark: SparkSession, path: String,
                      schema: StructType): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.col
@@ -163,9 +164,9 @@ object Sources {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
       .csv(path)
-      .cache()
-    val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
-    val bad = raw.filter(col("_corrupt_record").isNotNull)
+    val cached = graft.QueryCaches.scoped(raw)
+    val good = cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = cached.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))
     (good, bad)
   }

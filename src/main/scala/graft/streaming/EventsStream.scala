@@ -134,7 +134,11 @@ object EventsStream {
     * never rescanned, so the state table stays current over an unbounded
     * feed at per-batch cost. Same read-then-overwrite staging caveat as
     * `runUpsertJob` (a transactional format's MERGE replaces the
-    * two-step at production scale). */
+    * two-step at production scale). At-least-once: if a batch retries
+    * after the state overwrite but before the checkpoint commits, the
+    * delta is applied twice — stamping the state with the batchId (and
+    * skipping an already-applied id) makes the retry detectable; a
+    * transactional sink removes the window entirely. */
   def runIvmAggJob(spark: SparkSession, inDir: String, stateDir: String,
                    checkpointDir: String): String = {
     val keys = Seq("event_type")
@@ -145,8 +149,12 @@ object EventsStream {
     val q = readEventsStream(spark, inDir).writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val delta = partials(batch.toDF())
+        // Hadoop FileSystem probe, not java.io.File — the state dir may
+        // live on HDFS/S3 where a local-file check always reads empty
+        val statePath = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val cur =
-          if (new java.io.File(stateDir).exists()) spark.read.parquet(stateDir)
+          if (fs.exists(statePath)) spark.read.parquet(stateDir)
           else delta.limit(0)
         val merged = graft.models.Meta
           .incrementalAggMerge(cur, delta, keys, partialCols)
