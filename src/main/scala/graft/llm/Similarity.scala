@@ -340,6 +340,51 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication over embeddings. The corpus is partitioned into
+    * ~sqrt(n) cells (first-k-vectors centroids, the deterministic
+    * [[ivfTopK]] scheme), cosine comparisons run ONLY within a cell —
+    * the quadratic all-pairs cost collapses to sum-of-cell-size² — and
+    * groups of semantic duplicates (round(cos,6) ≥ tau, transitively
+    * closed via [[graft.operators.ConnectedComponents]]) keep exactly
+    * one representative: the min vec_id. Output is one row per corpus
+    * vector with its cell, duplicate-cluster id/size, and the keep flag
+    * (singletons keep themselves). Cross-cell near-dups are missed by
+    * construction — that is SemDeDup's stated approximation, traded for
+    * a plan whose only corpus-wide shuffles are the cell-keyed self-join
+    * and the id-only CC rounds; embeddings never join beyond their cell.
+    * At 100 TB the cell count scales with sqrt(corpus) so cells stay
+    * bounded; a pathologically hot cell is the same skew problem (and
+    * fix: salt or split the cell) as any hot LSH bucket. */
+  def semDedup(embeddings: DataFrame, tau: Double, nCells: Int = 0): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val cells =
+      if (nCells > 0) nCells
+      else math.ceil(math.sqrt(e.count().toDouble)).toInt.max(1)
+    val centroidDf = e.orderBy("vec_id").limit(cells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+    // cached: feeds both sides of the within-cell join AND the final output
+    val assigned = graft.QueryCaches.scoped(
+      assignCells(e, "embedding", centsFrame(centroidDf)))
+    val pairs = assigned
+      .select(col("cell_id"), col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(assigned.select(col("cell_id"), col("vec_id").as("b"),
+        col("embedding").as("eb")), Seq("cell_id"))
+      .filter(col("a") < col("b"))
+      .filter(round(cosineSim(col("ea"), col("eb")), 6) >= tau)
+      .select(col("a"), col("b"))
+    val comp = graft.operators.ConnectedComponents
+      .connectedComponents(pairs, "a", "b")
+    val withCluster = assigned.select(col("vec_id"), col("cell_id"))
+      .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("vec_id")))
+    val sizes = withCluster.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    withCluster.join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cell_id"), col("cluster_id"),
+        col("cluster_size"), (col("vec_id") === col("cluster_id")).as("is_kept"))
+  }
+
   /** Incremental top-k maintenance: fold a NEW corpus batch into an
     * existing per-query top-k WITHOUT rescoring the old corpus (the
     * incremental-session idea of the top-k literature, e.g. EDBT 2020's

@@ -294,6 +294,13 @@ object LlmQueries {
     // θ≈60° where 6-bit bands recall ~20%; see Dedup scaladoc)
     "llm_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), nBits = 4, nBands = 8)),
+
+    // SemDeDup (Abbas et al. 2023): √n cells, within-cell cosine ≥ τ,
+    // transitive closure, keep min vec_id per duplicate cluster. τ=0.30
+    // picks ~200 within-cell edges at sf0.01 — real cluster structure
+    // without trivializing the keep set.
+    "llm_semdedup" -> ((s, d) =>
+      Similarity.semDedup(Tables.embeddings(s, d), tau = 0.30)),
     "llm_ann_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, 5)
@@ -1271,6 +1278,42 @@ WITH bucketed AS (
   FROM cand c JOIN embeddings x ON c.a = x.vec_id JOIN embeddings y ON c.b = y.vec_id
 )
 SELECT a, b, cosine FROM pairs WHERE cosine >= 0.5""",
+
+    // first-√n-vectors centroids + argmax-cosine cell assignment (the
+    // llm_ann_ivf replay), within-cell pairs at τ, min-label reachability
+    // closure (the llm_dup_clusters replay), singletons self-clustered
+    "llm_semdedup" -> s"""
+WITH RECURSIVE cents AS (
+  SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings
+  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)
+), assigned AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(${cosSql("e.embedding", "c.centroid")}, 6) DESC, c.cell_id ASC) AS crank
+  FROM embeddings e, cents c
+), cells AS MATERIALIZED (
+  SELECT vec_id, embedding, cell_id FROM assigned WHERE crank = 1
+), pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM cells x JOIN cells y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+  WHERE round(${cosSql("x.embedding", "y.embedding")}, 6) >= 0.30
+), sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node WHERE r.lbl < s.b
+),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+clus AS MATERIALIZED (
+  SELECT c.vec_id, c.cell_id, coalesce(k.cluster_id, c.vec_id) AS cluster_id
+  FROM cells c LEFT JOIN comp k ON k.node = c.vec_id)
+SELECT u.vec_id, u.cell_id, u.cluster_id,
+       CAST(s.n AS BIGINT) AS cluster_size,
+       u.vec_id = u.cluster_id AS is_kept
+FROM clus u
+JOIN (SELECT cluster_id, count(*) AS n FROM clus GROUP BY cluster_id) s
+  USING (cluster_id)""",
 
     "llm_ann_topk" -> annTopkSql,
 
