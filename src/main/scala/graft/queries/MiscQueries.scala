@@ -545,6 +545,13 @@ object MiscQueries {
       graft.operators.KCore.kCorePeel(coPurchaseEdges(s, d), "a", "b",
         k = 12, rounds = 6)),
 
+    // Deterministic synchronous label propagation (min-label tie-break),
+    // 4 fixed rounds over the 1995 co-purchase graph — community
+    // structure where CC would collapse to one giant component.
+    "misc_label_propagation" -> ((s, d) =>
+      graft.operators.LabelPropagation.propagate(coPurchaseEdges(s, d),
+        "a", "b", rounds = 4)),
+
     // Grouped Pearson correlation + sample covariance from EXACT decimal
     // moments: one scan, six map-combinable partial aggregates (n, Σx,
     // Σy, Σx², Σy², Σxy) — the only statistics shape that holds at
@@ -620,6 +627,18 @@ kd_$cur AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
 ka_$cur AS (SELECT n FROM kd_$cur WHERE deg >= $k),
 $cur AS MATERIALIZED (SELECT p.u, p.v FROM $prev p
          JOIN ka_$cur au ON au.n = p.u JOIN ka_$cur av ON av.n = p.v)"""
+
+  /** One unrolled synchronous update round of the label-propagation
+    * replay (DuckDB side of misc_label_propagation): count neighbor
+    * labels, adopt the most frequent, ties to the smallest label. */
+  private def lpaIterCte(prev: String, cur: String): String = s"""
+$cur AS MATERIALIZED (
+  SELECT src AS node, lbl FROM (
+    SELECT src, lbl, row_number() OVER (PARTITION BY src
+             ORDER BY c DESC, lbl ASC) AS rn
+    FROM (SELECT d.src, l.lbl, count(*) AS c
+          FROM und d JOIN $prev l ON l.node = d.dst
+          GROUP BY d.src, l.lbl)) WHERE rn = 1)"""
 
   /** One unrolled rank-diffusion round of the fixed-point PageRank
     * replay (DuckDB side of misc_pagerank). Unrolled plain CTEs instead
@@ -705,6 +724,17 @@ WITH $coPurchaseCte,
 ${(0 until 6).map(i => kcoreIterCte(if (i == 0) "e" else s"ke$i", s"ke${i + 1}", 12)).mkString(",")}
 SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
 FROM (SELECT u AS n FROM ke6 UNION ALL SELECT v AS n FROM ke6) GROUP BY n""",
+
+    // 4 unrolled synchronous min-label LPA rounds — see lpaIterCte
+    "misc_label_propagation" -> s"""
+WITH $coPurchaseCte,
+und AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM e UNION ALL SELECT v AS src, u AS dst FROM e),
+lp0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und),
+${(0 until 4).map(i => lpaIterCte(s"lp$i", s"lp${i + 1}")).mkString(",")}
+SELECT l.node, l.lbl AS community, CAST(s.n AS BIGINT) AS community_size
+FROM lp4 l
+JOIN (SELECT lbl, count(*) AS n FROM lp4 GROUP BY lbl) s ON s.lbl = l.lbl""",
 
     "misc_topk_orders" -> """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
