@@ -187,6 +187,42 @@ object TextStats {
     * window — nothing driver-side, nothing quadratic. Scores are rounded
     * to 6 decimals BEFORE ranking (ties then break on the term) so the
     * ranking is stable across engines' last-ulp log differences. */
+  /** Unigram language-model surprisal per document — the KenLM-style
+    * perplexity proxy of the quality-filtering literature (CCNet,
+    * Gopher/MassiveText rules) reduced to the model a SQL engine can fit
+    * in one pass: p(w) = corpus_count(w) / total_tokens, and a document
+    * scores the mean negative log-probability of its tokens. High
+    * surprisal = rare-word soup (gibberish, boilerplate explosions);
+    * low = repetitive filler. ENGINE-EXACT by the scaled-integer trick:
+    * each distinct word's ln p is rounded once to 9 decimals and carried
+    * as a BIGINT (lp9 = round(ln(p)·1e9)); per-document totals are then
+    * INTEGER sums — order-independent, partitioning-independent — and
+    * the final mean divides once in double with the textually-mirrored
+    * shape. Two keyed aggregations ((doc,word) then word), a broadcast
+    * 1-row total, and a vocabulary join: nothing shuffles text, and the
+    * vocabulary side scales with distinct words, not corpus bytes. */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val wf = graft.QueryCaches.scoped(
+      docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("cnt")))
+    val wc = wf.groupBy(col("word")).agg(sum(col("cnt")).as("c"))
+    val tot = broadcast(wc.agg(sum(col("c")).as("t")))
+    val scored = wc.crossJoin(tot)
+      .select(col("word"),
+        round(log(dbl(col("c")) / dbl(col("t"))) * 1e9)
+          .cast(LongType).as("lp9"))
+    wf.join(scored, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("lp9")).as("sum_lp9"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_lp9"),
+        (-dbl(col("sum_lp9")) / (lit(1e9) * dbl(col("n_tokens"))))
+          .as("avg_neg_logprob"))
+  }
+
   def tfIdfTopK(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
     val terms = docs.select(col("doc_id"),
         explode(words(col(textCol))).as("term"))

@@ -375,6 +375,11 @@ object LlmQueries {
       TextStats.qualityMetrics(Tables.documents(s, d))
         .select("doc_id", "n_words", "n_chars_measured", "avg_word_len",
           "stopword_ratio", "alpha_ratio", "quality_keep")),
+    // Unigram-LM surprisal (perplexity proxy): mean -ln p(w) per doc
+    // with p from corpus unigram counts — the CCNet-style quality
+    // signal. Scaled-int lp9 sums make the totals engine-exact.
+    "llm_unigram_logprob" -> ((s, d) =>
+      TextStats.unigramLogprob(Tables.documents(s, d))),
     "llm_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_ws_tokens"),
@@ -1547,6 +1552,21 @@ SELECT doc_id, n_words, n_chars_measured,
   (n_words >= 5 AND n_words <= 10000 AND stop_hits * 100 >= n_words
    AND alpha_chars * 10 >= n_chars_measured * 6) AS quality_keep
 FROM m""",
+
+    // lp9 = round(ln(c/T)·1e9) per distinct word, BIGINT-summed per doc
+    "llm_unigram_logprob" -> """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+wf AS (SELECT doc_id, word, count(*) AS cnt FROM w WHERE len(word) > 0
+       GROUP BY doc_id, word),
+wc AS (SELECT word, CAST(sum(cnt) AS BIGINT) AS c FROM wf GROUP BY word),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM wc),
+sc AS (SELECT word, CAST(round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9) AS BIGINT) AS lp9
+       FROM wc, tot)
+SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_tokens,
+       CAST(sum(f.cnt * s.lp9) AS BIGINT) AS sum_lp9,
+       -(CAST(sum(f.cnt * s.lp9) AS DOUBLE)) / (1e9 * CAST(sum(f.cnt) AS DOUBLE)) AS avg_neg_logprob
+FROM wf f JOIN sc s ON s.word = f.word
+GROUP BY f.doc_id""",
 
     "llm_token_count" -> """
 SELECT doc_id,
