@@ -187,6 +187,32 @@ object TextStats {
     * window — nothing driver-side, nothing quadratic. Scores are rounded
     * to 6 decimals BEFORE ranking (ties then break on the term) so the
     * ranking is stable across engines' last-ulp log differences. */
+  /** BPE first-merge statistics — the opening move of byte-pair-encoding
+    * tokenizer induction (Sennrich et al. 2016) at corpus scale: count
+    * adjacent symbol pairs inside words, weighted by word frequency; the
+    * highest-count pair is BPE's first merge. The corpus-scale work is
+    * ONE word-frequency aggregation (map-side combinable); pair
+    * generation then runs over the VOCABULARY (distinct words), so the
+    * char-level explode never touches corpus volume — the reason real
+    * BPE trainers operate on a word-count table. Output: (left_sym,
+    * right_sym, merged, pair_count) above `minCount`. */
+  def bpePairCounts(docs: DataFrame, minCount: Long = 50): DataFrame = {
+    val wf = docs.select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    wf.filter(length(col("word")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> " +
+          "struct(substring(word, i, 1) AS l, substring(word, i + 1, 1) AS r))"))
+        .as("p"))
+      .select(col("freq"), col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .groupBy(col("left_sym"), col("right_sym"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+      .select(col("left_sym"), col("right_sym"),
+        concat(col("left_sym"), col("right_sym")).as("merged"), col("pair_count"))
+  }
+
   /** Unigram language-model surprisal per document — the KenLM-style
     * perplexity proxy of the quality-filtering literature (CCNet,
     * Gopher/MassiveText rules) reduced to the model a SQL engine can fit

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{DoubleType, StringType}
 import graft.functions.Fns.md5lo58
 
 /** Deterministic sampling for training-data pipelines.
@@ -60,6 +60,28 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
+  }
+
+  /** Weighted sampling WITHOUT replacement via exponential keys
+    * (Efraimidis & Spirakis 2006): row i draws a deterministic
+    * md5-uniform u_i in (0, 1] and the k rows with the LARGEST key
+    * ln(u_i)/w_i win — equivalent to ranking by u^(1/w), so inclusion
+    * probability tracks the weight while the whole draw stays
+    * reproducible across runs and partitionings (the randomness is a
+    * pure function of the row key). Selection is orderBy+limit, which
+    * Spark plans as TakeOrderedAndProject: per-partition k-heaps and a
+    * k-row driver merge, never a global sort — the same top-k shape at
+    * 100 TB. Weights must be positive; a zero weight yields -Inf (never
+    * sampled) rather than an error. The returned frame carries the
+    * `es_key` column for auditability. */
+  def weightedSampleTopK(df: DataFrame, keyCol: String, weightCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val u = (md5lo58(concat(lit("ws-"), col(keyCol).cast(StringType))) + 1L)
+      .cast(DoubleType) / lit((1L << 58).toDouble)
+    df.withColumn("es_key", log(u) / col(weightCol).cast(DoubleType))
+      .orderBy(col("es_key").desc, col(keyCol).asc)
+      .limit(k)
   }
 
   /** Stratified deterministic sample: per-stratum rates in ppm, with a

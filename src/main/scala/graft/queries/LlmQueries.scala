@@ -375,6 +375,22 @@ object LlmQueries {
       TextStats.qualityMetrics(Tables.documents(s, d))
         .select("doc_id", "n_words", "n_chars_measured", "avg_word_len",
           "stopword_ratio", "alpha_ratio", "quality_keep")),
+    // BPE first-merge statistics: adjacent symbol pairs inside words,
+    // weighted by word frequency, over the VOCABULARY (never corpus
+    // volume) — tokenizer induction's opening aggregation.
+    "llm_bpe_pairs" -> ((s, d) =>
+      TextStats.bpePairCounts(Tables.documents(s, d), minCount = 50)),
+
+    // Efraimidis–Spirakis weighted sample: top-100 by ln(u)/w with
+    // md5-deterministic u and token-count weights — longer docs
+    // proportionally likelier, the draw fully reproducible.
+    "llm_weighted_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      graft.operators.Sampling.weightedSampleTopK(docs, "doc_id", "n_tokens", 100)
+        .select(col("doc_id"), col("n_tokens"), round(col("es_key"), 6).as("es_key"))
+    }),
+
     // Unigram-LM surprisal (perplexity proxy): mean -ln p(w) per doc
     // with p from corpus unigram counts — the CCNet-style quality
     // signal. Scaled-int lp9 sums make the totals engine-exact.
@@ -1552,6 +1568,33 @@ SELECT doc_id, n_words, n_chars_measured,
   (n_words >= 5 AND n_words <= 10000 AND stop_hits * 100 >= n_words
    AND alpha_chars * 10 >= n_chars_measured * 6) AS quality_keep
 FROM m""",
+
+    // word-frequency table first, char pairs over the vocabulary only
+    "llm_bpe_pairs" -> """
+WITH wf AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) > 0 GROUP BY word),
+pairs AS (
+  SELECT substr(word, i, 1) AS left_sym, substr(word, i + 1, 1) AS right_sym, freq
+  FROM (SELECT word, freq, unnest(generate_series(1, length(word) - 1)) AS i
+        FROM wf WHERE length(word) >= 2))
+SELECT left_sym, right_sym, left_sym || right_sym AS merged,
+       CAST(sum(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY 1, 2, 3 HAVING sum(freq) >= 50""",
+
+    // ln(u)/w exponential keys with the md5-fold uniform; windowed top-100
+    "llm_weighted_sample" -> s"""
+WITH w AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ln(CAST(CAST(CAST(md5_number_lower(concat('ws-', CAST(doc_id AS VARCHAR))) AS HUGEINT)
+                      % ${1L << 58} AS BIGINT) + 1 AS DOUBLE) / ${(1L << 58).toDouble})
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS es_key
+  FROM documents)
+SELECT doc_id, n_tokens, round(es_key, 6) AS es_key FROM (
+  SELECT doc_id, n_tokens, es_key,
+         row_number() OVER (ORDER BY es_key DESC, doc_id ASC) AS rn
+  FROM w) WHERE rn <= 100""",
 
     // lp9 = round(ln(c/T)·1e9) per distinct word, BIGINT-summed per doc
     "llm_unigram_logprob" -> """
