@@ -36,6 +36,24 @@ object AnalyticsQueries {
     // PIVOT: revenue by nation x order status, statuses as columns.
     // Explicit pivot values keep the plan a single pass (no distinct-scan
     // to discover columns) — the posture that survives a 100x fact.
+    // OHLC downsampling bars — the time-series compaction shape (metrics
+    // rollups, market candles): per (event_type, hour), open/close are
+    // ORDER statistics picked by a struct-min/max fold over the unique
+    // (ts, event_id) order — one hash aggregation, no window over the
+    // event stream, and no double SUM (order-dependent at scale);
+    // high/low/min-max and count are order-independent by nature.
+    "misc_ohlc_bars" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bar_ts"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("bar_ts"),
+          col("o.value").as("open"), col("high"), col("low"),
+          col("c.value").as("close"), col("n_events"))),
+
     "misc_pivot" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
@@ -99,6 +117,23 @@ SELECT o_orderkey, o_custkey,
             OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma3_spend
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""",
+
+    // open/close via row_number over the unique (ts, event_id) order
+    "misc_ohlc_bars" -> """
+WITH e AS (SELECT event_type, date_trunc('hour', ts) AS bar_ts, ts, event_id, value
+           FROM events),
+r AS (SELECT *,
+        row_number() OVER (PARTITION BY event_type, bar_ts
+          ORDER BY ts ASC, event_id ASC) AS ra,
+        row_number() OVER (PARTITION BY event_type, bar_ts
+          ORDER BY ts DESC, event_id DESC) AS rd
+      FROM e)
+SELECT event_type, bar_ts,
+       max(CASE WHEN ra = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rd = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM r GROUP BY 1, 2""",
 
     "misc_pivot" -> """
 SELECT n_name,
