@@ -36,6 +36,52 @@ object AnalyticsQueries {
     // PIVOT: revenue by nation x order status, statuses as columns.
     // Explicit pivot values keep the plan a single pass (no distinct-scan
     // to discover columns) — the posture that survives a 100x fact.
+    // First-order Markov transition matrix over per-user event
+    // sequences — the sessionized "what happens next" statistic
+    // (navigation analysis, funnel discovery). One hash-by-user shuffle
+    // + in-partition sort feeds the lag window; the transition counts
+    // and integer-ppm probabilities are exact (BIGINT DIV, no float
+    // ratios to drift between engines).
+    "misc_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .select(col("event_type").as("next_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .withColumn("row_total",
+          sum(col("n_transitions")).over(Window.partitionBy(col("prev_type"))))
+        .select(col("prev_type"), col("next_type"), col("n_transitions"),
+          expr("n_transitions * 1000000 DIV row_total").as("transition_ppm"))
+    }),
+
+    // Robust outlier detection via median absolute deviation (the
+    // Iglewicz–Hoaglin modified z-score): per group, med and MAD from
+    // the EXACT percentile aggregate (rounded once to 6 decimals so the
+    // lerp's last ulp can't drift between engines), then |x - med| >
+    // 3.5·1.4826·MAD counts outliers. Two passes over the cached
+    // column frame; percentile is a single-pass exact aggregate per
+    // group, no global sort.
+    "misc_mad_outliers" -> ((s, d) => {
+      val li = graft.QueryCaches.scoped(Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").as("x")))
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(x, 0.5D)"), 6).as("med"))
+      val withMed = li.join(broadcast(med), "l_returnflag")
+        .withColumn("adev", abs(col("x") - col("med")))
+      val mad = withMed.groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(adev, 0.5D)"), 6).as("mad"))
+      withMed.join(broadcast(mad), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), min(col("med")).as("med"),
+          min(col("mad")).as("mad"),
+          sum(when(col("adev") > lit(3.5) * lit(1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+    }),
+
     // OHLC downsampling bars — the time-series compaction shape (metrics
     // rollups, market candles): per (event_type, hour), open/close are
     // ORDER statistics picked by a struct-min/max fold over the unique
@@ -117,6 +163,34 @@ SELECT o_orderkey, o_custkey,
             OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma3_spend
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""",
+
+    // lag over (ts, event_id) per user; ppm via truncating //
+    "misc_event_transitions" -> """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts ASC, event_id ASC) AS prev_type,
+         event_type AS next_type
+  FROM events),
+t AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, n_transitions,
+       CAST(n_transitions * 1000000 // sum(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS transition_ppm
+FROM t""",
+
+    // med/MAD rounded once to 6 before the threshold compare
+    "misc_mad_outliers" -> """
+WITH li AS (SELECT l_returnflag, l_extendedprice AS x FROM lineitem),
+med AS (SELECT l_returnflag, round(quantile_cont(x, 0.5), 6) AS med FROM li GROUP BY 1),
+a AS (SELECT li.l_returnflag, li.x, med.med, abs(li.x - med.med) AS adev
+      FROM li JOIN med USING (l_returnflag)),
+mad AS (SELECT l_returnflag, round(quantile_cont(adev, 0.5), 6) AS mad FROM a GROUP BY 1)
+SELECT a.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       min(a.med) AS med, min(mad.mad) AS mad,
+       CAST(sum(CASE WHEN a.adev > 3.5 * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM a JOIN mad USING (l_returnflag)
+GROUP BY a.l_returnflag""",
 
     // open/close via row_number over the unique (ts, event_id) order
     "misc_ohlc_bars" -> """

@@ -545,6 +545,28 @@ object MiscQueries {
       graft.operators.KCore.kCorePeel(coPurchaseEdges(s, d), "a", "b",
         k = 12, rounds = 6)),
 
+    // Neighbor-set Jaccard similarity — the classic link-prediction /
+    // item-item collaborative-filtering statistic: pairs sharing ≥ 4
+    // common neighbors, scored common/|N(a) ∪ N(b)| in exact integer
+    // ppm. The wedge join (neighbors-of-a-shared-node) is the same
+    // degree-bounded shape as Triangles: cost is Σ deg², never |V|².
+    "misc_node_jaccard" -> ((s, d) => {
+      val e = graft.QueryCaches.scoped(coPurchaseEdges(s, d).distinct())
+      val und = e.select(col("a").as("n"), col("b").as("m"))
+        .unionAll(e.select(col("b").as("n"), col("a").as("m")))
+      val deg = und.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val common = und.select(col("n").as("w"), col("m").as("a"))
+        .join(und.select(col("n").as("w"), col("m").as("b")), Seq("w"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+        .filter(col("common") >= 4)
+      common
+        .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), Seq("a"))
+        .join(deg.select(col("n").as("b"), col("deg").as("deg_b")), Seq("b"))
+        .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+          expr("common * 1000000 DIV (deg_a + deg_b - common)").as("jaccard_ppm"))
+    }),
+
     // Deterministic synchronous label propagation (min-label tie-break),
     // 4 fixed rounds over the 1995 co-purchase graph — community
     // structure where CC would collapse to one giant component.
@@ -724,6 +746,20 @@ WITH $coPurchaseCte,
 ${(0 until 6).map(i => kcoreIterCte(if (i == 0) "e" else s"ke$i", s"ke${i + 1}", 12)).mkString(",")}
 SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
 FROM (SELECT u AS n FROM ke6 UNION ALL SELECT v AS n FROM ke6) GROUP BY n""",
+
+    // wedge join for common neighbors; integer-ppm Jaccard
+    "misc_node_jaccard" -> s"""
+WITH $coPurchaseCte,
+und AS MATERIALIZED (
+  SELECT u AS n, v AS m FROM e UNION ALL SELECT v AS n, u AS m FROM e),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY n),
+common AS (
+  SELECT x.m AS a, y.m AS b, CAST(count(*) AS BIGINT) AS common
+  FROM und x JOIN und y ON x.n = y.n AND x.m < y.m
+  GROUP BY 1, 2 HAVING count(*) >= 4)
+SELECT c.a, c.b, c.common, da.deg AS deg_a, db.deg AS deg_b,
+       CAST(c.common * 1000000 // (da.deg + db.deg - c.common) AS BIGINT) AS jaccard_ppm
+FROM common c JOIN deg da ON da.n = c.a JOIN deg db ON db.n = c.b""",
 
     // 4 unrolled synchronous min-label LPA rounds — see lpaIterCte
     "misc_label_propagation" -> s"""
