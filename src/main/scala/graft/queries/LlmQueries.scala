@@ -375,6 +375,39 @@ object LlmQueries {
       TextStats.qualityMetrics(Tables.documents(s, d))
         .select("doc_id", "n_words", "n_chars_measured", "avg_word_len",
           "stopword_ratio", "alpha_ratio", "quality_keep")),
+    // Per-source dataset card — the corpus report a curation run ships
+    // with (datasheet/data-statement practice): docs, tokens, exact-dup
+    // count, quality keep count, dominant predicted language with its
+    // integer-ppm share. One cached per-doc frame feeds both the
+    // per-source rollup and the language-mode argmax; every statistic is
+    // integer-exact.
+    "llm_dataset_card" -> ((s, d) => {
+      val q = TextStats.qualityMetrics(Tables.documents(s, d))
+      val base = graft.QueryCaches.scoped(q.select(
+        col("doc_id"), col("source"),
+        size(TextStats.words(col("text"))).cast(LongType).as("n_ws_tokens"),
+        md5(col("text")).as("h"),
+        TextStats.langId(col("text")).as("lang_pred"),
+        col("quality_keep")))
+      val perSrc = base.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws_tokens")).as("n_tokens"),
+        countDistinct(col("h")).as("n_distinct_texts"),
+        sum(col("quality_keep").cast(LongType)).as("n_quality_keep"))
+      val langTop = base.groupBy(col("source"), col("lang_pred"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(min(struct((-col("c")).as("nc"), col("lang_pred").as("l"),
+          col("c").as("cc"))).as("best"))
+        .select(col("source"), col("best.l").as("top_lang"),
+          col("best.cc").as("top_lang_docs"))
+      perSrc.join(langTop, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("n_docs") - col("n_distinct_texts")).as("n_exact_dups"),
+          col("n_quality_keep"), col("top_lang"), col("top_lang_docs"),
+          expr("top_lang_docs * 1000000 DIV n_docs").as("top_lang_ppm"))
+    }),
+
     // BPE first-merge statistics: adjacent symbol pairs inside words,
     // weighted by word frequency, over the VOCABULARY (never corpus
     // volume) — tokenizer induction's opening aggregation.
@@ -848,25 +881,25 @@ sig AS (
 )"""
 
   /** Language-ID argmax fold, mirrored exactly (earlier language wins ties). */
-  private val langIdSql: String = {
-    val scores = TextStats.langMarkers.map { case (lang, ms) =>
-      val inList = ms.map(m => s"'$m'").mkString(", ")
-      s"len(list_filter(string_split(text, ' '), w -> w IN ($inList))) AS s_$lang"
-    }.mkString(",\n    ")
-    val folded = TextStats.langMarkers.tail.foldLeft(
-      (s"'${TextStats.langMarkers.head._1}'", s"s_${TextStats.langMarkers.head._1}")) {
-      case ((bl, bs), (lang, _)) =>
-        (s"CASE WHEN s_$lang > $bs THEN '$lang' ELSE $bl END",
-          s"CASE WHEN s_$lang > $bs THEN s_$lang ELSE $bs END")
-    }._1
-    s"""
+  private val langScoresSql: String = TextStats.langMarkers.map { case (lang, ms) =>
+    val inList = ms.map(m => s"'$m'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), w -> w IN ($inList))) AS s_$lang"
+  }.mkString(",\n    ")
+
+  private val langFoldedSql: String = TextStats.langMarkers.tail.foldLeft(
+    (s"'${TextStats.langMarkers.head._1}'", s"s_${TextStats.langMarkers.head._1}")) {
+    case ((bl, bs), (lang, _)) =>
+      (s"CASE WHEN s_$lang > $bs THEN '$lang' ELSE $bl END",
+        s"CASE WHEN s_$lang > $bs THEN s_$lang ELSE $bs END")
+  }._1
+
+  private val langIdSql: String = s"""
 WITH scored AS (
   SELECT doc_id, lang,
-    $scores
+    $langScoresSql
   FROM documents
 )
-SELECT doc_id, lang, $folded AS lang_pred FROM scored"""
-  }
+SELECT doc_id, lang, $langFoldedSql AS lang_pred FROM scored"""
 
   private val stopList =
     TextStats.langMarkers.flatMap(_._2).distinct.map(m => s"'$m'").mkString(", ")
@@ -1568,6 +1601,41 @@ SELECT doc_id, n_words, n_chars_measured,
   (n_words >= 5 AND n_words <= 10000 AND stop_hits * 100 >= n_words
    AND alpha_chars * 10 >= n_chars_measured * 6) AS quality_keep
 FROM m""",
+
+    // the llm_quality + llm_lang_id expressions composed per source
+    "llm_dataset_card" -> s"""
+WITH s1 AS (
+  SELECT doc_id, source, text,
+    $langScoresSql
+  FROM documents),
+base AS MATERIALIZED (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+    md5(text) AS h,
+    $langFoldedSql AS lang_pred,
+    (len(string_split(text, ' ')) >= 5 AND len(string_split(text, ' ')) <= 10000
+     AND len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) * 100
+         >= len(string_split(text, ' '))
+     AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 10
+         >= length(text) * 6) AS quality_keep
+  FROM s1),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_ws_tokens) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+         CAST(sum(CASE WHEN quality_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep
+  FROM base GROUP BY source),
+lt AS (
+  SELECT source, lang_pred AS top_lang, c AS top_lang_docs FROM (
+    SELECT source, lang_pred, CAST(count(*) AS BIGINT) AS c,
+           row_number() OVER (PARTITION BY source
+             ORDER BY count(*) DESC, lang_pred ASC) AS rn
+    FROM base GROUP BY source, lang_pred) WHERE rn = 1)
+SELECT p.source, p.n_docs, p.n_tokens,
+       p.n_docs - p.n_distinct AS n_exact_dups,
+       p.n_quality_keep, l.top_lang, l.top_lang_docs,
+       CAST(l.top_lang_docs * 1000000 // p.n_docs AS BIGINT) AS top_lang_ppm
+FROM per p JOIN lt l ON l.source = p.source""",
 
     // word-frequency table first, char pairs over the vocabulary only
     "llm_bpe_pairs" -> """
