@@ -36,6 +36,24 @@ object AnalyticsQueries {
     // PIVOT: revenue by nation x order status, statuses as columns.
     // Explicit pivot values keep the plan a single pass (no distinct-scan
     // to discover columns) — the posture that survives a 100x fact.
+    // Gaps-and-islands: contiguous runs of daily activity per user (the
+    // streak statistic). The day−row_number trick turns consecutive
+    // dates into a constant group key — one hash-by-user shuffle + sort,
+    // no self-join, no recursive walk; islands of ≥ 3 days survive.
+    "misc_activity_islands" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("grp",
+          datediff(col("day"), lit("2024-01-01").cast(org.apache.spark.sql.types.DateType))
+            - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("day")).as("island_start"), max(col("day")).as("island_end"),
+          count(lit(1)).as("n_days"))
+        .filter(col("n_days") >= 3)
+        .select(col("user_id"), col("island_start"), col("island_end"), col("n_days"))
+    }),
+
     // First-order Markov transition matrix over per-user event
     // sequences — the sessionized "what happens next" statistic
     // (navigation analysis, funnel discovery). One hash-by-user shuffle
@@ -163,6 +181,17 @@ SELECT o_orderkey, o_custkey,
             OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma3_spend
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""",
+
+    // day − row_number constant-key islands
+    "misc_activity_islands" -> """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+g AS (SELECT user_id, day,
+        (day - DATE '2024-01-01')
+          - row_number() OVER (PARTITION BY user_id ORDER BY day ASC) AS grp
+      FROM days)
+SELECT user_id, min(day) AS island_start, max(day) AS island_end,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM g GROUP BY user_id, grp HAVING count(*) >= 3""",
 
     // lag over (ts, event_id) per user; ppm via truncating //
     "misc_event_transitions" -> """

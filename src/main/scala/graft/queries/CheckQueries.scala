@@ -57,6 +57,44 @@ object CheckQueries {
     // One-pass column profiling over the fact table: every metric for
     // every column from a single scan (see Profiler scaladoc; the oracle
     // recomputes each column's row independently).
+    // Population-stability-index drift monitor — the production DQ
+    // check for "did this feed's distribution move": value histograms
+    // (10 fixed-width bins, add-one smoothed) for the first vs second
+    // half of the month, PSI = Σ (p−q)·ln(p/q) per event_type. Each
+    // bin's term is rounded ONCE to a scaled BIGINT so the sum is
+    // order-independent and engine-exact; the drift flag is an integer
+    // compare. One scan, two keyed aggregations, a 50-row dense grid —
+    // the same plan at any feed size.
+    "dq_psi_drift" -> ((s, d) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+      val dbl = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+      val ev = Tables.events(s, d).select(col("event_type"),
+        when(col("ts") < lit("2024-01-16 00:00:00").cast(TimestampType), "a")
+          .otherwise("b").as("period"),
+        least(lit(9L), floor(col("value") / lit(50.0)).cast(LongType)).as("bucket"))
+      val cab = ev.groupBy(col("event_type"), col("bucket")).agg(
+        sum(when(col("period") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("period") === "b", 1L).otherwise(0L)).as("cb"))
+      val grid = cab.select(col("event_type")).distinct()
+        .select(col("event_type"), explode(sequence(lit(0L), lit(9L))).as("bucket"))
+      val dense = grid.join(cab, Seq("event_type", "bucket"), "left")
+        .select(col("event_type"), col("bucket"),
+          coalesce(col("ca"), lit(0L)).as("ca"), coalesce(col("cb"), lit(0L)).as("cb"))
+      val tot = dense.groupBy(col("event_type"))
+        .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+      dense.join(tot, "event_type")
+        .withColumn("p", dbl(col("ca") + 1L) / dbl(col("ta") + 10L))
+        .withColumn("q", dbl(col("cb") + 1L) / dbl(col("tb") + 10L))
+        .withColumn("term_e9",
+          round((col("p") - col("q")) * log(col("p") / col("q")) * 1e9).cast(LongType))
+        .groupBy(col("event_type"))
+        .agg(sum(col("ca")).as("n_before"), sum(col("cb")).as("n_after"),
+          sum(col("term_e9")).as("psi_e9"))
+        .select(col("event_type"), col("n_before"), col("n_after"), col("psi_e9"),
+          (dbl(col("psi_e9")) / lit(1e9)).as("psi"),
+          (col("psi_e9") > 100000000L).as("drifted"))
+    }),
+
     "dq_profile" -> ((s, d) =>
       Profiler.profile(Tables.lineitem(s, d),
         Seq("l_orderkey", "l_linenumber", "l_quantity",
@@ -168,6 +206,42 @@ UNION ALL SELECT 'order_unique', n - d_ok, n - d_ok = 0 FROM agg
 UNION ALL SELECT 'linenumber_range', v_ln, v_ln = 0 FROM agg
 UNION ALL SELECT 'min_l_quantity', v_q, v_q = 0 FROM agg
 UNION ALL SELECT 'high_discount', v_hd, v_hd = 0 FROM agg""",
+
+    // dense 10-bin grid, add-one smoothing, scaled-int PSI terms
+    "dq_psi_drift" -> """
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'a' ELSE 'b' END AS period,
+         least(9, CAST(floor(value / 50.0) AS BIGINT)) AS bucket
+  FROM events),
+cab AS (
+  SELECT event_type, bucket,
+         CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM ev GROUP BY 1, 2),
+grid AS (
+  SELECT et.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM cab) et,
+       (SELECT unnest(generate_series(0, 9)) AS bucket) g),
+dense AS (
+  SELECT grid.event_type, grid.bucket,
+         coalesce(cab.ca, 0) AS ca, coalesce(cab.cb, 0) AS cb
+  FROM grid LEFT JOIN cab ON cab.event_type = grid.event_type AND cab.bucket = grid.bucket),
+tot AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb
+        FROM dense GROUP BY 1),
+terms AS (
+  SELECT d.event_type, d.ca, d.cb,
+         CAST(round((CAST(d.ca + 1 AS DOUBLE) / CAST(t.ta + 10 AS DOUBLE)
+                     - CAST(d.cb + 1 AS DOUBLE) / CAST(t.tb + 10 AS DOUBLE))
+                    * ln((CAST(d.ca + 1 AS DOUBLE) / CAST(t.ta + 10 AS DOUBLE))
+                         / (CAST(d.cb + 1 AS DOUBLE) / CAST(t.tb + 10 AS DOUBLE)))
+                    * 1e9) AS BIGINT) AS term_e9
+  FROM dense d JOIN tot t ON t.event_type = d.event_type)
+SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_before, CAST(sum(cb) AS BIGINT) AS n_after,
+       CAST(sum(term_e9) AS BIGINT) AS psi_e9,
+       CAST(sum(term_e9) AS DOUBLE) / 1e9 AS psi,
+       sum(term_e9) > 100000000 AS drifted
+FROM terms GROUP BY event_type""",
 
     "dq_profile" -> """
 SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,

@@ -567,6 +567,31 @@ object MiscQueries {
           expr("common * 1000000 DIV (deg_a + deg_b - common)").as("jaccard_ppm"))
     }),
 
+    // Adamic–Adar link prediction — node_jaccard's frequency-weighted
+    // sibling: common neighbors weighted 1/ln(deg(w)), so sharing a rare
+    // neighbor counts more than sharing a hub. Each wedge's weight is
+    // rounded ONCE to a scaled BIGINT (deg(w) ≥ 2 ⇒ ln > 0), making the
+    // per-pair sum order-independent and engine-exact; same degree-
+    // bounded wedge join as Triangles.
+    "misc_adamic_adar" -> ((s, d) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val e = graft.QueryCaches.scoped(coPurchaseEdges(s, d).distinct())
+      val und = e.select(col("a").as("n"), col("b").as("m"))
+        .unionAll(e.select(col("b").as("n"), col("a").as("m")))
+      val deg = und.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      und.select(col("n").as("w"), col("m").as("a"))
+        .join(und.select(col("n").as("w"), col("m").as("b")), Seq("w"))
+        .filter(col("a") < col("b"))
+        .join(deg.select(col("n").as("w"), col("deg").as("deg_w")), Seq("w"))
+        .withColumn("aa9",
+          round(lit(1e9) / log(col("deg_w").cast(DoubleType))).cast(LongType))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("common"), sum(col("aa9")).as("aa_e9"))
+        .filter(col("common") >= 4)
+        .select(col("a"), col("b"), col("common"), col("aa_e9"),
+          (col("aa_e9").cast(DoubleType) / lit(1e9)).as("adamic_adar"))
+    }),
+
     // Deterministic synchronous label propagation (min-label tie-break),
     // 4 fixed rounds over the 1995 co-purchase graph — community
     // structure where CC would collapse to one giant component.
@@ -746,6 +771,22 @@ WITH $coPurchaseCte,
 ${(0 until 6).map(i => kcoreIterCte(if (i == 0) "e" else s"ke$i", s"ke${i + 1}", 12)).mkString(",")}
 SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
 FROM (SELECT u AS n FROM ke6 UNION ALL SELECT v AS n FROM ke6) GROUP BY n""",
+
+    // wedge join weighted by round(1e9/ln(deg(w))) scaled ints
+    "misc_adamic_adar" -> s"""
+WITH $coPurchaseCte,
+und AS MATERIALIZED (
+  SELECT u AS n, v AS m FROM e UNION ALL SELECT v AS n, u AS m FROM e),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY n),
+wedges AS (
+  SELECT x.m AS a, y.m AS b,
+         CAST(round(1e9 / ln(CAST(dw.deg AS DOUBLE))) AS BIGINT) AS aa9
+  FROM und x JOIN und y ON x.n = y.n AND x.m < y.m
+  JOIN deg dw ON dw.n = x.n)
+SELECT a, b, CAST(count(*) AS BIGINT) AS common,
+       CAST(sum(aa9) AS BIGINT) AS aa_e9,
+       CAST(sum(aa9) AS DOUBLE) / 1e9 AS adamic_adar
+FROM wedges GROUP BY a, b HAVING count(*) >= 4""",
 
     // wedge join for common neighbors; integer-ppm Jaccard
     "misc_node_jaccard" -> s"""
