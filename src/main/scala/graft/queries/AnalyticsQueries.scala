@@ -36,6 +36,24 @@ object AnalyticsQueries {
     // PIVOT: revenue by nation x order status, statuses as columns.
     // Explicit pivot values keep the plan a single pass (no distinct-scan
     // to discover columns) — the posture that survives a 100x fact.
+    // NTILE decile banding per order priority — the remaining classic
+    // window function (equi-count buckets; ties broken by o_orderkey so
+    // the banding is total-order deterministic). Partitioned by the
+    // 5-value priority, so each sort is per-partition; at cluster scale
+    // equi-DEPTH banding over a skewless key would move to range
+    // partitioning + approx bounds, which misc_approx_sketch covers.
+    "misc_ntile_deciles" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("decile", ntile(10).over(w)
+          .cast(org.apache.spark.sql.types.IntegerType))
+        .groupBy(col("o_orderpriority"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    }),
+
     // Gaps-and-islands: contiguous runs of daily activity per user (the
     // streak statistic). The day−row_number trick turns consecutive
     // dates into a constant group key — one hash-by-user shuffle + sort,
@@ -181,6 +199,17 @@ SELECT o_orderkey, o_custkey,
             OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma3_spend
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""",
+
+    // ntile(10) with total-order tiebreak
+    "misc_ntile_deciles" -> """
+SELECT o_orderpriority, CAST(decile AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM (SELECT o_orderpriority, o_totalprice,
+             ntile(10) OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
+      FROM orders)
+GROUP BY o_orderpriority, decile""",
 
     // day − row_number constant-key islands
     "misc_activity_islands" -> """

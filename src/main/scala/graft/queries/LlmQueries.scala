@@ -375,6 +375,27 @@ object LlmQueries {
       TextStats.qualityMetrics(Tables.documents(s, d))
         .select("doc_id", "n_words", "n_chars_measured", "avg_word_len",
           "stopword_ratio", "alpha_ratio", "quality_keep")),
+    // Out-of-vocabulary rate per source against the corpus top-1000
+    // vocabulary — the tokenizer-coverage statistic (how much of each
+    // source a fixed vocab explains). Vocab selection is a top-k
+    // (count desc, word asc — total order), membership is a broadcast
+    // hash join on the 1000-row vocab; integer-ppm rates.
+    "llm_oov_rate" -> ((s, d) => {
+      val w = graft.QueryCaches.scoped(
+        Tables.documents(s, d).select(col("source"),
+          explode(TextStats.words(col("text"))).as("word"))
+          .filter(length(col("word")) > 0))
+      val vocab = w.groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word").asc).limit(1000)
+        .select(col("word"), lit(1L).as("iv"))
+      w.join(broadcast(vocab), Seq("word"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          expr("n_oov * 1000000 DIV n_tokens").as("oov_ppm"))
+    }),
+
     // Per-source dataset card — the corpus report a curation run ships
     // with (datasheet/data-statement practice): docs, tokens, exact-dup
     // count, quality keep count, dominant predicted language with its
@@ -1601,6 +1622,22 @@ SELECT doc_id, n_words, n_chars_measured,
   (n_words >= 5 AND n_words <= 10000 AND stop_hits * 100 >= n_words
    AND alpha_chars * 10 >= n_chars_measured * 6) AS quality_keep
 FROM m""",
+
+    // top-1000 vocab by (count desc, word asc); left join for OOV marks
+    "llm_oov_rate" -> """
+WITH w AS (
+  SELECT source, word
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) > 0),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rn
+    FROM w GROUP BY word) WHERE rn <= 1000)
+SELECT w.source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS oov_ppm
+FROM w LEFT JOIN vocab v ON v.word = w.word
+GROUP BY w.source""",
 
     // the llm_quality + llm_lang_id expressions composed per source
     "llm_dataset_card" -> s"""

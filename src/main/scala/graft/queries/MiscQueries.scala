@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Temporal
@@ -161,6 +162,48 @@ object MiscQueries {
     "temporal_sessionize" -> ((s, d) =>
       Temporal.sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 1800)
         .select(col("event_id"), col("user_id"), col("session_seq"))),
+
+    // Session-path mining: the first three event types of every 30-min
+    // session, concatenated into a path signature and counted — funnel
+    // DISCOVERY (which journeys happen) where stream_funnel measures a
+    // fixed journey. Reuses Temporal.sessionize; the path string is
+    // assembled by the array_sort(struct(rn, …)) fold so collect order
+    // never matters. Path space is bounded (|event types|³), so the
+    // final aggregation is tiny at any scale.
+    "misc_session_paths" -> ((s, d) => {
+      val sess = Temporal.sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 1800)
+      val w = Window.partitionBy(col("user_id"), col("session_seq"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      sess.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+    }),
+
+    // Conversion latency: per user, first click → first subsequent
+    // purchase; the funnel's time dimension as one row of robust stats
+    // (exact percentiles over integral seconds; integer-ppm conversion
+    // rate). Two filtered aggregations + one keyed join — no window.
+    "misc_time_to_convert" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("fc_us"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      val per = clicks.join(purch, Seq("user_id"), "left")
+        .groupBy(col("user_id"))
+        .agg(min(col("fc_us")).as("fc_us"),
+          min(when(col("p_us") >= col("fc_us"), col("p_us"))).as("fp_us"))
+        .withColumn("delta_sec", expr("(fp_us - fc_us) DIV 1000000"))
+      per.agg(count(lit(1)).as("n_clickers"), count(col("fp_us")).as("n_converted"),
+          round(expr("percentile(delta_sec, 0.5D)"), 6).as("median_sec"),
+          round(expr("percentile(delta_sec, 0.9D)"), 6).as("p90_sec"))
+        .select(col("n_clickers"), col("n_converted"),
+          expr("n_converted * 1000000 DIV n_clickers").as("conv_ppm"),
+          col("median_sec"), col("p90_sec"))
+    }),
 
     // JSON landing-shape extraction (Airbyte payloads land as JSON text):
     // typed from_json struct access, codegen-friendly.
@@ -904,6 +947,44 @@ SELECT o_orderkey, o_custkey,
                     ORDER BY CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
                     RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_90d_orders
 FROM orders""",
+
+    // first-3 path per 30-min session, ordered string_agg
+    "misc_session_paths" -> """
+WITH sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM (
+    SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+           CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) IS NULL
+                  OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)) > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events)),
+r AS (SELECT user_id, session_seq, event_type,
+        row_number() OVER (PARTITION BY user_id, session_seq
+          ORDER BY ts ASC, event_id ASC) AS rn
+      FROM sess),
+p AS (SELECT user_id, session_seq,
+        string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id, session_seq)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY path""",
+
+    // first click → first subsequent purchase, exact percentiles
+    "misc_time_to_convert" -> """
+WITH c AS (SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS fc_us
+           FROM events WHERE event_type = 'click' GROUP BY user_id),
+p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+      FROM events WHERE event_type = 'purchase'),
+per AS (SELECT c.user_id, min(c.fc_us) AS fc_us,
+               min(CASE WHEN p.p_us >= c.fc_us THEN p.p_us END) AS fp_us
+        FROM c LEFT JOIN p ON p.user_id = c.user_id GROUP BY c.user_id),
+d AS (SELECT user_id, fp_us, (fp_us - fc_us) // 1000000 AS delta_sec FROM per)
+SELECT CAST(count(*) AS BIGINT) AS n_clickers,
+       CAST(count(fp_us) AS BIGINT) AS n_converted,
+       CAST(count(fp_us) * 1000000 // count(*) AS BIGINT) AS conv_ppm,
+       round(quantile_cont(delta_sec, 0.5), 6) AS median_sec,
+       round(quantile_cont(delta_sec, 0.9), 6) AS p90_sec
+FROM d""",
 
     "temporal_sessionize" -> """
 SELECT event_id, user_id,
