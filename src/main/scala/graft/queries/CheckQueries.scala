@@ -95,6 +95,31 @@ object CheckQueries {
           (col("psi_e9") > 100000000L).as("drifted"))
     }),
 
+    // Benford first-digit conformance — the classic synthetic/fraud
+    // detector on money columns. Leading digit is taken from the exact
+    // integer cents' DECIMAL STRING (no log10 at bin edges, no float
+    // formatting drift); expected shares are hard-coded log10(1+1/d)
+    // ppm constants, deviations integer-exact.
+    "dq_benford" -> ((s, d) => {
+      val expPpm = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+        5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+      val counts = Tables.orders(s, d)
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .filter(col("cents") > 0L)
+        .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = broadcast(counts.agg(sum(col("n")).as("t")))
+      val expCol = expPpm.foldLeft(lit(0L)) { case (acc, (dg, p)) =>
+        when(col("digit") === dg, lit(p)).otherwise(acc)
+      }
+      counts.crossJoin(tot)
+        .withColumn("obs_ppm", expr("n * 1000000 DIV t"))
+        .withColumn("exp_ppm", expCol)
+        .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+          abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"),
+          (abs(col("obs_ppm") - col("exp_ppm")) > 50000L).as("suspicious"))
+    }),
+
     "dq_profile" -> ((s, d) =>
       Profiler.profile(Tables.lineitem(s, d),
         Seq("l_orderkey", "l_linenumber", "l_quantity",
@@ -206,6 +231,31 @@ UNION ALL SELECT 'order_unique', n - d_ok, n - d_ok = 0 FROM agg
 UNION ALL SELECT 'linenumber_range', v_ln, v_ln = 0 FROM agg
 UNION ALL SELECT 'min_l_quantity', v_q, v_q = 0 FROM agg
 UNION ALL SELECT 'high_discount', v_hd, v_hd = 0 FROM agg""",
+
+    // leading digit from exact integer cents' string
+    "dq_benford" -> """
+WITH c AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+  WHERE cents > 0),
+n AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY digit),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM n)
+SELECT digit, n.n, CAST(n.n * 1000000 // t.t AS BIGINT) AS obs_ppm,
+       CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                       WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                       WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757
+                       ELSE 0 END AS BIGINT) AS exp_ppm,
+       abs(CAST(n.n * 1000000 // t.t AS BIGINT)
+           - CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                        WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                        WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757
+                        ELSE 0 END) AS dev_ppm,
+       abs(CAST(n.n * 1000000 // t.t AS BIGINT)
+           - CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                        WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                        WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757
+                        ELSE 0 END) > 50000 AS suspicious
+FROM n, t""",
 
     // dense 10-bin grid, add-one smoothing, scaled-int PSI terms
     "dq_psi_drift" -> """

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.Tables
@@ -375,6 +376,59 @@ object LlmQueries {
       TextStats.qualityMetrics(Tables.documents(s, d))
         .select("doc_id", "n_words", "n_chars_measured", "avg_word_len",
           "stopword_ratio", "alpha_ratio", "quality_keep")),
+    // Exact integer budget allocation by the largest-remainder
+    // (Hamilton) method: 1M training tokens split across sources
+    // proportional to their token mass, summing to EXACTLY the budget —
+    // where llm_mixture_sample's per-row ppm gates are approximate by
+    // construction. Pure integer arithmetic; the remainder-rank window
+    // runs over the per-source CONFIG frame (mixture-spec cardinality,
+    // not data volume), so the unpartitioned window is dim-sized by
+    // contract.
+    "llm_exact_allocation" -> ((s, d) => {
+      val budget = 1000000L
+      val per = Tables.documents(s, d).groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
+      val tot = broadcast(per.agg(sum(col("n_tokens")).as("t")))
+      val based = graft.QueryCaches.scoped(per.crossJoin(tot)
+        .withColumn("base", expr(s"$budget * n_tokens DIV t"))
+        .withColumn("rem", expr(s"($budget * n_tokens) % t")))
+      val left = broadcast(based.agg((lit(budget) - sum(col("base"))).as("leftover")))
+      based
+        .withColumn("rr", row_number()
+          .over(Window.orderBy(col("rem").desc, col("source").asc))
+          .cast(org.apache.spark.sql.types.IntegerType))
+        .crossJoin(left)
+        .select(col("source"), col("n_tokens"), col("base"), col("rr"),
+          (col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+            .as("alloc"))
+    }),
+
+    // Character-distribution Shannon entropy per source — the
+    // cheap-and-sharp encoding/garbage detector (mojibake, base64 blobs,
+    // and binary spill all shift char entropy). Per-char terms are
+    // rounded once to scaled BIGINTs, so per-source sums are
+    // order-independent; the char histogram is alphabet-sized, never
+    // corpus-sized, after one map-side-combinable count.
+    "llm_char_entropy" -> ((s, d) => {
+      val dbl = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DoubleType)
+      val cc = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .groupBy(col("source"), col("ch")).agg(count(lit(1)).as("c"))
+      val tot = cc.groupBy(col("source")).agg(sum(col("c")).as("t"),
+        count(lit(1)).as("n_distinct_chars"))
+      cc.join(tot, "source")
+        .withColumn("term_e9",
+          round(-(dbl(col("c")) / dbl(col("t"))) * log(dbl(col("c")) / dbl(col("t"))) * 1e9)
+            .cast(LongType))
+        .groupBy(col("source"))
+        .agg(min(col("t")).as("n_chars"), min(col("n_distinct_chars")).as("n_distinct_chars"),
+          sum(col("term_e9")).as("entropy_e9"))
+        .select(col("source"), col("n_chars"), col("n_distinct_chars"),
+          col("entropy_e9"), (dbl(col("entropy_e9")) / lit(1e9)).as("entropy"))
+    }),
+
     // Out-of-vocabulary rate per source against the corpus top-1000
     // vocabulary — the tokenizer-coverage statistic (how much of each
     // source a fixed vocab explains). Vocab selection is a top-k
@@ -1622,6 +1676,40 @@ SELECT doc_id, n_words, n_chars_measured,
   (n_words >= 5 AND n_words <= 10000 AND stop_hits * 100 >= n_words
    AND alpha_chars * 10 >= n_chars_measured * 6) AS quality_keep
 FROM m""",
+
+    // Hamilton allocation: integer base + remainder-ranked top-up
+    "llm_exact_allocation" -> """
+WITH per AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
+b AS (SELECT source, n_tokens,
+             CAST(1000000 * n_tokens // t AS BIGINT) AS base,
+             CAST((1000000 * n_tokens) % t AS BIGINT) AS rem
+      FROM per, tot),
+r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source ASC) AS INTEGER) AS rr FROM b),
+l AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS leftover FROM b)
+SELECT source, n_tokens, base, rr,
+       CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r, l""",
+
+    // alphabet-sized char histogram; scaled-int -p·ln p terms
+    "llm_char_entropy" -> """
+WITH cc AS (
+  SELECT source, ch, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, '')) AS ch FROM documents)
+  WHERE len(ch) > 0 GROUP BY source, ch),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS n_distinct_chars
+        FROM cc GROUP BY source),
+terms AS (
+  SELECT cc.source, t.t, t.n_distinct_chars,
+         CAST(round(-(CAST(cc.c AS DOUBLE) / CAST(t.t AS DOUBLE))
+                    * ln(CAST(cc.c AS DOUBLE) / CAST(t.t AS DOUBLE)) * 1e9) AS BIGINT) AS term_e9
+  FROM cc JOIN tot t ON t.source = cc.source)
+SELECT source, min(t) AS n_chars, min(n_distinct_chars) AS n_distinct_chars,
+       CAST(sum(term_e9) AS BIGINT) AS entropy_e9,
+       CAST(sum(term_e9) AS DOUBLE) / 1e9 AS entropy
+FROM terms GROUP BY source""",
 
     // top-1000 vocab by (count desc, word asc); left join for OOV marks
     "llm_oov_rate" -> """

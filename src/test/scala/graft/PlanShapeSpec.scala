@@ -33,7 +33,9 @@ class PlanShapeSpec extends SparkSpec {
     "tpch_top_supplier",      // 1-row max-revenue threshold broadcast
     "llm_token_shards",       // 1-row total-tokens broadcast
     "llm_bm25_search",        // 1-row corpus-stats + 1-row per-term-df broadcasts
-    "llm_mixture_temperature" // 1-row normalizer broadcast
+    "llm_mixture_temperature", // 1-row normalizer broadcast
+    "llm_exact_allocation",   // 1-row total + 1-row leftover broadcasts
+    "dq_benford"              // 1-row digit-total broadcast
   )
 
   /** Pinned shuffle-exchange counts for the most expensive registered
