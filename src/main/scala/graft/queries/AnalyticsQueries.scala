@@ -36,6 +36,76 @@ object AnalyticsQueries {
     // PIVOT: revenue by nation x order status, statuses as columns.
     // Explicit pivot values keep the plan a single pass (no distinct-scan
     // to discover columns) — the posture that survives a 100x fact.
+    // Year-over-year growth per calendar month: revenue in EXACT integer
+    // cents, the lag window partitioned by month-of-year (so each
+    // partition is one month's year-series — never a global sort), and
+    // the growth ratio derived once in double from exact integers
+    // (integer DIV is avoided because trunc-vs-floor division diverges
+    // between engines on negative deltas).
+    "misc_yoy_growth" -> ((s, d) => {
+      val byMonth = Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
+      val w = Window.partitionBy(col("o_month")).orderBy(col("o_year").asc)
+      byMonth.withColumn("prev_rev_cents", lag(col("rev_cents"), 1).over(w))
+        .select(col("o_year"), col("o_month"), col("rev_cents"), col("prev_rev_cents"),
+          round((col("rev_cents") - col("prev_rev_cents")).cast(DoubleType)
+            / col("prev_rev_cents").cast(DoubleType), 6).as("yoy_growth"))
+    }),
+
+    // percent_rank + cume_dist — the remaining rank-family window
+    // functions: a customer's account-balance position within its
+    // nation. Both are pure integer-ratio doubles (ties share a value,
+    // so no tiebreak nondeterminism can leak into the output).
+    "misc_percent_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").asc)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+    }),
+
+    // Cumulative user acquisition: each user's first-seen day, new-user
+    // counts per day, and the running total. The cumulative window runs
+    // over the DAY frame (calendar-sized, 30 rows here), never over
+    // events — the growth-curve shape at any event volume.
+    "misc_cumulative_users" -> ((s, d) => {
+      val firstSeen = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
+      val daily = firstSeen.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      daily.withColumn("cum_users",
+        sum(col("n_new")).over(Window.orderBy(col("day").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }),
+
+    // Linear multi-touch attribution: every click in the 7 days before a
+    // purchase shares the credit equally (integer ppm per touch — a
+    // purchase's credits sum to ≤ 1e6 exactly), rolled up per channel
+    // (derived from the JSON props payload). The join is equi on user_id
+    // with a bounded time predicate — hash join + filter, the
+    // stream_attribution interval shape with credit math on top.
+    "misc_multitouch_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"),
+          concat(lit("ch"),
+            get_json_object(col("props"), "$.k").cast(LongType) % 5L).as("channel"))
+      val touches = purchases.join(clicks, Seq("user_id"))
+        .filter(col("c_us") <= col("p_us") &&
+          col("c_us") >= col("p_us") - lit(7L * 86400L * 1000000L))
+      touches
+        .withColumn("n_touch", count(lit(1)).over(Window.partitionBy(col("p_id"))))
+        .withColumn("credit_ppm", expr("1000000 DIV n_touch"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("p_id")).as("n_purchases"),
+          sum(col("credit_ppm")).as("credit_e6"))
+    }),
+
     // NTILE decile banding per order priority — the remaining classic
     // window function (equi-count buckets; ties broken by o_orderkey so
     // the banding is total-order deterministic). Partitioned by the
@@ -199,6 +269,50 @@ SELECT o_orderkey, o_custkey,
             OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma3_spend
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""",
+
+    // exact-cents revenue, month-partitioned lag
+    "misc_yoy_growth" -> """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(month(o_orderdate) AS INTEGER) AS o_month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1, 2)
+SELECT o_year, o_month, rev_cents,
+       lag(rev_cents) OVER (PARTITION BY o_month ORDER BY o_year ASC) AS prev_rev_cents,
+       round(CAST(rev_cents - lag(rev_cents) OVER (PARTITION BY o_month ORDER BY o_year ASC) AS DOUBLE)
+             / CAST(lag(rev_cents) OVER (PARTITION BY o_month ORDER BY o_year ASC) AS DOUBLE), 6) AS yoy_growth
+FROM m""",
+
+    // rank-family remainder: integer-ratio doubles, tie-safe
+    "misc_percent_rank" -> """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal ASC), 6) AS pr,
+       round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal ASC), 6) AS cd
+FROM customer""",
+
+    // first-seen day per user; running total over the day frame
+    "misc_cumulative_users" -> """
+WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id),
+d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY day)
+SELECT day, n_new,
+       CAST(sum(n_new) OVER (ORDER BY day ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM d""",
+
+    // 7-day lookback touches; equal integer-ppm credit per touch
+    "misc_multitouch_attribution" -> """
+WITH p AS (SELECT user_id, event_id AS p_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us,
+             concat('ch', CAST(json_extract_string(props, '$.k') AS BIGINT) % 5) AS channel
+      FROM events WHERE event_type = 'click'),
+t AS (SELECT p.p_id, c.channel FROM p JOIN c ON c.user_id = p.user_id
+       AND c.c_us <= p.p_us AND c.c_us >= p.p_us - 604800000000),
+n AS (SELECT p_id, channel, count(*) OVER (PARTITION BY p_id) AS n_touch FROM t)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+       CAST(sum(1000000 // n_touch) AS BIGINT) AS credit_e6
+FROM n GROUP BY channel""",
 
     // ntile(10) with total-order tiebreak
     "misc_ntile_deciles" -> """
