@@ -51,11 +51,11 @@ object SparkEntry {
     RetailQueries.queries ++ MetaQueries.queries ++ MmsQueries.queries ++
       SyncQueries.queries ++ CheckQueries.queries ++ LlmQueries.queries ++
       StreamQueries.queries ++ MiscQueries.queries ++ TpchQueries.queries ++
-      AnalyticsQueries.queries
+      AnalyticsQueries.queries ++ MarketQueries.queries
 
   def oracleSql: Map[String, String] =
     RetailQueries.oracle ++ MetaQueries.oracle ++ MmsQueries.oracle ++
       SyncQueries.oracle ++ CheckQueries.oracle ++ LlmQueries.oracle ++
       StreamQueries.oracle ++ MiscQueries.oracle ++ TpchQueries.oracle ++
-      AnalyticsQueries.oracle
+      AnalyticsQueries.oracle ++ MarketQueries.oracle
 }

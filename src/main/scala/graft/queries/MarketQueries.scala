@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import graft.Tables
+
+/** Customer/market analytics beyond the reference's own surface:
+  * market-basket association rules, RFM segmentation, grouped mode, and
+  * equi-width histograms. All ratio math is either exact integer ppm
+  * (truncating DIV, engine-identical) or a single double formula whose
+  * text is mirrored by the oracle and rounded once at the boundary. */
+object MarketQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Market-basket association rules at brand grain: brands co-ordered
+    // in the same order → support / confidence / lift. The pair
+    // generation is a self-join on the order key, so the wedge cost is
+    // bounded by (lines per order)² — never |orders|² — and the two
+    // brand-frequency lookups broadcast (the brand dim is tiny and stays
+    // tiny at any fact scale). Confidence is exact integer ppm; lift is
+    // one double formula from exact integers, rounded once.
+    "misc_basket_rules" -> ((s, d) => {
+      val ob = graft.QueryCaches.scoped(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+          .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+          .distinct())
+      val nOrders = ob.agg(countDistinct(col("okey")).as("n_orders"))
+      val brandCnt = ob.groupBy(col("brand")).agg(count(lit(1)).as("n_brand"))
+      ob.as("x").join(ob.as("y"),
+          col("x.okey") === col("y.okey") && col("x.brand") < col("y.brand"))
+        .groupBy(col("x.brand").as("brand_a"), col("y.brand").as("brand_b"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 20L)
+        .join(broadcast(brandCnt.select(col("brand").as("brand_a"), col("n_brand").as("n_a"))), "brand_a")
+        .join(broadcast(brandCnt.select(col("brand").as("brand_b"), col("n_brand").as("n_b"))), "brand_b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("brand_a"), col("brand_b"), col("n_co"), col("n_a"), col("n_b"),
+          expr("n_co * 1000000 DIV n_a").as("conf_ab_ppm"),
+          expr("n_co * 1000000 DIV n_b").as("conf_ba_ppm"),
+          round(col("n_co").cast("double") * col("n_orders").cast("double")
+            / (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
+    }),
+
+    // RFM segmentation: per-customer recency / frequency / monetary,
+    // banded into quintiles. The anchor date is the global max order
+    // date (1-row broadcast, not wall clock — deterministic re-runs).
+    // The three ntile windows are global sorts over the CUSTOMER grain —
+    // a dim, not the fact (same posture as tpch_top_supplier); monetary
+    // is exact integer cents. Segment code packs r·100+f·10+m.
+    "misc_rfm" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val anchor = o.agg(max(to_date(col("o_orderdate"))).as("anchor"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("monetary_cents"))
+        .crossJoin(broadcast(anchor))
+        .withColumn("recency_days", datediff(col("anchor"), col("last_order")).cast(LongType))
+      val wr = Window.orderBy(col("recency_days").asc, col("o_custkey").asc)
+      val wf = Window.orderBy(col("frequency").desc, col("o_custkey").asc)
+      val wm = Window.orderBy(col("monetary_cents").desc, col("o_custkey").asc)
+      per.select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary_cents"),
+          ntile(5).over(wr).cast(IntegerType).as("r"),
+          ntile(5).over(wf).cast(IntegerType).as("f"),
+          ntile(5).over(wm).cast(IntegerType).as("m"))
+        .withColumn("segment", (col("r") * 100 + col("f") * 10 + col("m"))
+          .cast(IntegerType))
+    }),
+
+    // Grouped mode with a total-order tie-break (count desc, value asc):
+    // the most frequent order priority per market segment. Counts first
+    // (one hash agg over the fact), then the argmax window runs over the
+    // tiny (segment × priority) grid — never over rows.
+    "misc_grouped_mode" -> ((s, d) => {
+      val cnt = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("n").desc, col("o_orderpriority").asc)
+      cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"),
+          col("n").as("n_orders"))
+    }),
+
+    // Equi-width 10-bin histogram of order value: global (min, max) as a
+    // 1-row broadcast, then one hash agg by the computed bin — two scans,
+    // no sort. The bin formula and the bound reconstruction are single
+    // double expressions textually mirrored by the oracle (floor of the
+    // same IEEE ops), so bin ids are engine-identical.
+    "misc_histogram" -> ((s, d) => {
+      val v = Tables.orders(s, d).select(col("o_totalprice").as("x"))
+      val st = v.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"))
+      v.crossJoin(broadcast(st))
+        .withColumn("bin",
+          expr("least(CAST(9 AS BIGINT), CAST(floor((x - xmin) * 10.0 / (xmax - xmin)) AS BIGINT))"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("xmin")).as("xmin"), min(col("xmax")).as("xmax"))
+        .select(col("bin"), col("n"),
+          expr("round(xmin + CAST(bin AS DOUBLE) * (xmax - xmin) / 10.0, 6)").as("bin_lo"),
+          expr("round(xmin + CAST(bin + 1 AS DOUBLE) * (xmax - xmin) / 10.0, 6)").as("bin_hi"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "misc_basket_rules" -> """
+WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+            FROM lineitem JOIN part ON l_partkey = p_partkey),
+n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM ob),
+bc AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_brand FROM ob GROUP BY brand),
+pr AS (SELECT x.brand AS brand_a, y.brand AS brand_b, CAST(count(*) AS BIGINT) AS n_co
+       FROM ob x JOIN ob y ON x.okey = y.okey AND x.brand < y.brand
+       GROUP BY 1, 2 HAVING count(*) >= 20)
+SELECT brand_a, brand_b, n_co, a.n_brand AS n_a, b.n_brand AS n_b,
+       CAST(n_co * 1000000 // a.n_brand AS BIGINT) AS conf_ab_ppm,
+       CAST(n_co * 1000000 // b.n_brand AS BIGINT) AS conf_ba_ppm,
+       round(CAST(n_co AS DOUBLE) * CAST(n_orders AS DOUBLE)
+             / (CAST(a.n_brand AS DOUBLE) * CAST(b.n_brand AS DOUBLE)), 6) AS lift
+FROM pr JOIN bc a ON brand_a = a.brand JOIN bc b ON brand_b = b.brand, n""",
+
+    "misc_rfm" -> """
+WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+per AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey),
+r AS (SELECT o_custkey, CAST(date_diff('day', last_order, anchor) AS BIGINT) AS recency_days,
+             frequency, monetary_cents
+      FROM per, anchor)
+SELECT o_custkey, recency_days, frequency, monetary_cents,
+       CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS INTEGER) AS r,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INTEGER) AS f,
+       CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS INTEGER) AS m,
+       CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) * 100
+            + ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) * 10
+            + ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS INTEGER) AS segment
+FROM r""",
+
+    "misc_grouped_mode" -> """
+WITH cnt AS (SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             GROUP BY 1, 2),
+rk AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                ORDER BY n DESC, o_orderpriority ASC) AS rn FROM cnt)
+SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS n_orders
+FROM rk WHERE rn = 1""",
+
+    "misc_histogram" -> """
+WITH st AS (SELECT min(o_totalprice) AS xmin, max(o_totalprice) AS xmax FROM orders),
+b AS (SELECT least(CAST(9 AS BIGINT),
+              CAST(floor((o_totalprice - xmin) * 10.0 / (xmax - xmin)) AS BIGINT)) AS bin,
+             xmin, xmax
+      FROM orders, st)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(min(xmin) + CAST(bin AS DOUBLE) * (min(xmax) - min(xmin)) / 10.0, 6) AS bin_lo,
+       round(min(xmin) + CAST(bin + 1 AS DOUBLE) * (min(xmax) - min(xmin)) / 10.0, 6) AS bin_hi
+FROM b GROUP BY bin"""
+  )
+}
