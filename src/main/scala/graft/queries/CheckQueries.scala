@@ -123,7 +123,41 @@ object CheckQueries {
     "dq_profile" -> ((s, d) =>
       Profiler.profile(Tables.lineitem(s, d),
         Seq("l_orderkey", "l_linenumber", "l_quantity",
-          "l_returnflag", "l_linestatus", "l_shipdate")))
+          "l_returnflag", "l_linestatus", "l_shipdate"))),
+
+    // Pearson chi-square 2×2 A/B test — the experiment-readout check:
+    // variant by user-id parity (deterministic, re-run stable), outcome
+    // scale-invariant (purchase share of the user's events > 20%, the
+    // uniform-mix expectation — never an absolute count that saturates
+    // at bigger SFs). All four cell counts are exact integers from one
+    // aggregation; rates are integer ppm; the chi-square statistic is a
+    // single double formula over those integers, computed once and
+    // rounded once, with the 0.05 critical value pinned as a boolean.
+    "dq_ab_test" -> ((s, d) => {
+      val per = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"))
+        .select((col("user_id") % 2 === 0).as("is_a"),
+          (col("n_purch") * 5 > col("n_ev")).as("conv"))
+      per.agg(
+          sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("is_a") && col("conv"), 1L).otherwise(0L)).as("conv_a"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("is_a") && col("conv"), 1L).otherwise(0L)).as("conv_b"))
+        .withColumn("rate_a_ppm", expr("conv_a * 1000000 DIV n_a"))
+        .withColumn("rate_b_ppm", expr("conv_b * 1000000 DIV n_b"))
+        .withColumn("chi2", expr(
+          """round(CAST(n_a + n_b AS DOUBLE)
+            | * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+            |    - CAST(conv_b AS DOUBLE) * CAST(n_a - conv_a AS DOUBLE))
+            | * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+            |    - CAST(conv_b AS DOUBLE) * CAST(n_a - conv_a AS DOUBLE))
+            | / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+            |    * CAST(conv_a + conv_b AS DOUBLE)
+            |    * CAST(n_a - conv_a + n_b - conv_b AS DOUBLE)), 6)"""
+            .stripMargin))
+        .withColumn("significant", col("chi2") > lit(3.841459))
+    })
   )
 
   /** SodaCL fixture over the harness lineitem table (the reference's
@@ -256,6 +290,40 @@ SELECT digit, n.n, CAST(n.n * 1000000 // t.t AS BIGINT) AS obs_ppm,
                         WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757
                         ELSE 0 END) > 50000 AS suspicious
 FROM n, t""",
+
+    // 2×2 Pearson chi-square from exact integer cells
+    "dq_ab_test" -> """
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purch
+  FROM events GROUP BY user_id),
+f AS (SELECT user_id % 2 = 0 AS is_a, n_purch * 5 > n_ev AS conv FROM per),
+c AS (SELECT
+        CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN is_a AND conv THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN NOT is_a AND conv THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+      FROM f)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(conv_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+       CAST(conv_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+       round(CAST(n_a + n_b AS DOUBLE)
+             * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+                - CAST(conv_b AS DOUBLE) * CAST(n_a - conv_a AS DOUBLE))
+             * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+                - CAST(conv_b AS DOUBLE) * CAST(n_a - conv_a AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                * CAST(conv_a + conv_b AS DOUBLE)
+                * CAST(n_a - conv_a + n_b - conv_b AS DOUBLE)), 6) AS chi2,
+       round(CAST(n_a + n_b AS DOUBLE)
+             * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+                - CAST(conv_b AS DOUBLE) * CAST(n_a - conv_a AS DOUBLE))
+             * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+                - CAST(conv_b AS DOUBLE) * CAST(n_a - conv_a AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                * CAST(conv_a + conv_b AS DOUBLE)
+                * CAST(n_a - conv_a + n_b - conv_b AS DOUBLE)), 6) > 3.841459 AS significant
+FROM c""",
 
     // dense 10-bin grid, add-one smoothing, scaled-int PSI terms
     "dq_psi_drift" -> """

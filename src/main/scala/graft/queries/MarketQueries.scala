@@ -13,7 +13,41 @@ import graft.Tables
   * text is mirrored by the oracle and rounded once at the boundary. */
 object MarketQueries {
 
+  /** EWMA (α=1/2) over 7 unrolled lag taps, with a per-row normalizer
+    * that drops absent (series-head) taps. ONE formula string shared by
+    * the Spark `expr` and the DuckDB oracle, so the double arithmetic is
+    * textually identical on both engines — and because the weights are
+    * negative powers of two and the inputs are small integers, every
+    * product and partial sum is exactly representable: the division is
+    * the only rounding step, and it rounds once, identically. */
+  private val ewmaExpr: String = {
+    val w = Seq("0.5", "0.25", "0.125", "0.0625", "0.03125", "0.015625",
+      "0.0078125")
+    val num = "CAST(n AS DOUBLE)" + w.zipWithIndex.map { case (wk, i) =>
+      s" + $wk * coalesce(CAST(l${i + 1} AS DOUBLE), CAST(0.0 AS DOUBLE))"
+    }.mkString
+    val den = "CAST(1.0 AS DOUBLE)" + w.zipWithIndex.map { case (wk, i) =>
+      s" + (CASE WHEN l${i + 1} IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST($wk AS DOUBLE) END)"
+    }.mkString
+    s"round(($num) / ($den), 6)"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EWMA-smoothed hourly event-rate series — the metrics-smoothing /
+    // trend-detection shape. The raw stream is first compacted to the
+    // (type × hour) grain (one hash agg — the only pass over events),
+    // so the lag windows run over the CALENDAR-sized series, never over
+    // events; 7 explicit taps ≈ a 1/2-decay EWMA to within 2^-8.
+    "misc_ewma" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+      val withLags = (1 to 7).foldLeft(hourly)((df, k) =>
+        df.withColumn(s"l$k", lag(col("n"), k).over(w)))
+      withLags.withColumn("ewma", expr(ewmaExpr))
+        .select(col("event_type"), col("h"), col("n"), col("ewma"))
+    }),
     // Market-basket association rules at brand grain: brands co-ordered
     // in the same order → support / confidence / lift. The pair
     // generation is a self-join on the order key, so the wedge cost is
@@ -109,6 +143,16 @@ object MarketQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "misc_ewma" -> s"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+lg AS (
+  SELECT event_type, h, n,
+         ${(1 to 7).map(k => s"lag(n, $k) OVER w AS l$k").mkString(", ")}
+  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h ASC))
+SELECT event_type, h, n, $ewmaExpr AS ewma FROM lg""",
+
     "misc_basket_rules" -> """
 WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
             FROM lineitem JOIN part ON l_partkey = p_partkey),

@@ -642,6 +642,17 @@ object MiscQueries {
       graft.operators.LabelPropagation.propagate(coPurchaseEdges(s, d),
         "a", "b", rounds = 4)),
 
+    // Multi-source BFS hop distance (operators/Bfs) from the seed part
+    // set (every 97th part) over the 1995 co-purchase graph — the
+    // "distance to a trusted set" feature (TrustRank-style). 3 fixed
+    // frontier expansions, same unrolled-replay determinism contract as
+    // misc_pagerank/misc_kcore; the frontier (not the visited set)
+    // drives each expansion join, integer hops throughout.
+    "misc_bfs_hops" -> ((s, d) =>
+      graft.operators.Bfs.bfsHops(coPurchaseEdges(s, d), "a", "b",
+        Tables.part(s, d).filter(col("p_partkey") % 97 === 0),
+        "p_partkey", rounds = 3)),
+
     // Grouped Pearson correlation + sample covariance from EXACT decimal
     // moments: one scan, six map-combinable partial aggregates (n, Σx,
     // Σy, Σx², Σy², Σxy) — the only statistics shape that holds at
@@ -729,6 +740,17 @@ $cur AS MATERIALIZED (
     FROM (SELECT d.src, l.lbl, count(*) AS c
           FROM und d JOIN $prev l ON l.node = d.dst
           GROUP BY d.src, l.lbl)) WHERE rn = 1)"""
+
+  /** One unrolled frontier-expansion round of the fixed-round BFS replay
+    * (DuckDB side of misc_bfs_hops): expand the hop-(r−1) frontier over
+    * the undirected edges, keep only unvisited targets at hop r. */
+  private def bfsIterCte(prev: String, cur: String, r: Int): String = s"""
+$cur AS MATERIALIZED (
+  SELECT * FROM $prev UNION ALL
+  SELECT node, CAST($r AS BIGINT) AS hop FROM (
+    SELECT DISTINCT d.t AS node FROM bund d
+    JOIN $prev f ON d.s = f.node AND f.hop = ${r - 1}
+    WHERE d.t NOT IN (SELECT node FROM $prev)))"""
 
   /** One unrolled rank-diffusion round of the fixed-point PageRank
     * replay (DuckDB side of misc_pagerank). Unrolled plain CTEs instead
@@ -855,6 +877,16 @@ ${(0 until 4).map(i => lpaIterCte(s"lp$i", s"lp${i + 1}")).mkString(",")}
 SELECT l.node, l.lbl AS community, CAST(s.n AS BIGINT) AS community_size
 FROM lp4 l
 JOIN (SELECT lbl, count(*) AS n FROM lp4 GROUP BY lbl) s ON s.lbl = l.lbl""",
+
+    // 3 unrolled frontier expansions — see bfsIterCte
+    "misc_bfs_hops" -> s"""
+WITH $coPurchaseCte,
+bund AS MATERIALIZED (
+  SELECT u AS s, v AS t FROM e UNION SELECT v AS s, u AS t FROM e),
+bh0 AS (SELECT CAST(p_partkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop
+        FROM part WHERE p_partkey % 97 = 0),
+${(0 until 3).map(i => bfsIterCte(s"bh$i", s"bh${i + 1}", i + 1)).mkString(",")}
+SELECT node, hop FROM bh3""",
 
     "misc_topk_orders" -> """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
