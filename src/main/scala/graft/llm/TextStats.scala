@@ -249,6 +249,86 @@ object TextStats {
           .as("avg_neg_logprob"))
   }
 
+  /** Bigram-LM surprisal with add-one smoothing — unigramLogprob's
+    * context-aware sibling (the fluency signal: a doc of common words in
+    * impossible orders scores high here but low on unigram surprisal).
+    * p(w2|w1) = (c(w1 w2)+1) / (c(w1)+V); each distinct bigram's ln p is
+    * rounded ONCE to a scaled BIGINT, per-doc totals are integer sums
+    * (order/partitioning-independent), and the mean divides once in
+    * double. The model side scales with DISTINCT bigrams, not corpus
+    * bytes, and text never shuffles — only (doc, bigram) counts. */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val ws = words(col("text"))
+    // positional bigrams over non-empty adjacent tokens
+    val bg = graft.QueryCaches.scoped(
+      docs.filter(size(ws) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(ws) - 1),
+          i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+          .as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt")))
+    val pair = bg.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c12"))
+    val uni = graft.QueryCaches.scoped(
+      docs.select(explode(words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("c1")))
+    val vocab = broadcast(uni.agg(count(lit(1)).as("v")))
+    val scored = pair
+      .join(uni.select(col("word").as("w1"), col("c1")), "w1")
+      .crossJoin(vocab)
+      .select(col("w1"), col("w2"),
+        round(log((dbl(col("c12")) + lit(1.0)) / (dbl(col("c1")) + dbl(col("v")))) * 1e9)
+          .cast(LongType).as("lp9"))
+    bg.join(scored, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("lp9")).as("sum_lp9"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_lp9"),
+        (-dbl(col("sum_lp9")) / (lit(1e9) * dbl(col("n_bigrams"))))
+          .as("avg_neg_logprob"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, word-level
+    * simplification): per-doc log likelihood ratio between a TARGET
+    * word distribution (docs matching `targetFilter`) and the RAW
+    * corpus distribution, both add-one smoothed over the shared
+    * vocabulary. Docs whose words look target-like get positive
+    * weights — the importance-resampling signal for domain-matched
+    * pretraining mixtures. Same scaled-integer discipline as
+    * unigramLogprob: per-word llr9 rounded once, per-doc INTEGER sums,
+    * one double division at the boundary. */
+  def dsirWeights(docs: DataFrame, targetFilter: Column): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val wf = graft.QueryCaches.scoped(
+      docs.select(col("doc_id"), targetFilter.as("is_target"),
+          explode(words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("doc_id"), col("is_target"), col("word"))
+        .agg(count(lit(1)).as("cnt")))
+    val byWord = wf.groupBy(col("word"))
+      .agg(sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("ct"),
+        sum(col("cnt")).as("cr"))
+    val tot = broadcast(byWord.agg(sum(col("ct")).as("t"), sum(col("cr")).as("r"),
+      count(lit(1)).as("v")))
+    val scored = byWord.crossJoin(tot)
+      .select(col("word"),
+        round((log((dbl(col("ct")) + lit(1.0)) / (dbl(col("t")) + dbl(col("v"))))
+          - log((dbl(col("cr")) + lit(1.0)) / (dbl(col("r")) + dbl(col("v"))))) * 1e9)
+          .cast(LongType).as("llr9"))
+    wf.join(scored, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("llr9")).as("sum_llr9"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_llr9"),
+        (dbl(col("sum_llr9")) / (lit(1e9) * dbl(col("n_tokens"))))
+          .as("avg_log_ratio"),
+        (col("sum_llr9") > 0L).as("target_like"))
+  }
+
   def tfIdfTopK(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
     val terms = docs.select(col("doc_id"),
         explode(words(col(textCol))).as("term"))

@@ -504,6 +504,53 @@ object LlmQueries {
     // signal. Scaled-int lp9 sums make the totals engine-exact.
     "llm_unigram_logprob" -> ((s, d) =>
       TextStats.unigramLogprob(Tables.documents(s, d))),
+
+    // Bigram-LM surprisal with add-one smoothing — the context-aware
+    // fluency signal (common words in impossible orders score high here
+    // but low on unigram surprisal). Scaled-int lp9, integer doc sums.
+    "llm_bigram_surprisal" -> ((s, d) =>
+      TextStats.bigramSurprisal(Tables.documents(s, d))),
+
+    // DSIR-style importance weights (Xie et al. 2023, word-level): log
+    // likelihood ratio of target (lang='en') vs raw word distributions
+    // per doc — the domain-matched resampling signal. Integer llr9 sums.
+    "llm_dsir_weights" -> ((s, d) =>
+      TextStats.dsirWeights(Tables.documents(s, d), col("lang") === "en")),
+
+    // Top-50 PMI collocations (min pair count 5): the phrase-mining /
+    // tokenizer-merge-candidate statistic. Counts are exact integers;
+    // the single pmi double formula is textually mirrored by the oracle
+    // and computed once; TakeOrderedAndProject top-k, no global sort.
+    "llm_pmi_collocations" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ws = split(col("text"), " ")
+      val bg = docs.filter(size(ws) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(ws) - 1),
+          i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+      val pairsAll = graft.QueryCaches.scoped(
+        bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+      val m = broadcast(pairsAll.agg(sum(col("c12")).as("m")))
+      val uni = graft.QueryCaches.scoped(
+        docs.select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy(col("word")).agg(count(lit(1)).as("c")))
+      val n = broadcast(uni.agg(sum(col("c")).as("n")))
+      pairsAll.filter(col("c12") >= 5L)
+        .join(uni.select(col("word").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("word").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(m).crossJoin(n)
+        .withColumn("pmi", expr(
+          """round(ln(CAST(c12 AS DOUBLE) / CAST(m AS DOUBLE)
+            | * (CAST(n AS DOUBLE) / CAST(c1 AS DOUBLE))
+            | * (CAST(n AS DOUBLE) / CAST(c2 AS DOUBLE))), 6)""".stripMargin))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"), col("pmi"))
+        .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+        .limit(50)
+    }),
     "llm_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_ws_tokens"),
@@ -1790,6 +1837,73 @@ SELECT doc_id, n_tokens, round(es_key, 6) AS es_key FROM (
   FROM w) WHERE rn <= 100""",
 
     // lp9 = round(ln(c/T)·1e9) per distinct word, BIGINT-summed per doc
+    // add-one smoothed bigram model; scaled-int lp9, integer doc sums
+    "llm_bigram_surprisal" -> """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+bgp AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+        FROM (SELECT doc_id, words,
+                     unnest(generate_series(1, len(words) - 1)) AS i FROM w)
+        WHERE len(words[i]) > 0 AND len(words[i+1]) > 0),
+bf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt
+       FROM bgp GROUP BY 1, 2, 3),
+pair AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c12 FROM bf GROUP BY 1, 2),
+uni AS (SELECT word, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) > 0 GROUP BY 1),
+v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+sc AS (SELECT p.w1, p.w2,
+              CAST(round(ln((CAST(c12 AS DOUBLE) + 1.0)
+                            / (CAST(u.c1 AS DOUBLE) + CAST(v.v AS DOUBLE))) * 1e9) AS BIGINT) AS lp9
+       FROM pair p JOIN uni u ON u.word = p.w1, v)
+SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_bigrams,
+       CAST(sum(f.cnt * s.lp9) AS BIGINT) AS sum_lp9,
+       -(CAST(sum(f.cnt * s.lp9) AS DOUBLE)) / (1e9 * CAST(sum(f.cnt) AS DOUBLE)) AS avg_neg_logprob
+FROM bf f JOIN sc s ON s.w1 = f.w1 AND s.w2 = f.w2
+GROUP BY f.doc_id""",
+
+    // target-vs-raw add-one smoothed log likelihood ratio per word
+    "llm_dsir_weights" -> """
+WITH wf AS (SELECT doc_id, is_target, word, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT doc_id, lang = 'en' AS is_target,
+                         unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE len(word) > 0 GROUP BY 1, 2, 3),
+bw AS (SELECT word,
+              CAST(sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS BIGINT) AS ct,
+              CAST(sum(cnt) AS BIGINT) AS cr
+       FROM wf GROUP BY word),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t, CAST(sum(cr) AS BIGINT) AS r,
+               CAST(count(*) AS BIGINT) AS v FROM bw),
+sc AS (SELECT word,
+              CAST(round((ln((CAST(ct AS DOUBLE) + 1.0) / (CAST(t AS DOUBLE) + CAST(v AS DOUBLE)))
+                          - ln((CAST(cr AS DOUBLE) + 1.0) / (CAST(r AS DOUBLE) + CAST(v AS DOUBLE)))) * 1e9) AS BIGINT) AS llr9
+       FROM bw, tot)
+SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_tokens,
+       CAST(sum(f.cnt * s.llr9) AS BIGINT) AS sum_llr9,
+       CAST(sum(f.cnt * s.llr9) AS DOUBLE) / (1e9 * CAST(sum(f.cnt) AS DOUBLE)) AS avg_log_ratio,
+       CAST(sum(f.cnt * s.llr9) AS BIGINT) > 0 AS target_like
+FROM wf f JOIN sc s ON s.word = f.word
+GROUP BY f.doc_id""",
+
+    // exact counts; one pmi double formula, text-mirrored; top-50
+    "llm_pmi_collocations" -> """
+WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+bg AS (SELECT words[i] AS w1, words[i+1] AS w2
+       FROM (SELECT words, unnest(generate_series(1, len(words) - 1)) AS i FROM w)
+       WHERE len(words[i]) > 0 AND len(words[i+1]) > 0),
+pa AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+m AS (SELECT CAST(sum(c12) AS BIGINT) AS m FROM pa),
+uni AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) > 0 GROUP BY 1),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni)
+SELECT pa.w1, pa.w2, pa.c12, u1.c AS c1, u2.c AS c2,
+       round(ln(CAST(c12 AS DOUBLE) / CAST(m AS DOUBLE)
+ * (CAST(n AS DOUBLE) / CAST(u1.c AS DOUBLE))
+ * (CAST(n AS DOUBLE) / CAST(u2.c AS DOUBLE))), 6) AS pmi
+FROM pa JOIN uni u1 ON u1.word = pa.w1 JOIN uni u2 ON u2.word = pa.w2, m, n
+WHERE c12 >= 5
+ORDER BY pmi DESC, pa.w1 ASC, pa.w2 ASC LIMIT 50""",
+
     "llm_unigram_logprob" -> """
 WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
 wf AS (SELECT doc_id, word, count(*) AS cnt FROM w WHERE len(word) > 0
