@@ -505,6 +505,51 @@ object LlmQueries {
     "llm_unigram_logprob" -> ((s, d) =>
       TextStats.unigramLogprob(Tables.documents(s, d))),
 
+    // Gopher-style quality rule gate (Rae et al. 2021 §A1.1 shape): word
+    // count bounds, mean-word-length bounds, stopword presence, distinct
+    // ratio — each rule an EXACT integer comparison (2·Σlen ≥ 5·n avoids
+    // the float mean), composed into a keep flag. Pure per-row map —
+    // no shuffle at any scale; mean emitted once as a rounded double.
+    "llm_quality_gopher" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_words",
+          expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS BIGINT)"))
+        .withColumn("sum_len",
+          expr("CAST(length(replace(text, ' ', '')) AS BIGINT)"))
+        .withColumn("n_distinct",
+          expr("CAST(size(array_distinct(filter(split(text, ' '), w -> length(w) > 0))) AS BIGINT)"))
+        .withColumn("n_stop",
+          expr("CAST(size(filter(split(text, ' '), w -> w = 'a' OR w = 'the')) AS BIGINT)"))
+        .select(col("doc_id"), col("n_words"), col("sum_len"), col("n_distinct"),
+          col("n_stop"),
+          expr("round(CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6)")
+            .as("mean_word_len"),
+          (col("n_words") >= 15L && col("n_words") <= 90L).as("pass_len"),
+          (col("sum_len") * 2 >= col("n_words") * 5 &&
+            col("sum_len") <= col("n_words") * 8).as("pass_word_len"),
+          (col("n_stop") >= 1L).as("pass_stop"),
+          (col("n_distinct") * 10 >= col("n_words") * 3).as("pass_distinct"))
+        .withColumn("keep", col("pass_len") && col("pass_word_len") &&
+          col("pass_stop") && col("pass_distinct"))),
+
+    // Tokenizer fertility per language — the compression-rate readout
+    // (chars per BPE token, tokens per word) that decides whether a
+    // tokenizer punishes a language in the mixture. Integer sums per
+    // lang (map-combinable), two ratio doubles rounded once.
+    "llm_fertility" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast(LongType)).as("sum_chars"),
+          sum(TextStats.tokenCount(col("text"))).as("sum_bpe"),
+          sum(size(split(col("text"), " ")).cast(LongType)).as("sum_ws"))
+        .select(col("lang"), col("n_docs"), col("sum_chars"), col("sum_bpe"),
+          col("sum_ws"),
+          expr("round(CAST(sum_chars AS DOUBLE) / CAST(sum_bpe AS DOUBLE), 6)")
+            .as("chars_per_token"),
+          expr("round(CAST(sum_bpe AS DOUBLE) / CAST(sum_ws AS DOUBLE), 6)")
+            .as("tokens_per_word"))),
+
     // Bigram-LM surprisal with add-one smoothing — the context-aware
     // fluency signal (common words in impossible orders score high here
     // but low on unigram surprisal). Scaled-int lp9, integer doc sums.
@@ -1837,6 +1882,38 @@ SELECT doc_id, n_tokens, round(es_key, 6) AS es_key FROM (
   FROM w) WHERE rn <= 100""",
 
     // lp9 = round(ln(c/T)·1e9) per distinct word, BIGINT-summed per doc
+    // integer rule comparisons; one rounded mean double
+    "llm_quality_gopher" -> """
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS n_words,
+         CAST(len(replace(text, ' ', '')) AS BIGINT) AS sum_len,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '), w -> len(w) > 0))) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(string_split(text, ' '), w -> w = 'a' OR w = 'the')) AS BIGINT) AS n_stop
+  FROM documents)
+SELECT doc_id, n_words, sum_len, n_distinct, n_stop,
+       round(CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+       n_words >= 15 AND n_words <= 90 AS pass_len,
+       sum_len * 2 >= n_words * 5 AND sum_len <= n_words * 8 AS pass_word_len,
+       n_stop >= 1 AS pass_stop,
+       n_distinct * 10 >= n_words * 3 AS pass_distinct,
+       (n_words >= 15 AND n_words <= 90)
+         AND (sum_len * 2 >= n_words * 5 AND sum_len <= n_words * 8)
+         AND n_stop >= 1 AND n_distinct * 10 >= n_words * 3 AS keep
+FROM f""",
+
+    // integer per-lang sums; ratios rounded once
+    "llm_fertility" -> """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(text)) AS BIGINT) AS sum_chars,
+       CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS sum_bpe,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws,
+       round(CAST(sum(len(text)) AS DOUBLE)
+             / CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE), 6) AS chars_per_token,
+       round(CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE)
+             / CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6) AS tokens_per_word
+FROM documents GROUP BY lang""",
+
     // add-one smoothed bigram model; scaled-int lp9, integer doc sums
     "llm_bigram_surprisal" -> """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

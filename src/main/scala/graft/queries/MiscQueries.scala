@@ -653,6 +653,50 @@ object MiscQueries {
         Tables.part(s, d).filter(col("p_partkey") % 97 === 0),
         "p_partkey", rounds = 3)),
 
+    // Weighted single-source shortest paths (operators/ShortestPaths,
+    // fixed-round Bellman–Ford) from the same seed set over the
+    // co-purchase graph, weighted by affinity distance (1e6 DIV
+    // co-order count — frequently co-bought parts are "close"). Each
+    // round re-relaxes every edge out of the visited set — min is
+    // associative, so the integer result is partitioning-exact and the
+    // 3-round unroll replays in DuckDB; paths of ≤ 3 edges, a longer-
+    // but-cheaper 2-hop path beats a heavy direct edge.
+    "misc_sssp" -> ((s, d) => {
+      val wedges = coPurchaseEdges(s, d).groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("a"), col("b"), expr("1000000 DIV cnt").as("w"))
+      graft.operators.ShortestPaths.bellmanFord(wedges, "a", "b", "w",
+        Tables.part(s, d).filter(col("p_partkey") % 97 === 0),
+        "p_partkey", rounds = 3)
+    }),
+
+    // Peak concurrency per day — the endpoint-sweep interval statistic
+    // (max simultaneous sessions; licensing/capacity readout). Sessions
+    // come from the 30-min sessionizer; the ±1 sweep runs over SESSION
+    // endpoints (two rows per session — orders of magnitude below event
+    // grain), with a unique (ts, delta, user, seq) total order so the
+    // running sum is engine-identical; starts at an instant count as
+    // overlapping ends (delta DESC puts +1 first).
+    "misc_peak_concurrency" -> ((s, d) => {
+      val sess = graft.operators.Temporal
+        .sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 1800)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      val pts = sess.select(col("st").as("ts"), lit(1L).as("delta"),
+          col("user_id"), col("session_seq"))
+        .unionAll(sess.select(col("en").as("ts"), lit(-1L).as("delta"),
+          col("user_id"), col("session_seq")))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts").asc, col("delta").desc, col("user_id").asc,
+          col("session_seq").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      pts.withColumn("conc", sum(col("delta")).over(w))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(max(col("conc")).as("peak_concurrency"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions_started"))
+    }),
+
     // Grouped Pearson correlation + sample covariance from EXACT decimal
     // moments: one scan, six map-combinable partial aggregates (n, Σx,
     // Σy, Σx², Σy², Σxy) — the only statistics shape that holds at
@@ -751,6 +795,17 @@ $cur AS MATERIALIZED (
     SELECT DISTINCT d.t AS node FROM bund d
     JOIN $prev f ON d.s = f.node AND f.hop = ${r - 1}
     WHERE d.t NOT IN (SELECT node FROM $prev)))"""
+
+  /** One unrolled relaxation round of the fixed-round Bellman–Ford
+    * replay (DuckDB side of misc_sssp): merge current distances with
+    * every one-edge extension, keep the min per node. */
+  private def ssspIterCte(prev: String, cur: String): String = s"""
+$cur AS MATERIALIZED (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM $prev
+    UNION ALL
+    SELECT e.t AS node, d.dist + e.w AS dist
+    FROM wboth e JOIN $prev d ON e.s = d.node) GROUP BY node)"""
 
   /** One unrolled rank-diffusion round of the fixed-point PageRank
     * replay (DuckDB side of misc_pagerank). Unrolled plain CTEs instead
@@ -887,6 +942,45 @@ bh0 AS (SELECT CAST(p_partkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop
         FROM part WHERE p_partkey % 97 = 0),
 ${(0 until 3).map(i => bfsIterCte(s"bh$i", s"bh${i + 1}", i + 1)).mkString(",")}
 SELECT node, hop FROM bh3""",
+
+    // 3 unrolled Bellman–Ford relaxations — see ssspIterCte
+    "misc_sssp" -> s"""
+WITH $coPurchaseCte,
+wcnt AS (SELECT x.pk AS u, y.pk AS v, CAST(count(*) AS BIGINT) AS cnt
+         FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2),
+wedges AS (SELECT u, v, CAST(1000000 // cnt AS BIGINT) AS w FROM wcnt),
+wboth AS MATERIALIZED (
+  SELECT u AS s, v AS t, w FROM wedges
+  UNION ALL SELECT v AS s, u AS t, w FROM wedges),
+sd0 AS (SELECT CAST(p_partkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+        FROM part WHERE p_partkey % 97 = 0),
+${(0 until 3).map(i => ssspIterCte(s"sd$i", s"sd${i + 1}")).mkString(",")}
+SELECT node, dist FROM sd3""",
+
+    // session endpoints ±1 sweep; unique total order on ties
+    "misc_peak_concurrency" -> """
+WITH sz AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) IS NULL
+                  OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)) > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events)),
+sess AS (SELECT user_id, session_seq, min(ts) AS st, max(ts) AS en
+         FROM sz GROUP BY 1, 2),
+pts AS (SELECT st AS ts, CAST(1 AS BIGINT) AS delta, user_id, session_seq FROM sess
+        UNION ALL
+        SELECT en AS ts, CAST(-1 AS BIGINT) AS delta, user_id, session_seq FROM sess),
+run AS (SELECT ts, delta,
+               CAST(sum(delta) OVER (ORDER BY ts ASC, delta DESC, user_id ASC, session_seq ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+        FROM pts)
+SELECT CAST(ts AS DATE) AS day, CAST(max(conc) AS BIGINT) AS peak_concurrency,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions_started
+FROM run GROUP BY 1""",
 
     "misc_topk_orders" -> """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
