@@ -556,6 +556,36 @@ object LlmQueries {
     "llm_bigram_surprisal" -> ((s, d) =>
       TextStats.bigramSurprisal(Tables.documents(s, d))),
 
+    // Per-label embedding centroid drift between corpus halves — the
+    // embedding-space distribution-shift monitor (did a re-embed or a
+    // new batch move a class?). Vector components quantize ONCE to
+    // scaled BIGINT, so the per-(label, dim) sums over ROWS are integer
+    // (group aggregation order never matters); each dim's squared mean
+    // difference uses the integer identity sa·nb − sb·na (no float mean
+    // subtraction), rounds once to e12, and integer-sums across dims.
+    // One sqrt at the boundary.
+    "llm_centroid_drift" -> ((s, d) => {
+      val ex = Tables.embeddings(s, d)
+        .select(col("label"), (col("vec_id") % 2 === 0).as("in_a"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("label"), col("in_a"), col("dim"),
+          expr("CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)").as("q"))
+      val byDim = ex.groupBy(col("label"), col("dim"))
+        .agg(sum(when(col("in_a"), col("q")).otherwise(0L)).as("sa"),
+          sum(when(!col("in_a"), col("q")).otherwise(0L)).as("sb"),
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"))
+      byDim.withColumn("term_e12", expr(
+          """CAST(round((CAST(sa * nb - sb * na AS DOUBLE) / CAST(na * nb AS DOUBLE) / 1e6)
+            | * (CAST(sa * nb - sb * na AS DOUBLE) / CAST(na * nb AS DOUBLE) / 1e6) * 1e12) AS BIGINT)"""
+            .stripMargin))
+        .groupBy(col("label"))
+        .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+          sum(col("term_e12")).as("sum_sq_e12"))
+        .select(col("label"), col("n_a"), col("n_b"), col("sum_sq_e12"),
+          expr("round(sqrt(CAST(sum_sq_e12 AS DOUBLE) / 1e12), 6)").as("drift_l2"))
+    }),
+
     // DSIR-style importance weights (Xie et al. 2023, word-level): log
     // likelihood ratio of target (lang='en') vs raw word distributions
     // per doc — the domain-matched resampling signal. Integer llr9 sums.
@@ -1913,6 +1943,29 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        round(CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE)
              / CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6) AS tokens_per_word
 FROM documents GROUP BY lang""",
+
+    // quantized per-dim integer sums; sa·nb − sb·na identity; e12 terms
+    "llm_centroid_drift" -> """
+WITH x AS (
+  SELECT label, in_a, dim, CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS q
+  FROM (SELECT label, vec_id % 2 = 0 AS in_a,
+               unnest(generate_series(1, len(embedding))) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings)),
+bd AS (SELECT label, dim,
+         CAST(sum(CASE WHEN in_a THEN q ELSE 0 END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN NOT in_a THEN q ELSE 0 END) AS BIGINT) AS sb,
+         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+       FROM x GROUP BY 1, 2),
+t AS (SELECT label, na, nb,
+        CAST(round((CAST(sa * nb - sb * na AS DOUBLE) / CAST(na * nb AS DOUBLE) / 1e6)
+                   * (CAST(sa * nb - sb * na AS DOUBLE) / CAST(na * nb AS DOUBLE) / 1e6) * 1e12) AS BIGINT) AS term_e12
+      FROM bd)
+SELECT label, CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
+       CAST(sum(term_e12) AS BIGINT) AS sum_sq_e12,
+       round(sqrt(CAST(sum(term_e12) AS DOUBLE) / 1e12), 6) AS drift_l2
+FROM t GROUP BY label""",
 
     // add-one smoothed bigram model; scaled-int lp9, integer doc sums
     "llm_bigram_surprisal" -> """

@@ -123,6 +123,36 @@ object MarketQueries {
           col("n").as("n_orders"))
     }),
 
+    // Customer-concentration lift table + Gini coefficient — the
+    // revenue-inequality readout ("top decile carries X% of revenue").
+    // Spend ranks ascending over the CUSTOMER dim (same dim-grain
+    // global-window posture as misc_rfm); Gini comes from the exact
+    // integer identity (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over the ranked
+    // cents — one double formula from exact integers, rounded once.
+    // Cumulative shares are integer ppm over the 10-row decile frame.
+    "misc_gini_lift" -> ((s, d) => {
+      val per = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      val w = Window.orderBy(col("cents").asc, col("o_custkey").asc)
+      val ranked = per
+        .withColumn("i", row_number().over(w).cast(LongType))
+        .withColumn("decile", ntile(10).over(w).cast(IntegerType))
+      val tot = broadcast(ranked.agg(
+        sum(col("cents")).as("sx"), sum(col("i") * col("cents")).as("sixi"),
+        count(lit(1)).as("n")))
+      val dec = ranked.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("decile_cents"))
+      val wd = Window.orderBy(col("decile").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.withColumn("cum_cents", sum(col("decile_cents")).over(wd))
+        .crossJoin(tot)
+        .select(col("decile"), col("n_customers"), col("decile_cents"),
+          col("cum_cents"),
+          expr("cum_cents * 1000000 DIV sx").as("cum_share_ppm"),
+          expr("""round((2.0 * CAST(sixi AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+                | / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6)""".stripMargin).as("gini"))
+    }),
+
     // Equi-width 10-bin histogram of order value: global (min, max) as a
     // 1-row broadcast, then one hash agg by the computed bin — two scans,
     // no sort. The bin formula and the bound reconstruction are single
@@ -194,6 +224,30 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
                 ORDER BY n DESC, o_orderpriority ASC) AS rn FROM cnt)
 SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS n_orders
 FROM rk WHERE rn = 1""",
+
+    "misc_gini_lift" -> """
+WITH per AS (SELECT o_custkey,
+                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             FROM orders GROUP BY o_custkey),
+rk AS (SELECT o_custkey, cents,
+              CAST(row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS BIGINT) AS i,
+              CAST(ntile(10) OVER (ORDER BY cents ASC, o_custkey ASC) AS INTEGER) AS decile
+       FROM per),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS sx,
+               CAST(sum(i * cents) AS BIGINT) AS sixi,
+               CAST(count(*) AS BIGINT) AS n FROM rk),
+dec AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS decile_cents
+        FROM rk GROUP BY decile),
+cum AS (SELECT decile, n_customers, decile_cents,
+               CAST(sum(decile_cents) OVER (ORDER BY decile ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        FROM dec)
+SELECT decile, n_customers, decile_cents, cum_cents,
+       CAST(cum_cents * 1000000 // sx AS BIGINT) AS cum_share_ppm,
+       round((2.0 * CAST(sixi AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+ / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+FROM cum, tot""",
 
     "misc_histogram" -> """
 WITH st AS (SELECT min(o_totalprice) AS xmin, max(o_totalprice) AS xmax FROM orders),

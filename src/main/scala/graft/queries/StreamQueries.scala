@@ -21,6 +21,25 @@ object StreamQueries {
     "stream_trending" -> ((s, d) =>
       EventsStream.trendingType(Tables.events(s, d))),
 
+    // Hourly audience rollup: events, unique users, and NEW users (first
+    // event ever lands in this hour) — the live-dashboard DAU/new-user
+    // split. Batch twin semantics: exact distincts here; the streaming
+    // run swaps countDistinct for approx_count_distinct over the same
+    // window (mergeable HLL state). First-seen is a keyed min — one
+    // hash-by-user shuffle, the per-hour join is calendar-grain.
+    "stream_hourly_uniques" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_unique_users"))
+      val firstSeen = ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+        .groupBy(date_trunc("hour", col("first_ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("n_new_users"))
+      hourly.join(firstSeen, Seq("hour_ts"), "left")
+        .select(col("hour_ts"), col("n_events"), col("n_unique_users"),
+          coalesce(col("n_new_users"), lit(0L)).as("n_new_users"))
+    }),
+
     // z-score anomaly detection on the hourly per-type series: trailing
     // 24h mean/stddev from EXACT integer window sums (no Welford path —
     // sum and sum-of-squares of counts are longs, so the double math has
@@ -166,6 +185,20 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // exact distincts; first-seen keyed min; zero-fill via left join
+    "stream_hourly_uniques" -> """
+WITH h AS (SELECT date_trunc('hour', ts) AS hour_ts,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique_users
+           FROM events GROUP BY 1),
+fs AS (SELECT date_trunc('hour', first_ts) AS hour_ts,
+              CAST(count(*) AS BIGINT) AS n_new_users
+       FROM (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+       GROUP BY 1)
+SELECT h.hour_ts, h.n_events, h.n_unique_users,
+       CAST(coalesce(fs.n_new_users, 0) AS BIGINT) AS n_new_users
+FROM h LEFT JOIN fs ON fs.hour_ts = h.hour_ts""",
+
     "stream_attribution" -> """
 WITH c AS (
   SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
