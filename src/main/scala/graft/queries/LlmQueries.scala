@@ -556,6 +556,32 @@ object LlmQueries {
     "llm_bigram_surprisal" -> ((s, d) =>
       TextStats.bigramSurprisal(Tables.documents(s, d))),
 
+    // Dedup-recall audit — llm_ann_recall's sibling for the DEDUP
+    // indexes: of the exact-verified near-dup pairs (n-gram Jaccard ≥
+    // 0.6, the truth set), what fraction does each approximate candidate
+    // generator surface (minhash banding at its 0.5 operating point;
+    // simhash Hamming ≤ 8)? A banding/fingerprint regression moves these
+    // exact integer-over-integer ratios and hash-fails the round.
+    "llm_dedup_recall" -> ((s, d) => {
+      val dbl = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DoubleType)
+      val docs = Tables.documents(s, d)
+      val truth = Dedup.ngramJaccardPairs(docs).select(col("a"), col("b"))
+      val mh = Dedup.minhashLshPairs(docs)
+        .select(col("a"), col("b"), lit(1).as("m_mh"))
+      val sp = Dedup.simhashPairs(docs)
+        .select(col("a"), col("b"), lit(1).as("m_sh"))
+      truth.join(mh, Seq("a", "b"), "left").join(sp, Seq("a", "b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          count(col("m_mh")).as("hits_minhash"),
+          count(col("m_sh")).as("hits_simhash"))
+        .select(col("n_true"),
+          col("hits_minhash"),
+          (dbl(col("hits_minhash")) / dbl(col("n_true"))).as("recall_minhash"),
+          col("hits_simhash"),
+          (dbl(col("hits_simhash")) / dbl(col("n_true"))).as("recall_simhash"))
+    }),
+
     // Per-label embedding centroid drift between corpus halves — the
     // embedding-space distribution-shift monitor (did a re-embed or a
     // new batch move a class?). Vector components quantize ONCE to
@@ -1943,6 +1969,44 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        round(CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE)
              / CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6) AS tokens_per_word
 FROM documents GROUP BY lang""",
+
+    // truth = exact-verified ngram pairs; candidates = band/fingerprint
+    // collision sets (a truth pair always passes the 0.5 verify, so
+    // membership == banding hit)
+    "llm_dedup_recall" -> s"""
+WITH $shinglesCte,
+hot AS (SELECT lo, hi FROM (SELECT lo, hi, count(*) AS df FROM sh GROUP BY lo, hi) WHERE df > 1000),
+pruned AS (SELECT doc_id, lo, hi FROM sh WHERE NOT EXISTS
+             (SELECT 1 FROM hot WHERE hot.lo = sh.lo AND hot.hi = sh.hi)),
+t_inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM pruned x JOIN pruned y ON x.lo = y.lo AND x.hi = y.hi AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id),
+t_sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+truth AS (
+  SELECT i.a, i.b
+  FROM t_inter i JOIN t_sizes sa ON i.a = sa.doc_id JOIN t_sizes sb ON i.b = sb.doc_id
+  WHERE i.inter * 1000000 >= (sa.sz + sb.sz - i.inter) * 600000),
+$minhashSigBandedCtes,
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+$simhashVotes,
+chunks AS (
+  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 7)) & 127 AS key
+  FROM fps, (SELECT unnest(generate_series(0, 8)) AS c)),
+spairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 8)
+SELECT CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(c.a) AS BIGINT) AS hits_minhash,
+       CAST(count(c.a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_minhash,
+       CAST(count(sp.a) AS BIGINT) AS hits_simhash,
+       CAST(count(sp.a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_simhash
+FROM truth t
+LEFT JOIN cand c ON c.a = t.a AND c.b = t.b
+LEFT JOIN spairs sp ON sp.a = t.a AND sp.b = t.b""",
 
     // quantized per-dim integer sums; sa·nb − sb·na identity; e12 terms
     "llm_centroid_drift" -> """

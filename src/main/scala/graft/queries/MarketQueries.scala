@@ -123,6 +123,51 @@ object MarketQueries {
           col("n").as("n_orders"))
     }),
 
+    // Revenue LTV cohort matrix: customers grouped by first-order month
+    // (integer month index year·12+month — no date formatting to drift),
+    // revenue accumulated per month offset, cumulative LTV per user in
+    // exact integer cents (truncating DIV). The cumulative window runs
+    // over the OFFSET frame per cohort (calendar² cells), never over
+    // orders; cohort sizes broadcast back onto the tiny matrix.
+    "misc_cohort_ltv" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast(LongType).as("m_idx"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val cohort = o.groupBy(col("o_custkey")).agg(min(col("m_idx")).as("cohort_idx"))
+      val sizes = cohort.groupBy(col("cohort_idx")).agg(count(lit(1)).as("cohort_size"))
+      val cells = o.join(cohort, "o_custkey")
+        .groupBy(col("cohort_idx"), (col("m_idx") - col("cohort_idx")).as("offset"))
+        .agg(sum(col("cents")).as("rev_cents"),
+          countDistinct(col("o_custkey")).as("n_active"))
+      val wc = Window.partitionBy(col("cohort_idx")).orderBy(col("offset").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.withColumn("cum_cents", sum(col("rev_cents")).over(wc))
+        .join(broadcast(sizes), "cohort_idx")
+        .select(col("cohort_idx"), col("offset"), col("cohort_size"),
+          col("n_active"), col("rev_cents"), col("cum_cents"),
+          expr("cum_cents DIV cohort_size").as("ltv_cents_per_user"))
+    }),
+
+    // ABC inventory classification: parts ranked by revenue, cumulative
+    // share thresholds 80/95% — EXACT integer comparisons on the
+    // PREVIOUS cumulative total ((cum−x)·5 < Σ·4 ⟺ prior share < 80%),
+    // so no float share ever decides a class. Part-dim global sort
+    // (same posture as misc_rfm); 1-row total broadcast.
+    "misc_abc_analysis" -> ((s, d) => {
+      val per = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("l_partkey").asc)
+      val tot = broadcast(per.agg(sum(col("cents")).as("sx")))
+      per.withColumn("rnk", row_number().over(w).cast(LongType))
+        .withColumn("cum_cents", sum(col("cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(tot)
+        .select(col("l_partkey"), col("cents"), col("rnk"), col("cum_cents"),
+          expr("""CASE WHEN (cum_cents - cents) * 5 < sx * 4 THEN 'A'
+                | WHEN (cum_cents - cents) * 20 < sx * 19 THEN 'B'
+                | ELSE 'C' END""".stripMargin).as("abc_class"))
+    }),
+
     // Customer-concentration lift table + Gini coefficient — the
     // revenue-inequality readout ("top decile carries X% of revenue").
     // Spend ranks ascending over the CUSTOMER dim (same dim-grain
@@ -224,6 +269,42 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
                 ORDER BY n DESC, o_orderpriority ASC) AS rn FROM cnt)
 SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS n_orders
 FROM rk WHERE rn = 1""",
+
+    "misc_cohort_ltv" -> """
+WITH o AS (SELECT o_custkey,
+                  CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m_idx,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+cohort AS (SELECT o_custkey, CAST(min(m_idx) AS BIGINT) AS cohort_idx FROM o GROUP BY 1),
+sizes AS (SELECT cohort_idx, CAST(count(*) AS BIGINT) AS cohort_size FROM cohort GROUP BY 1),
+cells AS (SELECT c.cohort_idx, o.m_idx - c.cohort_idx AS "offset",
+                 CAST(sum(o.cents) AS BIGINT) AS rev_cents,
+                 CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+          FROM o JOIN cohort c ON c.o_custkey = o.o_custkey
+          GROUP BY 1, 2),
+cum AS (SELECT cohort_idx, "offset", rev_cents, n_active,
+               CAST(sum(rev_cents) OVER (PARTITION BY cohort_idx ORDER BY "offset" ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        FROM cells)
+SELECT cohort_idx, "offset", cohort_size, n_active, rev_cents, cum_cents,
+       CAST(cum_cents // cohort_size AS BIGINT) AS ltv_cents_per_user
+FROM cum JOIN sizes USING (cohort_idx)""",
+
+    "misc_abc_analysis" -> """
+WITH per AS (SELECT l_partkey,
+                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS sx FROM per),
+rk AS (SELECT l_partkey, cents,
+              CAST(row_number() OVER (ORDER BY cents DESC, l_partkey ASC) AS BIGINT) AS rnk,
+              CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+       FROM per)
+SELECT l_partkey, cents, rnk, cum_cents,
+       CASE WHEN (cum_cents - cents) * 5 < sx * 4 THEN 'A'
+            WHEN (cum_cents - cents) * 20 < sx * 19 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM rk, tot""",
 
     "misc_gini_lift" -> """
 WITH per AS (SELECT o_custkey,
