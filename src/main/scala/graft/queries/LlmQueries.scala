@@ -556,6 +556,34 @@ object LlmQueries {
     "llm_bigram_surprisal" -> ((s, d) =>
       TextStats.bigramSurprisal(Tables.documents(s, d))),
 
+    // N-gram novelty decay: the fraction of each doc's bigram POSITIONS
+    // whose bigram first appears in that doc (first-occurrence by min
+    // doc_id) — the corpus-freshness curve that falls as scraping
+    // saturates a domain. First-occurrence election shuffles only
+    // (bigram → min doc_id); integer ppm per doc.
+    "llm_ngram_novelty" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val bf = graft.QueryCaches.scoped(Tables.documents(s, d)
+        .filter(size(ws) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(ws) - 1),
+          i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+          .as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt")))
+      val first = bf.groupBy(col("w1"), col("w2"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      bf.join(first, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_bigrams"),
+          sum(when(col("first_doc") === col("doc_id"), col("cnt")).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+          expr("n_novel * 1000000 DIV n_bigrams").as("novelty_ppm"))
+    }),
+
     // Dedup-recall audit — llm_ann_recall's sibling for the DEDUP
     // indexes: of the exact-verified near-dup pairs (n-gram Jaccard ≥
     // 0.6, the truth set), what fraction does each approximate candidate
@@ -1969,6 +1997,23 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        round(CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE)
              / CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6) AS tokens_per_word
 FROM documents GROUP BY lang""",
+
+    // first-occurrence by min doc_id; positional counts; integer ppm
+    "llm_ngram_novelty" -> """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+bgp AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+        FROM (SELECT doc_id, words,
+                     unnest(generate_series(1, len(words) - 1)) AS i FROM w)
+        WHERE len(words[i]) > 0 AND len(words[i+1]) > 0),
+bf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt
+       FROM bgp GROUP BY 1, 2, 3),
+fo AS (SELECT w1, w2, CAST(min(doc_id) AS BIGINT) AS first_doc FROM bf GROUP BY 1, 2)
+SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN fo.first_doc = f.doc_id THEN f.cnt ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN fo.first_doc = f.doc_id THEN f.cnt ELSE 0 END) * 1000000
+            // sum(f.cnt) AS BIGINT) AS novelty_ppm
+FROM bf f JOIN fo ON fo.w1 = f.w1 AND fo.w2 = f.w2
+GROUP BY f.doc_id""",
 
     // truth = exact-verified ngram pairs; candidates = band/fingerprint
     // collision sets (a truth pair always passes the 0.5 verify, so

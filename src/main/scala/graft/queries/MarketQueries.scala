@@ -123,6 +123,49 @@ object MarketQueries {
           col("n").as("n_orders"))
     }),
 
+    // CUSUM changepoint detection on the daily event series — the
+    // level-shift locator. The deviation uses the integer identity
+    // cnt·N − total (no float mean subtraction), the running CUSUM is an
+    // integer window over the DAY frame, and the changepoint is the
+    // |CUSUM| argmax with a min-day tie-break — every decision integer-
+    // exact, two 1-row broadcasts, no pass over raw events after the
+    // first rollup.
+    "misc_changepoint" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("cnt"))
+      val tot = broadcast(daily.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("nd")))
+      val cs = daily.crossJoin(tot)
+        .withColumn("dev", col("cnt") * col("nd") - col("total"))
+        .withColumn("cusum", sum(col("dev")).over(Window.orderBy(col("day").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("day"), col("cnt"), col("cusum"))
+      val cp = broadcast(cs
+        .crossJoin(broadcast(cs.agg(max(abs(col("cusum"))).as("mx"))))
+        .filter(abs(col("cusum")) === col("mx"))
+        .agg(min(col("day")).as("cp_day")))
+      cs.crossJoin(cp)
+        .select(col("day"), col("cnt"), col("cusum"),
+          (col("day") === col("cp_day")).as("is_changepoint"))
+    }),
+
+    // Day-of-week seasonality profile per event type: share of the
+    // type's events per weekday in integer ppm, deviation from the
+    // uniform 1/7 expectation. ISO weekday via the +1 offset the F11
+    // latent-bug note pinned (Spark dayofweek is 1-based Sunday, DuckDB
+    // 0-based). One hash agg over events; the profile grid is 7×types.
+    "misc_seasonality" -> ((s, d) => {
+      val cnt = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("dayofweek(ts)").cast(IntegerType).as("dow"))
+        .agg(count(lit(1)).as("n"))
+      cnt.withColumn("total",
+          sum(col("n")).over(Window.partitionBy(col("event_type"))))
+        .select(col("event_type"), col("dow"), col("n"),
+          expr("n * 1000000 DIV total").as("share_ppm"),
+          expr("n * 1000000 DIV total - 142857").as("dev_ppm"))
+    }),
+
     // Revenue LTV cohort matrix: customers grouped by first-order month
     // (integer month index year·12+month — no date formatting to drift),
     // revenue accumulated per month offset, cumulative LTV per user in
@@ -269,6 +312,29 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
                 ORDER BY n DESC, o_orderpriority ASC) AS rn FROM cnt)
 SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS n_orders
 FROM rk WHERE rn = 1""",
+
+    "misc_changepoint" -> """
+WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+               FROM events GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS nd FROM daily),
+cs AS (SELECT day, cnt,
+              CAST(sum(cnt * nd - total) OVER (ORDER BY day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+       FROM daily, tot),
+mx AS (SELECT CAST(max(abs(cusum)) AS BIGINT) AS mx FROM cs),
+cp AS (SELECT min(day) AS cp_day FROM cs, mx WHERE abs(cusum) = mx)
+SELECT day, cnt, cusum, day = cp_day AS is_changepoint FROM cs, cp""",
+
+    "misc_seasonality" -> """
+WITH cnt AS (SELECT event_type,
+                    CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INTEGER) AS dow,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM events GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM cnt GROUP BY 1)
+SELECT cnt.event_type, dow, n,
+       CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+       CAST(n * 1000000 // total - 142857 AS BIGINT) AS dev_ppm
+FROM cnt JOIN t ON t.event_type = cnt.event_type""",
 
     "misc_cohort_ltv" -> """
 WITH o AS (SELECT o_custkey,
