@@ -556,6 +556,45 @@ object LlmQueries {
     "llm_bigram_surprisal" -> ((s, d) =>
       TextStats.bigramSurprisal(Tables.documents(s, d))),
 
+    // Cross-split leakage audit — WHY cluster-aware splitting exists:
+    // for every near-dup pair (the minhash ∪ simhash edge set), do its
+    // endpoints straddle train/val/test? Scored for BOTH policies in one
+    // pass: naive per-doc hashing leaks (counted in exact ppm), the
+    // component-hash policy is structurally leak-free — pinned as a
+    // boolean the oracle recomputes, so a split-policy regression
+    // hash-fails the round.
+    "llm_cross_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = graft.QueryCaches.scoped(
+        Dedup.minhashLshPairs(docs).select(col("a"), col("b"))
+          .unionByName(Dedup.simhashPairs(docs).select(col("a"), col("b")))
+          .distinct())
+      val comp = graft.operators.ConnectedComponents
+        .connectedComponents(edges, "a", "b")
+      val base = docs.select(col("doc_id"))
+      def gate(c: org.apache.spark.sql.Column) =
+        graft.functions.Fns.md5lo58(c.cast("string")) % 1000000L
+      def bucket(h: org.apache.spark.sql.Column) =
+        when(h < 900000L, "train").when(h < 950000L, "val").otherwise("test")
+      val assign = graft.QueryCaches.scoped(
+        base.join(comp, base("doc_id") === comp("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("group_id"))
+          .withColumn("doc_split", bucket(gate(col("doc_id"))))
+          .withColumn("cluster_split", bucket(gate(col("group_id")))))
+      edges
+        .join(assign.select(col("doc_id").as("a"), col("doc_split").as("dsa"),
+          col("cluster_split").as("csa")), "a")
+        .join(assign.select(col("doc_id").as("b"), col("doc_split").as("dsb"),
+          col("cluster_split").as("csb")), "b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("dsa") =!= col("dsb"), 1L).otherwise(0L)).as("leak_doc"),
+          sum(when(col("csa") =!= col("csb"), 1L).otherwise(0L)).as("leak_cluster"))
+        .select(col("n_pairs"), col("leak_doc"),
+          expr("leak_doc * 1000000 DIV n_pairs").as("leak_doc_ppm"),
+          col("leak_cluster"), (col("leak_cluster") === 0L).as("cluster_leak_free"))
+    }),
+
     // N-gram novelty decay: the fraction of each doc's bigram POSITIONS
     // whose bigram first appears in that doc (first-occurrence by min
     // doc_id) — the corpus-freshness curve that falls as scraping
@@ -1997,6 +2036,51 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        round(CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE)
              / CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6) AS tokens_per_word
 FROM documents GROUP BY lang""",
+
+    // same component replay as llm_cluster_split; both gates recomputed
+    "llm_cross_split_leakage" -> s"""
+WITH RECURSIVE $shinglesCte,
+$minhashCtes,
+$jaccardVerify,
+$simhashVotes,
+chunks AS (
+  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 7)) & 127 AS key
+  FROM fps, (SELECT unnest(generate_series(0, 8)) AS c)
+),
+mh_pairs AS (
+  SELECT a, b FROM verified WHERE inter * 1000000 >= uni * 500000),
+sh_pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 8),
+edges AS (SELECT DISTINCT a, b FROM
+  (SELECT a, b FROM mh_pairs UNION ALL SELECT a, b FROM sh_pairs)),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node WHERE r.lbl < s.b
+),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+g AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+sp AS (SELECT doc_id,
+         CASE WHEN hd < 900000 THEN 'train' WHEN hd < 950000 THEN 'val' ELSE 'test' END AS doc_split,
+         CASE WHEN hg < 900000 THEN 'train' WHEN hg < 950000 THEN 'val' ELSE 'test' END AS cluster_split
+       FROM (SELECT doc_id,
+               CAST(CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT) % ${1L << 58} AS BIGINT) % 1000000 AS hd,
+               CAST(CAST(md5_number_lower(CAST(group_id AS VARCHAR)) AS HUGEINT) % ${1L << 58} AS BIGINT) % 1000000 AS hg
+             FROM g)),
+pr AS (SELECT sa.doc_split AS dsa, sb.doc_split AS dsb,
+              sa.cluster_split AS csa, sb.cluster_split AS csb
+       FROM edges e JOIN sp sa ON sa.doc_id = e.a JOIN sp sb ON sb.doc_id = e.b)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN dsa <> dsb THEN 1 ELSE 0 END) AS BIGINT) AS leak_doc,
+       CAST(sum(CASE WHEN dsa <> dsb THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS leak_doc_ppm,
+       CAST(sum(CASE WHEN csa <> csb THEN 1 ELSE 0 END) AS BIGINT) AS leak_cluster,
+       sum(CASE WHEN csa <> csb THEN 1 ELSE 0 END) = 0 AS cluster_leak_free
+FROM pr""",
 
     // first-occurrence by min doc_id; positional counts; integer ppm
     "llm_ngram_novelty" -> """
