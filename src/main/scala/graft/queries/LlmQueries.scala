@@ -864,6 +864,39 @@ object LlmQueries {
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       TextStats.packChunksFfd(chunks, budget = 256)
     }),
+
+    // Packing-efficiency audit over the FFD result: bins used vs the
+    // ⌈Σtokens/budget⌉ lower bound and the mean fill — the "are we
+    // wasting sequence budget" readout. All integer (ceil via
+    // (Σ+255) DIV 256); rolls up the packed rows in one agg.
+    "llm_packing_efficiency" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val chunks = TextStats.chunkDocuments(docs, size = 32, overlap = 8)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      TextStats.packChunksFfd(chunks, budget = 256)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("sum_tokens"),
+          countDistinct(col("bin_idx")).as("n_bins"))
+        .select(col("source"), col("n_chunks"), col("sum_tokens"), col("n_bins"),
+          expr("(sum_tokens + 255) DIV 256").as("lb_bins"),
+          expr("(sum_tokens * 1000000) DIV (n_bins * 256)").as("fill_ppm"),
+          expr("(((sum_tokens + 255) DIV 256) * 1000000) DIV n_bins")
+            .as("efficiency_ppm"))
+    }),
+
+    // Language-ID confusion matrix: the langId heuristic scored against
+    // the ground-truth lang column — per-cell counts, integer-ppm row
+    // shares, and the diagonal flag. The matrix is |langs|² tiny at any
+    // corpus scale; one agg over docs feeds it.
+    "llm_langid_confusion" -> ((s, d) => {
+      val cm = Tables.documents(s, d)
+        .select(col("lang"), TextStats.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+      cm.withColumn("n_lang", sum(col("n")).over(Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          expr("(n * 1000000) DIV n_lang").as("share_ppm"),
+          (col("lang") === col("lang_pred")).as("correct"))
+    }),
     // Banded-LSH top-k: the OR-over-bands candidate family that keeps
     // recall at LOW similarity thresholds where single-bucket LSH
     // (p^6 agreement + Hamming-1 probes) collapses — the scale path the
@@ -1110,6 +1143,47 @@ qprobes AS (
                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
     FROM iscored) WHERE rank <= 5
 )"""
+
+  /** Recursive-CTE replay of packChunksFfd(budget=256) over the
+    * chunkDocuments(32, 24-step) chunks — per source, one item placed per
+    * recursion step (seq from a total order: n_tokens DESC, doc_id,
+    * chunk_idx); `loads` carries bin fill levels, first fitting bin via a
+    * filtered index list, else a new bin is appended. Shared by
+    * llm_packing_ffd and the llm_packing_efficiency rollup. */
+  private val ffdReplaySql: String = """
+WITH RECURSIVE base AS (
+  SELECT d.source, c.doc_id, c.chunk_idx, c.n_tokens FROM (
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           CAST(len(words[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id, string_split(text, ' ') AS words,
+                 unnest(generate_series(0,
+                   CASE WHEN len(string_split(text, ' ')) <= 32 THEN 1
+                        ELSE (len(string_split(text, ' ')) - 32 + 23) // 24 + 1 END - 1)) AS i
+          FROM documents)
+  ) c JOIN documents d ON c.doc_id = d.doc_id
+), ordered AS (
+  SELECT source, doc_id, chunk_idx, n_tokens,
+         CAST(row_number() OVER (PARTITION BY source
+           ORDER BY n_tokens DESC, doc_id ASC, chunk_idx ASC) AS BIGINT) AS seq
+  FROM base
+), ffd(source, seq, doc_id, chunk_idx, n_tokens, bin_idx, loads) AS (
+  SELECT source, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST([] AS BIGINT[])
+  FROM (SELECT DISTINCT source FROM ordered)
+  UNION ALL
+  SELECT o.source, o.seq, o.doc_id, o.chunk_idx, o.n_tokens,
+         CASE WHEN fit.fi IS NULL THEN len(f.loads) + 1 ELSE fit.fi END,
+         CASE WHEN fit.fi IS NULL THEN list_append(f.loads, o.n_tokens)
+              ELSE f.loads[:fit.fi-1] || [f.loads[fit.fi] + o.n_tokens] || f.loads[fit.fi+1:] END
+  FROM ffd f
+  JOIN ordered o ON o.source = f.source AND o.seq = f.seq + 1
+  LEFT JOIN LATERAL (
+    SELECT list_filter(generate_series(1, len(f.loads)),
+                       x -> f.loads[x] + o.n_tokens <= 256)[1] AS fi
+  ) fit ON true
+)
+SELECT source, doc_id, chunk_idx, n_tokens, bin_idx
+FROM ffd WHERE seq > 0"""
 
   private val jaccardVerify = """
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -2368,40 +2442,28 @@ FROM packed""",
     // (seq from a total order: n_tokens DESC, doc_id, chunk_idx); `loads`
     // carries each source's bin fill levels, first fitting bin via a
     // filtered index list, else a new bin is appended.
-    "llm_packing_ffd" -> """
-WITH RECURSIVE base AS (
-  SELECT d.source, c.doc_id, c.chunk_idx, c.n_tokens FROM (
-    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
-           CAST(len(words[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens
-    FROM (SELECT doc_id, string_split(text, ' ') AS words,
-                 unnest(generate_series(0,
-                   CASE WHEN len(string_split(text, ' ')) <= 32 THEN 1
-                        ELSE (len(string_split(text, ' ')) - 32 + 23) // 24 + 1 END - 1)) AS i
-          FROM documents)
-  ) c JOIN documents d ON c.doc_id = d.doc_id
-), ordered AS (
-  SELECT source, doc_id, chunk_idx, n_tokens,
-         CAST(row_number() OVER (PARTITION BY source
-           ORDER BY n_tokens DESC, doc_id ASC, chunk_idx ASC) AS BIGINT) AS seq
-  FROM base
-), ffd(source, seq, doc_id, chunk_idx, n_tokens, bin_idx, loads) AS (
-  SELECT source, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
-         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST([] AS BIGINT[])
-  FROM (SELECT DISTINCT source FROM ordered)
-  UNION ALL
-  SELECT o.source, o.seq, o.doc_id, o.chunk_idx, o.n_tokens,
-         CASE WHEN fit.fi IS NULL THEN len(f.loads) + 1 ELSE fit.fi END,
-         CASE WHEN fit.fi IS NULL THEN list_append(f.loads, o.n_tokens)
-              ELSE f.loads[:fit.fi-1] || [f.loads[fit.fi] + o.n_tokens] || f.loads[fit.fi+1:] END
-  FROM ffd f
-  JOIN ordered o ON o.source = f.source AND o.seq = f.seq + 1
-  LEFT JOIN LATERAL (
-    SELECT list_filter(generate_series(1, len(f.loads)),
-                       x -> f.loads[x] + o.n_tokens <= 256)[1] AS fi
-  ) fit ON true
-)
-SELECT source, doc_id, chunk_idx, n_tokens, bin_idx
-FROM ffd WHERE seq > 0""",
+    "llm_packing_ffd" -> ffdReplaySql,
+
+    // FFD replay wrapped; integer lower bound and fills
+    "llm_packing_efficiency" -> s"""
+WITH pk AS ($ffdReplaySql)
+SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(count(DISTINCT bin_idx) AS BIGINT) AS n_bins,
+       CAST((sum(n_tokens) + 255) // 256 AS BIGINT) AS lb_bins,
+       CAST((sum(n_tokens) * 1000000) // (count(DISTINCT bin_idx) * 256) AS BIGINT) AS fill_ppm,
+       CAST((((sum(n_tokens) + 255) // 256) * 1000000) // count(DISTINCT bin_idx) AS BIGINT) AS efficiency_ppm
+FROM pk GROUP BY source""",
+
+    // langId replay wrapped; integer-ppm rows of the confusion matrix
+    "llm_langid_confusion" -> s"""
+WITH p AS ($langIdSql),
+cm AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cm GROUP BY 1)
+SELECT cm.lang, cm.lang_pred, cm.n,
+       CAST((cm.n * 1000000) // t.n_lang AS BIGINT) AS share_ppm,
+       cm.lang = cm.lang_pred AS correct
+FROM cm JOIN t ON t.lang = cm.lang""",
 
     "llm_pii_redact" -> """
 WITH pii AS (
