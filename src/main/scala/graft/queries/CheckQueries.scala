@@ -125,6 +125,36 @@ object CheckQueries {
         Seq("l_orderkey", "l_linenumber", "l_quantity",
           "l_returnflag", "l_linestatus", "l_shipdate"))),
 
+    // Categorical-column entropy profile — the cardinality-health DQ
+    // readout (a near-zero entropy flags a column gone constant; a jump
+    // flags an encoding change). Per-value −p·ln p terms are rounded
+    // ONCE to scaled BIGINT and integer-summed (order/partitioning-
+    // independent, the unigram-surprisal discipline); value counts are
+    // one hash agg per column over a shared scan.
+    "dq_column_entropy" -> ((s, d) => {
+      def colEntropy(df: DataFrame, cname: String): DataFrame = {
+        val c = df.groupBy(col(cname).cast("string").as("v"))
+          .agg(count(lit(1)).as("c"))
+        c.crossJoin(broadcast(c.agg(sum(col("c")).as("n"))))
+          .select(lit(cname).as("column_name"), col("c"), col("n"),
+            expr("""CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                  | * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT)"""
+              .stripMargin).as("term_e9"))
+          .groupBy(col("column_name"))
+          .agg(min(col("n")).as("n_rows"), count(lit(1)).as("n_distinct"),
+            sum(col("term_e9")).as("entropy_e9"))
+          .select(col("column_name"), col("n_rows"), col("n_distinct"),
+            col("entropy_e9"),
+            expr("round(CAST(entropy_e9 AS DOUBLE) / 1e9, 6)").as("entropy_nats"))
+      }
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      colEntropy(li, "l_returnflag")
+        .unionByName(colEntropy(li, "l_linestatus"))
+        .unionByName(colEntropy(o, "o_orderstatus"))
+        .unionByName(colEntropy(o, "o_orderpriority"))
+    }),
+
     // Pearson chi-square 2×2 A/B test — the experiment-readout check:
     // variant by user-id parity (deterministic, re-run stable), outcome
     // scale-invariant (purchase share of the user's events > 20%, the
@@ -290,6 +320,22 @@ SELECT digit, n.n, CAST(n.n * 1000000 // t.t AS BIGINT) AS obs_ppm,
                         WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757
                         ELSE 0 END) > 50000 AS suspicious
 FROM n, t""",
+
+    // scaled-int −p·ln p terms, one block per profiled column
+    "dq_column_entropy" -> Seq(
+      ("lineitem", "l_returnflag"), ("lineitem", "l_linestatus"),
+      ("orders", "o_orderstatus"), ("orders", "o_orderpriority"))
+      .map { case (t, c) => s"""
+SELECT '$c' AS column_name, CAST(min(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(term_e9) AS BIGINT) AS entropy_e9,
+       round(CAST(sum(term_e9) AS DOUBLE) / 1e9, 6) AS entropy_nats
+FROM (SELECT n, CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+ * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS term_e9
+      FROM (SELECT CAST($c AS VARCHAR) AS v, CAST(count(*) AS BIGINT) AS c
+            FROM $t GROUP BY 1) x,
+           (SELECT CAST(count(*) AS BIGINT) AS n FROM $t) tt)"""
+      }.mkString("\nUNION ALL\n"),
 
     // 2×2 Pearson chi-square from exact integer cells
     "dq_ab_test" -> """

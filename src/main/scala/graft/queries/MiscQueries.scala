@@ -653,6 +653,23 @@ object MiscQueries {
         Tables.part(s, d).filter(col("p_partkey") % 97 === 0),
         "p_partkey", rounds = 3)),
 
+    // Log₂-bucketed degree distribution of the co-purchase graph — the
+    // power-law sanity readout every graph pipeline should ship (it is
+    // what justifies the degree-ordered Triangles orientation and the
+    // skew tooling). floor(log₂ deg) comes from the BINARY STRING length
+    // (bin/printf('%b')), never from float log2 — exact at power-of-two
+    // boundaries on both engines.
+    "misc_degree_distribution" -> ((s, d) => {
+      val e = coPurchaseEdges(s, d).distinct()
+      val und = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      und.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .withColumn("bucket",
+          (length(expr("bin(deg)")) - 1).cast(org.apache.spark.sql.types.LongType))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+          max(col("deg")).as("max_deg"))
+    }),
+
     // Weighted single-source shortest paths (operators/ShortestPaths,
     // fixed-round Bellman–Ford) from the same seed set over the
     // co-purchase graph, weighted by affinity distance (1e6 DIV
@@ -942,6 +959,16 @@ bh0 AS (SELECT CAST(p_partkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop
         FROM part WHERE p_partkey % 97 = 0),
 ${(0 until 3).map(i => bfsIterCte(s"bh$i", s"bh${i + 1}", i + 1)).mkString(",")}
 SELECT node, hop FROM bh3""",
+
+    // floor(log2 deg) via binary-string length, exact at boundaries
+    "misc_degree_distribution" -> s"""
+WITH $coPurchaseCte,
+und AS (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY n)
+SELECT CAST(length(printf('%b', deg)) - 1 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(deg) AS BIGINT) AS min_deg, CAST(max(deg) AS BIGINT) AS max_deg
+FROM deg GROUP BY 1""",
 
     // 3 unrolled Bellman–Ford relaxations — see ssspIterCte
     "misc_sssp" -> s"""
