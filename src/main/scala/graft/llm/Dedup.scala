@@ -179,6 +179,39 @@ object Dedup {
     jaccardVerified(cand, sh, sh, minJaccard)
   }
 
+  /** Asymmetric shingle CONTAINMENT over the banded candidates — the
+    * near-containment detector Jaccard misses: a short doc fully quoted
+    * inside a long one has Jaccard ≈ |short|/|long| (tiny) but
+    * containment ≈ 1. Same band candidate generation as
+    * [[minhashLshPairs]]; verification computes |A∩B|/|A| and |A∩B|/|B|
+    * in exact integer ppm, keeping pairs where either side is
+    * ≥ `minContainPpm` contained. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
+                       bands: Int = 4,
+                       minContainPpm: Long = 700000L): DataFrame = {
+    val sh = graft.QueryCaches.scoped(hashedShingles(docs, n))
+    val banded = graft.QueryCaches.scoped(bandedMinhash(sh, k, bands))
+    val cand = banded.select(col("doc_id").as("a"), col("band"), col("bh"))
+      .join(banded.select(col("doc_id").as("b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("lo"), col("hi")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("lo"), col("hi")),
+        Seq("b", "lo", "hi"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), Seq("b"))
+      .select(col("a"), col("b"), col("inter"), col("sz_a"), col("sz_b"),
+        expr("inter * 1000000 DIV sz_a").as("cont_ab_ppm"),
+        expr("inter * 1000000 DIV sz_b").as("cont_ba_ppm"))
+      .filter(col("cont_ab_ppm") >= minContainPpm ||
+        col("cont_ba_ppm") >= minContainPpm)
+  }
+
   /** INCREMENTAL near-dup: new `batch` documents probed against the
     * existing `corpus` — the daily-crawl-vs-index shape. Candidates come
     * from the batch's band signatures equi-joined against the corpus's

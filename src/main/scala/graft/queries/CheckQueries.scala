@@ -125,6 +125,37 @@ object CheckQueries {
         Seq("l_orderkey", "l_linenumber", "l_quantity",
           "l_returnflag", "l_linestatus", "l_shipdate"))),
 
+    // Referential-integrity sweep — the FK-orphan DQ check (Q-family
+    // completion): child rows whose foreign key has no parent, per
+    // relation, via left-anti joins (the only join shape whose output
+    // scales with the VIOLATIONS, not the fact). Parent sides are dims;
+    // at cluster scale each anti join broadcasts or AQE-picks.
+    "dq_fk_orphans" -> ((s, d) => {
+      def rel(name: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame = {
+        val nc = child.agg(count(lit(1)).as("n_child"))
+        val orph = child.select(col(ck).as("k"))
+          .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        nc.crossJoin(orph)
+          .select(lit(name).as("relation"), col("n_child"), col("n_orphans"),
+            (col("n_orphans") === 0L).as("ok"))
+      }
+      val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+      rel("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(rel("lineitem.l_partkey->part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey"))
+        .unionByName(rel("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"))
+        .unionByName(rel("orders.o_custkey->customer", o, "o_custkey",
+          c, "c_custkey"))
+        .unionByName(rel("customer.c_nationkey->nation", c, "c_nationkey",
+          n, "n_nationkey"))
+        .unionByName(rel("nation.n_regionkey->region", n, "n_regionkey",
+          Tables.region(s, d), "r_regionkey"))
+    }),
+
     // Categorical-column entropy profile — the cardinality-health DQ
     // readout (a near-zero entropy flags a column gone constant; a jump
     // flags an encoding change). Per-value −p·ln p terms are rounded
@@ -320,6 +351,23 @@ SELECT digit, n.n, CAST(n.n * 1000000 // t.t AS BIGINT) AS obs_ppm,
                         WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757
                         ELSE 0 END) > 50000 AS suspicious
 FROM n, t""",
+
+    // NOT EXISTS per relation; counts scale with violations
+    "dq_fk_orphans" -> Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+      .map { case (name, ct, ck, pt, pk) => s"""
+SELECT '$name' AS relation,
+       (SELECT CAST(count(*) AS BIGINT) FROM $ct) AS n_child,
+       (SELECT CAST(count(*) AS BIGINT) FROM $ct c
+        WHERE NOT EXISTS (SELECT 1 FROM $pt p WHERE p.$pk = c.$ck)) AS n_orphans,
+       (SELECT count(*) FROM $ct c
+        WHERE NOT EXISTS (SELECT 1 FROM $pt p WHERE p.$pk = c.$ck)) = 0 AS ok"""
+      }.mkString("\nUNION ALL\n"),
 
     // scaled-int −p·ln p terms, one block per profiled column
     "dq_column_entropy" -> Seq(

@@ -556,6 +556,13 @@ object LlmQueries {
     "llm_bigram_surprisal" -> ((s, d) =>
       TextStats.bigramSurprisal(Tables.documents(s, d))),
 
+    // Asymmetric shingle containment (|A∩B|/|A|) over the minhash band
+    // candidates — catches the quotation/wrapper near-dups symmetric
+    // Jaccard structurally misses (short doc inside long ⇒ j tiny,
+    // containment ≈ 1). Exact integer ppm both directions.
+    "llm_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d))),
+
     // Cross-split leakage audit — WHY cluster-aware splitting exists:
     // for every near-dup pair (the minhash ∪ simhash edge set), do its
     // endpoints straddle train/val/test? Scored for BOTH policies in one
@@ -2110,6 +2117,21 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        round(CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE)
              / CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6) AS tokens_per_word
 FROM documents GROUP BY lang""",
+
+    // band candidates + exact intersection; truncating-ppm containments
+    "llm_containment" -> s"""
+WITH $shinglesCte,
+$minhashCtes,
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+SELECT i.a, i.b, CAST(i.inter AS BIGINT) AS inter,
+       CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+       CAST(i.inter * 1000000 // sa.sz AS BIGINT) AS cont_ab_ppm,
+       CAST(i.inter * 1000000 // sb.sz AS BIGINT) AS cont_ba_ppm
+FROM inter i
+JOIN sizes sa ON i.a = sa.doc_id
+JOIN sizes sb ON i.b = sb.doc_id
+WHERE CAST(i.inter * 1000000 // sa.sz AS BIGINT) >= 700000
+   OR CAST(i.inter * 1000000 // sb.sz AS BIGINT) >= 700000""",
 
     // same component replay as llm_cluster_split; both gates recomputed
     "llm_cross_split_leakage" -> s"""
