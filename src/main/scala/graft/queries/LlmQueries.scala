@@ -556,6 +556,24 @@ object LlmQueries {
     "llm_bigram_surprisal" -> ((s, d) =>
       TextStats.bigramSurprisal(Tables.documents(s, d))),
 
+    // Cross-source duplication matrix — WHO copies WHOM: near-dup pairs
+    // (minhash-verified) rolled up by the source pair of their
+    // endpoints, canonical (min, max) source order. The provenance
+    // audit that decides which feeds to dedup against each other; the
+    // matrix is |sources|² tiny, the heavy part is the pair generation
+    // the dedup path already prices.
+    "llm_source_dedup_matrix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.minhashLshPairs(docs)
+        .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), "a")
+        .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), "b")
+        .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
+          greatest(col("src_a"), col("src_b")).as("source_y"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_source", col("source_x") =!= col("source_y"))
+    }),
+
     // Asymmetric shingle containment (|A∩B|/|A|) over the minhash band
     // candidates — catches the quotation/wrapper near-dups symmetric
     // Jaccard structurally misses (short doc inside long ⇒ j tiny,
@@ -2117,6 +2135,21 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        round(CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE)
              / CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6) AS tokens_per_word
 FROM documents GROUP BY lang""",
+
+    // minhash-verified pairs rolled up by canonical source pair
+    "llm_source_dedup_matrix" -> s"""
+WITH $shinglesCte,
+$minhashCtes,
+$jaccardVerify,
+mh AS (SELECT a, b FROM verified WHERE inter * 1000000 >= uni * 500000)
+SELECT least(sa.source, sb.source) AS source_x,
+       greatest(sa.source, sb.source) AS source_y,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       least(sa.source, sb.source) <> greatest(sa.source, sb.source) AS cross_source
+FROM mh
+JOIN documents sa ON sa.doc_id = mh.a
+JOIN documents sb ON sb.doc_id = mh.b
+GROUP BY 1, 2""",
 
     // band candidates + exact intersection; truncating-ppm containments
     "llm_containment" -> s"""

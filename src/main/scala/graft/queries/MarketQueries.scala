@@ -123,6 +123,26 @@ object MarketQueries {
           col("n").as("n_orders"))
     }),
 
+    // Time-decayed customer revenue score (half-life 30 days from the
+    // broadcast anchor date) — the recency-weighted LTV variant. Each
+    // order's decayed contribution cents·2^(−age/30) is quantized ONCE
+    // to an integer (the only float step, identical pow inputs on both
+    // engines), so the per-customer rollup is an integer sum —
+    // order/partitioning-independent where a naive double SUM is not.
+    "misc_decayed_revenue" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val anchor = broadcast(o.agg(max(to_date(col("o_orderdate"))).as("anchor")))
+      o.crossJoin(anchor)
+        .select(col("o_custkey"),
+          expr("""CAST(round(CAST(round(o_totalprice * 100) AS BIGINT)
+                | * pow(0.5, CAST(datediff(anchor, to_date(o_orderdate)) AS DOUBLE) / 30.0))
+                | AS BIGINT)""".stripMargin).as("decayed_cents"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"),
+          sum(col("decayed_cents")).as("decayed_cents"))
+    }),
+
     // CUSUM changepoint detection on the daily event series — the
     // level-shift locator. The deviation uses the integer identity
     // cnt·N − total (no float mean subtraction), the running CUSUM is an
@@ -312,6 +332,19 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
                 ORDER BY n DESC, o_orderpriority ASC) AS rn FROM cnt)
 SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS n_orders
 FROM rk WHERE rn = 1""",
+
+    "misc_decayed_revenue" -> """
+WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+dec AS (SELECT o_custkey,
+               CAST(round(CAST(round(o_totalprice * 100) AS BIGINT)
+ * pow(0.5, CAST(date_diff('day', CAST(o_orderdate AS DATE), anchor) AS DOUBLE) / 30.0))
+ AS BIGINT) AS decayed_cents,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders, anchor)
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(decayed_cents) AS BIGINT) AS decayed_cents
+FROM dec GROUP BY o_custkey""",
 
     "misc_changepoint" -> """
 WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt

@@ -35,7 +35,19 @@ class PlanShapeSpec extends SparkSpec {
     "llm_bm25_search",        // 1-row corpus-stats + 1-row per-term-df broadcasts
     "llm_mixture_temperature", // 1-row normalizer broadcast
     "llm_exact_allocation",   // 1-row total + 1-row leftover broadcasts
-    "dq_benford"              // 1-row digit-total broadcast
+    "dq_benford",             // 1-row digit-total broadcast
+    "dq_column_entropy",      // 1-row per-column total broadcast
+    "dq_fk_orphans",          // 1-row child-count × 1-row orphan-count per relation
+    "llm_bigram_surprisal",   // 1-row vocabulary-size broadcast
+    "llm_dsir_weights",       // 1-row target/raw totals broadcast
+    "llm_pmi_collocations",   // 1-row bigram-total + 1-row token-total broadcasts
+    "misc_abc_analysis",      // 1-row revenue-total broadcast onto the part dim
+    "misc_basket_rules",      // 1-row order-count broadcast onto the pair grid
+    "misc_changepoint",       // 1-row total/argmax broadcasts onto the day frame
+    "misc_decayed_revenue",   // 1-row anchor-date broadcast
+    "misc_gini_lift",         // 1-row Gini-moments broadcast onto 10 decile rows
+    "misc_histogram",         // 1-row (min,max) broadcast
+    "misc_rfm"                // 1-row anchor-date broadcast onto the customer dim
   )
 
   /** Pinned shuffle-exchange counts for the most expensive registered
