@@ -579,6 +579,27 @@ object MiscQueries {
     "misc_triangle_count" -> ((s, d) =>
       graft.operators.Triangles.triangleCounts(coPurchaseEdges(s, d), "a", "b")),
 
+    // Local clustering coefficient — triangle_count's per-node ratio
+    // form: cc(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)), the standard
+    // "how complete is this node's neighborhood" statistic (Watts &
+    // Strogatz). Reported in exact integer ppm (no float division), over
+    // EVERY node of degree ≥ 2 — triangle-free nodes appear with cc 0,
+    // which is the signal (a high-degree cc≈0 part is a pure hub; a
+    // cc≈1 clique member is a bundle). Cost adds one left join over the
+    // degree frame to the O(m^1.5) oriented triangle enumeration.
+    "misc_clustering_coefficient" -> ((s, d) => {
+      val e = graft.QueryCaches.scoped(coPurchaseEdges(s, d).distinct())
+      val tri = graft.operators.Triangles.triangleCounts(e, "a", "b")
+      val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+        .filter(col("degree") >= 2)
+      deg.join(tri.select(col("node").as("n"), col("triangles")), Seq("n"), "left")
+        .select(col("n").as("node"), col("degree"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"),
+          expr("coalesce(triangles, 0) * 2 * 1000000 DIV (degree * (degree - 1))")
+            .as("cc_ppm"))
+    }),
+
     // k-core peeling (operators/KCore) on the same co-purchase graph:
     // 6 fixed peel rounds at threshold 12 extract the dense basket
     // kernel. Fixed rounds — not peel-to-fixpoint — keep the job count
@@ -901,6 +922,30 @@ corners AS (SELECT x AS node FROM tri UNION ALL SELECT y AS node FROM tri
             UNION ALL SELECT z AS node FROM tri)
 SELECT c.node, d.deg AS degree, CAST(count(*) AS BIGINT) AS triangles
 FROM corners c JOIN deg d ON d.n = c.node GROUP BY c.node, d.deg""",
+
+    // triangle replay + per-node ratio in exact integer ppm; deg >= 2
+    // universe with triangle-free nodes at cc 0
+    "misc_clustering_coefficient" -> s"""
+WITH $coPurchaseCte,
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY n),
+de AS (
+  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg END AS dkd,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS dki
+  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+tri AS (
+  SELECT w1.src AS x, w1.dki AS y, w2.dki AS z
+  FROM de w1 JOIN de w2 ON w1.src = w2.src AND (w1.dkd, w1.dki) < (w2.dkd, w2.dki)
+  JOIN de c ON c.src = w1.dki AND c.dkd = w2.dkd AND c.dki = w2.dki),
+corners AS (SELECT x AS node FROM tri UNION ALL SELECT y AS node FROM tri
+            UNION ALL SELECT z AS node FROM tri),
+tc AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM corners GROUP BY node)
+SELECT d.n AS node, d.deg AS degree,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       CAST(coalesce(t.triangles, 0) * 2 * 1000000 // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm
+FROM deg d LEFT JOIN tc t ON t.node = d.n
+WHERE d.deg >= 2""",
 
     // six unrolled peel rounds at k=12 — see kcoreIterCte
     "misc_kcore" -> s"""
