@@ -809,42 +809,37 @@ object LlmQueries {
     // per-term scores add in FIXED textual order and every double step
     // is mirrored by the oracle, so ln() + round(6) is engine-identical
     // (the llm_tfidf discipline).
-    "llm_bm25_search" -> ((s, d) => {
-      val dbl = (c: org.apache.spark.sql.Column) =>
-        c.cast(org.apache.spark.sql.types.DoubleType)
-      val qterms = Seq("join", "hash", "stream")
-      val ws = split(col("text"), " ")
-      val base = Tables.documents(s, d).select(col("doc_id"),
-        org.apache.spark.sql.functions.size(ws)
-          .cast(org.apache.spark.sql.types.LongType).as("dl"), ws.as("w"))
-      val tfAggs = qterms.map(t =>
-        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t"))
-      val tfs = base.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-        .groupBy(col("doc_id"), col("dl"))
-        .agg(tfAggs.head, tfAggs.tail: _*)
-      val dfAggs = qterms.map(t =>
-        count(when(col("term") === t, true)).as(s"df_$t"))
-      val dfr = broadcast(
-        base.select(col("doc_id"), explode(array_distinct(col("w"))).as("term"))
-          .agg(dfAggs.head, dfAggs.tail: _*))
-      val stats = broadcast(base
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        .select(col("n_docs"),
-          (dbl(col("sum_dl")) / dbl(col("n_docs"))).as("avgdl")))
-      def termScore(t: String) =
-        log(((dbl(col("n_docs")) - dbl(col(s"df_$t")) + lit(0.5)) /
-          (dbl(col(s"df_$t")) + lit(0.5))) + lit(1.0)) *
-          ((dbl(col(s"tf_$t")) * lit(2.2)) /
-            (dbl(col(s"tf_$t")) + lit(1.2) *
-              (lit(0.25) + lit(0.75) * (dbl(col("dl")) / col("avgdl")))))
-      tfs.crossJoin(stats).crossJoin(dfr)
-        .withColumn("score",
-          round(termScore("join") + termScore("hash") + termScore("stream"), 6))
-        .filter(col("score") > 0)
+    "llm_bm25_search" -> ((s, d) => bm25Top20(s, d)),
+
+    // Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    // Buettcher, SIGIR 2009) — the RAG-era retrieval stack in one
+    // operator: the SAME information need expressed lexically (the BM25
+    // top-20 for the fixed query terms) and semantically (brute-force
+    // cosine top-20 around the query doc's embedding, vec_id 0) is fused
+    // by rrf(d) = Σ 1/(60+rank_list(d)). Both input rankings are already
+    // deterministically gated; the fusion itself uses INTEGER 1e9-scaled
+    // reciprocals (1e9 DIV (60+rank)) — no float anywhere, so ties and
+    // order are engine-exact. Every window here runs over a ≤20-row
+    // frame (post-limit), so the "no global window" rule is respected at
+    // any corpus size; the fusion join touches 40 rows regardless of
+    // scale.
+    "llm_hybrid_rrf" -> ((s, d) => {
+      val lexW = org.apache.spark.sql.expressions.Window
         .orderBy(col("score").desc, col("doc_id").asc)
-        .limit(20)
-        .select(col("doc_id"), col("dl"), col("tf_join"), col("tf_hash"),
-          col("tf_stream"), col("score"))
+      val lex = bm25Top20(s, d)
+        .select(col("doc_id"), col("score"))
+        .withColumn("rank_lex", row_number().over(lexW).cast("long"))
+        .select(col("doc_id"), col("rank_lex"))
+      val e = Tables.embeddings(s, d)
+      val sem = Similarity.bruteForceTopK(e.filter(col("vec_id") === 0L), e, 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("rank_sem"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_ppb",
+          coalesce(expr("1000000000 DIV (60 + rank_lex)"), lit(0L)) +
+            coalesce(expr("1000000000 DIV (60 + rank_sem)"), lit(0L)))
+        .orderBy(col("rrf_ppb").desc, col("doc_id").asc)
+        .limit(10)
+        .select(col("doc_id"), col("rank_lex"), col("rank_sem"), col("rrf_ppb"))
     }),
 
     // Characteristic-term extraction: top-3 terms per doc by tf-idf.
@@ -1307,6 +1302,48 @@ SELECT query_id, neighbor_id, cosine,
 FROM scored
 QUALIFY rank <= 5"""
 
+  /** BM25 top-20 for the fixed query terms (k1=1.2 b=0.75) — shared by
+    * llm_bm25_search and the lexical leg of llm_hybrid_rrf. One term
+    * explode, one per-doc conditional aggregate, corpus stats as two
+    * 1-row broadcasts, TakeOrderedAndProject top-20 (no global sort). */
+  private def bm25Top20(s: SparkSession, d: String): DataFrame = {
+    val dbl = (c: org.apache.spark.sql.Column) =>
+      c.cast(org.apache.spark.sql.types.DoubleType)
+    val qterms = Seq("join", "hash", "stream")
+    val ws = split(col("text"), " ")
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      org.apache.spark.sql.functions.size(ws)
+        .cast(org.apache.spark.sql.types.LongType).as("dl"), ws.as("w"))
+    val tfAggs = qterms.map(t =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val tfs = base.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(tfAggs.head, tfAggs.tail: _*)
+    val dfAggs = qterms.map(t =>
+      count(when(col("term") === t, true)).as(s"df_$t"))
+    val dfr = broadcast(
+      base.select(col("doc_id"), explode(array_distinct(col("w"))).as("term"))
+        .agg(dfAggs.head, dfAggs.tail: _*))
+    val stats = broadcast(base
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (dbl(col("sum_dl")) / dbl(col("n_docs"))).as("avgdl")))
+    def termScore(t: String) =
+      log(((dbl(col("n_docs")) - dbl(col(s"df_$t")) + lit(0.5)) /
+        (dbl(col(s"df_$t")) + lit(0.5))) + lit(1.0)) *
+        ((dbl(col(s"tf_$t")) * lit(2.2)) /
+          (dbl(col(s"tf_$t")) + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (dbl(col("dl")) / col("avgdl")))))
+    tfs.crossJoin(stats).crossJoin(dfr)
+      .withColumn("score",
+        round(termScore("join") + termScore("hash") + termScore("stream"), 6))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+      .select(col("doc_id"), col("dl"), col("tf_join"), col("tf_hash"),
+        col("tf_stream"), col("score"))
+  }
+
   /** One BM25 term's score contribution (DuckDB replay, k1=1.2 b=0.75) —
     * textually mirrors the Spark termScore: same parenthesization, same
     * literal constants, so every double step is engine-identical. */
@@ -1316,9 +1353,9 @@ QUALIFY rank <= 5"""
       s"((CAST(tf_$t AS DOUBLE) * 2.2) / (CAST(tf_$t AS DOUBLE) + 1.2 * " +
       s"(0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))"
 
-  val oracle: Map[String, String] = Map(
-    "llm_bm25_search" -> s"""
-WITH bw AS (SELECT doc_id, string_split(text, ' ') AS w,
+  /** BM25 replay CTE prefix (bw/bstats/bdf/btf) — shared by the
+    * llm_bm25_search oracle and the lexical leg of llm_hybrid_rrf. */
+  private val bm25Ctes: String = """bw AS (SELECT doc_id, string_split(text, ' ') AS w,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
 bstats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                   CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS avgdl
@@ -1331,13 +1368,45 @@ btf AS (SELECT doc_id, dl,
                CAST(sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf_join,
                CAST(sum(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf_hash,
                CAST(sum(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS tf_stream
-        FROM (SELECT doc_id, dl, unnest(w) AS term FROM bw) GROUP BY doc_id, dl)
+        FROM (SELECT doc_id, dl, unnest(w) AS term FROM bw) GROUP BY doc_id, dl)"""
+
+  val oracle: Map[String, String] = Map(
+    "llm_bm25_search" -> s"""
+WITH $bm25Ctes
 SELECT doc_id, dl, tf_join, tf_hash, tf_stream, score
 FROM (SELECT t.doc_id, t.dl, t.tf_join, t.tf_hash, t.tf_stream,
              round(${bm25TermSql("join")} + ${bm25TermSql("hash")} + ${bm25TermSql("stream")}, 6) AS score
       FROM btf t CROSS JOIN bstats CROSS JOIN bdf)
 WHERE score > 0
 ORDER BY score DESC, doc_id ASC LIMIT 20""",
+
+    // BM25 replay top-20 fused with the brute-force cosine top-20 around
+    // vec_id 0 via integer-scaled reciprocal ranks — no float in the
+    // fusion, ties broken by doc_id on both engines
+    "llm_hybrid_rrf" -> s"""
+WITH $bm25Ctes,
+btop AS (
+  SELECT doc_id, score
+  FROM (SELECT t.doc_id,
+               round(${bm25TermSql("join")} + ${bm25TermSql("hash")} + ${bm25TermSql("stream")}, 6) AS score
+        FROM btf t CROSS JOIN bstats CROSS JOIN bdf)
+  WHERE score > 0
+  ORDER BY score DESC, doc_id ASC LIMIT 20),
+lex AS (SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank_lex
+        FROM btop),
+sem0 AS (
+  SELECT c.vec_id AS doc_id,
+         round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id = 0 AND c.vec_id <> 0),
+sem AS (SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rank_sem
+        FROM sem0 QUALIFY rank_sem <= 20)
+SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.rank_lex, s.rank_sem,
+       CAST(coalesce(1000000000 // (60 + l.rank_lex), 0) +
+            coalesce(1000000000 // (60 + s.rank_sem), 0) AS BIGINT) AS rrf_ppb
+FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+ORDER BY rrf_ppb DESC, doc_id ASC LIMIT 10""",
 
     "llm_exact_dup_groups" -> """
 SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS dup_count

@@ -33,6 +33,7 @@ class PlanShapeSpec extends SparkSpec {
     "tpch_top_supplier",      // 1-row max-revenue threshold broadcast
     "llm_token_shards",       // 1-row total-tokens broadcast
     "llm_bm25_search",        // 1-row corpus-stats + 1-row per-term-df broadcasts
+    "llm_hybrid_rrf",         // BM25's 1-row broadcasts + the exhaustive 1-query cosine leg
     "llm_mixture_temperature", // 1-row normalizer broadcast
     "llm_exact_allocation",   // 1-row total + 1-row leftover broadcasts
     "dq_benford",             // 1-row digit-total broadcast
