@@ -95,6 +95,43 @@ object CheckQueries {
           (col("psi_e9") > 100000000L).as("drifted"))
     }),
 
+    // Two-sample Kolmogorov–Smirnov drift test — PSI's nonparametric,
+    // bin-free sibling (PSI needs a binning choice; KS compares the FULL
+    // empirical CDFs): D = sup|F95 − F96| over 1995-vs-1996 order
+    // totals. The statistic is computed EXACTLY in integers: per
+    // distinct value, the step contribution n1·N2 − n2·N1 prefix-sums
+    // (in value order) to c1·N2 − c2·N1, so max |prefix| = D·N1·N2 with
+    // no float anywhere. The global running sum uses the distributed
+    // two-pass PrefixSum — NO global window at any input size; the
+    // α=0.05 critical compare (1.358·√((n+m)/nm)) is ONE double formula
+    // pinned textually on both engines. Output: one row.
+    "dq_ks_test" -> ((s, d) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val dbl = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+      val o = Tables.orders(s, d)
+      def side(y: Int, i1: Long, i2: Long) =
+        o.filter(year(col("o_orderdate")) === y)
+          .select(col("o_totalprice").as("v"),
+            lit(i1).as("in1"), lit(i2).as("in2"))
+      val per = side(1995, 1L, 0L).unionByName(side(1996, 0L, 1L))
+        .groupBy(col("v"))
+        .agg(sum(col("in1")).as("n1"), sum(col("in2")).as("n2"))
+      val tot = broadcast(
+        per.agg(sum(col("n1")).as("tn1"), sum(col("n2")).as("tn2")))
+      val contrib = per.crossJoin(tot)
+        .select(col("v"),
+          (col("n1") * col("tn2") - col("n2") * col("tn1")).cast(LongType).as("cd0"))
+      val cum = graft.operators.PrefixSum
+        .withGlobalPrefixSum(contrib, "v", "cd0", "cd", numPartitions = 32)
+      cum.agg(max(abs(col("cd"))).as("d_scaled"))
+        .crossJoin(tot)
+        .select(col("tn1").as("n1"), col("tn2").as("n2"), col("d_scaled"),
+          expr("d_scaled * 1000000 DIV (tn1 * tn2)").as("d_ppm"),
+          ((dbl(col("d_scaled")) / (dbl(col("tn1")) * dbl(col("tn2")))) >
+            (lit(1.358) * sqrt((dbl(col("tn1")) + dbl(col("tn2"))) /
+              (dbl(col("tn1")) * dbl(col("tn2")))))).as("drift_detected"))
+    }),
+
     // Benford first-digit conformance — the classic synthetic/fraud
     // detector on money columns. Leading digit is taken from the exact
     // integer cents' DECIMAL STRING (no log10 at bin edges, no float
@@ -418,6 +455,27 @@ SELECT n_a, conv_a, n_b, conv_b,
                 * CAST(conv_a + conv_b AS DOUBLE)
                 * CAST(n_a - conv_a + n_b - conv_b AS DOUBLE)), 6) > 3.841459 AS significant
 FROM c""",
+
+    // exact-integer KS: step contributions n1*N2 - n2*N1 prefix-summed
+    // in value order (DuckDB can afford the plain window), max |prefix|
+    // = D*N1*N2; one pinned double formula for the critical compare
+    "dq_ks_test" -> """
+WITH per AS (
+  SELECT v, CAST(sum(in1) AS BIGINT) AS n1, CAST(sum(in2) AS BIGINT) AS n2
+  FROM (SELECT o_totalprice AS v, 1 AS in1, 0 AS in2 FROM orders WHERE year(o_orderdate) = 1995
+        UNION ALL
+        SELECT o_totalprice AS v, 0 AS in1, 1 AS in2 FROM orders WHERE year(o_orderdate) = 1996)
+  GROUP BY v),
+tot AS (SELECT CAST(sum(n1) AS BIGINT) AS tn1, CAST(sum(n2) AS BIGINT) AS tn2 FROM per),
+cum AS (SELECT CAST(sum(n1 * tn2 - n2 * tn1) OVER (ORDER BY v) AS BIGINT) AS cd
+        FROM per CROSS JOIN tot),
+dmax AS (SELECT CAST(max(abs(cd)) AS BIGINT) AS d_scaled FROM cum)
+SELECT tn1 AS n1, tn2 AS n2, d_scaled,
+       CAST(d_scaled * 1000000 // (tn1 * tn2) AS BIGINT) AS d_ppm,
+       (CAST(d_scaled AS DOUBLE) / (CAST(tn1 AS DOUBLE) * CAST(tn2 AS DOUBLE))) >
+       (1.358 * sqrt((CAST(tn1 AS DOUBLE) + CAST(tn2 AS DOUBLE)) /
+                     (CAST(tn1 AS DOUBLE) * CAST(tn2 AS DOUBLE)))) AS drift_detected
+FROM dmax CROSS JOIN tot""",
 
     // dense 10-bin grid, add-one smoothing, scaled-int PSI terms
     "dq_psi_drift" -> """

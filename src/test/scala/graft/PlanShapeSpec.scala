@@ -37,6 +37,7 @@ class PlanShapeSpec extends SparkSpec {
     "llm_mixture_temperature", // 1-row normalizer broadcast
     "llm_exact_allocation",   // 1-row total + 1-row leftover broadcasts
     "dq_benford",             // 1-row digit-total broadcast
+    "dq_ks_test",             // 1-row (N1,N2) totals broadcast, crossed twice
     "dq_column_entropy",      // 1-row per-column total broadcast
     "dq_fk_orphans",          // 1-row child-count × 1-row orphan-count per relation
     "llm_bigram_surprisal",   // 1-row vocabulary-size broadcast
