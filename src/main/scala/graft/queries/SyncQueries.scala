@@ -106,6 +106,40 @@ object SyncQueries {
       DimSync.checksumCompare(orders, dst, cols, buckets = 64)
     }),
 
+    // Point-in-time (PIT) join — the SCD2 story's QUERY side (history
+    // build: stream_scd2_history; incremental apply: sync_scd2_apply;
+    // this is how facts consume the result): each order joins the
+    // dimension VERSION that was valid at o_orderdate, not today's row.
+    // The fixture gives every %3==0 customer two versions split at
+    // 1997-06-01 (+50 balance after), everyone else one open-ended row.
+    // Shape: EQUI-join on the key with the validity interval as a
+    // residual filter — per-key fan-out is bounded by the version count
+    // (2 here, rarely >10 in practice), so this stays a hash/SMJ join at
+    // 100 TB; a range-only join here would be the scale mistake.
+    "sync_pit_join" -> ((s, d) => {
+      import org.apache.spark.sql.types.TimestampType
+      val c = Tables.customer(s, d)
+      val splitTs = lit("1997-06-01 00:00:00").cast(TimestampType)
+      val lo = lit("1900-01-01 00:00:00").cast(TimestampType)
+      val v1 = c.select(col("c_custkey"), col("c_acctbal").as("bal"),
+        lo.as("valid_from"),
+        when(col("c_custkey") % 3 === 0, splitTs)
+          .otherwise(lit(null).cast(TimestampType)).as("valid_to"),
+        lit(1L).as("version_no"))
+      val v2 = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 50.0).as("bal"),
+          splitTs.as("valid_from"),
+          lit(null).cast(TimestampType).as("valid_to"),
+          lit(2L).as("version_no"))
+      val dim = v1.unionByName(v2)
+      val facts = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      facts.join(dim, facts("o_custkey") === dim("c_custkey") &&
+          dim("valid_from") <= facts("o_orderdate") &&
+          (dim("valid_to").isNull || facts("o_orderdate") < dim("valid_to")))
+        .select(col("o_orderkey"), col("o_custkey"), col("version_no"), col("bal"))
+    }),
+
     // Blocked fuzzy record linkage — the entity-resolution core of any
     // catalog merge (reference: sync_data.py's name-keyed dims assume
     // EXACT name equality; this is the step that finds the near-misses
@@ -137,6 +171,26 @@ object SyncQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sync_pit_join" -> """
+WITH dim AS (
+  SELECT c_custkey, c_acctbal AS bal,
+         TIMESTAMP '1900-01-01 00:00:00' AS valid_from,
+         CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '1997-06-01 00:00:00'
+              ELSE CAST(NULL AS TIMESTAMP) END AS valid_to,
+         CAST(1 AS BIGINT) AS version_no
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 50.0,
+         TIMESTAMP '1997-06-01 00:00:00',
+         CAST(NULL AS TIMESTAMP),
+         CAST(2 AS BIGINT)
+  FROM customer WHERE c_custkey % 3 = 0)
+SELECT o.o_orderkey, o.o_custkey, d.version_no, d.bal
+FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+  AND d.valid_from <= o.o_orderdate
+  AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+WHERE o.o_orderkey % 7 = 0""",
+
     "sync_entity_resolution" -> """
 WITH n AS (
   SELECT p_name, CAST(count(*) AS BIGINT) AS n_rows,
