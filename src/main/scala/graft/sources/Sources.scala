@@ -30,6 +30,16 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC scan/sink — the other columnar interchange format a warehouse
+    * migration lands (Hive-era lakes are ORC; this engine's native
+    * tables stay parquet). Same predicate-pushdown / column-pruning /
+    * split-generation behavior as the parquet path — Spark's ORC v2
+    * source reads footers and prunes stripes identically. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** S10 — CTAS full overwrite (`CREATE OR REPLACE TABLE … AS SELECT`). */
   def overwriteTable(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)

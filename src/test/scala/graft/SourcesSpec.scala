@@ -27,6 +27,21 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.readJson(spark, s"$dir/json", schema).count() == 1)
   }
 
+  test("ORC roundtrip preserves schema and values; filters push to the ORC scan") {
+    val dir = tmp()
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("id", "name", "v")
+    Sources.writeOrc(df, s"$dir/orc")
+    val back = Sources.readOrc(spark, s"$dir/orc")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      Seq("id" -> LongType, "name" -> StringType, "v" -> DoubleType))
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+    // scale posture: the predicate must reach the ORC scan node, same
+    // as the parquet path (stripe-level skipping at real data sizes)
+    val plan = back.filter($"id" > 1L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"), plan)
+  }
+
   test("overwrite/append/truncate/backup/restore table ops (S10-S13)") {
     val dir = tmp()
     val t = s"$dir/t"
