@@ -191,4 +191,85 @@ object PageRank {
       Checkpoints.release(outDeg)
     }
   }
+
+  /** Personalized PageRank / TrustRank (Gyöngyi, Garcia-Molina &
+    * Pedersen, VLDB 2004) in the same fixed-iteration integer-mass
+    * discipline as [[pageRankFixedPoint]]: the teleport term — and the
+    * dangling mass — return ONLY to the trusted seed set instead of
+    * uniformly, so rank measures "reachability from trust" (distance-
+    * discounted), the statistic web-corpus curation uses to propagate
+    * quality from a vetted whitelist into the crawl. Update rule per
+    * node v:
+    *   rank'(v) = [v∈S]·(1−d)·M/|S| + d·(inflow(v) + [v∈S]·dm/|S|)
+    * carried in BIGINT mass units with truncating div throughout —
+    * bit-identical under any partitioning and in any engine. Seeds not
+    * present in the graph are ignored (|S| counts the intersection).
+    * Same two-frame loop, one job per round, checkpoint hygiene as the
+    * uniform variant. Returns (node, is_seed, rank_fp). */
+  def personalizedPageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                                     seeds: DataFrame, seedCol: String,
+                                     iters: Int = 5, massUnit: Long = 1000000000000L,
+                                     dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampNum < dampDen,
+      s"need iters >= 1 and 0 < dampNum < dampDen; got $iters, $dampNum/$dampDen")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val sd = seeds.select(col(seedCol).cast("long").as("node"))
+      .filter(col("node").isNotNull).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(sd.withColumn("is_seed", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint(true)
+    val nS = nodes.filter(col("is_seed") === 1L).count()
+    require(nS > 0, "personalizedPageRankFixedPoint needs >= 1 seed present in the graph")
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val base = (dampDen - dampNum) * massUnit / (dampDen * nS)
+    // init: ALL mass on the seeds — the personalized stationary start;
+    // is_seed rides along in the rank frame so the result needs no
+    // post-loop re-join against a released checkpoint
+    var ranks = nodes
+      .select(col("node"), col("is_seed"),
+        (col("is_seed") * lit(massUnit / nS)).as("rank_fp"))
+      .localCheckpoint(true)
+    var prevWithDeg: DataFrame = null
+    try {
+      var it = 0
+      while (it < iters) {
+        val withDeg = ranks.join(outDeg, ranks("node") === outDeg("src"), "left")
+          .localCheckpoint(true)
+        Checkpoints.release(ranks)
+        if (prevWithDeg != null) Checkpoints.release(prevWithDeg)
+        val dangling = broadcast(withDeg.filter(col("deg").isNull)
+          .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dm")))
+        val contribs = withDeg.filter(col("deg").isNotNull)
+          .select(col("node"), expr("rank_fp div deg").as("share"))
+          .join(e, col("node") === col("src"))
+          .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
+        ranks = nodes
+          .join(contribs, nodes("node") === contribs("dst"), "left")
+          .crossJoin(dangling)
+          .select(nodes("node"), nodes("is_seed"),
+            (col("is_seed") * lit(base) + expr(
+              s"($dampNum * (coalesce(inflow, 0L) + is_seed * (dm div ${nS}L))) div $dampDen"))
+              .as("rank_fp"))
+          .localCheckpoint(it == iters - 1)
+        prevWithDeg = withDeg
+        it += 1
+      }
+      ranks
+    } catch { case t: Throwable =>
+      Checkpoints.release(ranks)
+      throw t
+    } finally {
+      if (prevWithDeg != null) Checkpoints.release(prevWithDeg)
+      Checkpoints.release(e)
+      Checkpoints.release(nodes)
+      Checkpoints.release(outDeg)
+    }
+  }
 }

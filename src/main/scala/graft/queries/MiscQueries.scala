@@ -568,6 +568,23 @@ object MiscQueries {
       graft.operators.PageRank.pageRankFixedPoint(edges, "src", "dst", iters = 5)
     }),
 
+    // TrustRank / personalized PageRank (Gyöngyi et al., VLDB 2004) on
+    // the same customer→supplier bipartite graph: teleport and dangling
+    // mass return ONLY to the trusted seed customers (custkey % 97 == 0
+    // ⇒ node % 194 == 0 — odd supplier nodes can never match), so
+    // rank_fp measures distance-discounted reachability from trust — the
+    // propagation web-corpus curation uses to extend a vetted whitelist.
+    // Same fixed-iteration BIGINT mass discipline as misc_pagerank;
+    // 5 unrolled rounds replayed by the oracle.
+    "misc_trustrank" -> ((s, d) => {
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val seeds = edges.filter(col("src") % 194 === 0).select(col("src").as("seed"))
+      graft.operators.PageRank.personalizedPageRankFixedPoint(
+        edges, "src", "dst", seeds, "seed", iters = 5)
+    }),
+
     // Degree-ordered triangle counting (operators/Triangles, Suri &
     // Vassilvitskii WWW 2011) over the co-purchase graph: parts
     // co-ordered in the same 1995 order are linked; per-part triangle
@@ -867,7 +884,47 @@ $cur AS (
              JOIN pr_edges e ON e.src = p.node
              GROUP BY e.dst) fl ON fl.dst = nd.node)"""
 
+  /** One unrolled round of the TrustRank replay — [[pagerankIterCte]]
+    * with the teleport and dangling terms gated by is_seed and divided
+    * by the SEED count, mirroring personalizedPageRankFixedPoint's
+    * integer update exactly. */
+  private def trustrankIterCte(prev: String, cur: String): String = s"""
+$cur AS (
+  SELECT nd.node, nd.is_seed,
+         CAST(nd.is_seed * tr_base.b
+              + (85 * (COALESCE(fl.inflow, 0) + nd.is_seed * (dg.dm // tr_ns.ns))) // 100
+              AS BIGINT) AS rank_fp
+  FROM tr_nodes nd
+  CROSS JOIN tr_ns
+  CROSS JOIN tr_base
+  CROSS JOIN (SELECT CAST(COALESCE(sum(p.rank_fp), 0) AS BIGINT) AS dm
+              FROM $prev p LEFT JOIN tr_outdeg od ON od.src = p.node
+              WHERE od.src IS NULL) dg
+  LEFT JOIN (SELECT e.dst, CAST(sum(p.rank_fp // od.deg) AS BIGINT) AS inflow
+             FROM $prev p JOIN tr_outdeg od ON od.src = p.node
+             JOIN tr_edges e ON e.src = p.node
+             GROUP BY e.dst) fl ON fl.dst = nd.node)"""
+
   val oracle: Map[String, String] = Map(
+    // seed-teleport fixed-point replay, 5 unrolled rounds — see
+    // trustrankIterCte
+    "misc_trustrank" -> s"""
+WITH tr_edges AS (
+  SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+tr_nodes AS (
+  SELECT node, CAST(CASE WHEN node % 194 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+  FROM (SELECT src AS node FROM tr_edges UNION SELECT dst FROM tr_edges)),
+tr_ns AS (SELECT CAST(sum(is_seed) AS BIGINT) AS ns FROM tr_nodes),
+tr_outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM tr_edges GROUP BY src),
+tr_base AS (SELECT CAST(15000000000000 // (100 * ns) AS BIGINT) AS b FROM tr_ns),
+tr0 AS (SELECT node, is_seed,
+               CAST(is_seed * (1000000000000 // tr_ns.ns) AS BIGINT) AS rank_fp
+        FROM tr_nodes CROSS JOIN tr_ns),
+${(0 until 5).map(i => trustrankIterCte(s"tr$i", s"tr${i + 1}")).mkString(",")}
+SELECT node, is_seed, rank_fp FROM tr5""",
+
     // fixed-point PageRank replay: same graph, same integer update rule,
     // 5 unrolled rounds — see pagerankIterCte
     "misc_pagerank" -> s"""

@@ -51,6 +51,50 @@ class PageRankSpec extends SparkSpec {
     got.values.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-9, s"got $got"))
   }
 
+  /** sequential personalized reference: teleport + dangling mass return
+    * only to the seed set, all mass starts on the seeds */
+  private def personalizedReference(edges: Seq[(Long, Long)], seeds: Set[Long],
+                                    d: Double, iters: Int): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val s = nodes.filter(seeds).toSet
+    val out = edges.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).distinct }
+    var rank = nodes.map(v => v -> (if (s(v)) 1.0 / s.size else 0.0)).toMap
+    (0 until iters).foreach { _ =>
+      val dangling = nodes.filterNot(out.contains).map(rank).sum
+      val inflow = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      out.foreach { case (v, dsts) => dsts.foreach { t => inflow(t) += rank(v) / dsts.size } }
+      rank = nodes.map(v => v -> ((if (s(v)) (1 - d) / s.size else 0.0)
+        + d * (inflow(v) + (if (s(v)) dangling / s.size else 0.0)))).toMap
+    }
+    rank
+  }
+
+  test("personalizedPageRankFixedPoint: seed-gated teleport, partitioning-invariant, " +
+    "unreachable nodes get zero") {
+    // seeds {1}; node 6->7 is a component unreachable from the seed
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 2L), (2L, 5L),
+      (3L, 5L), (6L, 7L))
+    val U = 1000000000000L
+    val seeds = Seq(1L).toDF("seed")
+    val got = PageRank.personalizedPageRankFixedPoint(
+      edges.toDF("src", "dst"), "src", "dst", seeds, "seed", iters = 12)
+      .as[(Long, Long, Long)].collect().map { case (v, _, r) => v -> r }.toMap
+    val re = PageRank.personalizedPageRankFixedPoint(
+      edges.toDF("src", "dst").repartition(7), "src", "dst", seeds, "seed", iters = 12)
+      .as[(Long, Long, Long)].collect().map { case (v, _, r) => v -> r }.toMap
+    assert(got == re, "personalized fixed-point ranks changed under repartitioning")
+    // nothing reaches the 6->7 component from seed 1: exactly zero mass
+    assert(got(6L) == 0L && got(7L) == 0L, s"unreachable nodes hold mass: $got")
+    // tracks the sequential double reference
+    val want = personalizedReference(edges, Set(1L), 0.85, 12)
+    got.foreach { case (v, r) =>
+      assert(math.abs(r.toDouble / U - want(v)) < 1e-5,
+        s"node $v: fp ${r.toDouble / U} dbl ${want(v)}")
+    }
+    // seed holds the largest rank at d=0.85 on this graph (direct teleport)
+    assert(got(1L) == got.values.max)
+  }
+
   test("pageRankFixedPoint is partitioning-invariant, conserves mass, tracks the double variant") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 2L), (2L, 5L), (3L, 5L))
     val U = 1000000000000L
