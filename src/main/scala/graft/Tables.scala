@@ -78,18 +78,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * (PARQUET_TYPE_ILLEGAL). Read nanos as LongType via the legacy conf and
-    * truncate to micros with integer division (`div`, exact on longs —
-    * double division would lose precision above 2^53 ns). DuckDB's
-    * ns→µs cast truncates the same way. */
+  /** events.ts has shipped as three different parquet physical types across
+    * harness fixture generations; normalize all of them to session-TZ
+    * TimestampType so downstream `unix_micros`/window logic never sees a
+    * fixture-dependent type:
+    *  - TIMESTAMP(NANOS): Spark 4 rejects it outright (PARQUET_TYPE_ILLEGAL)
+    *    unless read as LongType via the legacy conf; truncate to micros with
+    *    integer division (exact on longs; DuckDB's ns→µs cast truncates the
+    *    same way).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ;
+    *    cast to TimestampType. The session TZ is pinned UTC everywhere
+    *    (Verify/Bench/specs), so the wall-clock values are reinterpreted as
+    *    UTC instants — identical to what DuckDB computes on the same file.
+    *  - TIMESTAMP(MICROS, adjusted): already TimestampType, pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", df("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

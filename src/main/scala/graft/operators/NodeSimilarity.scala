@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Neighbor-set similarity over an undirected adjacency frame — the wedge
+  * join (pairs of neighbors of a shared center node) that powers
+  * link-prediction / item-item statistics (node Jaccard, Adamic–Adar).
+  *
+  * Hub safety: a plain wedge join is Σ deg(w)² over wedge CENTERS w. On a
+  * power-law graph one hub of degree D emits D² candidate pairs — a
+  * 100k-degree hub alone is 10^10 rows, a scale-killer regardless of
+  * cluster size. The standard mitigation (e.g. DIMSUM's probability-
+  * capped emission, or plain frequency capping in item-item CF) is to
+  * bound the center's contribution. Here: wedge centers with degree >
+  * `centerDegCap` are EXCLUDED, bounding per-center cost at cap² and
+  * total cost at |V|·cap². Semantics become "similarity via non-hub
+  * common neighbors" — defensible on the same grounds as Adamic–Adar's
+  * 1/ln(deg) weighting: co-membership in a hub's neighborhood carries
+  * almost no similarity signal (everything is connected to the hub).
+  * The cap is cited as a constant output column so downstream consumers
+  * see the contract, and the oracle replays the identical cap.
+  */
+object NodeSimilarity {
+
+  /** Pairs (a < b) sharing ≥ `minCommon` common neighbors of degree ≤
+    * `centerDegCap`, scored common/|N(a) ∪ N(b)| in exact integer ppm.
+    * `und` must be the symmetric adjacency (both directions present),
+    * columns (n, m) = (node, neighbor). Degrees in the denominator are
+    * FULL degrees (hubs still count as set members — only their role as
+    * wedge centers is capped). */
+  def jaccardPairs(und: DataFrame, minCommon: Long, centerDegCap: Long): DataFrame = {
+    val deg = und.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val centers = und.join(
+      deg.filter(col("deg") <= centerDegCap).select(col("n")), Seq("n"))
+    val common = centers.select(col("n").as("w"), col("m").as("a"))
+      .join(centers.select(col("n").as("w"), col("m").as("b")), Seq("w"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    common
+      .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+        expr("common * 1000000 DIV (deg_a + deg_b - common)").as("jaccard_ppm"),
+        lit(centerDegCap).as("center_deg_cap"))
+  }
+}

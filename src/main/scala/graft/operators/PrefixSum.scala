@@ -31,6 +31,14 @@ import org.apache.spark.sql.types._
   * passes would carry the wrong offset. */
 object PrefixSum {
 
+  /** Conf-following variant: partition count = `spark.sql.shuffle.partitions`
+    * (cores-sized locally, cluster-sized on a real deployment) instead of a
+    * caller-hardcoded literal. */
+  def withGlobalPrefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                          outCol: String): DataFrame =
+    withGlobalPrefixSum(df, orderCol, valueCol, outCol,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Appends `outCol` = inclusive global running sum of `valueCol`
     * (BIGINT) in `orderCol` order. `orderCol` must be globally unique
     * (it defines the total order). */

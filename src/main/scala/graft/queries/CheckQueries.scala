@@ -122,7 +122,7 @@ object CheckQueries {
         .select(col("v"),
           (col("n1") * col("tn2") - col("n2") * col("tn1")).cast(LongType).as("cd0"))
       val cum = graft.operators.PrefixSum
-        .withGlobalPrefixSum(contrib, "v", "cd0", "cd", numPartitions = 32)
+        .withGlobalPrefixSum(contrib, "v", "cd0", "cd")
       cum.agg(max(abs(col("cd"))).as("d_scaled"))
         .crossJoin(tot)
         .select(col("tn1").as("n1"), col("tn2").as("n2"), col("d_scaled"),

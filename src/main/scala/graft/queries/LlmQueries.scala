@@ -867,7 +867,7 @@ object LlmQueries {
       val toks = Tables.documents(s, d).select(col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
       val cum = graft.operators.PrefixSum.withGlobalPrefixSum(
-        toks, "doc_id", "n_tokens", "cum_tokens", numPartitions = 16)
+        toks, "doc_id", "n_tokens", "cum_tokens")
       val total = broadcast(toks.agg(sum(col("n_tokens")).as("__total")))
       cum.crossJoin(total)
         .withColumn("shard_id",

@@ -629,23 +629,16 @@ object MiscQueries {
     // Neighbor-set Jaccard similarity — the classic link-prediction /
     // item-item collaborative-filtering statistic: pairs sharing ≥ 4
     // common neighbors, scored common/|N(a) ∪ N(b)| in exact integer
-    // ppm. The wedge join (neighbors-of-a-shared-node) is the same
-    // degree-bounded shape as Triangles: cost is Σ deg², never |V|².
+    // ppm. HUB-SAFE: wedge centers are degree-capped at 256 (see
+    // NodeSimilarity — a single 100k-degree hub would otherwise emit
+    // 10^10 wedge pairs); the cap is a no-op on this fixture (max
+    // co-purchase degree 71 at sf0.1) and cited in the output.
     "misc_node_jaccard" -> ((s, d) => {
       val e = graft.QueryCaches.scoped(coPurchaseEdges(s, d).distinct())
       val und = e.select(col("a").as("n"), col("b").as("m"))
         .unionAll(e.select(col("b").as("n"), col("a").as("m")))
-      val deg = und.groupBy(col("n")).agg(count(lit(1)).as("deg"))
-      val common = und.select(col("n").as("w"), col("m").as("a"))
-        .join(und.select(col("n").as("w"), col("m").as("b")), Seq("w"))
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
-        .filter(col("common") >= 4)
-      common
-        .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), Seq("a"))
-        .join(deg.select(col("n").as("b"), col("deg").as("deg_b")), Seq("b"))
-        .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
-          expr("common * 1000000 DIV (deg_a + deg_b - common)").as("jaccard_ppm"))
+      graft.operators.NodeSimilarity.jaccardPairs(und,
+        minCommon = 4, centerDegCap = 256)
     }),
 
     // Adamic–Adar link prediction — node_jaccard's frequency-weighted
@@ -1027,18 +1020,21 @@ SELECT a, b, CAST(count(*) AS BIGINT) AS common,
        CAST(sum(aa9) AS DOUBLE) / 1e9 AS adamic_adar
 FROM wedges GROUP BY a, b HAVING count(*) >= 4""",
 
-    // wedge join for common neighbors; integer-ppm Jaccard
+    // wedge join for common neighbors; integer-ppm Jaccard. Wedge centers
+    // degree-capped at 256 (hub safety) — identical cap to the Spark side.
     "misc_node_jaccard" -> s"""
 WITH $coPurchaseCte,
 und AS MATERIALIZED (
   SELECT u AS n, v AS m FROM e UNION ALL SELECT v AS n, u AS m FROM e),
 deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY n),
+ctr AS (SELECT x.n, x.m FROM und x JOIN deg dw ON dw.n = x.n AND dw.deg <= 256),
 common AS (
   SELECT x.m AS a, y.m AS b, CAST(count(*) AS BIGINT) AS common
-  FROM und x JOIN und y ON x.n = y.n AND x.m < y.m
+  FROM ctr x JOIN ctr y ON x.n = y.n AND x.m < y.m
   GROUP BY 1, 2 HAVING count(*) >= 4)
 SELECT c.a, c.b, c.common, da.deg AS deg_a, db.deg AS deg_b,
-       CAST(c.common * 1000000 // (da.deg + db.deg - c.common) AS BIGINT) AS jaccard_ppm
+       CAST(c.common * 1000000 // (da.deg + db.deg - c.common) AS BIGINT) AS jaccard_ppm,
+       CAST(256 AS BIGINT) AS center_deg_cap
 FROM common c JOIN deg da ON da.n = c.a JOIN deg db ON db.n = c.b""",
 
     // 4 unrolled synchronous min-label LPA rounds — see lpaIterCte

@@ -107,8 +107,12 @@ object EventsStream {
                    checkpointDir: String): String = {
     val q = readEventsStream(spark, inDir).writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // Hadoop FileSystem probe, not java.io.File — the target dir may
+        // live on HDFS/S3 where a local-file check always reads empty
+        val targetPath = new org.apache.hadoop.fs.Path(targetDir)
+        val tfs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val cur =
-          if (new java.io.File(targetDir).exists()) spark.read.parquet(targetDir)
+          if (tfs.exists(targetPath)) spark.read.parquet(targetDir)
           else batch.limit(0).toDF()
         val merged = graft.models.Meta.mergeUpsert(cur, batch.toDF(),
             uniqueKey = Seq("user_id", "event_type"), watermarkCol = "ts",

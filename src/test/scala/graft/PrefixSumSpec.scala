@@ -37,6 +37,21 @@ class PrefixSumSpec extends SparkSpec {
     QueryCaches.releaseAll()
   }
 
+  test("conf-following overload partitions by spark.sql.shuffle.partitions") {
+    val df = (1L to 100L).map(i => (i, 1L)).toDF("k", "v")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val out = PrefixSum.withGlobalPrefixSum(df, "k", "v", "cum")
+      assert(out.rdd.getNumPartitions == 7)
+      assert(out.orderBy(col("k").desc).limit(1)
+        .select("cum").as[Long].collect().head == 100L)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      QueryCaches.releaseAll()
+    }
+  }
+
   test("rejects non-BIGINT value columns") {
     val df = Seq((1L, 1.5)).toDF("k", "v")
     intercept[IllegalArgumentException] {

@@ -86,9 +86,30 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Denominator guard (round-8 postmortem: queries that threw at dump time
+    # vanished from correctness instead of failing). Every oracle entry must
+    # have a dump dir, and any query Verify recorded as failed is a FAIL here.
+    import os
+    try:
+        verr = json.load(open(f"{out_dir}/verify_errors.json"))
+    except FileNotFoundError:
+        verr = {}
+    for name, msg in sorted(verr.items()):
+        if only and name not in only:
+            continue
+        print(f"FAIL {name}: verify dump error: {msg}")
+        n_fail += 1
+    missing_dirs = [n for n in sorted(oracle) if (not only or n in only)
+                    and n not in verr
+                    and not os.path.isdir(f"{out_dir}/{n}")]
+    for name in missing_dirs:
+        print(f"FAIL {name}: no dump dir (query silently skipped?)")
+        n_fail += 1
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        if name in verr or name in missing_dirs:
+            continue  # already reported above
         try:
             rel = con.sql(sql)
             dec_cols = [c for c, t in zip(rel.columns, rel.types)
