@@ -33,6 +33,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // ContextCleaner reclaims dead shuffle files / broadcasts only when
+      // driver GC collects their references; the periodic-GC fallback
+      // defaults to 30 MIN — longer than the whole 208-query session, so
+      // state from every query accumulates (r8 postmortem: queries timed
+      // late in the session ran up to 7x their standalone time). A 1-min
+      // floor plus the explicit gc below keeps the session steady-state.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: absorb JVM/codegen/session init so timings measure queries,
@@ -72,6 +79,10 @@ object Bench {
       // run1 rebuilds this query's scoped caches (released below), runs
       // 2-3 hit them warm — the MEDIAN still reports steady state
       QueryCaches.releaseAll()
+      // Outside the timed window: driver GC so the ContextCleaner frees
+      // this query's dead shuffle files/broadcasts before the next one
+      // is timed (see the periodicGC comment above).
+      System.gc()
       name -> runs(TimedRuns / 2) // median
     }
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a

@@ -20,6 +20,21 @@ import org.apache.spark.sql.DataFrame
   */
 object QueryCaches {
   private val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val sharedMemo =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  /** Session-lifetime shared materialization for frames the cache manager
+    * CANNOT plan-match across builders — anything whose construction runs a
+    * driver-side loop with `localCheckpoint` (connected components): each
+    * call yields a fresh checkpointed plan, so plain `.cache()` dedupes
+    * nothing and N consumer queries pay N full runs. The memo returns the
+    * SAME DataFrame instance per (session, key); like the retail raw/fct
+    * caches it survives [[releaseAll]] by design. Keep memoized frames
+    * id-sized (longs, never text) — they live for the whole registry run.
+    * Keyed by session so tests / Verify / Bench JVMs never cross wires. */
+  def shared(s: org.apache.spark.sql.SparkSession, key: String)
+            (build: => DataFrame): DataFrame =
+    sharedMemo.getOrElseUpdate((s, key), build.cache())
 
   /** Cache `df` and register it for the next [[releaseAll]]. */
   def scoped(df: DataFrame): DataFrame = synchronized {

@@ -23,6 +23,29 @@ object LlmQueries {
   private val mediaFixturesDir = sys.env.getOrElse("GRAFT_MEDIA_FIXTURES",
     new java.io.File("fixtures/media").getAbsolutePath)
 
+  /** Near-dup candidate edges (minhash ∪ simhash), shared by the six
+    * cluster-family queries. The two pair frames are plain `.cache()` —
+    * their plans are declarative and identical across builders, so the
+    * cache manager plan-matches them to ONE materialization per session
+    * (the retail raw/fct pattern); id-pairs only, never text. */
+  private def mhPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, d))
+      .select(col("a"), col("b")).cache()
+  private def dupEdges(s: SparkSession, d: String): DataFrame =
+    mhPairs(s, d).unionByName(
+      Dedup.simhashPairs(Tables.documents(s, d))
+        .select(col("a"), col("b")).cache())
+
+  /** Transitive closure of [[dupEdges]] — memoized per session+dir (see
+    * QueryCaches.shared): connected components runs a checkpointed
+    * driver-side loop, so without the memo each of its five consumer
+    * queries pays a full CC run (~6 runs per bench session at r8). */
+  private def dupComponents(s: SparkSession, d: String): DataFrame =
+    graft.QueryCaches.shared(s, s"llm_dup_components:$d") {
+      graft.operators.ConnectedComponents
+        .connectedComponents(dupEdges(s, d), "a", "b")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_exact_dup_groups" -> ((s, d) => Dedup.exactDupGroups(Tables.documents(s, d))),
     "llm_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
@@ -35,11 +58,7 @@ object LlmQueries {
     // closure. Components via alternating large-star/small-star
     // (O(log n) rounds); canonical doc = component min.
     "llm_dup_clusters" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val edges = Dedup.minhashLshPairs(docs).select(col("a"), col("b"))
-        .unionByName(Dedup.simhashPairs(docs).select(col("a"), col("b")))
-      val comp = graft.operators.ConnectedComponents
-        .connectedComponents(edges, "a", "b")
+      val comp = dupComponents(s, d)
       val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
       comp.join(sizes, "component")
         .select(col("node").as("doc_id"), col("component").as("cluster_id"),
@@ -55,10 +74,7 @@ object LlmQueries {
     // complete assignment, not a summary.
     "llm_cluster_split" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val edges = Dedup.minhashLshPairs(docs).select(col("a"), col("b"))
-        .unionByName(Dedup.simhashPairs(docs).select(col("a"), col("b")))
-      val comp = graft.operators.ConnectedComponents
-        .connectedComponents(edges, "a", "b")
+      val comp = dupComponents(s, d)
       val base = docs.select(col("doc_id"))
       val gid = base.join(comp, base("doc_id") === comp("node"), "left")
         .select(col("doc_id"),
@@ -86,10 +102,7 @@ object LlmQueries {
         .groupBy(md5(TextStats.normalizeText(col("text"))).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id"))
-      val edges = Dedup.minhashLshPairs(docs).select(col("a"), col("b"))
-        .unionByName(Dedup.simhashPairs(docs).select(col("a"), col("b")))
-      val nonCanonical = graft.operators.ConnectedComponents
-        .connectedComponents(edges, "a", "b")
+      val nonCanonical = dupComponents(s, d)
         .filter(col("node") =!= col("component"))
         .select(col("node").as("doc_id"))
       val afterNear = graft.QueryCaches.scoped(
@@ -117,10 +130,7 @@ object LlmQueries {
     "llm_dedup_keep_best" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), length(col("text")).cast(LongType).as("n_chars_kept"))
-      val edges = Dedup.minhashLshPairs(Tables.documents(s, d)).select(col("a"), col("b"))
-        .unionByName(Dedup.simhashPairs(Tables.documents(s, d)).select(col("a"), col("b")))
-      val comp = graft.operators.ConnectedComponents
-        .connectedComponents(edges, "a", "b")
+      val comp = dupComponents(s, d)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("cluster_id"))
         .orderBy(col("n_chars_kept").desc, col("doc_id").asc)
@@ -565,7 +575,7 @@ object LlmQueries {
     "llm_source_dedup_matrix" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val src = docs.select(col("doc_id"), col("source"))
-      Dedup.minhashLshPairs(docs)
+      mhPairs(s, d)
         .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), "a")
         .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), "b")
         .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
@@ -590,12 +600,8 @@ object LlmQueries {
     // hash-fails the round.
     "llm_cross_split_leakage" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val edges = graft.QueryCaches.scoped(
-        Dedup.minhashLshPairs(docs).select(col("a"), col("b"))
-          .unionByName(Dedup.simhashPairs(docs).select(col("a"), col("b")))
-          .distinct())
-      val comp = graft.operators.ConnectedComponents
-        .connectedComponents(edges, "a", "b")
+      val edges = graft.QueryCaches.scoped(dupEdges(s, d).distinct())
+      val comp = dupComponents(s, d)
       val base = docs.select(col("doc_id"))
       def gate(c: org.apache.spark.sql.Column) =
         graft.functions.Fns.md5lo58(c.cast("string")) % 1000000L

@@ -45,6 +45,25 @@ object MiscQueries {
         .orderBy(col("p_partkey").asc)
         .limit(10)),
 
+    // ORC round trip, driver-gated (r8 shipped this spec-only): write an
+    // orders projection to ORC, read it back, bucket-checksum the content
+    // against the parquet original (DimSync.checksumCompare — 63-bit md5
+    // row hashes, xor-folded per bucket). The oracle hashes the SAME
+    // parquet rows on both sides of the compare, so any row/value the ORC
+    // sink or scan loses or alters hash-fails the round. The write is
+    // per-session-unique tmp (concurrent Verify/Bench/test JVMs never
+    // clash) and re-executed per call — it IS the sink under test.
+    "misc_orc_roundtrip" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_orderdate")
+      val src = Tables.orders(s, d).select(cols.map(col): _*)
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_orc_rt_${s.sparkContext.applicationId}").getAbsolutePath
+      graft.sources.Sources.writeOrc(src, dir)
+      graft.sync.DimSync.checksumCompare(
+        src, graft.sources.Sources.readOrc(s, dir), cols, buckets = 64)
+    }),
+
     // S5: the universal SQL-text extract primitive (client.query(q)) —
     // spark.sql over a registered view; the result stays distributed
     // instead of collapsing to the driver as the reference's to_dataframe.
@@ -1113,6 +1132,24 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
 
     "misc_limited_fetch" -> """
 SELECT p_brand, p_type, p_partkey FROM part ORDER BY p_partkey ASC LIMIT 10""",
+
+    // The round trip is faithful ⇔ both sides of the compare hash the
+    // same parquet rows: one bucketed hash emitted as src AND dst.
+    "misc_orc_roundtrip" -> """
+WITH rh AS (
+  SELECT CAST(CAST(md5_number_lower(concat_ws('|',
+           coalesce(CAST(o_orderkey AS VARCHAR), ''),
+           coalesce(CAST(o_custkey AS VARCHAR), ''),
+           coalesce(o_orderstatus, ''),
+           coalesce(o_orderpriority, ''),
+           coalesce(CAST(o_orderdate AS VARCHAR), ''))) AS HUGEINT)
+         % CAST(9223372036854775808 AS HUGEINT) AS BIGINT) AS rh
+  FROM orders),
+agg AS (SELECT rh % 64 AS bucket, CAST(count(*) AS BIGINT) AS n,
+               bit_xor(rh) AS x FROM rh GROUP BY 1)
+SELECT bucket, n AS src_rows, n AS dst_rows, x AS src_xor, x AS dst_xor,
+       TRUE AS in_sync
+FROM agg""",
 
     // Interpolation formula textually mirrors Selection.quantileCont:
     // x[frn+1] + (rn - frn) * (x[frn+2] - x[frn+1]); when rn lands on an

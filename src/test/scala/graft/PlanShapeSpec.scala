@@ -63,10 +63,14 @@ class PlanShapeSpec extends SparkSpec {
     * a shuffle join into a broadcast join is an improvement and may
     * change freely. */
   private val pinnedShuffles = Map(
-    "llm_curation_pipeline" -> 11,
+    // r9: the CC-family counts dropped (11→9, 4→3) when the shared
+    // candidate-edge caches + the connected-components memo landed
+    // (LlmQueries.dupComponents) — consumers now scan the cached edge
+    // frames instead of re-running the minhash/simhash pipelines.
+    "llm_curation_pipeline" -> 9,
     "llm_ngram_table" -> 2,
-    "llm_dedup_keep_best" -> 4,
-    "llm_dup_clusters" -> 4,
+    "llm_dedup_keep_best" -> 3,
+    "llm_dup_clusters" -> 3,
     "llm_decontaminate" -> 2
   )
 
