@@ -170,6 +170,17 @@ object StreamQueries {
           max(col("ts_us")).as("end_us"))
     }),
 
+    // Spark's NATIVE session_window aggregation on the batch frame —
+    // the declarative sibling of stream_sessionize's operator path
+    // (EventsStream.sessionWindowAgg is the same call on a stream; its
+    // streaming emission is spec-driven in EventsStreamSpec). Catalyst
+    // owns session merging here, so this row pins the ENGINE's gap rule:
+    // `diff <= gap` merges, end = last event + gap — the oracle replays
+    // exactly that split with lag/cumsum.
+    "stream_session_window" -> ((s, d) =>
+      graft.streaming.EventsStream.sessionWindowAgg(Tables.events(s, d),
+        gapSeconds = 1800L)),
+
     // Batch twin of dropDuplicatesWithinWatermark: earliest-wins keyed
     // dedup with a deterministic tie-break (the streaming op keeps the
     // first arrival; batch pins arrival order = (ts, event_id)).
@@ -339,6 +350,30 @@ FROM (
   SELECT *, row_number() OVER (PARTITION BY user_id, event_type
                                ORDER BY ts ASC, event_id ASC) AS rn
   FROM events
-) WHERE rn = 1"""
+) WHERE rn = 1""",
+
+    // Spark session_window replay: diff <= gap merges (measured — exact-
+    // gap events merge; spec-pinned), end = last event ts + gap
+    "stream_session_window" -> """
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+), flagged AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC)
+), sess AS (
+  SELECT user_id, ts_us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, min(ts_us) AS start_us,
+       max(ts_us) + 1800000000 AS end_us,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_seq"""
   )
 }

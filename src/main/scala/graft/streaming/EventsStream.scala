@@ -318,6 +318,29 @@ object EventsStream {
       }
   }
 
+  /** Declarative twin of [[sessionizeStream]]: Spark's NATIVE session
+    * window (`session_window(ts, gap)`) — gap-merged per-user sessions as
+    * a grouping expression, so Catalyst owns the state store (merging
+    * session state, watermark eviction) instead of user code. Merge rule
+    * (measured, pinned by spec + oracle): an event extends a session
+    * while `diff <= gap` — two events exactly `gap` apart still merge,
+    * the SAME rule as the flatMapGroupsWithState path and
+    * Temporal.sessionize (`diff > gap` opens). Works identically
+    * on batch frames, where it is a plain aggregate (the oracle replays
+    * it as a lag/cumsum gap split); on a stream, append mode emits only
+    * watermark-finalized sessions. Output end_us is the gap-EXTENDED end
+    * (Spark's window.end = last event + gap). */
+  def sessionWindowAgg(events: DataFrame, gapSeconds: Long): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSeconds seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+
   private def runJob(df: DataFrame, outDir: String, checkpointDir: String): String = {
     val q = df.writeStream
       .format("parquet")

@@ -315,4 +315,32 @@ class EventsStreamSpec extends SparkSpec {
       assert(seqs == Set(1L, 2L, 3L), s"got $seqs")
     } finally q.stop()
   }
+
+  test("sessionWindowAgg: native session_window emits finalized sessions; exact-gap events merge") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Long)]
+    val events = ms.toDF().toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("e")).withColumn("value", lit(0.0))
+      .withColumn("props", lit("{}"))
+    val q = EventsStream.sessionWindowAgg(events, gapSeconds = 1800).writeStream
+      .format("memory").queryName("sw_test").outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L),
+        (2L, ts("2024-01-01 10:20:00"), 7L), // within gap: merges
+        (3L, ts("2024-01-01 10:50:00"), 7L), // exactly gap after #2: MERGES (<= gap)
+        (4L, ts("2024-01-01 12:00:00"), 8L))
+      // watermark push so the sessions finalize (append emits only closed windows)
+      ms.addData((99L, ts("2024-01-03 00:00:00"), 99L))
+      q.processAllAvailable()
+      val rows = spark.table("sw_test").orderBy("user_id", "start_us")
+        .select("user_id", "start_us", "end_us", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      def us(x: String) = ts(x).getTime * 1000L
+      assert(rows == Seq(
+        (7L, us("2024-01-01 10:00:00"), us("2024-01-01 10:50:00") + 1800000000L, 3L),
+        (8L, us("2024-01-01 12:00:00"), us("2024-01-01 12:00:00") + 1800000000L, 1L)),
+        s"got $rows")
+    } finally q.stop()
+  }
 }
