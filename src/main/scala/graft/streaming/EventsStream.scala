@@ -341,6 +341,66 @@ object EventsStream {
         unix_micros(col("sw.end")).as("end_us"),
         col("n_events"))
 
+  /** input row for the streaming SCD2 maintainer */
+  case class Scd2In(user_id: Long, event_id: Long, event_type: String, ts_us: Long)
+  /** the per-key open version held in state */
+  case class Scd2Cur(event_type: String, valid_from_us: Long)
+  /** a version CLOSED by a change — matches stream_scd2_history's closed
+    * rows (valid_to_us non-null) */
+  case class Scd2Closed(user_id: Long, event_type: String,
+                        valid_from_us: Long, valid_to_us: Long)
+
+  /** SCD Type-2 maintenance as a `transformWithState` StatefulProcessor
+    * (Spark 4's arbitrary-state API, the successor of
+    * flatMapGroupsWithState): per-key `ValueState` holds the OPEN
+    * version; an input row with a different attribute value closes it —
+    * emitting the finalized (valid_from, valid_to) interval — and opens
+    * the next. Consecutive repeats collapse, exactly the batch
+    * `stream_scd2_history` rule, whose closed rows are this stream's
+    * complete output (the open versions live in state, not the sink).
+    * State is one small case class per key — O(active keys), never
+    * history-sized; TTL (`TTLConfig`) is the knob a production deploy
+    * sets to bound key cardinality. Requires the RocksDB state store
+    * provider (transformWithState's backing store in Spark 4). */
+  class Scd2Processor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Scd2In, Scd2Closed] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var cur: ValueState[Scd2Cur] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[Scd2Cur]("cur",
+        org.apache.spark.sql.Encoders.product[Scd2Cur], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Scd2In],
+                                 tv: TimerValues): Iterator[Scd2Closed] = {
+      // micro-batch rows arrive unordered; sort this key's slice (bounded
+      // by the batch, not the history)
+      val sorted = rows.toArray.sortBy(r => (r.ts_us, r.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+      var c = if (cur.exists()) cur.get() else null
+      sorted.foreach { r =>
+        if (c == null) c = Scd2Cur(r.event_type, r.ts_us)
+        else if (c.event_type != r.event_type) {
+          out += Scd2Closed(key, c.event_type, c.valid_from_us, r.ts_us)
+          c = Scd2Cur(r.event_type, r.ts_us)
+        } // same value: consecutive repeat, collapses
+      }
+      if (c != null) cur.update(c)
+      out.iterator
+    }
+  }
+
+  /** Streaming SCD2 history: emits closed versions as changes arrive. */
+  def scd2Stream(events: DataFrame): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events.filter(col("event_type").isNotNull)
+      .select(col("user_id").cast(LongType), col("event_id").cast(LongType),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .as[Scd2In]
+      .groupByKey(_.user_id)
+      .transformWithState(new Scd2Processor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   private def runJob(df: DataFrame, outDir: String, checkpointDir: String): String = {
     val q = df.writeStream
       .format("parquet")

@@ -343,4 +343,62 @@ class EventsStreamSpec extends SparkSpec {
         s"got $rows")
     } finally q.stop()
   }
+
+  test("scd2Stream (transformWithState): closes versions on change, matching the batch SCD2 rule") {
+    implicit val ctx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, Timestamp, Long, String)]
+    val events = ms.toDF().toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val q = EventsStream.scd2Stream(events).writeStream
+      .format("memory").queryName("scd2_test").outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L, "view"),
+        (2L, ts("2024-01-01 10:10:00"), 7L, "view"),   // repeat: collapses
+        (3L, ts("2024-01-01 10:20:00"), 7L, "click"),  // closes view
+        (4L, ts("2024-01-01 09:00:00"), 8L, "view"))
+      q.processAllAvailable()
+      // a later batch closes click -> purchase; user 8 stays open (no output)
+      ms.addData((5L, ts("2024-01-01 11:00:00"), 7L, "purchase"))
+      q.processAllAvailable()
+      def us(x: String) = ts(x).getTime * 1000L
+      val rows = spark.table("scd2_test")
+        .orderBy("user_id", "valid_from_us")
+        .as[(Long, String, Long, Long)].collect().toSeq
+      assert(rows == Seq(
+        (7L, "view", us("2024-01-01 10:00:00"), us("2024-01-01 10:20:00")),
+        (7L, "click", us("2024-01-01 10:20:00"), us("2024-01-01 11:00:00"))),
+        s"got $rows")
+      // cross-check vs the batch twin: the stream's output must equal the
+      // batch SCD2 history's CLOSED rows over the same events
+      val batch = spark.createDataset(Seq(
+        (1L, ts("2024-01-01 10:00:00"), 7L, "view"),
+        (2L, ts("2024-01-01 10:10:00"), 7L, "view"),
+        (3L, ts("2024-01-01 10:20:00"), 7L, "click"),
+        (4L, ts("2024-01-01 09:00:00"), 8L, "view"),
+        (5L, ts("2024-01-01 11:00:00"), 7L, "purchase")))
+        .toDF("event_id", "ts", "user_id", "event_type")
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+      val closed = batch
+        .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+        .withColumn("__p", lag($"event_type", 1).over(byUser))
+        .filter($"__p".isNull || $"__p" =!= $"event_type")
+        .select($"user_id", $"event_type", $"ts_us".as("valid_from_us"),
+          lead($"ts_us", 1).over(byUser).as("valid_to_us"))
+        .filter($"valid_to_us".isNotNull)
+        .as[(Long, String, Long, Long)].collect().toSeq
+        .sortBy(r => (r._1, r._3))
+      assert(rows == closed, s"stream $rows != batch closed $closed")
+    } finally {
+      q.stop()
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
 }
