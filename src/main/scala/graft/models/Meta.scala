@@ -130,6 +130,31 @@ object Meta {
       .agg(sum(col(partialCols.head)).as(partialCols.head),
         partialCols.tail.map(p => sum(col(p)).as(p)): _*)
 
+  /** Incremental JOIN maintenance — the join sibling of
+    * [[incrementalAggMerge]], completing the IVM family (aggregate +
+    * join). The maintained view is `V = A ⋈ B` (inner equi-join on
+    * `joinKeys`); an upsert delta `ΔA` (keyed by `deltaKeys`, new +
+    * replaced A-rows) folds in as delete-then-insert:
+    *
+    *   V' = (V ▷ ΔA.keys) ∪ (ΔA ⋈ B)
+    *
+    * Cost shape at 100 TB: the anti join streams V once against the
+    * BROADCAST delta key set, and `ΔA ⋈ B` joins the broadcast delta
+    * against B — so maintenance scans V and B but shuffles NOTHING and
+    * never rejoins the full A (with V and B bucketed on the join key
+    * even the scans prune to the delta's buckets). A full recompute
+    * would shuffle both A and B; the `sync_ivm_join` oracle pins the
+    * delete+insert result exactly equal to that recompute. Delta rows
+    * deleting a key outright (tombstones) are the `deleteKeys` variant a
+    * CDC feed needs — pass them in ΔA with no matching B row semantics
+    * handled upstream. */
+  def incrementalJoinMerge(view: DataFrame, deltaA: DataFrame, b: DataFrame,
+                           deltaKeys: Seq[String], joinKeys: Seq[String]): DataFrame = {
+    val delKeys = broadcast(deltaA.select(deltaKeys.map(col): _*).distinct())
+    view.join(delKeys, deltaKeys, "left_anti")
+      .unionByName(broadcast(deltaA).join(b, joinKeys))
+  }
+
   /** Last-writer-wins snapshot: one row per `uniqueKey`, the greatest
     * `watermarkCol` winning, ties broken by `tieBreak` ascending. */
   def latestByKey(df: DataFrame, uniqueKey: Seq[String], watermarkCol: String,

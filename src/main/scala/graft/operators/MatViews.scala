@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.MatViewRewriteRule
+
+/** Materialized summary tables + the Catalyst rewrite that uses them
+  * (org.apache.spark.sql.graft.MatViewRewriteRule — the Goldstein-Larson
+  * summary-table optimization).
+  *
+  * [[create]] materializes per-`dims` partials of the fact — `__cnt`
+  * plus `__sum_/__min_/__max_` per measure — and registers the summary
+  * so any eligible aggregate over the FACT PATH is silently rewritten
+  * to roll up the dims-cardinality summary instead of scanning the
+  * fact: the difference between a 100 TB scan and a few-MB one for
+  * every dashboard-grain query. The partial layout is exactly
+  * `Meta.incrementalAggMerge`'s mergeable form, so an append-only fact
+  * keeps its MV current per-batch without rebuilds. Rewrites fire only
+  * in sessions where the rule is installed (GraftFunctions.register or
+  * the spark.sql.extensions config). */
+object MatViews {
+
+  /** Build + register. The fact must be readable at `factPath` (that
+    * path identity is what the rule matches). */
+  def create(spark: SparkSession, factPath: String, dims: Seq[String],
+             measures: Seq[String], mvPath: String): Unit = {
+    val fact = spark.read.parquet(factPath)
+    val aggs = count(lit(1)).as("__cnt") +: measures.flatMap(m => Seq(
+      sum(col(m)).as(s"__sum_$m"),
+      min(col(m)).as(s"__min_$m"),
+      max(col(m)).as(s"__max_$m")))
+    fact.groupBy(dims.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(mvPath)
+    MatViewRewriteRule.register(spark, factPath, mvPath, dims, measures)
+  }
+
+  /** Register an already-built summary (e.g. one maintained by
+    * Meta.incrementalAggMerge). */
+  def register(spark: SparkSession, factPath: String, mvPath: String,
+               dims: Seq[String], measures: Seq[String]): Unit =
+    MatViewRewriteRule.register(spark, factPath, mvPath, dims, measures)
+
+  /** Drop all registrations (tests / session teardown). */
+  def clear(): Unit = MatViewRewriteRule.clear()
+}

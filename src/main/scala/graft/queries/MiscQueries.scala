@@ -64,6 +64,42 @@ object MiscQueries {
         src, graft.sources.Sources.readOrc(s, dir), cols, buckets = 64)
     }),
 
+    // Materialized-view rewrite, driver-gated: build + register a
+    // (returnflag, linestatus) summary of lineitem, then aggregate over
+    // the FACT PATH — MatViewRewriteRule silently swaps the scan for the
+    // dims-cardinality summary (MatViewRewriteSpec pins that the swap
+    // actually fires on this very query), and the oracle recomputes from
+    // the raw fact in DuckDB, so the rewrite's EXACTNESS is what this row
+    // gates. sum(l_quantity) is integer-valued (exact in double at any
+    // order); price is min/max only (order-independent) — no
+    // order-sensitive float sums cross the engine boundary.
+    "misc_mv_rewrite" -> ((s, d) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      // the registered fact is a PRIVATE copy, never the shared harness
+      // path — the registry is session-global, and hijacking
+      // $d/lineitem.parquet would silently reroute every other eligible
+      // lineitem aggregate in the registry run through this MV
+      val tmp = System.getProperty("java.io.tmpdir")
+      val appId = s.sparkContext.applicationId
+      val factPath = new java.io.File(tmp, s"graft_mv_fact_$appId").getAbsolutePath
+      val mvPath = new java.io.File(tmp, s"graft_mv_$appId").getAbsolutePath
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite").parquet(factPath)
+      graft.operators.MatViews.create(s, factPath,
+        dims = Seq("l_returnflag", "l_linestatus"),
+        measures = Seq("l_quantity", "l_extendedprice"), mvPath = mvPath)
+      s.read.parquet(factPath)
+        .filter(col("l_returnflag") =!= "N")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+    }),
+
     // S5: the universal SQL-text extract primitive (client.query(q)) —
     // spark.sql over a registered view; the result stays distributed
     // instead of collapsing to the driver as the reference's to_dataframe.
@@ -231,6 +267,27 @@ object MiscQueries {
         from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("k",
             org.apache.spark.sql.types.IntegerType))))("k").as("k_val"))),
+
+    // The VARIANT twin of misc_json_extract — Spark 4's semi-structured
+    // type: props parsed ONCE into the binary Variant encoding
+    // (parse_json), fields then extracted with variant_get at
+    // column-access cost instead of per-access JSON re-parsing — the
+    // right landing-zone shape when payload schemas drift (Airbyte-style
+    // ingestion at 100 TB parses each payload once, not once per query
+    // predicate). Extracted scalars only at the output boundary
+    // (VariantType itself is driver-unhashable by the banned-type gate).
+    "misc_variant_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          variant_get(parse_json(col("props")), "$.k", "int")
+            .cast(org.apache.spark.sql.types.LongType).as("k_val"),
+          col("value"))
+        .withColumn("k_bucket", expr("k_val div 10"))
+        .groupBy(col("k_bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("k_val")).as("k_min"), max(col("k_val")).as("k_max"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DoubleType).as("total_value"))),
 
     // CUBE over the order dims: all four grouping-set combinations in one
     // pass (Expand + partial agg — no re-scan per set), with GROUPING()
@@ -1364,6 +1421,24 @@ FROM lineitem""",
     "misc_json_extract" -> """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
 FROM events""",
+
+    // raw-fact recompute — must equal the MV-rewritten rollup exactly
+    "misc_mv_rewrite" -> """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+FROM lineitem WHERE l_orderkey % 3 = 0 AND l_returnflag <> 'N'
+GROUP BY 1, 2""",
+
+    // json_extract replay of the Variant path (k div 10 buckets)
+    "misc_variant_extract" -> """
+WITH e AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, value
+  FROM events)
+SELECT k_val // 10 AS k_bucket, CAST(count(*) AS BIGINT) AS n_events,
+       min(k_val) AS k_min, max(k_val) AS k_max,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM e GROUP BY 1""",
 
     "misc_skyline" -> """
 WITH o AS (

@@ -167,6 +167,32 @@ object SyncQueries {
         .filter(col("lev") <= 4L)
         .select(col("name_a"), col("name_b"), col("block_key"), col("lev"),
           col("rows_a"), col("rows_b"), col("key_a"), col("key_b"))
+    }),
+
+    // Incremental JOIN maintenance (Meta.incrementalJoinMerge) — the
+    // join sibling of meta_ivm_agg, completing the IVM family. The
+    // maintained view is orders ⋈ customer; the delta upserts every
+    // %97 order's priority and inserts a shifted-key clone of every
+    // %89 order. Maintenance = anti join of the view against the
+    // BROADCAST delta keys ∪ broadcast-delta ⋈ customer — V and B
+    // scanned once, nothing shuffles, A never rejoined. The oracle
+    // recomputes the view from the merged base, pinning
+    // delete+insert == full recompute exactly.
+    "sync_ivm_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      val b = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_nationkey"))
+      val v0 = o.join(b, Seq("o_custkey")) // current view state
+      val delta = o.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_orderpriority", lit("IVM-UPDATED"))
+        .unionByName(o.filter(col("o_orderkey") % 89 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("o_orderpriority", lit("IVM-NEW")))
+      graft.models.Meta.incrementalJoinMerge(v0, delta, b,
+          deltaKeys = Seq("o_orderkey"), joinKeys = Seq("o_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          col("c_name"), col("c_nationkey"))
     })
   )
 
@@ -311,6 +337,23 @@ SELECT coalesce(sa.bucket, da.bucket) AS bucket,
        coalesce(src_rows, 0) = coalesce(dst_rows, 0)
          AND coalesce(src_xor, 0) = coalesce(dst_xor, 0) AS in_sync
 FROM sa FULL JOIN da ON sa.bucket = da.bucket"""
-    }
+    },
+
+    // full recompute from the merged base — must equal the incremental
+    // delete+insert maintenance exactly
+    "sync_ivm_join" -> """
+WITH b AS (SELECT c_custkey AS o_custkey, c_name, c_nationkey FROM customer),
+a0 AS (SELECT o_orderkey, o_custkey, o_orderpriority FROM orders),
+delta AS (
+  SELECT o_orderkey, o_custkey, 'IVM-UPDATED' AS o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, 'IVM-NEW'
+  FROM orders WHERE o_orderkey % 89 = 0),
+merged AS (
+  SELECT * FROM a0 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+  UNION ALL SELECT * FROM delta)
+SELECT m.o_orderkey, m.o_custkey, m.o_orderpriority, b.c_name, b.c_nationkey
+FROM merged m JOIN b USING (o_custkey)"""
   )
 }

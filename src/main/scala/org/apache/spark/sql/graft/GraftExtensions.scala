@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => SkylineStrategy)
     ext.injectOptimizerRule(_ => RangeBinJoinRule)
+    ext.injectOptimizerRule(_ => MatViewRewriteRule)
   }
 }
 
@@ -84,5 +85,8 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(RangeBinJoinRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RangeBinJoinRule
+    if (!spark.experimental.extraOptimizations.contains(MatViewRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MatViewRewriteRule
   }
 }

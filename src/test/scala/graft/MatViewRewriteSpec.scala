@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.MatViews
+
+/** The summary-table rewrite must (1) actually fire — the optimized plan
+  * scans the MV parquet (its `__cnt`/partial columns), not the fact —
+  * (2) produce identical results to the fact-scan aggregate, including
+  * under dim filters and dim-subset rollups, and (3) stand down on every
+  * ineligible shape. */
+class MatViewRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = java.nio.file.Files.createTempDirectory("graft_mv").toString
+  private lazy val factPath = s"$dir/fact"
+  private lazy val mvPath = s"$dir/mv"
+
+  private def setupOnce(): Unit = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    if (!new java.io.File(factPath).exists()) {
+      (1 to 1000).map(i => (s"f${i % 3}", s"s${i % 5}", i.toLong, i * 1.5))
+        .toDF("flag", "status", "qty", "price")
+        .write.parquet(factPath)
+      MatViews.create(spark, factPath, dims = Seq("flag", "status"),
+        measures = Seq("qty", "price"), mvPath = mvPath)
+    }
+  }
+
+  private def fact = spark.read.parquet(factPath)
+
+  /** plan toString omits file paths — detect by the scanned relation's
+    * columns: the MV scan carries the partial columns, the fact doesn't */
+  private def scansMv(q: DataFrame): Boolean = {
+    val rels = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.output.map(_.name).toSet
+    }
+    rels.nonEmpty && rels.forall(_.contains("__cnt"))
+  }
+
+  test("rewrites a full-dims aggregate to the MV scan with identical results") {
+    setupOnce()
+    val q = fact.groupBy($"flag", $"status")
+      .agg(count(lit(1)).as("n"), sum($"qty").as("sq"),
+        min($"price").as("mn"), max($"price").as("mx"))
+    assert(scansMv(q), s"rewrite did not fire:\n${q.queryExecution.optimizedPlan}")
+    // values equal a fresh unrewritten computation (registry cleared)
+    MatViews.clear()
+    val direct = fact.groupBy($"flag", $"status")
+      .agg(count(lit(1)).as("n"), sum($"qty").as("sq"),
+        min($"price").as("mn"), max($"price").as("mx"))
+      .collect().toSet
+    MatViews.register(spark, factPath, mvPath, Seq("flag", "status"), Seq("qty", "price"))
+    assert(q.collect().toSet == direct)
+  }
+
+  test("dim-subset rollup and dim filter both rewrite exactly") {
+    setupOnce()
+    val q = fact.filter($"flag" =!= "f1").groupBy($"status")
+      .agg(sum($"qty").as("sq"), count(lit(1)).as("n"))
+    assert(scansMv(q), s"rewrite did not fire:\n${q.queryExecution.optimizedPlan}")
+    MatViews.clear()
+    val direct = fact.filter($"flag" =!= "f1").groupBy($"status")
+      .agg(sum($"qty").as("sq"), count(lit(1)).as("n")).collect().toSet
+    MatViews.register(spark, factPath, mvPath, Seq("flag", "status"), Seq("qty", "price"))
+    assert(q.collect().toSet == direct)
+  }
+
+  test("ineligible shapes stand down: non-dim filter, distinct, avg, measure grouping, global agg") {
+    setupOnce()
+    val shapes = Seq(
+      fact.filter($"qty" > 10).groupBy($"flag").agg(sum($"qty")),   // filter on measure
+      fact.groupBy($"flag").agg(countDistinct($"status")),           // distinct
+      fact.groupBy($"flag").agg(avg($"qty")),                        // avg not stored
+      fact.groupBy($"qty").agg(count(lit(1))),                       // group on measure
+      fact.agg(sum($"qty"))                                          // global aggregate
+    )
+    shapes.foreach { q =>
+      assert(!scansMv(q),
+        s"should NOT have rewritten:\n${q.queryExecution.optimizedPlan}")
+    }
+  }
+
+  test("count(col) is refused (null-sensitive) but count(*) rewrites") {
+    setupOnce()
+    assert(!scansMv(fact.groupBy($"flag").agg(count($"qty"))))
+    assert(scansMv(fact.groupBy($"flag").agg(count(lit(1)).as("n"))))
+  }
+
+  test("the registered misc_mv_rewrite query's plan scans the MV, not lineitem") {
+    val q = SparkEntry.queries("misc_mv_rewrite")(spark, "/root/testdata/sf0.001")
+    assert(scansMv(q), s"misc_mv_rewrite not rewritten:\n${q.queryExecution.optimizedPlan}")
+  }
+
+  override def afterAll(): Unit = { MatViews.clear(); super.afterAll() }
+}
