@@ -863,6 +863,11 @@ object MiscQueries {
     * parts co-ordered in the same order are linked (distinct canonical
     * pairs; per-order fan-out is bounded by basket size, so edge
     * generation is a shuffle join on orderkey, never quadratic in parts). */
+  /** Plain `.cache()` (unscoped, the retail raw/fct pattern): ten graph
+    * queries build this same projection — the cache manager plan-matches
+    * them to ONE materialization per session instead of re-running the
+    * orders⋈lineitem join + self-join per query. Id-pair rows only
+    * (~20k at sf0.1), so holding it for the session is free. */
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.orders(s, d)
       .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00")
@@ -875,6 +880,7 @@ object MiscQueries {
     li.as("x").join(li.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .cache()
   }
 
   /** The co-purchase edge CTEs shared by the graph-analytics oracles
