@@ -401,6 +401,71 @@ object EventsStream {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** input row for the abandoned-flow detector */
+  case class FlowEvent(user_id: Long, event_type: String, ts_us: Long)
+  /** an open funnel entry awaiting conversion */
+  case class PendingStart(start_us: Long)
+  /** a funnel entry that expired unconverted */
+  case class Abandonment(user_id: Long, start_us: Long, deadline_us: Long)
+
+  /** Abandoned-flow detection — the TIMER half of the transformWithState
+    * API (the SCD2 maintainer covers keyed ValueState; this covers
+    * `registerTimer` + `handleExpiredTimer` with event-time timers): a
+    * `startType` event opens a pending entry and registers an event-time
+    * timer at start + timeout; a `convertType` event clears it; if the
+    * WATERMARK passes the deadline first, the expired-timer callback
+    * emits the abandonment. This is the push-based alternative to
+    * re-scanning for "started but never finished" rows — output appears
+    * the moment lateness is PROVEN (no earlier emission is correct:
+    * a conversion could still arrive inside the watermark), with
+    * O(open flows) state. The batch twin of the end-state is the
+    * left-anti as-of join over the same window. */
+  class AbandonmentProcessor(startType: String, convertType: String, timeoutSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FlowEvent, Abandonment] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig, ValueState}
+    @transient private var pending: ValueState[PendingStart] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      pending = getHandle.getValueState[PendingStart]("pending",
+        org.apache.spark.sql.Encoders.product[PendingStart], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[FlowEvent],
+                                 tv: TimerValues): Iterator[Abandonment] = {
+      rows.toArray.sortBy(_.ts_us).foreach { e =>
+        if (e.event_type == startType && !pending.exists()) {
+          pending.update(PendingStart(e.ts_us))
+          getHandle.registerTimer(e.ts_us / 1000L + timeoutSeconds * 1000L)
+        } else if (e.event_type == convertType && pending.exists()) {
+          pending.clear() // converted — the timer fires on empty state, a no-op
+        }
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[Abandonment] =
+      if (pending.exists()) {
+        val p = pending.get()
+        pending.clear()
+        Iterator.single(Abandonment(key, p.start_us, info.getExpiryTimeInMs * 1000L))
+      } else Iterator.empty
+  }
+
+  /** Streaming abandoned-flow feed: `startType` events never followed by
+    * a `convertType` within `timeoutSeconds` (event time), emitted once
+    * the watermark proves it. */
+  def abandonedFlows(events: DataFrame, startType: String, convertType: String,
+                     timeoutSeconds: Long): Dataset[Abandonment] = {
+    import events.sparkSession.implicits._
+    events.filter(col("event_type").isin(startType, convertType))
+      .select(col("ts").cast(TimestampType), col("user_id").cast(LongType),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .as[FlowEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new AbandonmentProcessor(startType, convertType, timeoutSeconds),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   private def runJob(df: DataFrame, outDir: String, checkpointDir: String): String = {
     val q = df.writeStream
       .format("parquet")

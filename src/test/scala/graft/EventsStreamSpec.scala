@@ -401,4 +401,38 @@ class EventsStreamSpec extends SparkSpec {
                    case None => spark.conf.unset(key) }
     }
   }
+
+  test("abandonedFlows (event-time timers): unconverted starts emit at watermark, converted ones never") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, Timestamp, Long, String)]
+    val events = ms.toDF().toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val q = EventsStream.abandonedFlows(events, "view", "purchase", timeoutSeconds = 1800)
+      .writeStream.format("memory").queryName("abandon_test").outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L, "view"),      // never converts -> abandon
+        (2L, ts("2024-01-01 10:05:00"), 8L, "view"),
+        (3L, ts("2024-01-01 10:20:00"), 8L, "purchase"))  // converts in time
+      q.processAllAvailable()
+      assert(spark.table("abandon_test").isEmpty) // nothing provably late yet
+      // watermark push: 13:00 - 2h delay = 11:00 watermark > both deadlines
+      ms.addData((99L, ts("2024-01-01 13:00:00"), 99L, "view"))
+      q.processAllAvailable()
+      def us(x: String) = ts(x).getTime * 1000L
+      val rows = spark.table("abandon_test")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(rows == Seq(
+        (7L, us("2024-01-01 10:00:00"), us("2024-01-01 10:30:00"))),
+        s"got $rows")
+    } finally {
+      q.stop()
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
 }
