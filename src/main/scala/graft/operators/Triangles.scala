@@ -29,12 +29,16 @@ object Triangles {
     * edges tolerated). Returns ("node", "degree", "triangles") for every
     * node of degree ≥ 2 that closes at least one triangle. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // canonical undirected edge set: distinct (u < v)
-    val e = edges
+    // canonical undirected edge set: distinct (u < v). Query-scoped cache:
+    // e feeds the degree agg AND two orientation joins, and the oriented
+    // frame below feeds three more consumers — without the caches every
+    // consumption re-executes the caller's whole edge plan (measured 2x
+    // end-to-end on the co-purchase projection).
+    val e = graft.QueryCaches.scoped(edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .distinct()
+      .distinct())
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     // orient by the (deg, id) total order — ties broken by id make the
@@ -45,9 +49,9 @@ object Triangles {
       .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
     val uk = struct(col("du").as("d"), col("u").as("i"))
     val vk = struct(col("dv").as("d"), col("v").as("i"))
-    val dir = keyed.select(
+    val dir = graft.QueryCaches.scoped(keyed.select(
       when(uk < vk, col("u")).otherwise(col("v")).as("src"),
-      when(uk < vk, vk).otherwise(uk).as("dk"))
+      when(uk < vk, vk).otherwise(uk).as("dk")))
     // wedge enumeration: two out-edges of the same src, ordered so each
     // unordered out-pair appears once; closure = the (y, z) edge existing
     // in the SAME orientation (y precedes z in the total order, so if

@@ -1,0 +1,52 @@
+#!/usr/bin/env bash
+# One-shot full gate (README "The full gate" table, mechanized):
+#   tools/roundcheck.sh [prev_bench_json]
+# Runs: sbt test -> Verify @ sf0.01 -> selfcheck -> flagship smoke ->
+# Bench @ sf0.1 -> bench_diff vs the previous round's BENCH json.
+# Artifacts land in /tmp/roundcheck/: tests.log, verify.log, bench.json.
+# Exit non-zero on the first failing step.
+set -u
+cd "$(dirname "$0")/.."
+OUT=/tmp/roundcheck
+mkdir -p "$OUT"
+PREV_BENCH="${1:-$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)}"
+
+step() { echo "== [$(date +%H:%M:%S)] $1"; }
+
+step "1/6 sbt test"
+sbt -batch test >"$OUT/tests.log" 2>&1
+rc=$?
+grep -E "Tests: |Suites: " "$OUT/tests.log" | tail -2
+[ $rc -ne 0 ] && { echo "FAIL: sbt test (see $OUT/tests.log)"; exit 1; }
+
+step "2/6 correctness dump (Verify @ sf0.01)"
+SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT/verify" \
+  >"$OUT/verify.log" 2>&1
+rc=$?
+cat "$OUT/verify/verify_errors.json" 2>/dev/null; echo
+[ $rc -ne 0 ] && { echo "FAIL: Verify exited $rc (see $OUT/verify.log)"; exit 1; }
+
+step "3/6 oracle compare (selfcheck)"
+python3 tools/selfcheck.py /root/testdata/sf0.01 "$OUT/verify" | tail -1
+rc=${PIPESTATUS[0]}
+[ $rc -ne 0 ] && { echo "FAIL: selfcheck"; exit 1; }
+
+step "4/6 flagship smoke"
+rows=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 sbt -batch "runMain graft.SmokeEntry" 2>/dev/null \
+  | grep -o 'ENTRY_ROWS=[0-9]*' | cut -d= -f2)
+echo "ENTRY_ROWS=$rows"
+[ -z "$rows" ] || [ "$rows" -le 0 ] && { echo "FAIL: flagship smoke"; exit 1; }
+
+step "5/6 bench @ sf0.1"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" 2>"$OUT/bench.err" | grep '"metric"' >"$OUT/bench.json"
+head -c 200 "$OUT/bench.json"; echo
+[ -s "$OUT/bench.json" ] || { echo "FAIL: bench produced no JSON"; exit 1; }
+
+step "6/6 bench diff vs ${PREV_BENCH:-<none>}"
+if [ -n "${PREV_BENCH:-}" ] && [ -f "$PREV_BENCH" ]; then
+  python3 tools/bench_diff.py "$PREV_BENCH" "$OUT/bench.json"
+  # regressions are reported but not fatal here — judge them with the
+  # noise guidance in BASELINE.md (re-measure standalone before believing)
+fi
+echo "== roundcheck complete; artifacts in $OUT"
