@@ -30,8 +30,14 @@ object NodeSimilarity {
     * FULL degrees (hubs still count as set members — only their role as
     * wedge centers is capped). */
   def jaccardPairs(und: DataFrame, minCommon: Long, centerDegCap: Long): DataFrame = {
-    val deg = und.groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    val centers = und.join(
+    // query-scoped caches (the Triangles lesson): deg feeds the center
+    // gate plus two denominator joins, centers feeds both wedge sides —
+    // without them every consumption re-executes the caller's adjacency
+    // plan, whatever that costs
+    val cachedUnd = graft.QueryCaches.scoped(und)
+    val deg = graft.QueryCaches.scoped(
+      cachedUnd.groupBy(col("n")).agg(count(lit(1)).as("deg")))
+    val centers = cachedUnd.join(
       deg.filter(col("deg") <= centerDegCap).select(col("n")), Seq("n"))
     val common = centers.select(col("n").as("w"), col("m").as("a"))
       .join(centers.select(col("n").as("w"), col("m").as("b")), Seq("w"))
