@@ -181,6 +181,39 @@ object StreamQueries {
       graft.streaming.EventsStream.sessionWindowAgg(Tables.events(s, d),
         gapSeconds = 1800L)),
 
+    // Batch twin of EventsStream.abandonedFlows (the transformWithState
+    // event-time-timer detector): a flow OPENS at the first view after
+    // each purchase (or stream start) — exactly the processor's
+    // "view arms only when nothing is pending" state machine, replayed
+    // declaratively as a keyed running-max purchase carry + first-view-
+    // per-segment — and is ABANDONED when no purchase lands in
+    // (open, open+30min]. Same-ts ties order purchase before view
+    // (lexicographic event_type), pinned identically in the oracle.
+    // Keyed window + keyed anti join only — no global anything.
+    "stream_abandoned_flows" -> ((s, d) => {
+      val T = 1800L * 1000000L
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val ordered = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_type").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flows = ev
+        .withColumn("last_p",
+          max(when(col("event_type") === "purchase", col("ts_us"))).over(ordered))
+        .filter(col("event_type") === "view")
+        .groupBy(col("user_id"), coalesce(col("last_p"), lit(-1L)).as("seg"))
+        .agg(min(col("ts_us")).as("start_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_us").as("p_us"))
+      flows.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_us") > col("start_us") && col("p_us") <= col("start_us") + T,
+          "left_anti")
+        .select(col("user_id"), col("start_us"),
+          (col("start_us") + T).as("deadline_us"))
+    }),
+
     // Batch twin of dropDuplicatesWithinWatermark: earliest-wins keyed
     // dedup with a deterministic tie-break (the streaming op keeps the
     // first arrival; batch pins arrival order = (ts, event_id)).
@@ -351,6 +384,29 @@ FROM (
                                ORDER BY ts ASC, event_id ASC) AS rn
   FROM events
 ) WHERE rn = 1""",
+
+    // abandoned-flow replay: running-max purchase carry segments the
+    // views; first view per segment opens; NOT EXISTS purchase within
+    // the window = abandoned
+    "stream_abandoned_flows" -> """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events WHERE event_type IN ('view', 'purchase')),
+st AS (
+  SELECT user_id, event_type, ts_us,
+         max(CASE WHEN event_type = 'purchase' THEN ts_us END)
+           OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_type ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_p
+  FROM ev),
+flows AS (
+  SELECT user_id, coalesce(last_p, -1) AS seg, min(ts_us) AS start_us
+  FROM st WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT f.user_id, f.start_us, f.start_us + 1800000000 AS deadline_us
+FROM flows f
+WHERE NOT EXISTS (
+  SELECT 1 FROM ev p
+  WHERE p.user_id = f.user_id AND p.event_type = 'purchase'
+    AND p.ts_us > f.start_us AND p.ts_us <= f.start_us + 1800000000)""",
 
     // Spark session_window replay: diff <= gap merges (measured — exact-
     // gap events merge; spec-pinned), end = last event ts + gap
