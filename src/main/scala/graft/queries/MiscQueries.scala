@@ -100,6 +100,20 @@ object MiscQueries {
           max(col("l_extendedprice")).as("max_price"))
     }),
 
+    // The DSv2 connector under the oracle gate: rows are a pure function
+    // of event_id, so DuckDB replays the generator from range() and any
+    // drift in the connector's partitioning/pruning/pushdown (the range
+    // filter here pushes into generation — SyntheticEventsSourceSpec
+    // pins the plan) hash-fails the round. min/max/long-sum outputs only
+    // (no order-sensitive double sums).
+    "misc_dsv2_source" -> ((s, d) =>
+      s.read.format("graft-events")
+        .option("rows", 5000L).option("partitions", 8).load()
+        .filter(col("event_id") >= 1000L && col("event_id") < 4000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_user"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))),
+
     // S5: the universal SQL-text extract primitive (client.query(q)) —
     // spark.sql over a registered view; the result stays distributed
     // instead of collapsing to the driver as the reference's to_dataframe.
@@ -1427,6 +1441,20 @@ FROM lineitem""",
     "misc_json_extract" -> """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
 FROM events""",
+
+    // generator replay from range() — the connector's pure-function
+    // contract makes the whole source oracle-checkable
+    "misc_dsv2_source" -> """
+WITH t AS (SELECT range AS i FROM range(0, 5000)),
+e AS (SELECT i AS event_id, (i * 2654435761) % 1000 AS user_id,
+        CASE (i * 40503) % 4 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+             WHEN 2 THEN 'purchase' ELSE 'signup' END AS event_type,
+        CAST(i % 1000 AS DOUBLE) / 10.0 AS value
+      FROM t)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(user_id) AS BIGINT) AS sum_user,
+       min(value) AS min_value, max(value) AS max_value
+FROM e WHERE event_id >= 1000 AND event_id < 4000 GROUP BY 1""",
 
     // raw-fact recompute — must equal the MV-rewritten rollup exactly
     "misc_mv_rewrite" -> """

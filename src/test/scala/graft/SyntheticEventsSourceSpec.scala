@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The DSv2 connector contract: deterministic rows, real parallelism
+  * (one task per planned range), column pruning, and event_id range
+  * pushdown that narrows GENERATION (not post-filtering) — plus exact
+  * agreement between pushed and unpushed evaluation. */
+class SyntheticEventsSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def feed(rows: Long, partitions: Int = 4) =
+    spark.read.format("graft-events")
+      .option("rows", rows).option("partitions", partitions).load()
+
+  test("produces exactly `rows` deterministic rows across `partitions` tasks") {
+    val df = feed(1000, 4)
+    assert(df.count() == 1000)
+    assert(df.rdd.getNumPartitions == 4)
+    // deterministic: two separate reads agree bit-for-bit
+    val a = df.orderBy("event_id").collect()
+    val b = feed(1000, 7).orderBy("event_id").collect()
+    assert(a.toSeq == b.toSeq) // partitioning must not change content
+    assert(a.head.getAs[Long]("event_id") == 0L)
+    assert(a(1).getAs[java.sql.Timestamp]("ts").getTime ==
+      a.head.getAs[java.sql.Timestamp]("ts").getTime + 1000L)
+  }
+
+  test("column pruning reaches the scan (ReadSchema shrinks)") {
+    val q = feed(100).select($"user_id")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("user_id") && !scan.contains("props"),
+      s"pruning did not reach the scan:\n$scan")
+    assert(q.distinct().count() <= 100)
+  }
+
+  test("event_id range predicates push into generation; residuals stay with Spark") {
+    val q = feed(1000).filter($"event_id" >= 900L && $"event_id" < 950L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[900,950)"),
+      s"pushdown did not narrow the generated range:\n$plan")
+    assert(q.count() == 50)
+    // equality collapses to a 1-row range
+    val one = feed(1000).filter($"event_id" === 123L)
+    assert(one.queryExecution.executedPlan.toString.contains("range=[123,124)"))
+    assert(one.count() == 1)
+    // a non-id predicate is NOT pushed (stays a residual filter) but
+    // still evaluates correctly
+    val res = feed(1000).filter($"event_type" === "view")
+    val resPlan = res.queryExecution.executedPlan.toString
+    assert(resPlan.contains("range=[0,1000)"), s"over-pushed:\n$resPlan")
+    val direct = feed(1000).collect()
+      .count(_.getAs[String]("event_type") == "view")
+    assert(res.count() == direct)
+  }
+
+  test("pushed and unpushed evaluation agree on a mixed predicate") {
+    val pushedQ = feed(2000)
+      .filter($"event_id" >= 500L && $"event_id" <= 1499L && $"user_id" % 7 === 0L)
+    val unpushed = feed(2000).collect().filter { r =>
+      val id = r.getAs[Long]("event_id")
+      id >= 500 && id <= 1499 && r.getAs[Long]("user_id") % 7 == 0
+    }
+    assert(pushedQ.count() == unpushed.length)
+  }
+}
