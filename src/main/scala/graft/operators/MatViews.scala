@@ -25,10 +25,13 @@ object MatViews {
   def create(spark: SparkSession, factPath: String, dims: Seq[String],
              measures: Seq[String], mvPath: String): Unit = {
     val fact = spark.read.parquet(factPath)
+    // __cntn_m (per-measure NON-NULL count) is what makes count(m) and
+    // avg(m) exactly rewritable — count(*) alone can't distinguish nulls
     val aggs = count(lit(1)).as("__cnt") +: measures.flatMap(m => Seq(
       sum(col(m)).as(s"__sum_$m"),
       min(col(m)).as(s"__min_$m"),
-      max(col(m)).as(s"__max_$m")))
+      max(col(m)).as(s"__max_$m"),
+      count(col(m)).as(s"__cntn_$m")))
     fact.groupBy(dims.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(mvPath)

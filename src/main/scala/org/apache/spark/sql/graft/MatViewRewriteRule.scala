@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
 
 /** Optimizer rule: rewrite an aggregate over a registered FACT scan onto
   * its materialized summary table — the classic summary-table rewrite
@@ -25,10 +26,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    references are all dims (the filter then applies on the MV, where
   *    those dims survive ungrouped);
   *  - every grouping expression is a bare dim column;
-  *  - every aggregate is `sum(measure)`, `min(measure)`, `max(measure)`
-  *    or `count(literal)` / `count(*)` — no DISTINCT, no FILTER clause,
-  *    no avg (derive sum/count in the query instead), no count(col)
-  *    (null-sensitive; the MV stores row counts);
+  *  - every aggregate is `sum(measure)`, `min(measure)`, `max(measure)`,
+  *    `count(measure)` (rolls up the stored per-measure NON-NULL count),
+  *    `avg(measure)` (= rolled-up sum / non-null count, non-decimal
+  *    numerics), or `count(literal)` / `count(*)` — no DISTINCT, no
+  *    FILTER clause, no count/avg over dims;
   *  - GROUP BY must be non-empty (a global aggregate over an EMPTY fact
   *    returns one row; the empty MV would return none — refuse rather
   *    than be wrong on the corner).
@@ -135,6 +137,25 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
             Some(m.copy(child = mvAttr(s"__max_${e.name}")).toAggregateExpression())
           case Count(children) if children.forall(_.foldable) =>
             Some(Sum(mvAttr("__cnt")).toAggregateExpression())
+          // count(m): the stored NON-NULL count rolls up by sum. Guarded
+          // on the column existing so pre-__cntn summaries registered via
+          // register() still work (those shapes just stand down).
+          case Count(Seq(e: AttributeReference))
+              if measureSet.contains(e.name) && mvAttr.contains(s"__cntn_${e.name}") =>
+            Some(Sum(mvAttr(s"__cntn_${e.name}")).toAggregateExpression())
+          // avg(m) = sum(__sum_m) / sum(__cntn_m) — exact for the same
+          // reason avg itself is sum/count. Restricted to non-decimal
+          // numerics (DECIMAL avg has its own precision/scale rules).
+          // Double avgs can differ in the last ulp from the direct plan
+          // (different summation grouping) — the same reassociation
+          // nondeterminism Spark's own partition order already has.
+          case Average(e: AttributeReference, _)
+              if measureSet.contains(e.name) && mvAttr.contains(s"__cntn_${e.name}") &&
+                 (e.dataType == DoubleType || e.dataType == FloatType ||
+                  e.dataType == LongType || e.dataType == IntegerType) =>
+            Some(Divide(
+              Cast(Sum(mvAttr(s"__sum_${e.name}")).toAggregateExpression(), DoubleType),
+              Cast(Sum(mvAttr(s"__cntn_${e.name}")).toAggregateExpression(), DoubleType)))
           case _ => None
         }
         rollup.map { r =>

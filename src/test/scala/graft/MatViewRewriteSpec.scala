@@ -19,11 +19,14 @@ class MatViewRewriteSpec extends SparkSpec {
   private def setupOnce(): Unit = {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     if (!new java.io.File(factPath).exists()) {
-      (1 to 1000).map(i => (s"f${i % 3}", s"s${i % 5}", i.toLong, i * 1.5))
-        .toDF("flag", "status", "qty", "price")
+      // score is nullable WITH nulls so count/avg rewrites face real
+      // null semantics; its values are small integers in double (ulp-safe)
+      (1 to 1000).map(i => (s"f${i % 3}", s"s${i % 5}", i.toLong, i * 1.5,
+          if (i % 4 == 0) None else Some((i % 10).toDouble)))
+        .toDF("flag", "status", "qty", "price", "score")
         .write.parquet(factPath)
       MatViews.create(spark, factPath, dims = Seq("flag", "status"),
-        measures = Seq("qty", "price"), mvPath = mvPath)
+        measures = Seq("qty", "price", "score"), mvPath = mvPath)
     }
   }
 
@@ -51,7 +54,7 @@ class MatViewRewriteSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), sum($"qty").as("sq"),
         min($"price").as("mn"), max($"price").as("mx"))
       .collect().toSet
-    MatViews.register(spark, factPath, mvPath, Seq("flag", "status"), Seq("qty", "price"))
+    MatViews.register(spark, factPath, mvPath, Seq("flag", "status"), Seq("qty", "price", "score"))
     assert(q.collect().toSet == direct)
   }
 
@@ -63,16 +66,16 @@ class MatViewRewriteSpec extends SparkSpec {
     MatViews.clear()
     val direct = fact.filter($"flag" =!= "f1").groupBy($"status")
       .agg(sum($"qty").as("sq"), count(lit(1)).as("n")).collect().toSet
-    MatViews.register(spark, factPath, mvPath, Seq("flag", "status"), Seq("qty", "price"))
+    MatViews.register(spark, factPath, mvPath, Seq("flag", "status"), Seq("qty", "price", "score"))
     assert(q.collect().toSet == direct)
   }
 
-  test("ineligible shapes stand down: non-dim filter, distinct, avg, measure grouping, global agg") {
+  test("ineligible shapes stand down: non-dim filter, distinct, dim count, measure grouping, global agg") {
     setupOnce()
     val shapes = Seq(
       fact.filter($"qty" > 10).groupBy($"flag").agg(sum($"qty")),   // filter on measure
       fact.groupBy($"flag").agg(countDistinct($"status")),           // distinct
-      fact.groupBy($"flag").agg(avg($"qty")),                        // avg not stored
+      fact.groupBy($"flag").agg(count($"status")),                   // count over a dim
       fact.groupBy($"qty").agg(count(lit(1))),                       // group on measure
       fact.agg(sum($"qty"))                                          // global aggregate
     )
@@ -82,10 +85,24 @@ class MatViewRewriteSpec extends SparkSpec {
     }
   }
 
-  test("count(col) is refused (null-sensitive) but count(*) rewrites") {
+  test("count(measure) and avg(measure) rewrite with exact null semantics") {
     setupOnce()
-    assert(!scansMv(fact.groupBy($"flag").agg(count($"qty"))))
-    assert(scansMv(fact.groupBy($"flag").agg(count(lit(1)).as("n"))))
+    val q = fact.groupBy($"flag")
+      .agg(count(lit(1)).as("n_rows"), count($"score").as("n_score"),
+        avg($"score").as("avg_score"), avg($"qty").as("avg_qty"))
+    assert(scansMv(q), s"rewrite did not fire:\n${q.queryExecution.optimizedPlan}")
+    MatViews.clear()
+    val direct = fact.groupBy($"flag")
+      .agg(count(lit(1)).as("n_rows"), count($"score").as("n_score"),
+        avg($"score").as("avg_score"), avg($"qty").as("avg_qty"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    MatViews.register(spark, factPath, mvPath, Seq("flag", "status"), Seq("qty", "price", "score"))
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == direct, s"mv $got != direct $direct")
+    // nulls actually exercised: non-null count < row count
+    assert(got.forall { case (_, n, ns, _, _) => ns < n })
   }
 
   test("the registered misc_mv_rewrite query's plan scans the MV, not lineitem") {
