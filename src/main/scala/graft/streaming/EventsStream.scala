@@ -378,7 +378,12 @@ object EventsStream {
       var c = if (cur.exists()) cur.get() else null
       sorted.foreach { r =>
         if (c == null) c = Scd2Cur(r.event_type, r.ts_us)
-        else if (c.event_type != r.event_type) {
+        else if (r.ts_us < c.valid_from_us) {
+          // late beyond the open version: already-emitted intervals can't
+          // be rewritten, so folding this row in would produce an inverted
+          // (valid_to < valid_from) interval. Dropped — cross-batch order
+          // is only guaranteed up to the open version's start.
+        } else if (c.event_type != r.event_type) {
           out += Scd2Closed(key, c.event_type, c.valid_from_us, r.ts_us)
           c = Scd2Cur(r.event_type, r.ts_us)
         } // same value: consecutive repeat, collapses
@@ -388,7 +393,11 @@ object EventsStream {
     }
   }
 
-  /** Streaming SCD2 history: emits closed versions as changes arrive. */
+  /** Streaming SCD2 history: emits closed versions as changes arrive.
+    * Rows are ordered within each micro-batch; across batches a row with
+    * ts earlier than the open version's start is dropped (see
+    * [[Scd2Processor.handleInputRows]]) — feed in event-time order (or
+    * behind a watermark-sorted stage) for exact batch parity. */
   def scd2Stream(events: DataFrame): Dataset[Scd2Closed] = {
     import events.sparkSession.implicits._
     events.filter(col("event_type").isNotNull)
@@ -403,8 +412,13 @@ object EventsStream {
 
   /** input row for the abandoned-flow detector */
   case class FlowEvent(user_id: Long, event_type: String, ts_us: Long)
-  /** an open funnel entry awaiting conversion */
-  case class PendingStart(start_us: Long)
+  /** per-key flow state: the open funnel entry (`start_us >= 0`, with its
+    * registered timer's deadline for exact-match expiry and deleteTimer),
+    * plus whether the current purchase segment has already armed a flow —
+    * the batch twin opens only the FIRST view per segment, so once a flow
+    * opens (and even after it expires) later views must not re-arm until
+    * a `convertType` event starts the next segment. */
+  case class FlowState(start_us: Long, deadline_ms: Long, seg_consumed: Boolean)
   /** a funnel entry that expired unconverted */
   case class Abandonment(user_id: Long, start_us: Long, deadline_us: Long)
 
@@ -416,36 +430,61 @@ object EventsStream {
     * WATERMARK passes the deadline first, the expired-timer callback
     * emits the abandonment. This is the push-based alternative to
     * re-scanning for "started but never finished" rows — output appears
-    * the moment lateness is PROVEN (no earlier emission is correct:
-    * a conversion could still arrive inside the watermark), with
-    * O(open flows) state. The batch twin of the end-state is the
-    * left-anti as-of join over the same window. */
+    * the moment lateness is PROVEN (by the watermark passing the
+    * deadline, or by a conversion arriving after it), with
+    * O(open flows) state. Exactly the batch `stream_abandoned_flows`
+    * rule: one flow per purchase segment (the FIRST view after each
+    * conversion arms; later views never re-arm), ties sort conversion
+    * before start, and a conversion outside (start, start+T] does NOT
+    * rescue the flow. */
   class AbandonmentProcessor(startType: String, convertType: String, timeoutSeconds: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FlowEvent, Abandonment] {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig, ValueState}
-    @transient private var pending: ValueState[PendingStart] = _
+    private val timeoutUs = timeoutSeconds * 1000000L
+    @transient private var state: ValueState[FlowState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      pending = getHandle.getValueState[PendingStart]("pending",
-        org.apache.spark.sql.Encoders.product[PendingStart], TTLConfig.NONE)
+      state = getHandle.getValueState[FlowState]("flow",
+        org.apache.spark.sql.Encoders.product[FlowState], TTLConfig.NONE)
     override def handleInputRows(key: Long, rows: Iterator[FlowEvent],
                                  tv: TimerValues): Iterator[Abandonment] = {
-      rows.toArray.sortBy(_.ts_us).foreach { e =>
-        if (e.event_type == startType && !pending.exists()) {
-          pending.update(PendingStart(e.ts_us))
-          getHandle.registerTimer(e.ts_us / 1000L + timeoutSeconds * 1000L)
-        } else if (e.event_type == convertType && pending.exists()) {
-          pending.clear() // converted — the timer fires on empty state, a no-op
+      val out = scala.collection.mutable.ArrayBuffer.empty[Abandonment]
+      var st = if (state.exists()) state.get() else FlowState(-1L, -1L, seg_consumed = false)
+      // ts tie-break: convertType sorts before startType at the same
+      // instant ("purchase" < "view"), matching the batch twin's
+      // (ts_us, event_type) ordering — a same-ts purchase closes the
+      // OLD segment before the view opens the next one.
+      rows.toArray.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+        if (e.event_type == startType) {
+          if (st.start_us < 0 && !st.seg_consumed) {
+            val deadlineMs = e.ts_us / 1000L + timeoutSeconds * 1000L
+            st = FlowState(e.ts_us, deadlineMs, seg_consumed = true)
+            getHandle.registerTimer(deadlineMs)
+          } // a later view in an armed/consumed segment never re-arms
+        } else if (e.event_type == convertType) {
+          if (st.start_us >= 0) {
+            getHandle.deleteTimer(st.deadline_ms) // no stale timer survives the flow
+            if (e.ts_us > st.start_us + timeoutUs)
+              // the conversion itself PROVES the deadline passed unconverted —
+              // batch abandons this flow (purchase outside (start, start+T]);
+              // emit now rather than waiting for the watermark
+              out += Abandonment(key, st.start_us, st.start_us + timeoutUs)
+          }
+          st = FlowState(-1L, -1L, seg_consumed = false) // conversion opens a new segment
         }
       }
-      Iterator.empty
+      state.update(st)
+      out.iterator
     }
     override def handleExpiredTimer(key: Long, tv: TimerValues,
-                                    info: ExpiredTimerInfo): Iterator[Abandonment] =
-      if (pending.exists()) {
-        val p = pending.get()
-        pending.clear()
-        Iterator.single(Abandonment(key, p.start_us, info.getExpiryTimeInMs * 1000L))
-      } else Iterator.empty
+                                    info: ExpiredTimerInfo): Iterator[Abandonment] = {
+      val st = if (state.exists()) state.get() else FlowState(-1L, -1L, seg_consumed = false)
+      if (st.start_us >= 0 && info.getExpiryTimeInMs == st.deadline_ms) {
+        // segment stays consumed: the batch twin opens one flow per
+        // segment, so post-expiry views must not re-arm
+        state.update(FlowState(-1L, -1L, seg_consumed = true))
+        Iterator.single(Abandonment(key, st.start_us, st.start_us + timeoutUs))
+      } else Iterator.empty // stale timer from a converted flow: ignore
+    }
   }
 
   /** Streaming abandoned-flow feed: `startType` events never followed by

@@ -435,4 +435,140 @@ class EventsStreamSpec extends SparkSpec {
                    case None => spark.conf.unset(key) }
     }
   }
+
+  test("abandonedFlows matches the batch twin: convert->restart, re-arm suppression, same-ts ties, late conversions") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, Timestamp, Long, String)]
+    val events = ms.toDF().toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val q = EventsStream.abandonedFlows(events, "view", "purchase", timeoutSeconds = 1800)
+      .writeStream.format("memory").queryName("abandon_twin").outputMode("append").start()
+    val fed = scala.collection.mutable.ArrayBuffer.empty[(Long, Timestamp, Long, String)]
+    def feed(rows: (Long, Timestamp, Long, String)*): Unit = {
+      fed ++= rows; ms.addData(rows); q.processAllAvailable()
+    }
+    try {
+      def us(x: String) = ts(x).getTime * 1000L
+      // batch 1: arm flows across four users
+      feed(
+        // user 7: start -> convert -> start; the second flow must get its
+        // OWN deadline (the stale 10:30 timer from the first start is
+        // deleted on conversion — the r9 ADVICE high bug)
+        (1L, ts("2024-01-01 10:00:00"), 7L, "view"),
+        (2L, ts("2024-01-01 10:10:00"), 7L, "purchase"),
+        (3L, ts("2024-01-01 10:20:00"), 7L, "view"),
+        // user 8: two views in one segment — only the first arms
+        (4L, ts("2024-01-01 10:00:00"), 8L, "view"),
+        (5L, ts("2024-01-01 10:05:00"), 8L, "view"),
+        // user 9: armed; a LATE purchase arrives in batch 2
+        (6L, ts("2024-01-01 10:00:00"), 9L, "view"),
+        // user 10: armed; same-ts purchase+view tie in batch 1 — the
+        // purchase must process first (batch twin's event_type tie-break),
+        // converting the old flow and letting the view arm the next one
+        (7L, ts("2024-01-01 10:00:00"), 10L, "view"),
+        (8L, ts("2024-01-01 10:15:00"), 10L, "view"),
+        (9L, ts("2024-01-01 10:15:00"), 10L, "purchase"))
+      // batch 2: user 9's purchase lands AFTER its 10:30 deadline — the
+      // conversion itself proves abandonment (emitted without any
+      // watermark push), then view 11:05 arms the new segment and
+      // converts in time
+      feed(
+        (10L, ts("2024-01-01 11:00:00"), 9L, "purchase"),
+        (11L, ts("2024-01-01 11:05:00"), 9L, "view"),
+        (12L, ts("2024-01-01 11:10:00"), 9L, "purchase"),
+        (13L, ts("2024-01-01 13:30:00"), 99L, "view"))
+      // (the no-data watermark batch may already have fired other users'
+      // timers by now; user 9's row specifically must NOT wait for one —
+      // its 10:30 deadline is proven by the 11:00 purchase itself)
+      assert(spark.table("abandon_twin").as[(Long, Long, Long)].collect()
+        .contains((9L, us("2024-01-01 10:00:00"), us("2024-01-01 10:30:00"))),
+        "late conversion must emit the abandonment immediately")
+      // batch 3: watermark 11:30 (13:30 - 2h) fires the timers for users
+      // 7 (10:50), 8 (10:30), 10 (10:45); user 8's post-expiry view at
+      // 11:30 must NOT re-arm (segment already consumed)
+      feed((14L, ts("2024-01-01 11:30:00"), 8L, "view"),
+           (15L, ts("2024-01-01 14:30:00"), 99L, "view"))
+      // batch 4: watermark 12:30 > 11:30+T — a wrongly re-armed user-8
+      // flow would fire here; batch 5: watermark 16:00 flushes user 99
+      feed((16L, ts("2024-01-01 18:00:00"), 99L, "view"))
+      feed((17L, ts("2024-01-01 21:00:00"), 99L, "view"))
+      val got = spark.table("abandon_twin").as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(got == Seq(
+        (7L, us("2024-01-01 10:20:00"), us("2024-01-01 10:50:00")),
+        (8L, us("2024-01-01 10:00:00"), us("2024-01-01 10:30:00")),
+        (9L, us("2024-01-01 10:00:00"), us("2024-01-01 10:30:00")),
+        (10L, us("2024-01-01 10:15:00"), us("2024-01-01 10:45:00")),
+        (99L, us("2024-01-01 13:30:00"), us("2024-01-01 14:00:00"))), s"got $got")
+      // the stream's complete output must equal the batch twin over the
+      // SAME events (the stream_abandoned_flows rule, inlined)
+      val T = 1800L * 1000000L
+      val ev = fed.toSeq.toDF("event_id", "ts", "user_id", "event_type")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+      val ordered = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts_us".asc, $"event_type".asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val flows = ev
+        .withColumn("last_p",
+          max(when($"event_type" === "purchase", $"ts_us")).over(ordered))
+        .filter($"event_type" === "view")
+        .groupBy($"user_id", coalesce($"last_p", lit(-1L)).as("seg"))
+        .agg(min($"ts_us").as("start_us"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts_us".as("p_us"))
+      val batchRows = flows.join(purchases,
+          $"user_id" === $"p_user" && $"p_us" > $"start_us" && $"p_us" <= $"start_us" + T,
+          "left_anti")
+        .select($"user_id", $"start_us", ($"start_us" + T).as("deadline_us"))
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+        // streaming can only prove abandonment up to the final watermark
+        .filter(_._3 <= us("2024-01-01 21:00:00") - 2L * 3600000000L)
+      assert(got == batchRows, s"stream $got != batch twin $batchRows")
+    } finally {
+      q.stop()
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("scd2Stream drops rows later than the open version's start instead of emitting inverted intervals") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, Timestamp, Long, String)]
+    val events = ms.toDF().toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val q = EventsStream.scd2Stream(events).writeStream
+      .format("memory").queryName("scd2_late").outputMode("append").start()
+    try {
+      def us(x: String) = ts(x).getTime * 1000L
+      ms.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L, "view"),
+        (2L, ts("2024-01-01 10:20:00"), 7L, "click"))
+      q.processAllAvailable()
+      // late row BEFORE the open version's valid_from (10:20): dropped —
+      // the already-emitted (view, 10:00, 10:20) interval can't be rewritten
+      ms.addData((3L, ts("2024-01-01 10:10:00"), 7L, "purchase"))
+      q.processAllAvailable()
+      ms.addData((4L, ts("2024-01-01 11:00:00"), 7L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("scd2_late").orderBy("valid_from_us")
+        .as[(Long, String, Long, Long)].collect().toSeq
+      assert(rows == Seq(
+        (7L, "view", us("2024-01-01 10:00:00"), us("2024-01-01 10:20:00")),
+        (7L, "click", us("2024-01-01 10:20:00"), us("2024-01-01 11:00:00"))),
+        s"late row must be dropped, open version preserved: $rows")
+      rows.foreach { r => assert(r._4 > r._3, s"inverted interval $r") }
+    } finally {
+      q.stop()
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
 }
