@@ -100,6 +100,40 @@ object MiscQueries {
           max(col("l_extendedprice")).as("max_price"))
     }),
 
+    // The IVM-MAINTAINED summary path under the oracle gate: the MV is
+    // built over two thirds of the fact, the last third arrives as an
+    // append-only delta folded in via MatViews.maintain (no fact
+    // rescan), and the final aggregate — including a count(DISTINCT dim)
+    // exercising the distinct-dims rewrite — reads the maintained
+    // summary. DuckDB recomputes over the FULL fact, so any maintenance
+    // drift (missed delta rows, wrong min/max merge, stale registration)
+    // hash-fails the round.
+    "misc_mv_maintained" -> ((s, d) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val appId = s.sparkContext.applicationId
+      val factPath = new java.io.File(tmp, s"graft_mvm_fact_$appId").getAbsolutePath
+      val mvPath = new java.io.File(tmp, s"graft_mvm_$appId").getAbsolutePath
+      val dims = Seq("l_returnflag", "l_linestatus")
+      val measures = Seq("l_quantity", "l_extendedprice")
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"))
+      li.filter(col("l_orderkey") % 3 < 2)
+        .write.mode("overwrite").parquet(factPath)
+      graft.operators.MatViews.create(s, factPath, dims, measures, mvPath)
+      val delta = li.filter(col("l_orderkey") % 3 === 2)
+      delta.write.mode("append").parquet(factPath)
+      graft.operators.MatViews.maintain(s, factPath, mvPath, dims, measures, delta)
+      s.read.parquet(factPath)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_linestatus")).as("n_status"),
+          sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+    }),
+
     // The DSv2 connector under the oracle gate: rows are a pure function
     // of event_id, so DuckDB replays the generator from range() and any
     // drift in the connector's partitioning/pruning/pushdown (the range
@@ -1463,6 +1497,14 @@ SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
        min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
 FROM lineitem WHERE l_orderkey % 3 = 0 AND l_returnflag <> 'N'
 GROUP BY 1, 2""",
+
+    // full-fact recompute: the maintained MV must equal it exactly
+    "misc_mv_maintained" -> """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_status,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY 1""",
 
     // json_extract replay of the Variant path (k div 10 buckets)
     "misc_variant_extract" -> """

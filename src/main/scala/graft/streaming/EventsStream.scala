@@ -174,6 +174,32 @@ object EventsStream {
     q.runId.toString
   }
 
+  /** Streaming MV maintenance: `runIvmAggJob`'s registered-summary
+    * sibling — each micro-batch of appended fact rows folds into a
+    * [[graft.operators.MatViews]] summary via `MatViews.maintain`
+    * (partial agg over the batch + group-cardinality merge; min/max
+    * merge by min/max, everything else by sum), and the rewrite rule's
+    * registration is refreshed per batch, so eligible aggregates over
+    * the FACT path keep rewriting to a summary that is exact over
+    * everything appended so far. The fact history is never rescanned.
+    * Same at-least-once caveat as `runIvmAggJob` (overwrite-then-commit
+    * window; a transactional table format closes it). */
+  def runMvMaintainJob(spark: SparkSession, inDir: String, factPath: String,
+                       mvPath: String, checkpointDir: String,
+                       dims: Seq[String], measures: Seq[String]): String = {
+    val q = readEventsStream(spark, inDir).writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.MatViews.maintain(spark, factPath, mvPath,
+          dims, measures, batch.toDF())
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.runId.toString
+  }
+
   /** Stream-stream interval join: each click joined to the same user's
     * purchases landing within `withinSeconds` after it — attribution, the
     * canonical two-stream join. Both sides carry watermarks and the join

@@ -29,8 +29,10 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
   *  - every aggregate is `sum(measure)`, `min(measure)`, `max(measure)`,
   *    `count(measure)` (rolls up the stored per-measure NON-NULL count),
   *    `avg(measure)` (= rolled-up sum / non-null count, non-decimal
-  *    numerics), or `count(literal)` / `count(*)` — no DISTINCT, no
-  *    FILTER clause, no count/avg over dims;
+  *    numerics), `count(literal)` / `count(*)`, or
+  *    `count(DISTINCT dim[, dim...])` (exact: the MV groups by ALL dims,
+  *    so it preserves the fact's distinct dim combinations) — no other
+  *    DISTINCT aggregate, no FILTER clause, no count/avg over dims;
   *  - GROUP BY must be non-empty (a global aggregate over an EMPTY fact
   *    returns one row; the empty MV would return none — refuse rather
   *    than be wrong on the corner).
@@ -91,8 +93,14 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] =
     unwrap(agg.child).flatMap { case (rel, filterOpt) =>
-      factPathsOf(rel).flatMap(p => registry.get(p)).headOption
-        .flatMap(mv => rewriteWith(agg, rel, filterOpt, mv))
+      // the scan must cover EXACTLY the registered fact path: a
+      // multi-path scan (read.parquet(fact, other)) holds rows the MV
+      // never saw — rewriting it to the MV alone would drop them
+      factPathsOf(rel) match {
+        case Seq(single) =>
+          registry.get(single).flatMap(mv => rewriteWith(agg, rel, filterOpt, mv))
+        case _ => None
+      }
     }
 
   private def rewriteWith(agg: Aggregate, rel: LogicalRelation,
@@ -126,6 +134,21 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
         Some(Alias(mvDim(a.name), a.name)(exprId = a.exprId))
       case al @ Alias(a: AttributeReference, name) if isDim(a) =>
         Some(Alias(mvDim(a.name), name)(exprId = al.exprId))
+      // count(DISTINCT dim[, dim...]): the MV groups by ALL dims, so it
+      // preserves exactly the distinct dim combinations present in the
+      // fact — the same distinct count over the MV's dim columns is
+      // identical (including NULL-skip semantics, which both sides share)
+      case al @ Alias(ae: AggregateExpression, name)
+          if ae.filter.isEmpty && ae.isDistinct =>
+        ae.aggregateFunction match {
+          case Count(children) if children.nonEmpty && children.forall {
+              case a: AttributeReference => isDim(a)
+              case _ => false } =>
+            val mapped = children.map { case a: AttributeReference => mvDim(a.name) }
+            Some(Alias(Count(mapped).toAggregateExpression(isDistinct = true),
+              name)(exprId = al.exprId))
+          case _ => None // any other DISTINCT aggregate: stand down
+        }
       case al @ Alias(ae: AggregateExpression, name)
           if ae.filter.isEmpty && !ae.isDistinct =>
         val rollup: Option[Expression] = ae.aggregateFunction match {
@@ -135,7 +158,10 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
             Some(m.copy(child = mvAttr(s"__min_${e.name}")).toAggregateExpression())
           case m @ Max(e: AttributeReference) if measureSet.contains(e.name) =>
             Some(m.copy(child = mvAttr(s"__max_${e.name}")).toAggregateExpression())
-          case Count(children) if children.forall(_.foldable) =>
+          // count(*) / count(lit): only when every child is foldable AND
+          // non-nullable — count(NULL) is foldable but must return 0 per
+          // group, not the row count
+          case Count(children) if children.forall(c => c.foldable && !c.nullable) =>
             Some(Sum(mvAttr("__cnt")).toAggregateExpression())
           // count(m): the stored NON-NULL count rolls up by sum. Guarded
           // on the column existing so pre-__cntn summaries registered via

@@ -70,11 +70,12 @@ class MatViewRewriteSpec extends SparkSpec {
     assert(q.collect().toSet == direct)
   }
 
-  test("ineligible shapes stand down: non-dim filter, distinct, dim count, measure grouping, global agg") {
+  test("ineligible shapes stand down: non-dim filter, distinct measure, dim count, measure grouping, global agg") {
     setupOnce()
     val shapes = Seq(
       fact.filter($"qty" > 10).groupBy($"flag").agg(sum($"qty")),   // filter on measure
-      fact.groupBy($"flag").agg(countDistinct($"status")),           // distinct
+      fact.groupBy($"flag").agg(countDistinct($"qty")),              // distinct over a measure
+      fact.groupBy($"flag").agg(sum_distinct($"qty")),                // non-count distinct
       fact.groupBy($"flag").agg(count($"status")),                   // count over a dim
       fact.groupBy($"qty").agg(count(lit(1))),                       // group on measure
       fact.agg(sum($"qty"))                                          // global aggregate
@@ -103,6 +104,81 @@ class MatViewRewriteSpec extends SparkSpec {
     assert(got == direct, s"mv $got != direct $direct")
     // nulls actually exercised: non-null count < row count
     assert(got.forall { case (_, n, ns, _, _) => ns < n })
+  }
+
+  test("multi-path scans and count(NULL) stand down") {
+    setupOnce()
+    val otherPath = s"$dir/other"
+    if (!new java.io.File(otherPath).exists())
+      Seq(("fX", "sX", 5L, 1.0, Option(1.0)))
+        .toDF("flag", "status", "qty", "price", "score")
+        .write.parquet(otherPath)
+    // read.parquet(fact, other): one rootPath matches the registry, but
+    // the scan holds rows the MV never saw — must NOT rewrite
+    val multi = spark.read.parquet(factPath, otherPath)
+      .groupBy($"flag").agg(count(lit(1)).as("n"))
+    assert(!scansMv(multi),
+      s"multi-path scan was rewritten:\n${multi.queryExecution.optimizedPlan}")
+    assert(multi.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      .get("fX").contains(1L), "the unregistered path's rows must survive")
+    // count(NULL) is foldable but nullable: 0 per group, not the row count
+    val cn = fact.groupBy($"flag").agg(count(lit(null)).as("n"))
+    assert(!scansMv(cn),
+      s"count(NULL) was rewritten:\n${cn.queryExecution.optimizedPlan}")
+    assert(cn.collect().forall(_.getLong(1) == 0L))
+  }
+
+  test("count(DISTINCT dim) rewrites exactly; count(DISTINCT measure) stands down") {
+    setupOnce()
+    val q = fact.groupBy($"flag")
+      .agg(countDistinct($"status").as("n_status"), sum($"qty").as("sq"))
+    assert(scansMv(q), s"distinct-dim count did not rewrite:\n${q.queryExecution.optimizedPlan}")
+    MatViews.clear()
+    val direct = fact.groupBy($"flag")
+      .agg(countDistinct($"status").as("n_status"), sum($"qty").as("sq"))
+      .collect().toSet
+    MatViews.register(spark, factPath, mvPath, Seq("flag", "status"), Seq("qty", "price", "score"))
+    assert(q.collect().toSet == direct)
+    val bad = fact.groupBy($"flag").agg(countDistinct($"qty"))
+    assert(!scansMv(bad),
+      s"distinct over a MEASURE must stand down:\n${bad.queryExecution.optimizedPlan}")
+  }
+
+  test("streaming append IVM-maintains the registered MV end-to-end (runMvMaintainJob)") {
+    import java.sql.Timestamp
+    val base = java.nio.file.Files.createTempDirectory("graft_mv_stream").toString
+    val sFactPath = s"$base/fact"
+    val sMvPath = s"$base/mv"
+    def ev(id: Long, t: String, v: Double) =
+      (id, Timestamp.valueOf("2024-01-01 10:00:00"), id % 7, t, v, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // initial fact + its MV
+    val initial = (1 to 300).map(i => ev(i.toLong, s"t${i % 3}", (i % 11).toDouble))
+    initial.toDF(cols: _*).write.parquet(sFactPath)
+    MatViews.create(spark, sFactPath, dims = Seq("event_type"),
+      measures = Seq("value"), mvPath = sMvPath)
+    // two delta files land in the stream inbox AND append to the fact
+    val inDir = s"$base/inbox"
+    val delta1 = (301 to 400).map(i => ev(i.toLong, s"t${i % 4}", (i % 13).toDouble))
+    val delta2 = (401 to 450).map(i => ev(i.toLong, "t9", (i % 5).toDouble))
+    (delta1 ++ delta2).toDF(cols: _*).write.mode("append").parquet(sFactPath)
+    delta1.toDF(cols: _*).write.parquet(s"$inDir/d1")
+    delta2.toDF(cols: _*).write.parquet(s"$inDir/d2")
+    graft.streaming.EventsStream.runMvMaintainJob(spark, s"$inDir/*", sFactPath,
+      sMvPath, s"$base/ckpt", dims = Seq("event_type"), measures = Seq("value"))
+    // the maintained summary must make eligible aggregates over the
+    // APPENDED fact rewrite AND stay exact
+    val q = spark.read.parquet(sFactPath).groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sv"),
+        min($"value").as("mn"), max($"value").as("mx"))
+    assert(scansMv(q), s"maintained MV not used:\n${q.queryExecution.optimizedPlan}")
+    MatViews.clear()
+    val direct = q.collect().toSet // registry cleared: recomputes from the fact
+    MatViews.register(spark, sFactPath, sMvPath, Seq("event_type"), Seq("value"))
+    assert(q.collect().toSet == direct, "maintained MV diverged from the fact")
+    // t9 exists only in the delta: maintenance genuinely folded new groups in
+    assert(q.filter($"event_type" === "t9").count() == 1)
+    MatViews.clear()
   }
 
   test("the registered misc_mv_rewrite query's plan scans the MV, not lineitem") {
