@@ -4,10 +4,10 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** A decoded-media record: typed metadata + a fixed-size feature vector.
-  * The decode itself is STUBBED (no image/audio codecs in this
-  * environment) — see [[Multimodal.stubDecode]] — but the Spark-side
-  * plumbing (schema, binary column handling, partition-wise batch decode,
-  * feature shape) is real and tested. */
+  * This is the STUB-decoded shape ([[Multimodal.stubDecode]]) kept for
+  * fixture-determinism tests and the non-image payload path; REAL image
+  * decode lives in [[ImageMeta]] / [[Multimodal.decodeImages]]
+  * (javax.imageio — actual pixel dimensions and format names). */
 case class MediaMeta(
     media_id: Long,
     byte_len: Long,
@@ -32,11 +32,46 @@ case class SampledFrame(
     frame_idx: Int,
     frame_checksum: String)
 
+/** REAL decoded-image metadata (javax.imageio, JDK built-in codecs:
+  * PNG/JPEG/GIF/BMP). `format` is the reader's lowercase format name;
+  * undecodable payloads keep their byte-level fields and get
+  * width/height/channels = -1, format = "unknown". */
+case class ImageMeta(
+    media_id: Long,
+    byte_len: Long,
+    checksum: String,
+    width: Int,
+    height: Int,
+    channels: Int,
+    format: String)
+
+/** REAL resized image: pixels scaled (bilinear) and re-encoded to PNG.
+  * out_width/out_height and the px_* center-pixel RGB come from
+  * RE-DECODING the re-encoded payload, so they verify the full
+  * decode→scale→encode→decode cycle, not the requested box. */
+case class ResizedImage(
+    media_id: Long,
+    out_width: Int,
+    out_height: Int,
+    out_format: String,
+    content: Array[Byte],
+    out_len: Long,
+    checksum: String,
+    px_r: Int,
+    px_g: Int,
+    px_b: Int)
+
 /** Multimodal-column operators (extension phase, SURVEY.md §7.9): treat
   * image/audio/video as opaque BINARY columns with typed metadata;
   * decode / feature-extract runs partition-wise (mapPartitions — one
   * decoder init per partition, the Scala analog of a batched Pandas UDF
-  * over mapInPandas), never row-at-a-time on the driver. */
+  * over mapInPandas), never row-at-a-time on the driver.
+  *
+  * Two codec tiers: [[decodeImages]]/[[resizeImages]] are REAL
+  * (javax.imageio — PNG/JPEG/GIF/BMP, in the JDK, no external deps);
+  * [[decodeMetadata]]/[[resize]]/[[sampleFrames]] keep the
+  * deterministic stub codec for non-image payloads and
+  * fixture-determinism tests (video frame seeking has no JDK codec). */
 object Multimodal {
 
   /** STUB decoder — deterministic fake standing in for a real image/audio
@@ -149,4 +184,91 @@ object Multimodal {
   def documentsAsMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").as("media_id"),
       col("text").cast(org.apache.spark.sql.types.BinaryType).as("content"))
+
+  // ---- REAL codecs (javax.imageio — in the JDK, no external libs) ----
+
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
+  /** Decode one image payload with the JDK's ImageIO readers. Total:
+    * any undecodable payload degrades to format "unknown" instead of
+    * failing the partition. */
+  def decodeImage(id: Long, bytes: Array[Byte]): ImageMeta = {
+    val checksum = md5hex(bytes)
+    val fallback = ImageMeta(id, bytes.length.toLong, checksum, -1, -1, -1, "unknown")
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) fallback
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
+          val img = r.read(0)
+          ImageMeta(id, bytes.length.toLong, checksum, img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents, fmt)
+        } catch { case _: java.io.IOException => fallback }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Partition-wise REAL image decode — the production replacement of
+    * [[decodeMetadata]]'s stub: one ImageIO configuration per partition
+    * (in-memory streams, no disk cache), actual pixel dimensions,
+    * channel count from the color model, and the reader's format name. */
+  def decodeImages(media: DataFrame): Dataset[ImageMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec init: keep ImageIO off the executor's disk
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) => decodeImage(id, bytes) }
+      }
+  }
+
+  /** Decode → bilinear scale to (w, h) → re-encode PNG → RE-decode the
+    * output to report its actual dimensions and center pixel. */
+  def resizeImage(id: Long, bytes: Array[Byte], w: Int, h: Int): ResizedImage = {
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (src == null)
+      return ResizedImage(id, -1, -1, "unknown", Array.emptyByteArray, 0L,
+        md5hex(bytes), -1, -1, -1)
+    val dst = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", bos)
+    val out = bos.toByteArray
+    val verify = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    val rgb = verify.getRGB(verify.getWidth / 2, verify.getHeight / 2)
+    ResizedImage(id, verify.getWidth, verify.getHeight, "png", out,
+      out.length.toLong, md5hex(out),
+      (rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+  }
+
+  /** Partition-wise REAL resize (the [[resize]] stub's production twin):
+    * every image scaled to the target box and re-encoded as PNG, with
+    * re-decoded dimensions + center pixel as the verifiable metadata. */
+  def resizeImages(media: DataFrame, width: Int, height: Int): Dataset[ResizedImage] = {
+    require(width > 0 && height > 0, s"target box must be positive: ${width}x$height")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) => resizeImage(id, bytes, width, height) }
+      }
+  }
 }

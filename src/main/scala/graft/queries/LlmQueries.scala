@@ -23,6 +23,20 @@ object LlmQueries {
   private val mediaFixturesDir = sys.env.getOrElse("GRAFT_MEDIA_FIXTURES",
     new java.io.File("fixtures/media").getAbsolutePath)
 
+  /** Committed REAL PNG fixtures (tools/gen_media_fixtures.py writes the
+    * images AND manifest.csv with each one's true width/height/format/
+    * solid RGB) — the input of the llm_multimodal_meta / _resize gates,
+    * which check genuine ImageIO decode output against that manifest. */
+  private val pngFixturesDir = sys.env.getOrElse("GRAFT_MEDIA_PNG_FIXTURES",
+    new java.io.File("fixtures/media_png").getAbsolutePath)
+
+  /** The PNG fixture dir as (media_id, content) — the fixture's numeric
+    * id (the manifest join key) replaces the reader's path-hash id. */
+  private def pngMedia(s: SparkSession): DataFrame =
+    graft.sources.Sources.readBinaryFiles(s, pngFixturesDir, "*.png")
+      .select(regexp_extract(col("path"), "img_([0-9]+)\\.png$", 1)
+        .cast(LongType).as("media_id"), col("content"))
+
   /** Near-dup candidate edges (minhash ∪ simhash), shared by the six
     * cluster-family queries. The two pair frames are plain `.cache()` —
     * their plans are declarative and identical across builders, so the
@@ -757,9 +771,19 @@ object LlmQueries {
     "llm_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextStats.fingerprint(col("text")).as("fingerprint"))),
-    "llm_multimodal_meta" -> ((s, d) =>
-      Multimodal.decodeMetadata(
-        Multimodal.documentsAsMedia(Tables.documents(s, d))).toDF()),
+    // REAL ImageIO decode over the committed PNG fixtures: actual pixel
+    // dimensions, channel count, and reader format name, gated against
+    // the generator's manifest ground truth; the byte identity is gated
+    // via md5(hex(content)) — computable on BOTH engines over real
+    // binary (DuckDB 1.0 has no md5(BLOB)).
+    "llm_multimodal_meta" -> ((s, d) => {
+      val bin = pngMedia(s)
+      Multimodal.decodeImages(bin).toDF()
+        .join(bin.select(col("media_id"),
+          md5(hex(col("content"))).as("bytes_md5hex")), Seq("media_id"))
+        .select(col("media_id"), col("byte_len"), col("bytes_md5hex"),
+          col("width"), col("height"), col("channels"), col("format"))
+    }),
     // Feature vector flattened to scalar columns f0..f7: driver-side
     // comparers sort/hash rows and cannot handle raw array cells; the
     // array-valued form stays available via Multimodal.features directly.
@@ -768,11 +792,20 @@ object LlmQueries {
       f.select(col("media_id") +:
         (0 until 8).map(i => element_at(col("feature"), i + 1).as(s"f$i")): _*)
     }),
-    // Resize / frame-sample plumbing (stub codecs, real partition-wise
-    // fan-out); binary payload column excluded from the gated output.
+    // REAL resize: decode → bilinear scale to 64×64 → re-encode PNG →
+    // RE-decode the payload. Output dims/format come from the re-decoded
+    // bytes and the center pixel must equal the manifest's solid color
+    // (solid fixtures make the pixel exact under any interpolation), so
+    // the row gates the full decode→scale→encode→decode cycle. The
+    // re-encoded checksum itself is encoder-specific — its determinism
+    // is pinned in MultimodalImageSpec, not cross-engine.
     "llm_multimodal_resize" -> ((s, d) =>
-      Multimodal.resize(Multimodal.documentsAsMedia(Tables.documents(s, d)), 256, 256)
-        .toDF().select("media_id", "out_width", "out_height", "out_len", "checksum")),
+      Multimodal.resizeImages(pngMedia(s), 64, 64).toDF()
+        .select(col("media_id"), col("out_width"), col("out_height"),
+          col("out_format"), (col("out_len") > 0L).as("has_payload"),
+          col("px_r"), col("px_g"), col("px_b"))),
+    // Frame-sample plumbing (stub codec — no JDK video decoder), real
+    // partition-wise fan-out.
     "llm_multimodal_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.documentsAsMedia(Tables.documents(s, d)), everyN = 5)
         .toDF()),
@@ -2491,21 +2524,26 @@ SELECT r.media_id, r.byte_len, TRUE AS len_matches_source, r.checksum,
        CAST(h.v AS INTEGER) AS feat_b0
 FROM raw r JOIN hexmap h ON substr(r.checksum, 1, 2) = h.hx""",
 
-    "llm_multimodal_meta" -> """
-SELECT doc_id AS media_id,
-  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
-  md5(text) AS checksum,
-  CAST(octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS width,
-  CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS INTEGER) AS height,
-  CAST(3 AS INTEGER) AS channels,
-  CAST(octet_length(CAST(text AS BLOB)) % 30 AS INTEGER) AS frame_count
-FROM documents""",
+    // the manifest is the generator's ground truth for what the PNG
+    // encoder wrote; byte identity via md5 over the hex encoding (both
+    // engines hex uppercase)
+    "llm_multimodal_meta" -> s"""
+WITH raw AS (
+  SELECT CAST(regexp_extract(filename, 'img_([0-9]+)\\.png', 1) AS BIGINT) AS media_id,
+         CAST(size AS BIGINT) AS byte_len, md5(hex(content)) AS bytes_md5hex
+  FROM read_blob('$pngFixturesDir/*.png'))
+SELECT r.media_id, r.byte_len, r.bytes_md5hex,
+       CAST(m.width AS INTEGER) AS width, CAST(m.height AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels, m.format
+FROM raw r JOIN read_csv('$pngFixturesDir/manifest.csv') m ON m.media_id = r.media_id""",
 
-    "llm_multimodal_resize" -> """
-SELECT doc_id AS media_id, CAST(256 AS INTEGER) AS out_width,
-       CAST(256 AS INTEGER) AS out_height, CAST(16 AS BIGINT) AS out_len,
-       md5(concat(text, ':256x256')) AS checksum
-FROM documents""",
+    // a solid-color source resized by ANY interpolation stays solid:
+    // the decoded center pixel must equal the manifest color exactly
+    "llm_multimodal_resize" -> s"""
+SELECT media_id, CAST(64 AS INTEGER) AS out_width, CAST(64 AS INTEGER) AS out_height,
+       'png' AS out_format, TRUE AS has_payload,
+       CAST(r AS INTEGER) AS px_r, CAST(g AS INTEGER) AS px_g, CAST(b AS INTEGER) AS px_b
+FROM read_csv('$pngFixturesDir/manifest.csv')""",
 
     "llm_multimodal_frames" -> """
 WITH f AS (
