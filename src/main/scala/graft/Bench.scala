@@ -29,6 +29,14 @@ object Bench {
       System.err.println(s"[bench] unknown SPARK_GRAFT_BENCH_ONLY names: ${unknown.mkString(", ")}")
       sys.exit(2)
     }
+    // Host-load provenance: this box is shared, and co-tenant load is the
+    // documented cause of >1.5x same-code drift (BASELINE.md). Recording
+    // the 1/5/15-min load averages at start lets a reader judge a noisy
+    // total without re-timing.
+    val loadavg = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+    } catch { case _: Exception => "" }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -116,7 +124,8 @@ object Bench {
       .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"n_omitted":${omitted.size},""" +
-      s""""omitted_sum":${fmt(omitted.map(_._2).sum)},"sf":$sfLit}"""
+      s""""omitted_sum":${fmt(omitted.map(_._2).sum)},""" +
+      s""""loadavg_start":"$loadavg","sf":$sfLit}"""
     // Quiesce Spark before emitting the JSON so no late executor/log line
     // interleaves into the machine-readable line on a combined capture.
     spark.sparkContext.setLogLevel("ERROR")

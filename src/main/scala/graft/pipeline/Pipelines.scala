@@ -87,15 +87,21 @@ object Pipelines {
     val prodPath = s"$workDir/production"
     val stagingPath = s"$workDir/staging"
     val backupPath = s"$workDir/backup"
+    // Hadoop FileSystem probe, not java.io.File — the production table
+    // may live on HDFS/S3 where a local-file check always reads absent
+    // (same idiom as EventsStream.runUpsertJob)
+    val hPath = new org.apache.hadoop.fs.Path(prodPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prodExists = fs.exists(hPath)
     val existing =
-      if (new java.io.File(prodPath).exists) spark.read.parquet(prodPath)
+      if (prodExists) spark.read.parquet(prodPath)
       else transformed.limit(0)
     val merged = Meta.incrementalMerge(
       existing.select("ad_id", "campaign_id", "date", "spend", "updated_at"),
       transformed.select("ad_id", "campaign_id", "date", "spend", "updated_at"),
       Seq("ad_id", "date"), tieBreak = Seq("ad_id"))
     merged.write.mode(SaveMode.Overwrite).parquet(stagingPath)
-    if (!new java.io.File(prodPath).exists)
+    if (!prodExists)
       merged.limit(0).write.mode(SaveMode.Overwrite).parquet(prodPath)
 
     // switch_to_production: backup → overwrite → validate → rollback on fail
