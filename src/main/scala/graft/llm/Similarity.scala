@@ -168,8 +168,10 @@ object Similarity {
     * partitioning-exact — no float summation order anywhere. Returns
     * (vec_id, codes, norm2). */
   def quantizeInt8(vectors: DataFrame): DataFrame = {
-    val dims = vectors.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("pos", "x")))
+    // consumed twice (scales + the code join): scoped-cache, or the
+    // posexplode of the whole corpus runs once per consumer
+    val dims = graft.QueryCaches.scoped(vectors.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos", "x"))))
     val scales = dims.groupBy(col("pos"))
       .agg(max(abs(col("x").cast(org.apache.spark.sql.types.DoubleType))).as("s"))
     dims.join(broadcast(scales), "pos")
@@ -209,10 +211,13 @@ object Similarity {
     // corpus still gets codes (corpus-only lookup would silently drop
     // it); when anchors ⊆ corpus the union is the corpus and the scales
     // are unchanged. A vec_id present on both sides keeps one row.
-    val codes = quantizeInt8(
+    // consumed twice (query-side + neighbor-side join): scoped-cache, or
+    // the full quantization pipeline (explode → scales → collect) runs
+    // once per side
+    val codes = graft.QueryCaches.scoped(quantizeInt8(
       anchors.select(col("vec_id"), col("embedding"))
         .unionByName(corpus.select(col("vec_id"), col("embedding")))
-        .dropDuplicates("vec_id"))
+        .dropDuplicates("vec_id")))
     val scored = cand
       .join(codes.select(col("vec_id").as("query_id"),
         col("codes").as("ca"), col("norm2").as("na")), "query_id")
