@@ -12,6 +12,23 @@ import graft.operators.Temporal
   * fetch (S7), and UNION ALL (U1). */
 object MiscQueries {
 
+  /** One date-partitioned copy of lineitem per (session, sfDir) — the
+    * layout misc_dpp_join scans. Memoized: the write is setup, not the
+    * operator under test, so bench warm-up + timed runs must not repeat
+    * it. 84 ship months → 84 partitions (TPC-H 1992-1998). */
+  private val dppFactMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private[graft] def dppFactPath(s: SparkSession, d: String): String =
+    dppFactMemo.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_dpp_fact_${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+        .getAbsolutePath
+      Tables.lineitem(s, d)
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(path)
+      path
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L1 + ordering: top-10 orders by value. Spark executes this as a
     // TakeOrderedAndProject (per-partition heap + driver merge, no sort).
@@ -94,6 +111,34 @@ object MiscQueries {
       s.read.parquet(factPath)
         .filter(col("l_returnflag") =!= "N")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+    }),
+
+    // DYNAMIC PARTITION PRUNING, driver-gated: the fact is laid out
+    // date-partitioned (ship_month directories), the dim side is a month
+    // dimension DERIVED FROM A DIFFERENT RELATION (so no static filter
+    // can reach the fact scan), and the dim's quarter filter prunes the
+    // fact at RUNTIME via the broadcast-reusing dynamicpruning subquery —
+    // the single most common real-cluster scan optimization (the
+    // reference's watermark scan-avoidance generalized to layout: a
+    // 100 TB date-partitioned fact reads 3 months, not 84). DppSpec pins
+    // that the plan carries the dynamicpruning partition filter and that
+    // exactly 3 of 84 partitions are read; this row gates the VALUES
+    // against DuckDB's unpartitioned recompute.
+    "misc_dpp_join" -> ((s, d) => {
+      val fact = s.read.parquet(dppFactPath(s, d))
+      val dim = Tables.orders(s, d)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+        .distinct()
+        .withColumn("yr", substring(col("ship_month"), 1, 4))
+        .withColumn("qtr",
+          ((substring(col("ship_month"), 6, 2).cast("int") - 1) / 3 + 1).cast("int"))
+      fact.join(broadcast(dim.filter(col("yr") === "1995" && col("qtr") === 1)
+          .select(col("ship_month"))), Seq("ship_month"))
+        .groupBy(col("ship_month"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity")).as("sum_qty"),
           min(col("l_extendedprice")).as("min_price"),
@@ -1497,6 +1542,19 @@ SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
        min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
 FROM lineitem WHERE l_orderkey % 3 = 0 AND l_returnflag <> 'N'
 GROUP BY 1, 2""",
+
+    // unpartitioned recompute of the dynamically-pruned join
+    "misc_dpp_join" -> """
+WITH m AS (
+  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+  FROM orders WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 3),
+l AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_quantity, l_extendedprice
+      FROM lineitem)
+SELECT l.ship_month, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+FROM l JOIN m ON l.ship_month = m.ship_month
+GROUP BY 1""",
 
     // full-fact recompute: the maintained MV must equal it exactly
     "misc_mv_maintained" -> """
