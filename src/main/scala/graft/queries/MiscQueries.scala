@@ -193,6 +193,40 @@ object MiscQueries {
         .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_user"),
           min(col("value")).as("min_value"), max(col("value")).as("max_value"))),
 
+    // COMPLETE aggregate pushdown through the connector: the ungrouped
+    // count/min/max over a pushed id range folds to O(1) arithmetic AT
+    // THE SOURCE (SyntheticEventsAggScan — `.explain` shows
+    // PushedAggregates; SyntheticEventsSourceSpec pins the plan and the
+    // pushed==unpushed equality). DuckDB replays the same range.
+    "misc_dsv2_agg_pushdown" -> ((s, d) =>
+      s.read.format("graft-events")
+        .option("rows", 5000L).option("partitions", 8).load()
+        .filter(col("event_id") >= 1000L && col("event_id") < 4000L)
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))),
+
+    // DSv2 WRITE path under the oracle gate: orders flows out through
+    // the graft-sink connector's staged-commit protocol and back in
+    // through its manifest-gated scan; DuckDB aggregates the original
+    // table, so any row/value the sink loses or alters hash-fails.
+    // Exact outputs only (long sum, double min/max — the codec
+    // round-trips doubles via Double.toString exactly). The write is
+    // per-session tmp and re-executed per call — it IS the sink under
+    // test (the ORC round-trip discipline).
+    "misc_dsv2_sink" -> ((s, d) => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_sink_rt_${s.sparkContext.applicationId}").getAbsolutePath
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.format("graft-sink").mode("overwrite").save(path)
+      s.read.format("graft-sink").load(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+    }),
+
     // S5: the universal SQL-text extract primitive (client.query(q)) —
     // spark.sql over a registered view; the result stays distributed
     // instead of collapsing to the driver as the reference's to_dataframe.
@@ -1542,6 +1576,19 @@ SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
        min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
 FROM lineitem WHERE l_orderkey % 3 = 0 AND l_returnflag <> 'N'
 GROUP BY 1, 2""",
+
+    // range replay of the completely-pushed aggregate
+    "misc_dsv2_agg_pushdown" -> """
+SELECT CAST(count(*) AS BIGINT) AS n, CAST(min(i) AS BIGINT) AS min_id,
+       CAST(max(i) AS BIGINT) AS max_id
+FROM (SELECT range AS i FROM range(1000, 4000))""",
+
+    // original-table recompute of the sink round trip
+    "misc_dsv2_sink" -> """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+FROM orders GROUP BY 1""",
 
     // unpartitioned recompute of the dynamically-pruned join
     "misc_dpp_join" -> """

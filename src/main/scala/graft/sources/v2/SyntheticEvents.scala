@@ -78,11 +78,16 @@ class SyntheticEventsTable(rows: Long, partitions: Int)
 }
 
 class SyntheticEventsScanBuilder(rows: Long, partitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+
   private var requiredSchema: StructType = SyntheticEvents.schema
   private var lo: Long = 0L          // inclusive id bound after pushdown
   private var hi: Long = rows        // exclusive
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAggs: Seq[String] = Seq.empty // for the one-row agg scan
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     this.requiredSchema = requiredSchema
@@ -110,8 +115,83 @@ class SyntheticEventsScanBuilder(rows: Long, partitions: Int)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new SyntheticEventsScan(
-    requiredSchema, math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), partitions)
+  /** ungrouped count(*)/count(event_id)/min(event_id)/max(event_id)
+    * fold to O(1) range arithmetic at the source — the warehouse-
+    * federation shape (a real S1 connector ships the aggregate to the
+    * remote system instead of pulling every row). Anything else —
+    * grouping, other columns, distinct — declines and scans normally. */
+  private def supported(agg: Aggregation): Option[Seq[String]] = {
+    def idRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array("event_id"))
+        case _ => false
+      }
+    if (agg.groupByExpressions.nonEmpty) return None
+    val resolved = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count(*)")
+      case c: Count if !c.isDistinct && idRef(c.column) => Some("count(event_id)")
+      case m: Min if idRef(m.column) => Some("min(event_id)")
+      case m: Max if idRef(m.column) => Some("max(event_id)")
+      case (_: AggregateFunc) => None
+    }
+    if (resolved.contains(None)) None else Some(resolved.flatten)
+  }
+
+  // exact, single-source: Spark must NOT re-aggregate the pushed row
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    supported(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    supported(aggregation) match {
+      case Some(names) => pushedAggs = names; true
+      case None => false
+    }
+
+  override def build(): Scan =
+    if (pushedAggs.nonEmpty)
+      new SyntheticEventsAggScan(pushedAggs, math.max(lo, 0L),
+        math.max(hi, math.max(lo, 0L)))
+    else new SyntheticEventsScan(
+      requiredSchema, math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), partitions)
+}
+
+/** One-row scan carrying the COMPLETE pushed aggregates, computed from
+  * the (post-filter-pushdown) id range in O(1): the generator's ids are
+  * dense in [lo, hi), so count = hi-lo, min = lo, max = hi-1; the empty
+  * range yields count 0 with null min/max (global-aggregate semantics).
+  * `.explain` shows these under PushedAggregates on the scan relation. */
+class SyntheticEventsAggScan(aggs: Seq[String], lo: Long, hi: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(aggs.map(a => StructField(a, LongType, nullable = !a.startsWith("count"))))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-events PushedAggregates=[${aggs.mkString(", ")}] range=[$lo,$hi)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(IdRangePartition(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticEventsAggReaderFactory(aggs)
+}
+
+/** standalone (serializable) factory — must not capture the Scan */
+class SyntheticEventsAggReaderFactory(aggs: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[IdRangePartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val go = !emitted; emitted = true; go }
+      override def get(): InternalRow = {
+        val n = math.max(0L, r.end - r.start)
+        InternalRow.fromSeq(aggs.map {
+          case a if a.startsWith("count") => n
+          case "min(event_id)" => if (n > 0) r.start else null
+          case "max(event_id)" => if (n > 0) r.end - 1 else null
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class IdRangePartition(start: Long, end: Long) extends InputPartition

@@ -54,6 +54,32 @@ class SyntheticEventsSourceSpec extends SparkSpec {
     assert(res.count() == direct)
   }
 
+  test("ungrouped count/min/max push COMPLETELY to the source; grouped and non-id aggs decline") {
+    val q = feed(5000, 8).filter($"event_id" >= 1000L && $"event_id" < 4000L)
+      .agg(count(lit(1)).as("n"), min($"event_id").as("mn"), max($"event_id").as("mx"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates=[count(*), min(event_id), max(event_id)]"),
+      s"aggregates not pushed:\n$plan")
+    assert(q.as[(Long, Long, Long)].head() == ((3000L, 1000L, 3999L)))
+    // pushed == unpushed: row-by-row recompute over the plain scan
+    val rows = feed(5000, 8).collect().map(_.getAs[Long]("event_id"))
+      .filter(id => id >= 1000L && id < 4000L)
+    assert((rows.length.toLong, rows.min, rows.max) == ((3000L, 1000L, 3999L)))
+    // empty range: count 0, null min/max (global-aggregate semantics)
+    val empty = feed(5000).filter($"event_id" < 0L)
+      .agg(count(lit(1)), min($"event_id"), max($"event_id")).head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1) && empty.isNullAt(2))
+    // grouped: declines, values still correct
+    val grouped = feed(1000).groupBy($"event_type").agg(count(lit(1)).as("n"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(grouped.collect().map(_.getAs[Long]("n")).sum == 1000L)
+    // non-id column: declines, falls back to the row scan
+    val other = feed(1000).agg(min($"user_id").as("m"))
+    assert(!other.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(other.head().getLong(0) ==
+      feed(1000).collect().map(_.getAs[Long]("user_id")).min)
+  }
+
   test("pushed and unpushed evaluation agree on a mixed predicate") {
     val pushedQ = feed(2000)
       .filter($"event_id" >= 500L && $"event_id" <= 1499L && $"user_id" % 7 === 0L)
