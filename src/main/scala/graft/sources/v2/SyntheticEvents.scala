@@ -40,7 +40,8 @@ class SyntheticEventsProvider extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table =
     new SyntheticEventsTable(
       rows = Option(properties.get("rows")).map(_.toLong).getOrElse(100000L),
-      partitions = Option(properties.get("partitions")).map(_.toInt).getOrElse(8))
+      partitions = Option(properties.get("partitions")).map(_.toInt).getOrElse(8),
+      batchRows = Option(properties.get("batchRows")).map(_.toLong).getOrElse(10000L))
 }
 
 object SyntheticEvents {
@@ -67,20 +68,21 @@ object SyntheticEvents {
   }
 }
 
-class SyntheticEventsTable(rows: Long, partitions: Int)
+class SyntheticEventsTable(rows: Long, partitions: Int, batchRows: Long = 10000L)
     extends Table with SupportsRead {
   override def name(): String = s"graft-events($rows)"
   override def schema(): StructType = SyntheticEvents.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticEventsScanBuilder(rows, partitions)
+    new SyntheticEventsScanBuilder(rows, partitions, batchRows)
 }
 
-class SyntheticEventsScanBuilder(rows: Long, partitions: Int)
+class SyntheticEventsScanBuilder(rows: Long, partitions: Int, batchRows: Long = 10000L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
-  import org.apache.spark.sql.connector.expressions.NamedReference
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
+  import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder => V2SortOrder}
   import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 
   private var requiredSchema: StructType = SyntheticEvents.schema
@@ -88,6 +90,36 @@ class SyntheticEventsScanBuilder(rows: Long, partitions: Int)
   private var hi: Long = rows        // exclusive
   private var pushed: Array[Filter] = Array.empty
   private var pushedAggs: Seq[String] = Seq.empty // for the one-row agg scan
+  private var topNPartial = false    // a pushed TopN keeps Spark's final sort
+
+  /** LIMIT folds into the generated id range itself: ids are dense in
+    * [lo, hi), so any n of them satisfy LIMIT semantics and the first n
+    * ([lo, lo+n)) is the deterministic choice — the source never
+    * materializes a row the limit would discard (a real S1 connector
+    * puts the page-size cap on the wire request). Fully pushed: the
+    * range already holds exactly min(n, hi-lo) rows. */
+  override def pushLimit(n: Int): Boolean = {
+    if (n >= 0 && lo + n < hi) hi = lo + n
+    true
+  }
+  override def isPartiallyPushed(): Boolean = topNPartial
+
+  /** ORDER BY event_id ASC [NULLS FIRST|LAST] LIMIT n — the generator
+    * emits ids ascending, so the first n of the range IS the top-n.
+    * Declared PARTIAL so Spark still runs its (now n-row) global sort:
+    * partition readers are each sorted but the ranges land unmerged. */
+  override def pushTopN(orders: Array[V2SortOrder], n: Int): Boolean = {
+    val idAsc = orders.length == 1 && (orders(0).expression() match {
+      case nr: NamedReference =>
+        nr.fieldNames.sameElements(Array("event_id")) &&
+          orders(0).direction() == SortDirection.ASCENDING
+      case _ => false
+    })
+    if (!idAsc) return false
+    pushLimit(n)
+    topNPartial = true
+    true
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     this.requiredSchema = requiredSchema
@@ -152,7 +184,8 @@ class SyntheticEventsScanBuilder(rows: Long, partitions: Int)
       new SyntheticEventsAggScan(pushedAggs, math.max(lo, 0L),
         math.max(hi, math.max(lo, 0L)))
     else new SyntheticEventsScan(
-      requiredSchema, math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), partitions)
+      requiredSchema, math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), partitions,
+      batchRows)
 }
 
 /** One-row scan carrying the COMPLETE pushed aggregates, computed from
@@ -197,9 +230,14 @@ class SyntheticEventsAggReaderFactory(aggs: Seq[String])
 case class IdRangePartition(start: Long, end: Long) extends InputPartition
 
 class SyntheticEventsScan(requiredSchema: StructType, lo: Long, hi: Long,
-                          partitions: Int) extends Scan with Batch {
+                          partitions: Int, batchRows: Long = 10000L)
+    extends Scan with Batch {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SyntheticEventsMicroBatchStream(requiredSchema, lo, hi, partitions,
+      math.max(1L, batchRows))
   override def description(): String =
     s"graft-events range=[$lo,$hi) cols=${requiredSchema.fieldNames.mkString(",")}"
 
@@ -214,6 +252,75 @@ class SyntheticEventsScan(requiredSchema: StructType, lo: Long, hi: Long,
     }
   }
 
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticEventsReaderFactory(requiredSchema.fieldNames)
+}
+
+/** Watermark offset for the streaming read: "ids below `id` have been
+  * made visible". JSON round-trips through the checkpoint log. */
+case class SyntheticEventsOffset(id: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = id.toString
+}
+
+/** Micro-batch streaming face of the same generator — the connector's
+  * incremental-sync mode (SURVEY §2.9 I1 via the S1 connector surface):
+  * `spark.readStream.format("graft-events").option("batchRows", n)`.
+  *
+  * Admission control is STATELESS: `latestOffset(start, _)` advances the
+  * visibility watermark `batchRows` past the engine-supplied start, so a
+  * restart from any checkpointed offset resumes exactly (the driver
+  * object holds no progress state to lose). Each micro-batch plans the
+  * same `IdRangePartition` ranges as the batch scan — per-executor
+  * generation, no driver materialization — and a (start, end] offset
+  * pair replays identically forever, which is what makes the
+  * checkpointed file-sink pipeline exactly-once end to end. */
+class SyntheticEventsMicroBatchStream(requiredSchema: StructType, lo: Long,
+                                      hi: Long, partitions: Int, batchRows: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset, ReadLimit}
+
+  // Trigger.AvailableNow target: the feed is bounded at `hi` by
+  // construction, and latestOffset() never advances past it, so the
+  // prepared target needs no extra capture.
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def initialOffset(): StreamOffset = SyntheticEventsOffset(lo)
+  override def deserializeOffset(json: String): StreamOffset =
+    SyntheticEventsOffset(json.trim.toLong)
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(batchRows)
+  override def reportLatestOffset(): StreamOffset = SyntheticEventsOffset(hi)
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    val s = start.asInstanceOf[SyntheticEventsOffset].id
+    val step = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        r.maxRows()
+      case _ => batchRows
+    }
+    SyntheticEventsOffset(math.min(hi, s + math.max(1L, step)))
+  }
+  override def latestOffset(): StreamOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control path")
+
+  override def planInputPartitions(start: StreamOffset, end: StreamOffset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[SyntheticEventsOffset].id
+    val e = end.asInstanceOf[SyntheticEventsOffset].id
+    val n = e - s
+    if (n <= 0) Array.empty
+    else {
+      val p = math.min(partitions.toLong, n).toInt
+      (0 until p).map { i =>
+        IdRangePartition(s + n * i / p, s + n * (i + 1) / p)
+      }.toArray
+    }
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new SyntheticEventsReaderFactory(requiredSchema.fieldNames)
 }

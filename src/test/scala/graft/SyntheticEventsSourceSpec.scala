@@ -89,4 +89,63 @@ class SyntheticEventsSourceSpec extends SparkSpec {
     }
     assert(pushedQ.count() == unpushed.length)
   }
+
+  test("LIMIT folds into the generated range; composes with filter pushdown") {
+    val q = feed(100000, 8).limit(25)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[0,25)"),
+      s"limit did not narrow the generated range:\n$plan")
+    assert(q.count() == 25)
+    // after an id-range pushdown the limit caps the NARROWED range
+    val fq = feed(100000, 8).filter($"event_id" >= 5000L).limit(10)
+    val fplan = fq.queryExecution.executedPlan.toString
+    assert(fplan.contains("range=[5000,5010)"),
+      s"limit did not compose with the pushed filter:\n$fplan")
+    assert(fq.collect().map(_.getAs[Long]("event_id")).sorted.toSeq ==
+      (5000L until 5010L).toSeq)
+    // a limit larger than the domain is a no-op
+    assert(feed(50).limit(500).count() == 50)
+  }
+
+  test("ORDER BY event_id ASC LIMIT n pushes as partial TopN; other orders decline") {
+    val q = feed(100000, 8).orderBy($"event_id").limit(7)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[0,7)"),
+      s"topN did not narrow the generated range:\n$plan")
+    assert(q.collect().map(_.getAs[Long]("event_id")).toSeq == (0L until 7L).toSeq)
+    // DESC order cannot fold into the ascending generator: full range stays
+    val desc = feed(1000, 4).orderBy($"event_id".desc).limit(3)
+    assert(desc.queryExecution.executedPlan.toString.contains("range=[0,1000)"))
+    assert(desc.collect().map(_.getAs[Long]("event_id")).toSeq ==
+      Seq(999L, 998L, 997L))
+  }
+
+  test("micro-batch streaming read: admission-controlled batches, exactly-once resume") {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
+    def run(rows: Long): Unit = {
+      val q = spark.readStream.format("graft-events")
+        .option("rows", rows).option("partitions", 3).option("batchRows", 400)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive, "stream did not drain within the timeout")
+    }
+    run(1000)
+    val first = spark.read.parquet(out)
+    assert(first.count() == 1000)
+    assert(first.select($"event_id").distinct().count() == 1000)
+    // the feed grows; a restart from the checkpoint emits ONLY the delta
+    run(1500)
+    val second = spark.read.parquet(out)
+    assert(second.count() == 1500, "resume re-emitted or skipped rows")
+    assert(second.select($"event_id").distinct().count() == 1500)
+    // streaming content == batch content (same pure-function generator)
+    val batch = feed(1500).selectExpr("sum(event_id)", "sum(user_id)").head()
+    val stream = second.selectExpr("sum(event_id)", "sum(user_id)").head()
+    assert(batch == stream)
+  }
 }
