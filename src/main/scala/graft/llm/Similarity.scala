@@ -345,6 +345,136 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** One broadcastable codebook row for product quantization: the
+    * embedding splits into `m` contiguous `dsub`-dim subspaces and each
+    * subspace gets the subvectors of the `ksub` lowest-vec_id corpus
+    * vectors as its codewords (code id = source vec_id) — deterministic
+    * and engine-replayable, mirroring [[ivfTopK]]'s untrained-centroid
+    * default; production recall would train per-subspace codebooks with
+    * [[kmeansCentroids]] over the subvector columns instead. */
+  private def pqCodebook(corpus: DataFrame, m: Int, dsub: Int, ksub: Int): DataFrame =
+    broadcast(corpus.orderBy("vec_id").limit(ksub)
+      .select(col("vec_id").as("code"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
+      .select(col("sub"), col("code"),
+        slice(col("embedding"), col("sub") * lit(dsub) + lit(1), lit(dsub)).as("cw"))
+      .agg(collect_list(struct(col("sub"), col("code"), col("cw"))).as("cbs")))
+
+  private val D = org.apache.spark.sql.types.DoubleType
+  private val L = org.apache.spark.sql.types.LongType
+
+  /** codes[sub] = argmin codeword by round(L2², 6), tie-break smaller
+    * code — a map-side fold over the broadcast codebook (the IVF
+    * [[assignCells]] discipline per subspace): no shuffle, no window.
+    * The squared-distance fold casts each float element to double before
+    * subtracting and sums in array order, so the oracle's sequential
+    * unnest sum replays it bit-for-bit. */
+  private def pqEncode(df: DataFrame, cb: DataFrame, m: Int, dsub: Int): DataFrame =
+    df.crossJoin(cb) // one-row broadcast
+      .withColumn("codes", transform(sequence(lit(0), lit(m - 1)), sub =>
+        aggregate(
+          filter(col("cbs"), x => x.getField("sub") === sub),
+          struct(lit(Double.MaxValue).as("d"), lit(Long.MaxValue).as("c")),
+          (acc, x) => {
+            val d = round(aggregate(zip_with(
+                slice(col("embedding"), sub * lit(dsub) + lit(1), lit(dsub)),
+                x.getField("cw"),
+                (p, q) => (p.cast(D) - q.cast(D)) * (p.cast(D) - q.cast(D))),
+              lit(0.0), (a, t) => a + t), 6)
+            val c = x.getField("code").cast(L)
+            when(d < acc.getField("d") ||
+                (d === acc.getField("d") && c < acc.getField("c")),
+              struct(d.as("d"), c.as("c"))).otherwise(acc)
+          },
+          acc => acc.getField("c"))))
+      .drop("cbs")
+
+  /** IVF-PQ top-k (Jégou, Douze & Schmid, IEEE PAMI 2011): the
+    * billion-scale composition — IVF cells prune the corpus to `nProbe`
+    * probed cells per query, PQ codes compress each corpus vector to `m`
+    * small integers, and candidate scoring is asymmetric-distance
+    * computation (ADC): the query precomputes one m×ksub lookup table of
+    * scaled-BIGINT dot-product contributions (`round(dot(q_sub, cw)·1e6)`
+    * — rounded ONCE, then only integer adds), so scoring a candidate
+    * sums m table hits and NEVER touches the neighbor's float embedding.
+    * What shuffles per candidate is (query_id, neighbor_id, m codes) —
+    * at 100 TB the float corpus stays in cold storage while the scoring
+    * join moves ~m bytes/vector, the same ~16-32× wire compression that
+    * makes IVFADC the standard billion-vector layout. The top
+    * `refine·k` by approximate score (mergeable [[TopKAgg]], integer
+    * exact) re-score exactly against the float corpus — `refine·k` rows
+    * per query, the recall-restoring re-rank — and the final rank is by
+    * (round(cosine,6) DESC, neighbor ASC). `approx_dot` stays in the
+    * output as the quantization-error audit next to the exact cosine. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                m: Int = 8, ksub: Int = 16, nCells: Int = 0, nProbe: Int = 2,
+                refine: Int = 4): DataFrame = {
+    val dim = corpus.select(size(col("embedding")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val cells =
+      if (nCells > 0) nCells
+      else math.ceil(math.sqrt(corpus.count().toDouble)).toInt.max(1)
+    val cents = centsFrame(corpus.orderBy("vec_id").limit(cells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid")))
+    val cb = pqCodebook(corpus, m, dsub, ksub)
+
+    // corpus side: cell + codes, floats dropped — consumed once by the
+    // candidate join; the float embedding re-enters only at the re-rank
+    val enc = graft.QueryCaches.scoped(
+      pqEncode(assignCells(corpus.select(col("vec_id"), col("embedding")),
+        "embedding", cents), cb, m, dsub)
+        .select(col("vec_id"), col("cell_id"), col("codes")))
+
+    // query side: nProbe nearest cells (the ivfTopK probe window — query
+    // count × cells rows, never corpus volume) + the ADC lookup table
+    val qSel = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("pc").desc, col("cell_id").asc)
+    val qprobes = qSel.crossJoin(cents)
+      .select(col("query_id"), col("qe"), explode(col("cents")).as("cent"))
+      .select(col("query_id"), col("cent.cell_id").as("cell_id"),
+        round(cosineSim(col("qe"), col("cent.centroid")), 6).as("pc"))
+    val probed =
+      (if (nProbe <= 1) qprobes.withColumn("crank", row_number().over(pw))
+         .filter(col("crank") === 1)
+       else qprobes.withColumn("crank", row_number().over(pw))
+         .filter(col("crank") <= nProbe))
+        .select(col("query_id"), col("cell_id"))
+    val lut = broadcast(qSel.crossJoin(cb)
+      .select(col("query_id"), col("qe"), explode(col("cbs")).as("w"))
+      .select(col("query_id"), col("w.sub").as("sub"), col("w.code").as("code"),
+        round(aggregate(zip_with(
+            slice(col("qe"), col("w.sub") * lit(dsub) + lit(1), lit(dsub)),
+            col("w.cw"), (p, q) => p.cast(D) * q.cast(D)),
+          lit(0.0), (a, t) => a + t) * 1e6).cast(L).as("term")))
+
+    val approx = probed.join(enc, Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(lut, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("term")).as("approx_dot"))
+    val shortlist = approx.groupBy(col("query_id"))
+      .agg(org.apache.spark.sql.graft.TopKAgg(
+        col("approx_dot").cast(D), col("neighbor_id"), refine * k).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e.payload").as("neighbor_id"),
+        col("e.score").cast(L).as("approx_dot"))
+    val rescored = shortlist
+      .join(qSel.select(col("query_id"), col("qe")), "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), "neighbor_id")
+      .withColumn("cosine", round(cosineSim(col("qe"), col("ce")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("approx_dot"), col("cosine"))
+    rankTopK(rescored.select(col("query_id"), col("neighbor_id"), col("cosine")), k)
+      .join(rescored.select(col("query_id"), col("neighbor_id"), col("approx_dot")),
+        Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("approx_dot"),
+        col("cosine"), col("rank"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication over embeddings. The corpus is partitioned into
     * ~sqrt(n) cells (first-k-vectors centroids, the deterministic

@@ -983,6 +983,17 @@ object LlmQueries {
       Similarity.int8TopK(e.filter(col("vec_id") < 10), e, 5)
     }),
 
+    // IVF-PQ (the billion-vector IVFADC layout): probed IVF cells prune,
+    // PQ codes (m=8 × 16 codewords) compress scoring to integer
+    // table-lookup adds — the candidate join moves ids + 8 small codes,
+    // never float embeddings — and the top-refine·k re-rank exactly.
+    // approx_dot is the scaled-int ADC score kept as the quantization
+    // audit next to the exact cosine.
+    "llm_ann_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e, 5)
+    }),
+
     // Driver-verified ANN recall: every approximate index (single-bucket
     // LSH, banded LSH, trained-cells IVF) scored against the brute-force
     // ground truth per query — the measured-recall claims as checked
@@ -1935,6 +1946,69 @@ SELECT r.query_id, r.neighbor_id, r.cos_int8,
 FROM r JOIN embeddings x ON r.query_id = x.vec_id
        JOIN embeddings y ON r.neighbor_id = y.vec_id
 WHERE r.rank <= 5""",
+
+    // full IVFADC replay: IVF cell assignment (shared with llm_ann_ivf),
+    // per-subspace argmin codeword election, scaled-BIGINT ADC lookup
+    // table, integer candidate scoring, top-20 shortlist, exact re-rank
+    "llm_ann_pq" -> s"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings
+  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)
+), assigned AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(${cosSql("e.embedding", "c.centroid")}, 6) DESC, c.cell_id ASC) AS crank
+  FROM embeddings e, cents c
+), cells AS (SELECT vec_id, cell_id FROM assigned WHERE crank = 1),
+qprobes AS (
+  SELECT vec_id AS query_id, cell_id FROM assigned WHERE vec_id < 10 AND crank <= 2
+),
+cb AS (
+  SELECT s.s AS sub, e.vec_id AS code,
+         e.embedding[s.s*8+1 : s.s*8+8] AS cw
+  FROM embeddings e, range(8) s(s) WHERE e.vec_id < 16
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT e.vec_id, c.sub, c.code,
+      row_number() OVER (PARTITION BY e.vec_id, c.sub
+        ORDER BY round((SELECT sum((CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE)) * (CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE)))
+                        FROM (SELECT unnest(e.embedding[c.sub*8+1 : c.sub*8+8]) AS a,
+                                     unnest(c.cw) AS b) z), 6) ASC, c.code ASC) AS rn
+    FROM embeddings e CROSS JOIN cb c) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.sub, c.code,
+    CAST(round((SELECT sum(CAST(z.a AS DOUBLE) * CAST(z.b AS DOUBLE))
+                FROM (SELECT unnest(q.embedding[c.sub*8+1 : c.sub*8+8]) AS a,
+                             unnest(c.cw) AS b) z) * 1e6) AS BIGINT) AS term
+  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q CROSS JOIN cb c
+),
+approx AS (
+  SELECT p.query_id, en.vec_id AS neighbor_id, CAST(sum(l.term) AS BIGINT) AS approx_dot
+  FROM qprobes p
+  JOIN cells cl ON cl.cell_id = p.cell_id AND cl.vec_id <> p.query_id
+  JOIN enc en ON en.vec_id = cl.vec_id
+  JOIN lut l ON l.query_id = p.query_id AND l.sub = en.sub AND l.code = en.code
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id, approx_dot,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY approx_dot DESC, neighbor_id ASC) AS arn
+  FROM approx
+),
+rescored AS (
+  SELECT s.query_id, s.neighbor_id, s.approx_dot,
+    round(${cosSql("q.embedding", "v.embedding")}, 6) AS cosine
+  FROM short s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings v ON v.vec_id = s.neighbor_id
+  WHERE s.arn <= 20
+)
+SELECT query_id, neighbor_id, approx_dot, cosine,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM rescored QUALIFY rank <= 5""",
 
     // banded-bucket replay + label-inequality prune + windowed top-5
     "llm_hard_negatives" -> s"""

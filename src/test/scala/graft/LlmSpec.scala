@@ -115,6 +115,43 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_.getInt(3)).toSeq == Seq(1, 2))
   }
 
+  test("ivfPqTopK: partition-layout-independent, recall-sane, finds planted dups") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val out = Similarity.ivfPqTopK(q, e, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.size == 50)
+    // integer ADC + rounded elections: any partitioning yields the
+    // identical result, bit for bit
+    val relaid = Similarity.ivfPqTopK(q.repartition(7), e.repartition(13), 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out == relaid)
+    // the exact re-rank bounds damage: rank-1 PQ neighbors must be real
+    // neighbors (within the brute-force top-20 ground truth)
+    val truth = Similarity.bruteForceTopK(q, e, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rank1Hits = (0L until 10L).count(qid => truth((qid, out((qid, 1))._1)))
+    assert(rank1Hits >= 7, s"only $rank1Hits/10 PQ rank-1 results in the exact top-20")
+    // a planted exact duplicate shares the query's cell and identical
+    // codes: it must surface at rank 1 with cosine 1.0
+    val dup = e.filter($"vec_id" === 3).select(lit(9999L).as("vec_id"), $"embedding")
+    val withDup = Similarity.ivfPqTopK(
+      e.filter($"vec_id" === 3), e.unionByName(dup.withColumn("label", lit(0))
+        .select(e.columns.map(col): _*)), 5).collect()
+    val first = withDup.find(_.getInt(4) == 1).get
+    assert(first.getLong(1) == 9999L && first.getDouble(3) == 1.0)
+  }
+
+  test("ivfPqTopK rejects an indivisible subspace split") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(e.filter($"vec_id" < 2), e, 3, m = 7)
+    }
+  }
+
   test("embeddingNearDupPairs respects the threshold") {
     val pairs = Dedup.embeddingNearDupPairs(vecs, 0.9).collect()
     assert(pairs.length == 1)
