@@ -148,7 +148,7 @@ class GraftSinkTable(path: String, writeSchema: StructType)
     GraftSink.readManifest(path).map(_._1).getOrElse(writeSchema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSinkScanBuilder(path)
@@ -160,6 +160,8 @@ class GraftSinkTable(path: String, writeSchema: StructType)
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new GraftSinkBatchWrite(path, info.schema(), info.queryId(), doTruncate)
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new GraftSinkStreamingWrite(path, info.schema(), doTruncate)
       }
     }
 }
@@ -206,30 +208,103 @@ class GraftSinkBatchWrite(root: String, schema: StructType, queryId: String,
   }
 }
 
+/** Streaming half of the write path: the SAME staged-move-then-manifest
+  * protocol, keyed by EPOCH instead of query — which is exactly what
+  * makes a `foreachBatch`-free streaming sink exactly-once:
+  *
+  *  - every micro-batch stages under `_staging_e<epoch>` and commits by
+  *    moving files named `epoch-<epoch>-part-...` into `data/`;
+  *  - `commit(epoch, _)` is IDEMPOTENT: if the manifest already lists
+  *    any `data/epoch-<epoch>-` file, this epoch's write was already
+  *    made visible by a previous attempt (the engine re-delivers the
+  *    batch after a failure between sink commit and checkpoint write),
+  *    so the re-commit drops the restaged files instead of appending
+  *    duplicates — replayed offsets + idempotent commit = exactly-once;
+  *  - Complete output mode arrives as truncate: each epoch's commit
+  *    replaces the manifest's file list (and is idempotent the same way).
+  *
+  * The epoch key deliberately ignores the run id: epochs survive a
+  * query restart via the offset checkpoint, run ids do not. */
+class GraftSinkStreamingWrite(root: String, schema: StructType, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def fs = new Path(root)
+    .getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+  private def stagingDir(epochId: Long) = new Path(root, s"_staging_e$epochId")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    new GraftSinkStreamingWriterFactory(root, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs
+    val dataDir = new Path(root, "data")
+    f.mkdirs(dataDir)
+    val prev = GraftSink.readManifest(root)
+    val alreadyCommitted = prev.exists(_._2.exists(
+      _.startsWith(s"data/epoch-$epochId-")))
+    if (alreadyCommitted) { f.delete(stagingDir(epochId), true); return }
+    val moved = messages.toSeq.map { case GraftSinkCommitMessage(staged, _) =>
+      val dest = s"epoch-$epochId-$staged"
+      require(f.rename(new Path(stagingDir(epochId), staged), new Path(dataDir, dest)),
+        s"epoch commit move failed for $staged")
+      s"data/$dest"
+    }
+    val (keep, drop) = prev match {
+      case Some((_, files)) if truncate => (Seq.empty[String], files)
+      case Some((_, files)) => (files, Seq.empty[String])
+      case None => (Seq.empty[String], Seq.empty[String])
+    }
+    GraftSink.writeManifest(root, schema, keep ++ moved)
+    drop.foreach(rel => f.delete(new Path(root, rel), false))
+    f.delete(stagingDir(epochId), true)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    fs.delete(stagingDir(epochId), true) // manifest untouched
+    ()
+  }
+}
+
+class GraftSinkStreamingWriterFactory(root: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new GraftSinkLineWriter(
+      new Path(new Path(root, s"_staging_e$epochId"), s"part-$partitionId-$taskId"),
+      schema)
+}
+
 class GraftSinkWriterFactory(root: String, schema: StructType, queryId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      private val name = s"part-$partitionId-$taskId"
-      private val path = new Path(new Path(root, s"_staging_$queryId"), name)
-      private val f = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      private val out = f.create(path, true)
-      private var rows = 0L
-      override def write(record: InternalRow): Unit = {
-        out.write((GraftSink.encode(record, schema) + "\n").getBytes("UTF-8"))
-        rows += 1
-      }
-      override def commit(): WriterCommitMessage = {
-        out.close()
-        GraftSinkCommitMessage(name, rows)
-      }
-      override def abort(): Unit = {
-        try out.close() catch { case _: Exception => () }
-        f.delete(path, false)
-        ()
-      }
-      override def close(): Unit = ()
-    }
+    new GraftSinkLineWriter(
+      new Path(new Path(root, s"_staging_$queryId"), s"part-$partitionId-$taskId"),
+      schema)
+}
+
+/** task-side staged-file writer shared by the batch and streaming paths */
+class GraftSinkLineWriter(path: Path, schema: StructType)
+    extends DataWriter[InternalRow] {
+  private val f = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val out = f.create(path, true)
+  private var rows = 0L
+  override def write(record: InternalRow): Unit = {
+    out.write((GraftSink.encode(record, schema) + "\n").getBytes("UTF-8"))
+    rows += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    GraftSinkCommitMessage(path.getName, rows)
+  }
+  override def abort(): Unit = {
+    try out.close() catch { case _: Exception => () }
+    f.delete(path, false)
+    ()
+  }
+  override def close(): Unit = ()
 }
 
 // ---------------------------- read side -----------------------------
