@@ -76,12 +76,35 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    // Shuffle/spill provenance: stage-completion totals over the TIMED
+    // section. Shuffle volume is the number that predicts 100 TB cost
+    // (wall seconds on a shared host don't), so the bench line carries
+    // it; per-query deltas go to stderr with the run lines. Listener
+    // delivery is async, so per-query attribution is ±a stage — fine
+    // for provenance, not an accounting ledger.
+    val shf = new org.apache.spark.scheduler.SparkListener {
+      val read = new java.util.concurrent.atomic.AtomicLong
+      val write = new java.util.concurrent.atomic.AtomicLong
+      val spill = new java.util.concurrent.atomic.AtomicLong
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spill.addAndGet(m.diskBytesSpilled)
+          ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(shf)
+    val shfStart = (shf.read.get, shf.write.get, shf.spill.get)
     val results = selected.map { case (name, fn) =>
       val runs = (1 to TimedRuns).map { i =>
-        val t0 = System.nanoTime(); val g0 = gcMillis
+        val t0 = System.nanoTime(); val g0 = gcMillis; val s0 = shf.write.get
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-28s run$i ${sec}%8.2f s  gc=${gcMillis - g0} ms")
+        System.err.println(f"[bench] $name%-28s run$i ${sec}%8.2f s  gc=${gcMillis - g0} ms  shfw=${(shf.write.get - s0) / 1048576}%4d MB")
         sec
       }.sorted
       // run1 rebuilds this query's scoped caches (released below), runs
@@ -122,9 +145,13 @@ object Bench {
     val sfLit = "(?:^|/)sf([0-9]+(?:\\.[0-9]+)?)(?=/|$)".r.findFirstMatchIn(sfDir)
       .map(_.group(1))
       .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    val mb = (b: Long) => b / 1048576
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"n_omitted":${omitted.size},""" +
       s""""omitted_sum":${fmt(omitted.map(_._2).sum)},""" +
+      s""""shuffle_read_mb":${mb(shf.read.get - shfStart._1)},""" +
+      s""""shuffle_write_mb":${mb(shf.write.get - shfStart._2)},""" +
+      s""""spill_mb":${mb(shf.spill.get - shfStart._3)},""" +
       s""""loadavg_start":"$loadavg","sf":$sfLit}"""
     // Quiesce Spark before emitting the JSON so no late executor/log line
     // interleaves into the machine-readable line on a combined capture.
