@@ -114,6 +114,69 @@ object Checks {
     }
   }
 
+  /** In-flight suite evaluation: the suite's aggregates attach to the
+    * frame as a `CollectMetrics` observation, so whatever job already
+    * materializes the frame (the sink write, the count) computes the
+    * metrics AS IT STREAMS PAST — zero additional scans. That is the
+    * 100 TB difference from [[evaluate]], which runs its own aggregation
+    * job: fine when the table is being checked standalone, a second full
+    * pass over the lake when the check rides a pipeline stage that was
+    * scanning anyway.
+    *
+    * Semantics in flight: row-level checks and RowCountMin are EXACT
+    * (same one-pass sums as [[evaluate]]); UniqueKey rides along as
+    * `approx_count_distinct`, because CollectMetrics cannot carry exact
+    * DISTINCT — its in-flight result is advisory (exact at small
+    * cardinalities where HLL++ stays sparse; ±rsd beyond), so a failed
+    * in-flight UniqueKey should be confirmed with [[evaluate]]. Schema
+    * checks are metadata-only and resolve immediately at attach time.
+    *
+    * Returns the frame to run (use it IN PLACE of the input) and a
+    * handle whose `results()` blocks until the first action completes. */
+  def observedChecks(df: DataFrame, checks: Seq[Check],
+                     name: String = "graft_checks"): (DataFrame, ObservedChecks) = {
+    val aggCols = suiteAggCols(df, checks)
+    val obs = org.apache.spark.sql.Observation(name)
+    (df.observe(obs, aggCols.head, aggCols.tail: _*),
+      new ObservedChecks(obs, checks, df.schema))
+  }
+
+  /** Streaming twin of [[observedChecks]]: attaches the same aggregates
+    * under a NAMED observation (streaming frames cannot use the
+    * `Observation` handle), and each micro-batch's suite verdict surfaces
+    * in `StreamingQueryProgress.observedMetrics(name)` — per-batch DQ on
+    * an unbounded feed with zero extra passes. Feed the progress row to
+    * [[resultsFromMetrics]]. */
+  def observedChecksStreaming(df: DataFrame, checks: Seq[Check],
+                              name: String = "graft_checks"): DataFrame = {
+    val aggCols = suiteAggCols(df, checks)
+    df.observe(name, aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Map one observed-metrics row (from a streaming progress event) back
+    * onto the suite. `schema` is the OBSERVED frame's schema (metadata
+    * checks resolve against it). */
+  def resultsFromMetrics(metrics: org.apache.spark.sql.Row, checks: Seq[Check],
+                         schema: StructType): Seq[CheckResult] =
+    ObservedChecks.map(checks, schema,
+      k => if (metrics.schema.fieldNames.contains(k)) Option(metrics.getAs[Any](k)) else None)
+
+  private[checks] def suiteAggCols(df: DataFrame, checks: Seq[Check]): Seq[Column] = {
+    val dupNames = checks.groupBy(_.name).collect { case (n, cs) if cs.size > 1 => n }
+    require(dupNames.isEmpty,
+      s"check names must be unique; duplicated: ${dupNames.mkString(", ")}")
+    val rowLevel = checks.flatMap(c => violationCond(c).map(c.name -> _))
+    val uniques = checks.collect { case u: UniqueKey => u }
+    Seq(count(lit(1)).as("__n")) ++
+      rowLevel.map { case (n, cond) =>
+        sum(when(cond, 1L).otherwise(0L)).as(s"__v_$n")
+      } ++
+      uniques.map { u =>
+        val keyCols = if (u.cols.isEmpty) df.columns.toSeq else u.cols
+        approx_count_distinct(struct(keyCols.map(col): _*)).as(s"__d_${u.name}")
+      }
+  }
+
   /** Evaluate and return the results as a DataFrame (for pipelines/oracles). */
   def evaluateDf(df: DataFrame, checks: Seq[Check]): DataFrame = {
     val spark = df.sparkSession
@@ -150,4 +213,54 @@ object Checks {
     RangeMin("media_cost_eur", 0, name = "cost_gte_0"),
     ColumnGte("media_cost_eur", "cpc", name = "cost_gte_cpc"),
     ColumnGte("revenue", "media_cost_eur", name = "revenue_gte_cost"))
+}
+
+/** Handle returned by [[Checks.observedChecks]]: `results()` blocks until
+  * the first action on the observed frame completes, then maps the
+  * collected metrics row back onto the suite. Schema checks were resolved
+  * from metadata at attach time; UniqueKey results are advisory (HLL++
+  * estimate — see observedChecks). */
+final class ObservedChecks(obs: org.apache.spark.sql.Observation,
+                           checks: Seq[Check], schema: StructType) {
+  def results(): Seq[CheckResult] =
+    ObservedChecks.map(checks, schema, obs.get.get)
+}
+
+object ObservedChecks {
+  /** shared metrics→suite mapping for the batch handle and the streaming
+    * progress-row path */
+  private[checks] def map(checks: Seq[Check], schema: StructType,
+                          lookup: String => Option[Any]): Seq[CheckResult] = {
+    val columns = schema.fields.map(_.name).toSet
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    def num(k: String): Long = lookup(k) match {
+      case Some(null) | None => 0L
+      case Some(v: Number) => v.longValue()
+      case Some(other) => sys.error(s"unexpected metric type for $k: $other")
+    }
+    checks.map {
+      case c @ SchemaSuperset(expected, _) =>
+        val missing = expected.toSet -- columns
+        CheckResult(c.name, missing.size.toLong, missing.isEmpty)
+      case c @ SchemaExact(expected, _) =>
+        val diff = (expected.toSet diff columns) ++ (columns diff expected.toSet)
+        CheckResult(c.name, diff.size.toLong, diff.isEmpty)
+      case c @ TypedColumns(ts, _) =>
+        val bad = ts.count { case (n, t) => !types.get(n).contains(t) }
+        CheckResult(c.name, bad.toLong, bad == 0)
+      case c @ SchemaAndTypes(required, ts, _) =>
+        val missing = required.count(r => !columns.contains(r))
+        val badTypes = ts.count { case (n, t) => !types.get(n).contains(t) }
+        CheckResult(c.name, (missing + badTypes).toLong, missing + badTypes == 0)
+      case c @ RowCountMin(min, _) =>
+        val n = num("__n")
+        CheckResult(c.name, if (n >= min) 0L else min - n, n >= min)
+      case c: UniqueKey =>
+        val dups = math.max(0L, num("__n") - num(s"__d_${c.name}"))
+        CheckResult(c.name, dups, dups == 0L)
+      case c =>
+        val v = num(s"__v_${c.name}")
+        CheckResult(c.name, v, v == 0L)
+    }
+  }
 }

@@ -88,6 +88,31 @@ class ChecksSpec extends SparkSpec {
     assert(approx.head.getLong(3) > 0L)
   }
 
+  test("observedChecks: the writing job itself computes the suite, no second scan") {
+    val suite = Seq(
+      RowCountMin(4, name = "mn"),
+      NonNull(Seq("name"), name = "nn"),
+      RangeMin("cost", 0, name = "pos"),
+      ColumnGte("cost", "cpc", name = "gte"),
+      UniqueKey(Seq("id"), name = "uid"),
+      SchemaSuperset(Seq("id", "name"), name = "ss"))
+    val (observed, handle) = Checks.observedChecks(df, suite)
+    // the metrics ride the plan as CollectMetrics — structurally no
+    // separate aggregation job
+    assert(observed.queryExecution.analyzed.toString.contains("CollectMetrics"),
+      observed.queryExecution.analyzed.toString)
+    // one action (the pipeline's own write) materializes frame AND metrics
+    val out = java.nio.file.Files.createTempDirectory("graft_obs").toString + "/t"
+    observed.write.parquet(out)
+    assert(spark.read.parquet(out).count() == 4) // payload untouched
+    val inflight = handle.results().map(r => r.check_name -> r).toMap
+    // exact in flight: row count, row-level sums, schema metadata
+    val exact = Checks.evaluate(df, suite).map(r => r.check_name -> r).toMap
+    for (k <- Seq("mn", "nn", "pos", "gte", "ss")) assert(inflight(k) == exact(k), k)
+    // UniqueKey is advisory (HLL++), exact at this cardinality
+    assert(inflight("uid") == exact("uid"))
+  }
+
   test("stagingDataChecks composite matches reference validator shape (Q9)") {
     val staging = Seq(
       (1L, "2024-01-01", "tv", "c1", 5, 10, 2.0, 1.0, 10.0),

@@ -35,6 +35,31 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("observedChecksStreaming: per-micro-batch DQ verdicts ride the query, no extra pass") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = ms.toDF().toDF("event_id", "ts", "event_type", "value")
+    val suite = Seq(
+      graft.checks.NonNull(Seq("event_type"), name = "nn"),
+      graft.checks.RangeMin("value", 0.0, name = "pos"),
+      graft.checks.RowCountMin(1, name = "mn"))
+    val observed = graft.checks.Checks.observedChecksStreaming(events, suite, "dq")
+    val q = observed.writeStream.format("memory").queryName("obs_dq_test").start()
+    try {
+      ms.addData((1L, ts("2024-01-01 10:00:00"), "click", 1.5),
+        (2L, ts("2024-01-01 10:01:00"), "view", -3.0)) // one range violation
+      q.processAllAvailable()
+      val prog = q.recentProgress.reverse.find(_.observedMetrics.containsKey("dq")).get
+      val res = graft.checks.Checks.resultsFromMetrics(
+        prog.observedMetrics.get("dq"), suite, events.schema)
+        .map(r => r.check_name -> r).toMap
+      assert(res("nn").passed && res("mn").passed)
+      assert(!res("pos").passed && res("pos").violations == 1L)
+      // rows flow through untouched
+      assert(spark.table("obs_dq_test").count() == 2)
+    } finally q.stop()
+  }
+
   test("runDedupJob: file source -> sink with checkpoint, exactly-once on restart") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_stream").toString
