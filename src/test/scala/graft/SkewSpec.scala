@@ -34,6 +34,43 @@ class SkewSpec extends SparkSpec {
     assert(spread > 1)
   }
 
+  test("AQE skew-join splits the hot partition at runtime (the conf-driven alternative to salting)") {
+    // a genuinely skewed shuffle: one key holds ~100k rows, the tail is
+    // tiny, thresholds lowered so local-scale bytes trip the optimizer
+    // exactly as a hot partition would at cluster scale
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toSeq
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val bigFact = spark.range(100000)
+        .select(lit("hot").as("key"), $"id".as("row_id"))
+        .unionByName(spark.range(200)
+          .select(concat(lit("k"), $"id" % 20).as("key"), ($"id" + 1000000L).as("row_id")))
+      val dim = spark.range(50000)
+        .select(lit("hot").as("key"), $"id".as("d_id"))
+        .limit(1).unionByName(
+          Seq(("k1", 1L), ("k2", 2L)).toDF("key", "d_id"))
+      val joined = bigFact.join(dim, Seq("key"))
+      // collect() executes THIS frame's own QueryExecution, so the
+      // adaptive plan below is the final (post-reoptimization) one —
+      // count() would plan a separate query and leave this one unrun
+      val n = joined.collect().length
+      assert(n == 100020) // 100k hot matches + 10 rows each for k1, k2
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the join skewed:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed table join pre-shuffles (no exchange on the bucket side)") {
     import graft.sources.Sources
     Sources.writeBucketed(fact, "fact_bucketed", "key", 4, sortCol = Some("key"))
