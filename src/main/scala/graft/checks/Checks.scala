@@ -161,6 +161,22 @@ object Checks {
     ObservedChecks.map(checks, schema,
       k => if (metrics.schema.fieldNames.contains(k)) Option(metrics.getAs[Any](k)) else None)
 
+  /** Split a frame on the suite's row-level predicates:
+    * (clean, quarantined), where each quarantined row carries the
+    * comma-joined names of the checks it violates — the dead-letter-lane
+    * primitive ([[graft.sources.Sources.readCsvAudited]]'s corrupt-record
+    * lane generalized from parse errors to semantic checks). One
+    * map-side predicate pass; checks with no row-level predicate (schema,
+    * row count, unique key) do not route rows and are ignored here. */
+  def quarantineSplit(df: DataFrame, checks: Seq[Check]): (DataFrame, DataFrame) = {
+    val flags = checks.flatMap(c => violationCond(c).map(c.name -> _))
+    require(flags.nonEmpty, "quarantineSplit needs at least one row-level check")
+    val flagged = df.withColumn("failed_checks",
+      concat_ws(",", flags.map { case (n, cond) => when(cond, lit(n)) }: _*))
+    (flagged.filter(col("failed_checks") === "").drop("failed_checks"),
+      flagged.filter(col("failed_checks") =!= ""))
+  }
+
   private[checks] def suiteAggCols(df: DataFrame, checks: Seq[Check]): Seq[Column] = {
     val dupNames = checks.groupBy(_.name).collect { case (n, cs) if cs.size > 1 => n }
     require(dupNames.isEmpty,

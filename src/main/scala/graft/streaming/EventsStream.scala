@@ -200,6 +200,41 @@ object EventsStream {
     q.runId.toString
   }
 
+  /** Streaming quarantine-lane ingest: each micro-batch splits on the
+    * suite's row-level predicates ([[graft.checks.Checks.quarantineSplit]])
+    * — clean rows append to the target, violating rows to the dead-letter
+    * dir with the names of the checks they failed — while the batch's
+    * full suite VERDICT is computed in flight by the clean-side write
+    * itself (the observation sits under the split filter, so the one
+    * pass that writes clean rows also aggregates over every batch row;
+    * no separate DQ scan). Per-batch verdicts go to `onBatch` — the
+    * alert-routing hook a production ingest wires to its pager.
+    * At-least-once on batch retry (parquet appends re-land); the DSv2
+    * graft-sink's epoch-idempotent commit or a transactional format
+    * closes that, orthogonally to the DQ routing shown here. */
+  def runQuarantineIngestJob(spark: SparkSession, inDir: String,
+                             targetDir: String, quarantineDir: String,
+                             checkpointDir: String,
+                             checks: Seq[graft.checks.Check],
+                             onBatch: (Long, Seq[graft.checks.CheckResult]) => Unit =
+                               (_, _) => ()): String = {
+    val q = readEventsStream(spark, inDir).writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val (observed, handle) = graft.checks.Checks.observedChecks(
+          batch.toDF(), checks, s"dq_batch_$batchId")
+        val (clean, bad) = graft.checks.Checks.quarantineSplit(observed, checks)
+        clean.write.mode("append").parquet(targetDir)
+        bad.write.mode("append").parquet(quarantineDir)
+        onBatch(batchId, handle.results())
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.runId.toString
+  }
+
   /** Stream-stream interval join: each click joined to the same user's
     * purchases landing within `withinSeconds` after it — attribution, the
     * canonical two-stream join. Both sides carry watermarks and the join

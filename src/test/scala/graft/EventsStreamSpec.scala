@@ -78,6 +78,38 @@ class EventsStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").count() == 2)
   }
 
+  test("runQuarantineIngestJob routes violating rows to the dead-letter lane with verdicts in flight") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_quar").toString
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 7L, null.asInstanceOf[String], 2.0, "{}"), // null type
+      (3L, ts("2024-01-01 10:20:00"), 8L, "view", -3.0, "{}"), // negative value
+      (4L, ts("2024-01-01 10:30:00"), 9L, "view", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/in")
+    val suite = Seq(
+      graft.checks.NonNull(Seq("event_type"), name = "nn"),
+      graft.checks.RangeMin("value", 0.0, name = "pos"),
+      graft.checks.RowCountMin(1, name = "mn"))
+    val verdicts = scala.collection.mutable.Map[Long, Map[String, graft.checks.CheckResult]]()
+    EventsStream.runQuarantineIngestJob(spark, s"$dir/in", s"$dir/clean",
+      s"$dir/dead", s"$dir/ckpt", suite,
+      (id, rs) => { verdicts(id) = rs.map(r => r.check_name -> r).toMap; () })
+    val clean = spark.read.parquet(s"$dir/clean")
+    assert(clean.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    assert(!clean.columns.contains("failed_checks"))
+    val dead = spark.read.parquet(s"$dir/dead")
+    val byId = dead.collect().map(r => r.getAs[Long]("event_id") ->
+      r.getAs[String]("failed_checks")).toMap
+    assert(byId == Map(2L -> "nn", 3L -> "pos"))
+    // the in-flight verdict covers the WHOLE batch, not just the clean side
+    val v = verdicts.values.head
+    assert(!v("nn").passed && v("nn").violations == 1L)
+    assert(!v("pos").passed && v("pos").violations == 1L)
+    assert(v("mn").passed)
+  }
+
   test("runHourlyJob: incremental file-source rollup matches the batch twin on closed windows") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_hourly").toString

@@ -19,6 +19,7 @@ class PlanShapeSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "llm_ann_topk",        // brute-force baseline: exhaustive by definition
     "llm_ann_ivf",         // 1-row collected-centroids broadcast
+    "llm_ann_pq",          // 1-row collected-centroids + 1-row codebook broadcasts
     "llm_semdedup",        // 1-row collected-centroids broadcast (cell assignment)
     "llm_ann_recall",      // brute-force ground-truth side of the recall check
     "llm_ann_recall_floor", // same marks frame as llm_ann_recall, aggregated
