@@ -363,6 +363,91 @@ object Similarity {
   private val D = org.apache.spark.sql.types.DoubleType
   private val L = org.apache.spark.sql.types.LongType
 
+  /** round(L2², 6) with each float element cast to double before the
+    * subtraction and a sequential array-order fold — the shape the
+    * DuckDB oracle's unnest sum replays bit-for-bit */
+  private def l2sq(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b,
+        (p, q) => (p.cast(D) - q.cast(D)) * (p.cast(D) - q.cast(D))),
+      lit(0.0), (x, t) => x + t), 6)
+
+  /** (vec_id, sub, sv): each embedding exploded into its m subvectors */
+  private def pqSubvectors(corpus: DataFrame, m: Int, dsub: Int): DataFrame =
+    corpus.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("embedding"), col("sub") * lit(dsub) + lit(1), lit(dsub)).as("sv"))
+
+  /** Trained PQ codebooks — [[kmeansCentroids]]' product-quantization
+    * sibling: every subspace independently Lloyd-trains its `ksub`
+    * codewords over the corpus subvectors under L2 (the metric PQ
+    * encodes with), which is what closes the distortion gap the
+    * first-ksub-vectors default leaves open. All m subspaces train in
+    * ONE (sub, code)-keyed frame, so an iteration costs one map-side
+    * assignment pass plus one aggregation regardless of m. Deterministic
+    * and layout-independent for the same reasons as kmeansCentroids:
+    * lowest-vec_id init, round(L2²,6)+smaller-code tie-broken argmin,
+    * DECIMAL mean accumulation, per-iteration checkpoint+release. Empty
+    * codewords drop out (standard Lloyd). Returns the one-row
+    * broadcastable `cbs` frame [[ivfPqTopK]] accepts via `codebook`. */
+  def trainedPqCodebook(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+                        iters: Int = 5): DataFrame = {
+    val dim = corpus.select(size(col("embedding")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val sv = graft.QueryCaches.scoped(pqSubvectors(
+      corpus.select(col("vec_id"), col("embedding")), m, dsub))
+    var cb = corpus.orderBy("vec_id").limit(ksub)
+      .select(col("vec_id").as("code"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
+      .select(col("sub"), col("code"),
+        slice(col("embedding"), col("sub") * lit(dsub) + lit(1), lit(dsub)).as("cw"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val cbRow = broadcast(cb.agg(
+        collect_list(struct(col("sub"), col("code"), col("cw"))).as("cbs")))
+      val assigned = sv.crossJoin(cbRow) // one-row broadcast, map-side
+        .withColumn("code", aggregate(
+          filter(col("cbs"), x => x.getField("sub") === col("sub")),
+          struct(lit(Double.MaxValue).as("d"), lit(Long.MaxValue).as("c")),
+          (acc, x) => {
+            val d = l2sq(col("sv"), x.getField("cw"))
+            val c = x.getField("code").cast(L)
+            when(d < acc.getField("d") ||
+                (d === acc.getField("d") && c < acc.getField("c")),
+              struct(d.as("d"), c.as("c"))).otherwise(acc)
+          },
+          acc => acc.getField("c")))
+        .drop("cbs")
+      val next = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(27, 10))) /
+          count(lit(1))).cast(org.apache.spark.sql.types.FloatType).as("mv"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          x => x.getField("mv")).as("cw"))
+        .localCheckpoint(true)
+      graft.operators.Checkpoints.release(cb)
+      cb = next
+      i += 1
+    }
+    broadcast(cb.agg(
+      collect_list(struct(col("sub"), col("code"), col("cw"))).as("cbs")))
+  }
+
+  /** total quantization distortion Σ min-codeword L2² — the objective
+    * Lloyd minimizes; the trained-vs-default comparison number */
+  def pqDistortion(corpus: DataFrame, cbRow: DataFrame, m: Int, dsub: Int): Double =
+    pqSubvectors(corpus.select(col("vec_id"), col("embedding")), m, dsub)
+      .crossJoin(cbRow)
+      .select(aggregate(
+        filter(col("cbs"), x => x.getField("sub") === col("sub")),
+        lit(Double.MaxValue),
+        (acc, x) => least(acc, l2sq(col("sv"), x.getField("cw")))).as("d"))
+      .agg(sum(col("d"))).head().getDouble(0)
+
   /** codes[sub] = argmin codeword by round(L2², 6), tie-break smaller
     * code — a map-side fold over the broadcast codebook (the IVF
     * [[assignCells]] discipline per subspace): no shuffle, no window.
@@ -376,11 +461,8 @@ object Similarity {
           filter(col("cbs"), x => x.getField("sub") === sub),
           struct(lit(Double.MaxValue).as("d"), lit(Long.MaxValue).as("c")),
           (acc, x) => {
-            val d = round(aggregate(zip_with(
-                slice(col("embedding"), sub * lit(dsub) + lit(1), lit(dsub)),
-                x.getField("cw"),
-                (p, q) => (p.cast(D) - q.cast(D)) * (p.cast(D) - q.cast(D))),
-              lit(0.0), (a, t) => a + t), 6)
+            val d = l2sq(slice(col("embedding"), sub * lit(dsub) + lit(1), lit(dsub)),
+              x.getField("cw"))
             val c = x.getField("code").cast(L)
             when(d < acc.getField("d") ||
                 (d === acc.getField("d") && c < acc.getField("c")),
@@ -408,7 +490,7 @@ object Similarity {
     * output as the quantization-error audit next to the exact cosine. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 m: Int = 8, ksub: Int = 16, nCells: Int = 0, nProbe: Int = 2,
-                refine: Int = 4): DataFrame = {
+                refine: Int = 4, codebook: Option[DataFrame] = None): DataFrame = {
     val dim = corpus.select(size(col("embedding")).as("d")).head().getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
@@ -417,7 +499,9 @@ object Similarity {
       else math.ceil(math.sqrt(corpus.count().toDouble)).toInt.max(1)
     val cents = centsFrame(corpus.orderBy("vec_id").limit(cells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("centroid")))
-    val cb = pqCodebook(corpus, m, dsub, ksub)
+    // default: subvectors of the first ksub vectors (oracle-replayable);
+    // pass trainedPqCodebook(...) for the Lloyd-trained production path
+    val cb = codebook.getOrElse(pqCodebook(corpus, m, dsub, ksub))
 
     // corpus side: cell + codes, floats dropped — consumed once by the
     // candidate join; the float embedding re-enters only at the re-rank

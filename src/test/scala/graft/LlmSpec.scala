@@ -145,6 +145,38 @@ class LlmSpec extends SparkSpec {
     assert(first.getLong(1) == 9999L && first.getDouble(3) == 1.0)
   }
 
+  test("trained PQ codebooks cut quantization distortion and hold recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val trained = Similarity.trainedPqCodebook(e, m = 8, ksub = 16, iters = 3)
+    // Lloyd must improve the objective it minimizes vs the first-ksub
+    // default (each subspace independently)
+    val dim = 64; val m = 8; val dsub = dim / m
+    val default = e.orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("code"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
+      .select(col("sub"), col("code"),
+        slice(col("embedding"), col("sub") * lit(dsub) + lit(1), lit(dsub)).as("cw"))
+      .agg(collect_list(struct(col("sub"), col("code"), col("cw"))).as("cbs"))
+    val dTrained = Similarity.pqDistortion(e, org.apache.spark.sql.functions.broadcast(trained), m, dsub)
+    val dDefault = Similarity.pqDistortion(e, org.apache.spark.sql.functions.broadcast(default), m, dsub)
+    assert(dTrained < dDefault,
+      s"training did not reduce distortion: $dTrained >= $dDefault")
+    // trained determinism across layouts
+    val t2 = Similarity.trainedPqCodebook(e.repartition(7), m = 8, ksub = 16, iters = 3)
+    assert(trained.select(explode(col("cbs"))).collect().toSet ==
+      t2.select(explode(col("cbs"))).collect().toSet)
+    // end-to-end with the trained codebook: rank-1 stays inside the
+    // exact top-20 at least as often as the untrained path
+    val q = e.filter($"vec_id" < 10)
+    val truth = Similarity.bruteForceTopK(q, e, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def rank1Hits(cb: Option[org.apache.spark.sql.DataFrame]): Int =
+      Similarity.ivfPqTopK(q, e, 5, codebook = cb).collect()
+        .filter(_.getInt(4) == 1)
+        .count(r => truth((r.getLong(0), r.getLong(1))))
+    assert(rank1Hits(Some(trained)) >= rank1Hits(None) - 1)
+  }
+
   test("ivfPqTopK rejects an indivisible subspace split") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     intercept[IllegalArgumentException] {
