@@ -61,16 +61,51 @@ case class ResizedImage(
     px_g: Int,
     px_b: Int)
 
+/** REAL decoded-audio metadata + integer-exact signal features
+  * (javax.sound.sampled, JDK built-in: RIFF/WAVE PCM, AIFF, AU).
+  * peak_abs = max |sample|, sumsq = Σ sample² (the RMS numerator, kept
+  * as the exact BIGINT instead of a lossy float), zero_cross =
+  * per-channel sign-change count summed over channels. Undecodable
+  * payloads keep byte-level fields and get -1 / "unknown". */
+case class AudioMeta(
+    media_id: Long,
+    byte_len: Long,
+    checksum: String,
+    sample_rate: Int,
+    channels: Int,
+    bits: Int,
+    n_frames: Long,
+    peak_abs: Int,
+    sumsq: Long,
+    zero_cross: Long,
+    encoding: String)
+
+/** REAL trimmed audio clip: the first `ms` milliseconds re-encoded as
+  * WAV. out_frames/sample_rate/channels/out_sumsq come from RE-DECODING
+  * the re-encoded payload — the gate covers the full
+  * decode→slice→encode→decode cycle (the audio twin of
+  * [[ResizedImage]]'s pixel verification). */
+case class TrimmedAudio(
+    media_id: Long,
+    out_frames: Long,
+    sample_rate: Int,
+    channels: Int,
+    content: Array[Byte],
+    out_len: Long,
+    checksum: String,
+    out_sumsq: Long)
+
 /** Multimodal-column operators (extension phase, SURVEY.md §7.9): treat
   * image/audio/video as opaque BINARY columns with typed metadata;
   * decode / feature-extract runs partition-wise (mapPartitions — one
   * decoder init per partition, the Scala analog of a batched Pandas UDF
   * over mapInPandas), never row-at-a-time on the driver.
   *
-  * Two codec tiers: [[decodeImages]]/[[resizeImages]] are REAL
-  * (javax.imageio — PNG/JPEG/GIF/BMP, in the JDK, no external deps);
-  * [[decodeMetadata]]/[[resize]]/[[sampleFrames]] keep the
-  * deterministic stub codec for non-image payloads and
+  * Two codec tiers: [[decodeImages]]/[[resizeImages]] (javax.imageio —
+  * PNG/JPEG/GIF/BMP) and [[decodeAudio]]/[[trimAudio]]
+  * (javax.sound.sampled — WAV/AIFF/AU PCM) are REAL, in the JDK, no
+  * external deps; [[decodeMetadata]]/[[resize]]/[[sampleFrames]] keep
+  * the deterministic stub codec for non-image payloads and
   * fixture-determinism tests (video frame seeking has no JDK codec). */
 object Multimodal {
 
@@ -270,5 +305,120 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) => resizeImage(id, bytes, width, height) }
       }
+  }
+
+  // ---- REAL audio codec (javax.sound.sampled — in the JDK) ----
+
+  /** Parse a decoded PCM byte payload into int16 samples and fold the
+    * integer-exact features. Only 16-bit PCM_SIGNED is featurized (the
+    * interchange norm); other widths report byte-true metadata with -1
+    * features rather than a lossy reinterpretation. */
+  private def pcm16Features(data: Array[Byte], channels: Int,
+                            bigEndian: Boolean): (Int, Long, Long) = {
+    var peak = 0
+    var sumsq = 0L
+    var zc = 0L
+    // per-channel previous-sample sign: -1 unset, 0 non-negative, 1 negative
+    val prevNeg = Array.fill(channels)(-1)
+    val n = data.length / 2
+    var k = 0
+    while (k < n) {
+      val lo = data(2 * k + (if (bigEndian) 1 else 0)) & 0xFF
+      val hi = data(2 * k + (if (bigEndian) 0 else 1))
+      val v = (hi << 8) | lo
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sumsq += v.toLong * v.toLong
+      val neg = if (v < 0) 1 else 0
+      val c = k % channels
+      if (prevNeg(c) >= 0 && prevNeg(c) != neg) zc += 1
+      prevNeg(c) = neg
+      k += 1
+    }
+    (peak, sumsq, zc)
+  }
+
+  /** Decode one audio payload with the JDK's sampled-audio readers.
+    * Total: undecodable payloads degrade to encoding "unknown". */
+  def decodeAudioClip(id: Long, bytes: Array[Byte]): AudioMeta = {
+    val checksum = md5hex(bytes)
+    val fallback = AudioMeta(id, bytes.length.toLong, checksum,
+      -1, -1, -1, -1L, -1, -1L, -1L, "unknown")
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding.toString.toLowerCase(java.util.Locale.ROOT)
+        val base = AudioMeta(id, bytes.length.toLong, checksum,
+          fmt.getSampleRate.toInt, fmt.getChannels, fmt.getSampleSizeInBits,
+          ais.getFrameLength, -1, -1L, -1L, enc)
+        if (fmt.getSampleSizeInBits == 16 &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+          val (peak, sumsq, zc) =
+            pcm16Features(ais.readAllBytes(), fmt.getChannels, fmt.isBigEndian)
+          base.copy(peak_abs = peak, sumsq = sumsq, zero_cross = zc)
+        } else base
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => fallback
+      case _: java.io.IOException => fallback
+    }
+  }
+
+  /** Partition-wise REAL audio decode: format metadata (rate, channels,
+    * width, frame count) plus exact integer signal features — the
+    * filter-grade stats an audio-corpus curation pass keys on (silence =
+    * sumsq ≈ 0, clipping = peak at full scale, tone vs noise =
+    * zero-crossing rate), with no float in any of them. */
+  def decodeAudio(media: DataFrame): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeAudioClip(id, bytes) })
+  }
+
+  /** Decode → keep the first `ms` milliseconds → re-encode WAV →
+    * RE-decode the output for its reported frames/rate/channels/Σv². */
+  def trimAudioClip(id: Long, bytes: Array[Byte], ms: Int): TrimmedAudio = {
+    val fallback = TrimmedAudio(id, -1L, -1, -1, Array.emptyByteArray, 0L,
+      md5hex(bytes), -1L)
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val keepFrames = math.min(ais.getFrameLength,
+          fmt.getSampleRate.toLong * ms / 1000L)
+        val keepBytes = (keepFrames * fmt.getFrameSize).toInt
+        val data = java.util.Arrays.copyOf(ais.readAllBytes(), keepBytes)
+        val trimmed = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, keepFrames)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(trimmed,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val out = bos.toByteArray
+        // verification decode: every reported field comes from the bytes
+        // we are about to hand downstream, not from the inputs
+        val verify = decodeAudioClip(id, out)
+        TrimmedAudio(id, verify.n_frames, verify.sample_rate, verify.channels,
+          out, out.length.toLong, md5hex(out), verify.sumsq)
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => fallback
+      case _: java.io.IOException => fallback
+    }
+  }
+
+  /** Partition-wise REAL audio trim (the segmenting/windowing shape an
+    * audio training-data pipeline runs before feature extraction). */
+  def trimAudio(media: DataFrame, ms: Int): Dataset[TrimmedAudio] = {
+    require(ms > 0, s"trim window must be positive: $ms ms")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => trimAudioClip(id, bytes, ms) })
   }
 }

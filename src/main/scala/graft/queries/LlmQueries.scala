@@ -37,6 +37,19 @@ object LlmQueries {
       .select(regexp_extract(col("path"), "img_([0-9]+)\\.png$", 1)
         .cast(LongType).as("media_id"), col("content"))
 
+  /** Committed REAL RIFF/WAVE PCM fixtures (tools/gen_media_fixtures.py
+    * writes the clips AND manifest.csv with true rate/channels/frames +
+    * integer-exact peak/Σv²/zero-crossing/trim-prefix features) — the
+    * input of the llm_audio_meta / llm_audio_trim gates, which check
+    * genuine javax.sound.sampled decode output against that manifest. */
+  private val wavFixturesDir = sys.env.getOrElse("GRAFT_MEDIA_WAV_FIXTURES",
+    new java.io.File("fixtures/media_wav").getAbsolutePath)
+
+  private def wavMedia(s: SparkSession): DataFrame =
+    graft.sources.Sources.readBinaryFiles(s, wavFixturesDir, "*.wav")
+      .select(regexp_extract(col("path"), "clip_([0-9]+)\\.wav$", 1)
+        .cast(LongType).as("media_id"), col("content"))
+
   /** Near-dup candidate edges (minhash ∪ simhash), shared by the six
     * cluster-family queries. The two pair frames are plain `.cache()` —
     * their plans are declarative and identical across builders, so the
@@ -804,6 +817,45 @@ object LlmQueries {
         .select(col("media_id"), col("out_width"), col("out_height"),
           col("out_format"), (col("out_len") > 0L).as("has_payload"),
           col("px_r"), col("px_g"), col("px_b"))),
+    // REAL javax.sound.sampled decode over the committed WAV fixtures:
+    // format metadata plus INTEGER-EXACT signal features (peak |v|, Σv²,
+    // per-channel zero crossings) gated against the generator's manifest
+    // ground truth — no float tolerance anywhere in the row.
+    "llm_audio_meta" -> ((s, d) => {
+      val bin = wavMedia(s)
+      Multimodal.decodeAudio(bin).toDF()
+        .join(bin.select(col("media_id"),
+          md5(hex(col("content"))).as("bytes_md5hex")), Seq("media_id"))
+        .select(col("media_id"), col("byte_len"), col("bytes_md5hex"),
+          col("sample_rate"), col("channels"), col("bits"), col("n_frames"),
+          col("peak_abs"), col("sumsq"), col("zero_cross"), col("encoding"))
+    }),
+    // REAL trim: decode → first 200 ms → re-encode WAV → RE-decode the
+    // payload. Reported frames/rate/channels/Σv² come from the re-decoded
+    // bytes and must equal the manifest's trim-prefix ground truth, so the
+    // row gates the full decode→slice→encode→decode cycle (the audio twin
+    // of llm_multimodal_resize). Re-encoded checksum determinism is pinned
+    // in MultimodalAudioSpec, not cross-engine.
+    "llm_audio_trim" -> ((s, d) =>
+      Multimodal.trimAudio(wavMedia(s), 200).toDF()
+        .select(col("media_id"), col("out_frames"), col("sample_rate"),
+          col("channels"), (col("out_len") > 0L).as("has_payload"),
+          col("out_sumsq"))),
+    // Audio curation gate (the Gopher-rule analog for audio corpora):
+    // per-clip duration / mean-square energy / zero-crossing rate, then
+    // silence + clipping + too-short rules as EXACT integer comparisons
+    // — every derived value is integer DIV arithmetic on the decoder's
+    // exact features, so the gate replays bit-for-bit in the oracle.
+    "llm_audio_quality" -> ((s, d) =>
+      Multimodal.decodeAudio(wavMedia(s)).toDF()
+        .select(col("media_id"),
+          expr("n_frames * 1000 DIV sample_rate").as("duration_ms"),
+          expr("sumsq DIV (n_frames * channels)").as("mean_square"),
+          expr("zero_cross * 1000000 DIV (channels * (n_frames - 1))").as("zcr_ppm"),
+          expr("sumsq DIV (n_frames * channels) < 1000000").as("is_silent"),
+          (col("peak_abs") >= 32700).as("is_clipped"))
+        .withColumn("pass_gate",
+          !col("is_silent") && !col("is_clipped") && col("duration_ms") >= 50L)),
     // Frame-sample plumbing (stub codec — no JDK video decoder), real
     // partition-wise fan-out.
     "llm_multimodal_frames" -> ((s, d) =>
@@ -2610,6 +2662,48 @@ SELECT r.media_id, r.byte_len, r.bytes_md5hex,
        CAST(m.width AS INTEGER) AS width, CAST(m.height AS INTEGER) AS height,
        CAST(3 AS INTEGER) AS channels, m.format
 FROM raw r JOIN read_csv('$pngFixturesDir/manifest.csv') m ON m.media_id = r.media_id""",
+
+    // the WAV manifest is the generator's ground truth for what the PCM
+    // encoder wrote — every feature is integer arithmetic on int16
+    // samples, so equality is exact, not tolerance-based
+    "llm_audio_meta" -> s"""
+WITH raw AS (
+  SELECT CAST(regexp_extract(filename, 'clip_([0-9]+)\\.wav', 1) AS BIGINT) AS media_id,
+         CAST(size AS BIGINT) AS byte_len, md5(hex(content)) AS bytes_md5hex
+  FROM read_blob('$wavFixturesDir/*.wav'))
+SELECT r.media_id, r.byte_len, r.bytes_md5hex,
+       CAST(m.sample_rate AS INTEGER) AS sample_rate,
+       CAST(m.channels AS INTEGER) AS channels,
+       CAST(m.bits AS INTEGER) AS bits,
+       CAST(m.n_frames AS BIGINT) AS n_frames,
+       CAST(m.peak_abs AS INTEGER) AS peak_abs,
+       CAST(m.sumsq AS BIGINT) AS sumsq,
+       CAST(m.zero_cross AS BIGINT) AS zero_cross,
+       'pcm_signed' AS encoding
+FROM raw r JOIN read_csv('$wavFixturesDir/manifest.csv') m ON m.media_id = r.media_id""",
+
+    // same integer-DIV gate formulas over the manifest ground truth
+    "llm_audio_quality" -> s"""
+SELECT media_id,
+       CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms,
+       CAST(sumsq // (n_frames * channels) AS BIGINT) AS mean_square,
+       CAST(zero_cross * 1000000 // (channels * (n_frames - 1)) AS BIGINT) AS zcr_ppm,
+       (sumsq // (n_frames * channels)) < 1000000 AS is_silent,
+       peak_abs >= 32700 AS is_clipped,
+       (NOT ((sumsq // (n_frames * channels)) < 1000000))
+         AND (NOT (peak_abs >= 32700))
+         AND ((n_frames * 1000 // sample_rate) >= 50) AS pass_gate
+FROM read_csv('$wavFixturesDir/manifest.csv')""",
+
+    // trim-prefix ground truth: frames = min(n_frames, rate/5), Σv² over
+    // exactly those frames — computed by the generator from the samples
+    // it wrote, reproduced by the engine from the bytes alone
+    "llm_audio_trim" -> s"""
+SELECT media_id, CAST(trim_frames AS BIGINT) AS out_frames,
+       CAST(sample_rate AS INTEGER) AS sample_rate,
+       CAST(channels AS INTEGER) AS channels, TRUE AS has_payload,
+       CAST(trim_sumsq AS BIGINT) AS out_sumsq
+FROM read_csv('$wavFixturesDir/manifest.csv')""",
 
     // a solid-color source resized by ANY interpolation stays solid:
     // the decoded center pixel must equal the manifest color exactly

@@ -12,6 +12,15 @@ fixtures/media_png/  — REAL PNG images (hand-rolled encoder: zlib +
     decoded output against this manifest, so the gate checks genuine
     ImageIO decode results, not stub arithmetic. Solid-color pixels
     make resize output exactly predictable under ANY interpolation.
+fixtures/media_wav/  — REAL RIFF/WAVE PCM files (hand-rolled 44-byte
+    header + 16-bit little-endian samples) plus manifest.csv with each
+    clip's true sample_rate/channels/frame count AND integer-exact
+    signal features (peak, sum of squares, zero crossings, 200 ms trim
+    prefix stats). The llm_audio_meta / llm_audio_trim oracles join the
+    javax.sound.sampled decode output against this manifest — genuine
+    audio codec results, all integer arithmetic, no float tolerance.
+    Samples are square-wave ±18000 plus LCG noise ±12000, so |v| ≥ 6000:
+    no zero samples, sign (and thus zero-crossing count) is unambiguous.
 
 Deterministic: re-running reproduces identical files.
 """
@@ -24,6 +33,9 @@ OUT = os.path.join(BASE, "media")
 OUT_PNG = os.path.join(BASE, "media_png")
 N_FILES = 24
 N_PNG = 12
+OUT_WAV = os.path.join(BASE, "media_wav")
+N_WAV = 12
+TRIM_MS = 200
 
 
 def content(i: int) -> bytes:
@@ -57,6 +69,53 @@ def png_spec(i: int):
     return w, h, rgb
 
 
+def wav_spec(i: int):
+    rates = [8000, 11025, 16000, 22050]
+    sample_rate = rates[i % 4]
+    channels = 1 + (i % 2)
+    n_frames = 400 + (i * i * 131) % 3600
+    return sample_rate, channels, n_frames
+
+
+def wav_samples(i: int, channels: int, n_frames: int):
+    """Interleaved int16 samples: ±18000 square wave (period 100 samples)
+    plus LCG noise in ±12000 — every sample's magnitude is ≥ 6000, so the
+    sign sequence (zero-crossing count) is exact and unambiguous."""
+    s = (i * 1234567891) % (1 << 31)
+    out = []
+    for k in range(n_frames * channels):
+        s = (s * 1103515245 + 12345) % (1 << 31)
+        noise = (s % 24001) - 12000
+        square = 18000 if ((k // 50) % 2 == 0) else -18000
+        out.append(square + noise)
+    return out
+
+
+def wav_bytes(sample_rate: int, channels: int, samples) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header + 16-bit LE PCM payload."""
+    data = b"".join(struct.pack("<h", v) for v in samples)
+    block_align = channels * 2
+    byte_rate = sample_rate * block_align
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                                   byte_rate, block_align, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def wav_features(samples, channels: int):
+    """Integer-exact features the Scala decoder must reproduce from the
+    bytes alone: peak |v|, Σv² (BIGINT-safe), per-channel sign-change
+    count summed over channels."""
+    peak = max(abs(v) for v in samples)
+    sumsq = sum(v * v for v in samples)
+    zc = 0
+    for c in range(channels):
+        chan = samples[c::channels]
+        zc += sum(1 for a, b in zip(chan, chan[1:]) if (a < 0) != (b < 0))
+    return peak, sumsq, zc
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     for i in range(N_FILES):
@@ -75,6 +134,23 @@ def main() -> None:
     with open(os.path.join(OUT_PNG, "manifest.csv"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {N_PNG} PNGs + manifest to {os.path.abspath(OUT_PNG)}")
+
+    os.makedirs(OUT_WAV, exist_ok=True)
+    wlines = ["media_id,sample_rate,channels,bits,n_frames,peak_abs,sumsq,"
+              "zero_cross,trim_frames,trim_sumsq"]
+    for i in range(N_WAV):
+        sample_rate, channels, n_frames = wav_spec(i)
+        samples = wav_samples(i, channels, n_frames)
+        with open(os.path.join(OUT_WAV, f"clip_{i:03d}.wav"), "wb") as f:
+            f.write(wav_bytes(sample_rate, channels, samples))
+        peak, sumsq, zc = wav_features(samples, channels)
+        trim_frames = min(n_frames, sample_rate * TRIM_MS // 1000)
+        trim_sumsq = sum(v * v for v in samples[:trim_frames * channels])
+        wlines.append(f"{i},{sample_rate},{channels},16,{n_frames},{peak},"
+                      f"{sumsq},{zc},{trim_frames},{trim_sumsq}")
+    with open(os.path.join(OUT_WAV, "manifest.csv"), "w") as f:
+        f.write("\n".join(wlines) + "\n")
+    print(f"wrote {N_WAV} WAVs + manifest to {os.path.abspath(OUT_WAV)}")
 
 
 if __name__ == "__main__":
