@@ -1,0 +1,205 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** A snapshot descriptor parsed back from a published manifest. */
+case class Snapshot(version: Long, action: String, baseVersion: Long,
+                    rows: Long, files: Seq[String])
+
+/** Minimal snapshot-versioned table format: immutable parquet data files
+  * plus a linear chain of JSON manifests, one per committed version —
+  * the miniature of the public log-structured table-format idea
+  * (Delta/Iceberg) that turns the reference's backup/restore + blue-green
+  * promote (SURVEY.md §2.1 S13, §2.11 C5; `taico_facebook_data_etl_dag.py:
+  * 136-222`) into atomic, time-travelable versioned commits.
+  *
+  * Layout under `root`:
+  * {{{
+  *   data/<commitUuid>/part-*.parquet   — immutable; never rewritten
+  *   _snapshots/v<%020d>.json           — manifest: file list + lineage
+  * }}}
+  *
+  * Commit protocol (scale posture):
+  *  1. write the batch's parquet files under a fresh `data/<uuid>/` dir —
+  *     distributed write, no coordination;
+  *  2. publish the manifest with `FileSystem.create(path, overwrite=false)`
+  *     — the CREATE-exclusive call is the single atomic point: exactly one
+  *     writer wins a version number, the loser sees the collision and
+  *     retries the (cheap, manifest-only) publish on top of the new tip.
+  *     Data files written by the loser stay reachable from ITS retried
+  *     manifest, so no work is discarded.
+  *
+  * An APPEND is therefore manifest-only on top of existing data (no data
+  * rewrite — the only way a daily append to a 3,000-partition fact stays
+  * O(batch)); OVERWRITE publishes a manifest listing only the new files;
+  * ROLLBACK is roll-forward (a new version re-listing an old version's
+  * files — history is never mutated, [[read]] of any version stays
+  * stable); [[vacuum]] deletes data files unreachable from the retained
+  * manifest suffix. Reads plan from the manifest's explicit file list, so
+  * they never depend on directory listing of `data/` (uncommitted or
+  * vacuum-pending files are invisible).
+  */
+class SnapshotTable(spark: SparkSession, root: String) {
+  private val snapsDir = new Path(root, "_snapshots")
+  private val dataDir = new Path(root, "data")
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(v: Long) = new Path(snapsDir, f"v$v%020d.json")
+
+  /** Latest committed version, 0 if the table is empty. */
+  def latestVersion(): Long = {
+    if (!fs.exists(snapsDir)) return 0L
+    fs.listStatus(snapsDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Parse one manifest. Hand-rolled fixed-shape JSON (no library dep);
+    * file names are uuid/part names — no escapes needed. */
+  def snapshot(version: Long): Snapshot = {
+    val in = fs.open(manifestPath(version))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def longField(k: String): Long =
+      s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt)
+        .getOrElse(sys.error(s"manifest v$version: missing $k")).group(1).toLong
+    def strField(k: String): String =
+      s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+        .getOrElse(sys.error(s"manifest v$version: missing $k")).group(1)
+    val files = """"files"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+      .getOrElse(sys.error(s"manifest v$version: missing files")).group(1)
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    Snapshot(longField("version"), strField("action"), longField("baseVersion"),
+      longField("rows"), files)
+  }
+
+  /** Read the table at `version` (default: latest). Planning comes from
+    * the manifest's explicit file list — never a directory listing. */
+  def read(version: Long = -1L): DataFrame = {
+    val v = if (version < 0) latestVersion() else version
+    require(v > 0, s"no committed snapshot to read at $root")
+    val snap = snapshot(v)
+    if (snap.files.isEmpty)
+      spark.read.parquet(root) // unreachable for committed tables; guard
+    else
+      spark.read.parquet(snap.files.map(f => new Path(dataDir, f).toString): _*)
+  }
+
+  /** Write the batch's data files under a fresh commit dir, return the
+    * manifest-relative file names + exact row count (from the written
+    * footers, not a second scan of the input). */
+  private def writeDataFiles(df: DataFrame): (Seq[String], Long) = {
+    val commitId = java.util.UUID.randomUUID().toString
+    val dir = new Path(dataDir, commitId)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(p => s"$commitId/${p.getName}").toSeq
+    val rows = spark.read.parquet(dir.toString).count()
+    (parts, rows)
+  }
+
+  /** Publish a manifest at the next version; on a create-exclusive
+    * collision (another writer won the version) retry on the new tip.
+    * Returns the committed version. */
+  private def publish(action: String, files: Long => Seq[String],
+                      rows: Long => Long): Long = {
+    var attempts = 0
+    while (attempts < 50) {
+      val base = latestVersion()
+      val v = base + 1
+      val fls = files(base)
+      val body =
+        s"""{"version":$v,"action":"$action","baseVersion":$base,
+           |"rows":${rows(base)},
+           |"files":[${fls.map(f => s""""$f"""").mkString(",")}]}""".stripMargin
+      fs.mkdirs(snapsDir)
+      try {
+        val out = fs.create(manifestPath(v), /* overwrite = */ false)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        return v
+      } catch {
+        case _: java.io.IOException => attempts += 1 // lost the race; re-read tip
+      }
+    }
+    sys.error(s"snapshot commit at $root: gave up after $attempts collisions")
+  }
+
+  /** Append `df` as a new snapshot: new files + everything the current
+    * tip lists. Manifest-only on top of existing data — O(batch). */
+  def commitAppend(df: DataFrame): Long = {
+    val (newFiles, newRows) = writeDataFiles(df)
+    publish("append",
+      base => (if (base == 0) Seq.empty else snapshot(base).files) ++ newFiles,
+      base => (if (base == 0) 0L else snapshot(base).rows) + newRows)
+  }
+
+  /** Replace the table contents with `df` as a new snapshot. Old files
+    * stay on disk (time travel) until [[vacuum]]. */
+  def commitOverwrite(df: DataFrame): Long = {
+    val (newFiles, newRows) = writeDataFiles(df)
+    publish("overwrite", _ => newFiles, _ => newRows)
+  }
+
+  /** Roll-forward rollback: publish a NEW version re-listing `version`'s
+    * files. History stays intact — reads of intermediate versions still
+    * resolve (the blue-green restore, minus the mutation). */
+  def rollbackTo(version: Long): Long = {
+    val snap = snapshot(version)
+    publish("rollback", _ => snap.files, _ => snap.rows)
+  }
+
+  /** Incremental read: only the rows ADDED between `fromVersion`
+    * (exclusive) and `toVersion` (inclusive) — the file-set difference of
+    * the two manifests. This is how a downstream incremental consumer
+    * (the reference's watermark merge, `main_taico_staging.sql:68-70`,
+    * generalized to layout) processes a day's commits without rescanning
+    * the table: cost scales with the delta's files, never the table.
+    * Overwrite/rollback versions in the range contribute their files only
+    * if those files are new relative to `fromVersion` — a file re-listed
+    * by a rollback is NOT re-delivered if `fromVersion` already saw it. */
+  def readAppendedBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"empty version range: ($fromVersion, $toVersion]")
+    val before =
+      if (fromVersion == 0) Set.empty[String] else snapshot(fromVersion).files.toSet
+    val added = snapshot(toVersion).files.filterNot(before)
+    val schemaSrc = read(toVersion)
+    if (added.isEmpty) schemaSrc.limit(0)
+    else spark.read.parquet(added.map(f => new Path(dataDir, f).toString): _*)
+  }
+
+  /** All RETAINED snapshots, oldest first (the table's audit history;
+    * [[vacuum]] may have dropped a prefix). */
+  def history(): Seq[Snapshot] = {
+    if (!fs.exists(snapsDir)) return Seq.empty
+    fs.listStatus(snapsDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted.toSeq.map(snapshot)
+  }
+
+  /** Delete data files unreachable from the last `keepLast` manifests and
+    * drop the older manifests. Bounded metadata scan — cost scales with
+    * history length and file count, never data volume. */
+  def vacuum(keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "must keep at least the tip")
+    val tip = latestVersion()
+    if (tip == 0) return
+    val keepFrom = math.max(1L, tip - keepLast + 1)
+    val live = (keepFrom to tip).flatMap(snapshot(_).files).toSet
+    if (fs.exists(dataDir)) {
+      fs.listStatus(dataDir).map(_.getPath).foreach { commitDir =>
+        if (fs.getFileStatus(commitDir).isDirectory) {
+          fs.listStatus(commitDir).map(_.getPath)
+            .filter(p => p.getName.endsWith(".parquet") &&
+              !live.contains(s"${commitDir.getName}/${p.getName}"))
+            .foreach(fs.delete(_, false))
+          if (fs.listStatus(commitDir).isEmpty) fs.delete(commitDir, true)
+        }
+      }
+    }
+    (1L until keepFrom).foreach(v => fs.delete(manifestPath(v), false))
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** Snapshot-versioned table format: manifest-atomic commits, time
+  * travel, roll-forward rollback, optimistic-concurrency retry, vacuum
+  * reachability. */
+class SnapshotTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val f = java.nio.file.Files.createTempDirectory(s"graft_snapspec_$tag")
+    f.toFile.delete() // SnapshotTable builds its own layout
+    f.toString
+  }
+
+  private def ids(t: SnapshotTable, version: Long = -1L): Set[Long] =
+    t.read(version).select("id").as[Long].collect().toSet
+
+  test("append is cumulative, overwrite replaces, old versions stay readable") {
+    val t = new SnapshotTable(spark, freshRoot("basic"))
+    val v1 = t.commitAppend(Seq(1L, 2L).toDF("id"))
+    val v2 = t.commitAppend(Seq(3L).toDF("id"))
+    val v3 = t.commitOverwrite(Seq(9L, 10L).toDF("id"))
+    assert((v1, v2, v3) == (1L, 2L, 3L))
+    // time travel: earlier versions are untouched by later commits
+    assert(ids(t, v1) == Set(1L, 2L))
+    assert(ids(t, v2) == Set(1L, 2L, 3L))
+    assert(ids(t, v3) == Set(9L, 10L))
+    assert(ids(t) == Set(9L, 10L)) // default = latest
+    val h = t.history()
+    assert(h.map(_.action) == Seq("append", "append", "overwrite"))
+    assert(h.map(_.rows) == Seq(2L, 3L, 2L))
+  }
+
+  test("rollback is roll-forward: a new version, history intact") {
+    val t = new SnapshotTable(spark, freshRoot("rb"))
+    t.commitAppend(Seq(1L).toDF("id"))
+    val v2 = t.commitAppend(Seq(2L).toDF("id"))
+    t.commitOverwrite(Seq(99L).toDF("id"))
+    val v4 = t.rollbackTo(v2)
+    assert(v4 == 4L && ids(t) == Set(1L, 2L))
+    assert(ids(t, 3L) == Set(99L)) // the rolled-back version still resolves
+    assert(t.snapshot(v4).action == "rollback")
+  }
+
+  test("losing the version race retries on the new tip instead of clobbering") {
+    val root = freshRoot("race")
+    val t = new SnapshotTable(spark, root)
+    t.commitAppend(Seq(1L).toDF("id"))
+    // simulate a concurrent writer winning v2: publish a manifest that
+    // re-lists v1's files (a no-op interloper commit)
+    val snaps = new java.io.File(root, "_snapshots")
+    val v1Body = scala.io.Source.fromFile(
+      new java.io.File(snaps, f"v${1L}%020d.json"))("UTF-8").mkString
+    val fake = v1Body.replace("\"version\":1", "\"version\":2")
+    val w = new java.io.FileWriter(new java.io.File(snaps, f"v${2L}%020d.json"))
+    w.write(fake); w.close()
+    // our commit must land at v3 ON TOP of the interloper's tip
+    val v = t.commitAppend(Seq(7L).toDF("id"))
+    assert(v == 3L, s"expected retry to v3, got v$v")
+    assert(ids(t, 3L) == Set(1L, 7L))
+  }
+
+  test("readAppendedBetween delivers only the delta, and never re-delivers on rollback") {
+    val t = new SnapshotTable(spark, freshRoot("delta"))
+    val v1 = t.commitAppend(Seq(1L, 2L).toDF("id"))
+    val v2 = t.commitAppend(Seq(3L).toDF("id"))
+    val v3 = t.commitAppend(Seq(4L, 5L).toDF("id"))
+    def delta(a: Long, b: Long): Set[Long] =
+      t.readAppendedBetween(a, b).select("id").as[Long].collect().toSet
+    assert(delta(v1, v2) == Set(3L))
+    assert(delta(v1, v3) == Set(3L, 4L, 5L))
+    assert(delta(0L, v1) == Set(1L, 2L))
+    // rollback re-lists old files; an incremental consumer at v3 sees nothing new
+    val v4 = t.rollbackTo(v2)
+    assert(delta(v3, v4).isEmpty)
+  }
+
+  test("vacuum deletes only unreachable files; retained tip still reads") {
+    val root = freshRoot("vac")
+    val t = new SnapshotTable(spark, root)
+    t.commitAppend(Seq(1L, 2L).toDF("id"))
+    t.commitOverwrite(Seq(5L).toDF("id"))
+    def parquetCount(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root, "data")).count(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetCount()
+    t.vacuum(keepLast = 1)
+    assert(parquetCount() < before, "v1's files should be gone")
+    assert(ids(t) == Set(5L))
+    assert(t.history().map(_.version) == Seq(2L)) // v1 manifest dropped
+    intercept[Exception](t.read(1L)) // vacuumed version no longer resolves
+  }
+}
