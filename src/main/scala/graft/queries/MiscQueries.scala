@@ -227,6 +227,38 @@ object MiscQueries {
           max(col("o_totalprice")).as("max_price"))
     }),
 
+    // Snapshot-versioned table format end-to-end (SnapshotTable):
+    // append → append → overwrite → roll-forward rollback, then TIME
+    // TRAVEL back through all four versions and aggregate each one.
+    // Every version's (rows, exact cents) must equal DuckDB's replay of
+    // the same orderkey%4 slices — gating that appends are cumulative,
+    // overwrite replaces, rollback restores v2 bit-for-bit, and that a
+    // version's read is STABLE after later commits (v1/v2 are re-read
+    // last, after v3/v4 exist). Appends publish manifests only (no data
+    // rewrite) — the O(batch) daily-commit shape a 100 TB fact needs.
+    "misc_snapshot_travel" -> ((s, d) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_snap_${s.sparkContext.applicationId}")
+      if (root.exists()) { // re-run inside one app: rebuild from scratch
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          root.toURI, s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+      }
+      val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      t.commitAppend(o.filter(col("o_orderkey") % 4 === 0))
+      val v2 = t.commitAppend(o.filter(col("o_orderkey") % 4 === 1))
+      t.commitOverwrite(o.filter(col("o_orderkey") % 4 >= 2))
+      t.rollbackTo(v2)
+      t.history().map { snap =>
+        t.read(snap.version)
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(snap.version).as("version"), lit(snap.action).as("action"),
+            col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // S5: the universal SQL-text extract primitive (client.query(q)) —
     // spark.sql over a registered view; the result stays distributed
     // instead of collapsing to the driver as the reference's to_dataframe.
@@ -237,6 +269,20 @@ object MiscQueries {
                       count(*) AS n, min(user_id) AS min_user
                FROM events_v WHERE event_type IS NOT NULL
                GROUP BY event_type""")
+    }),
+
+    // SQL TABLE function (injectTableFunction): date_spine — dbt_utils'
+    // date-spine macro as a native TVF planned as Range+Project (a
+    // generated relation, parallel + codegen'd, no driver-built list),
+    // driving the canonical gap-filled-calendar join: every day of Q1
+    // 1995 present with its order count, zero-days included.
+    "misc_date_spine" -> ((s, d) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      Tables.orders(s, d).createOrReplaceTempView("orders_spine_v")
+      s.sql("""SELECT d.day_date, count(o.o_orderkey) AS n_orders
+               FROM date_spine(DATE'1995-01-01', DATE'1995-03-31') d
+               LEFT JOIN orders_spine_v o ON o.o_orderdate = d.day_date
+               GROUP BY d.day_date""")
     }),
 
     // As-of join: each purchase matched to the user's most recent prior
@@ -1589,6 +1635,32 @@ SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
        min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
 FROM orders GROUP BY 1""",
+
+    // DuckDB's generate_series replays the TVF's day spine
+    "misc_date_spine" -> """
+WITH spine AS (
+  SELECT CAST(generate_series AS DATE) AS day_date
+  FROM generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY))
+SELECT s.day_date, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+FROM spine s LEFT JOIN orders o ON o.o_orderdate = s.day_date
+GROUP BY 1""",
+
+    // replay of the four snapshot versions from the base table: v1 =
+    // keys≡0 (append), v2 = keys≡0,1 (append), v3 = keys≡2,3
+    // (overwrite), v4 = rollback to v2
+    "misc_snapshot_travel" -> """
+WITH base AS (
+  SELECT o_orderkey % 4 AS m, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+v AS (
+  SELECT 1 AS version, 'append' AS action, 0 AS lo, 0 AS hi UNION ALL
+  SELECT 2, 'append', 0, 1 UNION ALL
+  SELECT 3, 'overwrite', 2, 3 UNION ALL
+  SELECT 4, 'rollback', 0, 1)
+SELECT CAST(v.version AS BIGINT) AS version, v.action,
+       CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(b.cents) AS BIGINT) AS total_cents
+FROM v JOIN base b ON b.m BETWEEN v.lo AND v.hi
+GROUP BY 1, 2""",
 
     // unpartitioned recompute of the dynamically-pruned join
     "misc_dpp_join" -> """

@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    GraftFunctions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectPlannerStrategy(_ => SkylineStrategy)
     ext.injectOptimizerRule(_ => RangeBinJoinRule)
     ext.injectOptimizerRule(_ => MatViewRewriteRule)
@@ -75,11 +76,48 @@ object GraftFunctions {
       Cast(RegExpReplace(exprs.head, Literal(","), Literal(".")), org.apache.spark.sql.types.DoubleType)
     })
 
+  /** SQL TABLE functions (`SELECT * FROM date_spine(...)`) — the
+    * injectTableFunction extension point. `date_spine(start, end)` is
+    * dbt_utils' date-spine macro (the reference ships dbt_utils,
+    * `packages.yml:3-4`) as a native TVF: one row per day, both ends
+    * inclusive, planned as a Catalyst Range + Project — a generated
+    * relation, parallel and codegen'd, never a driver-built list. */
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Range => LRange}
+  import org.apache.spark.sql.catalyst.expressions.{Alias, DateAdd}
+  import org.apache.spark.sql.types.{DateType, IntegerType}
+
+  private type TableDescriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)
+
+  val dateSpineDescriptor: TableDescriptor = (
+    FunctionIdentifier("date_spine"),
+    new ExpressionInfo(graft.functions.Fns.getClass.getName, "date_spine"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2 && exprs.forall(_.foldable),
+        "date_spine expects two foldable DATE (or date-string) arguments")
+      def days(e: Expression): Int = Cast(e, DateType, Some("UTC")).eval() match {
+        case i: Int => i
+        case _ => throw new IllegalArgumentException(s"date_spine: not a date: $e")
+      }
+      val start = days(exprs.head)
+      val end = days(exprs(1))
+      require(end >= start, s"date_spine: end before start ($start..$end)")
+      val range = LRange(0L, (end - start + 1).toLong, 1L, None)
+      Project(Seq(Alias(
+        DateAdd(Literal(start, DateType), Cast(range.output.head, IntegerType)),
+        "day_date")()), range)
+    })
+
+  val tableFunctions: Seq[TableDescriptor] = Seq(dateSpineDescriptor)
+
   /** Register into an existing session: SQL functions + the Skyline
     * planner strategy (so SkylineNode plans without the config path). */
   def register(spark: SparkSession): Unit = {
     all.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    tableFunctions.foreach { case (id, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(id, info, builder)
     }
     SkylinePlan.install(spark)
     if (!spark.experimental.extraOptimizations.contains(RangeBinJoinRule))

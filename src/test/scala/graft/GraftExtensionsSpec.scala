@@ -26,6 +26,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(2) == 12.34)
   }
 
+  test("date_spine is a SQL table function: inclusive ends, one row per day") {
+    GraftFunctions.register(spark)
+    val days = spark.sql(
+      "SELECT day_date FROM date_spine(DATE'2021-02-26', DATE'2021-03-02')")
+      .as[java.sql.Date].collect().map(_.toString).sorted
+    assert(days.toSeq == Seq(
+      "2021-02-26", "2021-02-27", "2021-02-28", "2021-03-01", "2021-03-02"))
+    // string literals coerce; single-day spine is one row
+    assert(spark.sql("SELECT * FROM date_spine('2020-06-15', '2020-06-15')")
+      .count() == 1L)
+    // plans as a generated Range, not a LocalRelation driver list
+    val plan = spark.sql(
+      "SELECT * FROM date_spine(DATE'1990-01-01', DATE'2030-12-31')")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Range"), s"expected Range-backed spine:\n$plan")
+  }
+
   test("topk_agg is SQL-callable as a grouped aggregate") {
     GraftFunctions.register(spark)
     Seq((1L, 3.0, 10L), (1L, 5.0, 11L), (1L, 4.0, 12L), (2L, 1.0, 20L))
