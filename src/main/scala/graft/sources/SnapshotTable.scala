@@ -3,9 +3,11 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
-/** A snapshot descriptor parsed back from a published manifest. */
+/** A snapshot descriptor parsed back from a published manifest.
+  * `batchId` is -1 for plain commits; streaming appends record their
+  * micro-batch epoch here (the idempotent-retry dedup key). */
 case class Snapshot(version: Long, action: String, baseVersion: Long,
-                    rows: Long, files: Seq[String])
+                    rows: Long, files: Seq[String], batchId: Long = -1L)
 
 /** Minimal snapshot-versioned table format: immutable parquet data files
   * plus a linear chain of JSON manifests, one per committed version —
@@ -71,8 +73,10 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val files = """"files"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
       .getOrElse(sys.error(s"manifest v$version: missing files")).group(1)
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    val batchId = """"batchId"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toLong).getOrElse(-1L)
     Snapshot(longField("version"), strField("action"), longField("baseVersion"),
-      longField("rows"), files)
+      longField("rows"), files, batchId)
   }
 
   /** Read the table at `version` (default: latest). Planning comes from
@@ -104,7 +108,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * collision (another writer won the version) retry on the new tip.
     * Returns the committed version. */
   private def publish(action: String, files: Long => Seq[String],
-                      rows: Long => Long): Long = {
+                      rows: Long => Long, batchId: Long = -1L): Long = {
     var attempts = 0
     while (attempts < 50) {
       val base = latestVersion()
@@ -112,7 +116,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
       val fls = files(base)
       val body =
         s"""{"version":$v,"action":"$action","baseVersion":$base,
-           |"rows":${rows(base)},
+           |"rows":${rows(base)},"batchId":$batchId,
            |"files":[${fls.map(f => s""""$f"""").mkString(",")}]}""".stripMargin
       fs.mkdirs(snapsDir)
       try {
@@ -133,6 +137,26 @@ class SnapshotTable(spark: SparkSession, root: String) {
     publish("append",
       base => (if (base == 0) Seq.empty else snapshot(base).files) ++ newFiles,
       base => (if (base == 0) 0L else snapshot(base).rows) + newRows)
+  }
+
+  /** Epoch-idempotent append — the foreachBatch streaming-sink contract
+    * (the GraftSink exactly-once shape, on the table format): a re-run of
+    * an already-committed micro-batch (failure replay, driver restart)
+    * finds its `batchId` in the retained history and returns that version
+    * instead of double-appending. Spark re-runs a failed epoch only after
+    * the previous attempt is dead, so the check-then-publish pair is not
+    * raced by its own retries. */
+  def commitAppendOnce(batchId: Long, df: DataFrame): Long = {
+    require(batchId >= 0, s"streaming epoch must be non-negative: $batchId")
+    history().find(s => s.action == "append" && s.batchId == batchId) match {
+      case Some(dup) => dup.version
+      case None =>
+        val (newFiles, newRows) = writeDataFiles(df)
+        publish("append",
+          base => (if (base == 0) Seq.empty else snapshot(base).files) ++ newFiles,
+          base => (if (base == 0) 0L else snapshot(base).rows) + newRows,
+          batchId)
+    }
   }
 
   /** Replace the table contents with `df` as a new snapshot. Old files
@@ -180,6 +204,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
       .sorted.toSeq.map(snapshot)
   }
 
+  private[sources] def hadoopFs: FileSystem = fs
+
   /** Delete data files unreachable from the last `keepLast` manifests and
     * drop the older manifests. Bounded metadata scan — cost scales with
     * history length and file count, never data volume. */
@@ -201,5 +227,46 @@ class SnapshotTable(spark: SparkSession, root: String) {
       }
     }
     (1L until keepFrom).foreach(v => fs.delete(manifestPath(v), false))
+  }
+}
+
+/** Checkpointed incremental consumer over a [[SnapshotTable]]'s version
+  * chain — the batch-incremental "table as a change feed" shape (the
+  * reference's scheduled incremental rerun, SURVEY.md §2.9 I2, driven by
+  * snapshot versions instead of a timestamp watermark).
+  *
+  * Offsets are files under `checkpointDir/offsets/` whose NAME is the
+  * consumed tip version, published create-exclusive like table manifests:
+  * a poll that dies mid-process leaves no offset, so the next poll
+  * re-delivers the same delta — at-least-once, which an idempotent
+  * `process` (overwrite-by-version, merge-by-key) upgrades to
+  * exactly-once: the foreachBatch contract. Restart = construct a new
+  * follower on the same checkpointDir; it resumes from the max offset.
+  */
+class SnapshotFollower(table: SnapshotTable, checkpointDir: String) {
+  private val offsetsDir = new Path(checkpointDir, "offsets")
+  private def fs: FileSystem = table.hadoopFs
+
+  /** Highest version a completed poll has committed, 0 if none. */
+  def lastConsumed(): Long = {
+    if (!fs.exists(offsetsDir)) return 0L
+    fs.listStatus(offsetsDir).map(_.getPath.getName)
+      .filter(_.startsWith("o")).map(_.stripPrefix("o").toLong)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Process everything committed since the last completed poll. Returns
+    * the (fromExclusive, toInclusive) version range processed, or None if
+    * the table has nothing new. The offset advances ONLY after `process`
+    * returns — a throw re-delivers the delta on the next poll. */
+  def poll(process: org.apache.spark.sql.DataFrame => Unit): Option[(Long, Long)] = {
+    val from = lastConsumed()
+    val tip = table.latestVersion()
+    if (tip <= from) return None
+    process(table.readAppendedBetween(from, tip))
+    fs.mkdirs(offsetsDir)
+    val out = fs.create(new Path(offsetsDir, f"o$tip%020d"), false)
+    out.close()
+    Some((from, tip))
   }
 }

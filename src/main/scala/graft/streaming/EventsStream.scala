@@ -174,6 +174,31 @@ object EventsStream {
     q.runId.toString
   }
 
+  /** Streaming ingest into the transactional table format — the job the
+    * `runUpsertJob`/`runIvmAggJob` scaladocs point at: each micro-batch
+    * lands as ONE [[graft.sources.SnapshotTable]] append via
+    * `commitAppendOnce(batchId, …)`, so an epoch replayed after a failure
+    * finds its batchId in the manifest history and no-ops — EXACTLY-ONCE
+    * table contents with no read-then-overwrite window at all (the
+    * create-exclusive manifest put is the only commit point, and appends
+    * never touch existing files). Downstream, a
+    * [[graft.sources.SnapshotFollower]] consumes the same table
+    * incrementally by version — the full streaming-lakehouse loop. */
+  def runSnapshotIngestJob(spark: SparkSession, inDir: String,
+                           tableRoot: String, checkpointDir: String): String = {
+    val table = new graft.sources.SnapshotTable(spark, tableRoot)
+    val q = readEventsStream(spark, inDir).writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        table.commitAppendOnce(batchId, batch.toDF())
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.runId.toString
+  }
+
   /** Streaming MV maintenance: `runIvmAggJob`'s registered-summary
     * sibling — each micro-batch of appended fact rows folds into a
     * [[graft.operators.MatViews]] summary via `MatViews.maintain`

@@ -78,6 +78,64 @@ class SnapshotTableSpec extends SparkSpec {
     assert(delta(v3, v4).isEmpty)
   }
 
+  test("SnapshotFollower: checkpointed polls, failure re-delivery, restart resume") {
+    val t = new SnapshotTable(spark, freshRoot("follow"))
+    val ckpt = freshRoot("followckpt")
+    val f = new graft.sources.SnapshotFollower(t, ckpt)
+    assert(f.poll(_ => fail("no data yet")).isEmpty)
+    t.commitAppend(Seq(1L, 2L).toDF("id"))
+    t.commitAppend(Seq(3L).toDF("id"))
+    var seen = Set.empty[Long]
+    assert(f.poll(df => seen = df.select("id").as[Long].collect().toSet)
+      .contains((0L, 2L)))
+    assert(seen == Set(1L, 2L, 3L))
+    assert(f.poll(_ => fail("nothing new")).isEmpty) // idle
+    t.commitAppend(Seq(4L).toDF("id"))
+    // a dying process leaves the offset untouched -> re-delivery
+    intercept[RuntimeException](f.poll(_ => throw new RuntimeException("boom")))
+    // restart: a NEW follower on the same checkpoint resumes at v2
+    val f2 = new graft.sources.SnapshotFollower(t, ckpt)
+    assert(f2.poll(df => seen = df.select("id").as[Long].collect().toSet)
+      .contains((2L, 3L)))
+    assert(seen == Set(4L)) // only the delta, never a re-scan
+  }
+
+  test("commitAppendOnce: a replayed epoch no-ops at its original version") {
+    val t = new SnapshotTable(spark, freshRoot("once"))
+    val v1 = t.commitAppendOnce(0L, Seq(1L, 2L).toDF("id"))
+    val v2 = t.commitAppendOnce(1L, Seq(3L).toDF("id"))
+    // failure replay of epoch 1: same version back, no double-append
+    assert(t.commitAppendOnce(1L, Seq(3L).toDF("id")) == v2)
+    assert((v1, v2) == (1L, 2L))
+    assert(t.latestVersion() == 2L && ids(t) == Set(1L, 2L, 3L))
+    assert(t.snapshot(v2).batchId == 1L && t.snapshot(v1).batchId == 0L)
+  }
+
+  test("runSnapshotIngestJob lands micro-batches as snapshot commits, exactly-once on restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapingest").toString
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    Seq(
+      (1L, ts0, 7L, "click", 1.0, "{}"),
+      (2L, ts0, 8L, "view", 2.0, "{}"),
+      (3L, ts0, 9L, "view", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/in")
+    graft.streaming.EventsStream.runSnapshotIngestJob(
+      spark, s"$dir/in", s"$dir/table", s"$dir/ckpt")
+    val t = new SnapshotTable(spark, s"$dir/table")
+    val v = t.latestVersion()
+    assert(v >= 1L && t.read().count() == 3L)
+    // restart on the same checkpoint: no new data, no new version
+    graft.streaming.EventsStream.runSnapshotIngestJob(
+      spark, s"$dir/in", s"$dir/table", s"$dir/ckpt")
+    assert(t.latestVersion() == v && t.read().count() == 3L)
+    // a follower downstream sees the ingested rows exactly once
+    val f = new graft.sources.SnapshotFollower(t, s"$dir/followckpt")
+    var n = -1L
+    f.poll(df => n = df.count())
+    assert(n == 3L && f.poll(_ => fail("nothing new")).isEmpty)
+  }
+
   test("vacuum deletes only unreachable files; retained tip still reads") {
     val root = freshRoot("vac")
     val t = new SnapshotTable(spark, root)
