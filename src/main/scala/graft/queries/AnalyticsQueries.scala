@@ -222,6 +222,26 @@ object AnalyticsQueries {
           col("P").as("rev_p"))
     }),
 
+    // The reshape inverse: the pivoted wide frame melted back to long via
+    // the NATIVE Dataset.unpivot (Spark's melt — one generate pass, no
+    // per-measure self-union). Null measures survive the melt (a nation
+    // with no P-status orders keeps its rev_p row, value NULL) — pinned
+    // by the oracle's explicit NULL-preserving union replay.
+    "misc_unpivot" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast(dec)).cast(DoubleType))
+        .select(col("n_name"), col("F").as("rev_f"), col("O").as("rev_o"),
+          col("P").as("rev_p"))
+        .unpivot(Array(col("n_name")),
+          Array(col("rev_f"), col("rev_o"), col("rev_p")), "measure", "revenue")
+    }),
+
     // Exact grouped percentiles (interpolated), rounded to 6 decimals at
     // the boundary (both engines interpolate linearly; the rounding
     // absorbs last-ulp divergence, same policy as the cosine queries).
@@ -390,6 +410,21 @@ FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name""",
+
+    // NULL-preserving union replay of the melt
+    "misc_unpivot" -> """
+WITH wide AS (
+  SELECT n_name,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_f,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_o,
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name)
+SELECT n_name, 'rev_f' AS measure, rev_f AS revenue FROM wide
+UNION ALL SELECT n_name, 'rev_o', rev_o FROM wide
+UNION ALL SELECT n_name, 'rev_p', rev_p FROM wide""",
 
     "misc_group_percentile" -> """
 SELECT l_returnflag, count(*) AS n,

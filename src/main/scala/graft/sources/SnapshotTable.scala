@@ -91,6 +91,20 @@ class SnapshotTable(spark: SparkSession, root: String) {
       spark.read.parquet(snap.files.map(f => new Path(dataDir, f).toString): _*)
   }
 
+  /** Schema-evolution read of `version`: parquet footer merging unions
+    * the column sets of every listed file, so rows from commits that
+    * predate a column read it as null. Separate from [[read]] because
+    * merging reads every file's footer at planning time — pay it only on
+    * tables whose commits actually evolved (`read` keeps the
+    * single-footer fast path). */
+  def readEvolved(version: Long = -1L): DataFrame = {
+    val v = if (version < 0) latestVersion() else version
+    require(v > 0, s"no committed snapshot to read at $root")
+    val snap = snapshot(v)
+    spark.read.option("mergeSchema", "true")
+      .parquet(snap.files.map(f => new Path(dataDir, f).toString): _*)
+  }
+
   /** Write the batch's data files under a fresh commit dir, return the
     * manifest-relative file names + exact row count (from the written
     * footers, not a second scan of the input). */

@@ -100,6 +100,17 @@ class SnapshotTableSpec extends SparkSpec {
     assert(seen == Set(4L)) // only the delta, never a re-scan
   }
 
+  test("readEvolved merges schemas across commits; missing columns read null") {
+    val t = new SnapshotTable(spark, freshRoot("evolve"))
+    t.commitAppend(Seq(1L, 2L).toDF("id"))
+    t.commitAppend(Seq((3L, "x")).toDF("id", "tag")) // commit adds a column
+    val evolved = t.readEvolved()
+    assert(evolved.columns.toSet == Set("id", "tag"))
+    val byId = evolved.select("id", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(byId == Map(1L -> None, 2L -> None, 3L -> Some("x")))
+  }
+
   test("commitAppendOnce: a replayed epoch no-ops at its original version") {
     val t = new SnapshotTable(spark, freshRoot("once"))
     val v1 = t.commitAppendOnce(0L, Seq(1L, 2L).toDF("id"))
