@@ -259,6 +259,38 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // Manifest min/max data skipping on the snapshot format: three
+    // commits land disjoint orderkey thirds as one file each, then a
+    // range lookup inside the middle third PLANS exactly one of the
+    // three files (pinned in the output row, zorder-pruning precedent)
+    // while the row content replays exactly in DuckDB. The skipping
+    // index is the manifest — a point lookup on a 100 TB fact opens the
+    // files that can match, not every footer.
+    "misc_snapshot_skipping" -> ((s, d) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_snapskip_${s.sparkContext.applicationId}")
+      if (root.exists()) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          root.toURI, s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+      }
+      val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath,
+        statsCol = Some("o_orderkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val m = o.agg(max(col("o_orderkey"))).head.getLong(0)
+      val (t1, t2) = ((m + 1) / 3, 2 * (m + 1) / 3)
+      t.commitAppend(o.filter(col("o_orderkey") < t1).repartition(1))
+      t.commitAppend(o.filter(col("o_orderkey") >= t1 &&
+        col("o_orderkey") < t2).repartition(1))
+      t.commitAppend(o.filter(col("o_orderkey") >= t2).repartition(1))
+      val pruned = t.readRange(t1, t2 - 1)
+      pruned.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(t.read().inputFiles.length).as("files_total"),
+          lit(pruned.inputFiles.length).as("files_planned"),
+          col("n_rows"), col("total_cents"))
+    }),
+
     // S5: the universal SQL-text extract primitive (client.query(q)) —
     // spark.sql over a registered view; the result stays distributed
     // instead of collapsing to the driver as the reference's to_dataframe.
@@ -1644,6 +1676,16 @@ WITH spine AS (
 SELECT s.day_date, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
 FROM spine s LEFT JOIN orders o ON o.o_orderdate = s.day_date
 GROUP BY 1""",
+
+    // middle-third rows replayed; the 3-files/1-planned counts are the
+    // engine-side pins (DuckDB replays the content, not the planning)
+    "misc_snapshot_skipping" -> """
+WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+t AS (SELECT (mx + 1) // 3 AS t1, 2 * (mx + 1) // 3 AS t2 FROM m)
+SELECT CAST(3 AS INTEGER) AS files_total, CAST(1 AS INTEGER) AS files_planned,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders, t WHERE o_orderkey >= t.t1 AND o_orderkey <= t.t2 - 1""",
 
     // replay of the four snapshot versions from the base table: v1 =
     // keys≡0 (append), v2 = keys≡0,1 (append), v3 = keys≡2,3

@@ -5,9 +5,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** A snapshot descriptor parsed back from a published manifest.
   * `batchId` is -1 for plain commits; streaming appends record their
-  * micro-batch epoch here (the idempotent-retry dedup key). */
+  * micro-batch epoch here (the idempotent-retry dedup key).
+  * `mins`/`maxs` are per-file min/max of the table's stats column
+  * (aligned with `files`; empty when the table collects no stats) — the
+  * data-skipping index [[SnapshotTable.readRange]] prunes on. */
 case class Snapshot(version: Long, action: String, baseVersion: Long,
-                    rows: Long, files: Seq[String], batchId: Long = -1L)
+                    rows: Long, files: Seq[String], batchId: Long = -1L,
+                    mins: Seq[Long] = Seq.empty, maxs: Seq[Long] = Seq.empty)
 
 /** Minimal snapshot-versioned table format: immutable parquet data files
   * plus a linear chain of JSON manifests, one per committed version —
@@ -42,11 +46,28 @@ case class Snapshot(version: Long, action: String, baseVersion: Long,
   * they never depend on directory listing of `data/` (uncommitted or
   * vacuum-pending files are invisible).
   */
-class SnapshotTable(spark: SparkSession, root: String) {
+class SnapshotTable(spark: SparkSession, root: String,
+                    statsCol: Option[String] = None) {
   private val snapsDir = new Path(root, "_snapshots")
   private val dataDir = new Path(root, "data")
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Per-file (min, max) of `statsCol` aligned with a manifest's file
+    * list. Files whose stats are unknown (empty file, stats-less older
+    * commit) carry the full-range sentinel — conservatively never
+    * pruned. */
+  private case class FileSet(files: Seq[String], mins: Seq[Long], maxs: Seq[Long])
+  private val UnknownMin = Long.MinValue
+  private val UnknownMax = Long.MaxValue
+
+  private def fileSetOf(s: Snapshot): FileSet = {
+    val mins = if (s.mins.length == s.files.length) s.mins
+               else Seq.fill(s.files.length)(UnknownMin)
+    val maxs = if (s.maxs.length == s.files.length) s.maxs
+               else Seq.fill(s.files.length)(UnknownMax)
+    FileSet(s.files, mins, maxs)
+  }
 
   private def manifestPath(v: Long) = new Path(snapsDir, f"v$v%020d.json")
 
@@ -75,8 +96,12 @@ class SnapshotTable(spark: SparkSession, root: String) {
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
     val batchId = """"batchId"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
       .map(_.group(1).toLong).getOrElse(-1L)
+    def longArray(k: String): Seq[Long] =
+      s""""$k"\\s*:\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(txt)
+        .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq)
+        .getOrElse(Seq.empty)
     Snapshot(longField("version"), strField("action"), longField("baseVersion"),
-      longField("rows"), files, batchId)
+      longField("rows"), files, batchId, longArray("mins"), longArray("maxs"))
   }
 
   /** Read the table at `version` (default: latest). Planning comes from
@@ -106,32 +131,55 @@ class SnapshotTable(spark: SparkSession, root: String) {
   }
 
   /** Write the batch's data files under a fresh commit dir, return the
-    * manifest-relative file names + exact row count (from the written
-    * footers, not a second scan of the input). */
-  private def writeDataFiles(df: DataFrame): (Seq[String], Long) = {
+    * manifest-relative file names (+ per-file stats when the table
+    * collects them) + exact row count — all from the WRITTEN files, not
+    * a second scan of the input. Stats cost one aggregate pass grouped
+    * by `input_file_name()` over the freshly written commit dir only. */
+  private def writeDataFiles(df: DataFrame): (FileSet, Long) = {
     val commitId = java.util.UUID.randomUUID().toString
     val dir = new Path(dataDir, commitId)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
     val parts = fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map(p => s"$commitId/${p.getName}").toSeq
-    val rows = spark.read.parquet(dir.toString).count()
-    (parts, rows)
+    val written = spark.read.parquet(dir.toString)
+    val rows = written.count()
+    val fileSet = statsCol match {
+      case Some(c) =>
+        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+        val byFile = written
+          .groupBy(input_file_name().as("__f"))
+          .agg(min(col(c).cast("long")).as("__mn"), max(col(c).cast("long")).as("__mx"))
+          .collect() // ≤ one row per written file — commit-sized, bounded
+          .map(r => (r.getString(0),
+            (Option(r.get(1)).fold(UnknownMin)(_.asInstanceOf[Long]),
+             Option(r.get(2)).fold(UnknownMax)(_.asInstanceOf[Long])))).toMap
+        def statsFor(rel: String): (Long, Long) =
+          byFile.collectFirst { case (uri, mm) if uri.endsWith(rel.split('/').last) => mm }
+            .getOrElse((UnknownMin, UnknownMax))
+        val mm = parts.map(statsFor)
+        FileSet(parts, mm.map(_._1), mm.map(_._2))
+      case None => FileSet(parts, parts.map(_ => UnknownMin), parts.map(_ => UnknownMax))
+    }
+    (fileSet, rows)
   }
 
   /** Publish a manifest at the next version; on a create-exclusive
     * collision (another writer won the version) retry on the new tip.
     * Returns the committed version. */
-  private def publish(action: String, files: Long => Seq[String],
+  private def publish(action: String, files: Long => FileSet,
                       rows: Long => Long, batchId: Long = -1L): Long = {
     var attempts = 0
     while (attempts < 50) {
       val base = latestVersion()
       val v = base + 1
       val fls = files(base)
+      val statsPart =
+        if (statsCol.isEmpty) ""
+        else s""","mins":[${fls.mins.mkString(",")}],"maxs":[${fls.maxs.mkString(",")}]"""
       val body =
         s"""{"version":$v,"action":"$action","baseVersion":$base,
-           |"rows":${rows(base)},"batchId":$batchId,
-           |"files":[${fls.map(f => s""""$f"""").mkString(",")}]}""".stripMargin
+           |"rows":${rows(base)},"batchId":$batchId$statsPart,
+           |"files":[${fls.files.map(f => s""""$f"""").mkString(",")}]}""".stripMargin
       fs.mkdirs(snapsDir)
       try {
         val out = fs.create(manifestPath(v), /* overwrite = */ false)
@@ -144,12 +192,18 @@ class SnapshotTable(spark: SparkSession, root: String) {
     sys.error(s"snapshot commit at $root: gave up after $attempts collisions")
   }
 
+  private def appendedFileSet(base: Long, nw: FileSet): FileSet = {
+    val prev = if (base == 0) FileSet(Seq.empty, Seq.empty, Seq.empty)
+               else fileSetOf(snapshot(base))
+    FileSet(prev.files ++ nw.files, prev.mins ++ nw.mins, prev.maxs ++ nw.maxs)
+  }
+
   /** Append `df` as a new snapshot: new files + everything the current
     * tip lists. Manifest-only on top of existing data — O(batch). */
   def commitAppend(df: DataFrame): Long = {
     val (newFiles, newRows) = writeDataFiles(df)
     publish("append",
-      base => (if (base == 0) Seq.empty else snapshot(base).files) ++ newFiles,
+      base => appendedFileSet(base, newFiles),
       base => (if (base == 0) 0L else snapshot(base).rows) + newRows)
   }
 
@@ -167,10 +221,28 @@ class SnapshotTable(spark: SparkSession, root: String) {
       case None =>
         val (newFiles, newRows) = writeDataFiles(df)
         publish("append",
-          base => (if (base == 0) Seq.empty else snapshot(base).files) ++ newFiles,
+          base => appendedFileSet(base, newFiles),
           base => (if (base == 0) 0L else snapshot(base).rows) + newRows,
           batchId)
     }
+  }
+
+  /** DQ-gated append — the write-audit contract at the TABLE boundary
+    * (the reference gates every pipeline stage with validators,
+    * SURVEY.md §2.10; this moves the gate into the commit protocol
+    * itself): the batch's check suite runs in ONE aggregation pass
+    * BEFORE any data file is written, and a failing suite raises with
+    * the per-check violation counts — no manifest, no orphan files, the
+    * table never holds an invalid version. */
+  def commitAppendChecked(df: DataFrame,
+                          suite: Seq[graft.checks.Check]): Long = {
+    val results = graft.checks.Checks.evaluate(df, suite)
+    val failed = results.filterNot(_.passed)
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"commit rejected by ${failed.length}/${results.length} checks: " +
+          failed.map(r => s"${r.check_name}(${r.violations})").mkString(", "))
+    commitAppend(df)
   }
 
   /** Replace the table contents with `df` as a new snapshot. Old files
@@ -180,12 +252,35 @@ class SnapshotTable(spark: SparkSession, root: String) {
     publish("overwrite", _ => newFiles, _ => newRows)
   }
 
+  /** Data-skipping read: only files whose [min, max] stats band overlaps
+    * `[lo, hi]` on the table's stats column are PLANNED at all — the
+    * manifest is the skipping index, so a point/range lookup on a
+    * 100 TB fact opens the handful of files that can match instead of
+    * every footer. Files with unknown stats are read conservatively; the
+    * residual predicate is applied either way, so the result equals
+    * `read().filter(...)` exactly. */
+  def readRange(lo: Long, hi: Long, version: Long = -1L): DataFrame = {
+    val c = statsCol.getOrElse(
+      sys.error(s"readRange on $root: table collects no stats column"))
+    val v = if (version < 0) latestVersion() else version
+    require(v > 0, s"no committed snapshot to read at $root")
+    val setAll = fileSetOf(snapshot(v))
+    val keep = setAll.files.indices
+      .filter(i => setAll.maxs(i) >= lo && setAll.mins(i) <= hi)
+      .map(setAll.files)
+    import org.apache.spark.sql.functions.col
+    val base =
+      if (keep.isEmpty) read(v).limit(0)
+      else spark.read.parquet(keep.map(f => new Path(dataDir, f).toString): _*)
+    base.filter(col(c).cast("long").between(lo, hi))
+  }
+
   /** Roll-forward rollback: publish a NEW version re-listing `version`'s
     * files. History stays intact — reads of intermediate versions still
     * resolve (the blue-green restore, minus the mutation). */
   def rollbackTo(version: Long): Long = {
     val snap = snapshot(version)
-    publish("rollback", _ => snap.files, _ => snap.rows)
+    publish("rollback", _ => fileSetOf(snap), _ => snap.rows)
   }
 
   /** Incremental read: only the rows ADDED between `fromVersion`

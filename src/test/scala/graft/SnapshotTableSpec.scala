@@ -100,6 +100,44 @@ class SnapshotTableSpec extends SparkSpec {
     assert(seen == Set(4L)) // only the delta, never a re-scan
   }
 
+  test("readRange prunes files by manifest min/max stats; results stay exact") {
+    val t = new SnapshotTable(spark, freshRoot("stats"), statsCol = Some("id"))
+    // three commits with disjoint id bands, one file each
+    t.commitAppend((1L to 10L).toDF("id").repartition(1))
+    t.commitAppend((11L to 20L).toDF("id").repartition(1))
+    t.commitAppend((21L to 30L).toDF("id").repartition(1))
+    assert(t.read().inputFiles.length == 3)
+    val mid = t.readRange(12L, 15L)
+    assert(mid.inputFiles.length == 1, "only the middle band's file should plan")
+    assert(mid.select("id").as[Long].collect().toSet == (12L to 15L).toSet)
+    // a band-straddling range plans two files, never three
+    val straddle = t.readRange(9L, 12L)
+    assert(straddle.inputFiles.length == 2)
+    assert(straddle.select("id").as[Long].collect().toSet == (9L to 12L).toSet)
+    // out-of-band lookup plans zero files
+    assert(t.readRange(100L, 200L).inputFiles.isEmpty)
+    // stats survive rollback re-listing
+    t.commitAppend((31L to 40L).toDF("id").repartition(1))
+    t.rollbackTo(3L)
+    assert(t.readRange(12L, 15L).inputFiles.length == 1)
+  }
+
+  test("commitAppendChecked rejects a violating batch before any file is written") {
+    val root = freshRoot("gate")
+    val t = new SnapshotTable(spark, root)
+    val suite = Seq(graft.checks.NonNull(Seq("name"), name = "nn"),
+      graft.checks.RowCountMin(1, name = "mn"))
+    val bad = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("id", "name")
+    val e = intercept[IllegalStateException](t.commitAppendChecked(bad, suite))
+    assert(e.getMessage.contains("nn(1)"), e.getMessage)
+    assert(t.latestVersion() == 0L, "no version must be published")
+    assert(!new java.io.File(root, "data").exists(), "no orphan data files")
+    // the clean batch commits through the same gate
+    val good = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    assert(t.commitAppendChecked(good, suite) == 1L)
+    assert(t.read().count() == 2L)
+  }
+
   test("readEvolved merges schemas across commits; missing columns read null") {
     val t = new SnapshotTable(spark, freshRoot("evolve"))
     t.commitAppend(Seq(1L, 2L).toDF("id"))
