@@ -275,6 +275,72 @@ class SnapshotTable(spark: SparkSession, root: String,
     base.filter(col(c).cast("long").between(lo, hi))
   }
 
+  /** Publish exactly at `base + 1`; None when another writer got there
+    * first. Unlike [[publish]] this does NOT retry — the caller re-derives
+    * its content from the new tip (snapshot-isolation validation for
+    * read-modify-write commits, where a blind retry would lose the
+    * concurrent writer's rows). */
+  private def publishAtBase(base: Long, action: String, fls: FileSet,
+                            rowCount: Long): Option[Long] = {
+    val v = base + 1
+    val statsPart =
+      if (statsCol.isEmpty) ""
+      else s""","mins":[${fls.mins.mkString(",")}],"maxs":[${fls.maxs.mkString(",")}]"""
+    val body =
+      s"""{"version":$v,"action":"$action","baseVersion":$base,
+         |"rows":$rowCount,"batchId":-1$statsPart,
+         |"files":[${fls.files.map(f => s""""$f"""").mkString(",")}]}""".stripMargin
+    fs.mkdirs(snapsDir)
+    try {
+      val out = fs.create(manifestPath(v), false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      Some(v)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Read-modify-write commit with snapshot-isolation validation: derive
+    * the new table contents from the tip via `transform`, rewrite, and
+    * publish ONLY if the tip is still the version we read — a concurrent
+    * commit in the window forces a re-derive from the new tip instead of
+    * silently losing its rows (the write-skew hazard a blind
+    * read-then-overwrite carries; the upsert/IVM streaming jobs document
+    * exactly this gap, closed here). Copy-on-write: cost is O(table
+    * rewrite) per attempt, the price of row-level semantics on immutable
+    * files. */
+  def commitRewrite(action: String)
+                   (transform: Option[DataFrame] => DataFrame): Long = {
+    var attempts = 0
+    while (attempts < 50) {
+      val base = latestVersion()
+      val cur = if (base == 0) None else Some(read(base))
+      val next = transform(cur)
+      val (fls, rows) = writeDataFiles(next)
+      publishAtBase(base, action, fls, rows) match {
+        case Some(v) => return v
+        case None => // lost the race: drop this attempt's files, re-derive
+          fls.files.map(_.split('/').head).distinct.foreach(uuid =>
+            fs.delete(new Path(dataDir, uuid), true))
+          attempts += 1
+      }
+    }
+    sys.error(s"commitRewrite at $root: gave up after $attempts conflicts")
+  }
+
+  /** MERGE INTO (upsert by key, last-writer-wins on the watermark):
+    * [[commitRewrite]] around the engine's merge operator. */
+  def commitUpsert(batch: DataFrame, uniqueKey: Seq[String],
+                   watermarkCol: String, tieBreak: Seq[String] = Seq.empty): Long =
+    commitRewrite("upsert")(cur =>
+      graft.models.Meta.mergeUpsert(cur.getOrElse(batch.limit(0)), batch,
+        uniqueKey, watermarkCol, tieBreak))
+
+  /** Row-level DELETE WHERE: keep everything the predicate does not
+    * match. Same copy-on-write + validation discipline. */
+  def commitDelete(predicate: org.apache.spark.sql.Column): Long =
+    commitRewrite("delete")(cur =>
+      cur.getOrElse(sys.error(s"DELETE on empty table at $root"))
+        .filter(!predicate))
+
   /** Roll-forward rollback: publish a NEW version re-listing `version`'s
     * files. History stays intact — reads of intermediate versions still
     * resolve (the blue-green restore, minus the mutation). */

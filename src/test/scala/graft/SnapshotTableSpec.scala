@@ -138,6 +138,40 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().count() == 2L)
   }
 
+  test("commitUpsert merges by key; commitDelete removes rows; history keeps both") {
+    val t = new SnapshotTable(spark, freshRoot("dml"))
+    t.commitAppend(Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("id", "v", "w"))
+    // true-MERGE: matched keys take the batch's row unconditionally
+    // (the watermark orders WITHIN the batch — id=2 keeps w=20 over w=15)
+    t.commitUpsert(Seq((2L, "B", 20L), (2L, "old", 15L), (3L, "c", 20L))
+      .toDF("id", "v", "w"), uniqueKey = Seq("id"), watermarkCol = "w")
+    val afterUpsert = t.read().select("id", "v").as[(Long, String)].collect().toMap
+    assert(afterUpsert == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    val vDel = t.commitDelete(col("id") === 2L)
+    assert(t.read().select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // time travel still sees the deleted row; actions recorded
+    assert(t.read(vDel - 1).select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(t.history().map(_.action) == Seq("append", "upsert", "delete"))
+  }
+
+  test("commitRewrite re-derives from the new tip when a concurrent commit wins") {
+    val root = freshRoot("rmw")
+    val t = new SnapshotTable(spark, root)
+    t.commitAppend(Seq(1L, 2L).toDF("id"))
+    val other = new SnapshotTable(spark, root)
+    var calls = 0
+    val v = t.commitRewrite("delete") { cur =>
+      calls += 1
+      if (calls == 1) other.commitAppend(Seq(99L).toDF("id")) // interloper mid-flight
+      cur.get.filter(col("id") =!= 1L)
+    }
+    // first attempt lost the version race; the retry derived from the
+    // interloper's tip, so 99 SURVIVES instead of being silently dropped
+    assert(calls == 2, s"expected a re-derive, transform ran $calls time(s)")
+    assert(v == 3L)
+    assert(ids(t) == Set(2L, 99L))
+  }
+
   test("readEvolved merges schemas across commits; missing columns read null") {
     val t = new SnapshotTable(spark, freshRoot("evolve"))
     t.commitAppend(Seq(1L, 2L).toDF("id"))
