@@ -8,10 +8,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * micro-batch epoch here (the idempotent-retry dedup key).
   * `mins`/`maxs` are per-file min/max of the table's stats column
   * (aligned with `files`; empty when the table collects no stats) — the
-  * data-skipping index [[SnapshotTable.readRange]] prunes on. */
+  * data-skipping index [[SnapshotTable.readRange]] prunes on.
+  * `dataChange=false` marks versions that reorganize files without
+  * changing table contents (compaction) — change-feed consumers skip
+  * them. */
 case class Snapshot(version: Long, action: String, baseVersion: Long,
                     rows: Long, files: Seq[String], batchId: Long = -1L,
-                    mins: Seq[Long] = Seq.empty, maxs: Seq[Long] = Seq.empty)
+                    mins: Seq[Long] = Seq.empty, maxs: Seq[Long] = Seq.empty,
+                    dataChange: Boolean = true)
 
 /** Minimal snapshot-versioned table format: immutable parquet data files
   * plus a linear chain of JSON manifests, one per committed version —
@@ -100,8 +104,11 @@ class SnapshotTable(spark: SparkSession, root: String,
       s""""$k"\\s*:\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(txt)
         .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq)
         .getOrElse(Seq.empty)
+    val dataChange = """"dataChange"\s*:\s*(true|false)""".r.findFirstMatchIn(txt)
+      .forall(_.group(1) == "true")
     Snapshot(longField("version"), strField("action"), longField("baseVersion"),
-      longField("rows"), files, batchId, longArray("mins"), longArray("maxs"))
+      longField("rows"), files, batchId, longArray("mins"), longArray("maxs"),
+      dataChange)
   }
 
   /** Read the table at `version` (default: latest). Planning comes from
@@ -167,7 +174,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     * collision (another writer won the version) retry on the new tip.
     * Returns the committed version. */
   private def publish(action: String, files: Long => FileSet,
-                      rows: Long => Long, batchId: Long = -1L): Long = {
+                      rows: Long => Long, batchId: Long = -1L,
+                      dataChange: Boolean = true): Long = {
     var attempts = 0
     while (attempts < 50) {
       val base = latestVersion()
@@ -178,7 +186,7 @@ class SnapshotTable(spark: SparkSession, root: String,
         else s""","mins":[${fls.mins.mkString(",")}],"maxs":[${fls.maxs.mkString(",")}]"""
       val body =
         s"""{"version":$v,"action":"$action","baseVersion":$base,
-           |"rows":${rows(base)},"batchId":$batchId$statsPart,
+           |"rows":${rows(base)},"batchId":$batchId,"dataChange":$dataChange$statsPart,
            |"files":[${fls.files.map(f => s""""$f"""").mkString(",")}]}""".stripMargin
       fs.mkdirs(snapsDir)
       try {
@@ -361,12 +369,41 @@ class SnapshotTable(spark: SparkSession, root: String,
   def readAppendedBetween(fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion < toVersion,
       s"empty version range: ($fromVersion, $toVersion]")
-    val before =
-      if (fromVersion == 0) Set.empty[String] else snapshot(fromVersion).files.toSet
-    val added = snapshot(toVersion).files.filterNot(before)
-    val schemaSrc = read(toVersion)
-    if (added.isEmpty) schemaSrc.limit(0)
-    else spark.read.parquet(added.map(f => new Path(dataDir, f).toString): _*)
+    // walk the versions: a file counts as delivered-new only the first
+    // time a DATA-CHANGING version lists it. Compaction versions
+    // (dataChange=false) re-list content in new files — skipping them is
+    // what keeps a change-feed consumer from re-receiving the whole
+    // table after maintenance (the dataChange contract of the public
+    // log-structured formats). Requires the range's manifests to be
+    // retained (vacuum drops old ones — bootstrap a fresh consumer from
+    // read(tip) instead of version 0 on a vacuumed table).
+    val seen = scala.collection.mutable.Set[String]()
+    if (fromVersion > 0) seen ++= snapshot(fromVersion).files
+    val added = Seq.newBuilder[String]
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val s = snapshot(v)
+      if (s.dataChange) s.files.foreach { f => if (seen.add(f)) added += f }
+      else seen ++= s.files // reorganized files never deliver
+    }
+    val adds = added.result()
+    if (adds.isEmpty) read(toVersion).limit(0)
+    else spark.read.parquet(adds.map(f => new Path(dataDir, f).toString): _*)
+  }
+
+  /** Compaction as a COMMIT: rewrite the tip at ~`targetRowsPerFile`
+    * rows per file and publish it as a `dataChange=false` version — same
+    * contents, fewer/bigger files, atomically switched, time travel to
+    * the small-file versions intact, and change-feed consumers skip it
+    * entirely. The streaming-sink small-file problem ([[Sources
+    * .compactTable]]'s in-place rewrite) solved the transactional way. */
+  def compact(targetRowsPerFile: Long): Long = {
+    val base = latestVersion()
+    require(base > 0, s"nothing to compact at $root")
+    val cur = read(base)
+    val n = math.max(1L, math.ceil(
+      snapshot(base).rows.toDouble / targetRowsPerFile).toLong).toInt
+    val (fls, rows) = writeDataFiles(cur.repartition(n))
+    publish("compact", _ => fls, _ => rows, dataChange = false)
   }
 
   /** All RETAINED snapshots, oldest first (the table's audit history;

@@ -138,6 +138,28 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().count() == 2L)
   }
 
+  test("compact is a dataChange=false version: fewer files, same rows, followers skip it") {
+    val t = new SnapshotTable(spark, freshRoot("compactv"))
+    val ckpt = freshRoot("compactckpt")
+    (1 to 6).foreach(i => t.commitAppend(Seq(i.toLong).toDF("id").repartition(1)))
+    assert(t.read().inputFiles.length == 6)
+    val f = new graft.sources.SnapshotFollower(t, ckpt)
+    f.poll(df => assert(df.count() == 6L)) // consumer is current pre-compact
+    val vc = t.compact(targetRowsPerFile = 10L)
+    assert(!t.snapshot(vc).dataChange)
+    assert(t.read().inputFiles.length == 1 && ids(t) == (1L to 6L).toSet)
+    // maintenance must NOT re-deliver the table to the change feed
+    assert(f.poll(df => assert(df.isEmpty, s"re-delivered: ${df.collect().toSeq}"))
+      .contains((6L, 7L)))
+    // an append after compaction delivers exactly its own rows
+    t.commitAppend(Seq(7L).toDF("id"))
+    var seen = Set.empty[Long]
+    f.poll(df => seen = df.select("id").as[Long].collect().toSet)
+    assert(seen == Set(7L))
+    // time travel to a pre-compact version still resolves
+    assert(t.read(3L).count() == 3L)
+  }
+
   test("commitUpsert merges by key; commitDelete removes rows; history keeps both") {
     val t = new SnapshotTable(spark, freshRoot("dml"))
     t.commitAppend(Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("id", "v", "w"))
