@@ -259,6 +259,37 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // Row-level DML on the snapshot format: append → MERGE-by-key
+    // (doubling the cents of every 8th key) → DELETE WHERE, then read
+    // back through the version history. Each version's (rows, cents)
+    // replays exactly in DuckDB from the same key arithmetic — gating
+    // that upsert updates matched keys in place, delete removes its
+    // predicate's rows, and the pre-DML versions stay readable.
+    "misc_snapshot_dml" -> ((s, d) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_snapdml_${s.sparkContext.applicationId}")
+      if (root.exists()) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          root.toURI, s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+      }
+      val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      t.commitAppend(o.filter(col("o_orderkey") % 4 === 0).withColumn("w", lit(1L)))
+      t.commitUpsert(
+        o.filter(col("o_orderkey") % 8 === 0)
+          .select(col("o_orderkey"), (col("cents") * 2).as("cents"), lit(2L).as("w")),
+        uniqueKey = Seq("o_orderkey"), watermarkCol = "w")
+      t.commitDelete(col("o_orderkey") % 8 === 4)
+      t.history().map { snap =>
+        t.read(snap.version)
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(snap.version).as("version"), lit(snap.action).as("action"),
+            col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // Manifest min/max data skipping on the snapshot format: three
     // commits land disjoint orderkey thirds as one file each, then a
     // range lookup inside the middle third PLANS exactly one of the
@@ -1676,6 +1707,22 @@ WITH spine AS (
 SELECT s.day_date, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
 FROM spine s LEFT JOIN orders o ON o.o_orderdate = s.day_date
 GROUP BY 1""",
+
+    // key-arithmetic replay of the three DML versions
+    "misc_snapshot_dml" -> """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders)
+SELECT CAST(1 AS BIGINT) AS version, 'append' AS action,
+       CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(c) AS BIGINT) AS total_cents
+FROM base WHERE k % 4 = 0
+UNION ALL
+SELECT 2, 'upsert', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN k % 8 = 0 THEN 2 * c ELSE c END) AS BIGINT)
+FROM base WHERE k % 4 = 0
+UNION ALL
+SELECT 3, 'delete', CAST(count(*) AS BIGINT), CAST(sum(2 * c) AS BIGINT)
+FROM base WHERE k % 8 = 0""",
 
     // middle-third rows replayed; the 3-files/1-planned counts are the
     // engine-side pins (DuckDB replays the content, not the planning)
