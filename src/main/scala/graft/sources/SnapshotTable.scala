@@ -117,10 +117,10 @@ class SnapshotTable(spark: SparkSession, root: String,
     val v = if (version < 0) latestVersion() else version
     require(v > 0, s"no committed snapshot to read at $root")
     val snap = snapshot(v)
-    if (snap.files.isEmpty)
-      spark.read.parquet(root) // unreachable for committed tables; guard
-    else
-      spark.read.parquet(snap.files.map(f => new Path(dataDir, f).toString): _*)
+    require(snap.files.nonEmpty,
+      s"manifest v$v at $root lists no files — corrupt manifest " +
+        "(writeDataFiles guarantees at least one schema-bearing file)")
+    spark.read.parquet(snap.files.map(f => new Path(dataDir, f).toString): _*)
   }
 
   /** Schema-evolution read of `version`: parquet footer merging unions
@@ -146,8 +146,17 @@ class SnapshotTable(spark: SparkSession, root: String,
     val commitId = java.util.UUID.randomUUID().toString
     val dir = new Path(dataDir, commitId)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
-    val parts = fs.listStatus(dir).map(_.getPath)
+    var parts = fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map(p => s"$commitId/${p.getName}").toSeq
+    if (parts.isEmpty) {
+      // zero-task plan (empty batch through AQE can drop every partition):
+      // force one writer task so the commit carries a schema-bearing file —
+      // a file-less manifest would make read() of this version unplannable.
+      fs.delete(dir, true)
+      df.repartition(1).write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+      parts = fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(p => s"$commitId/${p.getName}").toSeq
+    }
     val written = spark.read.parquet(dir.toString)
     val rows = written.count()
     val fileSet = statsCol match {
@@ -224,14 +233,26 @@ class SnapshotTable(spark: SparkSession, root: String,
     * raced by its own retries. */
   def commitAppendOnce(batchId: Long, df: DataFrame): Long = {
     require(batchId >= 0, s"streaming epoch must be non-negative: $batchId")
-    history().find(s => s.action == "append" && s.batchId == batchId) match {
-      case Some(dup) => dup.version
-      case None =>
-        val (newFiles, newRows) = writeDataFiles(df)
-        publish("append",
-          base => appendedFileSet(base, newFiles),
-          base => (if (base == 0) 0L else snapshot(base).rows) + newRows,
-          batchId)
+    // Epochs commit in increasing order, so the dedup probe walks BACK
+    // from the tip and stops at the first strictly-older epoch — O(versions
+    // since that epoch), not O(history) per micro-batch (which would make a
+    // long-lived stream's ingest quadratic in its own epoch count). Vacuumed
+    // manifest prefixes end the walk the same way: older epochs are settled.
+    var v = latestVersion()
+    var dup = -1L
+    while (v > 0 && dup < 0 && fs.exists(manifestPath(v))) {
+      val s = snapshot(v)
+      if (s.batchId == batchId && s.action == "append") dup = s.version
+      else if (s.batchId >= 0 && s.batchId < batchId && s.action == "append") v = 0
+      else v -= 1
+    }
+    if (dup >= 0) dup
+    else {
+      val (newFiles, newRows) = writeDataFiles(df)
+      publish("append",
+        base => appendedFileSet(base, newFiles),
+        base => (if (base == 0) 0L else snapshot(base).rows) + newRows,
+        batchId)
     }
   }
 
@@ -477,8 +498,15 @@ class SnapshotFollower(table: SnapshotTable, checkpointDir: String) {
     if (tip <= from) return None
     process(table.readAppendedBetween(from, tip))
     fs.mkdirs(offsetsDir)
-    val out = fs.create(new Path(offsetsDir, f"o$tip%020d"), false)
-    out.close()
+    // Create-exclusive like manifests, but a collision here is NOT a
+    // failure: processing already succeeded, and the existing offset means
+    // a concurrent poll of the same checkpoint committed the same tip —
+    // propagating the IOException after the side effects ran would turn a
+    // duplicate bookkeeping write into a spurious job failure.
+    try {
+      val out = fs.create(new Path(offsetsDir, f"o$tip%020d"), false)
+      out.close()
+    } catch { case _: java.io.IOException => () }
     Some((from, tip))
   }
 }

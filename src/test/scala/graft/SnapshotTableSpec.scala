@@ -241,6 +241,57 @@ class SnapshotTableSpec extends SparkSpec {
     assert(n == 3L && f.poll(_ => fail("nothing new")).isEmpty)
   }
 
+  test("an empty batch still commits a schema-bearing version") {
+    val t = new SnapshotTable(spark, freshRoot("empty"))
+    t.commitAppend(Seq(1L).toDF("id"))
+    // DELETE-all and overwrite-with-empty both land manifests whose files
+    // carry the schema — read() stays plannable at zero rows
+    val v2 = t.commitOverwrite(Seq.empty[Long].toDF("id"))
+    assert(t.read(v2).count() == 0L)
+    assert(t.read(v2).schema.fieldNames.toSeq == Seq("id"))
+    val v3 = t.commitDelete(col("id") >= 0L) // removes nothing (table empty)
+    assert(t.read(v3).count() == 0L)
+    assert(t.snapshot(v2).files.nonEmpty && t.snapshot(v3).files.nonEmpty)
+    // and the table recovers: a later append reads normally
+    t.commitAppend(Seq(7L).toDF("id"))
+    assert(ids(t) == Set(7L))
+  }
+
+  test("follower tolerates a pre-existing offset after successful processing") {
+    val dir = freshRoot("offcol")
+    val t = new SnapshotTable(spark, s"$dir/table")
+    t.commitAppend(Seq(1L).toDF("id"))
+    val ckpt = s"$dir/ckpt"
+    // pre-create the offset another poll of the same checkpoint would
+    // write for tip v1 — poll must process and NOT throw on the collision
+    val offsets = new java.io.File(ckpt, "offsets")
+    offsets.mkdirs()
+    new java.io.File(offsets, f"o${1L}%020d").createNewFile()
+    val f = new graft.sources.SnapshotFollower(t, ckpt)
+    assert(f.lastConsumed() == 1L && f.poll(_ => fail("already consumed")).isEmpty)
+    t.commitAppend(Seq(2L).toDF("id"))
+    var n = -1L
+    // the racing poll commits tip v2 WHILE this poll is processing — the
+    // collision at offset-write time must not fail the completed work
+    val r = f.poll { df =>
+      n = df.count()
+      new java.io.File(offsets, f"o${2L}%020d").createNewFile()
+    }
+    assert(r.contains((1L, 2L)) && n == 1L)
+  }
+
+  test("commitAppendOnce dedup probe stops at older epochs, not full history") {
+    val t = new SnapshotTable(spark, freshRoot("epochprobe"))
+    (0L to 3L).foreach(e => t.commitAppendOnce(e, Seq(e).toDF("id")))
+    t.commitOverwrite(Seq(100L).toDF("id")) // non-append interleaved
+    // replay of epoch 3 resolves to its original version (walks past the
+    // overwrite, stops once it sees epoch-3's own append)
+    assert(t.commitAppendOnce(3L, Seq(999L).toDF("id")) == 4L)
+    // a NEW epoch probes back only to the first older epoch and commits
+    val v = t.commitAppendOnce(4L, Seq(4L).toDF("id"))
+    assert(v == 6L && ids(t).contains(4L) && !ids(t).contains(999L))
+  }
+
   test("vacuum deletes only unreachable files; retained tip still reads") {
     val root = freshRoot("vac")
     val t = new SnapshotTable(spark, root)
