@@ -290,6 +290,44 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // Merge-on-read DELETE on the snapshot format: append → equality
+    // delete (keys %8==0 — a MANIFEST-ONLY commit; readers anti-join
+    // the key file) → re-append the deleted keys at doubled cents
+    // (sequencing: the delete applies only to files committed before
+    // it, so the re-insert SURVIVES) → a second stacked delete
+    // (%16==4) → compact (materializes both deletes). Every version's
+    // (rows, cents) replays in DuckDB from key arithmetic — gating the
+    // anti-join semantics, the strict-sequence rule, delete stacking,
+    // and compaction's content-neutrality. This is the DELETE shape
+    // that holds at 100 TB: O(keys) commit, no table rewrite until
+    // maintenance chooses to.
+    "misc_snapshot_mor" -> ((s, d) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_snapmor_${s.sparkContext.applicationId}")
+      if (root.exists()) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          root.toURI, s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+      }
+      val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      t.commitAppend(o.filter(col("o_orderkey") % 4 === 0))
+      t.commitDeleteByKey(
+        o.filter(col("o_orderkey") % 8 === 0).select("o_orderkey"), Seq("o_orderkey"))
+      t.commitAppend(o.filter(col("o_orderkey") % 8 === 0)
+        .select(col("o_orderkey"), (col("cents") * 2).as("cents")))
+      t.commitDeleteByKey(
+        o.filter(col("o_orderkey") % 16 === 4).select("o_orderkey"), Seq("o_orderkey"))
+      t.compact(targetRowsPerFile = 1000000L)
+      t.history().map { snap =>
+        t.read(snap.version)
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(snap.version).as("version"), lit(snap.action).as("action"),
+            col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // Manifest min/max data skipping on the snapshot format: three
     // commits land disjoint orderkey thirds as one file each, then a
     // range lookup inside the middle third PLANS exactly one of the
@@ -1723,6 +1761,32 @@ FROM base WHERE k % 4 = 0
 UNION ALL
 SELECT 3, 'delete', CAST(count(*) AS BIGINT), CAST(sum(2 * c) AS BIGINT)
 FROM base WHERE k % 8 = 0""",
+
+    // key-arithmetic replay of the five MOR versions: v2 removes %8==0,
+    // v3 re-inserts them at 2c (they survive the earlier delete), v4
+    // removes %16==4 from the v1 survivors, v5 compacts (no change)
+    "misc_snapshot_mor" -> """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders WHERE o_orderkey % 4 = 0)
+SELECT CAST(1 AS BIGINT) AS version, 'append' AS action,
+       CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(c) AS BIGINT) AS total_cents
+FROM base
+UNION ALL
+SELECT 2, 'delete_mor', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+FROM base WHERE k % 8 = 4
+UNION ALL
+SELECT 3, 'append', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN k % 8 = 0 THEN 2 * c ELSE c END) AS BIGINT)
+FROM base
+UNION ALL
+SELECT 4, 'delete_mor', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN k % 8 = 0 THEN 2 * c ELSE c END) AS BIGINT)
+FROM base WHERE NOT k % 16 = 4
+UNION ALL
+SELECT 5, 'compact', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN k % 8 = 0 THEN 2 * c ELSE c END) AS BIGINT)
+FROM base WHERE NOT k % 16 = 4""",
 
     // middle-third rows replayed; the 3-files/1-planned counts are the
     // engine-side pins (DuckDB replays the content, not the planning)

@@ -11,11 +11,27 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * data-skipping index [[SnapshotTable.readRange]] prunes on.
   * `dataChange=false` marks versions that reorganize files without
   * changing table contents (compaction) — change-feed consumers skip
-  * them. */
+  * them.
+  *
+  * Merge-on-read deletes (the scalable DELETE the public log-structured
+  * formats converged on): `deletes` lists small parquet files of delete
+  * KEYS; a reader anti-joins them instead of the table being rewritten.
+  * `seqs` (aligned with `files`) and `deleteSeqs` (aligned with
+  * `deletes`) record the version each file was first committed in — a
+  * delete file applies only to data files with a STRICTLY SMALLER
+  * sequence, so a key re-inserted after its deletion survives (the
+  * Iceberg v2 equality-delete sequencing rule). `deleteKey` names the
+  * equality columns. Empty seqs (pre-MOR manifests) read as all-zero:
+  * oldest, so every delete applies — consistent, since such manifests
+  * carry no deletes either. */
 case class Snapshot(version: Long, action: String, baseVersion: Long,
                     rows: Long, files: Seq[String], batchId: Long = -1L,
                     mins: Seq[Long] = Seq.empty, maxs: Seq[Long] = Seq.empty,
-                    dataChange: Boolean = true)
+                    dataChange: Boolean = true,
+                    seqs: Seq[Long] = Seq.empty,
+                    deletes: Seq[String] = Seq.empty,
+                    deleteSeqs: Seq[Long] = Seq.empty,
+                    deleteKey: Seq[String] = Seq.empty)
 
 /** Minimal snapshot-versioned table format: immutable parquet data files
   * plus a linear chain of JSON manifests, one per committed version —
@@ -58,10 +74,15 @@ class SnapshotTable(spark: SparkSession, root: String,
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Per-file (min, max) of `statsCol` aligned with a manifest's file
-    * list. Files whose stats are unknown (empty file, stats-less older
-    * commit) carry the full-range sentinel — conservatively never
-    * pruned. */
-  private case class FileSet(files: Seq[String], mins: Seq[Long], maxs: Seq[Long])
+    * list, plus the MOR bookkeeping (per-file commit sequence, delete
+    * files and their sequences, equality-key columns). Files whose stats
+    * are unknown (empty file, stats-less older commit) carry the
+    * full-range sentinel — conservatively never pruned. */
+  private case class FileSet(files: Seq[String], mins: Seq[Long], maxs: Seq[Long],
+                             seqs: Seq[Long] = Seq.empty,
+                             deletes: Seq[String] = Seq.empty,
+                             deleteSeqs: Seq[Long] = Seq.empty,
+                             deleteKey: Seq[String] = Seq.empty)
   private val UnknownMin = Long.MinValue
   private val UnknownMax = Long.MaxValue
 
@@ -70,7 +91,9 @@ class SnapshotTable(spark: SparkSession, root: String,
                else Seq.fill(s.files.length)(UnknownMin)
     val maxs = if (s.maxs.length == s.files.length) s.maxs
                else Seq.fill(s.files.length)(UnknownMax)
-    FileSet(s.files, mins, maxs)
+    val seqs = if (s.seqs.length == s.files.length) s.seqs
+               else Seq.fill(s.files.length)(0L)
+    FileSet(s.files, mins, maxs, seqs, s.deletes, s.deleteSeqs, s.deleteKey)
   }
 
   private def manifestPath(v: Long) = new Path(snapsDir, f"v$v%020d.json")
@@ -106,13 +129,57 @@ class SnapshotTable(spark: SparkSession, root: String,
         .getOrElse(Seq.empty)
     val dataChange = """"dataChange"\s*:\s*(true|false)""".r.findFirstMatchIn(txt)
       .forall(_.group(1) == "true")
+    def strArray(k: String): Seq[String] =
+      s""""$k"\\s*:\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(txt)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
     Snapshot(longField("version"), strField("action"), longField("baseVersion"),
       longField("rows"), files, batchId, longArray("mins"), longArray("maxs"),
-      dataChange)
+      dataChange, longArray("seqs"), strArray("deletes"),
+      longArray("deleteSeqs"), strArray("deleteKey"))
+  }
+
+  /** Plan the data files at indices `keep` of `s` with MOR deletes
+    * applied. Data files group by their applicable-delete set — a delete
+    * applies iff its sequence is STRICTLY GREATER than the file's, and
+    * since applicable sets are suffixes of the sorted delete sequences,
+    * the group key is just the count of applicable deletes. Each group
+    * anti-joins the union of its delete-key files; group count is bounded
+    * by the delete commits since the last compaction (which absorbs
+    * them), so the plan stays small on a maintained table. Delete-key
+    * files are commit-sized parquet — the anti-join's build side
+    * auto-broadcasts off file-size stats. */
+  private def morPlan(s: Snapshot, keep: Seq[Int], mergeSchema: Boolean): DataFrame = {
+    def rd(names: Seq[String]): DataFrame = {
+      val r = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+      r.parquet(names.map(f => new Path(dataDir, f).toString): _*)
+    }
+    val all = fileSetOf(s)
+    if (all.deletes.isEmpty) rd(keep.map(all.files))
+    else keep.groupBy(i => all.deleteSeqs.count(_ > all.seqs(i)))
+      .toSeq.sortBy(_._1) // deterministic group (and thus column) order
+      .map { case (nAppl, idxs) =>
+        val df = rd(idxs.map(all.files))
+        // NULL equality keys match nothing, so groups that predate the key
+        // column (evolved tables) legitimately skip the anti-join
+        if (nAppl == 0 || !all.deleteKey.forall(df.columns.contains)) df
+        else {
+          val appl = all.deletes.indices
+            .filter(j => all.deleteSeqs(j) > all.seqs(idxs.head)).map(all.deletes)
+          import org.apache.spark.sql.functions.col
+          df.join(rd(appl).select(all.deleteKey.map(col): _*).distinct(),
+            all.deleteKey, "left_anti")
+        }
+      // groups may straddle an evolved-schema boundary even on a plain
+      // read — missing columns null-fill, parquet's own semantics
+      }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
   /** Read the table at `version` (default: latest). Planning comes from
-    * the manifest's explicit file list — never a directory listing. */
+    * the manifest's explicit file list — never a directory listing. Any
+    * merge-on-read deletes in the manifest are applied here, so readers
+    * always see DELETE results without the table having been rewritten. */
   def read(version: Long = -1L): DataFrame = {
     val v = if (version < 0) latestVersion() else version
     require(v > 0, s"no committed snapshot to read at $root")
@@ -120,7 +187,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(snap.files.nonEmpty,
       s"manifest v$v at $root lists no files — corrupt manifest " +
         "(writeDataFiles guarantees at least one schema-bearing file)")
-    spark.read.parquet(snap.files.map(f => new Path(dataDir, f).toString): _*)
+    morPlan(snap, snap.files.indices, mergeSchema = false)
   }
 
   /** Schema-evolution read of `version`: parquet footer merging unions
@@ -133,8 +200,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     val v = if (version < 0) latestVersion() else version
     require(v > 0, s"no committed snapshot to read at $root")
     val snap = snapshot(v)
-    spark.read.option("mergeSchema", "true")
-      .parquet(snap.files.map(f => new Path(dataDir, f).toString): _*)
+    morPlan(snap, snap.files.indices, mergeSchema = true)
   }
 
   /** Write the batch's data files under a fresh commit dir, return the
@@ -159,7 +225,9 @@ class SnapshotTable(spark: SparkSession, root: String,
     }
     val written = spark.read.parquet(dir.toString)
     val rows = written.count()
-    val fileSet = statsCol match {
+    // stats only when the written frame carries the column (delete-key
+    // files may not) — absent stats read as the never-pruned sentinel
+    val fileSet = statsCol.filter(written.columns.contains) match {
       case Some(c) =>
         import org.apache.spark.sql.functions.{col, input_file_name, max, min}
         val byFile = written
@@ -179,6 +247,23 @@ class SnapshotTable(spark: SparkSession, root: String,
     (fileSet, rows)
   }
 
+  private def manifestBody(v: Long, action: String, base: Long, rowCount: Long,
+                           fls: FileSet, batchId: Long, dataChange: Boolean): String = {
+    val statsPart =
+      if (statsCol.isEmpty) ""
+      else s""","mins":[${fls.mins.mkString(",")}],"maxs":[${fls.maxs.mkString(",")}]"""
+    val seqsPart =
+      if (fls.seqs.isEmpty) "" else s""","seqs":[${fls.seqs.mkString(",")}]"""
+    val delPart =
+      if (fls.deletes.isEmpty) ""
+      else s""","deletes":[${fls.deletes.map(f => s""""$f"""").mkString(",")}]""" +
+        s""","deleteSeqs":[${fls.deleteSeqs.mkString(",")}]""" +
+        s""","deleteKey":[${fls.deleteKey.map(c => s""""$c"""").mkString(",")}]"""
+    s"""{"version":$v,"action":"$action","baseVersion":$base,
+       |"rows":$rowCount,"batchId":$batchId,"dataChange":$dataChange$statsPart$seqsPart$delPart,
+       |"files":[${fls.files.map(f => s""""$f"""").mkString(",")}]}""".stripMargin
+  }
+
   /** Publish a manifest at the next version; on a create-exclusive
     * collision (another writer won the version) retry on the new tip.
     * Returns the committed version. */
@@ -190,13 +275,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       val base = latestVersion()
       val v = base + 1
       val fls = files(base)
-      val statsPart =
-        if (statsCol.isEmpty) ""
-        else s""","mins":[${fls.mins.mkString(",")}],"maxs":[${fls.maxs.mkString(",")}]"""
-      val body =
-        s"""{"version":$v,"action":"$action","baseVersion":$base,
-           |"rows":${rows(base)},"batchId":$batchId,"dataChange":$dataChange$statsPart,
-           |"files":[${fls.files.map(f => s""""$f"""").mkString(",")}]}""".stripMargin
+      val body = manifestBody(v, action, base, rows(base), fls, batchId, dataChange)
       fs.mkdirs(snapsDir)
       try {
         val out = fs.create(manifestPath(v), /* overwrite = */ false)
@@ -209,10 +288,16 @@ class SnapshotTable(spark: SparkSession, root: String,
     sys.error(s"snapshot commit at $root: gave up after $attempts collisions")
   }
 
+  /** Tip's content plus the batch's new files (stamped with the
+    * candidate version `base + 1` as their commit sequence). Existing
+    * MOR deletes carry forward unchanged — they apply only to files with
+    * smaller sequences, so the fresh files are untouched by them. */
   private def appendedFileSet(base: Long, nw: FileSet): FileSet = {
     val prev = if (base == 0) FileSet(Seq.empty, Seq.empty, Seq.empty)
                else fileSetOf(snapshot(base))
-    FileSet(prev.files ++ nw.files, prev.mins ++ nw.mins, prev.maxs ++ nw.maxs)
+    FileSet(prev.files ++ nw.files, prev.mins ++ nw.mins, prev.maxs ++ nw.maxs,
+      prev.seqs ++ Seq.fill(nw.files.length)(base + 1),
+      prev.deletes, prev.deleteSeqs, prev.deleteKey)
   }
 
   /** Append `df` as a new snapshot: new files + everything the current
@@ -278,7 +363,9 @@ class SnapshotTable(spark: SparkSession, root: String,
     * stay on disk (time travel) until [[vacuum]]. */
   def commitOverwrite(df: DataFrame): Long = {
     val (newFiles, newRows) = writeDataFiles(df)
-    publish("overwrite", _ => newFiles, _ => newRows)
+    publish("overwrite",
+      base => newFiles.copy(seqs = Seq.fill(newFiles.files.length)(base + 1)),
+      _ => newRows)
   }
 
   /** Data-skipping read: only files whose [min, max] stats band overlaps
@@ -293,14 +380,14 @@ class SnapshotTable(spark: SparkSession, root: String,
       sys.error(s"readRange on $root: table collects no stats column"))
     val v = if (version < 0) latestVersion() else version
     require(v > 0, s"no committed snapshot to read at $root")
-    val setAll = fileSetOf(snapshot(v))
+    val snap = snapshot(v)
+    val setAll = fileSetOf(snap)
     val keep = setAll.files.indices
       .filter(i => setAll.maxs(i) >= lo && setAll.mins(i) <= hi)
-      .map(setAll.files)
     import org.apache.spark.sql.functions.col
     val base =
       if (keep.isEmpty) read(v).limit(0)
-      else spark.read.parquet(keep.map(f => new Path(dataDir, f).toString): _*)
+      else morPlan(snap, keep, mergeSchema = false)
     base.filter(col(c).cast("long").between(lo, hi))
   }
 
@@ -312,13 +399,8 @@ class SnapshotTable(spark: SparkSession, root: String,
   private def publishAtBase(base: Long, action: String, fls: FileSet,
                             rowCount: Long): Option[Long] = {
     val v = base + 1
-    val statsPart =
-      if (statsCol.isEmpty) ""
-      else s""","mins":[${fls.mins.mkString(",")}],"maxs":[${fls.maxs.mkString(",")}]"""
-    val body =
-      s"""{"version":$v,"action":"$action","baseVersion":$base,
-         |"rows":$rowCount,"batchId":-1$statsPart,
-         |"files":[${fls.files.map(f => s""""$f"""").mkString(",")}]}""".stripMargin
+    val body = manifestBody(v, action, base, rowCount, fls,
+      batchId = -1L, dataChange = true)
     fs.mkdirs(snapsDir)
     try {
       val out = fs.create(manifestPath(v), false)
@@ -343,7 +425,9 @@ class SnapshotTable(spark: SparkSession, root: String,
       val base = latestVersion()
       val cur = if (base == 0) None else Some(read(base))
       val next = transform(cur)
-      val (fls, rows) = writeDataFiles(next)
+      val (raw, rows) = writeDataFiles(next)
+      // full rewrite: fresh sequences, MOR deletes absorbed into the data
+      val fls = raw.copy(seqs = Seq.fill(raw.files.length)(base + 1))
       publishAtBase(base, action, fls, rows) match {
         case Some(v) => return v
         case None => // lost the race: drop this attempt's files, re-derive
@@ -364,11 +448,51 @@ class SnapshotTable(spark: SparkSession, root: String,
         uniqueKey, watermarkCol, tieBreak))
 
   /** Row-level DELETE WHERE: keep everything the predicate does not
-    * match. Same copy-on-write + validation discipline. */
+    * match. Same copy-on-write + validation discipline — O(table rewrite)
+    * per call; see [[commitDeleteByKey]] for the O(batch) path. */
   def commitDelete(predicate: org.apache.spark.sql.Column): Long =
     commitRewrite("delete")(cur =>
       cur.getOrElse(sys.error(s"DELETE on empty table at $root"))
         .filter(!predicate))
+
+  /** Merge-on-read DELETE by equality key — the commit writes ONLY the
+    * key set as a small parquet file and re-lists the tip's data files;
+    * readers anti-join it and the next [[compact]] materializes it. This
+    * is the DELETE that survives 100 TB: copy-on-write ([[commitDelete]])
+    * rewrites the whole table per call, this is O(keys) write + one
+    * table scan for the exact row count. Sequencing: the delete applies
+    * only to files committed BEFORE it, so re-appending a deleted key
+    * later resurrects it (the Iceberg v2 equality-delete rule). `keyCols`
+    * must match any earlier MOR delete on the table (one equality schema
+    * per table between compactions). */
+  def commitDeleteByKey(keys: DataFrame, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "MOR delete needs at least one key column")
+    import org.apache.spark.sql.functions.col
+    val (keyFiles, _) = writeDataFiles(keys.select(keyCols.map(col): _*).distinct())
+    var attempts = 0
+    while (attempts < 50) {
+      val base = latestVersion()
+      require(base > 0, s"DELETE on empty table at $root")
+      val prev = fileSetOf(snapshot(base))
+      require(prev.deleteKey.isEmpty || prev.deleteKey == keyCols,
+        s"table at $root already carries MOR deletes keyed by " +
+          s"(${prev.deleteKey.mkString(",")}); got (${keyCols.mkString(",")})")
+      // exact surviving-row count: scan-only (no rewrite), and re-derived
+      // per attempt so a lost race never publishes a stale count
+      val deleted = read(base).join(
+        spark.read.parquet(keyFiles.files.map(f => new Path(dataDir, f).toString): _*),
+        keyCols, "left_semi").count()
+      val fls = prev.copy(
+        deletes = prev.deletes ++ keyFiles.files,
+        deleteSeqs = prev.deleteSeqs ++ Seq.fill(keyFiles.files.length)(base + 1),
+        deleteKey = keyCols)
+      publishAtBase(base, "delete_mor", fls, snapshot(base).rows - deleted) match {
+        case Some(v) => return v
+        case None => attempts += 1
+      }
+    }
+    sys.error(s"commitDeleteByKey at $root: gave up after $attempts conflicts")
+  }
 
   /** Roll-forward rollback: publish a NEW version re-listing `version`'s
     * files. History stays intact — reads of intermediate versions still
@@ -423,8 +547,12 @@ class SnapshotTable(spark: SparkSession, root: String,
     val cur = read(base)
     val n = math.max(1L, math.ceil(
       snapshot(base).rows.toDouble / targetRowsPerFile).toLong).toInt
-    val (fls, rows) = writeDataFiles(cur.repartition(n))
-    publish("compact", _ => fls, _ => rows, dataChange = false)
+    // cur reads THROUGH any MOR deletes, so the rewrite materializes them:
+    // the compacted version lists no delete files
+    val (raw, rows) = writeDataFiles(cur.repartition(n))
+    publish("compact",
+      b => raw.copy(seqs = Seq.fill(raw.files.length)(b + 1)),
+      _ => rows, dataChange = false)
   }
 
   /** All RETAINED snapshots, oldest first (the table's audit history;
@@ -447,7 +575,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     val tip = latestVersion()
     if (tip == 0) return
     val keepFrom = math.max(1L, tip - keepLast + 1)
-    val live = (keepFrom to tip).flatMap(snapshot(_).files).toSet
+    val live = (keepFrom to tip)
+      .flatMap(v => { val s = snapshot(v); s.files ++ s.deletes }).toSet
     if (fs.exists(dataDir)) {
       fs.listStatus(dataDir).map(_.getPath).foreach { commitDir =>
         if (fs.getFileStatus(commitDir).isDirectory) {

@@ -292,6 +292,48 @@ class SnapshotTableSpec extends SparkSpec {
     assert(v == 6L && ids(t).contains(4L) && !ids(t).contains(999L))
   }
 
+  test("merge-on-read delete: manifest-only commit, readers anti-join, re-insert survives") {
+    val t = new SnapshotTable(spark, freshRoot("mor"))
+    val v1 = t.commitAppend(Seq(1L, 2L, 3L).toDF("id"))
+    val dataFilesBefore = t.snapshot(v1).files.toSet
+    val v2 = t.commitDeleteByKey(Seq(2L).toDF("id"), Seq("id"))
+    // the delete re-lists v1's data files untouched — no rewrite happened
+    assert(t.snapshot(v2).files.toSet == dataFilesBefore)
+    assert(t.snapshot(v2).deletes.nonEmpty && t.snapshot(v2).rows == 2L)
+    assert(ids(t) == Set(1L, 3L))
+    assert(ids(t, v1) == Set(1L, 2L, 3L)) // time travel ignores the later delete
+    // sequencing: re-appending the deleted key resurrects it (the delete
+    // applies only to files committed before it)
+    val v3 = t.commitAppend(Seq(2L).toDF("id"))
+    assert(ids(t, v3) == Set(1L, 2L, 3L) && t.snapshot(v3).rows == 3L)
+    // a second MOR delete stacks; both apply to their older files only
+    val v4 = t.commitDeleteByKey(Seq(1L, 2L).toDF("id"), Seq("id"))
+    assert(ids(t, v4) == Set(3L) && t.snapshot(v4).rows == 1L)
+    // compact materializes the deletes: no delete files at the new tip,
+    // same contents, change-feed-invisible
+    val v5 = t.compact(targetRowsPerFile = 10L)
+    assert(t.snapshot(v5).deletes.isEmpty && !t.snapshot(v5).dataChange)
+    assert(ids(t, v5) == Set(3L))
+    assert(t.readAppendedBetween(v4, v5).count() == 0L)
+  }
+
+  test("MOR delete composes with stats pruning, schema evolution, and vacuum") {
+    val t = new SnapshotTable(spark, freshRoot("morx"), statsCol = Some("id"))
+    t.commitAppend(spark.range(0L, 50L).toDF("id"))
+    t.commitAppend(spark.range(50L, 100L).toDF("id"))
+    t.commitDeleteByKey(Seq(10L, 60L).toDF("id"), Seq("id"))
+    // pruned read still applies the delete
+    val r = t.readRange(0L, 20L).select("id").as[Long].collect().toSet
+    assert(r == (0L to 20L).toSet - 10L)
+    // evolved commit adds a column; MOR delete on old files still applies
+    val v = t.commitAppend(Seq((200L, "x")).toDF("id", "tag"))
+    val ev = t.readEvolved(v)
+    assert(ev.count() == 99L && ev.filter(col("tag") === "x").count() == 1L)
+    // vacuum keeps delete files reachable from the retained tip
+    t.vacuum(keepLast = 1)
+    assert(ids(t) == ((0L until 100L).toSet - 10L - 60L) + 200L)
+  }
+
   test("vacuum deletes only unreachable files; retained tip still reads") {
     val root = freshRoot("vac")
     val t = new SnapshotTable(spark, root)
