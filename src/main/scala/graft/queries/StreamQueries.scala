@@ -225,6 +225,47 @@ object StreamQueries {
         .filter(col("__rn") === 1)
         .select(col("user_id"), col("event_type"),
           col("ts").as("first_ts"), col("event_id").as("first_event_id"))
+    }),
+
+    // A REAL streaming run under the oracle gate: orders land in a
+    // snapshot table across three appends + a compaction, then the
+    // graft-snapshot streaming source drains the change feed
+    // (Trigger.AvailableNow, checkpointed) through foreachBatch into
+    // parquet. The aggregated delivery must equal DuckDB's plain
+    // replay of the base table — gating exactly-once version delivery,
+    // the dataChange skip (compaction re-lists everything; a double
+    // delivery would double slice counts), and byte-faithful transport
+    // through the feed. Offsets are version numbers: a restart resumes
+    // at the next uncommitted version, and each micro-batch plans
+    // O(delta files) from manifests — the 100 TB follower shape.
+    "stream_snapshot_feed" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_snapfeed_${s.sparkContext.applicationId}")
+      if (base.exists()) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          base.toURI, s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base.getAbsolutePath), true)
+      }
+      val root = new java.io.File(base, "table").getAbsolutePath
+      val outDir = new java.io.File(base, "out").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      t.commitAppend(o.filter(col("o_orderkey") % 3 === 0))
+      t.commitAppend(o.filter(col("o_orderkey") % 3 === 1))
+      t.compact(targetRowsPerFile = 1000000L) // must deliver nothing
+      t.commitAppend(o.filter(col("o_orderkey") % 3 === 2))
+      val q = s.readStream.format("graft-snapshot").load(root)
+        .writeStream
+        .option("checkpointLocation", new java.io.File(base, "ckpt").getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((b: DataFrame, _: Long) =>
+          { b.write.mode("append").parquet(outDir); () })
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy((col("o_orderkey") % 3).as("slice"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
     })
   )
 
@@ -430,6 +471,13 @@ WITH e AS (
 SELECT user_id, min(ts_us) AS start_us,
        max(ts_us) + 1800000000 AS end_us,
        count(*) AS n_events
-FROM sess GROUP BY user_id, session_seq"""
+FROM sess GROUP BY user_id, session_seq""",
+
+    // plain replay of the base table: any duplicate or dropped version
+    // in the feed breaks a slice's count/cents
+    "stream_snapshot_feed" -> """
+SELECT o_orderkey % 3 AS slice, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY 1"""
   )
 }

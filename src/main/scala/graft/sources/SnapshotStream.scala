@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming SOURCE over a [[SnapshotTable]]'s version chain —
+  * `spark.readStream.format("graft-snapshot").load(root)` turns the table
+  * into a live append feed, closing the lakehouse loop in both directions
+  * (streaming ingest lands versions via `commitAppendOnce`; this reads
+  * them back out as micro-batches). The public-format shape: Delta's
+  * streaming source over the commit log, re-expressed on the manifest
+  * chain.
+  *
+  * Offsets ARE version numbers (checkpointed by the engine as
+  * `LongOffset`), so a restart resumes exactly at the next uncommitted
+  * version. Each micro-batch is `readAppendedBetween(start, end]`:
+  * planned from manifests only, cost O(the delta's files), and
+  * `dataChange=false` maintenance versions (compaction) deliver nothing —
+  * a consumer never re-receives the table after file reorganization.
+  * Semantics are an APPEND feed: MOR/row-level deletes committed after a
+  * delivered version do not retract delivered rows (retraction needs a
+  * changelog sink, out of scope for the append contract).
+  *
+  * The batch plan keeps the native parquet scan (pushdown, codegen): the
+  * analyzed plan's relation leaves are re-flagged `isStreaming = true`
+  * rather than routed through a row-copying adapter. Reference analog:
+  * the scheduled incremental rerun (SURVEY.md §2.9 I2), upgraded from a
+  * timestamp watermark to exact version offsets.
+  */
+class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-snapshot"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", sys.error(
+      "graft-snapshot needs a table root: readStream.format(\"graft-snapshot\").load(<root>)"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String, parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(), schema.getOrElse(
+      new SnapshotTable(sqlContext.sparkSession, rootOf(parameters)).read().schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new SnapshotSource(sqlContext.sparkSession, rootOf(parameters),
+      schema.getOrElse(
+        new SnapshotTable(sqlContext.sparkSession, rootOf(parameters)).read().schema))
+}
+
+class SnapshotSource(spark: SparkSession, root: String,
+                     override val schema: StructType) extends Source {
+  private val table = new SnapshotTable(spark, root)
+
+  /** Works for LongOffset and the engine's SerializedOffset replay alike —
+    * both round-trip the version through `json()`. */
+  private def version(o: OffsetV1): Long = o.json.trim.toLong
+
+  override def getOffset: Option[OffsetV1] = {
+    val tip = table.latestVersion()
+    if (tip == 0) None else Some(LongOffset(tip))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = start.map(version).getOrElse(0L)
+    val to = version(end)
+    val batch =
+      if (to <= from)
+        bridge.ofRows(spark,
+          LocalRelation(DataTypeUtils.toAttributes(schema), Nil, isStreaming = true))
+      else {
+        // column order pinned to the stream schema (appends must stay
+        // schema-compatible, the file-source contract)
+        val df = table.readAppendedBetween(from, to)
+          .select(schema.fieldNames.map(col).toSeq: _*)
+        bridge.ofRows(spark, df.queryExecution.analyzed.transform {
+          case lr: LogicalRelation => lr.copy(isStreaming = true)
+        })
+      }
+    batch
+  }
+
+  // versions are retained until the table's own vacuum policy drops them;
+  // the source holds no state beyond the engine-checkpointed offset
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"SnapshotSource[$root]"
+}
