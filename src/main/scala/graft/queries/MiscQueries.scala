@@ -328,6 +328,37 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // Change data feed on the snapshot format: append → MOR delete →
+    // upsert of previously-DELETED keys, then readChangeFeed over the
+    // whole range aggregated by (version, change type). Gates the three
+    // CDF derivations — appends as manifest-only inserts, MOR deletes
+    // as pre-image retractions (one pruned scan), rewrites as exceptAll
+    // diffs — and that a deleted-then-upserted key surfaces as a fresh
+    // insert, not an update of a ghost row.
+    "misc_snapshot_cdf" -> ((s, d) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_snapcdf_${s.sparkContext.applicationId}")
+      if (root.exists()) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          root.toURI, s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+      }
+      val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      t.commitAppend(o.filter(col("o_orderkey") % 4 === 0).withColumn("w", lit(1L)))
+      t.commitDeleteByKey(
+        o.filter(col("o_orderkey") % 8 === 0).select("o_orderkey"), Seq("o_orderkey"))
+      t.commitUpsert(
+        o.filter(col("o_orderkey") % 16 === 0)
+          .select(col("o_orderkey"), (col("cents") * 3).as("cents"), lit(2L).as("w")),
+        uniqueKey = Seq("o_orderkey"), watermarkCol = "w")
+      t.readChangeFeed(0L, t.latestVersion())
+        .groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+    }),
+
     // Manifest min/max data skipping on the snapshot format: three
     // commits land disjoint orderkey thirds as one file each, then a
     // range lookup inside the middle third PLANS exactly one of the
@@ -1761,6 +1792,24 @@ FROM base WHERE k % 4 = 0
 UNION ALL
 SELECT 3, 'delete', CAST(count(*) AS BIGINT), CAST(sum(2 * c) AS BIGINT)
 FROM base WHERE k % 8 = 0""",
+
+    // key-arithmetic replay of the three CDF versions: v1 inserts all
+    // %4==0 keys, v2 retracts %8==0 pre-images, v3's rewrite diff is
+    // pure inserts (%16==0 at 3c — those keys were deleted, so nothing
+    // is retracted)
+    "misc_snapshot_cdf" -> """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders WHERE o_orderkey % 4 = 0)
+SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+       CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(c) AS BIGINT) AS total_cents
+FROM base
+UNION ALL
+SELECT 2, 'delete', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+FROM base WHERE k % 8 = 0
+UNION ALL
+SELECT 3, 'insert', CAST(count(*) AS BIGINT), CAST(sum(3 * c) AS BIGINT)
+FROM base WHERE k % 16 = 0""",
 
     // key-arithmetic replay of the five MOR versions: v2 removes %8==0,
     // v3 re-inserts them at 2c (they survive the earlier delete), v4

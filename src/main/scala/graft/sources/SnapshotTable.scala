@@ -535,6 +535,57 @@ class SnapshotTable(spark: SparkSession, root: String,
     else spark.read.parquet(adds.map(f => new Path(dataDir, f).toString): _*)
   }
 
+  /** Change data feed over `(fromVersion, toVersion]`: every row-level
+    * change with `_change_type` ('insert' | 'delete') and
+    * `_commit_version` — the public CDF shape (an update = delete +
+    * insert). Unlike [[readAppendedBetween]] (the append feed), this
+    * RETRACTS: a MOR delete emits its pre-image rows as deletes.
+    * Per-version cost:
+    *  - `dataChange=false` (compaction): nothing — free;
+    *  - appends: the version's new files (`seq == v`, manifest-only
+    *    detection) as inserts — O(delta files);
+    *  - `delete_mor`: pre-image = the prior version's read semi-joined
+    *    with the commit's key files — one pruned scan, keys broadcast;
+    *  - rewrite actions (overwrite/rollback/upsert/delete): multiset
+    *    diff via `exceptAll` both ways — two scans + a shuffle, the
+    *    honest cost of deriving changes a copy-on-write commit didn't
+    *    record (the reason MOR is the scalable row-level path).
+    */
+  def readChangeFeed(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"empty version range: ($fromVersion, $toVersion]")
+    import org.apache.spark.sql.functions.{col, lit}
+    def tagged(df: DataFrame, tpe: String, v: Long): DataFrame =
+      df.select(col("*"), lit(tpe).as("_change_type"),
+        lit(v).as("_commit_version"))
+    val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val s = snapshot(v)
+      if (!s.dataChange) Seq.empty
+      else s.action match {
+        case "append" =>
+          val fl = fileSetOf(s)
+          val fresh = fl.files.indices.filter(i => fl.seqs(i) == v)
+          if (fresh.isEmpty) Seq.empty
+          else Seq(tagged(morPlan(s, fresh, mergeSchema = false), "insert", v))
+        case "delete_mor" =>
+          val fl = fileSetOf(s)
+          val keyFiles = fl.deletes.indices
+            .filter(j => fl.deleteSeqs(j) == v).map(fl.deletes)
+          val keys = spark.read
+            .parquet(keyFiles.map(f => new Path(dataDir, f).toString): _*)
+          Seq(tagged(read(v - 1).join(keys, fl.deleteKey, "left_semi"),
+            "delete", v))
+        case _ =>
+          val prev = if (v - 1 == 0) read(v).limit(0) else read(v - 1)
+          val cur = read(v)
+          Seq(tagged(cur.exceptAll(prev), "insert", v),
+              tagged(prev.exceptAll(cur), "delete", v))
+      }
+    }
+    if (parts.isEmpty) tagged(read(toVersion).limit(0), "insert", 0L).limit(0)
+    else parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
   /** Compaction as a COMMIT: rewrite the tip at ~`targetRowsPerFile`
     * rows per file and publish it as a `dataChange=false` version — same
     * contents, fewer/bigger files, atomically switched, time travel to

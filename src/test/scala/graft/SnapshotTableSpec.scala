@@ -334,6 +334,35 @@ class SnapshotTableSpec extends SparkSpec {
     assert(ids(t) == ((0L until 100L).toSet - 10L - 60L) + 200L)
   }
 
+  test("readChangeFeed emits inserts, MOR-delete pre-images, and rewrite diffs") {
+    val t = new SnapshotTable(spark, freshRoot("cdf"))
+    val v1 = t.commitAppend(
+      Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("id", "s", "w"))
+    val v2 = t.commitDeleteByKey(Seq(2L).toDF("id"), Seq("id"))
+    val v3 = t.compact(targetRowsPerFile = 100L) // invisible in the feed
+    val v4 = t.commitUpsert(Seq((3L, "C", 2L), (4L, "d", 2L)).toDF("id", "s", "w"),
+      uniqueKey = Seq("id"), watermarkCol = "w")
+    def feed(a: Long, b: Long): Set[(Long, String, String, Long)] =
+      t.readChangeFeed(a, b).select("id", "s", "_change_type", "_commit_version")
+        .as[(Long, String, String, Long)].collect().toSet
+    assert(feed(0L, v1) == Set((1L, "a", "insert", v1), (2L, "b", "insert", v1),
+      (3L, "c", "insert", v1)))
+    // MOR delete retracts its pre-image (the append feed would show nothing)
+    assert(feed(v1, v2) == Set((2L, "b", "delete", v2)))
+    assert(feed(v2, v3).isEmpty)
+    // upsert rewrote the table: the feed derives update = delete + insert
+    // (upsert carries w; unionByName null-fills, so project id/s only)
+    assert(feed(v3, v4).map(r => (r._1, r._2, r._3)) ==
+      Set((3L, "c", "delete"), (3L, "C", "insert"), (4L, "d", "insert")))
+    // end-to-end replay reconstructs the tip
+    val replay = t.readChangeFeed(0L, v4)
+    val net = replay.groupBy("id", "s")
+      .agg((count(when(col("_change_type") === "insert", 1)) -
+        count(when(col("_change_type") === "delete", 1))).as("n"))
+      .filter(col("n") > 0).select("id", "s").as[(Long, String)].collect().toSet
+    assert(net == t.read().select("id", "s").as[(Long, String)].collect().toSet)
+  }
+
   test("vacuum deletes only unreachable files; retained tip still reads") {
     val root = freshRoot("vac")
     val t = new SnapshotTable(spark, root)
