@@ -26,8 +26,11 @@ import org.apache.spark.sql.types.StructType
   * `dataChange=false` maintenance versions (compaction) deliver nothing —
   * a consumer never re-receives the table after file reorganization.
   * Semantics are an APPEND feed: MOR/row-level deletes committed after a
-  * delivered version do not retract delivered rows (retraction needs a
-  * changelog sink, out of scope for the append contract).
+  * delivered version do not retract delivered rows. For retractions, pass
+  * `option("changeFeed", "true")`: batches become `readChangeFeed` rows
+  * with `_change_type`/`_commit_version` appended to the schema — a
+  * downstream job can maintain an exact replica by applying deletes and
+  * inserts per version (the Delta CDF streaming shape).
   *
   * The batch plan keeps the native parquet scan (pushdown, codegen): the
   * analyzed plan's relation leaves are re-flagged `isStreaming = true`
@@ -36,28 +39,41 @@ import org.apache.spark.sql.types.StructType
   * timestamp watermark to exact version offsets.
   */
 class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  import org.apache.spark.sql.types.{LongType, StringType}
+
   override def shortName(): String = "graft-snapshot"
 
   private def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", sys.error(
       "graft-snapshot needs a table root: readStream.format(\"graft-snapshot\").load(<root>)"))
 
+  private def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.get("changeFeed").exists(_.toBoolean)
+
+  private def schemaOf(sqlContext: SQLContext, schema: Option[StructType],
+                       parameters: Map[String, String]): StructType = {
+    val base = schema.getOrElse(
+      new SnapshotTable(sqlContext.sparkSession, rootOf(parameters)).read().schema)
+    if (!cdfOf(parameters)) base
+    else base.add("_change_type", StringType, nullable = false)
+      .add("_commit_version", LongType, nullable = false)
+  }
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String, parameters: Map[String, String])
       : (String, StructType) =
-    (shortName(), schema.getOrElse(
-      new SnapshotTable(sqlContext.sparkSession, rootOf(parameters)).read().schema))
+    (shortName(), schemaOf(sqlContext, schema, parameters))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new SnapshotSource(sqlContext.sparkSession, rootOf(parameters),
-      schema.getOrElse(
-        new SnapshotTable(sqlContext.sparkSession, rootOf(parameters)).read().schema))
+      schemaOf(sqlContext, schema, parameters), cdf = cdfOf(parameters))
 }
 
 class SnapshotSource(spark: SparkSession, root: String,
-                     override val schema: StructType) extends Source {
+                     override val schema: StructType,
+                     cdf: Boolean = false) extends Source {
   private val table = new SnapshotTable(spark, root)
 
   /** Works for LongOffset and the engine's SerializedOffset replay alike —
@@ -76,6 +92,12 @@ class SnapshotSource(spark: SparkSession, root: String,
       if (to <= from)
         bridge.ofRows(spark,
           LocalRelation(DataTypeUtils.toAttributes(schema), Nil, isStreaming = true))
+      else if (cdf)
+        // the CDF plan contains joins and set-diffs — ride it into the
+        // stream as one pre-planned leaf so the incremental planner
+        // cannot mistake its operators for stateful streaming state
+        bridge.streamingScanOf(spark, table.readChangeFeed(from, to)
+          .select(schema.fieldNames.map(col).toSeq: _*))
       else {
         // column order pinned to the stream schema (appends must stay
         // schema-compatible, the file-source contract)

@@ -20,4 +20,14 @@ object bridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-expose a fully-planned batch frame as a one-leaf STREAMING scan
+    * (the incremental planner sees a plain RDD leaf, so batch joins and
+    * set-diffs inside `df` cannot be mistaken for stateful streaming
+    * operators). Planning happens here; execution stays lazy. */
+  def streamingScanOf(spark: org.apache.spark.sql.SparkSession,
+                      df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
 }

@@ -60,6 +60,44 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(drain(root, ckpt, "snap_maint_3") == Set(9L))
   }
 
+  test("changeFeed mode streams retractions; a replica applying them converges to the tip") {
+    val dir = freshRoot("cdfmode")
+    val root = s"$dir/table"
+    val t = new SnapshotTable(spark, root)
+    t.commitAppend(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    t.commitDeleteByKey(Seq(2L).toDF("id"), Seq("id"))
+    t.compact(targetRowsPerFile = 100L)
+    // driver-side replica multiset, maintained by applying each batch's
+    // changes in version order — the CDF replication contract
+    val replica = scala.collection.mutable.Map[(Long, String), Int]().withDefaultValue(0)
+    def drainCdf(ckpt: String): Seq[(Long, String, String, Long)] = {
+      val seen = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      val q = spark.readStream.format("graft-snapshot")
+        .option("changeFeed", "true").load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          val rows = b.select("id", "s", "_change_type", "_commit_version")
+            .as[(Long, String, String, Long)].collect().sortBy(_._4)
+          rows.foreach { case (id, s, tpe, _) =>
+            replica((id, s)) += (if (tpe == "insert") 1 else -1) }
+          seen ++= rows; ()
+        }).start()
+      q.awaitTermination()
+      seen.toSeq
+    }
+    val first = drainCdf(s"$dir/ckpt")
+    assert(first.toSet == Set((1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (3L, "c", "insert", 1L), (2L, "b", "delete", 2L))) // compaction absent
+    // more commits, including a rewrite; resume delivers only their changes
+    t.commitAppend(Seq((2L, "B")).toDF("id", "s"))
+    t.commitDelete(col("id") === 3L) // copy-on-write → exceptAll-derived
+    val second = drainCdf(s"$dir/ckpt")
+    assert(second.toSet == Set((2L, "B", "insert", 4L), (3L, "c", "delete", 5L)))
+    val replicaSet = replica.collect { case (k, n) if n > 0 => k }.toSet
+    assert(replicaSet == t.read().select("id", "s").as[(Long, String)].collect().toSet)
+  }
+
   test("feed composes with streaming transforms and lands in a downstream snapshot table") {
     val dir = freshRoot("loop")
     val src = s"$dir/src"
