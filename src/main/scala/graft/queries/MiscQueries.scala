@@ -328,6 +328,37 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // SQL time travel via the snapshot_at TVF (injectTableFunction):
+    // two appends, then pure-SQL reads of v1, v2, and the default
+    // (latest) version — `VERSION AS OF` as a table function, resolving
+    // to the manifest-planned (and MOR-aware) read. The MOR delete
+    // before the final read proves SQL sees the anti-joined view.
+    "misc_snapshot_sql" -> ((s, d) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_snapsql_${s.sparkContext.applicationId}")
+      if (root.exists()) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          root.toURI, s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+      }
+      val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      t.commitAppend(o.filter(col("o_orderkey") % 2 === 0))
+      t.commitAppend(o.filter(col("o_orderkey") % 2 === 1))
+      t.commitDeleteByKey(
+        o.filter(col("o_orderkey") % 6 === 3).select("o_orderkey"), Seq("o_orderkey"))
+      val p = root.getAbsolutePath
+      s.sql(s"""
+        SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+               sum(cents) AS total_cents FROM snapshot_at('$p', 1)
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), count(*), sum(cents) FROM snapshot_at('$p', 2)
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), count(*), sum(cents) FROM snapshot_at('$p')""")
+    }),
+
     // Change data feed on the snapshot format: append → MOR delete →
     // upsert of previously-DELETED keys, then readChangeFeed over the
     // whole range aggregated by (version, change type). Gates the three
@@ -1792,6 +1823,22 @@ FROM base WHERE k % 4 = 0
 UNION ALL
 SELECT 3, 'delete', CAST(count(*) AS BIGINT), CAST(sum(2 * c) AS BIGINT)
 FROM base WHERE k % 8 = 0""",
+
+    // key-arithmetic replay of the three SQL time-travel reads: v1 =
+    // even keys, v2 = all keys, v3 (latest) = all minus the MOR-deleted
+    // k%6==3 slice
+    "misc_snapshot_sql" -> """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders)
+SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c) AS BIGINT) AS total_cents
+FROM base WHERE k % 2 = 0
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM base
+UNION ALL
+SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+FROM base WHERE NOT k % 6 = 3""",
 
     // key-arithmetic replay of the three CDF versions: v1 inserts all
     // %4==0 keys, v2 retracts %8==0 pre-images, v3's rewrite diff is

@@ -108,7 +108,35 @@ object GraftFunctions {
         "day_date")()), range)
     })
 
-  val tableFunctions: Seq[TableDescriptor] = Seq(dateSpineDescriptor)
+  /** `snapshot_at(root [, version])` — SQL time travel over the snapshot
+    * table format: resolves to the table's MOR-aware read plan at the
+    * requested (default: latest) version, so SQL users join/filter a
+    * historical snapshot like any relation, with the manifest doing the
+    * file planning (`SELECT * FROM snapshot_at('/w/fact', 42)` — the
+    * public formats' `VERSION AS OF` clause as a TVF). */
+  val snapshotAtDescriptor: TableDescriptor = (
+    FunctionIdentifier("snapshot_at"),
+    new ExpressionInfo(classOf[graft.sources.SnapshotTable].getName, "snapshot_at"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.nonEmpty && exprs.length <= 2 && exprs.forall(_.foldable),
+        "snapshot_at expects (table_root_literal [, version_literal])")
+      val root = exprs.head.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"snapshot_at: table root must be a string literal, got $other")
+      }
+      val version = if (exprs.length < 2) -1L else exprs(1).eval() match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case other => throw new IllegalArgumentException(
+          s"snapshot_at: version must be an integer literal, got $other")
+      }
+      new graft.sources.SnapshotTable(SparkSession.active, root)
+        .read(version).queryExecution.analyzed
+    })
+
+  val tableFunctions: Seq[TableDescriptor] =
+    Seq(dateSpineDescriptor, snapshotAtDescriptor)
 
   /** Register into an existing session: SQL functions + the Skyline
     * planner strategy (so SkylineNode plans without the config path). */

@@ -43,6 +43,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(plan.contains("Range"), s"expected Range-backed spine:\n$plan")
   }
 
+  test("snapshot_at is SQL time travel: versioned reads, MOR view, joins as a relation") {
+    GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvf_snap")
+    dir.toFile.delete()
+    val t = new graft.sources.SnapshotTable(spark, dir.toString)
+    t.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    t.commitAppend(Seq((3L, "c")).toDF("id", "s"))
+    t.commitDeleteByKey(Seq(2L).toDF("id"), Seq("id"))
+    val p = dir.toString
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_at('$p', 1)").head.getLong(0) == 2L)
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_at('$p', 2)").head.getLong(0) == 3L)
+    // default = latest, MOR delete applied in the SQL view
+    assert(spark.sql(s"SELECT sort_array(collect_list(id)) FROM snapshot_at('$p')")
+      .head.getSeq[Long](0) == Seq(1L, 3L))
+    // composes like any relation
+    assert(spark.sql(
+      s"""SELECT count(*) FROM snapshot_at('$p', 1) a
+          JOIN snapshot_at('$p') b ON a.id = b.id""").head.getLong(0) == 1L)
+  }
+
   test("topk_agg is SQL-callable as a grouped aggregate") {
     GraftFunctions.register(spark)
     Seq((1L, 3.0, 10L), (1L, 5.0, 11L), (1L, 4.0, 12L), (2L, 1.0, 20L))
