@@ -328,6 +328,47 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // Atomic range replacement (Delta's replaceWhere) on the snapshot
+    // format: thirds land range-clustered (one file each), then the
+    // MIDDLE third is replaced by its even keys at doubled cents in ONE
+    // commit. With clustered layout the replace is file-surgical: the
+    // outer thirds are re-listed untouched (no rewrite — pinned via
+    // file-name survival count in the output), so a daily partition
+    // reload costs O(batch), not O(table). Each version's (rows, cents)
+    // replays in DuckDB.
+    "misc_snapshot_replace" -> ((s, d) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_snaprepl_${s.sparkContext.applicationId}")
+      if (root.exists()) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          root.toURI, s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+      }
+      val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath,
+        statsCol = Some("o_orderkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val m = o.agg(max(col("o_orderkey"))).head.getLong(0)
+      val (t1, t2) = ((m + 1) / 3, 2 * (m + 1) / 3)
+      t.commitAppend(o.filter(col("o_orderkey") < t1).repartition(1))
+      t.commitAppend(o.filter(col("o_orderkey") >= t1 &&
+        col("o_orderkey") < t2).repartition(1))
+      val v3 = t.commitAppend(o.filter(col("o_orderkey") >= t2).repartition(1))
+      val beforeFiles = t.snapshot(v3).files
+      val v4 = t.commitReplaceWhere(
+        o.filter(col("o_orderkey") >= t1 && col("o_orderkey") < t2 &&
+          col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), (col("cents") * 2).as("cents")),
+        t1, t2 - 1)
+      val untouched = beforeFiles.count(t.snapshot(v4).files.contains)
+      t.history().map { snap =>
+        t.read(snap.version)
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(snap.version).as("version"), lit(snap.action).as("action"),
+            lit(untouched).as("files_untouched"), col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // SQL time travel via the snapshot_at TVF (injectTableFunction):
     // two appends, then pure-SQL reads of v1, v2, and the default
     // (latest) version — `VERSION AS OF` as a table function, resolving
@@ -1823,6 +1864,29 @@ FROM base WHERE k % 4 = 0
 UNION ALL
 SELECT 3, 'delete', CAST(count(*) AS BIGINT), CAST(sum(2 * c) AS BIGINT)
 FROM base WHERE k % 8 = 0""",
+
+    // third-boundary replay of the four replace_where versions; the
+    // 2-untouched-files pin is engine-side (DuckDB replays content)
+    "misc_snapshot_replace" -> """
+WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+t AS (SELECT (mx + 1) // 3 AS t1, 2 * (mx + 1) // 3 AS t2 FROM m),
+base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders)
+SELECT CAST(1 AS BIGINT) AS version, 'append' AS action,
+       CAST(2 AS INTEGER) AS files_untouched,
+       CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(c) AS BIGINT) AS total_cents
+FROM base, t WHERE k < t.t1
+UNION ALL
+SELECT 2, 'append', 2, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+FROM base, t WHERE k < t.t2
+UNION ALL
+SELECT 3, 'append', 2, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+FROM base
+UNION ALL
+SELECT 4, 'replace_where', 2, CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN k >= t.t1 AND k < t.t2 THEN 2 * c ELSE c END) AS BIGINT)
+FROM base, t WHERE k < t.t1 OR k >= t.t2 OR k % 2 = 0""",
 
     // key-arithmetic replay of the three SQL time-travel reads: v1 =
     // even keys, v2 = all keys, v3 (latest) = all minus the MOR-deleted

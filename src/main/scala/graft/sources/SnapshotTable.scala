@@ -494,6 +494,67 @@ class SnapshotTable(spark: SparkSession, root: String,
     sys.error(s"commitDeleteByKey at $root: gave up after $attempts conflicts")
   }
 
+  /** Atomic range replacement — the daily-partition-reload shape
+    * (Delta's `replaceWhere`): delete every row with `statsCol` in
+    * `[lo, hi]` and insert `batch` (validated to lie inside the range)
+    * in ONE version. File-surgical via the manifest stats: files fully
+    * outside the range are kept untouched (manifest re-list), files
+    * fully inside are dropped, and only STRADDLING files are rewritten
+    * (reading them through any MOR deletes, which the rewrite absorbs
+    * for those files) — cost O(straddling files + batch), never
+    * O(table). With range-clustered layout (each file one day/partition)
+    * the straddle set is empty and the reload is manifest-only + batch
+    * write. Optimistic concurrency: same revalidate-on-collision loop as
+    * [[commitRewrite]]. */
+  def commitReplaceWhere(batch: DataFrame, lo: Long, hi: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    val c = statsCol.getOrElse(
+      sys.error(s"commitReplaceWhere on $root: table collects no stats column"))
+    val outside = batch.filter(!col(c).cast("long").between(lo, hi)).count()
+    require(outside == 0,
+      s"replaceWhere batch has $outside rows outside [$lo, $hi] on $c")
+    val (batchFiles, batchRows) = writeDataFiles(batch)
+    var attempts = 0
+    while (attempts < 50) {
+      val base = latestVersion()
+      require(base > 0, s"replaceWhere on empty table at $root")
+      val snap = snapshot(base)
+      val prev = fileSetOf(snap)
+      val keepIdx = prev.files.indices
+        .filter(i => prev.maxs(i) < lo || prev.mins(i) > hi)
+      val straddleIdx = prev.files.indices
+        .filter(i => !(prev.maxs(i) < lo || prev.mins(i) > hi) &&
+          !(prev.mins(i) >= lo && prev.maxs(i) <= hi))
+      // unknown-stats files land in straddle: rewritten, conservatively
+      val (rewrite, rewriteRows) =
+        if (straddleIdx.isEmpty) (FileSet(Seq.empty, Seq.empty, Seq.empty), 0L)
+        else writeDataFiles(morPlan(snap, straddleIdx, mergeSchema = false)
+          .filter(!col(c).cast("long").between(lo, hi)))
+      val affectedIdx = prev.files.indices.diff(keepIdx)
+      val removed =
+        if (affectedIdx.isEmpty) 0L
+        else morPlan(snap, affectedIdx, mergeSchema = false)
+          .filter(col(c).cast("long").between(lo, hi)).count()
+      // kept rows outside the range in straddlers move to the rewrite;
+      // net row delta = batch - rows removed from the range
+      val fls = FileSet(
+        keepIdx.map(prev.files) ++ rewrite.files ++ batchFiles.files,
+        keepIdx.map(prev.mins) ++ rewrite.mins ++ batchFiles.mins,
+        keepIdx.map(prev.maxs) ++ rewrite.maxs ++ batchFiles.maxs,
+        keepIdx.map(prev.seqs) ++
+          Seq.fill(rewrite.files.length + batchFiles.files.length)(base + 1),
+        prev.deletes, prev.deleteSeqs, prev.deleteKey)
+      publishAtBase(base, "replace_where", fls, snap.rows - removed + batchRows) match {
+        case Some(v) => return v
+        case None => // lost the race: drop this attempt's rewrite files only
+          rewrite.files.map(_.split('/').head).distinct.foreach(uuid =>
+            fs.delete(new Path(dataDir, uuid), true))
+          attempts += 1
+      }
+    }
+    sys.error(s"commitReplaceWhere at $root: gave up after $attempts conflicts")
+  }
+
   /** Roll-forward rollback: publish a NEW version re-listing `version`'s
     * files. History stays intact — reads of intermediate versions still
     * resolve (the blue-green restore, minus the mutation). */

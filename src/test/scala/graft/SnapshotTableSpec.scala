@@ -363,6 +363,35 @@ class SnapshotTableSpec extends SparkSpec {
     assert(net == t.read().select("id", "s").as[(Long, String)].collect().toSet)
   }
 
+  test("commitReplaceWhere rewrites only straddling files; clustered reload is manifest-only") {
+    val t = new SnapshotTable(spark, freshRoot("replw"), statsCol = Some("id"))
+    // range-clustered layout: one file per decade
+    t.commitAppend(spark.range(0L, 10L).toDF("id").repartition(1))
+    t.commitAppend(spark.range(10L, 20L).toDF("id").repartition(1))
+    t.commitAppend(spark.range(20L, 30L).toDF("id").repartition(1))
+    val before = t.snapshot(t.latestVersion()).files
+    // clustered case: [10,19] exactly covers file 2 — no straddlers, so
+    // files 1 and 3 are re-listed untouched
+    val v = t.commitReplaceWhere(Seq(11L, 12L).toDF("id"), 10L, 19L)
+    val after = t.snapshot(v)
+    assert(after.rows == 22L && after.action == "replace_where")
+    assert(before.count(after.files.contains) == 2, "untouched files re-listed")
+    assert(ids(t) == ((0L until 10L) ++ Seq(11L, 12L) ++ (20L until 30L)).toSet)
+    // straddling case: [5,24] cuts into the kept decades — they are
+    // surgically rewritten, range content replaced by the batch
+    val v2 = t.commitReplaceWhere(Seq(7L, 21L).toDF("id"), 5L, 24L)
+    assert(ids(t, v2) == ((0L until 5L) ++ Seq(7L, 21L) ++ (25L until 30L)).toSet)
+    assert(t.snapshot(v2).rows == 12L)
+    // batch outside the range is rejected before any commit
+    intercept[IllegalArgumentException](
+      t.commitReplaceWhere(Seq(99L).toDF("id"), 0L, 4L))
+    // composes with MOR deletes: delete keys outside the range survive
+    // in kept files; the replace applies them when rewriting straddlers
+    t.commitDeleteByKey(Seq(0L, 29L).toDF("id"), Seq("id"))
+    val v4 = t.commitReplaceWhere(Seq(26L).toDF("id"), 26L, 28L)
+    assert(ids(t, v4) == (Seq(1L, 2L, 3L, 4L, 7L, 21L, 25L, 26L)).toSet)
+  }
+
   test("vacuum deletes only unreachable files; retained tip still reads") {
     val root = freshRoot("vac")
     val t = new SnapshotTable(spark, root)
