@@ -25,10 +25,14 @@ import org.apache.spark.sql.types.StructType
   * planned from manifests only, cost O(the delta's files), and
   * `dataChange=false` maintenance versions (compaction) deliver nothing —
   * a consumer never re-receives the table after file reorganization.
-  * Semantics are an APPEND feed: MOR/row-level deletes committed after a
-  * delivered version do not retract delivered rows. For retractions, pass
-  * `option("changeFeed", "true")`: batches become `readChangeFeed` rows
-  * with `_change_type`/`_commit_version` appended to the schema — a
+  * Semantics are an INSERT-ONLY feed, enforced: a non-append data change
+  * in the range (delete, upsert, overwrite, replaceWhere, rollback) fails
+  * the batch loudly — delivering a rewrite's files would replay old rows
+  * as new, and skipping silently would lose the change. The user picks
+  * the relaxation: `option("skipChangeCommits", "true")` streams appends
+  * only (ignoring changes, the Delta option of the same name), or
+  * `option("changeFeed", "true")` switches batches to `readChangeFeed`
+  * rows with `_change_type`/`_commit_version` appended to the schema — a
   * downstream job can maintain an exact replica by applying deletes and
   * inserts per version (the Delta CDF streaming shape).
   *
@@ -68,12 +72,14 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new SnapshotSource(sqlContext.sparkSession, rootOf(parameters),
-      schemaOf(sqlContext, schema, parameters), cdf = cdfOf(parameters))
+      schemaOf(sqlContext, schema, parameters), cdf = cdfOf(parameters),
+      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean))
 }
 
 class SnapshotSource(spark: SparkSession, root: String,
                      override val schema: StructType,
-                     cdf: Boolean = false) extends Source {
+                     cdf: Boolean = false,
+                     skipChangeCommits: Boolean = false) extends Source {
   private val table = new SnapshotTable(spark, root)
 
   /** Works for LongOffset and the engine's SerializedOffset replay alike —
@@ -99,9 +105,22 @@ class SnapshotSource(spark: SparkSession, root: String,
         bridge.streamingScanOf(spark, table.readChangeFeed(from, to)
           .select(schema.fieldNames.map(col).toSeq: _*))
       else {
+        // insert-only contract: a rewrite/delete in the range means rows
+        // were changed or removed — delivering the rewritten files would
+        // replay old rows as new, and skipping silently would lose the
+        // change. Fail loudly (the Delta-source behavior) unless the user
+        // opted into skipChangeCommits or the change feed.
+        val changed = table.nonAppendChangesBetween(from, to)
+        if (changed.nonEmpty && !skipChangeCommits)
+          throw new IllegalStateException(
+            s"graft-snapshot at $root: non-append data change " +
+              changed.map { case (v, a) => s"$a@v$v" }.mkString(", ") +
+              " in the stream range; read with option(\"changeFeed\",\"true\") " +
+              "for retractions, or option(\"skipChangeCommits\",\"true\") to " +
+              "stream appends only")
         // column order pinned to the stream schema (appends must stay
         // schema-compatible, the file-source contract)
-        val df = table.readAppendedBetween(from, to)
+        val df = table.readFiles(table.appendFilesBetween(from, to))
           .select(schema.fieldNames.map(col).toSeq: _*)
         bridge.ofRows(spark, df.queryExecution.analyzed.transform {
           case lr: LogicalRelation => lr.copy(isStreaming = true)

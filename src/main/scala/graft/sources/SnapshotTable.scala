@@ -647,6 +647,36 @@ class SnapshotTable(spark: SparkSession, root: String,
     else parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
+  /** The pure append feed's file list over `(fromVersion, toVersion]`:
+    * new files (`seq == v`) of APPEND versions only. Unlike
+    * [[readAppendedBetween]] (which delivers any first-listed file, so a
+    * rewrite's files — carrying mostly OLD rows — would be re-delivered
+    * as new), this is the list a streaming consumer can treat as
+    * insert-only; the caller decides what non-append data changes in the
+    * range mean (error, skip, or switch to [[readChangeFeed]]). */
+  def appendFilesBetween(fromVersion: Long, toVersion: Long): Seq[String] =
+    ((fromVersion + 1) to toVersion).flatMap { v =>
+      val s = snapshot(v)
+      if (s.dataChange && s.action == "append") {
+        val fl = fileSetOf(s)
+        fl.files.indices.filter(i => fl.seqs(i) == v).map(fl.files)
+      } else Seq.empty
+    }
+
+  /** Actions in `(fromVersion, toVersion]` that change data but are NOT
+    * plain appends — the versions an insert-only consumer must be told
+    * about ((version, action) pairs; compaction is excluded, it changes
+    * nothing). */
+  def nonAppendChangesBetween(fromVersion: Long, toVersion: Long): Seq[(Long, String)] =
+    ((fromVersion + 1) to toVersion).map(v => (v, snapshot(v)))
+      .collect { case (v, s) if s.dataChange && s.action != "append" => (v, s.action) }
+
+  /** Read a manifest-relative file list as a DataFrame (empty list →
+    * empty frame with the tip's schema). */
+  private[sources] def readFiles(files: Seq[String]): DataFrame =
+    if (files.isEmpty) read().limit(0)
+    else spark.read.parquet(files.map(f => new Path(dataDir, f).toString): _*)
+
   /** Compaction as a COMMIT: rewrite the tip at ~`targetRowsPerFile`
     * rows per file and publish it as a `dataChange=false` version — same
     * contents, fewer/bigger files, atomically switched, time travel to

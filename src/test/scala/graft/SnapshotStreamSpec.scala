@@ -16,9 +16,11 @@ class SnapshotStreamSpec extends SparkSpec {
     f.toString
   }
 
-  private def drain(root: String, ckpt: String, name: String): Set[Long] = {
+  private def drain(root: String, ckpt: String, name: String,
+                    skipChanges: Boolean = false): Set[Long] = {
     val got = scala.collection.mutable.Set[Long]()
-    val q = spark.readStream.format("graft-snapshot").load(root)
+    val q = spark.readStream.format("graft-snapshot")
+      .option("skipChangeCommits", skipChanges.toString).load(root)
       .writeStream.queryName(name)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -44,20 +46,32 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(drain(root, ckpt, "snap_feed_3") == Set(4L, 5L))
   }
 
-  test("compaction and MOR deletes never re-deliver or retract; appends after them flow") {
+  test("compaction is invisible; non-append changes fail loudly unless skipped") {
     val dir = freshRoot("maint")
     val root = s"$dir/table"
     val ckpt = s"$dir/ckpt"
     val t = new SnapshotTable(spark, root)
     t.commitAppend(Seq(1L, 2L, 3L).toDF("id"))
     assert(drain(root, ckpt, "snap_maint_1") == Set(1L, 2L, 3L))
-    // maintenance + row-level delete: an append FEED delivers neither
+    // pure maintenance delivers nothing and raises nothing
     t.compact(targetRowsPerFile = 100L)
-    t.commitDeleteByKey(Seq(2L).toDF("id"), Seq("id"))
     assert(drain(root, ckpt, "snap_maint_2").isEmpty)
-    // the next real append delivers exactly itself
+    // a row-level delete breaks the insert-only contract: fail loudly...
+    t.commitDeleteByKey(Seq(2L).toDF("id"), Seq("id"))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      drain(root, ckpt, "snap_maint_3"))
+    assert(err.getMessage.contains("non-append data change") ||
+      Option(err.getCause).exists(_.getMessage.contains("non-append data change")))
+    // ...unless the user opts into appends-only; a later overwrite's
+    // rewritten files must NOT replay old rows as new under the skip.
+    // (An AvailableNow run that RECOVERS a previously-failed batch stops
+    // at that batch — engine semantics — so drain twice and union.)
     t.commitAppend(Seq(9L).toDF("id"))
-    assert(drain(root, ckpt, "snap_maint_3") == Set(9L))
+    assert(drain(root, ckpt, "snap_maint_4", skipChanges = true) ++
+      drain(root, ckpt, "snap_maint_4b", skipChanges = true) == Set(9L))
+    t.commitOverwrite(Seq(50L, 51L).toDF("id"))
+    t.commitAppend(Seq(60L).toDF("id"))
+    assert(drain(root, ckpt, "snap_maint_5", skipChanges = true) == Set(60L))
   }
 
   test("changeFeed mode streams retractions; a replica applying them converges to the tip") {
