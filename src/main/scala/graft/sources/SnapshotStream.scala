@@ -73,13 +73,24 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
                             parameters: Map[String, String]): Source =
     new SnapshotSource(sqlContext.sparkSession, rootOf(parameters),
       schemaOf(sqlContext, schema, parameters), cdf = cdfOf(parameters),
-      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean))
+      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
+      // "latest" = from-now-on (resolved once, here); a number = that
+      // version onward (inclusive). Lets a fresh consumer bootstrap on a
+      // vacuumed table whose old manifests are gone: read(tip) + stream
+      // from startingVersion=latest, the Delta-source idiom.
+      startingVersion = parameters.get("startingVersion").map {
+        case "latest" =>
+          new SnapshotTable(sqlContext.sparkSession, rootOf(parameters))
+            .latestVersion() + 1
+        case n => n.toLong
+      }.getOrElse(1L))
 }
 
 class SnapshotSource(spark: SparkSession, root: String,
                      override val schema: StructType,
                      cdf: Boolean = false,
-                     skipChangeCommits: Boolean = false) extends Source {
+                     skipChangeCommits: Boolean = false,
+                     startingVersion: Long = 1L) extends Source {
   private val table = new SnapshotTable(spark, root)
 
   /** Works for LongOffset and the engine's SerializedOffset replay alike —
@@ -92,7 +103,9 @@ class SnapshotSource(spark: SparkSession, root: String,
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val from = start.map(version).getOrElse(0L)
+    // an un-checkpointed stream begins at startingVersion (exclusive
+    // lower bound = the version before it)
+    val from = start.map(version).getOrElse(math.max(0L, startingVersion - 1))
     val to = version(end)
     val batch =
       if (to <= from)

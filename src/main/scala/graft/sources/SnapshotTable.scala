@@ -747,7 +747,8 @@ class SnapshotTable(spark: SparkSession, root: String,
   * exactly-once: the foreachBatch contract. Restart = construct a new
   * follower on the same checkpointDir; it resumes from the max offset.
   */
-class SnapshotFollower(table: SnapshotTable, checkpointDir: String) {
+class SnapshotFollower(table: SnapshotTable, checkpointDir: String,
+                       skipChangeCommits: Boolean = false) {
   private val offsetsDir = new Path(checkpointDir, "offsets")
   private def fs: FileSystem = table.hadoopFs
 
@@ -767,7 +768,17 @@ class SnapshotFollower(table: SnapshotTable, checkpointDir: String) {
     val from = lastConsumed()
     val tip = table.latestVersion()
     if (tip <= from) return None
-    process(table.readAppendedBetween(from, tip))
+    // same insert-only contract as the streaming source: a rewrite or
+    // delete in the range is an error unless the consumer opted into
+    // appends-only (rewrite files would replay old rows as new)
+    val changed = table.nonAppendChangesBetween(from, tip)
+    if (changed.nonEmpty && !skipChangeCommits)
+      throw new IllegalStateException(
+        "SnapshotFollower: non-append data change " +
+          changed.map { case (v, a) => s"$a@v$v" }.mkString(", ") +
+          " in the poll range; construct with skipChangeCommits=true to " +
+          "stream appends only, or consume readChangeFeed for retractions")
+    process(table.readFiles(table.appendFilesBetween(from, tip)))
     fs.mkdirs(offsetsDir)
     // Create-exclusive like manifests, but a collision here is NOT a
     // failure: processing already succeeded, and the existing offset means

@@ -112,6 +112,38 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(replicaSet == t.read().select("id", "s").as[(Long, String)].collect().toSet)
   }
 
+  test("startingVersion bootstraps a fresh consumer past history (incl. vacuumed prefixes)") {
+    val dir = freshRoot("startv")
+    val root = s"$dir/table"
+    val t = new SnapshotTable(spark, root)
+    t.commitAppend(Seq(1L).toDF("id"))
+    t.commitAppend(Seq(2L).toDF("id"))
+    // numeric: stream from v2 onward only
+    val got = scala.collection.mutable.Set[Long]()
+    def drainFrom(sv: String, ckpt: String): Set[Long] = {
+      got.clear()
+      val q = spark.readStream.format("graft-snapshot")
+        .option("startingVersion", sv).load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          { got ++= b.select("id").as[Long].collect(); () }).start()
+      q.awaitTermination(); got.toSet
+    }
+    assert(drainFrom("2", s"$dir/ckptA") == Set(2L))
+    // "latest": from-now-on — nothing yet, then only post-subscription commits
+    assert(drainFrom("latest", s"$dir/ckptB").isEmpty)
+    t.commitAppend(Seq(3L).toDF("id"))
+    assert(drainFrom("3", s"$dir/ckptC") == Set(3L))
+    // vacuumed table: v1/v2 manifests gone; a fresh consumer bootstraps
+    // from the tip read + streams from latest without touching history
+    t.vacuum(keepLast = 1)
+    assert(t.read().count() == 3L)
+    assert(drainFrom("latest", s"$dir/ckptD").isEmpty)
+    t.commitAppend(Seq(4L).toDF("id"))
+    assert(drainFrom("4", s"$dir/ckptE") == Set(4L))
+  }
+
   test("feed composes with streaming transforms and lands in a downstream snapshot table") {
     val dir = freshRoot("loop")
     val src = s"$dir/src"
