@@ -683,15 +683,32 @@ class SnapshotTable(spark: SparkSession, root: String,
     * the small-file versions intact, and change-feed consumers skip it
     * entirely. The streaming-sink small-file problem ([[Sources
     * .compactTable]]'s in-place rewrite) solved the transactional way. */
-  def compact(targetRowsPerFile: Long): Long = {
+  def compact(targetRowsPerFile: Long): Long =
+    compact(targetRowsPerFile, clusterBy = None)
+
+  /** Compaction with optional RANGE CLUSTERING (`OPTIMIZE ... ZORDER`'s
+    * single-column shape): `clusterBy = Some(col)` routes the rewrite
+    * through `repartitionByRange(col)`, so each compacted file covers a
+    * tight, near-disjoint band of the column — the manifest's min/max
+    * stats then make [[readRange]] plan O(matching files) and
+    * [[commitReplaceWhere]] manifest-only (no straddlers). Maintenance
+    * chooses layout; readers and writers are unchanged. */
+  def compact(targetRowsPerFile: Long,
+              clusterBy: Option[String]): Long = {
     val base = latestVersion()
     require(base > 0, s"nothing to compact at $root")
     val cur = read(base)
     val n = math.max(1L, math.ceil(
       snapshot(base).rows.toDouble / targetRowsPerFile).toLong).toInt
+    val arranged = clusterBy match {
+      case Some(c) =>
+        import org.apache.spark.sql.functions.col
+        cur.repartitionByRange(n, col(c))
+      case None => cur.repartition(n)
+    }
     // cur reads THROUGH any MOR deletes, so the rewrite materializes them:
     // the compacted version lists no delete files
-    val (raw, rows) = writeDataFiles(cur.repartition(n))
+    val (raw, rows) = writeDataFiles(arranged)
     publish("compact",
       b => raw.copy(seqs = Seq.fill(raw.files.length)(b + 1)),
       _ => rows, dataChange = false)

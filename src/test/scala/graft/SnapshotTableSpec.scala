@@ -392,6 +392,28 @@ class SnapshotTableSpec extends SparkSpec {
     assert(ids(t, v4) == (Seq(1L, 2L, 3L, 4L, 7L, 21L, 25L, 26L)).toSet)
   }
 
+  test("clustered compaction tightens stats: readRange plans fewer files, replaceWhere goes surgical") {
+    val t = new SnapshotTable(spark, freshRoot("clust"), statsCol = Some("id"))
+    // interleaved appends: every file spans the whole id range
+    (0 until 4).foreach(r =>
+      t.commitAppend(spark.range(0L, 100L).filter(col("id") % 4 === r)
+        .toDF("id").repartition(1)))
+    def planned(lo: Long, hi: Long): Int = t.readRange(lo, hi).inputFiles.length
+    assert(planned(10L, 19L) == 4, "interleaved layout: every file overlaps")
+    val v = t.compact(targetRowsPerFile = 25L, clusterBy = Some("id"))
+    assert(!t.snapshot(v).dataChange && t.snapshot(v).rows == 100L)
+    // clustered layout: a 10-wide probe hits 1-2 of the 4 range files
+    assert(planned(10L, 19L) <= 2, s"expected pruned plan, got ${planned(10L, 19L)}")
+    assert(t.readRange(10L, 19L).select("id").as[Long].collect().toSet ==
+      (10L to 19L).toSet)
+    // replaceWhere on a clustered band: at most one straddler per edge
+    val before = t.snapshot(t.latestVersion()).files
+    val v2 = t.commitReplaceWhere(Seq(30L).toDF("id"), 25L, 49L)
+    assert(before.count(t.snapshot(v2).files.contains) >= 2,
+      "files fully outside the band must be re-listed untouched")
+    assert(t.read().count() == 76L) // 100 - 25 + 1
+  }
+
   test("vacuum deletes only unreachable files; retained tip still reads") {
     val root = freshRoot("vac")
     val t = new SnapshotTable(spark, root)
