@@ -103,9 +103,11 @@ class SnapshotSource(spark: SparkSession, root: String,
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    // an un-checkpointed stream begins at startingVersion (exclusive
-    // lower bound = the version before it)
-    val from = start.map(version).getOrElse(math.max(0L, startingVersion - 1))
+    // startingVersion floors EVERY batch (not just the first): with a
+    // future startingVersion, the engine may checkpoint offsets below it
+    // before versions exist — those must never deliver later
+    val from = math.max(start.map(version).getOrElse(0L),
+      math.max(0L, startingVersion - 1))
     val to = version(end)
     val batch =
       if (to <= from)
