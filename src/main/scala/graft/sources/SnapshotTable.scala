@@ -49,8 +49,10 @@ case class Snapshot(version: Long, action: String, baseVersion: Long,
   * Commit protocol (scale posture):
   *  1. write the batch's parquet files under a fresh `data/<uuid>/` dir —
   *     distributed write, no coordination;
-  *  2. publish the manifest with `FileSystem.create(path, overwrite=false)`
-  *     — the CREATE-exclusive call is the single atomic point: exactly one
+  *  2. publish the manifest create-exclusively (java.nio `CREATE_NEW`
+  *     on local roots — Hadoop's local `create(overwrite=false)` is
+  *     check-then-act; `fs.create(overwrite=false)` on HDFS/stores with
+  *     server-side atomicity) — the single atomic point: exactly one
   *     writer wins a version number, the loser sees the collision and
   *     retries the (cheap, manifest-only) publish on top of the new tip.
   *     Data files written by the loser stay reachable from ITS retried
@@ -108,8 +110,34 @@ class SnapshotTable(spark: SparkSession, root: String,
   }
 
   /** Parse one manifest. Hand-rolled fixed-shape JSON (no library dep);
-    * file names are uuid/part names — no escapes needed. */
+    * file names are uuid/part names — no escapes needed.
+    *
+    * The create-exclusive publish atomically ELECTS the version's
+    * writer, but content becomes visible progressively on local/HDFS
+    * filesystems — a reader racing the winner's single write()+close()
+    * can see a truncated manifest for a few microseconds. Parse failures
+    * therefore retry with bounded backoff; a manifest that still fails
+    * after ~1 s is genuinely corrupt (crash mid-publish) and raises.
+    * Missing manifests (vacuumed/never existed) raise immediately. */
   def snapshot(version: Long): Snapshot = {
+    var delayMs = 2L
+    var last: Throwable = null
+    var attempt = 0
+    while (attempt < 9) {
+      try { return parseSnapshot(version) }
+      catch {
+        case e: java.io.FileNotFoundException => throw e
+        case scala.util.control.NonFatal(e) =>
+          last = e
+          attempt += 1
+          if (attempt < 9) { Thread.sleep(delayMs); delayMs = math.min(200L, delayMs * 2) }
+      }
+    }
+    throw new IllegalStateException(
+      s"manifest v$version at $root unreadable after retries (partial publish?)", last)
+  }
+
+  private def parseSnapshot(version: Long): Snapshot = {
     val in = fs.open(manifestPath(version))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     def longField(k: String): Long =
@@ -247,6 +275,29 @@ class SnapshotTable(spark: SparkSession, root: String,
     (fileSet, rows)
   }
 
+  /** Create-exclusive manifest write — the commit protocol's single
+    * atomic point. On HDFS `fs.create(p, overwrite=false)` is atomic
+    * server-side, but Hadoop's LOCAL filesystem implements it as a
+    * check-then-act (exists? then create) — two racing writers can both
+    * "win" and one clobbers the other: a lost commit. For file:// roots
+    * we therefore go through java.nio `CREATE_NEW` (O_CREAT|O_EXCL, a
+    * single atomic syscall). Collisions surface as IOException
+    * (FileAlreadyExistsException is one) for the callers' retry loops. */
+  private def writeExclusive(p: Path, body: Array[Byte]): Unit = {
+    fs match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem |
+           _: org.apache.hadoop.fs.LocalFileSystem =>
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        val out = java.nio.file.Files.newOutputStream(local,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try out.write(body) finally out.close()
+      case _ =>
+        val out = fs.create(p, /* overwrite = */ false)
+        try out.write(body) finally out.close()
+    }
+  }
+
   private def manifestBody(v: Long, action: String, base: Long, rowCount: Long,
                            fls: FileSet, batchId: Long, dataChange: Boolean): String = {
     val statsPart =
@@ -278,8 +329,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       val body = manifestBody(v, action, base, rows(base), fls, batchId, dataChange)
       fs.mkdirs(snapsDir)
       try {
-        val out = fs.create(manifestPath(v), /* overwrite = */ false)
-        try out.write(body.getBytes("UTF-8")) finally out.close()
+        writeExclusive(manifestPath(v), body.getBytes("UTF-8"))
         return v
       } catch {
         case _: java.io.IOException => attempts += 1 // lost the race; re-read tip
@@ -403,8 +453,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       batchId = -1L, dataChange = true)
     fs.mkdirs(snapsDir)
     try {
-      val out = fs.create(manifestPath(v), false)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
+      writeExclusive(manifestPath(v), body.getBytes("UTF-8"))
       Some(v)
     } catch { case _: java.io.IOException => None }
   }

@@ -414,6 +414,29 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().count() == 76L) // 100 - 25 + 1
   }
 
+  test("concurrent writers: every append lands, versions stay contiguous, rows exact") {
+    val t = new SnapshotTable(spark, freshRoot("race8"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = (0 until 8).map { w =>
+      scala.concurrent.Future {
+        t.commitAppend(Seq(w.toLong * 100L, w.toLong * 100L + 1L).toDF("id"))
+      }
+    }
+    val versions = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration(180, "s"))
+    pool.shutdown()
+    // create-exclusive publish: one winner per version, losers retried —
+    // the eight commits occupy exactly versions 1..8
+    assert(versions.sorted == (1L to 8L))
+    assert(t.snapshot(8L).rows == 16L && t.read().count() == 16L)
+    assert(ids(t) == (0 until 8).flatMap(w => Seq(w * 100L, w * 100L + 1L)).toSet)
+    // every intermediate version is consistent: rows grow by 2 per commit
+    assert(t.history().map(_.rows) == (1L to 8L).map(_ * 2))
+  }
+
   test("vacuum deletes only unreachable files; retained tip still reads") {
     val root = freshRoot("vac")
     val t = new SnapshotTable(spark, root)
