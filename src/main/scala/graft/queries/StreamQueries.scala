@@ -266,6 +266,45 @@ object StreamQueries {
       s.read.parquet(outDir)
         .groupBy((col("o_orderkey") % 3).as("slice"))
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+    }),
+
+    // The streaming CHANGE FEED under the oracle gate: append → MOR
+    // delete → re-append at doubled cents, drained through the
+    // graft-snapshot source in changeFeed mode (a REAL checkpointed
+    // AvailableNow run). Aggregated by change type, the delivery must
+    // equal DuckDB's key-arithmetic replay — gating that the streamed
+    // feed carries the same retraction semantics the batch
+    // readChangeFeed oracle pins, through the actual streaming engine.
+    "stream_snapshot_cdf" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_snapcdfstream_${s.sparkContext.applicationId}")
+      if (base.exists()) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          base.toURI, s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base.getAbsolutePath), true)
+      }
+      val root = new java.io.File(base, "table").getAbsolutePath
+      val outDir = new java.io.File(base, "out").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      t.commitAppend(o.filter(col("o_orderkey") % 4 === 0))
+      t.commitDeleteByKey(
+        o.filter(col("o_orderkey") % 8 === 0).select("o_orderkey"), Seq("o_orderkey"))
+      t.commitAppend(o.filter(col("o_orderkey") % 8 === 0)
+        .select(col("o_orderkey"), (col("cents") * 2).as("cents")))
+      val q = s.readStream.format("graft-snapshot")
+        .option("changeFeed", "true").load(root)
+        .writeStream
+        .option("checkpointLocation", new java.io.File(base, "ckpt").getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((b: DataFrame, _: Long) =>
+          { b.write.mode("append").parquet(outDir); () })
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
     })
   )
 
@@ -478,6 +517,21 @@ FROM sess GROUP BY user_id, session_seq""",
     "stream_snapshot_feed" -> """
 SELECT o_orderkey % 3 AS slice, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
-FROM orders GROUP BY 1"""
+FROM orders GROUP BY 1""",
+
+    // inserts = v1 (all %4==0 at c) + v3 (%8==0 at 2c);
+    // deletes = v2's pre-image (%8==0 at c)
+    "stream_snapshot_cdf" -> """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders WHERE o_orderkey % 4 = 0)
+SELECT 'insert' AS change_type,
+       CAST((SELECT count(*) FROM base) +
+            (SELECT count(*) FROM base WHERE k % 8 = 0) AS BIGINT) AS n_rows,
+       CAST((SELECT sum(c) FROM base) +
+            (SELECT sum(2 * c) FROM base WHERE k % 8 = 0) AS BIGINT) AS total_cents
+UNION ALL
+SELECT 'delete', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+FROM base WHERE k % 8 = 0"""
   )
 }
