@@ -31,7 +31,8 @@ case class Snapshot(version: Long, action: String, baseVersion: Long,
                     seqs: Seq[Long] = Seq.empty,
                     deletes: Seq[String] = Seq.empty,
                     deleteSeqs: Seq[Long] = Seq.empty,
-                    deleteKey: Seq[String] = Seq.empty)
+                    deleteKey: Seq[String] = Seq.empty,
+                    ts: Long = 0L)
 
 /** Minimal snapshot-versioned table format: immutable parquet data files
   * plus a linear chain of JSON manifests, one per committed version —
@@ -162,10 +163,12 @@ class SnapshotTable(spark: SparkSession, root: String,
         .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty)
+    val ts = """"ts"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toLong).getOrElse(0L)
     Snapshot(longField("version"), strField("action"), longField("baseVersion"),
       longField("rows"), files, batchId, longArray("mins"), longArray("maxs"),
       dataChange, longArray("seqs"), strArray("deletes"),
-      longArray("deleteSeqs"), strArray("deleteKey"))
+      longArray("deleteSeqs"), strArray("deleteKey"), ts)
   }
 
   /** Plan the data files at indices `keep` of `s` with MOR deletes
@@ -217,6 +220,30 @@ class SnapshotTable(spark: SparkSession, root: String,
         "(writeDataFiles guarantees at least one schema-bearing file)")
     morPlan(snap, snap.files.indices, mergeSchema = false)
   }
+
+  /** `TIMESTAMP AS OF`: the latest retained version whose commit
+    * timestamp is <= `tsMillis`. Writer clocks can skew, so the
+    * effective timestamp is monotonically adjusted (running max over
+    * the chain — the public formats' same normalization): a version
+    * never reads as older than its predecessor. Raises if every
+    * retained version is newer than the asked time (history before the
+    * vacuum horizon is gone — time-travel there is unanswerable). */
+  def versionAsOf(tsMillis: Long): Long = {
+    val h = history()
+    require(h.nonEmpty, s"no committed snapshot at $root")
+    var running = Long.MinValue
+    val eligible = h.flatMap { s =>
+      running = math.max(running, s.ts)
+      if (running <= tsMillis) Some(s.version) else None
+    }
+    require(eligible.nonEmpty,
+      s"no retained version at $root as of ts=$tsMillis " +
+        s"(earliest retained commit ts=${h.head.ts})")
+    eligible.max
+  }
+
+  /** Read the table as of a wall-clock time ([[versionAsOf]] + [[read]]). */
+  def readAsOf(tsMillis: Long): DataFrame = read(versionAsOf(tsMillis))
 
   /** Schema-evolution read of `version`: parquet footer merging unions
     * the column sets of every listed file, so rows from commits that
@@ -311,6 +338,7 @@ class SnapshotTable(spark: SparkSession, root: String,
         s""","deleteSeqs":[${fls.deleteSeqs.mkString(",")}]""" +
         s""","deleteKey":[${fls.deleteKey.map(c => s""""$c"""").mkString(",")}]"""
     s"""{"version":$v,"action":"$action","baseVersion":$base,
+       |"ts":${System.currentTimeMillis()},
        |"rows":$rowCount,"batchId":$batchId,"dataChange":$dataChange$statsPart$seqsPart$delPart,
        |"files":[${fls.files.map(f => s""""$f"""").mkString(",")}]}""".stripMargin
   }

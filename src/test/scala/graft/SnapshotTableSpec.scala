@@ -437,6 +437,44 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.history().map(_.rows) == (1L to 8L).map(_ * 2))
   }
 
+  test("MOR read plan: the delete-key side broadcasts (no sort-merge shuffle of the table)") {
+    val t = new SnapshotTable(spark, freshRoot("morplan"))
+    t.commitAppend(spark.range(0L, 50000L).toDF("id"))
+    t.commitDeleteByKey(Seq(5L, 6L).toDF("id"), Seq("id"))
+    val plan = t.read().queryExecution.executedPlan.toString
+    // delete keys are commit-sized parquet: the anti-join's build side
+    // must come off file-size stats as a broadcast, never a sort-merge
+    // that would shuffle the whole table to remove two keys
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"table-sized shuffle in MOR read:\n$plan")
+  }
+
+  test("readAsOf: timestamp time travel with monotonic clock adjustment") {
+    val root = freshRoot("asof")
+    val t = new SnapshotTable(spark, root)
+    t.commitAppend(Seq(1L).toDF("id"))
+    Thread.sleep(15)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    t.commitAppend(Seq(2L).toDF("id"))
+    assert(t.versionAsOf(between) == 1L)
+    assert(t.readAsOf(between).count() == 1L)
+    assert(t.readAsOf(System.currentTimeMillis()).count() == 2L)
+    // before the first commit: unanswerable, raises
+    intercept[IllegalArgumentException](t.versionAsOf(t.snapshot(1L).ts - 1000L))
+    // a skewed writer stamping v3 in the past must not shadow v2:
+    // monotonic adjustment reads v3's effective ts as >= v2's
+    val snaps = new java.io.File(root, "_snapshots")
+    t.commitAppend(Seq(3L).toDF("id"))
+    val f3 = new java.io.File(snaps, f"v${3L}%020d.json")
+    val body = scala.io.Source.fromFile(f3)("UTF-8").mkString
+    val skewed = body.replaceAll(""""ts":\d+""", """"ts":1""")
+    val w = new java.io.FileWriter(f3); w.write(skewed); w.close()
+    assert(t.versionAsOf(between) == 1L, "skewed v3 must not be eligible at `between`")
+    assert(t.versionAsOf(System.currentTimeMillis()) == 3L)
+  }
+
   test("vacuum deletes only unreachable files; retained tip still reads") {
     val root = freshRoot("vac")
     val t = new SnapshotTable(spark, root)
