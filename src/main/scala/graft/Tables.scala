@@ -63,6 +63,20 @@ object Schemas {
   * the expected column set is not a subset of the actual one (the
   * reference's superset check, validate_extracted_data.py:27-31). */
 object Tables {
+  /** Fresh per-application tmp dir for queries that materialize side
+    * state (snapshot tables, connector sinks): a prior run's leftovers
+    * in the same app are deleted so re-runs rebuild from scratch. */
+  def freshTmpDir(s: SparkSession, tag: String): java.io.File = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"${tag}_${s.sparkContext.applicationId}")
+    if (dir.exists()) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        dir.toURI, s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir.getAbsolutePath), true)
+    }
+    dir
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     Schemas.all.get(name).foreach { expected =>

@@ -266,13 +266,7 @@ object MiscQueries {
     // that upsert updates matched keys in place, delete removes its
     // predicate's rows, and the pre-DML versions stay readable.
     "misc_snapshot_dml" -> ((s, d) => {
-      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_snapdml_${s.sparkContext.applicationId}")
-      if (root.exists()) {
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          root.toURI, s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
-      }
+      val root = Tables.freshTmpDir(s, "graft_snapdml")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
       val o = Tables.orders(s, d).select(col("o_orderkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
@@ -302,13 +296,7 @@ object MiscQueries {
     // that holds at 100 TB: O(keys) commit, no table rewrite until
     // maintenance chooses to.
     "misc_snapshot_mor" -> ((s, d) => {
-      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_snapmor_${s.sparkContext.applicationId}")
-      if (root.exists()) {
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          root.toURI, s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
-      }
+      val root = Tables.freshTmpDir(s, "graft_snapmor")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
       val o = Tables.orders(s, d).select(col("o_orderkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
@@ -337,13 +325,7 @@ object MiscQueries {
     // reload costs O(batch), not O(table). Each version's (rows, cents)
     // replays in DuckDB.
     "misc_snapshot_replace" -> ((s, d) => {
-      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_snaprepl_${s.sparkContext.applicationId}")
-      if (root.exists()) {
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          root.toURI, s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
-      }
+      val root = Tables.freshTmpDir(s, "graft_snaprepl")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath,
         statsCol = Some("o_orderkey"))
       val o = Tables.orders(s, d).select(col("o_orderkey"),
@@ -376,13 +358,7 @@ object MiscQueries {
     // before the final read proves SQL sees the anti-joined view.
     "misc_snapshot_sql" -> ((s, d) => {
       org.apache.spark.sql.graft.GraftFunctions.register(s)
-      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_snapsql_${s.sparkContext.applicationId}")
-      if (root.exists()) {
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          root.toURI, s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
-      }
+      val root = Tables.freshTmpDir(s, "graft_snapsql")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
       val o = Tables.orders(s, d).select(col("o_orderkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
@@ -408,13 +384,7 @@ object MiscQueries {
     // diffs — and that a deleted-then-upserted key surfaces as a fresh
     // insert, not an update of a ghost row.
     "misc_snapshot_cdf" -> ((s, d) => {
-      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_snapcdf_${s.sparkContext.applicationId}")
-      if (root.exists()) {
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          root.toURI, s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
-      }
+      val root = Tables.freshTmpDir(s, "graft_snapcdf")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
       val o = Tables.orders(s, d).select(col("o_orderkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
@@ -439,13 +409,7 @@ object MiscQueries {
     // index is the manifest — a point lookup on a 100 TB fact opens the
     // files that can match, not every footer.
     "misc_snapshot_skipping" -> ((s, d) => {
-      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_snapskip_${s.sparkContext.applicationId}")
-      if (root.exists()) {
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          root.toURI, s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
-      }
+      val root = Tables.freshTmpDir(s, "graft_snapskip")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath,
         statsCol = Some("o_orderkey"))
       val o = Tables.orders(s, d).select(col("o_orderkey"),

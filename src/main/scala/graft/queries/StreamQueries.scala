@@ -239,13 +239,7 @@ object StreamQueries {
     // at the next uncommitted version, and each micro-batch plans
     // O(delta files) from manifests — the 100 TB follower shape.
     "stream_snapshot_feed" -> ((s, d) => {
-      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_snapfeed_${s.sparkContext.applicationId}")
-      if (base.exists()) {
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          base.toURI, s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(base.getAbsolutePath), true)
-      }
+      val base = Tables.freshTmpDir(s, "graft_snapfeed")
       val root = new java.io.File(base, "table").getAbsolutePath
       val outDir = new java.io.File(base, "out").getAbsolutePath
       val t = new graft.sources.SnapshotTable(s, root)
@@ -276,13 +270,7 @@ object StreamQueries {
     // feed carries the same retraction semantics the batch
     // readChangeFeed oracle pins, through the actual streaming engine.
     "stream_snapshot_cdf" -> ((s, d) => {
-      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_snapcdfstream_${s.sparkContext.applicationId}")
-      if (base.exists()) {
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          base.toURI, s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(base.getAbsolutePath), true)
-      }
+      val base = Tables.freshTmpDir(s, "graft_snapcdfstream")
       val root = new java.io.File(base, "table").getAbsolutePath
       val outDir = new java.io.File(base, "out").getAbsolutePath
       val t = new graft.sources.SnapshotTable(s, root)

@@ -74,16 +74,36 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
     new SnapshotSource(sqlContext.sparkSession, rootOf(parameters),
       schemaOf(sqlContext, schema, parameters), cdf = cdfOf(parameters),
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
-      // "latest" = from-now-on (resolved once, here); a number = that
-      // version onward (inclusive). Lets a fresh consumer bootstrap on a
-      // vacuumed table whose old manifests are gone: read(tip) + stream
-      // from startingVersion=latest, the Delta-source idiom.
+      // "latest" = from-now-on; a number = that version onward
+      // (inclusive). Lets a fresh consumer bootstrap on a vacuumed table
+      // whose old manifests are gone: read(tip) + stream from
+      // startingVersion=latest, the Delta-source idiom. "latest" is
+      // resolved ONCE per checkpoint and persisted under metadataPath —
+      // re-resolving on every restart would floor past commits made
+      // while the query was down and silently drop them.
       startingVersion = parameters.get("startingVersion").map {
         case "latest" =>
-          new SnapshotTable(sqlContext.sparkSession, rootOf(parameters))
-            .latestVersion() + 1
+          resolveLatestOnce(sqlContext.sparkSession, rootOf(parameters), metadataPath)
         case n => n.toLong
       }.getOrElse(1L))
+
+  private def resolveLatestOnce(spark: org.apache.spark.sql.SparkSession,
+                                root: String, metadataPath: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(metadataPath, "graft-starting-version")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } else {
+      val v = new SnapshotTable(spark, root).latestVersion() + 1
+      fs.mkdirs(marker.getParent)
+      val out = fs.create(marker, /* overwrite = */ false)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      v
+    }
+  }
 }
 
 class SnapshotSource(spark: SparkSession, root: String,
@@ -120,12 +140,13 @@ class SnapshotSource(spark: SparkSession, root: String,
         bridge.streamingScanOf(spark, table.readChangeFeed(from, to)
           .select(schema.fieldNames.map(col).toSeq: _*))
       else {
-        // insert-only contract: a rewrite/delete in the range means rows
-        // were changed or removed — delivering the rewritten files would
-        // replay old rows as new, and skipping silently would lose the
-        // change. Fail loudly (the Delta-source behavior) unless the user
-        // opted into skipChangeCommits or the change feed.
-        val changed = table.nonAppendChangesBetween(from, to)
+        // one manifest walk per batch: append files to deliver + the
+        // non-append changes the insert-only contract must fail on —
+        // a rewrite/delete in the range means rows were changed or
+        // removed; delivering the rewritten files would replay old rows
+        // as new, and skipping silently would lose the change (the
+        // Delta-source behavior, relaxed only by explicit options).
+        val (appendFiles, changed) = table.appendDelta(from, to)
         if (changed.nonEmpty && !skipChangeCommits)
           throw new IllegalStateException(
             s"graft-snapshot at $root: non-append data change " +
@@ -133,13 +154,21 @@ class SnapshotSource(spark: SparkSession, root: String,
               " in the stream range; read with option(\"changeFeed\",\"true\") " +
               "for retractions, or option(\"skipChangeCommits\",\"true\") to " +
               "stream appends only")
-        // column order pinned to the stream schema (appends must stay
-        // schema-compatible, the file-source contract)
-        val df = table.readFiles(table.appendFilesBetween(from, to))
-          .select(schema.fieldNames.map(col).toSeq: _*)
-        bridge.ofRows(spark, df.queryExecution.analyzed.transform {
-          case lr: LogicalRelation => lr.copy(isStreaming = true)
-        })
+        if (appendFiles.isEmpty)
+          // empty from the PINNED stream schema: the tip's schema may
+          // have drifted (e.g. a skipped overwrite dropped a column) and
+          // must not leak into an empty batch's plan
+          bridge.ofRows(spark,
+            LocalRelation(DataTypeUtils.toAttributes(schema), Nil, isStreaming = true))
+        else {
+          // column order pinned to the stream schema (appends must stay
+          // schema-compatible, the file-source contract)
+          val df = table.readFiles(appendFiles)
+            .select(schema.fieldNames.map(col).toSeq: _*)
+          bridge.ofRows(spark, df.queryExecution.analyzed.transform {
+            case lr: LogicalRelation => lr.copy(isStreaming = true)
+          })
+        }
       }
     batch
   }

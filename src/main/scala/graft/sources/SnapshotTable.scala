@@ -191,9 +191,15 @@ class SnapshotTable(spark: SparkSession, root: String,
     else keep.groupBy(i => all.deleteSeqs.count(_ > all.seqs(i)))
       .toSeq.sortBy(_._1) // deterministic group (and thus column) order
       .map { case (nAppl, idxs) =>
-        val df = rd(idxs.map(all.files))
-        // NULL equality keys match nothing, so groups that predate the key
-        // column (evolved tables) legitimately skip the anti-join
+        // groups with applicable deletes read footer-merged: a plain read
+        // of a mixed-schema group infers the schema from an ARBITRARY
+        // footer, so whether the delete-key column is visible — and thus
+        // whether the anti-join applies — would be nondeterministic
+        val df = if (nAppl == 0) rd(idxs.map(all.files))
+          else spark.read.option("mergeSchema", "true")
+            .parquet(idxs.map(i => new Path(dataDir, all.files(i)).toString): _*)
+        // NULL equality keys match nothing, so groups where NO file has
+        // the key column (it postdates them all) legitimately skip
         if (nAppl == 0 || !all.deleteKey.forall(df.columns.contains)) df
         else {
           val appl = all.deletes.indices
@@ -475,10 +481,11 @@ class SnapshotTable(spark: SparkSession, root: String,
     * read-modify-write commits, where a blind retry would lose the
     * concurrent writer's rows). */
   private def publishAtBase(base: Long, action: String, fls: FileSet,
-                            rowCount: Long): Option[Long] = {
+                            rowCount: Long,
+                            dataChange: Boolean = true): Option[Long] = {
     val v = base + 1
     val body = manifestBody(v, action, base, rowCount, fls,
-      batchId = -1L, dataChange = true)
+      batchId = -1L, dataChange = dataChange)
     fs.mkdirs(snapsDir)
     try {
       writeExclusive(manifestPath(v), body.getBytes("UTF-8"))
@@ -550,7 +557,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     while (attempts < 50) {
       val base = latestVersion()
       require(base > 0, s"DELETE on empty table at $root")
-      val prev = fileSetOf(snapshot(base))
+      val snapBase = snapshot(base)
+      val prev = fileSetOf(snapBase)
       require(prev.deleteKey.isEmpty || prev.deleteKey == keyCols,
         s"table at $root already carries MOR deletes keyed by " +
           s"(${prev.deleteKey.mkString(",")}); got (${keyCols.mkString(",")})")
@@ -563,7 +571,7 @@ class SnapshotTable(spark: SparkSession, root: String,
         deletes = prev.deletes ++ keyFiles.files,
         deleteSeqs = prev.deleteSeqs ++ Seq.fill(keyFiles.files.length)(base + 1),
         deleteKey = keyCols)
-      publishAtBase(base, "delete_mor", fls, snapshot(base).rows - deleted) match {
+      publishAtBase(base, "delete_mor", fls, snapBase.rows - deleted) match {
         case Some(v) => return v
         case None => attempts += 1
       }
@@ -587,9 +595,12 @@ class SnapshotTable(spark: SparkSession, root: String,
     import org.apache.spark.sql.functions.col
     val c = statsCol.getOrElse(
       sys.error(s"commitReplaceWhere on $root: table collects no stats column"))
-    val outside = batch.filter(!col(c).cast("long").between(lo, hi)).count()
+    // NULL keys count as outside (they can't be range-validated); the
+    // null-safe <=> keeps them from slipping through a three-valued NOT
+    val outside = batch.filter(
+      !(col(c).cast("long").between(lo, hi) <=> true)).count()
     require(outside == 0,
-      s"replaceWhere batch has $outside rows outside [$lo, $hi] on $c")
+      s"replaceWhere batch has $outside rows outside [$lo, $hi] on $c (NULLs count as outside)")
     val (batchFiles, batchRows) = writeDataFiles(batch)
     var attempts = 0
     while (attempts < 50) {
@@ -603,10 +614,13 @@ class SnapshotTable(spark: SparkSession, root: String,
         .filter(i => !(prev.maxs(i) < lo || prev.mins(i) > hi) &&
           !(prev.mins(i) >= lo && prev.maxs(i) <= hi))
       // unknown-stats files land in straddle: rewritten, conservatively
+      // keep = NOT in range, null-safely: a NULL-keyed row is outside
+      // every range and must SURVIVE the rewrite (a three-valued
+      // !between would silently drop it and overstate the row count)
       val (rewrite, rewriteRows) =
         if (straddleIdx.isEmpty) (FileSet(Seq.empty, Seq.empty, Seq.empty), 0L)
         else writeDataFiles(morPlan(snap, straddleIdx, mergeSchema = false)
-          .filter(!col(c).cast("long").between(lo, hi)))
+          .filter(!(col(c).cast("long").between(lo, hi) <=> true)))
       val affectedIdx = prev.files.indices.diff(keepIdx)
       val removed =
         if (affectedIdx.isEmpty) 0L
@@ -732,21 +746,34 @@ class SnapshotTable(spark: SparkSession, root: String,
     * insert-only; the caller decides what non-append data changes in the
     * range mean (error, skip, or switch to [[readChangeFeed]]). */
   def appendFilesBetween(fromVersion: Long, toVersion: Long): Seq[String] =
-    ((fromVersion + 1) to toVersion).flatMap { v =>
-      val s = snapshot(v)
-      if (s.dataChange && s.action == "append") {
-        val fl = fileSetOf(s)
-        fl.files.indices.filter(i => fl.seqs(i) == v).map(fl.files)
-      } else Seq.empty
-    }
+    appendDelta(fromVersion, toVersion)._1
 
   /** Actions in `(fromVersion, toVersion]` that change data but are NOT
     * plain appends — the versions an insert-only consumer must be told
     * about ((version, action) pairs; compaction is excluded, it changes
     * nothing). */
   def nonAppendChangesBetween(fromVersion: Long, toVersion: Long): Seq[(Long, String)] =
-    ((fromVersion + 1) to toVersion).map(v => (v, snapshot(v)))
-      .collect { case (v, s) if s.dataChange && s.action != "append" => (v, s.action) }
+    appendDelta(fromVersion, toVersion)._2
+
+  /** One manifest walk serving both feed questions: (append files to
+    * deliver, non-append data changes to warn about). Feed consumers
+    * need both per batch — parsing each manifest once instead of twice
+    * halves the metadata I/O on the path advertised as O(delta files). */
+  def appendDelta(fromVersion: Long, toVersion: Long)
+      : (Seq[String], Seq[(Long, String)]) = {
+    val files = Seq.newBuilder[String]
+    val changes = Seq.newBuilder[(Long, String)]
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val s = snapshot(v)
+      if (s.dataChange) {
+        if (s.action == "append") {
+          val fl = fileSetOf(s)
+          fl.files.indices.filter(i => fl.seqs(i) == v).foreach(i => files += fl.files(i))
+        } else changes += ((v, s.action))
+      }
+    }
+    (files.result(), changes.result())
+  }
 
   /** Read a manifest-relative file list as a DataFrame (empty list →
     * empty frame with the tip's schema). */
@@ -772,23 +799,37 @@ class SnapshotTable(spark: SparkSession, root: String,
     * chooses layout; readers and writers are unchanged. */
   def compact(targetRowsPerFile: Long,
               clusterBy: Option[String]): Long = {
-    val base = latestVersion()
-    require(base > 0, s"nothing to compact at $root")
-    val cur = read(base)
-    val n = math.max(1L, math.ceil(
-      snapshot(base).rows.toDouble / targetRowsPerFile).toLong).toInt
-    val arranged = clusterBy match {
-      case Some(c) =>
-        import org.apache.spark.sql.functions.col
-        cur.repartitionByRange(n, col(c))
-      case None => cur.repartition(n)
+    var attempts = 0
+    while (attempts < 50) {
+      val base = latestVersion()
+      require(base > 0, s"nothing to compact at $root")
+      val snapBase = snapshot(base)
+      val cur = read(base)
+      val n = math.max(1L, math.ceil(
+        snapBase.rows.toDouble / targetRowsPerFile).toLong).toInt
+      val arranged = clusterBy match {
+        case Some(c) =>
+          import org.apache.spark.sql.functions.col
+          cur.repartitionByRange(n, col(c))
+        case None => cur.repartition(n)
+      }
+      // cur reads THROUGH any MOR deletes, so the rewrite materializes
+      // them: the compacted version lists no delete files. Publish is
+      // pinned to the base we READ (snapshot-isolation validation, same
+      // as commitRewrite): a blind retry at a new base would re-list the
+      // stale compacted content and erase a concurrent commit's rows —
+      // worse here, tagged dataChange=false so no feed ever corrects it.
+      val (raw, rows) = writeDataFiles(arranged)
+      val fls = raw.copy(seqs = Seq.fill(raw.files.length)(base + 1))
+      publishAtBase(base, "compact", fls, rows, dataChange = false) match {
+        case Some(v) => return v
+        case None => // lost the race: drop this attempt's files, re-read tip
+          raw.files.map(_.split('/').head).distinct.foreach(uuid =>
+            fs.delete(new Path(dataDir, uuid), true))
+          attempts += 1
+      }
     }
-    // cur reads THROUGH any MOR deletes, so the rewrite materializes them:
-    // the compacted version lists no delete files
-    val (raw, rows) = writeDataFiles(arranged)
-    publish("compact",
-      b => raw.copy(seqs = Seq.fill(raw.files.length)(b + 1)),
-      _ => rows, dataChange = false)
+    sys.error(s"compact at $root: gave up after $attempts conflicts")
   }
 
   /** All RETAINED snapshots, oldest first (the table's audit history;
@@ -862,27 +903,33 @@ class SnapshotFollower(table: SnapshotTable, checkpointDir: String,
     val from = lastConsumed()
     val tip = table.latestVersion()
     if (tip <= from) return None
-    // same insert-only contract as the streaming source: a rewrite or
-    // delete in the range is an error unless the consumer opted into
-    // appends-only (rewrite files would replay old rows as new)
-    val changed = table.nonAppendChangesBetween(from, tip)
+    // same insert-only contract as the streaming source (one manifest
+    // walk for both questions): a rewrite or delete in the range is an
+    // error unless the consumer opted into appends-only (rewrite files
+    // would replay old rows as new)
+    val (appendFiles, changed) = table.appendDelta(from, tip)
     if (changed.nonEmpty && !skipChangeCommits)
       throw new IllegalStateException(
         "SnapshotFollower: non-append data change " +
           changed.map { case (v, a) => s"$a@v$v" }.mkString(", ") +
           " in the poll range; construct with skipChangeCommits=true to " +
           "stream appends only, or consume readChangeFeed for retractions")
-    process(table.readFiles(table.appendFilesBetween(from, tip)))
+    process(table.readFiles(appendFiles))
     fs.mkdirs(offsetsDir)
-    // Create-exclusive like manifests, but a collision here is NOT a
+    // Create-exclusive like manifests, but a COLLISION here is NOT a
     // failure: processing already succeeded, and the existing offset means
-    // a concurrent poll of the same checkpoint committed the same tip —
-    // propagating the IOException after the side effects ran would turn a
-    // duplicate bookkeeping write into a spurious job failure.
+    // a concurrent poll of the same checkpoint committed the same tip.
+    // Only the already-exists case is benign — any other IO failure must
+    // surface, or a persistently unwritable offsets dir would silently
+    // degrade into unbounded full re-delivery on every poll.
+    val offsetPath = new Path(offsetsDir, f"o$tip%020d")
     try {
-      val out = fs.create(new Path(offsetsDir, f"o$tip%020d"), false)
+      val out = fs.create(offsetPath, false)
       out.close()
-    } catch { case _: java.io.IOException => () }
+    } catch {
+      case e: java.io.IOException =>
+        if (!fs.exists(offsetPath)) throw e // genuine failure, not a race
+    }
     Some((from, tip))
   }
 }

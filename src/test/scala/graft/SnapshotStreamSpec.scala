@@ -144,6 +144,30 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(drainFrom("4", s"$dir/ckptE") == Set(4L))
   }
 
+  test("startingVersion=latest is resolved once per checkpoint: commits during downtime are NOT skipped") {
+    val dir = freshRoot("latestonce")
+    val root = s"$dir/table"
+    val ckpt = s"$dir/ckpt"
+    val t = new SnapshotTable(spark, root)
+    t.commitAppend(Seq(1L).toDF("id"))
+    def drainLatest(name: String): Set[Long] = {
+      val got = scala.collection.mutable.Set[Long]()
+      val q = spark.readStream.format("graft-snapshot")
+        .option("startingVersion", "latest").load(root)
+        .writeStream.queryName(name).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          { got ++= b.select("id").as[Long].collect(); () }).start()
+      q.awaitTermination(); got.toSet
+    }
+    assert(drainLatest("latest_1").isEmpty) // resolved to from-now-on, persisted
+    // the query is DOWN while v2/v3 commit; a restart that re-resolved
+    // "latest" would floor past them and silently drop the rows
+    t.commitAppend(Seq(2L).toDF("id"))
+    t.commitAppend(Seq(3L).toDF("id"))
+    assert(drainLatest("latest_2") == Set(2L, 3L))
+  }
+
   test("feed composes with streaming transforms and lands in a downstream snapshot table") {
     val dir = freshRoot("loop")
     val src = s"$dir/src"

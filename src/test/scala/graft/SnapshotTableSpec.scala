@@ -475,6 +475,38 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.versionAsOf(System.currentTimeMillis()) == 3L)
   }
 
+  test("compact losing the version race re-derives from the new tip (no lost update)") {
+    val root = freshRoot("compactrace")
+    val t = new SnapshotTable(spark, root)
+    t.commitAppend(Seq(1L, 2L).toDF("id"))
+    // interloper wins v2 (re-lists v1's files) before compact publishes
+    val snaps = new java.io.File(root, "_snapshots")
+    val v1Body = scala.io.Source.fromFile(
+      new java.io.File(snaps, f"v${1L}%020d.json"))("UTF-8").mkString
+    val w = new java.io.FileWriter(new java.io.File(snaps, f"v${2L}%020d.json"))
+    w.write(v1Body.replace("\"version\":1", "\"version\":2")); w.close()
+    // compact read v1 or v2 as its base; losing the race at one version
+    // must RE-READ the tip, not re-publish stale content on top of it
+    val v = t.compact(targetRowsPerFile = 100L)
+    assert(v == 3L && t.snapshot(v).action == "compact")
+    assert(!t.snapshot(v).dataChange && t.snapshot(v).rows == 2L)
+    assert(ids(t, v) == Set(1L, 2L))
+  }
+
+  test("replaceWhere keeps NULL-key rows in straddlers and rejects NULL-key batches") {
+    val t = new SnapshotTable(spark, freshRoot("replnull"), statsCol = Some("id"))
+    t.commitAppend(Seq(Some(1L), Some(5L), None).toDF("id").repartition(1))
+    // the NULL-key row is outside every range: it must survive the
+    // straddler rewrite, and the row count must stay exact
+    val v = t.commitReplaceWhere(Seq(Some(4L)).toDF("id"), 3L, 9L)
+    assert(t.snapshot(v).rows == 3L)
+    assert(t.read(v).select("id").as[Option[Long]].collect().toSet ==
+      Set(Some(1L), Some(4L), None))
+    // a batch carrying a NULL key cannot be range-validated: reject
+    intercept[IllegalArgumentException](
+      t.commitReplaceWhere(Seq(Some(5L), None).toDF("id"), 3L, 9L))
+  }
+
   test("vacuum deletes only unreachable files; retained tip still reads") {
     val root = freshRoot("vac")
     val t = new SnapshotTable(spark, root)
