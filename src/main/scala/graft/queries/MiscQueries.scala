@@ -316,6 +316,30 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // TIMESTAMP AS OF on the snapshot format: two commits bracketing a
+    // captured wall-clock instant (10 ms guard sleeps make the commit
+    // timestamps strictly straddle it), then readAsOf resolves the
+    // instant to v1 and now to v2 — content replayed in DuckDB. The
+    // timestamps themselves never reach the output (nondeterministic);
+    // only the version resolution they drive is gated.
+    "misc_snapshot_asof" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_snapasof")
+      val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      t.commitAppend(o.filter(col("o_orderkey") % 2 === 0))
+      Thread.sleep(10)
+      val instant = System.currentTimeMillis()
+      Thread.sleep(10)
+      t.commitAppend(o.filter(col("o_orderkey") % 2 === 1))
+      Seq(("as_of_instant", t.readAsOf(instant)),
+          ("as_of_now", t.readAsOf(System.currentTimeMillis()))).map {
+        case (tag, df) =>
+          df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+            .select(lit(tag).as("read"), col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // Atomic range replacement (Delta's replaceWhere) on the snapshot
     // format: thirds land range-clustered (one file each), then the
     // MIDDLE third is replaced by its even keys at doubled cents in ONE
@@ -1828,6 +1852,18 @@ FROM base WHERE k % 4 = 0
 UNION ALL
 SELECT 3, 'delete', CAST(count(*) AS BIGINT), CAST(sum(2 * c) AS BIGINT)
 FROM base WHERE k % 8 = 0""",
+
+    // the instant resolves to v1 (even keys), now to v2 (all keys)
+    "misc_snapshot_asof" -> """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders)
+SELECT 'as_of_instant' AS read, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c) AS BIGINT) AS total_cents
+FROM base WHERE k % 2 = 0
+UNION ALL
+SELECT 'as_of_now', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+FROM base""",
 
     // third-boundary replay of the four replace_where versions; the
     // 2-untouched-files pin is engine-side (DuckDB replays content)
