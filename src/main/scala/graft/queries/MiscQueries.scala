@@ -316,6 +316,26 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // DESCRIBE HISTORY as SQL (snapshot_history TVF): the audit trail of
+    // an append → MOR delete → re-append → compact sequence queried as a
+    // relation — per-version action, EXACT row count (the MOR delete's
+    // manifest-only commit must still report the post-delete count), and
+    // the dataChange flag that tells feed consumers what to skip.
+    "misc_snapshot_history" -> ((s, d) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      val root = Tables.freshTmpDir(s, "graft_snaphist")
+      val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      t.commitAppend(o.filter(col("o_orderkey") % 4 === 0))
+      t.commitDeleteByKey(
+        o.filter(col("o_orderkey") % 8 === 0).select("o_orderkey"), Seq("o_orderkey"))
+      t.commitAppend(o.filter(col("o_orderkey") % 8 === 0))
+      t.compact(targetRowsPerFile = 1000000L)
+      s.sql(s"""SELECT version, action, n_rows, data_change
+                FROM snapshot_history('${root.getAbsolutePath}')""")
+    }),
+
     // TIMESTAMP AS OF on the snapshot format: two commits bracketing a
     // captured wall-clock instant (10 ms guard sleeps make the commit
     // timestamps strictly straddle it), then readAsOf resolves the
@@ -1852,6 +1872,21 @@ FROM base WHERE k % 4 = 0
 UNION ALL
 SELECT 3, 'delete', CAST(count(*) AS BIGINT), CAST(sum(2 * c) AS BIGINT)
 FROM base WHERE k % 8 = 0""",
+
+    // per-version audit replay: v2's count drops the %8==0 slice, v3
+    // restores it, v4 compacts content-neutrally
+    "misc_snapshot_history" -> """
+WITH base AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 4 = 0)
+SELECT CAST(1 AS BIGINT) AS version, 'append' AS action,
+       CAST((SELECT count(*) FROM base) AS BIGINT) AS n_rows, true AS data_change
+UNION ALL
+SELECT 2, 'delete_mor',
+       CAST((SELECT count(*) FROM base WHERE k % 8 = 4) AS BIGINT), true
+UNION ALL
+SELECT 3, 'append', CAST((SELECT count(*) FROM base) AS BIGINT), true
+UNION ALL
+SELECT 4, 'compact', CAST((SELECT count(*) FROM base) AS BIGINT), false""",
 
     // the instant resolves to v1 (even keys), now to v2 (all keys)
     "misc_snapshot_asof" -> """

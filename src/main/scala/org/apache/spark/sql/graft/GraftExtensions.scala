@@ -135,8 +135,38 @@ object GraftFunctions {
         .read(version).queryExecution.analyzed
     })
 
+  /** `snapshot_history(root)` — DESCRIBE HISTORY as a TVF: one row per
+    * RETAINED version (version, action, n_rows, data_change, batch_id).
+    * Metadata-only, driver-built (bounded by the vacuum retention, the
+    * same shape as the public formats' history command) — commit
+    * timestamps are deliberately not exposed here; time travel by clock
+    * goes through `SnapshotTable.readAsOf`. */
+  val snapshotHistoryDescriptor: TableDescriptor = (
+    FunctionIdentifier("snapshot_history"),
+    new ExpressionInfo(classOf[graft.sources.SnapshotTable].getName, "snapshot_history"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1 && exprs.head.foldable,
+        "snapshot_history expects (table_root_literal)")
+      val root = exprs.head.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"snapshot_history: table root must be a string literal, got $other")
+      }
+      val h = new graft.sources.SnapshotTable(SparkSession.active, root).history()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("action", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("data_change", org.apache.spark.sql.types.BooleanType, nullable = false),
+        org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType, nullable = false)))
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation.fromExternalRows(
+        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+        h.map(s => org.apache.spark.sql.Row(s.version, s.action, s.rows,
+          s.dataChange, s.batchId)))
+    })
+
   val tableFunctions: Seq[TableDescriptor] =
-    Seq(dateSpineDescriptor, snapshotAtDescriptor)
+    Seq(dateSpineDescriptor, snapshotAtDescriptor, snapshotHistoryDescriptor)
 
   /** Register into an existing session: SQL functions + the Skyline
     * planner strategy (so SkylineNode plans without the config path). */

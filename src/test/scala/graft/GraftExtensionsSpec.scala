@@ -63,6 +63,25 @@ class GraftExtensionsSpec extends SparkSpec {
           JOIN snapshot_at('$p') b ON a.id = b.id""").head.getLong(0) == 1L)
   }
 
+  test("snapshot_history is DESCRIBE HISTORY as SQL: audit rows, filterable like a relation") {
+    GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvf_hist")
+    dir.toFile.delete()
+    val t = new graft.sources.SnapshotTable(spark, dir.toString)
+    t.commitAppend(Seq(1L, 2L).toDF("id"))
+    t.commitOverwrite(Seq(9L).toDF("id"))
+    t.compact(targetRowsPerFile = 10L)
+    val h = spark.sql(
+      s"SELECT version, action, n_rows, data_change FROM snapshot_history('${dir.toString}')")
+      .as[(Long, String, Long, Boolean)].collect().sortBy(_._1)
+    assert(h.toSeq == Seq((1L, "append", 2L, true), (2L, "overwrite", 1L, true),
+      (3L, "compact", 1L, false)))
+    // composes: count only the data-changing versions
+    assert(spark.sql(
+      s"SELECT count(*) FROM snapshot_history('${dir.toString}') WHERE data_change")
+      .head.getLong(0) == 2L)
+  }
+
   test("topk_agg is SQL-callable as a grouped aggregate") {
     GraftFunctions.register(spark)
     Seq((1L, 3.0, 10L), (1L, 5.0, 11L), (1L, 4.0, 12L), (2L, 1.0, 20L))
