@@ -316,6 +316,34 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // The raw incremental-read primitive under the oracle gate:
+    // readAppendedBetween over three appends and a ROLLBACK — each
+    // (from, to] window delivers exactly its delta's rows, the full
+    // window is the whole table, and the rollback window is EMPTY
+    // (re-listed files never re-deliver; emitted as a zero row via the
+    // count aggregate). This is the consumer cost model a 100 TB fact
+    // depends on: a day's catch-up reads the day's files, never the
+    // table.
+    "misc_snapshot_incremental" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_snapincr")
+      val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      t.commitAppend(o.filter(col("o_orderkey") % 3 === 0))
+      val v2 = t.commitAppend(o.filter(col("o_orderkey") % 3 === 1))
+      val v3 = t.commitAppend(o.filter(col("o_orderkey") % 3 === 2))
+      val v4 = t.rollbackTo(v2)
+      def win(tag: String, a: Long, b: Long): DataFrame =
+        t.readAppendedBetween(a, b)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(tag).as("win"), col("n_rows"), col("total_cents"))
+      win("v0_v2", 0L, v2)
+        .unionByName(win("v2_v3", v2, v3))
+        .unionByName(win("v0_v3", 0L, v3))
+        .unionByName(win("v3_v4_rollback", v3, v4))
+    }),
+
     // DESCRIBE HISTORY as SQL (snapshot_history TVF): the audit trail of
     // an append → MOR delete → re-append → compact sequence queried as a
     // relation — per-version action, EXACT row count (the MOR delete's
@@ -1872,6 +1900,23 @@ FROM base WHERE k % 4 = 0
 UNION ALL
 SELECT 3, 'delete', CAST(count(*) AS BIGINT), CAST(sum(2 * c) AS BIGINT)
 FROM base WHERE k % 8 = 0""",
+
+    // window replay: (0,v2] = slices 0+1, (v2,v3] = slice 2, (0,v3] =
+    // all, rollback window = zero rows
+    "misc_snapshot_incremental" -> """
+WITH base AS (
+  SELECT o_orderkey % 3 AS m, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders)
+SELECT 'v0_v2' AS win, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c) AS BIGINT) AS total_cents
+FROM base WHERE m <= 1
+UNION ALL
+SELECT 'v2_v3', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+FROM base WHERE m = 2
+UNION ALL
+SELECT 'v0_v3', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM base
+UNION ALL
+SELECT 'v3_v4_rollback', CAST(0 AS BIGINT), CAST(0 AS BIGINT)""",
 
     // per-version audit replay: v2's count drops the %8==0 slice, v3
     // restores it, v4 compacts content-neutrally
