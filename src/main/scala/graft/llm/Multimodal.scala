@@ -389,9 +389,15 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = ais.getFormat
+        // getFrameLength is NOT_SPECIFIED (-1) for some containers; a
+        // negative keepFrames would make Arrays.copyOf throw instead of
+        // degrading — unknown-length payloads take the fallback
+        if (ais.getFrameLength < 0 || fmt.getFrameSize <= 0) return fallback
         val keepFrames = math.min(ais.getFrameLength,
           fmt.getSampleRate.toLong * ms / 1000L)
-        val keepBytes = (keepFrames * fmt.getFrameSize).toInt
+        // exact conversion: a >2 GB slice must fail loudly into the
+        // fallback, not truncate via toInt and corrupt the clip
+        val keepBytes = Math.toIntExact(keepFrames * fmt.getFrameSize)
         val data = java.util.Arrays.copyOf(ais.readAllBytes(), keepBytes)
         val trimmed = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(data), fmt, keepFrames)
@@ -406,8 +412,10 @@ object Multimodal {
           out, out.length.toLong, md5hex(out), verify.sumsq)
       } finally ais.close()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => fallback
-      case _: java.io.IOException => fallback
+      // NonFatal, not just the two decode exceptions: one odd payload
+      // (ArithmeticException from toIntExact, a codec's runtime throw)
+      // must degrade to the fallback row, never fail the whole task
+      case scala.util.control.NonFatal(_) => fallback
     }
   }
 

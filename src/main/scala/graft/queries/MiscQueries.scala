@@ -399,7 +399,7 @@ object MiscQueries {
     "misc_snapshot_replace" -> ((s, d) => {
       val root = Tables.freshTmpDir(s, "graft_snaprepl")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath,
-        statsCol = Some("o_orderkey"))
+        statsCols = Seq("o_orderkey"))
       val o = Tables.orders(s, d).select(col("o_orderkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
       val m = o.agg(max(col("o_orderkey"))).head.getLong(0)
@@ -483,7 +483,7 @@ object MiscQueries {
     "misc_snapshot_skipping" -> ((s, d) => {
       val root = Tables.freshTmpDir(s, "graft_snapskip")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath,
-        statsCol = Some("o_orderkey"))
+        statsCols = Seq("o_orderkey"))
       val o = Tables.orders(s, d).select(col("o_orderkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
       val m = o.agg(max(col("o_orderkey"))).head.getLong(0)

@@ -2,16 +2,28 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+/** Per-file column statistics aligned with a manifest's file list:
+  * min/max of the column cast to LONG plus the file's NULL count for the
+  * column. `nulls` is -1 when unknown (older manifest, stats-less file) —
+  * consumers must treat unknown as "may contain NULLs" and stay
+  * conservative ([[SnapshotTable.commitReplaceWhere]] routes such files
+  * through the rewrite instead of dropping them whole). */
+case class ColStats(mins: Seq[Long], maxs: Seq[Long], nulls: Seq[Long])
 
 /** A snapshot descriptor parsed back from a published manifest.
   * `batchId` is -1 for plain commits; streaming appends record their
   * micro-batch epoch here (the idempotent-retry dedup key).
-  * `mins`/`maxs` are per-file min/max of the table's stats column
-  * (aligned with `files`; empty when the table collects no stats) — the
-  * data-skipping index [[SnapshotTable.readRange]] prunes on.
+  * `statsCols`/`stats` are the data-skipping index: per stats column,
+  * per-file min/max/null-count aligned with `files` (empty when the
+  * table collects no stats) — what [[SnapshotTable.readRange]] prunes on.
   * `dataChange=false` marks versions that reorganize files without
   * changing table contents (compaction) — change-feed consumers skip
-  * them.
+  * them. `schemaJson` is the table schema AS OF this version (Spark
+  * StructType JSON): reads pin it, so old files widen (int→long,
+  * float→double) and pre-evolution files null-fill added columns
+  * natively in the parquet reader.
   *
   * Merge-on-read deletes (the scalable DELETE the public log-structured
   * formats converged on): `deletes` lists small parquet files of delete
@@ -26,13 +38,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * carry no deletes either. */
 case class Snapshot(version: Long, action: String, baseVersion: Long,
                     rows: Long, files: Seq[String], batchId: Long = -1L,
-                    mins: Seq[Long] = Seq.empty, maxs: Seq[Long] = Seq.empty,
+                    statsCols: Seq[String] = Seq.empty,
+                    stats: Seq[ColStats] = Seq.empty,
                     dataChange: Boolean = true,
                     seqs: Seq[Long] = Seq.empty,
                     deletes: Seq[String] = Seq.empty,
                     deleteSeqs: Seq[Long] = Seq.empty,
                     deleteKey: Seq[String] = Seq.empty,
-                    ts: Long = 0L)
+                    ts: Long = 0L,
+                    schemaJson: Option[String] = None)
 
 /** Minimal snapshot-versioned table format: immutable parquet data files
   * plus a linear chain of JSON manifests, one per committed version —
@@ -45,19 +59,28 @@ case class Snapshot(version: Long, action: String, baseVersion: Long,
   * {{{
   *   data/<commitUuid>/part-*.parquet   — immutable; never rewritten
   *   _snapshots/v<%020d>.json           — manifest: file list + lineage
+  *   _snapshots/_tip                    — best-effort tip HINT (see below)
   * }}}
   *
   * Commit protocol (scale posture):
   *  1. write the batch's parquet files under a fresh `data/<uuid>/` dir —
   *     distributed write, no coordination;
-  *  2. publish the manifest create-exclusively (java.nio `CREATE_NEW`
-  *     on local roots — Hadoop's local `create(overwrite=false)` is
-  *     check-then-act; `fs.create(overwrite=false)` on HDFS/stores with
-  *     server-side atomicity) — the single atomic point: exactly one
-  *     writer wins a version number, the loser sees the collision and
-  *     retries the (cheap, manifest-only) publish on top of the new tip.
-  *     Data files written by the loser stay reachable from ITS retried
-  *     manifest, so no work is discarded.
+  *  2. publish the manifest create-exclusively through the root's
+  *     [[SnapshotLogStore]] (java.nio `CREATE_NEW` on local roots,
+  *     server-side atomic create on HDFS, conditional PUT on object
+  *     stores) — the single atomic point: exactly one writer wins a
+  *     version number, the loser sees the collision and retries the
+  *     (cheap, manifest-only) publish on top of the new tip. Data files
+  *     written by the loser stay reachable from ITS retried manifest, so
+  *     no work is discarded. A non-collision failure (permissions, full
+  *     disk) is NOT retried — it propagates with its cause.
+  *
+  * Tip discovery is O(1)+O(commits since the hint), not O(retained
+  * versions): `_tip` records the last published version (best-effort,
+  * overwritten after every publish); [[latestVersion]] reads it and
+  * probes FORWARD until the next manifest is missing, falling back to a
+  * directory listing only when the hint is absent/torn/stale-invalid.
+  * The hint is never authoritative — correctness comes from the probe.
   *
   * An APPEND is therefore manifest-only on top of existing data (no data
   * rewrite — the only way a daily append to a 3,000-partition fact stays
@@ -68,41 +91,128 @@ case class Snapshot(version: Long, action: String, baseVersion: Long,
   * manifest suffix. Reads plan from the manifest's explicit file list, so
   * they never depend on directory listing of `data/` (uncommitted or
   * vacuum-pending files are invisible).
+  *
+  * Schema evolution: every manifest records the table schema as of its
+  * version, and commits VALIDATE the batch against the tip schema —
+  * additive columns are allowed (old files null-fill at read), int→long
+  * and float→double widening is allowed in either direction (reads pin
+  * the wider type; Spark 4's parquet reader upcasts INT32/FLOAT files
+  * natively), and any other type change is rejected at commit time with
+  * the offending column named. Reads of any version use THAT version's
+  * recorded schema, so time travel sees the schema as it was.
   */
 class SnapshotTable(spark: SparkSession, root: String,
-                    statsCol: Option[String] = None) {
+                    statsCols: Seq[String] = Seq.empty,
+                    logStore: Option[SnapshotLogStore] = None) {
   private val snapsDir = new Path(root, "_snapshots")
   private val dataDir = new Path(root, "data")
+  private val tipHintPath = new Path(snapsDir, "_tip")
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def store: SnapshotLogStore =
+    logStore.getOrElse(SnapshotLogStore.forFileSystem(fs))
 
-  /** Per-file (min, max) of `statsCol` aligned with a manifest's file
-    * list, plus the MOR bookkeeping (per-file commit sequence, delete
-    * files and their sequences, equality-key columns). Files whose stats
-    * are unknown (empty file, stats-less older commit) carry the
+  /** Metadata-op instrumentation for the bounded-tip-discovery spec:
+    * manifest existence probes and full directory listings performed by
+    * [[latestVersion]]. A hint-guided lookup does O(commits since hint)
+    * probes and ZERO listings. */
+  private[graft] val metaProbes = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val metaLists = new java.util.concurrent.atomic.AtomicLong
+
+  /** Per-file stats + MOR bookkeeping aligned with a manifest's file
+    * list. `stats` is aligned with THIS table's `statsCols` (outer) and
+    * `files` (inner); columns a manifest doesn't cover carry the
     * full-range sentinel — conservatively never pruned. */
-  private case class FileSet(files: Seq[String], mins: Seq[Long], maxs: Seq[Long],
+  private case class FileSet(files: Seq[String], stats: Seq[ColStats],
                              seqs: Seq[Long] = Seq.empty,
                              deletes: Seq[String] = Seq.empty,
                              deleteSeqs: Seq[Long] = Seq.empty,
                              deleteKey: Seq[String] = Seq.empty)
   private val UnknownMin = Long.MinValue
   private val UnknownMax = Long.MaxValue
+  private val UnknownNulls = -1L
 
+  private def unknownStats(n: Int): ColStats =
+    ColStats(Seq.fill(n)(UnknownMin), Seq.fill(n)(UnknownMax), Seq.fill(n)(UnknownNulls))
+
+  private def emptyStats: Seq[ColStats] = statsCols.map(_ => unknownStats(0))
+
+  private def sliceStats(st: Seq[ColStats], idx: Seq[Int]): Seq[ColStats] =
+    st.map(cs => ColStats(idx.map(cs.mins), idx.map(cs.maxs), idx.map(cs.nulls)))
+
+  private def concatStats(a: Seq[ColStats], b: Seq[ColStats]): Seq[ColStats] =
+    a.zip(b).map { case (x, y) =>
+      ColStats(x.mins ++ y.mins, x.maxs ++ y.maxs, x.nulls ++ y.nulls) }
+
+  /** Align a manifest's stats to THIS table's statsCols by column name.
+    * Manifests that predate recorded stats columns expose their single
+    * stats block as the table's FIRST stats column (the only shape such
+    * manifests could have been written with). */
   private def fileSetOf(s: Snapshot): FileSet = {
-    val mins = if (s.mins.length == s.files.length) s.mins
-               else Seq.fill(s.files.length)(UnknownMin)
-    val maxs = if (s.maxs.length == s.files.length) s.maxs
-               else Seq.fill(s.files.length)(UnknownMax)
-    val seqs = if (s.seqs.length == s.files.length) s.seqs
-               else Seq.fill(s.files.length)(0L)
-    FileSet(s.files, mins, maxs, seqs, s.deletes, s.deleteSeqs, s.deleteKey)
+    val n = s.files.length
+    def aligned(cs: ColStats): ColStats =
+      if (cs.mins.length == n && cs.maxs.length == n)
+        ColStats(cs.mins, cs.maxs,
+          if (cs.nulls.length == n) cs.nulls else Seq.fill(n)(UnknownNulls))
+      else unknownStats(n)
+    val manifestCols =
+      if (s.statsCols.nonEmpty) s.statsCols
+      else if (s.stats.nonEmpty) statsCols.take(1)
+      else Seq.empty
+    val byName = manifestCols.zip(s.stats).toMap
+    val stats = statsCols.map(c => byName.get(c).map(aligned).getOrElse(unknownStats(n)))
+    val seqs = if (s.seqs.length == n) s.seqs else Seq.fill(n)(0L)
+    FileSet(s.files, stats, seqs, s.deletes, s.deleteSeqs, s.deleteKey)
   }
 
   private def manifestPath(v: Long) = new Path(snapsDir, f"v$v%020d.json")
 
-  /** Latest committed version, 0 if the table is empty. */
+  private def probeExists(p: Path): Boolean = {
+    metaProbes.incrementAndGet()
+    fs.exists(p)
+  }
+
+  /** Best-effort tip hint: 0 when absent, torn, or unreadable — the
+    * caller falls back to listing. Never authoritative. */
+  private def readTipHint(): Long =
+    try {
+      metaProbes.incrementAndGet()
+      if (!fs.exists(tipHintPath)) 0L
+      else {
+        val in = fs.open(tipHintPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                  finally in.close()
+        txt.toLong
+      }
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+
+  /** Overwrite the tip hint after a successful publish. Best-effort by
+    * design: concurrent overwrites may tear or regress the hint, and
+    * both are safe — [[latestVersion]] probes forward past a stale hint
+    * and falls back to listing on a torn one. Correctness never depends
+    * on this write landing. */
+  private def writeTipHint(v: Long): Unit =
+    try {
+      val out = fs.create(tipHintPath, /* overwrite = */ true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Latest committed version, 0 if the table is empty. Hint-guided:
+    * O(commits since the hint) existence probes, no directory listing on
+    * the hinted path (the `_last_checkpoint`-style tip pointer of the
+    * public formats — a 10⁵-commit table's read does not list 10⁵
+    * manifests). */
   def latestVersion(): Long = {
+    val hint = readTipHint()
+    if (hint > 0 && probeExists(manifestPath(hint))) {
+      var v = hint
+      while (probeExists(manifestPath(v + 1))) v += 1
+      v
+    } else listLatestVersion()
+  }
+
+  private def listLatestVersion(): Long = {
+    metaLists.incrementAndGet()
     if (!fs.exists(snapsDir)) return 0L
     fs.listStatus(snapsDir).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
@@ -111,7 +221,9 @@ class SnapshotTable(spark: SparkSession, root: String,
   }
 
   /** Parse one manifest. Hand-rolled fixed-shape JSON (no library dep);
-    * file names are uuid/part names — no escapes needed.
+    * string fields (file names, column names) are validated JSON-safe at
+    * WRITE time ([[manifestBody]]), so no escape handling is needed here
+    * and a manifest that would need it can never be published.
     *
     * The create-exclusive publish atomically ELECTS the version's
     * writer, but content becomes visible progressively on local/HDFS
@@ -147,6 +259,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     def strField(k: String): String =
       s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(txt)
         .getOrElse(sys.error(s"manifest v$version: missing $k")).group(1)
+    def strFieldOpt(k: String): Option[String] =
+      s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
     val files = """"files"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
       .getOrElse(sys.error(s"manifest v$version: missing files")).group(1)
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
@@ -165,11 +279,86 @@ class SnapshotTable(spark: SparkSession, root: String,
         .getOrElse(Seq.empty)
     val ts = """"ts"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
       .map(_.group(1).toLong).getOrElse(0L)
+    val manifestStatsCols = strArray("statsCols")
+    val stats: Seq[ColStats] =
+      if (manifestStatsCols.nonEmpty)
+        manifestStatsCols.indices.map { i =>
+          val sfx = if (i == 0) "" else i.toString
+          ColStats(longArray(s"mins$sfx"), longArray(s"maxs$sfx"), longArray(s"nulls$sfx"))
+        }
+      else {
+        // pre-statsCols manifests: a single unnamed stats block
+        val mn = longArray("mins")
+        if (mn.isEmpty) Seq.empty
+        else Seq(ColStats(mn, longArray("maxs"), longArray("nulls")))
+      }
+    val schemaJson = strFieldOpt("schemaB64").map(b64 =>
+      new String(java.util.Base64.getDecoder.decode(b64), "UTF-8"))
     Snapshot(longField("version"), strField("action"), longField("baseVersion"),
-      longField("rows"), files, batchId, longArray("mins"), longArray("maxs"),
+      longField("rows"), files, batchId, manifestStatsCols, stats,
       dataChange, longArray("seqs"), strArray("deletes"),
-      longArray("deleteSeqs"), strArray("deleteKey"), ts)
+      longArray("deleteSeqs"), strArray("deleteKey"), ts, schemaJson)
   }
+
+  private def parseSchema(json: String): StructType =
+    DataType.fromJson(json).asInstanceOf[StructType]
+
+  /** Top-level nullability normalized to TRUE before recording: parquet
+    * round-trips file columns as nullable anyway, and evolution merges
+    * (null-filled added columns, unioned commits) can only weaken
+    * nullability — recording it as already-weak keeps the evolved-schema
+    * chain stable instead of flapping per commit. */
+  private def normalizeSchema(s: StructType): StructType =
+    StructType(s.fields.map(f => StructField(f.name, f.dataType, nullable = true,
+      metadata = f.metadata)))
+
+  /** Widening lattice the parquet reader upcasts natively (verified on
+    * Spark 4.1: INT32 files read as LONG, FLOAT files as DOUBLE when the
+    * requested schema says so). Deliberately small — anything not listed
+    * is an incompatible change and is rejected at commit time. */
+  private def widen(a: DataType, b: DataType): Option[DataType] = {
+    import org.apache.spark.sql.types._
+    if (a == b) Some(a)
+    else (a, b) match {
+      case (IntegerType, LongType) | (LongType, IntegerType) => Some(LongType)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+      case _ => None
+    }
+  }
+
+  /** Commit-time schema evolution: merge the batch schema into the
+    * table's. Additive columns append; common columns must be identical
+    * or widenable (int↔long → long, float↔double → double — reads pin
+    * the wider type and the parquet reader upcasts the narrower files);
+    * anything else raises with the column named. Name matching is exact
+    * (case-sensitive) — the manifest records what was written. */
+  private[sources] def evolveSchema(tip: Option[StructType], batch: StructType): StructType = {
+    val b = normalizeSchema(batch)
+    tip match {
+      case None => b
+      case Some(t0) =>
+        val t = normalizeSchema(t0)
+        val byName = b.fields.map(f => f.name -> f).toMap
+        val merged = t.fields.map { tf =>
+          byName.get(tf.name) match {
+            case None => tf // dropped from the batch: old files keep it, batch files null-fill
+            case Some(bf) =>
+              val w = widen(tf.dataType, bf.dataType).getOrElse(
+                throw new IllegalArgumentException(
+                  s"incompatible schema change on column '${tf.name}' at $root: " +
+                    s"table has ${tf.dataType.simpleString}, batch has " +
+                    s"${bf.dataType.simpleString} (allowed: identical, int<->bigint, " +
+                    "float<->double; cast the batch explicitly or commitOverwrite)"))
+              StructField(tf.name, w, nullable = true)
+          }
+        }
+        val added = b.fields.filterNot(f => t.fieldNames.contains(f.name))
+        StructType(merged ++ added)
+    }
+  }
+
+  private def tipSchemaOf(base: Long): Option[StructType] =
+    if (base == 0) None else snapshot(base).schemaJson.map(parseSchema)
 
   /** Plan the data files at indices `keep` of `s` with MOR deletes
     * applied. Data files group by their applicable-delete set — a delete
@@ -180,24 +369,37 @@ class SnapshotTable(spark: SparkSession, root: String,
     * by the delete commits since the last compaction (which absorbs
     * them), so the plan stays small on a maintained table. Delete-key
     * files are commit-sized parquet — the anti-join's build side
-    * auto-broadcasts off file-size stats. */
+    * auto-broadcasts off file-size stats.
+    *
+    * When the manifest records a schema, every data-file read PINS it:
+    * no footer reads at planning time, deterministic column set across
+    * mixed-schema groups (old files widen / null-fill added columns in
+    * the parquet reader), and the version reads with ITS schema under
+    * time travel. Manifests without a recorded schema (pre-evolution)
+    * keep the footer-inferred path. */
   private def morPlan(s: Snapshot, keep: Seq[Int], mergeSchema: Boolean): DataFrame = {
-    def rd(names: Seq[String]): DataFrame = {
-      val r = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
-      r.parquet(names.map(f => new Path(dataDir, f).toString): _*)
+    val pinned = s.schemaJson.map(parseSchema)
+    def rdData(names: Seq[String], merge: Boolean): DataFrame = pinned match {
+      case Some(sch) =>
+        spark.read.schema(sch).parquet(names.map(f => new Path(dataDir, f).toString): _*)
+      case None =>
+        val r = if (merge) spark.read.option("mergeSchema", "true") else spark.read
+        r.parquet(names.map(f => new Path(dataDir, f).toString): _*)
     }
+    // delete-key files carry the KEY schema, never the table schema
+    def rdKeys(names: Seq[String]): DataFrame =
+      spark.read.parquet(names.map(f => new Path(dataDir, f).toString): _*)
     val all = fileSetOf(s)
-    if (all.deletes.isEmpty) rd(keep.map(all.files))
+    if (all.deletes.isEmpty) rdData(keep.map(all.files), merge = mergeSchema)
     else keep.groupBy(i => all.deleteSeqs.count(_ > all.seqs(i)))
       .toSeq.sortBy(_._1) // deterministic group (and thus column) order
       .map { case (nAppl, idxs) =>
-        // groups with applicable deletes read footer-merged: a plain read
-        // of a mixed-schema group infers the schema from an ARBITRARY
-        // footer, so whether the delete-key column is visible — and thus
-        // whether the anti-join applies — would be nondeterministic
-        val df = if (nAppl == 0) rd(idxs.map(all.files))
-          else spark.read.option("mergeSchema", "true")
-            .parquet(idxs.map(i => new Path(dataDir, all.files(i)).toString): _*)
+        // without a pinned schema, groups with applicable deletes read
+        // footer-merged: a plain read of a mixed-schema group infers the
+        // schema from an ARBITRARY footer, so whether the delete-key
+        // column is visible — and thus whether the anti-join applies —
+        // would be nondeterministic
+        val df = rdData(idxs.map(all.files), merge = nAppl > 0)
         // NULL equality keys match nothing, so groups where NO file has
         // the key column (it postdates them all) legitimately skip
         if (nAppl == 0 || !all.deleteKey.forall(df.columns.contains)) df
@@ -205,7 +407,7 @@ class SnapshotTable(spark: SparkSession, root: String,
           val appl = all.deletes.indices
             .filter(j => all.deleteSeqs(j) > all.seqs(idxs.head)).map(all.deletes)
           import org.apache.spark.sql.functions.col
-          df.join(rd(appl).select(all.deleteKey.map(col): _*).distinct(),
+          df.join(rdKeys(appl).select(all.deleteKey.map(col): _*).distinct(),
             all.deleteKey, "left_anti")
         }
       // groups may straddle an evolved-schema boundary even on a plain
@@ -251,12 +453,11 @@ class SnapshotTable(spark: SparkSession, root: String,
   /** Read the table as of a wall-clock time ([[versionAsOf]] + [[read]]). */
   def readAsOf(tsMillis: Long): DataFrame = read(versionAsOf(tsMillis))
 
-  /** Schema-evolution read of `version`: parquet footer merging unions
-    * the column sets of every listed file, so rows from commits that
-    * predate a column read it as null. Separate from [[read]] because
-    * merging reads every file's footer at planning time — pay it only on
-    * tables whose commits actually evolved (`read` keeps the
-    * single-footer fast path). */
+  /** Schema-evolution read of `version`. With a manifest-recorded schema
+    * this IS [[read]] (the pinned schema already unions every commit's
+    * columns); kept for manifests that predate schema recording, where
+    * parquet footer merging unions the column sets of every listed file
+    * at the cost of reading every footer at planning time. */
   def readEvolved(version: Long = -1L): DataFrame = {
     val v = if (version < 0) latestVersion() else version
     require(v > 0, s"no committed snapshot to read at $root")
@@ -265,10 +466,11 @@ class SnapshotTable(spark: SparkSession, root: String,
   }
 
   /** Write the batch's data files under a fresh commit dir, return the
-    * manifest-relative file names (+ per-file stats when the table
-    * collects them) + exact row count — all from the WRITTEN files, not
-    * a second scan of the input. Stats cost one aggregate pass grouped
-    * by `input_file_name()` over the freshly written commit dir only. */
+    * manifest-relative file names (+ per-file min/max/null-count for
+    * every stats column the frame carries) + exact row count — all from
+    * the WRITTEN files, not a second scan of the input. Stats cost one
+    * aggregate pass grouped by `input_file_name()` over the freshly
+    * written commit dir only. */
   private def writeDataFiles(df: DataFrame): (FileSet, Long) = {
     val commitId = java.util.UUID.randomUUID().toString
     val dir = new Path(dataDir, commitId)
@@ -286,90 +488,123 @@ class SnapshotTable(spark: SparkSession, root: String,
     }
     val written = spark.read.parquet(dir.toString)
     val rows = written.count()
-    // stats only when the written frame carries the column (delete-key
-    // files may not) — absent stats read as the never-pruned sentinel
-    val fileSet = statsCol.filter(written.columns.contains) match {
-      case Some(c) =>
-        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    // stats only for the stats columns the written frame carries
+    // (delete-key files may carry none) — absent stats read as the
+    // never-pruned sentinel, unknown null counts as -1
+    val presentCols = statsCols.filter(written.columns.contains)
+    val stats: Seq[ColStats] =
+      if (presentCols.isEmpty) statsCols.map(_ => unknownStats(parts.length))
+      else {
+        import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min, sum, when}
+        val aggExprs = presentCols.flatMap(c => Seq(
+          min(col(c).cast("long")), max(col(c).cast("long")),
+          sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L)))))
         val byFile = written
           .groupBy(input_file_name().as("__f"))
-          .agg(min(col(c).cast("long")).as("__mn"), max(col(c).cast("long")).as("__mx"))
+          .agg(aggExprs.head, aggExprs.tail: _*)
           .collect() // ≤ one row per written file — commit-sized, bounded
-          .map(r => (r.getString(0),
-            (Option(r.get(1)).fold(UnknownMin)(_.asInstanceOf[Long]),
-             Option(r.get(2)).fold(UnknownMax)(_.asInstanceOf[Long])))).toMap
-        def statsFor(rel: String): (Long, Long) =
-          byFile.collectFirst { case (uri, mm) if uri.endsWith(rel.split('/').last) => mm }
-            .getOrElse((UnknownMin, UnknownMax))
-        val mm = parts.map(statsFor)
-        FileSet(parts, mm.map(_._1), mm.map(_._2))
-      case None => FileSet(parts, parts.map(_ => UnknownMin), parts.map(_ => UnknownMax))
-    }
-    (fileSet, rows)
+          .map { r =>
+            val per = presentCols.zipWithIndex.map { case (c, i) =>
+              c -> ((Option(r.get(1 + 3 * i)).fold(UnknownMin)(_.asInstanceOf[Long]),
+                     Option(r.get(2 + 3 * i)).fold(UnknownMax)(_.asInstanceOf[Long]),
+                     Option(r.get(3 + 3 * i)).fold(UnknownNulls)(_.asInstanceOf[Long])))
+            }.toMap
+            r.getString(0) -> per
+          }.toMap
+        def statsFor(rel: String, c: String): (Long, Long, Long) =
+          byFile.collectFirst {
+            case (uri, per) if uri.endsWith(rel.split('/').last) => per(c)
+          }.getOrElse((UnknownMin, UnknownMax, UnknownNulls))
+        statsCols.map { c =>
+          if (!presentCols.contains(c)) unknownStats(parts.length)
+          else {
+            val trip = parts.map(p => statsFor(p, c))
+            ColStats(trip.map(_._1), trip.map(_._2), trip.map(_._3))
+          }
+        }
+      }
+    (FileSet(parts, stats), rows)
   }
 
-  /** Create-exclusive manifest write — the commit protocol's single
-    * atomic point. On HDFS `fs.create(p, overwrite=false)` is atomic
-    * server-side, but Hadoop's LOCAL filesystem implements it as a
-    * check-then-act (exists? then create) — two racing writers can both
-    * "win" and one clobbers the other: a lost commit. For file:// roots
-    * we therefore go through java.nio `CREATE_NEW` (O_CREAT|O_EXCL, a
-    * single atomic syscall). Collisions surface as IOException
-    * (FileAlreadyExistsException is one) for the callers' retry loops. */
-  private def writeExclusive(p: Path, body: Array[Byte]): Unit = {
-    fs match {
-      case _: org.apache.hadoop.fs.RawLocalFileSystem |
-           _: org.apache.hadoop.fs.LocalFileSystem =>
-        val local = java.nio.file.Paths.get(p.toUri.getPath)
-        val out = java.nio.file.Files.newOutputStream(local,
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        try out.write(body) finally out.close()
-      case _ =>
-        val out = fs.create(p, /* overwrite = */ false)
-        try out.write(body) finally out.close()
-    }
+  /** True iff this IOException means "another writer already created the
+    * manifest" — the only failure the publish loops may retry. A
+    * persistent fault (permissions, full disk, unreachable root) is NOT a
+    * collision: retrying 50 times would only mask the cause. */
+  private def isCollision(v: Long, e: java.io.IOException): Boolean = e match {
+    case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+    case _: java.nio.file.FileAlreadyExistsException => true
+    case _ => fs.exists(manifestPath(v)) // someone's manifest landed: a race
+  }
+
+  private def jsonSafe(name: String, kind: String): String = {
+    require(!name.exists(ch => ch == '"' || ch == '\\' || ch == '\n' || ch == '\r'),
+      s"$kind '$name' contains JSON-breaking characters " +
+        "(quote/backslash/newline) — the manifest format stores it verbatim")
+    name
   }
 
   private def manifestBody(v: Long, action: String, base: Long, rowCount: Long,
-                           fls: FileSet, batchId: Long, dataChange: Boolean): String = {
+                           fls: FileSet, schemaJson: Option[String],
+                           batchId: Long, dataChange: Boolean): String = {
     val statsPart =
-      if (statsCol.isEmpty) ""
-      else s""","mins":[${fls.mins.mkString(",")}],"maxs":[${fls.maxs.mkString(",")}]"""
+      if (statsCols.isEmpty) ""
+      else {
+        val colsPart = s""","statsCols":[${statsCols.map(c =>
+          s""""${jsonSafe(c, "stats column")}"""").mkString(",")}]"""
+        colsPart + fls.stats.zipWithIndex.map { case (cs, i) =>
+          val sfx = if (i == 0) "" else i.toString
+          s""","mins$sfx":[${cs.mins.mkString(",")}]""" +
+            s""","maxs$sfx":[${cs.maxs.mkString(",")}]""" +
+            s""","nulls$sfx":[${cs.nulls.mkString(",")}]"""
+        }.mkString
+      }
+    val schemaPart = schemaJson.fold("")(j =>
+      s""","schemaB64":"${java.util.Base64.getEncoder.encodeToString(j.getBytes("UTF-8"))}"""")
     val seqsPart =
       if (fls.seqs.isEmpty) "" else s""","seqs":[${fls.seqs.mkString(",")}]"""
     val delPart =
       if (fls.deletes.isEmpty) ""
-      else s""","deletes":[${fls.deletes.map(f => s""""$f"""").mkString(",")}]""" +
+      else s""","deletes":[${fls.deletes.map(f =>
+          s""""${jsonSafe(f, "delete file")}"""").mkString(",")}]""" +
         s""","deleteSeqs":[${fls.deleteSeqs.mkString(",")}]""" +
-        s""","deleteKey":[${fls.deleteKey.map(c => s""""$c"""").mkString(",")}]"""
+        s""","deleteKey":[${fls.deleteKey.map(c =>
+          s""""${jsonSafe(c, "delete-key column")}"""").mkString(",")}]"""
     s"""{"version":$v,"action":"$action","baseVersion":$base,
        |"ts":${System.currentTimeMillis()},
-       |"rows":$rowCount,"batchId":$batchId,"dataChange":$dataChange$statsPart$seqsPart$delPart,
-       |"files":[${fls.files.map(f => s""""$f"""").mkString(",")}]}""".stripMargin
+       |"rows":$rowCount,"batchId":$batchId,"dataChange":$dataChange$schemaPart$statsPart$seqsPart$delPart,
+       |"files":[${fls.files.map(f => s""""${jsonSafe(f, "data file")}"""").mkString(",")}]}""".stripMargin
   }
 
   /** Publish a manifest at the next version; on a create-exclusive
     * collision (another writer won the version) retry on the new tip.
-    * Returns the committed version. */
+    * Non-collision failures propagate immediately; a give-up after 50
+    * genuine collisions carries the last one as its cause. Returns the
+    * committed version. */
   private def publish(action: String, files: Long => FileSet,
-                      rows: Long => Long, batchId: Long = -1L,
+                      rows: Long => Long,
+                      schemaJson: Long => Option[String],
+                      batchId: Long = -1L,
                       dataChange: Boolean = true): Long = {
     var attempts = 0
+    var last: java.io.IOException = null
     while (attempts < 50) {
       val base = latestVersion()
       val v = base + 1
       val fls = files(base)
-      val body = manifestBody(v, action, base, rows(base), fls, batchId, dataChange)
+      val body = manifestBody(v, action, base, rows(base), fls, schemaJson(base),
+        batchId, dataChange)
       fs.mkdirs(snapsDir)
       try {
-        writeExclusive(manifestPath(v), body.getBytes("UTF-8"))
+        store.writeExclusive(fs, manifestPath(v), body.getBytes("UTF-8"))
+        writeTipHint(v)
         return v
       } catch {
-        case _: java.io.IOException => attempts += 1 // lost the race; re-read tip
+        case e: java.io.IOException if isCollision(v, e) =>
+          last = e; attempts += 1 // lost the race; re-read tip
       }
     }
-    sys.error(s"snapshot commit at $root: gave up after $attempts collisions")
+    throw new IllegalStateException(
+      s"snapshot commit at $root: gave up after $attempts collisions", last)
   }
 
   /** Tip's content plus the batch's new files (stamped with the
@@ -377,20 +612,25 @@ class SnapshotTable(spark: SparkSession, root: String,
     * MOR deletes carry forward unchanged — they apply only to files with
     * smaller sequences, so the fresh files are untouched by them. */
   private def appendedFileSet(base: Long, nw: FileSet): FileSet = {
-    val prev = if (base == 0) FileSet(Seq.empty, Seq.empty, Seq.empty)
+    val prev = if (base == 0) FileSet(Seq.empty, emptyStats)
                else fileSetOf(snapshot(base))
-    FileSet(prev.files ++ nw.files, prev.mins ++ nw.mins, prev.maxs ++ nw.maxs,
+    FileSet(prev.files ++ nw.files, concatStats(prev.stats, nw.stats),
       prev.seqs ++ Seq.fill(nw.files.length)(base + 1),
       prev.deletes, prev.deleteSeqs, prev.deleteKey)
   }
 
   /** Append `df` as a new snapshot: new files + everything the current
-    * tip lists. Manifest-only on top of existing data — O(batch). */
+    * tip lists. Manifest-only on top of existing data — O(batch). The
+    * batch schema is validated against (and evolved into) the tip schema
+    * BEFORE any data file is written — an incompatible batch costs
+    * nothing and leaves nothing. */
   def commitAppend(df: DataFrame): Long = {
+    evolveSchema(tipSchemaOf(latestVersion()), df.schema) // fail-fast gate
     val (newFiles, newRows) = writeDataFiles(df)
     publish("append",
       base => appendedFileSet(base, newFiles),
-      base => (if (base == 0) 0L else snapshot(base).rows) + newRows)
+      base => (if (base == 0) 0L else snapshot(base).rows) + newRows,
+      base => Some(evolveSchema(tipSchemaOf(base), df.schema).json))
   }
 
   /** Epoch-idempotent append — the foreachBatch streaming-sink contract
@@ -417,10 +657,12 @@ class SnapshotTable(spark: SparkSession, root: String,
     }
     if (dup >= 0) dup
     else {
+      evolveSchema(tipSchemaOf(latestVersion()), df.schema) // fail-fast gate
       val (newFiles, newRows) = writeDataFiles(df)
       publish("append",
         base => appendedFileSet(base, newFiles),
         base => (if (base == 0) 0L else snapshot(base).rows) + newRows,
+        base => Some(evolveSchema(tipSchemaOf(base), df.schema).json),
         batchId)
     }
   }
@@ -444,53 +686,69 @@ class SnapshotTable(spark: SparkSession, root: String,
   }
 
   /** Replace the table contents with `df` as a new snapshot. Old files
-    * stay on disk (time travel) until [[vacuum]]. */
+    * stay on disk (time travel) until [[vacuum]]. An overwrite RESETS the
+    * schema to the batch's — it replaces contents, so no evolution
+    * constraint applies (the public formats' overwriteSchema). */
   def commitOverwrite(df: DataFrame): Long = {
     val (newFiles, newRows) = writeDataFiles(df)
     publish("overwrite",
       base => newFiles.copy(seqs = Seq.fill(newFiles.files.length)(base + 1)),
-      _ => newRows)
+      _ => newRows,
+      _ => Some(normalizeSchema(df.schema).json))
   }
 
-  /** Data-skipping read: only files whose [min, max] stats band overlaps
-    * `[lo, hi]` on the table's stats column are PLANNED at all — the
+  /** Data-skipping read on the table's FIRST stats column. */
+  def readRange(lo: Long, hi: Long): DataFrame = readRange(statsHead, lo, hi, -1L)
+  def readRange(lo: Long, hi: Long, version: Long): DataFrame =
+    readRange(statsHead, lo, hi, version)
+
+  private def statsHead: String = statsCols.headOption.getOrElse(
+    sys.error(s"table at $root collects no stats columns"))
+
+  /** Data-skipping read on ANY stats column: only files whose [min, max]
+    * band for `column` overlaps `[lo, hi]` are PLANNED at all — the
     * manifest is the skipping index, so a point/range lookup on a
     * 100 TB fact opens the handful of files that can match instead of
-    * every footer. Files with unknown stats are read conservatively; the
-    * residual predicate is applied either way, so the result equals
+    * every footer. With multi-column stats a table range-clustered on
+    * one column still prunes on the others' bands (date × key layouts).
+    * Files with unknown stats are read conservatively; the residual
+    * predicate is applied either way, so the result equals
     * `read().filter(...)` exactly. */
-  def readRange(lo: Long, hi: Long, version: Long = -1L): DataFrame = {
-    val c = statsCol.getOrElse(
-      sys.error(s"readRange on $root: table collects no stats column"))
+  def readRange(column: String, lo: Long, hi: Long, version: Long): DataFrame = {
+    val ci = statsCols.indexOf(column)
+    require(ci >= 0,
+      s"readRange on $root: '$column' is not a stats column (${statsCols.mkString(",")})")
     val v = if (version < 0) latestVersion() else version
     require(v > 0, s"no committed snapshot to read at $root")
     val snap = snapshot(v)
     val setAll = fileSetOf(snap)
+    val cs = setAll.stats(ci)
     val keep = setAll.files.indices
-      .filter(i => setAll.maxs(i) >= lo && setAll.mins(i) <= hi)
+      .filter(i => cs.maxs(i) >= lo && cs.mins(i) <= hi)
     import org.apache.spark.sql.functions.col
     val base =
       if (keep.isEmpty) read(v).limit(0)
       else morPlan(snap, keep, mergeSchema = false)
-    base.filter(col(c).cast("long").between(lo, hi))
+    base.filter(col(column).cast("long").between(lo, hi))
   }
 
   /** Publish exactly at `base + 1`; None when another writer got there
     * first. Unlike [[publish]] this does NOT retry — the caller re-derives
     * its content from the new tip (snapshot-isolation validation for
     * read-modify-write commits, where a blind retry would lose the
-    * concurrent writer's rows). */
+    * concurrent writer's rows). Non-collision failures propagate. */
   private def publishAtBase(base: Long, action: String, fls: FileSet,
-                            rowCount: Long,
+                            rowCount: Long, schemaJson: Option[String],
                             dataChange: Boolean = true): Option[Long] = {
     val v = base + 1
-    val body = manifestBody(v, action, base, rowCount, fls,
+    val body = manifestBody(v, action, base, rowCount, fls, schemaJson,
       batchId = -1L, dataChange = dataChange)
     fs.mkdirs(snapsDir)
     try {
-      writeExclusive(manifestPath(v), body.getBytes("UTF-8"))
+      store.writeExclusive(fs, manifestPath(v), body.getBytes("UTF-8"))
+      writeTipHint(v)
       Some(v)
-    } catch { case _: java.io.IOException => None }
+    } catch { case e: java.io.IOException if isCollision(v, e) => None }
   }
 
   /** Read-modify-write commit with snapshot-isolation validation: derive
@@ -512,7 +770,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       val (raw, rows) = writeDataFiles(next)
       // full rewrite: fresh sequences, MOR deletes absorbed into the data
       val fls = raw.copy(seqs = Seq.fill(raw.files.length)(base + 1))
-      publishAtBase(base, action, fls, rows) match {
+      publishAtBase(base, action, fls, rows,
+        Some(normalizeSchema(next.schema).json)) match {
         case Some(v) => return v
         case None => // lost the race: drop this attempt's files, re-derive
           fls.files.map(_.split('/').head).distinct.foreach(uuid =>
@@ -551,6 +810,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     * per table between compactions). */
   def commitDeleteByKey(keys: DataFrame, keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "MOR delete needs at least one key column")
+    keyCols.foreach(jsonSafe(_, "delete-key column")) // fail before any write
     import org.apache.spark.sql.functions.col
     val (keyFiles, _) = writeDataFiles(keys.select(keyCols.map(col): _*).distinct())
     var attempts = 0
@@ -571,7 +831,8 @@ class SnapshotTable(spark: SparkSession, root: String,
         deletes = prev.deletes ++ keyFiles.files,
         deleteSeqs = prev.deleteSeqs ++ Seq.fill(keyFiles.files.length)(base + 1),
         deleteKey = keyCols)
-      publishAtBase(base, "delete_mor", fls, snapBase.rows - deleted) match {
+      publishAtBase(base, "delete_mor", fls, snapBase.rows - deleted,
+        snapBase.schemaJson) match {
         case Some(v) => return v
         case None => attempts += 1
       }
@@ -579,28 +840,42 @@ class SnapshotTable(spark: SparkSession, root: String,
     sys.error(s"commitDeleteByKey at $root: gave up after $attempts conflicts")
   }
 
+  /** Atomic range replacement on the table's FIRST stats column. */
+  def commitReplaceWhere(batch: DataFrame, lo: Long, hi: Long): Long =
+    commitReplaceWhere(statsHead, batch, lo, hi)
+
   /** Atomic range replacement — the daily-partition-reload shape
-    * (Delta's `replaceWhere`): delete every row with `statsCol` in
+    * (Delta's `replaceWhere`): delete every row with `column` in
     * `[lo, hi]` and insert `batch` (validated to lie inside the range)
     * in ONE version. File-surgical via the manifest stats: files fully
     * outside the range are kept untouched (manifest re-list), files
-    * fully inside are dropped, and only STRADDLING files are rewritten
-    * (reading them through any MOR deletes, which the rewrite absorbs
-    * for those files) — cost O(straddling files + batch), never
-    * O(table). With range-clustered layout (each file one day/partition)
-    * the straddle set is empty and the reload is manifest-only + batch
-    * write. Optimistic concurrency: same revalidate-on-collision loop as
+    * fully inside AND known NULL-free on `column` are dropped whole, and
+    * only STRADDLING files are rewritten (reading them through any MOR
+    * deletes, which the rewrite absorbs for those files) — cost
+    * O(straddling files + batch), never O(table). NULL-key rows are
+    * outside every range and must SURVIVE: a file whose value band lies
+    * inside the range but which carries (or may carry — unknown null
+    * count) NULL keys is routed through the rewrite, where the
+    * null-safe keep filter preserves them. With range-clustered layout
+    * (each file one day/partition) the straddle set is empty and the
+    * reload is manifest-only + batch write. `column` may be ANY stats
+    * column — a table clustered on one column stays file-surgical when
+    * reloading by another, as long as that column's bands are disjoint.
+    * Optimistic concurrency: same revalidate-on-collision loop as
     * [[commitRewrite]]. */
-  def commitReplaceWhere(batch: DataFrame, lo: Long, hi: Long): Long = {
+  def commitReplaceWhere(column: String, batch: DataFrame, lo: Long, hi: Long): Long = {
     import org.apache.spark.sql.functions.col
-    val c = statsCol.getOrElse(
-      sys.error(s"commitReplaceWhere on $root: table collects no stats column"))
+    val ci = statsCols.indexOf(column)
+    require(ci >= 0,
+      s"commitReplaceWhere on $root: '$column' is not a stats column " +
+        s"(${statsCols.mkString(",")})")
     // NULL keys count as outside (they can't be range-validated); the
     // null-safe <=> keeps them from slipping through a three-valued NOT
     val outside = batch.filter(
-      !(col(c).cast("long").between(lo, hi) <=> true)).count()
+      !(col(column).cast("long").between(lo, hi) <=> true)).count()
     require(outside == 0,
-      s"replaceWhere batch has $outside rows outside [$lo, $hi] on $c (NULLs count as outside)")
+      s"replaceWhere batch has $outside rows outside [$lo, $hi] on $column " +
+        "(NULLs count as outside)")
     val (batchFiles, batchRows) = writeDataFiles(batch)
     var attempts = 0
     while (attempts < 50) {
@@ -608,34 +883,41 @@ class SnapshotTable(spark: SparkSession, root: String,
       require(base > 0, s"replaceWhere on empty table at $root")
       val snap = snapshot(base)
       val prev = fileSetOf(snap)
-      val keepIdx = prev.files.indices
-        .filter(i => prev.maxs(i) < lo || prev.mins(i) > hi)
+      val cs = prev.stats(ci)
+      def fullyOutside(i: Int) = cs.maxs(i) < lo || cs.mins(i) > hi
+      // dropped-whole needs the value band inside AND a KNOWN-zero null
+      // count: min/max stats ignore NULLs, so a file whose non-null
+      // values lie in range may still carry NULL-key rows that must
+      // survive — unknown (-1) or positive null counts force the rewrite
+      def fullyInside(i: Int) =
+        cs.mins(i) >= lo && cs.maxs(i) <= hi && cs.nulls(i) == 0L
+      val keepIdx = prev.files.indices.filter(fullyOutside)
       val straddleIdx = prev.files.indices
-        .filter(i => !(prev.maxs(i) < lo || prev.mins(i) > hi) &&
-          !(prev.mins(i) >= lo && prev.maxs(i) <= hi))
-      // unknown-stats files land in straddle: rewritten, conservatively
+        .filter(i => !fullyOutside(i) && !fullyInside(i))
       // keep = NOT in range, null-safely: a NULL-keyed row is outside
       // every range and must SURVIVE the rewrite (a three-valued
       // !between would silently drop it and overstate the row count)
       val (rewrite, rewriteRows) =
-        if (straddleIdx.isEmpty) (FileSet(Seq.empty, Seq.empty, Seq.empty), 0L)
+        if (straddleIdx.isEmpty) (FileSet(Seq.empty, emptyStats), 0L)
         else writeDataFiles(morPlan(snap, straddleIdx, mergeSchema = false)
-          .filter(!(col(c).cast("long").between(lo, hi) <=> true)))
+          .filter(!(col(column).cast("long").between(lo, hi) <=> true)))
       val affectedIdx = prev.files.indices.diff(keepIdx)
       val removed =
         if (affectedIdx.isEmpty) 0L
         else morPlan(snap, affectedIdx, mergeSchema = false)
-          .filter(col(c).cast("long").between(lo, hi)).count()
+          .filter(col(column).cast("long").between(lo, hi)).count()
       // kept rows outside the range in straddlers move to the rewrite;
       // net row delta = batch - rows removed from the range
       val fls = FileSet(
         keepIdx.map(prev.files) ++ rewrite.files ++ batchFiles.files,
-        keepIdx.map(prev.mins) ++ rewrite.mins ++ batchFiles.mins,
-        keepIdx.map(prev.maxs) ++ rewrite.maxs ++ batchFiles.maxs,
+        concatStats(concatStats(sliceStats(prev.stats, keepIdx), rewrite.stats),
+          batchFiles.stats),
         keepIdx.map(prev.seqs) ++
           Seq.fill(rewrite.files.length + batchFiles.files.length)(base + 1),
         prev.deletes, prev.deleteSeqs, prev.deleteKey)
-      publishAtBase(base, "replace_where", fls, snap.rows - removed + batchRows) match {
+      val schema = Some(evolveSchema(snap.schemaJson.map(parseSchema), batch.schema).json)
+      publishAtBase(base, "replace_where", fls,
+        snap.rows - removed + batchRows, schema) match {
         case Some(v) => return v
         case None => // lost the race: drop this attempt's rewrite files only
           rewrite.files.map(_.split('/').head).distinct.foreach(uuid =>
@@ -648,10 +930,11 @@ class SnapshotTable(spark: SparkSession, root: String,
 
   /** Roll-forward rollback: publish a NEW version re-listing `version`'s
     * files. History stays intact — reads of intermediate versions still
-    * resolve (the blue-green restore, minus the mutation). */
+    * resolve (the blue-green restore, minus the mutation). The restored
+    * version's schema comes back with its files. */
   def rollbackTo(version: Long): Long = {
     val snap = snapshot(version)
-    publish("rollback", _ => fileSetOf(snap), _ => snap.rows)
+    publish("rollback", _ => fileSetOf(snap), _ => snap.rows, _ => snap.schemaJson)
   }
 
   /** Incremental read: only the rows ADDED between `fromVersion`
@@ -821,7 +1104,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       // worse here, tagged dataChange=false so no feed ever corrects it.
       val (raw, rows) = writeDataFiles(arranged)
       val fls = raw.copy(seqs = Seq.fill(raw.files.length)(base + 1))
-      publishAtBase(base, "compact", fls, rows, dataChange = false) match {
+      publishAtBase(base, "compact", fls, rows, snapBase.schemaJson,
+        dataChange = false) match {
         case Some(v) => return v
         case None => // lost the race: drop this attempt's files, re-read tip
           raw.files.map(_.split('/').head).distinct.foreach(uuid =>
@@ -833,7 +1117,8 @@ class SnapshotTable(spark: SparkSession, root: String,
   }
 
   /** All RETAINED snapshots, oldest first (the table's audit history;
-    * [[vacuum]] may have dropped a prefix). */
+    * [[vacuum]] may have dropped a prefix). Inherently O(retained
+    * versions) — it reads every manifest by definition. */
   def history(): Seq[Snapshot] = {
     if (!fs.exists(snapsDir)) return Seq.empty
     fs.listStatus(snapsDir).map(_.getPath.getName)

@@ -101,7 +101,7 @@ class SnapshotTableSpec extends SparkSpec {
   }
 
   test("readRange prunes files by manifest min/max stats; results stay exact") {
-    val t = new SnapshotTable(spark, freshRoot("stats"), statsCol = Some("id"))
+    val t = new SnapshotTable(spark, freshRoot("stats"), statsCols = Seq("id"))
     // three commits with disjoint id bands, one file each
     t.commitAppend((1L to 10L).toDF("id").repartition(1))
     t.commitAppend((11L to 20L).toDF("id").repartition(1))
@@ -318,7 +318,7 @@ class SnapshotTableSpec extends SparkSpec {
   }
 
   test("MOR delete composes with stats pruning, schema evolution, and vacuum") {
-    val t = new SnapshotTable(spark, freshRoot("morx"), statsCol = Some("id"))
+    val t = new SnapshotTable(spark, freshRoot("morx"), statsCols = Seq("id"))
     t.commitAppend(spark.range(0L, 50L).toDF("id"))
     t.commitAppend(spark.range(50L, 100L).toDF("id"))
     t.commitDeleteByKey(Seq(10L, 60L).toDF("id"), Seq("id"))
@@ -364,7 +364,7 @@ class SnapshotTableSpec extends SparkSpec {
   }
 
   test("commitReplaceWhere rewrites only straddling files; clustered reload is manifest-only") {
-    val t = new SnapshotTable(spark, freshRoot("replw"), statsCol = Some("id"))
+    val t = new SnapshotTable(spark, freshRoot("replw"), statsCols = Seq("id"))
     // range-clustered layout: one file per decade
     t.commitAppend(spark.range(0L, 10L).toDF("id").repartition(1))
     t.commitAppend(spark.range(10L, 20L).toDF("id").repartition(1))
@@ -393,7 +393,7 @@ class SnapshotTableSpec extends SparkSpec {
   }
 
   test("clustered compaction tightens stats: readRange plans fewer files, replaceWhere goes surgical") {
-    val t = new SnapshotTable(spark, freshRoot("clust"), statsCol = Some("id"))
+    val t = new SnapshotTable(spark, freshRoot("clust"), statsCols = Seq("id"))
     // interleaved appends: every file spans the whole id range
     (0 until 4).foreach(r =>
       t.commitAppend(spark.range(0L, 100L).filter(col("id") % 4 === r)
@@ -494,7 +494,7 @@ class SnapshotTableSpec extends SparkSpec {
   }
 
   test("replaceWhere keeps NULL-key rows in straddlers and rejects NULL-key batches") {
-    val t = new SnapshotTable(spark, freshRoot("replnull"), statsCol = Some("id"))
+    val t = new SnapshotTable(spark, freshRoot("replnull"), statsCols = Seq("id"))
     t.commitAppend(Seq(Some(1L), Some(5L), None).toDF("id").repartition(1))
     // the NULL-key row is outside every range: it must survive the
     // straddler rewrite, and the row count must stay exact
