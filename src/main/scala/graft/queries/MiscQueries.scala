@@ -499,6 +499,42 @@ object MiscQueries {
           col("n_rows"), col("total_cents"))
     }),
 
+    // The batch DSv2 connector under the oracle gate:
+    // spark.read.format("graft-snapshot") with VERSION AS OF options and
+    // the default (latest) view — resolved through the manifest-planned,
+    // MOR-aware scan, so a non-Scala reader sees exactly what the Scala
+    // API and the snapshot_at TVF see. Four legs: two pinned versions,
+    // the latest view THROUGH a MOR delete (no rewrite happened — the
+    // connector must anti-join), and a stats-band range read whose
+    // filter prunes files off the manifest before Spark re-evaluates it
+    // (the pruning itself is pinned in SnapshotConnectorSpec; the values
+    // replay here).
+    "misc_snapshot_batch_read" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_snapbatch").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root,
+        statsCols = Seq("o_orderkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      t.commitAppend(o.filter(col("o_orderkey") % 2 === 0))
+      t.commitAppend(o.filter(col("o_orderkey") % 2 === 1))
+      t.commitDeleteByKey(
+        o.filter(col("o_orderkey") % 6 === 3).select("o_orderkey"), Seq("o_orderkey"))
+      val m = o.agg(max(col("o_orderkey"))).head.getLong(0)
+      val (t1, t2) = ((m + 1) / 3, 2 * (m + 1) / 3)
+      def rd(opts: (String, String)*): DataFrame =
+        opts.foldLeft(s.read.format("graft-snapshot"))(
+          (r, kv) => r.option(kv._1, kv._2)).load(root)
+      Seq(
+        ("v1", rd("versionAsOf" -> "1")),
+        ("v2", rd("versionAsOf" -> "2")),
+        ("latest", rd()),
+        ("range", rd().filter(col("o_orderkey").between(t1, t2 - 1)))
+      ).map { case (leg, df) =>
+        df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(leg).as("leg"), col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // S5: the universal SQL-text extract primitive (client.query(q)) —
     // spark.sql over a registered view; the result stays distributed
     // instead of collapsing to the driver as the reference's to_dataframe.
@@ -1983,6 +2019,28 @@ SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM base
 UNION ALL
 SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
 FROM base WHERE NOT k % 6 = 3""",
+
+    // replay of the DSv2 reader legs: v1 = evens, v2 = all, latest =
+    // all minus the MOR-deleted %6==3 keys, range = latest restricted
+    // to the middle orderkey third (inclusive-exclusive thirds of
+    // max+1, same integer arithmetic both engines)
+    "misc_snapshot_batch_read" -> """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders),
+b AS (SELECT CAST((max(k) + 1) // 3 AS BIGINT) AS t1,
+             CAST(2 * (max(k) + 1) // 3 AS BIGINT) AS t2 FROM base)
+SELECT 'v1' AS leg, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c) AS BIGINT) AS total_cents
+FROM base WHERE k % 2 = 0
+UNION ALL
+SELECT 'v2', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM base
+UNION ALL
+SELECT 'latest', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+FROM base WHERE NOT k % 6 = 3
+UNION ALL
+SELECT 'range', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+FROM base, b WHERE NOT k % 6 = 3 AND k BETWEEN b.t1 AND b.t2 - 1""",
 
     // key-arithmetic replay of the three CDF versions: v1 inserts all
     // %4==0 keys, v2 retracts %8==0 pre-images, v3's rewrite diff is

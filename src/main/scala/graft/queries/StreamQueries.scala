@@ -293,6 +293,49 @@ object StreamQueries {
       s.read.parquet(outDir)
         .groupBy(col("_change_type").as("change_type"))
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+    }),
+
+    // The streaming SINK under the oracle gate — the full lakehouse
+    // loop with NO foreachBatch: orders land in a source snapshot table
+    // across three appends, and three checkpointed AvailableNow runs
+    // pump them through `readStream.format("graft-snapshot")` →
+    // `writeStream.format("graft-snapshot")` into a destination table.
+    // Each pump's micro-batch commits via commitAppendOnce (epoch
+    // recorded on the manifest), so the destination lands EXACTLY three
+    // append versions — pinned in the output next to the slice
+    // aggregates, which must equal DuckDB's plain replay (exactly-once
+    // content through two format hops). A fourth idle pump must land
+    // nothing.
+    "stream_snapshot_sink" -> ((s, d) => {
+      val base = Tables.freshTmpDir(s, "graft_snapsink")
+      val src = new java.io.File(base, "src").getAbsolutePath
+      val dst = new java.io.File(base, "dst").getAbsolutePath
+      val in = new graft.sources.SnapshotTable(s, src)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      def pump(): Unit = {
+        val q = s.readStream.format("graft-snapshot").load(src)
+          .writeStream.format("graft-snapshot").option("path", dst)
+          .option("checkpointLocation", new java.io.File(base, "ckpt").getAbsolutePath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      (0L to 2L).foreach { slice =>
+        in.commitAppend(o.filter(col("o_orderkey") % 3 === slice))
+        pump()
+      }
+      pump() // idle: no new source version, no destination version
+      val out = new graft.sources.SnapshotTable(s, dst)
+      val versions = out.history()
+      require(versions.length == 3 && versions.forall(v =>
+        v.action == "append" && v.batchId >= 0),
+        s"expected exactly 3 epoch-stamped appends, got " +
+          versions.map(v => s"${v.action}@${v.batchId}").mkString(","))
+      out.read()
+        .groupBy((col("o_orderkey") % 3).as("slice"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .withColumn("n_versions", lit(versions.length.toLong))
     })
   )
 
@@ -505,6 +548,15 @@ FROM sess GROUP BY user_id, session_seq""",
     "stream_snapshot_feed" -> """
 SELECT o_orderkey % 3 AS slice, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY 1""",
+
+    // the destination table after three source→sink pumps must hold a
+    // plain replay of the base table, once (n_versions is the Scala-side
+    // pinned epoch count — 3 literal)
+    "stream_snapshot_sink" -> """
+SELECT o_orderkey % 3 AS slice, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(3 AS BIGINT) AS n_versions
 FROM orders GROUP BY 1""",
 
     // inserts = v1 (all %4==0 at c) + v3 (%8==0 at 2c);

@@ -1,0 +1,188 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Batch DSv2 surface for the snapshot table format:
+  * {{{
+  *   spark.read.format("graft-snapshot").load(root)                     // latest
+  *     .option("versionAsOf", 3)                                        // VERSION AS OF
+  *     .option("timestampAsOf", "2026-08-14 12:00:00" /* or millis */)  // TIMESTAMP AS OF
+  * }}}
+  * resolves through [[SnapshotTable]]'s manifest planning (MOR deletes
+  * applied, version's recorded schema pinned), so every non-Scala
+  * consumer gets the same read the Scala API and the `snapshot_at` TVF
+  * produce.
+  *
+  * Physical shape: the JDBC-connector pattern — a DSv2 `Table` whose
+  * scan implements [[V1Scan]], delegating row production to the
+  * engine's existing MOR-aware DataFrame plan. The ScanBuilder accepts
+  * column pruning (the delegate plan selects only the required columns,
+  * so parquet column pruning happens in the inner scan) and filter
+  * pushdown: null-rejecting comparisons on the table's STATS columns
+  * become [lo, hi] bands that prune whole files off the manifest before
+  * anything is read — `PushedFilters` in explain is the manifest
+  * skipping index at work. Every filter is ALSO returned to Spark for
+  * re-evaluation, so correctness never depends on the band math. */
+object SnapshotBatch {
+
+  /** Resolve (table handle, pinned version) from reader options. The
+    * handle carries the manifest's recorded stats columns so filter
+    * bands can map to them. */
+  def resolve(spark: SparkSession, options: CaseInsensitiveStringMap)
+      : (SnapshotTable, Long) = {
+    val root = Option(options.get("path")).getOrElse(sys.error(
+      "graft-snapshot needs a table root: read.format(\"graft-snapshot\").load(<root>)"))
+    val probe = new SnapshotTable(spark, root)
+    val version = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(Option(options.get("timestampAsOf")).map(ts => probe.versionAsOf(parseTs(ts))))
+      .getOrElse(probe.latestVersion())
+    require(version > 0, s"no committed snapshot to read at $root")
+    val snap = probe.snapshot(version)
+    (new SnapshotTable(spark, root, statsCols = snap.statsCols), version)
+  }
+
+  /** Epoch millis as a bare long, or a `yyyy-MM-dd HH:mm:ss[.f…]`
+    * timestamp literal (the session-local java.sql form). */
+  private def parseTs(s: String): Long =
+    scala.util.Try(s.toLong).getOrElse(java.sql.Timestamp.valueOf(s).getTime)
+
+  /** Null-rejecting numeric band for one source filter, if derivable.
+    * Only these prune: a file's [min,max] covers every NON-null value it
+    * holds, and these predicates reject NULL rows, so a file with no
+    * band overlap can hold no matching row. IsNull/strings/doubles etc.
+    * derive nothing and prune nothing (sound: unpruned = read). */
+  def bandOf(f: Filter): Option[(String, (Long, Long))] = {
+    def num(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    f match {
+      case EqualTo(c, v) => num(v).map(x => c -> (x, x))
+      case GreaterThan(c, v) => num(v).map(x => c -> (x + 1, Long.MaxValue))
+      case GreaterThanOrEqual(c, v) => num(v).map(x => c -> (x, Long.MaxValue))
+      case LessThan(c, v) => num(v).map(x => c -> (Long.MinValue, x - 1))
+      case LessThanOrEqual(c, v) => num(v).map(x => c -> (Long.MinValue, x))
+      case In(c, vs) if vs.nonEmpty && vs.forall(num(_).isDefined) =>
+        val xs = vs.flatMap(num)
+        Some(c -> (xs.min, xs.max))
+      case _ => None
+    }
+  }
+
+  /** Intersect all derivable bands per column (tightest box wins). */
+  def bandsOf(filters: Seq[Filter]): Map[String, (Long, Long)] =
+    filters.flatMap(bandOf).groupBy(_._1).map { case (c, bs) =>
+      c -> ((bs.map(_._2._1).max, bs.map(_._2._2).min))
+    }
+}
+
+/** DSv2 Table: BATCH_READ only — streaming reads stay on the V1
+  * streaming source (exact version offsets), which the provider falls
+  * back to when this table reports no streaming capability. */
+class GraftSnapshotBatchTable(spark: SparkSession, root: String,
+                              tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-snapshot:$root"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val (table, version) = SnapshotBatch.resolve(spark, options)
+    new GraftSnapshotScanBuilder(spark, table, version, tableSchema)
+  }
+}
+
+class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
+                               version: Long, fullSchema: StructType)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  private var pruning: Array[Filter] = Array.empty
+
+  /** Record the band-derivable filters for file pruning, but hand EVERY
+    * filter back to Spark: the source prunes files, Spark evaluates rows
+    * (partial pushdown, the contract explicitly allows both sides). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pruning = filters.filter(f => SnapshotBatch.bandOf(f).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pruning
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftSnapshotScan(spark, table, version, required,
+      SnapshotBatch.bandsOf(pruning.toSeq))
+}
+
+class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
+                        version: Long, required: StructType,
+                        bands: Map[String, (Long, Long)]) extends V1Scan {
+  override def readSchema(): StructType = required
+
+  /** The manifest-planned file list after band pruning — the evidence
+    * the connector spec pins (skipping survives the DSv2 path). */
+  private[graft] def plannedFiles: Seq[String] = table.readPruned(bands, version)._2
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+    new GraftSnapshotRelation(context, spark, table, version, required, bands)
+      .asInstanceOf[T]
+
+  override def description(): String =
+    s"GraftSnapshotScan v$version bands=${bands.map { case (c, (lo, hi)) =>
+      s"$c:[$lo,$hi]" }.mkString(",")}"
+}
+
+/** The V1 delegate: rows come from the engine's own MOR-aware plan,
+  * pruned to the required columns — the inner parquet scan keeps its
+  * pushdown/codegen, and the band-pruned manifest decides which files
+  * exist at all. */
+class GraftSnapshotRelation(context: SQLContext, spark: SparkSession,
+                            table: SnapshotTable, version: Long,
+                            required: StructType,
+                            bands: Map[String, (Long, Long)])
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = context
+  override def schema: StructType = required
+  override def buildScan(): RDD[Row] = {
+    import org.apache.spark.sql.functions.col
+    val (df, _) = table.readPruned(bands, version)
+    val pruned =
+      if (required.isEmpty) df.select() // count-style scans need no columns
+      else df.select(required.fieldNames.toIndexedSeq.map(col): _*)
+    pruned.rdd
+  }
+}
+
+/** V1 streaming SINK for the format — `writeStream.format("graft-snapshot")
+  * .option("path", root)`:
+  *  - Append mode lands each micro-batch through
+  *    [[SnapshotTable.commitAppendOnce]], so a replayed epoch (failure
+  *    recovery, driver restart) finds its batchId in the history and
+  *    commits NOTHING twice — exactly-once table versions without
+  *    foreachBatch boilerplate, schema-evolution-gated like any commit;
+  *  - Complete mode maps to [[SnapshotTable.commitOverwrite]] (each
+  *    trigger replaces the table — the aggregate-refresh shape).
+  * The micro-batch frame is re-exposed as a batch plan over the same
+  * physical RDD (`bridge.batchOf`) because V1 sinks receive streaming
+  * DataFrames that batch writers refuse. */
+class SnapshotSink(spark: SparkSession, root: String, complete: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  private val table = new SnapshotTable(spark, root)
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = org.apache.spark.sql.graft.bridge.batchOf(spark, data)
+    if (complete) table.commitOverwrite(batch)
+    else table.commitAppendOnce(batchId, batch)
+  }
+  override def toString: String = s"SnapshotSink[$root]"
+}

@@ -42,10 +42,61 @@ import org.apache.spark.sql.types.StructType
   * the scheduled incremental rerun (SURVEY.md §2.9 I2), upgraded from a
   * timestamp watermark to exact version offsets.
   */
-class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class SnapshotSourceProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.connector.catalog.TableProvider
+    with DataSourceRegister {
   import org.apache.spark.sql.types.{LongType, StringType}
 
   override def shortName(): String = "graft-snapshot"
+
+  // ---- batch DSv2 read (versionAsOf / timestampAsOf) ----
+  // The provider is ALSO a TableProvider so `spark.read.format(...)`
+  // resolves V2; the V2 table reports BATCH_READ only, so streaming
+  // reads fall back to the V1 StreamSourceProvider below (exact version
+  // offsets) and streaming writes to the V1 sink — one format name,
+  // three surfaces.
+
+  override def inferSchema(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.types.StructType = {
+    val spark = SparkSession.active
+    // a sink target may not exist yet: report an empty schema instead of
+    // failing — the write path only capability-checks the table
+    val root = Option(options.get("path")).getOrElse(sys.error(
+      "graft-snapshot needs a table root (load(<root>) or option(\"path\", …))"))
+    if (new SnapshotTable(spark, root).latestVersion() == 0L)
+      new org.apache.spark.sql.types.StructType()
+    else {
+      val (table, version) = SnapshotBatch.resolve(spark, options)
+      table.read(version).schema
+    }
+  }
+
+  override def getTable(schema: org.apache.spark.sql.types.StructType,
+                        partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+                        properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val root = Option(properties.get("path")).getOrElse(sys.error(
+      "graft-snapshot needs a table root (load(<root>) or option(\"path\", …))"))
+    new GraftSnapshotBatchTable(SparkSession.active, root, schema)
+  }
+
+  // ---- streaming sink (exactly-once versions via commitAppendOnce) ----
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-snapshot sink does not take partitionBy; layout is a table " +
+        "maintenance choice (compact(clusterBy = …))")
+    val complete = outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
+    require(complete || outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-snapshot sink supports Append (commitAppendOnce) and Complete " +
+        s"(commitOverwrite); got $outputMode")
+    new SnapshotSink(sqlContext.sparkSession, rootOf(parameters), complete)
+  }
 
   private def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", sys.error(

@@ -732,6 +732,32 @@ class SnapshotTable(spark: SparkSession, root: String,
     base.filter(col(column).cast("long").between(lo, hi))
   }
 
+  /** Manifest-pruned read for the DSv2 batch connector: keep only files
+    * whose stats bands overlap EVERY requested column band (bands on
+    * non-stats columns are ignored — nothing to prune with). Returns the
+    * MOR-aware plan plus the planned file list (the pruning evidence the
+    * connector spec pins). NO residual filter is applied here — the
+    * caller (Spark's own filter evaluation) re-applies its predicates,
+    * so correctness never depends on the band math; pruning is sound for
+    * null-rejecting predicates because a file's [min,max] band covers
+    * every non-null value it holds. */
+  private[graft] def readPruned(bands: Map[String, (Long, Long)],
+                                version: Long = -1L): (DataFrame, Seq[String]) = {
+    val v = if (version < 0) latestVersion() else version
+    require(v > 0, s"no committed snapshot to read at $root")
+    val snap = snapshot(v)
+    val setAll = fileSetOf(snap)
+    val active = bands.filter { case (c, _) => statsCols.contains(c) }
+    val keep = setAll.files.indices.filter { i =>
+      active.forall { case (c, (lo, hi)) =>
+        val cs = setAll.stats(statsCols.indexOf(c))
+        cs.maxs(i) >= lo && cs.mins(i) <= hi
+      }
+    }
+    if (keep.isEmpty) (read(v).limit(0), Seq.empty)
+    else (morPlan(snap, keep, mergeSchema = false), keep.map(setAll.files))
+  }
+
   /** Publish exactly at `base + 1`; None when another writer got there
     * first. Unlike [[publish]] this does NOT retry — the caller re-derives
     * its content from the new tip (snapshot-isolation validation for

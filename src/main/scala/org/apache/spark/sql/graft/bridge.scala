@@ -30,4 +30,15 @@ object bridge {
       : org.apache.spark.sql.DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+
+  /** The inverse of [[streamingScanOf]]: re-expose a micro-batch's
+    * streaming DataFrame (whose IncrementalExecution cannot be handed to
+    * batch writers) as a plain BATCH frame over the same physical RDD —
+    * the V1 `Sink.addBatch` idiom for sinks that persist through batch
+    * APIs (`df.write`). Execution stays lazy until the sink writes. */
+  def batchOf(spark: org.apache.spark.sql.SparkSession,
+              df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
 }
