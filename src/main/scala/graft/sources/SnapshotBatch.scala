@@ -87,16 +87,26 @@ object SnapshotBatch {
 
 /** DSv2 Table: BATCH_READ only — streaming reads stay on the V1
   * streaming source (exact version offsets), which the provider falls
-  * back to when this table reports no streaming capability. */
+  * back to when this table reports no streaming capability.
+  *
+  * `pinned` is the (handle, version) resolved ONCE when the relation was
+  * created (provider getTable): one batch DataFrame re-executed after
+  * concurrent commits reads the SAME snapshot across actions — the
+  * repeatable-read contract of the public formats. It is None only for
+  * a not-yet-existing sink target (the write path capability-checks the
+  * table without reading it); a read of such a table resolves late and
+  * fails with the usual "no committed snapshot". */
 class GraftSnapshotBatchTable(spark: SparkSession, root: String,
-                              tableSchema: StructType)
+                              tableSchema: StructType,
+                              pinned: Option[(SnapshotTable, Long)] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft-snapshot:$root"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val (table, version) = SnapshotBatch.resolve(spark, options)
+    val (table, version) =
+      pinned.getOrElse(SnapshotBatch.resolve(spark, options))
     new GraftSnapshotScanBuilder(spark, table, version, tableSchema)
   }
 }
@@ -176,13 +186,39 @@ class GraftSnapshotRelation(context: SQLContext, spark: SparkSession,
   * The micro-batch frame is re-exposed as a batch plan over the same
   * physical RDD (`bridge.batchOf`) because V1 sinks receive streaming
   * DataFrames that batch writers refuse. */
-class SnapshotSink(spark: SparkSession, root: String, complete: Boolean)
+class SnapshotSink(spark: SparkSession, root: String, complete: Boolean,
+                   txnAppIdOption: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
-  private val table = new SnapshotTable(spark, root)
+  /** The writing query's identity for the epoch-dedup pair — the
+    * `txnAppId` option when given (the Delta idiom for caller-managed
+    * fan-in), else the streaming queryId Spark stamps on the execution
+    * thread: stable across restarts of the SAME checkpoint (it lives in
+    * the checkpoint metadata), different for a second query or a fresh
+    * checkpoint — so a colliding batchId from another query is never
+    * misread as this query's replay. */
+  private def txnApp: String = txnAppIdOption.getOrElse(Option(
+    spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
+    .getOrElse(""))
+
+  /** Handle opened with the TIP's stats columns so appended manifests
+    * carry the table's data-skipping index forward — a stats-less handle
+    * would publish a statsCols-free manifest and silently erase pruning
+    * (and file-surgical replaceWhere) for every file at the tip. */
+  private def table: SnapshotTable = {
+    val probe = new SnapshotTable(spark, root)
+    val tip = probe.latestVersion()
+    if (tip == 0) probe
+    else {
+      val cols = probe.snapshot(tip).statsCols
+      if (cols.isEmpty) probe else new SnapshotTable(spark, root, statsCols = cols)
+    }
+  }
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = org.apache.spark.sql.graft.bridge.batchOf(spark, data)
     if (complete) table.commitOverwrite(batch)
-    else table.commitAppendOnce(batchId, batch)
+    else table.commitAppendOnce(txnApp, batchId, batch)
   }
   override def toString: String = s"SnapshotSink[$root]"
 }

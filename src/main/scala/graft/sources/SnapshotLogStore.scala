@@ -34,7 +34,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * everything else (a permission error or full disk is not a collision).
   */
 trait SnapshotLogStore {
-  /** Atomically create `path` containing `body` iff it does not exist. */
+  /** Atomically create `path` containing `body` iff it does not exist.
+    *
+    * Torn-write contract: once the CREATE has succeeded, a failure of the
+    * body write/close (disk full, I/O fault) MUST remove the partial
+    * file before rethrowing. The committers classify "IOException with
+    * the manifest present" as a lost race — a torn manifest left behind
+    * by OUR OWN failed write would be classified as a collision, become
+    * the tip, and poison every subsequent read/commit while masking the
+    * real cause. Delete-on-failure keeps the invariant: a manifest that
+    * exists was either fully published or is a racing writer's. */
   def writeExclusive(fs: FileSystem, path: Path, body: Array[Byte]): Unit
 }
 
@@ -46,7 +55,15 @@ object LocalExclusiveLogStore extends SnapshotLogStore {
     val out = java.nio.file.Files.newOutputStream(local,
       java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE)
-    try out.write(body) finally out.close()
+    // create succeeded: from here a write/close failure must not leave a
+    // torn file that the committers would misread as a rival's manifest
+    try { out.write(body); out.close() }
+    catch {
+      case e: Throwable =>
+        try out.close() catch { case _: Throwable => () }
+        try java.nio.file.Files.deleteIfExists(local) catch { case _: Throwable => () }
+        throw e
+    }
   }
 }
 
@@ -55,7 +72,13 @@ object LocalExclusiveLogStore extends SnapshotLogStore {
 object HadoopAtomicLogStore extends SnapshotLogStore {
   override def writeExclusive(fs: FileSystem, path: Path, body: Array[Byte]): Unit = {
     val out = fs.create(path, /* overwrite = */ false)
-    try out.write(body) finally out.close()
+    try { out.write(body); out.close() }
+    catch {
+      case e: Throwable =>
+        try out.close() catch { case _: Throwable => () }
+        try fs.delete(path, false) catch { case _: Throwable => () }
+        throw e
+    }
   }
 }
 
@@ -73,7 +96,13 @@ object ConditionalPutLogStore extends SnapshotLogStore {
       if (fs.exists(path))
         throw new org.apache.hadoop.fs.FileAlreadyExistsException(path.toString)
       val out = fs.create(path, /* overwrite = */ true) // existence already settled under the lock
-      try out.write(body) finally out.close()
+      try { out.write(body); out.close() }
+      catch {
+        case e: Throwable =>
+          try out.close() catch { case _: Throwable => () }
+          try fs.delete(path, false) catch { case _: Throwable => () }
+          throw e
+      }
     }
 }
 

@@ -76,9 +76,19 @@ class SnapshotSourceProvider extends StreamSourceProvider
                         partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
                         properties: java.util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.Table = {
+    val spark = SparkSession.active
     val root = Option(properties.get("path")).getOrElse(sys.error(
       "graft-snapshot needs a table root (load(<root>) or option(\"path\", …))"))
-    new GraftSnapshotBatchTable(SparkSession.active, root, schema)
+    // resolve the snapshot version ONCE, here at relation-creation time:
+    // re-resolving 'latest' per ScanBuilder would let one DataFrame read
+    // DIFFERENT versions across its actions when commits race it
+    // (non-repeatable read). A not-yet-existing sink target stays
+    // unpinned — the write path only capability-checks the table.
+    val pinned =
+      if (new SnapshotTable(spark, root).latestVersion() == 0L) None
+      else Some(SnapshotBatch.resolve(spark,
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)))
+    new GraftSnapshotBatchTable(spark, root, schema, pinned)
   }
 
   // ---- streaming sink (exactly-once versions via commitAppendOnce) ----
@@ -95,7 +105,8 @@ class SnapshotSourceProvider extends StreamSourceProvider
     require(complete || outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft-snapshot sink supports Append (commitAppendOnce) and Complete " +
         s"(commitOverwrite); got $outputMode")
-    new SnapshotSink(sqlContext.sparkSession, rootOf(parameters), complete)
+    new SnapshotSink(sqlContext.sparkSession, rootOf(parameters), complete,
+      txnAppIdOption = parameters.get("txnAppId"))
   }
 
   private def rootOf(parameters: Map[String, String]): String =

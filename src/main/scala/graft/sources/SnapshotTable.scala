@@ -14,7 +14,14 @@ case class ColStats(mins: Seq[Long], maxs: Seq[Long], nulls: Seq[Long])
 
 /** A snapshot descriptor parsed back from a published manifest.
   * `batchId` is -1 for plain commits; streaming appends record their
-  * micro-batch epoch here (the idempotent-retry dedup key).
+  * micro-batch epoch here, paired with `txnApp` — the writing QUERY's
+  * identity (streaming queryId or a caller-chosen txnAppId). The dedup
+  * key is the PAIR: batchId alone is scoped to one query's checkpoint,
+  * so a second query fanning into the same table (or a restart with a
+  * fresh checkpoint) restarts epochs at 0 and a batchId-only probe
+  * would silently classify its first commit as a replay — data loss.
+  * The public log-structured formats key sink idempotency on
+  * (appId, version) for exactly this reason.
   * `statsCols`/`stats` are the data-skipping index: per stats column,
   * per-file min/max/null-count aligned with `files` (empty when the
   * table collects no stats) — what [[SnapshotTable.readRange]] prunes on.
@@ -38,6 +45,7 @@ case class ColStats(mins: Seq[Long], maxs: Seq[Long], nulls: Seq[Long])
   * carry no deletes either. */
 case class Snapshot(version: Long, action: String, baseVersion: Long,
                     rows: Long, files: Seq[String], batchId: Long = -1L,
+                    txnApp: String = "",
                     statsCols: Seq[String] = Seq.empty,
                     stats: Seq[ColStats] = Seq.empty,
                     dataChange: Boolean = true,
@@ -145,9 +153,14 @@ class SnapshotTable(spark: SparkSession, root: String,
       ColStats(x.mins ++ y.mins, x.maxs ++ y.maxs, x.nulls ++ y.nulls) }
 
   /** Align a manifest's stats to THIS table's statsCols by column name.
-    * Manifests that predate recorded stats columns expose their single
-    * stats block as the table's FIRST stats column (the only shape such
-    * manifests could have been written with). */
+    * A legacy manifest (pre-statsCols) carries ONE unnamed stats block —
+    * honored only when this handle ALSO tracks exactly one stats column
+    * (the only configuration such a manifest could have been written
+    * under). A handle opened with several stats columns cannot know
+    * which column the unnamed block described — attributing it to the
+    * FIRST would let readRange/readPruned prune files on the wrong
+    * column's bands (silently wrong results), so legacy stats read as
+    * unknown there: never pruned, always correct. */
   private def fileSetOf(s: Snapshot): FileSet = {
     val n = s.files.length
     def aligned(cs: ColStats): ColStats =
@@ -157,7 +170,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       else unknownStats(n)
     val manifestCols =
       if (s.statsCols.nonEmpty) s.statsCols
-      else if (s.stats.nonEmpty) statsCols.take(1)
+      else if (s.stats.nonEmpty && statsCols.length == 1) statsCols
       else Seq.empty
     val byName = manifestCols.zip(s.stats).toMap
     val stats = statsCols.map(c => byName.get(c).map(aligned).getOrElse(unknownStats(n)))
@@ -295,7 +308,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     val schemaJson = strFieldOpt("schemaB64").map(b64 =>
       new String(java.util.Base64.getDecoder.decode(b64), "UTF-8"))
     Snapshot(longField("version"), strField("action"), longField("baseVersion"),
-      longField("rows"), files, batchId, manifestStatsCols, stats,
+      longField("rows"), files, batchId, strFieldOpt("txnApp").getOrElse(""),
+      manifestStatsCols, stats,
       dataChange, longArray("seqs"), strArray("deletes"),
       longArray("deleteSeqs"), strArray("deleteKey"), ts, schemaJson)
   }
@@ -545,7 +559,8 @@ class SnapshotTable(spark: SparkSession, root: String,
 
   private def manifestBody(v: Long, action: String, base: Long, rowCount: Long,
                            fls: FileSet, schemaJson: Option[String],
-                           batchId: Long, dataChange: Boolean): String = {
+                           batchId: Long, dataChange: Boolean,
+                           txnApp: String = ""): String = {
     val statsPart =
       if (statsCols.isEmpty) ""
       else {
@@ -569,9 +584,12 @@ class SnapshotTable(spark: SparkSession, root: String,
         s""","deleteSeqs":[${fls.deleteSeqs.mkString(",")}]""" +
         s""","deleteKey":[${fls.deleteKey.map(c =>
           s""""${jsonSafe(c, "delete-key column")}"""").mkString(",")}]"""
+    val txnPart =
+      if (txnApp.isEmpty) ""
+      else s""","txnApp":"${jsonSafe(txnApp, "txn app id")}""""
     s"""{"version":$v,"action":"$action","baseVersion":$base,
        |"ts":${System.currentTimeMillis()},
-       |"rows":$rowCount,"batchId":$batchId,"dataChange":$dataChange$schemaPart$statsPart$seqsPart$delPart,
+       |"rows":$rowCount,"batchId":$batchId$txnPart,"dataChange":$dataChange$schemaPart$statsPart$seqsPart$delPart,
        |"files":[${fls.files.map(f => s""""${jsonSafe(f, "data file")}"""").mkString(",")}]}""".stripMargin
   }
 
@@ -584,7 +602,8 @@ class SnapshotTable(spark: SparkSession, root: String,
                       rows: Long => Long,
                       schemaJson: Long => Option[String],
                       batchId: Long = -1L,
-                      dataChange: Boolean = true): Long = {
+                      dataChange: Boolean = true,
+                      txnApp: String = ""): Long = {
     var attempts = 0
     var last: java.io.IOException = null
     while (attempts < 50) {
@@ -592,7 +611,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       val v = base + 1
       val fls = files(base)
       val body = manifestBody(v, action, base, rows(base), fls, schemaJson(base),
-        batchId, dataChange)
+        batchId, dataChange, txnApp)
       fs.mkdirs(snapsDir)
       try {
         store.writeExclusive(fs, manifestPath(v), body.getBytes("UTF-8"))
@@ -640,19 +659,35 @@ class SnapshotTable(spark: SparkSession, root: String,
     * instead of double-appending. Spark re-runs a failed epoch only after
     * the previous attempt is dead, so the check-then-publish pair is not
     * raced by its own retries. */
-  def commitAppendOnce(batchId: Long, df: DataFrame): Long = {
+  def commitAppendOnce(batchId: Long, df: DataFrame): Long =
+    commitAppendOnce("", batchId, df)
+
+  /** Epoch dedup is keyed on the (txnApp, batchId) PAIR: `txnApp` is the
+    * writing query's identity (the streaming queryId — stable across
+    * restarts of the same checkpoint — or a caller-chosen txnAppId).
+    * Without it, a second query fanning into the same table, or a
+    * restart on a fresh checkpoint, restarts epochs at 0 and the probe
+    * would misclassify its first commit as a replay — silent data loss.
+    * The zero-arg overload above keeps the single-writer foreachBatch
+    * contract (txnApp = "", matching only manifests written the same
+    * way). */
+  def commitAppendOnce(txnApp: String, batchId: Long, df: DataFrame): Long = {
     require(batchId >= 0, s"streaming epoch must be non-negative: $batchId")
-    // Epochs commit in increasing order, so the dedup probe walks BACK
-    // from the tip and stops at the first strictly-older epoch — O(versions
-    // since that epoch), not O(history) per micro-batch (which would make a
-    // long-lived stream's ingest quadratic in its own epoch count). Vacuumed
-    // manifest prefixes end the walk the same way: older epochs are settled.
+    // Epochs of ONE txnApp commit in increasing order, so the dedup probe
+    // walks BACK from the tip and stops at the first strictly-older epoch
+    // OF THE SAME txnApp — O(versions since that epoch), not O(history)
+    // per micro-batch (which would make a long-lived stream's ingest
+    // quadratic in its own epoch count). Other writers' interleaved
+    // versions neither match nor stop the walk. Vacuumed manifest
+    // prefixes end the walk the same way: older epochs are settled.
     var v = latestVersion()
     var dup = -1L
     while (v > 0 && dup < 0 && fs.exists(manifestPath(v))) {
       val s = snapshot(v)
-      if (s.batchId == batchId && s.action == "append") dup = s.version
-      else if (s.batchId >= 0 && s.batchId < batchId && s.action == "append") v = 0
+      if (s.batchId == batchId && s.txnApp == txnApp && s.action == "append")
+        dup = s.version
+      else if (s.batchId >= 0 && s.batchId < batchId && s.txnApp == txnApp &&
+        s.action == "append") v = 0
       else v -= 1
     }
     if (dup >= 0) dup
@@ -663,7 +698,7 @@ class SnapshotTable(spark: SparkSession, root: String,
         base => appendedFileSet(base, newFiles),
         base => (if (base == 0) 0L else snapshot(base).rows) + newRows,
         base => Some(evolveSchema(tipSchemaOf(base), df.schema).json),
-        batchId)
+        batchId, txnApp = txnApp)
     }
   }
 

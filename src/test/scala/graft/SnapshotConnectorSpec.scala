@@ -96,10 +96,12 @@ class SnapshotConnectorSpec extends SparkSpec {
     assert(t.read().select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
     // the epochs are recorded on the manifests (the idempotency key)
     assert(t.history().forall(s => s.batchId >= 0 && s.action == "append"))
-    // a REPLAYED epoch (fresh query, same checkpoint would recover —
-    // simulate the recovery call directly) returns the existing version
+    // a REPLAYED epoch (restart of the SAME query on the same checkpoint
+    // — simulate the recovery call with the recorded identity pair)
+    // returns the existing version
     val tip = t.latestVersion()
-    val replayed = t.commitAppendOnce(t.snapshot(tip).batchId, Seq(3L).toDF("id"))
+    val tipSnap = t.snapshot(tip)
+    val replayed = t.commitAppendOnce(tipSnap.txnApp, tipSnap.batchId, Seq(3L).toDF("id"))
     assert(replayed == tip && t.latestVersion() == tip,
       "epoch replay must return the existing version, not double-append")
   }
