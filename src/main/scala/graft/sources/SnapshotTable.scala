@@ -989,6 +989,66 @@ class SnapshotTable(spark: SparkSession, root: String,
     sys.error(s"commitReplaceWhere at $root: gave up after $attempts conflicts")
   }
 
+  // ---- commit entry points for files ALREADY WRITTEN under data/ by a
+  // distributed DSv2 write (executors write parquet + collect per-file
+  // stats in one pass; the driver only publishes the manifest). `stats`
+  // must be aligned with this handle's statsCols (outer) and `files`
+  // (inner) — the writer factory is constructed from the same handle, so
+  // the alignment is by construction. ----
+
+  /** Manifest-only append of pre-written files (the INSERT INTO path).
+    * Same optimistic-retry publish as [[commitAppend]]; the batch schema
+    * evolves into the tip's per attempt, so a concurrent incompatible
+    * commit still fails loudly instead of publishing a broken chain. */
+  private[sources] def commitWrittenAppend(files: Seq[String], stats: Seq[ColStats],
+                                           rowsAdded: Long,
+                                           batchSchema: StructType): Long = {
+    require(files.nonEmpty, "commitWrittenAppend needs at least one data file")
+    val nw = FileSet(files, stats)
+    publish("append",
+      base => appendedFileSet(base, nw),
+      base => (if (base == 0) 0L else snapshot(base).rows) + rowsAdded,
+      base => Some(evolveSchema(tipSchemaOf(base), batchSchema).json))
+  }
+
+  /** Manifest-only overwrite of pre-written files (INSERT OVERWRITE /
+    * truncate-mode DSv2 write). */
+  private[sources] def commitWrittenOverwrite(files: Seq[String], stats: Seq[ColStats],
+                                              rows: Long,
+                                              batchSchema: StructType): Long = {
+    require(files.nonEmpty, "commitWrittenOverwrite needs at least one data file")
+    publish("overwrite",
+      base => FileSet(files, stats, seqs = Seq.fill(files.length)(base + 1)),
+      _ => rows,
+      _ => Some(normalizeSchema(batchSchema).json))
+  }
+
+  /** Publish pre-written files as the FULL new table contents exactly at
+    * `base + 1` — the SQL row-level DML commit (DELETE/UPDATE/MERGE
+    * rewritten group-based, copy-on-write): the caller's scan read
+    * version `base`, so the replacement is valid only while `base` is
+    * still the tip. None = a concurrent writer got there first; the
+    * caller must surface the conflict (a blind retry would erase the
+    * concurrent commit's rows — snapshot-isolation validation, the same
+    * discipline as [[commitRewrite]]). */
+  private[sources] def commitWrittenReplaceAtBase(base: Long, action: String,
+                                                  files: Seq[String],
+                                                  stats: Seq[ColStats], rows: Long,
+                                                  batchSchema: StructType): Option[Long] = {
+    require(files.nonEmpty, s"$action replace needs at least one data file")
+    publishAtBase(base, action,
+      FileSet(files, stats, seqs = Seq.fill(files.length)(base + 1)),
+      rows, Some(normalizeSchema(batchSchema).json))
+  }
+
+  /** The tip's recorded stats columns (empty on an empty/stats-less
+    * table) — what a by-name consumer (catalog, sink) opens handles
+    * with so appended manifests carry the skipping index forward. */
+  private[sources] def tipStatsCols: Seq[String] = {
+    val tip = latestVersion()
+    if (tip == 0) Seq.empty else snapshot(tip).statsCols
+  }
+
   /** Roll-forward rollback: publish a NEW version re-listing `version`'s
     * files. History stays intact — reads of intermediate versions still
     * resolve (the blue-green restore, minus the mutation). The restored
