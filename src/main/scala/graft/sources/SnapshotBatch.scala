@@ -195,11 +195,29 @@ class SnapshotSink(spark: SparkSession, root: String, complete: Boolean,
     * thread: stable across restarts of the SAME checkpoint (it lives in
     * the checkpoint metadata), different for a second query or a fresh
     * checkpoint — so a colliding batchId from another query is never
-    * misread as this query's replay. */
-  private def txnApp: String = txnAppIdOption.getOrElse(Option(
-    spark.sparkContext.getLocalProperty(
-      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
-    .getOrElse(""))
+    * misread as this query's replay. A missing identity FAILS rather
+    * than defaulting to "": an empty txnApp would quietly reintroduce
+    * the epoch-0 fan-in collision this key exists to close.
+    *
+    * Upgrade edge (pre-identity manifests): appends committed before the
+    * (txnApp, batchId) key carry txnApp="" and can never match a
+    * queryId-keyed probe, so upgrading a LIVE checkpoint in place could
+    * replay its last pre-upgrade epoch once. Upgrade with the stream
+    * drained (its final epoch checkpointed as committed) and no replay
+    * window exists; deliberately NOT papered over with a ""-wildcard
+    * match, which would re-open the cross-query collision for every
+    * legacy manifest. */
+  private def txnApp: String = {
+    val id = txnAppIdOption.orElse(Option(
+      spark.sparkContext.getLocalProperty(
+        org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY)))
+    require(id.exists(_.nonEmpty),
+      s"SnapshotSink[$root]: no writing-query identity on the addBatch thread " +
+        "(no streaming queryId local property and no txnAppId option) — " +
+        "refusing an anonymous epoch commit; pass option(\"txnAppId\", ...) " +
+        "if driving this sink outside a streaming query")
+    id.get
+  }
 
   /** Handle opened with the TIP's stats columns so appended manifests
     * carry the table's data-skipping index forward — a stats-less handle

@@ -1272,6 +1272,14 @@ class SnapshotTable(spark: SparkSession, root: String,
       }
     }
     (1L until keepFrom).foreach(v => fs.delete(manifestPath(v), false))
+    // sweep orphaned log-store temp files (a crashed publish strands its
+    // `.tmp_*` staging file — invisible to readers, but disk). Age-gated
+    // so an IN-FLIGHT commit's temp racing this vacuum is never deleted
+    // from under its publish rename.
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    if (fs.exists(snapsDir))
+      fs.listStatus(snapsDir).filter(st => st.getPath.getName.startsWith(".tmp_") &&
+        st.getModificationTime < cutoff).foreach(st => fs.delete(st.getPath, false))
   }
 }
 
