@@ -85,29 +85,51 @@ object SnapshotBatch {
     }
 }
 
-/** DSv2 Table: BATCH_READ only — streaming reads stay on the V1
-  * streaming source (exact version offsets), which the provider falls
-  * back to when this table reports no streaming capability.
+/** DSv2 Table: BATCH_READ + BATCH_WRITE — streaming reads stay on the V1
+  * streaming source (exact version offsets) and streaming writes on the
+  * V1 sink, which the provider falls back to because this table reports
+  * no streaming capability.
   *
   * `pinned` is the (handle, version) resolved ONCE when the relation was
   * created (provider getTable): one batch DataFrame re-executed after
   * concurrent commits reads the SAME snapshot across actions — the
   * repeatable-read contract of the public formats. It is None only for
-  * a not-yet-existing sink target (the write path capability-checks the
-  * table without reading it); a read of such a table resolves late and
-  * fails with the usual "no committed snapshot". */
+  * a not-yet-existing write target; a read of such a table resolves late
+  * and fails with the usual "no committed snapshot".
+  *
+  * Writes go through [[GraftSnapshotWriteBuilder]] (executors write
+  * parquet + fold stats, driver publishes the manifest). Appends carry
+  * the tip's stats columns forward (or `writeStatsCols` when the caller
+  * — the catalog — resolves them from table properties). A
+  * NOT-yet-existing target reports ACCEPT_ANY_SCHEMA so the first write
+  * can bootstrap the table (there is no schema to validate against);
+  * once the table exists, Spark validates appended frames against the
+  * table schema and the format's own evolution gate re-checks at commit. */
 class GraftSnapshotBatchTable(spark: SparkSession, root: String,
                               tableSchema: StructType,
-                              pinned: Option[(SnapshotTable, Long)] = None)
-    extends Table with SupportsRead {
+                              pinned: Option[(SnapshotTable, Long)] = None,
+                              writeStatsCols: Seq[String] = Seq.empty)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-snapshot:$root"
   override def schema(): StructType = tableSchema
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    if (tableSchema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val (table, version) =
       pinned.getOrElse(SnapshotBatch.resolve(spark, options))
     new GraftSnapshotScanBuilder(spark, table, version, tableSchema)
+  }
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val statsCols =
+      if (writeStatsCols.nonEmpty) writeStatsCols
+      else pinned.map(_._1.statsColumns).getOrElse(Seq.empty)
+    new GraftSnapshotWriteBuilder(spark, root, info.schema(), statsCols)
   }
 }
 

@@ -1049,6 +1049,18 @@ class SnapshotTable(spark: SparkSession, root: String,
     if (tip == 0) Seq.empty else snapshot(tip).statsCols
   }
 
+  /** This handle's stats columns (what its published manifests index). */
+  private[sources] def statsColumns: Seq[String] = statsCols
+
+  /** Fail-fast evolution gate for a distributed append: validates the
+    * batch schema against the tip's BEFORE any executor writes a byte.
+    * The publish path re-evolves per attempt, so a concurrent
+    * incompatible commit still fails loudly at commit time. */
+  private[sources] def validateAppendSchema(batch: StructType): Unit = {
+    evolveSchema(tipSchemaOf(latestVersion()), batch)
+    ()
+  }
+
   /** Roll-forward rollback: publish a NEW version re-listing `version`'s
     * files. History stays intact — reads of intermediate versions still
     * resolve (the blue-green restore, minus the mutation). The restored

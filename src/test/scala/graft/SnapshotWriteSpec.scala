@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** The batch DSv2 WRITE path: `df.write.format("graft-snapshot")` lands
+  * atomic manifest-committed versions with executor-folded stats —
+  * bootstrap, append, overwrite, inline skipping-index stats, fail-fast
+  * schema gate, and job-abort leaving the table untouched. */
+class SnapshotWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val f = java.nio.file.Files.createTempDirectory(s"graft_snapwrite_$tag")
+    f.toFile.delete()
+    f.toString
+  }
+
+  test("bootstrap + append + overwrite through df.write") {
+    val root = freshRoot("modes")
+    // first write bootstraps a not-yet-existing table
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format("graft-snapshot").mode("append").save(root)
+    val t = new SnapshotTable(spark, root)
+    assert(t.latestVersion() == 1L)
+    assert(t.read().select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // second append accumulates as a new version (manifest-only on top)
+    Seq((3L, "c")).toDF("id", "s")
+      .write.format("graft-snapshot").mode("append").save(root)
+    assert(t.latestVersion() == 2L)
+    assert(t.read().count() == 3L)
+    // overwrite replaces contents; history stays readable (time travel)
+    Seq((9L, "z")).toDF("id", "s")
+      .write.format("graft-snapshot").mode("overwrite").save(root)
+    assert(t.latestVersion() == 3L)
+    assert(t.read().select("id").as[Long].collect().toSet == Set(9L))
+    assert(t.read(2L).count() == 3L, "overwrite must not rewrite history")
+    // and the DSv2 read sees the same thing
+    assert(spark.read.format("graft-snapshot").load(root)
+      .select("id").as[Long].collect().toSet == Set(9L))
+  }
+
+  test("empty-partition files are dropped; an all-empty write still commits a readable version") {
+    val root = freshRoot("empties")
+    (1L to 3L).toDF("id").repartition(8)
+      .write.format("graft-snapshot").mode("append").save(root)
+    val t = new SnapshotTable(spark, root)
+    val s1 = t.snapshot(1L)
+    assert(s1.rows == 3L)
+    assert(s1.files.length <= 3,
+      s"empty task shards must not reach the manifest: ${s1.files}")
+    // a fully-empty append still publishes a schema-bearing version
+    (1L to 3L).toDF("id").limit(0)
+      .write.format("graft-snapshot").mode("append").save(root)
+    assert(t.latestVersion() == 2L)
+    assert(t.snapshot(2L).rows == 3L && t.read(2L).count() == 3L)
+  }
+
+  test("appends fold per-file stats inline and carry the tip's stats columns forward") {
+    val root = freshRoot("stats")
+    val writer = new SnapshotTable(spark, root, statsCols = Seq("id"))
+    writer.commitAppend((1L to 10L).toDF("id").repartition(1))
+    // the DSv2 append resolves statsCols from the tip — no option needed
+    (11L to 20L).toDF("id").repartition(1)
+      .write.format("graft-snapshot").mode("append").save(root)
+    val tip = writer.snapshot(writer.latestVersion())
+    assert(tip.statsCols == Seq("id"),
+      "a DSv2 append must not erase the skipping index")
+    assert(tip.stats.head.mins.length == tip.files.length)
+    // the executor-folded band for the new file is exact, not a re-scan
+    val newIdx = tip.files.indices.filter(i => tip.seqs(i) == tip.version)
+    assert(newIdx.map(tip.stats.head.mins) == Seq(11L))
+    assert(newIdx.map(tip.stats.head.maxs) == Seq(20L))
+    assert(newIdx.map(tip.stats.head.nulls) == Seq(0L))
+    // and pruning works across Scala-written + DSv2-written files
+    val pruned = new SnapshotTable(spark, root, statsCols = Seq("id"))
+      .readRange("id", 12L, 15L, -1L)
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.select("id").as[Long].collect().toSet == (12L to 15L).toSet)
+  }
+
+  test("incompatible append fails fast: no version published, no data written") {
+    val root = freshRoot("gate")
+    Seq((1L, 5L)).toDF("id", "v")
+      .write.format("graft-snapshot").mode("append").save(root)
+    val t = new SnapshotTable(spark, root)
+    val before = t.latestVersion()
+    val dataDir = new java.io.File(s"$root/data")
+    val dirsBefore = dataDir.listFiles().length
+    val e = intercept[Exception] {
+      Seq((2L, "not-a-long")).toDF("id", "v")
+        .write.format("graft-snapshot").mode("append").save(root)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).map(c => Option(c.getMessage).getOrElse("")).mkString
+        .contains("incompatible") ||
+      e.getMessage.contains("Cannot") || e.getMessage.contains("cast"),
+      s"expected a schema failure, got: $e")
+    assert(t.latestVersion() == before, "failed append must publish nothing")
+    assert(dataDir.listFiles().length == dirsBefore,
+      "fail-fast gate must fire before any executor writes")
+  }
+
+  test("a failing write job aborts cleanly: no version, no stray commit dir") {
+    val root = freshRoot("abort")
+    Seq(1L, 2L).toDF("id").write.format("graft-snapshot").mode("append").save(root)
+    val t = new SnapshotTable(spark, root)
+    val boom = udf((x: Long) => {
+      if (x == 5L) throw new RuntimeException("boom (simulated task failure)")
+      x
+    })
+    intercept[Exception] {
+      (1L to 10L).toDF("id").select(boom(col("id")).as("id"))
+        .write.format("graft-snapshot").mode("append").save(root)
+    }
+    assert(t.latestVersion() == 1L, "aborted job must publish nothing")
+    // the aborted commit dir is gone; only v1's files remain
+    val dirs = new java.io.File(s"$root/data").listFiles().map(_.getName).toSet
+    assert(dirs == t.snapshot(1L).files.map(_.split('/').head).toSet,
+      s"abort must remove the staged commit dir: $dirs")
+  }
+
+  test("V1 streaming sink and DSv2 batch write interleave on one table") {
+    val dir = freshRoot("mixed")
+    val root = s"$dir/table"
+    Seq(1L).toDF("id").write.format("graft-snapshot").mode("append").save(root)
+    implicit val ctx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    mem.addData(2L, 3L)
+    val q = mem.toDF().toDF("id").writeStream
+      .format("graft-snapshot").option("path", root)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Seq(4L).toDF("id").write.format("graft-snapshot").mode("append").save(root)
+    assert(new SnapshotTable(spark, root).read()
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+  }
+}
