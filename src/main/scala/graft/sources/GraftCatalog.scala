@@ -1,0 +1,219 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** V2 `TableCatalog` over snapshot-format tables — the NAME surface of
+  * the lakehouse: after
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * }}}
+  * tables resolve as `graft.<namespace>.<table>` in every SQL statement:
+  * `CREATE TABLE / CTAS / INSERT INTO / INSERT OVERWRITE / SELECT /
+  * DELETE / UPDATE / MERGE INTO / TRUNCATE / DROP`, plus
+  * `FOR VERSION AS OF` / `FOR TIMESTAMP AS OF` time travel — all
+  * backed by the same manifest commit protocol as the path API.
+  *
+  * Identity IS layout: namespace = directory chain under the warehouse,
+  * table = a directory holding `_snapshots/` — no side metastore to
+  * drift from the data (the filesystem is the catalog; `listTables`
+  * recognizes a table by its manifest dir). `CREATE TABLE` publishes
+  * version 1 as an empty, schema-bearing snapshot (one driver-written
+  * parquet file, no Spark job), so a fresh table SELECTs as zero rows
+  * and carries its schema and `stats_cols` index from birth.
+  *
+  * Partition transforms are rejected by design: physical layout is
+  * table MAINTENANCE in this format (`compact(clusterBy = …)` + the
+  * manifest's per-file stats), not a DDL-time contract — the
+  * replaceWhere/readRange machinery prunes on stats bands, which
+  * range clustering makes tight. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catName: String = _
+  private var warehouse: Path = _
+  private def spark: SparkSession = SparkSession.active
+  private def fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    val w = Option(options.get("warehouse")).getOrElse(sys.error(
+      s"catalog '$name': set spark.sql.catalog.$name.warehouse to the warehouse directory"))
+    warehouse = new Path(w)
+  }
+  override def name(): String = catName
+
+  /** Names map 1:1 onto directory names — restrict to a portable set so
+    * an identifier can never escape the warehouse or break a path. */
+  private def validPart(s: String): String = {
+    require(s.matches("[A-Za-z0-9_]+"),
+      s"catalog '$catName': identifier part '$s' (allowed: [A-Za-z0-9_]+)")
+    s
+  }
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)((p, n) => new Path(p, validPart(n)))
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), validPart(ident.name))
+  private def isTable(p: Path): Boolean = fs.exists(new Path(p, "_snapshots"))
+
+  // ------------------------------ tables ------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace.toSeq)
+    fs.listStatus(p).filter(st => st.isDirectory && isTable(st.getPath))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tablePath(ident))
+
+  private def load(ident: Identifier, options: Map[String, String]): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val props = new util.HashMap[String, String]()
+    props.put("path", p.toString)
+    options.foreach { case (k, v) => props.put(k, v) }
+    val pinned @ (handle, version) =
+      SnapshotBatch.resolve(spark, new CaseInsensitiveStringMap(props))
+    new GraftSnapshotBatchTable(spark, p.toString, handle.read(version).schema,
+      Some(pinned), writeStatsCols = handle.statsColumns)
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, Map.empty)
+
+  /** SQL `FOR VERSION AS OF v` — same resolution as the DSv2 reader
+    * option. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Map("versionAsOf" -> version))
+
+  /** SQL `FOR TIMESTAMP AS OF ts` — Spark hands MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    load(ident, Map("timestampAsOf" -> (timestamp / 1000L).toString))
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      s"catalog '$catName': PARTITIONED BY is not a snapshot-table contract — " +
+        "physical layout is maintenance (SnapshotTable.compact(clusterBy = ...)) " +
+        "pruned via per-file stats; declare TBLPROPERTIES('stats_cols'='...') instead")
+    val p = tablePath(ident)
+    if (isTable(p)) throw new TableAlreadyExistsException(ident)
+    val statsCols = Option(properties.get("stats_cols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    val missing = statsCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"stats_cols ${missing.mkString(",")} not in the table schema " +
+        s"(${schema.fieldNames.mkString(",")})")
+    fs.mkdirs(p)
+    // version 1: an empty schema-bearing snapshot, driver-written (no
+    // Spark job) — the table SELECTs as zero rows from birth and every
+    // later commit evolves from this recorded schema
+    val t = new SnapshotTable(spark, p.toString, statsCols)
+    val uuid = java.util.UUID.randomUUID().toString
+    val conf = spark.sessionState.conf
+    val w = new SnapshotParquetWriter(new Path(p, "data").toString, uuid,
+      "part-00000-create.parquet", schema, statsCols,
+      conf.writeLegacyParquetFormat.toString, conf.parquetOutputTimestampType.toString,
+      spark.sparkContext.hadoopConfiguration)
+    val msg = w.commit().asInstanceOf[SnapshotWriteMessage]
+    t.commitWrittenOverwrite(Seq(s"$uuid/${msg.file}"),
+      statsCols.indices.map(c =>
+        ColStats(Seq(msg.mins(c)), Seq(msg.maxs(c)), Seq(msg.nulls(c)))),
+      0L, schema)
+    loadTable(ident)
+  }
+
+  /** `ALTER TABLE ... ADD COLUMN` publishes a schema-only version (same
+    * files, evolved schema, dataChange=false — feeds skip it); existing
+    * files null-fill the new column at read, the format's native
+    * additive evolution. Everything else is rejected: the manifest
+    * records what was written, and rewriting history is not an ALTER. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val t = new SnapshotTable(spark, p.toString)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"catalog '$catName': only top-level ADD COLUMN is supported")
+        require(add.isNullable,
+          "added columns must be nullable (existing rows null-fill)")
+        t.commitAddColumn(add.fieldNames.head, add.dataType)
+      case other => throw new UnsupportedOperationException(
+        s"catalog '$catName': unsupported ALTER ${other.getClass.getSimpleName} — " +
+          "snapshot tables support ADD COLUMN (additive evolution); " +
+          "type widening happens at write time, anything else is a rewrite")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isTable(p)) false
+    else fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tablePath(oldIdent)
+    val to = tablePath(newIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(to.getParent)
+    require(fs.rename(from, to), s"rename $from -> $to failed")
+  }
+
+  // ---------------------------- namespaces ----------------------------
+
+  private def isNamespace(p: Path): Boolean =
+    fs.exists(p) && fs.getFileStatus(p).isDirectory && !isTable(p)
+
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(warehouse)) Array.empty
+    else fs.listStatus(warehouse).filter(st => isNamespace(st.getPath))
+      .map(st => Array(st.getPath.getName))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val p = nsPath(namespace)
+    if (!isNamespace(p)) throw new NoSuchNamespaceException(namespace.toSeq)
+    fs.listStatus(p).filter(st => isNamespace(st.getPath))
+      .map(st => namespace :+ st.getPath.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || isNamespace(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace.toSeq)
+    new util.HashMap[String, String]()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val p = nsPath(namespace)
+    if (fs.exists(p)) throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(p)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog '$catName': namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    if (!isNamespace(p)) throw new NoSuchNamespaceException(namespace.toSeq)
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    fs.delete(p, true)
+  }
+}

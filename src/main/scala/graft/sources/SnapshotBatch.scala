@@ -110,7 +110,9 @@ class GraftSnapshotBatchTable(spark: SparkSession, root: String,
                               pinned: Option[(SnapshotTable, Long)] = None,
                               writeStatsCols: Seq[String] = Seq.empty)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
   override def name(): String = s"graft-snapshot:$root"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] = {
@@ -124,12 +126,40 @@ class GraftSnapshotBatchTable(spark: SparkSession, root: String,
       pinned.getOrElse(SnapshotBatch.resolve(spark, options))
     new GraftSnapshotScanBuilder(spark, table, version, tableSchema)
   }
+  private def statsColsForWrite: Seq[String] =
+    if (writeStatsCols.nonEmpty) writeStatsCols
+    else pinned.map(_._1.statsColumns).getOrElse(Seq.empty)
+
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder = {
-    val statsCols =
-      if (writeStatsCols.nonEmpty) writeStatsCols
-      else pinned.map(_._1.statsColumns).getOrElse(Seq.empty)
-    new GraftSnapshotWriteBuilder(spark, root, info.schema(), statsCols)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftSnapshotWriteBuilder(spark, root, info.schema(), statsColsForWrite)
+
+  /** SQL DELETE/UPDATE/MERGE — group-based copy-on-write rewrite
+    * committed with snapshot-isolation validation (see
+    * [[GraftSnapshotRowLevelOperation]]). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftSnapshotRowLevelBuilder(spark, root, statsColsForWrite, info)
+
+  /** SQL TRUNCATE TABLE: an empty overwrite version — history (and time
+    * travel to it) stays intact, exactly like every other commit. */
+  override def truncateTable(): Boolean = {
+    val statsCols = statsColsForWrite
+    val table = new SnapshotTable(spark, root, statsCols)
+    val uuid = java.util.UUID.randomUUID().toString
+    val conf = spark.sessionState.conf
+    val w = new SnapshotParquetWriter(
+      new org.apache.hadoop.fs.Path(root, "data").toString, uuid,
+      "part-00000-truncate.parquet", tableSchema, statsCols,
+      conf.writeLegacyParquetFormat.toString, conf.parquetOutputTimestampType.toString,
+      spark.sparkContext.hadoopConfiguration)
+    val msg = w.commit().asInstanceOf[SnapshotWriteMessage]
+    table.commitWrittenOverwrite(Seq(s"$uuid/${msg.file}"),
+      statsCols.indices.map(c =>
+        ColStats(Seq(msg.mins(c)), Seq(msg.maxs(c)), Seq(msg.nulls(c)))),
+      0L, tableSchema)
+    true
   }
 }
 

@@ -1052,6 +1052,25 @@ class SnapshotTable(spark: SparkSession, root: String,
   /** This handle's stats columns (what its published manifests index). */
   private[sources] def statsColumns: Seq[String] = statsCols
 
+  /** Everything a self-contained DSv2 Batch scan of `version` needs:
+    * absolute file paths + lengths, MOR bookkeeping, and the pinned
+    * schema ([[SnapshotDmlScan]] — the row-level DML read). Lengths come
+    * from one getFileStatus per file: planning cost O(files), no data
+    * read. */
+  private[sources] def dmlSpec(version: Long): SnapshotDmlSpec = {
+    val s = snapshot(version)
+    val fl = fileSetOf(s)
+    def abs(rel: String) = new Path(dataDir, rel)
+    def len(p: Path): Long = fs.getFileStatus(p).getLen
+    SnapshotDmlSpec(
+      files = fl.files.map(f => { val p = abs(f); (p.toString, len(p)) }),
+      seqs = fl.seqs,
+      deletes = fl.deletes.map(f => { val p = abs(f); (p.toString, len(p)) }),
+      deleteSeqs = fl.deleteSeqs,
+      deleteKey = fl.deleteKey,
+      schema = s.schemaJson.map(parseSchema).getOrElse(read(version).schema))
+  }
+
   /** Fail-fast evolution gate for a distributed append: validates the
     * batch schema against the tip's BEFORE any executor writes a byte.
     * The publish path re-evolves per attempt, so a concurrent
@@ -1059,6 +1078,28 @@ class SnapshotTable(spark: SparkSession, root: String,
   private[sources] def validateAppendSchema(batch: StructType): Unit = {
     evolveSchema(tipSchemaOf(latestVersion()), batch)
     ()
+  }
+
+  /** `ALTER TABLE ... ADD COLUMN` as a schema-only commit: a new version
+    * re-listing the tip's files under the EVOLVED schema (dataChange =
+    * false — feeds deliver nothing). Existing files null-fill the added
+    * column natively in the parquet reader; time travel below this
+    * version still reads the old schema. The column must be new and the
+    * table non-empty (create the table with its schema otherwise). */
+  def commitAddColumn(column: String, dataType: DataType): Long = {
+    require(latestVersion() > 0, s"ADD COLUMN on empty table at $root")
+    // schema re-derived per publish attempt: a concurrent commit's own
+    // (additive) evolution must not be clobbered by a stale capture
+    publish("alter", base => fileSetOf(snapshot(base)),
+      base => snapshot(base).rows,
+      base => {
+        val cur = snapshot(base).schemaJson.map(parseSchema).getOrElse(read(base).schema)
+        require(!cur.fieldNames.contains(column),
+          s"column '$column' already exists at $root")
+        Some(normalizeSchema(
+          StructType(cur.fields :+ StructField(column, dataType, nullable = true))).json)
+      },
+      dataChange = false)
   }
 
   /** Roll-forward rollback: publish a NEW version re-listing `version`'s

@@ -57,6 +57,20 @@ case class SnapshotWriteMessage(file: String, rows: Long,
                                 mins: Array[Long], maxs: Array[Long],
                                 nulls: Array[Long]) extends WriterCommitMessage
 
+/** How a finished distributed write publishes its manifest. */
+sealed trait SnapshotCommitMode
+object SnapshotCommitMode {
+  /** Tip's files + the new ones ([[SnapshotTable.commitWrittenAppend]]). */
+  case object Append extends SnapshotCommitMode
+  /** New files ARE the table ([[SnapshotTable.commitWrittenOverwrite]]). */
+  case object Truncate extends SnapshotCommitMode
+  /** New files are the FULL table contents, valid only while `base` is
+    * still the tip — the SQL row-level DML commit
+    * ([[SnapshotTable.commitWrittenReplaceAtBase]]): a concurrent commit
+    * surfaces as a conflict instead of being silently erased. */
+  case class ReplaceAtBase(base: Long, action: String) extends SnapshotCommitMode
+}
+
 class GraftSnapshotWriteBuilder(spark: SparkSession, root: String,
                                 batchSchema: StructType,
                                 statsCols: Seq[String])
@@ -69,14 +83,16 @@ class GraftSnapshotWriteBuilder(spark: SparkSession, root: String,
       // and writes nothing (re-validated per publish attempt too)
       if (!doTruncate)
         new SnapshotTable(spark, root, statsCols).validateAppendSchema(batchSchema)
-      new GraftSnapshotBatchWrite(spark, root, batchSchema, statsCols, doTruncate)
+      new GraftSnapshotBatchWrite(spark, root, batchSchema, statsCols,
+        if (doTruncate) SnapshotCommitMode.Truncate else SnapshotCommitMode.Append)
     }
   }
 }
 
 class GraftSnapshotBatchWrite(spark: SparkSession, root: String,
                               schema: StructType, statsCols: Seq[String],
-                              truncate: Boolean) extends BatchWrite {
+                              mode: SnapshotCommitMode,
+                              opColumn: Boolean = false) extends BatchWrite {
   private val commitUuid = java.util.UUID.randomUUID().toString
   private def dataDir = new Path(root, "data")
 
@@ -85,7 +101,8 @@ class GraftSnapshotBatchWrite(spark: SparkSession, root: String,
     // executor-written files match what df.write.parquet would produce
     val conf = spark.sessionState.conf
     SnapshotWriterFactory(dataDir.toString, commitUuid, schema.json, statsCols,
-      conf.writeLegacyParquetFormat.toString, conf.parquetOutputTimestampType.toString)
+      conf.writeLegacyParquetFormat.toString, conf.parquetOutputTimestampType.toString,
+      opColumn)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -119,8 +136,25 @@ class GraftSnapshotBatchWrite(spark: SparkSession, root: String,
     }
     val rows = ensured.map(_.rows).sum
     val table = new SnapshotTable(spark, root, statsCols)
-    if (truncate) table.commitWrittenOverwrite(files, stats, rows, schema)
-    else table.commitWrittenAppend(files, stats, rows, schema)
+    mode match {
+      case SnapshotCommitMode.Append =>
+        table.commitWrittenAppend(files, stats, rows, schema)
+      case SnapshotCommitMode.Truncate =>
+        table.commitWrittenOverwrite(files, stats, rows, schema)
+      case SnapshotCommitMode.ReplaceAtBase(base, action) =>
+        table.commitWrittenReplaceAtBase(base, action, files, stats, rows, schema)
+          .getOrElse {
+            // snapshot-isolation conflict: a concurrent commit moved the
+            // tip past the version this DML statement read. A blind
+            // retry here would erase that commit's rows — surface it.
+            val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            fs.delete(new Path(dataDir, commitUuid), true)
+            throw new java.util.ConcurrentModificationException(
+              s"$action on $root: table version moved past v$base while the " +
+                "statement ran (concurrent writer); re-run the statement " +
+                "against the new snapshot")
+          }
+    }
     ()
   }
 
@@ -132,18 +166,83 @@ class GraftSnapshotBatchWrite(spark: SparkSession, root: String,
   }
 }
 
+/** SQL row-level DML (`DELETE FROM` / `UPDATE` / `MERGE INTO`) for
+  * catalog-resolved snapshot tables — Spark's group-based
+  * [[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]]
+  * rewrite, with the whole table as the ONE group:
+  *
+  *  - the operation pins the table's tip version at construction; its
+  *    scan reads exactly that snapshot, full table, NO file pruning —
+  *    the replacement write publishes the scan's surviving/updated rows
+  *    as the COMPLETE new contents, so a scan that skipped files would
+  *    silently drop their rows (which is also why this ScanBuilder
+  *    deliberately implements no pushdown: Spark re-evaluates the DML
+  *    predicate on the full row stream);
+  *  - executors write the replacement parquet + stats exactly like a
+  *    batch write; the driver publishes via
+  *    [[SnapshotTable.commitWrittenReplaceAtBase]] — valid only while
+  *    the pinned version is still the tip. A concurrent commit in the
+  *    window surfaces as a ConcurrentModificationException instead of
+  *    being erased (snapshot-isolation validation, the same discipline
+  *    as the Scala `commitRewrite`).
+  *
+  * Copy-on-write cost O(table rewrite) per statement — the honest price
+  * of row-level SQL on immutable files; the Scala API's merge-on-read
+  * `commitDeleteByKey` remains the O(keys) path for key deletes at
+  * scale, and the two compose (the rewrite reads THROUGH MOR deletes
+  * and absorbs them). */
+class GraftSnapshotRowLevelBuilder(spark: SparkSession, root: String,
+                                   statsCols: Seq[String],
+                                   info: RowLevelOperationInfo)
+    extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new GraftSnapshotRowLevelOperation(spark, root, statsCols, info.command())
+}
+
+class GraftSnapshotRowLevelOperation(spark: SparkSession, root: String,
+                                     statsCols: Seq[String],
+                                     cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+  // the statement's snapshot: scan reads it, commit validates tip == base
+  private val table = new SnapshotTable(spark, root, statsCols)
+  private val base = table.latestVersion()
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    require(base > 0, s"${cmd.name} on empty table at $root")
+    // full-table, unpruned, pinned-version Batch scan (see class doc)
+    () => new SnapshotDmlScan(spark, table.dmlSpec(base), base, root)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftSnapshotBatchWrite(spark, root, info.schema(), statsCols,
+            SnapshotCommitMode.ReplaceAtBase(base, cmd.name.toLowerCase),
+            opColumn = true)
+      }
+    }
+
+  override def description(): String =
+    s"graft-snapshot ${cmd.name} at v$base of $root"
+}
+
 /** Serializable executor-side factory: one parquet file per task under
   * `data/<commitUuid>/`. Carries only strings/schemas — the executor
   * re-opens the filesystem from a fresh Hadoop config. */
 case class SnapshotWriterFactory(dataDir: String, commitUuid: String,
                                  schemaJson: String, statsCols: Seq[String],
-                                 legacyFormat: String, timestampType: String)
+                                 legacyFormat: String, timestampType: String,
+                                 opColumn: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new SnapshotParquetWriter(dataDir, commitUuid,
       f"part-$partitionId%05d-$taskId.parquet",
       DataType.fromJson(schemaJson).asInstanceOf[StructType], statsCols,
-      legacyFormat, timestampType, new Configuration())
+      legacyFormat, timestampType, new Configuration(), opColumn)
 }
 
 /** Task-side parquet writer over Spark's own [[ParquetWriteSupport]]
@@ -156,7 +255,8 @@ case class SnapshotWriterFactory(dataDir: String, commitUuid: String,
 class SnapshotParquetWriter(dataDir: String, commitUuid: String, fileName: String,
                             schema: StructType, statsCols: Seq[String],
                             legacyFormat: String, timestampType: String,
-                            hadoopConf: Configuration)
+                            hadoopConf: Configuration,
+                            opColumn: Boolean = false)
     extends DataWriter[InternalRow] {
   import SnapshotWrite._
 
@@ -207,16 +307,44 @@ class SnapshotParquetWriter(dataDir: String, commitUuid: String, fileName: Strin
   private val nullCounts = Array.fill(statsCols.length)(0L)
   private var rows = 0L
 
+  // The group-based row-level rewrite prefixes each row with the
+  // __row_operation marker, and Spark's projection-aware writing task
+  // only strips it when the operation declares metadata attributes (ours
+  // declares none — the plain task hands rows through raw). Project it
+  // away here with Spark's own ProjectingInternalRow; a marker other
+  // than plain WRITE would mean a plan shape this writer doesn't
+  // understand and must not silently drop.
+  private val opProjection =
+    if (!opColumn) null
+    else org.apache.spark.sql.catalyst.ProjectingInternalRow(schema,
+      (1 to schema.length).toList)
+
   override def write(record: InternalRow): Unit = {
-    writer.write(record)
+    val row =
+      if (opColumn && record.numFields == schema.length + 1) {
+        val op = record.getInt(0)
+        if (op != org.apache.spark.sql.catalyst.util.RowDeltaUtils.WRITE_OPERATION &&
+            op != org.apache.spark.sql.catalyst.util.RowDeltaUtils.WRITE_WITH_METADATA_OPERATION)
+          throw new IllegalStateException(
+            s"row-level write at $dataDir/$commitUuid: unexpected row operation " +
+              s"marker $op — refusing to guess (plan shape not understood)")
+        opProjection.project(record)
+        opProjection
+      } else record
+    if (row.numFields != schema.length)
+      throw new IllegalStateException(
+        s"snapshot write at $dataDir/$commitUuid: row has ${row.numFields} " +
+          s"fields but the write schema has ${schema.length} " +
+          s"(${schema.fieldNames.mkString(",")}) — plan/write schema mismatch")
+    writer.write(row)
     rows += 1
     var c = 0
     while (c < fieldIdx.length) {
       val i = fieldIdx(c)
       if (i >= 0 && asLong(c) != null) {
-        if (record.isNullAt(i)) nullCounts(c) += 1
+        if (row.isNullAt(i)) nullCounts(c) += 1
         else {
-          val v = asLong(c)(record)
+          val v = asLong(c)(row)
           if (v < mins(c)) mins(c) = v
           if (v > maxs(c)) maxs(c) = v
         }

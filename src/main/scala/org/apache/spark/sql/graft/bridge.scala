@@ -31,6 +31,26 @@ object bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
 
+  /** Executor-side parquet row reader with Spark's FULL read fidelity
+    * (schema pinning, int->long/float->double upcast, missing-column
+    * null-fill, rebase handling) — `ParquetFileFormat
+    * .buildReaderWithPartitionValues` is private[sql], re-exposed here
+    * for DSv2 Batch scans that must produce InternalRows themselves
+    * (the row-level DML scan: Spark's group-based rewrite requires a
+    * real Batch, not the V1Scan fallback). The returned function closes
+    * over a broadcast Hadoop config and is executor-serializable;
+    * OPTION_RETURNING_BATCH=false guarantees row iterators. */
+  def parquetRowReader(spark: org.apache.spark.sql.SparkSession,
+                       schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+    fmt.buildReaderWithPartitionValues(
+      spark, schema, new org.apache.spark.sql.types.StructType(), schema, Nil,
+      Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      spark.sessionState.newHadoopConf())
+  }
+
   /** The inverse of [[streamingScanOf]]: re-expose a micro-batch's
     * streaming DataFrame (whose IncrementalExecution cannot be handed to
     * batch writers) as a plain BATCH frame over the same physical RDD —

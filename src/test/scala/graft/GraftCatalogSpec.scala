@@ -1,0 +1,156 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** The V2 catalog + SQL DML surface: name-resolved snapshot tables
+  * driven purely through SQL identifiers — DDL, DML (DELETE/UPDATE/
+  * MERGE via the group-based row-level rewrite), time travel, truncate,
+  * additive ALTER, and the snapshot-isolation conflict a concurrent
+  * writer surfaces mid-statement. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cat = "graftcat"
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    val wh = java.nio.file.Files.createTempDirectory("graft_catalog_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+  }
+
+  private def ids(sql: String): Set[Long] =
+    spark.sql(sql).select("id").as[Long].collect().toSet
+
+  test("CREATE TABLE / INSERT / SELECT / CTAS / DROP purely by name") {
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING `graft-snapshot` " +
+      "TBLPROPERTIES('stats_cols'='id')")
+    // a fresh table SELECTs as zero rows (version 1 = empty snapshot)
+    assert(spark.table(s"$cat.db.t").count() == 0L)
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id * 100 AS v FROM range(4, 6)")
+    assert(ids(s"SELECT id FROM $cat.db.t") == Set(1L, 2L, 3L, 4L, 5L))
+    // the stats_cols property became the manifest skipping index
+    val whRoot = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val t = new SnapshotTable(spark, s"$whRoot/db/t")
+    assert(t.snapshot(t.latestVersion()).statsCols == Seq("id"))
+    // CTAS
+    spark.sql(s"CREATE TABLE $cat.db.t_big USING `graft-snapshot` AS " +
+      s"SELECT * FROM $cat.db.t WHERE id >= 3")
+    assert(ids(s"SELECT id FROM $cat.db.t_big") == Set(3L, 4L, 5L))
+    assert(spark.sql(s"SHOW TABLES IN $cat.db").collect()
+      .map(_.getString(1)).toSet.contains("t_big"))
+    spark.sql(s"DROP TABLE $cat.db.t_big")
+    assert(!spark.catalog.tableExists(s"$cat.db.t_big"))
+  }
+
+  test("DELETE / UPDATE / MERGE as SQL statements, version history intact") {
+    spark.sql(s"CREATE TABLE $cat.db.dml (id BIGINT, v BIGINT) USING `graft-snapshot` " +
+      "TBLPROPERTIES('stats_cols'='id')")
+    spark.sql(s"INSERT INTO $cat.db.dml VALUES (1, 10), (2, 20), (3, 30), (4, 40)")
+    spark.sql(s"DELETE FROM $cat.db.dml WHERE id = 2")
+    assert(ids(s"SELECT id FROM $cat.db.dml") == Set(1L, 3L, 4L))
+    spark.sql(s"UPDATE $cat.db.dml SET v = v + 1 WHERE id >= 3")
+    assert(spark.table(s"$cat.db.dml").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (3L, 31L), (4L, 41L)))
+    Seq((3L, 300L), (9L, 900L)).toDF("id", "v").createOrReplaceTempView("dml_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.dml t USING dml_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table(s"$cat.db.dml").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (3L, 300L), (4L, 41L), (9L, 900L)))
+    // every statement was one atomic version; time travel replays them
+    assert(ids(s"SELECT id FROM $cat.db.dml VERSION AS OF 2") == Set(1L, 2L, 3L, 4L))
+    assert(ids(s"SELECT id FROM $cat.db.dml VERSION AS OF 3") == Set(1L, 3L, 4L))
+    val whRoot = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val t = new SnapshotTable(spark, s"$whRoot/db/dml")
+    assert(t.history().map(_.action) ==
+      Seq("overwrite", "append", "delete", "update", "merge"))
+  }
+
+  test("TRUNCATE TABLE commits an empty version; history stays readable") {
+    spark.sql(s"CREATE TABLE $cat.db.trunc (id BIGINT) USING `graft-snapshot`")
+    spark.sql(s"INSERT INTO $cat.db.trunc VALUES (1), (2)")
+    spark.sql(s"TRUNCATE TABLE $cat.db.trunc")
+    assert(spark.table(s"$cat.db.trunc").count() == 0L)
+    assert(ids(s"SELECT id FROM $cat.db.trunc VERSION AS OF 2") == Set(1L, 2L))
+  }
+
+  test("INSERT OVERWRITE replaces contents as one version") {
+    spark.sql(s"CREATE TABLE $cat.db.ow (id BIGINT) USING `graft-snapshot`")
+    spark.sql(s"INSERT INTO $cat.db.ow VALUES (1), (2)")
+    spark.sql(s"INSERT OVERWRITE $cat.db.ow VALUES (7)")
+    assert(ids(s"SELECT id FROM $cat.db.ow") == Set(7L))
+    assert(ids(s"SELECT id FROM $cat.db.ow VERSION AS OF 2") == Set(1L, 2L))
+  }
+
+  test("ALTER TABLE ADD COLUMN: schema-only version, old rows null-fill") {
+    spark.sql(s"CREATE TABLE $cat.db.alt (id BIGINT) USING `graft-snapshot`")
+    spark.sql(s"INSERT INTO $cat.db.alt VALUES (1)")
+    spark.sql(s"ALTER TABLE $cat.db.alt ADD COLUMN note STRING")
+    spark.sql(s"INSERT INTO $cat.db.alt VALUES (2, 'hello')")
+    assert(spark.table(s"$cat.db.alt").as[(Long, Option[String])].collect().toSet ==
+      Set((1L, None), (2L, Some("hello"))))
+    // the alter was dataChange=false: a feed consumer skips it
+    val whRoot = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val t = new SnapshotTable(spark, s"$whRoot/db/alt")
+    assert(t.history().filter(!_.dataChange).map(_.action) == Seq("alter"))
+    // non-additive alters stay loud
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.db.alt DROP COLUMN note"))
+  }
+
+  test("a concurrent commit mid-DML surfaces as a conflict, not silent loss") {
+    spark.sql(s"CREATE TABLE $cat.db.conflict (id BIGINT) USING `graft-snapshot`")
+    spark.sql(s"INSERT INTO $cat.db.conflict VALUES (1), (2)")
+    // a DELETE whose scan parks on a latch: the statement pins its base
+    // version, then a rival INSERT moves the tip underneath it
+    GraftCatalogSpec.entered = new CountDownLatch(1)
+    GraftCatalogSpec.proceed = new CountDownLatch(1)
+    spark.udf.register("gate_id", (id: Long) => {
+      GraftCatalogSpec.entered.countDown()
+      GraftCatalogSpec.proceed.await(60, TimeUnit.SECONDS)
+      id
+    })
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dml = Future(spark.sql(s"DELETE FROM $cat.db.conflict WHERE gate_id(id) = 1"))
+    assert(GraftCatalogSpec.entered.await(60, TimeUnit.SECONDS), "DML scan never started")
+    spark.sql(s"INSERT INTO $cat.db.conflict VALUES (99)") // rival commit
+    GraftCatalogSpec.proceed.countDown()
+    val e = intercept[Exception](Await.result(dml, 120.seconds))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"expected a snapshot-isolation conflict, got: $e")
+    // nothing was lost: the rival's row is present, the DELETE did not apply
+    assert(ids(s"SELECT id FROM $cat.db.conflict") == Set(1L, 2L, 99L))
+    // and a clean re-run of the statement succeeds against the new tip
+    spark.sql(s"DELETE FROM $cat.db.conflict WHERE id = 1")
+    assert(ids(s"SELECT id FROM $cat.db.conflict") == Set(2L, 99L))
+  }
+
+  test("namespace listing, rename, and drop guard-rails") {
+    spark.sql(s"CREATE NAMESPACE $cat.ns2")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).toSet.intersect(Set("db", "ns2")) == Set("db", "ns2"))
+    spark.sql(s"CREATE TABLE $cat.ns2.a (id BIGINT) USING `graft-snapshot`")
+    spark.sql(s"INSERT INTO $cat.ns2.a VALUES (5)")
+    // the rename target resolves within the same catalog (no catalog prefix)
+    spark.sql(s"ALTER TABLE $cat.ns2.a RENAME TO ns2.b")
+    assert(ids(s"SELECT id FROM $cat.ns2.b") == Set(5L))
+    intercept[Exception](spark.sql(s"DROP NAMESPACE $cat.ns2")) // non-empty
+    spark.sql(s"DROP NAMESPACE $cat.ns2 CASCADE")
+    assert(!spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).contains("ns2"))
+  }
+}
+
+object GraftCatalogSpec {
+  @volatile var entered: CountDownLatch = _
+  @volatile var proceed: CountDownLatch = _
+}
