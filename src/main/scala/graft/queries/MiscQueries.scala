@@ -535,6 +535,75 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // The V2 CATALOG surface under the oracle gate: a snapshot table
+    // driven purely through SQL identifiers — CREATE TABLE (with the
+    // stats_cols skipping index as a TBLPROPERTY), two INSERT INTO
+    // SELECTs (each a distributed DSv2 write: executors write parquet +
+    // fold stats inline, the driver publishes the manifest), then SQL
+    // time travel with `VERSION AS OF` against the catalog name. v1 is
+    // the CREATE's empty snapshot, so the inserts are versions 2 and 3.
+    "misc_catalog_sql" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catsql").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gsql.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gsql.db")
+      Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("catsql_src")
+      s.sql("CREATE TABLE gsql.db.orders_cat (o_orderkey BIGINT, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_orderkey')")
+      s.sql("INSERT INTO gsql.db.orders_cat " +
+        "SELECT * FROM catsql_src WHERE o_orderkey % 2 = 0")
+      s.sql("INSERT INTO gsql.db.orders_cat " +
+        "SELECT * FROM catsql_src WHERE o_orderkey % 2 = 1")
+      s.sql("""
+        SELECT 'v2' AS leg, count(*) AS n_rows, sum(cents) AS total_cents
+        FROM gsql.db.orders_cat VERSION AS OF 2
+        UNION ALL
+        SELECT 'v3', count(*), sum(cents) FROM gsql.db.orders_cat VERSION AS OF 3
+        UNION ALL
+        SELECT 'latest', count(*), sum(cents) FROM gsql.db.orders_cat""")
+    }),
+
+    // SQL row-level DML on a catalog-resolved snapshot table — the full
+    // statement set as atomic versions: INSERT (append), UPDATE (group
+    // rewrite), DELETE (group rewrite), MERGE (matched update + not
+    // matched insert), each committed with snapshot-isolation validation
+    // via commitWrittenReplaceAtBase. The version history replays in
+    // DuckDB from key arithmetic, gating the statements' row-level
+    // semantics AND that every pre-DML version stays readable.
+    "misc_catalog_dml" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catdml").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gdml", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gdml.db")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      base.createOrReplaceTempView("catdml_src")
+      base.filter(col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey"), (col("cents") * 5).as("cents"))
+        .createOrReplaceTempView("catdml_merge_src")
+      s.sql("CREATE TABLE gdml.db.orders_dml (o_orderkey BIGINT, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_orderkey')")
+      s.sql("INSERT INTO gdml.db.orders_dml " +
+        "SELECT * FROM catdml_src WHERE o_orderkey % 4 = 0")
+      s.sql("UPDATE gdml.db.orders_dml SET cents = cents * 2 WHERE o_orderkey % 8 = 0")
+      s.sql("DELETE FROM gdml.db.orders_dml WHERE o_orderkey % 8 = 4")
+      s.sql("""
+        MERGE INTO gdml.db.orders_dml t USING catdml_merge_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET cents = s.cents
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, cents) VALUES (s.o_orderkey, s.cents)""")
+      val t = new graft.sources.SnapshotTable(s, s"$wh/db/orders_dml")
+      t.history().map { snap =>
+        t.read(snap.version)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(snap.version).as("version"), lit(snap.action).as("action"),
+            col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // S5: the universal SQL-text extract primitive (client.query(q)) —
     // spark.sql over a registered view; the result stays distributed
     // instead of collapsing to the driver as the reference's to_dataframe.
@@ -2041,6 +2110,45 @@ FROM base WHERE NOT k % 6 = 3
 UNION ALL
 SELECT 'range', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
 FROM base, b WHERE NOT k % 6 = 3 AND k BETWEEN b.t1 AND b.t2 - 1""",
+
+    // replay of the catalog SQL legs: v2 = even keys (first INSERT),
+    // v3 = all keys, latest = v3
+    "misc_catalog_sql" -> """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders)
+SELECT 'v2' AS leg, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c) AS BIGINT) AS total_cents
+FROM base WHERE k % 2 = 0
+UNION ALL
+SELECT 'v3', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM base
+UNION ALL
+SELECT 'latest', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM base""",
+
+    // key-arithmetic replay of the SQL DML version chain: v1 = empty
+    // create, v2 = keys %4==0, v3 doubles %8==0, v4 deletes %8==4
+    // (leaving only %8==0 at 2c), v5 full-outer-merges the %6==0
+    // source at 5c (matched keys take 5c, unmatched source keys insert)
+    "misc_catalog_dml" -> """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders),
+t2 AS (SELECT k, c FROM base WHERE k % 4 = 0),
+t3 AS (SELECT k, CASE WHEN k % 8 = 0 THEN 2 * c ELSE c END AS c FROM t2),
+t4 AS (SELECT k, c FROM t3 WHERE NOT k % 8 = 4),
+src AS (SELECT k, 5 * c AS c FROM base WHERE k % 6 = 0),
+t5 AS (SELECT COALESCE(s.k, t.k) AS k, COALESCE(s.c, t.c) AS c
+       FROM t4 t FULL OUTER JOIN src s ON t.k = s.k)
+SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS action,
+       CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS total_cents
+UNION ALL
+SELECT 2, 'append', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM t2
+UNION ALL
+SELECT 3, 'update', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM t3
+UNION ALL
+SELECT 4, 'delete', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM t4
+UNION ALL
+SELECT 5, 'merge', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM t5""",
 
     // key-arithmetic replay of the three CDF versions: v1 inserts all
     // %4==0 keys, v2 retracts %8==0 pre-images, v3's rewrite diff is
