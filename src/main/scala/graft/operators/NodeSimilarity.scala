@@ -51,4 +51,36 @@ object NodeSimilarity {
         expr("common * 1000000 DIV (deg_a + deg_b - common)").as("jaccard_ppm"),
         lit(centerDegCap).as("center_deg_cap"))
   }
+
+  /** Adamic–Adar link prediction with the SAME hub-capped wedge join as
+    * [[jaccardPairs]]: pairs (a < b) sharing ≥ `minCommon` common
+    * neighbors of degree ≤ `centerDegCap`, each common neighbor w
+    * weighted 1/ln(deg(w)). The weight is rounded ONCE per center to a
+    * scaled BIGINT (aa9 = round(1e9/ln deg)), making the per-pair sum
+    * order-independent and engine-exact. The cap bounds the |hub|²
+    * wedge blow-up exactly as in jaccardPairs — and is even MORE
+    * defensible here: a capped hub's wedges carry weight 1/ln(D) → 0,
+    * so the excluded mass is the part Adamic–Adar already discounts to
+    * nearly nothing. Degree-1 centers are excluded up front (they form
+    * no wedge, and ln(1)=0 would poison their weight). The cap is a
+    * constant output column; the oracle replays it. */
+  def adamicAdar(und: DataFrame, minCommon: Long, centerDegCap: Long): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val cachedUnd = graft.QueryCaches.scoped(und)
+    val deg = graft.QueryCaches.scoped(
+      cachedUnd.groupBy(col("n")).agg(count(lit(1)).as("deg")))
+    val centers = graft.QueryCaches.scoped(
+      cachedUnd.join(deg.filter(col("deg").between(2L, centerDegCap)), Seq("n"))
+        .withColumn("aa9",
+          round(lit(1e9) / log(col("deg").cast(DoubleType))).cast(LongType)))
+    centers.select(col("n").as("w"), col("m").as("a"), col("aa9"))
+      .join(centers.select(col("n").as("w"), col("m").as("b")), Seq("w"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"), sum(col("aa9")).as("aa_e9"))
+      .filter(col("common") >= minCommon)
+      .select(col("a"), col("b"), col("common"), col("aa_e9"),
+        (col("aa_e9").cast(DoubleType) / lit(1e9)).as("adamic_adar"),
+        lit(centerDegCap).as("center_deg_cap"))
+  }
 }

@@ -1237,27 +1237,17 @@ object MiscQueries {
 
     // Adamic–Adar link prediction — node_jaccard's frequency-weighted
     // sibling: common neighbors weighted 1/ln(deg(w)), so sharing a rare
-    // neighbor counts more than sharing a hub. Each wedge's weight is
-    // rounded ONCE to a scaled BIGINT (deg(w) ≥ 2 ⇒ ln > 0), making the
-    // per-pair sum order-independent and engine-exact; same degree-
-    // bounded wedge join as Triangles.
+    // neighbor counts more than sharing a hub. Same hub-capped wedge
+    // join as misc_node_jaccard (centers bounded at degree 256 — the
+    // |hub|² safety the r9 experiment measured; the cap excludes exactly
+    // the wedges Adamic–Adar discounts to ~nothing), weights rounded
+    // ONCE per center to a scaled BIGINT for engine-exact sums.
     "misc_adamic_adar" -> ((s, d) => {
-      import org.apache.spark.sql.types.{DoubleType, LongType}
       val e = graft.QueryCaches.scoped(coPurchaseEdges(s, d).distinct())
       val und = e.select(col("a").as("n"), col("b").as("m"))
         .unionAll(e.select(col("b").as("n"), col("a").as("m")))
-      val deg = und.groupBy(col("n")).agg(count(lit(1)).as("deg"))
-      und.select(col("n").as("w"), col("m").as("a"))
-        .join(und.select(col("n").as("w"), col("m").as("b")), Seq("w"))
-        .filter(col("a") < col("b"))
-        .join(deg.select(col("n").as("w"), col("deg").as("deg_w")), Seq("w"))
-        .withColumn("aa9",
-          round(lit(1e9) / log(col("deg_w").cast(DoubleType))).cast(LongType))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("common"), sum(col("aa9")).as("aa_e9"))
-        .filter(col("common") >= 4)
-        .select(col("a"), col("b"), col("common"), col("aa_e9"),
-          (col("aa_e9").cast(DoubleType) / lit(1e9)).as("adamic_adar"))
+      graft.operators.NodeSimilarity.adamicAdar(und,
+        minCommon = 4, centerDegCap = 256)
     }),
 
     // Deterministic synchronous label propagation (min-label tie-break),
@@ -1604,20 +1594,24 @@ ${(0 until 6).map(i => kcoreIterCte(if (i == 0) "e" else s"ke$i", s"ke${i + 1}",
 SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
 FROM (SELECT u AS n FROM ke6 UNION ALL SELECT v AS n FROM ke6) GROUP BY n""",
 
-    // wedge join weighted by round(1e9/ln(deg(w))) scaled ints
+    // hub-capped wedge join (centers degree 2..256, identical cap to
+    // the Spark side) weighted by round(1e9/ln(deg(w))) scaled ints
     "misc_adamic_adar" -> s"""
 WITH $coPurchaseCte,
 und AS MATERIALIZED (
   SELECT u AS n, v AS m FROM e UNION ALL SELECT v AS n, u AS m FROM e),
 deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY n),
-wedges AS (
-  SELECT x.m AS a, y.m AS b,
+ctr AS (
+  SELECT x.n, x.m,
          CAST(round(1e9 / ln(CAST(dw.deg AS DOUBLE))) AS BIGINT) AS aa9
-  FROM und x JOIN und y ON x.n = y.n AND x.m < y.m
-  JOIN deg dw ON dw.n = x.n)
+  FROM und x JOIN deg dw ON dw.n = x.n AND dw.deg BETWEEN 2 AND 256),
+wedges AS (
+  SELECT x.m AS a, y.m AS b, x.aa9
+  FROM ctr x JOIN ctr y ON x.n = y.n AND x.m < y.m)
 SELECT a, b, CAST(count(*) AS BIGINT) AS common,
        CAST(sum(aa9) AS BIGINT) AS aa_e9,
-       CAST(sum(aa9) AS DOUBLE) / 1e9 AS adamic_adar
+       CAST(sum(aa9) AS DOUBLE) / 1e9 AS adamic_adar,
+       CAST(256 AS BIGINT) AS center_deg_cap
 FROM wedges GROUP BY a, b HAVING count(*) >= 4""",
 
     // wedge join for common neighbors; integer-ppm Jaccard. Wedge centers

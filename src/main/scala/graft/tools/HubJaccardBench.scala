@@ -46,7 +46,28 @@ object HubJaccardBench {
       println(f"[hub-bench] $label%-24s MEDIAN ${runs(1)}%7.2f s")
       graft.QueryCaches.releaseAll()
     }
-    if (args.contains("--uncapped-20k")) {
+    def timeAdamic(label: String, cap: Long, nNodes: Long): Unit = {
+      val g = graft.QueryCaches.scoped(und(spark, nNodes))
+      g.count()
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val n = graft.operators.NodeSimilarity.adamicAdar(g, 4, cap).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"[hub-bench] $label%-24s cap=$cap%-8d pairs=$n%-10d $s%7.2f s")
+        s
+      }.sorted
+      println(f"[hub-bench] $label%-24s MEDIAN ${runs(1)}%7.2f s")
+      graft.QueryCaches.releaseAll()
+    }
+    if (args.contains("--adamic")) {
+      // round-13: the same adversarial fixture on the (now capped)
+      // Adamic–Adar wedge join — uncapped control at the survivable 5k
+      // size, capped at 1x and 100x
+      timeAdamic("aa 1x (20k nodes)", 256, 20000L)
+      timeAdamic("aa 100x (2M nodes)", 256, 2000000L)
+      timeAdamic("aa uncapped 5k", Long.MaxValue, 5000L)
+      timeAdamic("aa capped 5k", 256, 5000L)
+    } else if (args.contains("--uncapped-20k")) {
       // the uncapped control at the 1x size: the hub alone emits
       // 20000² = 4×10⁸ wedge pairs — run separately, it dwarfs the rest
       time("uncapped 20k nodes", Long.MaxValue, 20000L)
