@@ -26,10 +26,34 @@ case class ResizedMedia(
     out_len: Long,
     checksum: String)
 
-/** One sampled video frame (media_id × frame_idx grain). */
-case class SampledFrame(
+/** REAL decoded-video metadata (hand-rolled YUV4MPEG2 container parser —
+  * the uncompressed interchange format, no JDK codec needed): stream
+  * geometry, frame rate as the exact rational, colorspace tag, and the
+  * frame count from walking every FRAME marker (validated against the
+  * payload length — a truncated stream fails loudly, it does not
+  * under-count). */
+case class VideoMeta(
+    media_id: Long,
+    byte_len: Long,
+    checksum: String,
+    width: Int,
+    height: Int,
+    fps_num: Int,
+    fps_den: Int,
+    colorspace: String,
+    frame_count: Int)
+
+/** One REAL sampled video frame: the raw planar YUV payload's length,
+  * integer-exact Y-plane sum (the luma energy a filtering pass keys
+  * on — black/white-frame detection), and md5 of the exact frame
+  * bytes. */
+case class VideoFrame(
     media_id: Long,
     frame_idx: Int,
+    width: Int,
+    height: Int,
+    frame_len: Long,
+    y_sum: Long,
     frame_checksum: String)
 
 /** REAL decoded-image metadata (javax.imageio, JDK built-in codecs:
@@ -101,12 +125,14 @@ case class TrimmedAudio(
   * decoder init per partition, the Scala analog of a batched Pandas UDF
   * over mapInPandas), never row-at-a-time on the driver.
   *
-  * Two codec tiers: [[decodeImages]]/[[resizeImages]] (javax.imageio —
-  * PNG/JPEG/GIF/BMP) and [[decodeAudio]]/[[trimAudio]]
-  * (javax.sound.sampled — WAV/AIFF/AU PCM) are REAL, in the JDK, no
-  * external deps; [[decodeMetadata]]/[[resize]]/[[sampleFrames]] keep
-  * the deterministic stub codec for non-image payloads and
-  * fixture-determinism tests (video frame seeking has no JDK codec). */
+  * Codec tiers, all REAL and dependency-free: [[decodeImages]]/
+  * [[resizeImages]] (javax.imageio — PNG/JPEG/GIF/BMP),
+  * [[decodeAudio]]/[[trimAudio]] (javax.sound.sampled — WAV/AIFF/AU
+  * PCM), and [[decodeVideo]]/[[sampleVideoFrames]] (hand-rolled
+  * YUV4MPEG2 container parser — uncompressed planar YUV; compressed
+  * codecs would plug in at the same two functions). Only
+  * [[decodeMetadata]]/[[resize]] keep the deterministic stub codec, for
+  * opaque non-media payloads and fixture-determinism tests. */
 object Multimodal {
 
   /** STUB decoder — deterministic fake standing in for a real image/audio
@@ -191,12 +217,94 @@ object Multimodal {
       }
   }
 
-  /** Sample every `everyN`-th frame of each media item (video path). A
-    * real implementation seeks + decodes frames; the stub derives the
-    * frame count from the decoded metadata and each frame's payload from
-    * (content, frame index). One input row fans out to its sampled
-    * frames inside mapPartitions — no driver involvement, no shuffle. */
-  def sampleFrames(media: DataFrame, everyN: Int = 5): Dataset[SampledFrame] = {
+  // ---- REAL video codec (hand-rolled YUV4MPEG2 — uncompressed planar
+  // YUV in a plain-text-framed container; the WAV of video) ----
+
+  /** Parsed Y4M stream header. `frameBytes` is the per-frame payload
+    * size the colorspace dictates; `ySize` the luma plane's prefix. */
+  private[llm] case class Y4mHeader(width: Int, height: Int,
+                                    fpsNum: Int, fpsDen: Int,
+                                    colorspace: String, dataStart: Int,
+                                    frameBytes: Int, ySize: Int)
+
+  /** Parse the YUV4MPEG2 stream header (space-separated tagged params on
+    * the first line). Unknown tags (I, A, X…) are skipped — they don't
+    * affect the payload layout; an unsupported COLORSPACE fails loudly
+    * because it does. */
+  private[llm] def y4mHeaderOf(bytes: Array[Byte]): Y4mHeader = {
+    val nl = bytes.indexOf('\n'.toByte)
+    require(nl > 0, "y4m: no stream-header newline")
+    val toks = new String(bytes, 0, nl, "US-ASCII").split(" ")
+    require(toks.head == "YUV4MPEG2", s"y4m: bad magic '${toks.head}'")
+    var w = -1; var h = -1; var fn = 25; var fd = 1; var cs = "C420"
+    toks.tail.filter(_.nonEmpty).foreach { t =>
+      t.charAt(0) match {
+        case 'W' => w = t.substring(1).toInt
+        case 'H' => h = t.substring(1).toInt
+        case 'F' =>
+          val p = t.substring(1).split(":")
+          fn = p(0).toInt; fd = p(1).toInt
+        case 'C' => cs = t
+        case _ => () // interlace / aspect / extensions: layout-neutral
+      }
+    }
+    require(w > 0 && h > 0, s"y4m: missing W/H in header")
+    val ySize = w * h
+    val chroma =
+      if (cs.startsWith("C420")) 2 * ((w / 2) * (h / 2))
+      else if (cs.startsWith("C422")) 2 * ((w / 2) * h)
+      else if (cs.startsWith("C444")) 2 * ySize
+      else if (cs.startsWith("Cmono")) 0
+      else throw new IllegalArgumentException(s"y4m: unsupported colorspace $cs")
+    Y4mHeader(w, h, fn, fd, cs, nl + 1, ySize + chroma, ySize)
+  }
+
+  /** Payload offsets of every frame, by walking the FRAME markers (each
+    * may carry its own params — the offset is wherever ITS newline
+    * lands). A truncated frame or a stray marker fails loudly: a video
+    * decode that silently under-delivers frames poisons everything
+    * downstream. */
+  private[llm] def y4mFrameOffsets(bytes: Array[Byte], hd: Y4mHeader): Seq[Int] = {
+    val marker = "FRAME".getBytes("US-ASCII")
+    val out = Seq.newBuilder[Int]
+    var pos = hd.dataStart
+    while (pos < bytes.length) {
+      require(pos + marker.length <= bytes.length &&
+        marker.indices.forall(j => bytes(pos + j) == marker(j)),
+        s"y4m: expected FRAME marker at offset $pos")
+      var nl = pos + marker.length
+      while (nl < bytes.length && bytes(nl) != '\n'.toByte) nl += 1
+      require(nl < bytes.length, s"y4m: unterminated FRAME header at $pos")
+      require(nl + 1 + hd.frameBytes <= bytes.length,
+        s"y4m: truncated frame payload at ${nl + 1} " +
+          s"(need ${hd.frameBytes} bytes, have ${bytes.length - nl - 1})")
+      out += nl + 1
+      pos = nl + 1 + hd.frameBytes
+    }
+    out.result()
+  }
+
+  /** Partition-wise REAL video decode: stream geometry + exact frame
+    * count from the container itself. */
+  def decodeVideo(media: DataFrame): Dataset[VideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val hd = y4mHeaderOf(bytes)
+        VideoMeta(id, bytes.length.toLong, md5hex(bytes), hd.width, hd.height,
+          hd.fpsNum, hd.fpsDen, hd.colorspace, y4mFrameOffsets(bytes, hd).length)
+      })
+  }
+
+  /** Sample every `everyN`-th frame of each clip — REAL frame bytes out
+    * of the container: per sampled frame the payload length, the
+    * integer-exact Y-plane sum, and md5 of the exact planar bytes. One
+    * input row fans out to its sampled frames inside mapPartitions — no
+    * driver involvement, no shuffle; cost O(clip bytes) per row with
+    * unsampled frames SKIPPED by offset arithmetic, never hashed. */
+  def sampleVideoFrames(media: DataFrame, everyN: Int = 5): Dataset[VideoFrame] = {
     require(everyN > 0, s"everyN must be positive: $everyN")
     val spark = media.sparkSession
     import spark.implicits._
@@ -205,10 +313,17 @@ object Multimodal {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, bytes) =>
-          val meta = stubDecode(id, bytes)
-          (0 until meta.frame_count by everyN).map { i =>
-            val frame = md.digest(bytes ++ s":frame:$i".getBytes("UTF-8"))
-            SampledFrame(id, i, frame.map("%02x".format(_)).mkString)
+          val hd = y4mHeaderOf(bytes)
+          val offsets = y4mFrameOffsets(bytes, hd)
+          offsets.indices.by(everyN).map { i =>
+            val off = offsets(i)
+            var ySum = 0L
+            var j = 0
+            while (j < hd.ySize) { ySum += bytes(off + j) & 0xFF; j += 1 }
+            md.reset()
+            md.update(bytes, off, hd.frameBytes)
+            VideoFrame(id, i, hd.width, hd.height, hd.frameBytes.toLong,
+              ySum, md.digest().map("%02x".format(_)).mkString)
           }
         }
       }

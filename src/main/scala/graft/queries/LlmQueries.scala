@@ -50,6 +50,20 @@ object LlmQueries {
       .select(regexp_extract(col("path"), "clip_([0-9]+)\\.wav$", 1)
         .cast(LongType).as("media_id"), col("content"))
 
+  /** Committed REAL YUV4MPEG2 video fixtures (same generator; manifest
+    * .csv = clip geometry/rate/colorspace/frame count, manifest_frames
+    * .csv = every 5th frame's length, exact Y-plane sum, and md5 of the
+    * raw planar bytes) — the llm_video_meta / llm_multimodal_frames
+    * gates check the engine's own container parse + frame extraction
+    * against that ground truth. */
+  private val y4mFixturesDir = sys.env.getOrElse("GRAFT_MEDIA_Y4M_FIXTURES",
+    new java.io.File("fixtures/media_y4m").getAbsolutePath)
+
+  private def y4mMedia(s: SparkSession): DataFrame =
+    graft.sources.Sources.readBinaryFiles(s, y4mFixturesDir, "*.y4m")
+      .select(regexp_extract(col("path"), "clip_([0-9]+)\\.y4m$", 1)
+        .cast(LongType).as("media_id"), col("content"))
+
   /** Near-dup candidate edges (minhash ∪ simhash), shared by the six
     * cluster-family queries. The two pair frames are plain `.cache()` —
     * their plans are declarative and identical across builders, so the
@@ -856,11 +870,21 @@ object LlmQueries {
           (col("peak_abs") >= 32700).as("is_clipped"))
         .withColumn("pass_gate",
           !col("is_silent") && !col("is_clipped") && col("duration_ms") >= 50L)),
-    // Frame-sample plumbing (stub codec — no JDK video decoder), real
-    // partition-wise fan-out.
+    // REAL video-frame sampling over the committed Y4M clips: every 5th
+    // frame's RAW planar bytes out of the container — length, exact
+    // Y-plane sum, and md5 of the exact frame payload, gated against
+    // the generator's per-frame manifest. Partition-wise fan-out, one
+    // parse per clip, unsampled frames skipped by offset arithmetic.
     "llm_multimodal_frames" -> ((s, d) =>
-      Multimodal.sampleFrames(Multimodal.documentsAsMedia(Tables.documents(s, d)), everyN = 5)
-        .toDF()),
+      Multimodal.sampleVideoFrames(y4mMedia(s), everyN = 5).toDF()),
+    // REAL video metadata: geometry, exact rational frame rate,
+    // colorspace tag, and the frame count from walking every FRAME
+    // marker (truncation fails loudly) — all against the manifest.
+    "llm_video_meta" -> ((s, d) =>
+      Multimodal.decodeVideo(y4mMedia(s)).toDF()
+        .select(col("media_id"), col("byte_len"), col("checksum"),
+          col("width"), col("height"), col("fps_num"), col("fps_den"),
+          col("colorspace"), col("frame_count"))),
     // REAL-bytes multimodal path: spark.read.format("binaryFile") over
     // committed deterministic fixture files (fixtures/media, see
     // tools/gen_media_fixtures.py) — the production ingestion shape for
@@ -2713,16 +2737,21 @@ SELECT media_id, CAST(64 AS INTEGER) AS out_width, CAST(64 AS INTEGER) AS out_he
        CAST(r AS INTEGER) AS px_r, CAST(g AS INTEGER) AS px_g, CAST(b AS INTEGER) AS px_b
 FROM read_csv('$pngFixturesDir/manifest.csv')""",
 
-    "llm_multimodal_frames" -> """
-WITH f AS (
-  SELECT doc_id, text,
-         unnest(generate_series(0,
-           CAST(octet_length(CAST(text AS BLOB)) % 30 AS INTEGER) - 1, 5)) AS i
-  FROM documents
-)
-SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
-       md5(concat(text, ':frame:', CAST(i AS VARCHAR))) AS frame_checksum
-FROM f""",
+    // the generator's per-frame ground truth: real bytes out of a real
+    // container, every value integer/checksum-exact
+    "llm_multimodal_frames" -> s"""
+SELECT CAST(media_id AS BIGINT) AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+       CAST(frame_len AS BIGINT) AS frame_len, CAST(y_sum AS BIGINT) AS y_sum,
+       frame_checksum
+FROM read_csv('$y4mFixturesDir/manifest_frames.csv')""",
+
+    "llm_video_meta" -> s"""
+SELECT CAST(media_id AS BIGINT) AS media_id, CAST(byte_len AS BIGINT) AS byte_len, checksum,
+       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+       CAST(fps_num AS INTEGER) AS fps_num, CAST(fps_den AS INTEGER) AS fps_den,
+       colorspace, CAST(frame_count AS INTEGER) AS frame_count
+FROM read_csv('$y4mFixturesDir/manifest.csv')""",
 
     "llm_chunking" -> """
 WITH base AS (

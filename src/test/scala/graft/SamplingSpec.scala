@@ -29,17 +29,13 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() == rows.filter($"source" === "curated").count())
   }
 
-  test("multimodal resize/frame-sample: partition-wise stub plumbing") {
+  test("multimodal resize: partition-wise stub plumbing") {
     import graft.llm.Multimodal
     val media = Seq((1L, "x".getBytes("UTF-8")), (2L, ("y" * 37).getBytes("UTF-8")))
       .toDF("media_id", "content")
     val resized = Multimodal.resize(media, 256, 256).collect()
     assert(resized.length == 2 && resized.forall(r => r.content.length == 16))
     assert(resized.map(_.checksum).distinct.length == 2) // payload-dependent
-    // frame_count = byte_len % 30: 1 byte -> 1 frame (idx 0); 37 -> 7 frames -> idx 0,5
-    val frames = Multimodal.sampleFrames(media, everyN = 5).collect()
-      .groupBy(_.media_id).view.mapValues(_.map(_.frame_idx).toSeq.sorted).toMap
-    assert(frames == Map(1L -> Seq(0), 2L -> Seq(0, 5)))
   }
 
   test("perGroupSample: exactly k per group, short groups whole, partition-layout-independent") {

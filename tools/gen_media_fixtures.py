@@ -22,8 +22,21 @@ fixtures/media_wav/  — REAL RIFF/WAVE PCM files (hand-rolled 44-byte
     Samples are square-wave ±18000 plus LCG noise ±12000, so |v| ≥ 6000:
     no zero samples, sign (and thus zero-crossing count) is unambiguous.
 
+fixtures/media_y4m/  — REAL YUV4MPEG2 (Y4M) video clips: the plain-text
+    stream header (W/H/F/I/A/C params), per-frame FRAME markers (some
+    with X params, exercising the parser), and raw planar YUV payloads
+    across 4:2:0 / 4:2:2 / 4:4:4 / mono colorspaces. manifest.csv holds
+    each clip's true geometry/rate/colorspace/frame count and blob
+    checksum; manifest_frames.csv holds, for every 5th frame, the
+    frame's byte length, integer-exact Y-plane sum, and md5 of the RAW
+    FRAME BYTES. The llm_video_meta / llm_multimodal_frames oracles join
+    the engine's Y4M decode output against these — genuine frame bytes
+    out of a genuine (hand-rolled, uncompressed) video container, no
+    stub arithmetic.
+
 Deterministic: re-running reproduces identical files.
 """
+import hashlib
 import os
 import struct
 import zlib
@@ -116,6 +129,48 @@ def wav_features(samples, channels: int):
     return peak, sumsq, zc
 
 
+OUT_Y4M = os.path.join(BASE, "media_y4m")
+N_Y4M = 10
+FRAME_EVERY = 5
+
+
+def y4m_spec(i: int):
+    """(width, height, colorspace, (fps_num, fps_den), n_frames)."""
+    return [
+        (8, 8, "C420jpeg", (25, 1), 7),
+        (16, 8, "C420", (30000, 1001), 12),
+        (12, 6, "C420mpeg2", (24, 1), 9),
+        (32, 16, "C444", (30, 1), 6),
+        (8, 6, "Cmono", (15, 1), 21),
+        (24, 12, "C420jpeg", (50, 1), 16),
+        (6, 4, "C444", (10, 1), 27),
+        (16, 16, "Cmono", (12, 1), 11),
+        (20, 10, "C420", (60, 1), 8),
+        (10, 8, "C422", (25, 2), 14),
+    ][i % 10]
+
+
+def y4m_plane_sizes(w: int, h: int, cs: str):
+    if cs.startswith("C420"):
+        return [w * h, (w // 2) * (h // 2), (w // 2) * (h // 2)]
+    if cs.startswith("C422"):
+        return [w * h, (w // 2) * h, (w // 2) * h]
+    if cs.startswith("C444"):
+        return [w * h, w * h, w * h]
+    if cs.startswith("Cmono"):
+        return [w * h]
+    raise ValueError(cs)
+
+
+def y4m_frame(i: int, fidx: int, n_bytes: int) -> bytes:
+    s = (i * 987654321 + fidx * 2654435761 + 17) % (1 << 32)
+    out = bytearray()
+    for _ in range(n_bytes):
+        s = (s * 1103515245 + 12345) % (1 << 31)
+        out.append(s % 256)
+    return bytes(out)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     for i in range(N_FILES):
@@ -151,6 +206,38 @@ def main() -> None:
     with open(os.path.join(OUT_WAV, "manifest.csv"), "w") as f:
         f.write("\n".join(wlines) + "\n")
     print(f"wrote {N_WAV} WAVs + manifest to {os.path.abspath(OUT_WAV)}")
+
+    os.makedirs(OUT_Y4M, exist_ok=True)
+    clines = ["media_id,width,height,fps_num,fps_den,colorspace,frame_count,"
+              "byte_len,checksum"]
+    flines = ["media_id,frame_idx,width,height,frame_len,y_sum,frame_checksum"]
+    for i in range(N_Y4M):
+        w, h, cs, (fn, fd), n_frames = y4m_spec(i)
+        sizes = y4m_plane_sizes(w, h, cs)
+        frame_len = sum(sizes)
+        body = bytearray(f"YUV4MPEG2 W{w} H{h} F{fn}:{fd} Ip A1:1 {cs}\n"
+                         .encode("ascii"))
+        for fidx in range(n_frames):
+            # every third frame header carries an X param — parsers must
+            # take the frame length from the STREAM header, not assume
+            # a fixed 6-byte FRAME marker
+            marker = b"FRAME\n" if (i + fidx) % 3 else b"FRAME Xgraft\n"
+            data = y4m_frame(i, fidx, frame_len)
+            body += marker + data
+            if fidx % FRAME_EVERY == 0:
+                y_sum = sum(data[: sizes[0]])
+                flines.append(f"{i},{fidx},{w},{h},{frame_len},{y_sum},"
+                              f"{hashlib.md5(data).hexdigest()}")
+        blob = bytes(body)
+        with open(os.path.join(OUT_Y4M, f"clip_{i:03d}.y4m"), "wb") as f:
+            f.write(blob)
+        clines.append(f"{i},{w},{h},{fn},{fd},{cs},{n_frames},{len(blob)},"
+                      f"{hashlib.md5(blob).hexdigest()}")
+    with open(os.path.join(OUT_Y4M, "manifest.csv"), "w") as f:
+        f.write("\n".join(clines) + "\n")
+    with open(os.path.join(OUT_Y4M, "manifest_frames.csv"), "w") as f:
+        f.write("\n".join(flines) + "\n")
+    print(f"wrote {N_Y4M} Y4Ms + manifests to {os.path.abspath(OUT_Y4M)}")
 
 
 if __name__ == "__main__":
