@@ -223,10 +223,16 @@ class SnapshotSource(spark: SparkSession, root: String,
           bridge.ofRows(spark,
             LocalRelation(DataTypeUtils.toAttributes(schema), Nil, isStreaming = true))
         else {
-          // column order pinned to the stream schema (appends must stay
-          // schema-compatible, the file-source contract)
-          val df = table.readFiles(appendFiles)
-            .select(schema.fieldNames.map(col).toSeq: _*)
+          // the delta read is PINNED to the stream's start-time schema
+          // (schema-following): additively-evolved files deliver with
+          // their new columns pruned, files predating a pinned column
+          // null-fill it, narrower files widen natively — and an
+          // incompatible type change stays loud in the parquet reader
+          // (restart the query to adopt the evolved schema). Without
+          // the pin, a footer-inferred read would fail on BOTH benign
+          // directions (extra column → select mismatch, missing column
+          // → unresolved) instead of following.
+          val df = table.readFilesAs(appendFiles, schema)
           bridge.ofRows(spark, df.queryExecution.analyzed.transform {
             case lr: LogicalRelation => lr.copy(isStreaming = true)
           })

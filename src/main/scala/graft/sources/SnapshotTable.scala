@@ -1238,6 +1238,19 @@ class SnapshotTable(spark: SparkSession, root: String,
     if (files.isEmpty) read().limit(0)
     else spark.read.parquet(files.map(f => new Path(dataDir, f).toString): _*)
 
+  /** Read a manifest-relative file list PINNED to `schema` — the
+    * streaming source's schema-following read: a running stream keeps
+    * its start-time schema, so delta files that have since evolved
+    * ADDITIVELY still deliver (extra columns pruned by the reader),
+    * files predating a pinned column null-fill it, and narrower files
+    * widen (int→long, float→double) natively. An INCOMPATIBLE change
+    * (a pinned column's type no longer readable from the file) stays
+    * loud in the parquet reader — restart the query to adopt the
+    * evolved schema. */
+  private[sources] def readFilesAs(files: Seq[String], schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .parquet(files.map(f => new Path(dataDir, f).toString): _*)
+
   /** Compaction as a COMMIT: rewrite the tip at ~`targetRowsPerFile`
     * rows per file and publish it as a `dataChange=false` version — same
     * contents, fewer/bigger files, atomically switched, time travel to
