@@ -111,7 +111,8 @@ case class Snapshot(version: Long, action: String, baseVersion: Long,
   */
 class SnapshotTable(spark: SparkSession, root: String,
                     statsCols: Seq[String] = Seq.empty,
-                    logStore: Option[SnapshotLogStore] = None) {
+                    logStore: Option[SnapshotLogStore] = None,
+                    checkpointEvery: Int = 25) {
   private val snapsDir = new Path(root, "_snapshots")
   private val dataDir = new Path(root, "data")
   private val tipHintPath = new Path(snapsDir, "_tip")
@@ -120,12 +121,25 @@ class SnapshotTable(spark: SparkSession, root: String,
   private def store: SnapshotLogStore =
     logStore.getOrElse(SnapshotLogStore.forFileSystem(fs))
 
-  /** Metadata-op instrumentation for the bounded-tip-discovery spec:
-    * manifest existence probes and full directory listings performed by
-    * [[latestVersion]]. A hint-guided lookup does O(commits since hint)
-    * probes and ZERO listings. */
+  /** Metadata-op instrumentation for the bounded-tip-discovery and
+    * bounded-history specs: manifest existence probes, full directory
+    * listings, and FILE OPENS (manifests + checkpoint chunks). A
+    * hint-guided tip lookup does O(commits since hint) probes and ZERO
+    * listings; a checkpointed history walk does O(V / checkpointEvery)
+    * opens instead of O(V). */
   private[graft] val metaProbes = new java.util.concurrent.atomic.AtomicLong
   private[graft] val metaLists = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val metaOpens = new java.util.concurrent.atomic.AtomicLong
+
+  /** Parsed-manifest memo. Manifests are immutable once published, so
+    * entries never invalidate; a vacuumed version may still serve from
+    * a live handle's cache (vacuum is GC, not a semantic change). This
+    * is what makes the O(retained versions) walks — history, change
+    * feeds, the epoch-dedup probe — parse each manifest at most once
+    * per handle, and checkpoint chunks pre-fill it N versions per
+    * open. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Snapshot]()
 
   /** Per-file stats + MOR bookkeeping aligned with a manifest's file
     * list. `stats` is aligned with THIS table's `statsCols` (outer) and
@@ -263,9 +277,73 @@ class SnapshotTable(spark: SparkSession, root: String,
       s"manifest v$version at $root unreadable after retries (partial publish?)", last)
   }
 
+  // ---- manifest checkpoints: every `checkpointEvery` commits the
+  // publisher archives that window's RAW manifest bodies into ONE chunk
+  // file `_snapshots/c<windowEnd>.json` (record-separator-joined), so a
+  // history/feed/probe walk over V versions costs O(V/N) file opens
+  // instead of O(V). Chunks are best-effort (a failed write changes
+  // nothing — correctness always comes from the per-version manifests)
+  // and immutable once written; `snapshot(v)` consults cache → chunk →
+  // individual manifest, in that order. ----
+
+  private val ChunkSep = "\n\n" // ASCII record separator: never in manifest JSON
+
+  private def chunkPath(end: Long) = new Path(snapsDir, f"c$end%020d.json")
+
+  private def chunkEndFor(v: Long): Long =
+    ((v + checkpointEvery - 1) / checkpointEvery) * checkpointEvery.toLong
+
+  private def manifestRawText(v: Long): String = {
+    metaOpens.incrementAndGet()
+    val in = fs.open(manifestPath(v))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** Load the chunk covering `version` (if published) into the cache;
+    * true iff the version is now cached. Any failure reads as "no
+    * chunk" — the caller falls back to the manifest file. */
+  private def tryLoadChunk(version: Long): Boolean =
+    try {
+      val p = chunkPath(chunkEndFor(version))
+      metaProbes.incrementAndGet()
+      if (checkpointEvery <= 0 || !fs.exists(p)) false
+      else {
+        metaOpens.incrementAndGet()
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+        txt.split(ChunkSep).filter(_.trim.nonEmpty).foreach { body =>
+          val s = parseManifestText(body)
+          manifestCache.putIfAbsent(s.version, s)
+        }
+        manifestCache.containsKey(version)
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Best-effort chunk publish at a window boundary. Racing committers
+    * compute identical content, so the create-exclusive collision is
+    * benign; any other failure is swallowed — the chunk is an
+    * optimization, never a correctness point. */
+  private def maybeCheckpoint(v: Long): Unit =
+    if (checkpointEvery > 0 && v % checkpointEvery == 0)
+      try {
+        val bodies = ((v - checkpointEvery + 1) to v).map(manifestRawText)
+        store.writeExclusive(fs, chunkPath(v),
+          bodies.mkString(ChunkSep).getBytes("UTF-8"))
+      } catch { case scala.util.control.NonFatal(_) => () }
+
   private def parseSnapshot(version: Long): Snapshot = {
-    val in = fs.open(manifestPath(version))
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val cached = manifestCache.get(version)
+    if (cached != null) return cached
+    if (tryLoadChunk(version)) return manifestCache.get(version)
+    val s = parseManifestText(manifestRawText(version))
+    manifestCache.putIfAbsent(version, s)
+    s
+  }
+
+  private def parseManifestText(txt: String): Snapshot = {
+    val version = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      .getOrElse(sys.error("manifest: missing version")).group(1).toLong
     def longField(k: String): Long =
       s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt)
         .getOrElse(sys.error(s"manifest v$version: missing $k")).group(1).toLong
@@ -616,6 +694,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       try {
         store.writeExclusive(fs, manifestPath(v), body.getBytes("UTF-8"))
         writeTipHint(v)
+        maybeCheckpoint(v)
         return v
       } catch {
         case e: java.io.IOException if isCollision(v, e) =>
@@ -808,6 +887,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     try {
       store.writeExclusive(fs, manifestPath(v), body.getBytes("UTF-8"))
       writeTipHint(v)
+      maybeCheckpoint(v)
       Some(v)
     } catch { case e: java.io.IOException if isCollision(v, e) => None }
   }
@@ -1000,7 +1080,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     * Same optimistic-retry publish as [[commitAppend]]; the batch schema
     * evolves into the tip's per attempt, so a concurrent incompatible
     * commit still fails loudly instead of publishing a broken chain. */
-  private[sources] def commitWrittenAppend(files: Seq[String], stats: Seq[ColStats],
+  private[graft] def commitWrittenAppend(files: Seq[String], stats: Seq[ColStats],
                                            rowsAdded: Long,
                                            batchSchema: StructType): Long = {
     require(files.nonEmpty, "commitWrittenAppend needs at least one data file")
@@ -1338,6 +1418,12 @@ class SnapshotTable(spark: SparkSession, root: String,
       }
     }
     (1L until keepFrom).foreach(v => fs.delete(manifestPath(v), false))
+    // checkpoint chunks wholly below the retention horizon go with
+    // their manifests; the boundary chunk stays (it still serves the
+    // retained suffix of its window)
+    if (checkpointEvery > 0)
+      (checkpointEvery.toLong to (keepFrom - 1) by checkpointEvery.toLong)
+        .foreach(end => fs.delete(chunkPath(end), false))
     // sweep orphaned log-store temp files (a crashed publish strands its
     // `.tmp_*` staging file — invisible to readers, but disk). Age-gated
     // so an IN-FLIGHT commit's temp racing this vacuum is never deleted
