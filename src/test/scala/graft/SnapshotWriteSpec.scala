@@ -122,6 +122,42 @@ class SnapshotWriteSpec extends SparkSpec {
       s"abort must remove the staged commit dir: $dirs")
   }
 
+  test("clustered writes: stats-column tables get range-distributed files with disjoint bands") {
+    val root = freshRoot("clustered")
+    val writer = new SnapshotTable(spark, root, statsCols = Seq("id"))
+    writer.commitAppend((0L until 4L).toDF("id").repartition(1))
+    // a SHUFFLED wide frame: without the write-side range distribution
+    // every task would span the whole id range and no band could prune
+    val shuffled = (0L until 4000L).toDF("id")
+      .withColumn("r", expr("hash(id)")).repartition(8, col("r"))
+      .select("id")
+    // a frame this small coalesces to one range partition under AQE
+    // (correct at this size); hold coalescing off so the spec observes
+    // the multi-file clustered layout a real-sized write produces
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey, "true")
+    try {
+      spark.conf.set(coalesceKey, "false")
+      shuffled.write.format("graft-snapshot").mode("append").save(root)
+    } finally spark.conf.set(coalesceKey, prev)
+    val tip = writer.snapshot(writer.latestVersion())
+    val newIdx = tip.files.indices.filter(i => tip.seqs(i) == tip.version)
+    assert(newIdx.length > 1, "the clustered write should produce several files")
+    val bands = newIdx.map(i => (tip.stats.head.mins(i), tip.stats.head.maxs(i)))
+      .sortBy(_._1)
+    bands.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"clustered files must carry DISJOINT bands: $bands")
+      case _ => ()
+    }
+    // and the skipping index actually skips: a point-range read plans
+    // one of the new files, not all of them
+    val pruned = new SnapshotTable(spark, root, statsCols = Seq("id"))
+      .readRange("id", 2000L, 2001L, -1L)
+    assert(pruned.inputFiles.length == 1, s"planned ${pruned.inputFiles.length} files")
+    assert(pruned.select("id").as[Long].collect().toSet == Set(2000L, 2001L))
+  }
+
   test("V1 streaming sink and DSv2 batch write interleave on one table") {
     val dir = freshRoot("mixed")
     val root = s"$dir/table"
