@@ -117,7 +117,8 @@ class GraftSnapshotBatchTable(spark: SparkSession, root: String,
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
     if (tableSchema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }

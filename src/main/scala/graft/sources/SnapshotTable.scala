@@ -1006,8 +1006,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     * [[commitRewrite]]. */
   def commitReplaceWhere(column: String, batch: DataFrame, lo: Long, hi: Long): Long = {
     import org.apache.spark.sql.functions.col
-    val ci = statsCols.indexOf(column)
-    require(ci >= 0,
+    require(statsCols.contains(column),
       s"commitReplaceWhere on $root: '$column' is not a stats column " +
         s"(${statsCols.mkString(",")})")
     // NULL keys count as outside (they can't be range-validated); the
@@ -1018,6 +1017,49 @@ class SnapshotTable(spark: SparkSession, root: String,
       s"replaceWhere batch has $outside rows outside [$lo, $hi] on $column " +
         "(NULLs count as outside)")
     val (batchFiles, batchRows) = writeDataFiles(batch)
+    replaceWhereAtTip(column, lo, hi, batchFiles, batchRows,
+      normalizeSchema(batch.schema))
+  }
+
+  /** The DSv2 half of replaceWhere: publish PRE-WRITTEN files as the
+    * range's replacement. Range containment is proven from the
+    * executor-folded per-file stats instead of a validation scan — every
+    * non-empty new file must carry a KNOWN band inside [lo, hi] with a
+    * known-zero null count (NULL keys are outside every range), which
+    * restricts the write path to stats-foldable column types; the Scala
+    * [[commitReplaceWhere]] remains the any-type path. `fileRows` aligns
+    * with `files`; empty files skip containment (nothing to contain). */
+  private[graft] def commitWrittenReplaceWhere(column: String, lo: Long, hi: Long,
+                                               files: Seq[String],
+                                               stats: Seq[ColStats],
+                                               fileRows: Seq[Long],
+                                               batchSchema: StructType): Long = {
+    val ci = statsCols.indexOf(column)
+    require(ci >= 0,
+      s"replaceWhere on $root: '$column' is not a stats column (${statsCols.mkString(",")})")
+    require(files.length == fileRows.length, "files/fileRows misaligned")
+    val cs = stats(ci)
+    files.indices.filter(fileRows(_) > 0L).foreach { i =>
+      require(cs.nulls(i) == 0L && cs.mins(i) != UnknownMin &&
+        cs.maxs(i) != UnknownMax && cs.mins(i) >= lo && cs.maxs(i) <= hi,
+        s"replaceWhere batch file ${files(i)} is not provably inside [$lo, $hi] " +
+          s"on $column (band [${cs.mins(i)}, ${cs.maxs(i)}], nulls ${cs.nulls(i)}) — " +
+          "the DSv2 replaceWhere needs exact folded stats (integral/boolean/" +
+          "timestamp column, no NULL keys); use the Scala commitReplaceWhere " +
+          "for other shapes")
+    }
+    replaceWhereAtTip(column, lo, hi, FileSet(files, stats), fileRows.sum,
+      normalizeSchema(batchSchema))
+  }
+
+  /** Shared optimistic loop of both replaceWhere paths: keep files fully
+    * outside the range, drop files provably fully inside, rewrite only
+    * straddlers, publish at the validated base. */
+  private def replaceWhereAtTip(column: String, lo: Long, hi: Long,
+                                batchFiles: FileSet, batchRows: Long,
+                                batchSchema: StructType): Long = {
+    import org.apache.spark.sql.functions.col
+    val ci = statsCols.indexOf(column)
     var attempts = 0
     while (attempts < 50) {
       val base = latestVersion()
@@ -1056,7 +1098,7 @@ class SnapshotTable(spark: SparkSession, root: String,
         keepIdx.map(prev.seqs) ++
           Seq.fill(rewrite.files.length + batchFiles.files.length)(base + 1),
         prev.deletes, prev.deleteSeqs, prev.deleteKey)
-      val schema = Some(evolveSchema(snap.schemaJson.map(parseSchema), batch.schema).json)
+      val schema = Some(evolveSchema(snap.schemaJson.map(parseSchema), batchSchema).json)
       publishAtBase(base, "replace_where", fls,
         snap.rows - removed + batchRows, schema) match {
         case Some(v) => return v

@@ -69,14 +69,45 @@ object SnapshotCommitMode {
     * ([[SnapshotTable.commitWrittenReplaceAtBase]]): a concurrent commit
     * surfaces as a conflict instead of being silently erased. */
   case class ReplaceAtBase(base: Long, action: String) extends SnapshotCommitMode
+  /** New files replace exactly the rows with `column` ∈ [lo, hi] —
+    * overwrite-by-filter mapped onto the file-surgical
+    * [[SnapshotTable.commitWrittenReplaceWhere]]. */
+  case class ReplaceWhere(column: String, lo: Long, hi: Long) extends SnapshotCommitMode
 }
 
 class GraftSnapshotWriteBuilder(spark: SparkSession, root: String,
                                 batchSchema: StructType,
                                 statsCols: Seq[String])
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsOverwrite {
   private var doTruncate = false
+  private var replaceWhere: Option[(String, Long, Long)] = None
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  /** Overwrite-by-filter (`df.writeTo(t).overwrite(cond)`): an
+    * always-true condition is a truncate; a conjunction of
+    * band-derivable predicates on ONE stats column maps to the
+    * file-surgical replaceWhere (files outside the band untouched,
+    * straddlers rewritten, the batch must lie inside it). Anything else
+    * is rejected loudly — a silently widened overwrite would delete
+    * rows the condition never named. */
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : WriteBuilder = {
+    if (filters.isEmpty ||
+        filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      return truncate()
+    val bands = SnapshotBatch.bandsOf(filters.toSeq)
+    require(bands.size == 1 && filters.forall(f =>
+        f.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue] ||
+          SnapshotBatch.bandOf(f).isDefined),
+      s"graft-snapshot overwrite-by-filter supports range/equality " +
+        s"predicates on exactly ONE stats column; got ${filters.mkString(", ")}")
+    val (column, (lo, hi)) = bands.head
+    require(statsCols.contains(column),
+      s"overwrite-by-filter column '$column' is not a stats column " +
+        s"(${statsCols.mkString(",")})")
+    replaceWhere = Some((column, lo, hi))
+    this
+  }
   /** CLUSTERED WRITES: when the table has stats columns present in the
     * batch, the write requests a RANGE distribution + within-partition
     * sort on them — each task then writes ONE file covering a tight,
@@ -109,8 +140,12 @@ class GraftSnapshotWriteBuilder(spark: SparkSession, root: String,
       // and writes nothing (re-validated per publish attempt too)
       if (!doTruncate)
         new SnapshotTable(spark, root, statsCols).validateAppendSchema(batchSchema)
-      new GraftSnapshotBatchWrite(spark, root, batchSchema, statsCols,
-        if (doTruncate) SnapshotCommitMode.Truncate else SnapshotCommitMode.Append)
+      val mode = replaceWhere match {
+        case Some((c, lo, hi)) => SnapshotCommitMode.ReplaceWhere(c, lo, hi)
+        case None if doTruncate => SnapshotCommitMode.Truncate
+        case None => SnapshotCommitMode.Append
+      }
+      new GraftSnapshotBatchWrite(spark, root, batchSchema, statsCols, mode)
     }
   }
 }
@@ -167,6 +202,9 @@ class GraftSnapshotBatchWrite(spark: SparkSession, root: String,
         table.commitWrittenAppend(files, stats, rows, schema)
       case SnapshotCommitMode.Truncate =>
         table.commitWrittenOverwrite(files, stats, rows, schema)
+      case SnapshotCommitMode.ReplaceWhere(c, lo, hi) =>
+        table.commitWrittenReplaceWhere(c, lo, hi, files, stats,
+          ensured.map(_.rows), schema)
       case SnapshotCommitMode.ReplaceAtBase(base, action) =>
         table.commitWrittenReplaceAtBase(base, action, files, stats, rows, schema)
           .getOrElse {

@@ -134,6 +134,45 @@ class GraftCatalogSpec extends SparkSpec {
     assert(ids(s"SELECT id FROM $cat.db.conflict") == Set(2L, 99L))
   }
 
+  test("overwrite-by-filter maps to file-surgical replaceWhere; bad shapes stay loud") {
+    import org.apache.spark.sql.functions.col
+    spark.sql(s"CREATE TABLE $cat.db.rw (id BIGINT, v BIGINT) USING `graft-snapshot` " +
+      "TBLPROPERTIES('stats_cols'='id')")
+    // three disjoint clustered thirds, one INSERT each
+    Seq(0L, 10L, 20L).foreach { base =>
+      spark.sql(s"INSERT INTO $cat.db.rw SELECT id, id * 10 AS v " +
+        s"FROM range(${base}, ${base + 10})")
+    }
+    val t = new SnapshotTable(spark,
+      s"${spark.conf.get(s"spark.sql.catalog.$cat.warehouse")}/db/rw")
+    val beforeFiles = t.snapshot(t.latestVersion()).files.toSet
+    // reload the middle third with 4 replacement rows
+    spark.range(10, 14).toDF("id").withColumn("v", col("id") * 1000L)
+      .writeTo(s"$cat.db.rw").overwrite(col("id") >= 10L && col("id") <= 19L)
+    val snap = t.snapshot(t.latestVersion())
+    assert(snap.action == "replace_where")
+    assert(spark.table(s"$cat.db.rw").as[(Long, Long)].collect().toSet ==
+      ((0L until 10L) ++ (20L until 30L)).map(i => (i, i * 10)).toSet ++
+        (10L until 14L).map(i => (i, i * 1000)).toSet)
+    // the outside thirds were untouched: their FILES survive by identity
+    val outsideBefore = beforeFiles.filter(f => snap.files.contains(f))
+    assert(outsideBefore.size >= 2,
+      s"files outside the band must be re-listed, not rewritten: $beforeFiles vs ${snap.files}")
+    // a batch outside the declared band is rejected, nothing published
+    val tipBefore = t.latestVersion()
+    intercept[Exception] {
+      spark.range(0, 5).toDF("id").withColumn("v", lit(1L))
+        .writeTo(s"$cat.db.rw").overwrite(col("id") >= 10L && col("id") <= 19L)
+    }
+    assert(t.latestVersion() == tipBefore)
+    // predicates that don't band onto one stats column stay loud
+    intercept[Exception] {
+      spark.range(0, 1).toDF("id").withColumn("v", lit(1L))
+        .writeTo(s"$cat.db.rw").overwrite(col("v") === 1L)
+    }
+    assert(t.latestVersion() == tipBefore)
+  }
+
   test("namespace listing, rename, and drop guard-rails") {
     spark.sql(s"CREATE NAMESPACE $cat.ns2")
     assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
