@@ -565,6 +565,57 @@ object MiscQueries {
         SELECT 'latest', count(*), sum(cents) FROM gsql.db.orders_cat""")
     }),
 
+    // Overwrite-by-filter on a catalog table — the daily-partition-
+    // reload shape through pure DSv2: three clustered INSERTs land
+    // disjoint orderkey thirds, then writeTo(...).overwrite(band)
+    // replaces ONLY the middle third (commitWrittenReplaceWhere:
+    // containment proven from executor-folded stats, outer files
+    // re-listed untouched — `outer_untouched` pins the file-surgical
+    // claim, not just the row values). Versions replay in DuckDB.
+    "misc_catalog_replace" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catrw").getAbsolutePath
+      s.conf.set("spark.sql.catalog.grw", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.grw.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS grw.db")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      base.createOrReplaceTempView("catrw_src")
+      val m = base.agg(max(col("o_orderkey"))).head.getLong(0)
+      val (t1, t2) = ((m + 1) / 3, 2 * (m + 1) / 3)
+      s.sql("CREATE TABLE grw.db.orders_rw (o_orderkey BIGINT, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_orderkey')")
+      s.sql(s"INSERT INTO grw.db.orders_rw SELECT * FROM catrw_src WHERE o_orderkey < $t1")
+      s.sql("INSERT INTO grw.db.orders_rw SELECT * FROM catrw_src " +
+        s"WHERE o_orderkey >= $t1 AND o_orderkey < $t2")
+      s.sql(s"INSERT INTO grw.db.orders_rw SELECT * FROM catrw_src WHERE o_orderkey >= $t2")
+      val t = new graft.sources.SnapshotTable(s, s"$wh/db/orders_rw")
+      val before = t.snapshot(t.latestVersion())
+      base.filter(col("o_orderkey").between(t1, t2 - 1))
+        .select(col("o_orderkey"), (col("cents") * 2).as("cents"))
+        .writeTo("grw.db.orders_rw")
+        .overwrite(col("o_orderkey") >= t1 && col("o_orderkey") <= t2 - 1)
+      val after = t.snapshot(t.latestVersion())
+      // every pre-replace file whose band lies OUTSIDE [t1, t2-1] must
+      // survive by IDENTITY (manifest re-list, no rewrite)
+      val outerSurvived = {
+        val bandsOf = before.statsCols.indexOf("o_orderkey")
+        before.files.indices.forall { i =>
+          val mn = before.stats(bandsOf).mins(i)
+          val mx = before.stats(bandsOf).maxs(i)
+          val outside = mx < t1 || mn > t2 - 1
+          !outside || after.files.contains(before.files(i))
+        }
+      }
+      t.history().map { snap =>
+        t.read(snap.version)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(snap.version).as("version"), lit(snap.action).as("action"),
+            lit(outerSurvived).as("outer_untouched"),
+            col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // SQL row-level DML on a catalog-resolved snapshot table — the full
     // statement set as atomic versions: INSERT (append), UPDATE (group
     // rewrite), DELETE (group rewrite), MERGE (matched update + not
@@ -2118,6 +2169,34 @@ UNION ALL
 SELECT 'v3', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM base
 UNION ALL
 SELECT 'latest', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM base""",
+
+    // replay of the catalog overwrite-by-filter chain: v1 empty create,
+    // v2..v4 accumulate the orderkey thirds, v5 reloads the middle
+    // third at doubled cents; outer_untouched is the pinned
+    // file-surgical invariant (TRUE by construction when the band math
+    // holds — the Spark side computes it from manifest file identity)
+    "misc_catalog_replace" -> """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders),
+b AS (SELECT CAST((max(k) + 1) // 3 AS BIGINT) AS t1,
+             CAST(2 * (max(k) + 1) // 3 AS BIGINT) AS t2 FROM base),
+v2 AS (SELECT k, c FROM base, b WHERE k < b.t1),
+v3 AS (SELECT k, c FROM base, b WHERE k < b.t2),
+v4 AS (SELECT k, c FROM base),
+v5 AS (SELECT k, CASE WHEN k >= b.t1 AND k < b.t2 THEN 2 * c ELSE c END AS c
+       FROM base, b)
+SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS action,
+       TRUE AS outer_untouched, CAST(0 AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS total_cents
+UNION ALL
+SELECT 2, 'append', TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM v2
+UNION ALL
+SELECT 3, 'append', TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM v3
+UNION ALL
+SELECT 4, 'append', TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM v4
+UNION ALL
+SELECT 5, 'replace_where', TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM v5""",
 
     // key-arithmetic replay of the SQL DML version chain: v1 = empty
     // create, v2 = keys %4==0, v3 doubles %8==0, v4 deletes %8==4

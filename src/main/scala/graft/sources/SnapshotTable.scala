@@ -9,7 +9,10 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * column. `nulls` is -1 when unknown (older manifest, stats-less file) —
   * consumers must treat unknown as "may contain NULLs" and stay
   * conservative ([[SnapshotTable.commitReplaceWhere]] routes such files
-  * through the rewrite instead of dropping them whole). */
+  * through the rewrite instead of dropping them whole). An INVERTED band
+  * (min > max, i.e. [Long.MaxValue, Long.MinValue]) marks a known-EMPTY
+  * file: no range overlaps it, so every band consumer prunes it —
+  * sound, it holds no row any predicate could match. */
 case class ColStats(mins: Seq[Long], maxs: Seq[Long], nulls: Seq[Long])
 
 /** A snapshot descriptor parsed back from a published manifest.

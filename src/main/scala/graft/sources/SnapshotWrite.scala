@@ -425,11 +425,22 @@ class SnapshotParquetWriter(dataDir: String, commitUuid: String, fileName: Strin
     var c = 0
     while (c < statsCols.length) {
       val known = fieldIdx(c) >= 0 && asLong(c) != null
-      // an all-null file has no band: unknown min/max but an EXACT null
-      // count (what the rewrite-routing in replaceWhere keys on)
-      outMins(c) = if (known && maxs(c) != UnknownMin) mins(c) else UnknownMin
-      outMaxs(c) = if (known && maxs(c) != UnknownMin) maxs(c) else UnknownMax
-      outNulls(c) = if (known) nullCounts(c) else UnknownNulls
+      if (known && rows == 0L) {
+        // an EMPTY file gets the INVERTED band (min > max): no range can
+        // overlap it, so reads prune it everywhere and replaceWhere
+        // keeps it untouched (or drops it whole) instead of endlessly
+        // routing it through the straddler rewrite — sound, it holds
+        // no row any predicate could match
+        outMins(c) = UnknownMax
+        outMaxs(c) = UnknownMin
+        outNulls(c) = 0L
+      } else {
+        // an all-null file has no band: unknown min/max but an EXACT
+        // null count (what the rewrite-routing in replaceWhere keys on)
+        outMins(c) = if (known && maxs(c) != UnknownMin) mins(c) else UnknownMin
+        outMaxs(c) = if (known && maxs(c) != UnknownMin) maxs(c) else UnknownMax
+        outNulls(c) = if (known) nullCounts(c) else UnknownNulls
+      }
       c += 1
     }
     SnapshotWriteMessage(fileName, rows, outMins, outMaxs, outNulls)
