@@ -565,6 +565,32 @@ object MiscQueries {
         SELECT 'latest', count(*), sum(cents) FROM gsql.db.orders_cat""")
     }),
 
+    // Manifest-served COUNT pushdown on the DSv2 read: count(*) and
+    // count(col) fold to the snapshot's maintained row count (and
+    // per-file null counts) — zero files opened, a 100 TB table answers
+    // in one manifest parse. Legs: pre-delete counts (both pushed),
+    // post-MOR-delete count(*) (still pushed — rows are maintained
+    // through deletes) and count(col) (falls back to the real scan,
+    // null counts can't see deleted rows; value must still be exact).
+    // The plan shapes are pinned in SnapshotWriteSpec; values replay
+    // here.
+    "misc_snapshot_count" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_snapcount").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("o_orderkey"))
+      val o = Tables.orders(s, d).select(
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("bigint"))
+          .otherwise(col("o_orderkey")).as("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      t.commitAppend(o)
+      def rd() = s.read.format("graft-snapshot").load(root)
+      val pre = rd().agg(count(lit(1)).as("n"), count(col("o_orderkey")).as("nk"))
+      t.commitDeleteByKey(
+        o.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"), Seq("o_orderkey"))
+      val post = rd().agg(count(lit(1)).as("n"), count(col("o_orderkey")).as("nk"))
+      pre.select(lit("pre_delete").as("leg"), col("n"), col("nk"))
+        .unionByName(post.select(lit("post_delete").as("leg"), col("n"), col("nk")))
+    }),
+
     // Overwrite-by-filter on a catalog table — the daily-partition-
     // reload shape through pure DSv2: three clustered INSERTs land
     // disjoint orderkey thirds, then writeTo(...).overwrite(band)
@@ -2169,6 +2195,23 @@ UNION ALL
 SELECT 'v3', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM base
 UNION ALL
 SELECT 'latest', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM base""",
+
+    // replay of the manifest-count legs: %7==0 keys are NULLed, the MOR
+    // delete removes non-null %5==0 keys (NULL keys survive any
+    // equality delete)
+    "misc_snapshot_count" -> """
+WITH cls AS (
+  SELECT o_orderkey AS k, (o_orderkey % 7 = 0) AS is_null_key,
+         (o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0) AS is_deleted
+  FROM orders)
+SELECT 'pre_delete' AS leg, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN NOT is_null_key THEN 1 ELSE 0 END) AS BIGINT) AS nk
+FROM cls
+UNION ALL
+SELECT 'post_delete',
+       CAST(sum(CASE WHEN NOT is_deleted THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN NOT is_null_key AND NOT is_deleted THEN 1 ELSE 0 END) AS BIGINT)
+FROM cls""",
 
     // replay of the catalog overwrite-by-filter chain: v1 empty create,
     // v2..v4 accumulate the orderkey thirds, v5 reloads the middle

@@ -167,26 +167,119 @@ class GraftSnapshotBatchTable(spark: SparkSession, root: String,
 class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
                                version: Long, fullSchema: StructType)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar}
+
   private var required: StructType = fullSchema
   private var pruning: Array[Filter] = Array.empty
+  private var hadFilters = false
+  private var pushedCounts: Seq[(String, Long)] = Seq.empty
 
   /** Record the band-derivable filters for file pruning, but hand EVERY
     * filter back to Spark: the source prunes files, Spark evaluates rows
     * (partial pushdown, the contract explicitly allows both sides). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    hadFilters = filters.nonEmpty
     pruning = filters.filter(f => SnapshotBatch.bandOf(f).isDefined)
     filters
   }
   override def pushedFilters(): Array[Filter] = pruning
 
+  /** Ungrouped, unfiltered COUNT folds to the MANIFEST — no file is
+    * opened at all: `count(*)` is the snapshot's exact maintained row
+    * count (correct through MOR deletes, replaceWhere and DML, every
+    * commit path maintains it), and `count(col)` on a stats column is
+    * rows − Σ per-file null counts, pushable only when the manifest
+    * carries KNOWN null counts for every file and no MOR delete could
+    * have removed counted rows. Anything else — grouping, filters,
+    * distinct, other functions — declines and scans normally. */
+  private def manifestCounts(agg: Aggregation): Option[Seq[(String, Long)]] = {
+    if (agg.groupByExpressions.nonEmpty || hadFilters) return None
+    val snap = try table.snapshot(version) catch {
+      case scala.util.control.NonFatal(_) => return None
+    }
+    def statsNulls(name: String): Option[Long] = {
+      val ci = table.statsColumns.indexOf(name)
+      if (ci < 0 || snap.deletes.nonEmpty) None
+      else {
+        val aligned = snap.statsCols.indexOf(name)
+        if (aligned < 0 || snap.stats(aligned).nulls.length != snap.files.length)
+          None
+        else {
+          val ns = snap.stats(aligned).nulls
+          if (ns.exists(_ < 0L)) None else Some(ns.sum)
+        }
+      }
+    }
+    val resolved = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count(*)" -> snap.rows)
+      case c: Count if !c.isDistinct =>
+        c.column match {
+          case nr: NamedReference if nr.fieldNames.length == 1 =>
+            statsNulls(nr.fieldNames.head)
+              .map(n => s"count(${nr.fieldNames.head})" -> (snap.rows - n))
+          case _ => None
+        }
+      case _ => None
+    }
+    if (resolved.contains(None)) None else Some(resolved.flatten)
+  }
+
+  // exact, single-source: Spark must NOT re-aggregate the pushed row
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    manifestCounts(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    manifestCounts(aggregation) match {
+      case Some(counts) => pushedCounts = counts; true
+      case None => false
+    }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def build(): Scan =
-    new GraftSnapshotScan(spark, table, version, required,
+    if (pushedCounts.nonEmpty)
+      new GraftSnapshotCountScan(pushedCounts, version, table.toString)
+    else new GraftSnapshotScan(spark, table, version, required,
       SnapshotBatch.bandsOf(pruning.toSeq))
 }
+
+/** One-row scan carrying COMPLETE manifest-served counts — the scan
+  * that reads NOTHING: `.explain` shows it (with no parquet relation
+  * beneath), and a 100 TB table answers `SELECT count(*)` in one
+  * manifest parse. */
+class GraftSnapshotCountScan(counts: Seq[(String, Long)], version: Long,
+                             tableDesc: String)
+    extends Scan with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+  override def readSchema(): StructType = StructType(counts.map { case (n, _) =>
+    org.apache.spark.sql.types.StructField(n,
+      org.apache.spark.sql.types.LongType, nullable = false) })
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String =
+    s"GraftSnapshotCountScan v$version PushedAggregates=[${counts.map(_._1).mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SnapshotCountPartition(counts.map(_._2).toArray))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+        val values = p.asInstanceOf[SnapshotCountPartition].values
+        new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val go = !emitted; emitted = true; go }
+          override def get(): org.apache.spark.sql.catalyst.InternalRow =
+            org.apache.spark.sql.catalyst.InternalRow.fromSeq(values.toSeq)
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class SnapshotCountPartition(values: Array[Long])
+  extends org.apache.spark.sql.connector.read.InputPartition
 
 class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
                         version: Long, required: StructType,

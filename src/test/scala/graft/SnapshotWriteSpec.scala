@@ -175,4 +175,37 @@ class SnapshotWriteSpec extends SparkSpec {
     assert(new SnapshotTable(spark, root).read()
       .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
   }
+
+  test("count(*) / count(col) answered from the manifest: zero files read") {
+    val root = freshRoot("countpush")
+    val t = new SnapshotTable(spark, root, statsCols = Seq("id"))
+    t.commitAppend(Seq[(java.lang.Long, Long)]((1L, 10L), (null, 20L), (3L, 30L))
+      .toDF("id", "v"))
+    t.commitAppend(Seq[(java.lang.Long, Long)]((4L, 40L), (5L, 50L)).toDF("id", "v"))
+    def read() = spark.read.format("graft-snapshot").load(root)
+    val cnt = read().groupBy().count()
+    assert(cnt.collect().head.getLong(0) == 5L)
+    val plan = cnt.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftSnapshotCountScan") && !plan.toLowerCase.contains("parquet"),
+      s"count(*) must come from the manifest, not a scan:\n$plan")
+    // count(col) subtracts the manifest null counts
+    val cntCol = read().agg(count(col("id")))
+    assert(cntCol.collect().head.getLong(0) == 4L)
+    assert(cntCol.queryExecution.executedPlan.toString.contains("GraftSnapshotCountScan"))
+    // a MOR delete keeps count(*) manifest-served (rows are maintained)
+    // but declines count(col) (null counts can't see deleted rows)
+    t.commitDeleteByKey(Seq(4L).toDF("id"), Seq("id"))
+    val afterDel = spark.read.format("graft-snapshot").load(root)
+    val c2 = afterDel.groupBy().count()
+    assert(c2.collect().head.getLong(0) == 4L)
+    assert(c2.queryExecution.executedPlan.toString.contains("GraftSnapshotCountScan"))
+    val cc2 = afterDel.agg(count(col("id")))
+    assert(cc2.collect().head.getLong(0) == 3L)
+    assert(!cc2.queryExecution.executedPlan.toString.contains("GraftSnapshotCountScan"),
+      "count(col) under MOR deletes must fall back to the real scan")
+    // filtered counts never push (the filter must be evaluated)
+    val filtered = afterDel.filter(col("v") >= 30L).groupBy().count()
+    assert(filtered.collect().head.getLong(0) == 2L)
+    assert(!filtered.queryExecution.executedPlan.toString.contains("GraftSnapshotCountScan"))
+  }
 }
