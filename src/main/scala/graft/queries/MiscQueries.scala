@@ -642,6 +642,36 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // SQL maintenance via CALL procedures: clustered compaction (a
+    // dataChange=false version — feeds skip it, contents identical) and
+    // roll-forward rollback, both reachable as
+    // `CALL <catalog>.system.<proc>(...)`. The version history replays
+    // in DuckDB; data_change pins compaction's feed-invisibility.
+    "misc_catalog_maintenance" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catmt").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gmt", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gmt.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gmt.db")
+      Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("catmt_src")
+      s.sql("CREATE TABLE gmt.db.orders_mt (o_orderkey BIGINT, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_orderkey')")
+      s.sql("INSERT INTO gmt.db.orders_mt SELECT * FROM catmt_src WHERE o_orderkey % 2 = 0")
+      s.sql("INSERT INTO gmt.db.orders_mt SELECT * FROM catmt_src WHERE o_orderkey % 2 = 1")
+      s.sql("CALL gmt.system.compact('db.orders_mt', 1000000, 'o_orderkey')")
+      s.sql("CALL gmt.system.rollback('db.orders_mt', 2)")
+      val t = new graft.sources.SnapshotTable(s, s"$wh/db/orders_mt")
+      t.history().map { snap =>
+        t.read(snap.version)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(snap.version).as("version"), lit(snap.action).as("action"),
+            lit(snap.dataChange).as("data_change"),
+            col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // SQL row-level DML on a catalog-resolved snapshot table — the full
     // statement set as atomic versions: INSERT (append), UPDATE (group
     // rewrite), DELETE (group rewrite), MERGE (matched update + not
@@ -2240,6 +2270,26 @@ UNION ALL
 SELECT 4, 'append', TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM v4
 UNION ALL
 SELECT 5, 'replace_where', TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM v5""",
+
+    // replay of the CALL-maintenance chain: v1 empty create, v2 evens,
+    // v3 all, v4 compact (same contents, data_change FALSE), v5
+    // rollback to v2's contents
+    "misc_catalog_maintenance" -> """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders),
+ev AS (SELECT k, c FROM base WHERE k % 2 = 0)
+SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS action,
+       TRUE AS data_change, CAST(0 AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS total_cents
+UNION ALL
+SELECT 2, 'append', TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM ev
+UNION ALL
+SELECT 3, 'append', TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM base
+UNION ALL
+SELECT 4, 'compact', FALSE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM base
+UNION ALL
+SELECT 5, 'rollback', TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM ev""",
 
     // key-arithmetic replay of the SQL DML version chain: v1 = empty
     // create, v2 = keys %4==0, v3 doubles %8==0, v4 deletes %8==4

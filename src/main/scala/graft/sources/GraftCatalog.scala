@@ -6,6 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.{procedures => procs}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -35,7 +36,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * manifest's per-file stats), not a DDL-time contract — the
   * replaceWhere/readRange machinery prunes on stats bands, which
   * range clustering makes tight. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   private var catName: String = _
   private var warehouse: Path = _
   private def spark: SparkSession = SparkSession.active
@@ -215,5 +217,131 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
     fs.delete(p, true)
+  }
+
+  // --------------------------- procedures ----------------------------
+  // SQL maintenance surface: `CALL <catalog>.system.<proc>(...)` — the
+  // table-format operations that are MAINTENANCE (not queries and not
+  // DML) reachable by name: compaction/clustering, retention vacuum,
+  // and roll-forward rollback. Each returns a one-row result scan.
+
+  /** `'db.tbl'` (relative to this catalog) → a handle opened with the
+    * tip's stats columns, so maintenance commits carry the skipping
+    * index forward. */
+  private def handleFor(qualified: String): SnapshotTable = {
+    val parts = qualified.split("\\.")
+    require(parts.length >= 1 && parts.forall(_.nonEmpty),
+      s"procedure table argument must be 'namespace.table', got '$qualified'")
+    val ident = Identifier.of(parts.init, parts.last)
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val probe = new SnapshotTable(spark, p.toString)
+    new SnapshotTable(spark, p.toString, statsCols = probe.tipStatsCols)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): procs.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"catalog '$catName': procedures live under ${catName}.system " +
+        s"(got ${ident.namespace.mkString(".")}.${ident.name})")
+    GraftProcedures.load(ident.name, this, handleFor)
+  }
+}
+
+/** The maintenance procedures (`CALL cat.system.<name>`):
+  *  - `compact(table, target_rows_per_file [, cluster_by])` — rewrite
+  *    the tip into ~target-sized files, optionally range-clustered on a
+  *    column (tight per-file bands for the skipping index), published
+  *    as a dataChange=false version;
+  *  - `vacuum(table, keep_last)` — drop data files and manifests
+  *    outside the retained suffix;
+  *  - `rollback(table, version)` — roll FORWARD to an old version's
+  *    contents as a new version (history stays intact).
+  */
+private[sources] object GraftProcedures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types.{DataTypes, StructField}
+
+  val names: Array[String] = Array("compact", "vacuum", "rollback")
+
+  def load(name: String, catalog: GraftCatalog,
+           handleFor: String => SnapshotTable): UnboundProcedure = name match {
+    case "compact" =>
+      proc("compact", "rewrite the tip into ~target-sized (optionally " +
+        "range-clustered) files as a dataChange=false version",
+        Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("target_rows_per_file", DataTypes.LongType).build(),
+          ProcedureParameter.in("cluster_by", DataTypes.StringType)
+            .defaultValue("CAST(NULL AS STRING)").build()),
+        StructType(Seq(StructField("version", DataTypes.LongType, nullable = false)))) {
+        in =>
+          val t = handleFor(in.getString(0))
+          val cluster = if (in.isNullAt(2)) None else Some(in.getString(2))
+          Seq(t.compact(in.getLong(1), cluster))
+      }
+    case "vacuum" =>
+      proc("vacuum", "drop data files and manifests outside the last " +
+        "keep_last versions",
+        Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("keep_last", DataTypes.IntegerType).build()),
+        StructType(Seq(
+          StructField("tip", DataTypes.LongType, nullable = false),
+          StructField("retained", DataTypes.LongType, nullable = false)))) {
+        in =>
+          val t = handleFor(in.getString(0))
+          t.vacuum(in.getInt(1))
+          val tip = t.latestVersion()
+          Seq(tip, t.history().length.toLong)
+      }
+    case "rollback" =>
+      proc("rollback", "publish an old version's contents as a NEW " +
+        "version (roll-forward; history intact)",
+        Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("version", DataTypes.LongType).build()),
+        StructType(Seq(StructField("version", DataTypes.LongType, nullable = false)))) {
+        in => Seq(handleFor(in.getString(0)).rollbackTo(in.getLong(1)))
+      }
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown procedure 'system.$other' (have: ${names.mkString(", ")})")
+  }
+
+  /** One-row-result procedure scaffold: bind is identity (parameters
+    * carry the types), call runs `body` on the driver and returns a
+    * single local scan with the result row. */
+  private def proc(procName: String, doc: String,
+                   params: Array[ProcedureParameter], out: StructType)
+                  (body: InternalRow => Seq[Any]): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = doc
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = params
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val row = body(input)
+        java.util.Collections.singletonList[Scan](
+          new OneRowScan(out, row)).iterator()
+      }
+    }
+
+  /** A local one-row result for a procedure call (the engine requires
+    * procedure outputs to be LocalScans). */
+  private class OneRowScan(out: StructType, row: Seq[Any])
+      extends org.apache.spark.sql.connector.read.LocalScan {
+    override def readSchema(): StructType = out
+    override def rows(): Array[InternalRow] = Array(InternalRow.fromSeq(row.map {
+      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case other => other
+    }))
   }
 }

@@ -173,6 +173,38 @@ class GraftCatalogSpec extends SparkSpec {
     assert(t.latestVersion() == tipBefore)
   }
 
+  test("CALL system procedures: clustered compact, rollback, vacuum") {
+    spark.sql(s"CREATE TABLE $cat.db.mt (id BIGINT) USING `graft-snapshot` " +
+      "TBLPROPERTIES('stats_cols'='id')")
+    (0 to 2).foreach(i => spark.sql(
+      s"INSERT INTO $cat.db.mt SELECT id FROM range(${i * 100}, ${i * 100 + 100})"))
+    val whRoot = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val t = new SnapshotTable(spark, s"$whRoot/db/mt")
+    assert(t.latestVersion() == 4L)
+    // compact, range-clustered on id — a dataChange=false version
+    val v5 = spark.sql(s"CALL $cat.system.compact('db.mt', 1000000, 'id')")
+      .collect().head.getLong(0)
+    assert(v5 == 5L)
+    val s5 = t.snapshot(5L)
+    assert(!s5.dataChange && s5.statsCols == Seq("id"),
+      "compaction must keep the skipping index and stay feed-invisible")
+    assert(spark.table(s"$cat.db.mt").count() == 300L)
+    // roll-forward rollback to the first insert's contents
+    val v6 = spark.sql(s"CALL $cat.system.rollback('db.mt', 2)")
+      .collect().head.getLong(0)
+    assert(v6 == 6L)
+    assert(spark.table(s"$cat.db.mt").count() == 100L)
+    assert(ids(s"SELECT id FROM $cat.db.mt VERSION AS OF 5").size == 300,
+      "rollback must not rewrite history")
+    // vacuum retention: keep the last 2 versions
+    val vac = spark.sql(s"CALL $cat.system.vacuum('db.mt', 2)").collect().head
+    assert(vac.getLong(0) == 6L && vac.getLong(1) == 2L)
+    assert(spark.table(s"$cat.db.mt").count() == 100L)
+    intercept[Exception](spark.sql(s"SELECT * FROM $cat.db.mt VERSION AS OF 2").collect())
+    // unknown procedure stays loud
+    intercept[Exception](spark.sql(s"CALL $cat.system.doesnotexist('x')"))
+  }
+
   test("namespace listing, rename, and drop guard-rails") {
     spark.sql(s"CREATE NAMESPACE $cat.ns2")
     assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
