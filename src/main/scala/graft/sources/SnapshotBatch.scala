@@ -112,7 +112,29 @@ class GraftSnapshotBatchTable(spark: SparkSession, root: String,
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Row provenance for audits (`SELECT _file, _version, ...`): the
+    * physical data file a row came from and the snapshot version the
+    * relation was pinned at — the "which shard did this bad training
+    * sample come from" question answered without side bookkeeping. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "physical data file holding the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_version"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "snapshot version this relation reads"
+      })
   override def name(): String = s"graft-snapshot:$root"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] = {
@@ -311,11 +333,18 @@ class GraftSnapshotRelation(context: SQLContext, spark: SparkSession,
   override def sqlContext: SQLContext = context
   override def schema: StructType = required
   override def buildScan(): RDD[Row] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, input_file_name, lit}
     val (df, _) = table.readPruned(bands, version)
     val pruned =
       if (required.isEmpty) df.select() // count-style scans need no columns
-      else df.select(required.fieldNames.toIndexedSeq.map(col): _*)
+      else df.select(required.fieldNames.toIndexedSeq.map {
+        // provenance metadata columns, served from the scan itself
+        case "_file" if !df.columns.contains("_file") =>
+          input_file_name().as("_file")
+        case "_version" if !df.columns.contains("_version") =>
+          lit(version).as("_version")
+        case name => col(name)
+      }: _*)
     pruned.rdd
   }
 }

@@ -219,6 +219,21 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!spark.sql(s"SHOW NAMESPACES IN $cat").collect()
       .map(_.getString(0)).contains("ns2"))
   }
+
+  test("_file and _version metadata columns give row provenance") {
+    spark.sql(s"CREATE TABLE $cat.db.prov (id BIGINT) USING `graft-snapshot`")
+    spark.sql(s"INSERT INTO $cat.db.prov VALUES (1)")
+    spark.sql(s"INSERT INTO $cat.db.prov VALUES (2)")
+    val rows = spark.sql(s"SELECT id, _file, _version FROM $cat.db.prov")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows.map(_._1).toSet == Set(1L, 2L))
+    assert(rows.forall(_._3 == 3L), s"_version should be the pinned tip: $rows")
+    assert(rows.map(_._2).distinct.length == 2,
+      s"the two inserts' rows must cite two distinct files: $rows")
+    assert(rows.forall(_._2.contains("/data/")), "provenance should be the physical file")
+    // metadata columns are invisible unless asked for
+    assert(spark.table(s"$cat.db.prov").columns.toSeq == Seq("id"))
+  }
 }
 
 object GraftCatalogSpec {
