@@ -305,12 +305,33 @@ case class SnapshotCountPartition(values: Array[Long])
 
 class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
                         version: Long, required: StructType,
-                        bands: Map[String, (Long, Long)]) extends V1Scan {
+                        bands: Map[String, (Long, Long)]) extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
 
   /** The manifest-planned file list after band pruning — the evidence
     * the connector spec pins (skipping survives the DSv2 path). */
   private[graft] def plannedFiles: Seq[String] = table.readPruned(bands, version)._2
+
+  /** EXACT row count from the manifest (maintained through every commit
+    * path) feeding the planner's broadcast decision — a small snapshot
+    * dimension joins broadcast without hints instead of hiding behind a
+    * default-sized V2 relation. `sizeInBytes` is rows × the schema's
+    * default row width (the manifest records no file sizes); band-pruned
+    * scans keep the unpruned count — an upper bound, conservative in
+    * the safe direction for broadcast planning. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val rows: Option[Long] =
+        try Some(table.snapshot(version).rows)
+        catch { case scala.util.control.NonFatal(_) => None }
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+      override def sizeInBytes(): java.util.OptionalLong =
+        rows.map(n => java.util.OptionalLong.of(
+          math.max(1L, n * math.max(8, required.defaultSize))))
+          .getOrElse(java.util.OptionalLong.empty())
+    }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new GraftSnapshotRelation(context, spark, table, version, required, bands)

@@ -208,4 +208,17 @@ class SnapshotWriteSpec extends SparkSpec {
     assert(filtered.collect().head.getLong(0) == 2L)
     assert(!filtered.queryExecution.executedPlan.toString.contains("GraftSnapshotCountScan"))
   }
+
+  test("manifest-exact statistics drive broadcast planning without hints") {
+    val root = freshRoot("stats4cbo")
+    val t = new SnapshotTable(spark, root)
+    t.commitAppend((1L to 50L).toDF("id")) // small dimension
+    val dim = spark.read.format("graft-snapshot").load(root)
+    val fact = spark.range(0, 200000).toDF("id")
+    val joined = fact.join(dim, "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a 50-row snapshot dim must broadcast from its manifest stats:\n$plan")
+    assert(joined.count() == 50L)
+  }
 }
