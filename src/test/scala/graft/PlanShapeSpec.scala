@@ -72,7 +72,14 @@ class PlanShapeSpec extends SparkSpec {
     "llm_ngram_table" -> 2,
     "llm_dedup_keep_best" -> 3,
     "llm_dup_clusters" -> 3,
-    "llm_decontaminate" -> 2
+    "llm_decontaminate" -> 2,
+    // r13: the video codec queries are pure mapPartitions fan-out over
+    // the fixture files — ZERO shuffles is the scale contract (per-clip
+    // cost, no data movement); the manifest-count query's single
+    // exchange is the two 1-row legs' union aggregation
+    "llm_multimodal_frames" -> 0,
+    "llm_video_meta" -> 0,
+    "misc_snapshot_count" -> 1
   )
 
   test("headline queries keep their pinned shuffle-exchange counts") {
