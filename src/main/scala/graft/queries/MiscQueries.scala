@@ -711,6 +711,64 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // Predicate-PRUNED SQL row-level DML: three clustered INSERTs land
+    // disjoint orderkey thirds; a selective DELETE of the middle third
+    // and an UPDATE of the top third each rewrite ONLY the files whose
+    // stats bands can match (SnapshotDmlScanBuilder pushes the
+    // statement's condition into the DML scan; the commit re-lists the
+    // rest via commitWrittenRewriteFiles). `untouched_kept` pins the
+    // file-identity claim — every out-of-band file survives the
+    // statement UNREWRITTEN — and `noop_skipped` pins that a statement
+    // matching no file publishes no version at all. The version chain
+    // replays in DuckDB.
+    "misc_catalog_dml_pruned" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catdmlp").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gdmlp", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gdmlp.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gdmlp.db")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      base.createOrReplaceTempView("catdmlp_src")
+      val m = base.agg(max(col("o_orderkey"))).head.getLong(0)
+      val (t1, t2) = ((m + 1) / 3, 2 * (m + 1) / 3)
+      s.sql("CREATE TABLE gdmlp.db.orders_dmlp (o_orderkey BIGINT, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_orderkey')")
+      s.sql(s"INSERT INTO gdmlp.db.orders_dmlp SELECT * FROM catdmlp_src WHERE o_orderkey < $t1")
+      s.sql("INSERT INTO gdmlp.db.orders_dmlp SELECT * FROM catdmlp_src " +
+        s"WHERE o_orderkey >= $t1 AND o_orderkey < $t2")
+      s.sql(s"INSERT INTO gdmlp.db.orders_dmlp SELECT * FROM catdmlp_src WHERE o_orderkey >= $t2")
+      val t = new graft.sources.SnapshotTable(s, s"$wh/db/orders_dmlp")
+      // out-of-band files must survive a statement BY IDENTITY
+      def untouchedSurvive(before: graft.sources.Snapshot,
+                           after: graft.sources.Snapshot,
+                           lo: Long, hi: Long): Boolean = {
+        val c = before.statsCols.indexOf("o_orderkey")
+        before.files.indices.forall { i =>
+          val outside = before.stats(c).maxs(i) < lo || before.stats(c).mins(i) > hi
+          !outside || after.files.contains(before.files(i))
+        }
+      }
+      val v4 = t.snapshot(t.latestVersion())
+      s.sql(s"DELETE FROM gdmlp.db.orders_dmlp WHERE o_orderkey >= $t1 AND o_orderkey < $t2")
+      val v5 = t.snapshot(t.latestVersion())
+      val kept1 = untouchedSurvive(v4, v5, t1, t2 - 1)
+      s.sql(s"UPDATE gdmlp.db.orders_dmlp SET cents = cents * 3 WHERE o_orderkey >= $t2")
+      val v6 = t.snapshot(t.latestVersion())
+      val kept2 = untouchedSurvive(v5, v6, t2, Long.MaxValue)
+      // a fully-pruned statement is a no-op: no version published
+      s.sql("DELETE FROM gdmlp.db.orders_dmlp WHERE o_orderkey < 0")
+      val noopSkipped = t.latestVersion() == v6.version
+      t.history().map { snap =>
+        t.read(snap.version)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(snap.version).as("version"), lit(snap.action).as("action"),
+            lit(kept1 && kept2).as("untouched_kept"),
+            lit(noopSkipped).as("noop_skipped"),
+            col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // S5: the universal SQL-text extract primitive (client.query(q)) —
     // spark.sql over a registered view; the result stays distributed
     // instead of collapsing to the driver as the reference's to_dataframe.
@@ -2315,6 +2373,37 @@ UNION ALL
 SELECT 4, 'delete', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM t4
 UNION ALL
 SELECT 5, 'merge', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM t5""",
+
+    // replay of the PRUNED DML chain: v1 empty create, v2..v4 accumulate
+    // the orderkey thirds, v5 deletes the middle third, v6 triples the
+    // top third's cents. untouched_kept / noop_skipped are the pinned
+    // file-surgical invariants (TRUE by construction when the band math
+    // holds — the Spark side computes them from manifest file identity)
+    "misc_catalog_dml_pruned" -> """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders),
+b AS (SELECT CAST((max(k) + 1) // 3 AS BIGINT) AS t1,
+             CAST(2 * (max(k) + 1) // 3 AS BIGINT) AS t2 FROM base),
+v2 AS (SELECT k, c FROM base, b WHERE k < b.t1),
+v3 AS (SELECT k, c FROM base, b WHERE k < b.t2),
+v4 AS (SELECT k, c FROM base),
+v5 AS (SELECT k, c FROM base, b WHERE k < b.t1 OR k >= b.t2),
+v6 AS (SELECT k, CASE WHEN k >= b.t2 THEN 3 * c ELSE c END AS c
+       FROM base, b WHERE k < b.t1 OR k >= b.t2)
+SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS action,
+       TRUE AS untouched_kept, TRUE AS noop_skipped,
+       CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS total_cents
+UNION ALL
+SELECT 2, 'append', TRUE, TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM v2
+UNION ALL
+SELECT 3, 'append', TRUE, TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM v3
+UNION ALL
+SELECT 4, 'append', TRUE, TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM v4
+UNION ALL
+SELECT 5, 'delete', TRUE, TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM v5
+UNION ALL
+SELECT 6, 'update', TRUE, TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM v6""",
 
     // key-arithmetic replay of the three CDF versions: v1 inserts all
     // %4==0 keys, v2 retracts %8==0 pre-images, v3's rewrite diff is

@@ -26,9 +26,50 @@ case class SnapshotDmlSpec(files: Seq[(String, Long)], seqs: Seq[Long],
   * IN the reader: each partition loads its applicable delete-key files
   * (commit-sized parquet) into a hash set and filters rows — the same
   * strictly-greater sequence rule as [[SnapshotTable]]'s read plan.
-  * Full table, NO file pruning: the group-based rewrite replaces the
-  * table with exactly the rows this scan produces, so a skipped file
-  * would silently lose its rows. */
+  * The spec's file list is the operation's GROUP set: the rewrite
+  * replaces exactly these files with the rows this scan produces (so
+  * the scan returns their COMPLETE rows, never row-filtered), and the
+  * commit re-lists every file outside the spec untouched — see
+  * [[SnapshotDmlScanBuilder]] for how the statement's predicate prunes
+  * the spec down from the full table. */
+/** ScanBuilder for the row-level DML read, with PREDICATE-PRUNED group
+  * planning: Spark's group-based row-level planning pushes the
+  * statement's condition here as V1 filters; the band-derivable,
+  * null-rejecting conjuncts prune whole files off the manifest (the
+  * same skipping index the ordinary read path uses), and the scan then
+  * plans ONLY the files that can hold a matching row. Pruned files are
+  * reported back through `onPlanned` so the replacement commit
+  * re-lists them untouched ([[SnapshotTable.commitWrittenRewriteFiles]])
+  * instead of rewriting the whole table — a point UPDATE/DELETE on a
+  * 100 TB table costs its matched files, not 100 TB.
+  *
+  * Correctness split: pruning is FILE-level only. Every filter is
+  * handed back to Spark (the rewrite plan re-evaluates the full
+  * condition on the row stream), and the scan never row-filters —
+  * non-matching rows of a planned file must flow through to the
+  * replacement write or they would be lost with the file. */
+class SnapshotDmlScanBuilder(spark: SparkSession, table: SnapshotTable,
+                             base: Long, root: String,
+                             onPlanned: (Seq[String], Boolean) => Unit)
+    extends ScanBuilder with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.Filter
+
+  private var pruning: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pruning = filters.filter(f => SnapshotBatch.bandOf(f).isDefined)
+    filters // group pruning only — Spark keeps row-level evaluation
+  }
+  override def pushedFilters(): Array[Filter] = pruning
+
+  override def build(): Scan = {
+    val (spec, scannedRel, full) =
+      table.dmlSpecPruned(base, SnapshotBatch.bandsOf(pruning.toSeq))
+    onPlanned(scannedRel, full)
+    new SnapshotDmlScan(spark, spec, base, root)
+  }
+}
+
 class SnapshotDmlScan(spark: SparkSession, spec: SnapshotDmlSpec,
                       version: Long, root: String) extends Scan with Batch {
   override def readSchema(): StructType = spec.schema

@@ -1166,6 +1166,54 @@ class SnapshotTable(spark: SparkSession, root: String,
       rows, Some(normalizeSchema(batchSchema).json))
   }
 
+  /** Publish pre-written files as the replacement of EXACTLY
+    * `removedRel` (relative paths), re-listing every other tip file
+    * untouched — the pruned row-level DML commit: a selective SQL
+    * UPDATE/DELETE/MERGE scans only the files whose stats bands can
+    * match its predicate, rewrites those, and this commit carries the
+    * rest forward by identity (same path, same stats, same sequence),
+    * so the statement's I/O tracks MATCHED bytes, not table size.
+    * MOR bookkeeping carries forward unchanged: kept files keep their
+    * sequences (existing delete files still apply to them at read),
+    * replacement files get sequence `base + 1` (newer than every
+    * delete, so none applies — their rows were already read THROUGH
+    * the deletes by the DML scan, which absorbs them for the rewritten
+    * files). Exact row accounting costs one count over ONLY the
+    * removed files (through their deletes) — still O(matched), never
+    * O(table). Same snapshot-isolation validation as
+    * [[commitWrittenReplaceAtBase]]: None = tip moved, caller
+    * surfaces the conflict. */
+  private[sources] def commitWrittenRewriteFiles(base: Long, action: String,
+                                                 removedRel: Seq[String],
+                                                 files: Seq[String],
+                                                 stats: Seq[ColStats], addedRows: Long,
+                                                 batchSchema: StructType): Option[Long] = {
+    val snapBase = snapshot(base)
+    val prev = fileSetOf(snapBase)
+    val removed = removedRel.toSet
+    val unknown = removed.diff(prev.files.toSet)
+    require(unknown.isEmpty,
+      s"$action rewrite at $root: removed files not in v$base's manifest: " +
+        unknown.mkString(", "))
+    val keptIdx = prev.files.indices.filterNot(i => removed.contains(prev.files(i)))
+    val removedIdx = prev.files.indices.filter(i => removed.contains(prev.files(i)))
+    val removedRows =
+      if (removedIdx.isEmpty) 0L
+      else morPlan(snapBase, removedIdx, mergeSchema = false).count()
+    val fls = FileSet(
+      files = keptIdx.map(prev.files) ++ files,
+      stats = concatStats(sliceStats(prev.stats, keptIdx), stats),
+      seqs = keptIdx.map(prev.seqs) ++ Seq.fill(files.length)(base + 1),
+      deletes = prev.deletes, deleteSeqs = prev.deleteSeqs,
+      deleteKey = prev.deleteKey)
+    require(fls.files.nonEmpty,
+      s"$action rewrite at $root would publish a file-less manifest")
+    // row-level DML never evolves the schema: publish the base's
+    // recorded one so time travel and change feeds stay consistent
+    publishAtBase(base, action, fls, snapBase.rows - removedRows + addedRows,
+      snapBase.schemaJson.orElse(Some(normalizeSchema(batchSchema).json)))
+  }
+
   /** The tip's recorded stats columns (empty on an empty/stats-less
     * table) — what a by-name consumer (catalog, sink) opens handles
     * with so appended manifests carry the skipping index forward. */
@@ -1182,18 +1230,41 @@ class SnapshotTable(spark: SparkSession, root: String,
     * schema ([[SnapshotDmlScan]] — the row-level DML read). Lengths come
     * from one getFileStatus per file: planning cost O(files), no data
     * read. */
-  private[sources] def dmlSpec(version: Long): SnapshotDmlSpec = {
+  private[sources] def dmlSpec(version: Long): SnapshotDmlSpec =
+    dmlSpecPruned(version, Map.empty)._1
+
+  /** [[dmlSpec]] PRUNED to the files whose stats bands CAN hold a row
+    * matching `bands` (the row-level statement's pushed null-rejecting
+    * conjuncts — the same overlap rule as [[readPruned]]). Also returns
+    * the RELATIVE paths of the planned files (what
+    * [[commitWrittenRewriteFiles]] must remove) and whether the scan
+    * covers the full table. Soundness: a pruned file provably holds no
+    * row the statement's predicate matches (bands cover every non-null
+    * value; the pushed predicates reject NULLs), so keeping it OUT of
+    * the scan and re-listing it untouched preserves exactly its rows —
+    * files with unknown/absent stats always overlap and are never
+    * pruned. */
+  private[sources] def dmlSpecPruned(version: Long, bands: Map[String, (Long, Long)])
+      : (SnapshotDmlSpec, Seq[String], Boolean) = {
     val s = snapshot(version)
     val fl = fileSetOf(s)
+    val active = bands.filter { case (c, _) => statsCols.contains(c) }
+    val keep = fl.files.indices.filter { i =>
+      active.forall { case (c, (lo, hi)) =>
+        val cs = fl.stats(statsCols.indexOf(c))
+        cs.maxs(i) >= lo && cs.mins(i) <= hi
+      }
+    }
     def abs(rel: String) = new Path(dataDir, rel)
     def len(p: Path): Long = fs.getFileStatus(p).getLen
-    SnapshotDmlSpec(
-      files = fl.files.map(f => { val p = abs(f); (p.toString, len(p)) }),
-      seqs = fl.seqs,
+    val spec = SnapshotDmlSpec(
+      files = keep.map(i => { val p = abs(fl.files(i)); (p.toString, len(p)) }),
+      seqs = keep.map(fl.seqs),
       deletes = fl.deletes.map(f => { val p = abs(f); (p.toString, len(p)) }),
       deleteSeqs = fl.deleteSeqs,
       deleteKey = fl.deleteKey,
       schema = s.schemaJson.map(parseSchema).getOrElse(read(version).schema))
+    (spec, keep.map(fl.files), keep.length == fl.files.length)
   }
 
   /** Fail-fast evolution gate for a distributed append: validates the

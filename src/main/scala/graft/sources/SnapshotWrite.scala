@@ -69,6 +69,12 @@ object SnapshotCommitMode {
     * ([[SnapshotTable.commitWrittenReplaceAtBase]]): a concurrent commit
     * surfaces as a conflict instead of being silently erased. */
   case class ReplaceAtBase(base: Long, action: String) extends SnapshotCommitMode
+  /** New files replace exactly `removed` (the DML scan's pruned group
+    * set); every other tip file is re-listed untouched
+    * ([[SnapshotTable.commitWrittenRewriteFiles]]). Same at-base
+    * validity rule as [[ReplaceAtBase]]. */
+  case class RewriteFiles(base: Long, removed: Seq[String], action: String)
+      extends SnapshotCommitMode
   /** New files replace exactly the rows with `column` ∈ [lo, hi] —
     * overwrite-by-filter mapped onto the file-surgical
     * [[SnapshotTable.commitWrittenReplaceWhere]]. */
@@ -207,19 +213,33 @@ class GraftSnapshotBatchWrite(spark: SparkSession, root: String,
           ensured.map(_.rows), schema)
       case SnapshotCommitMode.ReplaceAtBase(base, action) =>
         table.commitWrittenReplaceAtBase(base, action, files, stats, rows, schema)
-          .getOrElse {
-            // snapshot-isolation conflict: a concurrent commit moved the
-            // tip past the version this DML statement read. A blind
-            // retry here would erase that commit's rows — surface it.
-            val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            fs.delete(new Path(dataDir, commitUuid), true)
-            throw new java.util.ConcurrentModificationException(
-              s"$action on $root: table version moved past v$base while the " +
-                "statement ran (concurrent writer); re-run the statement " +
-                "against the new snapshot")
-          }
+          .getOrElse(dmlConflict(base, action))
+      case SnapshotCommitMode.RewriteFiles(_, removed, _)
+          if removed.isEmpty && rows == 0L =>
+        // fully-pruned no-op (DELETE/UPDATE matched nothing, and — for
+        // MERGE — no inserts either): publish no version at all; drop
+        // the commit dir (it holds at most the driver's empty
+        // schema-bearing file)
+        val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(dataDir, commitUuid), true)
+      case SnapshotCommitMode.RewriteFiles(base, removed, action) =>
+        table.commitWrittenRewriteFiles(base, action, removed, files, stats,
+            rows, schema)
+          .getOrElse(dmlConflict(base, action))
     }
     ()
+  }
+
+  /** Snapshot-isolation conflict: a concurrent commit moved the tip
+    * past the version this DML statement read. A blind retry here
+    * would erase that commit's rows — surface it. */
+  private def dmlConflict(base: Long, action: String): Nothing = {
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dataDir, commitUuid), true)
+    throw new java.util.ConcurrentModificationException(
+      s"$action on $root: table version moved past v$base while the " +
+        "statement ran (concurrent writer); re-run the statement " +
+        "against the new snapshot")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -271,22 +291,38 @@ class GraftSnapshotRowLevelOperation(spark: SparkSession, root: String,
   private val table = new SnapshotTable(spark, root, statsCols)
   private val base = table.latestVersion()
 
+  /** Set when the (pruned) scan is planned — optimizer time, strictly
+    * before the write's toBatch: the relative paths the scan covers and
+    * whether that is the whole table. */
+  @volatile private var planned: Option[(Seq[String], Boolean)] = None
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder = {
     require(base > 0, s"${cmd.name} on empty table at $root")
-    // full-table, unpruned, pinned-version Batch scan (see class doc)
-    () => new SnapshotDmlScan(spark, table.dmlSpec(base), base, root)
+    // pinned-version Batch scan, file-pruned by the statement's pushed
+    // predicate (see SnapshotDmlScanBuilder)
+    new SnapshotDmlScanBuilder(spark, table, base, root,
+      (rel, full) => planned = Some((rel, full)))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
+        override def toBatch: BatchWrite = {
+          // resolved HERE (physical planning, after the scan is built):
+          // a pruned scan rewrites only its planned files; a full scan
+          // keeps the absorb-the-MOR-deletes full replacement
+          val mode = planned match {
+            case Some((rel, false)) =>
+              SnapshotCommitMode.RewriteFiles(base, rel, cmd.name.toLowerCase)
+            case _ =>
+              SnapshotCommitMode.ReplaceAtBase(base, cmd.name.toLowerCase)
+          }
           new GraftSnapshotBatchWrite(spark, root, info.schema(), statsCols,
-            SnapshotCommitMode.ReplaceAtBase(base, cmd.name.toLowerCase),
-            opColumn = true)
+            mode, opColumn = true)
+        }
       }
     }
 

@@ -72,6 +72,89 @@ class GraftCatalogSpec extends SparkSpec {
       Seq("overwrite", "append", "delete", "update", "merge"))
   }
 
+  test("selective SQL DELETE/UPDATE rewrites ONLY band-matching files") {
+    spark.sql(s"CREATE TABLE $cat.db.pruned (id BIGINT, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='id')")
+    // three clustered inserts -> several files with tight, disjoint id bands
+    spark.sql(s"INSERT INTO $cat.db.pruned SELECT id, id AS v FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $cat.db.pruned SELECT id, id AS v FROM range(100, 200)")
+    spark.sql(s"INSERT INTO $cat.db.pruned SELECT id, id AS v FROM range(200, 300)")
+    val whRoot = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val t = new SnapshotTable(spark, s"$whRoot/db/pruned", Seq("id"))
+
+    def filesMatching(s: graft.sources.Snapshot, lo: Long, hi: Long)
+        : (Seq[String], Seq[String]) = {
+      val cs = s.stats.head // statsCols == Seq("id")
+      val (m, u) = s.files.indices.partition(i => cs.maxs(i) >= lo && cs.mins(i) <= hi)
+      (m.map(s.files), u.map(s.files))
+    }
+
+    val before = t.snapshot(t.latestVersion())
+    val (matched, untouched) = filesMatching(before, 150, 150)
+    assert(matched.nonEmpty && untouched.nonEmpty, "test needs both sides")
+    spark.sql(s"DELETE FROM $cat.db.pruned WHERE id = 150")
+    val after = t.snapshot(t.latestVersion())
+    assert(after.action == "delete")
+    // unmatched-band files survive the statement BY FILE IDENTITY —
+    // the point UPDATE/DELETE never rewrote them
+    untouched.foreach(f => assert(after.files.contains(f), s"$f was rewritten"))
+    matched.foreach(f => assert(!after.files.contains(f), s"$f not replaced"))
+    assert(after.rows == 299L)
+    assert(spark.table(s"$cat.db.pruned").count() == 299L)
+    assert(!ids(s"SELECT id FROM $cat.db.pruned").contains(150L))
+
+    // UPDATE: same discipline on a range predicate
+    val (m2, u2) = filesMatching(after, 250, 260)
+    assert(m2.nonEmpty && u2.nonEmpty)
+    spark.sql(s"UPDATE $cat.db.pruned SET v = -1 WHERE id BETWEEN 250 AND 260")
+    val after2 = t.snapshot(t.latestVersion())
+    u2.foreach(f => assert(after2.files.contains(f), s"$f was rewritten"))
+    m2.foreach(f => assert(!after2.files.contains(f), s"$f not replaced"))
+    assert(after2.rows == 299L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.pruned WHERE v = -1")
+      .head.getLong(0) == 11L)
+    // rows OUTSIDE the predicate inside matched files survived the rewrite
+    assert(spark.table(s"$cat.db.pruned").count() == 299L)
+
+    // a statement whose predicate matches NO file publishes NO version
+    val tip = t.latestVersion()
+    spark.sql(s"DELETE FROM $cat.db.pruned WHERE id = 5000")
+    assert(t.latestVersion() == tip, "fully-pruned no-op must not commit")
+
+    // an unprunable statement still replaces the full table, no stale files
+    spark.sql(s"UPDATE $cat.db.pruned SET v = v + 1 WHERE v >= 0")
+    val after3 = t.snapshot(t.latestVersion())
+    assert(after3.files.intersect(after2.files).isEmpty)
+    assert(spark.table(s"$cat.db.pruned").count() == 299L)
+  }
+
+  test("pruned DML composes with MOR deletes: kept files keep their sequences") {
+    spark.sql(s"CREATE TABLE $cat.db.prunedmor (id BIGINT, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='id')")
+    spark.sql(s"INSERT INTO $cat.db.prunedmor SELECT id, id AS v FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $cat.db.prunedmor SELECT id, id AS v FROM range(100, 200)")
+    val whRoot = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val t = new SnapshotTable(spark, s"$whRoot/db/prunedmor", Seq("id"))
+    // a MOR delete of keys spread across BOTH bands (no rewrite happened)
+    t.commitDeleteByKey(Seq(10L, 110L).toDF("id"), Seq("id"))
+    assert(spark.table(s"$cat.db.prunedmor").count() == 198L)
+    // pruned SQL DELETE touching only the high band: the low band's
+    // files carry over with their ORIGINAL sequence, so the MOR delete
+    // of id=10 still applies to them at read
+    spark.sql(s"DELETE FROM $cat.db.prunedmor WHERE id = 150")
+    val after = t.snapshot(t.latestVersion())
+    assert(after.action == "delete" && after.deletes.nonEmpty)
+    assert(after.rows == 197L)
+    val got = ids(s"SELECT id FROM $cat.db.prunedmor")
+    assert(spark.table(s"$cat.db.prunedmor").count() == 197L)
+    assert(!got.contains(10L) && !got.contains(110L) && !got.contains(150L))
+    // the rewritten files ABSORBED the MOR delete for their band: a
+    // re-insert of 110 must survive (delete applies only to older seqs)
+    spark.sql(s"INSERT INTO $cat.db.prunedmor VALUES (110, -1)")
+    assert(ids(s"SELECT id FROM $cat.db.prunedmor").contains(110L))
+    assert(spark.table(s"$cat.db.prunedmor").count() == 198L)
+  }
+
   test("TRUNCATE TABLE commits an empty version; history stays readable") {
     spark.sql(s"CREATE TABLE $cat.db.trunc (id BIGINT) USING `graft-snapshot`")
     spark.sql(s"INSERT INTO $cat.db.trunc VALUES (1), (2)")
