@@ -769,6 +769,48 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // SQL DELETE via MERGE-ON-READ: the table opts in with
+    // write.delete.mode='merge-on-read' + write.delete.key, and
+    // `DELETE FROM … WHERE …` publishes `delete_mor` versions (key
+    // files + manifest re-list, NO data rewrite —
+    // GraftSnapshotDeltaDeleteOperation). The chain exercises the
+    // equality-delete sequencing rule (a re-inserted key survives the
+    // earlier delete) and `cdf_deletes` pins the change feed's
+    // retraction replay. Actions in the history output prove the SQL
+    // statements took the MOR path. Replayed in DuckDB by key
+    // arithmetic.
+    "misc_catalog_dml_mor" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catmor").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gmor", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gmor.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gmor.db")
+      Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("catmor_src")
+      s.sql("CREATE TABLE gmor.db.orders_mor (o_orderkey BIGINT, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_orderkey', " +
+        "'write.delete.mode'='merge-on-read', 'write.delete.key'='o_orderkey')")
+      s.sql("INSERT INTO gmor.db.orders_mor " +
+        "SELECT * FROM catmor_src WHERE o_orderkey % 3 = 0")
+      s.sql("DELETE FROM gmor.db.orders_mor WHERE o_orderkey % 9 = 0")
+      // re-insert a slice of the deleted keys at 7c: they must SURVIVE
+      // the earlier equality delete (strictly-smaller-sequence rule)
+      s.sql("INSERT INTO gmor.db.orders_mor SELECT o_orderkey, cents * 7 " +
+        "FROM catmor_src WHERE o_orderkey % 18 = 0")
+      s.sql("DELETE FROM gmor.db.orders_mor WHERE o_orderkey % 6 = 3")
+      val t = new graft.sources.SnapshotTable(s, s"$wh/db/orders_mor")
+      val cdfDeletes = t.readChangeFeed(1, t.latestVersion())
+        .filter(col("_change_type") === "delete").count()
+      t.history().map { snap =>
+        t.read(snap.version)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(snap.version).as("version"), lit(snap.action).as("action"),
+            lit(cdfDeletes).as("cdf_deletes"),
+            col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // S5: the universal SQL-text extract primitive (client.query(q)) —
     // spark.sql over a registered view; the result stays distributed
     // instead of collapsing to the driver as the reference's to_dataframe.
@@ -2404,6 +2446,38 @@ UNION ALL
 SELECT 5, 'delete', TRUE, TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM v5
 UNION ALL
 SELECT 6, 'update', TRUE, TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM v6""",
+
+    // replay of the SQL merge-on-read DELETE chain: v2 = keys %3==0,
+    // v3 MOR-deletes %9==0, v4 re-inserts %18==0 at 7c (survives the
+    // earlier delete by sequencing), v5 MOR-deletes %6==3.
+    // cdf_deletes = retractions the change feed must replay
+    "misc_catalog_dml_mor" -> """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders),
+t2 AS (SELECT k, c FROM base WHERE k % 3 = 0),
+t3 AS (SELECT k, c FROM t2 WHERE NOT k % 9 = 0),
+t4 AS (SELECT k, c FROM t3
+       UNION ALL SELECT k, 7 * c AS c FROM base WHERE k % 18 = 0),
+t5 AS (SELECT k, c FROM t4 WHERE NOT k % 6 = 3),
+cd AS (SELECT (SELECT count(*) FROM t2 WHERE k % 9 = 0) +
+              (SELECT count(*) FROM t4 WHERE k % 6 = 3) AS n)
+SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS action,
+       CAST(cd.n AS BIGINT) AS cdf_deletes,
+       CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS total_cents
+FROM cd
+UNION ALL
+SELECT 2, 'append', CAST(cd.n AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(sum(c) AS BIGINT) FROM t2, cd GROUP BY cd.n
+UNION ALL
+SELECT 3, 'delete_mor', CAST(cd.n AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(sum(c) AS BIGINT) FROM t3, cd GROUP BY cd.n
+UNION ALL
+SELECT 4, 'append', CAST(cd.n AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(sum(c) AS BIGINT) FROM t4, cd GROUP BY cd.n
+UNION ALL
+SELECT 5, 'delete_mor', CAST(cd.n AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(sum(c) AS BIGINT) FROM t5, cd GROUP BY cd.n""",
 
     // key-arithmetic replay of the three CDF versions: v1 inserts all
     // %4==0 keys, v2 retracts %8==0 pre-images, v3's rewrite diff is

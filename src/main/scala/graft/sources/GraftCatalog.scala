@@ -83,9 +83,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     options.foreach { case (k, v) => props.put(k, v) }
     val pinned @ (handle, version) =
       SnapshotBatch.resolve(spark, new CaseInsensitiveStringMap(props))
-    new GraftSnapshotBatchTable(spark, p.toString, handle.read(version).schema,
-      Some(pinned), writeStatsCols = handle.statsColumns)
+    val tableProps = handle.tableProperties
+    val raw = handle.read(version).schema
+    // a declared equality-delete key is an IDENTIFIER: report it
+    // non-nullable (Spark requires non-null row IDs for delta-based
+    // DML, and the output resolver then enforces NOT NULL on catalog
+    // INSERTs — the Iceberg required-identifier-field idiom). DDL
+    // validation proved existing data holds no NULL keys; path-based
+    // writers bypassing the catalog must honor the same contract.
+    val keyCols = tableProps.get("write.delete.key")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val schema =
+      if (keyCols.isEmpty) raw
+      else StructType(raw.fields.map(f =>
+        if (keyCols.contains(f.name)) f.copy(nullable = false) else f))
+    new GraftSnapshotBatchTable(spark, p.toString, schema,
+      Some(pinned), writeStatsCols = handle.statsColumns,
+      props = tableProps)
   }
+
+  /** Known-key validation for SET TBLPROPERTIES / CREATE TBLPROPERTIES —
+    * a typo'd mode or a delete key naming a missing column must fail at
+    * DDL time, not at the first DELETE statement. */
+  private def validateProperty(t: SnapshotTable, key: String, value: String): Unit =
+    key match {
+      case "write.delete.mode" =>
+        require(value == "copy-on-write" || value == "merge-on-read",
+          s"write.delete.mode must be 'copy-on-write' or 'merge-on-read'; got '$value'")
+      case "write.delete.key" =>
+        val cols = value.split(",").map(_.trim).filter(_.nonEmpty)
+        require(cols.nonEmpty, "write.delete.key must name at least one column")
+        val cur = t.read(t.latestVersion())
+        val missing = cols.filterNot(cur.schema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"write.delete.key columns ${missing.mkString(",")} not in the " +
+            s"table schema (${cur.schema.fieldNames.mkString(",")})")
+        // the key becomes a required identifier (reported non-null):
+        // existing NULLs would make that claim — and equality deletes —
+        // silently wrong, so reject them at DDL time
+        import org.apache.spark.sql.functions.col
+        val withNull = cur.filter(
+          cols.map(c => col(c).isNull).reduce(_ || _)).limit(1).count()
+        require(withNull == 0,
+          s"write.delete.key (${cols.mkString(",")}) has NULLs in existing " +
+            "rows — an equality-delete identifier must be non-null")
+      case _ => ()
+    }
 
   override def loadTable(ident: Identifier): Table = load(ident, Map.empty)
 
@@ -129,6 +173,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       statsCols.indices.map(c =>
         ColStats(Seq(msg.mins(c)), Seq(msg.maxs(c)), Seq(msg.nulls(c)))),
       0L, schema)
+    // persist user TBLPROPERTIES (config sidecar) — minus the keys Spark
+    // injects and stats_cols, which lives in the manifests themselves
+    val reserved = Set("provider", "location", "owner", "comment",
+      "external", "stats_cols")
+    val userProps = scala.jdk.CollectionConverters.MapHasAsScala(properties)
+      .asScala.toMap
+      .filterNot { case (k, _) => reserved.contains(k) || k.startsWith("option.") }
+    userProps.foreach { case (k, v) => validateProperty(t, k, v) }
+    if (userProps.nonEmpty) t.setTableProperties(userProps)
     loadTable(ident)
   }
 
@@ -148,10 +201,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(add.isNullable,
           "added columns must be nullable (existing rows null-fill)")
         t.commitAddColumn(add.fieldNames.head, add.dataType)
+      case set: TableChange.SetProperty =>
+        // property edits are CONFIG (props sidecar), not data commits
+        validateProperty(t, set.property, set.value)
+        t.setTableProperties(t.tableProperties + (set.property -> set.value))
+      case unset: TableChange.RemoveProperty =>
+        t.setTableProperties(t.tableProperties - unset.property)
       case other => throw new UnsupportedOperationException(
         s"catalog '$catName': unsupported ALTER ${other.getClass.getSimpleName} — " +
-          "snapshot tables support ADD COLUMN (additive evolution); " +
-          "type widening happens at write time, anything else is a rewrite")
+          "snapshot tables support ADD COLUMN (additive evolution) and " +
+          "SET/UNSET TBLPROPERTIES; type widening happens at write time, " +
+          "anything else is a rewrite")
     }
     loadTable(ident)
   }

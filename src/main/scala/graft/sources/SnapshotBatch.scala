@@ -108,7 +108,8 @@ object SnapshotBatch {
 class GraftSnapshotBatchTable(spark: SparkSession, root: String,
                               tableSchema: StructType,
                               pinned: Option[(SnapshotTable, Long)] = None,
-                              writeStatsCols: Seq[String] = Seq.empty)
+                              writeStatsCols: Seq[String] = Seq.empty,
+                              props: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -137,6 +138,11 @@ class GraftSnapshotBatchTable(spark: SparkSession, root: String,
       })
   override def name(): String = s"graft-snapshot:$root"
   override def schema(): StructType = tableSchema
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    props.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -157,13 +163,15 @@ class GraftSnapshotBatchTable(spark: SparkSession, root: String,
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftSnapshotWriteBuilder(spark, root, info.schema(), statsColsForWrite)
 
-  /** SQL DELETE/UPDATE/MERGE — group-based copy-on-write rewrite
-    * committed with snapshot-isolation validation (see
-    * [[GraftSnapshotRowLevelOperation]]). */
+  /** SQL DELETE/UPDATE/MERGE — predicate-pruned group-based
+    * copy-on-write rewrite by default ([[GraftSnapshotRowLevelOperation]]),
+    * or merge-on-read equality deletes when the table opts in via
+    * `write.delete.mode='merge-on-read'` + `write.delete.key`
+    * ([[GraftSnapshotDeltaDeleteOperation]]). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new GraftSnapshotRowLevelBuilder(spark, root, statsColsForWrite, info)
+    new GraftSnapshotRowLevelBuilder(spark, root, statsColsForWrite, info, props)
 
   /** SQL TRUNCATE TABLE: an empty overwrite version — history (and time
     * travel to it) stays intact, exactly like every other commit. */

@@ -1214,6 +1214,79 @@ class SnapshotTable(spark: SparkSession, root: String,
       snapBase.schemaJson.orElse(Some(normalizeSchema(batchSchema).json)))
   }
 
+  /** Publish PRE-WRITTEN delete-key files as a merge-on-read DELETE at
+    * exactly `base + 1` — the SQL `DELETE FROM … WHERE …` commit when
+    * the table opts in via `write.delete.mode='merge-on-read'`:
+    * O(matched keys) written, no data file rewritten, readers anti-join
+    * (exactly [[commitDeleteByKey]], distributed). `deltaRows` is the
+    * number of rows the statement's predicate matched (the delta
+    * writer's delete() calls). The exact-count scan doubles as the
+    * key-uniqueness guard: an equality delete removes EVERY live row
+    * sharing a matched key, so if that count differs from the
+    * predicate's, executing it would delete rows the statement never
+    * named (key not row-unique) or silently miss NULL-keyed rows (NULL
+    * never equality-matches) — refuse loudly either way. Same at-base
+    * snapshot-isolation validation as the other SQL DML commits. */
+  private[sources] def commitWrittenDeleteByKey(base: Long, keyFiles: Seq[String],
+                                                keyCols: Seq[String],
+                                                deltaRows: Long): Option[Long] = {
+    keyCols.foreach(jsonSafe(_, "delete-key column"))
+    val snapBase = snapshot(base)
+    val prev = fileSetOf(snapBase)
+    require(prev.deleteKey.isEmpty || prev.deleteKey == keyCols,
+      s"table at $root already carries MOR deletes keyed by " +
+        s"(${prev.deleteKey.mkString(",")}); got (${keyCols.mkString(",")})")
+    import org.apache.spark.sql.functions.col
+    val removed = read(base).join(
+      spark.read.parquet(keyFiles.map(f => new Path(dataDir, f).toString): _*)
+        .select(keyCols.map(col): _*).distinct(),
+      keyCols, "left_semi").count()
+    require(removed == deltaRows,
+      s"merge-on-read DELETE at $root: the predicate matched $deltaRows rows " +
+        s"but an equality delete on (${keyCols.mkString(",")}) would remove " +
+        s"$removed — write.delete.key must be row-unique and non-null for " +
+        "the matched rows (use copy-on-write mode for non-key predicates)")
+    publishAtBase(base, "delete_mor", prev.copy(
+      deletes = prev.deletes ++ keyFiles,
+      deleteSeqs = prev.deleteSeqs ++ Seq.fill(keyFiles.length)(base + 1),
+      deleteKey = keyCols), snapBase.rows - removed, snapBase.schemaJson)
+  }
+
+  // ----- table-properties sidecar ----------------------------------
+
+  private def propsPath = new Path(snapsDir, "_props.json")
+
+  /** Table properties (`_snapshots/_props.json`): catalog-level
+    * CONFIGURATION — e.g. `write.delete.mode` / `write.delete.key` —
+    * kept OUTSIDE the versioned manifest chain: changing a property is
+    * an admin action, not a data change, so it publishes no version
+    * and is not time-traveled. Written whole on CREATE/ALTER (last
+    * writer wins; concurrent property edits are an operator error, not
+    * a data race — data commits never touch this file). Absent file =
+    * no properties. */
+  def tableProperties: Map[String, String] = {
+    if (!probeExists(propsPath)) return Map.empty
+    val in = fs.open(propsPath)
+    val txt = try {
+      val bytes = new Array[Byte](fs.getFileStatus(propsPath).getLen.toInt)
+      in.readFully(bytes); new String(bytes, "UTF-8")
+    } finally in.close()
+    "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  /** Replace the property set (validated JSON-safe). Empty map deletes
+    * the sidecar. */
+  def setTableProperties(props: Map[String, String]): Unit = {
+    if (props.isEmpty) { fs.delete(propsPath, false); return }
+    val body = props.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""${jsonSafe(k, "property key")}": "${jsonSafe(v, "property value")}""""
+    }.mkString("{\n  ", ",\n  ", "\n}\n")
+    fs.mkdirs(snapsDir)
+    val out = fs.create(propsPath, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
   /** The tip's recorded stats columns (empty on an empty/stats-less
     * table) — what a by-name consumer (catalog, sink) opens handles
     * with so appended manifests carry the skipping index forward. */

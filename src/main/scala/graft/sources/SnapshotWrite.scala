@@ -277,10 +277,31 @@ class GraftSnapshotBatchWrite(spark: SparkSession, root: String,
   * and absorbs them). */
 class GraftSnapshotRowLevelBuilder(spark: SparkSession, root: String,
                                    statsCols: Seq[String],
-                                   info: RowLevelOperationInfo)
+                                   info: RowLevelOperationInfo,
+                                   props: Map[String, String] = Map.empty)
     extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation =
-    new GraftSnapshotRowLevelOperation(spark, root, statsCols, info.command())
+  override def build(): RowLevelOperation = {
+    val mode = props.getOrElse("write.delete.mode", "copy-on-write")
+    require(mode == "copy-on-write" || mode == "merge-on-read",
+      s"write.delete.mode at $root must be 'copy-on-write' or " +
+        s"'merge-on-read'; got '$mode'")
+    if (mode == "merge-on-read" &&
+        info.command() == RowLevelOperation.Command.DELETE) {
+      val keyCols = props.get("write.delete.key")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      require(keyCols.nonEmpty,
+        s"write.delete.mode='merge-on-read' at $root needs " +
+          "write.delete.key = '<col>[,<col>…]' (a row-unique equality key)")
+      new GraftSnapshotDeltaDeleteOperation(spark, root, statsCols, keyCols)
+    } else {
+      // UPDATE/MERGE stay copy-on-write even under merge-on-read mode:
+      // an update-as-equality-delete+reinsert would resurrect wrongly
+      // under the Iceberg sequencing rule when the same key is touched
+      // twice between compactions — the rewrite is the correct path.
+      new GraftSnapshotRowLevelOperation(spark, root, statsCols, info.command())
+    }
+  }
 }
 
 class GraftSnapshotRowLevelOperation(spark: SparkSession, root: String,
@@ -328,6 +349,146 @@ class GraftSnapshotRowLevelOperation(spark: SparkSession, root: String,
 
   override def description(): String =
     s"graft-snapshot ${cmd.name} at v$base of $root"
+}
+
+/** SQL `DELETE FROM … WHERE …` as a MERGE-ON-READ delta operation
+  * (Spark's [[SupportsDelta]]): the rewrite plans only the MATCHING
+  * rows (condition applied, scan file-pruned by the same band math as
+  * the copy-on-write path), projects them to the table's declared
+  * equality key (`write.delete.key`), and the delta writers emit
+  * commit-sized delete-KEY parquet files — no data file is rewritten.
+  * The commit publishes a `delete_mor` version exactly like the Scala
+  * [[SnapshotTable.commitDeleteByKey]]: readers anti-join, the next
+  * compaction materializes, change feeds replay the retraction, and a
+  * later re-insert of a deleted key survives (the equality-delete
+  * sequencing rule). This is the DELETE that survives 100 TB — cost
+  * O(matched keys) written + one scan for the exact count, versus the
+  * copy-on-write path's O(matched files) rewrite.
+  *
+  * Contract: `write.delete.key` must be row-unique and non-null for
+  * the matched rows; the commit VERIFIES this (predicate-matched count
+  * vs equality-removed count) and refuses loudly on divergence rather
+  * than deleting rows the statement never named. */
+class GraftSnapshotDeltaDeleteOperation(spark: SparkSession, root: String,
+                                        statsCols: Seq[String],
+                                        keyCols: Seq[String])
+    extends RowLevelOperation with SupportsDelta {
+  private val table = new SnapshotTable(spark, root, statsCols)
+  private val base = table.latestVersion()
+
+  override def command(): RowLevelOperation.Command =
+    RowLevelOperation.Command.DELETE
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    keyCols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    require(base > 0, s"DELETE on empty table at $root")
+    // same pruned pinned-version scan as the CoW path; the planned-file
+    // callback is unused — a delta commit removes no files
+    new SnapshotDmlScanBuilder(spark, table, base, root, (_, _) => ())
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite = {
+          val keySchema = if (info.rowIdSchema().isPresent) info.rowIdSchema().get
+            else {
+              val full = table.read(base).schema
+              StructType(keyCols.map(c => full.fields(full.fieldNames.indexOf(c))))
+            }
+          new SnapshotDeltaDeleteBatchWrite(spark, root, statsCols, keyCols,
+            keySchema, base)
+        }
+      }
+    }
+
+  override def description(): String =
+    s"graft-snapshot merge-on-read DELETE at v$base of $root " +
+      s"(key: ${keyCols.mkString(",")})"
+}
+
+/** Distributed delete-key write: each task streams the matched rows'
+  * key projections into ONE commit-sized parquet file; the driver
+  * publishes them as a `delete_mor` version
+  * ([[SnapshotTable.commitWrittenDeleteByKey]]). A statement matching
+  * nothing publishes no version. */
+class SnapshotDeltaDeleteBatchWrite(spark: SparkSession, root: String,
+                                    statsCols: Seq[String], keyCols: Seq[String],
+                                    keySchema: StructType, base: Long)
+    extends DeltaBatchWrite {
+  private val commitUuid = java.util.UUID.randomUUID().toString
+  private def dataDir = new Path(root, "data")
+  private def hadoopFs =
+    dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val conf = spark.sessionState.conf
+    SnapshotDeltaWriterFactory(dataDir.toString, commitUuid, keySchema.json,
+      conf.writeLegacyParquetFormat.toString,
+      conf.parquetOutputTimestampType.toString)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val all = messages.toSeq.map(_.asInstanceOf[SnapshotWriteMessage])
+    val (nonEmpty, empty) = all.partition(_.rows > 0L)
+    empty.foreach(m =>
+      hadoopFs.delete(new Path(new Path(dataDir, commitUuid), m.file), false))
+    if (nonEmpty.isEmpty) {
+      // predicate matched nothing: no delete files, no version
+      hadoopFs.delete(new Path(dataDir, commitUuid), true)
+      return
+    }
+    val table = new SnapshotTable(spark, root, statsCols)
+    table.commitWrittenDeleteByKey(base,
+        nonEmpty.map(m => s"$commitUuid/${m.file}"), keyCols,
+        nonEmpty.map(_.rows).sum)
+      .getOrElse {
+        hadoopFs.delete(new Path(dataDir, commitUuid), true)
+        throw new java.util.ConcurrentModificationException(
+          s"merge-on-read delete on $root: table version moved past v$base " +
+            "while the statement ran (concurrent writer); re-run the " +
+            "statement against the new snapshot")
+      }
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    hadoopFs.delete(new Path(dataDir, commitUuid), true)
+    ()
+  }
+}
+
+/** Serializable executor-side factory for delete-KEY files. The writer
+  * answers ONLY delete(): this operation never updates or inserts, so
+  * any other row reaching it is a plan shape it must not silently
+  * absorb. Delete-key files carry no skipping stats (readers load them
+  * whole — they are commit-sized by construction). */
+case class SnapshotDeltaWriterFactory(dataDir: String, commitUuid: String,
+                                      keySchemaJson: String,
+                                      legacyFormat: String, timestampType: String)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
+    val inner = new SnapshotParquetWriter(dataDir, commitUuid,
+      f"delete-$partitionId%05d-$taskId.parquet",
+      DataType.fromJson(keySchemaJson).asInstanceOf[StructType], Seq.empty,
+      legacyFormat, timestampType, new Configuration())
+    new DeltaWriter[InternalRow] {
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        inner.write(id)
+      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+        throw new IllegalStateException(
+          "delete-only delta operation received an UPDATE row")
+      override def insert(row: InternalRow): Unit =
+        throw new IllegalStateException(
+          "delete-only delta operation received an INSERT row")
+      override def commit(): WriterCommitMessage = inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
+    }
+  }
 }
 
 /** Serializable executor-side factory: one parquet file per task under

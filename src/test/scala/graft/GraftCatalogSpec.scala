@@ -155,6 +155,86 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table(s"$cat.db.prunedmor").count() == 198L)
   }
 
+  test("write.delete.mode='merge-on-read' routes SQL DELETE to equality deletes") {
+    spark.sql(s"CREATE TABLE $cat.db.mordel (id BIGINT, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='id', " +
+      "'write.delete.mode'='merge-on-read', 'write.delete.key'='id')")
+    spark.sql(s"INSERT INTO $cat.db.mordel SELECT id, id * 10 AS v FROM range(0, 1000)")
+    val whRoot = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val t = new SnapshotTable(spark, s"$whRoot/db/mordel", Seq("id"))
+    val dataFilesBefore = t.snapshot(t.latestVersion()).files
+
+    spark.sql(s"DELETE FROM $cat.db.mordel WHERE id >= 100 AND id < 120")
+    val after = t.snapshot(t.latestVersion())
+    // the SQL statement produced a delete_mor version: NO data file was
+    // rewritten — the manifest re-lists them all and adds key files
+    assert(after.action == "delete_mor")
+    assert(after.files == dataFilesBefore, "MOR delete must not rewrite data")
+    assert(after.deletes.nonEmpty && after.deleteKey == Seq("id"))
+    assert(after.rows == 980L)
+    assert(spark.table(s"$cat.db.mordel").count() == 980L)
+    assert(!ids(s"SELECT id FROM $cat.db.mordel").contains(105L))
+
+    // change feed replays the retraction
+    val cdf = t.readChangeFeed(2, after.version)
+    val del = cdf.filter(col("_change_type") === "delete")
+    assert(del.count() == 20L)
+
+    // re-insert of a deleted key survives (sequencing rule), and a
+    // second SQL MOR delete composes on top
+    spark.sql(s"INSERT INTO $cat.db.mordel VALUES (105, -1)")
+    assert(ids(s"SELECT id FROM $cat.db.mordel").contains(105L))
+    spark.sql(s"DELETE FROM $cat.db.mordel WHERE v = -1")
+    assert(!ids(s"SELECT id FROM $cat.db.mordel").contains(105L))
+    assert(t.snapshot(t.latestVersion()).action == "delete_mor")
+
+    // a DELETE matching nothing publishes no version
+    val tip = t.latestVersion()
+    spark.sql(s"DELETE FROM $cat.db.mordel WHERE id = -5")
+    assert(t.latestVersion() == tip)
+
+    // UPDATE stays copy-on-write even in merge-on-read mode
+    spark.sql(s"UPDATE $cat.db.mordel SET v = 0 WHERE id = 500")
+    assert(t.snapshot(t.latestVersion()).action == "update")
+    assert(spark.sql(s"SELECT v FROM $cat.db.mordel WHERE id = 500")
+      .head.getLong(0) == 0L)
+
+    // compaction absorbs the equality deletes
+    spark.sql(s"CALL $cat.system.compact('db.mordel', 1000000, 'id')")
+    val compacted = t.snapshot(t.latestVersion())
+    assert(compacted.deletes.isEmpty)
+    assert(spark.table(s"$cat.db.mordel").count() == 980L)
+  }
+
+  test("merge-on-read delete guards: missing key is DDL-loud, non-unique key refuses") {
+    // missing write.delete.key fails at the statement, loudly
+    spark.sql(s"CREATE TABLE $cat.db.morbad (id BIGINT, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $cat.db.morbad VALUES (1, 10)")
+    val e1 = intercept[Exception](
+      spark.sql(s"DELETE FROM $cat.db.morbad WHERE id = 1"))
+    assert(e1.getMessage.contains("write.delete.key"))
+    // a typo'd mode fails at DDL time
+    val e2 = intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.db.morbad2 (id BIGINT) USING `graft-snapshot` " +
+        "TBLPROPERTIES('write.delete.mode'='merge-on-red')"))
+    assert(e2.getMessage.contains("write.delete.mode"))
+    // a delete key that is NOT row-unique for the matched rows refuses
+    // rather than deleting rows the predicate never named
+    spark.sql(s"CREATE TABLE $cat.db.mordup (id BIGINT, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES(" +
+      "'write.delete.mode'='merge-on-read', 'write.delete.key'='id')")
+    spark.sql(s"INSERT INTO $cat.db.mordup VALUES (1, 10), (1, 20), (2, 30)")
+    val e3 = intercept[Exception](
+      spark.sql(s"DELETE FROM $cat.db.mordup WHERE v = 10"))
+    assert(e3.getMessage.contains("row-unique"))
+    // ALTER can switch the mode off; the same DELETE then runs CoW
+    spark.sql(s"ALTER TABLE $cat.db.mordup SET TBLPROPERTIES(" +
+      "'write.delete.mode'='copy-on-write')")
+    spark.sql(s"DELETE FROM $cat.db.mordup WHERE v = 10")
+    assert(spark.table(s"$cat.db.mordup").count() == 2L)
+  }
+
   test("TRUNCATE TABLE commits an empty version; history stays readable") {
     spark.sql(s"CREATE TABLE $cat.db.trunc (id BIGINT) USING `graft-snapshot`")
     spark.sql(s"INSERT INTO $cat.db.trunc VALUES (1), (2)")
