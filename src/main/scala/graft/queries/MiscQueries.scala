@@ -2371,7 +2371,8 @@ SELECT 4, 'append', TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM 
 UNION ALL
 SELECT 5, 'replace_where', TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM v5""",
 
-    // replay of the CALL-maintenance chain: v1 empty create, v2 evens,
+    // replay of the CALL-maintenance chain: v1 empty create (a
+    // bootstrap — data_change FALSE, nothing delivered), v2 evens,
     // v3 all, v4 compact (same contents, data_change FALSE), v5
     // rollback to v2's contents
     "misc_catalog_maintenance" -> """
@@ -2380,7 +2381,7 @@ WITH base AS (
   FROM orders),
 ev AS (SELECT k, c FROM base WHERE k % 2 = 0)
 SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS action,
-       TRUE AS data_change, CAST(0 AS BIGINT) AS n_rows,
+       FALSE AS data_change, CAST(0 AS BIGINT) AS n_rows,
        CAST(0 AS BIGINT) AS total_cents
 UNION ALL
 SELECT 2, 'append', TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM ev

@@ -336,6 +336,50 @@ object StreamQueries {
         .groupBy((col("o_orderkey") % 3).as("slice"))
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
         .withColumn("n_versions", lit(versions.length.toLong))
+    }),
+
+    // Streaming purely through CATALOG NAMES: `readStream.table` →
+    // `writeStream.toTable` (the DSv2 MICRO_BATCH_READ/STREAMING_WRITE
+    // surface — SnapshotMicroBatchStream + SnapshotStreamingWrite),
+    // three source commits pumped as three epoch-stamped appends, an
+    // idle pump publishing nothing. Same oracle shape as the path-based
+    // sink: the destination is a plain replay of the base table, once.
+    "stream_catalog_names" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catstream").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gstr", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gstr.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gstr.db")
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      o.createOrReplaceTempView("catstr_src")
+      s.sql("CREATE TABLE gstr.db.feed (o_orderkey BIGINT, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_orderkey')")
+      s.sql("CREATE TABLE gstr.db.sink (o_orderkey BIGINT, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_orderkey')")
+      val ckpt = new java.io.File(wh, "ckpt").getAbsolutePath
+      def pump(): Unit = {
+        val q = s.readStream.table("gstr.db.feed")
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("gstr.db.sink")
+        q.awaitTermination()
+      }
+      (0L to 2L).foreach { slice =>
+        s.sql(s"INSERT INTO gstr.db.feed SELECT * FROM catstr_src " +
+          s"WHERE o_orderkey % 3 = $slice")
+        pump()
+      }
+      pump() // idle: no new source version, no destination version
+      val out = new graft.sources.SnapshotTable(s, s"$wh/db/sink")
+      val dataVersions = out.history().filter(_.dataChange)
+      require(dataVersions.length == 3 && dataVersions.forall(v =>
+        v.action == "append" && v.batchId >= 0 && v.txnApp.nonEmpty),
+        s"expected exactly 3 epoch-stamped appends, got " +
+          dataVersions.map(v => s"${v.action}@${v.batchId}").mkString(","))
+      s.table("gstr.db.sink")
+        .groupBy((col("o_orderkey") % 3).as("slice"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .withColumn("n_versions", lit(dataVersions.length.toLong))
     })
   )
 
@@ -554,6 +598,14 @@ FROM orders GROUP BY 1""",
     // plain replay of the base table, once (n_versions is the Scala-side
     // pinned epoch count — 3 literal)
     "stream_snapshot_sink" -> """
+SELECT o_orderkey % 3 AS slice, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(3 AS BIGINT) AS n_versions
+FROM orders GROUP BY 1""",
+
+    // same contract through catalog names: the sink replays the base
+    // table once across three epoch-stamped appends
+    "stream_catalog_names" -> """
 SELECT o_orderkey % 3 AS slice, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
        CAST(3 AS BIGINT) AS n_versions

@@ -100,7 +100,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (keyCols.contains(f.name)) f.copy(nullable = false) else f))
     new GraftSnapshotBatchTable(spark, p.toString, schema,
       Some(pinned), writeStatsCols = handle.statsColumns,
-      props = tableProps)
+      props = tableProps, streaming = true)
   }
 
   /** Known-key validation for SET TBLPROPERTIES / CREATE TBLPROPERTIES —
@@ -169,10 +169,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       conf.writeLegacyParquetFormat.toString, conf.parquetOutputTimestampType.toString,
       spark.sparkContext.hadoopConfiguration)
     val msg = w.commit().asInstanceOf[SnapshotWriteMessage]
+    // bootstrap version: dataChange=false — an empty create delivers
+    // nothing, so feeds and streams start cleanly from it
     t.commitWrittenOverwrite(Seq(s"$uuid/${msg.file}"),
       statsCols.indices.map(c =>
         ColStats(Seq(msg.mins(c)), Seq(msg.maxs(c)), Seq(msg.nulls(c)))),
-      0L, schema)
+      0L, schema, dataChange = false)
     // persist user TBLPROPERTIES (config sidecar) — minus the keys Spark
     // injects and stats_cols, which lives in the manifests themselves
     val reserved = Set("provider", "location", "owner", "comment",

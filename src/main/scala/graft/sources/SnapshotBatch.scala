@@ -109,7 +109,8 @@ class GraftSnapshotBatchTable(spark: SparkSession, root: String,
                               tableSchema: StructType,
                               pinned: Option[(SnapshotTable, Long)] = None,
                               writeStatsCols: Seq[String] = Seq.empty,
-                              props: Map[String, String] = Map.empty)
+                              props: Map[String, String] = Map.empty,
+                              streaming: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -148,12 +149,23 @@ class GraftSnapshotBatchTable(spark: SparkSession, root: String,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
     if (tableSchema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    // the CATALOG front door streams natively (readStream.table /
+    // writeStream.toTable); the path-based provider keeps its V1
+    // source/sink (exact same offset + epoch semantics), so these
+    // capabilities are only reported for catalog-resolved tables —
+    // advertising them on the provider's table would silently reroute
+    // format("graft-snapshot") streams off the V1 path (losing the
+    // changeFeed option)
+    if (streaming) {
+      caps.add(TableCapability.MICRO_BATCH_READ)
+      caps.add(TableCapability.STREAMING_WRITE)
+    }
     caps
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val (table, version) =
       pinned.getOrElse(SnapshotBatch.resolve(spark, options))
-    new GraftSnapshotScanBuilder(spark, table, version, tableSchema)
+    new GraftSnapshotScanBuilder(spark, table, version, tableSchema, options)
   }
   private def statsColsForWrite: Seq[String] =
     if (writeStatsCols.nonEmpty) writeStatsCols
@@ -161,7 +173,8 @@ class GraftSnapshotBatchTable(spark: SparkSession, root: String,
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftSnapshotWriteBuilder(spark, root, info.schema(), statsColsForWrite)
+    new GraftSnapshotWriteBuilder(spark, root, info.schema(), statsColsForWrite,
+      queryId = info.queryId())
 
   /** SQL DELETE/UPDATE/MERGE — predicate-pruned group-based
     * copy-on-write rewrite by default ([[GraftSnapshotRowLevelOperation]]),
@@ -195,7 +208,9 @@ class GraftSnapshotBatchTable(spark: SparkSession, root: String,
 }
 
 class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
-                               version: Long, fullSchema: StructType)
+                               version: Long, fullSchema: StructType,
+                               scanOptions: CaseInsensitiveStringMap =
+                                 CaseInsensitiveStringMap.empty())
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -274,7 +289,7 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
     if (pushedCounts.nonEmpty)
       new GraftSnapshotCountScan(pushedCounts, version, table.toString)
     else new GraftSnapshotScan(spark, table, version, required,
-      SnapshotBatch.bandsOf(pruning.toSeq))
+      SnapshotBatch.bandsOf(pruning.toSeq), scanOptions)
 }
 
 /** One-row scan carrying COMPLETE manifest-served counts — the scan
@@ -313,9 +328,20 @@ case class SnapshotCountPartition(values: Array[Long])
 
 class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
                         version: Long, required: StructType,
-                        bands: Map[String, (Long, Long)]) extends V1Scan
+                        bands: Map[String, (Long, Long)],
+                        options: CaseInsensitiveStringMap =
+                          CaseInsensitiveStringMap.empty()) extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  /** `spark.readStream.table(...)` — the catalog table reports
+    * MICRO_BATCH_READ and Spark lands here; column pruning flows
+    * through the same builder, so a narrow streaming projection reads
+    * narrow parquet. Offsets are table versions; see
+    * [[SnapshotMicroBatchStream]]. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SnapshotMicroBatchStream(spark, table, required, options)
 
   /** The manifest-planned file list after band pruning — the evidence
     * the connector spec pins (skipping survives the DSv2 path). */

@@ -1,0 +1,178 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 micro-batch STREAM over a snapshot table — what makes
+  * `spark.readStream.table("cat.db.t")` work (the catalog is the front
+  * door; the path-based V1 source `format("graft-snapshot")` keeps its
+  * own provider). Identical semantics to the V1 [[SnapshotSource]]:
+  *
+  *  - offsets ARE table versions (`LongOffset`), checkpointed by the
+  *    engine — a restart resumes at the next uncommitted version, and
+  *    a `startingVersion=latest` resolution is persisted BY the engine
+  *    in its offset log (resolved once per fresh checkpoint);
+  *  - insert-only contract: a non-append data change in the range is an
+  *    error unless `skipChangeCommits=true` (appends-only), exactly the
+  *    V1 source's rule; compactions (dataChange=false) never deliver;
+  *  - schema-following: batches read with the schema the CATALOG
+  *    resolved at query (re)start — additively-evolved files prune new
+  *    columns mid-run, older files null-fill, restarts adopt evolution;
+  *  - rows come from Spark's own parquet row reader (the
+  *    [[SnapshotDmlReaderFactory]] plumbing, no delete files — append
+  *    commits never carry them), one input partition per delta file.
+  */
+class SnapshotMicroBatchStream(spark: SparkSession, table: SnapshotTable,
+                               schema: StructType,
+                               options: CaseInsensitiveStringMap)
+    extends MicroBatchStream {
+  private val root = table.rootPath
+  private val skipChangeCommits =
+    options.getBoolean("skipChangeCommits", false)
+  private val startingVersion: Long =
+    Option(options.get("startingVersion")).map {
+      case "latest" => table.latestVersion() + 1
+      case v => v.toLong
+    }.getOrElse(1L)
+  private def floor: Long = math.max(0L, startingVersion - 1)
+
+  override def initialOffset(): Offset = LongOffset(floor)
+  override def latestOffset(): Offset =
+    LongOffset(math.max(table.latestVersion(), floor))
+  override def deserializeOffset(json: String): Offset =
+    LongOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    // the floor applies to EVERY batch, not just the first: with a
+    // future startingVersion the engine may checkpoint offsets below it
+    val from = math.max(start.asInstanceOf[LongOffset].offset, floor)
+    val to = end.asInstanceOf[LongOffset].offset
+    if (to <= from) return Array.empty
+    val (appendFiles, changed) = table.appendDelta(from, to)
+    if (changed.nonEmpty && !skipChangeCommits)
+      throw new IllegalStateException(
+        s"graft-snapshot at $root: non-append data change " +
+          changed.map { case (v, a) => s"$a@v$v" }.mkString(", ") +
+          " in the stream range; use the path-based source with " +
+          "option(\"changeFeed\",\"true\") for retractions, or " +
+          "option(\"skipChangeCommits\",\"true\") to stream appends only")
+    table.fileEntries(appendFiles).map { case (path, len) =>
+      SnapshotDmlPartition(path, len, Array.empty, Array.empty): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotDmlReaderFactory(
+      bridge.parquetRowReader(spark, schema), null, Array.empty, Array.empty)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"SnapshotMicroBatchStream[$root]"
+}
+
+/** DSv2 STREAMING sink for catalog-resolved snapshot tables — what
+  * makes `df.writeStream.toTable("cat.db.t")` work. Executors write the
+  * epoch's parquet + folded skipping-index stats exactly like the batch
+  * write; the driver publishes each epoch with the (queryId, epochId)
+  * idempotency key ([[SnapshotTable.commitWrittenAppendOnce]]) — a
+  * restarted query re-delivering an epoch commits NOTHING and its
+  * orphan files are deleted (exactly-once at the table boundary, the
+  * same contract as the V1 [[SnapshotSink]], keyed the same way so the
+  * two sinks interleave safely). Complete mode overwrites per epoch
+  * under the same key. */
+class SnapshotStreamingWrite(spark: SparkSession, root: String,
+                             schema: StructType, statsCols: Seq[String],
+                             queryId: String, complete: Boolean)
+    extends StreamingWrite {
+  private val commitUuid = java.util.UUID.randomUUID().toString
+  private def dataDir = new Path(root, "data")
+  private def hadoopFs =
+    dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = {
+    val conf = spark.sessionState.conf
+    SnapshotStreamingWriterFactory(dataDir.toString, commitUuid, schema.json,
+      statsCols, conf.writeLegacyParquetFormat.toString,
+      conf.parquetOutputTimestampType.toString)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val all = messages.toSeq.map(_.asInstanceOf[SnapshotWriteMessage])
+    val (nonEmpty, empty) = all.partition(_.rows > 0L)
+    empty.foreach(m =>
+      hadoopFs.delete(new Path(new Path(dataDir, commitUuid), m.file), false))
+    val table = new SnapshotTable(spark, root, statsCols)
+    val files = nonEmpty.map(m => s"$commitUuid/${m.file}")
+    val stats: Seq[ColStats] = statsCols.indices.map { c =>
+      ColStats(nonEmpty.map(_.mins(c)), nonEmpty.map(_.maxs(c)),
+        nonEmpty.map(_.nulls(c)))
+    }
+    val rows = nonEmpty.map(_.rows).sum
+    val replay: Boolean =
+      if (complete) {
+        // complete mode must publish even an empty result set: ensure
+        // one schema-bearing file (a file-less manifest is unreadable)
+        val ensured =
+          if (nonEmpty.nonEmpty) (files, stats, rows)
+          else {
+            val conf = spark.sessionState.conf
+            val w = new SnapshotParquetWriter(dataDir.toString, commitUuid,
+              f"epoch-$epochId%020d-empty.parquet", schema, statsCols,
+              conf.writeLegacyParquetFormat.toString,
+              conf.parquetOutputTimestampType.toString,
+              spark.sparkContext.hadoopConfiguration)
+            val m = w.commit().asInstanceOf[SnapshotWriteMessage]
+            (Seq(s"$commitUuid/${m.file}"),
+              statsCols.indices.map(c =>
+                ColStats(Seq(m.mins(c)), Seq(m.maxs(c)), Seq(m.nulls(c)))),
+              0L)
+          }
+        table.commitWrittenOverwriteOnce(queryId, epochId,
+          ensured._1, ensured._2, ensured._3, schema)._2
+      } else if (nonEmpty.isEmpty) {
+        false // an empty append epoch publishes no version — replay-safe
+      } else {
+        table.commitWrittenAppendOnce(queryId, epochId,
+          files, stats, rows, schema)._2
+      }
+    if (replay)
+      // the epoch was already committed by a previous run: nothing
+      // references this run's files for it — drop them
+      files.foreach(f => hadoopFs.delete(new Path(dataDir, f), false))
+    ()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case m: SnapshotWriteMessage =>
+        hadoopFs.delete(new Path(new Path(dataDir, commitUuid), m.file), false)
+      case _ => ()
+    }
+    ()
+  }
+}
+
+/** Serializable executor-side factory: one parquet file per (epoch,
+  * task) under the run's `data/<uuid>/` dir — epoch in the name keeps
+  * a long-lived run's files collision-free across its commits. */
+case class SnapshotStreamingWriterFactory(dataDir: String, commitUuid: String,
+                                          schemaJson: String, statsCols: Seq[String],
+                                          legacyFormat: String, timestampType: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new SnapshotParquetWriter(dataDir, commitUuid,
+      f"epoch-$epochId%020d-part-$partitionId%05d-$taskId.parquet",
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      statsCols, legacyFormat, timestampType,
+      new org.apache.hadoop.conf.Configuration())
+}

@@ -784,6 +784,82 @@ class SnapshotTable(spark: SparkSession, root: String,
     }
   }
 
+  /** The (txnApp, batchId, action) dedup probe of [[commitAppendOnce]],
+    * shared with the pre-written (DSv2 streaming) commit paths: walks
+    * BACK from the tip, stops at the first strictly-older epoch of the
+    * same txnApp — O(versions since that epoch). Returns the already-
+    * committed version, or -1. */
+  private def epochDup(txnApp: String, batchId: Long, action: String): Long = {
+    var v = latestVersion()
+    var dup = -1L
+    while (v > 0 && dup < 0 && fs.exists(manifestPath(v))) {
+      val s = snapshot(v)
+      if (s.batchId == batchId && s.txnApp == txnApp && s.action == action)
+        dup = s.version
+      else if (s.batchId >= 0 && s.batchId < batchId && s.txnApp == txnApp &&
+        s.action == action) v = 0
+      else v -= 1
+    }
+    dup
+  }
+
+  /** Epoch-idempotent append of PRE-WRITTEN files — the DSv2 streaming
+    * sink's commit ([[SnapshotStreamingWrite]]): executors already wrote
+    * the epoch's parquet + folded stats; this publishes them under the
+    * (txnApp, batchId) dedup key of [[commitAppendOnce]]. Returns
+    * (version, wasReplay): on replay the caller must delete its orphan
+    * files — nothing references them. */
+  private[sources] def commitWrittenAppendOnce(txnApp: String, batchId: Long,
+                                               files: Seq[String],
+                                               stats: Seq[ColStats], rowsAdded: Long,
+                                               batchSchema: StructType): (Long, Boolean) = {
+    require(batchId >= 0, s"streaming epoch must be non-negative: $batchId")
+    val dup = epochDup(txnApp, batchId, "append")
+    if (dup >= 0) (dup, true)
+    else {
+      require(files.nonEmpty, "commitWrittenAppendOnce needs at least one file")
+      val nw = FileSet(files, stats)
+      (publish("append",
+        base => appendedFileSet(base, nw),
+        base => (if (base == 0) 0L else snapshot(base).rows) + rowsAdded,
+        base => Some(evolveSchema(tipSchemaOf(base), batchSchema).json),
+        batchId, txnApp = txnApp), false)
+    }
+  }
+
+  /** Epoch-idempotent overwrite of PRE-WRITTEN files — the DSv2
+    * streaming sink in COMPLETE mode: each epoch's result set replaces
+    * the table as one version, replays dedup'd on (txnApp, batchId). */
+  private[sources] def commitWrittenOverwriteOnce(txnApp: String, batchId: Long,
+                                                  files: Seq[String],
+                                                  stats: Seq[ColStats], rows: Long,
+                                                  batchSchema: StructType): (Long, Boolean) = {
+    require(batchId >= 0, s"streaming epoch must be non-negative: $batchId")
+    val dup = epochDup(txnApp, batchId, "overwrite")
+    if (dup >= 0) (dup, true)
+    else {
+      require(files.nonEmpty, "commitWrittenOverwriteOnce needs at least one file")
+      (publish("overwrite",
+        base => FileSet(files, stats, seqs = Seq.fill(files.length)(base + 1)),
+        _ => rows,
+        _ => Some(normalizeSchema(batchSchema).json),
+        batchId, txnApp = txnApp), false)
+    }
+  }
+
+  /** Absolute (path, length) entries for manifest-relative files — what
+    * a self-contained DSv2 partition plan needs. One getFileStatus per
+    * file: O(files), no data read. */
+  private[sources] def fileEntries(rel: Seq[String]): Seq[(String, Long)] =
+    rel.map { f =>
+      val p = new Path(dataDir, f)
+      (p.toString, fs.getFileStatus(p).getLen)
+    }
+
+  /** This handle's table root (for components that plan from the handle
+    * but construct self-contained specs). */
+  private[sources] def rootPath: String = root
+
   /** DQ-gated append — the write-audit contract at the TABLE boundary
     * (the reference gates every pipeline stage with validators,
     * SURVEY.md §2.10; this moves the gate into the commit protocol
@@ -1137,15 +1213,20 @@ class SnapshotTable(spark: SparkSession, root: String,
   }
 
   /** Manifest-only overwrite of pre-written files (INSERT OVERWRITE /
-    * truncate-mode DSv2 write). */
+    * truncate-mode DSv2 write). `dataChange=false` is the CREATE-TABLE
+    * bootstrap (an empty table changes no data — feeds and streams must
+    * not trip the insert-only contract on it); truncating/overwriting
+    * an existing table IS a data change and keeps the default. */
   private[sources] def commitWrittenOverwrite(files: Seq[String], stats: Seq[ColStats],
                                               rows: Long,
-                                              batchSchema: StructType): Long = {
+                                              batchSchema: StructType,
+                                              dataChange: Boolean = true): Long = {
     require(files.nonEmpty, "commitWrittenOverwrite needs at least one data file")
     publish("overwrite",
       base => FileSet(files, stats, seqs = Seq.fill(files.length)(base + 1)),
       _ => rows,
-      _ => Some(normalizeSchema(batchSchema).json))
+      _ => Some(normalizeSchema(batchSchema).json),
+      dataChange = dataChange)
   }
 
   /** Publish pre-written files as the FULL new table contents exactly at

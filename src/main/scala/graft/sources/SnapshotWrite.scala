@@ -83,7 +83,8 @@ object SnapshotCommitMode {
 
 class GraftSnapshotWriteBuilder(spark: SparkSession, root: String,
                                 batchSchema: StructType,
-                                statsCols: Seq[String])
+                                statsCols: Seq[String],
+                                queryId: String = "")
     extends WriteBuilder with SupportsOverwrite {
   private var doTruncate = false
   private var replaceWhere: Option[(String, Long, Long)] = None
@@ -152,6 +153,19 @@ class GraftSnapshotWriteBuilder(spark: SparkSession, root: String,
         case None => SnapshotCommitMode.Append
       }
       new GraftSnapshotBatchWrite(spark, root, batchSchema, statsCols, mode)
+    }
+
+    /** `df.writeStream.toTable(...)` — epoch-idempotent distributed
+      * appends (or per-epoch overwrites in complete mode), keyed on
+      * (queryId, epochId); see [[SnapshotStreamingWrite]]. */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(replaceWhere.isEmpty,
+        "overwrite-by-filter is a batch write shape; streaming supports " +
+          "append and complete modes")
+      if (!doTruncate)
+        new SnapshotTable(spark, root, statsCols).validateAppendSchema(batchSchema)
+      new SnapshotStreamingWrite(spark, root, batchSchema, statsCols,
+        queryId, complete = doTruncate)
     }
   }
 }

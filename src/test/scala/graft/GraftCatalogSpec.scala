@@ -258,10 +258,12 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $cat.db.alt VALUES (2, 'hello')")
     assert(spark.table(s"$cat.db.alt").as[(Long, Option[String])].collect().toSet ==
       Set((1L, None), (2L, Some("hello"))))
-    // the alter was dataChange=false: a feed consumer skips it
+    // the create bootstrap and the alter were dataChange=false: a feed
+    // consumer skips both
     val whRoot = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
     val t = new SnapshotTable(spark, s"$whRoot/db/alt")
-    assert(t.history().filter(!_.dataChange).map(_.action) == Seq("alter"))
+    assert(t.history().filter(!_.dataChange).map(_.action) ==
+      Seq("overwrite", "alter"))
     // non-additive alters stay loud
     intercept[Exception](spark.sql(s"ALTER TABLE $cat.db.alt DROP COLUMN note"))
   }
