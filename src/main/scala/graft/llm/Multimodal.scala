@@ -3,19 +3,22 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** A decoded-media record: typed metadata + a fixed-size feature vector.
-  * This is the STUB-decoded shape ([[Multimodal.stubDecode]]) kept for
-  * fixture-determinism tests and the non-image payload path; REAL image
-  * decode lives in [[ImageMeta]] / [[Multimodal.decodeImages]]
-  * (javax.imageio — actual pixel dimensions and format names). */
+/** A SNIFFED-media record ([[Multimodal.sniffDecode]]): identity facts
+  * (length + checksum) plus whatever the container's own header PROVES —
+  * `media_kind` names the recognized container (`png` | `wav` | `y4m`),
+  * or `binary` for opaque payloads, in which case every dimensional
+  * field is None: the generic-blob lane never fabricates geometry.
+  * FULL decode (pixels, samples, frames) lives in [[ImageMeta]] /
+  * [[AudioMeta]] / [[VideoMeta]]. */
 case class MediaMeta(
     media_id: Long,
     byte_len: Long,
     checksum: String,
-    width: Int,
-    height: Int,
-    channels: Int,
-    frame_count: Int)
+    media_kind: String,
+    width: Option[Int],
+    height: Option[Int],
+    channels: Option[Int],
+    frame_count: Option[Int])
 
 /** Resized media item: opaque payload + verifiable metadata. */
 case class ResizedMedia(
@@ -130,33 +133,87 @@ case class TrimmedAudio(
   * [[decodeAudio]]/[[trimAudio]] (javax.sound.sampled — WAV/AIFF/AU
   * PCM), and [[decodeVideo]]/[[sampleVideoFrames]] (hand-rolled
   * YUV4MPEG2 container parser — uncompressed planar YUV; compressed
-  * codecs would plug in at the same two functions). Only
-  * [[decodeMetadata]]/[[resize]] keep the deterministic stub codec, for
-  * opaque non-media payloads and fixture-determinism tests. */
+  * codecs would plug in at the same two functions).
+  * [[decodeMetadata]] is the generic-blob lane: a magic-byte SNIFFER
+  * ([[sniffDecode]]) that reports real header-proven geometry for
+  * recognized containers and identity facts ONLY (length/checksum,
+  * null dimensions) for opaque payloads. [[resize]] keeps a clearly
+  * labeled deterministic stub payload for plumbing tests; the real
+  * pixel path is [[resizeImages]]. */
 object Multimodal {
 
-  /** STUB decoder — deterministic fake standing in for a real image/audio
-    * codec (libs not present in this container). Metadata is derived
-    * purely from the bytes so tests and oracles can reproduce it. A real
-    * deployment swaps this one function for e.g. a JNI codec call; the
-    * surrounding plumbing is unchanged. */
-  def stubDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val checksum = md.digest(bytes).map("%02x".format(_)).mkString
-    val n = bytes.length.toLong
-    MediaMeta(
-      media_id = id,
-      byte_len = n,
-      checksum = checksum,
-      width = (n % 640).toInt,
-      height = ((n * 7) % 480).toInt,
-      channels = 3,
-      frame_count = (n % 30).toInt)
+  /** MAGIC-BYTE sniffer for the generic-blob lane: identity facts
+    * (length + md5) are computed for every payload; dimensional facts
+    * come ONLY from a recognized container's own header — a real PNG
+    * IHDR parse, the canonical RIFF/WAVE chunk walk, or the Y4M stream
+    * header + FRAME-marker walk (the same parsers the full codecs use).
+    * Anything unrecognized (or truncated/corrupt) is `binary` with all
+    * dimensions None: an opaque payload never carries fabricated
+    * geometry. Header-only cost — no pixel/sample decode. */
+  def sniffDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val checksum = md5hex(bytes)
+    val base = MediaMeta(id, bytes.length.toLong, checksum, "binary",
+      None, None, None, None)
+    def be32(o: Int): Int =
+      ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
+        ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+    def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def le32(o: Int): Long =
+      (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+        ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def ascii(o: Int, n: Int): String =
+      if (o + n <= bytes.length) new String(bytes, o, n, "US-ASCII") else ""
+
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    scala.util.Try {
+      if (bytes.length >= 33 && bytes.take(8).sameElements(pngSig) &&
+          ascii(12, 4) == "IHDR") {
+        // PNG: IHDR is mandated first — width/height big-endian at
+        // 16/20, color type at 25 maps to the sample channel count
+        val channels = bytes(25) match {
+          case 0 => 1 // greyscale
+          case 2 => 3 // truecolor
+          case 3 => 1 // indexed (one sample per pixel)
+          case 4 => 2 // grey + alpha
+          case 6 => 4 // truecolor + alpha
+          case other => sys.error(s"png: unknown color type $other")
+        }
+        base.copy(media_kind = "png", width = Some(be32(16)),
+          height = Some(be32(20)), channels = Some(channels),
+          frame_count = Some(1))
+      } else if (bytes.length >= 44 && ascii(0, 4) == "RIFF" &&
+          ascii(8, 4) == "WAVE") {
+        // RIFF/WAVE: walk the chunk list for fmt (channels, block
+        // align) and data (payload size); frames = data / blockAlign
+        var pos = 12
+        var channels = -1; var blockAlign = -1; var dataLen = -1L
+        while (pos + 8 <= bytes.length && (channels < 0 || dataLen < 0)) {
+          val cid = ascii(pos, 4)
+          val sz = le32(pos + 4)
+          if (cid == "fmt " && sz >= 16) {
+            channels = le16(pos + 10)
+            blockAlign = le16(pos + 20)
+          } else if (cid == "data") dataLen = sz
+          pos += 8 + sz.toInt + (sz.toInt & 1)
+        }
+        require(channels > 0 && blockAlign > 0 && dataLen >= 0,
+          "wav: missing fmt/data chunk")
+        base.copy(media_kind = "wav", channels = Some(channels),
+          frame_count = Some((dataLen / blockAlign).toInt))
+      } else if (ascii(0, 9) == "YUV4MPEG2") {
+        val hd = y4mHeaderOf(bytes)
+        base.copy(media_kind = "y4m", width = Some(hd.width),
+          height = Some(hd.height),
+          channels = Some(if (hd.colorspace.startsWith("Cmono")) 1 else 3),
+          frame_count = Some(y4mFrameOffsets(bytes, hd).length))
+      } else base
+    }.getOrElse(base) // corrupt/truncated header: proven facts only
   }
 
-  /** Partition-wise decode of a (id, content: binary) DataFrame into typed
-    * metadata. The decoder is initialized once per partition (the `it =>`
-    * prologue), exactly where a real codec would set up its context. */
+  /** Partition-wise SNIFF of a (id, content: binary) DataFrame into
+    * typed metadata ([[sniffDecode]] — header-only container
+    * recognition, identity facts for everything else). The per-partition
+    * prologue is where a full codec would set up its context. */
   def decodeMetadata(media: DataFrame): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -164,7 +221,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder init would go here (JNI context, model, …)
-        it.map { case (id, bytes) => stubDecode(id, bytes) }
+        it.map { case (id, bytes) => sniffDecode(id, bytes) }
       }
   }
 

@@ -886,35 +886,42 @@ object LlmQueries {
           col("width"), col("height"), col("fps_num"), col("fps_den"),
           col("colorspace"), col("frame_count"))),
     // REAL-bytes multimodal path: spark.read.format("binaryFile") over
-    // committed deterministic fixture files (fixtures/media, see
+    // committed deterministic fixture files (see
     // tools/gen_media_fixtures.py) — the production ingestion shape for
-    // opaque media (one row per object, content + length + path
-    // metadata), not a generated column. decodeMetadata and features run
-    // on the actual file bytes; the gate checks byte length (against the
-    // source's own length metadata — oracle pins the boolean TRUE),
-    // md5 checksum, stub-decoded dimensions, and the first feature
-    // byte. At scale the same reader fans out over an object store
-    // listing; only the fixture dir is harness-local.
+    // a MIXED media drop (one row per object, content + length + path
+    // metadata), not a generated column. The four fixture families
+    // (opaque .bin, PNG, RIFF/WAVE, YUV4MPEG2) flow through ONE
+    // generic-blob lane: decodeMetadata magic-byte-SNIFFS each payload
+    // and reports only header-proven geometry — recognized containers
+    // carry their real width/height/channels/frame count (pinned
+    // against the committed generator manifests), opaque payloads carry
+    // NULL dimensions and identity facts only (nothing fabricated). The
+    // gate also checks byte length against the listing's own metadata
+    // and byte identity via md5 over the hex encoding (DuckDB's md5 is
+    // VARCHAR-only; both engines hex uppercase — the
+    // llm_multimodal_meta discipline). At scale the same reader fans
+    // out over an object store listing; only the fixture dirs are
+    // harness-local.
     "llm_multimodal_binary" -> ((s, d) => {
-      val bin = graft.sources.Sources.readBinaryFiles(s, mediaFixturesDir, "*.bin")
-        .select(
-          // the fixture's numeric id (oracle joins on it) replaces the
-          // reader's path-hash media_id; glob pruning + listing-time
-          // length metadata come from the shared source helper
-          regexp_extract(col("path"), "media_([0-9]+)\\.bin$", 1)
-            .cast(LongType).as("media_id"),
-          col("byte_len").as("src_len"), col("content"))
-      val meta = Multimodal.decodeMetadata(bin).toDF()
-      val featB0 = Multimodal.features(bin)
-        .select(col("media_id"),
-          round(element_at(col("feature"), 1) * 255)
-            .cast(org.apache.spark.sql.types.IntegerType).as("feat_b0"))
-      meta.join(featB0, Seq("media_id"))
-        .join(bin.select(col("media_id"), col("src_len")), Seq("media_id"))
+      // the fixture's numeric id (oracle joins on it) replaces the
+      // reader's path-hash media_id; ids offset per family so the four
+      // globs union into one keyspace
+      def family(dir: String, glob: String, rx: String, offset: Long) =
+        graft.sources.Sources.readBinaryFiles(s, dir, glob)
+          .select((regexp_extract(col("path"), rx, 1).cast(LongType) + offset)
+            .as("media_id"), col("byte_len").as("src_len"), col("content"))
+      val all =
+        family(mediaFixturesDir, "*.bin", "media_([0-9]+)\\.bin$", 0L)
+          .unionByName(family(pngFixturesDir, "*.png", "img_([0-9]+)\\.png$", 1000L))
+          .unionByName(family(wavFixturesDir, "*.wav", "clip_([0-9]+)\\.wav$", 2000L))
+          .unionByName(family(y4mFixturesDir, "*.y4m", "clip_([0-9]+)\\.y4m$", 3000L))
+      val meta = Multimodal.decodeMetadata(all).toDF()
+      meta.join(all.select(col("media_id"), col("src_len"),
+          md5(hex(col("content"))).as("bytes_md5hex")), Seq("media_id"))
         .select(col("media_id"), col("byte_len"),
           (col("byte_len") === col("src_len")).as("len_matches_source"),
-          col("checksum"), col("width"), col("height"), col("channels"),
-          col("frame_count"), col("feat_b0"))
+          col("bytes_md5hex"), col("media_kind"), col("width"), col("height"),
+          col("channels"), col("frame_count"))
     }),
 
     // BM25 ranked retrieval (Robertson-Sparck Jones, k1=1.2 b=0.75): the
@@ -2658,21 +2665,43 @@ FROM cum, tot GROUP BY 1""",
     // the fixtures are printable ASCII by construction, so the bytes are
     // simultaneously a binary payload and valid UTF-8). feat_b0 (first
     // md5-digest byte) is recovered via a 256-row hex→int lookup join.
+    // the mixed-media drop: opaque .bin rows carry NULL geometry (the
+    // sniffer fabricates nothing); recognized containers carry the
+    // generator manifests' ground truth (png color type 2 → 3 channels,
+    // single frame; wav has no pixel geometry; y4m fixture colorspaces
+    // are all chroma-carrying → 3 channels)
     "llm_multimodal_binary" -> s"""
-WITH raw AS (
-  SELECT CAST(regexp_extract(filename, 'media_([0-9]+)\\.bin', 1) AS BIGINT) AS media_id,
-         content, CAST(size AS BIGINT) AS byte_len, md5(content) AS checksum
-  FROM read_text('$mediaFixturesDir/*.bin')
-), hexmap AS (
-  SELECT v, printf('%02x', v) AS hx FROM (SELECT unnest(generate_series(0, 255)) AS v)
-)
-SELECT r.media_id, r.byte_len, TRUE AS len_matches_source, r.checksum,
-       CAST(r.byte_len % 640 AS INTEGER) AS width,
-       CAST((r.byte_len * 7) % 480 AS INTEGER) AS height,
-       CAST(3 AS INTEGER) AS channels,
-       CAST(r.byte_len % 30 AS INTEGER) AS frame_count,
-       CAST(h.v AS INTEGER) AS feat_b0
-FROM raw r JOIN hexmap h ON substr(r.checksum, 1, 2) = h.hx""",
+SELECT CAST(regexp_extract(filename, 'media_([0-9]+)\\.bin', 1) AS BIGINT) AS media_id,
+       CAST(size AS BIGINT) AS byte_len, TRUE AS len_matches_source,
+       md5(hex(content)) AS bytes_md5hex, 'binary' AS media_kind,
+       CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+       CAST(NULL AS INTEGER) AS channels, CAST(NULL AS INTEGER) AS frame_count
+FROM read_blob('$mediaFixturesDir/*.bin')
+UNION ALL
+SELECT 1000 + CAST(regexp_extract(b.filename, 'img_([0-9]+)\\.png', 1) AS BIGINT),
+       CAST(b.size AS BIGINT), TRUE, md5(hex(b.content)), 'png',
+       CAST(m.width AS INTEGER), CAST(m.height AS INTEGER),
+       CAST(3 AS INTEGER), CAST(1 AS INTEGER)
+FROM read_blob('$pngFixturesDir/*.png') b
+JOIN read_csv('$pngFixturesDir/manifest.csv') m
+  ON m.media_id = CAST(regexp_extract(b.filename, 'img_([0-9]+)\\.png', 1) AS BIGINT)
+UNION ALL
+SELECT 2000 + CAST(regexp_extract(b.filename, 'clip_([0-9]+)\\.wav', 1) AS BIGINT),
+       CAST(b.size AS BIGINT), TRUE, md5(hex(b.content)), 'wav',
+       CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST(m.channels AS INTEGER), CAST(m.n_frames AS INTEGER)
+FROM read_blob('$wavFixturesDir/*.wav') b
+JOIN read_csv('$wavFixturesDir/manifest.csv') m
+  ON m.media_id = CAST(regexp_extract(b.filename, 'clip_([0-9]+)\\.wav', 1) AS BIGINT)
+UNION ALL
+SELECT 3000 + CAST(regexp_extract(b.filename, 'clip_([0-9]+)\\.y4m', 1) AS BIGINT),
+       CAST(b.size AS BIGINT), TRUE, md5(hex(b.content)), 'y4m',
+       CAST(m.width AS INTEGER), CAST(m.height AS INTEGER),
+       CAST(CASE WHEN m.colorspace LIKE 'Cmono%' THEN 1 ELSE 3 END AS INTEGER),
+       CAST(m.frame_count AS INTEGER)
+FROM read_blob('$y4mFixturesDir/*.y4m') b
+JOIN read_csv('$y4mFixturesDir/manifest.csv') m
+  ON m.media_id = CAST(regexp_extract(b.filename, 'clip_([0-9]+)\\.y4m', 1) AS BIGINT)""",
 
     // the manifest is the generator's ground truth for what the PNG
     // encoder wrote; byte identity via md5 over the hex encoding (both

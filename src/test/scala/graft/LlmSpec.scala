@@ -237,14 +237,45 @@ class LlmSpec extends SparkSpec {
     assert(d2.length == 1 && d2(0).getAs[String]("chunk_text") == "a b c")
   }
 
-  test("multimodal: partition-wise stub decode preserves schema and determinism") {
+  test("multimodal: sniff decode reports identity facts only for opaque payloads") {
     val media = Multimodal.documentsAsMedia(docs)
     val meta = Multimodal.decodeMetadata(media).collect().map(m => m.media_id -> m).toMap
     assert(meta(1L).checksum == meta(4L).checksum) // same bytes, same decode
     assert(meta(1L).byte_len == 43L)
-    assert(meta(1L).width == (43 % 640) && meta(1L).channels == 3)
+    // text bytes are no container: kind=binary, NO fabricated geometry
+    assert(meta(1L).media_kind == "binary")
+    assert(meta(1L).width.isEmpty && meta(1L).height.isEmpty &&
+      meta(1L).channels.isEmpty && meta(1L).frame_count.isEmpty)
     val feats = Multimodal.features(media).collect()
     assert(feats.forall(_.getSeq[Float](1).length == 8))
+  }
+
+  test("multimodal: sniff decode proves real container headers") {
+    import spark.implicits._
+    val png = java.nio.file.Files.readAllBytes(
+      new java.io.File("fixtures/media_png/img_000.png").toPath)
+    val wav = java.nio.file.Files.readAllBytes(
+      new java.io.File("fixtures/media_wav/clip_000.wav").toPath)
+    val y4m = java.nio.file.Files.readAllBytes(
+      new java.io.File("fixtures/media_y4m/clip_000.y4m").toPath)
+    val media = Seq((1L, png), (2L, wav), (3L, y4m), (4L, Array[Byte](1, 2, 3)))
+      .toDF("media_id", "content")
+    val m = Multimodal.decodeMetadata(media).collect().map(x => x.media_id -> x).toMap
+    // manifest ground truth: img_000 is 16x16 truecolor; clip_000.wav is
+    // mono 400 frames; clip_000.y4m is 8x8 C420jpeg with 7 frames
+    assert(m(1L).media_kind == "png" && m(1L).width.contains(16) &&
+      m(1L).height.contains(16) && m(1L).channels.contains(3) &&
+      m(1L).frame_count.contains(1))
+    assert(m(2L).media_kind == "wav" && m(2L).channels.contains(1) &&
+      m(2L).frame_count.contains(400) && m(2L).width.isEmpty)
+    assert(m(3L).media_kind == "y4m" && m(3L).width.contains(8) &&
+      m(3L).height.contains(8) && m(3L).frame_count.contains(7) &&
+      m(3L).channels.contains(3))
+    assert(m(4L).media_kind == "binary" && m(4L).width.isEmpty)
+    // a truncated container header falls back to proven facts only
+    val trunc = Seq((9L, png.take(20))).toDF("media_id", "content")
+    val t = Multimodal.decodeMetadata(trunc).collect().head
+    assert(t.media_kind == "binary" && t.width.isEmpty && t.byte_len == 20L)
   }
 
   test("repeatedSpanCoverage: positional 5-gram coverage counts cross-doc shares only") {
