@@ -39,7 +39,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    check-and-create under a JVM-wide lock, temp-staged so even a crash
   *    inside the lock can't tear the visible file); a production S3
   *    implementation replaces the lock with the conditional PUT header
-  *    and nothing above this trait changes.
+  *    and nothing above this trait changes. The REMOTE failure shape —
+  *    a plain IOException carrying the HTTP 412 with the winner's
+  *    object visible, which none of the FileAlreadyExists types match —
+  *    is rehearsed in SnapshotFormatSpec's object-store specs: the
+  *    committers classify it as a collision through the exists probe
+  *    and take the retry/loser path a real S3/GCS store needs.
   *
   * Failure signaling: existence races MUST surface as
   * `FileAlreadyExistsException` (java.nio or Hadoop flavor) or an

@@ -166,6 +166,83 @@ class SnapshotFormatSpec extends SparkSpec {
     assert(s1.read().select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  /** The REMOTE conditional-PUT shape an S3/GCS LogStore returns on a
+    * lost election: a plain IOException carrying the HTTP 412
+    * (`If-None-Match: *` / `ifGenerationMatch=0`) — NOT one of the
+    * FileAlreadyExists types the filesystem stores raise — with the
+    * winner's object fully visible. Atomic all-or-nothing PUT, no temp
+    * phase. `rejections` counts simulated 412s so specs can pin the
+    * loser path actually ran. */
+  private class S3Style412LogStore(rejections: java.util.concurrent.atomic.AtomicInteger)
+      extends SnapshotLogStore {
+    private val lock = new Object
+    override def writeExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                                path: org.apache.hadoop.fs.Path,
+                                body: Array[Byte]): Unit = lock.synchronized {
+      if (fs.exists(path)) {
+        rejections.incrementAndGet()
+        throw new java.io.IOException(
+          s"PUT $path: 412 Precondition Failed (If-None-Match: *)")
+      }
+      val out = fs.create(path, true) // the PUT: complete body, one shot
+      try out.write(body) finally out.close()
+    }
+  }
+
+  test("object-store rehearsal: a remote 412 rejection is a collision, the loser retries on the new tip") {
+    val root = freshRoot("s3put")
+    val rejections = new java.util.concurrent.atomic.AtomicInteger
+    val store412 = new S3Style412LogStore(rejections)
+    val rival = new SnapshotTable(spark, root, logStore = Some(store412))
+    // the loser's store: the rival's commit lands (remotely) exactly
+    // between the loser picking its version and its PUT — the PUT then
+    // comes back 412 with the winner's manifest visible
+    var injected = false
+    val racing = new SnapshotLogStore {
+      override def writeExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                                  path: org.apache.hadoop.fs.Path,
+                                  body: Array[Byte]): Unit = {
+        if (!injected) { injected = true; rival.commitAppend(Seq(99L).toDF("id")) }
+        store412.writeExclusive(fs, path, body)
+      }
+    }
+    val loser = new SnapshotTable(spark, root, logStore = Some(racing))
+    val v = loser.commitAppend(Seq(1L).toDF("id"))
+    // the raw-IOException 412 (no FileAlreadyExistsException type to
+    // pattern-match) classified as a collision via the exists probe;
+    // the retry was manifest-only on the new tip — both commits present
+    assert(rejections.get() == 1, "the 412 loser path must have run")
+    assert(v == 2L, s"loser must land at v2, got v$v")
+    assert(loser.read().select("id").as[Long].collect().toSet == Set(99L, 1L))
+    // PUT visibility is all-or-nothing: the winner's manifest parses
+    // whole (no temp files for a reader or vacuum to trip on)
+    assert(loser.snapshot(1L).rows == 1L)
+    val leftovers = new java.io.File(s"$root/_snapshots").listFiles()
+      .map(_.getName).filter(_.startsWith(".tmp_"))
+    assert(leftovers.isEmpty, s"conditional PUT stage must not strand temps: ${leftovers.toSeq}")
+  }
+
+  test("object-store rehearsal: a 412 mid-rewrite forces a re-derive, never a blind retry") {
+    val root = freshRoot("s3rmw")
+    val rejections = new java.util.concurrent.atomic.AtomicInteger
+    val store412 = new S3Style412LogStore(rejections)
+    val rival = new SnapshotTable(spark, root, logStore = Some(store412))
+    val t = new SnapshotTable(spark, root, logStore = Some(store412))
+    t.commitAppend(Seq(1L, 2L, 3L).toDF("id"))
+    // rival appends DURING the loser's read-modify-write derivation: the
+    // loser's publish 412s and commitRewrite must RE-DERIVE from the new
+    // tip (a blind retry would erase the rival's row)
+    var fired = false
+    val v = t.commitRewrite("delete") { cur =>
+      if (!fired) { fired = true; rival.commitAppend(Seq(100L).toDF("id")) }
+      cur.get.filter(col("id") =!= 2L)
+    }
+    assert(rejections.get() >= 1, "the rewrite loser path must have run")
+    assert(v == 3L)
+    assert(t.read().select("id").as[Long].collect().toSet == Set(1L, 3L, 100L),
+      "the re-derive must keep the rival's concurrent append AND apply the delete")
+  }
+
   test("publish: a persistent (non-collision) failure propagates immediately with its cause") {
     val broken = new SnapshotLogStore {
       override def writeExclusive(fs: org.apache.hadoop.fs.FileSystem,
