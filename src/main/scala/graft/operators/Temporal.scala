@@ -75,6 +75,42 @@ object Temporal {
       .select(leftCols ++ rightCols.map(c => col(s"__matched.$c").as(c)): _*)
   }
 
+  /** Valid-time (SCD-2) lookup: join each fact to the dimension row
+    * whose `[valid_from, valid_to)` interval contains the fact's own
+    * timestamp — the slowly-changing-dimension point lookup every
+    * warehouse asks for. A NULL `valid_to` is the open (current)
+    * interval. Left-outer: facts valid in no interval keep nulls.
+    *
+    * Composed with the snapshot format's TIME TRAVEL this is the full
+    * BI-TEMPORAL join: `scd2Lookup(facts, table.read(txVersion), …)`
+    * answers "as the database knew it at transaction time T_tx, which
+    * dimension attributes were valid at each fact's business time?" —
+    * transaction time comes from the manifest chain (`read(v)` /
+    * `readAsOf(ts)`), valid time from the interval columns; neither
+    * axis needs bespoke machinery.
+    *
+    * Physical shape: ONE equi-join (hash shuffle on `key`, or broadcast
+    * when the dimension is small — the planner's choice off the
+    * snapshot relation's exact manifest row count) with the interval
+    * predicate as its residual: cost O(facts + dim versions-per-key),
+    * never a range cross product. An SCD-2 dimension has few intervals
+    * per key by construction, so the residual scans a handful of rows
+    * per fact — the shape that survives a 100× fact table. */
+  def scd2Lookup(facts: DataFrame, dim: DataFrame, key: String, tsCol: String,
+                 dimCols: Seq[String],
+                 validFrom: String = "valid_from",
+                 validTo: String = "valid_to"): DataFrame = {
+    val f = facts.alias("__f")
+    val m = dim.alias("__d")
+    val fk = col(s"__f.$key"); val ts = col(s"__f.$tsCol")
+    val cond = fk === col(s"__d.$key") &&
+      ts >= col(s"__d.$validFrom") &&
+      (col(s"__d.$validTo").isNull || ts < col(s"__d.$validTo"))
+    f.join(m, cond, "left")
+      .select(facts.columns.map(c => col(s"__f.$c")) ++
+        dimCols.map(c => col(s"__d.$c")): _*)
+  }
+
   /** Sessionization: per-key session numbering with an inactivity gap —
     * a new session starts when the time since the previous event exceeds
     * `gapSeconds` (or at the first event). Returns the input plus

@@ -943,6 +943,52 @@ object MiscQueries {
       Temporal.sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 1800)
         .select(col("event_id"), col("user_id"), col("session_seq"))),
 
+    // BI-TEMPORAL join: valid time × transaction time, composed from
+    // two existing surfaces — an SCD-2 dimension (valid_from/valid_to
+    // intervals, Temporal.scd2Lookup: ONE equi-join with the interval
+    // residual, no range cross product) stored in a snapshot table
+    // whose VERSIONS are the transaction axis (time travel). tx v2
+    // publishes a correction (even customers' tier switch moves
+    // 1995→1996 and renames); querying both versions shows each fact
+    // joined to what the database KNEW then, valid at the fact's own
+    // order date. The matrix replays in DuckDB from pure date/key
+    // arithmetic.
+    "temporal_bitemporal_join" -> ((s, d) => {
+      val root = new java.io.File(Tables.freshTmpDir(s, "graft_bitemporal"),
+        "dim").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root)
+      val cust = Tables.customer(s, d).select(col("c_custkey"))
+      def dim(switchDate: String, lateTier: String) = {
+        val even = cust.filter(col("c_custkey") % 2 === 0)
+        even.select(col("c_custkey").as("custkey"),
+            lit("1990-01-01").cast("date").as("valid_from"),
+            lit(switchDate).cast("date").as("valid_to"),
+            lit("early").as("tier"))
+          .unionByName(even.select(col("c_custkey").as("custkey"),
+            lit(switchDate).cast("date").as("valid_from"),
+            lit(null).cast("date").as("valid_to"),
+            lit(lateTier).as("tier")))
+          .unionByName(cust.filter(col("c_custkey") % 2 === 1)
+            .select(col("c_custkey").as("custkey"),
+              lit("1990-01-01").cast("date").as("valid_from"),
+              lit(null).cast("date").as("valid_to"),
+              lit("flat").as("tier")))
+      }
+      t.commitOverwrite(dim("1995-01-01", "late"))   // tx v1: first knowledge
+      t.commitOverwrite(dim("1996-01-01", "late2"))  // tx v2: the correction
+      val facts = Tables.orders(s, d).select(col("o_custkey").as("custkey"),
+        col("o_orderdate"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      Seq(1L, 2L).map { txv =>
+        Temporal.scd2Lookup(facts, t.read(txv), "custkey", "o_orderdate",
+            dimCols = Seq("tier"))
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+          .select(lit(txv).as("tx_version"), col("tier"),
+            col("n_orders"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // Session-path mining: the first three event types of every 30-min
     // session, concatenated into a path signature and counted — funnel
     // DISCOVERY (which journeys happen) where stream_funnel measures a
@@ -2055,6 +2101,28 @@ SELECT CAST(count(*) AS BIGINT) AS n_clickers,
        round(quantile_cont(delta_sec, 0.5), 6) AS median_sec,
        round(quantile_cont(delta_sec, 0.9), 6) AS p90_sec
 FROM d""",
+
+    // bi-temporal replay by pure arithmetic: at tx v1 even customers
+    // switch tiers at 1995-01-01 ('early'→'late'); the v2 correction
+    // moves the switch to 1996-01-01 and renames ('early'→'late2');
+    // odd customers are 'flat' throughout. Every order dates ≥ 1992, so
+    // the 1990 interval floor never excludes a fact.
+    "temporal_bitemporal_join" -> """
+WITH f AS (
+  SELECT o_custkey AS custkey, o_orderdate AS d,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders)
+SELECT CAST(1 AS BIGINT) AS tx_version,
+       CASE WHEN custkey % 2 = 1 THEN 'flat'
+            WHEN d < DATE'1995-01-01' THEN 'early' ELSE 'late' END AS tier,
+       CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(c) AS BIGINT) AS total_cents
+FROM f GROUP BY 2
+UNION ALL
+SELECT CAST(2 AS BIGINT),
+       CASE WHEN custkey % 2 = 1 THEN 'flat'
+            WHEN d < DATE'1996-01-01' THEN 'early' ELSE 'late2' END,
+       CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+FROM f GROUP BY 2""",
 
     "temporal_sessionize" -> """
 SELECT event_id, user_id,

@@ -140,9 +140,25 @@ class SnapshotTable(spark: SparkSession, root: String,
     * is what makes the O(retained versions) walks — history, change
     * feeds, the epoch-dedup probe — parse each manifest at most once
     * per handle, and checkpoint chunks pre-fill it N versions per
-    * open. */
+    * open.
+    *
+    * BOUNDED: a snapshot's file list grows with the table (each
+    * manifest re-lists all live files), so an unbounded memo on a
+    * long-lived handle — a writer that has committed V times, a
+    * history walk over V versions — holds O(V × files) strings:
+    * quadratic driver memory, a measured OOM at 10k commits × 10k
+    * files (MetaBench). Overflow clears the map whole (O(1), no LRU
+    * bookkeeping on the hot path); bounded walks re-fill from
+    * checkpoint chunks at O(checkpointEvery) manifests per miss, so
+    * locality — the only thing the memo exists for — is preserved. */
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[Long, Snapshot]()
+  private val ManifestCacheCap = 512
+  private def cacheManifest(s: Snapshot): Unit = {
+    if (manifestCache.size >= ManifestCacheCap) manifestCache.clear()
+    manifestCache.putIfAbsent(s.version, s)
+    ()
+  }
 
   /** Per-file stats + MOR bookkeeping aligned with a manifest's file
     * list. `stats` is aligned with THIS table's `statsCols` (outer) and
@@ -317,7 +333,7 @@ class SnapshotTable(spark: SparkSession, root: String,
                   finally in.close()
         txt.split(ChunkSep).filter(_.trim.nonEmpty).foreach { body =>
           val s = parseManifestText(body)
-          manifestCache.putIfAbsent(s.version, s)
+          cacheManifest(s)
         }
         manifestCache.containsKey(version)
       }
@@ -340,7 +356,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     if (cached != null) return cached
     if (tryLoadChunk(version)) return manifestCache.get(version)
     val s = parseManifestText(manifestRawText(version))
-    manifestCache.putIfAbsent(version, s)
+    cacheManifest(s)
     s
   }
 
@@ -1398,7 +1414,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     * the scan and re-listing it untouched preserves exactly its rows —
     * files with unknown/absent stats always overlap and are never
     * pruned. */
-  private[sources] def dmlSpecPruned(version: Long, bands: Map[String, (Long, Long)])
+  private[graft] def dmlSpecPruned(version: Long, bands: Map[String, (Long, Long)])
       : (SnapshotDmlSpec, Seq[String], Boolean) = {
     val s = snapshot(version)
     val fl = fileSetOf(s)

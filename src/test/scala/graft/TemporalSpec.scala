@@ -58,4 +58,37 @@ class TemporalSpec extends SparkSpec {
       .orderBy("event_id").collect().map(_.getAs[Long]("session_seq")).toSeq
     assert(out == Seq(1L, 1L, 2L, 1L))
   }
+
+  test("scd2Lookup: interval containment, open intervals, and tx-time travel compose") {
+    val day = java.sql.Date.valueOf(_: String)
+    // SCD-2 dimension: key 1 changes tier at 2024-02-01; key 2 open-only
+    val dim = Seq(
+      (1L, day("2024-01-01"), Option(day("2024-02-01")), "bronze"),
+      (1L, day("2024-02-01"), Option.empty[java.sql.Date], "silver"),
+      (2L, day("2024-01-15"), Option.empty[java.sql.Date], "gold")
+    ).toDF("k", "valid_from", "valid_to", "tier")
+    val facts = Seq(
+      (10L, 1L, day("2024-01-20")), // inside the bronze interval
+      (11L, 1L, day("2024-02-01")), // boundary: valid_from inclusive, valid_to exclusive -> silver
+      (12L, 1L, day("2024-03-01")), // open interval -> silver
+      (13L, 2L, day("2024-01-01")), // before any interval -> null
+      (14L, 3L, day("2024-01-01"))  // unknown key -> null
+    ).toDF("fid", "k", "d")
+    val got = Temporal.scd2Lookup(facts, dim, "k", "d", Seq("tier"))
+      .orderBy("fid").collect().map(_.getAs[String]("tier")).toSeq
+    assert(got == Seq("bronze", "silver", "silver", null, null))
+
+    // the bi-temporal composition: the SAME lookup against two snapshot
+    // versions of the dimension answers with what the table knew THEN
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2").toString + "/dim"
+    val t = new graft.sources.SnapshotTable(spark, root)
+    t.commitOverwrite(dim)
+    val corrected = dim.withColumn("tier",
+      when(col("tier") === "silver", "platinum").otherwise(col("tier")))
+    t.commitOverwrite(corrected)
+    def at(v: Long) = Temporal.scd2Lookup(facts, t.read(v), "k", "d", Seq("tier"))
+      .orderBy("fid").collect().map(_.getAs[String]("tier")).toSeq
+    assert(at(1L) == Seq("bronze", "silver", "silver", null, null))
+    assert(at(2L) == Seq("bronze", "platinum", "platinum", null, null))
+  }
 }
