@@ -41,8 +41,11 @@ object MetaBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // "reuse" third arg: measure against an existing fixture (the
+    // manifests are immutable; a rebuild adds 5 min for no new signal)
+    val reuse = args.length > 2 && args(2) == "reuse"
     val dir = new java.io.File(root)
-    if (dir.exists()) { // fresh build every run: the build IS part of the result
+    if (dir.exists() && !reuse) {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
       }
@@ -55,7 +58,7 @@ object MetaBench {
 
     // build: one driver-written parquet file + one manifest per commit
     val (_, buildMs) = timed {
-      var v = 0
+      var v = if (reuse && dir.exists()) commits else 0
       while (v < commits) {
         val uuid = f"c$v%08d"
         val w = new SnapshotParquetWriter(s"$root/data", uuid, "f.parquet",

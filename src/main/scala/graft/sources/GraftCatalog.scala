@@ -84,7 +84,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val pinned @ (handle, version) =
       SnapshotBatch.resolve(spark, new CaseInsensitiveStringMap(props))
     val tableProps = handle.tableProperties
-    val raw = handle.read(version).schema
+    val raw = handle.schemaOf(version) // manifest-recorded: zero data I/O
     // a declared equality-delete key is an IDENTIFIER: report it
     // non-nullable (Spark requires non-null row IDs for delta-based
     // DML, and the output resolver then enforces NOT NULL on catalog

@@ -68,7 +68,7 @@ class SnapshotSourceProvider extends StreamSourceProvider
       new org.apache.spark.sql.types.StructType()
     else {
       val (table, version) = SnapshotBatch.resolve(spark, options)
-      table.read(version).schema
+      table.schemaOf(version) // manifest-recorded: zero data-file I/O
     }
   }
 

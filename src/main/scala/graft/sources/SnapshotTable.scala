@@ -876,6 +876,19 @@ class SnapshotTable(spark: SparkSession, root: String,
     * but construct self-contained specs). */
   private[sources] def rootPath: String = root
 
+  /** Table schema AS OF `version` — from the manifest's recorded
+    * schema: one manifest parse, ZERO data-file I/O. Schema resolution
+    * used to build the full `read(version)` plan (an
+    * InMemoryFileIndex over every live file: a measured 14.9 s on a
+    * 10k-file table — MetaBench); a relation/catalog load now pays a
+    * manifest parse instead. Pre-evolution manifests without a
+    * recorded schema keep the footer-inferred read path. */
+  private[graft] def schemaOf(version: Long): StructType = {
+    val v = if (version < 0) latestVersion() else version
+    require(v > 0, s"no committed snapshot to read at $root")
+    snapshot(v).schemaJson.map(parseSchema).getOrElse(read(v).schema)
+  }
+
   /** DQ-gated append — the write-audit contract at the TABLE boundary
     * (the reference gates every pipeline stage with validators,
     * SURVEY.md §2.10; this moves the gate into the commit protocol
