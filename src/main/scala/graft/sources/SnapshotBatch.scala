@@ -83,6 +83,29 @@ object SnapshotBatch {
     filters.flatMap(bandOf).groupBy(_._1).map { case (c, bs) =>
       c -> ((bs.map(_._2._1).max, bs.map(_._2._2).min))
     }
+
+  /** Like [[bandOf]] but ONLY for predicates whose band is the EXACT
+    * truth set over non-null values — every value inside the band
+    * matches, every value outside does not. `In` is excluded: its band
+    * is a HULL (`IN (100, 200)` → [100, 200] contains 150, which does
+    * NOT match), sound for file PRUNING (read path) but wrong for any
+    * "fully-inside ⇒ every row matches" proof (metadata deletes,
+    * overwrite-by-filter ranges). */
+  def contiguousBandOf(f: Filter): Option[(String, (Long, Long))] = f match {
+    case _: In => None
+    case other => bandOf(other)
+  }
+
+  /** Intersection of [[contiguousBandOf]] bands — defined only when
+    * EVERY filter is contiguous-band-derivable (a single underivable
+    * conjunct makes the truth set unknowable). */
+  def contiguousBandsOf(filters: Seq[Filter]): Option[Map[String, (Long, Long)]] = {
+    val per = filters.map(contiguousBandOf)
+    if (filters.isEmpty || per.exists(_.isEmpty)) None
+    else Some(per.flatten.groupBy(_._1).map { case (c, bs) =>
+      c -> ((bs.map(_._2._1).max, bs.map(_._2._2).min))
+    })
+  }
 }
 
 /** DSv2 Table: BATCH_READ + BATCH_WRITE — streaming reads stay on the V1
@@ -114,7 +137,7 @@ class GraftSnapshotBatchTable(spark: SparkSession, root: String,
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   /** Row provenance for audits (`SELECT _file, _version, ...`): the
@@ -185,6 +208,31 @@ class GraftSnapshotBatchTable(spark: SparkSession, root: String,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new GraftSnapshotRowLevelBuilder(spark, root, statsColsForWrite, info, props)
+
+  /** METADATA-ONLY SQL DELETE (Spark's OptimizeMetadataOnlyDeleteFromTable
+    * replaces the row-level rewrite when this says yes): serve the
+    * statement iff every conjunct is a CONTIGUOUS band on a stats
+    * column and every file classifies fully-inside-or-outside — then
+    * the delete is a manifest re-list dropping the inside files, zero
+    * rewrite. Straddlers/IN-lists/non-stats columns decline, falling
+    * back to the pruned row-level paths. The partition-drop shape
+    * (`DELETE WHERE day BETWEEN …` on a clustered table) at 100 TB is
+    * a metadata edit. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    SnapshotBatch.contiguousBandsOf(filters.toSeq) match {
+      case Some(bands) =>
+        val t = pinned.map(_._1)
+          .getOrElse(new SnapshotTable(spark, root, statsColsForWrite))
+        t.canDeleteByBands(bands)
+      case None => false
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val bands = SnapshotBatch.contiguousBandsOf(filters.toSeq).getOrElse(
+      sys.error(s"deleteWhere without canDeleteWhere: ${filters.mkString(", ")}"))
+    new SnapshotTable(spark, root, statsColsForWrite).commitDeleteByBands(bands)
+    ()
+  }
 
   /** SQL TRUNCATE TABLE: an empty overwrite version — history (and time
     * travel to it) stays intact, exactly like every other commit. */

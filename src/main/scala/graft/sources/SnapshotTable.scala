@@ -1362,6 +1362,90 @@ class SnapshotTable(spark: SparkSession, root: String,
       deleteKey = keyCols), snapBase.rows - removed, snapBase.schemaJson)
   }
 
+  /** Classify every file of `version` against contiguous predicate
+    * bands: 1 = FULLY INSIDE (every conjunct true for every row — band
+    * containment with a known-ZERO null count, since the predicates
+    * reject NULLs but a null row must survive a delete that never
+    * named it), 0 = fully outside (some conjunct false for every
+    * non-null row; null rows don't match either), -1 = straddler /
+    * unknown stats. Empty files (inverted band) classify outside —
+    * kept, harmless. */
+  private def classifyByBands(version: Long,
+                              bands: Map[String, (Long, Long)]): (Snapshot, Seq[Int]) = {
+    val s = snapshot(version)
+    val fl = fileSetOf(s)
+    def cs(c: String) = fl.stats(statsCols.indexOf(c))
+    val classes = fl.files.indices.map { i =>
+      val inside = bands.forall { case (c, (lo, hi)) =>
+        val st = cs(c)
+        st.mins(i) >= lo && st.maxs(i) <= hi &&
+          st.maxs(i) >= st.mins(i) && st.nulls(i) == 0L
+      }
+      lazy val outside = bands.exists { case (c, (lo, hi)) =>
+        val st = cs(c); st.maxs(i) < lo || st.mins(i) > hi
+      }
+      if (inside) 1 else if (outside) 0 else -1
+    }
+    (s, classes)
+  }
+
+  /** Whether a metadata-only DELETE can serve these bands RIGHT NOW:
+    * every file fully inside or fully outside, and at least one file
+    * stays (a file-less manifest is unreadable — an all-files delete
+    * falls back to the row-level rewrite, which writes its
+    * schema-bearing empty file). Advisory: [[commitDeleteByBands]]
+    * re-classifies per publish attempt. */
+  private[sources] def canDeleteByBands(bands: Map[String, (Long, Long)]): Boolean = {
+    if (bands.isEmpty || !bands.keys.forall(statsCols.contains)) return false
+    val tip = latestVersion()
+    if (tip == 0) return false
+    val (_, classes) = classifyByBands(tip, bands)
+    !classes.contains(-1) && classes.contains(0)
+  }
+
+  /** METADATA-ONLY DELETE: drop every file whose rows ALL match the
+    * contiguous predicate bands — a manifest re-list, zero data files
+    * read or written except the exact-count scan over ONLY the dropped
+    * files (through their MOR deletes). The scale limit case of the
+    * pruned row-level path: a partition-drop-shaped `DELETE FROM …
+    * WHERE day BETWEEN a AND b` on a 100 TB clustered table is a
+    * manifest edit. None = the predicate matched no file (no version
+    * published — the no-op contract). A straddler at publish time
+    * (the classification raced a concurrent writer past
+    * [[canDeleteByBands]]) fails loudly: falling back to a rewrite
+    * here would need the row-level plan Spark already discarded. */
+  private[sources] def commitDeleteByBands(bands: Map[String, (Long, Long)]): Option[Long] = {
+    require(bands.nonEmpty && bands.keys.forall(statsCols.contains),
+      s"metadata delete needs contiguous bands on stats columns " +
+        s"(${statsCols.mkString(",")}); got ${bands.keys.mkString(",")}")
+    var attempts = 0
+    while (attempts < 50) {
+      val base = latestVersion()
+      require(base > 0, s"DELETE on empty table at $root")
+      val (snapBase, classes) = classifyByBands(base, bands)
+      require(!classes.contains(-1),
+        s"metadata DELETE at $root: a file straddles the predicate band " +
+          "(a concurrent commit re-shaped the table mid-statement); " +
+          "re-run the statement")
+      val removedIdx = classes.indices.filter(classes(_) == 1)
+      if (removedIdx.isEmpty) return None // matched nothing: no version
+      val keptIdx = classes.indices.filter(classes(_) == 0)
+      require(keptIdx.nonEmpty,
+        s"metadata DELETE at $root would drop every file — re-run " +
+          "(concurrent writer); a full delete takes the row-level path")
+      val fl = fileSetOf(snapBase)
+      val removedRows = morPlan(snapBase, removedIdx, mergeSchema = false).count()
+      publishAtBase(base, "delete", FileSet(
+          keptIdx.map(fl.files), sliceStats(fl.stats, keptIdx),
+          keptIdx.map(fl.seqs), fl.deletes, fl.deleteSeqs, fl.deleteKey),
+        snapBase.rows - removedRows, snapBase.schemaJson) match {
+        case Some(v) => return Some(v)
+        case None => attempts += 1 // tip moved: re-classify and retry
+      }
+    }
+    sys.error(s"commitDeleteByBands at $root: gave up after $attempts conflicts")
+  }
+
   // ----- table-properties sidecar ----------------------------------
 
   private def propsPath = new Path(snapsDir, "_props.json")

@@ -102,12 +102,17 @@ class GraftSnapshotWriteBuilder(spark: SparkSession, root: String,
     if (filters.isEmpty ||
         filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
       return truncate()
-    val bands = SnapshotBatch.bandsOf(filters.toSeq)
-    require(bands.size == 1 && filters.forall(f =>
-        f.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue] ||
-          SnapshotBatch.bandOf(f).isDefined),
-      s"graft-snapshot overwrite-by-filter supports range/equality " +
-        s"predicates on exactly ONE stats column; got ${filters.mkString(", ")}")
+    // CONTIGUOUS bands only: the overwrite deletes every row in the
+    // derived range, so the range must be the predicate's exact truth
+    // set — an IN list's hull ([100,200] for IN (100, 200)) would
+    // silently delete the rows between the members
+    val nontrivial = filters.toSeq.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    val bands = SnapshotBatch.contiguousBandsOf(nontrivial).getOrElse(Map.empty)
+    require(bands.size == 1,
+      s"graft-snapshot overwrite-by-filter supports contiguous " +
+        s"range/equality predicates on exactly ONE stats column " +
+        s"(IN lists are not a range); got ${filters.mkString(", ")}")
     val (column, (lo, hi)) = bands.head
     require(statsCols.contains(column),
       s"overwrite-by-filter column '$column' is not a stats column " +

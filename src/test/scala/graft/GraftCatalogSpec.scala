@@ -155,6 +155,37 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table(s"$cat.db.prunedmor").count() == 198L)
   }
 
+  test("a band DELETE covering whole files is METADATA-ONLY: files dropped, none written") {
+    spark.sql(s"CREATE TABLE $cat.db.metadel (id BIGINT, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='id')")
+    spark.sql(s"INSERT INTO $cat.db.metadel SELECT id, id AS v FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $cat.db.metadel SELECT id, id AS v FROM range(100, 200)")
+    spark.sql(s"INSERT INTO $cat.db.metadel SELECT id, id AS v FROM range(200, 300)")
+    val whRoot = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val t = new SnapshotTable(spark, s"$whRoot/db/metadel", Seq("id"))
+    val before = t.snapshot(t.latestVersion())
+    // the top third's files are fully inside [200, inf): dropped whole
+    spark.sql(s"DELETE FROM $cat.db.metadel WHERE id >= 200")
+    val after = t.snapshot(t.latestVersion())
+    assert(after.action == "delete" && after.rows == 200L)
+    // METADATA pin: the new manifest lists a strict SUBSET of the old
+    // files — nothing was rewritten, nothing new written
+    assert(after.files.toSet.subsetOf(before.files.toSet),
+      "metadata delete must not write any file")
+    assert(before.files.toSet.diff(after.files.toSet).nonEmpty)
+    assert(spark.table(s"$cat.db.metadel").count() == 200L)
+    assert(!ids(s"SELECT id FROM $cat.db.metadel").contains(250L))
+
+    // an IN-list is a HULL, not a range: it must NOT take the metadata
+    // path (IN (40, 160) would wrongly drop everything between) — the
+    // row-level rewrite serves it exactly
+    spark.sql(s"DELETE FROM $cat.db.metadel WHERE id IN (40, 160)")
+    assert(spark.table(s"$cat.db.metadel").count() == 198L)
+    val got = ids(s"SELECT id FROM $cat.db.metadel")
+    assert(!got.contains(40L) && !got.contains(160L) && got.contains(100L),
+      "IN-list delete must remove ONLY the named keys")
+  }
+
   test("write.delete.mode='merge-on-read' routes SQL DELETE to equality deletes") {
     spark.sql(s"CREATE TABLE $cat.db.mordel (id BIGINT, v BIGINT) " +
       "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='id', " +
