@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Repo-local leak scanner: regenerates LEAKCHECK.json from an actual scan.
+
+Scans src/, build.sbt, project/, tools/ for the seven hit categories the
+round artifact tracks. Everything here checks for *absence* of non-public
+material: internal package imports, private URLs/buckets, chat links,
+credential-shaped strings, and internal-env-var references. The scan is
+re-run at round close so the artifact carries a timestamp proving it ran,
+rather than a hand-bumped round number (round-14 ADVICE item).
+
+Usage: python3 tools/leakcheck.py <round> [repo_root]
+Writes LEAKCHECK.json at the repo root; exits non-zero when hits exist.
+"""
+import json
+import os
+import re
+import sys
+import time
+
+# Public domains that legitimately appear in docs/scaladoc citations.
+PUBLIC_URL_ALLOW = re.compile(
+    r"https?://(?:[a-z0-9.-]*\.)?("
+    r"apache\.org|github\.com|scala-lang\.org|scalatest\.org|duckdb\.org|"
+    r"wikipedia\.org|arxiv\.org|acm\.org|ietf\.org|w3\.org|iso\.org|"
+    r"postgresql\.org|python\.org|openjdk\.org|oracle\.com|amazon\.com|"
+    r"amazonaws\.com/?$|google\.com|microsoft\.com|databricks\.com|"
+    r"iceberg\.apache\.org|delta\.io|projectnessie\.org|trino\.io|"
+    r"clickhouse\.com|duckdb\.md|mvnrepository\.com|maven\.org|sonatype\.org"
+    r")(?:[/#?]|$)", re.I)
+
+CATEGORIES = {
+    # Imports/usages of non-public JVM/Python namespaces. The public Spark /
+    # Java / Scala ecosystem plus this repo's own `graft` package are fine.
+    # Only reversed-domain roots can smuggle a vendor package; local-value
+    # imports (`import spark.implicits._`) and the JVM/Scala/ASF namespaces
+    # are not leak surface.
+    "internal-import": re.compile(
+        r"^\s*import\s+(?!org\.apache\b|org\.scalatest\b|org\.scalacheck\b|"
+        r"org\.slf4j\b|com\.fasterxml\b|org\.json4s\b|org\.xerial\b|"
+        r"com\.google\.common\b|org\.roaringbitmap\b|org\.codehaus\b|"
+        r"org\.postgresql\b|com\.sun\b)"
+        r"(?:com|net|io|ai|dev|cloud|corp|internal|org)\.\w+", re.M),
+    # Any URL not on the public allowlist.
+    "internal-url": re.compile(r"https?://[^\s\"')>\]]+"),
+    # Company-internal-looking package roots (none should exist here).
+    "internal-pkg2": re.compile(
+        r"\b(?:com|net|io)\.(?:anthropic|taico)(?:\.[a-z0-9_.]+)?\b", re.I),
+    # Cloud-storage bucket URIs — this engine must not bake in any bucket.
+    "internal-bucket": re.compile(r"\b(?:s3a?|gs|abfss?|wasbs?)://[^\s\"')>\]]+"),
+    "slack-link": re.compile(r"\b[a-z0-9-]+\.slack\.com\b|\bslack://", re.I),
+    # Credential-shaped strings: AWS key ids, PEM blocks, bearer-ish tokens.
+    "api-key": re.compile(
+        r"\bAKIA[0-9A-Z]{16}\b|-----BEGIN [A-Z ]*PRIVATE KEY-----|"
+        r"\b(?:sk|pk|rk)-[A-Za-z0-9]{20,}\b|\bxox[baprs]-[A-Za-z0-9-]+"),
+    # References to internal orchestration env vars; this repo's own
+    # SPARK_GRAFT_* knobs are the only sanctioned env surface.
+    "axon-env": re.compile(
+        r"\b(?:AXON|TAICO)_[A-Z0-9_]+\b|\bsys\.env\([\"'](?!SPARK_GRAFT_)"
+        r"[A-Z][A-Z0-9_]*[\"']\)"),
+}
+
+SCAN_EXT = {".scala", ".sbt", ".py", ".sh", ".sql", ".yaml", ".yml", ".conf",
+            ".properties", ".md", ".json"}
+SCAN_ROOTS = ["src", "tools", "project", "build.sbt"]
+SELF = os.path.join("tools", "leakcheck.py")
+
+
+def scan(root: str):
+    hits = {k: [] for k in CATEGORIES}
+    for top in SCAN_ROOTS:
+        path = os.path.join(root, top)
+        if os.path.isfile(path):
+            files = [path]
+        else:
+            files = [os.path.join(dp, f)
+                     for dp, _, fs in os.walk(path) for f in fs
+                     if os.path.splitext(f)[1] in SCAN_EXT]
+        for fp in files:
+            rel = os.path.relpath(fp, root)
+            if rel == SELF:  # the patterns themselves are not hits
+                continue
+            try:
+                text = open(fp, encoding="utf-8", errors="replace").read()
+            except OSError:
+                continue
+            for cat, rx in CATEGORIES.items():
+                for m in rx.finditer(text):
+                    frag = m.group(0)
+                    if cat == "internal-url" and PUBLIC_URL_ALLOW.match(frag):
+                        continue
+                    line = text.count("\n", 0, m.start()) + 1
+                    hits[cat].append(f"{rel}:{line}: {frag[:120]}")
+    return hits
+
+
+def main():
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    root = sys.argv[2] if len(sys.argv) > 2 else os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
+    hits = scan(root)
+    n = sum(len(v) for v in hits.values())
+    out = {
+        "round": rnd,
+        "n_hits": n,
+        "generated_by": "tools/leakcheck.py",
+        "scanned_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "hits": hits,
+    }
+    with open(os.path.join(root, "LEAKCHECK.json"), "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(f"leakcheck: {n} hits -> LEAKCHECK.json")
+    for cat, v in hits.items():
+        for h in v:
+            print(f"  [{cat}] {h}")
+    sys.exit(1 if n else 0)
+
+
+if __name__ == "__main__":
+    main()
