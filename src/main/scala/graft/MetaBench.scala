@@ -79,10 +79,17 @@ object MetaBench {
     val (tip, tipMs) = timed(fresh().latestVersion())
     val (_, snapMs) = timed(fresh().snapshot(tip))
     val (hist, histMs) = timed(fresh().history().length)
+    // planning-time getFileStatus calls ride the handle's dataStats
+    // counter: ZERO on a lens-recording table (the manifest IS the
+    // listing), O(files) under pre-lens manifests — each one would be
+    // an object-store HEAD
+    val tPlan = fresh()
     val (_, planV1Ms) = timed(
-      fresh().read(tip).queryExecution.executedPlan.toString.length)
+      tPlan.read(tip).queryExecution.executedPlan.toString.length)
+    val planStats = tPlan.dataStats.get()
     val t = fresh()
     val (specFull, dmlFullMs) = timed(t.dmlSpecPruned(tip, Map.empty))
+    val dmlStats = t.dataStats.get()
     val (specPruned, dmlPrunedMs) = timed(
       fresh().dmlSpecPruned(tip, Map("id" -> (5L, 9L))))
     val (cnt, countMs) = timed(
@@ -91,8 +98,9 @@ object MetaBench {
     println(s"""{"metric":"metabench","commits":$commits,"live_files":${specFull._1.files.length},
       |"build_ms":$buildMs,"tip_resolve_ms":$tipMs,"snapshot_parse_ms":$snapMs,
       |"history_ms":$histMs,"history_len":$hist,
-      |"v1_read_plan_ms":$planV1Ms,
-      |"dml_plan_full_ms":$dmlFullMs,"dml_plan_pruned_ms":$dmlPrunedMs,
+      |"v1_read_plan_ms":$planV1Ms,"v1_read_plan_stats":$planStats,
+      |"dml_plan_full_ms":$dmlFullMs,"dml_plan_full_stats":$dmlStats,
+      |"dml_plan_pruned_ms":$dmlPrunedMs,
       |"dml_pruned_files":${specPruned._1.files.length},
       |"count_pushdown_ms":$countMs,"count":$cnt}""".stripMargin.replace("\n", ""))
     spark.stop()

@@ -46,7 +46,14 @@ case class ColStats(mins: Seq[Long], maxs: Seq[Long], nulls: Seq[Long])
   * Iceberg v2 equality-delete sequencing rule). `deleteKey` names the
   * equality columns. Empty seqs (pre-MOR manifests) read as all-zero:
   * oldest, so every delete applies — consistent, since such manifests
-  * carry no deletes either. */
+  * carry no deletes either. `lens` (aligned with `files`) records each
+  * data file's byte length AT COMMIT TIME — immutable files never
+  * change size, so read/DML/streaming planning builds its FileStatus
+  * entries straight from the manifest with ZERO filesystem calls (on an
+  * object store: no HEAD storm per query). Manifests predating the
+  * field read as empty → planning falls back to one getFileStatus per
+  * file, and the next commit records lengths for every carried-forward
+  * file. */
 case class Snapshot(version: Long, action: String, baseVersion: Long,
                     rows: Long, files: Seq[String], batchId: Long = -1L,
                     txnApp: String = "",
@@ -58,7 +65,9 @@ case class Snapshot(version: Long, action: String, baseVersion: Long,
                     deleteSeqs: Seq[Long] = Seq.empty,
                     deleteKey: Seq[String] = Seq.empty,
                     ts: Long = 0L,
-                    schemaJson: Option[String] = None)
+                    schemaJson: Option[String] = None,
+                    lens: Seq[Long] = Seq.empty,
+                    deleteLens: Seq[Long] = Seq.empty)
 
 /** Minimal snapshot-versioned table format: immutable parquet data files
   * plus a linear chain of JSON manifests, one per committed version —
@@ -134,6 +143,15 @@ class SnapshotTable(spark: SparkSession, root: String,
   private[graft] val metaProbes = new java.util.concurrent.atomic.AtomicLong
   private[graft] val metaLists = new java.util.concurrent.atomic.AtomicLong
   private[graft] val metaOpens = new java.util.concurrent.atomic.AtomicLong
+  /** Per-file getFileStatus calls on DATA paths (read/DML/stream
+    * planning fallbacks + commit-time length recording). On a
+    * lens-recording table, planning must keep this at ZERO — each call
+    * would be a HEAD request on an object store. */
+  private[graft] val dataStats = new java.util.concurrent.atomic.AtomicLong
+  private def statOf(p: Path): org.apache.hadoop.fs.FileStatus = {
+    dataStats.incrementAndGet()
+    fs.getFileStatus(p)
+  }
 
   /** Parsed-manifest memo. Manifests are immutable once published, so
     * entries never invalidate; a vacuumed version may still serve from
@@ -169,7 +187,15 @@ class SnapshotTable(spark: SparkSession, root: String,
                              seqs: Seq[Long] = Seq.empty,
                              deletes: Seq[String] = Seq.empty,
                              deleteSeqs: Seq[Long] = Seq.empty,
-                             deleteKey: Seq[String] = Seq.empty)
+                             deleteKey: Seq[String] = Seq.empty,
+                             lens: Seq[Long] = Seq.empty,
+                             deleteLens: Seq[Long] = Seq.empty)
+
+  /** `lens` aligned to an `n`-file list; any misaligned/absent vector
+    * reads as all-unknown (-1) — NEVER positionally reinterpreted, a
+    * wrong length silently corrupts the parquet footer read. */
+  private def alignLens(lens: Seq[Long], n: Int): Seq[Long] =
+    if (lens.length == n) lens else Seq.fill(n)(-1L)
   private val UnknownMin = Long.MinValue
   private val UnknownMax = Long.MaxValue
   private val UnknownNulls = -1L
@@ -209,7 +235,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     val byName = manifestCols.zip(s.stats).toMap
     val stats = statsCols.map(c => byName.get(c).map(aligned).getOrElse(unknownStats(n)))
     val seqs = if (s.seqs.length == n) s.seqs else Seq.fill(n)(0L)
-    FileSet(s.files, stats, seqs, s.deletes, s.deleteSeqs, s.deleteKey)
+    FileSet(s.files, stats, seqs, s.deletes, s.deleteSeqs, s.deleteKey,
+      alignLens(s.lens, n), alignLens(s.deleteLens, s.deletes.length))
   }
 
   private def manifestPath(v: Long) = new Path(snapsDir, f"v$v%020d.json")
@@ -409,7 +436,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       longField("rows"), files, batchId, strFieldOpt("txnApp").getOrElse(""),
       manifestStatsCols, stats,
       dataChange, longArray("seqs"), strArray("deletes"),
-      longArray("deleteSeqs"), strArray("deleteKey"), ts, schemaJson)
+      longArray("deleteSeqs"), strArray("deleteKey"), ts, schemaJson,
+      longArray("lens"), longArray("deleteLens"))
   }
 
   private def parseSchema(json: String): StructType =
@@ -491,25 +519,25 @@ class SnapshotTable(spark: SparkSession, root: String,
     * keep the footer-inferred path. */
   private def morPlan(s: Snapshot, keep: Seq[Int], mergeSchema: Boolean): DataFrame = {
     val pinned = s.schemaJson.map(parseSchema)
-    def rdData(names: Seq[String], merge: Boolean): DataFrame = pinned match {
+    val all = fileSetOf(s)
+    def rdData(idxs: Seq[Int], merge: Boolean): DataFrame = pinned match {
       case Some(sch) =>
         // manifest-planned: the file list AND statuses come from this
-        // handle (one getFileStatus each — O(files), no listing job),
-        // the schema from the manifest — `spark.read.parquet` would
-        // re-list every path through an InMemoryFileIndex per query
-        // (a measured 16.8 s at 10k files; a LIST storm on object
-        // stores)
+        // handle (manifest-recorded lengths; getFileStatus only for
+        // files a pre-lens manifest lists), the schema from the
+        // manifest — `spark.read.parquet` would re-list every path
+        // through an InMemoryFileIndex per query (a measured 16.8 s at
+        // 10k files; a LIST storm on object stores)
         bridge.manifestParquetFrame(spark,
-          names.map(f => fs.getFileStatus(new Path(dataDir, f))), sch)
+          idxs.map(i => statusOf(all.files(i), all.lens(i))), sch)
       case None =>
         val r = if (merge) spark.read.option("mergeSchema", "true") else spark.read
-        r.parquet(names.map(f => new Path(dataDir, f).toString): _*)
+        r.parquet(idxs.map(i => new Path(dataDir, all.files(i)).toString): _*)
     }
     // delete-key files carry the KEY schema, never the table schema
     def rdKeys(names: Seq[String]): DataFrame =
       spark.read.parquet(names.map(f => new Path(dataDir, f).toString): _*)
-    val all = fileSetOf(s)
-    if (all.deletes.isEmpty) rdData(keep.map(all.files), merge = mergeSchema)
+    if (all.deletes.isEmpty) rdData(keep, merge = mergeSchema)
     else keep.groupBy(i => all.deleteSeqs.count(_ > all.seqs(i)))
       .toSeq.sortBy(_._1) // deterministic group (and thus column) order
       .map { case (nAppl, idxs) =>
@@ -518,7 +546,7 @@ class SnapshotTable(spark: SparkSession, root: String,
         // schema from an ARBITRARY footer, so whether the delete-key
         // column is visible — and thus whether the anti-join applies —
         // would be nondeterministic
-        val df = rdData(idxs.map(all.files), merge = nAppl > 0)
+        val df = rdData(idxs, merge = nAppl > 0)
         // NULL equality keys match nothing, so groups where NO file has
         // the key column (it postdates them all) legitimately skip
         if (nAppl == 0 || !all.deleteKey.forall(df.columns.contains)) df
@@ -593,18 +621,22 @@ class SnapshotTable(spark: SparkSession, root: String,
   private def writeDataFiles(df: DataFrame): (FileSet, Long) = {
     val commitId = java.util.UUID.randomUUID().toString
     val dir = new Path(dataDir, commitId)
+    // the commit-dir listing doubles as the length source: manifests
+    // record each file's byte length so reads never re-stat them
+    def listParts(): Seq[(String, Long)] = fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => (s"$commitId/${st.getPath.getName}", st.getLen)).toSeq
     df.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
-    var parts = fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).map(p => s"$commitId/${p.getName}").toSeq
-    if (parts.isEmpty) {
+    var partEntries = listParts()
+    if (partEntries.isEmpty) {
       // zero-task plan (empty batch through AQE can drop every partition):
       // force one writer task so the commit carries a schema-bearing file —
       // a file-less manifest would make read() of this version unplannable.
       fs.delete(dir, true)
       df.repartition(1).write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
-      parts = fs.listStatus(dir).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet")).map(p => s"$commitId/${p.getName}").toSeq
+      partEntries = listParts()
     }
+    val parts = partEntries.map(_._1)
     val written = spark.read.parquet(dir.toString)
     val rows = written.count()
     // stats only for the stats columns the written frame carries
@@ -642,7 +674,7 @@ class SnapshotTable(spark: SparkSession, root: String,
           }
         }
       }
-    (FileSet(parts, stats), rows)
+    (FileSet(parts, stats, lens = partEntries.map(_._2)), rows)
   }
 
   /** True iff this IOException means "another writer already created the
@@ -682,20 +714,54 @@ class SnapshotTable(spark: SparkSession, root: String,
       s""","schemaB64":"${java.util.Base64.getEncoder.encodeToString(j.getBytes("UTF-8"))}"""")
     val seqsPart =
       if (fls.seqs.isEmpty) "" else s""","seqs":[${fls.seqs.mkString(",")}]"""
+    val lensPart =
+      if (fls.lens.length != fls.files.length || fls.files.isEmpty) ""
+      else s""","lens":[${fls.lens.mkString(",")}]"""
     val delPart =
       if (fls.deletes.isEmpty) ""
       else s""","deletes":[${fls.deletes.map(f =>
           s""""${jsonSafe(f, "delete file")}"""").mkString(",")}]""" +
         s""","deleteSeqs":[${fls.deleteSeqs.mkString(",")}]""" +
         s""","deleteKey":[${fls.deleteKey.map(c =>
-          s""""${jsonSafe(c, "delete-key column")}"""").mkString(",")}]"""
+          s""""${jsonSafe(c, "delete-key column")}"""").mkString(",")}]""" +
+        (if (fls.deleteLens.length != fls.deletes.length) ""
+         else s""","deleteLens":[${fls.deleteLens.mkString(",")}]""")
     val txnPart =
       if (txnApp.isEmpty) ""
       else s""","txnApp":"${jsonSafe(txnApp, "txn app id")}""""
     s"""{"version":$v,"action":"$action","baseVersion":$base,
        |"ts":${System.currentTimeMillis()},
-       |"rows":$rowCount,"batchId":$batchId$txnPart,"dataChange":$dataChange$schemaPart$statsPart$seqsPart$delPart,
+       |"rows":$rowCount,"batchId":$batchId$txnPart,"dataChange":$dataChange$schemaPart$statsPart$seqsPart$lensPart$delPart,
        |"files":[${fls.files.map(f => s""""${jsonSafe(f, "data file")}"""").mkString(",")}]}""".stripMargin
+  }
+
+  /** Every file length known before a manifest publishes: carried-forward
+    * files bring lens from the base manifest, fresh writer files bring
+    * theirs from [[writeDataFiles]]'s listing, and only entries still
+    * unknown (-1 — e.g. files a DSv2 executor wrote, or every file on
+    * the first commit over a pre-lens table) pay one getFileStatus.
+    * Commit cost is O(new files), not O(table). */
+  private def ensureLens(fls: FileSet): FileSet = {
+    def fill(files: Seq[String], lens: Seq[Long]): Seq[Long] = {
+      val al = alignLens(lens, files.length)
+      if (al.forall(_ >= 0L)) al
+      else files.zip(al).map { case (f, l) =>
+        if (l >= 0L) l else statOf(new Path(dataDir, f)).getLen }
+    }
+    fls.copy(lens = fill(fls.files, fls.lens),
+      deleteLens = fill(fls.deletes, fls.deleteLens))
+  }
+
+  /** FileStatus for a manifest-relative data file: from the recorded
+    * length when known (no filesystem call — the manifest IS the
+    * listing), else one getFileStatus. Immutable files make a zero
+    * modification time safe: nothing caches or invalidates on it here,
+    * and split planning uses only the length. */
+  private def statusOf(rel: String, len: Long): org.apache.hadoop.fs.FileStatus = {
+    val p = fs.makeQualified(new Path(dataDir, rel))
+    if (len >= 0L)
+      new org.apache.hadoop.fs.FileStatus(len, false, 1, 134217728L, 0L, p)
+    else statOf(p)
   }
 
   /** Publish a manifest at the next version; on a create-exclusive
@@ -714,7 +780,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     while (attempts < 50) {
       val base = latestVersion()
       val v = base + 1
-      val fls = files(base)
+      val fls = ensureLens(files(base))
       val body = manifestBody(v, action, base, rows(base), fls, schemaJson(base),
         batchId, dataChange, txnApp)
       fs.mkdirs(snapsDir)
@@ -741,7 +807,9 @@ class SnapshotTable(spark: SparkSession, root: String,
                else fileSetOf(snapshot(base))
     FileSet(prev.files ++ nw.files, concatStats(prev.stats, nw.stats),
       prev.seqs ++ Seq.fill(nw.files.length)(base + 1),
-      prev.deletes, prev.deleteSeqs, prev.deleteKey)
+      prev.deletes, prev.deleteSeqs, prev.deleteKey,
+      alignLens(prev.lens, prev.files.length) ++
+        alignLens(nw.lens, nw.files.length))
   }
 
   /** Append `df` as a new snapshot: new files + everything the current
@@ -872,12 +940,13 @@ class SnapshotTable(spark: SparkSession, root: String,
   }
 
   /** Absolute (path, length) entries for manifest-relative files — what
-    * a self-contained DSv2 partition plan needs. One getFileStatus per
-    * file: O(files), no data read. */
-  private[sources] def fileEntries(rel: Seq[String]): Seq[(String, Long)] =
-    rel.map { f =>
+    * a self-contained DSv2 partition plan needs. Lengths ride in from
+    * the manifest (`appendDelta`); only a -1 (pre-lens manifest) pays a
+    * getFileStatus. */
+  private[sources] def fileEntries(rel: Seq[(String, Long)]): Seq[(String, Long)] =
+    rel.map { case (f, l) =>
       val p = new Path(dataDir, f)
-      (p.toString, fs.getFileStatus(p).getLen)
+      (p.toString, if (l >= 0L) l else statOf(p).getLen)
     }
 
   /** This handle's table root (for components that plan from the handle
@@ -997,7 +1066,7 @@ class SnapshotTable(spark: SparkSession, root: String,
                             rowCount: Long, schemaJson: Option[String],
                             dataChange: Boolean = true): Option[Long] = {
     val v = base + 1
-    val body = manifestBody(v, action, base, rowCount, fls, schemaJson,
+    val body = manifestBody(v, action, base, rowCount, ensureLens(fls), schemaJson,
       batchId = -1L, dataChange = dataChange)
     fs.mkdirs(snapsDir)
     try {
@@ -1087,7 +1156,9 @@ class SnapshotTable(spark: SparkSession, root: String,
       val fls = prev.copy(
         deletes = prev.deletes ++ keyFiles.files,
         deleteSeqs = prev.deleteSeqs ++ Seq.fill(keyFiles.files.length)(base + 1),
-        deleteKey = keyCols)
+        deleteKey = keyCols,
+        deleteLens = alignLens(prev.deleteLens, prev.deletes.length) ++
+          alignLens(keyFiles.lens, keyFiles.files.length))
       publishAtBase(base, "delete_mor", fls, snapBase.rows - deleted,
         snapBase.schemaJson) match {
         case Some(v) => return v
@@ -1213,7 +1284,11 @@ class SnapshotTable(spark: SparkSession, root: String,
           batchFiles.stats),
         keepIdx.map(prev.seqs) ++
           Seq.fill(rewrite.files.length + batchFiles.files.length)(base + 1),
-        prev.deletes, prev.deleteSeqs, prev.deleteKey)
+        prev.deletes, prev.deleteSeqs, prev.deleteKey,
+        keepIdx.map(alignLens(prev.lens, prev.files.length)) ++
+          alignLens(rewrite.lens, rewrite.files.length) ++
+          alignLens(batchFiles.lens, batchFiles.files.length),
+        prev.deleteLens)
       val schema = Some(evolveSchema(snap.schemaJson.map(parseSchema), batchSchema).json)
       publishAtBase(base, "replace_where", fls,
         snap.rows - removed + batchRows, schema) match {
@@ -1323,7 +1398,11 @@ class SnapshotTable(spark: SparkSession, root: String,
       stats = concatStats(sliceStats(prev.stats, keptIdx), stats),
       seqs = keptIdx.map(prev.seqs) ++ Seq.fill(files.length)(base + 1),
       deletes = prev.deletes, deleteSeqs = prev.deleteSeqs,
-      deleteKey = prev.deleteKey)
+      deleteKey = prev.deleteKey,
+      // fresh DSv2-writer files carry no length yet: publish stats them
+      lens = keptIdx.map(alignLens(prev.lens, prev.files.length)) ++
+        Seq.fill(files.length)(-1L),
+      deleteLens = prev.deleteLens)
     require(fls.files.nonEmpty,
       s"$action rewrite at $root would publish a file-less manifest")
     // row-level DML never evolves the schema: publish the base's
@@ -1367,7 +1446,11 @@ class SnapshotTable(spark: SparkSession, root: String,
     publishAtBase(base, "delete_mor", prev.copy(
       deletes = prev.deletes ++ keyFiles,
       deleteSeqs = prev.deleteSeqs ++ Seq.fill(keyFiles.length)(base + 1),
-      deleteKey = keyCols), snapBase.rows - removed, snapBase.schemaJson)
+      deleteKey = keyCols,
+      // fresh executor-written key files: publish stats them (O(new))
+      deleteLens = alignLens(prev.deleteLens, prev.deletes.length) ++
+        Seq.fill(keyFiles.length)(-1L)),
+      snapBase.rows - removed, snapBase.schemaJson)
   }
 
   /** Classify every file of `version` against contiguous predicate
@@ -1445,7 +1528,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       val removedRows = morPlan(snapBase, removedIdx, mergeSchema = false).count()
       publishAtBase(base, "delete", FileSet(
           keptIdx.map(fl.files), sliceStats(fl.stats, keptIdx),
-          keptIdx.map(fl.seqs), fl.deletes, fl.deleteSeqs, fl.deleteKey),
+          keptIdx.map(fl.seqs), fl.deletes, fl.deleteSeqs, fl.deleteKey,
+          keptIdx.map(alignLens(fl.lens, fl.files.length)), fl.deleteLens),
         snapBase.rows - removedRows, snapBase.schemaJson) match {
         case Some(v) => return Some(v)
         case None => attempts += 1 // tip moved: re-classify and retry
@@ -1531,11 +1615,16 @@ class SnapshotTable(spark: SparkSession, root: String,
       }
     }
     def abs(rel: String) = new Path(dataDir, rel)
-    def len(p: Path): Long = fs.getFileStatus(p).getLen
+    def len(p: Path): Long = statOf(p).getLen
     val spec = SnapshotDmlSpec(
-      files = keep.map(i => { val p = abs(fl.files(i)); (p.toString, len(p)) }),
+      // data-file AND delete-file lengths come from the manifest: a
+      // DML plan on a lens-recording table touches the filesystem zero
+      // times (getFileStatus only under a pre-lens manifest)
+      files = keep.map(i => { val p = abs(fl.files(i))
+        (p.toString, if (fl.lens(i) >= 0L) fl.lens(i) else len(p)) }),
       seqs = keep.map(fl.seqs),
-      deletes = fl.deletes.map(f => { val p = abs(f); (p.toString, len(p)) }),
+      deletes = fl.deletes.indices.map { j => val p = abs(fl.deletes(j))
+        (p.toString, if (fl.deleteLens(j) >= 0L) fl.deleteLens(j) else len(p)) },
       deleteSeqs = fl.deleteSeqs,
       deleteKey = fl.deleteKey,
       schema = s.schemaJson.map(parseSchema).getOrElse(read(version).schema))
@@ -1674,7 +1763,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     * insert-only; the caller decides what non-append data changes in the
     * range mean (error, skip, or switch to [[readChangeFeed]]). */
   def appendFilesBetween(fromVersion: Long, toVersion: Long): Seq[String] =
-    appendDelta(fromVersion, toVersion)._1
+    appendDelta(fromVersion, toVersion)._1.map(_._1)
 
   /** Actions in `(fromVersion, toVersion]` that change data but are NOT
     * plain appends — the versions an insert-only consumer must be told
@@ -1688,15 +1777,16 @@ class SnapshotTable(spark: SparkSession, root: String,
     * need both per batch — parsing each manifest once instead of twice
     * halves the metadata I/O on the path advertised as O(delta files). */
   def appendDelta(fromVersion: Long, toVersion: Long)
-      : (Seq[String], Seq[(Long, String)]) = {
-    val files = Seq.newBuilder[String]
+      : (Seq[(String, Long)], Seq[(Long, String)]) = {
+    val files = Seq.newBuilder[(String, Long)]
     val changes = Seq.newBuilder[(Long, String)]
     ((fromVersion + 1) to toVersion).foreach { v =>
       val s = snapshot(v)
       if (s.dataChange) {
         if (s.action == "append") {
           val fl = fileSetOf(s)
-          fl.files.indices.filter(i => fl.seqs(i) == v).foreach(i => files += fl.files(i))
+          fl.files.indices.filter(i => fl.seqs(i) == v)
+            .foreach(i => files += ((fl.files(i), fl.lens(i))))
         } else changes += ((v, s.action))
       }
     }
@@ -1718,12 +1808,13 @@ class SnapshotTable(spark: SparkSession, root: String,
     * (a pinned column's type no longer readable from the file) stays
     * loud in the parquet reader — restart the query to adopt the
     * evolved schema. */
-  private[sources] def readFilesAs(files: Seq[String], schema: StructType): DataFrame =
-    // manifest-planned (see morPlan): statuses from the handle, no
-    // per-batch listing job — a streaming source plans its delta files
-    // without touching the object store beyond one HEAD per file
+  private[sources] def readFilesAs(files: Seq[(String, Long)], schema: StructType): DataFrame =
+    // manifest-planned (see morPlan): statuses from the manifest's
+    // recorded lengths, no per-batch listing job — a streaming source
+    // plans its delta files without touching the object store AT ALL
+    // (pre-lens manifests fall back to one HEAD per file)
     bridge.manifestParquetFrame(spark,
-      files.map(f => fs.getFileStatus(new Path(dataDir, f))), schema)
+      files.map { case (f, l) => statusOf(f, l) }, schema)
 
   /** Compaction as a COMMIT: rewrite the tip at ~`targetRowsPerFile`
     * rows per file and publish it as a `dataChange=false` version — same
@@ -1952,7 +2043,7 @@ class SnapshotFollower(table: SnapshotTable, checkpointDir: String,
           changed.map { case (v, a) => s"$a@v$v" }.mkString(", ") +
           " in the poll range; construct with skipChangeCommits=true to " +
           "stream appends only, or consume readChangeFeed for retractions")
-    process(table.readFiles(appendFiles))
+    process(table.readFiles(appendFiles.map(_._1)))
     fs.mkdirs(offsetsDir)
     // Create-exclusive like manifests, but a COLLISION here is NOT a
     // failure: processing already succeeded, and the existing offset means

@@ -265,4 +265,82 @@ class SnapshotFormatSpec extends SparkSpec {
     assert(e.getMessage.contains("JSON-breaking"))
     assert(t.latestVersion() == 1L, "no partial commit may land")
   }
+
+  private def hadoopFs(root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPathOf(root: String, v: Long) =
+    new org.apache.hadoop.fs.Path(f"$root/_snapshots/v$v%020d.json")
+
+  private def rewriteManifest(root: String, v: Long)(f: String => String): Unit = {
+    val fs = hadoopFs(root)
+    val p = manifestPathOf(root, v)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    fs.delete(p, false)
+    val out = fs.create(p, true)
+    try out.write(f(txt).getBytes("UTF-8")) finally out.close()
+  }
+
+  test("manifest-recorded file lengths: commits record them exactly, carried-forward files keep them") {
+    val root = freshRoot("lensrec")
+    val t = new SnapshotTable(spark, root, statsCols = Seq("id"))
+    t.commitAppend((1L to 100L).toDF("id").repartition(2))
+    t.commitAppend((101L to 120L).toDF("id").repartition(1))
+    val fs = hadoopFs(root)
+    val snap = t.snapshot(t.latestVersion())
+    assert(snap.files.length == 3)
+    assert(snap.lens.length == snap.files.length,
+      s"lens must align with files: ${snap.lens.length} vs ${snap.files.length}")
+    snap.files.zip(snap.lens).foreach { case (rel, len) =>
+      val actual = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$root/data/$rel")).getLen
+      assert(len == actual, s"$rel: recorded $len != actual $actual")
+    }
+    // the append feed carries the recorded lengths too (streaming plans
+    // its delta without a single filesystem call)
+    val (delta, _) = t.appendDelta(1L, 2L)
+    assert(delta.nonEmpty && delta.forall { case (rel, len) =>
+      len == fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$root/data/$rel")).getLen })
+    // MOR delete-key files record their lengths symmetrically, so a DML
+    // plan over data + delete files is metadata-only
+    t.commitDeleteByKey(Seq(5L, 7L).toDF("id"), Seq("id"))
+    val mor = t.snapshot(t.latestVersion())
+    assert(mor.deletes.nonEmpty && mor.deleteLens.length == mor.deletes.length)
+    mor.deletes.zip(mor.deleteLens).foreach { case (rel, len) =>
+      val actual = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$root/data/$rel")).getLen
+      assert(len == actual, s"delete $rel: recorded $len != actual $actual")
+    }
+  }
+
+  test("read planning trusts the manifest length: a doctored length changes the scan, a stripped one falls back") {
+    val root = freshRoot("lenstrust")
+    val t = new SnapshotTable(spark, root, statsCols = Seq("id"))
+    t.commitAppend((1L to 50L).toDF("id").repartition(1))
+    // 1. doctor the recorded length down to 10 bytes: a FRESH handle
+    //    (the old one's manifest cache would mask the edit) must plan a
+    //    10-byte scan — no row group's midpoint falls inside [0, 10), so
+    //    the read returns no rows. Proof the split arithmetic ran off
+    //    the manifest's length, not a getFileStatus
+    rewriteManifest(root, 1L)(_.replaceAll(""""lens":\[\d+\]""", """"lens":[10]"""))
+    val doctored = new SnapshotTable(spark, root, statsCols = Seq("id"))
+    assert(doctored.read().count() == 0L,
+      "a 10-byte planned length must select zero row groups")
+    // 2. strip the field entirely (a pre-lens manifest): planning falls
+    //    back to getFileStatus and the read is healthy again
+    rewriteManifest(root, 1L)(_.replaceAll(""","lens":\[\d+\]""", ""))
+    val legacy = new SnapshotTable(spark, root, statsCols = Seq("id"))
+    assert(legacy.snapshot(1L).lens.isEmpty, "stripped manifest must parse as pre-lens")
+    assert(legacy.read().count() == 50L)
+    // 3. the next commit over the pre-lens table records lengths for the
+    //    carried-forward file as well as its own (upgrade-by-commit)
+    legacy.commitAppend(Seq(999L).toDF("id"))
+    val up = legacy.snapshot(2L)
+    assert(up.lens.length == up.files.length && up.lens.forall(_ > 0L),
+      s"post-upgrade manifest must record every length: ${up.lens}")
+    assert(legacy.read().count() == 51L)
+  }
 }
