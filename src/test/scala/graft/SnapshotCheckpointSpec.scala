@@ -71,6 +71,34 @@ class SnapshotCheckpointSpec extends SparkSpec {
     assert(t.commitAppendOnce("fresh-query", 0L, Seq(99L).toDF("id")) == 101L)
   }
 
+  test("history scalar sidecars serve the walk alone; a torn sidecar falls back per window") {
+    val root = freshRoot("sidecar")
+    hundredCommits(root)
+    val dir = new java.io.File(s"$root/_snapshots")
+    assert(dir.list().count(_.startsWith("h")) == 4,
+      s"4 summary sidecars expected: ${dir.list().toSeq}")
+    // delete every raw-body CHUNK: the history walk must come entirely
+    // from the sidecars (chunk texts re-list all files per version —
+    // O(V²) bytes; sidecars are O(V) scalars)
+    dir.listFiles().filter(_.getName.startsWith("c")).foreach(_.delete())
+    val fresh = new SnapshotTable(spark, root)
+    fresh.metaOpens.set(0)
+    val h = fresh.history()
+    assert(h.length == 100)
+    assert(fresh.metaOpens.get() <= 4,
+      s"sidecar walk opened ${fresh.metaOpens.get()} files; 4 expected")
+    // every scalar identical to direct per-manifest parses
+    val naive = new SnapshotTable(spark, root, checkpointEvery = 0)
+    assert(h == naive.history(), "sidecar summaries must equal direct parses")
+    // torn sidecar (garbage content): that window falls back to its
+    // manifests — correct, just costlier
+    java.nio.file.Files.write(
+      new java.io.File(dir, f"h${50L}%020d.json").toPath,
+      "{torn".getBytes("UTF-8"))
+    val fallback = new SnapshotTable(spark, root)
+    assert(fallback.history() == naive.history())
+  }
+
   test("vacuum drops superseded chunks with their manifests; hints into the vacuumed range still resolve") {
     val root = freshRoot("vac")
     val t = hundredCommits(root)
@@ -79,6 +107,8 @@ class SnapshotCheckpointSpec extends SparkSpec {
     assert(names.count(_.startsWith("c")) == 1 &&
       names.exists(n => n.startsWith("c") && n.contains("100")),
       s"only the boundary chunk c100 should remain: $names")
+    assert(names.count(_.startsWith("h")) == 1,
+      s"summary sidecars below the horizon go with their chunks: $names")
     assert(names.count(n => n.startsWith("v") && n.endsWith(".json")) == 10)
     val after = new SnapshotTable(spark, root)
     assert(after.latestVersion() == 100L)
