@@ -398,21 +398,38 @@ class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
   /** EXACT row count from the manifest (maintained through every commit
     * path) feeding the planner's broadcast decision — a small snapshot
     * dimension joins broadcast without hints instead of hiding behind a
-    * default-sized V2 relation. `sizeInBytes` is rows × the schema's
-    * default row width (the manifest records no file sizes); band-pruned
-    * scans keep the unpruned count — an upper bound, conservative in
-    * the safe direction for broadcast planning. */
+    * default-sized V2 relation. `sizeInBytes` comes from the manifest's
+    * recorded file lengths when every one is known — actual on-disk
+    * bytes, scaled exactly as Spark's own FileScan sizes a parquet
+    * relation (`fileCompressionFactor` × the read-schema width
+    * fraction), so the snapshot format is neither penalized nor favored
+    * vs a plain parquet table in join-side selection. Pre-lens
+    * manifests fall back to rows × default row width (an overestimate
+    * — conservative for broadcast planning); band-pruned scans keep the
+    * unpruned totals — an upper bound, also conservative. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val rows: Option[Long] =
-        try Some(table.snapshot(version).rows)
+      private val snap =
+        try Some(table.snapshot(version))
         catch { case scala.util.control.NonFatal(_) => None }
+      private val rows: Option[Long] = snap.map(_.rows)
       override def numRows(): java.util.OptionalLong =
         rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
-      override def sizeInBytes(): java.util.OptionalLong =
-        rows.map(n => java.util.OptionalLong.of(
+      override def sizeInBytes(): java.util.OptionalLong = {
+        val fromLens = snap.filter(s =>
+          s.lens.length == s.files.length && s.lens.forall(_ >= 0L) &&
+            s.files.nonEmpty).map { s =>
+          val full = math.max(1, table.schemaOf(version).defaultSize)
+          val frac = math.min(1.0,
+            math.max(8, required.defaultSize).toDouble / full)
+          val factor = spark.sessionState.conf.fileCompressionFactor
+          math.max(1L, (s.lens.sum * factor * frac).toLong)
+        }
+        fromLens.orElse(rows.map(n =>
           math.max(1L, n * math.max(8, required.defaultSize))))
+          .map(java.util.OptionalLong.of)
           .getOrElse(java.util.OptionalLong.empty())
+      }
     }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =

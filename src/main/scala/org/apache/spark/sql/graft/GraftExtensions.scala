@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => SkylineStrategy)
     ext.injectOptimizerRule(_ => RangeBinJoinRule)
     ext.injectOptimizerRule(_ => MatViewRewriteRule)
+    // post-pushdown: restore SupportsReportStatistics that Spark's
+    // V1ScanWrapper drops (see V1ScanStats.scala)
+    ext.injectPreCBORule(_ => V1ScanStatsRule)
   }
 }
 
@@ -184,5 +187,8 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(MatViewRewriteRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ MatViewRewriteRule
+    if (!spark.experimental.extraOptimizations.contains(V1ScanStatsRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ V1ScanStatsRule
   }
 }

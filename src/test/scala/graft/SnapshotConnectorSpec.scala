@@ -42,6 +42,35 @@ class SnapshotConnectorSpec extends SparkSpec {
     assert(ids(latest) == ids(t.read()))
   }
 
+  test("planner statistics: sizeInBytes is the manifest's recorded on-disk bytes; a small dim auto-broadcasts") {
+    // Spark's V1ScanWrapper drops SupportsReportStatistics from every
+    // V1Scan — without the extensions' V1ScanStatsRule the relation
+    // sizes as Long.MaxValue and NOTHING read through the connector
+    // ever auto-broadcasts (the latent bug this spec pins)
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val root = freshRoot("cbosize")
+    val t = new SnapshotTable(spark, root)
+    t.commitAppend((1L to 1000L).toDF("id")
+      .withColumn("s", concat(lit("name_"), col("id"))))
+    val snap = t.snapshot(t.latestVersion())
+    assert(snap.lens.nonEmpty && snap.lens.forall(_ > 0L))
+    val onDisk = snap.lens.sum
+    val df = spark.read.format("graft-snapshot").load(root)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // full projection, default compression factor 1.0 → the estimate IS
+    // the on-disk byte count (not rows × default width, which for this
+    // schema overestimates ~3×)
+    assert(est == BigInt(onDisk),
+      s"sizeInBytes $est must equal recorded on-disk bytes $onDisk")
+    // and the accurate size makes the dim auto-broadcast in a join
+    // (on-disk well under the 10 MB default threshold)
+    val fact = (1L to 1000L).toDF("id").withColumn("v", col("id") * 2)
+    val joined = fact.join(df, "id")
+    val hasBhj = joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin")
+    assert(hasBhj, "manifest-sized snapshot dim must broadcast without hints")
+  }
+
   test("batch read: stats-band filters prune files off the manifest (DSv2 pushdown)") {
     val root = freshRoot("batchprune")
     val t = new SnapshotTable(spark, root, statsCols = Seq("id"))
