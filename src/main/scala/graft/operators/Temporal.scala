@@ -111,6 +111,45 @@ object Temporal {
         dimCols.map(c => col(s"__d.$c")): _*)
   }
 
+  /** SCD-2 BUILD — the dbt `snapshot` materialization (check_cols
+    * strategy) as one distributed transform: collapse an append-only
+    * change feed into `[valid_from, valid_to)` attribute intervals per
+    * key, newest interval open (`valid_to` NULL, `is_current` true). A
+    * row opens a new interval iff any tracked column IS DISTINCT FROM
+    * its predecessor (null-safe — a NULL→value flip is a change);
+    * consecutive duplicates collapse into their interval.
+    *
+    * Physical shape: two window passes over the SAME (key, order)
+    * partitioning — Catalyst plans ONE shuffle+sort and reuses it for
+    * both — so cost is a single exchange of the feed, no self-join, no
+    * global window. Keys partition the work: the shape survives 100×
+    * feeds as long as no single key carries an unbounded share of the
+    * feed (an SCD dimension key has bounded change history by
+    * construction; a hot key is a modeling bug upstream).
+    * `tieBreak` pins ordering among equal timestamps so the output is
+    * deterministic (oracle-comparable) under any partitioning. */
+  def scd2Build(changes: DataFrame, key: Seq[String], tsCol: String,
+                tracked: Seq[String], tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    require(key.nonEmpty && tracked.nonEmpty, "scd2Build needs key + tracked columns")
+    val ord = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(key.map(col): _*).orderBy(ord: _*)
+    val opens = tracked
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _) // first row per key: lag is NULL on every tracked
+                      // col, <=> is false unless the value is ALSO null —
+                      // so an all-NULL first row still opens via lag(ts)
+    val firstRow = lag(col(tsCol), 1).over(w).isNull
+    val opened = changes
+      .withColumn("__opens", firstRow || opens)
+      .filter(col("__opens"))
+    val w2 = Window.partitionBy(key.map(col): _*).orderBy(ord: _*)
+    opened
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
+      .withColumn("is_current", lead(col(tsCol), 1).over(w2).isNull)
+      .drop("__opens")
+  }
+
   /** Sessionization: per-key session numbering with an inactivity gap —
     * a new session starts when the time since the previous event exceeds
     * `gapSeconds` (or at the first event). Returns the input plus

@@ -82,6 +82,19 @@ object MetaQueries {
       Meta.incrementalAggMerge(state, delta, keys, Seq("n", "sv"))
         .select(col("event_type"), col("hr"), col("n").as("n_events"),
           col("sv").cast(org.apache.spark.sql.types.DoubleType).as("total_value"))
+    }),
+
+    // dbt `snapshot` (check_cols) materialization: the event feed
+    // collapsed into SCD-2 validity intervals of each user's state —
+    // the BUILD side of the scd2Lookup/bi-temporal pair. One shuffle
+    // (hash by user_id), two window passes over the same sort;
+    // event_id tie-breaks equal timestamps so the intervals are
+    // deterministic under any partitioning.
+    "meta_scd2_snapshot" -> ((s, d) => {
+      val e = Tables.events(s, d).select("user_id", "ts", "event_type", "event_id")
+      graft.operators.Temporal.scd2Build(e, Seq("user_id"), "ts",
+        tracked = Seq("event_type"), tieBreak = Seq("event_id"))
+        .select("user_id", "event_type", "valid_from", "valid_to", "is_current")
     })
   )
 
@@ -204,6 +217,26 @@ FROM main_wide""",
     "meta_ivm_agg" -> """
 SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr, count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-FROM events GROUP BY event_type, hr"""
+FROM events GROUP BY event_type, hr""",
+
+    // SCD-2 build replay: a row opens an interval when its tracked
+    // state IS DISTINCT FROM the predecessor's (null-safe, first row
+    // always opens); valid_to is the next open's ts, open tail is
+    // current. Same event_id tie-break as the Spark side.
+    "meta_scd2_snapshot" -> """
+WITH ordered AS (
+  SELECT user_id, ts, event_type, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), opens AS (
+  SELECT user_id, ts, event_type, event_id FROM ordered
+  WHERE prev_ts IS NULL OR (event_type IS DISTINCT FROM prev_type)
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+FROM opens"""
   )
 }

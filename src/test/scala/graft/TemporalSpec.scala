@@ -91,4 +91,38 @@ class TemporalSpec extends SparkSpec {
     assert(at(1L) == Seq("bronze", "silver", "silver", null, null))
     assert(at(2L) == Seq("bronze", "platinum", "platinum", null, null))
   }
+
+  test("scd2Build: duplicates collapse, re-change reopens, NULL flips are changes, tail is current") {
+    val feed = Seq(
+      (10L, ts("2024-01-01 00:00:00"), Some("a"), 1L),
+      (10L, ts("2024-01-02 00:00:00"), Some("a"), 2L), // dup: collapses
+      (10L, ts("2024-01-03 00:00:00"), Some("b"), 3L), // change
+      (10L, ts("2024-01-04 00:00:00"), Some("a"), 4L), // back to a: reopens
+      (11L, ts("2024-01-01 00:00:00"), None, 5L),      // first row, NULL state
+      (11L, ts("2024-01-02 00:00:00"), Some("x"), 6L)  // NULL -> x is a change
+    ).toDF("user_id", "ts", "state", "event_id")
+    val out = Temporal.scd2Build(feed, Seq("user_id"), "ts",
+        tracked = Seq("state"), tieBreak = Seq("event_id"))
+      .select("user_id", "state", "valid_from", "valid_to", "is_current")
+      .orderBy("user_id", "valid_from").collect()
+    val rows = out.map(r => (r.getLong(0), Option(r.getString(1)),
+      r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4))).toSeq
+    assert(rows == Seq(
+      (10L, Some("a"), ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), false),
+      (10L, Some("b"), ts("2024-01-03 00:00:00"), Some(ts("2024-01-04 00:00:00")), false),
+      (10L, Some("a"), ts("2024-01-04 00:00:00"), None, true),
+      (11L, None, ts("2024-01-01 00:00:00"), Some(ts("2024-01-02 00:00:00")), false),
+      (11L, Some("x"), ts("2024-01-02 00:00:00"), None, true)))
+    // intervals compose with the lookup half: a fact at 01-03 12:00 for
+    // user 10 resolves to state "b"
+    val fact = Seq((99L, 10L, ts("2024-01-03 12:00:00"))).toDF("fid", "user_id", "fts")
+    val dim = Temporal.scd2Build(feed, Seq("user_id"), "ts",
+      tracked = Seq("state"), tieBreak = Seq("event_id"))
+    val looked = Temporal.scd2Lookup(fact, dim, "user_id", "fts", Seq("state"))
+    assert(looked.collect().head.getAs[String]("state") == "b")
+    // plan shape: exactly ONE exchange feeds both window passes
+    val shuffles = dim.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(shuffles == 1, s"scd2Build must cost one shuffle, saw $shuffles")
+  }
 }
