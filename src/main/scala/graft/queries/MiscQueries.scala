@@ -591,6 +591,33 @@ object MiscQueries {
         .unionByName(post.select(lit("post_delete").as("leg"), col("n"), col("nk")))
     }),
 
+    // Manifest-served MIN/MAX: per-file bands are exact write-time
+    // values, so min-of-mins/max-of-maxs answers `min(k)`/`max(k)` on
+    // a BIGINT stats column with ZERO data read (SELECT max(id) on a
+    // 100 TB table = one manifest). The post-delete leg pins the
+    // decline: a MOR delete may have removed the extremum, so the
+    // same aggregate must fall back to a real scan — if the band were
+    // (wrongly) still served, the deleted %3 max would leak back.
+    "misc_snapshot_minmax" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_snapminmax").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("o_orderkey"))
+      val o = Tables.orders(s, d).select(
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("bigint"))
+          .otherwise(col("o_orderkey")).as("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      t.commitAppend(o)
+      def rd() = s.read.format("graft-snapshot").load(root)
+      def legs(df: org.apache.spark.sql.DataFrame) = df.agg(
+        count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
+      val pre = legs(rd())
+      t.commitDeleteByKey(
+        o.filter(col("o_orderkey") % 3 === 0).select("o_orderkey"), Seq("o_orderkey"))
+      val post = legs(rd())
+      pre.select(lit("pre_delete").as("leg"), col("n"), col("mn"), col("mx"))
+        .unionByName(post.select(lit("post_delete").as("leg"), col("n"), col("mn"), col("mx")))
+    }),
+
     // Overwrite-by-filter on a catalog table — the daily-partition-
     // reload shape through pure DSv2: three clustered INSERTs land
     // disjoint orderkey thirds, then writeTo(...).overwrite(band)
@@ -2409,6 +2436,22 @@ UNION ALL
 SELECT 'post_delete',
        CAST(sum(CASE WHEN NOT is_deleted THEN 1 ELSE 0 END) AS BIGINT),
        CAST(sum(CASE WHEN NOT is_null_key AND NOT is_deleted THEN 1 ELSE 0 END) AS BIGINT)
+FROM cls""",
+
+    // replay of the min/max legs: %7 keys are NULL (ignored by min/max
+    // on both legs), the MOR delete removes non-null %3 keys
+    "misc_snapshot_minmax" -> """
+WITH cls AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey END AS k
+  FROM orders)
+SELECT 'pre_delete' AS leg, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(k) AS BIGINT) AS mn, CAST(max(k) AS BIGINT) AS mx
+FROM cls
+UNION ALL
+SELECT 'post_delete',
+       CAST(sum(CASE WHEN k IS NULL OR k % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(min(CASE WHEN k % 3 = 0 THEN NULL ELSE k END) AS BIGINT),
+       CAST(max(CASE WHEN k % 3 = 0 THEN NULL ELSE k END) AS BIGINT)
 FROM cls""",
 
     // replay of the catalog overwrite-by-filter chain: v1 empty create,

@@ -263,7 +263,7 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.NamedReference
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 
   private var required: StructType = fullSchema
   private var pruning: Array[Filter] = Array.empty
@@ -280,14 +280,19 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
   }
   override def pushedFilters(): Array[Filter] = pruning
 
-  /** Ungrouped, unfiltered COUNT folds to the MANIFEST — no file is
-    * opened at all: `count(*)` is the snapshot's exact maintained row
-    * count (correct through MOR deletes, replaceWhere and DML, every
-    * commit path maintains it), and `count(col)` on a stats column is
-    * rows − Σ per-file null counts, pushable only when the manifest
-    * carries KNOWN null counts for every file and no MOR delete could
-    * have removed counted rows. Anything else — grouping, filters,
-    * distinct, other functions — declines and scans normally. */
+  /** Ungrouped, unfiltered COUNT/MIN/MAX folds to the MANIFEST — no
+    * file is opened at all: `count(*)` is the snapshot's exact
+    * maintained row count (correct through MOR deletes, replaceWhere
+    * and DML, every commit path maintains it); `count(col)` on a stats
+    * column is rows − Σ per-file null counts; `min(col)`/`max(col)` on
+    * a BIGINT stats column fold the per-file bands (exact write-time
+    * values, so min-of-mins/max-of-maxs IS the answer — `SELECT
+    * max(id)` on a 100 TB table reads one manifest). Every lane
+    * declines to a normal scan when it cannot be exact: any MOR delete
+    * (a removed row may hold the extremum / change the count), any
+    * unknown sentinel (an all-NULL or pre-stats file), a non-BIGINT
+    * column (band values are `cast(long)` — only lossless for BIGINT),
+    * grouping, filters, distinct, or any other function. */
   private def manifestCounts(agg: Aggregation): Option[Seq[(String, Long)]] = {
     if (agg.groupByExpressions.nonEmpty || hadFilters) return None
     val snap = try table.snapshot(version) catch {
@@ -306,15 +311,39 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
         }
       }
     }
+    def statsBand(name: String): Option[(Long, Long)] = {
+      val longTyped = fullSchema.fields.exists(f =>
+        f.name == name && f.dataType == org.apache.spark.sql.types.LongType)
+      if (!longTyped || snap.deletes.nonEmpty) None
+      else {
+        val aligned = snap.statsCols.indexOf(name)
+        if (aligned < 0) None
+        else {
+          val cs = snap.stats(aligned)
+          if (cs.mins.length != snap.files.length ||
+              cs.maxs.length != snap.files.length ||
+              cs.mins.contains(Long.MinValue) || // unknown-min sentinel
+              cs.maxs.contains(Long.MaxValue))   // unknown-max sentinel
+            None
+          else Some((cs.mins.min, cs.maxs.max))
+        }
+      }
+    }
+    def singleCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames.head)
+        case _ => None
+      }
     val resolved = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some("count(*)" -> snap.rows)
       case c: Count if !c.isDistinct =>
-        c.column match {
-          case nr: NamedReference if nr.fieldNames.length == 1 =>
-            statsNulls(nr.fieldNames.head)
-              .map(n => s"count(${nr.fieldNames.head})" -> (snap.rows - n))
-          case _ => None
-        }
+        singleCol(c.column).flatMap(n =>
+          statsNulls(n).map(nulls => s"count($n)" -> (snap.rows - nulls)))
+      case m: Min =>
+        singleCol(m.column).flatMap(n => statsBand(n).map(b => s"min($n)" -> b._1))
+      case m: Max =>
+        singleCol(m.column).flatMap(n => statsBand(n).map(b => s"max($n)" -> b._2))
       case _ => None
     }
     if (resolved.contains(None)) None else Some(resolved.flatten)

@@ -209,6 +209,44 @@ class SnapshotWriteSpec extends SparkSpec {
     assert(!filtered.queryExecution.executedPlan.toString.contains("GraftSnapshotCountScan"))
   }
 
+  test("min/max answered from the stats bands: zero files read; deletes, nulls and non-BIGINT decline") {
+    val root = freshRoot("minmaxpush")
+    val t = new SnapshotTable(spark, root, statsCols = Seq("id"))
+    // repartition(1): a file holding ONLY the null row would write the
+    // unknown sentinel and (correctly) decline the pushdown — this test
+    // wants files where min/max are known
+    t.commitAppend(Seq[(java.lang.Long, Long)]((7L, 10L), (null, 20L), (3L, 30L))
+      .toDF("id", "v").repartition(1))
+    t.commitAppend(Seq[(java.lang.Long, Long)]((14L, 40L), (5L, 50L))
+      .toDF("id", "v").repartition(1))
+    def read() = spark.read.format("graft-snapshot").load(root)
+    val mm = read().agg(min(col("id")), max(col("id")), count(lit(1)))
+    val row = mm.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((3L, 14L, 5L)))
+    val plan = mm.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftSnapshotCountScan") && !plan.toLowerCase.contains("parquet"),
+      s"min/max on a stats column must come from the manifest bands:\n$plan")
+    // v is NOT a stats column: its min/max must scan
+    val mv = read().agg(max(col("v")))
+    assert(mv.collect().head.getLong(0) == 50L)
+    assert(!mv.queryExecution.executedPlan.toString.contains("GraftSnapshotCountScan"))
+    // deleting the current max row: bands can't see the removal, so the
+    // aggregate must DECLINE to a real scan — and the new max is exact
+    t.commitDeleteByKey(Seq(14L).toDF("id"), Seq("id"))
+    val after = spark.read.format("graft-snapshot").load(root).agg(max(col("id")))
+    assert(after.collect().head.getLong(0) == 7L,
+      "post-delete max must be the surviving extremum, not the stale band")
+    assert(!after.queryExecution.executedPlan.toString.contains("GraftSnapshotCountScan"),
+      "min/max under MOR deletes must fall back to the real scan")
+    // an all-NULL file writes unknown sentinels: min/max decline, stay exact
+    val t2 = new SnapshotTable(spark, freshRoot("minmaxnull"), statsCols = Seq("id"))
+    t2.commitAppend(Seq[(java.lang.Long, Long)]((null, 1L), (null, 2L)).toDF("id", "v"))
+    val root2 = t2.read().inputFiles.head.split("/data/").head.stripPrefix("file:")
+    val mn = spark.read.format("graft-snapshot").load(root2).agg(min(col("id")))
+    assert(mn.collect().head.isNullAt(0))
+    assert(!mn.queryExecution.executedPlan.toString.contains("GraftSnapshotCountScan"))
+  }
+
   test("manifest-exact statistics drive broadcast planning without hints") {
     val root = freshRoot("stats4cbo")
     val t = new SnapshotTable(spark, root)
