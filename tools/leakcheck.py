@@ -94,7 +94,12 @@ def scan(root: str):
 
 
 def main():
-    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    # Round argument is mandatory (r15 ADVICE: a bare invocation stamped
+    # round 0 and mislabeled which round the artifact certifies).
+    if len(sys.argv) < 2 or not sys.argv[1].isdigit():
+        sys.stderr.write("usage: leakcheck.py <round:int> [repo_root]\n")
+        sys.exit(2)
+    rnd = int(sys.argv[1])
     root = sys.argv[2] if len(sys.argv) > 2 else os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))
     hits = scan(root)

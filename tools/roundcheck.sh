@@ -38,8 +38,28 @@ echo "ENTRY_ROWS=$rows"
 [ -z "$rows" ] || [ "$rows" -le 0 ] && { echo "FAIL: flagship smoke"; exit 1; }
 
 step "5/6 bench @ sf0.1"
+# Loadavg gate (r15 ADVICE #8): a bench taken on a loaded host is 1.5x
+# noise and costs a judge adjudication pass. Wait for the 1-min loadavg
+# to drop below 3 (up to 5 min); if it never does, still bench but tag
+# the artifact so downstream readers know not to treat it as canonical.
+LOADED=0
+for i in 1 2 3 4 5; do
+  LA=$(cut -d' ' -f1 /proc/loadavg)
+  awk -v la="$LA" 'BEGIN{exit !(la < 3.0)}' && { LOADED=0; break; }
+  LOADED=1
+  echo "  loadavg $LA >= 3.0 — waiting 60s before bench (attempt $i/5)"
+  sleep 60
+done
+[ "$LOADED" = 1 ] && echo "  WARNING: benching on loaded host (loadavg $LA) — artifact is advisory only"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" 2>"$OUT/bench.err" | grep '"metric"' >"$OUT/bench.json"
+if [ "$LOADED" = 1 ] && [ -s "$OUT/bench.json" ]; then
+  python3 - "$OUT/bench.json" <<'PY'
+import json,sys
+p=sys.argv[1]; d=json.load(open(p)); d["loaded_host"]=True
+open(p,"w").write(json.dumps(d))
+PY
+fi
 head -c 200 "$OUT/bench.json"; echo
 [ -s "$OUT/bench.json" ] || { echo "FAIL: bench produced no JSON"; exit 1; }
 
