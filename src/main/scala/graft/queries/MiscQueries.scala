@@ -838,6 +838,68 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // SQL UPDATE/MERGE via MERGE-ON-READ deltas: the table opts in with
+    // write.update.mode / write.merge.mode = 'merge-on-read' (+ the
+    // shared write.delete.key), and UPDATE / MERGE publish
+    // `update_mor` / `merge_mor` versions — equality-delete key files +
+    // fresh data files in ONE commit, NO existing data file rewritten
+    // (GraftSnapshotDeltaRowOperation). The chain double-touches the
+    // same keys (v3, v4) to exercise the sequencing rule (each
+    // statement's delete applies only to strictly older files, so the
+    // previous update's replacement is removed while the new one
+    // survives); `files_kept` pins the no-rewrite claim (every v2 data
+    // file survives v5 BY IDENTITY), `noop_skipped` pins that a
+    // no-match UPDATE publishes nothing, and `cdf_deletes` pins the
+    // change feed's retraction replay. Replayed in DuckDB by key
+    // arithmetic.
+    "misc_catalog_update_mor" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catumor").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gumor", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gumor.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gumor.db")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      base.filter(col("o_orderkey") % 3 === 0)
+        .createOrReplaceTempView("catumor_src")
+      base.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), (col("cents") * 5).as("cents"))
+        .createOrReplaceTempView("catumor_merge_src")
+      s.sql("CREATE TABLE gumor.db.orders_umor (o_orderkey BIGINT, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_orderkey', " +
+        "'write.update.mode'='merge-on-read', 'write.merge.mode'='merge-on-read', " +
+        "'write.delete.key'='o_orderkey')")
+      s.sql("INSERT INTO gumor.db.orders_umor SELECT * FROM catumor_src")
+      s.sql("UPDATE gumor.db.orders_umor SET cents = cents * 2 WHERE o_orderkey % 9 = 0")
+      // touch the SAME keys again: the second update's equality delete
+      // must remove the first update's replacement rows, not resurrect
+      s.sql("UPDATE gumor.db.orders_umor SET cents = cents + 5 WHERE o_orderkey % 9 = 0")
+      s.sql("""
+        MERGE INTO gumor.db.orders_umor t USING catumor_merge_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET cents = s.cents
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, cents) VALUES (s.o_orderkey, s.cents)""")
+      val t = new graft.sources.SnapshotTable(s, s"$wh/db/orders_umor")
+      val tip = t.latestVersion()
+      // no data file rewritten: every v2 file is still listed at the tip
+      val v2files = t.snapshot(2).files.toSet
+      val filesKept = v2files.subsetOf(t.snapshot(tip).files.toSet)
+      // a no-match UPDATE publishes no version at all
+      s.sql("UPDATE gumor.db.orders_umor SET cents = 0 WHERE o_orderkey < 0")
+      val noopSkipped = t.latestVersion() == tip
+      val cdfDeletes = t.readChangeFeed(1, tip)
+        .filter(col("_change_type") === "delete").count()
+      t.history().map { snap =>
+        t.read(snap.version)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(snap.version).as("version"), lit(snap.action).as("action"),
+            lit(cdfDeletes).as("cdf_deletes"),
+            lit(filesKept).as("files_kept"),
+            lit(noopSkipped).as("noop_skipped"),
+            col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // S5: the universal SQL-text extract primitive (client.query(q)) —
     // spark.sql over a registered view; the result stays distributed
     // instead of collapsing to the driver as the reference's to_dataframe.
@@ -2590,6 +2652,46 @@ SELECT 4, 'append', CAST(cd.n AS BIGINT), CAST(count(*) AS BIGINT),
 UNION ALL
 SELECT 5, 'delete_mor', CAST(cd.n AS BIGINT), CAST(count(*) AS BIGINT),
        CAST(sum(c) AS BIGINT) FROM t5, cd GROUP BY cd.n""",
+
+    // replay of the merge-on-read UPDATE/MERGE chain: v2 = keys %3==0,
+    // v3 doubles %9==0 (update_mor), v4 adds 5 to the SAME keys
+    // (update_mor — double-touch sequencing), v5 merges the %4==0
+    // source at 5c (matched %12==0 take 5c, the rest insert).
+    // cdf_deletes = retractions (pre-images of v3 + v4 + v5's matches);
+    // files_kept / noop_skipped are pinned invariants (TRUE when the
+    // delta path holds — the Spark side derives them from manifest
+    // file identity and the version counter)
+    "misc_catalog_update_mor" -> """
+WITH allb AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders),
+t2 AS (SELECT k, c FROM allb WHERE k % 3 = 0),
+t3 AS (SELECT k, CASE WHEN k % 9 = 0 THEN 2 * c ELSE c END AS c FROM t2),
+t4 AS (SELECT k, CASE WHEN k % 9 = 0 THEN c + 5 ELSE c END AS c FROM t3),
+src AS (SELECT k, 5 * c AS c FROM allb WHERE k % 4 = 0),
+t5 AS (SELECT t.k, CASE WHEN s.k IS NOT NULL THEN s.c ELSE t.c END AS c
+       FROM t4 t LEFT JOIN src s ON t.k = s.k
+       UNION ALL
+       SELECT s.k, s.c FROM src s LEFT JOIN t4 t ON s.k = t.k WHERE t.k IS NULL),
+cd AS (SELECT 2 * (SELECT count(*) FROM t2 WHERE k % 9 = 0) +
+              (SELECT count(*) FROM allb WHERE k % 12 = 0) AS n)
+SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS action,
+       CAST(cd.n AS BIGINT) AS cdf_deletes, TRUE AS files_kept,
+       TRUE AS noop_skipped,
+       CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS total_cents
+FROM cd
+UNION ALL
+SELECT 2, 'append', CAST(cd.n AS BIGINT), TRUE, TRUE,
+       CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM t2, cd GROUP BY cd.n
+UNION ALL
+SELECT 3, 'update_mor', CAST(cd.n AS BIGINT), TRUE, TRUE,
+       CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM t3, cd GROUP BY cd.n
+UNION ALL
+SELECT 4, 'update_mor', CAST(cd.n AS BIGINT), TRUE, TRUE,
+       CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM t4, cd GROUP BY cd.n
+UNION ALL
+SELECT 5, 'merge_mor', CAST(cd.n AS BIGINT), TRUE, TRUE,
+       CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FROM t5, cd GROUP BY cd.n""",
 
     // key-arithmetic replay of the three CDF versions: v1 inserts all
     // %4==0 keys, v2 retracts %8==0 pre-images, v3's rewrite diff is

@@ -108,9 +108,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * DDL time, not at the first DELETE statement. */
   private def validateProperty(t: SnapshotTable, key: String, value: String): Unit =
     key match {
-      case "write.delete.mode" =>
+      case "write.delete.mode" | "write.update.mode" | "write.merge.mode" =>
         require(value == "copy-on-write" || value == "merge-on-read",
-          s"write.delete.mode must be 'copy-on-write' or 'merge-on-read'; got '$value'")
+          s"$key must be 'copy-on-write' or 'merge-on-read'; got '$value'")
       case "write.delete.key" =>
         val cols = value.split(",").map(_.trim).filter(_.nonEmpty)
         require(cols.nonEmpty, "write.delete.key must name at least one column")

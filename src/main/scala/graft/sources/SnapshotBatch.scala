@@ -201,9 +201,12 @@ class GraftSnapshotBatchTable(spark: SparkSession, root: String,
 
   /** SQL DELETE/UPDATE/MERGE — predicate-pruned group-based
     * copy-on-write rewrite by default ([[GraftSnapshotRowLevelOperation]]),
-    * or merge-on-read equality deletes when the table opts in via
-    * `write.delete.mode='merge-on-read'` + `write.delete.key`
-    * ([[GraftSnapshotDeltaDeleteOperation]]). */
+    * or merge-on-read deltas when the table opts in per statement kind:
+    * `write.delete.mode='merge-on-read'` routes DELETE to equality-delete
+    * commits ([[GraftSnapshotDeltaDeleteOperation]]);
+    * `write.update.mode` / `write.merge.mode` route UPDATE/MERGE to
+    * equality-delete + append delta commits
+    * ([[GraftSnapshotDeltaRowOperation]]). All share `write.delete.key`. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =

@@ -1191,11 +1191,20 @@ class SnapshotTable(spark: SparkSession, root: String,
       require(prev.deleteKey.isEmpty || prev.deleteKey == keyCols,
         s"table at $root already carries MOR deletes keyed by " +
           s"(${prev.deleteKey.mkString(",")}); got (${keyCols.mkString(",")})")
-      // exact surviving-row count: scan-only (no rewrite), and re-derived
-      // per attempt so a lost race never publishes a stale count
-      val deleted = read(base).join(
-        spark.read.parquet(keyFiles.files.map(f => new Path(dataDir, f).toString): _*),
-        keyCols, "left_semi").count()
+      // exact surviving-row count: scan-only (no rewrite), re-derived per
+      // attempt so a lost race never publishes a stale count, and pruned
+      // to the deleted-key band when the key is a stats column with
+      // exact folded stats (the count stays exact — see countMatchingKeys)
+      val keyBand =
+        if (keyCols.length != 1 || !statsCols.contains(keyCols.head)) None
+        else {
+          val cs = keyFiles.stats(statsCols.indexOf(keyCols.head))
+          if (cs.mins.nonEmpty && cs.mins.forall(_ != UnknownMin) &&
+              cs.maxs.forall(_ != UnknownMax) && cs.nulls.forall(_ == 0L))
+            Some((cs.mins.min, cs.maxs.max))
+          else None
+        }
+      val deleted = countMatchingKeys(base, keyFiles.files, keyCols, keyBand)
       val fls = prev.copy(
         deletes = prev.deletes ++ keyFiles.files,
         deleteSeqs = prev.deleteSeqs ++ Seq.fill(keyFiles.files.length)(base + 1),
@@ -1469,18 +1478,16 @@ class SnapshotTable(spark: SparkSession, root: String,
     * snapshot-isolation validation as the other SQL DML commits. */
   private[sources] def commitWrittenDeleteByKey(base: Long, keyFiles: Seq[String],
                                                 keyCols: Seq[String],
-                                                deltaRows: Long): Option[Long] = {
+                                                deltaRows: Long,
+                                                keyBand: Option[(Long, Long)] = None)
+      : Option[Long] = {
     keyCols.foreach(jsonSafe(_, "delete-key column"))
     val snapBase = snapshot(base)
     val prev = fileSetOf(snapBase)
     require(prev.deleteKey.isEmpty || prev.deleteKey == keyCols,
       s"table at $root already carries MOR deletes keyed by " +
         s"(${prev.deleteKey.mkString(",")}); got (${keyCols.mkString(",")})")
-    import org.apache.spark.sql.functions.col
-    val removed = read(base).join(
-      spark.read.parquet(keyFiles.map(f => new Path(dataDir, f).toString): _*)
-        .select(keyCols.map(col): _*).distinct(),
-      keyCols, "left_semi").count()
+    val removed = countMatchingKeys(base, keyFiles, keyCols, keyBand)
     require(removed == deltaRows,
       s"merge-on-read DELETE at $root: the predicate matched $deltaRows rows " +
         s"but an equality delete on (${keyCols.mkString(",")}) would remove " +
@@ -1494,6 +1501,87 @@ class SnapshotTable(spark: SparkSession, root: String,
       deleteLens = alignLens(prev.deleteLens, prev.deletes.length) ++
         Seq.fill(keyFiles.length)(-1L)),
       snapBase.rows - removed, snapBase.schemaJson)
+  }
+
+  /** Exact count of v`base`'s live rows whose key appears in the
+    * delete-key files — the row-accounting + key-uniqueness guard of
+    * every MOR commit. With a known key BAND (single key column, exact
+    * folded stats) the scan prunes to the files whose stats band
+    * overlaps the deleted-key range: every key lies inside the band, so
+    * pruned files hold no matching row and the count stays exact —
+    * a point delete on a clustered 100 TB table counts O(overlapping
+    * files), not O(table). */
+  private def countMatchingKeys(base: Long, keyFiles: Seq[String],
+                                keyCols: Seq[String],
+                                keyBand: Option[(Long, Long)]): Long = {
+    import org.apache.spark.sql.functions.col
+    val keys = spark.read
+      .parquet(keyFiles.map(f => new Path(dataDir, f).toString): _*)
+      .select(keyCols.map(col): _*).distinct()
+    val scanned = keyBand match {
+      case Some((lo, hi)) if keyCols.length == 1 && statsCols.contains(keyCols.head) =>
+        readPruned(Map(keyCols.head -> (lo, hi)), base)._1
+      case _ => read(base)
+    }
+    scanned.join(keys, keyCols, "left_semi").count()
+  }
+
+  /** Publish PRE-WRITTEN delete-key files AND data files as ONE
+    * merge-on-read row delta at exactly `base + 1` — the SQL
+    * `UPDATE` / `MERGE INTO` commit when the table opts in via
+    * `write.update.mode` / `write.merge.mode` = 'merge-on-read': the
+    * matched rows' pre-image keys become equality deletes, the
+    * updated/inserted rows append as fresh data files, and NO existing
+    * data file is rewritten — statement cost tracks changed rows.
+    * Sequencing: both lists carry `base + 1`; the deletes apply only to
+    * STRICTLY older data files, so the statement's own replacement rows
+    * survive while every older copy of a touched key is removed.
+    * `deltaDeleteRows` = the delta writers' delete()+update() calls;
+    * verified against the equality-removed count exactly like
+    * [[commitWrittenDeleteByKey]] (row-unique, non-null key or refuse).
+    * Same at-base snapshot-isolation validation as every SQL DML
+    * commit. */
+  private[sources] def commitWrittenRowDelta(base: Long, action: String,
+                                             keyFiles: Seq[String],
+                                             keyCols: Seq[String],
+                                             deltaDeleteRows: Long,
+                                             dataFiles: Seq[String],
+                                             dataStats: Seq[ColStats],
+                                             insertedRows: Long,
+                                             batchSchema: StructType,
+                                             keyBand: Option[(Long, Long)] = None)
+      : Option[Long] = {
+    keyCols.foreach(jsonSafe(_, "delete-key column"))
+    val snapBase = snapshot(base)
+    val prev = fileSetOf(snapBase)
+    val removed =
+      if (keyFiles.isEmpty) 0L
+      else {
+        require(prev.deleteKey.isEmpty || prev.deleteKey == keyCols,
+          s"table at $root already carries MOR deletes keyed by " +
+            s"(${prev.deleteKey.mkString(",")}); got (${keyCols.mkString(",")})")
+        countMatchingKeys(base, keyFiles, keyCols, keyBand)
+      }
+    require(removed == deltaDeleteRows,
+      s"merge-on-read $action at $root: the statement matched " +
+        s"$deltaDeleteRows rows but an equality delete on " +
+        s"(${keyCols.mkString(",")}) would remove $removed — " +
+        "write.delete.key must be row-unique and non-null for the " +
+        "matched rows (use copy-on-write mode otherwise)")
+    val fls = prev.copy(
+      files = prev.files ++ dataFiles,
+      stats = concatStats(prev.stats, dataStats),
+      seqs = prev.seqs ++ Seq.fill(dataFiles.length)(base + 1),
+      lens = alignLens(prev.lens, prev.files.length) ++
+        Seq.fill(dataFiles.length)(-1L), // fresh executor files: publish stats them
+      deletes = prev.deletes ++ keyFiles,
+      deleteSeqs = prev.deleteSeqs ++ Seq.fill(keyFiles.length)(base + 1),
+      deleteKey = if (keyFiles.nonEmpty) keyCols else prev.deleteKey,
+      deleteLens = alignLens(prev.deleteLens, prev.deletes.length) ++
+        Seq.fill(keyFiles.length)(-1L))
+    // row-level DML never evolves the schema: keep the base's recorded one
+    publishAtBase(base, action, fls, snapBase.rows - removed + insertedRows,
+      snapBase.schemaJson.orElse(Some(normalizeSchema(batchSchema).json)))
   }
 
   /** Classify every file of `version` against contiguous predicate
@@ -1787,6 +1875,27 @@ class SnapshotTable(spark: SparkSession, root: String,
             .parquet(keyFiles.map(f => new Path(dataDir, f).toString): _*)
           Seq(tagged(read(v - 1).join(keys, fl.deleteKey, "left_semi"),
             "delete", v))
+        case "update_mor" | "merge_mor" =>
+          // delta UPDATE/MERGE = equality deletes + fresh data files in
+          // one version: retract the pre-image (prior read semi-joined
+          // with this version's keys), insert this version's new files —
+          // O(delta + matched pre-image scan), never a full-table diff
+          val fl = fileSetOf(s)
+          val keyFiles = fl.deletes.indices
+            .filter(j => fl.deleteSeqs(j) == v).map(fl.deletes)
+          val dels =
+            if (keyFiles.isEmpty) Seq.empty
+            else {
+              val keys = spark.read
+                .parquet(keyFiles.map(f => new Path(dataDir, f).toString): _*)
+              Seq(tagged(read(v - 1).join(keys, fl.deleteKey, "left_semi"),
+                "delete", v))
+            }
+          val fresh = fl.files.indices.filter(i => fl.seqs(i) == v)
+          val ins =
+            if (fresh.isEmpty) Seq.empty
+            else Seq(tagged(morPlan(s, fresh, mergeSchema = false), "insert", v))
+          dels ++ ins
         case _ =>
           val prev = if (v - 1 == 0) read(v).limit(0) else read(v - 1)
           val cur = read(v)

@@ -49,6 +49,23 @@ object SnapshotWrite {
   private[sources] val UnknownMin = Long.MinValue
   private[sources] val UnknownMax = Long.MaxValue
   private[sources] val UnknownNulls = -1L
+
+  /** The delete-KEY band folded across a statement's non-empty key
+    * files, when it is usable for pruning the commit's exact-count
+    * scan: single key column, every file's fold known (foldable type,
+    * no NULL keys). The scan counts rows MATCHING the keys, every key
+    * lies inside this band, so files whose stats band misses it can
+    * hold no matching row — the count stays exact over the pruned
+    * read. */
+  private[sources] def foldedKeyBand(keyCols: Seq[String],
+                                     msgs: Seq[SnapshotWriteMessage])
+      : Option[(Long, Long)] = {
+    if (keyCols.length != 1 || msgs.isEmpty) return None
+    val known = msgs.forall(m => m.mins.length == 1 &&
+      m.mins(0) != UnknownMin && m.maxs(0) != UnknownMax && m.nulls(0) == 0L)
+    if (known) Some((msgs.map(_.mins(0)).min, msgs.map(_.maxs(0)).max))
+    else None
+  }
 }
 
 /** One committed data file + its inline-folded stats, aligned with the
@@ -300,24 +317,41 @@ class GraftSnapshotRowLevelBuilder(spark: SparkSession, root: String,
                                    props: Map[String, String] = Map.empty)
     extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation = {
-    val mode = props.getOrElse("write.delete.mode", "copy-on-write")
+    // per-command mode switch, the Iceberg property names: each DML
+    // statement kind opts into merge-on-read independently (a table may
+    // keep point DELETEs cheap but prefer CoW MERGE for compaction-free
+    // reads). All three share the ONE equality key (`write.delete.key`)
+    // because the manifest carries a single delete-key schema between
+    // compactions.
+    val modeKey = info.command() match {
+      case RowLevelOperation.Command.DELETE => "write.delete.mode"
+      case RowLevelOperation.Command.UPDATE => "write.update.mode"
+      case _ => "write.merge.mode"
+    }
+    val mode = props.getOrElse(modeKey, "copy-on-write")
     require(mode == "copy-on-write" || mode == "merge-on-read",
-      s"write.delete.mode at $root must be 'copy-on-write' or " +
+      s"$modeKey at $root must be 'copy-on-write' or " +
         s"'merge-on-read'; got '$mode'")
-    if (mode == "merge-on-read" &&
-        info.command() == RowLevelOperation.Command.DELETE) {
+    if (mode == "merge-on-read") {
       val keyCols = props.get("write.delete.key")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty)
       require(keyCols.nonEmpty,
-        s"write.delete.mode='merge-on-read' at $root needs " +
+        s"$modeKey='merge-on-read' at $root needs " +
           "write.delete.key = '<col>[,<col>…]' (a row-unique equality key)")
-      new GraftSnapshotDeltaDeleteOperation(spark, root, statsCols, keyCols)
+      if (info.command() == RowLevelOperation.Command.DELETE)
+        new GraftSnapshotDeltaDeleteOperation(spark, root, statsCols, keyCols)
+      else
+        // UPDATE/MERGE as equality-delete + append in ONE delta commit.
+        // Sequencing stays correct when the same key is touched twice
+        // between compactions: each statement's delete file gets the new
+        // version as its sequence and applies only to STRICTLY older
+        // data files, so the previous update's row (older seq) is
+        // removed while this statement's replacement (same seq as the
+        // delete) survives — the Iceberg v2 rule, exercised by spec.
+        new GraftSnapshotDeltaRowOperation(spark, root, statsCols, keyCols,
+          info.command())
     } else {
-      // UPDATE/MERGE stay copy-on-write even under merge-on-read mode:
-      // an update-as-equality-delete+reinsert would resurrect wrongly
-      // under the Iceberg sequencing rule when the same key is touched
-      // twice between compactions — the rewrite is the correct path.
       new GraftSnapshotRowLevelOperation(spark, root, statsCols, info.command())
     }
   }
@@ -446,7 +480,7 @@ class SnapshotDeltaDeleteBatchWrite(spark: SparkSession, root: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val conf = spark.sessionState.conf
     SnapshotDeltaWriterFactory(dataDir.toString, commitUuid, keySchema.json,
-      conf.writeLegacyParquetFormat.toString,
+      keyCols, conf.writeLegacyParquetFormat.toString,
       conf.parquetOutputTimestampType.toString)
   }
 
@@ -463,7 +497,8 @@ class SnapshotDeltaDeleteBatchWrite(spark: SparkSession, root: String,
     val table = new SnapshotTable(spark, root, statsCols)
     table.commitWrittenDeleteByKey(base,
         nonEmpty.map(m => s"$commitUuid/${m.file}"), keyCols,
-        nonEmpty.map(_.rows).sum)
+        nonEmpty.map(_.rows).sum,
+        SnapshotWrite.foldedKeyBand(keyCols, nonEmpty))
       .getOrElse {
         hadoopFs.delete(new Path(dataDir, commitUuid), true)
         throw new java.util.ConcurrentModificationException(
@@ -483,16 +518,18 @@ class SnapshotDeltaDeleteBatchWrite(spark: SparkSession, root: String,
 /** Serializable executor-side factory for delete-KEY files. The writer
   * answers ONLY delete(): this operation never updates or inserts, so
   * any other row reaching it is a plan shape it must not silently
-  * absorb. Delete-key files carry no skipping stats (readers load them
-  * whole — they are commit-sized by construction). */
+  * absorb. Readers load delete-key files whole (commit-sized by
+  * construction); the KEY min/max folded here serves only the commit's
+  * exact-count scan, which prunes to the files whose stats band
+  * overlaps the deleted-key range ([[SnapshotWrite.foldedKeyBand]]). */
 case class SnapshotDeltaWriterFactory(dataDir: String, commitUuid: String,
-                                      keySchemaJson: String,
+                                      keySchemaJson: String, keyCols: Seq[String],
                                       legacyFormat: String, timestampType: String)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
     val inner = new SnapshotParquetWriter(dataDir, commitUuid,
       f"delete-$partitionId%05d-$taskId.parquet",
-      DataType.fromJson(keySchemaJson).asInstanceOf[StructType], Seq.empty,
+      DataType.fromJson(keySchemaJson).asInstanceOf[StructType], keyCols,
       legacyFormat, timestampType, new Configuration())
     new DeltaWriter[InternalRow] {
       override def delete(meta: InternalRow, id: InternalRow): Unit =
@@ -506,6 +543,175 @@ case class SnapshotDeltaWriterFactory(dataDir: String, commitUuid: String,
       override def commit(): WriterCommitMessage = inner.commit()
       override def abort(): Unit = inner.abort()
       override def close(): Unit = inner.close()
+    }
+  }
+}
+
+/** SQL `UPDATE` / `MERGE INTO` as a MERGE-ON-READ delta operation
+  * ([[SupportsDelta]]): one statement publishes ONE version carrying
+  * equality-delete KEY files (the matched rows' pre-image keys) plus
+  * fresh DATA files (the updated/inserted rows) — no existing data file
+  * is rewritten, so a point UPDATE on a 100 TB table costs O(changed
+  * rows), not O(matched files). Spark's delta rewrite hands the writer
+  * the ORIGINAL row's key for every update (`buildOriginalRowIdValues`),
+  * so key-changing updates delete the OLD key and insert the new row.
+  *
+  * Sequencing (why double-updating a key between compactions is safe):
+  * the statement's delete files and data files BOTH get the committed
+  * version as their sequence; equality deletes apply only to STRICTLY
+  * older data files, so this statement's replacement rows survive its
+  * own delete while every older copy — including a previous update's
+  * replacement — is removed.
+  *
+  * Contract: `write.delete.key` must be row-unique and non-null for the
+  * matched rows; the commit verifies (matched count vs equality-removed
+  * count) and refuses loudly on divergence — same guard as the MOR
+  * DELETE. */
+class GraftSnapshotDeltaRowOperation(spark: SparkSession, root: String,
+                                     statsCols: Seq[String],
+                                     keyCols: Seq[String],
+                                     cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta {
+  private val table = new SnapshotTable(spark, root, statsCols)
+  private val base = table.latestVersion()
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    keyCols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    require(base > 0, s"${cmd.name} on empty table at $root")
+    // same pruned pinned-version scan as the other row-level paths; the
+    // planned-file callback is unused — a delta commit removes no files
+    new SnapshotDmlScanBuilder(spark, table, base, root, (_, _) => ())
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite = {
+          val keySchema = if (info.rowIdSchema().isPresent) info.rowIdSchema().get
+            else {
+              val full = table.read(base).schema
+              StructType(keyCols.map(c => full.fields(full.fieldNames.indexOf(c))))
+            }
+          new SnapshotDeltaRowBatchWrite(spark, root, statsCols, keyCols,
+            keySchema, info.schema(), base, s"${cmd.name.toLowerCase}_mor")
+        }
+      }
+    }
+
+  override def description(): String =
+    s"graft-snapshot merge-on-read ${cmd.name} at v$base of $root " +
+      s"(key: ${keyCols.mkString(",")})"
+}
+
+/** One task's delta-row output: the delete-KEY file (matched rows'
+  * pre-image keys) and the DATA file (updated/inserted rows, skipping
+  * stats folded inline). Either may be empty — commit() drops 0-row
+  * files from disk and the manifest. */
+case class SnapshotDeltaRowMessage(key: SnapshotWriteMessage,
+                                   data: SnapshotWriteMessage)
+    extends WriterCommitMessage
+
+/** Distributed delta-row write: each task streams matched-row keys into
+  * one delete-key parquet file and replacement/inserted rows into one
+  * data parquet file (stats folded inline like any batch write); the
+  * driver publishes both lists as ONE `update_mor`/`merge_mor` version
+  * ([[SnapshotTable.commitWrittenRowDelta]]). A statement matching and
+  * inserting nothing publishes no version. */
+class SnapshotDeltaRowBatchWrite(spark: SparkSession, root: String,
+                                 statsCols: Seq[String], keyCols: Seq[String],
+                                 keySchema: StructType, rowSchema: StructType,
+                                 base: Long, action: String)
+    extends DeltaBatchWrite {
+  private val commitUuid = java.util.UUID.randomUUID().toString
+  private def dataDir = new Path(root, "data")
+  private def hadoopFs =
+    dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val conf = spark.sessionState.conf
+    SnapshotDeltaRowWriterFactory(dataDir.toString, commitUuid,
+      keySchema.json, keyCols, rowSchema.json, statsCols,
+      conf.writeLegacyParquetFormat.toString,
+      conf.parquetOutputTimestampType.toString)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val all = messages.toSeq.map(_.asInstanceOf[SnapshotDeltaRowMessage])
+    val (keyMsgs, keyEmpty) = all.map(_.key).partition(_.rows > 0L)
+    val (dataMsgs, dataEmpty) = all.map(_.data).partition(_.rows > 0L)
+    (keyEmpty ++ dataEmpty).foreach(m =>
+      hadoopFs.delete(new Path(new Path(dataDir, commitUuid), m.file), false))
+    if (keyMsgs.isEmpty && dataMsgs.isEmpty) {
+      // matched nothing, inserted nothing: no version (no-op contract)
+      hadoopFs.delete(new Path(dataDir, commitUuid), true)
+      return
+    }
+    val stats: Seq[ColStats] = statsCols.indices.map { c =>
+      ColStats(dataMsgs.map(_.mins(c)), dataMsgs.map(_.maxs(c)),
+        dataMsgs.map(_.nulls(c)))
+    }
+    val table = new SnapshotTable(spark, root, statsCols)
+    table.commitWrittenRowDelta(base, action,
+        keyMsgs.map(m => s"$commitUuid/${m.file}"), keyCols,
+        keyMsgs.map(_.rows).sum,
+        dataMsgs.map(m => s"$commitUuid/${m.file}"), stats,
+        dataMsgs.map(_.rows).sum, rowSchema,
+        SnapshotWrite.foldedKeyBand(keyCols, keyMsgs))
+      .getOrElse {
+        hadoopFs.delete(new Path(dataDir, commitUuid), true)
+        throw new java.util.ConcurrentModificationException(
+          s"merge-on-read $action on $root: table version moved past " +
+            s"v$base while the statement ran (concurrent writer); re-run " +
+            "the statement against the new snapshot")
+      }
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    hadoopFs.delete(new Path(dataDir, commitUuid), true)
+    ()
+  }
+}
+
+/** Serializable executor-side factory for the delta-row write: each
+  * task owns a delete-key writer and a data writer. delete() records
+  * the pre-image key; update() records the ORIGINAL key + the updated
+  * row; insert() records the new row. A task that only inserts still
+  * opens both files — the driver's commit drops 0-row files from disk
+  * and keeps them out of the manifest. */
+case class SnapshotDeltaRowWriterFactory(dataDir: String, commitUuid: String,
+                                         keySchemaJson: String, keyCols: Seq[String],
+                                         rowSchemaJson: String, statsCols: Seq[String],
+                                         legacyFormat: String, timestampType: String)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
+    val keyW = new SnapshotParquetWriter(dataDir, commitUuid,
+      f"delete-$partitionId%05d-$taskId.parquet",
+      DataType.fromJson(keySchemaJson).asInstanceOf[StructType], keyCols,
+      legacyFormat, timestampType, new Configuration())
+    val dataW = new SnapshotParquetWriter(dataDir, commitUuid,
+      f"part-$partitionId%05d-$taskId.parquet",
+      DataType.fromJson(rowSchemaJson).asInstanceOf[StructType], statsCols,
+      legacyFormat, timestampType, new Configuration())
+    new DeltaWriter[InternalRow] {
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        keyW.write(id)
+      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+        keyW.write(id) // id carries the ORIGINAL row's key values
+        dataW.write(row)
+      }
+      override def insert(row: InternalRow): Unit = dataW.write(row)
+      override def commit(): WriterCommitMessage =
+        SnapshotDeltaRowMessage(
+          keyW.commit().asInstanceOf[SnapshotWriteMessage],
+          dataW.commit().asInstanceOf[SnapshotWriteMessage])
+      override def abort(): Unit = { keyW.abort(); dataW.abort() }
+      override def close(): Unit = { keyW.close(); dataW.close() }
     }
   }
 }

@@ -237,6 +237,86 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table(s"$cat.db.mordel").count() == 980L)
   }
 
+  test("write.update.mode/write.merge.mode='merge-on-read' route UPDATE/MERGE to deltas") {
+    spark.sql(s"CREATE TABLE $cat.db.morupd (id BIGINT, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='id', " +
+      "'write.update.mode'='merge-on-read', 'write.merge.mode'='merge-on-read', " +
+      "'write.delete.key'='id')")
+    spark.sql(s"INSERT INTO $cat.db.morupd SELECT id, id * 10 AS v FROM range(0, 1000)")
+    val whRoot = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val t = new SnapshotTable(spark, s"$whRoot/db/morupd", Seq("id"))
+    val dataFilesBefore = t.snapshot(t.latestVersion()).files
+
+    spark.sql(s"UPDATE $cat.db.morupd SET v = v + 1 WHERE id >= 100 AND id < 120")
+    val after = t.snapshot(t.latestVersion())
+    // one update_mor version: every pre-update data file still listed
+    // (no rewrite), plus equality-delete keys and fresh delta files
+    assert(after.action == "update_mor")
+    assert(dataFilesBefore.forall(after.files.contains),
+      "MOR update must not rewrite existing data files")
+    assert(after.files.size > dataFilesBefore.size, "updated rows append as new files")
+    assert(after.deletes.nonEmpty && after.deleteKey == Seq("id"))
+    assert(after.rows == 1000L)
+    assert(spark.sql(s"SELECT v FROM $cat.db.morupd WHERE id = 105").head.getLong(0) == 1051L)
+
+    // touching the SAME keys again: the second statement's delete (newer
+    // sequence) removes the first statement's replacement rows — no
+    // resurrection between compactions
+    spark.sql(s"UPDATE $cat.db.morupd SET v = v + 1 WHERE id >= 100 AND id < 120")
+    assert(spark.sql(s"SELECT v FROM $cat.db.morupd WHERE id = 105").head.getLong(0) == 1052L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.morupd WHERE id = 105")
+      .head.getLong(0) == 1L)
+    assert(spark.table(s"$cat.db.morupd").count() == 1000L)
+
+    // a key-CHANGING update deletes the OLD key (original-row-id rule)
+    spark.sql(s"UPDATE $cat.db.morupd SET id = 5000 WHERE id = 42")
+    assert(!ids(s"SELECT id FROM $cat.db.morupd").contains(42L))
+    assert(ids(s"SELECT id FROM $cat.db.morupd").contains(5000L))
+    assert(spark.table(s"$cat.db.morupd").count() == 1000L)
+
+    // MERGE: matched update + unmatched insert in ONE merge_mor version
+    import spark.implicits._
+    Seq((0L, -1L), (1L, -2L), (9999L, -3L)).toDF("id", "v")
+      .createOrReplaceTempView("morupd_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.morupd t USING morupd_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val merged = t.snapshot(t.latestVersion())
+    assert(merged.action == "merge_mor")
+    assert(dataFilesBefore.forall(merged.files.contains))
+    assert(merged.rows == 1001L)
+    assert(spark.sql(s"SELECT v FROM $cat.db.morupd WHERE id = 9999").head.getLong(0) == -3L)
+    assert(spark.sql(s"SELECT v FROM $cat.db.morupd WHERE id = 0").head.getLong(0) == -1L)
+
+    // MERGE matched DELETE rides the same delta path
+    Seq(9999L).toDF("id").createOrReplaceTempView("morupd_del")
+    spark.sql(
+      s"""MERGE INTO $cat.db.morupd t USING morupd_del s ON t.id = s.id
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(!ids(s"SELECT id FROM $cat.db.morupd").contains(9999L))
+    assert(spark.table(s"$cat.db.morupd").count() == 1000L)
+
+    // change feed: an update replays as delete(pre-image) + insert
+    val cdf = t.readChangeFeed(2, 3)
+    assert(cdf.filter(col("_change_type") === "delete").count() == 20L)
+    assert(cdf.filter(col("_change_type") === "insert").count() == 20L)
+    assert(cdf.filter(col("_change_type") === "insert")
+      .filter(col("id") === 105L).head.getLong(1) == 1051L)
+
+    // a no-match UPDATE publishes no version
+    val tip = t.latestVersion()
+    spark.sql(s"UPDATE $cat.db.morupd SET v = 0 WHERE id = -7")
+    assert(t.latestVersion() == tip)
+
+    // compaction materializes everything; contents stable
+    val sumBefore = spark.sql(s"SELECT sum(v) FROM $cat.db.morupd").head.getLong(0)
+    spark.sql(s"CALL $cat.system.compact('db.morupd', 1000000, 'id')")
+    assert(t.snapshot(t.latestVersion()).deletes.isEmpty)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.db.morupd").head.getLong(0) == sumBefore)
+    assert(spark.table(s"$cat.db.morupd").count() == 1000L)
+  }
+
   test("merge-on-read delete guards: missing key is DDL-loud, non-unique key refuses") {
     // missing write.delete.key fails at the statement, loudly
     spark.sql(s"CREATE TABLE $cat.db.morbad (id BIGINT, v BIGINT) " +
