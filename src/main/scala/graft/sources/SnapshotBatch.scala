@@ -52,28 +52,50 @@ object SnapshotBatch {
   private def parseTs(s: String): Long =
     scala.util.Try(s.toLong).getOrElse(java.sql.Timestamp.valueOf(s).getTime)
 
-  /** Null-rejecting numeric band for one source filter, if derivable.
-    * Only these prune: a file's [min,max] covers every NON-null value it
-    * holds, and these predicates reject NULL rows, so a file with no
-    * band overlap can hold no matching row. IsNull/strings/doubles etc.
-    * derive nothing and prune nothing (sound: unpruned = read). */
-  def bandOf(f: Filter): Option[(String, (Long, Long))] = {
-    def num(v: Any): Option[Long] = v match {
-      case i: Int => Some(i.toLong)
-      case l: Long => Some(l)
-      case s: Short => Some(s.toLong)
-      case b: Byte => Some(b.toLong)
-      case _ => None
-    }
+  /** Null-rejecting band for one source filter, if derivable through
+    * the [[BandKeys]] typed mapping (integral/boolean/DATE exact,
+    * TIMESTAMP/STRING lossy-monotonic). Only these prune: a file's
+    * [min,max] band covers every NON-null value's key, and these
+    * predicates reject NULL rows, so a file with no band overlap can
+    * hold no matching row. For LOSSY keys the strict comparisons keep
+    * the boundary key (floor-second / 8-byte-prefix neighbors share a
+    * key, so `>` must include it); EXACT keys tighten by ±1 as before.
+    * IsNull/doubles etc. derive nothing and prune nothing (sound:
+    * unpruned = read). */
+  def bandOf(f: Filter): Option[(String, (Long, Long))] =
+    typedBand(f, requireExact = false)
+
+  private def typedBand(f: Filter, requireExact: Boolean)
+      : Option[(String, (Long, Long))] = {
+    def key(v: Any): Option[(Long, Boolean)] =
+      Option(v).flatMap(BandKeys.valueKey)
+        .filter { case (_, exact) => exact || !requireExact }
     f match {
-      case EqualTo(c, v) => num(v).map(x => c -> (x, x))
-      case GreaterThan(c, v) => num(v).map(x => c -> (x + 1, Long.MaxValue))
-      case GreaterThanOrEqual(c, v) => num(v).map(x => c -> (x, Long.MaxValue))
-      case LessThan(c, v) => num(v).map(x => c -> (Long.MinValue, x - 1))
-      case LessThanOrEqual(c, v) => num(v).map(x => c -> (Long.MinValue, x))
-      case In(c, vs) if vs.nonEmpty && vs.forall(num(_).isDefined) =>
-        val xs = vs.flatMap(num)
+      case EqualTo(c, v) => key(v).map { case (x, _) => c -> (x, x) }
+      case EqualNullSafe(c, v) if v != null =>
+        key(v).map { case (x, _) => c -> (x, x) }
+      case GreaterThan(c, v) => key(v).flatMap { case (x, exact) =>
+        // exact keys exclude the literal itself; at Long.MaxValue the
+        // +1 would wrap — loose is sound for pruning, but an EXACT band
+        // must decline (the truth set is empty, not [MaxValue, MaxValue])
+        if (exact && x == Long.MaxValue) {
+          if (requireExact) None else Some(c -> ((x, Long.MaxValue)))
+        } else Some(c -> ((if (exact) x + 1 else x, Long.MaxValue))) }
+      case GreaterThanOrEqual(c, v) =>
+        key(v).map { case (x, _) => c -> (x, Long.MaxValue) }
+      case LessThan(c, v) => key(v).flatMap { case (x, exact) =>
+        if (exact && x == Long.MinValue) {
+          if (requireExact) None else Some(c -> ((Long.MinValue, x)))
+        } else Some(c -> ((Long.MinValue, if (exact) x - 1 else x))) }
+      case LessThanOrEqual(c, v) =>
+        key(v).map { case (x, _) => c -> (Long.MinValue, x) }
+      // hull / prefix bands are PRUNING-only (never exact truth sets)
+      case In(c, vs) if !requireExact && vs.nonEmpty &&
+          vs.forall(v => Option(v).exists(BandKeys.valueKey(_).isDefined)) =>
+        val xs = vs.toSeq.flatMap(v => BandKeys.valueKey(v).map(_._1))
         Some(c -> (xs.min, xs.max))
+      case StringStartsWith(c, p) if !requireExact && p.nonEmpty =>
+        Some(c -> (BandKeys.stringKey(p), BandKeys.stringPrefixHi(p)))
       case _ => None
     }
   }
@@ -86,15 +108,16 @@ object SnapshotBatch {
 
   /** Like [[bandOf]] but ONLY for predicates whose band is the EXACT
     * truth set over non-null values — every value inside the band
-    * matches, every value outside does not. `In` is excluded: its band
-    * is a HULL (`IN (100, 200)` → [100, 200] contains 150, which does
-    * NOT match), sound for file PRUNING (read path) but wrong for any
-    * "fully-inside ⇒ every row matches" proof (metadata deletes,
-    * overwrite-by-filter ranges). */
-  def contiguousBandOf(f: Filter): Option[(String, (Long, Long))] = f match {
-    case _: In => None
-    case other => bandOf(other)
-  }
+    * matches, every value outside does not. That requires an EXACT
+    * (injective, order-preserving) band key — integral/boolean/DATE;
+    * lossy keys (TIMESTAMP floor-seconds, STRING prefix) are sound for
+    * file PRUNING but two distinct values can share a key, so a band
+    * can never prove "fully-inside ⇒ every row matches" (metadata
+    * deletes, overwrite-by-filter ranges). `In`/`StartsWith` are
+    * excluded for the same reason: their bands are HULLs (`IN (100,
+    * 200)` → [100, 200] contains 150, which does NOT match). */
+  def contiguousBandOf(f: Filter): Option[(String, (Long, Long))] =
+    typedBand(f, requireExact = true)
 
   /** Intersection of [[contiguousBandOf]] bands — defined only when
     * EVERY filter is contiguous-band-derivable (a single underivable
@@ -271,7 +294,8 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
   private var required: StructType = fullSchema
   private var pruning: Array[Filter] = Array.empty
   private var hadFilters = false
-  private var pushedCounts: Seq[(String, Long)] = Seq.empty
+  private var pushedCounts: Seq[(String, Long, org.apache.spark.sql.types.DataType)] =
+    Seq.empty
 
   /** Record the band-derivable filters for file pruning, but hand EVERY
     * filter back to Spark: the source prunes files, Spark evaluates rows
@@ -288,15 +312,20 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
     * maintained row count (correct through MOR deletes, replaceWhere
     * and DML, every commit path maintains it); `count(col)` on a stats
     * column is rows − Σ per-file null counts; `min(col)`/`max(col)` on
-    * a BIGINT stats column fold the per-file bands (exact write-time
-    * values, so min-of-mins/max-of-maxs IS the answer — `SELECT
-    * max(id)` on a 100 TB table reads one manifest). Every lane
-    * declines to a normal scan when it cannot be exact: any MOR delete
-    * (a removed row may hold the extremum / change the count), any
-    * unknown sentinel (an all-NULL or pre-stats file), a non-BIGINT
-    * column (band values are `cast(long)` — only lossless for BIGINT),
-    * grouping, filters, distinct, or any other function. */
-  private def manifestCounts(agg: Aggregation): Option[Seq[(String, Long)]] = {
+    * an EXACT-band-key stats column (BIGINT/INT/SMALLINT/TINYINT/DATE/
+    * BOOLEAN — [[BandKeys]]' injective, order-preserving keys) folds
+    * the per-file bands: exact write-time values, so min-of-mins/
+    * max-of-maxs IS the answer — `SELECT max(event_date)` on a 100 TB
+    * table reads one manifest. Every lane declines to a normal scan
+    * when it cannot be exact: any MOR delete (a removed row may hold
+    * the extremum / change the count), any unknown sentinel (an
+    * all-NULL or pre-stats file), a LOSSY band key (TIMESTAMP floors
+    * to seconds, STRING truncates to an 8-byte prefix — the band bound
+    * is not the value), grouping, filters, distinct, or any other
+    * function. */
+  private def manifestCounts(agg: Aggregation)
+      : Option[Seq[(String, Long, org.apache.spark.sql.types.DataType)]] = {
+    import org.apache.spark.sql.types._
     if (agg.groupByExpressions.nonEmpty || hadFilters) return None
     val snap = try table.snapshot(version) catch {
       case scala.util.control.NonFatal(_) => return None
@@ -314,10 +343,16 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
         }
       }
     }
+    // the column's type when its band key is EXACT (key == value for
+    // integrals/boolean; DATE's key is its physical days-since-epoch)
+    def exactType(name: String): Option[DataType] =
+      fullSchema.fields.find(_.name == name).map(_.dataType).filter {
+        case LongType | IntegerType | ShortType | ByteType | DateType |
+             BooleanType => true
+        case _ => false
+      }
     def statsBand(name: String): Option[(Long, Long)] = {
-      val longTyped = fullSchema.fields.exists(f =>
-        f.name == name && f.dataType == org.apache.spark.sql.types.LongType)
-      if (!longTyped || snap.deletes.nonEmpty) None
+      if (snap.deletes.nonEmpty) None
       else {
         val aligned = snap.statsCols.indexOf(name)
         if (aligned < 0) None
@@ -338,17 +373,20 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
           Some(nr.fieldNames.head)
         case _ => None
       }
-    val resolved = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => Some("count(*)" -> snap.rows)
-      case c: Count if !c.isDistinct =>
-        singleCol(c.column).flatMap(n =>
-          statsNulls(n).map(nulls => s"count($n)" -> (snap.rows - nulls)))
-      case m: Min =>
-        singleCol(m.column).flatMap(n => statsBand(n).map(b => s"min($n)" -> b._1))
-      case m: Max =>
-        singleCol(m.column).flatMap(n => statsBand(n).map(b => s"max($n)" -> b._2))
-      case _ => None
-    }
+    val resolved: Seq[Option[(String, Long, DataType)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(("count(*)", snap.rows, LongType))
+        case c: Count if !c.isDistinct =>
+          singleCol(c.column).flatMap(n =>
+            statsNulls(n).map(nulls => (s"count($n)", snap.rows - nulls, LongType)))
+        case m: Min =>
+          singleCol(m.column).flatMap(n => exactType(n).flatMap(dt =>
+            statsBand(n).map(b => (s"min($n)", b._1, dt))))
+        case m: Max =>
+          singleCol(m.column).flatMap(n => exactType(n).flatMap(dt =>
+            statsBand(n).map(b => (s"max($n)", b._2, dt))))
+        case _ => None
+      }
     if (resolved.contains(None)) None else Some(resolved.flatten)
   }
 
@@ -372,22 +410,34 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
       SnapshotBatch.bandsOf(pruning.toSeq), scanOptions)
 }
 
-/** One-row scan carrying COMPLETE manifest-served counts — the scan
-  * that reads NOTHING: `.explain` shows it (with no parquet relation
-  * beneath), and a 100 TB table answers `SELECT count(*)` in one
-  * manifest parse. */
-class GraftSnapshotCountScan(counts: Seq[(String, Long)], version: Long,
-                             tableDesc: String)
+/** One-row scan carrying COMPLETE manifest-served counts/extrema — the
+  * scan that reads NOTHING: `.explain` shows it (with no parquet
+  * relation beneath), and a 100 TB table answers `SELECT count(*),
+  * max(event_date)` in one manifest parse. Each value is a band key
+  * converted back to the column's physical representation (exact keys
+  * only, gated by the builder): INT/SMALLINT/TINYINT narrow losslessly,
+  * DATE's physical form IS its days key, BOOLEAN is the 0/1 key. */
+class GraftSnapshotCountScan(counts: Seq[(String, Long, org.apache.spark.sql.types.DataType)],
+                             version: Long, tableDesc: String)
     extends Scan with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-  override def readSchema(): StructType = StructType(counts.map { case (n, _) =>
-    org.apache.spark.sql.types.StructField(n,
-      org.apache.spark.sql.types.LongType, nullable = false) })
+  import org.apache.spark.sql.types._
+  override def readSchema(): StructType = StructType(counts.map { case (n, _, dt) =>
+    StructField(n, dt, nullable = false) })
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
   override def description(): String =
     s"GraftSnapshotCountScan v$version PushedAggregates=[${counts.map(_._1).mkString(", ")}]"
+  private def physical(v: Long, dt: DataType): Any = dt match {
+    case LongType => v
+    case IntegerType | DateType => v.toInt // DATE is days-since-epoch int
+    case ShortType => v.toShort
+    case ByteType => v.toByte
+    case BooleanType => v != 0L
+    case other => sys.error(s"manifest-served aggregate over non-exact type $other")
+  }
   override def planInputPartitions(): Array[InputPartition] =
-    Array(SnapshotCountPartition(counts.map(_._2).toArray))
+    Array(SnapshotCountPartition(counts.map { case (_, v, dt) =>
+      physical(v, dt) }.toArray))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
@@ -403,7 +453,7 @@ class GraftSnapshotCountScan(counts: Seq[(String, Long)], version: Long,
     }
 }
 
-case class SnapshotCountPartition(values: Array[Long])
+case class SnapshotCountPartition(values: Array[Any])
   extends org.apache.spark.sql.connector.read.InputPartition
 
 class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,

@@ -221,7 +221,13 @@ class SnapshotTable(spark: SparkSession, root: String,
     * FIRST would let readRange/readPruned prune files on the wrong
     * column's bands (silently wrong results), so legacy stats read as
     * unknown there: never pruned, always correct. */
-  private def fileSetOf(s: Snapshot): FileSet = {
+  private def fileSetOf(s: Snapshot): FileSet = fileSetOf(s, identity)
+
+  /** [[fileSetOf]] with a name bridge: `manifestNameOf` maps THIS
+    * handle's stats-column names to the MANIFEST's (they diverge for
+    * exactly one commit during RENAME COLUMN of a stats column — the
+    * publishing handle carries the new name, the base manifest the old). */
+  private def fileSetOf(s: Snapshot, manifestNameOf: String => String): FileSet = {
     val n = s.files.length
     def aligned(cs: ColStats): ColStats =
       if (cs.mins.length == n && cs.maxs.length == n)
@@ -233,7 +239,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       else if (s.stats.nonEmpty && statsCols.length == 1) statsCols
       else Seq.empty
     val byName = manifestCols.zip(s.stats).toMap
-    val stats = statsCols.map(c => byName.get(c).map(aligned).getOrElse(unknownStats(n)))
+    val stats = statsCols.map(c =>
+      byName.get(manifestNameOf(c)).map(aligned).getOrElse(unknownStats(n)))
     val seqs = if (s.seqs.length == n) s.seqs else Seq.fill(n)(0L)
     FileSet(s.files, stats, seqs, s.deletes, s.deleteSeqs, s.deleteKey,
       alignLens(s.lens, n), alignLens(s.deleteLens, s.deletes.length))
@@ -514,7 +521,12 @@ class SnapshotTable(spark: SparkSession, root: String,
     * or widenable (int↔long → long, float↔double → double — reads pin
     * the wider type and the parquet reader upcasts the narrower files);
     * anything else raises with the column named. Name matching is exact
-    * (case-sensitive) — the manifest records what was written. */
+    * (case-sensitive) — the manifest records what was written. Merged
+    * fields keep the TABLE's metadata (the column-mapping physical name
+    * must survive every append); implicitly-added columns may not claim
+    * a tombstoned physical name (a dropped/renamed-away column's files
+    * still carry it — silent resurrection) — explicit ALTER TABLE ADD
+    * COLUMN assigns those a fresh physical name instead. */
   private[sources] def evolveSchema(tip: Option[StructType], batch: StructType): StructType = {
     val b = normalizeSchema(batch)
     tip match {
@@ -532,16 +544,35 @@ class SnapshotTable(spark: SparkSession, root: String,
                     s"table has ${tf.dataType.simpleString}, batch has " +
                     s"${bf.dataType.simpleString} (allowed: identical, int<->bigint, " +
                     "float<->double; cast the batch explicitly or commitOverwrite)"))
-              StructField(tf.name, w, nullable = true)
+              StructField(tf.name, w, nullable = true, metadata = tf.metadata)
           }
         }
         val added = b.fields.filterNot(f => t.fieldNames.contains(f.name))
+        if (added.nonEmpty) {
+          // one small props read, only when the schema actually grows —
+          // a DROP leaves no mapping, so the tombstone set is the only
+          // record that the name's files still exist
+          val dead = ColumnMapping.parseTombstones(tableProperties)
+          added.foreach(f => require(!dead.contains(f.name),
+            s"column name '${f.name}' at $root was retired by a RENAME/DROP " +
+              "(old data files still carry it) — use ALTER TABLE ADD COLUMN, " +
+              "which assigns a fresh physical name"))
+        }
         StructType(merged ++ added)
     }
   }
 
   private def tipSchemaOf(base: Long): Option[StructType] =
     if (base == 0) None else snapshot(base).schemaJson.map(parseSchema)
+
+  private def schemaOfOpt(version: Long): Option[StructType] =
+    snapshot(version).schemaJson.map(parseSchema)
+
+  /** The tip's logical→physical column mapping (empty when unmapped) —
+    * what every write path renames through so data files always carry
+    * physical names. */
+  private[sources] def tipLogicalToPhysical: Map[String, String] =
+    tipSchemaOf(latestVersion()).map(ColumnMapping.mappingOf).getOrElse(Map.empty)
 
   /** Plan the data files at indices `keep` of `s` with MOR deletes
     * applied. Data files group by their applicable-delete set — a delete
@@ -570,9 +601,15 @@ class SnapshotTable(spark: SparkSession, root: String,
         // files a pre-lens manifest lists), the schema from the
         // manifest — `spark.read.parquet` would re-list every path
         // through an InMemoryFileIndex per query (a measured 16.8 s at
-        // 10k files; a LIST storm on object stores)
-        bridge.manifestParquetFrame(spark,
-          idxs.map(i => statusOf(all.files(i), all.lens(i))), sch)
+        // 10k files; a LIST storm on object stores). Column-mapped
+        // schemas (RENAME/DROP COLUMN) read files by PHYSICAL name and
+        // project back to logical — identity (zero plan nodes) when the
+        // version carries no mapping.
+        ColumnMapping.toLogical(
+          bridge.manifestParquetFrame(spark,
+            idxs.map(i => statusOf(all.files(i), all.lens(i))),
+            ColumnMapping.physicalSchema(sch)),
+          sch)
       case None =>
         val r = if (merge) spark.read.option("mergeSchema", "true") else spark.read
         r.parquet(idxs.map(i => new Path(dataDir, all.files(i)).toString): _*)
@@ -664,23 +701,36 @@ class SnapshotTable(spark: SparkSession, root: String,
   private def writeDataFiles(df: DataFrame): (FileSet, Long) = {
     val commitId = java.util.UUID.randomUUID().toString
     val dir = new Path(dataDir, commitId)
+    // column-mapped tables store PHYSICAL names in every data file:
+    // rename on the way in, and read the written files back as logical
+    // for the stats pass (identity on unmapped tables — no plan change)
+    val mapping = tipLogicalToPhysical
+    val out = ColumnMapping.toPhysical(df, mapping)
     // the commit-dir listing doubles as the length source: manifests
     // record each file's byte length so reads never re-stat them
     def listParts(): Seq[(String, Long)] = fs.listStatus(dir)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(st => (s"$commitId/${st.getPath.getName}", st.getLen)).toSeq
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+    out.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
     var partEntries = listParts()
     if (partEntries.isEmpty) {
       // zero-task plan (empty batch through AQE can drop every partition):
       // force one writer task so the commit carries a schema-bearing file —
       // a file-less manifest would make read() of this version unplannable.
       fs.delete(dir, true)
-      df.repartition(1).write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+      out.repartition(1).write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
       partEntries = listParts()
     }
     val parts = partEntries.map(_._1)
-    val written = spark.read.parquet(dir.toString)
+    val writtenPhys = spark.read.parquet(dir.toString)
+    val written =
+      if (mapping.isEmpty) writtenPhys
+      else {
+        val inverse = mapping.map(_.swap)
+        import org.apache.spark.sql.functions.col
+        writtenPhys.select(writtenPhys.columns.toIndexedSeq.map(c =>
+          col(c).as(inverse.getOrElse(c, c))): _*)
+      }
     val rows = written.count()
     // stats only for the stats columns the written frame carries
     // (delete-key files may carry none) — absent stats read as the
@@ -690,17 +740,26 @@ class SnapshotTable(spark: SparkSession, root: String,
       if (presentCols.isEmpty) statsCols.map(_ => unknownStats(parts.length))
       else {
         import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min, sum, when}
+        // native typed MIN/MAX (string min/max IS bytewise-lexicographic,
+        // which BandKeys' prefix key preserves), mapped to band keys
+        // driver-side via the ONE shared BandKeys.valueKey — the same
+        // mapping the executor writers fold inline and the read side
+        // applies to filter literals, so the three can never disagree.
+        // Unmapped types (double, decimal, …) fold to the unknown
+        // sentinel: never pruned, conservatively correct.
         val aggExprs = presentCols.flatMap(c => Seq(
-          min(col(c).cast("long")), max(col(c).cast("long")),
+          min(col(c)), max(col(c)),
           sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L)))))
+        def keyOr(v: Any, unknown: Long): Long =
+          Option(v).flatMap(BandKeys.valueKey(_).map(_._1)).getOrElse(unknown)
         val byFile = written
           .groupBy(input_file_name().as("__f"))
           .agg(aggExprs.head, aggExprs.tail: _*)
           .collect() // ≤ one row per written file — commit-sized, bounded
           .map { r =>
             val per = presentCols.zipWithIndex.map { case (c, i) =>
-              c -> ((Option(r.get(1 + 3 * i)).fold(UnknownMin)(_.asInstanceOf[Long]),
-                     Option(r.get(2 + 3 * i)).fold(UnknownMax)(_.asInstanceOf[Long]),
+              c -> ((keyOr(r.get(1 + 3 * i), UnknownMin),
+                     keyOr(r.get(2 + 3 * i), UnknownMax),
                      Option(r.get(3 + 3 * i)).fold(UnknownNulls)(_.asInstanceOf[Long])))
             }.toMap
             r.getString(0) -> per
@@ -1032,11 +1091,16 @@ class SnapshotTable(spark: SparkSession, root: String,
     * schema to the batch's — it replaces contents, so no evolution
     * constraint applies (the public formats' overwriteSchema). */
   def commitOverwrite(df: DataFrame): Long = {
+    // overwrite replaces DATA, not column identity: same-named columns
+    // keep their physical mapping (writeDataFiles renamed the files the
+    // same way), so a rename survives a full reload
+    val tip = tipSchemaOf(latestVersion())
     val (newFiles, newRows) = writeDataFiles(df)
     publish("overwrite",
       base => newFiles.copy(seqs = Seq.fill(newFiles.files.length)(base + 1)),
       _ => newRows,
-      _ => Some(normalizeSchema(df.schema).json))
+      _ => Some(normalizeSchema(
+        ColumnMapping.inheritMapping(df.schema, tip)).json))
   }
 
   /** Data-skipping read on the table's FIRST stats column. */
@@ -1046,6 +1110,28 @@ class SnapshotTable(spark: SparkSession, root: String,
 
   private def statsHead: String = statsCols.headOption.getOrElse(
     sys.error(s"table at $root collects no stats columns"))
+
+  /** The [[BandKeys]] mapping as a NATIVE Column over `df`'s `column` —
+    * the residual row filter of band-scoped reads/rewrites evaluates the
+    * same key the manifests record, for every banded type: integral/
+    * boolean/timestamp are Spark's own long cast (timestamp floors to
+    * epoch seconds, exactly [[BandKeys.valueKey]]); DATE is days since
+    * epoch; STRING is the order-preserving 8-byte-prefix key, built from
+    * codegen'd built-ins (encode → rpad-truncate to 8 bytes → hex →
+    * conv base-16 → unsigned-to-signed shift). Stays inside whole-stage
+    * codegen — no UDF anywhere in a row-level rewrite's hot path. */
+  private[graft] def bandKeyCol(df: DataFrame, column: String)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr, unix_date}
+    df.schema.fields.find(_.name == column).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.DateType) =>
+        unix_date(col(column)).cast("long")
+      case Some(org.apache.spark.sql.types.StringType) =>
+        expr(s"CAST(CAST(conv(hex(rpad(encode(`$column`, 'UTF-8'), 8, X'00')), " +
+          "16, 10) AS DECIMAL(20,0)) - 9223372036854775808 AS BIGINT)")
+      case _ => col(column).cast("long")
+    }
+  }
 
   /** Data-skipping read on ANY stats column: only files whose [min, max]
     * band for `column` overlaps `[lo, hi]` are PLANNED at all — the
@@ -1067,11 +1153,10 @@ class SnapshotTable(spark: SparkSession, root: String,
     val cs = setAll.stats(ci)
     val keep = setAll.files.indices
       .filter(i => cs.maxs(i) >= lo && cs.mins(i) <= hi)
-    import org.apache.spark.sql.functions.col
     val base =
       if (keep.isEmpty) read(v).limit(0)
       else morPlan(snap, keep, mergeSchema = false)
-    base.filter(col(column).cast("long").between(lo, hi))
+    base.filter(bandKeyCol(base, column).between(lo, hi))
   }
 
   /** Manifest-pruned read for the DSv2 batch connector: keep only files
@@ -1244,14 +1329,13 @@ class SnapshotTable(spark: SparkSession, root: String,
     * Optimistic concurrency: same revalidate-on-collision loop as
     * [[commitRewrite]]. */
   def commitReplaceWhere(column: String, batch: DataFrame, lo: Long, hi: Long): Long = {
-    import org.apache.spark.sql.functions.col
     require(statsCols.contains(column),
       s"commitReplaceWhere on $root: '$column' is not a stats column " +
         s"(${statsCols.mkString(",")})")
     // NULL keys count as outside (they can't be range-validated); the
     // null-safe <=> keeps them from slipping through a three-valued NOT
     val outside = batch.filter(
-      !(col(column).cast("long").between(lo, hi) <=> true)).count()
+      !(bandKeyCol(batch, column).between(lo, hi) <=> true)).count()
     require(outside == 0,
       s"replaceWhere batch has $outside rows outside [$lo, $hi] on $column " +
         "(NULLs count as outside)")
@@ -1283,8 +1367,8 @@ class SnapshotTable(spark: SparkSession, root: String,
         cs.maxs(i) != UnknownMax && cs.mins(i) >= lo && cs.maxs(i) <= hi,
         s"replaceWhere batch file ${files(i)} is not provably inside [$lo, $hi] " +
           s"on $column (band [${cs.mins(i)}, ${cs.maxs(i)}], nulls ${cs.nulls(i)}) — " +
-          "the DSv2 replaceWhere needs exact folded stats (integral/boolean/" +
-          "timestamp column, no NULL keys); use the Scala commitReplaceWhere " +
+          "the DSv2 replaceWhere needs folded stats (a BandKeys-mapped " +
+          "column type, no NULL keys); use the Scala commitReplaceWhere " +
           "for other shapes")
     }
     replaceWhereAtTip(column, lo, hi, FileSet(files, stats), fileRows.sum,
@@ -1321,13 +1405,18 @@ class SnapshotTable(spark: SparkSession, root: String,
       // !between would silently drop it and overstate the row count)
       val (rewrite, rewriteRows) =
         if (straddleIdx.isEmpty) (FileSet(Seq.empty, emptyStats), 0L)
-        else writeDataFiles(morPlan(snap, straddleIdx, mergeSchema = false)
-          .filter(!(col(column).cast("long").between(lo, hi) <=> true)))
+        else {
+          val str = morPlan(snap, straddleIdx, mergeSchema = false)
+          writeDataFiles(str.filter(
+            !(bandKeyCol(str, column).between(lo, hi) <=> true)))
+        }
       val affectedIdx = prev.files.indices.diff(keepIdx)
       val removed =
         if (affectedIdx.isEmpty) 0L
-        else morPlan(snap, affectedIdx, mergeSchema = false)
-          .filter(col(column).cast("long").between(lo, hi)).count()
+        else {
+          val aff = morPlan(snap, affectedIdx, mergeSchema = false)
+          aff.filter(bandKeyCol(aff, column).between(lo, hi)).count()
+        }
       // kept rows outside the range in straddlers move to the rewrite;
       // net row delta = batch - rows removed from the range
       val fls = FileSet(
@@ -1776,7 +1865,10 @@ class SnapshotTable(spark: SparkSession, root: String,
     * false — feeds deliver nothing). Existing files null-fill the added
     * column natively in the parquet reader; time travel below this
     * version still reads the old schema. The column must be new and the
-    * table non-empty (create the table with its schema otherwise). */
+    * table non-empty (create the table with its schema otherwise).
+    * A name retired by RENAME/DROP (tombstoned — its bytes still live in
+    * old files) gets a fresh version-stamped PHYSICAL name via the
+    * column mapping, so the old values can never resurrect. */
   def commitAddColumn(column: String, dataType: DataType): Long = {
     require(latestVersion() > 0, s"ADD COLUMN on empty table at $root")
     // schema re-derived per publish attempt: a concurrent commit's own
@@ -1787,8 +1879,115 @@ class SnapshotTable(spark: SparkSession, root: String,
         val cur = snapshot(base).schemaJson.map(parseSchema).getOrElse(read(base).schema)
         require(!cur.fieldNames.contains(column),
           s"column '$column' already exists at $root")
+        val dead = ColumnMapping.parseTombstones(tableProperties)
+        val physTaken = dead ++
+          cur.fields.map(ColumnMapping.physicalName).toSet
+        val fresh = StructField(column, dataType, nullable = true)
+        val field =
+          if (!physTaken.contains(column)) fresh
+          else ColumnMapping.withPhysical(fresh, s"${column}__v${base + 1}")
+        Some(normalizeSchema(StructType(cur.fields :+ field)).json)
+      },
+      dataChange = false)
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN` as a pure schema commit (Delta's
+    * column-mapping shape): the field's PHYSICAL name — what its data
+    * files store — never changes; only the logical name does, recorded
+    * with `graft.physical` metadata in the new version's schema. Zero
+    * files rewritten (a 100 TB rename is one manifest), time travel
+    * below this version reads the old name, and the departed logical
+    * name is tombstoned so no later column can claim its physical bytes.
+    * The rename follows the stats-column list (skipping keeps working
+    * under the new name); MOR delete-key columns refuse (equality-delete
+    * files are keyed by column name — renaming under them would detach
+    * every registered delete). */
+  def commitRenameColumn(from: String, to: String): Long = {
+    require(latestVersion() > 0, s"RENAME COLUMN on empty table at $root")
+    jsonSafe(to, "column name")
+    // publisher carries the RENAMED stats columns (the skipping index
+    // follows the logical name); the base manifest still records the old
+    // one, bridged in fileSetOf so the alter commit KEEPS every band
+    val publisher = new SnapshotTable(spark, root,
+      tipStatsCols.map(c => if (c == from) to else c))
+    // tombstone BEFORE publishing: a stray tombstone from a failed
+    // publish only version-suffixes a future ADD's physical name; a
+    // missing one could resurrect old bytes
+    tipSchemaOf(latestVersion()).getOrElse(read().schema).fields
+      .find(f => f.name == from && ColumnMapping.physicalName(f) == from)
+      .foreach(_ => addTombstone(from))
+    val bridge = (c: String) => if (c == to) from else c
+    publisher.publish("alter",
+      base => publisher.fileSetOf(publisher.snapshot(base), bridge),
+      base => publisher.snapshot(base).rows,
+      base => {
+        val snapBase = publisher.snapshot(base)
+        val cur = snapBase.schemaJson.map(parseSchema)
+          .getOrElse(read(base).schema)
+        require(cur.fieldNames.contains(from),
+          s"RENAME COLUMN: no column '$from' at $root " +
+            s"(${cur.fieldNames.mkString(",")})")
+        require(!cur.fieldNames.contains(to),
+          s"RENAME COLUMN: '$to' already exists at $root")
+        require(!snapBase.deleteKey.contains(from) &&
+          !tableProperties.get("write.delete.key").exists(
+            _.split(",").map(_.trim).contains(from)),
+          s"RENAME COLUMN: '$from' is a merge-on-read delete key at $root — " +
+            "compact() to materialize the deletes first")
+        val renamed = StructType(cur.fields.map { f =>
+          if (f.name != from) f
+          else ColumnMapping.withPhysical(f.copy(name = to),
+            ColumnMapping.physicalName(f))
+        })
+        Some(normalizeSchema(renamed).json)
+      },
+      dataChange = false)
+  }
+
+  /** Register a physical name no future column may claim (monotonic). */
+  private def addTombstone(physical: String): Unit = {
+    val props = tableProperties
+    val dead = ColumnMapping.parseTombstones(props) + physical
+    setTableProperties(props +
+      (ColumnMapping.TombstonesProp -> ColumnMapping.renderTombstones(dead)))
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN` as a pure schema commit: the field
+    * leaves the recorded schema (pinned reads of newer versions never
+    * fetch it — the parquet reader prunes the column at the file level,
+    * so dropped bytes also stop being READ, not just shown); its data
+    * stays in the files for time travel. The physical name is
+    * tombstoned (see [[commitRenameColumn]]). Stats columns drop from
+    * the skipping index with the field; delete-key columns refuse. */
+  def commitDropColumn(column: String): Long = {
+    require(latestVersion() > 0, s"DROP COLUMN on empty table at $root")
+    // publisher drops the column from the skipping index too — its
+    // fileSetOf realigns the base manifest's stats minus that column
+    val publisher = new SnapshotTable(spark, root,
+      tipStatsCols.filterNot(_ == column))
+    // tombstone BEFORE publishing (see commitRenameColumn)
+    tipSchemaOf(latestVersion()).getOrElse(read().schema).fields
+      .find(_.name == column)
+      .foreach(f => addTombstone(ColumnMapping.physicalName(f)))
+    publisher.publish("alter",
+      base => publisher.fileSetOf(publisher.snapshot(base)),
+      base => publisher.snapshot(base).rows,
+      base => {
+        val snapBase = publisher.snapshot(base)
+        val cur = snapBase.schemaJson.map(parseSchema)
+          .getOrElse(read(base).schema)
+        require(cur.fieldNames.contains(column),
+          s"DROP COLUMN: no column '$column' at $root " +
+            s"(${cur.fieldNames.mkString(",")})")
+        require(cur.fields.length > 1,
+          s"DROP COLUMN would leave $root with no columns")
+        require(!snapBase.deleteKey.contains(column) &&
+          !tableProperties.get("write.delete.key").exists(
+            _.split(",").map(_.trim).contains(column)),
+          s"DROP COLUMN: '$column' is a merge-on-read delete key at $root — " +
+            "compact() to materialize the deletes first")
         Some(normalizeSchema(
-          StructType(cur.fields :+ StructField(column, dataType, nullable = true))).json)
+          StructType(cur.fields.filterNot(_.name == column))).json)
       },
       dataChange = false)
   }
@@ -1832,7 +2031,15 @@ class SnapshotTable(spark: SparkSession, root: String,
     }
     val adds = added.result()
     if (adds.isEmpty) read(toVersion).limit(0)
-    else spark.read.parquet(adds.map(f => new Path(dataDir, f).toString): _*)
+    else schemaOfOpt(toVersion).filter(ColumnMapping.hasMapping) match {
+      // a rename inside the range: physical names are constant across
+      // it, so the end-version schema reads every delta file correctly
+      case Some(sch) => ColumnMapping.toLogical(
+        spark.read.schema(ColumnMapping.physicalSchema(sch))
+          .parquet(adds.map(f => new Path(dataDir, f).toString): _*), sch)
+      case None =>
+        spark.read.parquet(adds.map(f => new Path(dataDir, f).toString): _*)
+    }
   }
 
   /** Change data feed over `(fromVersion, toVersion]`: every row-level
@@ -1946,10 +2153,18 @@ class SnapshotTable(spark: SparkSession, root: String,
   }
 
   /** Read a manifest-relative file list as a DataFrame (empty list →
-    * empty frame with the tip's schema). */
+    * empty frame with the tip's schema). A tip schema with column
+    * mapping pins the read (physical names → logical projection);
+    * unmapped tables keep the footer-inferred read. */
   private[sources] def readFiles(files: Seq[String]): DataFrame =
     if (files.isEmpty) read().limit(0)
-    else spark.read.parquet(files.map(f => new Path(dataDir, f).toString): _*)
+    else tipSchemaOf(latestVersion()).filter(ColumnMapping.hasMapping) match {
+      case Some(sch) => ColumnMapping.toLogical(
+        spark.read.schema(ColumnMapping.physicalSchema(sch))
+          .parquet(files.map(f => new Path(dataDir, f).toString): _*), sch)
+      case None =>
+        spark.read.parquet(files.map(f => new Path(dataDir, f).toString): _*)
+    }
 
   /** Read a manifest-relative file list PINNED to `schema` — the
     * streaming source's schema-following read: a running stream keeps
@@ -1964,9 +2179,13 @@ class SnapshotTable(spark: SparkSession, root: String,
     // manifest-planned (see morPlan): statuses from the manifest's
     // recorded lengths, no per-batch listing job — a streaming source
     // plans its delta files without touching the object store AT ALL
-    // (pre-lens manifests fall back to one HEAD per file)
-    bridge.manifestParquetFrame(spark,
-      files.map { case (f, l) => statusOf(f, l) }, schema)
+    // (pre-lens manifests fall back to one HEAD per file). Column-mapped
+    // schemas read physical names, project logical (identity otherwise).
+    ColumnMapping.toLogical(
+      bridge.manifestParquetFrame(spark,
+        files.map { case (f, l) => statusOf(f, l) },
+        ColumnMapping.physicalSchema(schema)),
+      schema)
 
   /** Compaction as a COMMIT: rewrite the tip at ~`targetRowsPerFile`
     * rows per file and publish it as a `dataChange=false` version — same

@@ -40,9 +40,9 @@ import org.apache.spark.sql.types._
   * attempt against the then-tip. Stats columns come from the table tip
   * (or catalog property), so a DSv2 append carries the skipping index
   * forward exactly like the streaming sink does. Stats are folded
-  * natively for byte/short/int/long/boolean/timestamp columns; other
-  * types record the never-pruned unknown sentinel (sound: unpruned =
-  * read; the Scala commit path can still derive them by re-scan). */
+  * natively through the [[BandKeys]] mapping (integral/boolean/date
+  * exact; timestamp/string lossy-monotonic); unmapped types record the
+  * never-pruned unknown sentinel (sound: unpruned = read). */
 object SnapshotWrite {
   // the manifest stats sentinels ([[SnapshotTable]] reads these as
   // "unknown — never prune"); -1 nulls = may contain NULLs
@@ -199,11 +199,20 @@ class GraftSnapshotBatchWrite(spark: SparkSession, root: String,
   private val commitUuid = java.util.UUID.randomUUID().toString
   private def dataDir = new Path(root, "data")
 
+  // column-mapped tables (post RENAME COLUMN): executors write PHYSICAL
+  // field names; the commit below still records the LOGICAL schema.
+  // Captured once at write creation — the mapping is immutable per
+  // column, so a concurrent rename cannot change what these names mean.
+  private val mapping: Map[String, String] =
+    new SnapshotTable(spark, root).tipLogicalToPhysical
+  private val physSchema = ColumnMapping.renameFields(schema, mapping)
+  private val physStatsCols = statsCols.map(c => mapping.getOrElse(c, c))
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // parquet writer settings captured from the SESSION on the driver so
     // executor-written files match what df.write.parquet would produce
     val conf = spark.sessionState.conf
-    SnapshotWriterFactory(dataDir.toString, commitUuid, schema.json, statsCols,
+    SnapshotWriterFactory(dataDir.toString, commitUuid, physSchema.json, physStatsCols,
       conf.writeLegacyParquetFormat.toString, conf.parquetOutputTimestampType.toString,
       opColumn)
   }
@@ -227,7 +236,7 @@ class GraftSnapshotBatchWrite(spark: SparkSession, root: String,
       if (tasks.nonEmpty) tasks
       else {
         val w = new SnapshotParquetWriter(dataDir.toString, commitUuid,
-          "part-00000-empty.parquet", schema, statsCols,
+          "part-00000-empty.parquet", physSchema, physStatsCols,
           spark.sessionState.conf.writeLegacyParquetFormat.toString,
           spark.sessionState.conf.parquetOutputTimestampType.toString,
           spark.sparkContext.hadoopConfiguration)
@@ -634,8 +643,14 @@ class SnapshotDeltaRowBatchWrite(spark: SparkSession, root: String,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val conf = spark.sessionState.conf
+    // column-mapped tables: data files carry PHYSICAL names (keys are
+    // unrenameable by DDL guard, so the key schema needs no mapping);
+    // the commit records the LOGICAL rowSchema
+    val mapping = new SnapshotTable(spark, root).tipLogicalToPhysical
     SnapshotDeltaRowWriterFactory(dataDir.toString, commitUuid,
-      keySchema.json, keyCols, rowSchema.json, statsCols,
+      keySchema.json, keyCols,
+      ColumnMapping.renameFields(rowSchema, mapping).json,
+      statsCols.map(c => mapping.getOrElse(c, c)),
       conf.writeLegacyParquetFormat.toString,
       conf.parquetOutputTimestampType.toString)
   }
@@ -774,6 +789,9 @@ class SnapshotParquetWriter(dataDir: String, commitUuid: String, fileName: Strin
   // per-stats-column fold state; fieldIdx -1 / unsupported type => unknown
   private val fieldIdx: Array[Int] =
     statsCols.map(c => schema.fieldNames.indexOf(c)).toArray
+  // per-type band-key folds — the [[BandKeys]] mapping, inlined on the
+  // physical InternalRow accessors (DATE is days-as-int, TIMESTAMP is
+  // micros-as-long, STRING is UTF8String bytes)
   private val asLong: Array[InternalRow => Long] = statsCols.indices.map { c =>
     val i = fieldIdx(c)
     if (i < 0) null
@@ -783,8 +801,11 @@ class SnapshotParquetWriter(dataDir: String, commitUuid: String, fileName: Strin
       case IntegerType => (r: InternalRow) => r.getInt(i).toLong
       case LongType => (r: InternalRow) => r.getLong(i)
       case BooleanType => (r: InternalRow) => if (r.getBoolean(i)) 1L else 0L
+      case DateType => (r: InternalRow) => r.getInt(i).toLong // days since epoch — exact
       case TimestampType => // micros -> whole epoch seconds, Spark's ts->long cast
         (r: InternalRow) => Math.floorDiv(r.getLong(i), 1000000L)
+      case StringType => // order-preserving 8-byte-prefix key (lossy, monotonic)
+        (r: InternalRow) => BandKeys.stringKey(r.getUTF8String(i).getBytes)
       case _ => null
     }
   }.toArray
