@@ -618,6 +618,148 @@ object MiscQueries {
         .unionByName(post.select(lit("post_delete").as("leg"), col("n"), col("mn"), col("mx")))
     }),
 
+    // Typed (DATE) stats bands — the daily-reload pruning shape the
+    // reference's models are keyed on (fb_meta_ads_transformed.sql:6,
+    // mms_lb_staged.sql:1 both date-keyed): a date-clustered snapshot
+    // table plans 1 of 3 files for a mid-range date predicate
+    // (days-since-epoch bands via the shared BandKeys mapping, pinned
+    // in files_planned), and the row values replay in DuckDB.
+    "misc_snapshot_date_skipping" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_snapdateskip")
+      val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath,
+        statsCols = Seq("day"))
+      val o = Tables.orders(s, d).select(to_date(col("o_orderdate")).as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val (d1, d2) = (java.sql.Date.valueOf("1997-01-01"),
+        java.sql.Date.valueOf("1999-01-01"))
+      t.commitAppend(o.filter(col("day") < lit(d1)).repartition(1))
+      t.commitAppend(o.filter(col("day") >= lit(d1) && col("day") < lit(d2))
+        .repartition(1))
+      t.commitAppend(o.filter(col("day") >= lit(d2)).repartition(1))
+      val pruned = t.readRange("day", d1.toLocalDate.toEpochDay,
+        d2.toLocalDate.toEpochDay - 1, -1L)
+      pruned.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(t.read().inputFiles.length).as("files_total"),
+          lit(pruned.inputFiles.length).as("files_planned"),
+          col("n_rows"), col("total_cents"))
+    }),
+
+    // Manifest-served MIN/MAX over a DATE stats column: the freshness
+    // probe every date-keyed pipeline runs (`SELECT max(event_date)`)
+    // answers from one manifest parse — DATE's band key is its exact
+    // days-since-epoch value, so min-of-mins/max-of-maxs IS the answer.
+    // The post-delete leg pins the decline (a MOR delete may remove the
+    // extremum → real scan); plan shapes pinned in TypedBandsSpec.
+    "misc_snapshot_date_minmax" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_snapdatemm").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("day"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("day"))
+      t.commitAppend(o)
+      def rd() = s.read.format("graft-snapshot").load(root)
+      def legs(df: DataFrame) = df.agg(count(lit(1)).as("n"),
+        min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val pre = legs(rd())
+      t.commitDeleteByKey(o.filter(year(col("day")) >= 2000)
+        .select("o_orderkey"), Seq("o_orderkey"))
+      val post = legs(rd())
+      pre.select(lit("pre_delete").as("leg"), col("n"), col("mn"), col("mx"))
+        .unionByName(post.select(lit("post_delete").as("leg"),
+          col("n"), col("mn"), col("mx")))
+    }),
+
+    // Date-range SQL DELETE as a METADATA-ONLY commit — the retention
+    // drop (`DELETE WHERE day < cutoff`) on a date-clustered table is a
+    // manifest re-list: every dropped file's DATE band lies fully
+    // inside the predicate (exact days-since-epoch keys), no file is
+    // read or written. metadata_only pins file identity across the
+    // statement; the version history replays in DuckDB.
+    "misc_catalog_dml_date" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catdmldate").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gdd", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gdd.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gdd.db")
+      Tables.orders(s, d).select(to_date(col("o_orderdate")).as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("catdmldate_src")
+      s.sql("CREATE TABLE gdd.db.daily (day DATE, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='day')")
+      s.sql("INSERT INTO gdd.db.daily SELECT * FROM catdmldate_src " +
+        "WHERE day < DATE'1997-01-01'")
+      s.sql("INSERT INTO gdd.db.daily SELECT * FROM catdmldate_src " +
+        "WHERE day >= DATE'1997-01-01' AND day < DATE'1999-01-01'")
+      s.sql("INSERT INTO gdd.db.daily SELECT * FROM catdmldate_src " +
+        "WHERE day >= DATE'1999-01-01'")
+      val t = new graft.sources.SnapshotTable(s, s"$wh/db/daily", Seq("day"))
+      val before = t.snapshot(t.latestVersion())
+      s.sql("DELETE FROM gdd.db.daily WHERE day < DATE'1997-01-01'")
+      val after = t.snapshot(t.latestVersion())
+      val metadataOnly = after.action == "delete" &&
+        after.files.forall(before.files.contains)
+      t.history().map { snap =>
+        t.read(snap.version).agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(snap.version).as("version"), lit(snap.action).as("action"),
+            lit(metadataOnly).as("metadata_only"), col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
+    // STRING stats bands: the order-preserving 8-byte-prefix key prunes
+    // source-clustered document shards on a LIKE-prefix predicate (the
+    // "one crawl source went bad, reprocess it" lookup) — lossy keys are
+    // pruning-only, Spark re-evaluates rows, so values stay exact.
+    "misc_snapshot_string_prefix" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_snapstrpre").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("source"))
+      val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+      t.commitAppend(docs.filter(col("source") < "src2").repartition(1))
+      t.commitAppend(docs.filter(col("source") >= "src2" && col("source") < "src5")
+        .repartition(1))
+      t.commitAppend(docs.filter(col("source") >= "src5").repartition(1))
+      val bands = graft.sources.SnapshotBatch.bandsOf(Seq(
+        org.apache.spark.sql.sources.StringStartsWith("source", "src3")))
+      val (pruned, planned) = t.readPruned(bands, t.latestVersion())
+      pruned.filter(col("source").startsWith("src3"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(t.read().inputFiles.length).as("files_total"),
+          lit(planned.length).as("files_planned"),
+          col("n_docs"), col("sum_chars"))
+    }),
+
+    // ALTER TABLE RENAME COLUMN as a ZERO-REWRITE schema commit (column
+    // mapping): inserts land on both sides of the rename (old files keep
+    // their physical name, new files write it too), a CoW UPDATE reads
+    // through the mapping, time travel below the rename shows the OLD
+    // name. zero_rewrite pins file identity across the ALTER; every
+    // leg's values replay in DuckDB.
+    "misc_catalog_rename" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catrename").getAbsolutePath
+      s.conf.set("spark.sql.catalog.grn", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.grn.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS grn.db")
+      Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("amount"))
+        .createOrReplaceTempView("catrename_src")
+      s.sql("CREATE TABLE grn.db.led (o_orderkey BIGINT, amount BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_orderkey')")
+      s.sql("INSERT INTO grn.db.led SELECT * FROM catrename_src WHERE o_orderkey % 2 = 0")
+      val t = new graft.sources.SnapshotTable(s, s"$wh/db/led")
+      val before = t.snapshot(t.latestVersion())
+      s.sql("ALTER TABLE grn.db.led RENAME COLUMN amount TO cents")
+      val alter = t.snapshot(t.latestVersion())
+      val zeroRewrite = alter.files == before.files
+      s.sql("INSERT INTO grn.db.led SELECT * FROM catrename_src WHERE o_orderkey % 2 = 1")
+      s.sql("UPDATE grn.db.led SET cents = 0 WHERE o_orderkey % 10 = 3")
+      def leg(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("value")).as("total"))
+          .select(lit(name).as("leg"), lit(zeroRewrite).as("zero_rewrite"),
+            col("n_rows"), col("total"))
+      leg("pre_rename",
+          s.sql("SELECT amount AS value FROM grn.db.led VERSION AS OF 2"))
+        .unionByName(leg("tip",
+          s.sql("SELECT cents AS value FROM grn.db.led")))
+    }),
+
     // Overwrite-by-filter on a catalog table — the daily-partition-
     // reload shape through pure DSv2: three clustered INSERTs land
     // disjoint orderkey thirds, then writeTo(...).overwrite(band)
@@ -2502,6 +2644,66 @@ FROM cls""",
 
     // replay of the min/max legs: %7 keys are NULL (ignored by min/max
     // on both legs), the MOR delete removes non-null %3 keys
+    // pre_rename = the even-key half under the old name (VERSION AS OF
+    // 2, before the rename and the second insert); tip = all keys after
+    // the %10=3 zero-out
+    "misc_catalog_rename" -> """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT 'pre_rename' AS leg, CAST(TRUE AS BOOLEAN) AS zero_rewrite,
+       CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(cents) AS BIGINT) AS total
+FROM base WHERE k % 2 = 0
+UNION ALL
+SELECT 'tip', CAST(TRUE AS BOOLEAN),
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN k % 10 = 3 THEN 0 ELSE cents END) AS BIGINT)
+FROM base""",
+
+    "misc_snapshot_date_skipping" -> """
+SELECT CAST(3 AS INTEGER) AS files_total, CAST(1 AS INTEGER) AS files_planned,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o_orderdate AS DATE) <= DATE '1998-12-31'""",
+
+    "misc_snapshot_date_minmax" -> """
+WITH base AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day FROM orders)
+SELECT 'pre_delete' AS leg, CAST(count(*) AS BIGINT) AS n,
+       min(day) AS mn, max(day) AS mx
+FROM base
+UNION ALL
+SELECT 'post_delete', CAST(count(*) AS BIGINT), min(day), max(day)
+FROM base WHERE year(day) < 2000""",
+
+    // v1 = CREATE (empty), v2..v4 = the three date-range inserts,
+    // v5 = the retention DELETE (metadata-only by construction — the
+    // Spark side pins it from manifest file identity)
+    "misc_catalog_dml_date" -> """
+WITH base AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+v AS (
+  SELECT 1 AS version, 'overwrite' AS action, DATE '9999-01-01' AS lo, DATE '0001-01-01' AS hi UNION ALL
+  SELECT 2, 'append', DATE '0001-01-01', DATE '1996-12-31' UNION ALL
+  SELECT 3, 'append', DATE '0001-01-01', DATE '1998-12-31' UNION ALL
+  SELECT 4, 'append', DATE '0001-01-01', DATE '9999-01-01' UNION ALL
+  SELECT 5, 'delete', DATE '1997-01-01', DATE '9999-01-01')
+SELECT CAST(v.version AS BIGINT) AS version, v.action,
+       CAST(TRUE AS BOOLEAN) AS metadata_only,
+       CAST(count(b.day) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(b.cents), 0) AS BIGINT) AS total_cents
+FROM v LEFT JOIN base b ON b.day BETWEEN v.lo AND v.hi
+GROUP BY v.version, v.action""",
+
+    "misc_snapshot_string_prefix" -> """
+SELECT CAST(3 AS INTEGER) AS files_total, CAST(1 AS INTEGER) AS files_planned,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE source LIKE 'src3%'""",
+
     "misc_snapshot_minmax" -> """
 WITH cls AS (
   SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey END AS k

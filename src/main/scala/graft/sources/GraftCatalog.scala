@@ -187,11 +187,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  /** `ALTER TABLE ... ADD COLUMN` publishes a schema-only version (same
-    * files, evolved schema, dataChange=false — feeds skip it); existing
-    * files null-fill the new column at read, the format's native
-    * additive evolution. Everything else is rejected: the manifest
-    * records what was written, and rewriting history is not an ALTER. */
+  /** `ALTER TABLE ... ADD/RENAME/DROP COLUMN` publish schema-only
+    * versions (same files, new schema, dataChange=false — feeds skip
+    * them). ADD null-fills at read (native additive evolution); RENAME
+    * and DROP ride the column mapping ([[ColumnMapping]]): the field's
+    * physical file name never changes, so ZERO data files are rewritten
+    * and time travel below the DDL reads the old schema. Type changes
+    * stay rejected: the manifest records what was written, and rewriting
+    * history is not an ALTER (int→long/float→double still widen at
+    * write time). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = tablePath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
@@ -203,6 +207,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(add.isNullable,
           "added columns must be nullable (existing rows null-fill)")
         t.commitAddColumn(add.fieldNames.head, add.dataType)
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          s"catalog '$catName': only top-level RENAME COLUMN is supported")
+        t.commitRenameColumn(ren.fieldNames.head, ren.newName)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"catalog '$catName': only top-level DROP COLUMN is supported")
+        t.commitDropColumn(del.fieldNames.head)
       case set: TableChange.SetProperty =>
         // property edits are CONFIG (props sidecar), not data commits
         validateProperty(t, set.property, set.value)
@@ -211,9 +223,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         t.setTableProperties(t.tableProperties - unset.property)
       case other => throw new UnsupportedOperationException(
         s"catalog '$catName': unsupported ALTER ${other.getClass.getSimpleName} — " +
-          "snapshot tables support ADD COLUMN (additive evolution) and " +
-          "SET/UNSET TBLPROPERTIES; type widening happens at write time, " +
-          "anything else is a rewrite")
+          "snapshot tables support ADD/RENAME/DROP COLUMN and SET/UNSET " +
+          "TBLPROPERTIES; type widening happens at write time, anything " +
+          "else is a rewrite")
     }
     loadTable(ident)
   }

@@ -88,8 +88,11 @@ class SnapshotDmlScan(spark: SparkSession, spec: SnapshotDmlSpec,
   override def createReaderFactory(): PartitionReaderFactory = {
     val keyFields: Seq[StructField] =
       spec.deleteKey.map(c => spec.schema.fields(spec.schema.fieldNames.indexOf(c)))
+    // column-mapped tables: fetch by PHYSICAL name — InternalRows are
+    // positional, so the logical readSchema above stays the contract
+    // (delete keys are unrenameable by DDL guard: logical == physical)
     new SnapshotDmlReaderFactory(
-      bridge.parquetRowReader(spark, spec.schema),
+      bridge.parquetRowReader(spark, ColumnMapping.physicalSchema(spec.schema)),
       if (spec.deleteKey.isEmpty) null
       else bridge.parquetRowReader(spark, StructType(keyFields)),
       spec.deleteKey.map(c => spec.schema.fieldNames.indexOf(c)).toArray,

@@ -100,8 +100,12 @@ class SnapshotStreamingWrite(spark: SparkSession, root: String,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = {
     val conf = spark.sessionState.conf
-    SnapshotStreamingWriterFactory(dataDir.toString, commitUuid, schema.json,
-      statsCols, conf.writeLegacyParquetFormat.toString,
+    // column-mapped tables: streamed epochs write PHYSICAL names too
+    val mapping = new SnapshotTable(spark, root).tipLogicalToPhysical
+    SnapshotStreamingWriterFactory(dataDir.toString, commitUuid,
+      ColumnMapping.renameFields(schema, mapping).json,
+      statsCols.map(c => mapping.getOrElse(c, c)),
+      conf.writeLegacyParquetFormat.toString,
       conf.parquetOutputTimestampType.toString)
   }
 

@@ -375,8 +375,10 @@ class GraftCatalogSpec extends SparkSpec {
     val t = new SnapshotTable(spark, s"$whRoot/db/alt")
     assert(t.history().filter(!_.dataChange).map(_.action) ==
       Seq("overwrite", "alter"))
-    // non-additive alters stay loud
-    intercept[Exception](spark.sql(s"ALTER TABLE $cat.db.alt DROP COLUMN note"))
+    // non-additive alters stay loud (RENAME/DROP ride the column
+    // mapping — ColumnMappingSpec — but TYPE CHANGES are a rewrite)
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.db.alt ALTER COLUMN note TYPE BIGINT"))
   }
 
   test("a concurrent commit mid-DML surfaces as a conflict, not silent loss") {
