@@ -213,6 +213,61 @@ object TextStats {
         concat(col("left_sym"), col("right_sym")).as("merged"), col("pair_count"))
   }
 
+  /** Iterative BPE merge TRAINING — the real tokenizer-induction loop
+    * (Sennrich et al. 2016), not just the first-merge count: each round
+    * counts adjacent symbol pairs over the word-frequency table (freq-
+    * weighted, map-side combinable), picks the winner (count desc, then
+    * pair lexicographic — deterministic across engines), BROADCASTS that
+    * one merge back (a 1-row collect per round, the A6-watermark shape),
+    * and applies it to every word's symbol string. Symbols are encoded
+    * SEP-prefixed (one control byte before each symbol) so a plain left-to-right
+    * `replace(s, SEP+l+SEP+r, SEP+l+r)` applies the merge with exact
+    * greedy-BPE semantics: every symbol occurrence is preceded by
+    * exactly one SEP and symbols never contain SEP, so matches can
+    * neither straddle a symbol boundary nor overlap ("aaa" merges to
+    * [aa, a], the standard rule). Corpus cost: ONE word-count
+    * aggregation; all `rounds` iterations run over the VOCABULARY —
+    * at 100 TB the vocab table is a few million rows, so the loop's
+    * per-round cost is independent of corpus bytes. Output: the merge
+    * table (round, left_sym, right_sym, merged, pair_count). */
+  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+    val Sep = "\u0001" // never occurs in whitespace-split words
+    val spark = docs.sparkSession
+    val wf = graft.QueryCaches.scoped(
+      docs.select(explode(words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .select(regexp_replace(col("word"), "(.)", Sep + "$1").as("s"),
+          col("freq")))
+    var syms = wf
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    while (r <= rounds) {
+      val winner = syms
+        .select(col("freq"),
+          filter(split(col("s"), Sep), x => x =!= lit("")).as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> " +
+            "struct(element_at(a, i) AS l, element_at(a, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect() // exactly one row per round — the merge being learned
+      require(winner.nonEmpty, s"BPE round $r: no pair left to merge")
+      val (l, rt, cnt) =
+        (winner.head.getString(0), winner.head.getString(1), winner.head.getLong(2))
+      merges += ((r, l, rt, l + rt, cnt))
+      syms = syms.withColumn("s",
+        replace(col("s"), lit(Sep + l + Sep + rt), lit(Sep + l + rt)))
+      r += 1
+    }
+    import spark.implicits._
+    merges.result()
+      .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
   /** Unigram language-model surprisal per document — the KenLM-style
     * perplexity proxy of the quality-filtering literature (CCNet,
     * Gopher/MassiveText rules) reduced to the model a SQL engine can fit

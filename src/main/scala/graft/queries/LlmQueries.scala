@@ -540,6 +540,15 @@ object LlmQueries {
     "llm_bpe_pairs" -> ((s, d) =>
       TextStats.bpePairCounts(Tables.documents(s, d), minCount = 50)),
 
+    // The full iterative BPE TRAINER, 6 unrolled merge rounds: per round
+    // count pairs over the vocabulary, broadcast the winning merge (one
+    // 1-row collect), apply it with boundary-safe left-to-right replace
+    // (exact greedy-BPE semantics). The oracle replays the same 6 rounds
+    // as unrolled DuckDB CTEs — merge choices AND counts must agree
+    // bit-for-bit, so a tiebreak or boundary divergence hash-fails.
+    "llm_bpe_train" -> ((s, d) =>
+      TextStats.bpeTrain(Tables.documents(s, d), rounds = 6)),
+
     // Efraimidis–Spirakis weighted sample: top-100 by ln(u)/w with
     // md5-deterministic u and token-count weights — longer docs
     // proportionally likelier, the draw fully reproducible.
@@ -1503,6 +1512,36 @@ btf AS (SELECT doc_id, dl,
                CAST(sum(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS tf_stream
         FROM (SELECT doc_id, dl, unnest(w) AS term FROM bw) GROUP BY doc_id, dl)"""
 
+  /** Unrolled DuckDB replay of [[TextStats.bpeTrain]]: s0 = SEP-prefixed
+    * symbol strings over the word-frequency table; each round k counts
+    * adjacent pairs (pK), picks the winner with the identical tiebreak
+    * (wK), and applies the merge with the identical boundary-safe
+    * replace (sK). The union of the wK rows IS the merge table. */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val body = (1 to rounds).map { k =>
+      s"""p$k AS (
+  SELECT a[i] AS l, a[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT a, freq, unnest(generate_series(1, len(a) - 1)) AS i
+        FROM (SELECT list_filter(string_split(s, chr(1)), x -> x <> '') AS a, freq
+              FROM s${k - 1})
+        WHERE len(a) >= 2)
+  GROUP BY 1, 2),
+w$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+s$k AS (SELECT replace(s, chr(1) || w.l || chr(1) || w.r, chr(1) || w.l || w.r) AS s, freq
+        FROM s${k - 1}, w$k w)"""
+    }.mkString(",\n")
+    val sel = (1 to rounds).map(k =>
+      s"SELECT CAST($k AS INTEGER) AS round, l AS left_sym, r AS right_sym, " +
+        s"l || r AS merged, cnt AS pair_count FROM w$k").mkString("\nUNION ALL\n")
+    s"""WITH wf AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) > 0 GROUP BY word),
+s0 AS (SELECT regexp_replace(word, '(.)', chr(1) || '\\1', 'g') AS s, freq FROM wf),
+$body
+$sel"""
+  }
+
   val oracle: Map[String, String] = Map(
     "llm_bm25_search" -> s"""
 WITH $bm25Ctes
@@ -2341,7 +2380,12 @@ SELECT p.source, p.n_docs, p.n_tokens,
        CAST(l.top_lang_docs * 1000000 // p.n_docs AS BIGINT) AS top_lang_ppm
 FROM per p JOIN lt l ON l.source = p.source""",
 
-    // word-frequency table first, char pairs over the vocabulary only
+    // word-frequency table first, char pairs over the vocabulary only;
+    // the trainer replays 6 merge rounds as unrolled CTEs (same SEP
+    // encoding, same count-desc/pair-asc tiebreak, same left-to-right
+    // replace) — generated by bpeTrainOracle below
+    "llm_bpe_train" -> bpeTrainOracle(6),
+
     "llm_bpe_pairs" -> """
 WITH wf AS (
   SELECT word, count(*) AS freq

@@ -13,6 +13,21 @@ class LlmSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog")   // exact dup of 1
   ).toDF("doc_id", "text")
 
+  test("bpeTrain learns greedy merges with exact left-to-right overlap semantics") {
+    // corpus: "aaab" x3, "aaa" x2 — round 1 must merge (a,a) with count
+    // 3*2 + 2*2 = 10 (each "aaa*" contributes TWO adjacent (a,a) pairs)
+    val docs = Seq((1L, "aaab aaab aaab aaa aaa")).toDF("doc_id", "text")
+    val m = TextStats.bpeTrain(docs, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(m(0) == ((1, "aa", 10L)), s"round 1: ${m(0)}")
+    // after merging (a,a) LEFT-TO-RIGHT: "aaab" -> [aa, a, b] (NOT
+    // [a, aa, b]); "aaa" -> [aa, a]. Round 2 pairs: (aa,a) 3+2=5,
+    // (a,b) 3 -> merge (aa, a) = "aaa" with 5
+    assert(m(1) == ((2, "aaa", 5L)), s"round 2: ${m(1)}")
+    // round 3: "aaab" = [aaa, b] -> merge (aaa, b) with 3
+    assert(m(2) == ((3, "aaab", 3L)), s"round 3: ${m(2)}")
+  }
+
   test("exact dedup keeps min doc_id per text") {
     val groups = Dedup.exactDupGroups(docs).collect()
     assert(groups.length == 1 && groups(0).getAs[Long]("canonical_id") == 1L
