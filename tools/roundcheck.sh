@@ -53,15 +53,23 @@ done
 [ "$LOADED" = 1 ] && echo "  WARNING: benching on loaded host (loadavg $LA) — artifact is advisory only"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" 2>"$OUT/bench.err" | grep '"metric"' >"$OUT/bench.json"
-if [ "$LOADED" = 1 ] && [ -s "$OUT/bench.json" ]; then
-  python3 - "$OUT/bench.json" <<'PY'
+[ -s "$OUT/bench.json" ] || { echo "FAIL: bench produced no JSON"; exit 1; }
+if [ "$LOADED" = 1 ]; then
+  # The tag is the whole point of the gate: an untagged loaded-host bench
+  # reads as canonical downstream. If tagging fails, the artifact must
+  # not be published at all.
+  python3 - "$OUT/bench.json" <<'PY' || { echo "FAIL: could not tag loaded-host bench — artifact withheld"; rm -f "$OUT/bench.json"; exit 1; }
 import json,sys
-p=sys.argv[1]; d=json.load(open(p)); d["loaded_host"]=True
-open(p,"w").write(json.dumps(d))
+p=sys.argv[1]
+with open(p) as f:
+    lines=[json.loads(l) for l in f if l.strip()]
+assert len(lines)==1, f"expected exactly one bench JSON line, got {len(lines)}"
+d=lines[0]; d["loaded_host"]=True
+with open(p,"w") as f:
+    f.write(json.dumps(d))
 PY
 fi
 head -c 200 "$OUT/bench.json"; echo
-[ -s "$OUT/bench.json" ] || { echo "FAIL: bench produced no JSON"; exit 1; }
 
 step "6/6 bench diff vs ${PREV_BENCH:-<none>}"
 if [ -n "${PREV_BENCH:-}" ] && [ -f "$PREV_BENCH" ]; then
