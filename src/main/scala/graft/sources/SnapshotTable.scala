@@ -67,7 +67,16 @@ case class Snapshot(version: Long, action: String, baseVersion: Long,
                     ts: Long = 0L,
                     schemaJson: Option[String] = None,
                     lens: Seq[Long] = Seq.empty,
-                    deleteLens: Seq[Long] = Seq.empty)
+                    deleteLens: Seq[Long] = Seq.empty,
+                    // manifest-list encoding (Iceberg's idea, one level):
+                    // the first `groupedCount` entries of files/seqs/lens/
+                    // stats live in the immutable group files named by
+                    // `groupRefs` — a RESOLVED Snapshot (what every
+                    // consumer sees) always carries the full materialized
+                    // lists; these two fields only tell the next commit
+                    // which prefix it can re-reference instead of re-list
+                    groupRefs: Seq[String] = Seq.empty,
+                    groupedCount: Int = 0)
 
 /** Minimal snapshot-versioned table format: immutable parquet data files
   * plus a linear chain of JSON manifests, one per committed version —
@@ -125,7 +134,14 @@ case class Snapshot(version: Long, action: String, baseVersion: Long,
 class SnapshotTable(spark: SparkSession, root: String,
                     statsCols: Seq[String] = Seq.empty,
                     logStore: Option[SnapshotLogStore] = None,
-                    checkpointEvery: Int = 25) {
+                    checkpointEvery: Int = 25,
+                    // manifest-list thresholds (tests shrink them): fold
+                    // the inline file tail into a group file past
+                    // `groupInlineFold` entries; merge all groups into one
+                    // when a manifest would reference more than
+                    // `groupMergeAt` of them
+                    groupInlineFold: Int = 128,
+                    groupMergeAt: Int = 32) {
   private val snapsDir = new Path(root, "_snapshots")
   private val dataDir = new Path(root, "data")
   private val tipHintPath = new Path(snapsDir, "_tip")
@@ -367,7 +383,7 @@ class SnapshotTable(spark: SparkSession, root: String,
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                   finally in.close()
         txt.split(ChunkSep).filter(_.trim.nonEmpty).foreach { body =>
-          val s = parseManifestText(body)
+          val s = resolveGroups(parseManifestText(body))
           cacheManifest(s)
         }
         manifestCache.containsKey(version)
@@ -433,9 +449,177 @@ class SnapshotTable(spark: SparkSession, root: String,
     val cached = manifestCache.get(version)
     if (cached != null) return cached
     if (tryLoadChunk(version)) return manifestCache.get(version)
-    val s = parseManifestText(manifestRawText(version))
+    val s = resolveGroups(parseManifestText(manifestRawText(version)))
     cacheManifest(s)
     s
+  }
+
+  // ----- manifest-list groups ---------------------------------------
+  // A GROUP FILE is an immutable slice of a manifest's data-file list
+  // (files + seqs + lens + per-column stats), written once and
+  // referenced by name from every later manifest that still lists those
+  // files — so an append's manifest is O(refs + delta), not O(table),
+  // and total metadata over V versions stops being O(V²). Groups are
+  // resolved EAGERLY at parse (a Snapshot always carries the full
+  // lists), so every consumer of Snapshot stays untouched; the
+  // immutable per-handle cache makes a history walk read each group
+  // once, not once per version.
+
+  private case class GroupData(files: Seq[String], seqs: Seq[Long],
+                               lens: Seq[Long], statsCols: Seq[String],
+                               stats: Seq[ColStats])
+
+  private val groupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, GroupData]()
+  private val GroupCacheCap = 256
+
+  private def groupPath(ref: String) = new Path(snapsDir, ref)
+
+  private def loadGroup(ref: String): GroupData = {
+    val cached = groupCache.get(ref)
+    if (cached != null) return cached
+    metaOpens.incrementAndGet()
+    val in = fs.open(groupPath(ref))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val g = parseGroupText(txt, ref)
+    if (groupCache.size >= GroupCacheCap) groupCache.clear()
+    groupCache.putIfAbsent(ref, g)
+    g
+  }
+
+  private def parseGroupText(txt: String, ref: String): GroupData = {
+    def longArray(k: String): Seq[Long] =
+      s""""$k"\\s*:\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(txt)
+        .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq)
+        .getOrElse(Seq.empty)
+    def strArray(k: String): Seq[String] =
+      s""""$k"\\s*:\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(txt)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+    val files = strArray("files")
+    require(files.nonEmpty, s"group file $ref at $root lists no files — corrupt")
+    val cols = strArray("statsCols")
+    val stats = cols.indices.map { i =>
+      val sfx = if (i == 0) "" else i.toString
+      ColStats(longArray(s"mins$sfx"), longArray(s"maxs$sfx"), longArray(s"nulls$sfx"))
+    }
+    GroupData(files, longArray("seqs"), longArray("lens"), cols, stats)
+  }
+
+  /** Materialize a parsed manifest's group references into its file
+    * lists (identity when it has none). Group stats re-align to the
+    * MANIFEST's stats columns by name — a group written under other
+    * names (e.g. before a statsCols change) reads as unknown for the
+    * missing columns: never pruned, conservatively correct. */
+  private def resolveGroups(s: Snapshot): Snapshot = {
+    if (s.groupRefs.isEmpty) return s
+    val gs = s.groupRefs.map(loadGroup)
+    val gFiles = gs.flatMap(_.files)
+    def fill(parts: Seq[Seq[Long]], ns: Seq[Int], absent: Long): Seq[Long] =
+      parts.zip(ns).flatMap { case (p, n) =>
+        if (p.length == n) p else Seq.fill(n)(absent) }
+    val ns = gs.map(_.files.length)
+    val gSeqs = fill(gs.map(_.seqs), ns, 0L)
+    val gLens = fill(gs.map(_.lens), ns, -1L)
+    val gStats: Seq[ColStats] = s.statsCols.map { c =>
+      val per = gs.map { g =>
+        val i = g.statsCols.indexOf(c)
+        if (i >= 0 && i < g.stats.length &&
+            g.stats(i).mins.length == g.files.length)
+          g.stats(i)
+        else unknownStats(g.files.length)
+      }
+      ColStats(per.flatMap(_.mins), per.flatMap(_.maxs), per.flatMap(_.nulls))
+    }
+    // inline arrays may be empty when the inline tail is empty; align
+    // each to the inline file count before concatenation
+    val inlineN = s.files.length
+    def inlineLongs(v: Seq[Long], absent: Long): Seq[Long] =
+      if (v.length == inlineN) v else Seq.fill(inlineN)(absent)
+    val inlineStats: Seq[ColStats] = s.statsCols.indices.map { i =>
+      if (i < s.stats.length && s.stats(i).mins.length == inlineN) s.stats(i)
+      else unknownStats(inlineN)
+    }
+    s.copy(
+      files = gFiles ++ s.files,
+      seqs = gSeqs ++ inlineLongs(s.seqs, 0L),
+      lens = gLens ++ inlineLongs(s.lens, -1L),
+      stats = s.statsCols.indices.map(i =>
+        ColStats(gStats(i).mins ++ inlineStats(i).mins,
+          gStats(i).maxs ++ inlineStats(i).maxs,
+          gStats(i).nulls ++ inlineStats(i).nulls)),
+      groupedCount = gFiles.length)
+  }
+
+  /** Write one immutable group file holding `slice` (already
+    * length-ensured) and return its manifest-relative name. */
+  private def writeGroup(v: Long, slice: FileSet): String = {
+    val ref = f"g$v%020d-${java.util.UUID.randomUUID().toString.take(8)}.json"
+    val statsPart =
+      if (statsCols.isEmpty) ""
+      else {
+        s""","statsCols":[${statsCols.map(c =>
+          s""""${jsonSafe(c, "stats column")}"""").mkString(",")}]""" +
+          slice.stats.zipWithIndex.map { case (cs, i) =>
+            val sfx = if (i == 0) "" else i.toString
+            s""","mins$sfx":[${cs.mins.mkString(",")}]""" +
+              s""","maxs$sfx":[${cs.maxs.mkString(",")}]""" +
+              s""","nulls$sfx":[${cs.nulls.mkString(",")}]"""
+          }.mkString
+      }
+    val body =
+      s"""{"files":[${slice.files.map(f =>
+        s""""${jsonSafe(f, "data file")}"""").mkString(",")}],
+         |"seqs":[${slice.seqs.mkString(",")}],
+         |"lens":[${slice.lens.mkString(",")}]$statsPart}""".stripMargin
+    fs.mkdirs(snapsDir)
+    store.writeExclusive(fs, groupPath(ref), body.getBytes("UTF-8"))
+    ref
+  }
+
+  /** Slice a FileSet's data-file side to index range [from, until). */
+  private def sliceFiles(fls: FileSet, from: Int, until: Int): FileSet = {
+    val idx = from until until
+    FileSet(idx.map(fls.files), sliceStats(fls.stats, idx),
+      idx.map(i => if (i < fls.seqs.length) fls.seqs(i) else 0L),
+      fls.deletes, fls.deleteSeqs, fls.deleteKey,
+      idx.map(alignLens(fls.lens, fls.files.length)), fls.deleteLens)
+  }
+
+  /** Choose the manifest-list encoding for a commit: (group refs,
+    * grouped prefix length, inline slice). An append whose prefix is
+    * byte-identical to the base's grouped prefix (same stats columns)
+    * re-references the base's groups and inlines only the delta; the
+    * inline tail folds into a fresh group past `groupInlineFold`; the
+    * refs merge into ONE group past `groupMergeAt` (bounding the read
+    * fan-out); everything else — rewrites, deletes, overwrites, small
+    * tables — re-encodes, inline when under the fold. Commit metadata
+    * is therefore O(delta) amortized with an O(files) merge every
+    * `groupMergeAt · groupInlineFold` files of churn, and manifests
+    * stay O(refs + fold) bytes regardless of table size. */
+  private def encodeGroups(base: Option[Snapshot], fls: FileSet)
+      : (Seq[String], Int, FileSet) = {
+    val n = fls.files.length
+    val v = base.map(_.version + 1).getOrElse(1L)
+    val reuse = base.filter(b => b.groupedCount > 0 &&
+      b.statsCols == statsCols &&
+      n >= b.groupedCount &&
+      fls.files.take(b.groupedCount) == b.files.take(b.groupedCount))
+    val (refs, gcount) = reuse match {
+      case Some(b) => (b.groupRefs, b.groupedCount)
+      case None => (Seq.empty[String], 0)
+    }
+    if (refs.length >= groupMergeAt)
+      (Seq(writeGroup(v, sliceFiles(fls, 0, n))), n, sliceFiles(fls, n, n))
+    else if (n - gcount >= groupInlineFold) {
+      if (gcount == 0)
+        (Seq(writeGroup(v, sliceFiles(fls, 0, n))), n, sliceFiles(fls, n, n))
+      else
+        (refs :+ writeGroup(v, sliceFiles(fls, gcount, n)), n,
+          sliceFiles(fls, n, n))
+    } else (refs, gcount, sliceFiles(fls, gcount, n))
   }
 
   private def parseManifestText(txt: String): Snapshot = {
@@ -487,7 +671,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       manifestStatsCols, stats,
       dataChange, longArray("seqs"), strArray("deletes"),
       longArray("deleteSeqs"), strArray("deleteKey"), ts, schemaJson,
-      longArray("lens"), longArray("deleteLens"))
+      longArray("lens"), longArray("deleteLens"),
+      groupRefs = strArray("groups"))
   }
 
   private def parseSchema(json: String): StructType =
@@ -799,7 +984,12 @@ class SnapshotTable(spark: SparkSession, root: String,
   private def manifestBody(v: Long, action: String, base: Long, rowCount: Long,
                            fls: FileSet, schemaJson: Option[String],
                            batchId: Long, dataChange: Boolean,
-                           txnApp: String = ""): String = {
+                           txnApp: String = "",
+                           groupRefs: Seq[String] = Seq.empty): String = {
+    val groupsPart =
+      if (groupRefs.isEmpty) ""
+      else s""","groups":[${groupRefs.map(r =>
+        s""""${jsonSafe(r, "group ref")}"""").mkString(",")}]"""
     val statsPart =
       if (statsCols.isEmpty) ""
       else {
@@ -833,7 +1023,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       else s""","txnApp":"${jsonSafe(txnApp, "txn app id")}""""
     s"""{"version":$v,"action":"$action","baseVersion":$base,
        |"ts":${System.currentTimeMillis()},
-       |"rows":$rowCount,"batchId":$batchId$txnPart,"dataChange":$dataChange$schemaPart$statsPart$seqsPart$lensPart$delPart,
+       |"rows":$rowCount,"batchId":$batchId$txnPart,"dataChange":$dataChange$schemaPart$statsPart$seqsPart$lensPart$delPart$groupsPart,
        |"files":[${fls.files.map(f => s""""${jsonSafe(f, "data file")}"""").mkString(",")}]}""".stripMargin
   }
 
@@ -883,8 +1073,10 @@ class SnapshotTable(spark: SparkSession, root: String,
       val base = latestVersion()
       val v = base + 1
       val fls = ensureLens(files(base))
-      val body = manifestBody(v, action, base, rows(base), fls, schemaJson(base),
-        batchId, dataChange, txnApp)
+      val baseSnap = if (base == 0) None else Some(snapshot(base))
+      val (refs, _, inline) = encodeGroups(baseSnap, fls)
+      val body = manifestBody(v, action, base, rows(base), inline, schemaJson(base),
+        batchId, dataChange, txnApp, refs)
       fs.mkdirs(snapsDir)
       try {
         store.writeExclusive(fs, manifestPath(v), body.getBytes("UTF-8"))
@@ -1194,8 +1386,11 @@ class SnapshotTable(spark: SparkSession, root: String,
                             rowCount: Long, schemaJson: Option[String],
                             dataChange: Boolean = true): Option[Long] = {
     val v = base + 1
-    val body = manifestBody(v, action, base, rowCount, ensureLens(fls), schemaJson,
-      batchId = -1L, dataChange = dataChange)
+    val ensured = ensureLens(fls)
+    val baseSnap = if (base == 0) None else Some(snapshot(base))
+    val (refs, _, inline) = encodeGroups(baseSnap, ensured)
+    val body = manifestBody(v, action, base, rowCount, inline, schemaJson,
+      batchId = -1L, dataChange = dataChange, groupRefs = refs)
     fs.mkdirs(snapsDir)
     try {
       store.writeExclusive(fs, manifestPath(v), body.getBytes("UTF-8"))
@@ -2356,6 +2551,18 @@ class SnapshotTable(spark: SparkSession, root: String,
         }
       }
     }
+    // group files (manifest-list pages): keep those referenced by ANY
+    // retained manifest; sweep the rest age-gated (an in-flight commit
+    // writes its groups BEFORE its manifest — a fresh unreferenced
+    // group may belong to a publish racing this vacuum)
+    val liveGroups = (keepFrom to tip).flatMap(v => snapshot(v).groupRefs).toSet
+    val groupCutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    if (fs.exists(snapsDir))
+      fs.listStatus(snapsDir).filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("g") && n.endsWith(".json") && !n.startsWith("h") &&
+          !liveGroups.contains(n) && st.getModificationTime < groupCutoff
+      }.foreach(st => fs.delete(st.getPath, false))
     (1L until keepFrom).foreach(v => fs.delete(manifestPath(v), false))
     // checkpoint chunks wholly below the retention horizon go with
     // their manifests; the boundary chunk stays (it still serves the
