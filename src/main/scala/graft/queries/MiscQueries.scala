@@ -704,6 +704,37 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // IS NULL file pruning off the manifest's null counts: the "find
+    // the rows that never got a key" audit sweep opens only the files
+    // that ever WROTE a null (known-zero null counts prune; unknown
+    // read conservatively). Three clustered commits, one carrying the
+    // nulls — files_planned pins 1 of 3; values replay in DuckDB.
+    "misc_snapshot_null_skipping" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_snapnull").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("k"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      def slice(m: Int, nullify: Boolean) = {
+        val base = o.filter(col("o_orderkey") % 3 === m)
+        val keyed =
+          if (!nullify) base.select(col("o_orderkey").as("k"), col("cents"))
+          else base.select(
+            when(col("o_orderkey") % 7 === 0, lit(null).cast("bigint"))
+              .otherwise(col("o_orderkey")).as("k"), col("cents"))
+        keyed.repartition(1)
+      }
+      t.commitAppend(slice(1, nullify = false))
+      t.commitAppend(slice(2, nullify = true))
+      t.commitAppend(slice(0, nullify = false))
+      val (pruned, planned) =
+        t.readPruned(Map.empty, Set("k"), t.latestVersion())
+      pruned.filter(col("k").isNull)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(t.read().inputFiles.length).as("files_total"),
+          lit(planned.length).as("files_planned"),
+          col("n_rows"), col("total_cents"))
+    }),
+
     // STRING stats bands: the order-preserving 8-byte-prefix key prunes
     // source-clustered document shards on a LIKE-prefix predicate (the
     // "one crawl source went bad, reprocess it" lookup) — lossy keys are
@@ -2697,6 +2728,12 @@ SELECT CAST(v.version AS BIGINT) AS version, v.action,
        CAST(coalesce(sum(b.cents), 0) AS BIGINT) AS total_cents
 FROM v LEFT JOIN base b ON b.day BETWEEN v.lo AND v.hi
 GROUP BY v.version, v.action""",
+
+    "misc_snapshot_null_skipping" -> """
+SELECT CAST(3 AS INTEGER) AS files_total, CAST(1 AS INTEGER) AS files_planned,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders WHERE o_orderkey % 3 = 2 AND o_orderkey % 7 = 0""",
 
     "misc_snapshot_string_prefix" -> """
 SELECT CAST(3 AS INTEGER) AS files_total, CAST(1 AS INTEGER) AS files_planned,

@@ -106,6 +106,12 @@ object SnapshotBatch {
       c -> ((bs.map(_._2._1).max, bs.map(_._2._2).min))
     }
 
+  /** Columns some conjunct requires to BE NULL — a file with a
+    * KNOWN-ZERO null count for such a column holds no matching row
+    * (the complementary pruning lane to the null-rejecting bands). */
+  def nullPruneCols(filters: Seq[Filter]): Set[String] =
+    filters.collect { case IsNull(c) => c }.toSet
+
   /** Like [[bandOf]] but ONLY for predicates whose band is the EXACT
     * truth set over non-null values — every value inside the band
     * matches, every value outside does not. That requires an EXACT
@@ -297,12 +303,14 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
   private var pushedCounts: Seq[(String, Long, org.apache.spark.sql.types.DataType)] =
     Seq.empty
 
-  /** Record the band-derivable filters for file pruning, but hand EVERY
-    * filter back to Spark: the source prunes files, Spark evaluates rows
-    * (partial pushdown, the contract explicitly allows both sides). */
+  /** Record the band-derivable (and IS-NULL) filters for file pruning,
+    * but hand EVERY filter back to Spark: the source prunes files, Spark
+    * evaluates rows (partial pushdown, the contract explicitly allows
+    * both sides). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     hadFilters = filters.nonEmpty
-    pruning = filters.filter(f => SnapshotBatch.bandOf(f).isDefined)
+    pruning = filters.filter(f =>
+      SnapshotBatch.bandOf(f).isDefined || f.isInstanceOf[IsNull])
     filters
   }
   override def pushedFilters(): Array[Filter] = pruning
@@ -407,7 +415,8 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
     if (pushedCounts.nonEmpty)
       new GraftSnapshotCountScan(pushedCounts, version, table.toString)
     else new GraftSnapshotScan(spark, table, version, required,
-      SnapshotBatch.bandsOf(pruning.toSeq), scanOptions)
+      SnapshotBatch.bandsOf(pruning.toSeq), scanOptions,
+      SnapshotBatch.nullPruneCols(pruning.toSeq))
 }
 
 /** One-row scan carrying COMPLETE manifest-served counts/extrema — the
@@ -460,7 +469,8 @@ class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
                         version: Long, required: StructType,
                         bands: Map[String, (Long, Long)],
                         options: CaseInsensitiveStringMap =
-                          CaseInsensitiveStringMap.empty()) extends V1Scan
+                          CaseInsensitiveStringMap.empty(),
+                        nullCols: Set[String] = Set.empty) extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
 
@@ -473,9 +483,10 @@ class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SnapshotMicroBatchStream(spark, table, required, options)
 
-  /** The manifest-planned file list after band pruning — the evidence
-    * the connector spec pins (skipping survives the DSv2 path). */
-  private[graft] def plannedFiles: Seq[String] = table.readPruned(bands, version)._2
+  /** The manifest-planned file list after band + IS-NULL pruning — the
+    * evidence the connector spec pins (skipping survives the DSv2 path). */
+  private[graft] def plannedFiles: Seq[String] =
+    table.readPruned(bands, nullCols, version)._2
 
   /** EXACT row count from the manifest (maintained through every commit
     * path) feeding the planner's broadcast decision — a small snapshot
@@ -515,12 +526,13 @@ class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
     }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
-    new GraftSnapshotRelation(context, spark, table, version, required, bands)
-      .asInstanceOf[T]
+    new GraftSnapshotRelation(context, spark, table, version, required, bands,
+      nullCols).asInstanceOf[T]
 
   override def description(): String =
     s"GraftSnapshotScan v$version bands=${bands.map { case (c, (lo, hi)) =>
-      s"$c:[$lo,$hi]" }.mkString(",")}"
+      s"$c:[$lo,$hi]" }.mkString(",")}" +
+      (if (nullCols.isEmpty) "" else s" isNull=${nullCols.mkString(",")}")
 }
 
 /** The V1 delegate: rows come from the engine's own MOR-aware plan,
@@ -530,13 +542,14 @@ class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
 class GraftSnapshotRelation(context: SQLContext, spark: SparkSession,
                             table: SnapshotTable, version: Long,
                             required: StructType,
-                            bands: Map[String, (Long, Long)])
+                            bands: Map[String, (Long, Long)],
+                            nullCols: Set[String] = Set.empty)
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = context
   override def schema: StructType = required
   override def buildScan(): RDD[Row] = {
     import org.apache.spark.sql.functions.{col, input_file_name, lit}
-    val (df, _) = table.readPruned(bands, version)
+    val (df, _) = table.readPruned(bands, nullCols, version)
     val pruned =
       if (required.isEmpty) df.select() // count-style scans need no columns
       else df.select(required.fieldNames.toIndexedSeq.map {

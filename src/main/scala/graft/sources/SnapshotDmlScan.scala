@@ -57,14 +57,16 @@ class SnapshotDmlScanBuilder(spark: SparkSession, table: SnapshotTable,
   private var pruning: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pruning = filters.filter(f => SnapshotBatch.bandOf(f).isDefined)
+    pruning = filters.filter(f => SnapshotBatch.bandOf(f).isDefined ||
+      f.isInstanceOf[org.apache.spark.sql.sources.IsNull])
     filters // group pruning only — Spark keeps row-level evaluation
   }
   override def pushedFilters(): Array[Filter] = pruning
 
   override def build(): Scan = {
     val (spec, scannedRel, full) =
-      table.dmlSpecPruned(base, SnapshotBatch.bandsOf(pruning.toSeq))
+      table.dmlSpecPruned(base, SnapshotBatch.bandsOf(pruning.toSeq),
+        SnapshotBatch.nullPruneCols(pruning.toSeq))
     onPlanned(scannedRel, full)
     new SnapshotDmlScan(spark, spec, base, root)
   }

@@ -1361,16 +1361,30 @@ class SnapshotTable(spark: SparkSession, root: String,
     * null-rejecting predicates because a file's [min,max] band covers
     * every non-null value it holds. */
   private[graft] def readPruned(bands: Map[String, (Long, Long)],
-                                version: Long = -1L): (DataFrame, Seq[String]) = {
+                                version: Long = -1L): (DataFrame, Seq[String]) =
+    readPruned(bands, Set.empty, version)
+
+  /** [[readPruned]] plus IS-NULL pruning: `nullCols` are columns some
+    * conjunct requires to BE NULL — a file whose recorded null count
+    * for that column is KNOWN-ZERO can hold no matching row and prunes
+    * (unknown counts read conservatively). The `WHERE c IS NULL` audit
+    * sweep on a 100 TB table opens only the files that ever wrote a
+    * NULL. */
+  private[graft] def readPruned(bands: Map[String, (Long, Long)],
+                                nullCols: Set[String],
+                                version: Long): (DataFrame, Seq[String]) = {
     val v = if (version < 0) latestVersion() else version
     require(v > 0, s"no committed snapshot to read at $root")
     val snap = snapshot(v)
     val setAll = fileSetOf(snap)
     val active = bands.filter { case (c, _) => statsCols.contains(c) }
+    val activeNull = nullCols.filter(statsCols.contains)
     val keep = setAll.files.indices.filter { i =>
       active.forall { case (c, (lo, hi)) =>
         val cs = setAll.stats(statsCols.indexOf(c))
         cs.maxs(i) >= lo && cs.mins(i) <= hi
+      } && activeNull.forall { c =>
+        setAll.stats(statsCols.indexOf(c)).nulls(i) != 0L
       }
     }
     if (keep.isEmpty) (read(v).limit(0), Seq.empty)
@@ -2019,14 +2033,22 @@ class SnapshotTable(spark: SparkSession, root: String,
     * files with unknown/absent stats always overlap and are never
     * pruned. */
   private[graft] def dmlSpecPruned(version: Long, bands: Map[String, (Long, Long)])
+      : (SnapshotDmlSpec, Seq[String], Boolean) =
+    dmlSpecPruned(version, bands, Set.empty)
+
+  private[graft] def dmlSpecPruned(version: Long, bands: Map[String, (Long, Long)],
+                                   nullCols: Set[String])
       : (SnapshotDmlSpec, Seq[String], Boolean) = {
     val s = snapshot(version)
     val fl = fileSetOf(s)
     val active = bands.filter { case (c, _) => statsCols.contains(c) }
+    val activeNull = nullCols.filter(statsCols.contains)
     val keep = fl.files.indices.filter { i =>
       active.forall { case (c, (lo, hi)) =>
         val cs = fl.stats(statsCols.indexOf(c))
         cs.maxs(i) >= lo && cs.mins(i) <= hi
+      } && activeNull.forall { c =>
+        fl.stats(statsCols.indexOf(c)).nulls(i) != 0L
       }
     }
     def abs(rel: String) = new Path(dataDir, rel)
