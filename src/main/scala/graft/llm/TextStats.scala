@@ -268,6 +268,42 @@ object TextStats {
       .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
   }
 
+  /** Apply learned BPE merges corpus-wide — the tokenizer's ENCODE half:
+    * [[bpeTrain]] learns the merge table (vocabulary-sized loop), this
+    * applies it to every document as PURE column expressions (per word:
+    * SEP-encode, then one boundary-safe replace per merge, in learned
+    * order — the same greedy semantics the trainer used), so encoding
+    * scales with the scan inside whole-stage codegen: no UDF, no
+    * shuffle, the merge table rides the plan as literals. Output per
+    * (lang): docs, whitespace words, BPE tokens, and fertility
+    * (tokens per word — the tokenizer-quality metric), with the exact
+    * integer-over-integer division discipline. */
+  def bpeEncode(docs: DataFrame, rounds: Int): DataFrame = {
+    val Sep = "\u0001"
+    val merges = bpeTrain(docs, rounds)
+      .select("left_sym", "right_sym").collect() // `rounds` rows — bounded
+      .map(r => (r.getString(0), r.getString(1)))
+    val encodeWord = (w: Column) =>
+      merges.foldLeft(regexp_replace(w, "(.)", Sep + "$1")) {
+        case (acc, (l, r)) => replace(acc, lit(Sep + l + Sep + r), lit(Sep + l + r))
+      }
+    val ws = filter(words(col("text")), w => length(w) > 0)
+    val tokensPerWord = transform(ws, w =>
+      size(split(encodeWord(w), Sep)) - 1)
+    docs
+      .select(col("lang"),
+        size(ws).cast(LongType).as("n_words"),
+        aggregate(tokensPerWord, lit(0L), (a, t) => a + t.cast(LongType))
+          .as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("lang"), col("n_docs"), col("total_words"), col("total_tokens"),
+        (col("total_tokens").cast(DoubleType) /
+          col("total_words").cast(DoubleType)).as("fertility"))
+  }
+
   /** Unigram language-model surprisal per document — the KenLM-style
     * perplexity proxy of the quality-filtering literature (CCNet,
     * Gopher/MassiveText rules) reduced to the model a SQL engine can fit

@@ -549,6 +549,14 @@ object LlmQueries {
     "llm_bpe_train" -> ((s, d) =>
       TextStats.bpeTrain(Tables.documents(s, d), rounds = 6)),
 
+    // The tokenizer's ENCODE half: the 6 learned merges applied
+    // corpus-wide as pure column expressions (per word: SEP-encode +
+    // one boundary-safe replace per merge, in learned order) — no UDF,
+    // no shuffle beyond the final per-lang aggregate; fertility
+    // (tokens/word) is the tokenizer-quality metric per language.
+    "llm_bpe_encode" -> ((s, d) =>
+      TextStats.bpeEncode(Tables.documents(s, d), rounds = 6)),
+
     // Efraimidis–Spirakis weighted sample: top-100 by ln(u)/w with
     // md5-deterministic u and token-count weights — longer docs
     // proportionally likelier, the draw fully reproducible.
@@ -1512,12 +1520,12 @@ btf AS (SELECT doc_id, dl,
                CAST(sum(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS tf_stream
         FROM (SELECT doc_id, dl, unnest(w) AS term FROM bw) GROUP BY doc_id, dl)"""
 
-  /** Unrolled DuckDB replay of [[TextStats.bpeTrain]]: s0 = SEP-prefixed
-    * symbol strings over the word-frequency table; each round k counts
-    * adjacent pairs (pK), picks the winner with the identical tiebreak
-    * (wK), and applies the merge with the identical boundary-safe
-    * replace (sK). The union of the wK rows IS the merge table. */
-  private def bpeTrainOracle(rounds: Int): String = {
+  /** The shared CTE chain replaying [[TextStats.bpeTrain]]'s merge
+    * rounds: s0 = SEP-prefixed symbol strings over the word-frequency
+    * table; each round k counts adjacent pairs (pK), picks the winner
+    * with the identical tiebreak (wK), and applies the merge with the
+    * identical boundary-safe replace (sK). */
+  private def bpeCtes(rounds: Int): String = {
     val body = (1 to rounds).map { k =>
       s"""p$k AS (
   SELECT a[i] AS l, a[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
@@ -1530,16 +1538,46 @@ w$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
 s$k AS (SELECT replace(s, chr(1) || w.l || chr(1) || w.r, chr(1) || w.l || w.r) AS s, freq
         FROM s${k - 1}, w$k w)"""
     }.mkString(",\n")
-    val sel = (1 to rounds).map(k =>
-      s"SELECT CAST($k AS INTEGER) AS round, l AS left_sym, r AS right_sym, " +
-        s"l || r AS merged, cnt AS pair_count FROM w$k").mkString("\nUNION ALL\n")
     s"""WITH wf AS (
   SELECT word, count(*) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
   WHERE len(word) > 0 GROUP BY word),
 s0 AS (SELECT regexp_replace(word, '(.)', chr(1) || '\\1', 'g') AS s, freq FROM wf),
-$body
-$sel"""
+$body"""
+  }
+
+  /** The merge TABLE (the union of the wK winner rows). */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val sel = (1 to rounds).map(k =>
+      s"SELECT CAST($k AS INTEGER) AS round, l AS left_sym, r AS right_sym, " +
+        s"l || r AS merged, cnt AS pair_count FROM w$k").mkString("\nUNION ALL\n")
+    s"${bpeCtes(rounds)}\n$sel"
+  }
+
+  /** ENCODE replay: every document's words run through the same
+    * SEP-encode + in-order merge replaces (the winner CTEs cross-joined
+    * in so the lambda can reference them), then per-lang token totals
+    * and fertility — bit-identical to [[TextStats.bpeEncode]]. */
+  private def bpeEncodeOracle(rounds: Int): String = {
+    val enc = (1 to rounds).foldLeft(
+      "regexp_replace(w, '(.)', chr(1) || '\\1', 'g')") { (acc, k) =>
+      s"replace($acc, chr(1) || w$k.l || chr(1) || w$k.r, chr(1) || w$k.l || w$k.r)"
+    }
+    val winners = (1 to rounds).map(k => s"w$k").mkString(", ")
+    s"""${bpeCtes(rounds)},
+per_doc AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+           AS n_words,
+         CAST(coalesce(list_sum(list_transform(
+           list_filter(string_split(text, ' '), w -> w <> ''),
+           w -> len(string_split($enc, chr(1))) - 1)), 0) AS BIGINT) AS n_tokens
+  FROM documents, $winners)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_tokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE) AS fertility
+FROM per_doc GROUP BY lang"""
   }
 
   val oracle: Map[String, String] = Map(
@@ -2385,6 +2423,8 @@ FROM per p JOIN lt l ON l.source = p.source""",
     // encoding, same count-desc/pair-asc tiebreak, same left-to-right
     // replace) — generated by bpeTrainOracle below
     "llm_bpe_train" -> bpeTrainOracle(6),
+
+    "llm_bpe_encode" -> bpeEncodeOracle(6),
 
     "llm_bpe_pairs" -> """
 WITH wf AS (
