@@ -176,6 +176,53 @@ class ManifestGroupsSpec extends SparkSpec {
     assert(t.read().count() == 6L)
   }
 
+  test("differential: a grouped table and an inline twin agree at every version under mixed ops") {
+    // the same deterministic op sequence against two tables that differ
+    // ONLY in encoding thresholds — any divergence in any version's
+    // contents is an encoding bug by construction
+    val rootG = freshRoot("diffg")
+    val rootI = freshRoot("diffi")
+    val g = new SnapshotTable(spark, rootG, statsCols = Seq("id"),
+      groupInlineFold = 2, groupMergeAt = 3)
+    val i = new SnapshotTable(spark, rootI, statsCols = Seq("id"),
+      groupInlineFold = 1000000, groupMergeAt = 1000000)
+    val rnd = new scala.util.Random(17)
+    var nextId = 0L
+    def batch(n: Int) = {
+      val ids = (nextId until nextId + n); nextId += n
+      ids.map(_.toLong).toDF("id").repartition(1)
+    }
+    (1 to 14).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 | 1 | 2 => // appends dominate (the grouped fast path)
+          val b = batch(3)
+          g.commitAppend(b); i.commitAppend(b)
+        case 3 if nextId > 4 => // MOR delete of an existing id
+          val k = rnd.nextLong(nextId)
+          g.commitDeleteByKey(Seq(k).toDF("id"), Seq("id"))
+          i.commitDeleteByKey(Seq(k).toDF("id"), Seq("id"))
+        case 4 if step % 7 == 0 => // occasional compaction
+          g.compact(100L); i.compact(100L)
+        case _ =>
+          val b = batch(2)
+          g.commitAppend(b); i.commitAppend(b)
+      }
+      assert(g.latestVersion() == i.latestVersion(), s"step $step: version drift")
+    }
+    val tip = g.latestVersion()
+    assert(g.snapshot(tip).groupRefs.nonEmpty, "the grouped side must actually group")
+    (1L to tip).foreach { v =>
+      val gv = g.read(v).as[Long].collect().sorted.toSeq
+      val iv = i.read(v).as[Long].collect().sorted.toSeq
+      assert(gv == iv, s"v$v: grouped=$gv inline=$iv")
+      assert(g.snapshot(v).rows == i.snapshot(v).rows, s"v$v row counts")
+    }
+    // pruning agrees too
+    val bandsG = g.readPruned(Map("id" -> (5L, 9L)), tip)._1.as[Long].collect().toSet
+    val bandsI = i.readPruned(Map("id" -> (5L, 9L)), tip)._1.as[Long].collect().toSet
+    assert(bandsG == bandsI)
+  }
+
   test("total manifest bytes stay near-linear: the tip never re-lists the whole table") {
     val root = freshRoot("meta")
     val t = new SnapshotTable(spark, root, statsCols = Seq("id"),
