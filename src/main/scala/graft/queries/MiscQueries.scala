@@ -748,7 +748,8 @@ object MiscQueries {
         .repartition(1))
       t.commitAppend(docs.filter(col("source") >= "src5").repartition(1))
       val bands = graft.sources.SnapshotBatch.bandsOf(Seq(
-        org.apache.spark.sql.sources.StringStartsWith("source", "src3")))
+        org.apache.spark.sql.sources.StringStartsWith("source", "src3")),
+        t.tableBandsV)
       val (pruned, planned) = t.readPruned(bands, t.latestVersion())
       pruned.filter(col("source").startsWith("src3"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))

@@ -18,9 +18,7 @@ package graft.sources
   *  - DATE: days since epoch — exact (the daily-reload pruning case:
   *    the reference's models are date-keyed, `fb_meta_ads_transformed
   *    .sql:6`, `mms_lb_staged.sql:1`);
-  *  - TIMESTAMP: floor epoch SECONDS (Spark's own ts→long cast) —
-  *    lossy below one second, monotonic (floor preserves ≤), so range
-  *    pruning is sound and sub-second neighbors simply share a band;
+  *  - TIMESTAMP: versioned — see below;
   *  - STRING: the first 8 UTF-8 bytes as an order-preserving signed
   *    long (big-endian unsigned, sign bit flipped — the Iceberg
   *    truncate(8) idea in one word). Monotonic because unsigned
@@ -29,8 +27,28 @@ package graft.sources
   *    their prefix's key. The empty string keys to the unknown-MIN
   *    sentinel and an 8×0xFF prefix to unknown-MAX: such files simply
   *    read as stats-unknown — never pruned, conservatively correct.
+  *
+  * BAND-SEMANTICS VERSIONING (`bandsV`): band keys are PERSISTED in
+  * manifests, so their meaning is part of the table format and can only
+  * change behind a version marker. A table's bandsV is fixed by its
+  * FIRST manifest and inherited by every later commit (mixing key
+  * semantics inside one manifest's carried-forward stats would make
+  * pruning silently wrong); manifests without the marker read as v1.
+  *
+  *  - v1 (legacy): TIMESTAMP keys are floor epoch SECONDS — monotonic
+  *    but lossy (sub-second neighbors share a band): pruning-only.
+  *  - v2 (current): TIMESTAMP keys are epoch MICROSECONDS — Spark's own
+  *    physical representation, injective and order-preserving over the
+  *    full supported range (±292k years fits a long), so timestamp
+  *    bands are EXACT: metadata-only deletes, replaceWhere containment
+  *    and manifest-served MIN/MAX all work on timestamp-keyed tables —
+  *    the shape a 100 TB ingest table actually has (it is
+  *    timestamp-clustered before it is date-clustered).
   */
 object BandKeys {
+
+  /** Current band-semantics version for NEW tables. */
+  val CurrentBandsV = 2
 
   /** Order-preserving key of a UTF-8 byte sequence's first 8 bytes. */
   def stringKey(bytes: Array[Byte]): Long = {
@@ -59,11 +77,26 @@ object BandKeys {
     raw ^ Long.MinValue
   }
 
-  /** A filter literal / collected aggregate value as (band key, exact).
-    * None = the type has no band mapping (derive nothing, prune
-    * nothing — sound). Handles both the legacy java.sql and the
-    * java8 datetime literal families Spark hands to V1 filters. */
-  def valueKey(v: Any): Option[(Long, Boolean)] = v match {
+  /** Timestamp key under `bandsV`: v2 = epoch micros (exact — the same
+    * long Spark's InternalRow already stores), v1 = floor epoch seconds
+    * (lossy; kept for tables whose manifests were written that way). */
+  def timestampKey(micros: Long, bandsV: Int): Long =
+    if (bandsV >= 2) micros else Math.floorDiv(micros, 1000000L)
+
+  private def microsOf(t: java.sql.Timestamp): Long =
+    Math.addExact(Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L),
+      (t.getNanos / 1000).toLong)
+
+  private def microsOf(t: java.time.Instant): Long =
+    Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),
+      (t.getNano / 1000).toLong)
+
+  /** A filter literal / collected aggregate value as (band key, exact)
+    * under the table's band-semantics version. None = the type has no
+    * band mapping (derive nothing, prune nothing — sound). Handles both
+    * the legacy java.sql and the java8 datetime literal families Spark
+    * hands to V1 filters. */
+  def valueKey(v: Any, bandsV: Int): Option[(Long, Boolean)] = v match {
     case i: Int => Some((i.toLong, true))
     case l: Long => Some((l, true))
     case s: Short => Some((s.toLong, true))
@@ -71,11 +104,63 @@ object BandKeys {
     case b: Boolean => Some((if (b) 1L else 0L, true))
     case d: java.sql.Date => Some((d.toLocalDate.toEpochDay, true))
     case d: java.time.LocalDate => Some((d.toEpochDay, true))
-    case t: java.sql.Timestamp => Some((Math.floorDiv(t.getTime, 1000L), false))
-    case t: java.time.Instant => Some((Math.floorDiv(t.toEpochMilli, 1000L), false))
+    case t: java.sql.Timestamp =>
+      Some((timestampKey(microsOf(t), bandsV), bandsV >= 2))
+    case t: java.time.Instant =>
+      Some((timestampKey(microsOf(t), bandsV), bandsV >= 2))
     case s: String => Some((stringKey(s), false))
     case u: org.apache.spark.unsafe.types.UTF8String =>
       Some((stringKey(u.getBytes), false))
     case _ => None
   }
+}
+
+/** TYPED per-file bounds for stats columns whose LONG band key is lossy
+  * (today: STRING — the 8-byte-prefix key prunes but cannot answer
+  * `min(col)`/`max(col)`). The manifest records the file's actual
+  * min/max VALUE, base64-encoded (JSON-safe by construction), capped at
+  * [[MaxBytes]] UTF-8 bytes: a longer extremum records [[Absent]] and
+  * the consumer declines to a real scan — bounded metadata, exact
+  * serving for the short identifier/category strings real tables key
+  * on. This is Iceberg's lower/upper_bounds idea with full (not
+  * truncated) values under a size gate, because a truncated bound can
+  * prune but never BE the answer. Bytewise-unsigned comparison matches
+  * both UTF8String's ordering and the engines' binary collation, so
+  * min-of-mins / max-of-maxs over files IS the column extremum. */
+object TypedBounds {
+  /** Marker for "no typed bound recorded" — not valid base64, cannot
+    * collide with any encoded value (including the empty string, which
+    * encodes to ""). */
+  val Absent = "!"
+  val MaxBytes = 64
+
+  def encode(bytes: Array[Byte]): String =
+    if (bytes.length > MaxBytes) Absent
+    else java.util.Base64.getEncoder.encodeToString(bytes)
+
+  def encode(s: String): String = encode(s.getBytes("UTF-8"))
+
+  def decode(t: String): Option[Array[Byte]] =
+    if (t == Absent) None
+    else scala.util.Try(java.util.Base64.getDecoder.decode(t)).toOption
+
+  /** Unsigned bytewise compare — UTF8String.compareTo's ordering. */
+  def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  def minOf(a: String, b: String): String =
+    if (a == Absent || b == Absent) Absent
+    else if (compareBytes(decode(a).get, decode(b).get) <= 0) a else b
+
+  def maxOf(a: String, b: String): String =
+    if (a == Absent || b == Absent) Absent
+    else if (compareBytes(decode(a).get, decode(b).get) >= 0) a else b
 }

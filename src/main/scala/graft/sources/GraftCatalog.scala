@@ -173,7 +173,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // nothing, so feeds and streams start cleanly from it
     t.commitWrittenOverwrite(Seq(s"$uuid/${msg.file}"),
       statsCols.indices.map(c =>
-        ColStats(Seq(msg.mins(c)), Seq(msg.maxs(c)), Seq(msg.nulls(c)))),
+        ColStats(Seq(msg.mins(c)), Seq(msg.maxs(c)), Seq(msg.nulls(c)),
+          Seq(msg.tminsOr(statsCols.length)(c)), Seq(msg.tmaxsOr(statsCols.length)(c)))),
       0L, schema, dataChange = false)
     // persist user TBLPROPERTIES (config sidecar) — minus the keys Spark
     // injects and stats_cols, which lives in the manifests themselves

@@ -53,22 +53,23 @@ object SnapshotBatch {
     scala.util.Try(s.toLong).getOrElse(java.sql.Timestamp.valueOf(s).getTime)
 
   /** Null-rejecting band for one source filter, if derivable through
-    * the [[BandKeys]] typed mapping (integral/boolean/DATE exact,
-    * TIMESTAMP/STRING lossy-monotonic). Only these prune: a file's
-    * [min,max] band covers every NON-null value's key, and these
-    * predicates reject NULL rows, so a file with no band overlap can
-    * hold no matching row. For LOSSY keys the strict comparisons keep
-    * the boundary key (floor-second / 8-byte-prefix neighbors share a
-    * key, so `>` must include it); EXACT keys tighten by ±1 as before.
-    * IsNull/doubles etc. derive nothing and prune nothing (sound:
-    * unpruned = read). */
-  def bandOf(f: Filter): Option[(String, (Long, Long))] =
-    typedBand(f, requireExact = false)
+    * the [[BandKeys]] typed mapping under the table's band-semantics
+    * version (integral/boolean/DATE exact; TIMESTAMP exact at bandsV≥2,
+    * lossy floor-seconds at v1; STRING lossy-monotonic). Only these
+    * prune: a file's [min,max] band covers every NON-null value's key,
+    * and these predicates reject NULL rows, so a file with no band
+    * overlap can hold no matching row. For LOSSY keys the strict
+    * comparisons keep the boundary key (floor-second / 8-byte-prefix
+    * neighbors share a key, so `>` must include it); EXACT keys tighten
+    * by ±1 as before. IsNull/doubles etc. derive nothing and prune
+    * nothing (sound: unpruned = read). */
+  def bandOf(f: Filter, bandsV: Int): Option[(String, (Long, Long))] =
+    typedBand(f, requireExact = false, bandsV)
 
-  private def typedBand(f: Filter, requireExact: Boolean)
+  private def typedBand(f: Filter, requireExact: Boolean, bandsV: Int)
       : Option[(String, (Long, Long))] = {
     def key(v: Any): Option[(Long, Boolean)] =
-      Option(v).flatMap(BandKeys.valueKey)
+      Option(v).flatMap(BandKeys.valueKey(_, bandsV))
         .filter { case (_, exact) => exact || !requireExact }
     f match {
       case EqualTo(c, v) => key(v).map { case (x, _) => c -> (x, x) }
@@ -91,8 +92,8 @@ object SnapshotBatch {
         key(v).map { case (x, _) => c -> (Long.MinValue, x) }
       // hull / prefix bands are PRUNING-only (never exact truth sets)
       case In(c, vs) if !requireExact && vs.nonEmpty &&
-          vs.forall(v => Option(v).exists(BandKeys.valueKey(_).isDefined)) =>
-        val xs = vs.toSeq.flatMap(v => BandKeys.valueKey(v).map(_._1))
+          vs.forall(v => Option(v).exists(BandKeys.valueKey(_, bandsV).isDefined)) =>
+        val xs = vs.toSeq.flatMap(v => BandKeys.valueKey(v, bandsV).map(_._1))
         Some(c -> (xs.min, xs.max))
       case StringStartsWith(c, p) if !requireExact && p.nonEmpty =>
         Some(c -> (BandKeys.stringKey(p), BandKeys.stringPrefixHi(p)))
@@ -101,8 +102,8 @@ object SnapshotBatch {
   }
 
   /** Intersect all derivable bands per column (tightest box wins). */
-  def bandsOf(filters: Seq[Filter]): Map[String, (Long, Long)] =
-    filters.flatMap(bandOf).groupBy(_._1).map { case (c, bs) =>
+  def bandsOf(filters: Seq[Filter], bandsV: Int): Map[String, (Long, Long)] =
+    filters.flatMap(bandOf(_, bandsV)).groupBy(_._1).map { case (c, bs) =>
       c -> ((bs.map(_._2._1).max, bs.map(_._2._2).min))
     }
 
@@ -115,21 +116,23 @@ object SnapshotBatch {
   /** Like [[bandOf]] but ONLY for predicates whose band is the EXACT
     * truth set over non-null values — every value inside the band
     * matches, every value outside does not. That requires an EXACT
-    * (injective, order-preserving) band key — integral/boolean/DATE;
-    * lossy keys (TIMESTAMP floor-seconds, STRING prefix) are sound for
-    * file PRUNING but two distinct values can share a key, so a band
-    * can never prove "fully-inside ⇒ every row matches" (metadata
-    * deletes, overwrite-by-filter ranges). `In`/`StartsWith` are
-    * excluded for the same reason: their bands are HULLs (`IN (100,
-    * 200)` → [100, 200] contains 150, which does NOT match). */
-  def contiguousBandOf(f: Filter): Option[(String, (Long, Long))] =
-    typedBand(f, requireExact = true)
+    * (injective, order-preserving) band key — integral/boolean/DATE,
+    * plus TIMESTAMP at bandsV≥2 (epoch-micros); lossy keys (v1
+    * TIMESTAMP floor-seconds, STRING prefix) are sound for file
+    * PRUNING but two distinct values can share a key, so a band can
+    * never prove "fully-inside ⇒ every row matches" (metadata deletes,
+    * overwrite-by-filter ranges). `In`/`StartsWith` are excluded for
+    * the same reason: their bands are HULLs (`IN (100, 200)` →
+    * [100, 200] contains 150, which does NOT match). */
+  def contiguousBandOf(f: Filter, bandsV: Int): Option[(String, (Long, Long))] =
+    typedBand(f, requireExact = true, bandsV)
 
   /** Intersection of [[contiguousBandOf]] bands — defined only when
     * EVERY filter is contiguous-band-derivable (a single underivable
     * conjunct makes the truth set unknowable). */
-  def contiguousBandsOf(filters: Seq[Filter]): Option[Map[String, (Long, Long)]] = {
-    val per = filters.map(contiguousBandOf)
+  def contiguousBandsOf(filters: Seq[Filter], bandsV: Int)
+      : Option[Map[String, (Long, Long)]] = {
+    val per = filters.map(contiguousBandOf(_, bandsV))
     if (filters.isEmpty || per.exists(_.isEmpty)) None
     else Some(per.flatten.groupBy(_._1).map { case (c, bs) =>
       c -> ((bs.map(_._2._1).max, bs.map(_._2._2).min))
@@ -250,38 +253,49 @@ class GraftSnapshotBatchTable(spark: SparkSession, root: String,
     * back to the pruned row-level paths. The partition-drop shape
     * (`DELETE WHERE day BETWEEN …` on a clustered table) at 100 TB is
     * a metadata edit. */
-  override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    SnapshotBatch.contiguousBandsOf(filters.toSeq) match {
-      case Some(bands) =>
-        val t = pinned.map(_._1)
-          .getOrElse(new SnapshotTable(spark, root, statsColsForWrite))
-        t.canDeleteByBands(bands)
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val t = pinned.map(_._1)
+      .getOrElse(new SnapshotTable(spark, root, statsColsForWrite))
+    SnapshotBatch.contiguousBandsOf(filters.toSeq, t.tableBandsV) match {
+      case Some(bands) => t.canDeleteByBands(bands)
       case None => false
     }
+  }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    val bands = SnapshotBatch.contiguousBandsOf(filters.toSeq).getOrElse(
-      sys.error(s"deleteWhere without canDeleteWhere: ${filters.mkString(", ")}"))
-    new SnapshotTable(spark, root, statsColsForWrite).commitDeleteByBands(bands)
+    val t = new SnapshotTable(spark, root, statsColsForWrite)
+    val bands = SnapshotBatch.contiguousBandsOf(filters.toSeq, t.tableBandsV)
+      .getOrElse(
+        sys.error(s"deleteWhere without canDeleteWhere: ${filters.mkString(", ")}"))
+    t.commitDeleteByBands(bands)
     ()
   }
 
   /** SQL TRUNCATE TABLE: an empty overwrite version — history (and time
-    * travel to it) stays intact, exactly like every other commit. */
+    * travel to it) stays intact, exactly like every other commit. The
+    * schema-bearing empty file is written under PHYSICAL column names
+    * (column-mapped tables' data files always carry physical names —
+    * zero rows today, but a footer-inferring reader must never see a
+    * logical name in a data file); the commit records the LOGICAL
+    * schema as every write path does. */
   override def truncateTable(): Boolean = {
     val statsCols = statsColsForWrite
     val table = new SnapshotTable(spark, root, statsCols)
+    val mapping = table.tipLogicalToPhysical
     val uuid = java.util.UUID.randomUUID().toString
     val conf = spark.sessionState.conf
     val w = new SnapshotParquetWriter(
       new org.apache.hadoop.fs.Path(root, "data").toString, uuid,
-      "part-00000-truncate.parquet", tableSchema, statsCols,
+      "part-00000-truncate.parquet",
+      ColumnMapping.renameFields(tableSchema, mapping),
+      statsCols.map(c => mapping.getOrElse(c, c)),
       conf.writeLegacyParquetFormat.toString, conf.parquetOutputTimestampType.toString,
-      spark.sparkContext.hadoopConfiguration)
+      spark.sparkContext.hadoopConfiguration, bandsV = table.tableBandsV)
     val msg = w.commit().asInstanceOf[SnapshotWriteMessage]
     table.commitWrittenOverwrite(Seq(s"$uuid/${msg.file}"),
       statsCols.indices.map(c =>
-        ColStats(Seq(msg.mins(c)), Seq(msg.maxs(c)), Seq(msg.nulls(c)))),
+        ColStats(Seq(msg.mins(c)), Seq(msg.maxs(c)), Seq(msg.nulls(c)),
+          Seq(msg.tminsOr(statsCols.length)(c)), Seq(msg.tmaxsOr(statsCols.length)(c)))),
       0L, tableSchema)
     true
   }
@@ -300,8 +314,14 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
   private var required: StructType = fullSchema
   private var pruning: Array[Filter] = Array.empty
   private var hadFilters = false
-  private var pushedCounts: Seq[(String, Long, org.apache.spark.sql.types.DataType)] =
+  private var pushedCounts: Seq[(String, Any, org.apache.spark.sql.types.DataType)] =
     Seq.empty
+
+  /** The read snapshot's band-semantics version — what every band this
+    * scan derives from filter literals must be keyed under. */
+  private val bandsV: Int =
+    try table.snapshot(version).bandsV
+    catch { case scala.util.control.NonFatal(_) => 1 }
 
   /** Record the band-derivable (and IS-NULL) filters for file pruning,
     * but hand EVERY filter back to Spark: the source prunes files, Spark
@@ -310,7 +330,7 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     hadFilters = filters.nonEmpty
     pruning = filters.filter(f =>
-      SnapshotBatch.bandOf(f).isDefined || f.isInstanceOf[IsNull])
+      SnapshotBatch.bandOf(f, bandsV).isDefined || f.isInstanceOf[IsNull])
     filters
   }
   override def pushedFilters(): Array[Filter] = pruning
@@ -321,18 +341,21 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
     * and DML, every commit path maintains it); `count(col)` on a stats
     * column is rows − Σ per-file null counts; `min(col)`/`max(col)` on
     * an EXACT-band-key stats column (BIGINT/INT/SMALLINT/TINYINT/DATE/
-    * BOOLEAN — [[BandKeys]]' injective, order-preserving keys) folds
-    * the per-file bands: exact write-time values, so min-of-mins/
-    * max-of-maxs IS the answer — `SELECT max(event_date)` on a 100 TB
-    * table reads one manifest. Every lane declines to a normal scan
-    * when it cannot be exact: any MOR delete (a removed row may hold
-    * the extremum / change the count), any unknown sentinel (an
-    * all-NULL or pre-stats file), a LOSSY band key (TIMESTAMP floors
-    * to seconds, STRING truncates to an 8-byte prefix — the band bound
-    * is not the value), grouping, filters, distinct, or any other
-    * function. */
+    * BOOLEAN — [[BandKeys]]' injective, order-preserving keys — plus
+    * TIMESTAMP on bandsV≥2 tables, whose key IS the stored micros
+    * long) folds the per-file bands: exact write-time values, so
+    * min-of-mins/max-of-maxs IS the answer — `SELECT max(ingest_ts)`
+    * on a 100 TB table reads one manifest. `min`/`max` on a STRING
+    * stats column folds the TYPED per-file bounds ([[TypedBounds]])
+    * the same way — every non-empty file must carry one (a >64-byte
+    * extremum records Absent and the lane declines). Every lane
+    * declines to a normal scan when it cannot be exact: any MOR delete
+    * (a removed row may hold the extremum / change the count), any
+    * unknown sentinel (an all-NULL or pre-stats file), a LOSSY band
+    * key (v1 TIMESTAMP floor-seconds), grouping, filters, distinct,
+    * or any other function. */
   private def manifestCounts(agg: Aggregation)
-      : Option[Seq[(String, Long, org.apache.spark.sql.types.DataType)]] = {
+      : Option[Seq[(String, Any, org.apache.spark.sql.types.DataType)]] = {
     import org.apache.spark.sql.types._
     if (agg.groupByExpressions.nonEmpty || hadFilters) return None
     val snap = try table.snapshot(version) catch {
@@ -352,11 +375,13 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
       }
     }
     // the column's type when its band key is EXACT (key == value for
-    // integrals/boolean; DATE's key is its physical days-since-epoch)
+    // integrals/boolean; DATE's key is its physical days-since-epoch;
+    // TIMESTAMP's key is its physical micros — but only under bandsV≥2)
     def exactType(name: String): Option[DataType] =
       fullSchema.fields.find(_.name == name).map(_.dataType).filter {
         case LongType | IntegerType | ShortType | ByteType | DateType |
              BooleanType => true
+        case TimestampType => snap.bandsV >= 2
         case _ => false
       }
     def statsBand(name: String): Option[(Long, Long)] = {
@@ -375,24 +400,54 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
         }
       }
     }
+    // STRING extremum from the typed per-file bounds: every file must be
+    // provably EMPTY (inverted long band — it holds no rows) or carry a
+    // typed bound; fold bytewise (UTF8String's own ordering).
+    def isString(name: String): Boolean =
+      fullSchema.fields.find(_.name == name).exists(_.dataType == StringType)
+    def typedBand(name: String): Option[(String, String)] = {
+      if (snap.deletes.nonEmpty) return None
+      val aligned = snap.statsCols.indexOf(name)
+      if (aligned < 0) return None
+      val cs = snap.stats(aligned)
+      val n = snap.files.length
+      if (cs.mins.length != n || cs.tmins.length != n || cs.tmaxs.length != n)
+        return None
+      val live = snap.files.indices.filter(i => cs.mins(i) <= cs.maxs(i))
+      // an all-NULL file has no extremum to contribute but also no typed
+      // bound: its long band is the unknown sentinel pair, which reads
+      // as live here — its Absent typed bound correctly declines below
+      if (live.isEmpty) return None // all-empty table: min/max is NULL — scan
+      if (live.exists(i => cs.tmins(i) == TypedBounds.Absent ||
+          cs.tmaxs(i) == TypedBounds.Absent)) None
+      else Some((
+        live.map(cs.tmins).reduce(TypedBounds.minOf),
+        live.map(cs.tmaxs).reduce(TypedBounds.maxOf)))
+    }
     def singleCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
           Some(nr.fieldNames.head)
         case _ => None
       }
-    val resolved: Seq[Option[(String, Long, DataType)]] =
+    def extremum(name: String, isMin: Boolean): Option[(String, Any, DataType)] = {
+      val label = s"${if (isMin) "min" else "max"}($name)"
+      if (isString(name))
+        typedBand(name).map { case (lo, hi) =>
+          val b64 = if (isMin) lo else hi
+          (label, new String(TypedBounds.decode(b64).get, "UTF-8"), StringType)
+        }
+      else exactType(name).flatMap(dt => statsBand(name).map(b =>
+        (label, if (isMin) b._1 else b._2, dt)))
+    }
+    val resolved: Seq[Option[(String, Any, DataType)]] =
       agg.aggregateExpressions.toSeq.map {
         case _: CountStar => Some(("count(*)", snap.rows, LongType))
         case c: Count if !c.isDistinct =>
           singleCol(c.column).flatMap(n =>
             statsNulls(n).map(nulls => (s"count($n)", snap.rows - nulls, LongType)))
-        case m: Min =>
-          singleCol(m.column).flatMap(n => exactType(n).flatMap(dt =>
-            statsBand(n).map(b => (s"min($n)", b._1, dt))))
-        case m: Max =>
-          singleCol(m.column).flatMap(n => exactType(n).flatMap(dt =>
-            statsBand(n).map(b => (s"max($n)", b._2, dt))))
+        case m: Min => singleCol(m.column).flatMap(extremum(_, isMin = true))
+        case m: Max => singleCol(m.column).flatMap(extremum(_, isMin = false))
         case _ => None
       }
     if (resolved.contains(None)) None else Some(resolved.flatten)
@@ -415,7 +470,7 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
     if (pushedCounts.nonEmpty)
       new GraftSnapshotCountScan(pushedCounts, version, table.toString)
     else new GraftSnapshotScan(spark, table, version, required,
-      SnapshotBatch.bandsOf(pruning.toSeq), scanOptions,
+      SnapshotBatch.bandsOf(pruning.toSeq, bandsV), scanOptions,
       SnapshotBatch.nullPruneCols(pruning.toSeq))
 }
 
@@ -425,8 +480,10 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
   * max(event_date)` in one manifest parse. Each value is a band key
   * converted back to the column's physical representation (exact keys
   * only, gated by the builder): INT/SMALLINT/TINYINT narrow losslessly,
-  * DATE's physical form IS its days key, BOOLEAN is the 0/1 key. */
-class GraftSnapshotCountScan(counts: Seq[(String, Long, org.apache.spark.sql.types.DataType)],
+  * DATE's physical form IS its days key, BOOLEAN is the 0/1 key,
+  * TIMESTAMP's physical form IS its micros key (bandsV≥2 tables only),
+  * STRING extrema arrive as the decoded typed bound. */
+class GraftSnapshotCountScan(counts: Seq[(String, Any, org.apache.spark.sql.types.DataType)],
                              version: Long, tableDesc: String)
     extends Scan with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
@@ -436,13 +493,15 @@ class GraftSnapshotCountScan(counts: Seq[(String, Long, org.apache.spark.sql.typ
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
   override def description(): String =
     s"GraftSnapshotCountScan v$version PushedAggregates=[${counts.map(_._1).mkString(", ")}]"
-  private def physical(v: Long, dt: DataType): Any = dt match {
-    case LongType => v
-    case IntegerType | DateType => v.toInt // DATE is days-since-epoch int
-    case ShortType => v.toShort
-    case ByteType => v.toByte
-    case BooleanType => v != 0L
-    case other => sys.error(s"manifest-served aggregate over non-exact type $other")
+  private def physical(value: Any, dt: DataType): Any = (value, dt) match {
+    case (s: String, StringType) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case (v: Long, LongType | TimestampType) => v // TIMESTAMP stores micros
+    case (v: Long, IntegerType | DateType) => v.toInt // DATE is days-since-epoch int
+    case (v: Long, ShortType) => v.toShort
+    case (v: Long, ByteType) => v.toByte
+    case (v: Long, BooleanType) => v != 0L
+    case (_, other) => sys.error(s"manifest-served aggregate over non-exact type $other")
   }
   override def planInputPartitions(): Array[InputPartition] =
     Array(SnapshotCountPartition(counts.map { case (_, v, dt) =>

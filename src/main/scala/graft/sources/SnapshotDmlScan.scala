@@ -56,8 +56,14 @@ class SnapshotDmlScanBuilder(spark: SparkSession, table: SnapshotTable,
 
   private var pruning: Array[Filter] = Array.empty
 
+  /** The pinned base version's band-semantics version — the DML scan's
+    * filter-literal bands must be keyed the way its manifests are. */
+  private val bandsV: Int =
+    try table.snapshot(base).bandsV
+    catch { case scala.util.control.NonFatal(_) => 1 }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pruning = filters.filter(f => SnapshotBatch.bandOf(f).isDefined ||
+    pruning = filters.filter(f => SnapshotBatch.bandOf(f, bandsV).isDefined ||
       f.isInstanceOf[org.apache.spark.sql.sources.IsNull])
     filters // group pruning only — Spark keeps row-level evaluation
   }
@@ -65,7 +71,7 @@ class SnapshotDmlScanBuilder(spark: SparkSession, table: SnapshotTable,
 
   override def build(): Scan = {
     val (spec, scannedRel, full) =
-      table.dmlSpecPruned(base, SnapshotBatch.bandsOf(pruning.toSeq),
+      table.dmlSpecPruned(base, SnapshotBatch.bandsOf(pruning.toSeq, bandsV),
         SnapshotBatch.nullPruneCols(pruning.toSeq))
     onPlanned(scannedRel, full)
     new SnapshotDmlScan(spark, spec, base, root)

@@ -101,12 +101,13 @@ class SnapshotStreamingWrite(spark: SparkSession, root: String,
       : StreamingDataWriterFactory = {
     val conf = spark.sessionState.conf
     // column-mapped tables: streamed epochs write PHYSICAL names too
-    val mapping = new SnapshotTable(spark, root).tipLogicalToPhysical
+    val h = new SnapshotTable(spark, root)
+    val mapping = h.tipLogicalToPhysical
     SnapshotStreamingWriterFactory(dataDir.toString, commitUuid,
       ColumnMapping.renameFields(schema, mapping).json,
       statsCols.map(c => mapping.getOrElse(c, c)),
       conf.writeLegacyParquetFormat.toString,
-      conf.parquetOutputTimestampType.toString)
+      conf.parquetOutputTimestampType.toString, h.tableBandsV)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -118,7 +119,9 @@ class SnapshotStreamingWrite(spark: SparkSession, root: String,
     val files = nonEmpty.map(m => s"$commitUuid/${m.file}")
     val stats: Seq[ColStats] = statsCols.indices.map { c =>
       ColStats(nonEmpty.map(_.mins(c)), nonEmpty.map(_.maxs(c)),
-        nonEmpty.map(_.nulls(c)))
+        nonEmpty.map(_.nulls(c)),
+        nonEmpty.map(_.tminsOr(statsCols.length)(c)),
+        nonEmpty.map(_.tmaxsOr(statsCols.length)(c)))
     }
     val rows = nonEmpty.map(_.rows).sum
     val replay: Boolean =
@@ -133,11 +136,14 @@ class SnapshotStreamingWrite(spark: SparkSession, root: String,
               f"epoch-$epochId%020d-empty.parquet", schema, statsCols,
               conf.writeLegacyParquetFormat.toString,
               conf.parquetOutputTimestampType.toString,
-              spark.sparkContext.hadoopConfiguration)
+              spark.sparkContext.hadoopConfiguration,
+              bandsV = table.tableBandsV)
             val m = w.commit().asInstanceOf[SnapshotWriteMessage]
             (Seq(s"$commitUuid/${m.file}"),
               statsCols.indices.map(c =>
-                ColStats(Seq(m.mins(c)), Seq(m.maxs(c)), Seq(m.nulls(c)))),
+                ColStats(Seq(m.mins(c)), Seq(m.maxs(c)), Seq(m.nulls(c)),
+                  Seq(m.tminsOr(statsCols.length)(c)),
+                  Seq(m.tmaxsOr(statsCols.length)(c)))),
               0L)
           }
         table.commitWrittenOverwriteOnce(queryId, epochId,
@@ -170,7 +176,8 @@ class SnapshotStreamingWrite(spark: SparkSession, root: String,
   * a long-lived run's files collision-free across its commits. */
 case class SnapshotStreamingWriterFactory(dataDir: String, commitUuid: String,
                                           schemaJson: String, statsCols: Seq[String],
-                                          legacyFormat: String, timestampType: String)
+                                          legacyFormat: String, timestampType: String,
+                                          bandsV: Int = BandKeys.CurrentBandsV)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
@@ -178,5 +185,5 @@ case class SnapshotStreamingWriterFactory(dataDir: String, commitUuid: String,
       f"epoch-$epochId%020d-part-$partitionId%05d-$taskId.parquet",
       org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType],
       statsCols, legacyFormat, timestampType,
-      new org.apache.hadoop.conf.Configuration())
+      new org.apache.hadoop.conf.Configuration(), bandsV = bandsV)
 }

@@ -13,8 +13,16 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * through the rewrite instead of dropping them whole). An INVERTED band
   * (min > max, i.e. [Long.MaxValue, Long.MinValue]) marks a known-EMPTY
   * file: no range overlaps it, so every band consumer prunes it —
-  * sound, it holds no row any predicate could match. */
-case class ColStats(mins: Seq[Long], maxs: Seq[Long], nulls: Seq[Long])
+  * sound, it holds no row any predicate could match.
+  *
+  * `tmins`/`tmaxs` are the TYPED per-file bounds ([[TypedBounds]]):
+  * base64-encoded actual min/max values for columns whose long key is
+  * lossy (STRING), [[TypedBounds.Absent]] where not recorded. A vector
+  * misaligned with `files` reads as all-absent — never positionally
+  * reinterpreted. */
+case class ColStats(mins: Seq[Long], maxs: Seq[Long], nulls: Seq[Long],
+                    tmins: Seq[String] = Seq.empty,
+                    tmaxs: Seq[String] = Seq.empty)
 
 /** A snapshot descriptor parsed back from a published manifest.
   * `batchId` is -1 for plain commits; streaming appends record their
@@ -76,7 +84,13 @@ case class Snapshot(version: Long, action: String, baseVersion: Long,
                     // lists; these two fields only tell the next commit
                     // which prefix it can re-reference instead of re-list
                     groupRefs: Seq[String] = Seq.empty,
-                    groupedCount: Int = 0)
+                    groupedCount: Int = 0,
+                    // band-semantics version of every stats band this
+                    // manifest carries (see [[BandKeys]]): fixed by the
+                    // table's FIRST manifest, inherited forever after —
+                    // absent (legacy) reads as 1 (TIMESTAMP keys are
+                    // floor-seconds, pruning-only)
+                    bandsV: Int = 1)
 
 /** Minimal snapshot-versioned table format: immutable parquet data files
   * plus a linear chain of JSON manifests, one per committed version —
@@ -217,16 +231,29 @@ class SnapshotTable(spark: SparkSession, root: String,
   private val UnknownNulls = -1L
 
   private def unknownStats(n: Int): ColStats =
-    ColStats(Seq.fill(n)(UnknownMin), Seq.fill(n)(UnknownMax), Seq.fill(n)(UnknownNulls))
+    ColStats(Seq.fill(n)(UnknownMin), Seq.fill(n)(UnknownMax), Seq.fill(n)(UnknownNulls),
+      Seq.fill(n)(TypedBounds.Absent), Seq.fill(n)(TypedBounds.Absent))
 
   private def emptyStats: Seq[ColStats] = statsCols.map(_ => unknownStats(0))
 
+  /** Typed-bounds vector aligned to an `n`-file list; misaligned/absent
+    * reads as all-absent (same discipline as [[alignLens]]). */
+  private def alignTyped(t: Seq[String], n: Int): Seq[String] =
+    if (t.length == n) t else Seq.fill(n)(TypedBounds.Absent)
+
   private def sliceStats(st: Seq[ColStats], idx: Seq[Int]): Seq[ColStats] =
-    st.map(cs => ColStats(idx.map(cs.mins), idx.map(cs.maxs), idx.map(cs.nulls)))
+    st.map { cs =>
+      val n = cs.mins.length
+      val (tm, tx) = (alignTyped(cs.tmins, n), alignTyped(cs.tmaxs, n))
+      ColStats(idx.map(cs.mins), idx.map(cs.maxs), idx.map(cs.nulls),
+        idx.map(tm), idx.map(tx))
+    }
 
   private def concatStats(a: Seq[ColStats], b: Seq[ColStats]): Seq[ColStats] =
     a.zip(b).map { case (x, y) =>
-      ColStats(x.mins ++ y.mins, x.maxs ++ y.maxs, x.nulls ++ y.nulls) }
+      ColStats(x.mins ++ y.mins, x.maxs ++ y.maxs, x.nulls ++ y.nulls,
+        alignTyped(x.tmins, x.mins.length) ++ alignTyped(y.tmins, y.mins.length),
+        alignTyped(x.tmaxs, x.mins.length) ++ alignTyped(y.tmaxs, y.mins.length)) }
 
   /** Align a manifest's stats to THIS table's statsCols by column name.
     * A legacy manifest (pre-statsCols) carries ONE unnamed stats block —
@@ -248,7 +275,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     def aligned(cs: ColStats): ColStats =
       if (cs.mins.length == n && cs.maxs.length == n)
         ColStats(cs.mins, cs.maxs,
-          if (cs.nulls.length == n) cs.nulls else Seq.fill(n)(UnknownNulls))
+          if (cs.nulls.length == n) cs.nulls else Seq.fill(n)(UnknownNulls),
+          alignTyped(cs.tmins, n), alignTyped(cs.tmaxs, n))
       else unknownStats(n)
     val manifestCols =
       if (s.statsCols.nonEmpty) s.statsCols
@@ -503,7 +531,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     val cols = strArray("statsCols")
     val stats = cols.indices.map { i =>
       val sfx = if (i == 0) "" else i.toString
-      ColStats(longArray(s"mins$sfx"), longArray(s"maxs$sfx"), longArray(s"nulls$sfx"))
+      ColStats(longArray(s"mins$sfx"), longArray(s"maxs$sfx"), longArray(s"nulls$sfx"),
+        typedArray(txt, s"tmins$sfx"), typedArray(txt, s"tmaxs$sfx"))
     }
     GroupData(files, longArray("seqs"), longArray("lens"), cols, stats)
   }
@@ -531,7 +560,9 @@ class SnapshotTable(spark: SparkSession, root: String,
           g.stats(i)
         else unknownStats(g.files.length)
       }
-      ColStats(per.flatMap(_.mins), per.flatMap(_.maxs), per.flatMap(_.nulls))
+      ColStats(per.flatMap(_.mins), per.flatMap(_.maxs), per.flatMap(_.nulls),
+        per.flatMap(cs => alignTyped(cs.tmins, cs.mins.length)),
+        per.flatMap(cs => alignTyped(cs.tmaxs, cs.mins.length)))
     }
     // inline arrays may be empty when the inline tail is empty; align
     // each to the inline file count before concatenation
@@ -549,7 +580,11 @@ class SnapshotTable(spark: SparkSession, root: String,
       stats = s.statsCols.indices.map(i =>
         ColStats(gStats(i).mins ++ inlineStats(i).mins,
           gStats(i).maxs ++ inlineStats(i).maxs,
-          gStats(i).nulls ++ inlineStats(i).nulls)),
+          gStats(i).nulls ++ inlineStats(i).nulls,
+          alignTyped(gStats(i).tmins, gStats(i).mins.length) ++
+            alignTyped(inlineStats(i).tmins, inlineStats(i).mins.length),
+          alignTyped(gStats(i).tmaxs, gStats(i).mins.length) ++
+            alignTyped(inlineStats(i).tmaxs, inlineStats(i).mins.length))),
       groupedCount = gFiles.length)
   }
 
@@ -566,7 +601,8 @@ class SnapshotTable(spark: SparkSession, root: String,
             val sfx = if (i == 0) "" else i.toString
             s""","mins$sfx":[${cs.mins.mkString(",")}]""" +
               s""","maxs$sfx":[${cs.maxs.mkString(",")}]""" +
-              s""","nulls$sfx":[${cs.nulls.mkString(",")}]"""
+              s""","nulls$sfx":[${cs.nulls.mkString(",")}]""" +
+              typedBoundsPart(cs, sfx)
           }.mkString
       }
     val body =
@@ -656,7 +692,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       if (manifestStatsCols.nonEmpty)
         manifestStatsCols.indices.map { i =>
           val sfx = if (i == 0) "" else i.toString
-          ColStats(longArray(s"mins$sfx"), longArray(s"maxs$sfx"), longArray(s"nulls$sfx"))
+          ColStats(longArray(s"mins$sfx"), longArray(s"maxs$sfx"), longArray(s"nulls$sfx"),
+            typedArray(txt, s"tmins$sfx"), typedArray(txt, s"tmaxs$sfx"))
         }
       else {
         // pre-statsCols manifests: a single unnamed stats block
@@ -666,13 +703,15 @@ class SnapshotTable(spark: SparkSession, root: String,
       }
     val schemaJson = strFieldOpt("schemaB64").map(b64 =>
       new String(java.util.Base64.getDecoder.decode(b64), "UTF-8"))
+    val bandsV = """"bandsV"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(1)
     Snapshot(longField("version"), strField("action"), longField("baseVersion"),
       longField("rows"), files, batchId, strFieldOpt("txnApp").getOrElse(""),
       manifestStatsCols, stats,
       dataChange, longArray("seqs"), strArray("deletes"),
       longArray("deleteSeqs"), strArray("deleteKey"), ts, schemaJson,
       longArray("lens"), longArray("deleteLens"),
-      groupRefs = strArray("groups"))
+      groupRefs = strArray("groups"), bandsV = bandsV)
   }
 
   private def parseSchema(json: String): StructType =
@@ -734,13 +773,21 @@ class SnapshotTable(spark: SparkSession, root: String,
         }
         val added = b.fields.filterNot(f => t.fieldNames.contains(f.name))
         if (added.nonEmpty) {
-          // one small props read, only when the schema actually grows —
-          // a DROP leaves no mapping, so the tombstone set is the only
-          // record that the name's files still exist
-          val dead = ColumnMapping.parseTombstones(tableProperties)
-          added.foreach(f => require(!dead.contains(f.name),
-            s"column name '${f.name}' at $root was retired by a RENAME/DROP " +
-              "(old data files still carry it) — use ALTER TABLE ADD COLUMN, " +
+          // one small props read, only when the schema actually grows.
+          // The name must collide with NO physical name already in use:
+          // tombstones (a DROP leaves no mapping — the tombstone set is
+          // the only record that the name's files still exist) AND the
+          // live fields' physical names (a batch column named like a
+          // renamed-away field's physical name, or like an ADD COLUMN's
+          // version-stamped '__vN' name, would make two logical fields
+          // share one physical column — physicalSchema() would carry
+          // duplicate names and reads would misbind)
+          val physTaken = ColumnMapping.parseTombstones(tableProperties) ++
+            t.fields.map(ColumnMapping.physicalName)
+          added.foreach(f => require(!physTaken.contains(f.name),
+            s"column name '${f.name}' at $root collides with a physical " +
+              "column name in use (retired by RENAME/DROP, or another " +
+              "field's physical name) — use ALTER TABLE ADD COLUMN, " +
               "which assigns a fresh physical name"))
         }
         StructType(merged ++ added)
@@ -935,8 +982,16 @@ class SnapshotTable(spark: SparkSession, root: String,
         val aggExprs = presentCols.flatMap(c => Seq(
           min(col(c)), max(col(c)),
           sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L)))))
+        val bv = tableBandsV
         def keyOr(v: Any, unknown: Long): Long =
-          Option(v).flatMap(BandKeys.valueKey(_).map(_._1)).getOrElse(unknown)
+          Option(v).flatMap(BandKeys.valueKey(_, bv).map(_._1)).getOrElse(unknown)
+        // typed bounds ride the same collected min/max: for STRING stats
+        // columns the aggregate value IS the extremum — encode it
+        // (size-gated) so the manifest can SERVE min/max, not just prune
+        def typedOr(v: Any): String = v match {
+          case s: String => TypedBounds.encode(s)
+          case _ => TypedBounds.Absent
+        }
         val byFile = written
           .groupBy(input_file_name().as("__f"))
           .agg(aggExprs.head, aggExprs.tail: _*)
@@ -945,19 +1000,22 @@ class SnapshotTable(spark: SparkSession, root: String,
             val per = presentCols.zipWithIndex.map { case (c, i) =>
               c -> ((keyOr(r.get(1 + 3 * i), UnknownMin),
                      keyOr(r.get(2 + 3 * i), UnknownMax),
-                     Option(r.get(3 + 3 * i)).fold(UnknownNulls)(_.asInstanceOf[Long])))
+                     Option(r.get(3 + 3 * i)).fold(UnknownNulls)(_.asInstanceOf[Long]),
+                     typedOr(r.get(1 + 3 * i)), typedOr(r.get(2 + 3 * i))))
             }.toMap
             r.getString(0) -> per
           }.toMap
-        def statsFor(rel: String, c: String): (Long, Long, Long) =
+        def statsFor(rel: String, c: String): (Long, Long, Long, String, String) =
           byFile.collectFirst {
             case (uri, per) if uri.endsWith(rel.split('/').last) => per(c)
-          }.getOrElse((UnknownMin, UnknownMax, UnknownNulls))
+          }.getOrElse((UnknownMin, UnknownMax, UnknownNulls,
+            TypedBounds.Absent, TypedBounds.Absent))
         statsCols.map { c =>
           if (!presentCols.contains(c)) unknownStats(parts.length)
           else {
             val trip = parts.map(p => statsFor(p, c))
-            ColStats(trip.map(_._1), trip.map(_._2), trip.map(_._3))
+            ColStats(trip.map(_._1), trip.map(_._2), trip.map(_._3),
+              trip.map(_._4), trip.map(_._5))
           }
         }
       }
@@ -974,6 +1032,31 @@ class SnapshotTable(spark: SparkSession, root: String,
     case _ => fs.exists(manifestPath(v)) // someone's manifest landed: a race
   }
 
+  /** Typed-bounds arrays for one stats column's manifest/group block —
+    * emitted only when some file actually records a bound (base64 is
+    * JSON-safe by construction; an all-Absent column costs zero bytes,
+    * so non-string tables' manifests are unchanged). */
+  private def typedBoundsPart(cs: ColStats, sfx: String): String = {
+    val n = cs.mins.length
+    val (tm, tx) = (alignTyped(cs.tmins, n), alignTyped(cs.tmaxs, n))
+    if (tm.forall(_ == TypedBounds.Absent) && tx.forall(_ == TypedBounds.Absent)) ""
+    else s""","tmins$sfx":[${tm.map(t => s""""$t"""").mkString(",")}]""" +
+      s""","tmaxs$sfx":[${tx.map(t => s""""$t"""").mkString(",")}]"""
+  }
+
+  /** Parse one typed-bounds array, preserving EMPTY entries (base64 of
+    * the empty string is "") — the plain strArray filters them out,
+    * which would misalign the vector. */
+  private def typedArray(txt: String, k: String): Seq[String] =
+    s""""$k"\\s*:\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(txt)
+      .map { m =>
+        val body = m.group(1).trim
+        if (body.isEmpty) Seq.empty[String]
+        else body.split(",", -1).toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      }
+      .getOrElse(Seq.empty)
+
   private def jsonSafe(name: String, kind: String): String = {
     require(!name.exists(ch => ch == '"' || ch == '\\' || ch == '\n' || ch == '\r'),
       s"$kind '$name' contains JSON-breaking characters " +
@@ -985,7 +1068,8 @@ class SnapshotTable(spark: SparkSession, root: String,
                            fls: FileSet, schemaJson: Option[String],
                            batchId: Long, dataChange: Boolean,
                            txnApp: String = "",
-                           groupRefs: Seq[String] = Seq.empty): String = {
+                           groupRefs: Seq[String] = Seq.empty,
+                           bandsV: Int = BandKeys.CurrentBandsV): String = {
     val groupsPart =
       if (groupRefs.isEmpty) ""
       else s""","groups":[${groupRefs.map(r =>
@@ -999,7 +1083,8 @@ class SnapshotTable(spark: SparkSession, root: String,
           val sfx = if (i == 0) "" else i.toString
           s""","mins$sfx":[${cs.mins.mkString(",")}]""" +
             s""","maxs$sfx":[${cs.maxs.mkString(",")}]""" +
-            s""","nulls$sfx":[${cs.nulls.mkString(",")}]"""
+            s""","nulls$sfx":[${cs.nulls.mkString(",")}]""" +
+            typedBoundsPart(cs, sfx)
         }.mkString
       }
     val schemaPart = schemaJson.fold("")(j =>
@@ -1022,7 +1107,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       if (txnApp.isEmpty) ""
       else s""","txnApp":"${jsonSafe(txnApp, "txn app id")}""""
     s"""{"version":$v,"action":"$action","baseVersion":$base,
-       |"ts":${System.currentTimeMillis()},
+       |"ts":${System.currentTimeMillis()},"bandsV":$bandsV,
        |"rows":$rowCount,"batchId":$batchId$txnPart,"dataChange":$dataChange$schemaPart$statsPart$seqsPart$lensPart$delPart$groupsPart,
        |"files":[${fls.files.map(f => s""""${jsonSafe(f, "data file")}"""").mkString(",")}]}""".stripMargin
   }
@@ -1061,6 +1146,32 @@ class SnapshotTable(spark: SparkSession, root: String,
     * Non-collision failures propagate immediately; a give-up after 50
     * genuine collisions carries the last one as its cause. Returns the
     * committed version. */
+  /** This table's band-semantics version (see [[BandKeys]]): fixed by
+    * the first manifest, [[BandKeys.CurrentBandsV]] for a table about to
+    * be created. Every stats producer (writeDataFiles, the DSv2 writer
+    * factories, bandKeyCol) and consumer (filter bands, metadata
+    * deletes, manifest MIN/MAX) keys off this one value. */
+  private[graft] def tableBandsV: Int = {
+    val tip = latestVersion()
+    if (tip == 0) BandKeys.CurrentBandsV else snapshot(tip).bandsV
+  }
+
+  private def inheritedBandsV(baseSnap: Option[Snapshot]): Int =
+    baseSnap.map(_.bandsV).getOrElse(BandKeys.CurrentBandsV)
+
+  /** Drop the group files an ATTEMPT wrote that its (collided, never
+    * published) manifest alone referenced — without this, every lost
+    * publish race strands an orphan group file that only an explicit
+    * vacuum would ever reclaim. Groups reused from the base are shared
+    * with live manifests and must survive. */
+  private def dropAttemptGroups(refs: Seq[String], baseSnap: Option[Snapshot]): Unit = {
+    val shared = baseSnap.map(_.groupRefs.toSet).getOrElse(Set.empty)
+    refs.filterNot(shared.contains).foreach { ref =>
+      try fs.delete(groupPath(ref), false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   private def publish(action: String, files: Long => FileSet,
                       rows: Long => Long,
                       schemaJson: Long => Option[String],
@@ -1076,7 +1187,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       val baseSnap = if (base == 0) None else Some(snapshot(base))
       val (refs, _, inline) = encodeGroups(baseSnap, fls)
       val body = manifestBody(v, action, base, rows(base), inline, schemaJson(base),
-        batchId, dataChange, txnApp, refs)
+        batchId, dataChange, txnApp, refs, inheritedBandsV(baseSnap))
       fs.mkdirs(snapsDir)
       try {
         store.writeExclusive(fs, manifestPath(v), body.getBytes("UTF-8"))
@@ -1085,6 +1196,7 @@ class SnapshotTable(spark: SparkSession, root: String,
         return v
       } catch {
         case e: java.io.IOException if isCollision(v, e) =>
+          dropAttemptGroups(refs, baseSnap)
           last = e; attempts += 1 // lost the race; re-read tip
       }
     }
@@ -1306,18 +1418,23 @@ class SnapshotTable(spark: SparkSession, root: String,
   /** The [[BandKeys]] mapping as a NATIVE Column over `df`'s `column` —
     * the residual row filter of band-scoped reads/rewrites evaluates the
     * same key the manifests record, for every banded type: integral/
-    * boolean/timestamp are Spark's own long cast (timestamp floors to
-    * epoch seconds, exactly [[BandKeys.valueKey]]); DATE is days since
-    * epoch; STRING is the order-preserving 8-byte-prefix key, built from
-    * codegen'd built-ins (encode → rpad-truncate to 8 bytes → hex →
-    * conv base-16 → unsigned-to-signed shift). Stays inside whole-stage
-    * codegen — no UDF anywhere in a row-level rewrite's hot path. */
+    * boolean are Spark's own long cast; TIMESTAMP follows the table's
+    * band-semantics version (v2 = `unix_micros`, exact; v1 legacy =
+    * the floor-seconds long cast — exactly [[BandKeys.valueKey]]); DATE
+    * is days since epoch; STRING is the order-preserving 8-byte-prefix
+    * key, built from codegen'd built-ins (encode → rpad-truncate to 8
+    * bytes → hex → conv base-16 → unsigned-to-signed shift). Stays
+    * inside whole-stage codegen — no UDF anywhere in a row-level
+    * rewrite's hot path. */
   private[graft] def bandKeyCol(df: DataFrame, column: String)
       : org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, expr, unix_date}
+    import org.apache.spark.sql.functions.{col, expr, unix_date, unix_micros}
     df.schema.fields.find(_.name == column).map(_.dataType) match {
       case Some(org.apache.spark.sql.types.DateType) =>
         unix_date(col(column)).cast("long")
+      case Some(org.apache.spark.sql.types.TimestampType) =>
+        if (tableBandsV >= 2) unix_micros(col(column))
+        else col(column).cast("long")
       case Some(org.apache.spark.sql.types.StringType) =>
         expr(s"CAST(CAST(conv(hex(rpad(encode(`$column`, 'UTF-8'), 8, X'00')), " +
           "16, 10) AS DECIMAL(20,0)) - 9223372036854775808 AS BIGINT)")
@@ -1404,14 +1521,19 @@ class SnapshotTable(spark: SparkSession, root: String,
     val baseSnap = if (base == 0) None else Some(snapshot(base))
     val (refs, _, inline) = encodeGroups(baseSnap, ensured)
     val body = manifestBody(v, action, base, rowCount, inline, schemaJson,
-      batchId = -1L, dataChange = dataChange, groupRefs = refs)
+      batchId = -1L, dataChange = dataChange, groupRefs = refs,
+      bandsV = inheritedBandsV(baseSnap))
     fs.mkdirs(snapsDir)
     try {
       store.writeExclusive(fs, manifestPath(v), body.getBytes("UTF-8"))
       writeTipHint(v)
       maybeCheckpoint(v)
       Some(v)
-    } catch { case e: java.io.IOException if isCollision(v, e) => None }
+    } catch {
+      case e: java.io.IOException if isCollision(v, e) =>
+        dropAttemptGroups(refs, baseSnap)
+        None
+    }
   }
 
   /** Read-modify-write commit with snapshot-isolation validation: derive
@@ -2102,7 +2224,19 @@ class SnapshotTable(spark: SparkSession, root: String,
         val fresh = StructField(column, dataType, nullable = true)
         val field =
           if (!physTaken.contains(column)) fresh
-          else ColumnMapping.withPhysical(fresh, s"${column}__v${base + 1}")
+          else {
+            // the generated fresh physical name must itself be unclaimed
+            // (a previous ADD at the same base, or a perverse batch
+            // column, may already own '<col>__vN'): bump the suffix
+            // until free — finite, physTaken is finite
+            var cand = s"${column}__v${base + 1}"
+            var bump = 0
+            while (physTaken.contains(cand)) {
+              bump += 1
+              cand = s"${column}__v${base + 1}_$bump"
+            }
+            ColumnMapping.withPhysical(fresh, cand)
+          }
         Some(normalizeSchema(StructType(cur.fields :+ field)).json)
       },
       dataChange = false)

@@ -69,10 +69,19 @@ object SnapshotWrite {
 }
 
 /** One committed data file + its inline-folded stats, aligned with the
-  * factory's statsCols. */
+  * factory's statsCols. `tmins`/`tmaxs` are the typed STRING bounds
+  * ([[TypedBounds]]; Absent for non-string/over-cap/unknown). */
 case class SnapshotWriteMessage(file: String, rows: Long,
                                 mins: Array[Long], maxs: Array[Long],
-                                nulls: Array[Long]) extends WriterCommitMessage
+                                nulls: Array[Long],
+                                tmins: Array[String] = Array.empty,
+                                tmaxs: Array[String] = Array.empty)
+    extends WriterCommitMessage {
+  def tminsOr(n: Int): Seq[String] =
+    if (tmins.length == n) tmins.toSeq else Seq.fill(n)(TypedBounds.Absent)
+  def tmaxsOr(n: Int): Seq[String] =
+    if (tmaxs.length == n) tmaxs.toSeq else Seq.fill(n)(TypedBounds.Absent)
+}
 
 /** How a finished distributed write publishes its manifest. */
 sealed trait SnapshotCommitMode
@@ -125,7 +134,8 @@ class GraftSnapshotWriteBuilder(spark: SparkSession, root: String,
     // silently delete the rows between the members
     val nontrivial = filters.toSeq.filterNot(
       _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
-    val bands = SnapshotBatch.contiguousBandsOf(nontrivial).getOrElse(Map.empty)
+    val bands = SnapshotBatch.contiguousBandsOf(nontrivial,
+      new SnapshotTable(spark, root).tableBandsV).getOrElse(Map.empty)
     require(bands.size == 1,
       s"graft-snapshot overwrite-by-filter supports contiguous " +
         s"range/equality predicates on exactly ONE stats column " +
@@ -203,8 +213,12 @@ class GraftSnapshotBatchWrite(spark: SparkSession, root: String,
   // field names; the commit below still records the LOGICAL schema.
   // Captured once at write creation — the mapping is immutable per
   // column, so a concurrent rename cannot change what these names mean.
-  private val mapping: Map[String, String] =
-    new SnapshotTable(spark, root).tipLogicalToPhysical
+  // The band-semantics version is likewise immutable (fixed by the
+  // table's first manifest), so capturing it here keeps every executor
+  // fold consistent with the manifest the driver will publish.
+  private val handle = new SnapshotTable(spark, root)
+  private val mapping: Map[String, String] = handle.tipLogicalToPhysical
+  private val bandsV: Int = handle.tableBandsV
   private val physSchema = ColumnMapping.renameFields(schema, mapping)
   private val physStatsCols = statsCols.map(c => mapping.getOrElse(c, c))
 
@@ -214,7 +228,7 @@ class GraftSnapshotBatchWrite(spark: SparkSession, root: String,
     val conf = spark.sessionState.conf
     SnapshotWriterFactory(dataDir.toString, commitUuid, physSchema.json, physStatsCols,
       conf.writeLegacyParquetFormat.toString, conf.parquetOutputTimestampType.toString,
-      opColumn)
+      opColumn, bandsV)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -244,7 +258,9 @@ class GraftSnapshotBatchWrite(spark: SparkSession, root: String,
       }
     val files = ensured.map(m => s"$commitUuid/${m.file}")
     val stats: Seq[ColStats] = statsCols.indices.map { c =>
-      ColStats(ensured.map(_.mins(c)), ensured.map(_.maxs(c)), ensured.map(_.nulls(c)))
+      ColStats(ensured.map(_.mins(c)), ensured.map(_.maxs(c)), ensured.map(_.nulls(c)),
+        ensured.map(_.tminsOr(statsCols.length)(c)),
+        ensured.map(_.tmaxsOr(statsCols.length)(c)))
     }
     val rows = ensured.map(_.rows).sum
     val table = new SnapshotTable(spark, root, statsCols)
@@ -490,7 +506,8 @@ class SnapshotDeltaDeleteBatchWrite(spark: SparkSession, root: String,
     val conf = spark.sessionState.conf
     SnapshotDeltaWriterFactory(dataDir.toString, commitUuid, keySchema.json,
       keyCols, conf.writeLegacyParquetFormat.toString,
-      conf.parquetOutputTimestampType.toString)
+      conf.parquetOutputTimestampType.toString,
+      new SnapshotTable(spark, root).tableBandsV)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -533,13 +550,14 @@ class SnapshotDeltaDeleteBatchWrite(spark: SparkSession, root: String,
   * overlaps the deleted-key range ([[SnapshotWrite.foldedKeyBand]]). */
 case class SnapshotDeltaWriterFactory(dataDir: String, commitUuid: String,
                                       keySchemaJson: String, keyCols: Seq[String],
-                                      legacyFormat: String, timestampType: String)
+                                      legacyFormat: String, timestampType: String,
+                                      bandsV: Int = BandKeys.CurrentBandsV)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
     val inner = new SnapshotParquetWriter(dataDir, commitUuid,
       f"delete-$partitionId%05d-$taskId.parquet",
       DataType.fromJson(keySchemaJson).asInstanceOf[StructType], keyCols,
-      legacyFormat, timestampType, new Configuration())
+      legacyFormat, timestampType, new Configuration(), bandsV = bandsV)
     new DeltaWriter[InternalRow] {
       override def delete(meta: InternalRow, id: InternalRow): Unit =
         inner.write(id)
@@ -646,13 +664,14 @@ class SnapshotDeltaRowBatchWrite(spark: SparkSession, root: String,
     // column-mapped tables: data files carry PHYSICAL names (keys are
     // unrenameable by DDL guard, so the key schema needs no mapping);
     // the commit records the LOGICAL rowSchema
-    val mapping = new SnapshotTable(spark, root).tipLogicalToPhysical
+    val h = new SnapshotTable(spark, root)
+    val mapping = h.tipLogicalToPhysical
     SnapshotDeltaRowWriterFactory(dataDir.toString, commitUuid,
       keySchema.json, keyCols,
       ColumnMapping.renameFields(rowSchema, mapping).json,
       statsCols.map(c => mapping.getOrElse(c, c)),
       conf.writeLegacyParquetFormat.toString,
-      conf.parquetOutputTimestampType.toString)
+      conf.parquetOutputTimestampType.toString, h.tableBandsV)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -668,7 +687,9 @@ class SnapshotDeltaRowBatchWrite(spark: SparkSession, root: String,
     }
     val stats: Seq[ColStats] = statsCols.indices.map { c =>
       ColStats(dataMsgs.map(_.mins(c)), dataMsgs.map(_.maxs(c)),
-        dataMsgs.map(_.nulls(c)))
+        dataMsgs.map(_.nulls(c)),
+        dataMsgs.map(_.tminsOr(statsCols.length)(c)),
+        dataMsgs.map(_.tmaxsOr(statsCols.length)(c)))
     }
     val table = new SnapshotTable(spark, root, statsCols)
     table.commitWrittenRowDelta(base, action,
@@ -702,17 +723,18 @@ class SnapshotDeltaRowBatchWrite(spark: SparkSession, root: String,
 case class SnapshotDeltaRowWriterFactory(dataDir: String, commitUuid: String,
                                          keySchemaJson: String, keyCols: Seq[String],
                                          rowSchemaJson: String, statsCols: Seq[String],
-                                         legacyFormat: String, timestampType: String)
+                                         legacyFormat: String, timestampType: String,
+                                         bandsV: Int = BandKeys.CurrentBandsV)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
     val keyW = new SnapshotParquetWriter(dataDir, commitUuid,
       f"delete-$partitionId%05d-$taskId.parquet",
       DataType.fromJson(keySchemaJson).asInstanceOf[StructType], keyCols,
-      legacyFormat, timestampType, new Configuration())
+      legacyFormat, timestampType, new Configuration(), bandsV = bandsV)
     val dataW = new SnapshotParquetWriter(dataDir, commitUuid,
       f"part-$partitionId%05d-$taskId.parquet",
       DataType.fromJson(rowSchemaJson).asInstanceOf[StructType], statsCols,
-      legacyFormat, timestampType, new Configuration())
+      legacyFormat, timestampType, new Configuration(), bandsV = bandsV)
     new DeltaWriter[InternalRow] {
       override def delete(meta: InternalRow, id: InternalRow): Unit =
         keyW.write(id)
@@ -737,13 +759,14 @@ case class SnapshotDeltaRowWriterFactory(dataDir: String, commitUuid: String,
 case class SnapshotWriterFactory(dataDir: String, commitUuid: String,
                                  schemaJson: String, statsCols: Seq[String],
                                  legacyFormat: String, timestampType: String,
-                                 opColumn: Boolean = false)
+                                 opColumn: Boolean = false,
+                                 bandsV: Int = BandKeys.CurrentBandsV)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new SnapshotParquetWriter(dataDir, commitUuid,
       f"part-$partitionId%05d-$taskId.parquet",
       DataType.fromJson(schemaJson).asInstanceOf[StructType], statsCols,
-      legacyFormat, timestampType, new Configuration(), opColumn)
+      legacyFormat, timestampType, new Configuration(), opColumn, bandsV)
 }
 
 /** Task-side parquet writer over Spark's own [[ParquetWriteSupport]]
@@ -757,7 +780,8 @@ class SnapshotParquetWriter(dataDir: String, commitUuid: String, fileName: Strin
                             schema: StructType, statsCols: Seq[String],
                             legacyFormat: String, timestampType: String,
                             hadoopConf: Configuration,
-                            opColumn: Boolean = false)
+                            opColumn: Boolean = false,
+                            bandsV: Int = BandKeys.CurrentBandsV)
     extends DataWriter[InternalRow] {
   import SnapshotWrite._
 
@@ -802,13 +826,22 @@ class SnapshotParquetWriter(dataDir: String, commitUuid: String, fileName: Strin
       case LongType => (r: InternalRow) => r.getLong(i)
       case BooleanType => (r: InternalRow) => if (r.getBoolean(i)) 1L else 0L
       case DateType => (r: InternalRow) => r.getInt(i).toLong // days since epoch — exact
-      case TimestampType => // micros -> whole epoch seconds, Spark's ts->long cast
-        (r: InternalRow) => Math.floorDiv(r.getLong(i), 1000000L)
+      case TimestampType => // the table's versioned key: v2 = the micros
+        // long as stored (exact), v1 legacy = floor epoch seconds
+        (r: InternalRow) => BandKeys.timestampKey(r.getLong(i), bandsV)
       case StringType => // order-preserving 8-byte-prefix key (lossy, monotonic)
         (r: InternalRow) => BandKeys.stringKey(r.getUTF8String(i).getBytes)
       case _ => null
     }
   }.toArray
+  // typed STRING bounds fold alongside the long keys: running min/max of
+  // the actual value bytes (cloned — readers reuse row buffers), capped
+  // at encode time so a long extremum records Absent
+  private val isStringCol: Array[Boolean] = statsCols.indices.map { c =>
+    fieldIdx(c) >= 0 && schema.fields(fieldIdx(c)).dataType == StringType
+  }.toArray
+  private val tminBytes = Array.fill[Array[Byte]](statsCols.length)(null)
+  private val tmaxBytes = Array.fill[Array[Byte]](statsCols.length)(null)
   private val mins = Array.fill(statsCols.length)(UnknownMax) // running min starts high
   private val maxs = Array.fill(statsCols.length)(UnknownMin)
   private val nullCounts = Array.fill(statsCols.length)(0L)
@@ -854,6 +887,13 @@ class SnapshotParquetWriter(dataDir: String, commitUuid: String, fileName: Strin
           val v = asLong(c)(row)
           if (v < mins(c)) mins(c) = v
           if (v > maxs(c)) maxs(c) = v
+          if (isStringCol(c)) {
+            val b = row.getUTF8String(i).getBytes
+            if (tminBytes(c) == null || TypedBounds.compareBytes(b, tminBytes(c)) < 0)
+              tminBytes(c) = b.clone()
+            if (tmaxBytes(c) == null || TypedBounds.compareBytes(b, tmaxBytes(c)) > 0)
+              tmaxBytes(c) = b.clone()
+          }
         }
       }
       c += 1
@@ -865,9 +905,15 @@ class SnapshotParquetWriter(dataDir: String, commitUuid: String, fileName: Strin
     val outMins = new Array[Long](statsCols.length)
     val outMaxs = new Array[Long](statsCols.length)
     val outNulls = new Array[Long](statsCols.length)
+    val outTmins = Array.fill(statsCols.length)(TypedBounds.Absent)
+    val outTmaxs = Array.fill(statsCols.length)(TypedBounds.Absent)
     var c = 0
     while (c < statsCols.length) {
       val known = fieldIdx(c) >= 0 && asLong(c) != null
+      if (isStringCol(c) && tminBytes(c) != null) {
+        outTmins(c) = TypedBounds.encode(tminBytes(c))
+        outTmaxs(c) = TypedBounds.encode(tmaxBytes(c))
+      }
       if (known && rows == 0L) {
         // an EMPTY file gets the INVERTED band (min > max): no range can
         // overlap it, so reads prune it everywhere and replaceWhere
@@ -886,7 +932,8 @@ class SnapshotParquetWriter(dataDir: String, commitUuid: String, fileName: Strin
       }
       c += 1
     }
-    SnapshotWriteMessage(fileName, rows, outMins, outMaxs, outNulls)
+    SnapshotWriteMessage(fileName, rows, outMins, outMaxs, outNulls,
+      outTmins, outTmaxs)
   }
 
   override def abort(): Unit = {
