@@ -704,6 +704,76 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // Timestamp-range SQL DELETE as a METADATA-ONLY commit — the
+    // retention drop on a TIMESTAMP-clustered ingest table (the shape a
+    // 100 TB event stream actually has: timestamp-keyed before it is
+    // date-keyed). bandsV-2 tables key timestamps as epoch-MICROS —
+    // injective, so the band is the predicate's exact truth set and
+    // every dropped file is provably fully inside: no file read or
+    // written. metadata_only pins file identity across the statement;
+    // the version history replays in DuckDB.
+    "misc_catalog_dml_ts" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catdmlts").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gts", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gts.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gts.db")
+      Tables.events(s, d).select(col("ts"),
+        expr("CAST(round(coalesce(value, 0) * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("catdmlts_src")
+      s.sql("CREATE TABLE gts.db.ingest (ts TIMESTAMP, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='ts')")
+      s.sql("INSERT INTO gts.db.ingest SELECT * FROM catdmlts_src " +
+        "WHERE ts < TIMESTAMP'2024-01-10 00:00:00'")
+      s.sql("INSERT INTO gts.db.ingest SELECT * FROM catdmlts_src " +
+        "WHERE ts >= TIMESTAMP'2024-01-10 00:00:00' AND ts < TIMESTAMP'2024-01-20 00:00:00'")
+      s.sql("INSERT INTO gts.db.ingest SELECT * FROM catdmlts_src " +
+        "WHERE ts >= TIMESTAMP'2024-01-20 00:00:00'")
+      val t = new graft.sources.SnapshotTable(s, s"$wh/db/ingest", Seq("ts"))
+      val before = t.snapshot(t.latestVersion())
+      s.sql("DELETE FROM gts.db.ingest WHERE ts < TIMESTAMP'2024-01-10 00:00:00'")
+      val after = t.snapshot(t.latestVersion())
+      val metadataOnly = after.action == "delete" &&
+        after.files.forall(before.files.contains)
+      t.history().map { snap =>
+        t.read(snap.version).agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(snap.version).as("version"), lit(snap.action).as("action"),
+            lit(metadataOnly).as("metadata_only"), col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
+    // Manifest-served MIN/MAX over TIMESTAMP and STRING stats columns:
+    // the freshness probe (`SELECT max(ingest_ts)`) answers from one
+    // manifest parse on a bandsV-2 table (epoch-micros keys are the
+    // stored value), and `min/max(source)` serves from the TYPED
+    // per-file bounds the manifest records alongside the lossy prefix
+    // keys. The post-delete leg pins the decline: a MOR delete removed
+    // the extrema, so the same aggregates must fall back to a real scan
+    // — a wrongly-served band would leak the deleted max back and
+    // hash-fail. Plan shapes pinned in TypedBandsSpec.
+    "misc_snapshot_ts_minmax" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_snaptsmm").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root,
+        statsCols = Seq("ts", "source"))
+      val e = Tables.events(s, d).select(col("event_id"), col("ts"),
+        col("event_type").as("source"))
+      t.commitAppend(e)
+      def rd() = s.read.format("graft-snapshot").load(root)
+      def legs(df: DataFrame) = df.agg(count(lit(1)).as("n"),
+        min(col("ts")).as("mn_ts"), max(col("ts")).as("mx_ts"),
+        min(col("source")).as("mn_src"), max(col("source")).as("mx_src"))
+      val pre = legs(rd())
+      t.commitDeleteByKey(
+        e.filter(col("ts") >= to_timestamp(lit("2024-01-25 00:00:00")) ||
+          (col("source") <=> "view")).select("event_id"),
+        Seq("event_id"))
+      val post = legs(rd())
+      pre.select(lit("pre_delete").as("leg"), col("n"), col("mn_ts"),
+          col("mx_ts"), col("mn_src"), col("mx_src"))
+        .unionByName(post.select(lit("post_delete").as("leg"), col("n"),
+          col("mn_ts"), col("mx_ts"), col("mn_src"), col("mx_src")))
+    }),
+
     // IS NULL file pruning off the manifest's null counts: the "find
     // the rows that never got a key" audit sweep opens only the files
     // that ever WROTE a null (known-zero null counts prune; unknown
@@ -2729,6 +2799,43 @@ SELECT CAST(v.version AS BIGINT) AS version, v.action,
        CAST(coalesce(sum(b.cents), 0) AS BIGINT) AS total_cents
 FROM v LEFT JOIN base b ON b.day BETWEEN v.lo AND v.hi
 GROUP BY v.version, v.action""",
+
+    // v1 = CREATE (empty), v2..v4 = the three timestamp-range inserts,
+    // v5 = the retention DELETE (metadata-only by construction on a
+    // bandsV-2 table — the Spark side pins it from manifest file identity)
+    "misc_catalog_dml_ts" -> """
+WITH base AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts,
+         CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS cents
+  FROM events),
+v AS (
+  SELECT 1 AS version, 'overwrite' AS action,
+         TIMESTAMP '9999-01-01 00:00:00' AS lo, TIMESTAMP '0001-01-01 00:00:00' AS hi UNION ALL
+  SELECT 2, 'append', TIMESTAMP '0001-01-01 00:00:00', TIMESTAMP '2024-01-09 23:59:59.999999' UNION ALL
+  SELECT 3, 'append', TIMESTAMP '0001-01-01 00:00:00', TIMESTAMP '2024-01-19 23:59:59.999999' UNION ALL
+  SELECT 4, 'append', TIMESTAMP '0001-01-01 00:00:00', TIMESTAMP '9999-01-01 00:00:00' UNION ALL
+  SELECT 5, 'delete', TIMESTAMP '2024-01-10 00:00:00', TIMESTAMP '9999-01-01 00:00:00')
+SELECT CAST(v.version AS BIGINT) AS version, v.action,
+       CAST(TRUE AS BOOLEAN) AS metadata_only,
+       CAST(count(b.ts) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(b.cents), 0) AS BIGINT) AS total_cents
+FROM v LEFT JOIN base b ON b.ts BETWEEN v.lo AND v.hi
+GROUP BY v.version, v.action""",
+
+    "misc_snapshot_ts_minmax" -> """
+WITH base AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type AS source
+  FROM events)
+SELECT 'pre_delete' AS leg, CAST(count(*) AS BIGINT) AS n,
+       min(ts) AS mn_ts, max(ts) AS mx_ts,
+       min(source) AS mn_src, max(source) AS mx_src
+FROM base
+UNION ALL
+SELECT 'post_delete', CAST(count(*) AS BIGINT),
+       min(ts), max(ts), min(source), max(source)
+FROM base
+WHERE NOT (ts >= TIMESTAMP '2024-01-25 00:00:00'
+           OR coalesce(source = 'view', FALSE))""",
 
     "misc_snapshot_null_skipping" -> """
 SELECT CAST(3 AS INTEGER) AS files_total, CAST(1 AS INTEGER) AS files_planned,
