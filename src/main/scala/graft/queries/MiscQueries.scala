@@ -774,6 +774,33 @@ object MiscQueries {
           col("mn_ts"), col("mx_ts"), col("mn_src"), col("mx_src")))
     }),
 
+    // MINOR compaction of MOR delete files: four equality-delete
+    // statements accrue four delete files every reader anti-joins;
+    // compactDeletes folds them to ONE with no data file touched
+    // (files_untouched pins identity) and identical contents — the
+    // before/after legs must agree on every value while the pinned
+    // delete-file counts drop 4 -> 1.
+    "misc_snapshot_mor_compact" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_morcomp").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("k"))
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      t.commitAppend(o)
+      (1 to 4).foreach(m =>
+        t.commitDeleteByKey(o.filter(col("k") % 10 === m).select("k"), Seq("k")))
+      val before = t.snapshot(t.latestVersion())
+      def legs(tag: String, delFiles: Int, untouched: Boolean) =
+        t.read().agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(tag).as("leg"), lit(delFiles).as("delete_files"),
+            lit(untouched).as("files_untouched"), col("n_rows"), col("total_cents"))
+      val pre = legs("before_fold", before.deletes.length, untouched = true)
+      val v = t.compactDeletes()
+      val after = t.snapshot(v)
+      val post = legs("after_fold", after.deletes.length,
+        after.files == before.files)
+      pre.unionByName(post)
+    }),
+
     // IS NULL file pruning off the manifest's null counts: the "find
     // the rows that never got a key" audit sweep opens only the files
     // that ever WROTE a null (known-zero null counts prune; unknown
@@ -2821,6 +2848,19 @@ SELECT CAST(v.version AS BIGINT) AS version, v.action,
        CAST(coalesce(sum(b.cents), 0) AS BIGINT) AS total_cents
 FROM v LEFT JOIN base b ON b.ts BETWEEN v.lo AND v.hi
 GROUP BY v.version, v.action""",
+
+    "misc_snapshot_mor_compact" -> """
+WITH kept AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 10 NOT IN (1, 2, 3, 4))
+SELECT 'before_fold' AS leg, CAST(4 AS INTEGER) AS delete_files,
+       CAST(TRUE AS BOOLEAN) AS files_untouched,
+       CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents
+FROM kept
+UNION ALL
+SELECT 'after_fold', CAST(1 AS INTEGER), CAST(TRUE AS BOOLEAN),
+       CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+FROM kept""",
 
     "misc_snapshot_ts_minmax" -> """
 WITH base AS (

@@ -343,7 +343,7 @@ private[sources] object GraftProcedures {
   import org.apache.spark.sql.connector.read.Scan
   import org.apache.spark.sql.types.{DataTypes, StructField}
 
-  val names: Array[String] = Array("compact", "vacuum", "rollback")
+  val names: Array[String] = Array("compact", "compact_deletes", "vacuum", "rollback")
 
   def load(name: String, catalog: GraftCatalog,
            handleFor: String => SnapshotTable): UnboundProcedure = name match {
@@ -360,6 +360,19 @@ private[sources] object GraftProcedures {
           val t = handleFor(in.getString(0))
           val cluster = if (in.isNullAt(2)) None else Some(in.getString(2))
           Seq(t.compact(in.getLong(1), cluster))
+      }
+    case "compact_deletes" =>
+      proc("compact_deletes", "fold accumulated merge-on-read delete " +
+        "files into one per applicability class — no data file touched " +
+        "(the cheap maintenance step between full compactions)",
+        Array(ProcedureParameter.in("table", DataTypes.StringType).build()),
+        StructType(Seq(
+          StructField("version", DataTypes.LongType, nullable = false),
+          StructField("delete_files", DataTypes.LongType, nullable = false)))) {
+        in =>
+          val t = handleFor(in.getString(0))
+          val v = t.compactDeletes()
+          Seq(v, t.snapshot(v).deletes.length.toLong)
       }
     case "vacuum" =>
       proc("vacuum", "drop data files and manifests outside the last " +

@@ -2590,6 +2590,76 @@ class SnapshotTable(spark: SparkSession, root: String,
     sys.error(s"compact at $root: gave up after $attempts conflicts")
   }
 
+  /** MINOR compaction: fold the accumulated merge-on-read delete files
+    * into ONE file per applicability class — NO data file is read or
+    * written, so this is the cheap maintenance step between full
+    * [[compact]]s (which rewrite the data too). An hourly MOR-update
+    * table accrues one delete file per statement and every reader
+    * anti-joins all of them; after this fold a reader loads one.
+    *
+    * Sequencing soundness: a delete at sequence s applies to data files
+    * with STRICTLY smaller sequences, so two delete files may merge only
+    * if they apply to exactly the same data files — i.e. the set
+    * {data seq < s} is identical. Classes are therefore keyed by the
+    * count of distinct data sequences below the delete's sequence, and
+    * the merged file takes the class's MINIMAL member sequence (same
+    * cut by construction). A key deleted before a re-insert and a key
+    * deleted after it land in different classes and are never merged —
+    * the re-inserted row's survival is preserved exactly.
+    *
+    * Published as `dataChange=false` (table contents are untouched —
+    * feeds and streams skip it). Returns the new version, or the tip
+    * unchanged when there is nothing to fold. */
+  def compactDeletes(): Long = {
+    import org.apache.spark.sql.functions.col
+    var attempts = 0
+    while (attempts < 50) {
+      val base = latestVersion()
+      require(base > 0, s"nothing to compact at $root")
+      val snapBase = snapshot(base)
+      val fl = fileSetOf(snapBase)
+      if (fl.deletes.length <= 1) return base
+      val dataSeqs = fl.seqs.distinct.sorted
+      def cut(s: Long): Int = dataSeqs.count(_ < s)
+      val classes = fl.deletes.indices.groupBy(i => cut(fl.deleteSeqs(i)))
+      if (classes.values.forall(_.length <= 1)) return base
+      val delLens = alignLens(fl.deleteLens, fl.deletes.length)
+      // fold each multi-file class into one file; single-member classes
+      // carry forward by identity (no I/O for them)
+      val folded: Seq[(Seq[String], Seq[Long], Seq[Long])] =
+        classes.toSeq.sortBy(_._1).map { case (_, idxs) =>
+          if (idxs.length == 1)
+            (Seq(fl.deletes(idxs.head)), Seq(fl.deleteSeqs(idxs.head)),
+              Seq(delLens(idxs.head)))
+          else {
+            val keys = spark.read.parquet(
+                idxs.map(i => new Path(dataDir, fl.deletes(i)).toString): _*)
+              .select(fl.deleteKey.map(col): _*)
+              .distinct() // equality deletes are sets — duplicates collapse
+              .coalesce(1) // one file per class IS the point
+            val (kf, _) = writeDataFiles(keys)
+            val seq = idxs.map(fl.deleteSeqs).min
+            (kf.files, Seq.fill(kf.files.length)(seq),
+              alignLens(kf.lens, kf.files.length))
+          }
+        }
+      val fls = fl.copy(
+        deletes = folded.flatMap(_._1),
+        deleteSeqs = folded.flatMap(_._2),
+        deleteLens = folded.flatMap(_._3))
+      publishAtBase(base, "compact_deletes", fls, snapBase.rows,
+        snapBase.schemaJson, dataChange = false) match {
+        case Some(v) => return v
+        case None => // lost the race: drop this attempt's folded files
+          folded.flatMap(_._1).filterNot(fl.deletes.contains)
+            .map(_.split('/').head).distinct
+            .foreach(uuid => fs.delete(new Path(dataDir, uuid), true))
+          attempts += 1
+      }
+    }
+    sys.error(s"compactDeletes at $root: gave up after $attempts conflicts")
+  }
+
   /** All RETAINED snapshots, oldest first (the table's audit history;
     * [[vacuum]] may have dropped a prefix). Inherently O(retained
     * versions) — it reads every manifest by definition. */

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** Minor compaction of merge-on-read delete files: N accumulated
+  * equality-delete files fold into one per applicability class with NO
+  * data file touched — the cheap maintenance step between full
+  * compactions. The fold must preserve the sequencing rule exactly: a
+  * delete applies only to data files with strictly smaller sequences,
+  * so deletes straddling an append (a re-inserted key) never merge. */
+class MorCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val f = java.nio.file.Files.createTempDirectory(s"graft_morcomp_$tag")
+    f.toFile.delete()
+    f.toString
+  }
+
+  test("N back-to-back MOR deletes fold into ONE delete file; contents and data files untouched") {
+    val root = freshRoot("fold")
+    val t = new SnapshotTable(spark, root, statsCols = Seq("k"))
+    t.commitAppend((1L to 12L).map(k => (k, s"row$k")).toDF("k", "s"))
+    (1L to 3L).foreach(k =>
+      t.commitDeleteByKey(Seq(Tuple1(k)).toDF("k"), Seq("k")))
+    val before = t.snapshot(t.latestVersion())
+    assert(before.deletes.length == 3)
+    val v = t.compactDeletes()
+    val after = t.snapshot(v)
+    assert(after.deletes.length == 1, "3 same-class delete files must fold to 1")
+    assert(after.files == before.files, "minor compaction must not touch data files")
+    assert(!after.dataChange, "a fold changes no contents — feeds must skip it")
+    assert(after.rows == before.rows)
+    assert(t.read().select("k").as[Long].collect().toSet == (4L to 12L).toSet)
+    // the change feed sees nothing new across the fold
+    val (appends, changes) = t.appendDelta(before.version, v)
+    assert(appends.isEmpty && changes.isEmpty)
+    // idempotent: already-minimal tables publish no further version
+    assert(t.compactDeletes() == v)
+  }
+
+  test("deletes straddling an append never merge — a re-inserted key survives the fold") {
+    val root = freshRoot("reinsert")
+    val t = new SnapshotTable(spark, root, statsCols = Seq("k"))
+    t.commitAppend(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")) // v1
+    t.commitDeleteByKey(Seq(Tuple1(1L)).toDF("k"), Seq("k"))            // v2: kill k=1
+    t.commitAppend(Seq((1L, "a2")).toDF("k", "s"))                      // v3: re-insert k=1
+    t.commitDeleteByKey(Seq(Tuple1(2L)).toDF("k"), Seq("k"))            // v4
+    t.commitDeleteByKey(Seq(Tuple1(3L)).toDF("k"), Seq("k"))            // v5
+    val v = t.compactDeletes()
+    val after = t.snapshot(v)
+    // v4+v5 share an applicability cut (both postdate the re-insert) and
+    // merge; v2's delete predates it and must stay separate
+    assert(after.deletes.length == 2,
+      s"expected 2 classes, got ${after.deletes.length} (${after.deleteSeqs})")
+    assert(t.read().select("k", "s").as[(Long, String)].collect().toSet ==
+      Set((1L, "a2")), "the re-inserted row must survive the fold")
+    assert(t.read().count() == 1L)
+    // and the surviving row is the re-inserted one, not the original
+    assert(t.read().select("s").as[String].collect().toSeq == Seq("a2"))
+  }
+
+  test("CALL system.compact_deletes folds a SQL MOR table's delete files") {
+    val wh = freshRoot("sqlfold")
+    spark.conf.set("spark.sql.catalog.gmc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmc.db")
+    spark.sql("CREATE TABLE gmc.db.t (k BIGINT, v BIGINT) USING `graft-snapshot` " +
+      "TBLPROPERTIES('stats_cols'='k', 'write.delete.mode'='merge-on-read', " +
+      "'write.delete.key'='k')")
+    spark.sql("INSERT INTO gmc.db.t SELECT id, id * 10 FROM range(1, 21)")
+    (1 to 4).foreach(k => spark.sql(s"DELETE FROM gmc.db.t WHERE k = $k"))
+    val t = new SnapshotTable(spark, s"$wh/db/t", Seq("k"))
+    assert(t.snapshot(t.latestVersion()).deletes.length == 4)
+    val row = spark.sql("CALL gmc.system.compact_deletes('db.t')").collect().head
+    assert(row.getLong(1) == 1L, s"expected 1 folded delete file, got ${row.getLong(1)}")
+    assert(spark.table("gmc.db.t").count() == 16L)
+    assert(spark.table("gmc.db.t").agg(sum(col("v"))).as[Long].collect().head ==
+      (5L to 20L).map(_ * 10).sum)
+  }
+}
