@@ -774,6 +774,42 @@ object MiscQueries {
           col("mn_ts"), col("mx_ts"), col("mn_src"), col("mx_src")))
     }),
 
+    // Write-time clustering as CONFIGURATION: write.cluster.by='day'
+    // routes every catalog INSERT through a range distribution on day,
+    // so three appends that each span the FULL date range (deliberately
+    // hash-shuffled input) still land as day-disjoint files — a
+    // one-year read prunes most of the table with NO compact in
+    // between. files_pruned pins that the planned set is a strict
+    // subset (exact counts would pin the range partitioner's sampling,
+    // which is an implementation detail); the values replay in DuckDB.
+    "misc_catalog_cluster" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catcluster").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gcl", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcl.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcl.db")
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        to_date(col("o_orderdate")).as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("catcluster_src")
+      s.sql("CREATE TABLE gcl.db.fact (k BIGINT, day DATE, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='k,day', " +
+        "'write.cluster.by'='day')")
+      (0 to 2).foreach(m =>
+        s.sql("INSERT INTO gcl.db.fact SELECT * FROM catcluster_src " +
+          s"WHERE k % 3 = $m DISTRIBUTE BY hash(k)"))
+      val t = new graft.sources.SnapshotTable(s, s"$wh/db/fact", Seq("k", "day"))
+      val (d1, d2) = (java.sql.Date.valueOf("1997-01-01"),
+        java.sql.Date.valueOf("1997-12-31"))
+      val (pruned, planned) = t.readPruned(
+        Map("day" -> (d1.toLocalDate.toEpochDay, d2.toLocalDate.toEpochDay)),
+        t.latestVersion())
+      val total = t.snapshot(t.latestVersion()).files.length
+      pruned.filter(col("day").between(lit(d1), lit(d2)))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(planned.length < total).as("files_pruned"),
+          lit(total >= 3).as("multi_file"), col("n_rows"), col("total_cents"))
+    }),
+
     // MINOR compaction of MOR delete files: four equality-delete
     // statements accrue four delete files every reader anti-joins;
     // compactDeletes folds them to ONE with no data file touched
@@ -2848,6 +2884,13 @@ SELECT CAST(v.version AS BIGINT) AS version, v.action,
        CAST(coalesce(sum(b.cents), 0) AS BIGINT) AS total_cents
 FROM v LEFT JOIN base b ON b.ts BETWEEN v.lo AND v.hi
 GROUP BY v.version, v.action""",
+
+    "misc_catalog_cluster" -> """
+SELECT CAST(TRUE AS BOOLEAN) AS files_pruned, CAST(TRUE AS BOOLEAN) AS multi_file,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'""",
 
     "misc_snapshot_mor_compact" -> """
 WITH kept AS (

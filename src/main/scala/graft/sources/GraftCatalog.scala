@@ -128,8 +128,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(withNull == 0,
           s"write.delete.key (${cols.mkString(",")}) has NULLs in existing " +
             "rows — an equality-delete identifier must be non-null")
+      case "write.cluster.by" =>
+        val cols = value.split(",").map(_.trim).filter(_.nonEmpty)
+        require(cols.nonEmpty, "write.cluster.by must name at least one column")
+        val fields = t.schemaOf(t.latestVersion()).fieldNames
+        val missing = cols.filterNot(fields.contains)
+        require(missing.isEmpty,
+          s"write.cluster.by columns ${missing.mkString(",")} not in the " +
+            s"table schema (${fields.mkString(",")})")
       case _ => ()
     }
+
+  /** [[validateProperty]] for CREATE TABLE, where no table exists yet:
+    * the same checks against the DDL schema. The delete-key null scan
+    * is vacuous on a table born empty. */
+  private def validateCreateProperty(schema: StructType, key: String,
+                                     value: String): Unit =
+    key match {
+      case "write.delete.mode" | "write.update.mode" | "write.merge.mode" =>
+        require(value == "copy-on-write" || value == "merge-on-read",
+          s"$key must be 'copy-on-write' or 'merge-on-read'; got '$value'")
+      case "write.delete.key" | "write.cluster.by" =>
+        val cols = value.split(",").map(_.trim).filter(_.nonEmpty)
+        require(cols.nonEmpty, s"$key must name at least one column")
+        val missing = cols.filterNot(schema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"$key columns ${missing.mkString(",")} not in the table schema " +
+            s"(${schema.fieldNames.mkString(",")})")
+      case _ => ()
+    }
+
+  /** CROSS-property validation of the EFFECTIVE property set — run on
+    * the post-edit map at CREATE, SET and UNSET: per-key checks cannot
+    * see that `write.update.mode='merge-on-read'` without a
+    * `write.delete.key` passes DDL and fails only at the first UPDATE.
+    * The validator's contract is fail-at-DDL, so the combination is
+    * rejected here. */
+  private def validatePropertySet(effective: Map[String, String]): Unit = {
+    val morModes = Seq("write.delete.mode", "write.update.mode", "write.merge.mode")
+      .filter(k => effective.get(k).contains("merge-on-read"))
+    require(morModes.isEmpty || effective.contains("write.delete.key"),
+      s"${morModes.mkString(", ")} = 'merge-on-read' requires " +
+        "write.delete.key = '<col>[,<col>…]' (the equality key every " +
+        "merge-on-read statement deletes by) — set it in the same DDL")
+  }
 
   override def loadTable(ident: Identifier): Table = load(ident, Map.empty)
 
@@ -157,6 +199,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(missing.isEmpty,
       s"stats_cols ${missing.mkString(",")} not in the table schema " +
         s"(${schema.fieldNames.mkString(",")})")
+    // validate EVERY property BEFORE anything touches the filesystem —
+    // a rejected CREATE must leave no half-created table behind. The
+    // table does not exist yet, so the checks run against the DDL
+    // schema (the null-scan half of the delete-key check is vacuous on
+    // an empty table by definition).
+    val reserved = Set("provider", "location", "owner", "comment",
+      "external", "stats_cols")
+    val userProps = scala.jdk.CollectionConverters.MapHasAsScala(properties)
+      .asScala.toMap
+      .filterNot { case (k, _) => reserved.contains(k) || k.startsWith("option.") }
+    userProps.foreach { case (k, v) => validateCreateProperty(schema, k, v) }
+    validatePropertySet(userProps)
     fs.mkdirs(p)
     // version 1: an empty schema-bearing snapshot, driver-written (no
     // Spark job) — the table SELECTs as zero rows from birth and every
@@ -178,12 +232,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       0L, schema, dataChange = false)
     // persist user TBLPROPERTIES (config sidecar) — minus the keys Spark
     // injects and stats_cols, which lives in the manifests themselves
-    val reserved = Set("provider", "location", "owner", "comment",
-      "external", "stats_cols")
-    val userProps = scala.jdk.CollectionConverters.MapHasAsScala(properties)
-      .asScala.toMap
-      .filterNot { case (k, _) => reserved.contains(k) || k.startsWith("option.") }
-    userProps.foreach { case (k, v) => validateProperty(t, k, v) }
     if (userProps.nonEmpty) t.setTableProperties(userProps)
     loadTable(ident)
   }
@@ -201,6 +249,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val p = tablePath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
     val t = new SnapshotTable(spark, p.toString)
+    // property edits FOLD across the whole statement and validate once
+    // on the final effective set — `SET TBLPROPERTIES('write.merge.mode'
+    // = 'merge-on-read', 'write.delete.key' = 'k')` arrives as two
+    // changes, and per-change cross-validation would reject the valid
+    // combined edit depending on arrival order
+    var props: Option[Map[String, String]] = None
+    def cur: Map[String, String] = props.getOrElse(t.tableProperties)
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -219,14 +274,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case set: TableChange.SetProperty =>
         // property edits are CONFIG (props sidecar), not data commits
         validateProperty(t, set.property, set.value)
-        t.setTableProperties(t.tableProperties + (set.property -> set.value))
+        props = Some(cur + (set.property -> set.value))
       case unset: TableChange.RemoveProperty =>
-        t.setTableProperties(t.tableProperties - unset.property)
+        props = Some(cur - unset.property)
       case other => throw new UnsupportedOperationException(
         s"catalog '$catName': unsupported ALTER ${other.getClass.getSimpleName} — " +
           "snapshot tables support ADD/RENAME/DROP COLUMN and SET/UNSET " +
           "TBLPROPERTIES; type widening happens at write time, anything " +
           "else is a rewrite")
+    }
+    props.foreach { next =>
+      // removing the delete key from under a merge-on-read mode must
+      // fail the same way setting the mode without one does
+      validatePropertySet(next)
+      t.setTableProperties(next)
     }
     loadTable(ident)
   }

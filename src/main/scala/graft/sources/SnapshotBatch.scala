@@ -229,7 +229,10 @@ class GraftSnapshotBatchTable(spark: SparkSession, root: String,
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftSnapshotWriteBuilder(spark, root, info.schema(), statsColsForWrite,
-      queryId = info.queryId())
+      queryId = info.queryId(),
+      clusterBy = props.get("write.cluster.by")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty))
 
   /** SQL DELETE/UPDATE/MERGE — predicate-pruned group-based
     * copy-on-write rewrite by default ([[GraftSnapshotRowLevelOperation]]),

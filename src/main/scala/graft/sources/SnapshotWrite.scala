@@ -110,7 +110,8 @@ object SnapshotCommitMode {
 class GraftSnapshotWriteBuilder(spark: SparkSession, root: String,
                                 batchSchema: StructType,
                                 statsCols: Seq[String],
-                                queryId: String = "")
+                                queryId: String = "",
+                                clusterBy: Seq[String] = Seq.empty)
     extends WriteBuilder with SupportsOverwrite {
   private var doTruncate = false
   private var replaceWhere: Option[(String, Long, Long)] = None
@@ -155,14 +156,22 @@ class GraftSnapshotWriteBuilder(spark: SparkSession, root: String,
     * idea of the public formats). Price: one extra shuffle per write —
     * exactly the trade a declared skipping index asks for; tables
     * without stats_cols pay nothing. Advisory, not strict: AQE may
-    * coalesce tiny writes. */
+    * coalesce tiny writes.
+    *
+    * `write.cluster.by` (a table property, DDL-validated) OVERRIDES the
+    * clustering column set: a table indexed on several stats columns
+    * clusters its daily appends on the ONE column its range reloads
+    * prune by, so files land band-disjoint without waiting for
+    * `compact(clusterBy)` — write-time layout as configuration, not
+    * maintenance. */
   override def build(): Write = new Write
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
     private val clusterCols =
-      statsCols.filter(batchSchema.fieldNames.contains)
+      (if (clusterBy.nonEmpty) clusterBy else statsCols)
+        .filter(batchSchema.fieldNames.contains)
     private def sortOrders: Array[SortOrder] =
       clusterCols.map(c =>
         Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray

@@ -318,12 +318,12 @@ class GraftCatalogSpec extends SparkSpec {
   }
 
   test("merge-on-read delete guards: missing key is DDL-loud, non-unique key refuses") {
-    // missing write.delete.key fails at the statement, loudly
-    spark.sql(s"CREATE TABLE $cat.db.morbad (id BIGINT, v BIGINT) " +
-      "USING `graft-snapshot` TBLPROPERTIES('write.delete.mode'='merge-on-read')")
-    spark.sql(s"INSERT INTO $cat.db.morbad VALUES (1, 10)")
+    // missing write.delete.key fails at CREATE — the cross-property DDL
+    // check (a mode without its key used to surface only at the first
+    // DELETE statement)
     val e1 = intercept[Exception](
-      spark.sql(s"DELETE FROM $cat.db.morbad WHERE id = 1"))
+      spark.sql(s"CREATE TABLE $cat.db.morbad (id BIGINT, v BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('write.delete.mode'='merge-on-read')"))
     assert(e1.getMessage.contains("write.delete.key"))
     // a typo'd mode fails at DDL time
     val e2 = intercept[Exception](
@@ -511,6 +511,65 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rows.forall(_._2.contains("/data/")), "provenance should be the physical file")
     // metadata columns are invisible unless asked for
     assert(spark.table(s"$cat.db.prov").columns.toSeq == Seq("id"))
+  }
+
+  test("merge-on-read modes without a delete key fail at DDL time, not at the first DML") {
+    // CREATE: mode set, key absent — the validator's fail-at-DDL
+    // contract, and the rejected CREATE must leave NO table behind
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.db.morbad3 (k BIGINT, v BIGINT) USING `graft-snapshot` " +
+        "TBLPROPERTIES('write.update.mode'='merge-on-read')"))
+    assert(e1.getMessage.contains("write.delete.key"), e1.getMessage)
+    assert(spark.sql(s"SHOW TABLES IN $cat.db").collect()
+      .forall(_.getString(1) != "morbad3"), "a rejected CREATE must not leave debris")
+    // SET TBLPROPERTIES: same combination rejected on the merged map
+    spark.sql(s"CREATE TABLE $cat.db.morset (k BIGINT, v BIGINT) USING `graft-snapshot`")
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.db.morset SET TBLPROPERTIES('write.merge.mode'='merge-on-read')"))
+    assert(e2.getMessage.contains("write.delete.key"), e2.getMessage)
+    // setting mode + key together in one DDL is the supported shape…
+    spark.sql(s"ALTER TABLE $cat.db.morset SET TBLPROPERTIES(" +
+      "'write.merge.mode'='merge-on-read', 'write.delete.key'='k')")
+    // …and UNSETting the key from under the mode is rejected too
+    val e3 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.db.morset UNSET TBLPROPERTIES('write.delete.key')"))
+    assert(e3.getMessage.contains("write.delete.key"), e3.getMessage)
+  }
+
+  test("write.cluster.by routes catalog INSERTs through a range distribution") {
+    // validation: the column must exist
+    val bad = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.db.clbad (k BIGINT) USING `graft-snapshot` " +
+        "TBLPROPERTIES('write.cluster.by'='nope')"))
+    assert(bad.getMessage.contains("nope"), bad.getMessage)
+    // a table indexed on (k, day) but clustered on day: each UNSORTED
+    // append lands day-disjoint, so a day-range read prunes with no
+    // compact in between
+    spark.sql(s"CREATE TABLE $cat.db.clustered (k BIGINT, day DATE, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='k,day', " +
+      "'write.cluster.by'='day')")
+    // three appends, each spanning the FULL date range, deliberately
+    // shuffled so only the write-time clustering can order them
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.db.clustered " +
+        s"SELECT id, date_add(DATE'2026-01-01', CAST(id % 90 AS INT)), id * 7 + $i " +
+        "FROM range(1, 2000) DISTRIBUTE BY hash(id)")
+    }
+    val whRoot = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val t = new SnapshotTable(spark, s"$whRoot/db/clustered", Seq("k", "day"))
+    val lo = java.sql.Date.valueOf("2026-01-10").toLocalDate.toEpochDay
+    val hi = java.sql.Date.valueOf("2026-01-19").toLocalDate.toEpochDay
+    val (pruned, planned) = t.readPruned(Map("day" -> (lo, hi)), t.latestVersion())
+    val total = t.snapshot(t.latestVersion()).files.length
+    assert(total >= 3, s"three inserts must leave >= 3 files, got $total")
+    assert(planned.length < total,
+      s"a 10-of-90-day band must prune clustered appends: $planned of $total")
+    // values stay exact (pruning is planning-only; the filter re-applies)
+    val expect = (1L until 2000L).filter(id => id % 90 >= 9 && id % 90 <= 18)
+      .map(_ * 3).sum // k summed across the three appends
+    assert(pruned.filter(col("day") >= lit(java.sql.Date.valueOf("2026-01-10")) &&
+        col("day") <= lit(java.sql.Date.valueOf("2026-01-19")))
+      .agg(sum(col("k"))).as[Long].collect().head == expect)
   }
 }
 
