@@ -37,6 +37,14 @@ object Bench {
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString(",")
     } catch { case _: Exception => "" }
+    // The loaded-host tag is decided HERE, inside the bench JVM, from the
+    // same sample the artifact records — an external pre-sbt sample reads
+    // low because sbt's own compile raises the load before Bench starts
+    // (both r17 artifacts ran at loadavg 4.2-5.2 untagged). Threshold 3:
+    // above it, same-code timings drift 1.5-25x on this shared host
+    // (BASELINE.md noise table), so the artifact carries its own caveat.
+    val loadedHost = loadavg.split(",").headOption
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).exists(_ > 3.0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -152,7 +160,7 @@ object Bench {
       s""""shuffle_read_mb":${mb(shf.read.get - shfStart._1)},""" +
       s""""shuffle_write_mb":${mb(shf.write.get - shfStart._2)},""" +
       s""""spill_mb":${mb(shf.spill.get - shfStart._3)},""" +
-      s""""loadavg_start":"$loadavg","sf":$sfLit}"""
+      s""""loadavg_start":"$loadavg","loaded_host":$loadedHost,"sf":$sfLit}"""
     // Quiesce Spark before emitting the JSON so no late executor/log line
     // interleaves into the machine-readable line on a combined capture.
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** Maintenance-path cost probes (BASELINE.md records the numbers):
+  *
+  *  1. MOR delete-file accumulation vs minor compaction: N equality-
+  *     delete commits leave N delete files every reader anti-joins;
+  *     after [[SnapshotTable.compactDeletes]] a reader loads ONE. Times
+  *     the tip read before/after the fold and reports the delete-file
+  *     counts — the "bounded read cost after N MOR DMLs" claim, measured.
+  *
+  *  2. BPE trainer at real vocabulary sizes: the distributed loop pays
+  *     one job barrier per merge round; the driver loop pays one word
+  *     count + one bounded collect for ALL rounds. Times
+  *     bpeTrainLocal(rounds=R) against the distributed trainer's
+  *     measured per-round cost (a small round count, extrapolated —
+  *     running 1000 distributed rounds would take hours by construction,
+  *     which is the point).
+  *
+  * Usage: runMain graft.MaintBench [morDeletes=200] [bpeRounds=1000]
+  *        [sfDir=/root/testdata/sf0.01]
+  */
+object MaintBench {
+  private def timed[A](f: => A): (A, Long) = {
+    val t0 = System.nanoTime(); val a = f
+    (a, (System.nanoTime() - t0) / 1000000L)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val morDeletes = if (args.length > 0) args(0).toInt else 200
+    val bpeRounds = if (args.length > 1) args(1).toInt else 1000
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-maintbench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- 1. MOR delete accumulation vs compactDeletes ----
+    val root = java.nio.file.Files.createTempDirectory("graft_maintbench").toString
+    val t = new SnapshotTable(spark, root, statsCols = Seq("k"))
+    t.commitAppend(spark.range(1L, 100001L).select(col("id").as("k"),
+      (col("id") * 7).as("v")).repartitionByRange(8, col("k")))
+    val (_, delBuildMs) = timed {
+      (1 to morDeletes).foreach(i =>
+        t.commitDeleteByKey(Seq(Tuple1(i.toLong * 3)).toDF("k"), Seq("k")))
+    }
+    val nBefore = t.snapshot(t.latestVersion()).deletes.length
+    def freshRead() = new SnapshotTable(spark, root, statsCols = Seq("k"))
+    val (cntBefore, readBeforeMs) = timed(freshRead().read().count())
+    val (_, foldMs) = timed(t.compactDeletes())
+    val nAfter = t.snapshot(t.latestVersion()).deletes.length
+    val (cntAfter, readAfterMs) = timed(freshRead().read().count())
+    require(cntBefore == cntAfter, s"fold changed contents: $cntBefore vs $cntAfter")
+
+    // ---- 2. BPE: driver loop vs distributed per-round cost ----
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.count() // warm the scan
+    val (localTable, localMs) =
+      timed(graft.llm.TextStats.bpeTrainLocal(docs, bpeRounds).collect())
+    val distRounds = 8
+    val (_, distMs) =
+      timed(graft.llm.TextStats.bpeTrain(docs, distRounds).collect())
+    val distPerRoundMs = distMs.toDouble / distRounds
+    val distExtrapolatedS = distPerRoundMs * bpeRounds / 1000.0
+
+    println(s"""{"metric":"maintbench","mor_deletes":$morDeletes,
+      |"mor_build_ms":$delBuildMs,
+      |"delete_files_before":$nBefore,"delete_files_after":$nAfter,
+      |"read_before_ms":$readBeforeMs,"read_after_ms":$readAfterMs,
+      |"fold_ms":$foldMs,"rows":$cntAfter,
+      |"bpe_rounds":$bpeRounds,"bpe_merges":${localTable.length},
+      |"bpe_local_ms":$localMs,
+      |"bpe_dist_rounds_measured":$distRounds,"bpe_dist_ms":$distMs,
+      |"bpe_dist_extrapolated_s":${f"$distExtrapolatedS%.1f"}}"""
+      .stripMargin.replace("\n", ""))
+    spark.stop()
+  }
+}

@@ -231,12 +231,10 @@ object TextStats {
     * per-round cost is independent of corpus bytes. Output: the merge
     * table (round, left_sym, right_sym, merged, pair_count). */
   def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
-    val Sep = "\u0001" // never occurs in whitespace-split words
+    val Sep = "\u0001" // kept out of words by bpeWordFreq's filter
     val spark = docs.sparkSession
     val wf = graft.QueryCaches.scoped(
-      docs.select(explode(words(col("text"))).as("word"))
-        .filter(length(col("word")) > 0)
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      bpeWordFreq(docs)
         .select(regexp_replace(col("word"), "(.)", Sep + "$1").as("s"),
           col("freq")))
     var syms = wf
@@ -268,6 +266,103 @@ object TextStats {
       .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
   }
 
+  /** The word-frequency table both BPE trainers iterate over. Words
+    * containing the U+0001 SEP byte are DROPPED (enforced, not assumed):
+    * the SEP-prefixed symbol encoding is only boundary-safe when no
+    * symbol can contain SEP, and a corpus byte that collided with it
+    * would silently corrupt symbol boundaries in a way the oracle —
+    * which mirrors this filter — could never detect. */
+  private def bpeWordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").contains("\u0001"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** [[bpeTrain]] with the greedy merge loop on the DRIVER — the path
+    * for REAL vocabularies: the distributed trainer pays one Spark job
+    * barrier per merge round (fine at an oracle's 6 rounds, hopeless at
+    * a tokenizer's 32k), but the table the rounds iterate over is only
+    * VOCABULARY-sized. So: ONE distributed word-count job, ONE bounded
+    * collect (`minFreq` cuts the long tail; `maxVocab` is the hard
+    * memory gate — raise `minFreq` rather than it), then the merge loop
+    * runs locally with semantics IDENTICAL to the distributed rounds —
+    * same pair counting over freq-weighted adjacent symbols, same
+    * winner tiebreak (count desc, then left/right symbol in UTF-8
+    * BYTE order, exactly Spark's string ordering), same left-to-right
+    * non-overlapping merge application ("aaa" → [aa, a]). At
+    * `minFreq = 1` the output is bit-identical to [[bpeTrain]]
+    * (equivalence pinned by spec); a higher cutoff is the standard
+    * trainer approximation that also bounds driver memory at 100 TB
+    * (a few million distinct frequent words, not corpus bytes). */
+  def bpeTrainLocal(docs: DataFrame, rounds: Int, minFreq: Long = 1L,
+                    maxVocab: Int = 4000000): DataFrame = {
+    val spark = docs.sparkSession
+    val vocab: Array[(Array[String], Long)] = bpeWordFreq(docs)
+      .filter(col("freq") >= minFreq)
+      .collect() // vocabulary-sized by construction (minFreq-bounded)
+      .map { r =>
+        val w = r.getString(0)
+        // initial symbols are CODE POINTS — regexp_replace's "(.)" in
+        // the distributed trainer splits the same way
+        val syms = w.codePoints().toArray.map(Character.toString)
+        (syms, r.getLong(1))
+      }
+    require(vocab.length <= maxVocab,
+      s"bpeTrainLocal: ${vocab.length} distinct words exceed maxVocab=" +
+        s"$maxVocab — raise minFreq (frequency cutoff) instead of the cap")
+    // UTF-8 byte order = UTF8String.compareTo = the distributed orderBy
+    def byteLt(a: String, b: String): Boolean =
+      graft.sources.TypedBounds.compareBytes(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8")) < 0
+    val words = vocab.map(_._1.toBuffer)
+    val freqs = vocab.map(_._2)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    while (r <= rounds) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var i = 0
+      while (i < words.length) {
+        val w = words(i)
+        var j = 0
+        while (j < w.length - 1) {
+          val k = (w(j), w(j + 1))
+          counts.merge(k, freqs(i), (a, b) => a + b)
+          j += 1
+        }
+        i += 1
+      }
+      require(!counts.isEmpty, s"BPE round $r: no pair left to merge")
+      var best: ((String, String), Long) = null
+      counts.forEach { (k, v) =>
+        if (best == null || v > best._2 ||
+            (v == best._2 && (byteLt(k._1, best._1._1) ||
+              (k._1 == best._1._1 && byteLt(k._2, best._1._2)))))
+          best = (k, v)
+      }
+      val ((l, rt), cnt) = best
+      merges += ((r, l, rt, l + rt, cnt))
+      // left-to-right non-overlapping application — the SEP-replace rule
+      i = 0
+      while (i < words.length) {
+        val w = words(i)
+        if (w.length >= 2) {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < w.length) {
+            if (j < w.length - 1 && w(j) == l && w(j + 1) == rt) {
+              out += l + rt; j += 2
+            } else { out += w(j); j += 1 }
+          }
+          if (out.length != w.length) { w.clear(); w ++= out }
+        }
+        i += 1
+      }
+      r += 1
+    }
+    import spark.implicits._
+    merges.result()
+      .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
   /** Apply learned BPE merges corpus-wide — the tokenizer's ENCODE half:
     * [[bpeTrain]] learns the merge table (vocabulary-sized loop), this
     * applies it to every document as PURE column expressions (per word:
@@ -287,7 +382,10 @@ object TextStats {
       merges.foldLeft(regexp_replace(w, "(.)", Sep + "$1")) {
         case (acc, (l, r)) => replace(acc, lit(Sep + l + Sep + r), lit(Sep + l + r))
       }
-    val ws = filter(words(col("text")), w => length(w) > 0)
+    // SEP-containing words are excluded exactly as the trainer excludes
+    // them (bpeWordFreq) — the boundary-safe replace is undefined on them
+    val ws = filter(words(col("text")),
+      w => length(w) > 0 && !w.contains(Sep))
     val tokensPerWord = transform(ws, w =>
       size(split(encodeWord(w), Sep)) - 1)
     docs

@@ -549,6 +549,16 @@ object LlmQueries {
     "llm_bpe_train" -> ((s, d) =>
       TextStats.bpeTrain(Tables.documents(s, d), rounds = 6)),
 
+    // The DRIVER-LOOP trainer for real vocabularies: one distributed
+    // word count + one bounded collect, then the greedy merge loop runs
+    // locally — rounds=32000 costs one job instead of 32k barriers. At
+    // minFreq=1 it is bit-identical to the distributed trainer (same
+    // pair counts, UTF-8-byte tiebreak, left-to-right merge), so it
+    // shares llm_bpe_train's oracle; the equivalence is also pinned
+    // head-to-head in LlmSpec.
+    "llm_bpe_train_fast" -> ((s, d) =>
+      TextStats.bpeTrainLocal(Tables.documents(s, d), rounds = 6)),
+
     // The tokenizer's ENCODE half: the 6 learned merges applied
     // corpus-wide as pure column expressions (per word: SEP-encode +
     // one boundary-safe replace per merge, in learned order) — no UDF,
@@ -1541,7 +1551,7 @@ s$k AS (SELECT replace(s, chr(1) || w.l || chr(1) || w.r, chr(1) || w.l || w.r) 
     s"""WITH wf AS (
   SELECT word, count(*) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-  WHERE len(word) > 0 GROUP BY word),
+  WHERE len(word) > 0 AND NOT contains(word, chr(1)) GROUP BY word),
 s0 AS (SELECT regexp_replace(word, '(.)', chr(1) || '\\1', 'g') AS s, freq FROM wf),
 $body"""
   }
@@ -1567,10 +1577,12 @@ $body"""
     s"""${bpeCtes(rounds)},
 per_doc AS (
   SELECT lang,
-         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+         CAST(len(list_filter(string_split(text, ' '),
+           w -> w <> '' AND NOT contains(w, chr(1)))) AS BIGINT)
            AS n_words,
          CAST(coalesce(list_sum(list_transform(
-           list_filter(string_split(text, ' '), w -> w <> ''),
+           list_filter(string_split(text, ' '),
+             w -> w <> '' AND NOT contains(w, chr(1))),
            w -> len(string_split($enc, chr(1))) - 1)), 0) AS BIGINT) AS n_tokens
   FROM documents, $winners)
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -2423,6 +2435,9 @@ FROM per p JOIN lt l ON l.source = p.source""",
     // encoding, same count-desc/pair-asc tiebreak, same left-to-right
     // replace) — generated by bpeTrainOracle below
     "llm_bpe_train" -> bpeTrainOracle(6),
+
+    // driver-loop trainer: same merge table, same oracle replay
+    "llm_bpe_train_fast" -> bpeTrainOracle(6),
 
     "llm_bpe_encode" -> bpeEncodeOracle(6),
 

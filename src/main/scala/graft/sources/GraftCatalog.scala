@@ -393,6 +393,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   *    the tip into ~target-sized files, optionally range-clustered on a
   *    column (tight per-file bands for the skipping index), published
   *    as a dataChange=false version;
+  *  - `compact_deletes(table)` — fold accumulated merge-on-read delete
+  *    files into one per applicability class, NO data file touched (the
+  *    cheap step between full compactions);
   *  - `vacuum(table, keep_last)` — drop data files and manifests
   *    outside the retained suffix;
   *  - `rollback(table, version)` — roll FORWARD to an old version's

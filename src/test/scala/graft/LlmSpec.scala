@@ -28,6 +28,39 @@ class LlmSpec extends SparkSpec {
     assert(m(2) == ((3, "aaab", 3L)), s"round 3: ${m(2)}")
   }
 
+  test("bpeTrainLocal (driver merge loop) is bit-identical to the distributed trainer") {
+    // the real testdata corpus at sf0.001: tie-breaks, code-point
+    // splitting and left-to-right application must all agree
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dist = TextStats.bpeTrain(corpus, rounds = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val local = TextStats.bpeTrainLocal(corpus, rounds = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(local == dist, s"driver loop diverged:\nlocal=$local\ndist =$dist")
+    // minFreq gates the collect, maxVocab refuses rather than OOMs
+    val e = intercept[IllegalArgumentException](
+      TextStats.bpeTrainLocal(corpus, rounds = 1, minFreq = 1L, maxVocab = 3))
+    assert(e.getMessage.contains("minFreq"))
+  }
+
+  test("SEP-containing words are DROPPED by both BPE trainers, not silently corrupted") {
+    // a word carrying the U+0001 control byte would break the
+    // boundary-safe replace; the word-frequency filter excludes it on
+    // trainer and encoder alike, so the merge table sees only clean words
+    val tainted = Seq((1L, "aaab aaab aaab aaa aaa"),
+      (2L, Seq.fill(6)("aa\u0001ab").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = TextStats.bpeTrain(tainted, rounds = 1)
+      .collect().map(r => (r.getString(3), r.getLong(4)))
+    assert(m.head == (("aa", 10L)),
+      s"the tainted word's pairs must not dominate round 1: ${m.head}")
+    val l = TextStats.bpeTrainLocal(tainted, rounds = 1)
+      .collect().map(r => (r.getString(3), r.getLong(4)))
+    assert(l.head == (("aa", 10L)))
+  }
+
   test("exact dedup keeps min doc_id per text") {
     val groups = Dedup.exactDupGroups(docs).collect()
     assert(groups.length == 1 && groups(0).getAs[Long]("canonical_id") == 1L

@@ -144,9 +144,17 @@ class ManifestGroupsSpec extends SparkSpec {
     // every intermediate version is consistent through the encoding
     assert(t.history().map(_.rows) == (1L to 12L).map(_ * 2))
     (1 to 12).foreach(v => assert(t.read(v.toLong).count() == 2L * v))
-    // the racing commits really did produce a grouped tip (losers'
-    // orphan groups are fine — vacuum sweeps them age-gated)
+    // the racing commits really did produce a grouped tip
     assert(t.snapshot(12L).groupRefs.nonEmpty)
+    // lost publish races clean up after themselves: every group file on
+    // disk is referenced by some retained manifest — no orphans left for
+    // vacuum (a contended table used to strand up to one per collision)
+    val referenced = (1L to 12L).flatMap(v => t.snapshot(v).groupRefs).toSet
+    val onDisk = new java.io.File(s"$root/_snapshots").listFiles()
+      .map(_.getName).filter(n => n.startsWith("g") && n.endsWith(".json") &&
+        !n.startsWith("h")).toSet
+    assert((onDisk -- referenced).isEmpty,
+      s"orphan group files after contention: ${onDisk -- referenced}")
   }
 
   test("streaming source and exactly-once sink work over grouped manifests") {
