@@ -63,8 +63,18 @@ object MaintBench {
     // ---- 2. BPE: driver loop vs distributed per-round cost ----
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.count() // warm the scan
-    val (localTable, localMs) =
-      timed(graft.llm.TextStats.bpeTrainLocal(docs, bpeRounds).collect())
+    // a small corpus can EXHAUST its mergeable pairs before bpeRounds
+    // (every word fully merged) — both trainers raise there by design;
+    // the probe degrades to the achievable round count and reports it
+    def trainLocal(r: Int): (Array[org.apache.spark.sql.Row], Long) =
+      try timed(graft.llm.TextStats.bpeTrainLocal(docs, r).collect())
+      catch {
+        case e: IllegalArgumentException if e.getMessage.contains("no pair left") =>
+          val failed = "round (\\d+)".r.findFirstMatchIn(e.getMessage)
+            .map(_.group(1).toInt).getOrElse(r)
+          trainLocal(failed - 1)
+      }
+    val (localTable, localMs) = trainLocal(bpeRounds)
     val distRounds = 8
     val (_, distMs) =
       timed(graft.llm.TextStats.bpeTrain(docs, distRounds).collect())
@@ -76,7 +86,7 @@ object MaintBench {
       |"delete_files_before":$nBefore,"delete_files_after":$nAfter,
       |"read_before_ms":$readBeforeMs,"read_after_ms":$readAfterMs,
       |"fold_ms":$foldMs,"rows":$cntAfter,
-      |"bpe_rounds":$bpeRounds,"bpe_merges":${localTable.length},
+      |"bpe_rounds_asked":$bpeRounds,"bpe_merges":${localTable.length},
       |"bpe_local_ms":$localMs,
       |"bpe_dist_rounds_measured":$distRounds,"bpe_dist_ms":$distMs,
       |"bpe_dist_extrapolated_s":${f"$distExtrapolatedS%.1f"}}"""
