@@ -930,7 +930,14 @@ class SnapshotTable(spark: SparkSession, root: String,
     * the WRITTEN files, not a second scan of the input. Stats cost one
     * aggregate pass grouped by `input_file_name()` over the freshly
     * written commit dir only. */
-  private def writeDataFiles(df: DataFrame): (FileSet, Long) = {
+  private def writeDataFiles(df: DataFrame): (FileSet, Long) =
+    writeDataFiles(df, tableBandsV)
+
+  /** [[writeDataFiles]] folding band keys under an EXPLICIT semantics
+    * version — only [[compact]]'s legacy-upgrade path passes anything
+    * but the table's own version (a full rewrite recomputes every
+    * file's stats, so it may re-key them all consistently). */
+  private def writeDataFiles(df: DataFrame, bandsV: Int): (FileSet, Long) = {
     val commitId = java.util.UUID.randomUUID().toString
     val dir = new Path(dataDir, commitId)
     // column-mapped tables store PHYSICAL names in every data file:
@@ -982,9 +989,8 @@ class SnapshotTable(spark: SparkSession, root: String,
         val aggExprs = presentCols.flatMap(c => Seq(
           min(col(c)), max(col(c)),
           sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L)))))
-        val bv = tableBandsV
         def keyOr(v: Any, unknown: Long): Long =
-          Option(v).flatMap(BandKeys.valueKey(_, bv).map(_._1)).getOrElse(unknown)
+          Option(v).flatMap(BandKeys.valueKey(_, bandsV).map(_._1)).getOrElse(unknown)
         // typed bounds ride the same collected min/max: for STRING stats
         // columns the aggregate value IS the extremum — encode it
         // (size-gated) so the manifest can SERVE min/max, not just prune
@@ -1427,13 +1433,16 @@ class SnapshotTable(spark: SparkSession, root: String,
     * inside whole-stage codegen — no UDF anywhere in a row-level
     * rewrite's hot path. */
   private[graft] def bandKeyCol(df: DataFrame, column: String)
+      : org.apache.spark.sql.Column = bandKeyCol(df, column, tableBandsV)
+
+  private[graft] def bandKeyCol(df: DataFrame, column: String, bandsV: Int)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, expr, unix_date, unix_micros}
     df.schema.fields.find(_.name == column).map(_.dataType) match {
       case Some(org.apache.spark.sql.types.DateType) =>
         unix_date(col(column)).cast("long")
       case Some(org.apache.spark.sql.types.TimestampType) =>
-        if (tableBandsV >= 2) unix_micros(col(column))
+        if (bandsV >= 2) unix_micros(col(column))
         else col(column).cast("long")
       case Some(org.apache.spark.sql.types.StringType) =>
         expr(s"CAST(CAST(conv(hex(rpad(encode(`$column`, 'UTF-8'), 8, X'00')), " +
@@ -1465,7 +1474,9 @@ class SnapshotTable(spark: SparkSession, root: String,
     val base =
       if (keep.isEmpty) read(v).limit(0)
       else morPlan(snap, keep, mergeSchema = false)
-    base.filter(bandKeyCol(base, column).between(lo, hi))
+    // the residual filter keys under the READ manifest's semantics —
+    // a version below a band upgrade keeps its own key space
+    base.filter(bandKeyCol(base, column, snap.bandsV).between(lo, hi))
   }
 
   /** Manifest-pruned read for the DSv2 batch connector: keep only files
@@ -1515,14 +1526,15 @@ class SnapshotTable(spark: SparkSession, root: String,
     * concurrent writer's rows). Non-collision failures propagate. */
   private def publishAtBase(base: Long, action: String, fls: FileSet,
                             rowCount: Long, schemaJson: Option[String],
-                            dataChange: Boolean = true): Option[Long] = {
+                            dataChange: Boolean = true,
+                            bandsVOverride: Option[Int] = None): Option[Long] = {
     val v = base + 1
     val ensured = ensureLens(fls)
     val baseSnap = if (base == 0) None else Some(snapshot(base))
     val (refs, _, inline) = encodeGroups(baseSnap, ensured)
     val body = manifestBody(v, action, base, rowCount, inline, schemaJson,
       batchId = -1L, dataChange = dataChange, groupRefs = refs,
-      bandsV = inheritedBandsV(baseSnap))
+      bandsV = bandsVOverride.getOrElse(inheritedBandsV(baseSnap)))
     fs.mkdirs(snapsDir)
     try {
       store.writeExclusive(fs, manifestPath(v), body.getBytes("UTF-8"))
@@ -1739,14 +1751,15 @@ class SnapshotTable(spark: SparkSession, root: String,
         else {
           val str = morPlan(snap, straddleIdx, mergeSchema = false)
           writeDataFiles(str.filter(
-            !(bandKeyCol(str, column).between(lo, hi) <=> true)))
+            !(bandKeyCol(str, column, snap.bandsV).between(lo, hi) <=> true)),
+            snap.bandsV)
         }
       val affectedIdx = prev.files.indices.diff(keepIdx)
       val removed =
         if (affectedIdx.isEmpty) 0L
         else {
           val aff = morPlan(snap, affectedIdx, mergeSchema = false)
-          aff.filter(bandKeyCol(aff, column).between(lo, hi)).count()
+          aff.filter(bandKeyCol(aff, column, snap.bandsV).between(lo, hi)).count()
         }
       // kept rows outside the range in straddlers move to the rewrite;
       // net row delta = batch - rows removed from the range
@@ -2553,7 +2566,14 @@ class SnapshotTable(spark: SparkSession, root: String,
     * tight, near-disjoint band of the column — the manifest's min/max
     * stats then make [[readRange]] plan O(matching files) and
     * [[commitReplaceWhere]] manifest-only (no straddlers). Maintenance
-    * chooses layout; readers and writers are unchanged. */
+    * chooses layout; readers and writers are unchanged.
+    *
+    * Compaction is ALSO the band-semantics upgrade point: a full
+    * rewrite recomputes every live file's stats, so a legacy bandsV-1
+    * table re-keys them under the CURRENT semantics and publishes the
+    * marker — the one safe place to migrate (partial upgrades would mix
+    * key spaces inside one manifest's carried-forward stats). Time
+    * travel below the compaction keeps the old manifests' v1 rules. */
   def compact(targetRowsPerFile: Long,
               clusterBy: Option[String]): Long = {
     var attempts = 0
@@ -2576,10 +2596,11 @@ class SnapshotTable(spark: SparkSession, root: String,
       // as commitRewrite): a blind retry at a new base would re-list the
       // stale compacted content and erase a concurrent commit's rows —
       // worse here, tagged dataChange=false so no feed ever corrects it.
-      val (raw, rows) = writeDataFiles(arranged)
+      val (raw, rows) = writeDataFiles(arranged, BandKeys.CurrentBandsV)
       val fls = raw.copy(seqs = Seq.fill(raw.files.length)(base + 1))
       publishAtBase(base, "compact", fls, rows, snapBase.schemaJson,
-        dataChange = false) match {
+        dataChange = false,
+        bandsVOverride = Some(BandKeys.CurrentBandsV)) match {
         case Some(v) => return v
         case None => // lost the race: drop this attempt's files, re-read tip
           raw.files.map(_.split('/').head).distinct.foreach(uuid =>
