@@ -810,6 +810,38 @@ object MiscQueries {
           lit(total >= 3).as("multi_file"), col("n_rows"), col("total_cents"))
     }),
 
+    // SELECTIVE small-file compaction: the 100 TB maintenance op — one
+    // big file plus three small appends (the streaming-sink debris
+    // shape); compactFiles rewrites ONLY the sub-threshold files off
+    // the manifest's recorded lengths and re-lists the big file BY
+    // IDENTITY (big_untouched pinned). files 4 -> 2, values identical
+    // across the fold, dataChange=false.
+    "misc_snapshot_small_compact" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_smallcomp").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("k"))
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      // the big file: everything except the three tiny fixed key slices
+      t.commitAppend(o.filter(col("k") % 4 =!= 0 || col("k") >= 600)
+        .repartition(1))
+      (0 to 2).foreach(m => // three small debris files, deterministic keys
+        t.commitAppend(o.filter(col("k") % 4 === 0 && col("k") < 600 &&
+          col("k") % 3 === m).repartition(1)))
+      val before = t.snapshot(t.latestVersion())
+      val bigFile = before.files.head
+      def legs(tag: String, files: Int, untouched: Boolean) =
+        t.read().agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(tag).as("leg"), lit(files).as("n_files"),
+            lit(untouched).as("big_untouched"), col("n_rows"), col("total_cents"))
+      val pre = legs("before", before.files.length, untouched = true)
+      val v = t.compactFiles(minFileBytes = 32 * 1024,
+        targetFileBytes = 128L * 1024 * 1024)
+      val after = t.snapshot(v)
+      val post = legs("after", after.files.length,
+        after.files.contains(bigFile) && !after.dataChange)
+      pre.unionByName(post)
+    }),
+
     // MINOR compaction of MOR delete files: four equality-delete
     // statements accrue four delete files every reader anti-joins;
     // compactDeletes folds them to ONE with no data file touched
@@ -2891,6 +2923,19 @@ SELECT CAST(TRUE AS BOOLEAN) AS files_pruned, CAST(TRUE AS BOOLEAN) AS multi_fil
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'""",
+
+    "misc_snapshot_small_compact" -> """
+WITH t AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT 'before' AS leg, CAST(4 AS INTEGER) AS n_files,
+       CAST(TRUE AS BOOLEAN) AS big_untouched,
+       CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents
+FROM t
+UNION ALL
+SELECT 'after', CAST(2 AS INTEGER), CAST(TRUE AS BOOLEAN),
+       CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+FROM t""",
 
     "misc_snapshot_mor_compact" -> """
 WITH kept AS (

@@ -407,7 +407,8 @@ private[sources] object GraftProcedures {
   import org.apache.spark.sql.connector.read.Scan
   import org.apache.spark.sql.types.{DataTypes, StructField}
 
-  val names: Array[String] = Array("compact", "compact_deletes", "vacuum", "rollback")
+  val names: Array[String] =
+    Array("compact", "compact_files", "compact_deletes", "vacuum", "rollback")
 
   def load(name: String, catalog: GraftCatalog,
            handleFor: String => SnapshotTable): UnboundProcedure = name match {
@@ -424,6 +425,23 @@ private[sources] object GraftProcedures {
           val t = handleFor(in.getString(0))
           val cluster = if (in.isNullAt(2)) None else Some(in.getString(2))
           Seq(t.compact(in.getLong(1), cluster))
+      }
+    case "compact_files" =>
+      proc("compact_files", "rewrite ONLY the data files under " +
+        "min_file_bytes into ~target_file_bytes files, re-listing every " +
+        "other file untouched — O(debris), the routine upkeep a full " +
+        "compact cannot be at scale",
+        Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("min_file_bytes", DataTypes.LongType).build(),
+          ProcedureParameter.in("target_file_bytes", DataTypes.LongType).build()),
+        StructType(Seq(
+          StructField("version", DataTypes.LongType, nullable = false),
+          StructField("files", DataTypes.LongType, nullable = false)))) {
+        in =>
+          val t = handleFor(in.getString(0))
+          val v = t.compactFiles(in.getLong(1), in.getLong(2))
+          Seq(v, t.snapshot(v).files.length.toLong)
       }
     case "compact_deletes" =>
       proc("compact_deletes", "fold accumulated merge-on-read delete " +

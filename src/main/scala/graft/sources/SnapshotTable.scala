@@ -2611,6 +2611,66 @@ class SnapshotTable(spark: SparkSession, root: String,
     sys.error(s"compact at $root: gave up after $attempts conflicts")
   }
 
+  /** SELECTIVE small-file compaction — the maintenance op that survives
+    * 100 TB: [[compact]] rewrites the whole table (right for layout
+    * changes and the band upgrade, impossible as routine upkeep), this
+    * rewrites ONLY the files whose manifest-recorded length is under
+    * `minFileBytes` (zero filesystem calls to decide — the manifest IS
+    * the listing) and re-lists every other file untouched BY IDENTITY.
+    * A streaming sink's small-file debris folds away at O(debris), not
+    * O(table).
+    *
+    * The rewritten subset is read THROUGH any MOR deletes (absorbing
+    * them for those files only — the replacement files take sequence
+    * `base + 1`, newer than every delete, while kept files keep their
+    * sequences so the retained delete files still apply to them).
+    * Output sizing comes from the known byte total:
+    * ceil(Σ small bytes / targetFileBytes) files. Published
+    * `dataChange=false` (same contents — feeds skip it); bandsV is
+    * INHERITED, never upgraded (a partial rewrite must not mix key
+    * spaces — only the full [[compact]] may migrate). Returns the new
+    * version, or the tip when fewer than two files qualify. */
+  def compactFiles(minFileBytes: Long, targetFileBytes: Long): Long = {
+    require(minFileBytes > 0 && targetFileBytes > 0,
+      s"compactFiles needs positive thresholds; got ($minFileBytes, $targetFileBytes)")
+    var attempts = 0
+    while (attempts < 50) {
+      val base = latestVersion()
+      require(base > 0, s"nothing to compact at $root")
+      val snapBase = snapshot(base)
+      val fl = fileSetOf(snapBase)
+      val lens = alignLens(fl.lens, fl.files.length)
+      // unknown lengths (-1, pre-lens manifests) can't prove "small":
+      // they stay kept — conservative, and the next commit records them
+      val smallIdx = fl.files.indices
+        .filter(i => lens(i) >= 0L && lens(i) < minFileBytes)
+      if (smallIdx.length <= 1) return base
+      val keptIdx = fl.files.indices.filterNot(smallIdx.contains)
+      val smallBytes = smallIdx.map(lens).sum
+      val n = math.max(1L, (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val (raw, _) =
+        writeDataFiles(morPlan(snapBase, smallIdx, mergeSchema = false)
+          .repartition(n))
+      val fls = FileSet(
+        files = keptIdx.map(fl.files) ++ raw.files,
+        stats = concatStats(sliceStats(fl.stats, keptIdx), raw.stats),
+        seqs = keptIdx.map(fl.seqs) ++ Seq.fill(raw.files.length)(base + 1),
+        deletes = fl.deletes, deleteSeqs = fl.deleteSeqs,
+        deleteKey = fl.deleteKey,
+        lens = keptIdx.map(lens) ++ alignLens(raw.lens, raw.files.length),
+        deleteLens = fl.deleteLens)
+      publishAtBase(base, "compact", fls, snapBase.rows, snapBase.schemaJson,
+        dataChange = false) match {
+        case Some(v) => return v
+        case None => // lost the race: drop this attempt's files, re-read tip
+          raw.files.map(_.split('/').head).distinct.foreach(uuid =>
+            fs.delete(new Path(dataDir, uuid), true))
+          attempts += 1
+      }
+    }
+    sys.error(s"compactFiles at $root: gave up after $attempts conflicts")
+  }
+
   /** MINOR compaction: fold the accumulated merge-on-read delete files
     * into ONE file per applicability class — NO data file is read or
     * written, so this is the cheap maintenance step between full

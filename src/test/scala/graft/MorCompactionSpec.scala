@@ -61,6 +61,51 @@ class MorCompactionSpec extends SparkSpec {
     assert(t.read().select("s").as[String].collect().toSeq == Seq("a2"))
   }
 
+  test("compactFiles rewrites ONLY sub-threshold files; big files survive by identity") {
+    val root = freshRoot("smallfiles")
+    val t = new SnapshotTable(spark, root, statsCols = Seq("k"))
+    // one big file, then a stream of small appends (the sink-debris shape)
+    t.commitAppend(spark.range(1L, 50001L).select(col("id").as("k"),
+      (col("id") * 3).as("v")).repartition(1))
+    (0 until 5).foreach(i =>
+      t.commitAppend(Seq((100000L + i, 7L)).toDF("k", "v").repartition(1)))
+    val before = t.snapshot(t.latestVersion())
+    assert(before.files.length == 6)
+    val bigFile = before.files.head // the 50k-row file (first committed)
+    // a MOR delete straddles the fold: it must stay correct through it
+    t.commitDeleteByKey(Seq(Tuple1(100001L)).toDF("k"), Seq("k"))
+    val v = t.compactFiles(minFileBytes = 100 * 1024, targetFileBytes = 128 * 1024 * 1024)
+    val after = t.snapshot(v)
+    assert(after.files.contains(bigFile),
+      "the big file must be re-listed by identity, never rewritten")
+    assert(after.files.length == 2,
+      s"5 small files must fold into one: ${after.files.length}")
+    assert(!after.dataChange && after.rows == before.rows - 1)
+    // contents exact: deleted row stays gone, everything else survives
+    assert(t.read().filter(col("k") >= 100000L).select("k").as[Long]
+      .collect().toSet == Set(100000L, 100002L, 100003L, 100004L))
+    assert(t.read().count() == 50004L)
+    // idempotent: one small file left -> no further version
+    assert(t.compactFiles(100 * 1024, 128 * 1024 * 1024) == v)
+    // partial rewrites NEVER upgrade band semantics (inherit only)
+    assert(after.bandsV == before.bandsV)
+  }
+
+  test("CALL system.compact_files folds sink debris by name") {
+    val wh = freshRoot("sqlsmall")
+    spark.conf.set("spark.sql.catalog.gcf", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcf.db")
+    spark.sql("CREATE TABLE gcf.db.t (k BIGINT, v BIGINT) USING `graft-snapshot` " +
+      "TBLPROPERTIES('stats_cols'='k')")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO gcf.db.t VALUES ($i, ${i * 10})"))
+    val row = spark.sql(
+      "CALL gcf.system.compact_files('db.t', 1048576, 134217728)").collect().head
+    assert(row.getLong(1) == 1L, s"4 tiny inserts must fold to 1 file: ${row.getLong(1)}")
+    assert(spark.table("gcf.db.t").count() == 4L)
+    assert(spark.table("gcf.db.t").agg(sum(col("v"))).as[Long].collect().head == 100L)
+  }
+
   test("CALL system.compact_deletes folds a SQL MOR table's delete files") {
     val wh = freshRoot("sqlfold")
     spark.conf.set("spark.sql.catalog.gmc", "graft.sources.GraftCatalog")
