@@ -136,6 +136,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(missing.isEmpty,
           s"write.cluster.by columns ${missing.mkString(",")} not in the " +
             s"table schema (${fields.mkString(",")})")
+      case "write.delete.compact.at" =>
+        require(scala.util.Try(value.toInt).toOption.exists(_ >= 2),
+          s"write.delete.compact.at must be an integer >= 2 (delete-file " +
+            s"count that triggers an automatic fold); got '$value'")
       case _ => ()
     }
 
@@ -155,6 +159,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(missing.isEmpty,
           s"$key columns ${missing.mkString(",")} not in the table schema " +
             s"(${schema.fieldNames.mkString(",")})")
+      case "write.delete.compact.at" =>
+        require(scala.util.Try(value.toInt).toOption.exists(_ >= 2),
+          s"write.delete.compact.at must be an integer >= 2 (delete-file " +
+            s"count that triggers an automatic fold); got '$value'")
       case _ => ()
     }
 
@@ -408,7 +416,8 @@ private[sources] object GraftProcedures {
   import org.apache.spark.sql.types.{DataTypes, StructField}
 
   val names: Array[String] =
-    Array("compact", "compact_files", "compact_deletes", "vacuum", "rollback")
+    Array("compact", "compact_files", "compact_deletes", "vacuum",
+      "expire_snapshots", "rollback")
 
   def load(name: String, catalog: GraftCatalog,
            handleFor: String => SnapshotTable): UnboundProcedure = name match {
@@ -470,6 +479,22 @@ private[sources] object GraftProcedures {
           t.vacuum(in.getInt(1))
           val tip = t.latestVersion()
           Seq(tip, t.history().length.toLong)
+      }
+    case "expire_snapshots" =>
+      proc("expire_snapshots", "drop versions committed before " +
+        "older_than_ms (epoch millis, clock-skew-adjusted; the tip always " +
+        "survives) and vacuum their unreachable files — retention as a " +
+        "wall-clock contract",
+        Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("older_than_ms", DataTypes.LongType).build()),
+        StructType(Seq(
+          StructField("tip", DataTypes.LongType, nullable = false),
+          StructField("retained", DataTypes.LongType, nullable = false)))) {
+        in =>
+          val t = handleFor(in.getString(0))
+          val retained = t.expireSnapshots(in.getLong(1))
+          Seq(t.latestVersion(), retained.toLong)
       }
     case "rollback" =>
       proc("rollback", "publish an old version's contents as a NEW " +

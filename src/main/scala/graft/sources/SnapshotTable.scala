@@ -2837,6 +2837,30 @@ class SnapshotTable(spark: SparkSession, root: String,
 
   private[sources] def hadoopFs: FileSystem = fs
 
+  /** TIME-based retention (the public formats' expire-snapshots shape):
+    * drop every version whose commit timestamp is older than
+    * `olderThanMillis` — clock-skew-adjusted exactly like
+    * [[versionAsOf]] (running max over the chain, so a version never
+    * expires "before" its predecessor) — always keeping at least the
+    * tip, then [[vacuum]] the now-unreachable data files and manifests.
+    * Retention policy as a wall-clock contract ("keep 7 days") instead
+    * of a version count the operator must translate. Returns the number
+    * of versions retained. */
+  def expireSnapshots(olderThanMillis: Long): Int = {
+    val h = history()
+    if (h.isEmpty) return 0
+    val tip = h.map(_.version).max
+    var running = Long.MinValue
+    var maxExpirable = 0L
+    h.sortBy(_.version).foreach { s =>
+      running = math.max(running, s.ts)
+      if (running < olderThanMillis && s.version < tip) maxExpirable = s.version
+    }
+    val keepLast = math.max(1L, tip - maxExpirable).toInt
+    vacuum(keepLast)
+    keepLast
+  }
+
   /** Delete data files unreachable from the last `keepLast` manifests and
     * drop the older manifests. Bounded metadata scan — cost scales with
     * history length and file count, never data volume. */

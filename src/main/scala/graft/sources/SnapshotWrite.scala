@@ -66,6 +66,29 @@ object SnapshotWrite {
     if (known) Some((msgs.map(_.mins(0)).min, msgs.map(_.maxs(0)).max))
     else None
   }
+
+  /** Post-DML auto-maintenance (`write.delete.compact.at = N`): once the
+    * tip carries >= N delete files, fold them ([[SnapshotTable
+    * .compactDeletes]]). Runs AFTER the statement's commit published —
+    * the DML has succeeded, so a maintenance failure (e.g. a lost fold
+    * race after 50 retries) is reported, never propagated: failing a
+    * committed statement over its housekeeping would be a lie. */
+  private[sources] def maybeAutoCompactDeletes(table: SnapshotTable,
+                                               threshold: Option[Int]): Unit =
+    threshold.foreach { n =>
+      try {
+        val tip = table.latestVersion()
+        if (tip > 0 && table.snapshot(tip).deletes.length >= n) {
+          table.compactDeletes()
+          ()
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] auto compact_deletes skipped (statement already " +
+              s"committed): ${e.getMessage}")
+      }
+    }
 }
 
 /** One committed data file + its inline-folded stats, aligned with the
@@ -373,8 +396,13 @@ class GraftSnapshotRowLevelBuilder(spark: SparkSession, root: String,
       require(keyCols.nonEmpty,
         s"$modeKey='merge-on-read' at $root needs " +
           "write.delete.key = '<col>[,<col>…]' (a row-unique equality key)")
+      // optional auto-maintenance: fold delete files past a threshold,
+      // AFTER the statement commits (DDL-validated integer)
+      val autoAt = props.get("write.delete.compact.at")
+        .flatMap(v => scala.util.Try(v.toInt).toOption)
       if (info.command() == RowLevelOperation.Command.DELETE)
-        new GraftSnapshotDeltaDeleteOperation(spark, root, statsCols, keyCols)
+        new GraftSnapshotDeltaDeleteOperation(spark, root, statsCols, keyCols,
+          autoAt)
       else
         // UPDATE/MERGE as equality-delete + append in ONE delta commit.
         // Sequencing stays correct when the same key is touched twice
@@ -384,7 +412,7 @@ class GraftSnapshotRowLevelBuilder(spark: SparkSession, root: String,
         // removed while this statement's replacement (same seq as the
         // delete) survives — the Iceberg v2 rule, exercised by spec.
         new GraftSnapshotDeltaRowOperation(spark, root, statsCols, keyCols,
-          info.command())
+          info.command(), autoAt)
     } else {
       new GraftSnapshotRowLevelOperation(spark, root, statsCols, info.command())
     }
@@ -458,7 +486,8 @@ class GraftSnapshotRowLevelOperation(spark: SparkSession, root: String,
   * than deleting rows the statement never named. */
 class GraftSnapshotDeltaDeleteOperation(spark: SparkSession, root: String,
                                         statsCols: Seq[String],
-                                        keyCols: Seq[String])
+                                        keyCols: Seq[String],
+                                        autoCompactAt: Option[Int] = None)
     extends RowLevelOperation with SupportsDelta {
   private val table = new SnapshotTable(spark, root, statsCols)
   private val base = table.latestVersion()
@@ -487,7 +516,7 @@ class GraftSnapshotDeltaDeleteOperation(spark: SparkSession, root: String,
               StructType(keyCols.map(c => full.fields(full.fieldNames.indexOf(c))))
             }
           new SnapshotDeltaDeleteBatchWrite(spark, root, statsCols, keyCols,
-            keySchema, base)
+            keySchema, base, autoCompactAt)
         }
       }
     }
@@ -504,7 +533,8 @@ class GraftSnapshotDeltaDeleteOperation(spark: SparkSession, root: String,
   * nothing publishes no version. */
 class SnapshotDeltaDeleteBatchWrite(spark: SparkSession, root: String,
                                     statsCols: Seq[String], keyCols: Seq[String],
-                                    keySchema: StructType, base: Long)
+                                    keySchema: StructType, base: Long,
+                                    autoCompactAt: Option[Int] = None)
     extends DeltaBatchWrite {
   private val commitUuid = java.util.UUID.randomUUID().toString
   private def dataDir = new Path(root, "data")
@@ -541,6 +571,7 @@ class SnapshotDeltaDeleteBatchWrite(spark: SparkSession, root: String,
             "while the statement ran (concurrent writer); re-run the " +
             "statement against the new snapshot")
       }
+    SnapshotWrite.maybeAutoCompactDeletes(table, autoCompactAt)
     ()
   }
 
@@ -606,7 +637,8 @@ case class SnapshotDeltaWriterFactory(dataDir: String, commitUuid: String,
 class GraftSnapshotDeltaRowOperation(spark: SparkSession, root: String,
                                      statsCols: Seq[String],
                                      keyCols: Seq[String],
-                                     cmd: RowLevelOperation.Command)
+                                     cmd: RowLevelOperation.Command,
+                                     autoCompactAt: Option[Int] = None)
     extends RowLevelOperation with SupportsDelta {
   private val table = new SnapshotTable(spark, root, statsCols)
   private val base = table.latestVersion()
@@ -634,7 +666,8 @@ class GraftSnapshotDeltaRowOperation(spark: SparkSession, root: String,
               StructType(keyCols.map(c => full.fields(full.fieldNames.indexOf(c))))
             }
           new SnapshotDeltaRowBatchWrite(spark, root, statsCols, keyCols,
-            keySchema, info.schema(), base, s"${cmd.name.toLowerCase}_mor")
+            keySchema, info.schema(), base, s"${cmd.name.toLowerCase}_mor",
+            autoCompactAt)
         }
       }
     }
@@ -661,7 +694,8 @@ case class SnapshotDeltaRowMessage(key: SnapshotWriteMessage,
 class SnapshotDeltaRowBatchWrite(spark: SparkSession, root: String,
                                  statsCols: Seq[String], keyCols: Seq[String],
                                  keySchema: StructType, rowSchema: StructType,
-                                 base: Long, action: String)
+                                 base: Long, action: String,
+                                 autoCompactAt: Option[Int] = None)
     extends DeltaBatchWrite {
   private val commitUuid = java.util.UUID.randomUUID().toString
   private def dataDir = new Path(root, "data")
@@ -714,6 +748,7 @@ class SnapshotDeltaRowBatchWrite(spark: SparkSession, root: String,
             s"v$base while the statement ran (concurrent writer); re-run " +
             "the statement against the new snapshot")
       }
+    SnapshotWrite.maybeAutoCompactDeletes(table, autoCompactAt)
     ()
   }
 

@@ -106,6 +106,67 @@ class MorCompactionSpec extends SparkSpec {
     assert(spark.table("gcf.db.t").agg(sum(col("v"))).as[Long].collect().head == 100L)
   }
 
+  test("write.delete.compact.at auto-folds delete files after the threshold DML") {
+    val wh = freshRoot("autofold")
+    spark.conf.set("spark.sql.catalog.gaf", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gaf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gaf.db")
+    // threshold validation is DDL-loud
+    val bad = intercept[Exception](spark.sql(
+      "CREATE TABLE gaf.db.bad (k BIGINT) USING `graft-snapshot` " +
+        "TBLPROPERTIES('write.delete.compact.at'='one')"))
+    assert(bad.getMessage.contains("write.delete.compact.at"), bad.getMessage)
+    spark.sql("CREATE TABLE gaf.db.t (k BIGINT, v BIGINT) USING `graft-snapshot` " +
+      "TBLPROPERTIES('stats_cols'='k', 'write.delete.mode'='merge-on-read', " +
+      "'write.delete.key'='k', 'write.delete.compact.at'='3')")
+    spark.sql("INSERT INTO gaf.db.t SELECT id, id * 10 FROM range(1, 21)")
+    val t = new SnapshotTable(spark, s"$wh/db/t", Seq("k"))
+    spark.sql("DELETE FROM gaf.db.t WHERE k = 1")
+    spark.sql("DELETE FROM gaf.db.t WHERE k = 2")
+    assert(t.snapshot(t.latestVersion()).deletes.length == 2,
+      "below the threshold: no fold yet")
+    spark.sql("DELETE FROM gaf.db.t WHERE k = 3") // third file trips the fold
+    val tip = t.snapshot(t.latestVersion())
+    assert(tip.deletes.length == 1,
+      s"the 3rd MOR DELETE must auto-fold to 1 delete file: ${tip.deletes.length}")
+    assert(tip.action == "compact_deletes" && !tip.dataChange)
+    assert(spark.table("gaf.db.t").count() == 17L)
+    assert(spark.table("gaf.db.t").agg(min(col("k"))).as[Long].collect().head == 4L)
+  }
+
+  test("expire_snapshots drops versions older than a wall-clock cutoff, tip survives") {
+    val root = freshRoot("expire")
+    val t = new SnapshotTable(spark, root, statsCols = Seq("k"))
+    (1 to 4).foreach(i =>
+      t.commitAppend(Seq((i.toLong, i.toLong * 10)).toDF("k", "v").repartition(1)))
+    val h = t.history()
+    // cutoff strictly after v2's commit: v1-v2 expire, v3-v4 stay
+    val cutoff = h.find(_.version == 3L).get.ts
+    val retained = t.expireSnapshots(cutoff)
+    assert(retained == 2, s"expected 2 retained versions, got $retained")
+    assert(t.history().map(_.version) == Seq(3L, 4L))
+    // tip contents intact; expired versions no longer readable from a
+    // FRESH handle (a live handle may still serve them from its
+    // immutable-manifest cache — vacuum is GC, not a semantic change)
+    assert(t.read().count() == 4L)
+    intercept[Exception](
+      new SnapshotTable(spark, root, statsCols = Seq("k")).read(1L).count())
+    // a cutoff in the future still keeps the tip (never expire everything)
+    val kept = t.expireSnapshots(System.currentTimeMillis() + 3600L * 1000)
+    assert(kept == 1 && t.read().count() == 4L)
+    // SQL surface
+    val wh = freshRoot("expiresql")
+    spark.conf.set("spark.sql.catalog.gex", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gex.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gex.db")
+    spark.sql("CREATE TABLE gex.db.t (k BIGINT) USING `graft-snapshot`")
+    spark.sql("INSERT INTO gex.db.t VALUES (1)")
+    val row = spark.sql(
+      s"CALL gex.system.expire_snapshots('db.t', ${System.currentTimeMillis() + 60000})")
+      .collect().head
+    assert(row.getLong(1) == 1L && spark.table("gex.db.t").count() == 1L)
+  }
+
   test("CALL system.compact_deletes folds a SQL MOR table's delete files") {
     val wh = freshRoot("sqlfold")
     spark.conf.set("spark.sql.catalog.gmc", "graft.sources.GraftCatalog")
