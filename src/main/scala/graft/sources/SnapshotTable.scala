@@ -2645,7 +2645,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       val smallIdx = fl.files.indices
         .filter(i => lens(i) >= 0L && lens(i) < minFileBytes)
       if (smallIdx.length <= 1) return base
-      val keptIdx = fl.files.indices.filterNot(smallIdx.contains)
+      val small = smallIdx.toSet // O(1) membership — file lists reach 10^5
+      val keptIdx = fl.files.indices.filterNot(small.contains)
       val smallBytes = smallIdx.map(lens).sum
       val n = math.max(1L, (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
       val (raw, _) =

@@ -200,8 +200,8 @@ class ManifestGroupsSpec extends SparkSpec {
       val ids = (nextId until nextId + n); nextId += n
       ids.map(_.toLong).toDF("id").repartition(1)
     }
-    (1 to 14).foreach { step =>
-      rnd.nextInt(5) match {
+    (1 to 18).foreach { step =>
+      rnd.nextInt(7) match {
         case 0 | 1 | 2 => // appends dominate (the grouped fast path)
           val b = batch(3)
           g.commitAppend(b); i.commitAppend(b)
@@ -209,8 +209,15 @@ class ManifestGroupsSpec extends SparkSpec {
           val k = rnd.nextLong(nextId)
           g.commitDeleteByKey(Seq(k).toDF("id"), Seq("id"))
           i.commitDeleteByKey(Seq(k).toDF("id"), Seq("id"))
-        case 4 if step % 7 == 0 => // occasional compaction
+        case 4 if step % 7 == 0 => // occasional full compaction
           g.compact(100L); i.compact(100L)
+        case 5 if step % 5 == 0 => // r18 maintenance: delete-file fold
+          val (gv, iv) = (g.compactDeletes(), i.compactDeletes())
+          assert((gv == g.latestVersion()) == (iv == i.latestVersion()),
+            s"step $step: fold decisions diverged")
+        case 6 if step % 6 == 0 => // r18 maintenance: small-file rewrite
+          g.compactFiles(1024 * 1024, 128L * 1024 * 1024)
+          i.compactFiles(1024 * 1024, 128L * 1024 * 1024)
         case _ =>
           val b = batch(2)
           g.commitAppend(b); i.commitAppend(b)
