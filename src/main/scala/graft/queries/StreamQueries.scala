@@ -262,6 +262,43 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
     }),
 
+    // Streaming ADMISSION CONTROL under the oracle gate: the source
+    // table's three commits drain through maxRowsPerTrigger=1 — every
+    // version exceeds the cap, so versions deliver one per micro-batch,
+    // atomically and IN ORDER (the 100 TB bootstrap contract: a read
+    // limit splits the backlog instead of one giant batch). batch_seq
+    // stamped per non-empty batch therefore EQUALS the commit's slice
+    // index; a broken limiter (whole backlog in one batch) collapses
+    // batch_seq onto 0, and any split / merged / reordered version
+    // shifts a slice's rows to the wrong seq — both hash-fail.
+    "stream_rate_limited" -> ((s, d) => {
+      val base = Tables.freshTmpDir(s, "graft_ratelimit")
+      val root = new java.io.File(base, "table").getAbsolutePath
+      val outDir = new java.io.File(base, "out").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      (0 to 2).foreach(k => t.commitAppend(o.filter(col("o_orderkey") % 3 === k)))
+      val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = s.readStream.format("graft-snapshot")
+        .option("maxRowsPerTrigger", "1").load(root)
+        .writeStream
+        .option("checkpointLocation", new java.io.File(base, "ckpt").getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((b: DataFrame, _: Long) => {
+          if (b.count() > 0) {
+            b.withColumn("batch_seq", lit(seq.getAndIncrement()))
+              .write.mode("append").parquet(outDir)
+          }
+          ()
+        })
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy(col("batch_seq"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+    }),
+
     // The streaming CHANGE FEED under the oracle gate: append → MOR
     // delete → re-append at doubled cents, drained through the
     // graft-snapshot source in changeFeed mode (a REAL checkpointed
@@ -591,6 +628,13 @@ FROM sess GROUP BY user_id, session_seq""",
     // in the feed breaks a slice's count/cents
     "stream_snapshot_feed" -> """
 SELECT o_orderkey % 3 AS slice, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY 1""",
+
+    // versions deliver one per rate-limited batch, in commit order, so
+    // batch_seq == the commit's slice index (o_orderkey % 3)
+    "stream_rate_limited" -> """
+SELECT o_orderkey % 3 AS batch_seq, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY 1""",
 

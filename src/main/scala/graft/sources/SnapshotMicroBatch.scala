@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -28,12 +28,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    columns mid-run, older files null-fill, restarts adopt evolution;
   *  - rows come from Spark's own parquet row reader (the
   *    [[SnapshotDmlReaderFactory]] plumbing, no delete files — append
-  *    commits never carry them), one input partition per delta file.
+  *    commits never carry them), one input partition per delta file;
+  *  - ADMISSION CONTROL ([[SupportsAdmissionControl]]): without it, a
+  *    stream bootstrapping against a large table (startingVersion=1 on
+  *    months of commits) reads the ENTIRE backlog as one micro-batch —
+  *    one giant stage, one giant state update, one giant sink commit.
+  *    `option("maxRowsPerTrigger", n)` becomes the engine's
+  *    `ReadLimit.maxRows` (so Trigger.AvailableNow drains the backlog in
+  *    bounded batches and STOPS — the wrapper pins the end offset at
+  *    start); `option("maxVersionsPerTrigger", n)` caps commits per
+  *    batch. Both translate to a version offset by walking SCALAR
+  *    manifest summaries ([[SnapshotTable.versionSummary]], O(1) bytes
+  *    per version) — admission never parses file lists. At least one
+  *    version is always admitted when available (the engine's progress
+  *    contract); a single over-cap commit therefore delivers alone and
+  *    whole — versions are the atomic delivery unit, never split.
   */
 class SnapshotMicroBatchStream(spark: SparkSession, table: SnapshotTable,
                                schema: StructType,
                                options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   private val root = table.rootPath
   private val skipChangeCommits =
     options.getBoolean("skipChangeCommits", false)
@@ -44,9 +59,39 @@ class SnapshotMicroBatchStream(spark: SparkSession, table: SnapshotTable,
     }.getOrElse(1L)
   private def floor: Long = math.max(0L, startingVersion - 1)
 
+  private val maxVersionsPerTrigger: Option[Long] =
+    StreamAdmission.capOption(Option(options.get("maxVersionsPerTrigger")),
+      "maxVersionsPerTrigger")
+
+  // Trigger.AvailableNow pins the drain target ONCE at query start:
+  // batches then step toward it under the read limits and the query
+  // stops there, ignoring commits that land mid-drain (they are the
+  // next run's backlog). Spark calls prepareForTriggerAvailableNow
+  // before the first batch of such a query; -1 = unpinned (continuous).
+  @volatile private var availableNowTip: Long = -1L
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTip = math.max(table.latestVersion(), floor)
+
   override def initialOffset(): Offset = LongOffset(floor)
-  override def latestOffset(): Offset =
+
+  override def getDefaultReadLimit: ReadLimit =
+    StreamAdmission.defaultLimit(
+      Option(options.get("maxRowsPerTrigger")))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = math.max(start.asInstanceOf[LongOffset].offset, floor)
+    val tip0 = math.max(table.latestVersion(), floor)
+    val tip = if (availableNowTip >= 0) math.min(tip0, availableNowTip) else tip0
+    LongOffset(StreamAdmission.admit(table, from, tip, maxVersionsPerTrigger,
+      StreamAdmission.rowsCapOf(limit)))
+  }
+
+  override def reportLatestOffset(): Offset =
     LongOffset(math.max(table.latestVersion(), floor))
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
   override def deserializeOffset(json: String): Offset =
     LongOffset(json.trim.toLong)
 
@@ -76,6 +121,79 @@ class SnapshotMicroBatchStream(spark: SparkSession, table: SnapshotTable,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def toString: String = s"SnapshotMicroBatchStream[$root]"
+}
+
+/** The version-admission walk shared by BOTH snapshot streaming sources
+  * (the DSv2 [[SnapshotMicroBatchStream]] and the V1 path-based
+  * [[SnapshotSource]] — each implements `SupportsAdmissionControl`, so
+  * the ENGINE threads the start offset through; the sources hold no
+  * position state of their own). Row caps translate to a version offset
+  * over SCALAR manifest summaries ([[SnapshotTable.versionSummary]],
+  * O(1) bytes per version — admission never parses a manifest's file
+  * arrays), and versions are the atomic delivery unit: at least one is
+  * always admitted when available (the engine's progress contract), so
+  * a single over-cap commit delivers alone and whole. */
+private[sources] object StreamAdmission {
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxRows}
+
+  def capOption(raw: Option[String], key: String): Option[Long] =
+    raw.map { v =>
+      val n = v.toLong
+      require(n >= 1, s"$key must be >= 1, got $n")
+      n
+    }
+
+  /** maxRowsPerTrigger becomes the engine's own `ReadLimit.maxRows` so
+    * Trigger.AvailableNow composes it with its pinned end offset. */
+  def defaultLimit(maxRows: Option[String]): ReadLimit =
+    capOption(maxRows, "maxRowsPerTrigger")
+      .map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  /** The rows cap inside the engine-passed limit, if any (AvailableNow
+    * wraps the default limit in a composite). */
+  def rowsCapOf(limit: ReadLimit): Option[Long] = limit match {
+    case r: ReadMaxRows => Some(r.maxRows)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(rowsCapOf).minOption
+    case _ => None
+  }
+
+  /** Rows version `v` ADDED to the table — scalar-summary subtraction,
+    * zero for maintenance commits (dataChange=false) and conservatively
+    * zero for non-append changes (those fail batch planning loudly
+    * unless skipChangeCommits, in which case they deliver nothing). */
+  private def deltaRows(table: SnapshotTable, v: Long): Long = {
+    val s = table.versionSummary(v)
+    if (!s.dataChange || s.action != "append") 0L
+    else {
+      val prev = if (v <= 1) 0L else table.versionSummary(v - 1).rows
+      math.max(0L, s.rows - prev)
+    }
+  }
+
+  /** Last admissible version in (from, tip] under the caps — `from`
+    * itself when nothing is available. */
+  def admit(table: SnapshotTable, from: Long, tip: Long,
+            maxVersions: Option[Long], rowsCap: Option[Long]): Long = {
+    if (tip <= from) return from
+    val hi = maxVersions.map(n => math.min(tip, from + n)).getOrElse(tip)
+    rowsCap match {
+      case None => hi
+      case Some(cap) =>
+        var v = from
+        var admitted = 0L
+        var end = from
+        while (v < hi) {
+          v += 1
+          val d = deltaRows(table, v)
+          if (end != from && admitted + d > cap) return end
+          admitted += d
+          end = v
+          if (admitted >= cap) return end
+        }
+        end
+    }
+  }
 }
 
 /** DSv2 STREAMING sink for catalog-resolved snapshot tables — what

@@ -136,6 +136,8 @@ class SnapshotSourceProvider extends StreamSourceProvider
     new SnapshotSource(sqlContext.sparkSession, rootOf(parameters),
       schemaOf(sqlContext, schema, parameters), cdf = cdfOf(parameters),
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
+      maxVersionsPerTrigger = capOf(parameters, "maxVersionsPerTrigger"),
+      maxRowsPerTrigger = capOf(parameters, "maxRowsPerTrigger"),
       // "latest" = from-now-on; a number = that version onward
       // (inclusive). Lets a fresh consumer bootstrap on a vacuumed table
       // whose old manifests are gone: read(tip) + stream from
@@ -148,6 +150,13 @@ class SnapshotSourceProvider extends StreamSourceProvider
           resolveLatestOnce(sqlContext.sparkSession, rootOf(parameters), metadataPath)
         case n => n.toLong
       }.getOrElse(1L))
+
+  private def capOf(parameters: Map[String, String], key: String): Option[Long] =
+    parameters.get(key).map { v =>
+      val n = v.toLong
+      require(n >= 1, s"$key must be >= 1, got $n")
+      n
+    }
 
   private def resolveLatestOnce(spark: org.apache.spark.sql.SparkSession,
                                 root: String, metadataPath: String): Long = {
@@ -168,21 +177,61 @@ class SnapshotSourceProvider extends StreamSourceProvider
   }
 }
 
+/** Rate limiting: the source implements [[SupportsAdmissionControl]]
+  * (the FileStreamSource shape — a V1 `Source` mixing in the DSv2
+  * admission interface, which `MicroBatchExecution` matches FIRST), so
+  * the ENGINE threads each batch's start offset into
+  * `latestOffset(start, limit)` and the source holds no position state.
+  * `maxRowsPerTrigger` becomes the engine's `ReadLimit.maxRows`;
+  * `maxVersionsPerTrigger` caps commits per batch. Without caps the
+  * admitted offset is the tip — byte-for-byte the old `getOffset`
+  * behavior. [[SupportsTriggerAvailableNow]] pins the drain target at
+  * query start so `Trigger.AvailableNow` + a cap drains a large backlog
+  * in bounded batches and stops. */
 class SnapshotSource(spark: SparkSession, root: String,
                      override val schema: StructType,
                      cdf: Boolean = false,
                      skipChangeCommits: Boolean = false,
-                     startingVersion: Long = 1L) extends Source {
+                     startingVersion: Long = 1L,
+                     maxVersionsPerTrigger: Option[Long] = None,
+                     maxRowsPerTrigger: Option[Long] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
+
   private val table = new SnapshotTable(spark, root)
 
   /** Works for LongOffset and the engine's SerializedOffset replay alike —
     * both round-trip the version through `json()`. */
   private def version(o: OffsetV1): Long = o.json.trim.toLong
 
-  override def getOffset: Option[OffsetV1] = {
-    val tip = table.latestVersion()
-    if (tip == 0) None else Some(LongOffset(tip))
+  private def floor: Long = math.max(0L, startingVersion - 1)
+
+  @volatile private var availableNowTip: Long = -1L
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTip = math.max(table.latestVersion(), floor)
+
+  override def initialOffset(): OffsetV2 = LongOffset(floor)
+  override def deserializeOffset(json: String): OffsetV2 =
+    LongOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRowsPerTrigger.map(ReadLimit.maxRows)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val from = math.max(Option(start).map(o => o.json.trim.toLong).getOrElse(0L), floor)
+    val tip0 = math.max(table.latestVersion(), floor)
+    val tip = if (availableNowTip >= 0) math.min(tip0, availableNowTip) else tip0
+    LongOffset(StreamAdmission.admit(table, from, tip, maxVersionsPerTrigger,
+      StreamAdmission.rowsCapOf(limit)))
   }
+
+  override def reportLatestOffset(): OffsetV2 =
+    LongOffset(math.max(table.latestVersion(), floor))
+
+  override def getOffset: Option[OffsetV1] = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     // startingVersion floors EVERY batch (not just the first): with a

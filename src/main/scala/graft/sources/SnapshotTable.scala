@@ -2787,6 +2787,28 @@ class SnapshotTable(spark: SparkSession, root: String,
   private val summaryCache =
     new java.util.concurrent.ConcurrentHashMap[Long, Snapshot]()
 
+  /** Scalar-only summary of ONE version (rows / action / dataChange /
+    * ts) — what streaming admission control walks to translate a
+    * rows-per-trigger cap into a version offset. Served from the memoized
+    * caches, then the checkpoint sidecars, then the manifest head; O(1)
+    * bytes regardless of the manifest's file-list size, so a rate-limit
+    * walk over K versions never pays the O(files) array parse. */
+  private[sources] def versionSummary(v: Long): Snapshot = {
+    val full = manifestCache.get(v)
+    if (full != null) return full
+    val cached = summaryCache.get(v)
+    if (cached != null) return cached
+    val s =
+      if (checkpointEvery > 0) {
+        val end = chunkEndFor(v)
+        summaryBodies(end).get(v)
+          .orElse(chunkBodies(end).get(v).map(parseSummaryText))
+          .getOrElse(parseSummaryText(manifestRawText(v)))
+      } else parseSummaryText(manifestRawText(v))
+    summaryCache.put(v, s)
+    s
+  }
+
   /** Raw manifest bodies of a checkpoint chunk, keyed by version —
     * empty when the chunk is absent/torn (callers fall back to the
     * per-version manifest file). */
