@@ -236,6 +236,37 @@ object MiscQueries {
     // version's read is STABLE after later commits (v1/v2 are re-read
     // last, after v3/v4 exist). Appends publish manifests only (no data
     // rewrite) — the O(batch) daily-commit shape a 100 TB fact needs.
+    // Named refs under the oracle gate — the write-audit-publish flow:
+    // tag the first commit, fork a branch, stage a second slice on it
+    // (invisible to main), fast-forward, and read every state back.
+    // 'ff_zero_rewrite' pins file identity (the fast-forward manifest
+    // re-lists the branch's files — no data rewrite) and the
+    // 'fastforward' action as 1/1 literals the oracle hard-codes.
+    "misc_snapshot_refs" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_snaprefs")
+      val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      t.commitAppend(o.filter(col("o_orderkey") % 3 === 0)) // v1 = main
+      t.createTag("base", 1L)
+      t.createBranch("wap")
+      val b = t.branch("wap")
+      b.commitAppend(o.filter(col("o_orderkey") % 3 === 1)) // staged
+      val branchFiles = b.snapshot(b.latestVersion()).files.toSet
+      val ff = t.fastForward("wap")
+      val ffSnap = t.snapshot(ff)
+      def leg(label: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(label).as("label"), col("n_rows"), col("total_cents"))
+      leg("tag_base", t.readTag("base"))
+        .unionByName(leg("branch_staged", b.read()))
+        .unionByName(leg("main_pre_publish", t.read(1L)))
+        .unionByName(leg("main_after_ff", t.read(ff)))
+        .unionByName(s.range(1).select(lit("ff_zero_rewrite").as("label"),
+          lit(if (ffSnap.files.toSet == branchFiles) 1L else 0L).as("n_rows"),
+          lit(if (ffSnap.action == "fastforward") 1L else 0L).as("total_cents")))
+    }),
+
     "misc_snapshot_travel" -> ((s, d) => {
       val root = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_snap_${s.sparkContext.applicationId}")
@@ -3225,6 +3256,26 @@ FROM orders, t WHERE o_orderkey >= t.t1 AND o_orderkey <= t.t2 - 1""",
     // replay of the four snapshot versions from the base table: v1 =
     // keys≡0 (append), v2 = keys≡0,1 (append), v3 = keys≡2,3
     // (overwrite), v4 = rollback to v2
+    // tag = slice 0; staged branch and post-publish main = slices 0+1;
+    // the zero-rewrite/action pins are Scala-side 1/1 literals
+    "misc_snapshot_refs" -> """
+WITH o AS (
+  SELECT o_orderkey % 3 AS m, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT 'tag_base' AS label, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE m = 0
+UNION ALL
+SELECT 'branch_staged', CAST(count(*) AS BIGINT),
+       CAST(sum(cents) AS BIGINT) FROM o WHERE m IN (0, 1)
+UNION ALL
+SELECT 'main_pre_publish', CAST(count(*) AS BIGINT),
+       CAST(sum(cents) AS BIGINT) FROM o WHERE m = 0
+UNION ALL
+SELECT 'main_after_ff', CAST(count(*) AS BIGINT),
+       CAST(sum(cents) AS BIGINT) FROM o WHERE m IN (0, 1)
+UNION ALL
+SELECT 'ff_zero_rewrite', CAST(1 AS BIGINT), CAST(1 AS BIGINT)""",
+
     "misc_snapshot_travel" -> """
 WITH base AS (
   SELECT o_orderkey % 4 AS m, CAST(round(o_totalprice * 100) AS BIGINT) AS cents

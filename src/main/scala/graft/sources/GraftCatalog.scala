@@ -417,7 +417,9 @@ private[sources] object GraftProcedures {
 
   val names: Array[String] =
     Array("compact", "compact_files", "compact_deletes", "vacuum",
-      "expire_snapshots", "rollback")
+      "expire_snapshots", "rollback",
+      "create_tag", "drop_tag", "create_branch", "drop_branch",
+      "fast_forward")
 
   def load(name: String, catalog: GraftCatalog,
            handleFor: String => SnapshotTable): UnboundProcedure = name match {
@@ -504,6 +506,65 @@ private[sources] object GraftProcedures {
           ProcedureParameter.in("version", DataTypes.LongType).build()),
         StructType(Seq(StructField("version", DataTypes.LongType, nullable = false)))) {
         in => Seq(handleFor(in.getString(0)).rollbackTo(in.getLong(1)))
+      }
+    case "create_tag" =>
+      proc("create_tag", "pin a version under an immutable name — tagged " +
+        "versions survive vacuum/expire_snapshots until the tag is dropped; " +
+        "version defaults to the tip",
+        Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("name", DataTypes.StringType).build(),
+          ProcedureParameter.in("version", DataTypes.LongType)
+            .defaultValue("CAST(NULL AS BIGINT)").build()),
+        StructType(Seq(StructField("version", DataTypes.LongType, nullable = false)))) {
+        in =>
+          val t = handleFor(in.getString(0))
+          val v = if (in.isNullAt(2)) t.latestVersion() else in.getLong(2)
+          t.createTag(in.getString(1), v)
+          Seq(v)
+      }
+    case "drop_tag" =>
+      proc("drop_tag", "release a tag's retention pin",
+        Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("name", DataTypes.StringType).build()),
+        StructType(Seq(StructField("dropped", DataTypes.StringType, nullable = false)))) {
+        in =>
+          val t = handleFor(in.getString(0))
+          t.dropTag(in.getString(1))
+          Seq(in.getString(1))
+      }
+    case "create_branch" =>
+      proc("create_branch", "fork a branch at the tip: staged commits go " +
+        "to the branch chain (write-audit-publish), data files shared with " +
+        "main; returns the fork version",
+        Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("name", DataTypes.StringType).build()),
+        StructType(Seq(StructField("fork_version", DataTypes.LongType, nullable = false)))) {
+        in => Seq(handleFor(in.getString(0)).createBranch(in.getString(1)))
+      }
+    case "drop_branch" =>
+      proc("drop_branch", "delete a branch chain whole; its uniquely " +
+        "referenced data files become vacuum-reclaimable",
+        Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("name", DataTypes.StringType).build()),
+        StructType(Seq(StructField("dropped", DataTypes.StringType, nullable = false)))) {
+        in =>
+          val t = handleFor(in.getString(0))
+          t.dropBranch(in.getString(1))
+          Seq(in.getString(1))
+      }
+    case "fast_forward" =>
+      proc("fast_forward", "publish a branch tip's contents onto main as " +
+        "one new version (the write-audit-publish commit); fails if main " +
+        "advanced past the fork point",
+        Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("name", DataTypes.StringType).build()),
+        StructType(Seq(StructField("version", DataTypes.LongType, nullable = false)))) {
+        in => Seq(handleFor(in.getString(0)).fastForward(in.getString(1)))
       }
     case other =>
       throw new IllegalArgumentException(

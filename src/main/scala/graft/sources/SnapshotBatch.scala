@@ -38,13 +38,28 @@ object SnapshotBatch {
       : (SnapshotTable, Long) = {
     val root = Option(options.get("path")).getOrElse(sys.error(
       "graft-snapshot needs a table root: read.format(\"graft-snapshot\").load(<root>)"))
-    val probe = new SnapshotTable(spark, root)
-    val version = Option(options.get("versionAsOf")).map(_.toLong)
+    val main = new SnapshotTable(spark, root)
+    // named refs: option("branch", b) scopes the read to a branch chain;
+    // option("tagAsOf", t) — or a non-numeric VERSION AS OF, the SQL
+    // spelling — resolves a tag to its pinned main version
+    val branchOpt = Option(options.get("branch"))
+    val tagOpt = Option(options.get("tagAsOf"))
+      .orElse(Option(options.get("versionAsOf"))
+        .filter(v => scala.util.Try(v.toLong).isFailure))
+    require(branchOpt.isEmpty || tagOpt.isEmpty,
+      "a tag pins a MAIN version: combine it with option(\"branch\", …) " +
+        "and the read would be ambiguous — pass one or the other")
+    val probe = branchOpt.fold(main)(main.branch)
+    val version = Option(options.get("versionAsOf"))
+      .map(v => scala.util.Try(v.toLong).getOrElse(main.tagVersion(v)))
+      .orElse(tagOpt.map(main.tagVersion))
       .orElse(Option(options.get("timestampAsOf")).map(ts => probe.versionAsOf(parseTs(ts))))
       .getOrElse(probe.latestVersion())
     require(version > 0, s"no committed snapshot to read at $root")
     val snap = probe.snapshot(version)
-    (new SnapshotTable(spark, root, statsCols = snap.statsCols), version)
+    (branchOpt.fold(new SnapshotTable(spark, root, statsCols = snap.statsCols))(b =>
+      new SnapshotTable(spark, root, statsCols = snap.statsCols)
+        .branch(b)), version)
   }
 
   /** Epoch millis as a bare long, or a `yyyy-MM-dd HH:mm:ss[.f…]`

@@ -155,8 +155,17 @@ class SnapshotTable(spark: SparkSession, root: String,
                     // when a manifest would reference more than
                     // `groupMergeAt` of them
                     groupInlineFold: Int = 128,
-                    groupMergeAt: Int = 32) {
-  private val snapsDir = new Path(root, "_snapshots")
+                    groupMergeAt: Int = 32,
+                    // named-ref scope: Some(branch) roots this handle's
+                    // MANIFEST chain under _refs/branch-<name>/ while the
+                    // DATA dir stays shared with main — branch commits
+                    // write data files next to main's and publish them
+                    // only in the branch chain (see the refs section)
+                    ref: Option[String] = None) {
+  private val mainSnapsDir = new Path(root, "_snapshots")
+  private val refsDir = new Path(root, "_refs")
+  private val snapsDir =
+    ref.fold(mainSnapsDir)(b => new Path(refsDir, s"branch-$b/_snapshots"))
   private val dataDir = new Path(root, "data")
   private val tipHintPath = new Path(snapsDir, "_tip")
   private def fs: FileSystem =
@@ -334,6 +343,17 @@ class SnapshotTable(spark: SparkSession, root: String,
       while (probeExists(manifestPath(v + 1))) v += 1
       v
     } else listLatestVersion()
+  }
+
+  /** Every retained manifest version in this handle's chain (a branch
+    * handle lists its own chain), ascending. One directory listing. */
+  private[sources] def chainVersions(): Seq[Long] = {
+    if (!fs.exists(snapsDir)) return Seq.empty
+    metaLists.incrementAndGet()
+    fs.listStatus(snapsDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted.toSeq
   }
 
   private def listLatestVersion(): Long = {
@@ -2104,7 +2124,9 @@ class SnapshotTable(spark: SparkSession, root: String,
 
   // ----- table-properties sidecar ----------------------------------
 
-  private def propsPath = new Path(snapsDir, "_props.json")
+  // table properties are CONFIGURATION, not data: one set per table,
+  // shared by every branch (a branch stages data, not admin settings)
+  private def propsPath = new Path(mainSnapsDir, "_props.json")
 
   /** Table properties (`_snapshots/_props.json`): catalog-level
     * CONFIGURATION — e.g. `write.delete.mode` / `write.delete.key` —
@@ -2742,6 +2764,189 @@ class SnapshotTable(spark: SparkSession, root: String,
     sys.error(s"compactDeletes at $root: gave up after $attempts conflicts")
   }
 
+  // ----- named refs: tags and branches --------------------------------
+  //
+  // The public formats' ref idea (Iceberg tags/branches, Delta's
+  // cherry-pick-free WAP), re-expressed on the linear manifest chain:
+  //
+  //  - a TAG is an immutable named pointer to a version
+  //    (`_refs/tag-<name>.json`, create-exclusive), and it PINS: vacuum /
+  //    expireSnapshots never drop a tagged version's manifest or files;
+  //  - a BRANCH is a separate manifest chain under
+  //    `_refs/branch-<name>/_snapshots/` sharing main's `data/` dir. Its
+  //    first manifest is a full-file-list clone of main's tip AT THE SAME
+  //    VERSION NUMBER, so the branch chain continues main's numbering and
+  //    every carried file's commit sequence stays consistent. Branch
+  //    commits go through the ordinary handle API (the handle from
+  //    [[branch]]) — same writers, same validation, same stats bands;
+  //  - [[fastForward]] is write-audit-publish: stage commits on a branch,
+  //    audit the branch read, then publish the branch tip's contents onto
+  //    main as ONE new version — CAS-checked against the fork point, so a
+  //    main commit racing the audit fails the publish instead of being
+  //    silently overwritten.
+
+  private def tagPath(name: String) = new Path(refsDir, s"tag-$name.json")
+  private def branchDir(name: String) = new Path(refsDir, s"branch-$name")
+  private def forkMarker(name: String) = new Path(branchDir(name), "_fork")
+
+  private def validateRefName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-'),
+      s"ref name must be [A-Za-z0-9_-]+, got '$name'")
+
+  private def requireMainHandle(op: String): Unit =
+    require(ref.isEmpty, s"$op runs on the MAIN table handle, not a branch")
+
+  /** Create an immutable tag at `version` (must be a retained, readable
+    * version). Create-exclusive: a second create of the same name fails
+    * loudly — tags never move (drop + recreate is the explicit rename). */
+  def createTag(name: String, version: Long): Unit = {
+    requireMainHandle("createTag")
+    validateRefName(name)
+    snapshot(version) // must exist and parse — a dangling tag pins nothing
+    fs.mkdirs(refsDir)
+    store.writeExclusive(fs, tagPath(name),
+      s"""{"version":$version,"ts":${System.currentTimeMillis()}}"""
+        .getBytes("UTF-8"))
+  }
+
+  def dropTag(name: String): Unit = {
+    requireMainHandle("dropTag")
+    validateRefName(name)
+    require(fs.delete(tagPath(name), false), s"no tag '$name' at $root")
+  }
+
+  /** All tags, name → pinned version. */
+  def tags(): Map[String, Long] = {
+    if (!fs.exists(refsDir)) return Map.empty
+    fs.listStatus(refsDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("tag-") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("tag-").stripSuffix(".json"))
+      .map(n => n -> tagVersion(n)).toMap
+  }
+
+  def tagVersion(name: String): Long = {
+    validateRefName(name)
+    val p = tagPath(name)
+    require(fs.exists(p), s"no tag '$name' at $root")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      .getOrElse(sys.error(s"tag '$name' at $root: unreadable")).group(1).toLong
+  }
+
+  /** Read the table as pinned by `name` — time travel by ref. */
+  def readTag(name: String): DataFrame = read(tagVersion(name))
+
+  /** Fork a branch at main's current tip. The branch's first manifest is
+    * a FULL-file-list clone (groups resolved — branch group refs would
+    * dangle across directories) at the SAME version number as the fork
+    * point, so branch versions continue main's numbering and file commit
+    * sequences stay consistent under merge-on-read ordering. Returns the
+    * fork version. */
+  def createBranch(name: String): Long = {
+    requireMainHandle("createBranch")
+    validateRefName(name)
+    val tip = latestVersion()
+    require(tip > 0, s"cannot branch an empty table at $root")
+    val snap = snapshot(tip)
+    val fls = ensureLens(fileSetOf(snap))
+    val bSnaps = new Path(branchDir(name), "_snapshots")
+    fs.mkdirs(branchDir(name))
+    // the fork marker is the create-exclusive existence bit: a second
+    // createBranch of the same name fails here, before any manifest
+    store.writeExclusive(fs, forkMarker(name),
+      s"""{"version":$tip,"ts":${System.currentTimeMillis()}}"""
+        .getBytes("UTF-8"))
+    val body = manifestBody(tip, "branch", tip - 1, snap.rows, fls,
+      snap.schemaJson, batchId = -1L, dataChange = false,
+      bandsV = snap.bandsV)
+    fs.mkdirs(bSnaps)
+    store.writeExclusive(fs, new Path(bSnaps, f"v$tip%020d.json"),
+      body.getBytes("UTF-8"))
+    tip
+  }
+
+  /** The main version branch `name` forked from. */
+  def forkVersion(name: String): Long = {
+    validateRefName(name)
+    val p = forkMarker(name)
+    require(fs.exists(p), s"no branch '$name' at $root")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      .getOrElse(sys.error(s"branch '$name' at $root: unreadable fork marker"))
+      .group(1).toLong
+  }
+
+  /** A handle scoped to branch `name`: reads, commits, compaction — the
+    * whole API — against the branch chain, data files shared with main. */
+  def branch(name: String): SnapshotTable = {
+    requireMainHandle("branch")
+    require(fs.exists(forkMarker(name)), s"no branch '$name' at $root")
+    new SnapshotTable(spark, root, statsCols, logStore, checkpointEvery,
+      groupInlineFold, groupMergeAt, ref = Some(name))
+  }
+
+  /** All branch names. */
+  def branches(): Seq[String] = {
+    if (!fs.exists(refsDir)) return Seq.empty
+    fs.listStatus(refsDir).map(_.getPath.getName)
+      .filter(_.startsWith("branch-")).map(_.stripPrefix("branch-")).toSeq.sorted
+  }
+
+  /** Delete branch `name` whole (manifests, groups, fork marker). Data
+    * files only the branch referenced become unreachable — the next
+    * [[vacuum]] reclaims them. */
+  def dropBranch(name: String): Unit = {
+    requireMainHandle("dropBranch")
+    validateRefName(name)
+    require(fs.exists(forkMarker(name)), s"no branch '$name' at $root")
+    fs.delete(branchDir(name), true)
+    ()
+  }
+
+  /** Publish branch `name`'s tip contents onto MAIN as one new version —
+    * the write-audit-publish commit. Fails (leaving both chains intact)
+    * when main advanced past the fork point: the staged work was audited
+    * against a stale base, re-stage or rebase explicitly.
+    *
+    * Commit-sequence discipline: files the branch added since the fork
+    * are re-stamped to the new main version (they are this commit's
+    * files, exactly as one big append); files carried from before the
+    * fork keep their sequences. A branch that added merge-on-read
+    * DELETE files since the fork is refused — collapsing its post-fork
+    * sequence ordering could replay those deletes onto this commit's
+    * re-stamped files; `branch(name).compact(...)` folds the deletes
+    * into data first, after which fast-forward proceeds. */
+  def fastForward(name: String): Long = {
+    requireMainHandle("fastForward")
+    val forkedAt = forkVersion(name)
+    val b = branch(name)
+    val btip = b.latestVersion()
+    require(btip > forkedAt, s"branch '$name' has no commits past the fork")
+    val bsnap = b.snapshot(btip)
+    val bfls = b.ensureLens(b.fileSetOf(bsnap))
+    require(bfls.deleteSeqs.forall(_ <= forkedAt),
+      s"branch '$name' added merge-on-read deletes since the fork; " +
+        "run compact() on the branch first, then fast-forward")
+    publish("fastforward",
+      base => {
+        if (base != forkedAt) throw new IllegalStateException(
+          s"fast-forward of '$name' at $root: main advanced to v$base past " +
+            s"the fork point v$forkedAt — the staged work was audited " +
+            "against a stale base; re-stage on a fresh branch")
+        // FileSet is handle-scoped (inner class): rebuild on THIS handle
+        FileSet(bfls.files, bfls.stats,
+          bfls.seqs.map(s => if (s > forkedAt) base + 1 else s),
+          bfls.deletes, bfls.deleteSeqs, bfls.deleteKey,
+          bfls.lens, bfls.deleteLens)
+      },
+      _ => bsnap.rows, _ => bsnap.schemaJson)
+  }
+
   /** All RETAINED snapshots, oldest first (the table's audit history;
     * [[vacuum]] may have dropped a prefix). Inherently O(retained
     * versions) — it reads every manifest by definition. */
@@ -2870,6 +3075,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     * of a version count the operator must translate. Returns the number
     * of versions retained. */
   def expireSnapshots(olderThanMillis: Long): Int = {
+    requireMainHandle("expireSnapshots")
     val h = history()
     if (h.isEmpty) return 0
     val tip = h.map(_.version).max
@@ -2888,12 +3094,29 @@ class SnapshotTable(spark: SparkSession, root: String,
     * drop the older manifests. Bounded metadata scan — cost scales with
     * history length and file count, never data volume. */
   def vacuum(keepLast: Int = 1): Unit = {
+    requireMainHandle("vacuum") // branch chains share main's data files
     require(keepLast >= 1, "must keep at least the tip")
     val tip = latestVersion()
     if (tip == 0) return
-    val keepFrom = math.max(1L, tip - keepLast + 1)
+    // tags PIN: a tagged version's manifest (and therefore its files)
+    // survives any retention window — dropping the tag is the explicit
+    // release. The floor extends the retained suffix rather than
+    // cherry-picking versions: simpler, and every version a consumer
+    // could reach through a retained one stays walkable.
+    val tagFloor = tags().values.minOption.getOrElse(Long.MaxValue)
+    val keepFrom = math.min(math.max(1L, tip - keepLast + 1), tagFloor)
+    // live BRANCH chains reference shared data files main's retained
+    // manifests may not — walking them here is what makes branch commits
+    // safe against concurrent main retention
+    val branchLive = branches().flatMap { b =>
+      val h = branch(b)
+      h.chainVersions().flatMap { v =>
+        val s = h.snapshot(v); s.files ++ s.deletes
+      }
+    }.toSet
     val live = (keepFrom to tip)
-      .flatMap(v => { val s = snapshot(v); s.files ++ s.deletes }).toSet
+      .flatMap(v => { val s = snapshot(v); s.files ++ s.deletes }).toSet ++
+      branchLive
     if (fs.exists(dataDir)) {
       fs.listStatus(dataDir).map(_.getPath).foreach { commitDir =>
         if (fs.getFileStatus(commitDir).isDirectory) {
