@@ -654,7 +654,12 @@ class GraftSnapshotRelation(context: SQLContext, spark: SparkSession,
   * physical RDD (`bridge.batchOf`) because V1 sinks receive streaming
   * DataFrames that batch writers refuse. */
 class SnapshotSink(spark: SparkSession, root: String, complete: Boolean,
-                   txnAppIdOption: Option[String] = None)
+                   txnAppIdOption: Option[String] = None,
+                   // option("branch", name): epochs land on the branch
+                   // chain (staged streaming ingest — the stream side of
+                   // write-audit-publish; fastForward publishes the
+                   // audited result onto main)
+                   branchName: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
   /** The writing query's identity for the epoch-dedup pair — the
     * `txnAppId` option when given (the Delta idiom for caller-managed
@@ -691,12 +696,18 @@ class SnapshotSink(spark: SparkSession, root: String, complete: Boolean,
     * would publish a statsCols-free manifest and silently erase pruning
     * (and file-surgical replaceWhere) for every file at the tip. */
   private def table: SnapshotTable = {
-    val probe = new SnapshotTable(spark, root)
+    // a branch target must EXIST (createBranch is the explicit fork) —
+    // branch() validates the fork marker; a raw ref handle would
+    // silently start a markerless chain
+    def scoped(h: SnapshotTable): SnapshotTable =
+      branchName.fold(h)(h.branch)
+    val probe = scoped(new SnapshotTable(spark, root))
     val tip = probe.latestVersion()
     if (tip == 0) probe
     else {
       val cols = probe.snapshot(tip).statsCols
-      if (cols.isEmpty) probe else new SnapshotTable(spark, root, statsCols = cols)
+      if (cols.isEmpty) probe
+      else scoped(new SnapshotTable(spark, root, statsCols = cols))
     }
   }
 

@@ -57,7 +57,8 @@ class SnapshotMicroBatchStream(spark: SparkSession, table: SnapshotTable,
       case "latest" => table.latestVersion() + 1
       case v => v.toLong
     }.getOrElse(1L)
-  private def floor: Long = math.max(0L, startingVersion - 1)
+  private def floor: Long =
+    math.max(table.chainFloor, math.max(0L, startingVersion - 1))
 
   private val maxVersionsPerTrigger: Option[Long] =
     StreamAdmission.capOption(Option(options.get("maxVersionsPerTrigger")),

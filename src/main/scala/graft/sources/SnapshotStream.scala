@@ -106,7 +106,8 @@ class SnapshotSourceProvider extends StreamSourceProvider
       s"graft-snapshot sink supports Append (commitAppendOnce) and Complete " +
         s"(commitOverwrite); got $outputMode")
     new SnapshotSink(sqlContext.sparkSession, rootOf(parameters), complete,
-      txnAppIdOption = parameters.get("txnAppId"))
+      txnAppIdOption = parameters.get("txnAppId"),
+      branchName = parameters.get("branch"))
   }
 
   private def rootOf(parameters: Map[String, String]): String =
@@ -118,8 +119,10 @@ class SnapshotSourceProvider extends StreamSourceProvider
 
   private def schemaOf(sqlContext: SQLContext, schema: Option[StructType],
                        parameters: Map[String, String]): StructType = {
-    val base = schema.getOrElse(
-      new SnapshotTable(sqlContext.sparkSession, rootOf(parameters)).read().schema)
+    val base = schema.getOrElse {
+      val main = new SnapshotTable(sqlContext.sparkSession, rootOf(parameters))
+      parameters.get("branch").fold(main)(main.branch).read().schema
+    }
     if (!cdfOf(parameters)) base
     else base.add("_change_type", StringType, nullable = false)
       .add("_commit_version", LongType, nullable = false)
@@ -138,6 +141,7 @@ class SnapshotSourceProvider extends StreamSourceProvider
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
       maxVersionsPerTrigger = capOf(parameters, "maxVersionsPerTrigger"),
       maxRowsPerTrigger = capOf(parameters, "maxRowsPerTrigger"),
+      branchName = parameters.get("branch"),
       // "latest" = from-now-on; a number = that version onward
       // (inclusive). Lets a fresh consumer bootstrap on a vacuumed table
       // whose old manifests are gone: read(tip) + stream from
@@ -194,18 +198,21 @@ class SnapshotSource(spark: SparkSession, root: String,
                      skipChangeCommits: Boolean = false,
                      startingVersion: Long = 1L,
                      maxVersionsPerTrigger: Option[Long] = None,
-                     maxRowsPerTrigger: Option[Long] = None) extends Source
+                     maxRowsPerTrigger: Option[Long] = None,
+                     branchName: Option[String] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
 
-  private val table = new SnapshotTable(spark, root)
+  private val table = branchName
+    .fold(new SnapshotTable(spark, root))(new SnapshotTable(spark, root).branch)
 
   /** Works for LongOffset and the engine's SerializedOffset replay alike —
     * both round-trip the version through `json()`. */
   private def version(o: OffsetV1): Long = o.json.trim.toLong
 
-  private def floor: Long = math.max(0L, startingVersion - 1)
+  private def floor: Long =
+    math.max(table.chainFloor, math.max(0L, startingVersion - 1))
 
   @volatile private var availableNowTip: Long = -1L
   override def prepareForTriggerAvailableNow(): Unit =

@@ -2947,6 +2947,14 @@ class SnapshotTable(spark: SparkSession, root: String,
       _ => bsnap.rows, _ => bsnap.schemaJson)
   }
 
+  /** The lowest offset a STREAM over this handle may walk from: 0 on
+    * main, the fork version on a branch — versions below the fork exist
+    * only in main's chain, and the fork manifest itself is
+    * dataChange=false (a branch feed delivers post-fork commits only;
+    * bootstrap content comes from a batch read of the fork, the same
+    * read(tip)+startingVersion idiom a vacuumed main table uses). */
+  private[sources] def chainFloor: Long = ref.fold(0L)(forkVersion)
+
   /** All RETAINED snapshots, oldest first (the table's audit history;
     * [[vacuum]] may have dropped a prefix). Inherently O(retained
     * versions) — it reads every manifest by definition. */
