@@ -77,14 +77,15 @@ class SnapshotMicroBatchStream(spark: SparkSession, table: SnapshotTable,
 
   override def getDefaultReadLimit: ReadLimit =
     StreamAdmission.defaultLimit(
-      Option(options.get("maxRowsPerTrigger")))
+      Option(options.get("maxRowsPerTrigger")),
+      Option(options.get("maxBytesPerTrigger")))
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = math.max(start.asInstanceOf[LongOffset].offset, floor)
     val tip0 = math.max(table.latestVersion(), floor)
     val tip = if (availableNowTip >= 0) math.min(tip0, availableNowTip) else tip0
     LongOffset(StreamAdmission.admit(table, from, tip, maxVersionsPerTrigger,
-      StreamAdmission.rowsCapOf(limit)))
+      StreamAdmission.rowsCapOf(limit), StreamAdmission.bytesCapOf(limit)))
   }
 
   override def reportLatestOffset(): Offset =
@@ -135,7 +136,7 @@ class SnapshotMicroBatchStream(spark: SparkSession, table: SnapshotTable,
   * always admitted when available (the engine's progress contract), so
   * a single over-cap commit delivers alone and whole. */
 private[sources] object StreamAdmission {
-  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxRows}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxBytes, ReadMaxRows}
 
   def capOption(raw: Option[String], key: String): Option[Long] =
     raw.map { v =>
@@ -144,11 +145,19 @@ private[sources] object StreamAdmission {
       n
     }
 
-  /** maxRowsPerTrigger becomes the engine's own `ReadLimit.maxRows` so
-    * Trigger.AvailableNow composes it with its pinned end offset. */
-  def defaultLimit(maxRows: Option[String]): ReadLimit =
-    capOption(maxRows, "maxRowsPerTrigger")
-      .map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+  /** maxRowsPerTrigger / maxBytesPerTrigger become the engine's own
+    * `ReadLimit.maxRows` / `maxBytes` (composed when both are set) so
+    * Trigger.AvailableNow folds them into its pinned drain. */
+  def defaultLimit(maxRows: Option[String], maxBytes: Option[String]): ReadLimit = {
+    val limits =
+      capOption(maxRows, "maxRowsPerTrigger").map(ReadLimit.maxRows).toSeq ++
+        capOption(maxBytes, "maxBytesPerTrigger").map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   /** The rows cap inside the engine-passed limit, if any (AvailableNow
     * wraps the default limit in a composite). */
@@ -156,6 +165,13 @@ private[sources] object StreamAdmission {
     case r: ReadMaxRows => Some(r.maxRows)
     case c: CompositeReadLimit =>
       c.getReadLimits.toSeq.flatMap(rowsCapOf).minOption
+    case _ => None
+  }
+
+  def bytesCapOf(limit: ReadLimit): Option[Long] = limit match {
+    case b: ReadMaxBytes => Some(b.maxBytes)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(bytesCapOf).minOption
     case _ => None
   }
 
@@ -173,27 +189,30 @@ private[sources] object StreamAdmission {
   }
 
   /** Last admissible version in (from, tip] under the caps — `from`
-    * itself when nothing is available. */
+    * itself when nothing is available. One walk charges rows and bytes
+    * together; whichever cap fills first ends the batch. */
   def admit(table: SnapshotTable, from: Long, tip: Long,
-            maxVersions: Option[Long], rowsCap: Option[Long]): Long = {
+            maxVersions: Option[Long], rowsCap: Option[Long],
+            bytesCap: Option[Long] = None): Long = {
     if (tip <= from) return from
     val hi = maxVersions.map(n => math.min(tip, from + n)).getOrElse(tip)
-    rowsCap match {
-      case None => hi
-      case Some(cap) =>
-        var v = from
-        var admitted = 0L
-        var end = from
-        while (v < hi) {
-          v += 1
-          val d = deltaRows(table, v)
-          if (end != from && admitted + d > cap) return end
-          admitted += d
-          end = v
-          if (admitted >= cap) return end
-        }
-        end
+    if (rowsCap.isEmpty && bytesCap.isEmpty) return hi
+    var v = from
+    var rows = 0L
+    var bytes = 0L
+    var end = from
+    while (v < hi) {
+      v += 1
+      val dr = if (rowsCap.isDefined) deltaRows(table, v) else 0L
+      val db = if (bytesCap.isDefined) table.versionAddedBytes(v) else 0L
+      val over = rowsCap.exists(rows + dr > _) || bytesCap.exists(bytes + db > _)
+      if (end != from && over) return end
+      rows += dr
+      bytes += db
+      end = v
+      if (rowsCap.exists(rows >= _) || bytesCap.exists(bytes >= _)) return end
     }
+    end
   }
 }
 

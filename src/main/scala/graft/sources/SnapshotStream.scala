@@ -141,6 +141,7 @@ class SnapshotSourceProvider extends StreamSourceProvider
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
       maxVersionsPerTrigger = capOf(parameters, "maxVersionsPerTrigger"),
       maxRowsPerTrigger = capOf(parameters, "maxRowsPerTrigger"),
+      maxBytesPerTrigger = capOf(parameters, "maxBytesPerTrigger"),
       branchName = parameters.get("branch"),
       // "latest" = from-now-on; a number = that version onward
       // (inclusive). Lets a fresh consumer bootstrap on a vacuumed table
@@ -199,6 +200,7 @@ class SnapshotSource(spark: SparkSession, root: String,
                      startingVersion: Long = 1L,
                      maxVersionsPerTrigger: Option[Long] = None,
                      maxRowsPerTrigger: Option[Long] = None,
+                     maxBytesPerTrigger: Option[Long] = None,
                      branchName: Option[String] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -223,15 +225,15 @@ class SnapshotSource(spark: SparkSession, root: String,
     LongOffset(json.trim.toLong)
 
   override def getDefaultReadLimit: ReadLimit =
-    maxRowsPerTrigger.map(ReadLimit.maxRows)
-      .getOrElse(ReadLimit.allAvailable())
+    StreamAdmission.defaultLimit(
+      maxRowsPerTrigger.map(_.toString), maxBytesPerTrigger.map(_.toString))
 
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val from = math.max(Option(start).map(o => o.json.trim.toLong).getOrElse(0L), floor)
     val tip0 = math.max(table.latestVersion(), floor)
     val tip = if (availableNowTip >= 0) math.min(tip0, availableNowTip) else tip0
     LongOffset(StreamAdmission.admit(table, from, tip, maxVersionsPerTrigger,
-      StreamAdmission.rowsCapOf(limit)))
+      StreamAdmission.rowsCapOf(limit), StreamAdmission.bytesCapOf(limit)))
   }
 
   override def reportLatestOffset(): OffsetV2 =

@@ -2947,6 +2947,23 @@ class SnapshotTable(spark: SparkSession, root: String,
       _ => bsnap.rows, _ => bsnap.schemaJson)
   }
 
+  /** Bytes version `v` ADDED (the manifest-recorded lengths of its new
+    * files) — what a bytes-per-trigger admission walk charges. Needs the
+    * full manifest (file arrays), but an admission walk only ever visits
+    * versions a batch is about to plan anyway (planInputPartitions
+    * parses the same manifests; both hit the memo). Unknown lengths
+    * (legacy manifests, -1) charge zero: degrade to more-permissive
+    * batches, never to a stalled stream or a HEAD storm. */
+  private[sources] def versionAddedBytes(v: Long): Long = {
+    val s = snapshot(v)
+    if (!s.dataChange || s.action != "append") return 0L
+    val fl = fileSetOf(s)
+    val lens = alignLens(fl.lens, fl.files.length)
+    fl.files.indices.iterator
+      .filter(i => fl.seqs.lift(i).contains(v))
+      .map(i => math.max(0L, lens(i))).sum
+  }
+
   /** The lowest offset a STREAM over this handle may walk from: 0 on
     * main, the fork version on a branch — versions below the fork exist
     * only in main's chain, and the fork manifest itself is

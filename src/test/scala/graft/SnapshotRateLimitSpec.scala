@@ -103,6 +103,33 @@ class SnapshotRateLimitSpec extends SparkSpec {
     assert(second.sum == 10L && second.forall(_ <= 10L), s"got $second")
   }
 
+  test("maxBytesPerTrigger splits the drain on manifest-recorded lengths") {
+    val dir = freshRoot("bytes")
+    val root = s"$dir/table"
+    val t = new SnapshotTable(spark, root)
+    (0 until 4).foreach(k =>
+      t.commitAppend(((k * 10) until (k * 10 + 10)).map(_.toLong).toDF("id")))
+    // every 10-row commit writes a similar-sized parquet file; a cap of
+    // one commit's bytes admits exactly one version per batch (admission
+    // charges the manifest-recorded lengths, which equal the on-disk ones)
+    val perCommitBytes = t.snapshot(1L).files
+      .map(f => new java.io.File(s"$root/data/$f").length()).sum
+    assert(perCommitBytes > 0)
+
+    val sizes = drainBatches(root, s"$dir/ckpt",
+      Map("maxBytesPerTrigger" -> perCommitBytes.toString))
+    assert(sizes.sum == 40L)
+    assert(sizes == Seq(10L, 10L, 10L, 10L),
+      s"a one-commit byte budget admits one version per batch, got $sizes")
+
+    // both caps together: bytes for two commits but rows for one —
+    // the tighter cap wins
+    val sizes2 = drainBatches(root, s"$dir/ckpt2",
+      Map("maxBytesPerTrigger" -> (2 * perCommitBytes).toString,
+        "maxRowsPerTrigger" -> "10"))
+    assert(sizes2 == Seq(10L, 10L, 10L, 10L), s"got $sizes2")
+  }
+
   test("uncapped drain is unchanged: the whole backlog in one batch") {
     val dir = freshRoot("uncapped")
     val root = s"$dir/table"

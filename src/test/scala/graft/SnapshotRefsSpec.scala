@@ -172,6 +172,30 @@ class SnapshotRefsSpec extends SparkSpec {
     intercept[IllegalArgumentException](b.fastForward("b1"))
   }
 
+  test("refs compose with manifest-list groups: branch + FF on a grouped table") {
+    val root = freshRoot("groups")
+    // shrunk fold threshold: main's tip manifest references GROUP files
+    val t = new SnapshotTable(spark, root, groupInlineFold = 4)
+    (0 until 12).foreach(k => t.commitAppend(Seq(k.toLong).toDF("id")))
+    assert(t.snapshot(t.latestVersion()).groupRefs.nonEmpty,
+      "precondition: the fork point must be group-encoded")
+    t.createBranch("wap")
+    val b = t.branch("wap")
+    (100 until 106).foreach(k => b.commitAppend(Seq(k.toLong).toDF("id")))
+    assert(ids(b) == ((0L until 12L) ++ (100L until 106L)).toSet)
+    val v = t.fastForward("wap")
+    assert(ids(t, v) == ((0L until 12L) ++ (100L until 106L)).toSet)
+    // the FF manifest's groups resolve against MAIN's directory (a
+    // dropped branch must not dangle them) — prove it by dropping the
+    // branch and re-reading main through a FRESH handle
+    t.dropBranch("wap")
+    val fresh = new SnapshotTable(spark, root, groupInlineFold = 4)
+    assert(ids(fresh) == ((0L until 12L) ++ (100L until 106L)).toSet)
+    fresh.vacuum(keepLast = 1)
+    assert(ids(new SnapshotTable(spark, root, groupInlineFold = 4)) ==
+      ((0L until 12L) ++ (100L until 106L)).toSet)
+  }
+
   test("streaming WAP: epochs stage on a branch, fastForward publishes the audit") {
     val dir = freshRoot("streamwap")
     val srcRoot = s"$dir/src"
