@@ -511,6 +511,35 @@ object MiscQueries {
     // while the row content replays exactly in DuckDB. The skipping
     // index is the manifest — a point lookup on a 100 TB fact opens the
     // files that can match, not every footer.
+    // Multi-column Z-ORDER compaction under the oracle gate: shuffled
+    // appends (full-range bands, nothing prunes), then one
+    // compact(clusterByCols = x,y) — after which selective range reads
+    // on EITHER clustering column plan fewer files than the table holds
+    // (the pruned_flag 1-literals; exact counts are partitioner-shaped
+    // and pinned in LayoutSpec) while both reads replay exactly.
+    "misc_snapshot_zorder" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_snapzorder")
+      val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath,
+        statsCols = Seq("xk", "yk"))
+      val o = Tables.orders(s, d).select(
+        (col("o_orderkey") % 3).as("slice"),
+        (col("o_orderkey") % 97).as("xk"),
+        (col("o_custkey") % 89).as("yk"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      (0 to 2).foreach(k =>
+        t.commitAppend(o.filter(col("slice") === k).drop("slice").repartition(4)))
+      val rows = t.snapshot(t.latestVersion()).rows
+      t.compact(math.max(1L, rows / 16), Seq("xk", "yk"))
+      val total = t.read().inputFiles.length
+      def leg(dim: String, q: org.apache.spark.sql.DataFrame) =
+        q.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(dim).as("dim"),
+            lit(if (q.inputFiles.length < total) 1L else 0L).as("pruned_flag"),
+            col("n_rows"), col("total_cents"))
+      leg("xk", t.readRange("xk", 10L, 20L, -1L))
+        .unionByName(leg("yk", t.readRange("yk", 5L, 15L, -1L)))
+    }),
+
     "misc_snapshot_skipping" -> ((s, d) => {
       val root = Tables.freshTmpDir(s, "graft_snapskip")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath,
@@ -3275,6 +3304,23 @@ SELECT 'main_after_ff', CAST(count(*) AS BIGINT),
        CAST(sum(cents) AS BIGINT) FROM o WHERE m IN (0, 1)
 UNION ALL
 SELECT 'ff_zero_rewrite', CAST(1 AS BIGINT), CAST(1 AS BIGINT)""",
+
+    // exact values replay from the same modular arithmetic; pruned_flag
+    // is the Scala-side literal (files_planned < files_total after the
+    // z-order rewrite — hard-coded 1)
+    "misc_snapshot_zorder" -> """
+WITH o AS (
+  SELECT o_orderkey % 97 AS xk, o_custkey % 89 AS yk,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT 'xk' AS dim, CAST(1 AS BIGINT) AS pruned_flag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM o WHERE xk BETWEEN 10 AND 20
+UNION ALL
+SELECT 'yk', CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(sum(cents) AS BIGINT)
+FROM o WHERE yk BETWEEN 5 AND 15""",
 
     "misc_snapshot_travel" -> """
 WITH base AS (

@@ -424,8 +424,9 @@ private[sources] object GraftProcedures {
   def load(name: String, catalog: GraftCatalog,
            handleFor: String => SnapshotTable): UnboundProcedure = name match {
     case "compact" =>
-      proc("compact", "rewrite the tip into ~target-sized (optionally " +
-        "range-clustered) files as a dataChange=false version",
+      proc("compact", "rewrite the tip into ~target-sized files as a " +
+        "dataChange=false version; cluster_by one column range-clusters, " +
+        "a comma-separated list Z-orders (multi-column skipping)",
         Array(
           ProcedureParameter.in("table", DataTypes.StringType).build(),
           ProcedureParameter.in("target_rows_per_file", DataTypes.LongType).build(),
@@ -434,7 +435,9 @@ private[sources] object GraftProcedures {
         StructType(Seq(StructField("version", DataTypes.LongType, nullable = false)))) {
         in =>
           val t = handleFor(in.getString(0))
-          val cluster = if (in.isNullAt(2)) None else Some(in.getString(2))
+          val cluster =
+            if (in.isNullAt(2)) Seq.empty[String]
+            else in.getString(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
           Seq(t.compact(in.getLong(1), cluster))
       }
     case "compact_files" =>

@@ -2597,7 +2597,19 @@ class SnapshotTable(spark: SparkSession, root: String,
     * key spaces inside one manifest's carried-forward stats). Time
     * travel below the compaction keeps the old manifests' v1 rules. */
   def compact(targetRowsPerFile: Long,
-              clusterBy: Option[String]): Long = {
+              clusterBy: Option[String]): Long =
+    compact(targetRowsPerFile, clusterBy.toSeq)
+
+  /** [[compact]] with MULTI-column clustering: one column range-clusters
+    * as before; 2-8 columns interleave into a Z-order (Morton) key
+    * ([[graft.operators.Layout.zValueN]]) so each rewritten file covers a
+    * tight RECTANGLE of the clustering space — per-file stats bands
+    * become selective on EVERY clustering column, not just the first
+    * (the "OPTIMIZE ZORDER BY" layout story on the snapshot format;
+    * range-sort on A alone leaves a filter on B reading every file).
+    * Z-order contract matches Layout's: non-negative integral columns,
+    * quantize continuous domains first. */
+  def compact(targetRowsPerFile: Long, clusterByCols: Seq[String]): Long = {
     var attempts = 0
     while (attempts < 50) {
       val base = latestVersion()
@@ -2606,11 +2618,17 @@ class SnapshotTable(spark: SparkSession, root: String,
       val cur = read(base)
       val n = math.max(1L, math.ceil(
         snapBase.rows.toDouble / targetRowsPerFile).toLong).toInt
-      val arranged = clusterBy match {
-        case Some(c) =>
-          import org.apache.spark.sql.functions.col
-          cur.repartitionByRange(n, col(c))
-        case None => cur.repartition(n)
+      import org.apache.spark.sql.functions.col
+      val zCol = "__graft_zorder"
+      require(!cur.columns.contains(zCol), s"column name '$zCol' is reserved")
+      val arranged = clusterByCols match {
+        case Seq() => cur.repartition(n)
+        case Seq(c) => cur.repartitionByRange(n, col(c))
+        case cols =>
+          cur.withColumn(zCol, graft.operators.Layout.zValueN(cols.map(col)))
+            .repartitionByRange(n, col(zCol))
+            .sortWithinPartitions(col(zCol))
+            .drop(zCol)
       }
       // cur reads THROUGH any MOR deletes, so the rewrite materializes
       // them: the compacted version lists no delete files. Publish is

@@ -79,4 +79,55 @@ class LayoutSpec extends SparkSpec {
     assert(zStripe * 2 < linearStripe,
       s"z-order did not prune the y stripe: z=$zStripe linear=$linearStripe")
   }
+
+  test("snapshot-table Z-order compact: per-file bands prune on EVERY clustering column") {
+    val dir = Files.createTempDirectory("graft_snap_zorder").toString
+    val root = s"$dir/t"
+    val t = new graft.sources.SnapshotTable(spark, root,
+      statsCols = Seq("x", "y"))
+    // 3 shuffled appends: every file's (x, y) bands start full-range
+    val df = spark.range(30000).select(
+      (col("id") * 2654435761L % 128).as("x"),
+      (col("id") * 40503L % 128).as("y"),
+      col("id").as("v"))
+    (0 until 3).foreach(k =>
+      t.commitAppend(df.filter(col("id") % 3 === k).repartition(4)))
+    def planned(c: String, lo: Long, hi: Long): Int =
+      t.readRange(c, lo, hi, -1L).inputFiles.length
+    val total0 = t.read().inputFiles.length
+    assert(planned("x", 10, 20) == total0 && planned("y", 10, 20) == total0,
+      "precondition: shuffled layout prunes nothing")
+
+    val v = t.compact(30000L / 16, Seq("x", "y"))
+    assert(t.snapshot(v).action == "compact")
+    val total = t.read().inputFiles.length
+    assert(total >= 8, s"expected ~16 z-files, got $total")
+    // selective filters on EITHER column prune files off the manifest
+    val px = planned("x", 10, 20)
+    val py = planned("y", 10, 20)
+    assert(px * 2 < total, s"x-range read $px of $total files")
+    assert(py * 2 < total, s"y-range read $py of $total files")
+    // and the rewrite is content-identical
+    assert(t.read().agg(sum(col("v"))).head.getLong(0) ==
+      df.agg(sum(col("v"))).head.getLong(0))
+    assert(t.read(v).count() == 30000L)
+
+    // SQL surface: comma-separated cluster_by Z-orders through CALL
+    val cat = "graftzcat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", dir)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.zt (x BIGINT, y BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='x,y')")
+    spark.sql(s"INSERT INTO $cat.db.zt " +
+      "SELECT id * 7 % 64 AS x, id * 13 % 64 AS y FROM range(0, 4000)")
+    val v2 = spark.sql(
+      s"CALL $cat.system.compact('db.zt', 500, 'x,y')").head.getLong(0)
+    val zt = new graft.sources.SnapshotTable(spark, s"$dir/db/zt",
+      statsCols = Seq("x", "y"))
+    assert(zt.latestVersion() == v2)
+    val ztTotal = zt.read().inputFiles.length
+    assert(zt.readRange("y", 2, 9, -1L).inputFiles.length < ztTotal,
+      "CALL compact with a column list must Z-order, not range-sort on x only")
+  }
 }
