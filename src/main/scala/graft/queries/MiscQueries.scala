@@ -1105,6 +1105,44 @@ object MiscQueries {
     // via commitWrittenReplaceAtBase. The version history replays in
     // DuckDB from key arithmetic, gating the statements' row-level
     // semantics AND that every pre-DML version stays readable.
+    // Write-time CHECK constraints under the oracle gate: a constrained
+    // table accepts conforming inserts, REJECTS a violating batch whole
+    // (nothing commits — version count and totals prove it), accepts a
+    // NULL (SQL CHECK: unknown passes), and rejects a violating UPDATE
+    // through the merge-on-read DML writer. The rejected_* literals are
+    // Scala-side caught-exception pins the oracle hard-codes.
+    "misc_catalog_constraints" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catconstr").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gctr", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gctr.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gctr.db")
+      Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("catconstr_src")
+      s.sql("CREATE TABLE gctr.db.oc (o_orderkey BIGINT, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES(" +
+        "'constraint.nonneg'='cents >= 0'," +
+        "'write.update.mode'='merge-on-read','write.delete.key'='o_orderkey')")
+      s.sql("INSERT INTO gctr.db.oc " +
+        "SELECT * FROM catconstr_src WHERE o_orderkey % 4 = 0")
+      val rejectedInsert =
+        try { s.sql("INSERT INTO gctr.db.oc SELECT o_orderkey, -cents " +
+          "FROM catconstr_src WHERE o_orderkey % 4 = 1 AND cents > 0"); 0L }
+        catch { case _: Exception => 1L }
+      val rejectedUpdate =
+        try { s.sql("UPDATE gctr.db.oc SET cents = -1 " +
+          "WHERE o_orderkey % 8 = 0"); 0L }
+        catch { case _: Exception => 1L }
+      s.sql("INSERT INTO gctr.db.oc VALUES (1000000007, NULL)") // NULL passes
+      val t = new graft.sources.SnapshotTable(s, s"$wh/db/oc")
+      t.read().agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+        .select(lit(rejectedInsert).as("rejected_insert"),
+          lit(rejectedUpdate).as("rejected_update"),
+          lit(t.latestVersion()).as("n_versions"),
+          col("n_rows"), col("total_cents"))
+    }),
+
     "misc_catalog_dml" -> ((s, d) => {
       val wh = Tables.freshTmpDir(s, "graft_catdml").getAbsolutePath
       s.conf.set("spark.sql.catalog.gdml", "graft.sources.GraftCatalog")
@@ -3104,6 +3142,19 @@ SELECT 5, 'rollback', TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FRO
     // create, v2 = keys %4==0, v3 doubles %8==0, v4 deletes %8==4
     // (leaving only %8==0 at 2c), v5 full-outer-merges the %6==0
     // source at 5c (matched keys take 5c, unmatched source keys insert)
+    // surviving state = the conforming insert slice + the NULL row;
+    // both rejections and the version count are Scala-side pins
+    // (create/insert/null-insert = 3 versions, rejected ops publish none)
+    "misc_catalog_constraints" -> """
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders WHERE o_orderkey % 4 = 0)
+SELECT CAST(1 AS BIGINT) AS rejected_insert,
+       CAST(1 AS BIGINT) AS rejected_update,
+       CAST(3 AS BIGINT) AS n_versions,
+       CAST((SELECT count(*) FROM o) + 1 AS BIGINT) AS n_rows,
+       CAST((SELECT sum(c) FROM o) AS BIGINT) AS total_cents""",
+
     "misc_catalog_dml" -> """
 WITH base AS (
   SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c

@@ -140,6 +140,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(scala.util.Try(value.toInt).toOption.exists(_ >= 2),
           s"write.delete.compact.at must be an integer >= 2 (delete-file " +
             s"count that triggers an automatic fold); got '$value'")
+      case k if k.startsWith(TableConstraints.Prefix) =>
+        // fail-at-DDL: the predicate must parse/resolve/coerce against
+        // the live schema, and EXISTING rows must satisfy it — otherwise
+        // the constraint would claim something the table already breaks
+        val name = k.stripPrefix(TableConstraints.Prefix)
+        val schema = t.schemaOf(t.latestVersion())
+        TableConstraints.validate(spark, schema, name, value)
+        import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+        val violating = t.read(t.latestVersion())
+          .filter(not(coalesce(expr(value), lit(true)))).limit(1).count()
+        require(violating == 0,
+          s"constraint.$name ($value): existing rows violate the " +
+            "predicate — clean the data before declaring the invariant")
       case _ => ()
     }
 
@@ -163,6 +176,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(scala.util.Try(value.toInt).toOption.exists(_ >= 2),
           s"write.delete.compact.at must be an integer >= 2 (delete-file " +
             s"count that triggers an automatic fold); got '$value'")
+      case k if k.startsWith(TableConstraints.Prefix) =>
+        TableConstraints.validate(spark, schema,
+          k.stripPrefix(TableConstraints.Prefix), value)
       case _ => ()
     }
 
@@ -274,10 +290,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1,
           s"catalog '$catName': only top-level RENAME COLUMN is supported")
+        requireUnconstrained(t, cur, ren.fieldNames.head, "RENAME")
         t.commitRenameColumn(ren.fieldNames.head, ren.newName)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1,
           s"catalog '$catName': only top-level DROP COLUMN is supported")
+        requireUnconstrained(t, cur, del.fieldNames.head, "DROP")
         t.commitDropColumn(del.fieldNames.head)
       case set: TableChange.SetProperty =>
         // property edits are CONFIG (props sidecar), not data commits
@@ -298,6 +316,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       t.setTableProperties(next)
     }
     loadTable(ident)
+  }
+
+  /** A column a CHECK constraint references cannot be renamed or
+    * dropped from under it — the constraint would dangle and every
+    * subsequent write would fail resolving it. Drop or rewrite the
+    * constraint in the same statement first (UNSET folds before schema
+    * ops never run here, so explicit two-step is required — fail-fast
+    * beats a half-applied ALTER). */
+  private def requireUnconstrained(t: SnapshotTable,
+                                   props: Map[String, String],
+                                   column: String, op: String): Unit = {
+    val schema = t.schemaOf(t.latestVersion())
+    TableConstraints.of(props).foreach { case (name, sql) =>
+      val refs = TableConstraints.referencedColumns(spark, schema, name, sql)
+      require(!refs.exists(_.equalsIgnoreCase(column)),
+        s"$op COLUMN $column: CHECK constraint '$name' ($sql) references " +
+          "it — drop the constraint first")
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -245,7 +245,8 @@ class SnapshotStreamingWrite(spark: SparkSession, root: String,
       ColumnMapping.renameFields(schema, mapping).json,
       statsCols.map(c => mapping.getOrElse(c, c)),
       conf.writeLegacyParquetFormat.toString,
-      conf.parquetOutputTimestampType.toString, h.tableBandsV)
+      conf.parquetOutputTimestampType.toString, h.tableBandsV,
+      h.boundConstraints(schema))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -315,7 +316,8 @@ class SnapshotStreamingWrite(spark: SparkSession, root: String,
 case class SnapshotStreamingWriterFactory(dataDir: String, commitUuid: String,
                                           schemaJson: String, statsCols: Seq[String],
                                           legacyFormat: String, timestampType: String,
-                                          bandsV: Int = BandKeys.CurrentBandsV)
+                                          bandsV: Int = BandKeys.CurrentBandsV,
+                                          constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
@@ -323,5 +325,6 @@ case class SnapshotStreamingWriterFactory(dataDir: String, commitUuid: String,
       f"epoch-$epochId%020d-part-$partitionId%05d-$taskId.parquet",
       org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType],
       statsCols, legacyFormat, timestampType,
-      new org.apache.hadoop.conf.Configuration(), bandsV = bandsV)
+      new org.apache.hadoop.conf.Configuration(), bandsV = bandsV,
+      constraints = constraints)
 }

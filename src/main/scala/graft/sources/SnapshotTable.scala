@@ -1244,6 +1244,27 @@ class SnapshotTable(spark: SparkSession, root: String,
         alignLens(nw.lens, nw.files.length))
   }
 
+  /** Write-time CHECK constraints from the table-properties sidecar
+    * (`constraint.<name>`, see [[TableConstraints]]), loaded once per
+    * handle — every driver-written commit guards its batch with them. */
+  private lazy val constraintSqls: Seq[(String, String)] =
+    TableConstraints.of(tableProperties)
+
+  /** Bound per-row constraint predicates for executor writers over
+    * `schema`-shaped rows (the DSv2/streaming factories' enforcement). */
+  private[sources] def boundConstraints(schema: StructType)
+      : Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] =
+    if (constraintSqls.isEmpty) Seq.empty
+    else TableConstraints.bind(spark, schema, constraintSqls)
+
+  /** Constraint guard over a NEW-data batch: identity when the table
+    * has no constraints; otherwise the first violating row fails the
+    * write before anything publishes. */
+  private def guarded(df: DataFrame): DataFrame =
+    if (constraintSqls.isEmpty) df
+    else TableConstraints.guard(spark, df,
+      tipSchemaOf(latestVersion()).getOrElse(df.schema), constraintSqls)
+
   /** Append `df` as a new snapshot: new files + everything the current
     * tip lists. Manifest-only on top of existing data — O(batch). The
     * batch schema is validated against (and evolved into) the tip schema
@@ -1251,7 +1272,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     * nothing and leaves nothing. */
   def commitAppend(df: DataFrame): Long = {
     evolveSchema(tipSchemaOf(latestVersion()), df.schema) // fail-fast gate
-    val (newFiles, newRows) = writeDataFiles(df)
+    val (newFiles, newRows) = writeDataFiles(guarded(df))
     publish("append",
       base => appendedFileSet(base, newFiles),
       base => (if (base == 0) 0L else snapshot(base).rows) + newRows,
@@ -1299,7 +1320,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     if (dup >= 0) dup
     else {
       evolveSchema(tipSchemaOf(latestVersion()), df.schema) // fail-fast gate
-      val (newFiles, newRows) = writeDataFiles(df)
+      val (newFiles, newRows) = writeDataFiles(guarded(df))
       publish("append",
         base => appendedFileSet(base, newFiles),
         base => (if (base == 0) 0L else snapshot(base).rows) + newRows,
@@ -1425,7 +1446,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     // keep their physical mapping (writeDataFiles renamed the files the
     // same way), so a rename survives a full reload
     val tip = tipSchemaOf(latestVersion())
-    val (newFiles, newRows) = writeDataFiles(df)
+    val (newFiles, newRows) = writeDataFiles(guarded(df))
     publish("overwrite",
       base => newFiles.copy(seqs = Seq.fill(newFiles.files.length)(base + 1)),
       _ => newRows,
@@ -1584,7 +1605,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       val base = latestVersion()
       val cur = if (base == 0) None else Some(read(base))
       val next = transform(cur)
-      val (raw, rows) = writeDataFiles(next)
+      val (raw, rows) = writeDataFiles(guarded(next))
       // full rewrite: fresh sequences, MOR deletes absorbed into the data
       val fls = raw.copy(seqs = Seq.fill(raw.files.length)(base + 1))
       publishAtBase(base, action, fls, rows,
@@ -1702,7 +1723,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(outside == 0,
       s"replaceWhere batch has $outside rows outside [$lo, $hi] on $column " +
         "(NULLs count as outside)")
-    val (batchFiles, batchRows) = writeDataFiles(batch)
+    val (batchFiles, batchRows) = writeDataFiles(guarded(batch))
     replaceWhereAtTip(column, lo, hi, batchFiles, batchRows,
       normalizeSchema(batch.schema))
   }

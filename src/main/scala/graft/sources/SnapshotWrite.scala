@@ -260,7 +260,10 @@ class GraftSnapshotBatchWrite(spark: SparkSession, root: String,
     val conf = spark.sessionState.conf
     SnapshotWriterFactory(dataDir.toString, commitUuid, physSchema.json, physStatsCols,
       conf.writeLegacyParquetFormat.toString, conf.parquetOutputTimestampType.toString,
-      opColumn, bandsV)
+      opColumn, bandsV,
+      // bound against the LOGICAL schema — positions match the physical
+      // row layout (rename preserves field order)
+      handle.boundConstraints(schema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -714,7 +717,8 @@ class SnapshotDeltaRowBatchWrite(spark: SparkSession, root: String,
       ColumnMapping.renameFields(rowSchema, mapping).json,
       statsCols.map(c => mapping.getOrElse(c, c)),
       conf.writeLegacyParquetFormat.toString,
-      conf.parquetOutputTimestampType.toString, h.tableBandsV)
+      conf.parquetOutputTimestampType.toString, h.tableBandsV,
+      h.boundConstraints(rowSchema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -768,17 +772,21 @@ case class SnapshotDeltaRowWriterFactory(dataDir: String, commitUuid: String,
                                          keySchemaJson: String, keyCols: Seq[String],
                                          rowSchemaJson: String, statsCols: Seq[String],
                                          legacyFormat: String, timestampType: String,
-                                         bandsV: Int = BandKeys.CurrentBandsV)
+                                         bandsV: Int = BandKeys.CurrentBandsV,
+                                         constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
     val keyW = new SnapshotParquetWriter(dataDir, commitUuid,
       f"delete-$partitionId%05d-$taskId.parquet",
       DataType.fromJson(keySchemaJson).asInstanceOf[StructType], keyCols,
       legacyFormat, timestampType, new Configuration(), bandsV = bandsV)
+    // constraints guard DATA rows only (UPDATE SET / MERGE-inserted
+    // rows); delete-key pre-images are not table rows
     val dataW = new SnapshotParquetWriter(dataDir, commitUuid,
       f"part-$partitionId%05d-$taskId.parquet",
       DataType.fromJson(rowSchemaJson).asInstanceOf[StructType], statsCols,
-      legacyFormat, timestampType, new Configuration(), bandsV = bandsV)
+      legacyFormat, timestampType, new Configuration(), bandsV = bandsV,
+      constraints = constraints)
     new DeltaWriter[InternalRow] {
       override def delete(meta: InternalRow, id: InternalRow): Unit =
         keyW.write(id)
@@ -804,13 +812,15 @@ case class SnapshotWriterFactory(dataDir: String, commitUuid: String,
                                  schemaJson: String, statsCols: Seq[String],
                                  legacyFormat: String, timestampType: String,
                                  opColumn: Boolean = false,
-                                 bandsV: Int = BandKeys.CurrentBandsV)
+                                 bandsV: Int = BandKeys.CurrentBandsV,
+                                 constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new SnapshotParquetWriter(dataDir, commitUuid,
       f"part-$partitionId%05d-$taskId.parquet",
       DataType.fromJson(schemaJson).asInstanceOf[StructType], statsCols,
-      legacyFormat, timestampType, new Configuration(), opColumn, bandsV)
+      legacyFormat, timestampType, new Configuration(), opColumn, bandsV,
+      constraints)
 }
 
 /** Task-side parquet writer over Spark's own [[ParquetWriteSupport]]
@@ -825,9 +835,23 @@ class SnapshotParquetWriter(dataDir: String, commitUuid: String, fileName: Strin
                             legacyFormat: String, timestampType: String,
                             hadoopConf: Configuration,
                             opColumn: Boolean = false,
-                            bandsV: Int = BandKeys.CurrentBandsV)
+                            bandsV: Int = BandKeys.CurrentBandsV,
+                            // write-time CHECK constraints: (name, BOUND
+                            // boolean expression over this writer's row
+                            // layout — positions, not names, so physical
+                            // renames are transparent); compiled once per
+                            // task, evaluated per row, a violation fails
+                            // the task so the write commits NOTHING
+                            constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
     extends DataWriter[InternalRow] {
   import SnapshotWrite._
+
+  private val constraintPreds: Array[(String, org.apache.spark.sql.catalyst.expressions.BasePredicate)] =
+    constraints.map { case (n, e) =>
+      val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
+      p.initialize(0)
+      (n, p)
+    }.toArray
 
   private val path = new Path(new Path(dataDir, commitUuid), fileName)
   private val fs = path.getFileSystem(hadoopConf)
@@ -920,6 +944,14 @@ class SnapshotParquetWriter(dataDir: String, commitUuid: String, fileName: Strin
         s"snapshot write at $dataDir/$commitUuid: row has ${row.numFields} " +
           s"fields but the write schema has ${schema.length} " +
           s"(${schema.fieldNames.mkString(",")}) — plan/write schema mismatch")
+    var k = 0
+    while (k < constraintPreds.length) {
+      if (!constraintPreds(k)._2.eval(row))
+        throw new IllegalStateException(
+          s"CHECK constraint '${constraintPreds(k)._1}' violated by a row " +
+            s"in this write — nothing was committed")
+      k += 1
+    }
     writer.write(row)
     rows += 1
     var c = 0
