@@ -540,6 +540,37 @@ object MiscQueries {
         .unionByName(leg("yk", t.readRange("yk", 5L, 15L, -1L)))
     }),
 
+    // Per-file point-lookup BLOOM index under the oracle gate: four
+    // commits with residue-interleaved order keys (every file's band
+    // spans the whole key range — bands alone prune NOTHING, proven by
+    // the spec), then an equality lookup plans fewer files than the
+    // table holds (pruned_flag) and replays exactly; a key outside the
+    // table plans zero rows. Keyspace capped below 6000 so every file
+    // holds well under the filter's 2048-item budget at ANY sf — the
+    // false-positive probability of the flag is ~1e-14, not sf-shaped.
+    "misc_snapshot_bloom" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_snapbloom")
+      val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath,
+        statsCols = Seq("o_orderkey"))
+      t.setTableProperties(Map("write.bloom.cols" -> "o_orderkey"))
+      val o = Tables.orders(s, d).filter(col("o_orderkey") < 6000)
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      (0 to 3).foreach(k =>
+        t.commitAppend(o.filter(col("o_orderkey") % 4 === k).repartition(1)))
+      val total = t.read().inputFiles.length
+      val mk = o.agg(max(col("o_orderkey"))).head.getLong(0)
+      val hit = t.readRange("o_orderkey", mk, mk, -1L)
+      val miss = t.readRange("o_orderkey", mk + 1, mk + 1, -1L)
+      def leg(name: String, q: org.apache.spark.sql.DataFrame) =
+        q.agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(name).as("leg"),
+            lit(if (q.inputFiles.length < total) 1L else 0L).as("pruned_flag"),
+            col("n_rows"), col("total_cents"))
+      leg("hit", hit).unionByName(leg("miss", miss))
+    }),
+
     "misc_snapshot_skipping" -> ((s, d) => {
       val root = Tables.freshTmpDir(s, "graft_snapskip")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath,
@@ -3142,6 +3173,22 @@ SELECT 5, 'rollback', TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT) FRO
     // create, v2 = keys %4==0, v3 doubles %8==0, v4 deletes %8==4
     // (leaving only %8==0 at 2c), v5 full-outer-merges the %6==0
     // source at 5c (matched keys take 5c, unmatched source keys insert)
+    // the hit is the max key under 6000 (exists at every sf); the miss
+    // key is absent by construction; pruned flags are Scala-side pins
+    "misc_snapshot_bloom" -> """
+WITH o AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders WHERE o_orderkey < 6000),
+m AS (SELECT max(k) AS mk FROM o)
+SELECT 'hit' AS leg, CAST(1 AS BIGINT) AS pruned_flag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(c), 0) AS BIGINT) AS total_cents
+FROM o, m WHERE o.k = m.mk
+UNION ALL
+SELECT 'miss', CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(c), 0) AS BIGINT)
+FROM o, m WHERE o.k = m.mk + 1""",
+
     // surviving state = the conforming insert slice + the NULL row;
     // both rejections and the version count are Scala-side pins
     // (create/insert/null-insert = 3 versions, rejected ops publish none)

@@ -140,6 +140,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(scala.util.Try(value.toInt).toOption.exists(_ >= 2),
           s"write.delete.compact.at must be an integer >= 2 (delete-file " +
             s"count that triggers an automatic fold); got '$value'")
+      case "write.bloom.cols" =>
+        val cols = value.split(",").map(_.trim).filter(_.nonEmpty)
+        require(cols.nonEmpty, "write.bloom.cols must name at least one column")
+        val sc = t.tipStatsCols
+        val missing = cols.filterNot(sc.contains)
+        require(missing.isEmpty,
+          s"write.bloom.cols columns ${missing.mkString(",")} are not stats " +
+            s"columns (${sc.mkString(",")}) — the filter keys are the stats " +
+            "bands' keys, so only indexed columns can carry one")
       case k if k.startsWith(TableConstraints.Prefix) =>
         // fail-at-DDL: the predicate must parse/resolve/coerce against
         // the live schema, and EXISTING rows must satisfy it — otherwise
@@ -176,6 +185,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(scala.util.Try(value.toInt).toOption.exists(_ >= 2),
           s"write.delete.compact.at must be an integer >= 2 (delete-file " +
             s"count that triggers an automatic fold); got '$value'")
+      case "write.bloom.cols" =>
+        val cols = value.split(",").map(_.trim).filter(_.nonEmpty)
+        require(cols.nonEmpty, "write.bloom.cols must name at least one column")
+        val missing = cols.filterNot(schema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"write.bloom.cols columns ${missing.mkString(",")} not in the " +
+            s"table schema (${schema.fieldNames.mkString(",")})")
       case k if k.startsWith(TableConstraints.Prefix) =>
         TableConstraints.validate(spark, schema,
           k.stripPrefix(TableConstraints.Prefix), value)
@@ -195,6 +211,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"${morModes.mkString(", ")} = 'merge-on-read' requires " +
         "write.delete.key = '<col>[,<col>…]' (the equality key every " +
         "merge-on-read statement deletes by) — set it in the same DDL")
+    // bloom columns must be a subset of the declared stats columns when
+    // both arrive in the same DDL (an existing table's live stats cols
+    // are checked per-key against the manifest instead)
+    for (bloom <- effective.get("write.bloom.cols");
+         sc <- effective.get("stats_cols")) {
+      val scSet = sc.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      val missing = bloom.split(",").map(_.trim).filter(_.nonEmpty)
+        .filterNot(scSet.contains)
+      require(missing.isEmpty,
+        s"write.bloom.cols columns ${missing.mkString(",")} are not in " +
+          s"stats_cols ($sc) — the filter keys are the stats bands' keys")
+    }
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, Map.empty)
@@ -252,7 +280,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     t.commitWrittenOverwrite(Seq(s"$uuid/${msg.file}"),
       statsCols.indices.map(c =>
         ColStats(Seq(msg.mins(c)), Seq(msg.maxs(c)), Seq(msg.nulls(c)),
-          Seq(msg.tminsOr(statsCols.length)(c)), Seq(msg.tmaxsOr(statsCols.length)(c)))),
+          Seq(msg.tminsOr(statsCols.length)(c)), Seq(msg.tmaxsOr(statsCols.length)(c)),
+          Seq(msg.bloomsOr(statsCols.length)(c)))),
       0L, schema, dataChange = false)
     // persist user TBLPROPERTIES (config sidecar) — minus the keys Spark
     // injects and stats_cols, which lives in the manifests themselves

@@ -313,7 +313,8 @@ class GraftSnapshotBatchTable(spark: SparkSession, root: String,
     table.commitWrittenOverwrite(Seq(s"$uuid/${msg.file}"),
       statsCols.indices.map(c =>
         ColStats(Seq(msg.mins(c)), Seq(msg.maxs(c)), Seq(msg.nulls(c)),
-          Seq(msg.tminsOr(statsCols.length)(c)), Seq(msg.tmaxsOr(statsCols.length)(c)))),
+          Seq(msg.tminsOr(statsCols.length)(c)), Seq(msg.tmaxsOr(statsCols.length)(c)),
+          Seq(msg.bloomsOr(statsCols.length)(c)))),
       0L, tableSchema)
     true
   }

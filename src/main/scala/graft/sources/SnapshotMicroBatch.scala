@@ -246,7 +246,8 @@ class SnapshotStreamingWrite(spark: SparkSession, root: String,
       statsCols.map(c => mapping.getOrElse(c, c)),
       conf.writeLegacyParquetFormat.toString,
       conf.parquetOutputTimestampType.toString, h.tableBandsV,
-      h.boundConstraints(schema))
+      h.boundConstraints(schema),
+      h.bloomColumns.map(c => mapping.getOrElse(c, c)))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -260,7 +261,8 @@ class SnapshotStreamingWrite(spark: SparkSession, root: String,
       ColStats(nonEmpty.map(_.mins(c)), nonEmpty.map(_.maxs(c)),
         nonEmpty.map(_.nulls(c)),
         nonEmpty.map(_.tminsOr(statsCols.length)(c)),
-        nonEmpty.map(_.tmaxsOr(statsCols.length)(c)))
+        nonEmpty.map(_.tmaxsOr(statsCols.length)(c)),
+        nonEmpty.map(_.bloomsOr(statsCols.length)(c)))
     }
     val rows = nonEmpty.map(_.rows).sum
     val replay: Boolean =
@@ -282,7 +284,8 @@ class SnapshotStreamingWrite(spark: SparkSession, root: String,
               statsCols.indices.map(c =>
                 ColStats(Seq(m.mins(c)), Seq(m.maxs(c)), Seq(m.nulls(c)),
                   Seq(m.tminsOr(statsCols.length)(c)),
-                  Seq(m.tmaxsOr(statsCols.length)(c)))),
+                  Seq(m.tmaxsOr(statsCols.length)(c)),
+                  Seq(m.bloomsOr(statsCols.length)(c)))),
               0L)
           }
         table.commitWrittenOverwriteOnce(queryId, epochId,
@@ -317,7 +320,8 @@ case class SnapshotStreamingWriterFactory(dataDir: String, commitUuid: String,
                                           schemaJson: String, statsCols: Seq[String],
                                           legacyFormat: String, timestampType: String,
                                           bandsV: Int = BandKeys.CurrentBandsV,
-                                          constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+                                          constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+                                          bloomCols: Seq[String] = Seq.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
@@ -326,5 +330,5 @@ case class SnapshotStreamingWriterFactory(dataDir: String, commitUuid: String,
       org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType],
       statsCols, legacyFormat, timestampType,
       new org.apache.hadoop.conf.Configuration(), bandsV = bandsV,
-      constraints = constraints)
+      constraints = constraints, bloomCols = bloomCols)
 }

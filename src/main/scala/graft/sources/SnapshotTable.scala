@@ -22,7 +22,13 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * reinterpreted. */
 case class ColStats(mins: Seq[Long], maxs: Seq[Long], nulls: Seq[Long],
                     tmins: Seq[String] = Seq.empty,
-                    tmaxs: Seq[String] = Seq.empty)
+                    tmaxs: Seq[String] = Seq.empty,
+                    // per-file point-lookup bloom filter over the
+                    // column's band keys (base64 of the spark-sketch
+                    // serialization; "" = absent), recorded only for
+                    // `write.bloom.cols` columns — same alignment
+                    // discipline as the typed bounds
+                    blooms: Seq[String] = Seq.empty)
 
 /** A snapshot descriptor parsed back from a published manifest.
   * `batchId` is -1 for plain commits; streaming appends record their
@@ -241,7 +247,8 @@ class SnapshotTable(spark: SparkSession, root: String,
 
   private def unknownStats(n: Int): ColStats =
     ColStats(Seq.fill(n)(UnknownMin), Seq.fill(n)(UnknownMax), Seq.fill(n)(UnknownNulls),
-      Seq.fill(n)(TypedBounds.Absent), Seq.fill(n)(TypedBounds.Absent))
+      Seq.fill(n)(TypedBounds.Absent), Seq.fill(n)(TypedBounds.Absent),
+      Seq.fill(n)(""))
 
   private def emptyStats: Seq[ColStats] = statsCols.map(_ => unknownStats(0))
 
@@ -250,19 +257,26 @@ class SnapshotTable(spark: SparkSession, root: String,
   private def alignTyped(t: Seq[String], n: Int): Seq[String] =
     if (t.length == n) t else Seq.fill(n)(TypedBounds.Absent)
 
+  /** Bloom vector aligned to an `n`-file list; misaligned/absent reads
+    * as all-absent ("" = no filter = never pruned) — same discipline. */
+  private def alignBlooms(b: Seq[String], n: Int): Seq[String] =
+    if (b.length == n) b else Seq.fill(n)("")
+
   private def sliceStats(st: Seq[ColStats], idx: Seq[Int]): Seq[ColStats] =
     st.map { cs =>
       val n = cs.mins.length
       val (tm, tx) = (alignTyped(cs.tmins, n), alignTyped(cs.tmaxs, n))
+      val bl = alignBlooms(cs.blooms, n)
       ColStats(idx.map(cs.mins), idx.map(cs.maxs), idx.map(cs.nulls),
-        idx.map(tm), idx.map(tx))
+        idx.map(tm), idx.map(tx), idx.map(bl))
     }
 
   private def concatStats(a: Seq[ColStats], b: Seq[ColStats]): Seq[ColStats] =
     a.zip(b).map { case (x, y) =>
       ColStats(x.mins ++ y.mins, x.maxs ++ y.maxs, x.nulls ++ y.nulls,
         alignTyped(x.tmins, x.mins.length) ++ alignTyped(y.tmins, y.mins.length),
-        alignTyped(x.tmaxs, x.mins.length) ++ alignTyped(y.tmaxs, y.mins.length)) }
+        alignTyped(x.tmaxs, x.mins.length) ++ alignTyped(y.tmaxs, y.mins.length),
+        alignBlooms(x.blooms, x.mins.length) ++ alignBlooms(y.blooms, y.mins.length)) }
 
   /** Align a manifest's stats to THIS table's statsCols by column name.
     * A legacy manifest (pre-statsCols) carries ONE unnamed stats block —
@@ -285,7 +299,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       if (cs.mins.length == n && cs.maxs.length == n)
         ColStats(cs.mins, cs.maxs,
           if (cs.nulls.length == n) cs.nulls else Seq.fill(n)(UnknownNulls),
-          alignTyped(cs.tmins, n), alignTyped(cs.tmaxs, n))
+          alignTyped(cs.tmins, n), alignTyped(cs.tmaxs, n),
+          alignBlooms(cs.blooms, n))
       else unknownStats(n)
     val manifestCols =
       if (s.statsCols.nonEmpty) s.statsCols
@@ -552,7 +567,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     val stats = cols.indices.map { i =>
       val sfx = if (i == 0) "" else i.toString
       ColStats(longArray(s"mins$sfx"), longArray(s"maxs$sfx"), longArray(s"nulls$sfx"),
-        typedArray(txt, s"tmins$sfx"), typedArray(txt, s"tmaxs$sfx"))
+        typedArray(txt, s"tmins$sfx"), typedArray(txt, s"tmaxs$sfx"),
+        typedArray(txt, s"blooms$sfx"))
     }
     GroupData(files, longArray("seqs"), longArray("lens"), cols, stats)
   }
@@ -582,7 +598,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       }
       ColStats(per.flatMap(_.mins), per.flatMap(_.maxs), per.flatMap(_.nulls),
         per.flatMap(cs => alignTyped(cs.tmins, cs.mins.length)),
-        per.flatMap(cs => alignTyped(cs.tmaxs, cs.mins.length)))
+        per.flatMap(cs => alignTyped(cs.tmaxs, cs.mins.length)),
+        per.flatMap(cs => alignBlooms(cs.blooms, cs.mins.length)))
     }
     // inline arrays may be empty when the inline tail is empty; align
     // each to the inline file count before concatenation
@@ -604,7 +621,9 @@ class SnapshotTable(spark: SparkSession, root: String,
           alignTyped(gStats(i).tmins, gStats(i).mins.length) ++
             alignTyped(inlineStats(i).tmins, inlineStats(i).mins.length),
           alignTyped(gStats(i).tmaxs, gStats(i).mins.length) ++
-            alignTyped(inlineStats(i).tmaxs, inlineStats(i).mins.length))),
+            alignTyped(inlineStats(i).tmaxs, inlineStats(i).mins.length),
+          alignBlooms(gStats(i).blooms, gStats(i).mins.length) ++
+            alignBlooms(inlineStats(i).blooms, inlineStats(i).mins.length))),
       groupedCount = gFiles.length)
   }
 
@@ -622,7 +641,7 @@ class SnapshotTable(spark: SparkSession, root: String,
             s""","mins$sfx":[${cs.mins.mkString(",")}]""" +
               s""","maxs$sfx":[${cs.maxs.mkString(",")}]""" +
               s""","nulls$sfx":[${cs.nulls.mkString(",")}]""" +
-              typedBoundsPart(cs, sfx)
+              typedBoundsPart(cs, sfx) + bloomsPart(cs, sfx)
           }.mkString
       }
     val body =
@@ -713,7 +732,8 @@ class SnapshotTable(spark: SparkSession, root: String,
         manifestStatsCols.indices.map { i =>
           val sfx = if (i == 0) "" else i.toString
           ColStats(longArray(s"mins$sfx"), longArray(s"maxs$sfx"), longArray(s"nulls$sfx"),
-            typedArray(txt, s"tmins$sfx"), typedArray(txt, s"tmaxs$sfx"))
+            typedArray(txt, s"tmins$sfx"), typedArray(txt, s"tmaxs$sfx"),
+            typedArray(txt, s"blooms$sfx"))
         }
       else {
         // pre-statsCols manifests: a single unnamed stats block
@@ -1036,12 +1056,43 @@ class SnapshotTable(spark: SparkSession, root: String,
             case (uri, per) if uri.endsWith(rel.split('/').last) => per(c)
           }.getOrElse((UnknownMin, UnknownMax, UnknownNulls,
             TypedBounds.Absent, TypedBounds.Absent))
+        // per-file point-lookup blooms for the opted columns — one extra
+        // bounded aggregation, run ONLY on bloom-opted tables (the DSv2
+        // executor writers fold theirs inline; this is the driver path)
+        val bloomColsHere = bloomColumns.filter(presentCols.contains)
+        val bloomByFile: Map[String, Map[String, String]] =
+          if (bloomColsHere.isEmpty) Map.empty
+          else {
+            import org.apache.spark.sql.functions.input_file_name
+            import org.apache.spark.sql.catalyst.expressions.Literal
+            import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+            val aggs = bloomColsHere.map { c =>
+              bridge.column(new BloomFilterAggregate(
+                bridge.expression(bandKeyCol(written, c, bandsV)),
+                Literal(FileBlooms.ExpectedItems),
+                Literal(FileBlooms.NumBits)).toAggregateExpression())
+            }
+            written.groupBy(input_file_name()).agg(aggs.head, aggs.tail: _*)
+              .collect().map { r =>
+                r.getString(0) -> bloomColsHere.zipWithIndex.map { case (c, i) =>
+                  c -> Option(r.get(1 + i)).map(b =>
+                    java.util.Base64.getEncoder.encodeToString(
+                      b.asInstanceOf[Array[Byte]])).getOrElse("")
+                }.toMap
+              }.toMap
+          }
+        def bloomFor(rel: String, c: String): String =
+          bloomByFile.collectFirst {
+            case (uri, per) if uri.endsWith(rel.split('/').last) =>
+              per.getOrElse(c, "")
+          }.getOrElse("")
         statsCols.map { c =>
           if (!presentCols.contains(c)) unknownStats(parts.length)
           else {
             val trip = parts.map(p => statsFor(p, c))
             ColStats(trip.map(_._1), trip.map(_._2), trip.map(_._3),
-              trip.map(_._4), trip.map(_._5))
+              trip.map(_._4), trip.map(_._5),
+              parts.map(p => bloomFor(p, c)))
           }
         }
       }
@@ -1068,6 +1119,15 @@ class SnapshotTable(spark: SparkSession, root: String,
     if (tm.forall(_ == TypedBounds.Absent) && tx.forall(_ == TypedBounds.Absent)) ""
     else s""","tmins$sfx":[${tm.map(t => s""""$t"""").mkString(",")}]""" +
       s""","tmaxs$sfx":[${tx.map(t => s""""$t"""").mkString(",")}]"""
+  }
+
+  /** Bloom array for one stats column's manifest/group block — emitted
+    * only when some file actually carries a filter (base64 is JSON-safe
+    * by construction; a bloom-less column costs zero bytes). */
+  private def bloomsPart(cs: ColStats, sfx: String): String = {
+    val bl = alignBlooms(cs.blooms, cs.mins.length)
+    if (bl.forall(_.isEmpty)) ""
+    else s""","blooms$sfx":[${bl.map(b => s""""$b"""").mkString(",")}]"""
   }
 
   /** Parse one typed-bounds array, preserving EMPTY entries (base64 of
@@ -1110,7 +1170,7 @@ class SnapshotTable(spark: SparkSession, root: String,
           s""","mins$sfx":[${cs.mins.mkString(",")}]""" +
             s""","maxs$sfx":[${cs.maxs.mkString(",")}]""" +
             s""","nulls$sfx":[${cs.nulls.mkString(",")}]""" +
-            typedBoundsPart(cs, sfx)
+            typedBoundsPart(cs, sfx) + bloomsPart(cs, sfx)
         }.mkString
       }
     val schemaPart = schemaJson.fold("")(j =>
@@ -1243,6 +1303,14 @@ class SnapshotTable(spark: SparkSession, root: String,
       alignLens(prev.lens, prev.files.length) ++
         alignLens(nw.lens, nw.files.length))
   }
+
+  /** Columns opted into per-file point-lookup bloom filters
+    * (`write.bloom.cols`, see [[FileBlooms]]) — must be stats columns:
+    * the filter keys are the same band keys the min/max bands fold. */
+  private[sources] lazy val bloomColumns: Seq[String] =
+    tableProperties.get("write.bloom.cols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
 
   /** Write-time CHECK constraints from the table-properties sidecar
     * (`constraint.<name>`, see [[TableConstraints]]), loaded once per
@@ -1511,7 +1579,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     val setAll = fileSetOf(snap)
     val cs = setAll.stats(ci)
     val keep = setAll.files.indices
-      .filter(i => cs.maxs(i) >= lo && cs.mins(i) <= hi)
+      .filter(i => cs.maxs(i) >= lo && cs.mins(i) <= hi &&
+        (lo != hi || FileBlooms.mightContain(cs.blooms(i), lo)))
     val base =
       if (keep.isEmpty) read(v).limit(0)
       else morPlan(snap, keep, mergeSchema = false)
@@ -1551,7 +1620,12 @@ class SnapshotTable(spark: SparkSession, root: String,
     val keep = setAll.files.indices.filter { i =>
       active.forall { case (c, (lo, hi)) =>
         val cs = setAll.stats(statsCols.indexOf(c))
-        cs.maxs(i) >= lo && cs.mins(i) <= hi
+        cs.maxs(i) >= lo && cs.mins(i) <= hi &&
+          // POINT lookups additionally consult the file's bloom filter
+          // (equality bands are lo == hi; sound for lossy keys too —
+          // the stored rows' keys under the same mapping are what the
+          // filter holds, so "absent" can never drop a matching row)
+          (lo != hi || FileBlooms.mightContain(cs.blooms(i), lo))
       } && activeNull.forall { c =>
         setAll.stats(statsCols.indexOf(c)).nulls(i) != 0L
       }

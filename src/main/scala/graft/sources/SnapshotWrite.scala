@@ -98,12 +98,55 @@ case class SnapshotWriteMessage(file: String, rows: Long,
                                 mins: Array[Long], maxs: Array[Long],
                                 nulls: Array[Long],
                                 tmins: Array[String] = Array.empty,
-                                tmaxs: Array[String] = Array.empty)
+                                tmaxs: Array[String] = Array.empty,
+                                blooms: Array[String] = Array.empty)
     extends WriterCommitMessage {
   def tminsOr(n: Int): Seq[String] =
     if (tmins.length == n) tmins.toSeq else Seq.fill(n)(TypedBounds.Absent)
   def tmaxsOr(n: Int): Seq[String] =
     if (tmaxs.length == n) tmaxs.toSeq else Seq.fill(n)(TypedBounds.Absent)
+  def bloomsOr(n: Int): Seq[String] =
+    if (blooms.length == n) blooms.toSeq else Seq.fill(n)("")
+}
+
+/** Per-file point-lookup bloom filters over a stats column's BAND KEYS
+  * (`write.bloom.cols`, opt-in): an equality lookup prunes files whose
+  * [min, max] band covers the key but whose filter proves absence — the
+  * 100 TB point-lookup story bands alone cannot give on unclustered
+  * data. Fixed 2 KB budget per file per column (spark-sketch blocked
+  * bloom, base64 in the manifest/group stats blocks); a file with more
+  * distinct keys than the budget sizes for degrades its false-POSITIVE
+  * rate (weaker pruning), never its soundness — every written key is in
+  * the filter, so "absent" is always true. Lossy band keys (STRING
+  * prefix, legacy floor-second timestamps) stay sound for the same
+  * reason: the QUERY key under the same mapping is what was stored. */
+private[sources] object FileBlooms {
+  val ExpectedItems = 2048L
+  val Fpp = 0.02
+  /** Same sizing for the driver-side BloomFilterAggregate fold as the
+    * executor writers' create(ExpectedItems, Fpp) — one filter shape. */
+  val NumBits: Long =
+    org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(ExpectedItems, Fpp)
+
+  def newFilter(): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.create(ExpectedItems, Fpp)
+
+  def encode(bf: org.apache.spark.util.sketch.BloomFilter): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+  }
+
+  def decode(b64: String): Option[org.apache.spark.util.sketch.BloomFilter] =
+    if (b64 == null || b64.isEmpty) None
+    else scala.util.Try(org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(
+        java.util.Base64.getDecoder.decode(b64)))).toOption
+
+  /** Membership under prune semantics: absent/corrupt filter = MIGHT
+    * contain (never pruned). */
+  def mightContain(b64: String, key: Long): Boolean =
+    decode(b64).forall(_.mightContainLong(key))
 }
 
 /** How a finished distributed write publishes its manifest. */
@@ -263,7 +306,8 @@ class GraftSnapshotBatchWrite(spark: SparkSession, root: String,
       opColumn, bandsV,
       // bound against the LOGICAL schema — positions match the physical
       // row layout (rename preserves field order)
-      handle.boundConstraints(schema))
+      handle.boundConstraints(schema),
+      handle.bloomColumns.map(c => mapping.getOrElse(c, c)))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -295,7 +339,8 @@ class GraftSnapshotBatchWrite(spark: SparkSession, root: String,
     val stats: Seq[ColStats] = statsCols.indices.map { c =>
       ColStats(ensured.map(_.mins(c)), ensured.map(_.maxs(c)), ensured.map(_.nulls(c)),
         ensured.map(_.tminsOr(statsCols.length)(c)),
-        ensured.map(_.tmaxsOr(statsCols.length)(c)))
+        ensured.map(_.tmaxsOr(statsCols.length)(c)),
+        ensured.map(_.bloomsOr(statsCols.length)(c)))
     }
     val rows = ensured.map(_.rows).sum
     val table = new SnapshotTable(spark, root, statsCols)
@@ -718,7 +763,8 @@ class SnapshotDeltaRowBatchWrite(spark: SparkSession, root: String,
       statsCols.map(c => mapping.getOrElse(c, c)),
       conf.writeLegacyParquetFormat.toString,
       conf.parquetOutputTimestampType.toString, h.tableBandsV,
-      h.boundConstraints(rowSchema))
+      h.boundConstraints(rowSchema),
+      h.bloomColumns.map(c => mapping.getOrElse(c, c)))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -736,7 +782,8 @@ class SnapshotDeltaRowBatchWrite(spark: SparkSession, root: String,
       ColStats(dataMsgs.map(_.mins(c)), dataMsgs.map(_.maxs(c)),
         dataMsgs.map(_.nulls(c)),
         dataMsgs.map(_.tminsOr(statsCols.length)(c)),
-        dataMsgs.map(_.tmaxsOr(statsCols.length)(c)))
+        dataMsgs.map(_.tmaxsOr(statsCols.length)(c)),
+        dataMsgs.map(_.bloomsOr(statsCols.length)(c)))
     }
     val table = new SnapshotTable(spark, root, statsCols)
     table.commitWrittenRowDelta(base, action,
@@ -773,7 +820,8 @@ case class SnapshotDeltaRowWriterFactory(dataDir: String, commitUuid: String,
                                          rowSchemaJson: String, statsCols: Seq[String],
                                          legacyFormat: String, timestampType: String,
                                          bandsV: Int = BandKeys.CurrentBandsV,
-                                         constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+                                         constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+                                         bloomCols: Seq[String] = Seq.empty)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
     val keyW = new SnapshotParquetWriter(dataDir, commitUuid,
@@ -786,7 +834,7 @@ case class SnapshotDeltaRowWriterFactory(dataDir: String, commitUuid: String,
       f"part-$partitionId%05d-$taskId.parquet",
       DataType.fromJson(rowSchemaJson).asInstanceOf[StructType], statsCols,
       legacyFormat, timestampType, new Configuration(), bandsV = bandsV,
-      constraints = constraints)
+      constraints = constraints, bloomCols = bloomCols)
     new DeltaWriter[InternalRow] {
       override def delete(meta: InternalRow, id: InternalRow): Unit =
         keyW.write(id)
@@ -813,14 +861,15 @@ case class SnapshotWriterFactory(dataDir: String, commitUuid: String,
                                  legacyFormat: String, timestampType: String,
                                  opColumn: Boolean = false,
                                  bandsV: Int = BandKeys.CurrentBandsV,
-                                 constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+                                 constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+                                 bloomCols: Seq[String] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new SnapshotParquetWriter(dataDir, commitUuid,
       f"part-$partitionId%05d-$taskId.parquet",
       DataType.fromJson(schemaJson).asInstanceOf[StructType], statsCols,
       legacyFormat, timestampType, new Configuration(), opColumn, bandsV,
-      constraints)
+      constraints, bloomCols)
 }
 
 /** Task-side parquet writer over Spark's own [[ParquetWriteSupport]]
@@ -842,7 +891,12 @@ class SnapshotParquetWriter(dataDir: String, commitUuid: String, fileName: Strin
                             // renames are transparent); compiled once per
                             // task, evaluated per row, a violation fails
                             // the task so the write commits NOTHING
-                            constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+                            constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+                            // statsCols subset carrying per-file
+                            // point-lookup bloom filters (see
+                            // [[FileBlooms]]); keys are the same band
+                            // keys the min/max fold records
+                            bloomCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
   import SnapshotWrite._
 
@@ -852,6 +906,11 @@ class SnapshotParquetWriter(dataDir: String, commitUuid: String, fileName: Strin
       p.initialize(0)
       (n, p)
     }.toArray
+
+  // one filter per OPTED stats column (null = not opted / unfoldable)
+  private val bloomFold: Array[org.apache.spark.util.sketch.BloomFilter] =
+    statsCols.map(c =>
+      if (bloomCols.contains(c)) FileBlooms.newFilter() else null).toArray
 
   private val path = new Path(new Path(dataDir, commitUuid), fileName)
   private val fs = path.getFileSystem(hadoopConf)
@@ -963,6 +1022,7 @@ class SnapshotParquetWriter(dataDir: String, commitUuid: String, fileName: Strin
           val v = asLong(c)(row)
           if (v < mins(c)) mins(c) = v
           if (v > maxs(c)) maxs(c) = v
+          if (bloomFold(c) != null) bloomFold(c).putLong(v)
           if (isStringCol(c)) {
             val b = row.getUTF8String(i).getBytes
             if (tminBytes(c) == null || TypedBounds.compareBytes(b, tminBytes(c)) < 0)
@@ -1008,8 +1068,16 @@ class SnapshotParquetWriter(dataDir: String, commitUuid: String, fileName: Strin
       }
       c += 1
     }
+    val outBlooms = statsCols.indices.map { c =>
+      // a filter is recorded only when the fold actually SAW the column
+      // (fieldIdx >= 0, foldable type) and the file has rows — an
+      // absent/empty one reads as "" (never pruned / band-pruned anyway)
+      if (bloomFold(c) != null && fieldIdx(c) >= 0 && asLong(c) != null && rows > 0L)
+        FileBlooms.encode(bloomFold(c))
+      else ""
+    }.toArray
     SnapshotWriteMessage(fileName, rows, outMins, outMaxs, outNulls,
-      outTmins, outTmaxs)
+      outTmins, outTmaxs, outBlooms)
   }
 
   override def abort(): Unit = {
