@@ -128,6 +128,25 @@ object SnapshotBatch {
   def nullPruneCols(filters: Seq[Filter]): Set[String] =
     filters.collect { case IsNull(c) => c }.toSet
 
+  /** Per-column point SETS from IN-lists, for per-key band + bloom
+    * pruning: the hull band [min,max] keeps every file the list's RANGE
+    * touches, but a file survives point pruning only if SOME listed key
+    * lands inside its band AND its bloom filter (when present) admits
+    * it. Bounded lists only (a huge list's per-key test costs more than
+    * it saves); NULL literals add no matches (null-rejecting, like the
+    * bands), so lists carrying them still derive from the non-null
+    * keys. Multiple IN conjuncts on one column intersect. */
+  def pointsOf(filters: Seq[Filter], bandsV: Int): Map[String, Seq[Long]] =
+    filters.collect {
+      case In(c, vs) if vs.nonEmpty && vs.length <= 64 &&
+          vs.exists(v => Option(v).exists(BandKeys.valueKey(_, bandsV).isDefined)) &&
+          vs.forall(v => v == null || BandKeys.valueKey(v, bandsV).isDefined) =>
+        c -> vs.toSeq.flatMap(v =>
+          Option(v).flatMap(BandKeys.valueKey(_, bandsV)).map(_._1)).distinct
+    }.groupBy(_._1).map { case (c, ps) =>
+      c -> ps.map(_._2.toSet).reduce(_ intersect _).toSeq.sorted
+    }
+
   /** Like [[bandOf]] but ONLY for predicates whose band is the EXACT
     * truth set over non-null values — every value inside the band
     * matches, every value outside does not. That requires an EXACT
@@ -349,7 +368,8 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     hadFilters = filters.nonEmpty
     pruning = filters.filter(f =>
-      SnapshotBatch.bandOf(f, bandsV).isDefined || f.isInstanceOf[IsNull])
+      SnapshotBatch.bandOf(f, bandsV).isDefined || f.isInstanceOf[IsNull] ||
+        SnapshotBatch.pointsOf(Seq(f), bandsV).nonEmpty)
     filters
   }
   override def pushedFilters(): Array[Filter] = pruning
@@ -490,7 +510,8 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
       new GraftSnapshotCountScan(pushedCounts, version, table.toString)
     else new GraftSnapshotScan(spark, table, version, required,
       SnapshotBatch.bandsOf(pruning.toSeq, bandsV), scanOptions,
-      SnapshotBatch.nullPruneCols(pruning.toSeq))
+      SnapshotBatch.nullPruneCols(pruning.toSeq),
+      SnapshotBatch.pointsOf(pruning.toSeq, bandsV))
 }
 
 /** One-row scan carrying COMPLETE manifest-served counts/extrema — the
@@ -548,7 +569,8 @@ class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
                         bands: Map[String, (Long, Long)],
                         options: CaseInsensitiveStringMap =
                           CaseInsensitiveStringMap.empty(),
-                        nullCols: Set[String] = Set.empty) extends V1Scan
+                        nullCols: Set[String] = Set.empty,
+                        points: Map[String, Seq[Long]] = Map.empty) extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
 
@@ -564,7 +586,7 @@ class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
   /** The manifest-planned file list after band + IS-NULL pruning — the
     * evidence the connector spec pins (skipping survives the DSv2 path). */
   private[graft] def plannedFiles: Seq[String] =
-    table.readPruned(bands, nullCols, version)._2
+    table.readPruned(bands, points, nullCols, version)._2
 
   /** EXACT row count from the manifest (maintained through every commit
     * path) feeding the planner's broadcast decision — a small snapshot
@@ -605,12 +627,14 @@ class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new GraftSnapshotRelation(context, spark, table, version, required, bands,
-      nullCols).asInstanceOf[T]
+      nullCols, points).asInstanceOf[T]
 
   override def description(): String =
     s"GraftSnapshotScan v$version bands=${bands.map { case (c, (lo, hi)) =>
       s"$c:[$lo,$hi]" }.mkString(",")}" +
-      (if (nullCols.isEmpty) "" else s" isNull=${nullCols.mkString(",")}")
+      (if (nullCols.isEmpty) "" else s" isNull=${nullCols.mkString(",")}") +
+      (if (points.isEmpty) "" else s" points=${points.map { case (c, ks) =>
+        s"$c:${ks.length}" }.mkString(",")}")
 }
 
 /** The V1 delegate: rows come from the engine's own MOR-aware plan,
@@ -621,13 +645,14 @@ class GraftSnapshotRelation(context: SQLContext, spark: SparkSession,
                             table: SnapshotTable, version: Long,
                             required: StructType,
                             bands: Map[String, (Long, Long)],
-                            nullCols: Set[String] = Set.empty)
+                            nullCols: Set[String] = Set.empty,
+                            points: Map[String, Seq[Long]] = Map.empty)
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = context
   override def schema: StructType = required
   override def buildScan(): RDD[Row] = {
     import org.apache.spark.sql.functions.{col, input_file_name, lit}
-    val (df, _) = table.readPruned(bands, nullCols, version)
+    val (df, _) = table.readPruned(bands, points, nullCols, version)
     val pruned =
       if (required.isEmpty) df.select() // count-style scans need no columns
       else df.select(required.fieldNames.toIndexedSeq.map {

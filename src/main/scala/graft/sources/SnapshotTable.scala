@@ -1610,6 +1610,16 @@ class SnapshotTable(spark: SparkSession, root: String,
     * NULL. */
   private[graft] def readPruned(bands: Map[String, (Long, Long)],
                                 nullCols: Set[String],
+                                version: Long): (DataFrame, Seq[String]) =
+    readPruned(bands, Map.empty, nullCols, version)
+
+  /** [[readPruned]] plus per-key POINT-SET pruning (IN-lists): the hull
+    * band keeps every file the list's RANGE touches; a file survives
+    * point pruning only when SOME listed key lands inside its band AND
+    * its bloom filter (when present) admits it. */
+  private[graft] def readPruned(bands: Map[String, (Long, Long)],
+                                points: Map[String, Seq[Long]],
+                                nullCols: Set[String],
                                 version: Long): (DataFrame, Seq[String]) = {
     val v = if (version < 0) latestVersion() else version
     require(v > 0, s"no committed snapshot to read at $root")
@@ -1617,6 +1627,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     val setAll = fileSetOf(snap)
     val active = bands.filter { case (c, _) => statsCols.contains(c) }
     val activeNull = nullCols.filter(statsCols.contains)
+    val activePoints = points.filter { case (c, _) => statsCols.contains(c) }
     val keep = setAll.files.indices.filter { i =>
       active.forall { case (c, (lo, hi)) =>
         val cs = setAll.stats(statsCols.indexOf(c))
@@ -1628,6 +1639,10 @@ class SnapshotTable(spark: SparkSession, root: String,
           (lo != hi || FileBlooms.mightContain(cs.blooms(i), lo))
       } && activeNull.forall { c =>
         setAll.stats(statsCols.indexOf(c)).nulls(i) != 0L
+      } && activePoints.forall { case (c, ks) =>
+        val cs = setAll.stats(statsCols.indexOf(c))
+        ks.exists(k => cs.maxs(i) >= k && cs.mins(i) <= k &&
+          FileBlooms.mightContain(cs.blooms(i), k))
       }
     }
     if (keep.isEmpty) (read(v).limit(0), Seq.empty)

@@ -106,6 +106,34 @@ class BloomIndexSpec extends SparkSpec {
     assert(hit.count() == 1L)
   }
 
+  test("IN-lists prune per listed key, not per hull — band + bloom together") {
+    val root = freshRoot("inlist")
+    val t = new SnapshotTable(spark, root, statsCols = Seq("id"))
+    t.setTableProperties(Map("write.bloom.cols" -> "id"))
+    interleaved(t) // 3 files, each spanning ~[0, 900]
+    // both keys are commit k=1's (id % 3 == 1): the hull [304, 607] still
+    // overlaps every file; only the per-key bloom test isolates the one
+    val scan = new graft.sources.GraftSnapshotScan(spark, t,
+      t.latestVersion(), t.read().schema,
+      bands = Map("id" -> (304L, 607L)),
+      points = Map("id" -> Seq(304L, 607L)))
+    assert(scan.plannedFiles.length == 1,
+      s"IN (304, 607) must plan one file, got ${scan.plannedFiles.length}")
+    // end-to-end through SQL: exact rows plus the points in the plan text
+    val df = spark.read.format("graft-snapshot").load(root)
+      .filter(col("id").isin(304L, 607L, 10001L))
+    assert(df.select(sum(col("v"))).head.getLong(0) ==
+      (304L / 3) * 7 + (607L / 3) * 7)
+    assert(scan.description().contains("points=id:2"),
+      s"the scan must advertise its point set: ${scan.description()}")
+    // a list of only-absent keys plans nothing and returns nothing
+    val none = new graft.sources.GraftSnapshotScan(spark, t,
+      t.latestVersion(), t.read().schema,
+      bands = Map("id" -> (10001L, 10007L)),
+      points = Map("id" -> Seq(10001L, 10007L)))
+    assert(none.plannedFiles.isEmpty)
+  }
+
   test("point reads through MOR deletes stay exact; full compact refreshes blooms") {
     val t = new SnapshotTable(spark, freshRoot("mor"), statsCols = Seq("id"))
     t.setTableProperties(Map("write.bloom.cols" -> "id"))
