@@ -3328,7 +3328,12 @@ class SnapshotTable(spark: SparkSession, root: String,
   * follower on the same checkpointDir; it resumes from the max offset.
   */
 class SnapshotFollower(table: SnapshotTable, checkpointDir: String,
-                       skipChangeCommits: Boolean = false) {
+                       skipChangeCommits: Boolean = false,
+                       // admission control for the batch-poll shape: cap
+                       // how many versions one poll consumes (a consumer
+                       // bootstrapping against months of commits drains
+                       // in bounded polls, the streaming sources' rule)
+                       maxVersionsPerPoll: Long = Long.MaxValue) {
   private val offsetsDir = new Path(checkpointDir, "offsets")
   private def fs: FileSystem = table.hadoopFs
 
@@ -3345,8 +3350,12 @@ class SnapshotFollower(table: SnapshotTable, checkpointDir: String,
     * the table has nothing new. The offset advances ONLY after `process`
     * returns — a throw re-delivers the delta on the next poll. */
   def poll(process: org.apache.spark.sql.DataFrame => Unit): Option[(Long, Long)] = {
+    require(maxVersionsPerPoll >= 1, "maxVersionsPerPoll must be >= 1")
     val from = lastConsumed()
-    val tip = table.latestVersion()
+    val cap = // overflow-safe: the default cap is Long.MaxValue
+      if (maxVersionsPerPoll > Long.MaxValue - from) Long.MaxValue
+      else from + maxVersionsPerPoll
+    val tip = math.min(table.latestVersion(), cap)
     if (tip <= from) return None
     // same insert-only contract as the streaming source (one manifest
     // walk for both questions): a rewrite or delete in the range is an

@@ -194,6 +194,11 @@ class ManifestGroupsSpec extends SparkSpec {
       groupInlineFold = 2, groupMergeAt = 3)
     val i = new SnapshotTable(spark, rootI, statsCols = Seq("id"),
       groupInlineFold = 1000000, groupMergeAt = 1000000)
+    // blooms ride the differential too: every append folds per-file
+    // filters, so any group-encoding bug in the blooms vector shows up
+    // as planned-file or value divergence below
+    g.setTableProperties(Map("write.bloom.cols" -> "id"))
+    i.setTableProperties(Map("write.bloom.cols" -> "id"))
     val rnd = new scala.util.Random(17)
     var nextId = 0L
     def batch(n: Int) = {
@@ -236,6 +241,14 @@ class ManifestGroupsSpec extends SparkSpec {
     val bandsG = g.readPruned(Map("id" -> (5L, 9L)), tip)._1.as[Long].collect().toSet
     val bandsI = i.readPruned(Map("id" -> (5L, 9L)), tip)._1.as[Long].collect().toSet
     assert(bandsG == bandsI)
+    // point-lookup (bloom) pruning agrees: same values AND same planned
+    // file counts under both encodings
+    val pg = g.readRange("id", 3L, 3L, -1L)
+    val pi = i.readRange("id", 3L, 3L, -1L)
+    assert(pg.as[Long].collect().toSeq == pi.as[Long].collect().toSeq)
+    assert(pg.inputFiles.length == pi.inputFiles.length,
+      s"bloom pruning diverged: grouped=${pg.inputFiles.length} " +
+        s"inline=${pi.inputFiles.length}")
   }
 
   test("total manifest bytes stay near-linear: the tip never re-lists the whole table") {

@@ -100,6 +100,19 @@ class SnapshotTableSpec extends SparkSpec {
     assert(seen == Set(4L)) // only the delta, never a re-scan
   }
 
+  test("SnapshotFollower: maxVersionsPerPoll drains a backlog in bounded polls") {
+    val t = new SnapshotTable(spark, freshRoot("followcap"))
+    val ckpt = freshRoot("followcapckpt")
+    (1 to 5).foreach(k => t.commitAppend(Seq(k.toLong).toDF("id")))
+    val f = new graft.sources.SnapshotFollower(t, ckpt, maxVersionsPerPoll = 2L)
+    val ranges = Iterator.continually(f.poll(_ => ()))
+      .takeWhile(_.isDefined).flatten.toSeq
+    assert(ranges == Seq((0L, 2L), (2L, 4L), (4L, 5L)),
+      s"5 versions at 2 per poll, got $ranges")
+    // an uncapped follower on the same checkpoint sees nothing new
+    assert(new graft.sources.SnapshotFollower(t, ckpt).poll(_ => ()).isEmpty)
+  }
+
   test("readRange prunes files by manifest min/max stats; results stay exact") {
     val t = new SnapshotTable(spark, freshRoot("stats"), statsCols = Seq("id"))
     // three commits with disjoint id bands, one file each
