@@ -347,11 +347,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  /** A column a CHECK constraint references cannot be renamed or
-    * dropped from under it — the constraint would dangle and every
-    * subsequent write would fail resolving it. Drop or rewrite the
-    * constraint in the same statement first (UNSET folds before schema
-    * ops never run here, so explicit two-step is required — fail-fast
+  /** A column a CHECK constraint (or a column-list property —
+    * write.bloom.cols, write.cluster.by) references cannot be renamed
+    * or dropped from under it: the constraint would dangle and fail
+    * every subsequent write, and a stale column-list would silently
+    * STOP doing its job (no more bloom folds / clustered appends) —
+    * worse than loud. Drop or rewrite the property first (fail-fast
     * beats a half-applied ALTER). */
   private def requireUnconstrained(t: SnapshotTable,
                                    props: Map[String, String],
@@ -362,6 +363,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(!refs.exists(_.equalsIgnoreCase(column)),
         s"$op COLUMN $column: CHECK constraint '$name' ($sql) references " +
           "it — drop the constraint first")
+    }
+    Seq("write.bloom.cols", "write.cluster.by").foreach { key =>
+      props.get(key).foreach { v =>
+        val cols = v.split(",").map(_.trim).filter(_.nonEmpty)
+        require(!cols.exists(_.equalsIgnoreCase(column)),
+          s"$op COLUMN $column: $key ($v) references it — update the " +
+            "property first (a stale name would silently disable it)")
+      }
     }
   }
 

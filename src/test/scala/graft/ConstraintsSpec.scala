@@ -113,6 +113,37 @@ class ConstraintsSpec extends SparkSpec {
       .select(sum(col("cents"))).head.getLong(0) == 119L)
   }
 
+  test("branch writes enforce the table's constraints (props are shared)") {
+    val t = new SnapshotTable(spark, freshRoot("branch"))
+    t.setTableProperties(Map("constraint.nonneg" -> "cents >= 0"))
+    t.commitAppend(Seq((1L, 10L)).toDF("id", "cents"))
+    t.createBranch("wap")
+    val b = t.branch("wap")
+    intercept[Exception](b.commitAppend(Seq((2L, -1L)).toDF("id", "cents")))
+    b.commitAppend(Seq((2L, 2L)).toDF("id", "cents"))
+    t.fastForward("wap")
+    assert(t.read().count() == 2L)
+  }
+
+  test("renaming a column out from under a column-list property is refused") {
+    val cat = "graftstalecat"
+    val wh = java.nio.file.Files.createTempDirectory("graft_stale_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.st (id BIGINT, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='id'," +
+      "'write.bloom.cols'='id','write.cluster.by'='v')")
+    // a stale name would silently stop folding blooms / clustering
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.db.st RENAME COLUMN id TO id2"))
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.db.st DROP COLUMN v"))
+    // releasing the property first unblocks the schema change
+    spark.sql(s"ALTER TABLE $cat.db.st UNSET TBLPROPERTIES('write.cluster.by')")
+    spark.sql(s"ALTER TABLE $cat.db.st DROP COLUMN v")
+    assert(spark.table(s"$cat.db.st").columns.toSeq == Seq("id"))
+  }
+
   test("streaming sink: a violating epoch fails the query and commits nothing") {
     val dir = freshRoot("stream")
     val srcRoot = s"$dir/src"
