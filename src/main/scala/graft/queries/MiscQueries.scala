@@ -1368,6 +1368,53 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // Zero-copy table clone (Delta SHALLOW CLONE / Iceberg snapshot-ref
+    // tables): `CALL clone(src, dst, version)` publishes ONE manifest
+    // referencing the source's files by absolute path — cloning a 100 TB
+    // table costs a metadata write, never a copy — and pins the cloned
+    // version on the source with a clone-v<N> tag so source
+    // vacuum/expire can never reclaim the shared files (the coupling
+    // Delta documents as a caveat is closed structurally). The legs gate:
+    // the clone equals the source AT the cloned version, divergence is
+    // independent in BOTH directions (clone insert invisible to source,
+    // source delete invisible to clone), a deep clone replays the fork
+    // content with zero absolute references, and the zero_copy/pin_tag
+    // flags are Scala-side structural pins the oracle hard-codes.
+    "misc_catalog_clone" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catclone").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gcln", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcln.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcln.db")
+      Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("catclone_src")
+      s.sql("CREATE TABLE gcln.db.src (o_orderkey BIGINT, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_orderkey')")
+      s.sql("INSERT INTO gcln.db.src SELECT * FROM catclone_src WHERE o_orderkey % 2 = 0")
+      s.sql("INSERT INTO gcln.db.src SELECT * FROM catclone_src WHERE o_orderkey % 2 = 1")
+      s.sql("CALL gcln.system.clone('db.src', 'db.fork', 2)") // evens only
+      s.sql("INSERT INTO gcln.db.fork SELECT * FROM catclone_src WHERE o_orderkey % 4 = 1")
+      s.sql("DELETE FROM gcln.db.src WHERE o_orderkey % 4 = 0")
+      s.sql("CALL gcln.system.clone('db.fork', 'db.deep', NULL, true)")
+      val srcT = new graft.sources.SnapshotTable(s, s"$wh/db/src")
+      val forkT = new graft.sources.SnapshotTable(s, s"$wh/db/fork")
+      val zeroCopy = forkT.snapshot(2L).files.nonEmpty &&
+        forkT.snapshot(2L).files.forall(f =>
+          new org.apache.hadoop.fs.Path(f).isAbsolute)
+      val pinned = srcT.tags().get("clone-v2").contains(2L)
+      def leg(label: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(label).as("label"), col("n_rows"), col("total_cents"))
+      leg("fork_at_clone", forkT.read(2L))
+        .unionByName(leg("fork_tip", s.table("gcln.db.fork")))
+        .unionByName(leg("src_tip", s.table("gcln.db.src")))
+        .unionByName(leg("deep_tip", s.table("gcln.db.deep")))
+        .unionByName(s.range(1).select(lit("zero_copy_pinned").as("label"),
+          lit(if (zeroCopy) 1L else 0L).as("n_rows"),
+          lit(if (pinned) 1L else 0L).as("total_cents")))
+    }),
+
     // S5: the universal SQL-text extract primitive (client.query(q)) —
     // spark.sql over a registered view; the result stays distributed
     // instead of collapsing to the driver as the reference's to_dataframe.
@@ -3152,6 +3199,24 @@ SELECT 5, 'replace_where', TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT
     // bootstrap — data_change FALSE, nothing delivered), v2 evens,
     // v3 all, v4 compact (same contents, data_change FALSE), v5
     // rollback to v2's contents
+    "misc_catalog_clone" -> """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders)
+SELECT 'fork_at_clone' AS label, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c) AS BIGINT) AS total_cents FROM base WHERE k % 2 = 0
+UNION ALL
+SELECT 'fork_tip', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+FROM base WHERE k % 2 = 0 OR k % 4 = 1
+UNION ALL
+SELECT 'src_tip', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+FROM base WHERE k % 4 <> 0
+UNION ALL
+SELECT 'deep_tip', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+FROM base WHERE k % 2 = 0 OR k % 4 = 1
+UNION ALL
+SELECT 'zero_copy_pinned', CAST(1 AS BIGINT), CAST(1 AS BIGINT)""",
+
     "misc_catalog_maintenance" -> """
 WITH base AS (
   SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c

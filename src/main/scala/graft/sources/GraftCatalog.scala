@@ -457,6 +457,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new SnapshotTable(spark, p.toString, statsCols = probe.tipStatsCols)
   }
 
+  /** `'db.tbl'` → the path a NEW table of that name would live at —
+    * validated not to exist yet and (when namespaced) to live in an
+    * existing namespace. The clone procedure's destination resolver. */
+  private[sources] def newTablePathFor(qualified: String): Path = {
+    val parts = qualified.split("\\.")
+    require(parts.length >= 1 && parts.forall(_.nonEmpty),
+      s"destination table argument must be 'namespace.table', got '$qualified'")
+    val ident = Identifier.of(parts.init, parts.last)
+    val p = tablePath(ident)
+    require(!isTable(p), s"destination table '$qualified' already exists")
+    if (ident.namespace.nonEmpty)
+      require(namespaceExists(ident.namespace),
+        s"namespace ${ident.namespace.mkString(".")} does not exist " +
+          s"in catalog '$catName' (CREATE NAMESPACE first)")
+    p
+  }
+
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       GraftProcedures.names.map(n => Identifier.of(Array("system"), n))
@@ -493,7 +510,7 @@ private[sources] object GraftProcedures {
     Array("compact", "compact_files", "compact_deletes", "vacuum",
       "expire_snapshots", "rollback",
       "create_tag", "drop_tag", "create_branch", "drop_branch",
-      "fast_forward")
+      "fast_forward", "clone")
 
   def load(name: String, catalog: GraftCatalog,
            handleFor: String => SnapshotTable): UnboundProcedure = name match {
@@ -642,6 +659,33 @@ private[sources] object GraftProcedures {
           ProcedureParameter.in("name", DataTypes.StringType).build()),
         StructType(Seq(StructField("version", DataTypes.LongType, nullable = false)))) {
         in => Seq(handleFor(in.getString(0)).fastForward(in.getString(1)))
+      }
+    case "clone" =>
+      proc("clone", "clone source at version (default: tip) into the NEW " +
+        "table dest — shallow by default: one manifest referencing the " +
+        "source's files by absolute path (zero copy at any size), with a " +
+        "clone-v<N> tag pinning the version on the source so its " +
+        "vacuum/expire_snapshots never reclaim the shared files; " +
+        "deep=true copies the files instead (no storage coupling)",
+        Array(
+          ProcedureParameter.in("source", DataTypes.StringType).build(),
+          ProcedureParameter.in("dest", DataTypes.StringType).build(),
+          ProcedureParameter.in("version", DataTypes.LongType)
+            .defaultValue("CAST(NULL AS BIGINT)").build(),
+          ProcedureParameter.in("deep", DataTypes.BooleanType)
+            .defaultValue("false").build()),
+        StructType(Seq(
+          StructField("version", DataTypes.LongType, nullable = false),
+          StructField("files", DataTypes.LongType, nullable = false),
+          StructField("mode", DataTypes.StringType, nullable = false)))) {
+        in =>
+          val t = handleFor(in.getString(0))
+          val dest = catalog.newTablePathFor(in.getString(1))
+          val version = if (in.isNullAt(2)) -1L else in.getLong(2)
+          val deep = !in.isNullAt(3) && in.getBoolean(3)
+          val v = t.cloneTo(dest.toString, version, deep)
+          Seq(v, t.snapshot(v).files.length.toLong,
+            if (deep) "deep" else "shallow")
       }
     case other =>
       throw new IllegalArgumentException(

@@ -2599,6 +2599,11 @@ class SnapshotTable(spark: SparkSession, root: String,
             if (fresh.isEmpty) Seq.empty
             else Seq(tagged(morPlan(s, fresh, mergeSchema = false), "insert", v))
           dels ++ ins
+        case "clone" =>
+          // a clone manifest is always its chain's FIRST version (there
+          // is no v-1 manifest to diff against): the carried content IS
+          // the insert set — one pruned-plan read, no exceptAll
+          Seq(tagged(read(v), "insert", v))
         case _ =>
           val prev = if (v - 1 == 0) read(v).limit(0) else read(v - 1)
           val cur = read(v)
@@ -3073,6 +3078,123 @@ class SnapshotTable(spark: SparkSession, root: String,
           bfls.lens, bfls.deleteLens)
       },
       _ => bsnap.rows, _ => bsnap.schemaJson)
+  }
+
+  // ----- zero-copy table clone -----------------------------------------
+
+  /** Clone this table's state at `version` (default: the tip) into a NEW
+    * table at `destRoot` — metadata-only by default (the public formats'
+    * SHALLOW CLONE: Delta `CREATE TABLE ... SHALLOW CLONE`, Iceberg
+    * snapshot-ref tables): the clone's first manifest lists the source's
+    * data and delete files by ABSOLUTE path, so cloning a 100 TB table
+    * costs one manifest write, never a copy. Every reader resolves file
+    * entries through `new Path(dataDir, entry)`, and Hadoop path
+    * resolution passes absolute children through unchanged — carried
+    * files keep reading from the source's storage while the clone's own
+    * commits land under ITS `data/` dir with ordinary relative names.
+    * From its first version on, the clone is a full independent table:
+    * appends, row-level DML, compaction, branches — divergence in either
+    * direction never touches the other side's state.
+    *
+    * Shared-file safety — the gap Delta documents as a caveat ("vacuum
+    * on the source breaks shallow clones") is closed structurally here:
+    * a shallow clone PINS the cloned version on the SOURCE with a
+    * `clone-v<N>` tag, and tags extend [[vacuum]]/[[expireSnapshots]]'s
+    * retention floor, so the shared files are unreachable by source
+    * retention until someone DROPS the tag — the explicit release,
+    * identical to releasing any tagged consumer. The clone's own vacuum
+    * only ever lists its OWN data dir, so carried absolute files are
+    * structurally out of its reach. A clone of a clone re-points at the
+    * ORIGINAL files (absolute entries carry through verbatim), so the
+    * original's pin tag is what protects the whole clone family.
+    *
+    * `deep = true` instead COPIES every carried file into the clone's
+    * data dir (same `uuid/name` layout, byte-identical) and keeps
+    * relative entries — no tag, no storage coupling: the escape hatch
+    * when the clone must outlive the source or move storage roots.
+    *
+    * The clone chain STARTS at the source's version number — the same
+    * shape [[vacuum]] leaves behind (a retained suffix with nothing
+    * below it) — so carried per-file commit sequences stay consistent
+    * under merge-on-read ordering and the clone's next commit (v+1)
+    * orders after everything carried. The properties sidecar (stats /
+    * bloom / cluster config, CHECK constraints, column mapping, delete
+    * key) copies verbatim BEFORE the manifest publishes, so the moment
+    * the destination becomes a loadable table its semantics are already
+    * in place; physical names inside carried files keep resolving
+    * through the copied mapping. Time travel below the clone version
+    * and change feeds spanning it follow the vacuumed-table contract:
+    * bootstrap from `read(cloneVersion)`.
+    *
+    * Returns the clone's first (= the cloned) version. */
+  def cloneTo(destRoot: String, version: Long = -1L,
+              deep: Boolean = false): Long = {
+    requireMainHandle("cloneTo")
+    val v = if (version <= 0) latestVersion() else version
+    require(v > 0, s"cannot clone an empty table at $root")
+    val snap = snapshot(v)
+    val destRootPath = new Path(destRoot)
+    val dfs = destRootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val destSnaps = new Path(destRootPath, "_snapshots")
+    require(!dfs.exists(destSnaps),
+      s"clone destination $destRoot is already a table")
+    val fls = ensureLens(fileSetOf(snap))
+    val destData = new Path(destRootPath, "data")
+    // `uuid/name` tail of an entry — identical to the entry itself for
+    // ordinary relative files; for an absolute entry (deep clone OF a
+    // shallow clone) it recovers the original commit-scoped layout
+    def relTail(entry: String): String = {
+      val p = new Path(entry)
+      Option(p.getParent).map(_.getName).filter(_.nonEmpty)
+        .fold(p.getName)(par => s"$par/${p.getName}")
+    }
+    def carry(entry: String): String =
+      if (!deep) fs.makeQualified(new Path(dataDir, entry)).toString
+      else {
+        val dst = new Path(destData, relTail(entry))
+        dfs.mkdirs(dst.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(fs, new Path(dataDir, entry),
+          dfs, dst, /* deleteSource = */ false,
+          spark.sparkContext.hadoopConfiguration)
+        relTail(entry)
+      }
+    val carried = fls.copy(files = fls.files.map(carry),
+      deletes = fls.deletes.map(carry))
+    val body = manifestBody(v, "clone", v - 1, snap.rows, carried,
+      snap.schemaJson, batchId = -1L, dataChange = true,
+      bandsV = snap.bandsV)
+    dfs.mkdirs(destSnaps)
+    // properties BEFORE the manifest: the manifest's existence is what
+    // makes the destination loadable, and a loadable table must already
+    // carry its delete key / column mapping / constraints
+    if (probeExists(propsPath)) {
+      val in = fs.open(propsPath)
+      val bytes = try {
+        val b = new Array[Byte](fs.getFileStatus(propsPath).getLen.toInt)
+        in.readFully(b); b
+      } finally in.close()
+      val out = dfs.create(new Path(destSnaps, "_props.json"), true)
+      try out.write(bytes) finally out.close()
+    }
+    SnapshotLogStore.forFileSystem(dfs).writeExclusive(dfs,
+      new Path(destSnaps, f"v$v%020d.json"), body.getBytes("UTF-8"))
+    try { // best-effort tip hint, same contract as writeTipHint
+      val out = dfs.create(new Path(destSnaps, "_tip"), true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    if (!deep) pinCloneTag(v)
+    v
+  }
+
+  /** Pin `v` on THIS (source) table for a shallow clone. One tag per
+    * version serves every clone of that version; a create-exclusive
+    * race with another clone of the same version is a win for both. */
+  private def pinCloneTag(v: Long): Unit = {
+    val name = s"clone-v$v"
+    if (fs.exists(tagPath(name))) return // already pinned by an earlier clone
+    try createTag(name, v)
+    catch { case scala.util.control.NonFatal(e) =>
+      if (!fs.exists(tagPath(name))) throw e }
   }
 
   /** Bytes version `v` ADDED (the manifest-recorded lengths of its new
