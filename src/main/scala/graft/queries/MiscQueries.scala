@@ -395,6 +395,35 @@ object MiscQueries {
                 FROM snapshot_history('${root.getAbsolutePath}')""")
     }),
 
+    // The files metadata table as SQL (snapshot_files TVF — Iceberg's
+    // `db.tbl.files` idea): three single-file appends with known key
+    // ranges, then a MOR equality delete. The TVF's per-file rows
+    // aggregate to (content, commit_seq, n_files, min/max band key,
+    // null count) — all replayable in DuckDB because BIGINT band keys
+    // are the values themselves and repartition(1) pins one file per
+    // commit. The delete leg pins the GROUP's presence (content/seq);
+    // its file count is a layout detail the spec pins instead.
+    "misc_snapshot_files" -> ((s, d) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      val root = Tables.freshTmpDir(s, "graft_snapfiles")
+      val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath,
+        statsCols = Seq("o_orderkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      (0 to 2).foreach(i =>
+        t.commitAppend(o.filter(col("o_orderkey") % 3 === i).repartition(1)))
+      t.commitDeleteByKey(
+        o.filter(col("o_orderkey") % 30 === 0).select("o_orderkey"),
+        Seq("o_orderkey"))
+      s.sql(s"""SELECT content, commit_seq,
+                       CASE WHEN content = 'data' THEN count(*) END AS n_files,
+                       min(element_at(min_key, 'o_orderkey')) AS min_k,
+                       max(element_at(max_key, 'o_orderkey')) AS max_k,
+                       sum(element_at(null_count, 'o_orderkey')) AS n_nulls
+                FROM snapshot_files('${root.getAbsolutePath}')
+                GROUP BY content, commit_seq""")
+    }),
+
     // TIMESTAMP AS OF on the snapshot format: two commits bracketing a
     // captured wall-clock instant (10 ms guard sleeps make the commit
     // timestamps strictly straddle it), then readAsOf resolves the
@@ -2898,6 +2927,22 @@ SELECT 'v3_v4_rollback', CAST(0 AS BIGINT), CAST(0 AS BIGINT)""",
 
     // per-version audit replay: v2's count drops the %8==0 slice, v3
     // restores it, v4 compacts content-neutrally
+    "misc_snapshot_files" -> """
+WITH k AS (SELECT o_orderkey AS k FROM orders)
+SELECT 'data' AS content, CAST(1 AS BIGINT) AS commit_seq,
+       CAST(1 AS BIGINT) AS n_files, CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k, CAST(0 AS BIGINT) AS n_nulls
+FROM k WHERE k % 3 = 0
+UNION ALL
+SELECT 'data', CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(min(k) AS BIGINT),
+       CAST(max(k) AS BIGINT), CAST(0 AS BIGINT) FROM k WHERE k % 3 = 1
+UNION ALL
+SELECT 'data', CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(min(k) AS BIGINT),
+       CAST(max(k) AS BIGINT), CAST(0 AS BIGINT) FROM k WHERE k % 3 = 2
+UNION ALL
+SELECT 'delete', CAST(4 AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)""",
+
     "misc_snapshot_history" -> """
 WITH base AS (
   SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 4 = 0)

@@ -68,6 +68,21 @@ case class ColStats(mins: Seq[Long], maxs: Seq[Long], nulls: Seq[Long],
   * field read as empty → planning falls back to one getFileStatus per
   * file, and the next commit records lengths for every carried-forward
   * file. */
+/** One live file's manifest-recorded metadata at a version — the
+  * format's introspection row (Iceberg's `files` metadata table shape).
+  * `content` is 'data' or 'delete' (merge-on-read equality-delete file);
+  * the key maps carry each stats column's LONG band key bounds and null
+  * count (see [[BandKeys]] for per-type key semantics — BIGINT keys are
+  * the values themselves), with unknown stats simply absent; `bloomCols`
+  * names the stats columns this file carries a point-lookup bloom filter
+  * for. Built from the manifest alone — zero data I/O. */
+case class SnapshotFileMeta(content: String, file: String, commitSeq: Long,
+                            bytes: Long,
+                            minKey: Map[String, Long],
+                            maxKey: Map[String, Long],
+                            nullCount: Map[String, Long],
+                            bloomCols: Seq[String])
+
 case class Snapshot(version: Long, action: String, baseVersion: Long,
                     rows: Long, files: Seq[String], batchId: Long = -1L,
                     txnApp: String = "",
@@ -2272,7 +2287,7 @@ class SnapshotTable(spark: SparkSession, root: String,
   /** The tip's recorded stats columns (empty on an empty/stats-less
     * table) — what a by-name consumer (catalog, sink) opens handles
     * with so appended manifests carry the skipping index forward. */
-  private[sources] def tipStatsCols: Seq[String] = {
+  def tipStatsCols: Seq[String] = {
     val tip = latestVersion()
     if (tip == 0) Seq.empty else snapshot(tip).statsCols
   }
@@ -3221,6 +3236,40 @@ class SnapshotTable(spark: SparkSession, root: String,
     * bootstrap content comes from a batch read of the fork, the same
     * read(tip)+startingVersion idiom a vacuumed main table uses). */
   private[sources] def chainFloor: Long = ref.fold(0L)(forkVersion)
+
+  /** Per-file metadata at `version` (default: the tip) — one
+    * [[SnapshotFileMeta]] per live data file plus one per merge-on-read
+    * delete file, with the manifest-recorded commit sequence, byte
+    * length, per-stats-column band-key bounds / null counts (absent =
+    * unknown for that file), and bloom coverage. Metadata-only: planning
+    * introspection ("which files would this predicate keep", "how much
+    * debris since the last compaction") without touching a data byte. */
+  def filesMetadata(version: Long = -1L): Seq[SnapshotFileMeta] = {
+    val v = if (version <= 0) latestVersion() else version
+    require(v > 0, s"empty table at $root")
+    val fls = fileSetOf(snapshot(v))
+    val n = fls.files.length
+    val lens = alignLens(fls.lens, n)
+    val dlens = alignLens(fls.deleteLens, fls.deletes.length)
+    val data = fls.files.indices.map { i =>
+      def keyed(pick: ColStats => Seq[Long], unknown: Long): Map[String, Long] =
+        statsCols.zip(fls.stats).flatMap { case (c, cs) =>
+          val xs = pick(cs)
+          if (xs.length == n && xs(i) != unknown) Some(c -> xs(i)) else None
+        }.toMap
+      val blooms = statsCols.zip(fls.stats).collect {
+        case (c, cs) if alignBlooms(cs.blooms, n)(i).nonEmpty => c
+      }
+      SnapshotFileMeta("data", fls.files(i), fls.seqs.lift(i).getOrElse(0L),
+        lens(i), keyed(_.mins, UnknownMin), keyed(_.maxs, UnknownMax),
+        keyed(_.nulls, UnknownNulls), blooms)
+    }
+    val dels = fls.deletes.indices.map { j =>
+      SnapshotFileMeta("delete", fls.deletes(j), fls.deleteSeqs(j), dlens(j),
+        Map.empty, Map.empty, Map.empty, Seq.empty)
+    }
+    data ++ dels
+  }
 
   /** All RETAINED snapshots, oldest first (the table's audit history;
     * [[vacuum]] may have dropped a prefix). Inherently O(retained

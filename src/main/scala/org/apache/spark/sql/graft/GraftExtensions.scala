@@ -168,8 +168,56 @@ object GraftFunctions {
           s.dataChange, s.batchId)))
     })
 
+  /** `snapshot_files(root [, version])` — the format's files metadata
+    * table as a TVF (Iceberg's `db.tbl.files` idea): one row per live
+    * data file and per merge-on-read delete file at the version, with
+    * the manifest-recorded commit sequence, byte length, per-stats-column
+    * band-key bounds / null counts (maps keyed by column; absent =
+    * unknown), and bloom coverage. Metadata-only and driver-built —
+    * "how much small-file debris", "which files would this band keep",
+    * "how many delete files since the last fold" become SQL. */
+  val snapshotFilesDescriptor: TableDescriptor = (
+    FunctionIdentifier("snapshot_files"),
+    new ExpressionInfo(classOf[graft.sources.SnapshotTable].getName, "snapshot_files"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.nonEmpty && exprs.length <= 2 && exprs.forall(_.foldable),
+        "snapshot_files expects (table_root_literal [, version_literal])")
+      val root = exprs.head.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"snapshot_files: table root must be a string literal, got $other")
+      }
+      val version = if (exprs.length < 2) -1L else exprs(1).eval() match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case other => throw new IllegalArgumentException(
+          s"snapshot_files: version must be an integer literal, got $other")
+      }
+      val spark = SparkSession.active
+      val probe = new graft.sources.SnapshotTable(spark, root)
+      val metas = new graft.sources.SnapshotTable(spark, root,
+        statsCols = probe.tipStatsCols).filesMetadata(version)
+      import org.apache.spark.sql.types.{LongType, MapType, ArrayType, BooleanType}
+      val keyMap = MapType(StringType, LongType, valueContainsNull = false)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("content", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("file", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("commit_seq", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bytes", LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("min_key", keyMap, nullable = false),
+        org.apache.spark.sql.types.StructField("max_key", keyMap, nullable = false),
+        org.apache.spark.sql.types.StructField("null_count", keyMap, nullable = false),
+        org.apache.spark.sql.types.StructField("bloom_cols", ArrayType(StringType, containsNull = false), nullable = false)))
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation.fromExternalRows(
+        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+        metas.map(m => org.apache.spark.sql.Row(m.content, m.file, m.commitSeq,
+          if (m.bytes >= 0L) m.bytes else null,
+          m.minKey, m.maxKey, m.nullCount, m.bloomCols)))
+    })
+
   val tableFunctions: Seq[TableDescriptor] =
-    Seq(dateSpineDescriptor, snapshotAtDescriptor, snapshotHistoryDescriptor)
+    Seq(dateSpineDescriptor, snapshotAtDescriptor, snapshotHistoryDescriptor,
+      snapshotFilesDescriptor)
 
   /** Register into an existing session: SQL functions + the Skyline
     * planner strategy (so SkylineNode plans without the config path). */

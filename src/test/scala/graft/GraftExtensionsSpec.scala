@@ -82,6 +82,42 @@ class GraftExtensionsSpec extends SparkSpec {
       .head.getLong(0) == 2L)
   }
 
+  test("snapshot_files is the files metadata table as SQL: stats, deletes, blooms, versions") {
+    GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvf_files")
+    dir.toFile.delete()
+    val t = new graft.sources.SnapshotTable(spark, dir.toString,
+      statsCols = Seq("id"))
+    t.setTableProperties(Map("write.bloom.cols" -> "id"))
+    t.commitAppend((1L to 5L).toDF("id").repartition(1))
+    t.commitAppend((6L to 9L).toDF("id").repartition(1))
+    t.commitDeleteByKey(Seq(2L).toDF("id"), Seq("id"))
+    val rows = spark.sql(
+      s"""SELECT content, commit_seq, bytes,
+                 element_at(min_key, 'id') AS min_k,
+                 element_at(max_key, 'id') AS max_k,
+                 element_at(null_count, 'id') AS nulls,
+                 array_contains(bloom_cols, 'id') AS has_bloom
+          FROM snapshot_files('${dir.toString}')""").collect()
+    val data = rows.filter(_.getString(0) == "data").sortBy(_.getLong(1))
+    assert(data.map(r => (r.getLong(1), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getBoolean(6))).toSeq ==
+      Seq((1L, 1L, 5L, 0L, true), (2L, 6L, 9L, 0L, true)))
+    assert(data.forall(r => r.getLong(2) > 0L)) // manifest-recorded lengths
+    val dels = rows.filter(_.getString(0) == "delete")
+    assert(dels.nonEmpty && dels.forall(r => r.getLong(1) == 3L &&
+      r.isNullAt(3) && !r.getBoolean(6)))
+    // version argument: at v1 only the first file exists, no deletes
+    assert(spark.sql(
+      s"SELECT count(*) FROM snapshot_files('${dir.toString}', 1)")
+      .head.getLong(0) == 1L)
+    // composes as a relation: small-file debris question in one line
+    assert(spark.sql(
+      s"""SELECT count(*) FROM snapshot_files('${dir.toString}')
+          WHERE content = 'data' AND bytes < 1024 * 1024""")
+      .head.getLong(0) == 2L)
+  }
+
   test("topk_agg is SQL-callable as a grouped aggregate") {
     GraftFunctions.register(spark)
     Seq((1L, 3.0, 10L), (1L, 5.0, 11L), (1L, 4.0, 12L), (2L, 1.0, 20L))
