@@ -1397,6 +1397,58 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // Three-way MERGE with WHEN NOT MATCHED BY SOURCE (the full ANSI /
+    // Spark 3.4+ clause set) through the snapshot format's row-level
+    // writers, in BOTH write modes: the copy-on-write group rewrite and
+    // the merge-on-read delta (equality deletes + fresh rows in one
+    // merge_mor version, NO data file rewritten — pinned by file
+    // identity in the flags leg). Same statement, same replay: matched
+    // keys take the source value, unmatched source keys insert,
+    // target-only keys conditionally delete (k%9=0) or bump (+7) —
+    // the dimension-sync shape (sync full table, retire stale rows)
+    // as ONE statement instead of DimSync's three-legged plan.
+    "misc_catalog_merge_source" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catmbs").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gmbsq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gmbsq.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gmbsq.db")
+      val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      base.filter(col("k") % 2 === 0)
+        .select(col("k"), (col("cents") * 2).as("cents"))
+        .createOrReplaceTempView("catmbs_src")
+      val mergeSql = (t: String) => s"""
+        MERGE INTO $t t USING catmbs_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET cents = s.cents
+        WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)
+        WHEN NOT MATCHED BY SOURCE AND t.k % 9 = 0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET cents = cents + 7"""
+      base.filter(col("k") % 3 === 0).createOrReplaceTempView("catmbs_tgt")
+      s.sql("CREATE TABLE gmbsq.db.cow (k BIGINT, cents BIGINT) " +
+        "USING `graft-snapshot`")
+      s.sql("INSERT INTO gmbsq.db.cow SELECT * FROM catmbs_tgt")
+      s.sql(mergeSql("gmbsq.db.cow"))
+      s.sql("CREATE TABLE gmbsq.db.mor (k BIGINT, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES(" +
+        "'write.merge.mode'='merge-on-read','write.delete.key'='k')")
+      s.sql("INSERT INTO gmbsq.db.mor SELECT * FROM catmbs_tgt")
+      val morT = new graft.sources.SnapshotTable(s, s"$wh/db/mor")
+      val preFiles = morT.snapshot(morT.latestVersion()).files.toSet
+      s.sql(mergeSql("gmbsq.db.mor"))
+      val tipSnap = morT.snapshot(morT.latestVersion())
+      val filesKept = preFiles.subsetOf(tipSnap.files.toSet)
+      val isMor = tipSnap.action == "merge_mor"
+      def leg(label: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(label).as("label"), col("n_rows"), col("total_cents"))
+      leg("cow_after", s.table("gmbsq.db.cow"))
+        .unionByName(leg("mor_after", s.table("gmbsq.db.mor")))
+        .unionByName(s.range(1).select(lit("mor_delta_pins").as("label"),
+          lit(if (filesKept) 1L else 0L).as("n_rows"),
+          lit(if (isMor) 1L else 0L).as("total_cents")))
+    }),
+
     // Zero-copy table clone (Delta SHALLOW CLONE / Iceberg snapshot-ref
     // tables): `CALL clone(src, dst, version)` publishes ONE manifest
     // referencing the source's files by absolute path — cloning a 100 TB
@@ -3244,6 +3296,22 @@ SELECT 5, 'replace_where', TRUE, CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT
     // bootstrap — data_change FALSE, nothing delivered), v2 evens,
     // v3 all, v4 compact (same contents, data_change FALSE), v5
     // rollback to v2's contents
+    "misc_catalog_merge_source" -> """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders),
+merged AS (
+  SELECT k, 2 * c AS cents FROM base WHERE k % 2 = 0
+  UNION ALL
+  SELECT k, c + 7 FROM base WHERE k % 3 = 0 AND k % 2 <> 0 AND k % 9 <> 0)
+SELECT 'cow_after' AS label, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents FROM merged
+UNION ALL
+SELECT 'mor_after', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+FROM merged
+UNION ALL
+SELECT 'mor_delta_pins', CAST(1 AS BIGINT), CAST(1 AS BIGINT)""",
+
     "misc_catalog_clone" -> """
 WITH base AS (
   SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
