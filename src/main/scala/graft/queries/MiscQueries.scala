@@ -764,6 +764,52 @@ object MiscQueries {
           col("n_rows"), col("total_cents"))
     }),
 
+    // DISJUNCTIVE file skipping — the `day < lo OR day >= hi` time-union
+    // (retention sweep + fresh probe in one read) that conjunctive bands
+    // cannot serve: the OR's hull covers every file, but per-branch
+    // pruning plans exactly the two edge files of three. Engine leg:
+    // readRanges (union-of-ranges manifest planning, files pinned via
+    // inputFiles). DSv2 leg: the same predicate as a real Spark filter —
+    // pushFilters keeps the OR, orAltsOf derives the branch bands, and
+    // plannedFiles pins that the connector scan plans the same two files
+    // (values replayed by DuckDB either way).
+    "misc_snapshot_or_skipping" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_snaporskip").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("day"))
+      val o = Tables.orders(s, d).select(to_date(col("o_orderdate")).as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val (c1, c2) = (java.sql.Date.valueOf("1994-01-01"),
+        java.sql.Date.valueOf("1997-01-01"))
+      t.commitAppend(o.filter(col("day") < lit(c1)).repartition(1))
+      t.commitAppend(o.filter(col("day") >= lit(c1) && col("day") < lit(c2))
+        .repartition(1))
+      t.commitAppend(o.filter(col("day") >= lit(c2)).repartition(1))
+      val total = t.read().inputFiles.length
+      val (loD, hiD) = (java.sql.Date.valueOf("1993-01-01"),
+        java.sql.Date.valueOf("1998-01-01"))
+      val engine = t.readRanges("day", Seq(
+        (Long.MinValue, loD.toLocalDate.toEpochDay - 1),
+        (hiD.toLocalDate.toEpochDay, Long.MaxValue)))
+      val dsv2 = s.read.format("graft-snapshot").load(root)
+        .filter(col("day") < lit(loD) || col("day") >= lit(hiD))
+      // the connector's planned-file evidence: push the OR through the
+      // builder exactly as Spark does and count what the scan plans
+      val builder = new graft.sources.GraftSnapshotScanBuilder(
+        s, t, t.latestVersion(), t.read().schema)
+      builder.pushFilters(Array(org.apache.spark.sql.sources.Or(
+        org.apache.spark.sql.sources.LessThan("day", loD),
+        org.apache.spark.sql.sources.GreaterThanOrEqual("day", hiD))))
+      val dsv2Planned = builder.build()
+        .asInstanceOf[graft.sources.GraftSnapshotScan].plannedFiles.length
+      def leg(name: String, q: DataFrame, planned: Int) =
+        q.agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(name).as("leg"), lit(total).as("files_total"),
+            lit(planned).as("files_planned"), col("n_rows"), col("total_cents"))
+      leg("engine", engine, engine.inputFiles.length)
+        .unionByName(leg("dsv2", dsv2, dsv2Planned))
+    }),
+
     // Manifest-served MIN/MAX over a DATE stats column: the freshness
     // probe every date-keyed pipeline runs (`SELECT max(event_date)`)
     // answers from one manifest parse — DATE's band key is its exact
@@ -3137,6 +3183,25 @@ SELECT CAST(3 AS INTEGER) AS files_total, CAST(1 AS INTEGER) AS files_planned,
 FROM orders
 WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
   AND CAST(o_orderdate AS DATE) <= DATE '1998-12-31'""",
+
+    // both legs read the same union predicate; 2 of the 3 date-clustered
+    // files survive per-branch pruning (the middle file's band is
+    // disjoint from both ranges)
+    "misc_snapshot_or_skipping" -> """
+WITH hit AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) < DATE '1993-01-01'
+     OR CAST(o_orderdate AS DATE) >= DATE '1998-01-01')
+SELECT 'engine' AS leg, CAST(3 AS INTEGER) AS files_total,
+       CAST(2 AS INTEGER) AS files_planned,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM hit
+UNION ALL
+SELECT 'dsv2', CAST(3 AS INTEGER), CAST(2 AS INTEGER),
+       CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+FROM hit""",
 
     "misc_snapshot_date_minmax" -> """
 WITH base AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day FROM orders)

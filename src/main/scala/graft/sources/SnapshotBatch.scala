@@ -147,6 +147,61 @@ object SnapshotBatch {
       c -> ps.map(_._2.toSet).reduce(_ intersect _).toSeq.sorted
     }
 
+  /** DISJUNCTIVE pruning constraints — the lane conjunctive bands
+    * cannot serve: `ts < retention_lo OR ts > probe_hi` (the time-union
+    * every backfill-plus-fresh read runs) derives NO conjunctive band
+    * (its hull covers everything), yet each branch prunes perfectly on
+    * its own. Each pushed OR conjunct becomes a list of ALTERNATIVES; a
+    * file survives the conjunct iff SOME alternative admits it
+    * (`or_match`), and conjuncts compose by intersection like every
+    * other pruning lane. An alternative is the band/IS-NULL map derived
+    * from one disjunct's own conjuncts (derivable subset only —
+    * loosening an alternative is sound, it only admits more); a
+    * disjunct deriving NOTHING poisons the whole OR (an unknowable
+    * branch could match anything), so the conjunct is dropped rather
+    * than mis-pruned. Small IN disjuncts expand to one EQUALITY
+    * alternative per key so `k IN (…) OR k = x` keeps per-key
+    * band + bloom precision instead of a hull. */
+  def orAltsOf(filters: Seq[Filter], bandsV: Int): Seq[Seq[PruneAlt]] =
+    filters.flatMap {
+      case f: Or =>
+        val perDisjunct = disjunctsOf(f).map(altsOf(_, bandsV))
+        if (perDisjunct.exists(_.isEmpty)) None
+        else Some(perDisjunct.flatMap(_.get))
+      case _ => None
+    }
+
+  private def disjunctsOf(f: Filter): Seq[Filter] = f match {
+    case Or(l, r) => disjunctsOf(l) ++ disjunctsOf(r)
+    case x => Seq(x)
+  }
+
+  private def conjunctsOf(f: Filter): Seq[Filter] = f match {
+    case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
+  }
+
+  /** One disjunct's alternatives, None when nothing is derivable (the
+    * branch then admits unknowable rows and the whole OR must be
+    * dropped). Nested ORs inside a branch's conjunction are simply not
+    * derived from — sound, the branch's other conjuncts still bound it. */
+  private def altsOf(leaf: Filter, bandsV: Int): Option[Seq[PruneAlt]] =
+    leaf match {
+      case In(c, vs) if vs.nonEmpty && vs.length <= 64 &&
+          vs.exists(v => Option(v).exists(BandKeys.valueKey(_, bandsV).isDefined)) &&
+          vs.forall(v => v == null || BandKeys.valueKey(v, bandsV).isDefined) =>
+        // NULL literals never match (null-rejecting, like the bands)
+        Some(vs.toSeq
+          .flatMap(v => Option(v).flatMap(BandKeys.valueKey(_, bandsV)).map(_._1))
+          .distinct.map(k => PruneAlt(Map(c -> ((k, k))), Set.empty)))
+      case _ =>
+        val cj = conjunctsOf(leaf)
+        val bands = bandsOf(cj, bandsV)
+        val nulls = nullPruneCols(cj)
+        if (bands.isEmpty && nulls.isEmpty) None
+        else Some(Seq(PruneAlt(bands, nulls)))
+    }
+
   /** Like [[bandOf]] but ONLY for predicates whose band is the EXACT
     * truth set over non-null values — every value inside the band
     * matches, every value outside does not. That requires an EXACT
@@ -369,7 +424,8 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
     hadFilters = filters.nonEmpty
     pruning = filters.filter(f =>
       SnapshotBatch.bandOf(f, bandsV).isDefined || f.isInstanceOf[IsNull] ||
-        SnapshotBatch.pointsOf(Seq(f), bandsV).nonEmpty)
+        SnapshotBatch.pointsOf(Seq(f), bandsV).nonEmpty ||
+        SnapshotBatch.orAltsOf(Seq(f), bandsV).nonEmpty)
     filters
   }
   override def pushedFilters(): Array[Filter] = pruning
@@ -511,7 +567,8 @@ class GraftSnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
     else new GraftSnapshotScan(spark, table, version, required,
       SnapshotBatch.bandsOf(pruning.toSeq, bandsV), scanOptions,
       SnapshotBatch.nullPruneCols(pruning.toSeq),
-      SnapshotBatch.pointsOf(pruning.toSeq, bandsV))
+      SnapshotBatch.pointsOf(pruning.toSeq, bandsV),
+      SnapshotBatch.orAltsOf(pruning.toSeq, bandsV))
 }
 
 /** One-row scan carrying COMPLETE manifest-served counts/extrema — the
@@ -564,13 +621,22 @@ class GraftSnapshotCountScan(counts: Seq[(String, Any, org.apache.spark.sql.type
 case class SnapshotCountPartition(values: Array[Any])
   extends org.apache.spark.sql.connector.read.InputPartition
 
+/** One disjunct's derived pruning constraints: a file is ADMITTED by the
+  * alternative iff every band overlaps its stats (with the per-file
+  * bloom consulted on equality bands) and every IS-NULL column has a
+  * nonzero (or unknown) null count. An alternative touching any
+  * NON-stats column is unverifiable and admits every file — sound, it
+  * just makes its OR conjunct prune nothing. */
+case class PruneAlt(bands: Map[String, (Long, Long)], isNull: Set[String])
+
 class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
                         version: Long, required: StructType,
                         bands: Map[String, (Long, Long)],
                         options: CaseInsensitiveStringMap =
                           CaseInsensitiveStringMap.empty(),
                         nullCols: Set[String] = Set.empty,
-                        points: Map[String, Seq[Long]] = Map.empty) extends V1Scan
+                        points: Map[String, Seq[Long]] = Map.empty,
+                        orAlts: Seq[Seq[PruneAlt]] = Seq.empty) extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
 
@@ -586,7 +652,7 @@ class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
   /** The manifest-planned file list after band + IS-NULL pruning — the
     * evidence the connector spec pins (skipping survives the DSv2 path). */
   private[graft] def plannedFiles: Seq[String] =
-    table.readPruned(bands, points, nullCols, version)._2
+    table.readPruned(bands, points, nullCols, orAlts, version)._2
 
   /** EXACT row count from the manifest (maintained through every commit
     * path) feeding the planner's broadcast decision — a small snapshot
@@ -627,14 +693,15 @@ class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new GraftSnapshotRelation(context, spark, table, version, required, bands,
-      nullCols, points).asInstanceOf[T]
+      nullCols, points, orAlts).asInstanceOf[T]
 
   override def description(): String =
     s"GraftSnapshotScan v$version bands=${bands.map { case (c, (lo, hi)) =>
       s"$c:[$lo,$hi]" }.mkString(",")}" +
       (if (nullCols.isEmpty) "" else s" isNull=${nullCols.mkString(",")}") +
       (if (points.isEmpty) "" else s" points=${points.map { case (c, ks) =>
-        s"$c:${ks.length}" }.mkString(",")}")
+        s"$c:${ks.length}" }.mkString(",")}") +
+      (if (orAlts.isEmpty) "" else s" orAlts=${orAlts.map(_.length).mkString("|")}")
 }
 
 /** The V1 delegate: rows come from the engine's own MOR-aware plan,
@@ -646,13 +713,14 @@ class GraftSnapshotRelation(context: SQLContext, spark: SparkSession,
                             required: StructType,
                             bands: Map[String, (Long, Long)],
                             nullCols: Set[String] = Set.empty,
-                            points: Map[String, Seq[Long]] = Map.empty)
+                            points: Map[String, Seq[Long]] = Map.empty,
+                            orAlts: Seq[Seq[PruneAlt]] = Seq.empty)
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = context
   override def schema: StructType = required
   override def buildScan(): RDD[Row] = {
     import org.apache.spark.sql.functions.{col, input_file_name, lit}
-    val (df, _) = table.readPruned(bands, points, nullCols, version)
+    val (df, _) = table.readPruned(bands, points, nullCols, orAlts, version)
     val pruned =
       if (required.isEmpty) df.select() // count-style scans need no columns
       else df.select(required.fieldNames.toIndexedSeq.map {

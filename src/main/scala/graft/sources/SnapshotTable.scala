@@ -1604,6 +1604,36 @@ class SnapshotTable(spark: SparkSession, root: String,
     base.filter(bandKeyCol(base, column, snap.bandsV).between(lo, hi))
   }
 
+  /** Union-of-ranges skipping read — [[readRange]] for a DISJUNCTION of
+    * key ranges: only files whose band overlaps SOME range are planned
+    * (each point range additionally consults the file's bloom filter).
+    * This is the `ts < retention_lo OR ts > probe_hi` shape a
+    * conjunctive band cannot serve — its hull covers everything, but
+    * the union plans exactly the edge files. The Scala-API mirror of
+    * the connector's OR pushdown ([[SnapshotBatch.orAltsOf]]); the
+    * residual union predicate is applied, so the result equals
+    * `read().filter(r1 || r2 || …)` exactly. */
+  def readRanges(column: String, ranges: Seq[(Long, Long)],
+                 version: Long = -1L): DataFrame = {
+    require(ranges.nonEmpty, s"readRanges on $root: no ranges given")
+    val ci = statsCols.indexOf(column)
+    require(ci >= 0,
+      s"readRanges on $root: '$column' is not a stats column (${statsCols.mkString(",")})")
+    val v = if (version < 0) latestVersion() else version
+    require(v > 0, s"no committed snapshot to read at $root")
+    val snap = snapshot(v)
+    val setAll = fileSetOf(snap)
+    val cs = setAll.stats(ci)
+    val keep = setAll.files.indices.filter(i => ranges.exists { case (lo, hi) =>
+      cs.maxs(i) >= lo && cs.mins(i) <= hi &&
+        (lo != hi || FileBlooms.mightContain(cs.blooms(i), lo)) })
+    val base =
+      if (keep.isEmpty) read(v).limit(0)
+      else morPlan(snap, keep, mergeSchema = false)
+    val k = bandKeyCol(base, column, snap.bandsV)
+    base.filter(ranges.map { case (lo, hi) => k.between(lo, hi) }.reduce(_ || _))
+  }
+
   /** Manifest-pruned read for the DSv2 batch connector: keep only files
     * whose stats bands overlap EVERY requested column band (bands on
     * non-stats columns are ignored — nothing to prune with). Returns the
@@ -1635,6 +1665,19 @@ class SnapshotTable(spark: SparkSession, root: String,
   private[graft] def readPruned(bands: Map[String, (Long, Long)],
                                 points: Map[String, Seq[Long]],
                                 nullCols: Set[String],
+                                version: Long): (DataFrame, Seq[String]) =
+    readPruned(bands, points, nullCols, Seq.empty, version)
+
+  /** [[readPruned]] plus DISJUNCTIVE pruning: each `orAlts` entry is one
+    * pushed OR conjunct as a list of alternatives ([[PruneAlt]]); a file
+    * survives the conjunct iff SOME alternative admits it — the lane
+    * that serves `ts < lo OR ts > hi` (conjunctive bands see only the
+    * all-covering hull). Alternatives touching non-stats columns are
+    * unverifiable and admit everything (sound: prune nothing). */
+  private[graft] def readPruned(bands: Map[String, (Long, Long)],
+                                points: Map[String, Seq[Long]],
+                                nullCols: Set[String],
+                                orAlts: Seq[Seq[PruneAlt]],
                                 version: Long): (DataFrame, Seq[String]) = {
     val v = if (version < 0) latestVersion() else version
     require(v > 0, s"no committed snapshot to read at $root")
@@ -1643,21 +1686,33 @@ class SnapshotTable(spark: SparkSession, root: String,
     val active = bands.filter { case (c, _) => statsCols.contains(c) }
     val activeNull = nullCols.filter(statsCols.contains)
     val activePoints = points.filter { case (c, _) => statsCols.contains(c) }
+    def bandAdmits(i: Int, c: String, lo: Long, hi: Long): Boolean = {
+      val cs = setAll.stats(statsCols.indexOf(c))
+      cs.maxs(i) >= lo && cs.mins(i) <= hi &&
+        // POINT lookups additionally consult the file's bloom filter
+        // (equality bands are lo == hi; sound for lossy keys too —
+        // the stored rows' keys under the same mapping are what the
+        // filter holds, so "absent" can never drop a matching row)
+        (lo != hi || FileBlooms.mightContain(cs.blooms(i), lo))
+    }
     val keep = setAll.files.indices.filter { i =>
-      active.forall { case (c, (lo, hi)) =>
-        val cs = setAll.stats(statsCols.indexOf(c))
-        cs.maxs(i) >= lo && cs.mins(i) <= hi &&
-          // POINT lookups additionally consult the file's bloom filter
-          // (equality bands are lo == hi; sound for lossy keys too —
-          // the stored rows' keys under the same mapping are what the
-          // filter holds, so "absent" can never drop a matching row)
-          (lo != hi || FileBlooms.mightContain(cs.blooms(i), lo))
+      active.forall { case (c, (lo, hi)) => bandAdmits(i, c, lo, hi)
       } && activeNull.forall { c =>
         setAll.stats(statsCols.indexOf(c)).nulls(i) != 0L
       } && activePoints.forall { case (c, ks) =>
         val cs = setAll.stats(statsCols.indexOf(c))
         ks.exists(k => cs.maxs(i) >= k && cs.mins(i) <= k &&
           FileBlooms.mightContain(cs.blooms(i), k))
+      } && orAlts.forall { alts =>
+        alts.exists { alt =>
+          if (!alt.bands.keysIterator.forall(statsCols.contains) ||
+              !alt.isNull.forall(statsCols.contains)) true
+          else alt.bands.forall { case (c, (lo, hi)) =>
+            bandAdmits(i, c, lo, hi)
+          } && alt.isNull.forall { c =>
+            setAll.stats(statsCols.indexOf(c)).nulls(i) != 0L
+          }
+        }
       }
     }
     if (keep.isEmpty) (read(v).limit(0), Seq.empty)
