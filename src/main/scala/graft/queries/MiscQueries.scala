@@ -810,6 +810,44 @@ object MiscQueries {
         .unionByName(leg("dsv2", dsv2, dsv2Planned))
     }),
 
+    // Join-driven dynamic FILE skipping — the DPP idea applied to the
+    // manifest: `fact ⋈ selective-dim` resolves the dim's bounded key
+    // set first, then plans the fact read through per-key band pruning,
+    // so fact files provably holding no dim key are never opened.
+    // Fact: orders custkey-clustered into 4 range files; dim: customers
+    // in the low/high eighths of the key space. Points leg plans exactly
+    // the 2 edge files; the hull fallback (maxKeys=0 forces the
+    // bounded-collect cap) spans the key space and plans all 4 — both
+    // joins replay identically in DuckDB (pruning is a superset, the
+    // join re-applies the exact predicate).
+    "misc_snapshot_join_skipping" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_snapjoinskip").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("o_custkey"))
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val m = o.agg(max(col("o_custkey"))).head.getLong(0)
+      val qs = Seq(0L, (m + 1) / 4, (m + 1) / 2, 3 * (m + 1) / 4, m + 1)
+      (0 until 4).foreach(i => t.commitAppend(
+        o.filter(col("o_custkey") >= qs(i) && col("o_custkey") < qs(i + 1))
+          .repartition(1)))
+      val total = t.read().inputFiles.length
+      val dim = Tables.customer(s, d)
+        .filter(col("c_custkey") <= m / 8 || col("c_custkey") > m - m / 8)
+        .select(col("c_custkey"))
+      val points = graft.operators.JoinSkipping.prunedFact(
+        t, "o_custkey", dim, "c_custkey")
+      val hull = graft.operators.JoinSkipping.prunedFact(
+        t, "o_custkey", dim, "c_custkey", maxKeys = 0)
+      def leg(name: String, fact: DataFrame) =
+        fact.join(dim, col("o_custkey") === col("c_custkey"))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(name).as("leg"), lit(total).as("files_total"),
+            lit(fact.inputFiles.length).as("files_planned"),
+            col("n_rows"), col("total_cents"))
+      leg("points", points).unionByName(leg("hull", hull))
+    }),
+
     // Manifest-served MIN/MAX over a DATE stats column: the freshness
     // probe every date-keyed pipeline runs (`SELECT max(event_date)`)
     // answers from one manifest parse — DATE's band key is its exact
@@ -3200,6 +3238,26 @@ SELECT 'engine' AS leg, CAST(3 AS INTEGER) AS files_total,
 FROM hit
 UNION ALL
 SELECT 'dsv2', CAST(3 AS INTEGER), CAST(2 AS INTEGER),
+       CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+FROM hit""",
+
+    // points leg plans the 2 edge files of 4; the hull fallback spans the
+    // whole key space and plans all 4 — join values identical either way
+    "misc_snapshot_join_skipping" -> """
+WITH m AS (SELECT max(o_custkey) AS mx FROM orders),
+dim AS (
+  SELECT c_custkey FROM customer, m
+  WHERE c_custkey <= mx // 8 OR c_custkey > mx - mx // 8),
+hit AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN dim ON o_custkey = c_custkey)
+SELECT 'points' AS leg, CAST(4 AS INTEGER) AS files_total,
+       CAST(2 AS INTEGER) AS files_planned,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM hit
+UNION ALL
+SELECT 'hull', CAST(4 AS INTEGER), CAST(4 AS INTEGER),
        CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
 FROM hit""",
 
