@@ -946,6 +946,40 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // Zero-rewrite type widening through SQL DDL: `ALTER COLUMN cents
+    // TYPE BIGINT` publishes a schema-only version (file identity pinned
+    // by metadata_only — zero bytes rewritten), the parquet readers
+    // upcast the INT files under the pinned wider schema, and the next
+    // INSERT lands values beyond int range. Every version replays in
+    // DuckDB; time travel below the DDL still reads the narrow type
+    // (dtype pinned in TypeWideningSpec).
+    "misc_catalog_widen" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catwiden").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gwd", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gwd.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gwd.db")
+      Tables.orders(s, d).select(col("o_orderkey").cast("int").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS INT)").as("cents"))
+        .createOrReplaceTempView("catwiden_src")
+      s.sql("CREATE TABLE gwd.db.w (k INT, cents INT) USING `graft-snapshot` " +
+        "TBLPROPERTIES('stats_cols'='k')")
+      s.sql("INSERT INTO gwd.db.w SELECT * FROM catwiden_src")
+      val t = new graft.sources.SnapshotTable(s, s"$wh/db/w", Seq("k"))
+      val before = t.snapshot(t.latestVersion())
+      s.sql("ALTER TABLE gwd.db.w ALTER COLUMN cents TYPE BIGINT")
+      val after = t.snapshot(t.latestVersion())
+      val metadataOnly = after.action == "alter" && !after.dataChange &&
+        after.files == before.files
+      s.sql("INSERT INTO gwd.db.w " +
+        "SELECT k, CAST(cents AS BIGINT) * 1000 FROM catwiden_src")
+      t.history().map { snap =>
+        t.read(snap.version).agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents").cast("long")), lit(0L)).as("total_cents"))
+          .select(lit(snap.version).as("version"), lit(snap.action).as("action"),
+            lit(metadataOnly).as("metadata_only"), col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // Manifest-served MIN/MAX over TIMESTAMP and STRING stats columns:
     // the freshness probe (`SELECT max(ingest_ts)`) answers from one
     // manifest parse on a bandsV-2 table (epoch-micros keys are the
@@ -3260,6 +3294,24 @@ UNION ALL
 SELECT 'hull', CAST(4 AS INTEGER), CAST(4 AS INTEGER),
        CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
 FROM hit""",
+
+    // v1 = CREATE (empty), v2 = INT insert, v3 = the widening ALTER
+    // (schema-only — same rows), v4 = the BIGINT insert (cents * 1000,
+    // beyond int range)
+    "misc_catalog_widen" -> """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+agg AS (SELECT count(*) AS n, sum(cents) AS s FROM base)
+SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS action,
+       CAST(TRUE AS BOOLEAN) AS metadata_only,
+       CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS total_cents
+UNION ALL
+SELECT 2, 'append', TRUE, CAST(n AS BIGINT), CAST(s AS BIGINT) FROM agg
+UNION ALL
+SELECT 3, 'alter', TRUE, CAST(n AS BIGINT), CAST(s AS BIGINT) FROM agg
+UNION ALL
+SELECT 4, 'append', TRUE, CAST(2 * n AS BIGINT), CAST(1001 * s AS BIGINT)
+FROM agg""",
 
     "misc_snapshot_date_minmax" -> """
 WITH base AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day FROM orders)

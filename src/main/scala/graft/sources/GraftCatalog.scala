@@ -294,10 +294,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * them). ADD null-fills at read (native additive evolution); RENAME
     * and DROP ride the column mapping ([[ColumnMapping]]): the field's
     * physical file name never changes, so ZERO data files are rewritten
-    * and time travel below the DDL reads the old schema. Type changes
-    * stay rejected: the manifest records what was written, and rewriting
-    * history is not an ALTER (int→long/float→double still widen at
-    * write time). */
+    * and time travel below the DDL reads the old schema. ALTER COLUMN
+    * TYPE accepts WIDENING only (integral widening, float→double) as
+    * another schema-only commit — the parquet readers upcast the
+    * narrower stored values under the pinned wider schema; narrowing is
+    * a rewrite and stays rejected. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = tablePath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
@@ -326,6 +327,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"catalog '$catName': only top-level DROP COLUMN is supported")
         requireUnconstrained(t, cur, del.fieldNames.head, "DROP")
         t.commitDropColumn(del.fieldNames.head)
+      case upd: TableChange.UpdateColumnType =>
+        // widening only — a schema-only commit, zero files rewritten;
+        // the column keeps its name, so constraints/stats/cluster
+        // properties referencing it stay valid (integral band keys are
+        // type-independent)
+        require(upd.fieldNames.length == 1,
+          s"catalog '$catName': only top-level ALTER COLUMN TYPE is supported")
+        t.commitWidenColumn(upd.fieldNames.head, upd.newDataType)
       case set: TableChange.SetProperty =>
         // property edits are CONFIG (props sidecar), not data commits
         validateProperty(t, set.property, set.value)
@@ -334,8 +343,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         props = Some(cur - unset.property)
       case other => throw new UnsupportedOperationException(
         s"catalog '$catName': unsupported ALTER ${other.getClass.getSimpleName} — " +
-          "snapshot tables support ADD/RENAME/DROP COLUMN and SET/UNSET " +
-          "TBLPROPERTIES; type widening happens at write time, anything " +
+          "snapshot tables support ADD/RENAME/DROP COLUMN, widening " +
+          "ALTER COLUMN TYPE, and SET/UNSET TBLPROPERTIES; anything " +
           "else is a rewrite")
     }
     props.foreach { next =>

@@ -787,9 +787,19 @@ class SnapshotTable(spark: SparkSession, root: String,
     * is an incompatible change and is rejected at commit time. */
   private def widen(a: DataType, b: DataType): Option[DataType] = {
     import org.apache.spark.sql.types._
+    // integral rank: every narrower integral widens to the widest seen.
+    // Sound end-to-end: parquet stores byte/short/int as INT32 (long as
+    // INT64) and Spark's readers upcast a narrower physical type under a
+    // wider read schema, while the stats band key for EVERY integral is
+    // its long value — so bands, blooms and metadata-delete semantics
+    // are unchanged by widening.
+    def rank(t: DataType): Int = t match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 3; case LongType => 4; case _ => 0
+    }
     if (a == b) Some(a)
+    else if (rank(a) > 0 && rank(b) > 0) Some(if (rank(a) >= rank(b)) a else b)
     else (a, b) match {
-      case (IntegerType, LongType) | (LongType, IntegerType) => Some(LongType)
       case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
       case _ => None
     }
@@ -821,8 +831,9 @@ class SnapshotTable(spark: SparkSession, root: String,
                 throw new IllegalArgumentException(
                   s"incompatible schema change on column '${tf.name}' at $root: " +
                     s"table has ${tf.dataType.simpleString}, batch has " +
-                    s"${bf.dataType.simpleString} (allowed: identical, int<->bigint, " +
-                    "float<->double; cast the batch explicitly or commitOverwrite)"))
+                    s"${bf.dataType.simpleString} (allowed: identical, integral " +
+                    "widening, float<->double; cast the batch explicitly or " +
+                    "commitOverwrite)"))
               StructField(tf.name, w, nullable = true, metadata = tf.metadata)
           }
         }
@@ -2453,6 +2464,48 @@ class SnapshotTable(spark: SparkSession, root: String,
             ColumnMapping.withPhysical(fresh, cand)
           }
         Some(normalizeSchema(StructType(cur.fields :+ field)).json)
+      },
+      dataChange = false)
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN c TYPE <wider>` as a SCHEMA-ONLY
+    * commit: zero files rewritten. The new version re-lists the tip's
+    * files under the widened schema; reads pin that schema and the
+    * parquet readers upcast the narrower stored values (INT32 under a
+    * LONG read schema, FLOAT under DOUBLE) — the same mechanism
+    * append-time widening ([[evolveSchema]]) already relies on. Only
+    * WIDENING is a metadata operation (the stored values are all
+    * representable in the target type); narrowing would need a
+    * validating rewrite and is refused. Stats bands, blooms and
+    * metadata-delete semantics survive untouched: every integral's band
+    * key IS its long value. Time travel below this version reads the
+    * old type. The current MOR delete-key column refuses (registered
+    * equality-delete files carry the narrow key type; a mixed-footer
+    * key read would be nondeterministic — compact() first). */
+  def commitWidenColumn(column: String, to: DataType): Long = {
+    require(latestVersion() > 0, s"ALTER COLUMN TYPE on empty table at $root")
+    publish("alter", base => fileSetOf(snapshot(base)),
+      base => snapshot(base).rows,
+      base => {
+        val cur = snapshot(base).schemaJson.map(parseSchema)
+          .getOrElse(read(base).schema)
+        val i = cur.fieldNames.indexOf(column)
+        require(i >= 0, s"no column '$column' at $root " +
+          s"(have: ${cur.fieldNames.mkString(", ")})")
+        val from = cur.fields(i).dataType
+        require(from != to,
+          s"column '$column' at $root already has type ${to.simpleString}")
+        require(widen(from, to).contains(to),
+          s"ALTER COLUMN TYPE on '$column' at $root: ${from.simpleString} " +
+            s"-> ${to.simpleString} is not a widening (allowed: integral " +
+            "widening, float -> double); narrowing or reshaping is a rewrite")
+        require(!fileSetOf(snapshot(base)).deleteKey.contains(column),
+          s"column '$column' at $root is the merge-on-read delete key — " +
+            "its registered delete files carry the narrow type; compact() " +
+            "to absorb them, then widen")
+        Some(normalizeSchema(
+          StructType(cur.fields.updated(i,
+            cur.fields(i).copy(dataType = to)))).json)
       },
       dataChange = false)
   }
