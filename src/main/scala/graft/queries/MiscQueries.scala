@@ -908,6 +908,44 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // MULTI-RANGE SQL DELETE as a METADATA-ONLY commit — the
+    // keep-the-middle retention shape (`DELETE WHERE day < lo OR
+    // day >= hi`) that a single contiguous band cannot express: the OR's
+    // disjuncts each reduce to an exact DATE band, the union classifies
+    // every file fully-inside-or-outside, and the statement drops the
+    // two edge files off the manifest with zero files read or written
+    // (metadata_only pins file identity). Versions replay in DuckDB.
+    "misc_catalog_dml_or" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catdmlor").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gor", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gor.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gor.db")
+      Tables.orders(s, d).select(to_date(col("o_orderdate")).as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("catdmlor_src")
+      s.sql("CREATE TABLE gor.db.daily (day DATE, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='day')")
+      s.sql("INSERT INTO gor.db.daily SELECT * FROM catdmlor_src " +
+        "WHERE day < DATE'1994-01-01'")
+      s.sql("INSERT INTO gor.db.daily SELECT * FROM catdmlor_src " +
+        "WHERE day >= DATE'1994-01-01' AND day < DATE'1997-01-01'")
+      s.sql("INSERT INTO gor.db.daily SELECT * FROM catdmlor_src " +
+        "WHERE day >= DATE'1997-01-01'")
+      val t = new graft.sources.SnapshotTable(s, s"$wh/db/daily", Seq("day"))
+      val before = t.snapshot(t.latestVersion())
+      s.sql("DELETE FROM gor.db.daily WHERE day < DATE'1994-01-01' " +
+        "OR day >= DATE'1997-01-01'")
+      val after = t.snapshot(t.latestVersion())
+      val metadataOnly = after.action == "delete" &&
+        after.files.forall(before.files.contains)
+      t.history().map { snap =>
+        t.read(snap.version).agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(snap.version).as("version"), lit(snap.action).as("action"),
+            lit(metadataOnly).as("metadata_only"), col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // Timestamp-range SQL DELETE as a METADATA-ONLY commit — the
     // retention drop on a TIMESTAMP-clustered ingest table (the shape a
     // 100 TB event stream actually has: timestamp-keyed before it is
@@ -3336,6 +3374,27 @@ v AS (
   SELECT 3, 'append', DATE '0001-01-01', DATE '1998-12-31' UNION ALL
   SELECT 4, 'append', DATE '0001-01-01', DATE '9999-01-01' UNION ALL
   SELECT 5, 'delete', DATE '1997-01-01', DATE '9999-01-01')
+SELECT CAST(v.version AS BIGINT) AS version, v.action,
+       CAST(TRUE AS BOOLEAN) AS metadata_only,
+       CAST(count(b.day) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(b.cents), 0) AS BIGINT) AS total_cents
+FROM v LEFT JOIN base b ON b.day BETWEEN v.lo AND v.hi
+GROUP BY v.version, v.action""",
+
+    // v1 = CREATE (empty), v2..v4 = the three date-range inserts, v5 =
+    // the keep-the-middle multi-range DELETE (metadata-only by
+    // construction — Spark side pins file identity)
+    "misc_catalog_dml_or" -> """
+WITH base AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+v AS (
+  SELECT 1 AS version, 'overwrite' AS action, DATE '9999-01-01' AS lo, DATE '0001-01-01' AS hi UNION ALL
+  SELECT 2, 'append', DATE '0001-01-01', DATE '1993-12-31' UNION ALL
+  SELECT 3, 'append', DATE '0001-01-01', DATE '1996-12-31' UNION ALL
+  SELECT 4, 'append', DATE '0001-01-01', DATE '9999-01-01' UNION ALL
+  SELECT 5, 'delete', DATE '1994-01-01', DATE '1996-12-31')
 SELECT CAST(v.version AS BIGINT) AS version, v.action,
        CAST(TRUE AS BOOLEAN) AS metadata_only,
        CAST(count(b.day) AS BIGINT) AS n_rows,

@@ -227,6 +227,86 @@ object SnapshotBatch {
       c -> ((bs.map(_._2._1).max, bs.map(_._2._2).min))
     })
   }
+
+  /** EXACT truth set for a conjunction that may carry single-column OR
+    * unions — the multi-range retention DELETE
+    * (`day < keep_lo OR day >= probe_hi`) as a metadata statement.
+    * Each conjunct must be either a [[contiguousBandOf]] band, or an OR
+    * whose every disjunct reduces (via its own conjuncts) to a
+    * contiguous band on ONE shared column — those disjuncts coalesce
+    * into a sorted interval union (adjacent EXACT keys merge: the key
+    * spaces are integral, so [a,k]∪[k+1,b] IS [a,b]). A union column
+    * that also carries a plain band clips interval-wise (an empty clip
+    * = the predicate matches nothing on that column — exact, not a
+    * decline). Any underivable piece returns None: a metadata DELETE
+    * must know the truth set exactly. */
+  def contiguousPredicateOf(filters: Seq[Filter], bandsV: Int)
+      : Option[(Map[String, (Long, Long)], Seq[(String, Seq[(Long, Long)])])] = {
+    if (filters.isEmpty) return None
+    val parts: Seq[Option[Either[(String, (Long, Long)),
+                                 (String, Seq[(Long, Long)])]]] =
+      filters.map {
+        case f: Or =>
+          val leaves = disjunctsOf(f).map(leaf =>
+            contiguousBandsOf(conjunctsOf(leaf), bandsV)
+              .filter(_.size == 1).map(_.head))
+          if (leaves.exists(_.isEmpty)) None
+          else {
+            val flat = leaves.flatten
+            val cols = flat.map(_._1).distinct
+            if (cols.length != 1) None
+            else Some(Right(cols.head -> coalesceRanges(flat.map(_._2))))
+          }
+        case In(c, vs) if vs.nonEmpty &&
+            vs.exists(v => Option(v).exists(
+              BandKeys.valueKey(_, bandsV).exists(_._2))) &&
+            vs.forall(v => v == null ||
+              BandKeys.valueKey(v, bandsV).exists(_._2)) =>
+          // IN over EXACT keys is a union of points (NULL literals make
+          // the predicate UNKNOWN, never TRUE — they add nothing to the
+          // truth set); lossy keys (strings, v1 timestamps) decline
+          Some(Right(c -> coalesceRanges(vs.toSeq.flatMap(v =>
+            Option(v).flatMap(BandKeys.valueKey(_, bandsV))
+              .map(k => (k._1, k._1))))))
+        case f => contiguousBandOf(f, bandsV).map(Left(_))
+      }
+    if (parts.exists(_.isEmpty)) return None
+    val items = parts.flatten
+    val bands = items.collect { case Left(b) => b }
+      .groupBy(_._1).map { case (c, bs) =>
+        c -> ((bs.map(_._2._1).max, bs.map(_._2._2).min)) }
+    val unions = items.collect { case Right(u) => u }
+      .groupBy(_._1).toSeq.map { case (c, us) =>
+        // several unions on one column intersect; with the plain band
+        // (when present) clipped in — intersection of interval unions
+        val clippedEach = us.map(_._2.map { case (lo, hi) =>
+          bands.get(c).fold((lo, hi)) { case (blo, bhi) =>
+            (math.max(lo, blo), math.min(hi, bhi)) }
+        }.filter(p => p._1 <= p._2))
+        c -> clippedEach.reduce(intersectRanges)
+      }
+    if (bands.isEmpty && unions.isEmpty) None else Some((bands, unions))
+  }
+
+  /** Sort + merge overlapping/adjacent EXACT-key intervals. */
+  private[graft] def coalesceRanges(ivs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    ivs.filter(p => p._1 <= p._2).sortBy(_._1)
+      .foldLeft(List.empty[(Long, Long)]) {
+        case ((alo, ahi) :: rest, (lo, hi)) if lo <= ahi ||
+            (ahi != Long.MaxValue && lo == ahi + 1) =>
+          (alo, math.max(ahi, hi)) :: rest
+        case (acc, iv) => iv :: acc
+      }.reverse
+
+  /** Intersection of two coalesced interval unions (both sorted). */
+  private[graft] def intersectRanges(a: Seq[(Long, Long)],
+                                       b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    a.flatMap { case (alo, ahi) =>
+      b.flatMap { case (blo, bhi) =>
+        val lo = math.max(alo, blo); val hi = math.min(ahi, bhi)
+        if (lo <= hi) Some((lo, hi)) else None
+      }
+    }
 }
 
 /** DSv2 Table: BATCH_READ + BATCH_WRITE — streaming reads stay on the V1
@@ -339,27 +419,30 @@ class GraftSnapshotBatchTable(spark: SparkSession, root: String,
   /** METADATA-ONLY SQL DELETE (Spark's OptimizeMetadataOnlyDeleteFromTable
     * replaces the row-level rewrite when this says yes): serve the
     * statement iff every conjunct is a CONTIGUOUS band on a stats
-    * column and every file classifies fully-inside-or-outside — then
-    * the delete is a manifest re-list dropping the inside files, zero
-    * rewrite. Straddlers/IN-lists/non-stats columns decline, falling
-    * back to the pruned row-level paths. The partition-drop shape
-    * (`DELETE WHERE day BETWEEN …` on a clustered table) at 100 TB is
-    * a metadata edit. */
+    * column — or a single-column OR/IN union of such bands
+    * ([[SnapshotBatch.contiguousPredicateOf]]) — and every file
+    * classifies fully-inside-or-outside; then the delete is a manifest
+    * re-list dropping the inside files, zero rewrite. Straddlers,
+    * lossy-key IN-lists and non-stats columns decline, falling back to
+    * the pruned row-level paths. The partition-drop shapes
+    * (`DELETE WHERE day BETWEEN …`, the multi-range retention
+    * `WHERE day < a OR day >= b`) at 100 TB are metadata edits. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
     val t = pinned.map(_._1)
       .getOrElse(new SnapshotTable(spark, root, statsColsForWrite))
-    SnapshotBatch.contiguousBandsOf(filters.toSeq, t.tableBandsV) match {
-      case Some(bands) => t.canDeleteByBands(bands)
+    SnapshotBatch.contiguousPredicateOf(filters.toSeq, t.tableBandsV) match {
+      case Some((bands, unions)) => t.canDeleteByBands(bands, unions)
       case None => false
     }
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val t = new SnapshotTable(spark, root, statsColsForWrite)
-    val bands = SnapshotBatch.contiguousBandsOf(filters.toSeq, t.tableBandsV)
-      .getOrElse(
-        sys.error(s"deleteWhere without canDeleteWhere: ${filters.mkString(", ")}"))
-    t.commitDeleteByBands(bands)
+    val (bands, unions) =
+      SnapshotBatch.contiguousPredicateOf(filters.toSeq, t.tableBandsV)
+        .getOrElse(sys.error(
+          s"deleteWhere without canDeleteWhere: ${filters.mkString(", ")}"))
+    t.commitDeleteByBands(bands, unions)
     ()
   }
 

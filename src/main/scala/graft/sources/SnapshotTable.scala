@@ -2237,7 +2237,9 @@ class SnapshotTable(spark: SparkSession, root: String,
     * unknown stats. Empty files (inverted band) classify outside —
     * kept, harmless. */
   private def classifyByBands(version: Long,
-                              bands: Map[String, (Long, Long)]): (Snapshot, Seq[Int]) = {
+                              bands: Map[String, (Long, Long)],
+                              unions: Seq[(String, Seq[(Long, Long)])] = Seq.empty)
+      : (Snapshot, Seq[Int]) = {
     val s = snapshot(version)
     val fl = fileSetOf(s)
     def cs(c: String) = fl.stats(statsCols.indexOf(c))
@@ -2246,9 +2248,20 @@ class SnapshotTable(spark: SparkSession, root: String,
         val st = cs(c)
         st.mins(i) >= lo && st.maxs(i) <= hi &&
           st.maxs(i) >= st.mins(i) && st.nulls(i) == 0L
+      } && unions.forall { case (c, ivs) =>
+        // containment in a union of COALESCED (disjoint, non-adjacent)
+        // intervals is containment in a single one; gaps leave the file
+        // a straddler (conservative — rows might all dodge the gap,
+        // but the bands cannot prove it)
+        val st = cs(c)
+        st.maxs(i) >= st.mins(i) && st.nulls(i) == 0L &&
+          ivs.exists { case (lo, hi) => st.mins(i) >= lo && st.maxs(i) <= hi }
       }
       lazy val outside = bands.exists { case (c, (lo, hi)) =>
         val st = cs(c); st.maxs(i) < lo || st.mins(i) > hi
+      } || unions.exists { case (c, ivs) =>
+        val st = cs(c)
+        ivs.forall { case (lo, hi) => st.maxs(i) < lo || st.mins(i) > hi }
       }
       if (inside) 1 else if (outside) 0 else -1
     }
@@ -2261,11 +2274,15 @@ class SnapshotTable(spark: SparkSession, root: String,
     * falls back to the row-level rewrite, which writes its
     * schema-bearing empty file). Advisory: [[commitDeleteByBands]]
     * re-classifies per publish attempt. */
-  private[sources] def canDeleteByBands(bands: Map[String, (Long, Long)]): Boolean = {
-    if (bands.isEmpty || !bands.keys.forall(statsCols.contains)) return false
+  private[sources] def canDeleteByBands(
+      bands: Map[String, (Long, Long)],
+      unions: Seq[(String, Seq[(Long, Long)])] = Seq.empty): Boolean = {
+    if ((bands.isEmpty && unions.isEmpty) ||
+        !bands.keys.forall(statsCols.contains) ||
+        !unions.forall(u => statsCols.contains(u._1))) return false
     val tip = latestVersion()
     if (tip == 0) return false
-    val (_, classes) = classifyByBands(tip, bands)
+    val (_, classes) = classifyByBands(tip, bands, unions)
     !classes.contains(-1) && classes.contains(0)
   }
 
@@ -2280,15 +2297,20 @@ class SnapshotTable(spark: SparkSession, root: String,
     * (the classification raced a concurrent writer past
     * [[canDeleteByBands]]) fails loudly: falling back to a rewrite
     * here would need the row-level plan Spark already discarded. */
-  private[sources] def commitDeleteByBands(bands: Map[String, (Long, Long)]): Option[Long] = {
-    require(bands.nonEmpty && bands.keys.forall(statsCols.contains),
-      s"metadata delete needs contiguous bands on stats columns " +
-        s"(${statsCols.mkString(",")}); got ${bands.keys.mkString(",")}")
+  private[sources] def commitDeleteByBands(
+      bands: Map[String, (Long, Long)],
+      unions: Seq[(String, Seq[(Long, Long)])] = Seq.empty): Option[Long] = {
+    require((bands.nonEmpty || unions.nonEmpty) &&
+        bands.keys.forall(statsCols.contains) &&
+        unions.forall(u => statsCols.contains(u._1)),
+      s"metadata delete needs contiguous bands/range-unions on stats " +
+        s"columns (${statsCols.mkString(",")}); got " +
+        s"${(bands.keys ++ unions.map(_._1)).mkString(",")}")
     var attempts = 0
     while (attempts < 50) {
       val base = latestVersion()
       require(base > 0, s"DELETE on empty table at $root")
-      val (snapBase, classes) = classifyByBands(base, bands)
+      val (snapBase, classes) = classifyByBands(base, bands, unions)
       require(!classes.contains(-1),
         s"metadata DELETE at $root: a file straddles the predicate band " +
           "(a concurrent commit re-shaped the table mid-statement); " +
