@@ -908,6 +908,36 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // Exactly-once file ingestion (the COPY INTO shape): CALL
+    // ingest_files lands each matched source file as ONE ingest version
+    // keyed by its path — the commit IS the ledger, so the second CALL
+    // skips all three sources and publishes nothing (tip version pinned
+    // equal across legs via the ingested/skipped counts and identical
+    // row totals). The cron-retry/backfill-overlap contract of every
+    // ELT loader, on the snapshot format.
+    "misc_catalog_ingest" -> ((s, d) => {
+      val base = Tables.freshTmpDir(s, "graft_catingest").getAbsolutePath
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      (0 until 3).foreach(i => o.filter(col("k") % 3 === i)
+        .repartition(1).write.parquet(s"$base/in/src_$i"))
+      s.conf.set("spark.sql.catalog.gin", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gin.warehouse", s"$base/wh")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gin.db")
+      s.sql("CREATE TABLE gin.db.t (k BIGINT, cents BIGINT) USING `graft-snapshot`")
+      def call() = s.sql(
+        s"CALL gin.system.ingest_files('db.t', '$base/in/src_*/*.parquet')")
+        .collect().head
+      def leg(name: String, r: org.apache.spark.sql.Row) =
+        s.table("gin.db.t").agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(name).as("leg"), lit(r.getLong(0)).as("ingested"),
+            lit(r.getLong(1)).as("skipped"), col("n_rows"), col("total_cents"))
+      val first = leg("first", call())
+      val second = leg("second", call())
+      first.unionByName(second)
+    }),
+
     // MULTI-RANGE SQL DELETE as a METADATA-ONLY commit — the
     // keep-the-middle retention shape (`DELETE WHERE day < lo OR
     // day >= hi`) that a single contiguous band cannot express: the OR's
@@ -3380,6 +3410,21 @@ SELECT CAST(v.version AS BIGINT) AS version, v.action,
        CAST(coalesce(sum(b.cents), 0) AS BIGINT) AS total_cents
 FROM v LEFT JOIN base b ON b.day BETWEEN v.lo AND v.hi
 GROUP BY v.version, v.action""",
+
+    // both CALLs see the same table contents; the first ingests all
+    // three sources, the second skips them all
+    "misc_catalog_ingest" -> """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+agg AS (SELECT count(*) AS n, sum(cents) AS s FROM base)
+SELECT 'first' AS leg, CAST(3 AS BIGINT) AS ingested,
+       CAST(0 AS BIGINT) AS skipped,
+       CAST(n AS BIGINT) AS n_rows, CAST(s AS BIGINT) AS total_cents
+FROM agg
+UNION ALL
+SELECT 'second', CAST(0 AS BIGINT), CAST(3 AS BIGINT),
+       CAST(n AS BIGINT), CAST(s AS BIGINT)
+FROM agg""",
 
     // v1 = CREATE (empty), v2..v4 = the three date-range inserts, v5 =
     // the keep-the-middle multi-range DELETE (metadata-only by

@@ -507,7 +507,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   *  - `vacuum(table, keep_last)` — drop data files and manifests
   *    outside the retained suffix;
   *  - `rollback(table, version)` — roll FORWARD to an old version's
-  *    contents as a new version (history stays intact).
+  *    contents as a new version (history stays intact);
+  *  - `ingest_files(table, paths [, format])` — exactly-once file
+  *    ingestion: each matched source file lands as one ingest version
+  *    keyed by its path, so re-runs never double-load.
   */
 private[sources] object GraftProcedures {
   import org.apache.spark.sql.catalyst.InternalRow
@@ -519,7 +522,7 @@ private[sources] object GraftProcedures {
     Array("compact", "compact_files", "compact_deletes", "vacuum",
       "expire_snapshots", "rollback",
       "create_tag", "drop_tag", "create_branch", "drop_branch",
-      "fast_forward", "clone")
+      "fast_forward", "clone", "ingest_files")
 
   def load(name: String, catalog: GraftCatalog,
            handleFor: String => SnapshotTable): UnboundProcedure = name match {
@@ -539,6 +542,47 @@ private[sources] object GraftProcedures {
             if (in.isNullAt(2)) Seq.empty[String]
             else in.getString(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
           Seq(t.compact(in.getLong(1), cluster))
+      }
+    case "ingest_files" =>
+      proc("ingest_files", "exactly-once file ingestion (the COPY INTO " +
+        "shape): every source file matching the glob lands as ONE " +
+        "manifest version keyed by its path — re-running the CALL skips " +
+        "already-ingested sources, so cron retries and overlapping " +
+        "backfills never double-load. format: 'parquet' (default) or " +
+        "'csv' (header row; columns read with the TABLE's schema — no " +
+        "inference job)",
+        Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("paths", DataTypes.StringType).build(),
+          ProcedureParameter.in("format", DataTypes.StringType)
+            .defaultValue("'parquet'").build()),
+        StructType(Seq(
+          StructField("ingested", DataTypes.LongType, nullable = false),
+          StructField("skipped", DataTypes.LongType, nullable = false),
+          StructField("version", DataTypes.LongType, nullable = false)))) {
+        in =>
+          val t = handleFor(in.getString(0))
+          val spark = SparkSession.active
+          val fmt = if (in.isNullAt(2)) "parquet" else in.getString(2)
+          require(fmt == "parquet" || fmt == "csv",
+            s"ingest_files format must be 'parquet' or 'csv'; got '$fmt'")
+          val glob = new Path(in.getString(1))
+          val gfs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val matched = Option(gfs.globStatus(glob)).map(_.toSeq)
+            .getOrElse(Seq.empty).filter(_.isFile)
+            .map(_.getPath.toString).sorted
+          require(matched.nonEmpty,
+            s"ingest_files: no files match '${in.getString(1)}'")
+          def read(src: String): org.apache.spark.sql.DataFrame = fmt match {
+            case "parquet" => spark.read.parquet(src)
+            case _ =>
+              // the catalog table's schema types the CSV — deterministic
+              // and zero inference jobs per source file
+              spark.read.option("header", "true")
+                .schema(t.schemaOf(t.latestVersion())).csv(src)
+          }
+          val (ing, skip) = t.ingestFiles(matched, read)
+          Seq(ing, skip, t.latestVersion())
       }
     case "compact_files" =>
       proc("compact_files", "rewrite ONLY the data files under " +

@@ -1423,6 +1423,80 @@ class SnapshotTable(spark: SparkSession, root: String,
     }
   }
 
+  /** Raised inside the publish loop when a concurrent CALL ingested the
+    * same source first; carries the winner's version. */
+  private case class DuplicateIngest(version: Long)
+    extends RuntimeException(s"source already ingested at version $version")
+
+  /** EXACTLY-ONCE FILE INGESTION (the COPY INTO / Auto Loader shape):
+    * load one SOURCE file's rows as one manifest version with
+    * action="ingest" and txnApp = the source path — the commit IS the
+    * ledger. A re-run (cron retry, overlapping backfill, crash-and-
+    * rerun) finds the path in history and skips; there is no side
+    * ledger that could desync from the data, because the marker and
+    * the rows land in the same atomic manifest CAS. A concurrent CALL
+    * racing the same source is caught per publish attempt (only the
+    * versions that appeared since our probe are re-walked) — exactly
+    * one commit wins, the loser deletes its files and reports the
+    * winner. Returns (version, freshly-ingested). Vacuum keeps ingest
+    * manifests' SUMMARIES (version/action/txnApp) readable through
+    * checkpoints, and [[expireSnapshots]]-trimmed history means
+    * re-offering sources older than the retention is the operator's
+    * contract to avoid — the same rule every ledger-by-history system
+    * has. */
+  def ingestFileOnce(source: String, df: DataFrame): (Long, Boolean) = {
+    jsonSafe(source, "ingest source")
+    val probedTip = latestVersion()
+    val prior = history().find(s => s.action == "ingest" && s.txnApp == source)
+    if (prior.isDefined) return (prior.get.version, false)
+    if (probedTip > 0) evolveSchema(tipSchemaOf(probedTip), df.schema) // fail fast
+    val (newFiles, newRows) = writeDataFiles(guarded(df))
+    try {
+      val v = publish("ingest",
+        base => {
+          // only the window that appeared since the probe needs a re-walk
+          var w = base
+          while (w > probedTip) {
+            val s = snapshot(w)
+            if (s.action == "ingest" && s.txnApp == source)
+              throw DuplicateIngest(s.version)
+            w -= 1
+          }
+          appendedFileSet(base, newFiles)
+        },
+        base => (if (base == 0) 0L else snapshot(base).rows) + newRows,
+        base => Some(evolveSchema(tipSchemaOf(base), df.schema).json),
+        txnApp = source)
+      (v, true)
+    } catch {
+      case DuplicateIngest(v) =>
+        // lost the race: this attempt's files are unreferenced — drop them
+        newFiles.files.map(_.split('/').head).distinct.foreach(uuid =>
+          fs.delete(new Path(dataDir, uuid), true))
+        (v, false)
+    }
+  }
+
+  /** [[ingestFileOnce]] over a source list: one history walk builds the
+    * already-ingested set, each new source lands as its own atomic
+    * ingest version (per-source granularity is what makes partial
+    * failures resumable — rerunning the CALL picks up exactly the
+    * sources that did not commit). Returns (ingested, skipped). */
+  def ingestFiles(sources: Seq[String], read: String => DataFrame): (Long, Long) = {
+    val done = history().iterator
+      .filter(_.action == "ingest").map(_.txnApp).toSet
+    var ingested = 0L
+    var skipped = 0L
+    sources.distinct.foreach { src =>
+      if (done.contains(src)) skipped += 1
+      else {
+        val (_, fresh) = ingestFileOnce(src, read(src))
+        if (fresh) ingested += 1 else skipped += 1
+      }
+    }
+    (ingested, skipped)
+  }
+
   /** The (txnApp, batchId, action) dedup probe of [[commitAppendOnce]],
     * shared with the pre-written (DSv2 streaming) commit paths: walks
     * BACK from the tip, stops at the first strictly-older epoch of the
