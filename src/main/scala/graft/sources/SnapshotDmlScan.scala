@@ -64,7 +64,8 @@ class SnapshotDmlScanBuilder(spark: SparkSession, table: SnapshotTable,
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pruning = filters.filter(f => SnapshotBatch.bandOf(f, bandsV).isDefined ||
-      f.isInstanceOf[org.apache.spark.sql.sources.IsNull])
+      f.isInstanceOf[org.apache.spark.sql.sources.IsNull] ||
+      SnapshotBatch.orAltsOf(Seq(f), bandsV).nonEmpty)
     filters // group pruning only — Spark keeps row-level evaluation
   }
   override def pushedFilters(): Array[Filter] = pruning
@@ -72,7 +73,8 @@ class SnapshotDmlScanBuilder(spark: SparkSession, table: SnapshotTable,
   override def build(): Scan = {
     val (spec, scannedRel, full) =
       table.dmlSpecPruned(base, SnapshotBatch.bandsOf(pruning.toSeq, bandsV),
-        SnapshotBatch.nullPruneCols(pruning.toSeq))
+        SnapshotBatch.nullPruneCols(pruning.toSeq),
+        SnapshotBatch.orAltsOf(pruning.toSeq, bandsV))
     onPlanned(scannedRel, full)
     new SnapshotDmlScan(spark, spec, base, root)
   }

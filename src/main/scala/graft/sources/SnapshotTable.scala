@@ -2481,7 +2481,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     dmlSpecPruned(version, bands, Set.empty)
 
   private[graft] def dmlSpecPruned(version: Long, bands: Map[String, (Long, Long)],
-                                   nullCols: Set[String])
+                                   nullCols: Set[String],
+                                   orAlts: Seq[Seq[PruneAlt]] = Seq.empty)
       : (SnapshotDmlSpec, Seq[String], Boolean) = {
     val s = snapshot(version)
     val fl = fileSetOf(s)
@@ -2493,6 +2494,20 @@ class SnapshotTable(spark: SparkSession, root: String,
         cs.maxs(i) >= lo && cs.mins(i) <= hi
       } && activeNull.forall { c =>
         fl.stats(statsCols.indexOf(c)).nulls(i) != 0L
+      } && orAlts.forall { alts =>
+        // disjunctive lane, same semantics as the read path: a file
+        // survives the OR conjunct iff SOME alternative admits it;
+        // unverifiable alternatives (non-stats columns) admit all
+        alts.exists { alt =>
+          if (!alt.bands.keysIterator.forall(statsCols.contains) ||
+              !alt.isNull.forall(statsCols.contains)) true
+          else alt.bands.forall { case (c, (lo, hi)) =>
+            val cs = fl.stats(statsCols.indexOf(c))
+            cs.maxs(i) >= lo && cs.mins(i) <= hi
+          } && alt.isNull.forall { c =>
+            fl.stats(statsCols.indexOf(c)).nulls(i) != 0L
+          }
+        }
       }
     }
     def abs(rel: String) = new Path(dataDir, rel)

@@ -138,6 +138,31 @@ class OrPruningSpec extends SparkSpec {
     assert(df.select("v").as[Long].collect().toSet == Set(30L))
   }
 
+  test("copy-on-write UPDATE with an OR predicate rewrites only the edge files") {
+    val cat = "gorup"
+    val wh = freshRoot("cowupdate")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='k')")
+    Seq(0L, 100L, 200L).foreach(b => spark.sql(
+      s"INSERT INTO $cat.db.t SELECT id AS k, id * 2 AS v FROM range($b, ${b + 100})"))
+    val t = new SnapshotTable(spark, s"$wh/db/t", Seq("k"))
+    val before = t.snapshot(t.latestVersion())
+    spark.sql(s"UPDATE $cat.db.t SET v = v + 1 WHERE k < 50 OR k >= 250")
+    val after = t.snapshot(t.latestVersion())
+    // the middle file (k in [100,199]) matches neither branch: re-listed
+    // BY IDENTITY; only the two edge files were rewritten
+    val kept = after.files.filter(before.files.contains)
+    assert(kept.length >= 1 && after.files.length > kept.length,
+      s"middle file must survive by identity: before=${before.files.length} " +
+        s"after=${after.files.length} kept=${kept.length}")
+    val got = spark.table(s"$cat.db.t").select("k", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got(10L) == 21L && got(150L) == 300L && got(260L) == 521L)
+  }
+
   test("OR pruning through a MOR delete still applies the delete") {
     val root = freshRoot("mor")
     val t = threeBands(root)
