@@ -778,15 +778,15 @@ object MiscQueries {
       val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("day"))
       val o = Tables.orders(s, d).select(to_date(col("o_orderdate")).as("day"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-      val (c1, c2) = (java.sql.Date.valueOf("1994-01-01"),
-        java.sql.Date.valueOf("1997-01-01"))
+      val (c1, c2) = (java.sql.Date.valueOf("1997-01-01"),
+        java.sql.Date.valueOf("1999-01-01"))
       t.commitAppend(o.filter(col("day") < lit(c1)).repartition(1))
       t.commitAppend(o.filter(col("day") >= lit(c1) && col("day") < lit(c2))
         .repartition(1))
       t.commitAppend(o.filter(col("day") >= lit(c2)).repartition(1))
       val total = t.read().inputFiles.length
-      val (loD, hiD) = (java.sql.Date.valueOf("1993-01-01"),
-        java.sql.Date.valueOf("1998-01-01"))
+      val (loD, hiD) = (java.sql.Date.valueOf("1996-01-01"),
+        java.sql.Date.valueOf("2000-01-01"))
       val engine = t.readRanges("day", Seq(
         (Long.MinValue, loD.toLocalDate.toEpochDay - 1),
         (hiD.toLocalDate.toEpochDay, Long.MaxValue)))
@@ -808,6 +808,35 @@ object MiscQueries {
             lit(planned).as("files_planned"), col("n_rows"), col("total_cents"))
       leg("engine", engine, engine.inputFiles.length)
         .unionByName(leg("dsv2", dsv2, dsv2Planned))
+    }),
+
+    // Filtered COUNT from the manifest's per-file row counts: the
+    // "how many events in this window" probe on a date-clustered table
+    // answers from metadata, scanning ONLY straddling files — the
+    // aligned leg scans zero files, the straddling leg scans exactly
+    // the two boundary files, and both counts replay in DuckDB.
+    "misc_snapshot_count_range" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_snapcount").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("day"))
+      val o = Tables.orders(s, d).select(to_date(col("o_orderdate")).as("day"))
+      val (c1, c2) = (java.sql.Date.valueOf("1997-01-01"),
+        java.sql.Date.valueOf("1999-01-01"))
+      t.commitAppend(o.filter(col("day") < lit(c1)).repartition(1))
+      t.commitAppend(o.filter(col("day") >= lit(c1) && col("day") < lit(c2))
+        .repartition(1))
+      t.commitAppend(o.filter(col("day") >= lit(c2)).repartition(1))
+      def day(x: String) = java.sql.Date.valueOf(x).toLocalDate.toEpochDay
+      // aligned exactly to the middle file's band: metadata-only
+      val (na, scanA) = t.countRangeDetailed("day",
+        day("1997-01-01"), day("1999-01-01") - 1, -1L)
+      // straddles both edges: scans exactly the two boundary files
+      val (ns, scanS) = t.countRangeDetailed("day",
+        day("1996-06-01"), day("1999-06-30"), -1L)
+      import s.implicits._
+      Seq(("aligned", scanA.length, na), ("straddle", scanS.length, ns))
+        .toDF("leg", "files_scanned", "n_rows")
+        .select(col("leg"), col("files_scanned").cast("int").as("files_scanned"),
+          col("n_rows"))
     }),
 
     // Join-driven dynamic FILE skipping — the DPP idea applied to the
@@ -956,15 +985,15 @@ object MiscQueries {
       s.sql("CREATE TABLE gor.db.daily (day DATE, cents BIGINT) " +
         "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='day')")
       s.sql("INSERT INTO gor.db.daily SELECT * FROM catdmlor_src " +
-        "WHERE day < DATE'1994-01-01'")
+        "WHERE day < DATE'1997-01-01'")
       s.sql("INSERT INTO gor.db.daily SELECT * FROM catdmlor_src " +
-        "WHERE day >= DATE'1994-01-01' AND day < DATE'1997-01-01'")
+        "WHERE day >= DATE'1997-01-01' AND day < DATE'1999-01-01'")
       s.sql("INSERT INTO gor.db.daily SELECT * FROM catdmlor_src " +
-        "WHERE day >= DATE'1997-01-01'")
+        "WHERE day >= DATE'1999-01-01'")
       val t = new graft.sources.SnapshotTable(s, s"$wh/db/daily", Seq("day"))
       val before = t.snapshot(t.latestVersion())
-      s.sql("DELETE FROM gor.db.daily WHERE day < DATE'1994-01-01' " +
-        "OR day >= DATE'1997-01-01'")
+      s.sql("DELETE FROM gor.db.daily WHERE day < DATE'1997-01-01' " +
+        "OR day >= DATE'1999-01-01'")
       val after = t.snapshot(t.latestVersion())
       val metadataOnly = after.action == "delete" &&
         after.files.forall(before.files.contains)
@@ -3331,8 +3360,8 @@ WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
 WITH hit AS (
   SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
   FROM orders
-  WHERE CAST(o_orderdate AS DATE) < DATE '1993-01-01'
-     OR CAST(o_orderdate AS DATE) >= DATE '1998-01-01')
+  WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+     OR CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
 SELECT 'engine' AS leg, CAST(3 AS INTEGER) AS files_total,
        CAST(2 AS INTEGER) AS files_planned,
        CAST(count(*) AS BIGINT) AS n_rows,
@@ -3411,6 +3440,19 @@ SELECT CAST(v.version AS BIGINT) AS version, v.action,
 FROM v LEFT JOIN base b ON b.day BETWEEN v.lo AND v.hi
 GROUP BY v.version, v.action""",
 
+    // aligned leg: zero files scanned; straddle leg: the two boundary
+    // files — counts replayed over orders
+    "misc_snapshot_count_range" -> """
+SELECT 'aligned' AS leg, CAST(0 AS INTEGER) AS files_scanned,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+UNION ALL
+SELECT 'straddle', CAST(2 AS INTEGER), CAST(count(*) AS BIGINT)
+FROM orders
+WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-06-01' AND DATE '1999-06-30'""",
+
     // both CALLs see the same table contents; the first ingests all
     // three sources, the second skips them all
     "misc_catalog_ingest" -> """
@@ -3436,10 +3478,10 @@ WITH base AS (
   FROM orders),
 v AS (
   SELECT 1 AS version, 'overwrite' AS action, DATE '9999-01-01' AS lo, DATE '0001-01-01' AS hi UNION ALL
-  SELECT 2, 'append', DATE '0001-01-01', DATE '1993-12-31' UNION ALL
-  SELECT 3, 'append', DATE '0001-01-01', DATE '1996-12-31' UNION ALL
+  SELECT 2, 'append', DATE '0001-01-01', DATE '1996-12-31' UNION ALL
+  SELECT 3, 'append', DATE '0001-01-01', DATE '1998-12-31' UNION ALL
   SELECT 4, 'append', DATE '0001-01-01', DATE '9999-01-01' UNION ALL
-  SELECT 5, 'delete', DATE '1994-01-01', DATE '1996-12-31')
+  SELECT 5, 'delete', DATE '1997-01-01', DATE '1998-12-31')
 SELECT CAST(v.version AS BIGINT) AS version, v.action,
        CAST(TRUE AS BOOLEAN) AS metadata_only,
        CAST(count(b.day) AS BIGINT) AS n_rows,

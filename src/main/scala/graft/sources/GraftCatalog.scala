@@ -282,7 +282,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ColStats(Seq(msg.mins(c)), Seq(msg.maxs(c)), Seq(msg.nulls(c)),
           Seq(msg.tminsOr(statsCols.length)(c)), Seq(msg.tmaxsOr(statsCols.length)(c)),
           Seq(msg.bloomsOr(statsCols.length)(c)))),
-      0L, schema, dataChange = false)
+      0L, schema, dataChange = false, frows = Seq(0L))
     // persist user TBLPROPERTIES (config sidecar) — minus the keys Spark
     // injects and stats_cols, which lives in the manifests themselves
     if (userProps.nonEmpty) t.setTableProperties(userProps)

@@ -472,7 +472,7 @@ class GraftSnapshotBatchTable(spark: SparkSession, root: String,
         ColStats(Seq(msg.mins(c)), Seq(msg.maxs(c)), Seq(msg.nulls(c)),
           Seq(msg.tminsOr(statsCols.length)(c)), Seq(msg.tmaxsOr(statsCols.length)(c)),
           Seq(msg.bloomsOr(statsCols.length)(c)))),
-      0L, tableSchema)
+      0L, tableSchema, frows = Seq(0L))
     true
   }
 }
@@ -754,19 +754,33 @@ class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
       private val snap =
         try Some(table.snapshot(version))
         catch { case scala.util.control.NonFatal(_) => None }
-      private val rows: Option[Long] = snap.map(_.rows)
+      // PRUNED statistics when any pruning lane is active: the planner's
+      // broadcast decision should see what the scan will actually read —
+      // a fact pruned to one day broadcasts like one day, not like the
+      // table. Planned rows are an upper bound under MOR deletes (they
+      // only shrink), the conservative direction an estimate may err in;
+      // unknown vectors fall back to the unpruned totals (also an upper
+      // bound).
+      private val pruningActive = bands.nonEmpty || points.nonEmpty ||
+        nullCols.nonEmpty || orAlts.nonEmpty
+      private val (plannedRows, plannedBytes): (Option[Long], Option[Long]) =
+        if (!pruningActive || snap.isEmpty) (None, None)
+        else try table.plannedStats(bands, points, nullCols, orAlts, version)
+        catch { case scala.util.control.NonFatal(_) => (None, None) }
+      private val rows: Option[Long] = plannedRows.orElse(snap.map(_.rows))
       override def numRows(): java.util.OptionalLong =
         rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
       override def sizeInBytes(): java.util.OptionalLong = {
-        val fromLens = snap.filter(s =>
-          s.lens.length == s.files.length && s.lens.forall(_ >= 0L) &&
-            s.files.nonEmpty).map { s =>
+        def scaled(raw: Long): Long = {
           val full = math.max(1, table.schemaOf(version).defaultSize)
           val frac = math.min(1.0,
             math.max(8, required.defaultSize).toDouble / full)
           val factor = spark.sessionState.conf.fileCompressionFactor
-          math.max(1L, (s.lens.sum * factor * frac).toLong)
+          math.max(1L, (raw * factor * frac).toLong)
         }
+        val fromLens = plannedBytes.map(scaled).orElse(snap.filter(s =>
+          s.lens.length == s.files.length && s.lens.forall(_ >= 0L) &&
+            s.files.nonEmpty).map(s => scaled(s.lens.sum)))
         fromLens.orElse(rows.map(n =>
           math.max(1L, n * math.max(8, required.defaultSize))))
           .map(java.util.OptionalLong.of)

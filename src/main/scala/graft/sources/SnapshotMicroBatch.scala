@@ -270,7 +270,7 @@ class SnapshotStreamingWrite(spark: SparkSession, root: String,
         // complete mode must publish even an empty result set: ensure
         // one schema-bearing file (a file-less manifest is unreadable)
         val ensured =
-          if (nonEmpty.nonEmpty) (files, stats, rows)
+          if (nonEmpty.nonEmpty) (files, stats, rows, nonEmpty.map(_.rows))
           else {
             val conf = spark.sessionState.conf
             val w = new SnapshotParquetWriter(dataDir.toString, commitUuid,
@@ -286,15 +286,16 @@ class SnapshotStreamingWrite(spark: SparkSession, root: String,
                   Seq(m.tminsOr(statsCols.length)(c)),
                   Seq(m.tmaxsOr(statsCols.length)(c)),
                   Seq(m.bloomsOr(statsCols.length)(c)))),
-              0L)
+              0L, Seq(0L))
           }
         table.commitWrittenOverwriteOnce(queryId, epochId,
-          ensured._1, ensured._2, ensured._3, schema)._2
+          ensured._1, ensured._2, ensured._3, schema,
+          frows = ensured._4)._2
       } else if (nonEmpty.isEmpty) {
         false // an empty append epoch publishes no version — replay-safe
       } else {
         table.commitWrittenAppendOnce(queryId, epochId,
-          files, stats, rows, schema)._2
+          files, stats, rows, schema, frows = nonEmpty.map(_.rows))._2
       }
     if (replay)
       // the epoch was already committed by a previous run: nothing

@@ -81,7 +81,8 @@ case class SnapshotFileMeta(content: String, file: String, commitSeq: Long,
                             minKey: Map[String, Long],
                             maxKey: Map[String, Long],
                             nullCount: Map[String, Long],
-                            bloomCols: Seq[String])
+                            bloomCols: Seq[String],
+                            rows: Long = -1L)
 
 case class Snapshot(version: Long, action: String, baseVersion: Long,
                     rows: Long, files: Seq[String], batchId: Long = -1L,
@@ -111,7 +112,12 @@ case class Snapshot(version: Long, action: String, baseVersion: Long,
                     // table's FIRST manifest, inherited forever after —
                     // absent (legacy) reads as 1 (TIMESTAMP keys are
                     // floor-seconds, pruning-only)
-                    bandsV: Int = 1)
+                    bandsV: Int = 1,
+                    // per-file ROW COUNTS aligned with `files` (-1 =
+                    // unknown) — the record_count vector of the public
+                    // formats: serves filtered counts and exact
+                    // metadata-delete accounting without a scan
+                    frows: Seq[Long] = Seq.empty)
 
 /** Minimal snapshot-versioned table format: immutable parquet data files
   * plus a linear chain of JSON manifests, one per committed version —
@@ -249,7 +255,8 @@ class SnapshotTable(spark: SparkSession, root: String,
                              deleteSeqs: Seq[Long] = Seq.empty,
                              deleteKey: Seq[String] = Seq.empty,
                              lens: Seq[Long] = Seq.empty,
-                             deleteLens: Seq[Long] = Seq.empty)
+                             deleteLens: Seq[Long] = Seq.empty,
+                             frows: Seq[Long] = Seq.empty)
 
   /** `lens` aligned to an `n`-file list; any misaligned/absent vector
     * reads as all-unknown (-1) — NEVER positionally reinterpreted, a
@@ -326,7 +333,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       byName.get(manifestNameOf(c)).map(aligned).getOrElse(unknownStats(n)))
     val seqs = if (s.seqs.length == n) s.seqs else Seq.fill(n)(0L)
     FileSet(s.files, stats, seqs, s.deletes, s.deleteSeqs, s.deleteKey,
-      alignLens(s.lens, n), alignLens(s.deleteLens, s.deletes.length))
+      alignLens(s.lens, n), alignLens(s.deleteLens, s.deletes.length),
+      alignLens(s.frows, n))
   }
 
   private def manifestPath(v: Long) = new Path(snapsDir, f"v$v%020d.json")
@@ -545,7 +553,8 @@ class SnapshotTable(spark: SparkSession, root: String,
 
   private case class GroupData(files: Seq[String], seqs: Seq[Long],
                                lens: Seq[Long], statsCols: Seq[String],
-                               stats: Seq[ColStats])
+                               stats: Seq[ColStats],
+                               frows: Seq[Long] = Seq.empty)
 
   private val groupCache =
     new java.util.concurrent.ConcurrentHashMap[String, GroupData]()
@@ -585,7 +594,8 @@ class SnapshotTable(spark: SparkSession, root: String,
         typedArray(txt, s"tmins$sfx"), typedArray(txt, s"tmaxs$sfx"),
         typedArray(txt, s"blooms$sfx"))
     }
-    GroupData(files, longArray("seqs"), longArray("lens"), cols, stats)
+    GroupData(files, longArray("seqs"), longArray("lens"), cols, stats,
+      longArray("frows"))
   }
 
   /** Materialize a parsed manifest's group references into its file
@@ -603,6 +613,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     val ns = gs.map(_.files.length)
     val gSeqs = fill(gs.map(_.seqs), ns, 0L)
     val gLens = fill(gs.map(_.lens), ns, -1L)
+    val gFrows = fill(gs.map(_.frows), ns, -1L)
     val gStats: Seq[ColStats] = s.statsCols.map { c =>
       val per = gs.map { g =>
         val i = g.statsCols.indexOf(c)
@@ -629,6 +640,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       files = gFiles ++ s.files,
       seqs = gSeqs ++ inlineLongs(s.seqs, 0L),
       lens = gLens ++ inlineLongs(s.lens, -1L),
+      frows = gFrows ++ inlineLongs(s.frows, -1L),
       stats = s.statsCols.indices.map(i =>
         ColStats(gStats(i).mins ++ inlineStats(i).mins,
           gStats(i).maxs ++ inlineStats(i).maxs,
@@ -663,7 +675,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       s"""{"files":[${slice.files.map(f =>
         s""""${jsonSafe(f, "data file")}"""").mkString(",")}],
          |"seqs":[${slice.seqs.mkString(",")}],
-         |"lens":[${slice.lens.mkString(",")}]$statsPart}""".stripMargin
+         |"lens":[${slice.lens.mkString(",")}],
+         |"frows":[${alignLens(slice.frows, slice.files.length).mkString(",")}]$statsPart}""".stripMargin
     fs.mkdirs(snapsDir)
     store.writeExclusive(fs, groupPath(ref), body.getBytes("UTF-8"))
     ref
@@ -675,7 +688,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     FileSet(idx.map(fls.files), sliceStats(fls.stats, idx),
       idx.map(i => if (i < fls.seqs.length) fls.seqs(i) else 0L),
       fls.deletes, fls.deleteSeqs, fls.deleteKey,
-      idx.map(alignLens(fls.lens, fls.files.length)), fls.deleteLens)
+      idx.map(alignLens(fls.lens, fls.files.length)), fls.deleteLens,
+      idx.map(alignLens(fls.frows, fls.files.length)))
   }
 
   /** Choose the manifest-list encoding for a commit: (group refs,
@@ -766,7 +780,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       dataChange, longArray("seqs"), strArray("deletes"),
       longArray("deleteSeqs"), strArray("deleteKey"), ts, schemaJson,
       longArray("lens"), longArray("deleteLens"),
-      groupRefs = strArray("groups"), bandsV = bandsV)
+      groupRefs = strArray("groups"), bandsV = bandsV,
+      frows = longArray("frows"))
   }
 
   private def parseSchema(json: String): StructType =
@@ -1036,7 +1051,15 @@ class SnapshotTable(spark: SparkSession, root: String,
         writtenPhys.select(writtenPhys.columns.toIndexedSeq.map(c =>
           col(c).as(inverse.getOrElse(c, c))): _*)
       }
-    val rows = written.count()
+    // ONE per-file aggregation replaces the flat count: the manifest
+    // records each file's row count (the record_count vector), and the
+    // total falls out for free. Zero-row files simply don't group.
+    import org.apache.spark.sql.functions.input_file_name
+    val rowsByFile = written.groupBy(input_file_name().as("__f")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val rows = rowsByFile.valuesIterator.sum
+    def rowsFor(rel: String): Long = rowsByFile.collectFirst {
+      case (uri, n) if uri.endsWith(rel.split('/').last) => n }.getOrElse(0L)
     // stats only for the stats columns the written frame carries
     // (delete-key files may carry none) — absent stats read as the
     // never-pruned sentinel, unknown null counts as -1
@@ -1080,8 +1103,15 @@ class SnapshotTable(spark: SparkSession, root: String,
         def statsFor(rel: String, c: String): (Long, Long, Long, String, String) =
           byFile.collectFirst {
             case (uri, per) if uri.endsWith(rel.split('/').last) => per(c)
-          }.getOrElse((UnknownMin, UnknownMax, UnknownNulls,
-            TypedBounds.Absent, TypedBounds.Absent))
+          }.getOrElse(
+            // a file the stats pass saw NO rows for is either provably
+            // EMPTY (the row-count pass agrees: zero rows) — record the
+            // inverted never-overlapping band, like the executor
+            // writers do — or unexpectedly missing: unknown sentinel
+            if (rowsFor(rel) == 0L)
+              (UnknownMax, UnknownMin, 0L, TypedBounds.Absent, TypedBounds.Absent)
+            else (UnknownMin, UnknownMax, UnknownNulls,
+              TypedBounds.Absent, TypedBounds.Absent))
         // per-file point-lookup blooms for the opted columns — one extra
         // bounded aggregation, run ONLY on bloom-opted tables (the DSv2
         // executor writers fold theirs inline; this is the driver path)
@@ -1122,7 +1152,8 @@ class SnapshotTable(spark: SparkSession, root: String,
           }
         }
       }
-    (FileSet(parts, stats, lens = partEntries.map(_._2)), rows)
+    (FileSet(parts, stats, lens = partEntries.map(_._2),
+      frows = parts.map(rowsFor)), rows)
   }
 
   /** True iff this IOException means "another writer already created the
@@ -1206,6 +1237,9 @@ class SnapshotTable(spark: SparkSession, root: String,
     val lensPart =
       if (fls.lens.length != fls.files.length || fls.files.isEmpty) ""
       else s""","lens":[${fls.lens.mkString(",")}]"""
+    val frowsPart =
+      if (fls.frows.length != fls.files.length || fls.files.isEmpty) ""
+      else s""","frows":[${fls.frows.mkString(",")}]"""
     val delPart =
       if (fls.deletes.isEmpty) ""
       else s""","deletes":[${fls.deletes.map(f =>
@@ -1220,7 +1254,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       else s""","txnApp":"${jsonSafe(txnApp, "txn app id")}""""
     s"""{"version":$v,"action":"$action","baseVersion":$base,
        |"ts":${System.currentTimeMillis()},"bandsV":$bandsV,
-       |"rows":$rowCount,"batchId":$batchId$txnPart,"dataChange":$dataChange$schemaPart$statsPart$seqsPart$lensPart$delPart$groupsPart,
+       |"rows":$rowCount,"batchId":$batchId$txnPart,"dataChange":$dataChange$schemaPart$statsPart$seqsPart$lensPart$frowsPart$delPart$groupsPart,
        |"files":[${fls.files.map(f => s""""${jsonSafe(f, "data file")}"""").mkString(",")}]}""".stripMargin
   }
 
@@ -1327,7 +1361,10 @@ class SnapshotTable(spark: SparkSession, root: String,
       prev.seqs ++ Seq.fill(nw.files.length)(base + 1),
       prev.deletes, prev.deleteSeqs, prev.deleteKey,
       alignLens(prev.lens, prev.files.length) ++
-        alignLens(nw.lens, nw.files.length))
+        alignLens(nw.lens, nw.files.length),
+      prev.deleteLens,
+      alignLens(prev.frows, prev.files.length) ++
+        alignLens(nw.frows, nw.files.length))
   }
 
   /** Columns opted into per-file point-lookup bloom filters
@@ -1525,13 +1562,14 @@ class SnapshotTable(spark: SparkSession, root: String,
   private[sources] def commitWrittenAppendOnce(txnApp: String, batchId: Long,
                                                files: Seq[String],
                                                stats: Seq[ColStats], rowsAdded: Long,
-                                               batchSchema: StructType): (Long, Boolean) = {
+                                               batchSchema: StructType,
+                                               frows: Seq[Long] = Seq.empty): (Long, Boolean) = {
     require(batchId >= 0, s"streaming epoch must be non-negative: $batchId")
     val dup = epochDup(txnApp, batchId, "append")
     if (dup >= 0) (dup, true)
     else {
       require(files.nonEmpty, "commitWrittenAppendOnce needs at least one file")
-      val nw = FileSet(files, stats)
+      val nw = FileSet(files, stats, frows = alignLens(frows, files.length))
       (publish("append",
         base => appendedFileSet(base, nw),
         base => (if (base == 0) 0L else snapshot(base).rows) + rowsAdded,
@@ -1546,14 +1584,16 @@ class SnapshotTable(spark: SparkSession, root: String,
   private[sources] def commitWrittenOverwriteOnce(txnApp: String, batchId: Long,
                                                   files: Seq[String],
                                                   stats: Seq[ColStats], rows: Long,
-                                                  batchSchema: StructType): (Long, Boolean) = {
+                                                  batchSchema: StructType,
+                                                  frows: Seq[Long] = Seq.empty): (Long, Boolean) = {
     require(batchId >= 0, s"streaming epoch must be non-negative: $batchId")
     val dup = epochDup(txnApp, batchId, "overwrite")
     if (dup >= 0) (dup, true)
     else {
       require(files.nonEmpty, "commitWrittenOverwriteOnce needs at least one file")
       (publish("overwrite",
-        base => FileSet(files, stats, seqs = Seq.fill(files.length)(base + 1)),
+        base => FileSet(files, stats, seqs = Seq.fill(files.length)(base + 1),
+          frows = alignLens(frows, files.length)),
         _ => rows,
         _ => Some(normalizeSchema(batchSchema).json),
         batchId, txnApp = txnApp), false)
@@ -1719,6 +1759,75 @@ class SnapshotTable(spark: SparkSession, root: String,
     base.filter(ranges.map { case (lo, hi) => k.between(lo, hi) }.reduce(_ || _))
   }
 
+  /** Filtered COUNT served from the manifest's per-file row counts:
+    * `count(rows with column's band key in [lo, hi])` costs ONLY the
+    * straddling files — files fully inside the range (band containment,
+    * known-zero nulls, recorded row count, no applicable MOR delete)
+    * contribute their record counts without being opened; files fully
+    * outside contribute zero. The row-count probe every range-clustered
+    * 100 TB table answers ("how many events yesterday?") becomes a
+    * manifest parse plus at most two boundary-file scans. Exactly
+    * equals `read(version).filter(key BETWEEN lo AND hi).count()`
+    * (NULL keys match nothing; key semantics per [[BandKeys]], the
+    * same contract as [[readRange]]). */
+  def countRange(column: String, lo: Long, hi: Long, version: Long = -1L): Long =
+    countRangeDetailed(column, lo, hi, version)._1
+
+  /** [[countRange]] plus the files it had to SCAN (the pruning evidence
+    * specs pin — empty when the manifest alone answered). */
+  private[graft] def countRangeDetailed(column: String, lo: Long, hi: Long,
+                                        version: Long): (Long, Seq[String]) = {
+    val ci = statsCols.indexOf(column)
+    require(ci >= 0,
+      s"countRange on $root: '$column' is not a stats column (${statsCols.mkString(",")})")
+    val v = if (version < 0) latestVersion() else version
+    require(v > 0, s"no committed snapshot to read at $root")
+    val snap = snapshot(v)
+    val fl = fileSetOf(snap)
+    val cs = fl.stats(ci)
+    val fr = alignLens(fl.frows, fl.files.length)
+    def hasDelete(i: Int) = fl.deleteSeqs.exists(_ > fl.seqs(i))
+    def inside(i: Int) = cs.mins(i) >= lo && cs.maxs(i) <= hi &&
+      cs.maxs(i) >= cs.mins(i) && cs.nulls(i) == 0L
+    def outside(i: Int) = cs.maxs(i) < lo || cs.mins(i) > hi
+    val (served, scan) =
+      fl.files.indices.foldLeft((0L, Vector.empty[Int])) { case ((acc, sc), i) =>
+        if (outside(i)) (acc, sc)
+        else if (inside(i) && fr(i) >= 0L && !hasDelete(i)) (acc + fr(i), sc)
+        else (acc, sc :+ i)
+      }
+    val scanned =
+      if (scan.isEmpty) 0L
+      else {
+        val df = morPlan(snap, scan, mergeSchema = false)
+        df.filter(bandKeyCol(df, column, snap.bandsV).between(lo, hi)).count()
+      }
+    (served + scanned, scan.map(fl.files))
+  }
+
+  /** (rows, bytes) of the file set the given pruning would PLAN — the
+    * post-pruning statistics the connector reports so the optimizer's
+    * broadcast decision sees what the scan will actually read, not the
+    * whole table. None when any planned file lacks the recorded vector
+    * (conservative: the caller falls back to unpruned totals). Rows are
+    * an upper bound under MOR deletes (deletes only shrink) — exactly
+    * the conservative direction an estimate must err in. */
+  private[graft] def plannedStats(bands: Map[String, (Long, Long)],
+                                  points: Map[String, Seq[Long]],
+                                  nullCols: Set[String],
+                                  orAlts: Seq[Seq[PruneAlt]],
+                                  version: Long): (Option[Long], Option[Long]) = {
+    val v = if (version < 0) latestVersion() else version
+    if (v <= 0) return (None, None)
+    val snap = snapshot(v)
+    val setAll = fileSetOf(snap)
+    val keep = prunedKeep(setAll, bands, points, nullCols, orAlts)
+    val fr = alignLens(setAll.frows, setAll.files.length)
+    val ln = alignLens(setAll.lens, setAll.files.length)
+    (if (keep.forall(fr(_) >= 0L)) Some(keep.map(fr).sum) else None,
+     if (keep.forall(ln(_) >= 0L)) Some(keep.map(ln).sum) else None)
+  }
+
   /** Manifest-pruned read for the DSv2 batch connector: keep only files
     * whose stats bands overlap EVERY requested column band (bands on
     * non-stats columns are ignored — nothing to prune with). Returns the
@@ -1768,6 +1877,18 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(v > 0, s"no committed snapshot to read at $root")
     val snap = snapshot(v)
     val setAll = fileSetOf(snap)
+    val keep = prunedKeep(setAll, bands, points, nullCols, orAlts)
+    if (keep.isEmpty) (read(v).limit(0), Seq.empty)
+    else (morPlan(snap, keep, mergeSchema = false), keep.map(setAll.files))
+  }
+
+  /** The shared file-admission test of every pruning lane (bands,
+    * IN-list point sets, IS-NULL, disjunctive alternatives) — what
+    * [[readPruned]] plans and [[plannedStats]] sizes. */
+  private def prunedKeep(setAll: FileSet, bands: Map[String, (Long, Long)],
+                         points: Map[String, Seq[Long]],
+                         nullCols: Set[String],
+                         orAlts: Seq[Seq[PruneAlt]]): Seq[Int] = {
     val active = bands.filter { case (c, _) => statsCols.contains(c) }
     val activeNull = nullCols.filter(statsCols.contains)
     val activePoints = points.filter { case (c, _) => statsCols.contains(c) }
@@ -1780,7 +1901,7 @@ class SnapshotTable(spark: SparkSession, root: String,
         // filter holds, so "absent" can never drop a matching row)
         (lo != hi || FileBlooms.mightContain(cs.blooms(i), lo))
     }
-    val keep = setAll.files.indices.filter { i =>
+    setAll.files.indices.filter { i =>
       active.forall { case (c, (lo, hi)) => bandAdmits(i, c, lo, hi)
       } && activeNull.forall { c =>
         setAll.stats(statsCols.indexOf(c)).nulls(i) != 0L
@@ -1800,8 +1921,6 @@ class SnapshotTable(spark: SparkSession, root: String,
         }
       }
     }
-    if (keep.isEmpty) (read(v).limit(0), Seq.empty)
-    else (morPlan(snap, keep, mergeSchema = false), keep.map(setAll.files))
   }
 
   /** Publish exactly at `base + 1`; None when another writer got there
@@ -1999,8 +2118,9 @@ class SnapshotTable(spark: SparkSession, root: String,
           "column type, no NULL keys); use the Scala commitReplaceWhere " +
           "for other shapes")
     }
-    replaceWhereAtTip(column, lo, hi, FileSet(files, stats), fileRows.sum,
-      normalizeSchema(batchSchema))
+    replaceWhereAtTip(column, lo, hi,
+      FileSet(files, stats, frows = alignLens(fileRows, files.length)),
+      fileRows.sum, normalizeSchema(batchSchema))
   }
 
   /** Shared optimistic loop of both replaceWhere paths: keep files fully
@@ -2058,7 +2178,10 @@ class SnapshotTable(spark: SparkSession, root: String,
         keepIdx.map(alignLens(prev.lens, prev.files.length)) ++
           alignLens(rewrite.lens, rewrite.files.length) ++
           alignLens(batchFiles.lens, batchFiles.files.length),
-        prev.deleteLens)
+        prev.deleteLens,
+        keepIdx.map(alignLens(prev.frows, prev.files.length)) ++
+          alignLens(rewrite.frows, rewrite.files.length) ++
+          alignLens(batchFiles.frows, batchFiles.files.length))
       val schema = Some(evolveSchema(snap.schemaJson.map(parseSchema), batchSchema).json)
       publishAtBase(base, "replace_where", fls,
         snap.rows - removed + batchRows, schema) match {
@@ -2085,9 +2208,10 @@ class SnapshotTable(spark: SparkSession, root: String,
     * commit still fails loudly instead of publishing a broken chain. */
   private[graft] def commitWrittenAppend(files: Seq[String], stats: Seq[ColStats],
                                            rowsAdded: Long,
-                                           batchSchema: StructType): Long = {
+                                           batchSchema: StructType,
+                                           frows: Seq[Long] = Seq.empty): Long = {
     require(files.nonEmpty, "commitWrittenAppend needs at least one data file")
-    val nw = FileSet(files, stats)
+    val nw = FileSet(files, stats, frows = alignLens(frows, files.length))
     publish("append",
       base => appendedFileSet(base, nw),
       base => (if (base == 0) 0L else snapshot(base).rows) + rowsAdded,
@@ -2102,10 +2226,12 @@ class SnapshotTable(spark: SparkSession, root: String,
   private[sources] def commitWrittenOverwrite(files: Seq[String], stats: Seq[ColStats],
                                               rows: Long,
                                               batchSchema: StructType,
-                                              dataChange: Boolean = true): Long = {
+                                              dataChange: Boolean = true,
+                                              frows: Seq[Long] = Seq.empty): Long = {
     require(files.nonEmpty, "commitWrittenOverwrite needs at least one data file")
     publish("overwrite",
-      base => FileSet(files, stats, seqs = Seq.fill(files.length)(base + 1)),
+      base => FileSet(files, stats, seqs = Seq.fill(files.length)(base + 1),
+        frows = alignLens(frows, files.length)),
       _ => rows,
       _ => Some(normalizeSchema(batchSchema).json),
       dataChange = dataChange)
@@ -2122,10 +2248,12 @@ class SnapshotTable(spark: SparkSession, root: String,
   private[sources] def commitWrittenReplaceAtBase(base: Long, action: String,
                                                   files: Seq[String],
                                                   stats: Seq[ColStats], rows: Long,
-                                                  batchSchema: StructType): Option[Long] = {
+                                                  batchSchema: StructType,
+                                                  frows: Seq[Long] = Seq.empty): Option[Long] = {
     require(files.nonEmpty, s"$action replace needs at least one data file")
     publishAtBase(base, action,
-      FileSet(files, stats, seqs = Seq.fill(files.length)(base + 1)),
+      FileSet(files, stats, seqs = Seq.fill(files.length)(base + 1),
+        frows = alignLens(frows, files.length)),
       rows, Some(normalizeSchema(batchSchema).json))
   }
 
@@ -2150,7 +2278,8 @@ class SnapshotTable(spark: SparkSession, root: String,
                                                  removedRel: Seq[String],
                                                  files: Seq[String],
                                                  stats: Seq[ColStats], addedRows: Long,
-                                                 batchSchema: StructType): Option[Long] = {
+                                                 batchSchema: StructType,
+                                                 frows: Seq[Long] = Seq.empty): Option[Long] = {
     val snapBase = snapshot(base)
     val prev = fileSetOf(snapBase)
     val removed = removedRel.toSet
@@ -2172,7 +2301,9 @@ class SnapshotTable(spark: SparkSession, root: String,
       // fresh DSv2-writer files carry no length yet: publish stats them
       lens = keptIdx.map(alignLens(prev.lens, prev.files.length)) ++
         Seq.fill(files.length)(-1L),
-      deleteLens = prev.deleteLens)
+      deleteLens = prev.deleteLens,
+      frows = keptIdx.map(alignLens(prev.frows, prev.files.length)) ++
+        alignLens(frows, files.length))
     require(fls.files.nonEmpty,
       s"$action rewrite at $root would publish a file-less manifest")
     // row-level DML never evolves the schema: publish the base's
@@ -2267,7 +2398,8 @@ class SnapshotTable(spark: SparkSession, root: String,
                                              dataStats: Seq[ColStats],
                                              insertedRows: Long,
                                              batchSchema: StructType,
-                                             keyBand: Option[(Long, Long)] = None)
+                                             keyBand: Option[(Long, Long)] = None,
+                                             dataFrows: Seq[Long] = Seq.empty)
       : Option[Long] = {
     keyCols.foreach(jsonSafe(_, "delete-key column"))
     val snapBase = snapshot(base)
@@ -2292,6 +2424,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       seqs = prev.seqs ++ Seq.fill(dataFiles.length)(base + 1),
       lens = alignLens(prev.lens, prev.files.length) ++
         Seq.fill(dataFiles.length)(-1L), // fresh executor files: publish stats them
+      frows = alignLens(prev.frows, prev.files.length) ++
+        alignLens(dataFrows, dataFiles.length),
       deletes = prev.deletes ++ keyFiles,
       deleteSeqs = prev.deleteSeqs ++ Seq.fill(keyFiles.length)(base + 1),
       deleteKey = if (keyFiles.nonEmpty) keyCols else prev.deleteKey,
@@ -2396,11 +2530,20 @@ class SnapshotTable(spark: SparkSession, root: String,
         s"metadata DELETE at $root would drop every file — re-run " +
           "(concurrent writer); a full delete takes the row-level path")
       val fl = fileSetOf(snapBase)
-      val removedRows = morPlan(snapBase, removedIdx, mergeSchema = false).count()
+      // with per-file row counts recorded and NO MOR delete applying to
+      // any dropped file, the exact count is metadata too — this was
+      // the metadata DELETE's one remaining scan
+      val fr = alignLens(fl.frows, fl.files.length)
+      val removedRows =
+        if (removedIdx.forall(i => fr(i) >= 0L &&
+            fl.deleteSeqs.forall(_ <= fl.seqs(i))))
+          removedIdx.map(fr).sum
+        else morPlan(snapBase, removedIdx, mergeSchema = false).count()
       publishAtBase(base, "delete", FileSet(
           keptIdx.map(fl.files), sliceStats(fl.stats, keptIdx),
           keptIdx.map(fl.seqs), fl.deletes, fl.deleteSeqs, fl.deleteKey,
-          keptIdx.map(alignLens(fl.lens, fl.files.length)), fl.deleteLens),
+          keptIdx.map(alignLens(fl.lens, fl.files.length)), fl.deleteLens,
+          keptIdx.map(fr)),
         snapBase.rows - removedRows, snapBase.schemaJson) match {
         case Some(v) => return Some(v)
         case None => attempts += 1 // tip moved: re-classify and retry
@@ -3048,7 +3191,9 @@ class SnapshotTable(spark: SparkSession, root: String,
         deletes = fl.deletes, deleteSeqs = fl.deleteSeqs,
         deleteKey = fl.deleteKey,
         lens = keptIdx.map(lens) ++ alignLens(raw.lens, raw.files.length),
-        deleteLens = fl.deleteLens)
+        deleteLens = fl.deleteLens,
+        frows = keptIdx.map(alignLens(fl.frows, fl.files.length)) ++
+          alignLens(raw.frows, raw.files.length))
       publishAtBase(base, "compact", fls, snapBase.rows, snapBase.schemaJson,
         dataChange = false) match {
         case Some(v) => return v
@@ -3309,7 +3454,7 @@ class SnapshotTable(spark: SparkSession, root: String,
         FileSet(bfls.files, bfls.stats,
           bfls.seqs.map(s => if (s > forkedAt) base + 1 else s),
           bfls.deletes, bfls.deleteSeqs, bfls.deleteKey,
-          bfls.lens, bfls.deleteLens)
+          bfls.lens, bfls.deleteLens, bfls.frows)
       },
       _ => bsnap.rows, _ => bsnap.schemaJson)
   }
@@ -3481,7 +3626,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       }
       SnapshotFileMeta("data", fls.files(i), fls.seqs.lift(i).getOrElse(0L),
         lens(i), keyed(_.mins, UnknownMin), keyed(_.maxs, UnknownMax),
-        keyed(_.nulls, UnknownNulls), blooms)
+        keyed(_.nulls, UnknownNulls), blooms,
+        alignLens(fls.frows, n)(i))
     }
     val dels = fls.deletes.indices.map { j =>
       SnapshotFileMeta("delete", fls.deletes(j), fls.deleteSeqs(j), dlens(j),
@@ -3660,13 +3806,32 @@ class SnapshotTable(spark: SparkSession, root: String,
     val live = (keepFrom to tip)
       .flatMap(v => { val s = snapshot(v); s.files ++ s.deletes }).toSet ++
       branchLive
+    // Two kinds of dead data file, two sweep rules:
+    //  - EXPIRED: referenced by a manifest below the retention horizon —
+    //    provably not in-flight (it is listed), deleted immediately;
+    //  - NEVER-REFERENCED: a crashed writer's or lost publish race's
+    //    debris, OR an in-flight commit racing this vacuum (every commit
+    //    path writes its data files BEFORE its manifest CAS). Only age
+    //    distinguishes the two, so these sweep AGE-GATED like group
+    //    files and log-store temps below — deleting a fresh one would
+    //    let the racer publish a manifest over missing bytes.
+    val expiredRefs = (1L until keepFrom).flatMap { v =>
+      try { val s = snapshot(v); s.files ++ s.deletes }
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    }.toSet
+    val dataCutoff = System.currentTimeMillis() - 60L * 60 * 1000
     if (fs.exists(dataDir)) {
       fs.listStatus(dataDir).map(_.getPath).foreach { commitDir =>
         if (fs.getFileStatus(commitDir).isDirectory) {
-          fs.listStatus(commitDir).map(_.getPath)
-            .filter(p => p.getName.endsWith(".parquet") &&
-              !live.contains(s"${commitDir.getName}/${p.getName}"))
-            .foreach(fs.delete(_, false))
+          fs.listStatus(commitDir)
+            .filter { st =>
+              val rel = s"${commitDir.getName}/${st.getPath.getName}"
+              st.getPath.getName.endsWith(".parquet") &&
+                !live.contains(rel) &&
+                (expiredRefs.contains(rel) ||
+                  st.getModificationTime < dataCutoff)
+            }
+            .foreach(st => fs.delete(st.getPath, false))
           if (fs.listStatus(commitDir).isEmpty) fs.delete(commitDir, true)
         }
       }

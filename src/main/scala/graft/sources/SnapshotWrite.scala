@@ -346,14 +346,17 @@ class GraftSnapshotBatchWrite(spark: SparkSession, root: String,
     val table = new SnapshotTable(spark, root, statsCols)
     mode match {
       case SnapshotCommitMode.Append =>
-        table.commitWrittenAppend(files, stats, rows, schema)
+        table.commitWrittenAppend(files, stats, rows, schema,
+          frows = ensured.map(_.rows))
       case SnapshotCommitMode.Truncate =>
-        table.commitWrittenOverwrite(files, stats, rows, schema)
+        table.commitWrittenOverwrite(files, stats, rows, schema,
+          frows = ensured.map(_.rows))
       case SnapshotCommitMode.ReplaceWhere(c, lo, hi) =>
         table.commitWrittenReplaceWhere(c, lo, hi, files, stats,
           ensured.map(_.rows), schema)
       case SnapshotCommitMode.ReplaceAtBase(base, action) =>
-        table.commitWrittenReplaceAtBase(base, action, files, stats, rows, schema)
+        table.commitWrittenReplaceAtBase(base, action, files, stats, rows,
+            schema, frows = ensured.map(_.rows))
           .getOrElse(dmlConflict(base, action))
       case SnapshotCommitMode.RewriteFiles(_, removed, _)
           if removed.isEmpty && rows == 0L =>
@@ -365,7 +368,7 @@ class GraftSnapshotBatchWrite(spark: SparkSession, root: String,
         fs.delete(new Path(dataDir, commitUuid), true)
       case SnapshotCommitMode.RewriteFiles(base, removed, action) =>
         table.commitWrittenRewriteFiles(base, action, removed, files, stats,
-            rows, schema)
+            rows, schema, frows = ensured.map(_.rows))
           .getOrElse(dmlConflict(base, action))
     }
     ()
@@ -791,7 +794,8 @@ class SnapshotDeltaRowBatchWrite(spark: SparkSession, root: String,
         keyMsgs.map(_.rows).sum,
         dataMsgs.map(m => s"$commitUuid/${m.file}"), stats,
         dataMsgs.map(_.rows).sum, rowSchema,
-        SnapshotWrite.foldedKeyBand(keyCols, keyMsgs))
+        SnapshotWrite.foldedKeyBand(keyCols, keyMsgs),
+        dataFrows = dataMsgs.map(_.rows))
       .getOrElse {
         hadoopFs.delete(new Path(dataDir, commitUuid), true)
         throw new java.util.ConcurrentModificationException(

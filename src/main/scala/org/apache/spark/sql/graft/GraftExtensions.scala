@@ -204,6 +204,7 @@ object GraftFunctions {
         org.apache.spark.sql.types.StructField("file", StringType, nullable = false),
         org.apache.spark.sql.types.StructField("commit_seq", LongType, nullable = false),
         org.apache.spark.sql.types.StructField("bytes", LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("rows", LongType, nullable = true),
         org.apache.spark.sql.types.StructField("min_key", keyMap, nullable = false),
         org.apache.spark.sql.types.StructField("max_key", keyMap, nullable = false),
         org.apache.spark.sql.types.StructField("null_count", keyMap, nullable = false),
@@ -212,6 +213,7 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
         metas.map(m => org.apache.spark.sql.Row(m.content, m.file, m.commitSeq,
           if (m.bytes >= 0L) m.bytes else null,
+          if (m.rows >= 0L) m.rows else null,
           m.minKey, m.maxKey, m.nullCount, m.bloomCols)))
     })
 

@@ -540,4 +540,29 @@ class SnapshotTableSpec extends SparkSpec {
     // vacuum is GC, not a semantic change; see the manifestCache doc)
     intercept[Exception](new SnapshotTable(spark, root).read(1L))
   }
+
+  test("vacuum never sweeps a FRESH never-referenced file (in-flight publish race)") {
+    val root = freshRoot("vacrace")
+    val t = new SnapshotTable(spark, root)
+    t.commitAppend(Seq(1L).toDF("id"))
+    // simulate an in-flight commit: data files on disk, manifest not yet
+    // published (every commit path writes data before its manifest CAS)
+    val dir = new java.io.File(root, "data/inflight-uuid")
+    dir.mkdirs()
+    val fresh = new java.io.File(dir, "part-00000-inflight.parquet")
+    Seq(9L).toDF("id").repartition(1).write.mode("overwrite")
+      .parquet(s"$root/tmp_stage")
+    val part = new java.io.File(s"$root/tmp_stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, fresh.toPath)
+    val old = new java.io.File(dir, "part-00001-orphan.parquet")
+    java.nio.file.Files.copy(part.toPath, old.toPath)
+    old.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    t.vacuum(keepLast = 1)
+    assert(fresh.exists(),
+      "a fresh never-referenced file may belong to an in-flight publish")
+    assert(!old.exists(),
+      "a never-referenced file past the age gate is a genuine orphan")
+    assert(ids(t) == Set(1L))
+  }
 }
