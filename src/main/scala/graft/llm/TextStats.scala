@@ -518,6 +518,55 @@ object TextStats {
         (col("sum_llr9") > 0L).as("target_like"))
   }
 
+  /** Multinomial Naive Bayes classifier over document words — the
+    * TRAINED quality-filter stage of the public pretraining pipelines
+    * (GPT-3/CCNet-style classifier filtering: label a curated positive
+    * set, train a cheap text classifier, keep what scores positive),
+    * with `positive` as the labeling rule (a heuristic or a curated
+    * flag). Train and score in one pass over the same corpus (labels
+    * are heuristic — self-scoring is the standard filtering setup):
+    * add-one-smoothed class-conditional word likelihoods over the
+    * shared vocabulary, class priors from the label counts, per-doc
+    * decision = sign of the log-odds. Same scaled-integer discipline
+    * as [[dsirWeights]]: per-word log-odds rounded once to lodds9,
+    * per-doc INTEGER sums (order-independent), one double division at
+    * the boundary. Docs with no words carry no evidence and are not
+    * scored (the join drops them). */
+  def nbClassifierScores(docs: DataFrame, positive: Column): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val wf = graft.QueryCaches.scoped(
+      docs.select(col("doc_id"), positive.as("is_pos"),
+          explode(words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("doc_id"), col("is_pos"), col("word"))
+        .agg(count(lit(1)).as("cnt")))
+    val byWord = wf.groupBy(col("word"))
+      .agg(sum(when(col("is_pos"), col("cnt")).otherwise(0L)).as("cp"),
+        sum(when(!col("is_pos"), col("cnt")).otherwise(0L)).as("cn"))
+    val tot = broadcast(byWord.agg(sum(col("cp")).as("np"),
+      sum(col("cn")).as("nn"), count(lit(1)).as("v")))
+    val lodds = byWord.crossJoin(tot)
+      .select(col("word"),
+        round((log((dbl(col("cp")) + lit(1.0)) / (dbl(col("np")) + dbl(col("v"))))
+          - log((dbl(col("cn")) + lit(1.0)) / (dbl(col("nn")) + dbl(col("v"))))) * 1e9)
+          .cast(LongType).as("lodds9"))
+    val priors = broadcast(docs.agg(
+      sum(when(positive, lit(1L)).otherwise(lit(0L))).as("dp"),
+      count(lit(1)).as("d"))
+      .select(round(log(dbl(col("dp")) / (dbl(col("d")) - dbl(col("dp")))) * 1e9)
+        .cast(LongType).as("prior9")))
+    wf.join(lodds, "word")
+      .groupBy(col("doc_id"))
+      .agg(max(col("is_pos")).as("is_pos"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("lodds9")).as("sum_lodds9"))
+      .crossJoin(priors)
+      .select(col("doc_id"), col("is_pos"), col("n_tokens"),
+        (col("sum_lodds9") + col("prior9")).as("total9"),
+        (dbl(col("sum_lodds9") + col("prior9")) / lit(1e9)).as("log_odds"),
+        ((col("sum_lodds9") + col("prior9")) > 0L).as("predicted_pos"))
+  }
+
   def tfIdfTopK(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
     val terms = docs.select(col("doc_id"),
         explode(words(col(textCol))).as("term"))

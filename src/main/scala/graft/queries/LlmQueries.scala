@@ -784,6 +784,15 @@ object LlmQueries {
     "llm_dsir_weights" -> ((s, d) =>
       TextStats.dsirWeights(Tables.documents(s, d), col("lang") === "en")),
 
+    // Trained quality-filter classifier (multinomial Naive Bayes, the
+    // GPT-3/CCNet classifier-filtering stage): heuristic positive
+    // labels (a "curated" source subset), add-one class-conditional
+    // word likelihoods + class prior, per-doc log-odds decision — all
+    // exact integer sums, replayed bit-identically by DuckDB.
+    "llm_nb_quality" -> ((s, d) =>
+      TextStats.nbClassifierScores(Tables.documents(s, d),
+        col("source").isin("src0", "src1", "src2", "src3", "src4"))),
+
     // Top-50 PMI collocations (min pair count 5): the phrase-mining /
     // tokenizer-merge-candidate statistic. Counts are exact integers;
     // the single pmi double formula is textually mirrored by the oracle
@@ -2698,6 +2707,35 @@ SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_tokens,
        CAST(sum(f.cnt * s.llr9) AS DOUBLE) / (1e9 * CAST(sum(f.cnt) AS DOUBLE)) AS avg_log_ratio,
        CAST(sum(f.cnt * s.llr9) AS BIGINT) > 0 AS target_like
 FROM wf f JOIN sc s ON s.word = f.word
+GROUP BY f.doc_id""",
+
+    // same scaled-integer replay as dsir: per-word lodds9 rounded once,
+    // integer per-doc sums, one boundary division
+    "llm_nb_quality" -> """
+WITH wf AS (SELECT doc_id, is_pos, word, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT doc_id,
+                         source IN ('src0','src1','src2','src3','src4') AS is_pos,
+                         unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE len(word) > 0 GROUP BY 1, 2, 3),
+bw AS (SELECT word,
+              CAST(sum(CASE WHEN is_pos THEN cnt ELSE 0 END) AS BIGINT) AS cp,
+              CAST(sum(CASE WHEN NOT is_pos THEN cnt ELSE 0 END) AS BIGINT) AS cn
+       FROM wf GROUP BY word),
+tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn,
+               CAST(count(*) AS BIGINT) AS v FROM bw),
+sc AS (SELECT word,
+              CAST(round((ln((CAST(cp AS DOUBLE) + 1.0) / (CAST(np AS DOUBLE) + CAST(v AS DOUBLE)))
+                          - ln((CAST(cn AS DOUBLE) + 1.0) / (CAST(nn AS DOUBLE) + CAST(v AS DOUBLE)))) * 1e9) AS BIGINT) AS lodds9
+       FROM bw, tot),
+pr AS (SELECT CAST(round(ln(CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1 ELSE 0 END) AS DOUBLE)
+                          / (CAST(count(*) AS DOUBLE) - CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1 ELSE 0 END) AS DOUBLE))) * 1e9) AS BIGINT) AS prior9
+       FROM documents)
+SELECT f.doc_id, bool_or(f.is_pos) AS is_pos,
+       CAST(sum(f.cnt) AS BIGINT) AS n_tokens,
+       CAST(sum(f.cnt * s.lodds9) + any_value(pr.prior9) AS BIGINT) AS total9,
+       CAST(CAST(sum(f.cnt * s.lodds9) + any_value(pr.prior9) AS DOUBLE) / 1e9 AS DOUBLE) AS log_odds,
+       (sum(f.cnt * s.lodds9) + any_value(pr.prior9)) > 0 AS predicted_pos
+FROM wf f JOIN sc s ON s.word = f.word, pr
 GROUP BY f.doc_id""",
 
     // exact counts; one pmi double formula, text-mirrored; top-50
