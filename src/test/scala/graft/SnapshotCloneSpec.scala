@@ -204,32 +204,32 @@ class SnapshotCloneSpec extends SparkSpec {
 
   test("CALL clone: the SQL surface, shallow and deep, bad dest loud") {
     val wh = freshRoot("call_wh")
-    spark.conf.set("spark.sql.catalog.gcl", "graft.sources.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.gcl.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.gclsp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gclsp.warehouse", wh)
     try {
-      spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.db")
-      spark.sql("CREATE TABLE gcl.db.src (id BIGINT) USING `graft-snapshot`")
-      spark.sql("INSERT INTO gcl.db.src VALUES (1), (2)")
-      spark.sql("INSERT INTO gcl.db.src VALUES (3)")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gclsp.db")
+      spark.sql("CREATE TABLE gclsp.db.src (id BIGINT) USING `graft-snapshot`")
+      spark.sql("INSERT INTO gclsp.db.src VALUES (1), (2)")
+      spark.sql("INSERT INTO gclsp.db.src VALUES (3)")
       val out = spark.sql(
-        "CALL gcl.system.clone('db.src', 'db.dst')").collect().head
+        "CALL gclsp.system.clone('db.src', 'db.dst')").collect().head
       assert(out.getLong(0) == 3L && out.getString(2) == "shallow")
-      assert(spark.table("gcl.db.dst").select("id").as[Long].collect().toSet
+      assert(spark.table("gclsp.db.dst").select("id").as[Long].collect().toSet
         == Set(1L, 2L, 3L))
       // version + deep arguments; the clone is a first-class table
-      spark.sql("CALL gcl.system.clone('db.src', 'db.dst2', 2, true)")
-      assert(spark.table("gcl.db.dst2").select("id").as[Long].collect().toSet
+      spark.sql("CALL gclsp.system.clone('db.src', 'db.dst2', 2, true)")
+      assert(spark.table("gclsp.db.dst2").select("id").as[Long].collect().toSet
         == Set(1L, 2L))
-      spark.sql("INSERT INTO gcl.db.dst2 VALUES (9)")
-      assert(spark.table("gcl.db.dst2").count() == 3L)
-      assert(spark.table("gcl.db.src").count() == 3L)
+      spark.sql("INSERT INTO gclsp.db.dst2 VALUES (9)")
+      assert(spark.table("gclsp.db.dst2").count() == 3L)
+      assert(spark.table("gclsp.db.src").count() == 3L)
       // loud failures: existing dest, missing namespace, missing source
       intercept[Exception](
-        spark.sql("CALL gcl.system.clone('db.src', 'db.dst')"))
+        spark.sql("CALL gclsp.system.clone('db.src', 'db.dst')"))
       intercept[Exception](
-        spark.sql("CALL gcl.system.clone('db.src', 'nope.dst')"))
+        spark.sql("CALL gclsp.system.clone('db.src', 'nope.dst')"))
       intercept[Exception](
-        spark.sql("CALL gcl.system.clone('db.missing', 'db.dst3')"))
-    } finally spark.conf.unset("spark.sql.catalog.gcl")
+        spark.sql("CALL gclsp.system.clone('db.missing', 'db.dst3')"))
+    } finally spark.conf.unset("spark.sql.catalog.gclsp")
   }
 }
