@@ -533,6 +533,36 @@ object MiscQueries {
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
     }),
 
+    // The change feed as SQL — snapshot_changes(root, from [, to])
+    // (Delta's table_changes as a TVF): two appends and a MOR delete
+    // replayed by version/type through plain SQL; the second leg reads
+    // a PARTIAL window (from v1, `to` defaulting to the tip), the
+    // incremental-consumer shape ("give me everything since my last
+    // checkpoint") without the streaming source.
+    "misc_snapshot_changes_tvf" -> ((s, d) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      val root = Tables.freshTmpDir(s, "graft_snapchtvf").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      t.commitAppend(o.filter(col("o_orderkey") % 2 === 0))
+      t.commitAppend(o.filter(col("o_orderkey") % 2 === 1))
+      t.commitDeleteByKey(
+        o.filter(col("o_orderkey") % 6 === 3).select("o_orderkey"), Seq("o_orderkey"))
+      s.sql(s"""
+        SELECT 'full' AS leg, _commit_version AS version,
+               _change_type AS change_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM snapshot_changes('$root', 0)
+        GROUP BY _commit_version, _change_type
+        UNION ALL
+        SELECT 'since_v1', _commit_version, _change_type,
+               CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        FROM snapshot_changes('$root', 1)
+        GROUP BY _commit_version, _change_type""")
+    }),
+
     // Manifest min/max data skipping on the snapshot format: three
     // commits land disjoint orderkey thirds as one file each, then a
     // range lookup inside the middle third PLANS exactly one of the
@@ -3829,6 +3859,26 @@ SELECT 5, 'merge_mor', CAST(cd.n AS BIGINT), TRUE, TRUE,
     // %4==0 keys, v2 retracts %8==0 pre-images, v3's rewrite diff is
     // pure inserts (%16==0 at 3c — those keys were deleted, so nothing
     // is retracted)
+    // full window = v1/v2 inserts + v3 delete; the since_v1 window drops
+    // v1's rows (the incremental-consumer shape)
+    "misc_snapshot_changes_tvf" -> """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders),
+legs AS (
+  SELECT 1 AS version, 'insert' AS change_type, k, c FROM base WHERE k % 2 = 0
+  UNION ALL
+  SELECT 2, 'insert', k, c FROM base WHERE k % 2 = 1
+  UNION ALL
+  SELECT 3, 'delete', k, c FROM base WHERE k % 6 = 3)
+SELECT 'full' AS leg, CAST(version AS BIGINT) AS version, change_type,
+       CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(c) AS BIGINT) AS total_cents
+FROM legs GROUP BY version, change_type
+UNION ALL
+SELECT 'since_v1', CAST(version AS BIGINT), change_type,
+       CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+FROM legs WHERE version > 1 GROUP BY version, change_type""",
+
     "misc_snapshot_cdf" -> """
 WITH base AS (
   SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c

@@ -138,6 +138,35 @@ object GraftFunctions {
         .read(version).queryExecution.analyzed
     })
 
+  /** `snapshot_changes(root, from [, to])` — the change feed as a TVF
+    * (Delta's `table_changes`): every row the versions in
+    * `(from, to]` (default: the tip) inserted or deleted, tagged with
+    * `_change_type` / `_commit_version`, resolved to the engine's
+    * readChangeFeed plan — SQL consumers replay a table's history
+    * without the streaming source. */
+  val snapshotChangesDescriptor: TableDescriptor = (
+    FunctionIdentifier("snapshot_changes"),
+    new ExpressionInfo(classOf[graft.sources.SnapshotTable].getName, "snapshot_changes"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length >= 2 && exprs.length <= 3 && exprs.forall(_.foldable),
+        "snapshot_changes expects (table_root_literal, from_version [, to_version])")
+      val root = exprs.head.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"snapshot_changes: table root must be a string literal, got $other")
+      }
+      def longAt(i: Int, what: String): Long = exprs(i).eval() match {
+        case x: Int => x.toLong
+        case l: Long => l
+        case other => throw new IllegalArgumentException(
+          s"snapshot_changes: $what must be an integer literal, got $other")
+      }
+      val t = new graft.sources.SnapshotTable(SparkSession.active, root)
+      val from = longAt(1, "from_version")
+      val to = if (exprs.length == 3) longAt(2, "to_version") else t.latestVersion()
+      t.readChangeFeed(from, to).queryExecution.analyzed
+    })
+
   /** `snapshot_history(root)` — DESCRIBE HISTORY as a TVF: one row per
     * RETAINED version (version, action, n_rows, data_change, batch_id).
     * Metadata-only, driver-built (bounded by the vacuum retention, the
@@ -219,7 +248,7 @@ object GraftFunctions {
 
   val tableFunctions: Seq[TableDescriptor] =
     Seq(dateSpineDescriptor, snapshotAtDescriptor, snapshotHistoryDescriptor,
-      snapshotFilesDescriptor)
+      snapshotFilesDescriptor, snapshotChangesDescriptor)
 
   /** Register into an existing session: SQL functions + the Skyline
     * planner strategy (so SkylineNode plans without the config path). */
