@@ -1175,6 +1175,35 @@ object MiscQueries {
           lit(total >= 3).as("multi_file"), col("n_rows"), col("total_cents"))
     }),
 
+    // BAND-SCOPED compaction (OPTIMIZE WHERE): one cold file plus three
+    // hot-window micro-files; compact_range folds ONLY the hot band —
+    // the cold file survives BY IDENTITY (pinned), values identical
+    // across the fold, dataChange=false. Hot-partition maintenance that
+    // never touches cold data, off the manifest's recorded row counts.
+    "misc_snapshot_compact_range" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_comprange").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("day"))
+      val o = Tables.orders(s, d).select(to_date(col("o_orderdate")).as("day"),
+        col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val cut = java.sql.Date.valueOf("1999-01-01")
+      t.commitAppend(o.filter(col("day") < lit(cut)).repartition(1)) // cold
+      (0 to 2).foreach(m => t.commitAppend( // hot micro-files
+        o.filter(col("day") >= lit(cut) && col("k") % 3 === m).repartition(1)))
+      val before = t.snapshot(t.latestVersion())
+      val v = t.compactRange("day", cut.toLocalDate.toEpochDay, Long.MaxValue,
+        targetRowsPerFile = 1000000L)
+      val after = t.snapshot(v)
+      val coldKept = after.files.contains(before.files.head) && !after.dataChange
+      def leg(name: String, snap: graft.sources.Snapshot) =
+        t.read(snap.version).agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).as("total_cents"))
+          .select(lit(name).as("leg"),
+            lit(snap.files.length).as("n_files"),
+            lit(coldKept).as("cold_kept"), col("n_rows"), col("total_cents"))
+      leg("before", before).unionByName(leg("after", after))
+    }),
+
     // SELECTIVE small-file compaction: the 100 TB maintenance op — one
     // big file plus three small appends (the streaming-sink debris
     // shape); compactFiles rewrites ONLY the sub-threshold files off
@@ -3859,6 +3888,19 @@ SELECT 5, 'merge_mor', CAST(cd.n AS BIGINT), TRUE, TRUE,
     // %4==0 keys, v2 retracts %8==0 pre-images, v3's rewrite diff is
     // pure inserts (%16==0 at 3c — those keys were deleted, so nothing
     // is retracted)
+    // both legs read the same rows; 4 files fold to 2 (cold + one hot)
+    "misc_snapshot_compact_range" -> """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+SELECT 'before' AS leg, CAST(4 AS INTEGER) AS n_files,
+       CAST(TRUE AS BOOLEAN) AS cold_kept,
+       CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents
+FROM base
+UNION ALL
+SELECT 'after', CAST(2 AS INTEGER), CAST(TRUE AS BOOLEAN),
+       CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+FROM base""",
+
     // full window = v1/v2 inserts + v3 delete; the since_v1 window drops
     // v1's rows (the incremental-consumer shape)
     "misc_snapshot_changes_tvf" -> """

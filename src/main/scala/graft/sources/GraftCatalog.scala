@@ -510,7 +510,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   *    contents as a new version (history stays intact);
   *  - `ingest_files(table, paths [, format])` — exactly-once file
   *    ingestion: each matched source file lands as one ingest version
-  *    keyed by its path, so re-runs never double-load.
+  *    keyed by its path, so re-runs never double-load;
+  *  - `compact_range(table, column, lo, hi, target_rows)` — band-scoped
+  *    compaction: fold only the files overlapping a hot key window,
+  *    re-listing cold files by identity.
   */
 private[sources] object GraftProcedures {
   import org.apache.spark.sql.catalyst.InternalRow
@@ -522,7 +525,7 @@ private[sources] object GraftProcedures {
     Array("compact", "compact_files", "compact_deletes", "vacuum",
       "expire_snapshots", "rollback",
       "create_tag", "drop_tag", "create_branch", "drop_branch",
-      "fast_forward", "clone", "ingest_files")
+      "fast_forward", "clone", "ingest_files", "compact_range")
 
   def load(name: String, catalog: GraftCatalog,
            handleFor: String => SnapshotTable): UnboundProcedure = name match {
@@ -583,6 +586,29 @@ private[sources] object GraftProcedures {
           }
           val (ing, skip) = t.ingestFiles(matched, read)
           Seq(ing, skip, t.latestVersion())
+      }
+    case "compact_range" =>
+      proc("compact_range", "band-scoped compaction (OPTIMIZE WHERE): " +
+        "rewrite ONLY the files whose column band overlaps [lo, hi] " +
+        "(band keys: integrals/bools are the value, DATE days-since-" +
+        "epoch, TIMESTAMP micros on bandsV>=2 tables, STRING the 8-byte " +
+        "prefix), range-clustered on that column; every other file " +
+        "re-lists by identity — hot-partition maintenance without " +
+        "touching cold data",
+        Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("column", DataTypes.StringType).build(),
+          ProcedureParameter.in("lo_key", DataTypes.LongType).build(),
+          ProcedureParameter.in("hi_key", DataTypes.LongType).build(),
+          ProcedureParameter.in("target_rows_per_file", DataTypes.LongType).build()),
+        StructType(Seq(
+          StructField("version", DataTypes.LongType, nullable = false),
+          StructField("files", DataTypes.LongType, nullable = false)))) {
+        in =>
+          val t = handleFor(in.getString(0))
+          val v = t.compactRange(in.getString(1), in.getLong(2), in.getLong(3),
+            in.getLong(4))
+          Seq(v, t.snapshot(v).files.length.toLong)
       }
     case "compact_files" =>
       proc("compact_files", "rewrite ONLY the data files under " +

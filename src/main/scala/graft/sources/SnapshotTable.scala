@@ -3162,6 +3162,72 @@ class SnapshotTable(spark: SparkSession, root: String,
     * INHERITED, never upgraded (a partial rewrite must not mix key
     * spaces — only the full [[compact]] may migrate). Returns the new
     * version, or the tip when fewer than two files qualify. */
+  /** BAND-SCOPED compaction — Delta's `OPTIMIZE WHERE` shape: rewrite
+    * ONLY the files whose `column` band overlaps `[lo, hi]` (band keys,
+    * [[BandKeys]] semantics), range-clustered on that column, and
+    * re-list every other file BY IDENTITY. This is hot-partition
+    * maintenance at 100 TB: yesterday's five hundred streaming
+    * micro-files fold into a handful without touching the cold years a
+    * full [[compact]] would rewrite or the table-wide small files
+    * [[compactFiles]] would chase. MOR deletes are absorbed for the
+    * rewritten files (their replacements outsequence every delete) and
+    * keep applying to the untouched rest. Sizing comes from the
+    * manifest's recorded per-file row counts (one count job only when
+    * some overlapping file predates them). Published dataChange=false —
+    * feeds skip it. Returns the tip unchanged when fewer than two files
+    * overlap (nothing to fold). */
+  def compactRange(column: String, lo: Long, hi: Long,
+                   targetRowsPerFile: Long): Long = {
+    require(targetRowsPerFile > 0,
+      s"compactRange needs a positive target; got $targetRowsPerFile")
+    val ci = statsCols.indexOf(column)
+    require(ci >= 0,
+      s"compactRange on $root: '$column' is not a stats column (${statsCols.mkString(",")})")
+    var attempts = 0
+    while (attempts < 50) {
+      val base = latestVersion()
+      require(base > 0, s"nothing to compact at $root")
+      val snapBase = snapshot(base)
+      val fl = fileSetOf(snapBase)
+      val cs = fl.stats(ci)
+      // overlap test mirrors readRange: unknown bands read conservatively
+      // (they may hold in-range rows, so they join the rewrite)
+      val hotIdx = fl.files.indices
+        .filter(i => cs.maxs(i) >= lo && cs.mins(i) <= hi)
+      if (hotIdx.length <= 1) return base
+      val hot = hotIdx.toSet
+      val keptIdx = fl.files.indices.filterNot(hot.contains)
+      val fr = alignLens(fl.frows, fl.files.length)
+      val hotRows =
+        if (hotIdx.forall(fr(_) >= 0L)) hotIdx.map(fr).sum
+        else morPlan(snapBase, hotIdx, mergeSchema = false).count()
+      val n = math.max(1L,
+        (hotRows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      val src = morPlan(snapBase, hotIdx, mergeSchema = false)
+      val (raw, _) = writeDataFiles(
+        src.repartitionByRange(n, bandKeyCol(src, column, snapBase.bandsV)))
+      val fls = FileSet(
+        files = keptIdx.map(fl.files) ++ raw.files,
+        stats = concatStats(sliceStats(fl.stats, keptIdx), raw.stats),
+        seqs = keptIdx.map(fl.seqs) ++ Seq.fill(raw.files.length)(base + 1),
+        deletes = fl.deletes, deleteSeqs = fl.deleteSeqs,
+        deleteKey = fl.deleteKey,
+        lens = keptIdx.map(alignLens(fl.lens, fl.files.length)) ++
+          alignLens(raw.lens, raw.files.length),
+        deleteLens = fl.deleteLens,
+        frows = keptIdx.map(fr) ++ alignLens(raw.frows, raw.files.length))
+      publishAtBase(base, "compact", fls, snapBase.rows, snapBase.schemaJson,
+        dataChange = false) match {
+        case Some(v) => return v
+        case None => // lost the race: drop this attempt's files, re-read tip
+          raw.files.map(_.split('/').head).distinct.foreach(uuid =>
+            fs.delete(new Path(dataDir, uuid), true))
+          attempts += 1
+      }
+    }
+    sys.error(s"compactRange at $root: gave up after $attempts conflicts")
+  }
+
   def compactFiles(minFileBytes: Long, targetFileBytes: Long): Long = {
     require(minFileBytes > 0 && targetFileBytes > 0,
       s"compactFiles needs positive thresholds; got ($minFileBytes, $targetFileBytes)")
@@ -3782,7 +3848,8 @@ class SnapshotTable(spark: SparkSession, root: String,
   /** Delete data files unreachable from the last `keepLast` manifests and
     * drop the older manifests. Bounded metadata scan — cost scales with
     * history length and file count, never data volume. */
-  def vacuum(keepLast: Int = 1): Unit = {
+  def vacuum(keepLast: Int = 1,
+             orphanGraceMs: Long = 60L * 60 * 1000): Unit = {
     requireMainHandle("vacuum") // branch chains share main's data files
     require(keepLast >= 1, "must keep at least the tip")
     val tip = latestVersion()
@@ -3810,16 +3877,19 @@ class SnapshotTable(spark: SparkSession, root: String,
     //  - EXPIRED: referenced by a manifest below the retention horizon —
     //    provably not in-flight (it is listed), deleted immediately;
     //  - NEVER-REFERENCED: a crashed writer's or lost publish race's
-    //    debris, OR an in-flight commit racing this vacuum (every commit
-    //    path writes its data files BEFORE its manifest CAS). Only age
-    //    distinguishes the two, so these sweep AGE-GATED like group
-    //    files and log-store temps below — deleting a fresh one would
-    //    let the racer publish a manifest over missing bytes.
+    //    debris, a DROPPED branch's staged files, OR an in-flight commit
+    //    racing this vacuum (every commit path writes its data files
+    //    BEFORE its manifest CAS). Only age distinguishes these, so they
+    //    sweep AGE-GATED (`orphanGraceMs`, like group files and
+    //    log-store temps below) — deleting a fresh one would let the
+    //    racer publish a manifest over missing bytes. An operator who
+    //    KNOWS no write is in flight (just dropped a branch, quiesced
+    //    ingest) passes orphanGraceMs = 0 for immediate reclamation.
     val expiredRefs = (1L until keepFrom).flatMap { v =>
       try { val s = snapshot(v); s.files ++ s.deletes }
       catch { case scala.util.control.NonFatal(_) => Seq.empty }
     }.toSet
-    val dataCutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    val dataCutoff = System.currentTimeMillis() - orphanGraceMs
     if (fs.exists(dataDir)) {
       fs.listStatus(dataDir).map(_.getPath).foreach { commitDir =>
         if (fs.getFileStatus(commitDir).isDirectory) {

@@ -154,7 +154,11 @@ class SnapshotRefsSpec extends SparkSpec {
     assert(ids(t.branch("tmp")) == Set(1L, 10L),
       "…and the branch still reads (its carried fork files survive too)")
     t.dropBranch("tmp")
-    t.vacuum(keepLast = 1)
+    // the drop is explicit — no write can be in flight on the dropped
+    // chain, so zero grace reclaims its uniquely-referenced files NOW
+    // (the default 1h grace protects in-flight publishes; see
+    // SnapshotTableSpec's vacuum race test)
+    t.vacuum(keepLast = 1, orphanGraceMs = 0L)
     assert(staged.intersect(dataFiles()).isEmpty,
       "a dropped branch's uniquely-referenced files are reclaimed")
     assert(t.branches().isEmpty)
