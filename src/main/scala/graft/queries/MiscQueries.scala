@@ -1175,6 +1175,31 @@ object MiscQueries {
           lit(total >= 3).as("multi_file"), col("n_rows"), col("total_cents"))
     }),
 
+    // Table integrity check (the format's fsck) under the oracle gate:
+    // CALL check_table(deep) on a healthy MOR-bearing table — every
+    // listed file exists with its recorded length, metadata vectors
+    // align, and the deep recount through the equality delete reconciles
+    // with the manifest's row count. The post-migration / pre-promote
+    // audit as one SQL call.
+    "misc_catalog_fsck" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catfsck").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gfk", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gfk.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gfk.db")
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("catfsck_src")
+      s.sql("CREATE TABLE gfk.db.t (k BIGINT, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='k', " +
+        "'write.delete.mode'='merge-on-read', 'write.delete.key'='k')")
+      s.sql("INSERT INTO gfk.db.t SELECT * FROM catfsck_src")
+      s.sql("DELETE FROM gfk.db.t WHERE k % 10 = 3")
+      val r = s.sql("CALL gfk.system.check_table('db.t', true)")
+      r.select(col("version"), col("missing"), col("length_mismatches"),
+        col("misaligned_vectors"), col("rows_recorded"), col("rows_checked"),
+        col("ok"))
+    }),
+
     // BAND-SCOPED compaction (OPTIMIZE WHERE): one cold file plus three
     // hot-window micro-files; compact_range folds ONLY the hot band —
     // the cold file survives BY IDENTITY (pinned), values identical
@@ -3888,6 +3913,17 @@ SELECT 5, 'merge_mor', CAST(cd.n AS BIGINT), TRUE, TRUE,
     // %4==0 keys, v2 retracts %8==0 pre-images, v3's rewrite diff is
     // pure inserts (%16==0 at 3c — those keys were deleted, so nothing
     // is retracted)
+    // v1 = CREATE, v2 = insert, v3 = the MOR delete; the deep recount
+    // equals the live rows (k % 10 != 3)
+    "misc_catalog_fsck" -> """
+SELECT CAST(3 AS BIGINT) AS version, CAST(0 AS BIGINT) AS missing,
+       CAST(0 AS BIGINT) AS length_mismatches,
+       CAST(0 AS BIGINT) AS misaligned_vectors,
+       CAST(count(*) AS BIGINT) AS rows_recorded,
+       CAST(count(*) AS BIGINT) AS rows_checked,
+       CAST(TRUE AS BOOLEAN) AS ok
+FROM orders WHERE o_orderkey % 10 <> 3""",
+
     // both legs read the same rows; 4 files fold to 2 (cold + one hot)
     "misc_snapshot_compact_range" -> """
 WITH base AS (

@@ -513,7 +513,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   *    keyed by its path, so re-runs never double-load;
   *  - `compact_range(table, column, lo, hi, target_rows)` — band-scoped
   *    compaction: fold only the files overlapping a hot key window,
-  *    re-listing cold files by identity.
+  *    re-listing cold files by identity;
+  *  - `check_table(table [, deep])` — integrity check (fsck): files
+  *    exist, lengths match, metadata vectors align, row counts
+  *    reconcile; deep adds one recount scan.
   */
 private[sources] object GraftProcedures {
   import org.apache.spark.sql.catalyst.InternalRow
@@ -525,7 +528,8 @@ private[sources] object GraftProcedures {
     Array("compact", "compact_files", "compact_deletes", "vacuum",
       "expire_snapshots", "rollback",
       "create_tag", "drop_tag", "create_branch", "drop_branch",
-      "fast_forward", "clone", "ingest_files", "compact_range")
+      "fast_forward", "clone", "ingest_files", "compact_range",
+      "check_table")
 
   def load(name: String, catalog: GraftCatalog,
            handleFor: String => SnapshotTable): UnboundProcedure = name match {
@@ -586,6 +590,34 @@ private[sources] object GraftProcedures {
           }
           val (ing, skip) = t.ingestFiles(matched, read)
           Seq(ing, skip, t.latestVersion())
+      }
+    case "check_table" =>
+      proc("check_table", "table integrity check (fsck): listed files " +
+        "exist, recorded lengths match storage, metadata vectors align, " +
+        "recorded row counts reconcile; deep=true adds one full recount " +
+        "scan through MOR deletes",
+        Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("deep", DataTypes.BooleanType)
+            .defaultValue("false").build()),
+        StructType(Seq(
+          StructField("version", DataTypes.LongType, nullable = false),
+          StructField("files", DataTypes.LongType, nullable = false),
+          StructField("deletes", DataTypes.LongType, nullable = false),
+          StructField("missing", DataTypes.LongType, nullable = false),
+          StructField("length_mismatches", DataTypes.LongType, nullable = false),
+          StructField("misaligned_vectors", DataTypes.LongType, nullable = false),
+          StructField("rows_recorded", DataTypes.LongType, nullable = false),
+          StructField("rows_checked", DataTypes.LongType, nullable = true),
+          StructField("ok", DataTypes.BooleanType, nullable = false)))) {
+        in =>
+          val t = handleFor(in.getString(0))
+          val deep = !in.isNullAt(1) && in.getBoolean(1)
+          val r = t.checkTable(deep = deep)
+          Seq(r.version, r.files, r.deletes, r.missingFiles.length.toLong,
+            r.lengthMismatches.length.toLong,
+            r.misalignedVectors.length.toLong, r.rowsRecorded,
+            r.rowsDeepScan.orElse(r.rowsFromCounts).orNull, r.ok)
       }
     case "compact_range" =>
       proc("compact_range", "band-scoped compaction (OPTIMIZE WHERE): " +

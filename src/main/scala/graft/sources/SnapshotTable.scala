@@ -76,6 +76,19 @@ case class ColStats(mins: Seq[Long], maxs: Seq[Long], nulls: Seq[Long],
   * the values themselves), with unknown stats simply absent; `bloomCols`
   * names the stats columns this file carries a point-lookup bloom filter
   * for. Built from the manifest alone — zero data I/O. */
+/** [[SnapshotTable.checkTable]]'s findings: what the manifest claims
+  * vs what storage holds. `rowsFromCounts`/`rowsDeepScan` are None when
+  * that lane did not apply (unknown per-file counts / MOR deletes;
+  * deep not requested). */
+case class TableCheckReport(version: Long, files: Long, deletes: Long,
+                            missingFiles: Seq[String],
+                            lengthMismatches: Seq[String],
+                            misalignedVectors: Seq[String],
+                            rowsRecorded: Long,
+                            rowsFromCounts: Option[Long],
+                            rowsDeepScan: Option[Long],
+                            ok: Boolean)
+
 case class SnapshotFileMeta(content: String, file: String, commitSeq: Long,
                             bytes: Long,
                             minKey: Map[String, Long],
@@ -3700,6 +3713,54 @@ class SnapshotTable(spark: SparkSession, root: String,
         Map.empty, Map.empty, Map.empty, Seq.empty)
     }
     data ++ dels
+  }
+
+  /** TABLE INTEGRITY CHECK — the format's fsck: verify that a version's
+    * manifest claims hold, metadata-first. Checked: every listed data
+    * and delete file EXISTS on storage; recorded byte lengths match the
+    * actual lengths (unknown -1 entries are skipped, not failed); the
+    * per-column stats vectors and the seqs/lens/frows vectors align
+    * with the file list (a misaligned vector reads as unknown —
+    * correct, but it means a writer bug dropped metadata); and, when
+    * every per-file row count is recorded and no MOR delete applies,
+    * that they sum to the manifest's row count. `deep = true` adds one
+    * full scan: recount the version's LIVE rows (through MOR deletes)
+    * and compare. Cost: one getFileStatus per listed file (metadata
+    * mode) — the audit an operator runs after a storage migration or
+    * before promoting a branch, not on every read. */
+  def checkTable(version: Long = -1L, deep: Boolean = false): TableCheckReport = {
+    val v = if (version < 0) latestVersion() else version
+    require(v > 0, s"no committed snapshot to check at $root")
+    val s = snapshot(v)
+    val fl = fileSetOf(s)
+    def statusOpt(rel: String): Option[org.apache.hadoop.fs.FileStatus] =
+      try Some(fs.getFileStatus(new Path(dataDir, rel)))
+      catch { case _: java.io.FileNotFoundException => None }
+    val missing = (fl.files ++ fl.deletes).filter(statusOpt(_).isEmpty)
+    val lens = alignLens(fl.lens, fl.files.length)
+    val dlens = alignLens(fl.deleteLens, fl.deletes.length)
+    def lenBad(rel: String, recorded: Long): Boolean =
+      recorded >= 0L && statusOpt(rel).exists(_.getLen != recorded)
+    val lenMismatch =
+      fl.files.indices.filter(i => lenBad(fl.files(i), lens(i))).map(fl.files) ++
+        fl.deletes.indices.filter(j => lenBad(fl.deletes(j), dlens(j))).map(fl.deletes)
+    val n = s.files.length
+    val misaligned =
+      (if (s.seqs.nonEmpty && s.seqs.length != n) Seq("seqs") else Seq.empty) ++
+      (if (s.lens.nonEmpty && s.lens.length != n) Seq("lens") else Seq.empty) ++
+      (if (s.frows.nonEmpty && s.frows.length != n) Seq("frows") else Seq.empty) ++
+      s.statsCols.zip(s.stats).collect {
+        case (c, cs) if cs.mins.length != n || cs.maxs.length != n => s"stats:$c"
+      }
+    val fr = alignLens(fl.frows, fl.files.length)
+    val frowsSum =
+      if (fl.deletes.isEmpty && fr.nonEmpty && fr.forall(_ >= 0L))
+        Some(fr.sum) else None
+    val deepRows = if (deep) Some(read(v).count()) else None
+    TableCheckReport(v, fl.files.length.toLong, fl.deletes.length.toLong,
+      missing, lenMismatch, misaligned, s.rows, frowsSum, deepRows,
+      ok = missing.isEmpty && lenMismatch.isEmpty && misaligned.isEmpty &&
+        frowsSum.forall(_ == s.rows) && deepRows.forall(_ == s.rows))
   }
 
   /** All RETAINED snapshots, oldest first (the table's audit history;
