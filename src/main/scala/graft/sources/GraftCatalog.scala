@@ -555,9 +555,9 @@ private[sources] object GraftProcedures {
         "shape): every source file matching the glob lands as ONE " +
         "manifest version keyed by its path — re-running the CALL skips " +
         "already-ingested sources, so cron retries and overlapping " +
-        "backfills never double-load. format: 'parquet' (default) or " +
-        "'csv' (header row; columns read with the TABLE's schema — no " +
-        "inference job)",
+        "backfills never double-load. format: 'parquet' (default), " +
+        "'csv' (header row) or 'json' (lines) — csv/json columns read " +
+        "with the TABLE's schema, no inference job",
         Array(
           ProcedureParameter.in("table", DataTypes.StringType).build(),
           ProcedureParameter.in("paths", DataTypes.StringType).build(),
@@ -571,8 +571,8 @@ private[sources] object GraftProcedures {
           val t = handleFor(in.getString(0))
           val spark = SparkSession.active
           val fmt = if (in.isNullAt(2)) "parquet" else in.getString(2)
-          require(fmt == "parquet" || fmt == "csv",
-            s"ingest_files format must be 'parquet' or 'csv'; got '$fmt'")
+          require(fmt == "parquet" || fmt == "csv" || fmt == "json",
+            s"ingest_files format must be 'parquet', 'csv' or 'json'; got '$fmt'")
           val glob = new Path(in.getString(1))
           val gfs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val matched = Option(gfs.globStatus(glob)).map(_.toSeq)
@@ -582,6 +582,8 @@ private[sources] object GraftProcedures {
             s"ingest_files: no files match '${in.getString(1)}'")
           def read(src: String): org.apache.spark.sql.DataFrame = fmt match {
             case "parquet" => spark.read.parquet(src)
+            case "json" => // table-typed, like CSV: zero inference jobs
+              spark.read.schema(t.schemaOf(t.latestVersion())).json(src)
             case _ =>
               // the catalog table's schema types the CSV — deterministic
               // and zero inference jobs per source file

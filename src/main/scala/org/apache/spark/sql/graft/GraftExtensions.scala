@@ -138,6 +138,38 @@ object GraftFunctions {
         .read(version).queryExecution.analyzed
     })
 
+  /** `snapshot_refs(root)` — the named-refs listing as a TVF: one row
+    * per tag (kind='tag', version = the pinned MAIN version) and per
+    * branch (kind='branch', version = the branch TIP, fork_version =
+    * where it forked off main). Metadata-only, driver-built. */
+  val snapshotRefsDescriptor: TableDescriptor = (
+    FunctionIdentifier("snapshot_refs"),
+    new ExpressionInfo(classOf[graft.sources.SnapshotTable].getName, "snapshot_refs"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1 && exprs.head.foldable,
+        "snapshot_refs expects (table_root_literal)")
+      val root = exprs.head.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"snapshot_refs: table root must be a string literal, got $other")
+      }
+      val t = new graft.sources.SnapshotTable(SparkSession.active, root)
+      val rows =
+        t.tags().toSeq.sortBy(_._1).map { case (name, v) =>
+          org.apache.spark.sql.Row("tag", name, v, null) } ++
+        t.branches().sorted.map { b =>
+          org.apache.spark.sql.Row("branch", b,
+            t.branch(b).latestVersion(), t.forkVersion(b)) }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("kind", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("name", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("fork_version", org.apache.spark.sql.types.LongType, nullable = true)))
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation.fromExternalRows(
+        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+        rows)
+    })
+
   /** `snapshot_changes(root, from [, to])` — the change feed as a TVF
     * (Delta's `table_changes`): every row the versions in
     * `(from, to]` (default: the tip) inserted or deleted, tagged with
@@ -248,7 +280,8 @@ object GraftFunctions {
 
   val tableFunctions: Seq[TableDescriptor] =
     Seq(dateSpineDescriptor, snapshotAtDescriptor, snapshotHistoryDescriptor,
-      snapshotFilesDescriptor, snapshotChangesDescriptor)
+      snapshotFilesDescriptor, snapshotChangesDescriptor,
+      snapshotRefsDescriptor)
 
   /** Register into an existing session: SQL functions + the Skyline
     * planner strategy (so SkylineNode plans without the config path). */

@@ -102,6 +102,25 @@ class IngestFilesSpec extends SparkSpec {
       Set((1L, "x"), (2L, "y")))
   }
 
+  test("json sources read with the TABLE schema (no inference)") {
+    val base = freshRoot("json")
+    val dir = new java.io.File(s"$base/in"); dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "a.json"))
+    w.println("""{"k": 7, "s": "j1"}"""); w.println("""{"k": 8, "s": "j2"}""")
+    w.close()
+    val cat = "ging3"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.j (k BIGINT, s STRING) USING `graft-snapshot`")
+    val r = spark.sql(
+      s"CALL $cat.system.ingest_files('db.j', '$base/in/*.json', 'json')")
+      .as[(Long, Long, Long)].head()
+    assert(r._1 == 1L)
+    assert(spark.table(s"$cat.db.j").as[(Long, String)].collect().toSet ==
+      Set((7L, "j1"), (8L, "j2")))
+  }
+
   test("an incompatible source schema fails fast, before any write") {
     val base = freshRoot("schema")
     val t = new SnapshotTable(spark, s"$base/t")

@@ -164,6 +164,23 @@ class SnapshotRefsSpec extends SparkSpec {
     assert(t.branches().isEmpty)
   }
 
+  test("snapshot_refs TVF lists tags and branches with fork versions") {
+    val root = freshRoot("refstvf")
+    val t = new SnapshotTable(spark, root)
+    t.commitAppend(Seq(1L).toDF("id"))
+    t.commitAppend(Seq(2L).toDF("id"))
+    t.createTag("v1-audit", 1L)
+    t.createBranch("wip")
+    t.branch("wip").commitAppend(Seq(3L).toDF("id"))
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val rows = spark.sql(s"SELECT * FROM snapshot_refs('$root') ORDER BY kind, name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(rows == Seq(
+      ("branch", "wip", 3L, 2L), // branch tip v3, forked at main v2
+      ("tag", "v1-audit", 1L, -1L)))
+  }
+
   test("branch handles refuse table-wide retention; refs refuse branch handles") {
     val t = new SnapshotTable(spark, freshRoot("guards"))
     t.commitAppend(Seq(1L).toDF("id"))
