@@ -220,9 +220,9 @@ class ManifestGroupsSpec extends SparkSpec {
           val (gv, iv) = (g.compactDeletes(), i.compactDeletes())
           assert((gv == g.latestVersion()) == (iv == i.latestVersion()),
             s"step $step: fold decisions diverged")
-        case 6 if step % 6 == 0 => // r18 maintenance: small-file rewrite
-          g.compactFiles(1024 * 1024, 128L * 1024 * 1024)
-          i.compactFiles(1024 * 1024, 128L * 1024 * 1024)
+        case 6 if step % 6 == 0 => // late-r18 maintenance: band-scoped fold
+          g.compactRange("id", 0L, nextId / 2, 1000L)
+          i.compactRange("id", 0L, nextId / 2, 1000L)
         case _ =>
           val b = batch(2)
           g.commitAppend(b); i.commitAppend(b)
@@ -249,6 +249,15 @@ class ManifestGroupsSpec extends SparkSpec {
     assert(pg.inputFiles.length == pi.inputFiles.length,
       s"bloom pruning diverged: grouped=${pg.inputFiles.length} " +
         s"inline=${pi.inputFiles.length}")
+    // per-file row counts ride groups identically: the manifest-served
+    // filtered COUNT agrees in value AND in which files it had to scan
+    val (cg, sg) = g.countRangeDetailed("id", 2L, nextId - 2L, -1L)
+    val (ci, si) = i.countRangeDetailed("id", 2L, nextId - 2L, -1L)
+    assert(cg == ci, s"countRange diverged: grouped=$cg inline=$ci")
+    assert(sg.length == si.length,
+      s"countRange scan sets diverged: grouped=${sg.length} inline=${si.length}")
+    // and the fsck reconciles BOTH encodings
+    assert(g.checkTable(deep = true).ok && i.checkTable(deep = true).ok)
   }
 
   test("total manifest bytes stay near-linear: the tip never re-lists the whole table") {
