@@ -2399,6 +2399,20 @@ object MiscQueries {
       graft.operators.PageRank.pageRankFixedPoint(edges, "src", "dst", iters = 5)
     }),
 
+    // HITS hubs & authorities (Kleinberg, JACM 1999) on the same
+    // customer→supplier bipartite graph: customers are pure hubs (who
+    // curates well), suppliers pure authorities (who is endorsed) — the
+    // mutually-recursive centrality pair one diffusion cannot express.
+    // Same fixed-iteration BIGINT mass discipline as misc_pagerank with
+    // L1 normalization per side (L2 needs a square root no integer
+    // replay has); 3 unrolled rounds replayed by the oracle.
+    "misc_hits" -> ((s, d) => {
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.operators.Hits.hitsFixedPoint(edges, "src", "dst", iters = 3)
+    }),
+
     // TrustRank / personalized PageRank (Gyöngyi et al., VLDB 2004) on
     // the same customer→supplier bipartite graph: teleport and dangling
     // mass return ONLY to the trusted seed customers (custkey % 97 == 0
@@ -2689,6 +2703,22 @@ $cur AS MATERIALIZED (
     * aggregate), which recursive-CTE semantics don't allow — and the
     * iteration count is fixed anyway. All arithmetic is BIGINT with
     * truncating `//`, mirroring Spark's `div` exactly. */
+  /** One unrolled HITS round: authorities from incoming hub mass, hubs
+    * from outgoing authority mass, each L1-normalized in integer mass
+    * units — mirrors [[graft.operators.Hits.hitsFixedPoint]]'s update
+    * exactly (non-negative BIGINTs, so `//` floor == `div` truncate). */
+  private def hitsIterCte(prevHub: String, i: Int): String = s"""
+ar$i AS (SELECT e.dst, CAST(sum(h.hub_fp) AS BIGINT) AS raw
+        FROM pr_edges e JOIN $prevHub h ON h.node = e.src GROUP BY e.dst),
+sa$i AS (SELECT CAST(sum(raw) AS BIGINT) AS s FROM ar$i),
+a$i AS (SELECT dst AS node, CAST((raw * 1000000) // s AS BIGINT) AS auth_fp
+       FROM ar$i, sa$i),
+hr$i AS (SELECT e.src, CAST(sum(a.auth_fp) AS BIGINT) AS raw
+        FROM pr_edges e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+sh$i AS (SELECT CAST(sum(raw) AS BIGINT) AS s FROM hr$i),
+h$i AS (SELECT src AS node, CAST((raw * 1000000) // s AS BIGINT) AS hub_fp
+       FROM hr$i, sh$i)"""
+
   private def pagerankIterCte(prev: String, cur: String): String = s"""
 $cur AS (
   SELECT nd.node,
@@ -2760,6 +2790,23 @@ pr0 AS (SELECT node, CAST(1000000000000 // pr_n.n AS BIGINT) AS rank_fp
         FROM pr_nodes CROSS JOIN pr_n),
 ${(0 until 5).map(i => pagerankIterCte(s"pr$i", s"pr${i + 1}")).mkString(",")}
 SELECT node, rank_fp FROM pr5""",
+
+    // 3 unrolled HITS rounds: integer mass, L1-normalized per side
+    "misc_hits" -> s"""
+WITH pr_edges AS (
+  SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+pr_nodes AS (SELECT src AS node FROM pr_edges UNION SELECT dst FROM pr_edges),
+pr_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pr_nodes),
+h0 AS (SELECT node, CAST(1000000 // pr_n.n AS BIGINT) AS hub_fp
+       FROM pr_nodes CROSS JOIN pr_n),
+${(1 to 3).map(i => hitsIterCte(s"h${i - 1}", i)).mkString(",")}
+SELECT nd.node, CAST(COALESCE(h.hub_fp, 0) AS BIGINT) AS hub_fp,
+       CAST(COALESCE(a.auth_fp, 0) AS BIGINT) AS auth_fp
+FROM pr_nodes nd
+LEFT JOIN h3 h ON h.node = nd.node
+LEFT JOIN a3 a ON a.node = nd.node""",
 
     // exact-decimal moments, identical closed-form double arithmetic
     "misc_correlation" -> """

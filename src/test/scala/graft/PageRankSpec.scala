@@ -118,4 +118,28 @@ class PageRankSpec extends SparkSpec {
       assert(math.abs(r.toDouble / U - dbl(v)) < 1e-5, s"node $v: fp ${r.toDouble / U} dbl ${dbl(v)}")
     }
   }
+
+  test("HITS: bipartite separation, bounded L1 mass, partition-invariant, hub order sane") {
+    // two customers: c1 buys from BOTH suppliers, c2 from one — c1 must
+    // out-hub c2; suppliers split authority by their buyer mass
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+    val r = graft.operators.Hits.hitsFixedPoint(edges, "src", "dst", iters = 4)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // bipartite: customers (even) are pure hubs, suppliers (odd) pure
+    // authorities
+    assert(r(2L)._2 == 0L && r(4L)._2 == 0L, "customers must carry no authority")
+    assert(r(1L)._1 == 0L && r(3L)._1 == 0L, "suppliers must carry no hub score")
+    assert(r(2L)._1 > r(4L)._1, "the two-supplier buyer out-hubs the one-supplier buyer")
+    assert(r(3L)._2 > r(1L)._2, "the shared supplier out-authorities the exclusive one")
+    // L1 mass: each side sums to <= massUnit with bounded truncation loss
+    val hubSum = r.values.map(_._1).sum
+    val authSum = r.values.map(_._2).sum
+    assert(hubSum <= 1000000L && hubSum > 1000000L - 10L, s"hub mass $hubSum")
+    assert(authSum <= 1000000L && authSum > 1000000L - 10L, s"auth mass $authSum")
+    // bit-identical under a different partition layout
+    val re = graft.operators.Hits.hitsFixedPoint(edges.repartition(5),
+      "src", "dst", iters = 4)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r == re, "fixed-point HITS changed under repartitioning")
+  }
 }

@@ -27,6 +27,7 @@ class PlanShapeSpec extends SparkSpec {
     "llm_tfidf",           // 1-row corpus-count broadcast
     "llm_unigram_logprob", // 1-row total-tokens broadcast
     "llm_nb_quality",      // 1-row vocab-total + 1-row class-prior broadcasts
+    "misc_hits",           // 1-row L1-normalization-total broadcasts per round
     "llm_curation_pipeline", // 1-row per-stage funnel counts crossed into one row
     "misc_heavy_hitters",  // 1-row total + 1-row sketch broadcast
     "misc_zorder_pruning", // 1-row predicate-bounds broadcast onto 128 stat rows
