@@ -550,10 +550,15 @@ object TextStats {
         round((log((dbl(col("cp")) + lit(1.0)) / (dbl(col("np")) + dbl(col("v"))))
           - log((dbl(col("cn")) + lit(1.0)) / (dbl(col("nn")) + dbl(col("v"))))) * 1e9)
           .cast(LongType).as("lodds9"))
+    // Add-one-smoothed prior, matching the likelihoods' smoothing: an
+    // all-positive (or all-negative) labeling would otherwise yield a
+    // ±Inf prior, and Spark's Long cast clamps infinities where DuckDB
+    // errors — the smoothed form stays finite for every labeling.
     val priors = broadcast(docs.agg(
       sum(when(positive, lit(1L)).otherwise(lit(0L))).as("dp"),
       count(lit(1)).as("d"))
-      .select(round(log(dbl(col("dp")) / (dbl(col("d")) - dbl(col("dp")))) * 1e9)
+      .select(round(log((dbl(col("dp")) + lit(1.0)) /
+          (dbl(col("d")) - dbl(col("dp")) + lit(1.0))) * 1e9)
         .cast(LongType).as("prior9")))
     wf.join(lodds, "word")
       .groupBy(col("doc_id"))

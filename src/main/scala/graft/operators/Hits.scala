@@ -44,6 +44,11 @@ object Hits {
       .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "hitsFixedPoint needs at least one edge")
+    // Mirror of the overflow bound on the other side: with massUnit < n
+    // the integer seed massUnit/n truncates to 0, every L1 total is 0,
+    // and the `div s` normalization divides by zero.
+    require(massUnit >= n,
+      s"massUnit ($massUnit) must be >= node count ($n) or the integer seed truncates to zero")
     var hub = nodes.select(col("node"), lit(massUnit / n).as("hub_fp"))
       .localCheckpoint(true)
     var auth: DataFrame = null

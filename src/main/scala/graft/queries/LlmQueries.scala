@@ -2727,8 +2727,8 @@ sc AS (SELECT word,
               CAST(round((ln((CAST(cp AS DOUBLE) + 1.0) / (CAST(np AS DOUBLE) + CAST(v AS DOUBLE)))
                           - ln((CAST(cn AS DOUBLE) + 1.0) / (CAST(nn AS DOUBLE) + CAST(v AS DOUBLE)))) * 1e9) AS BIGINT) AS lodds9
        FROM bw, tot),
-pr AS (SELECT CAST(round(ln(CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1 ELSE 0 END) AS DOUBLE)
-                          / (CAST(count(*) AS DOUBLE) - CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1 ELSE 0 END) AS DOUBLE))) * 1e9) AS BIGINT) AS prior9
+pr AS (SELECT CAST(round(ln((CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+                          / (CAST(count(*) AS DOUBLE) - CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)) * 1e9) AS BIGINT) AS prior9
        FROM documents)
 SELECT f.doc_id, bool_or(f.is_pos) AS is_pos,
        CAST(sum(f.cnt) AS BIGINT) AS n_tokens,

@@ -1073,6 +1073,63 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // File-disjoint optimistic concurrency for pruned row-level DML:
+    // two UPDATEs race on DISJOINT date bands of a clustered table —
+    // the first parks mid-scan on a latch (base pinned), the second
+    // commits underneath it, and on release the first AUTO-REBASES onto
+    // the new tip instead of erroring (its read-and-replaced file set is
+    // provably disjoint from the rival's). both_committed pins that two
+    // update versions published; every version's contents replay in
+    // DuckDB as the two updates applied sequentially — exactly what
+    // many-writer snapshot isolation promises on a shared 100 TB table.
+    "misc_catalog_dml_concurrent" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catdmlcc").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gcc", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcc.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcc.db")
+      Tables.orders(s, d).select(to_date(col("o_orderdate")).as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("catdmlcc_src")
+      s.sql("CREATE TABLE gcc.db.daily (day DATE, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='day')")
+      s.sql("INSERT INTO gcc.db.daily SELECT * FROM catdmlcc_src " +
+        "WHERE day < DATE'1997-01-01'")
+      s.sql("INSERT INTO gcc.db.daily SELECT * FROM catdmlcc_src " +
+        "WHERE day >= DATE'1997-01-01' AND day < DATE'1999-01-01'")
+      s.sql("INSERT INTO gcc.db.daily SELECT * FROM catdmlcc_src " +
+        "WHERE day >= DATE'1999-01-01'")
+      // the gated statement pins its base version, parks in its SET
+      // expression, and loses the publish race to the inline rival
+      val entered = new java.util.concurrent.CountDownLatch(1)
+      val proceed = new java.util.concurrent.CountDownLatch(1)
+      DmlRaceGate.entered = entered
+      DmlRaceGate.proceed = proceed
+      s.udf.register("catdmlcc_gate", (v: Long) => {
+        DmlRaceGate.entered.countDown()
+        DmlRaceGate.proceed.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        v
+      })
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val gated = Future(s.sql("UPDATE gcc.db.daily SET " +
+        "cents = catdmlcc_gate(cents) + 7 WHERE day < DATE'1997-01-01'"))
+      entered.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      s.sql("UPDATE gcc.db.daily SET cents = cents + 11 " +
+        "WHERE day >= DATE'1999-01-01'")
+      proceed.countDown()
+      Await.result(gated, 120.seconds)
+      val t = new graft.sources.SnapshotTable(s, s"$wh/db/daily", Seq("day"))
+      val bothCommitted = t.history().map(_.action) ==
+        Seq("overwrite", "append", "append", "append", "update", "update")
+      t.history().map { snap =>
+        t.read(snap.version).agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(snap.version).as("version"), lit(snap.action).as("action"),
+            lit(bothCommitted).as("both_committed"), col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // Zero-rewrite type widening through SQL DDL: `ALTER COLUMN cents
     // TYPE BIGINT` publishes a schema-only version (file identity pinned
     // by metadata_only — zero bytes rewritten), the parquet readers
@@ -3620,6 +3677,33 @@ SELECT CAST(v.version AS BIGINT) AS version, v.action,
 FROM v LEFT JOIN base b ON b.day BETWEEN v.lo AND v.hi
 GROUP BY v.version, v.action""",
 
+    // v1 = CREATE (empty), v2..v4 = the three date-band inserts, v5 =
+    // the rival UPDATE (+11 on day>=1999, commits while the other is
+    // parked), v6 = the gated UPDATE (+7 on day<1997) landing via
+    // file-disjoint auto-rebase — the racing statements replay as
+    // SEQUENTIAL updates, which is exactly the isolation claim
+    "misc_catalog_dml_concurrent" -> """
+WITH base AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+v AS (
+  SELECT 1 AS version, 'overwrite' AS action, DATE '9999-01-01' AS lo, DATE '0001-01-01' AS hi,
+         0 AS upd1999, 0 AS upd1997 UNION ALL
+  SELECT 2, 'append', DATE '0001-01-01', DATE '1996-12-31', 0, 0 UNION ALL
+  SELECT 3, 'append', DATE '0001-01-01', DATE '1998-12-31', 0, 0 UNION ALL
+  SELECT 4, 'append', DATE '0001-01-01', DATE '9999-01-01', 0, 0 UNION ALL
+  SELECT 5, 'update', DATE '0001-01-01', DATE '9999-01-01', 1, 0 UNION ALL
+  SELECT 6, 'update', DATE '0001-01-01', DATE '9999-01-01', 1, 1)
+SELECT CAST(v.version AS BIGINT) AS version, v.action,
+       CAST(TRUE AS BOOLEAN) AS both_committed,
+       CAST(count(b.day) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(b.cents
+         + CASE WHEN v.upd1999 = 1 AND b.day >= DATE '1999-01-01' THEN 11 ELSE 0 END
+         + CASE WHEN v.upd1997 = 1 AND b.day < DATE '1997-01-01' THEN 7 ELSE 0 END), 0) AS BIGINT) AS total_cents
+FROM v LEFT JOIN base b ON b.day BETWEEN v.lo AND v.hi
+GROUP BY v.version, v.action""",
+
     // v1 = CREATE (empty), v2..v4 = the three timestamp-range inserts,
     // v5 = the retention DELETE (metadata-only by construction on a
     // bandsV-2 table — the Spark side pins it from manifest file identity)
@@ -4235,4 +4319,12 @@ GROUP BY layout"""
 ${stages.mkString(",\n")},
 zed AS (SELECT x, y, rid, (vx | (vy << 1)) AS z FROM m5)"""
   }
+}
+
+/** Latch holder for [[MiscQueries]]' deterministic DML race
+  * (misc_catalog_dml_concurrent): the gated statement's SET expression
+  * runs on executor task threads, which read these statics. */
+object DmlRaceGate {
+  @volatile var entered: java.util.concurrent.CountDownLatch = _
+  @volatile var proceed: java.util.concurrent.CountDownLatch = _
 }

@@ -578,20 +578,25 @@ private[sources] object GraftProcedures {
           val matched = Option(gfs.globStatus(glob)).map(_.toSeq)
             .getOrElse(Seq.empty).filter(_.isFile)
             .map(_.getPath.toString).sorted
-          require(matched.nonEmpty,
-            s"ingest_files: no files match '${in.getString(1)}'")
-          def read(src: String): org.apache.spark.sql.DataFrame = fmt match {
-            case "parquet" => spark.read.parquet(src)
-            case "json" => // table-typed, like CSV: zero inference jobs
-              spark.read.schema(t.schemaOf(t.latestVersion())).json(src)
-            case _ =>
-              // the catalog table's schema types the CSV — deterministic
-              // and zero inference jobs per source file
-              spark.read.option("header", "true")
-                .schema(t.schemaOf(t.latestVersion())).csv(src)
+          // An empty source window is a NORMAL state for the cron-retry /
+          // backfill loops this procedure targets (sources archived, or
+          // nothing new since the last run): report (0, 0, tip) instead
+          // of failing, so unattended re-runs stay idempotent.
+          if (matched.isEmpty) Seq(0L, 0L, t.latestVersion())
+          else {
+            def read(src: String): org.apache.spark.sql.DataFrame = fmt match {
+              case "parquet" => spark.read.parquet(src)
+              case "json" => // table-typed, like CSV: zero inference jobs
+                spark.read.schema(t.schemaOf(t.latestVersion())).json(src)
+              case _ =>
+                // the catalog table's schema types the CSV — deterministic
+                // and zero inference jobs per source file
+                spark.read.option("header", "true")
+                  .schema(t.schemaOf(t.latestVersion())).csv(src)
+            }
+            val (ing, skip) = t.ingestFiles(matched, read)
+            Seq(ing, skip, t.latestVersion())
           }
-          val (ing, skip) = t.ingestFiles(matched, read)
-          Seq(ing, skip, t.latestVersion())
       }
     case "check_table" =>
       proc("check_table", "table integrity check (fsck): listed files " +

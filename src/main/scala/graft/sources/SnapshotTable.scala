@@ -2284,45 +2284,89 @@ class SnapshotTable(spark: SparkSession, root: String,
     * the deletes by the DML scan, which absorbs them for the rewritten
     * files). Exact row accounting costs one count over ONLY the
     * removed files (through their deletes) — still O(matched), never
-    * O(table). Same snapshot-isolation validation as
-    * [[commitWrittenReplaceAtBase]]: None = tip moved, caller
-    * surfaces the conflict. */
+    * O(table).
+    *
+    * FILE-DISJOINT OPTIMISTIC CONCURRENCY: on a lost publish race the
+    * statement does NOT immediately surface a conflict — it knows the
+    * exact file set it read and replaced, so when every concurrent
+    * commit in the window is provably disjoint from that set it
+    * auto-rebases onto the new tip and re-publishes (the same
+    * rebase-and-retry discipline [[compactRange]] uses). Disjoint
+    * means, checked against the new tip: (a) every removed file is
+    * still listed (nobody compacted/rewrote/deleted what we rewrote —
+    * files are immutable, so presence IS identity); (b) the equality
+    * delete-file vector is byte-identical (a new delete could apply to
+    * our rewritten rows, which were read through only the deletes at
+    * `base`; an absorbed one means data files changed); (c) the
+    * recorded schema is identical (our parquet files encode `base`'s
+    * physical schema). Concurrent APPENDs therefore never conflict
+    * with a pruned UPDATE/DELETE/MERGE — the statement ran against its
+    * snapshot and leaves concurrently-inserted rows untouched (the
+    * write-snapshot-isolation level Delta calls WriteSerializable);
+    * overlapping rewrites still return None and the caller surfaces
+    * the conflict, because a blind retry would erase the concurrent
+    * commit's version of the shared files. */
   private[sources] def commitWrittenRewriteFiles(base: Long, action: String,
                                                  removedRel: Seq[String],
                                                  files: Seq[String],
                                                  stats: Seq[ColStats], addedRows: Long,
                                                  batchSchema: StructType,
                                                  frows: Seq[Long] = Seq.empty): Option[Long] = {
-    val snapBase = snapshot(base)
-    val prev = fileSetOf(snapBase)
     val removed = removedRel.toSet
-    val unknown = removed.diff(prev.files.toSet)
-    require(unknown.isEmpty,
-      s"$action rewrite at $root: removed files not in v$base's manifest: " +
-        unknown.mkString(", "))
-    val keptIdx = prev.files.indices.filterNot(i => removed.contains(prev.files(i)))
-    val removedIdx = prev.files.indices.filter(i => removed.contains(prev.files(i)))
-    val removedRows =
-      if (removedIdx.isEmpty) 0L
-      else morPlan(snapBase, removedIdx, mergeSchema = false).count()
-    val fls = FileSet(
-      files = keptIdx.map(prev.files) ++ files,
-      stats = concatStats(sliceStats(prev.stats, keptIdx), stats),
-      seqs = keptIdx.map(prev.seqs) ++ Seq.fill(files.length)(base + 1),
-      deletes = prev.deletes, deleteSeqs = prev.deleteSeqs,
-      deleteKey = prev.deleteKey,
-      // fresh DSv2-writer files carry no length yet: publish stats them
-      lens = keptIdx.map(alignLens(prev.lens, prev.files.length)) ++
-        Seq.fill(files.length)(-1L),
-      deleteLens = prev.deleteLens,
-      frows = keptIdx.map(alignLens(prev.frows, prev.files.length)) ++
-        alignLens(frows, files.length))
-    require(fls.files.nonEmpty,
-      s"$action rewrite at $root would publish a file-less manifest")
-    // row-level DML never evolves the schema: publish the base's
-    // recorded one so time travel and change feeds stay consistent
-    publishAtBase(base, action, fls, snapBase.rows - removedRows + addedRows,
-      snapBase.schemaJson.orElse(Some(normalizeSchema(batchSchema).json)))
+    // matched-row count is invariant across safe rebases (same removed
+    // files, same applicable deletes) — pay its scan once
+    var removedRowsMemo: Option[Long] = None
+    var at = base
+    var attempts = 0
+    while (attempts < 50) {
+      val snapAt = snapshot(at)
+      val prev = fileSetOf(snapAt)
+      val unknown = removed.diff(prev.files.toSet)
+      require(unknown.isEmpty,
+        s"$action rewrite at $root: removed files not in v$at's manifest: " +
+          unknown.mkString(", "))
+      val keptIdx = prev.files.indices.filterNot(i => removed.contains(prev.files(i)))
+      val removedIdx = prev.files.indices.filter(i => removed.contains(prev.files(i)))
+      val removedRows = removedRowsMemo.getOrElse {
+        val r = if (removedIdx.isEmpty) 0L
+                else morPlan(snapAt, removedIdx, mergeSchema = false).count()
+        removedRowsMemo = Some(r)
+        r
+      }
+      val fls = FileSet(
+        files = keptIdx.map(prev.files) ++ files,
+        stats = concatStats(sliceStats(prev.stats, keptIdx), stats),
+        seqs = keptIdx.map(prev.seqs) ++ Seq.fill(files.length)(at + 1),
+        deletes = prev.deletes, deleteSeqs = prev.deleteSeqs,
+        deleteKey = prev.deleteKey,
+        // fresh DSv2-writer files carry no length yet: publish stats them
+        lens = keptIdx.map(alignLens(prev.lens, prev.files.length)) ++
+          Seq.fill(files.length)(-1L),
+        deleteLens = prev.deleteLens,
+        frows = keptIdx.map(alignLens(prev.frows, prev.files.length)) ++
+          alignLens(frows, files.length))
+      require(fls.files.nonEmpty,
+        s"$action rewrite at $root would publish a file-less manifest")
+      // row-level DML never evolves the schema: publish the base's
+      // recorded one so time travel and change feeds stay consistent
+      publishAtBase(at, action, fls, snapAt.rows - removedRows + addedRows,
+        snapAt.schemaJson.orElse(Some(normalizeSchema(batchSchema).json))) match {
+        case Some(v) => return Some(v)
+        case None =>
+          val tip = latestVersion()
+          if (tip <= at) return None // collision but no newer tip: give up
+          val tipSnap = snapshot(tip)
+          val tipFs = fileSetOf(tipSnap)
+          val disjoint =
+            removed.subsetOf(tipFs.files.toSet) &&
+              tipFs.deletes == prev.deletes &&
+              tipSnap.schemaJson == snapAt.schemaJson
+          if (!disjoint) return None
+          at = tip
+          attempts += 1
+      }
+    }
+    None
   }
 
   /** Publish PRE-WRITTEN delete-key files as a merge-on-read DELETE at

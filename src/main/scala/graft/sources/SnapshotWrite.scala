@@ -163,8 +163,11 @@ object SnapshotCommitMode {
   case class ReplaceAtBase(base: Long, action: String) extends SnapshotCommitMode
   /** New files replace exactly `removed` (the DML scan's pruned group
     * set); every other tip file is re-listed untouched
-    * ([[SnapshotTable.commitWrittenRewriteFiles]]). Same at-base
-    * validity rule as [[ReplaceAtBase]]. */
+    * ([[SnapshotTable.commitWrittenRewriteFiles]]). Unlike
+    * [[ReplaceAtBase]] a lost race here auto-rebases when the
+    * concurrent commits are file-disjoint from `removed` (see the
+    * commit method's contract) — only overlapping rewrites surface a
+    * conflict. */
   case class RewriteFiles(base: Long, removed: Seq[String], action: String)
       extends SnapshotCommitMode
   /** New files replace exactly the rows with `column` ∈ [lo, hi] —
@@ -375,15 +378,18 @@ class GraftSnapshotBatchWrite(spark: SparkSession, root: String,
   }
 
   /** Snapshot-isolation conflict: a concurrent commit moved the tip
-    * past the version this DML statement read. A blind retry here
+    * past the version this DML statement read AND touched state the
+    * statement depends on (pruned rewrites auto-rebase past
+    * file-disjoint commits first — see
+    * [[SnapshotTable.commitWrittenRewriteFiles]]). A blind retry here
     * would erase that commit's rows — surface it. */
   private def dmlConflict(base: Long, action: String): Nothing = {
     val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(dataDir, commitUuid), true)
     throw new java.util.ConcurrentModificationException(
       s"$action on $root: table version moved past v$base while the " +
-        "statement ran (concurrent writer); re-run the statement " +
-        "against the new snapshot")
+        "statement ran (concurrent writer touching overlapping files, " +
+        "deletes, or schema); re-run the statement against the new snapshot")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

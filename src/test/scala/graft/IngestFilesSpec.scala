@@ -121,6 +121,26 @@ class IngestFilesSpec extends SparkSpec {
       Set((7L, "j1"), (8L, "j2")))
   }
 
+  test("an empty source window reports (0, 0, tip) — idempotent re-runs") {
+    val base = freshRoot("empty")
+    val cat = "ging4"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.e (k BIGINT, s STRING) USING `graft-snapshot`")
+    // nothing matches: a scheduled re-run after sources are archived is
+    // a normal state, not an error
+    val r = spark.sql(
+      s"CALL $cat.system.ingest_files('db.e', '$base/in/nothing_*/*.parquet')")
+      .as[(Long, Long, Long)].head()
+    assert(r._1 == 0L && r._2 == 0L, s"empty match must be a no-op, got $r")
+    // and it published NOTHING: the re-run reports the same tip
+    val r2 = spark.sql(
+      s"CALL $cat.system.ingest_files('db.e', '$base/in/nothing_*/*.parquet')")
+      .as[(Long, Long, Long)].head()
+    assert(r2 == r, s"empty no-op must not move the tip: $r -> $r2")
+  }
+
   test("an incompatible source schema fails fast, before any write") {
     val base = freshRoot("schema")
     val t = new SnapshotTable(spark, s"$base/t")
