@@ -907,6 +907,53 @@ object MiscQueries {
       leg("points", points).unionByName(leg("hull", hull))
     }),
 
+    // AUTOMATIC join-driven file skipping — the same DPP-on-the-manifest
+    // idea as misc_snapshot_join_skipping, but with NO API call: a plain
+    // spark.sql fact⋈dim over the catalog fires JoinSkippingRule, which
+    // resolves the dim's bounded key set at planning time and folds it
+    // into the DSv2 scan as a point lane. files_pruned pins that the
+    // optimized plan covers strictly fewer fact files than the manifest
+    // holds; the join values replay identically in DuckDB (pruning is a
+    // superset — the join re-applies the exact predicate).
+    "misc_snapshot_join_auto" -> ((s, d) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      val wh = Tables.freshTmpDir(s, "graft_snapjoinauto").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gja", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gja.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gja.db")
+      s.sql("CREATE TABLE gja.db.fact (o_custkey BIGINT, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_custkey')")
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val m = o.agg(max(col("o_custkey"))).head.getLong(0)
+      val qs = Seq(0L, (m + 1) / 4, (m + 1) / 2, 3 * (m + 1) / 4, m + 1)
+      // quartile-clustered files through the engine handle (shared
+      // manifest with the catalog table): band-disjoint by construction
+      val t = new graft.sources.SnapshotTable(s, s"$wh/db/fact",
+        statsCols = Seq("o_custkey"))
+      (0 until 4).foreach(i => t.commitAppend(
+        o.filter(col("o_custkey") >= qs(i) && col("o_custkey") < qs(i + 1))
+          .repartition(1)))
+      Tables.customer(s, d)
+        .filter(col("c_custkey") <= m / 8 || col("c_custkey") > m - m / 8)
+        .select(col("c_custkey"))
+        .createOrReplaceTempView("joinauto_dim")
+      val q = s.sql("SELECT f.o_custkey, f.cents FROM gja.db.fact f " +
+        "JOIN joinauto_dim d ON f.o_custkey = d.c_custkey")
+      val scan = q.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            if r.scan.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper] =>
+          r.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper]
+            .v1Scan.asInstanceOf[graft.sources.GraftSnapshotScan]
+      }
+      val total = t.snapshot(t.latestVersion()).files.length
+      val planned = scan.map(_.plannedFiles.length).getOrElse(total)
+      q.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+        .select(lit(planned < total && planned >= 1).as("files_pruned"),
+          col("n_rows"), col("total_cents"))
+    }),
+
     // Manifest-served MIN/MAX over a DATE stats column: the freshness
     // probe every date-keyed pipeline runs (`SELECT max(event_date)`)
     // answers from one manifest parse — DATE's band key is its exact
@@ -3578,6 +3625,22 @@ FROM hit
 UNION ALL
 SELECT 'hull', CAST(4 AS INTEGER), CAST(4 AS INTEGER),
        CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+FROM hit""",
+
+    // the PLAIN-SQL auto-skipping leg: same join as join_skipping's
+    // points leg, files_pruned pinned TRUE (the optimizer folded the dim
+    // keys into the scan with no API call)
+    "misc_snapshot_join_auto" -> """
+WITH mx AS (SELECT max(o_custkey) AS mx FROM orders),
+dim AS (
+  SELECT c_custkey FROM customer, mx
+  WHERE c_custkey <= mx // 8 OR c_custkey > mx - mx // 8),
+hit AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN dim ON o_custkey = c_custkey)
+SELECT CAST(TRUE AS BOOLEAN) AS files_pruned,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents
 FROM hit""",
 
     // v1 = CREATE (empty), v2 = INT insert, v3 = the widening ALTER

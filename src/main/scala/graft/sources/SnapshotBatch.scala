@@ -719,9 +719,42 @@ class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
                           CaseInsensitiveStringMap.empty(),
                         nullCols: Set[String] = Set.empty,
                         points: Map[String, Seq[Long]] = Map.empty,
-                        orAlts: Seq[Seq[PruneAlt]] = Seq.empty) extends V1Scan
+                        orAlts: Seq[Seq[PruneAlt]] = Seq.empty,
+                        joinPrunedCols: Set[String] = Set.empty) extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  /** Whether [[org.apache.spark.sql.graft.JoinSkippingRule]] can add a
+    * dim-key point-pruning lane on `colName`: the column must carry
+    * manifest bands and not already be join-pruned (the rule's
+    * idempotence guard). */
+  def joinSkippingCandidate(colName: String): Boolean =
+    !joinPrunedCols.contains(colName) && table.statsColumns.contains(colName)
+
+  /** This scan with a dim side's collected distinct join-key VALUES as
+    * an extra point-pruning lane on `colName` — the manifest admits a
+    * file only when SOME key lands in its band (and, when indexed, its
+    * bloom filter). None when any value derives no band key: a missing
+    * key could prune a file holding its matching rows, so the whole
+    * lane stands down (pruning is an optimization, never a correctness
+    * dependency). An existing pushed-IN lane on the column intersects:
+    * a row surviving both predicates has its key in both sets. */
+  def withJoinKeys(colName: String, values: Seq[Any]): Option[GraftSnapshotScan] = {
+    val bandsV =
+      try table.snapshot(version).bandsV
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val keys = values.flatMap(v => BandKeys.valueKey(v, bandsV).map(_._1))
+    if (keys.length != values.length) None
+    else {
+      val merged = points.get(colName) match {
+        case Some(existing) => existing.toSet.intersect(keys.toSet).toSeq.sorted
+        case None => keys.distinct.sorted
+      }
+      Some(new GraftSnapshotScan(spark, table, version, required, bands,
+        options, nullCols, points.updated(colName, merged), orAlts,
+        joinPrunedCols + colName))
+    }
+  }
 
   /** `spark.readStream.table(...)` — the catalog table reports
     * MICRO_BATCH_READ and Spark lands here; column pruning flows

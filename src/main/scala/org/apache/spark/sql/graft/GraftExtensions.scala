@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // post-pushdown: restore SupportsReportStatistics that Spark's
     // V1ScanWrapper drops (see V1ScanStats.scala)
     ext.injectPreCBORule(_ => V1ScanStatsRule)
+    // post-pushdown: fold a broadcast-sized dim's join keys into the
+    // snapshot scan's manifest pruning (see JoinSkippingRule.scala)
+    ext.injectPreCBORule(_ => JoinSkippingRule)
   }
 }
 
@@ -302,5 +305,8 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(V1ScanStatsRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ V1ScanStatsRule
+    if (!spark.experimental.extraOptimizations.contains(JoinSkippingRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ JoinSkippingRule
   }
 }

@@ -1,0 +1,169 @@
+package org.apache.spark.sql.graft
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, V1ScanWrapper}
+import graft.sources.GraftSnapshotScan
+
+/** Automatic join-driven FILE skipping for snapshot-table scans — the
+  * optimizer-integrated form of [[graft.operators.JoinSkipping]]: when a
+  * plain `spark.sql` query joins a `graft-snapshot` scan to a
+  * broadcast-sized dimension on a band-indexed column, resolve the dim
+  * side's distinct join keys at planning time and fold them into the
+  * scan as a point-pruning lane, so fact files provably holding no dim
+  * key are never opened. Spark's own DPP and runtime bloom filters
+  * cannot do this: the scan compiles through the V1 delegate (no
+  * `BatchScanExec` runtime-filter path) and the manifest's bands and
+  * blooms are invisible to the optimizer.
+  *
+  * Soundness. Equi-joins are null-rejecting, and the manifest admits
+  * every file whose band (and bloom, when indexed) might hold SOME dim
+  * key — pruned fact rows match no dim key, so they are exactly the rows
+  * the join itself would drop. That makes the rewrite sound only for
+  * join sides whose non-matching rows cannot reach the output:
+  *  - prune LEFT for Inner / LeftSemi / RightOuter,
+  *  - prune RIGHT for Inner / LeftSemi / LeftOuter / LeftAnti
+  * (LeftAnti's right side only ever disqualifies left rows it matches;
+  * a pruned right row matches nothing). The scan is located through
+  * per-row passthrough operators only (Project / Filter / repartition,
+  * and intermediate joins on the non-null-extended side), so removing a
+  * scan row removes exactly that row's descendants — never an
+  * aggregate, window, or limit result another row depends on.
+  *
+  * The dim side executes EAGERLY at planning (the same bounded collect
+  * a broadcast join ships cluster-wide, paid once more). Guards: dim
+  * stats under the broadcast threshold, no Limit/Sample/nondeterminism
+  * anywhere in the dim plan (a re-execution must yield the same key
+  * set), at most `spark.graft.joinSkipping.maxKeys` distinct keys, and
+  * every key must derive a band key — any miss stands the lane down.
+  * `spark.graft.joinSkipping.enabled=false` disables the rule.
+  *
+  * Registered post-pushdown (preCBO / extraOptimizations — the scan
+  * exists only after `V2ScanRelationPushDown`). Idempotent: a rewritten
+  * scan remembers its join-pruned columns and refuses a second lane. */
+object JoinSkippingRule extends Rule[LogicalPlan] with PredicateHelper {
+  val EnabledConf = "spark.graft.joinSkipping.enabled"
+  val MaxKeysConf = "spark.graft.joinSkipping.maxKeys"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(EnabledConf, "true") != "true") return plan
+    if (plan.isStreaming) return plan
+    val maxKeys = conf.getConfString(MaxKeysConf, "1000").toIntOption
+      .filter(_ > 0).getOrElse(1000)
+    plan.transformUp {
+      case j: Join => rewrite(j, maxKeys).getOrElse(j)
+    }
+  }
+
+  /** Dropping never-matching rows from the given side is a no-op. */
+  private def canPrune(joinType: JoinType, pruneLeft: Boolean): Boolean =
+    joinType match {
+      case Inner | LeftSemi => true
+      case RightOuter => pruneLeft
+      case LeftOuter | LeftAnti => !pruneLeft
+      case _ => false
+    }
+
+  /** The snapshot scan relation producing `key`, reached through
+    * per-row passthrough operators only. Intermediate joins are walked
+    * into the side holding the attribute when that side is never
+    * null-extended (its rows appear in the join output as themselves,
+    * possibly duplicated — removal stays per-row). */
+  private def findScan(p: LogicalPlan, key: Attribute)
+      : Option[DataSourceV2ScanRelation] = p match {
+    case r: DataSourceV2ScanRelation if r.outputSet.contains(key) =>
+      r.scan match {
+        case w: V1ScanWrapper if w.v1Scan.isInstanceOf[GraftSnapshotScan] => Some(r)
+        case _ => None
+      }
+    case pr: Project if pr.outputSet.contains(key) => findScan(pr.child, key)
+    case f: Filter => findScan(f.child, key)
+    case r: RepartitionOperation => findScan(r.child, key)
+    case jn @ Join(l, r, jt, _, _) if jn.outputSet.contains(key) =>
+      if (l.outputSet.contains(key) &&
+          (jt == Inner || jt == Cross || jt == LeftOuter || jt == LeftSemi ||
+            jt == LeftAnti))
+        findScan(l, key)
+      else if (r.outputSet.contains(key) && (jt == Inner || jt == Cross ||
+          jt == RightOuter))
+        findScan(r, key)
+      else None
+    case _ => None
+  }
+
+  /** A plan-time key collect must equal what the runtime join will see:
+    * refuse nondeterministic expressions and row-set-unstable operators
+    * anywhere in the dim plan. */
+  private def stableDim(p: LogicalPlan): Boolean =
+    p.collectFirst {
+      case _: LocalLimit => ()
+      case _: GlobalLimit => ()
+      case _: Sample => ()
+      case q if q.expressions.exists(e => !e.deterministic) => ()
+    }.isEmpty
+
+  private def smallEnough(p: LogicalPlan): Boolean = {
+    val threshold = conf.autoBroadcastJoinThreshold
+    val limit = if (threshold > 0) threshold else 10L * 1024 * 1024
+    try p.stats.sizeInBytes <= BigInt(limit)
+    catch { case NonFatal(_) => false }
+  }
+
+  private def rewrite(j: Join, maxKeys: Int): Option[LogicalPlan] = j match {
+    case Join(left, right, jt, Some(cond), _) if j.resolved =>
+      val equi = splitConjunctivePredicates(cond).collect {
+        case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
+      }
+      // every (factSide, factKey, dimSide, dimKey) reading of each
+      // equi-conjunct; first applicable one rewrites (transformUp's
+      // fixed visit order keeps this deterministic), the rest land on
+      // later rule passes via the per-column idempotence flag
+      val candidates = equi.flatMap { case (a, b) =>
+        Seq((a, b, true), (b, a, false)).collect {
+          case (fk, dk, factIsLeft)
+              if (if (factIsLeft) left else right).outputSet.contains(fk) &&
+                (if (factIsLeft) right else left).outputSet.contains(dk) &&
+                canPrune(jt, factIsLeft) =>
+            (fk, dk, factIsLeft)
+        }
+      }
+      candidates.view.flatMap { case (factKey, dimKey, factIsLeft) =>
+        applyOne(j, factKey, dimKey, factIsLeft, maxKeys)
+      }.headOption
+    case _ => None
+  }
+
+  private def applyOne(j: Join, factKey: Attribute, dimKey: Attribute,
+                       factIsLeft: Boolean, maxKeys: Int): Option[LogicalPlan] =
+    try {
+      val factSide = if (factIsLeft) j.left else j.right
+      val dimSide = if (factIsLeft) j.right else j.left
+      val rel = findScan(factSide, factKey).getOrElse(return None)
+      val scan = rel.scan.asInstanceOf[V1ScanWrapper].v1Scan
+        .asInstanceOf[GraftSnapshotScan]
+      if (!scan.joinSkippingCandidate(factKey.name)) return None
+      if (!stableDim(dimSide) || !smallEnough(dimSide)) return None
+      // the dim's distinct non-null keys, collected BOUNDED — past the
+      // cap the lane stands down (the hull variant stays API-only:
+      // graft.operators.JoinSkipping.prunedFact)
+      val spark = SparkSession.active
+      val keysPlan = Project(Seq(dimKey), dimSide)
+      val sample = bridge.ofRows(spark, keysPlan)
+        .na.drop().distinct().limit(maxKeys + 1).collect()
+      if (sample.isEmpty || sample.length > maxKeys) return None
+      val pruned = scan.withJoinKeys(factKey.name,
+        sample.toSeq.map(_.get(0))).getOrElse(return None)
+      val wrapper = rel.scan.asInstanceOf[V1ScanWrapper]
+      val newRel = rel.copy(scan = new StatsV1ScanWrapper(pruned,
+        wrapper.handledFilters, wrapper.pushedDownOperators))
+      val newFact = factSide.transformUp {
+        case r: DataSourceV2ScanRelation if r.eq(rel) => newRel
+      }
+      Some(if (factIsLeft) j.copy(left = newFact) else j.copy(right = newFact))
+    } catch { case NonFatal(_) => None }
+}
