@@ -59,6 +59,26 @@ case class VideoFrame(
     y_sum: Long,
     frame_checksum: String)
 
+/** REAL MP4 / ISO-BMFF movie metadata (hand-rolled box walk over
+  * ftyp/moov/mvhd/trak/tkhd/mdia/hdlr — public container structure, no
+  * codec needed): brand, movie timescale + duration (and the exact
+  * integer millisecond form), track census by hdlr handler type, and
+  * the first VIDEO track's tkhd geometry (16.16 fixed point, integer
+  * part). width/height are -1 when the movie carries no video track. */
+case class Mp4Meta(
+    media_id: Long,
+    byte_len: Long,
+    checksum: String,
+    major_brand: String,
+    timescale: Long,
+    duration: Long,
+    duration_ms: Long,
+    n_tracks: Int,
+    n_video: Int,
+    n_audio: Int,
+    width: Int,
+    height: Int)
+
 /** REAL decoded-image metadata (javax.imageio, JDK built-in codecs:
   * PNG/JPEG/GIF/BMP). `format` is the reader's lowercase format name;
   * undecodable payloads keep their byte-level fields and get
@@ -206,6 +226,14 @@ object Multimodal {
           height = Some(hd.height),
           channels = Some(if (hd.colorspace.startsWith("Cmono")) 1 else 3),
           frame_count = Some(y4mFrameOffsets(bytes, hd).length))
+      } else if (bytes.length >= 12 && ascii(4, 4) == "ftyp") {
+        // ISO-BMFF: the box walk proves brand + geometry; a movie with
+        // no video track keeps NULL dimensions (nothing fabricated)
+        val info = mp4InfoOf(bytes)
+        base.copy(media_kind = "mp4",
+          width = if (info.width >= 0) Some(info.width) else None,
+          height = if (info.height >= 0) Some(info.height) else None,
+          channels = None, frame_count = None)
       } else base
     }.getOrElse(base) // corrupt/truncated header: proven facts only
   }
@@ -384,6 +412,111 @@ object Multimodal {
           }
         }
       }
+  }
+
+  // ---- REAL MP4 / ISO-BMFF metadata (hand-rolled box walk — ftyp /
+  // moov / mvhd / trak / tkhd / mdia / hdlr are pure public-format
+  // structure, ISO/IEC 14496-12; no codec is needed for duration,
+  // geometry, or the track census) ----
+
+  /** Parsed ISO-BMFF movie facts (metadata only, no sample decode). */
+  private[graft] case class Mp4Info(majorBrand: String, timescale: Long,
+                                  duration: Long, nTracks: Int,
+                                  nVideo: Int, nAudio: Int,
+                                  width: Int, height: Int)
+
+  /** Walk the ISO-BMFF box tree: every box is a 32-bit big-endian size +
+    * 4-char type; size==1 carries a 64-bit largesize after the type;
+    * size==0 means "to the end of the enclosing space" (legal only for
+    * the last box). Truncation fails loudly — a silently short moov
+    * would fabricate metadata. */
+  private[graft] def mp4InfoOf(bytes: Array[Byte]): Mp4Info = {
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+        ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def ascii(o: Int, n: Int): String = new String(bytes, o, n, "US-ASCII")
+    def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var pos = from
+      while (pos < until) {
+        require(pos + 8 <= until, s"mp4: truncated box header at $pos")
+        val sz32 = be32(pos)
+        val typ = ascii(pos + 4, 4)
+        val (payload, end) =
+          if (sz32 == 1L) {
+            require(pos + 16 <= until, s"mp4: truncated largesize at $pos")
+            val sz = be64(pos + 8)
+            require(sz >= 16, s"mp4: bad largesize $sz at $pos")
+            (pos + 16, pos + sz)
+          } else if (sz32 == 0L) (pos + 8, until.toLong)
+          else {
+            require(sz32 >= 8, s"mp4: bad box size $sz32 at $pos")
+            (pos + 8, pos + sz32)
+          }
+        require(end <= until, s"mp4: box '$typ' at $pos overruns by ${end - until}")
+        f(typ, payload, end.toInt)
+        pos = end.toInt
+      }
+    }
+    require(bytes.length >= 12 && ascii(4, 4) == "ftyp",
+      "mp4: no ftyp box at offset 0")
+    var brand = ""
+    var timescale = 0L; var duration = 0L
+    var nTracks = 0; var nVideo = 0; var nAudio = 0
+    var width = -1; var height = -1
+    walk(0, bytes.length) {
+      case ("ftyp", s, _) => brand = ascii(s, 4).trim
+      case ("moov", ms, me) => walk(ms, me) {
+        case ("mvhd", s, _) =>
+          val v = bytes(s) & 0xFF // FullBox: version + 24-bit flags
+          if (v == 1) { timescale = be32(s + 20); duration = be64(s + 24) }
+          else { timescale = be32(s + 12); duration = be32(s + 16) }
+        case ("trak", ts, te) =>
+          nTracks += 1
+          var tw = -1; var th = -1; var handler = ""
+          walk(ts, te) {
+            case ("tkhd", s, _) =>
+              val v = bytes(s) & 0xFF
+              // width/height are 16.16 fixed point at the tail of tkhd
+              // (after matrix); v1 widens the three time fields by 12
+              val wOff = s + (if (v == 1) 88 else 76)
+              tw = (be32(wOff) >> 16).toInt
+              th = (be32(wOff + 4) >> 16).toInt
+            case ("mdia", ds, de) => walk(ds, de) {
+              case ("hdlr", s, _) => handler = ascii(s + 8, 4)
+              case _ => ()
+            }
+            case _ => ()
+          }
+          if (handler == "vide") {
+            nVideo += 1
+            if (width < 0) { width = tw; height = th }
+          } else if (handler == "soun") nAudio += 1
+        case _ => ()
+      }
+      case _ => () // free / mdat / skip / uuid: layout-neutral here
+    }
+    require(timescale > 0, "mp4: no mvhd timescale")
+    Mp4Info(brand, timescale, duration, nTracks, nVideo, nAudio, width, height)
+  }
+
+  /** Partition-wise REAL MP4 metadata decode: brand, movie duration
+    * (exact integer milliseconds: duration·1000 div timescale), track
+    * census, and the first video track's tkhd geometry — the
+    * duration/resolution curation gate for a video corpus, answered
+    * from the container's own structure without touching a sample. */
+  def decodeMp4(media: DataFrame): Dataset[Mp4Meta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val info = mp4InfoOf(bytes)
+        Mp4Meta(id, bytes.length.toLong, md5hex(bytes), info.majorBrand,
+          info.timescale, info.duration,
+          info.duration * 1000L / info.timescale,
+          info.nTracks, info.nVideo, info.nAudio, info.width, info.height)
+      })
   }
 
   /** Adapter: wrap a text corpus as opaque binary media (UTF-8 bytes) —

@@ -64,6 +64,20 @@ object LlmQueries {
       .select(regexp_extract(col("path"), "clip_([0-9]+)\\.y4m$", 1)
         .cast(LongType).as("media_id"), col("content"))
 
+  /** Committed REAL MP4 / ISO-BMFF fixtures (same generator; hand-rolled
+    * ftyp/moov/mvhd/trak/tkhd/mdia/hdlr box trees across brands, mvhd
+    * versions 0 and 1, largesize and to-EOF mdat forms; manifest.csv =
+    * each movie's true brand/timescale/duration/track census/geometry) —
+    * the llm_mp4_meta gate checks the engine's own box walk against
+    * that ground truth. */
+  private val mp4FixturesDir = sys.env.getOrElse("GRAFT_MEDIA_MP4_FIXTURES",
+    new java.io.File("fixtures/media_mp4").getAbsolutePath)
+
+  private def mp4Media(s: SparkSession): DataFrame =
+    graft.sources.Sources.readBinaryFiles(s, mp4FixturesDir, "*.mp4")
+      .select(regexp_extract(col("path"), "vid_([0-9]+)\\.mp4$", 1)
+        .cast(LongType).as("media_id"), col("content"))
+
   /** Near-dup candidate edges (minhash ∪ simhash), shared by the six
     * cluster-family queries. The two pair frames are plain `.cache()` —
     * their plans are declarative and identical across builders, so the
@@ -921,6 +935,20 @@ object LlmQueries {
         .select(col("media_id"), col("byte_len"), col("checksum"),
           col("width"), col("height"), col("fps_num"), col("fps_den"),
           col("colorspace"), col("frame_count"))),
+    // REAL MP4 / ISO-BMFF metadata: the box walk (ftyp/moov/mvhd/trak/
+    // tkhd/mdia/hdlr — pure public container structure, no codec)
+    // proves brand, movie duration (exact integer ms), the track census
+    // by handler type, and the video track's tkhd geometry — the
+    // duration/resolution curation gate a video-corpus pipeline runs
+    // without touching a single encoded sample. Gated against the
+    // committed generator manifest; mvhd v0/v1, 64-bit largesize, and
+    // to-EOF (size==0) boxes are all in the fixture set.
+    "llm_mp4_meta" -> ((s, d) =>
+      Multimodal.decodeMp4(mp4Media(s)).toDF()
+        .select(col("media_id"), col("byte_len"), col("checksum"),
+          col("major_brand"), col("timescale"), col("duration"),
+          col("duration_ms"), col("n_tracks"), col("n_video"),
+          col("n_audio"), col("width"), col("height"))),
     // REAL-bytes multimodal path: spark.read.format("binaryFile") over
     // committed deterministic fixture files (see
     // tools/gen_media_fixtures.py) — the production ingestion shape for
@@ -2918,6 +2946,17 @@ SELECT CAST(media_id AS BIGINT) AS media_id, CAST(byte_len AS BIGINT) AS byte_le
        CAST(fps_num AS INTEGER) AS fps_num, CAST(fps_den AS INTEGER) AS fps_den,
        colorspace, CAST(frame_count AS INTEGER) AS frame_count
 FROM read_csv('$y4mFixturesDir/manifest.csv')""",
+
+    // the generator's box-level ground truth: brand/timescale/duration/
+    // track census/geometry out of hand-rolled ISO-BMFF trees
+    "llm_mp4_meta" -> s"""
+SELECT CAST(media_id AS BIGINT) AS media_id, CAST(byte_len AS BIGINT) AS byte_len, checksum,
+       major_brand, CAST(timescale AS BIGINT) AS timescale,
+       CAST(duration AS BIGINT) AS duration, CAST(duration_ms AS BIGINT) AS duration_ms,
+       CAST(n_tracks AS INTEGER) AS n_tracks, CAST(n_video AS INTEGER) AS n_video,
+       CAST(n_audio AS INTEGER) AS n_audio,
+       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height
+FROM read_csv('$mp4FixturesDir/manifest.csv')""",
 
     "llm_chunking" -> """
 WITH base AS (

@@ -1299,9 +1299,12 @@ object MiscQueries {
       s.sql("INSERT INTO gfk.db.t SELECT * FROM catfsck_src")
       s.sql("DELETE FROM gfk.db.t WHERE k % 10 = 3")
       val r = s.sql("CALL gfk.system.check_table('db.t', true)")
+      // rows_lo/rows_hi: the metadata-mode MOR reconciliation window
+      // [Σfrows − Σdrows, Σfrows] — tight here (nothing absorbed), so
+      // rows_lo == rows_recorded and rows_hi == the pre-delete total
       r.select(col("version"), col("missing"), col("length_mismatches"),
         col("misaligned_vectors"), col("rows_recorded"), col("rows_checked"),
-        col("ok"))
+        col("rows_lo"), col("rows_hi"), col("ok"))
     }),
 
     // BAND-SCOPED compaction (OPTIMIZE WHERE): one cold file plus three
@@ -4113,10 +4116,12 @@ SELECT 5, 'merge_mor', CAST(cd.n AS BIGINT), TRUE, TRUE,
 SELECT CAST(3 AS BIGINT) AS version, CAST(0 AS BIGINT) AS missing,
        CAST(0 AS BIGINT) AS length_mismatches,
        CAST(0 AS BIGINT) AS misaligned_vectors,
-       CAST(count(*) AS BIGINT) AS rows_recorded,
-       CAST(count(*) AS BIGINT) AS rows_checked,
+       CAST(count(*) FILTER (WHERE o_orderkey % 10 <> 3) AS BIGINT) AS rows_recorded,
+       CAST(count(*) FILTER (WHERE o_orderkey % 10 <> 3) AS BIGINT) AS rows_checked,
+       CAST(count(*) FILTER (WHERE o_orderkey % 10 <> 3) AS BIGINT) AS rows_lo,
+       CAST(count(*) AS BIGINT) AS rows_hi,
        CAST(TRUE AS BOOLEAN) AS ok
-FROM orders WHERE o_orderkey % 10 <> 3""",
+FROM orders""",
 
     // both legs read the same rows; 4 files fold to 2 (cold + one hot)
     "misc_snapshot_compact_range" -> """

@@ -601,8 +601,10 @@ private[sources] object GraftProcedures {
     case "check_table" =>
       proc("check_table", "table integrity check (fsck): listed files " +
         "exist, recorded lengths match storage, metadata vectors align, " +
-        "recorded row counts reconcile; deep=true adds one full recount " +
-        "scan through MOR deletes",
+        "recorded row counts reconcile (MOR tables reconcile from " +
+        "metadata as bounds: rows in [sum(frows)-sum(drows), " +
+        "sum(frows)]); deep=true adds one full recount scan through " +
+        "MOR deletes",
         Array(
           ProcedureParameter.in("table", DataTypes.StringType).build(),
           ProcedureParameter.in("deep", DataTypes.BooleanType)
@@ -616,6 +618,8 @@ private[sources] object GraftProcedures {
           StructField("misaligned_vectors", DataTypes.LongType, nullable = false),
           StructField("rows_recorded", DataTypes.LongType, nullable = false),
           StructField("rows_checked", DataTypes.LongType, nullable = true),
+          StructField("rows_lo", DataTypes.LongType, nullable = true),
+          StructField("rows_hi", DataTypes.LongType, nullable = true),
           StructField("ok", DataTypes.BooleanType, nullable = false)))) {
         in =>
           val t = handleFor(in.getString(0))
@@ -624,7 +628,9 @@ private[sources] object GraftProcedures {
           Seq(r.version, r.files, r.deletes, r.missingFiles.length.toLong,
             r.lengthMismatches.length.toLong,
             r.misalignedVectors.length.toLong, r.rowsRecorded,
-            r.rowsDeepScan.orElse(r.rowsFromCounts).orNull, r.ok)
+            r.rowsDeepScan.orElse(r.rowsFromCounts).orNull,
+            r.rowsBounds.map(_._1).orNull, r.rowsBounds.map(_._2).orNull,
+            r.ok)
       }
     case "compact_range" =>
       proc("compact_range", "band-scoped compaction (OPTIMIZE WHERE): " +

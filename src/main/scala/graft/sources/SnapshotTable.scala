@@ -87,7 +87,12 @@ case class TableCheckReport(version: Long, files: Long, deletes: Long,
                             rowsRecorded: Long,
                             rowsFromCounts: Option[Long],
                             rowsDeepScan: Option[Long],
-                            ok: Boolean)
+                            ok: Boolean,
+                            // metadata-mode MOR reconciliation: live rows
+                            // must lie in [Σfrows − Σdrows, Σfrows]
+                            // (deletes only remove; each delete file
+                            // removes at most its recorded key count)
+                            rowsBounds: Option[(Long, Long)] = None)
 
 case class SnapshotFileMeta(content: String, file: String, commitSeq: Long,
                             bytes: Long,
@@ -130,7 +135,23 @@ case class Snapshot(version: Long, action: String, baseVersion: Long,
                     // unknown) — the record_count vector of the public
                     // formats: serves filtered counts and exact
                     // metadata-delete accounting without a scan
-                    frows: Seq[Long] = Seq.empty)
+                    frows: Seq[Long] = Seq.empty,
+                    // per-DELETE-file key counts aligned with `deletes`
+                    // (-1 = unknown): each equality-delete file's
+                    // distinct-key count, which (by the commit-time
+                    // row-uniqueness guard) is exactly the rows it
+                    // removed when committed and an UPPER bound on the
+                    // rows it still removes (rewrites only absorb) —
+                    // lets fsck bound live rows under MOR from metadata
+                    drows: Seq[Long] = Seq.empty,
+                    // per-delete-file key BAND (band-key space of the
+                    // single delete-key column; Long.MinValue/MaxValue =
+                    // unknown, conservatively overlapping): a delete
+                    // whose band misses a data file's key band cannot
+                    // touch it — countRange serves such files from
+                    // recorded counts instead of scanning
+                    dmins: Seq[Long] = Seq.empty,
+                    dmaxs: Seq[Long] = Seq.empty)
 
 /** Minimal snapshot-versioned table format: immutable parquet data files
   * plus a linear chain of JSON manifests, one per committed version —
@@ -269,13 +290,20 @@ class SnapshotTable(spark: SparkSession, root: String,
                              deleteKey: Seq[String] = Seq.empty,
                              lens: Seq[Long] = Seq.empty,
                              deleteLens: Seq[Long] = Seq.empty,
-                             frows: Seq[Long] = Seq.empty)
+                             frows: Seq[Long] = Seq.empty,
+                             drows: Seq[Long] = Seq.empty,
+                             dmins: Seq[Long] = Seq.empty,
+                             dmaxs: Seq[Long] = Seq.empty)
 
   /** `lens` aligned to an `n`-file list; any misaligned/absent vector
     * reads as all-unknown (-1) — NEVER positionally reinterpreted, a
     * wrong length silently corrupts the parquet footer read. */
   private def alignLens(lens: Seq[Long], n: Int): Seq[Long] =
     if (lens.length == n) lens else Seq.fill(n)(-1L)
+  /** Same discipline with an explicit unknown sentinel (delete-band
+    * vectors: unknown = the all-overlapping band). */
+  private def alignOr(v: Seq[Long], n: Int, unknown: Long): Seq[Long] =
+    if (v.length == n) v else Seq.fill(n)(unknown)
   private val UnknownMin = Long.MinValue
   private val UnknownMax = Long.MaxValue
   private val UnknownNulls = -1L
@@ -347,7 +375,10 @@ class SnapshotTable(spark: SparkSession, root: String,
     val seqs = if (s.seqs.length == n) s.seqs else Seq.fill(n)(0L)
     FileSet(s.files, stats, seqs, s.deletes, s.deleteSeqs, s.deleteKey,
       alignLens(s.lens, n), alignLens(s.deleteLens, s.deletes.length),
-      alignLens(s.frows, n))
+      alignLens(s.frows, n),
+      alignLens(s.drows, s.deletes.length),
+      alignOr(s.dmins, s.deletes.length, UnknownMin),
+      alignOr(s.dmaxs, s.deletes.length, UnknownMax))
   }
 
   private def manifestPath(v: Long) = new Path(snapsDir, f"v$v%020d.json")
@@ -702,7 +733,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       idx.map(i => if (i < fls.seqs.length) fls.seqs(i) else 0L),
       fls.deletes, fls.deleteSeqs, fls.deleteKey,
       idx.map(alignLens(fls.lens, fls.files.length)), fls.deleteLens,
-      idx.map(alignLens(fls.frows, fls.files.length)))
+      idx.map(alignLens(fls.frows, fls.files.length)),
+      fls.drows, fls.dmins, fls.dmaxs)
   }
 
   /** Choose the manifest-list encoding for a commit: (group refs,
@@ -794,7 +826,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       longArray("deleteSeqs"), strArray("deleteKey"), ts, schemaJson,
       longArray("lens"), longArray("deleteLens"),
       groupRefs = strArray("groups"), bandsV = bandsV,
-      frows = longArray("frows"))
+      frows = longArray("frows"), drows = longArray("drows"),
+      dmins = longArray("dmins"), dmaxs = longArray("dmaxs"))
   }
 
   private def parseSchema(json: String): StructType =
@@ -1261,7 +1294,13 @@ class SnapshotTable(spark: SparkSession, root: String,
         s""","deleteKey":[${fls.deleteKey.map(c =>
           s""""${jsonSafe(c, "delete-key column")}"""").mkString(",")}]""" +
         (if (fls.deleteLens.length != fls.deletes.length) ""
-         else s""","deleteLens":[${fls.deleteLens.mkString(",")}]""")
+         else s""","deleteLens":[${fls.deleteLens.mkString(",")}]""") +
+        (if (fls.drows.length != fls.deletes.length) ""
+         else s""","drows":[${fls.drows.mkString(",")}]""") +
+        (if (fls.dmins.length != fls.deletes.length ||
+             fls.dmaxs.length != fls.deletes.length) ""
+         else s""","dmins":[${fls.dmins.mkString(",")}]""" +
+           s""","dmaxs":[${fls.dmaxs.mkString(",")}]""")
     val txnPart =
       if (txnApp.isEmpty) ""
       else s""","txnApp":"${jsonSafe(txnApp, "txn app id")}""""
@@ -1377,7 +1416,8 @@ class SnapshotTable(spark: SparkSession, root: String,
         alignLens(nw.lens, nw.files.length),
       prev.deleteLens,
       alignLens(prev.frows, prev.files.length) ++
-        alignLens(nw.frows, nw.files.length))
+        alignLens(nw.frows, nw.files.length),
+      prev.drows, prev.dmins, prev.dmaxs)
   }
 
   /** Columns opted into per-file point-lookup bloom filters
@@ -1799,7 +1839,24 @@ class SnapshotTable(spark: SparkSession, root: String,
     val fl = fileSetOf(snap)
     val cs = fl.stats(ci)
     val fr = alignLens(fl.frows, fl.files.length)
-    def hasDelete(i: Int) = fl.deleteSeqs.exists(_ > fl.seqs(i))
+    // A delete file can touch data file i only when it OUTSEQUENCES it
+    // AND (when the delete key is a single stats column with recorded
+    // bands on both sides) its key band overlaps the file's band on
+    // that column — an equality delete matches rows by key, and every
+    // row's key lies inside its file's band. Band-disjoint deletes
+    // leave the file metadata-servable; unknown bands read
+    // conservatively (the sentinel band overlaps everything).
+    val dk = fl.deleteKey.headOption
+      .filter(_ => fl.deleteKey.length == 1).map(statsCols.indexOf)
+      .filter(_ >= 0)
+    def hasDelete(i: Int) = fl.deleteSeqs.indices.exists { j =>
+      fl.deleteSeqs(j) > fl.seqs(i) && (dk match {
+        case Some(ki) =>
+          val ks = fl.stats(ki)
+          fl.dmaxs(j) >= ks.mins(i) && fl.dmins(j) <= ks.maxs(i)
+        case None => true
+      })
+    }
     def inside(i: Int) = cs.mins(i) >= lo && cs.maxs(i) <= hi &&
       cs.maxs(i) >= cs.mins(i) && cs.nulls(i) == 0L
     def outside(i: Int) = cs.maxs(i) < lo || cs.mins(i) > hi
@@ -2050,12 +2107,25 @@ class SnapshotTable(spark: SparkSession, root: String,
           else None
         }
       val deleted = countMatchingKeys(base, keyFiles.files, keyCols, keyBand)
+      // per-delete-file key counts + key bands (single-stats-key tables):
+      // the writer's one stats pass already folded both
+      val (newDmins, newDmaxs) =
+        if (keyCols.length == 1 && statsCols.contains(keyCols.head)) {
+          val cs = keyFiles.stats(statsCols.indexOf(keyCols.head))
+          (alignOr(cs.mins, keyFiles.files.length, UnknownMin),
+            alignOr(cs.maxs, keyFiles.files.length, UnknownMax))
+        } else (Seq.fill(keyFiles.files.length)(UnknownMin),
+          Seq.fill(keyFiles.files.length)(UnknownMax))
       val fls = prev.copy(
         deletes = prev.deletes ++ keyFiles.files,
         deleteSeqs = prev.deleteSeqs ++ Seq.fill(keyFiles.files.length)(base + 1),
         deleteKey = keyCols,
         deleteLens = alignLens(prev.deleteLens, prev.deletes.length) ++
-          alignLens(keyFiles.lens, keyFiles.files.length))
+          alignLens(keyFiles.lens, keyFiles.files.length),
+        drows = alignLens(prev.drows, prev.deletes.length) ++
+          alignLens(keyFiles.frows, keyFiles.files.length),
+        dmins = alignOr(prev.dmins, prev.deletes.length, UnknownMin) ++ newDmins,
+        dmaxs = alignOr(prev.dmaxs, prev.deletes.length, UnknownMax) ++ newDmaxs)
       publishAtBase(base, "delete_mor", fls, snapBase.rows - deleted,
         snapBase.schemaJson) match {
         case Some(v) => return v
@@ -2194,7 +2264,8 @@ class SnapshotTable(spark: SparkSession, root: String,
         prev.deleteLens,
         keepIdx.map(alignLens(prev.frows, prev.files.length)) ++
           alignLens(rewrite.frows, rewrite.files.length) ++
-          alignLens(batchFiles.frows, batchFiles.files.length))
+          alignLens(batchFiles.frows, batchFiles.files.length),
+        prev.drows, prev.dmins, prev.dmaxs)
       val schema = Some(evolveSchema(snap.schemaJson.map(parseSchema), batchSchema).json)
       publishAtBase(base, "replace_where", fls,
         snap.rows - removed + batchRows, schema) match {
@@ -2344,7 +2415,8 @@ class SnapshotTable(spark: SparkSession, root: String,
           Seq.fill(files.length)(-1L),
         deleteLens = prev.deleteLens,
         frows = keptIdx.map(alignLens(prev.frows, prev.files.length)) ++
-          alignLens(frows, files.length))
+          alignLens(frows, files.length),
+        drows = prev.drows, dmins = prev.dmins, dmaxs = prev.dmaxs)
       require(fls.files.nonEmpty,
         s"$action rewrite at $root would publish a file-less manifest")
       // row-level DML never evolves the schema: publish the base's
@@ -2385,7 +2457,9 @@ class SnapshotTable(spark: SparkSession, root: String,
   private[sources] def commitWrittenDeleteByKey(base: Long, keyFiles: Seq[String],
                                                 keyCols: Seq[String],
                                                 deltaRows: Long,
-                                                keyBand: Option[(Long, Long)] = None)
+                                                keyBand: Option[(Long, Long)] = None,
+                                                keyFrows: Seq[Long] = Seq.empty,
+                                                keyBands: Seq[(Long, Long)] = Seq.empty)
       : Option[Long] = {
     keyCols.foreach(jsonSafe(_, "delete-key column"))
     val snapBase = snapshot(base)
@@ -2399,13 +2473,20 @@ class SnapshotTable(spark: SparkSession, root: String,
         s"but an equality delete on (${keyCols.mkString(",")}) would remove " +
         s"$removed — write.delete.key must be row-unique and non-null for " +
         "the matched rows (use copy-on-write mode for non-key predicates)")
+    val bands =
+      if (keyBands.length == keyFiles.length) keyBands
+      else Seq.fill(keyFiles.length)((UnknownMin, UnknownMax))
     publishAtBase(base, "delete_mor", prev.copy(
       deletes = prev.deletes ++ keyFiles,
       deleteSeqs = prev.deleteSeqs ++ Seq.fill(keyFiles.length)(base + 1),
       deleteKey = keyCols,
       // fresh executor-written key files: publish stats them (O(new))
       deleteLens = alignLens(prev.deleteLens, prev.deletes.length) ++
-        Seq.fill(keyFiles.length)(-1L)),
+        Seq.fill(keyFiles.length)(-1L),
+      drows = alignLens(prev.drows, prev.deletes.length) ++
+        alignLens(keyFrows, keyFiles.length),
+      dmins = alignOr(prev.dmins, prev.deletes.length, UnknownMin) ++ bands.map(_._1),
+      dmaxs = alignOr(prev.dmaxs, prev.deletes.length, UnknownMax) ++ bands.map(_._2)),
       snapBase.rows - removed, snapBase.schemaJson)
   }
 
@@ -2456,7 +2537,9 @@ class SnapshotTable(spark: SparkSession, root: String,
                                              insertedRows: Long,
                                              batchSchema: StructType,
                                              keyBand: Option[(Long, Long)] = None,
-                                             dataFrows: Seq[Long] = Seq.empty)
+                                             dataFrows: Seq[Long] = Seq.empty,
+                                             keyFrows: Seq[Long] = Seq.empty,
+                                             keyBands: Seq[(Long, Long)] = Seq.empty)
       : Option[Long] = {
     keyCols.foreach(jsonSafe(_, "delete-key column"))
     val snapBase = snapshot(base)
@@ -2487,7 +2570,15 @@ class SnapshotTable(spark: SparkSession, root: String,
       deleteSeqs = prev.deleteSeqs ++ Seq.fill(keyFiles.length)(base + 1),
       deleteKey = if (keyFiles.nonEmpty) keyCols else prev.deleteKey,
       deleteLens = alignLens(prev.deleteLens, prev.deletes.length) ++
-        Seq.fill(keyFiles.length)(-1L))
+        Seq.fill(keyFiles.length)(-1L),
+      drows = alignLens(prev.drows, prev.deletes.length) ++
+        alignLens(keyFrows, keyFiles.length),
+      dmins = alignOr(prev.dmins, prev.deletes.length, UnknownMin) ++
+        (if (keyBands.length == keyFiles.length) keyBands.map(_._1)
+         else Seq.fill(keyFiles.length)(UnknownMin)),
+      dmaxs = alignOr(prev.dmaxs, prev.deletes.length, UnknownMax) ++
+        (if (keyBands.length == keyFiles.length) keyBands.map(_._2)
+         else Seq.fill(keyFiles.length)(UnknownMax)))
     // row-level DML never evolves the schema: keep the base's recorded one
     publishAtBase(base, action, fls, snapBase.rows - removed + insertedRows,
       snapBase.schemaJson.orElse(Some(normalizeSchema(batchSchema).json)))
@@ -2600,7 +2691,7 @@ class SnapshotTable(spark: SparkSession, root: String,
           keptIdx.map(fl.files), sliceStats(fl.stats, keptIdx),
           keptIdx.map(fl.seqs), fl.deletes, fl.deleteSeqs, fl.deleteKey,
           keptIdx.map(alignLens(fl.lens, fl.files.length)), fl.deleteLens,
-          keptIdx.map(fr)),
+          keptIdx.map(fr), fl.drows, fl.dmins, fl.dmaxs),
         snapBase.rows - removedRows, snapBase.schemaJson) match {
         case Some(v) => return Some(v)
         case None => attempts += 1 // tip moved: re-classify and retry
@@ -3272,7 +3363,8 @@ class SnapshotTable(spark: SparkSession, root: String,
         lens = keptIdx.map(alignLens(fl.lens, fl.files.length)) ++
           alignLens(raw.lens, raw.files.length),
         deleteLens = fl.deleteLens,
-        frows = keptIdx.map(fr) ++ alignLens(raw.frows, raw.files.length))
+        frows = keptIdx.map(fr) ++ alignLens(raw.frows, raw.files.length),
+        drows = fl.drows, dmins = fl.dmins, dmaxs = fl.dmaxs)
       publishAtBase(base, "compact", fls, snapBase.rows, snapBase.schemaJson,
         dataChange = false) match {
         case Some(v) => return v
@@ -3316,7 +3408,8 @@ class SnapshotTable(spark: SparkSession, root: String,
         lens = keptIdx.map(lens) ++ alignLens(raw.lens, raw.files.length),
         deleteLens = fl.deleteLens,
         frows = keptIdx.map(alignLens(fl.frows, fl.files.length)) ++
-          alignLens(raw.frows, raw.files.length))
+          alignLens(raw.frows, raw.files.length),
+        drows = fl.drows, dmins = fl.dmins, dmaxs = fl.dmaxs)
       publishAtBase(base, "compact", fls, snapBase.rows, snapBase.schemaJson,
         dataChange = false) match {
         case Some(v) => return v
@@ -3364,13 +3457,19 @@ class SnapshotTable(spark: SparkSession, root: String,
       if (classes.values.forall(_.length <= 1)) return base
       val delLens = alignLens(fl.deleteLens, fl.deletes.length)
       // fold each multi-file class into one file; single-member classes
-      // carry forward by identity (no I/O for them)
-      val folded: Seq[(Seq[String], Seq[Long], Seq[Long])] =
+      // carry forward by identity (no I/O for them). The folded file's
+      // key count / band come from the writer's stats pass; a folded
+      // drows (distinct keys across the class) stays an upper bound on
+      // the rows the class removes.
+      case class DelEntry(file: String, seq: Long, len: Long, rows: Long,
+                          bmin: Long, bmax: Long)
+      val folded: Seq[Seq[DelEntry]] =
         classes.toSeq.sortBy(_._1).map { case (_, idxs) =>
-          if (idxs.length == 1)
-            (Seq(fl.deletes(idxs.head)), Seq(fl.deleteSeqs(idxs.head)),
-              Seq(delLens(idxs.head)))
-          else {
+          if (idxs.length == 1) {
+            val i = idxs.head
+            Seq(DelEntry(fl.deletes(i), fl.deleteSeqs(i), delLens(i),
+              fl.drows(i), fl.dmins(i), fl.dmaxs(i)))
+          } else {
             val keys = spark.read.parquet(
                 idxs.map(i => new Path(dataDir, fl.deletes(i)).toString): _*)
               .select(fl.deleteKey.map(col): _*)
@@ -3378,19 +3477,32 @@ class SnapshotTable(spark: SparkSession, root: String,
               .coalesce(1) // one file per class IS the point
             val (kf, _) = writeDataFiles(keys)
             val seq = idxs.map(fl.deleteSeqs).min
-            (kf.files, Seq.fill(kf.files.length)(seq),
-              alignLens(kf.lens, kf.files.length))
+            val (bmins, bmaxs) =
+              if (fl.deleteKey.length == 1 && statsCols.contains(fl.deleteKey.head)) {
+                val cs = kf.stats(statsCols.indexOf(fl.deleteKey.head))
+                (alignOr(cs.mins, kf.files.length, UnknownMin),
+                  alignOr(cs.maxs, kf.files.length, UnknownMax))
+              } else (Seq.fill(kf.files.length)(UnknownMin),
+                Seq.fill(kf.files.length)(UnknownMax))
+            val lens = alignLens(kf.lens, kf.files.length)
+            val rows = alignLens(kf.frows, kf.files.length)
+            kf.files.indices.map(j =>
+              DelEntry(kf.files(j), seq, lens(j), rows(j), bmins(j), bmaxs(j)))
           }
         }
+      val entries = folded.flatten
       val fls = fl.copy(
-        deletes = folded.flatMap(_._1),
-        deleteSeqs = folded.flatMap(_._2),
-        deleteLens = folded.flatMap(_._3))
+        deletes = entries.map(_.file),
+        deleteSeqs = entries.map(_.seq),
+        deleteLens = entries.map(_.len),
+        drows = entries.map(_.rows),
+        dmins = entries.map(_.bmin),
+        dmaxs = entries.map(_.bmax))
       publishAtBase(base, "compact_deletes", fls, snapBase.rows,
         snapBase.schemaJson, dataChange = false) match {
         case Some(v) => return v
         case None => // lost the race: drop this attempt's folded files
-          folded.flatMap(_._1).filterNot(fl.deletes.contains)
+          entries.map(_.file).filterNot(fl.deletes.contains)
             .map(_.split('/').head).distinct
             .foreach(uuid => fs.delete(new Path(dataDir, uuid), true))
           attempts += 1
@@ -3577,7 +3689,8 @@ class SnapshotTable(spark: SparkSession, root: String,
         FileSet(bfls.files, bfls.stats,
           bfls.seqs.map(s => if (s > forkedAt) base + 1 else s),
           bfls.deletes, bfls.deleteSeqs, bfls.deleteKey,
-          bfls.lens, bfls.deleteLens, bfls.frows)
+          bfls.lens, bfls.deleteLens, bfls.frows,
+          bfls.drows, bfls.dmins, bfls.dmaxs)
       },
       _ => bsnap.rows, _ => bsnap.schemaJson)
   }
@@ -3753,8 +3866,15 @@ class SnapshotTable(spark: SparkSession, root: String,
         alignLens(fls.frows, n)(i))
     }
     val dels = fls.deletes.indices.map { j =>
+      val band =
+        if (fls.deleteKey.length == 1 && fls.dmins(j) != UnknownMin &&
+            fls.dmaxs(j) != UnknownMax)
+          (Map(fls.deleteKey.head -> fls.dmins(j)),
+            Map(fls.deleteKey.head -> fls.dmaxs(j)))
+        else (Map.empty[String, Long], Map.empty[String, Long])
       SnapshotFileMeta("delete", fls.deletes(j), fls.deleteSeqs(j), dlens(j),
-        Map.empty, Map.empty, Map.empty, Seq.empty)
+        band._1, band._2, Map.empty, Seq.empty,
+        alignLens(fls.drows, fls.deletes.length)(j))
     }
     data ++ dels
   }
@@ -3800,11 +3920,24 @@ class SnapshotTable(spark: SparkSession, root: String,
     val frowsSum =
       if (fl.deletes.isEmpty && fr.nonEmpty && fr.forall(_ >= 0L))
         Some(fr.sum) else None
+    // MOR tables reconcile from metadata as BOUNDS: deletes only remove
+    // rows (never add), and each equality-delete file removes AT MOST
+    // its recorded key count (exactly that many when committed; rewrites
+    // only absorb) — so live rows ∈ [Σfrows − Σdrows, Σfrows]. A deep
+    // recount is needed only when this window fails (or for the exact
+    // number).
+    val morBounds =
+      if (fl.deletes.nonEmpty && fr.nonEmpty && fr.forall(_ >= 0L) &&
+          fl.drows.length == fl.deletes.length && fl.drows.forall(_ >= 0L))
+        Some((fr.sum - fl.drows.sum, fr.sum))
+      else None
     val deepRows = if (deep) Some(read(v).count()) else None
     TableCheckReport(v, fl.files.length.toLong, fl.deletes.length.toLong,
       missing, lenMismatch, misaligned, s.rows, frowsSum, deepRows,
       ok = missing.isEmpty && lenMismatch.isEmpty && misaligned.isEmpty &&
-        frowsSum.forall(_ == s.rows) && deepRows.forall(_ == s.rows))
+        frowsSum.forall(_ == s.rows) && deepRows.forall(_ == s.rows) &&
+        morBounds.forall { case (lo, hi) => s.rows >= lo && s.rows <= hi },
+      rowsBounds = morBounds)
   }
 
   /** All RETAINED snapshots, oldest first (the table's audit history;

@@ -67,6 +67,19 @@ object SnapshotWrite {
     else None
   }
 
+  /** PER-FILE key bands for the manifest's delete-band vector (single
+    * key column; anything unknown degrades to the all-overlapping
+    * sentinel band, never to a wrong one). */
+  private[sources] def perFileKeyBands(keyCols: Seq[String],
+                                       msgs: Seq[SnapshotWriteMessage])
+      : Seq[(Long, Long)] =
+    msgs.map { m =>
+      if (keyCols.length == 1 && m.mins.length == 1 &&
+          m.mins(0) != UnknownMin && m.maxs(0) != UnknownMax && m.nulls(0) == 0L)
+        (m.mins(0), m.maxs(0))
+      else (UnknownMin, UnknownMax)
+    }
+
   /** Post-DML auto-maintenance (`write.delete.compact.at = N`): once the
     * tip carries >= N delete files, fold them ([[SnapshotTable
     * .compactDeletes]]). Runs AFTER the statement's commit published —
@@ -620,7 +633,9 @@ class SnapshotDeltaDeleteBatchWrite(spark: SparkSession, root: String,
     table.commitWrittenDeleteByKey(base,
         nonEmpty.map(m => s"$commitUuid/${m.file}"), keyCols,
         nonEmpty.map(_.rows).sum,
-        SnapshotWrite.foldedKeyBand(keyCols, nonEmpty))
+        SnapshotWrite.foldedKeyBand(keyCols, nonEmpty),
+        keyFrows = nonEmpty.map(_.rows),
+        keyBands = SnapshotWrite.perFileKeyBands(keyCols, nonEmpty))
       .getOrElse {
         hadoopFs.delete(new Path(dataDir, commitUuid), true)
         throw new java.util.ConcurrentModificationException(
@@ -801,7 +816,9 @@ class SnapshotDeltaRowBatchWrite(spark: SparkSession, root: String,
         dataMsgs.map(m => s"$commitUuid/${m.file}"), stats,
         dataMsgs.map(_.rows).sum, rowSchema,
         SnapshotWrite.foldedKeyBand(keyCols, keyMsgs),
-        dataFrows = dataMsgs.map(_.rows))
+        dataFrows = dataMsgs.map(_.rows),
+        keyFrows = keyMsgs.map(_.rows),
+        keyBands = SnapshotWrite.perFileKeyBands(keyCols, keyMsgs))
       .getOrElse {
         hadoopFs.delete(new Path(dataDir, commitUuid), true)
         throw new java.util.ConcurrentModificationException(

@@ -171,6 +171,88 @@ def y4m_frame(i: int, fidx: int, n_bytes: int) -> bytes:
     return bytes(out)
 
 
+OUT_MP4 = os.path.join(BASE, "media_mp4")
+N_MP4 = 10
+
+
+def mp4_spec(i: int):
+    """(major_brand, timescale, duration, mvhd_version, video_wh,
+    has_audio, mdat_form) — mdat_form: 'plain' | 'large' (64-bit
+    largesize) | 'tail' (size==0, extends to EOF)."""
+    return [
+        ("isom", 600, 3600, 0, (320, 240), False, "plain"),
+        ("mp42", 1000, 12345, 0, (640, 360), True, "plain"),
+        ("isom", 90000, 900900, 1, (1280, 720), True, "large"),
+        ("M4V ", 600, 7200, 0, (176, 144), False, "tail"),
+        ("mp42", 48000, 96000, 1, (1920, 1080), True, "plain"),
+        ("isom", 1000, 1, 0, (32, 32), False, "plain"),
+        ("avc1", 600, 61440, 0, (854, 480), True, "plain"),
+        ("isom", 90000, 4503599, 1, (426, 240), False, "large"),
+        ("mp42", 1000, 86400000, 1, (3840, 2160), True, "tail"),
+        ("isom", 600, 599, 0, (120, 90), False, "plain"),
+    ][i % 10]
+
+
+def _box(typ: bytes, payload: bytes, form: str = "plain") -> bytes:
+    if form == "large":
+        return struct.pack(">I", 1) + typ + struct.pack(">Q", 16 + len(payload)) + payload
+    if form == "tail":  # size 0 = to end of file; must be the last box
+        return struct.pack(">I", 0) + typ + payload
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _fullbox(typ: bytes, version: int, payload: bytes) -> bytes:
+    return _box(typ, struct.pack(">B", version) + b"\x00\x00\x00" + payload)
+
+
+def _mvhd(version: int, timescale: int, duration: int) -> bytes:
+    times = struct.pack(">QQIQ" if version else ">IIII",
+                        7, 11, timescale, duration)
+    rest = (struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+            + b"\x00" * 10
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + b"\x00" * 24 + struct.pack(">I", 99))
+    return _fullbox(b"mvhd", version, times + rest)
+
+
+def _tkhd(track_id: int, duration: int, w: int, h: int) -> bytes:
+    payload = (struct.pack(">IIII", 7, 11, track_id, 0)
+               + struct.pack(">I", duration) + b"\x00" * 8
+               + struct.pack(">HHHH", 0, 0, 0x0100 if w == 0 else 0, 0)
+               + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+               + struct.pack(">II", w << 16, h << 16))
+    return _fullbox(b"tkhd", 0, payload)
+
+
+def _hdlr(handler: bytes, name: bytes) -> bytes:
+    return _fullbox(b"hdlr", 0,
+                    struct.pack(">I", 0) + handler + b"\x00" * 12 + name + b"\x00")
+
+
+def _trak(track_id: int, duration: int, w: int, h: int, handler: bytes) -> bytes:
+    mdia = _box(b"mdia", _hdlr(handler, b"graft"))
+    return _box(b"trak", _tkhd(track_id, duration, w, h) + mdia)
+
+
+def mp4_bytes(i: int) -> bytes:
+    brand, timescale, duration, ver, (w, h), has_audio, mdat_form = mp4_spec(i)
+    ftyp = _box(b"ftyp", brand.encode("ascii") + struct.pack(">I", 512)
+                + b"isom" + b"mp41")
+    traks = _trak(1, duration, w, h, b"vide")
+    if has_audio:
+        traks += _trak(2, duration, 0, 0, b"soun")
+    moov = _box(b"moov", _mvhd(ver, timescale, duration) + traks)
+    # deterministic opaque payload; a 'free' box exercises skip logic
+    s = (i * 76543217 + 5) % (1 << 31)
+    payload = bytearray()
+    for _ in range(64 + (i * i * 53) % 900):
+        s = (s * 1103515245 + 12345) % (1 << 31)
+        payload.append(s % 256)
+    free = _box(b"free", b"\x00" * (4 + i % 9))
+    mdat = _box(b"mdat", bytes(payload), mdat_form)
+    return ftyp + free + moov + mdat
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     for i in range(N_FILES):
@@ -238,6 +320,23 @@ def main() -> None:
     with open(os.path.join(OUT_Y4M, "manifest_frames.csv"), "w") as f:
         f.write("\n".join(flines) + "\n")
     print(f"wrote {N_Y4M} Y4Ms + manifests to {os.path.abspath(OUT_Y4M)}")
+
+    os.makedirs(OUT_MP4, exist_ok=True)
+    mlines = ["media_id,byte_len,checksum,major_brand,timescale,duration,"
+              "duration_ms,n_tracks,n_video,n_audio,width,height"]
+    for i in range(N_MP4):
+        brand, timescale, duration, _, (w, h), has_audio, _ = mp4_spec(i)
+        blob = mp4_bytes(i)
+        with open(os.path.join(OUT_MP4, f"vid_{i:03d}.mp4"), "wb") as f:
+            f.write(blob)
+        n_tracks = 2 if has_audio else 1
+        duration_ms = duration * 1000 // timescale
+        mlines.append(f"{i},{len(blob)},{hashlib.md5(blob).hexdigest()},"
+                      f"{brand.strip()},{timescale},{duration},{duration_ms},"
+                      f"{n_tracks},1,{1 if has_audio else 0},{w},{h}")
+    with open(os.path.join(OUT_MP4, "manifest.csv"), "w") as f:
+        f.write("\n".join(mlines) + "\n")
+    print(f"wrote {N_MP4} MP4s + manifest to {os.path.abspath(OUT_MP4)}")
 
 
 if __name__ == "__main__":
