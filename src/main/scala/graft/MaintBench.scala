@@ -81,6 +81,29 @@ object MaintBench {
     val distPerRoundMs = distMs.toDouble / distRounds
     val distExtrapolatedS = distPerRoundMs * bpeRounds / 1000.0
 
+    // ---- 3. maintain() policy loop over a mixed-debris table ----
+    // base file + 40 small appends + 12 MOR delete commits; the loop
+    // must drain to 'none' in a handful of policy-chosen steps
+    val mroot = java.nio.file.Files.createTempDirectory("graft_maintain").toString
+    val mt = new SnapshotTable(spark, mroot, statsCols = Seq("k"))
+    mt.commitAppend(spark.range(0L, 200000L).select(col("id").as("k"),
+      (col("id") * 7).as("v")).repartitionByRange(4, col("k")))
+    (0 until 40).foreach(i => mt.commitAppend(
+      spark.range(500000L + i * 50, 500000L + i * 50 + 50)
+        .select(col("id").as("k"), (col("id") * 7).as("v")).repartition(1)))
+    (1 to 12).foreach(i =>
+      mt.commitDeleteByKey(Seq(Tuple1(i.toLong * 11)).toDF("k"), Seq("k")))
+    val policy = graft.sources.MaintainPolicy(
+      smallFileBytes = 1L * 1024 * 1024, smallFilesAt = 4)
+    val (maintSteps, maintainMs) = timed {
+      Iterator.continually(mt.maintain(policy))
+        .takeWhile(_.action != "none").map(_.action).toVector
+    }
+    val (maintCnt, maintReadMs) = timed(
+      new SnapshotTable(spark, mroot, statsCols = Seq("k")).read().count())
+    require(maintCnt == 200000L + 40 * 50 - 12,
+      s"maintain loop changed contents: $maintCnt")
+
     println(s"""{"metric":"maintbench","mor_deletes":$morDeletes,
       |"mor_build_ms":$delBuildMs,
       |"delete_files_before":$nBefore,"delete_files_after":$nAfter,
@@ -89,7 +112,9 @@ object MaintBench {
       |"bpe_rounds_asked":$bpeRounds,"bpe_merges":${localTable.length},
       |"bpe_local_ms":$localMs,
       |"bpe_dist_rounds_measured":$distRounds,"bpe_dist_ms":$distMs,
-      |"bpe_dist_extrapolated_s":${f"$distExtrapolatedS%.1f"}}"""
+      |"bpe_dist_extrapolated_s":${f"$distExtrapolatedS%.1f"},
+      |"maintain_steps":"${maintSteps.mkString(",")}",
+      |"maintain_ms":$maintainMs,"maintain_read_ms":$maintReadMs}"""
       .stripMargin.replace("\n", ""))
     spark.stop()
   }

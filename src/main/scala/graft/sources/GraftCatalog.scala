@@ -529,7 +529,7 @@ private[sources] object GraftProcedures {
       "expire_snapshots", "rollback",
       "create_tag", "drop_tag", "create_branch", "drop_branch",
       "fast_forward", "clone", "ingest_files", "compact_range",
-      "check_table")
+      "check_table", "maintain")
 
   def load(name: String, catalog: GraftCatalog,
            handleFor: String => SnapshotTable): UnboundProcedure = name match {
@@ -684,6 +684,36 @@ private[sources] object GraftProcedures {
           val t = handleFor(in.getString(0))
           val v = t.compactDeletes()
           Seq(v, t.snapshot(v).deletes.length.toLong)
+      }
+    case "maintain" =>
+      proc("maintain", "ONE policy-chosen maintenance step from the " +
+        "manifest's debris metrics: fold delete files, fold small " +
+        "files, fold the deepest band-overlap clique, or retention " +
+        "vacuum — cheapest estimated bytes first; action='none' when " +
+        "the table is clean. The cron loop: CALL until none",
+        Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("small_file_bytes", DataTypes.LongType)
+            .defaultValue((8L * 1024 * 1024).toString).build(),
+          ProcedureParameter.in("target_file_bytes", DataTypes.LongType)
+            .defaultValue((128L * 1024 * 1024).toString).build(),
+          ProcedureParameter.in("max_retained", DataTypes.IntegerType)
+            .defaultValue("0").build()),
+        StructType(Seq(
+          StructField("action", DataTypes.StringType, nullable = false),
+          StructField("version", DataTypes.LongType, nullable = false),
+          StructField("est_bytes", DataTypes.LongType, nullable = false),
+          StructField("detail", DataTypes.StringType, nullable = false)))) {
+        in =>
+          val t = handleFor(in.getString(0))
+          val p = MaintainPolicy(
+            smallFileBytes =
+              if (in.isNullAt(1)) 8L * 1024 * 1024 else in.getLong(1),
+            targetFileBytes =
+              if (in.isNullAt(2)) 128L * 1024 * 1024 else in.getLong(2),
+            maxRetained = if (in.isNullAt(3)) 0 else in.getInt(3))
+          val r = t.maintain(p)
+          Seq(r.action, r.version, r.estBytes, r.detail)
       }
     case "vacuum" =>
       proc("vacuum", "drop data files and manifests outside the last " +

@@ -94,6 +94,25 @@ case class TableCheckReport(version: Long, files: Long, deletes: Long,
                             // removes at most its recorded key count)
                             rowsBounds: Option[(Long, Long)] = None)
 
+/** Debris thresholds for [[SnapshotTable.maintain]] — what "needs
+  * maintenance" means for a table, as configuration. `maxRetained = 0`
+  * disables the retention-vacuum step (time travel is a policy choice,
+  * not debris). */
+case class MaintainPolicy(deleteFilesAt: Int = 4,
+                          smallFileBytes: Long = 8L * 1024 * 1024,
+                          smallFilesAt: Int = 4,
+                          targetFileBytes: Long = 128L * 1024 * 1024,
+                          overlapAt: Int = 4,
+                          targetRowsPerFile: Long = 1000000L,
+                          maxRetained: Int = 0)
+
+/** What one [[SnapshotTable.maintain]] step did: the verb that ran
+  * (`compact_deletes` | `compact_files` | `compact_range` | `vacuum` |
+  * `none`), the resulting tip version, the manifest-estimated bytes the
+  * step rewrote, and a human-readable reason. */
+case class MaintainReport(action: String, version: Long, estBytes: Long,
+                          detail: String)
+
 case class SnapshotFileMeta(content: String, file: String, commitSeq: Long,
                             bytes: Long,
                             minKey: Map[String, Long],
@@ -3509,6 +3528,95 @@ class SnapshotTable(spark: SparkSession, root: String,
       }
     }
     sys.error(s"compactDeletes at $root: gave up after $attempts conflicts")
+  }
+
+  /** ONE maintenance step chosen by POLICY from the manifest's debris
+    * metrics — the call an operator's cron runs against every table
+    * instead of hand-picking among the five verbs ([[compactDeletes]],
+    * [[compactFiles]], [[compactRange]], [[compact]], [[vacuum]]).
+    * All metrics are METADATA (delete-file census + foldability,
+    * small-file bytes off recorded lengths, band-overlap depth off the
+    * recorded bands, retained-version count); among the applicable
+    * rewrite actions the one with the SMALLEST estimated byte cost
+    * runs — delete folds (no data read) before small-file folds before
+    * hot-band folds — then retention vacuum when nothing needs
+    * rewriting, then `none`. Each step strictly reduces its own
+    * metric, so `while (maintain().action != "none")` terminates with
+    * a clean table. Returns what ran and the manifest-estimated bytes
+    * it rewrote. */
+  def maintain(policy: MaintainPolicy = MaintainPolicy()): MaintainReport = {
+    require(policy.deleteFilesAt >= 2 && policy.smallFilesAt >= 2 &&
+      policy.overlapAt >= 2,
+      s"maintain thresholds must be >= 2 (a 1-file fold is a no-op): $policy")
+    val base = latestVersion()
+    require(base > 0, s"nothing to maintain at $root")
+    val fl = fileSetOf(snapshot(base))
+    val lens = alignLens(fl.lens, fl.files.length)
+
+    // delete folding is applicable only when some applicability class
+    // holds >1 file (the same class cut compactDeletes folds by) —
+    // otherwise the verb would no-op forever and the cron would spin
+    val dataSeqs = fl.seqs.distinct.sorted
+    def cut(s: Long): Int = dataSeqs.count(_ < s)
+    val deleteFoldable = fl.deletes.length >= policy.deleteFilesAt &&
+      fl.deleteSeqs.groupBy(cut).values.exists(_.length > 1)
+    val deleteBytes = alignLens(fl.deleteLens, fl.deletes.length)
+      .map(math.max(0L, _)).sum
+
+    val smallIdx = fl.files.indices
+      .filter(i => lens(i) >= 0L && lens(i) < policy.smallFileBytes)
+    val smallApplies = smallIdx.length >= policy.smallFilesAt
+    val smallBytes = smallIdx.map(lens).sum
+
+    // band-overlap depth on the first stats column: classic sweep over
+    // the recorded [min,max] bands (unknown/inverted bands excluded —
+    // they prove nothing). The deepest stab point becomes the
+    // compactRange target: exactly the overlapping clique rewrites.
+    val overlap: Option[(String, Long, Long)] = statsCols.headOption.flatMap { c =>
+      val cs = fl.stats(statsCols.indexOf(c))
+      val known = fl.files.indices.filter(i =>
+        cs.mins(i) != UnknownMin && cs.maxs(i) != UnknownMax &&
+          cs.mins(i) <= cs.maxs(i))
+      // sweep: +1 at min, -1 just past max; track the deepest point
+      val events = known.flatMap(i => Seq((cs.mins(i), 1, i), (cs.maxs(i), -1, i)))
+        .sortBy(e => (e._1, -e._2))
+      var depth = 0; var best = 0; var bestAt = 0L
+      events.foreach { case (at, d, _) =>
+        depth += d
+        if (d > 0 && depth > best) { best = depth; bestAt = at }
+      }
+      if (best >= policy.overlapAt) {
+        val clique = known.filter(i => cs.mins(i) <= bestAt && cs.maxs(i) >= bestAt)
+        Some((c, bestAt, clique.map(i => math.max(0L, lens(i))).sum))
+      } else None
+    }
+
+    val candidates = Seq(
+      if (deleteFoldable)
+        Some(("compact_deletes", deleteBytes,
+          () => compactDeletes(),
+          s"${fl.deletes.length} delete files"))
+      else None,
+      if (smallApplies)
+        Some(("compact_files", smallBytes,
+          () => compactFiles(policy.smallFileBytes, policy.targetFileBytes),
+          s"${smallIdx.length} files under ${policy.smallFileBytes}B"))
+      else None,
+      overlap.map { case (c, at, bytes) =>
+        ("compact_range", bytes,
+          () => compactRange(c, at, at, policy.targetRowsPerFile),
+          s"band clique on '$c' at key $at")
+      }).flatten
+    candidates.sortBy(_._2).headOption match {
+      case Some((action, bytes, run, detail)) =>
+        MaintainReport(action, run(), bytes, detail)
+      case None if policy.maxRetained > 0 &&
+          history().length > policy.maxRetained =>
+        vacuum(policy.maxRetained)
+        MaintainReport("vacuum", latestVersion(), 0L,
+          s"retained to last ${policy.maxRetained} versions")
+      case None => MaintainReport("none", base, 0L, "table is clean")
+    }
   }
 
   // ----- named refs: tags and branches --------------------------------
