@@ -954,6 +954,43 @@ object MiscQueries {
           col("n_rows"), col("total_cents"))
     }),
 
+    // Per-file NDV sketches in the manifest (mergeable HLL over band
+    // keys — Iceberg's puffin-ndv idea): the distinct-count estimate is
+    // served from METADATA (zero files opened) and must land within the
+    // lgK=9 error envelope of the exact answer, full-table and
+    // post-pruning both. The exact counts replay in DuckDB; the
+    // estimate-within-bound flags pin the sketch quality.
+    "misc_snapshot_ndv" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_snapndv").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("day"))
+      val o = Tables.orders(s, d).select(to_date(col("o_orderdate")).as("day"),
+        col("o_custkey"))
+      val (c1, c2) = (java.sql.Date.valueOf("1997-01-01"),
+        java.sql.Date.valueOf("1999-01-01"))
+      t.commitAppend(o.filter(col("day") < lit(c1)).repartition(1))
+      t.commitAppend(o.filter(col("day") >= lit(c1) && col("day") < lit(c2))
+        .repartition(1))
+      t.commitAppend(o.filter(col("day") >= lit(c2)).repartition(1))
+      def day(x: String) = java.sql.Date.valueOf(x).toLocalDate.toEpochDay
+      val est = t.estimateDistinct("day")
+      val estPruned = t.plannedColumnNdvs(
+        Map("day" -> ((day("1997-01-01"), day("1999-01-01") - 1))),
+        Map.empty, Set.empty, Seq.empty, -1L).get("day")
+      def leg(name: String, filter: org.apache.spark.sql.Column,
+              estimate: Option[Long]) = {
+        val exact = t.read().filter(filter).agg(
+          countDistinct(col("day")).as("n_distinct"))
+        exact.select(lit(name).as("leg"), col("n_distinct"),
+          lit(estimate.isDefined).as("estimated"),
+          (col("n_distinct") * 80 <= lit(estimate.getOrElse(0L)) * 100 &&
+            col("n_distinct") * 120 >= lit(estimate.getOrElse(0L)) * 100)
+            .as("estimate_close"))
+      }
+      leg("full", lit(true), est)
+        .unionByName(leg("pruned",
+          col("day") >= lit(c1) && col("day") < lit(c2), estPruned))
+    }),
+
     // Manifest-served MIN/MAX over a DATE stats column: the freshness
     // probe every date-keyed pipeline runs (`SELECT max(event_date)`)
     // answers from one manifest parse — DATE's band key is its exact
@@ -3663,6 +3700,21 @@ SELECT 3, 'alter', TRUE, CAST(n AS BIGINT), CAST(s AS BIGINT) FROM agg
 UNION ALL
 SELECT 4, 'append', TRUE, CAST(2 * n AS BIGINT), CAST(1001 * s AS BIGINT)
 FROM agg""",
+
+    // exact distinct-day counts replay; estimated/estimate_close pin
+    // that the manifest's HLL sketches answered, within 20%
+    "misc_snapshot_ndv" -> """
+SELECT 'full' AS leg,
+       CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_distinct,
+       CAST(TRUE AS BOOLEAN) AS estimated, CAST(TRUE AS BOOLEAN) AS estimate_close
+FROM orders
+UNION ALL
+SELECT 'pruned',
+       CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT),
+       CAST(TRUE AS BOOLEAN), CAST(TRUE AS BOOLEAN)
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'""",
 
     "misc_snapshot_date_minmax" -> """
 WITH base AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day FROM orders)

@@ -803,6 +803,32 @@ class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
       private val rows: Option[Long] = plannedRows.orElse(snap.map(_.rows))
       override def numRows(): java.util.OptionalLong =
         rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+      /** Per-column DISTINCT counts from the manifest's mergeable NDV
+        * sketches, over the PLANNED (post-pruning) file set — the CBO
+        * input that lets join planning stop guessing (DSv2 column
+        * statistics, SPARK-41378's path). Columns without full sketch
+        * coverage are simply absent. */
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val out = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        val ndvs =
+          try table.plannedColumnNdvs(bands, points, nullCols, orAlts, version)
+          catch { case scala.util.control.NonFatal(_) =>
+            Map.empty[String, Long] }
+        ndvs.foreach { case (c, n) =>
+          if (required.fieldNames.contains(c))
+            out.put(
+              org.apache.spark.sql.connector.expressions.Expressions.column(c),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(n)
+              })
+        }
+        out
+      }
       override def sizeInBytes(): java.util.OptionalLong = {
         def scaled(raw: Long): Long = {
           val full = math.max(1, table.schemaOf(version).defaultSize)

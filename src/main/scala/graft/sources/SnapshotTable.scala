@@ -28,7 +28,13 @@ case class ColStats(mins: Seq[Long], maxs: Seq[Long], nulls: Seq[Long],
                     // serialization; "" = absent), recorded only for
                     // `write.bloom.cols` columns — same alignment
                     // discipline as the typed bounds
-                    blooms: Seq[String] = Seq.empty)
+                    blooms: Seq[String] = Seq.empty,
+                    // per-file NDV sketch over the column's band keys
+                    // (datasketches HLL, base64 compact; "" = absent) —
+                    // mergeable across any file subset, so pruned scans
+                    // report post-pruning distinct counts (see
+                    // [[FileNdv]]); same alignment discipline
+                    ndvs: Seq[String] = Seq.empty)
 
 /** A snapshot descriptor parsed back from a published manifest.
   * `batchId` is -1 for plain commits; streaming appends record their
@@ -330,7 +336,7 @@ class SnapshotTable(spark: SparkSession, root: String,
   private def unknownStats(n: Int): ColStats =
     ColStats(Seq.fill(n)(UnknownMin), Seq.fill(n)(UnknownMax), Seq.fill(n)(UnknownNulls),
       Seq.fill(n)(TypedBounds.Absent), Seq.fill(n)(TypedBounds.Absent),
-      Seq.fill(n)(""))
+      Seq.fill(n)(""), Seq.fill(n)(""))
 
   private def emptyStats: Seq[ColStats] = statsCols.map(_ => unknownStats(0))
 
@@ -349,8 +355,9 @@ class SnapshotTable(spark: SparkSession, root: String,
       val n = cs.mins.length
       val (tm, tx) = (alignTyped(cs.tmins, n), alignTyped(cs.tmaxs, n))
       val bl = alignBlooms(cs.blooms, n)
+      val nd = alignBlooms(cs.ndvs, n)
       ColStats(idx.map(cs.mins), idx.map(cs.maxs), idx.map(cs.nulls),
-        idx.map(tm), idx.map(tx), idx.map(bl))
+        idx.map(tm), idx.map(tx), idx.map(bl), idx.map(nd))
     }
 
   private def concatStats(a: Seq[ColStats], b: Seq[ColStats]): Seq[ColStats] =
@@ -358,7 +365,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       ColStats(x.mins ++ y.mins, x.maxs ++ y.maxs, x.nulls ++ y.nulls,
         alignTyped(x.tmins, x.mins.length) ++ alignTyped(y.tmins, y.mins.length),
         alignTyped(x.tmaxs, x.mins.length) ++ alignTyped(y.tmaxs, y.mins.length),
-        alignBlooms(x.blooms, x.mins.length) ++ alignBlooms(y.blooms, y.mins.length)) }
+        alignBlooms(x.blooms, x.mins.length) ++ alignBlooms(y.blooms, y.mins.length),
+        alignBlooms(x.ndvs, x.mins.length) ++ alignBlooms(y.ndvs, y.mins.length)) }
 
   /** Align a manifest's stats to THIS table's statsCols by column name.
     * A legacy manifest (pre-statsCols) carries ONE unnamed stats block —
@@ -382,7 +390,7 @@ class SnapshotTable(spark: SparkSession, root: String,
         ColStats(cs.mins, cs.maxs,
           if (cs.nulls.length == n) cs.nulls else Seq.fill(n)(UnknownNulls),
           alignTyped(cs.tmins, n), alignTyped(cs.tmaxs, n),
-          alignBlooms(cs.blooms, n))
+          alignBlooms(cs.blooms, n), alignBlooms(cs.ndvs, n))
       else unknownStats(n)
     val manifestCols =
       if (s.statsCols.nonEmpty) s.statsCols
@@ -655,7 +663,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       val sfx = if (i == 0) "" else i.toString
       ColStats(longArray(s"mins$sfx"), longArray(s"maxs$sfx"), longArray(s"nulls$sfx"),
         typedArray(txt, s"tmins$sfx"), typedArray(txt, s"tmaxs$sfx"),
-        typedArray(txt, s"blooms$sfx"))
+        typedArray(txt, s"blooms$sfx"), typedArray(txt, s"ndvs$sfx"))
     }
     GroupData(files, longArray("seqs"), longArray("lens"), cols, stats,
       longArray("frows"))
@@ -731,7 +739,7 @@ class SnapshotTable(spark: SparkSession, root: String,
             s""","mins$sfx":[${cs.mins.mkString(",")}]""" +
               s""","maxs$sfx":[${cs.maxs.mkString(",")}]""" +
               s""","nulls$sfx":[${cs.nulls.mkString(",")}]""" +
-              typedBoundsPart(cs, sfx) + bloomsPart(cs, sfx)
+              typedBoundsPart(cs, sfx) + bloomsPart(cs, sfx) + ndvsPart(cs, sfx)
           }.mkString
       }
     val body =
@@ -826,7 +834,7 @@ class SnapshotTable(spark: SparkSession, root: String,
           val sfx = if (i == 0) "" else i.toString
           ColStats(longArray(s"mins$sfx"), longArray(s"maxs$sfx"), longArray(s"nulls$sfx"),
             typedArray(txt, s"tmins$sfx"), typedArray(txt, s"tmaxs$sfx"),
-            typedArray(txt, s"blooms$sfx"))
+            typedArray(txt, s"blooms$sfx"), typedArray(txt, s"ndvs$sfx"))
         }
       else {
         // pre-statsCols manifests: a single unnamed stats block
@@ -1140,9 +1148,23 @@ class SnapshotTable(spark: SparkSession, root: String,
         // applies to filter literals, so the three can never disagree.
         // Unmapped types (double, decimal, …) fold to the unknown
         // sentinel: never pruned, conservatively correct.
+        // the NDV sketch rides the SAME aggregation (4th slot per
+        // column): hll_sketch_agg over the band key — zero extra jobs;
+        // unmapped column types carry a null placeholder (no sketch)
+        def ndvAgg(c: String): org.apache.spark.sql.Column = {
+          import org.apache.spark.sql.types._
+          written.schema.fields.find(_.name == c).map(_.dataType) match {
+            case Some(ByteType | ShortType | IntegerType | LongType |
+                      BooleanType | DateType | TimestampType | StringType) =>
+              org.apache.spark.sql.functions.hll_sketch_agg(
+                bandKeyCol(written, c, bandsV), FileNdv.LgK)
+            case _ => min(lit(null).cast("binary"))
+          }
+        }
         val aggExprs = presentCols.flatMap(c => Seq(
           min(col(c)), max(col(c)),
-          sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L)))))
+          sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L))),
+          ndvAgg(c)))
         def keyOr(v: Any, unknown: Long): Long =
           Option(v).flatMap(BandKeys.valueKey(_, bandsV).map(_._1)).getOrElse(unknown)
         // typed bounds ride the same collected min/max: for STRING stats
@@ -1158,14 +1180,18 @@ class SnapshotTable(spark: SparkSession, root: String,
           .collect() // ≤ one row per written file — commit-sized, bounded
           .map { r =>
             val per = presentCols.zipWithIndex.map { case (c, i) =>
-              c -> ((keyOr(r.get(1 + 3 * i), UnknownMin),
-                     keyOr(r.get(2 + 3 * i), UnknownMax),
-                     Option(r.get(3 + 3 * i)).fold(UnknownNulls)(_.asInstanceOf[Long]),
-                     typedOr(r.get(1 + 3 * i)), typedOr(r.get(2 + 3 * i))))
+              c -> ((keyOr(r.get(1 + 4 * i), UnknownMin),
+                     keyOr(r.get(2 + 4 * i), UnknownMax),
+                     Option(r.get(3 + 4 * i)).fold(UnknownNulls)(_.asInstanceOf[Long]),
+                     typedOr(r.get(1 + 4 * i)), typedOr(r.get(2 + 4 * i)),
+                     Option(r.get(4 + 4 * i)).map(b =>
+                       java.util.Base64.getEncoder.encodeToString(
+                         b.asInstanceOf[Array[Byte]])).getOrElse("")))
             }.toMap
             r.getString(0) -> per
           }.toMap
-        def statsFor(rel: String, c: String): (Long, Long, Long, String, String) =
+        def statsFor(rel: String, c: String)
+            : (Long, Long, Long, String, String, String) =
           byFile.collectFirst {
             case (uri, per) if uri.endsWith(rel.split('/').last) => per(c)
           }.getOrElse(
@@ -1174,9 +1200,9 @@ class SnapshotTable(spark: SparkSession, root: String,
             // inverted never-overlapping band, like the executor
             // writers do — or unexpectedly missing: unknown sentinel
             if (rowsFor(rel) == 0L)
-              (UnknownMax, UnknownMin, 0L, TypedBounds.Absent, TypedBounds.Absent)
+              (UnknownMax, UnknownMin, 0L, TypedBounds.Absent, TypedBounds.Absent, "")
             else (UnknownMin, UnknownMax, UnknownNulls,
-              TypedBounds.Absent, TypedBounds.Absent))
+              TypedBounds.Absent, TypedBounds.Absent, ""))
         // per-file point-lookup blooms for the opted columns — one extra
         // bounded aggregation, run ONLY on bloom-opted tables (the DSv2
         // executor writers fold theirs inline; this is the driver path)
@@ -1213,7 +1239,8 @@ class SnapshotTable(spark: SparkSession, root: String,
             val trip = parts.map(p => statsFor(p, c))
             ColStats(trip.map(_._1), trip.map(_._2), trip.map(_._3),
               trip.map(_._4), trip.map(_._5),
-              parts.map(p => bloomFor(p, c)))
+              parts.map(p => bloomFor(p, c)),
+              trip.map(_._6))
           }
         }
       }
@@ -1250,6 +1277,14 @@ class SnapshotTable(spark: SparkSession, root: String,
     val bl = alignBlooms(cs.blooms, cs.mins.length)
     if (bl.forall(_.isEmpty)) ""
     else s""","blooms$sfx":[${bl.map(b => s""""$b"""").mkString(",")}]"""
+  }
+
+  /** NDV-sketch array for one stats column's manifest/group block — same
+    * emission rule as blooms (absent sketches cost zero bytes). */
+  private def ndvsPart(cs: ColStats, sfx: String): String = {
+    val nd = alignBlooms(cs.ndvs, cs.mins.length)
+    if (nd.forall(_.isEmpty)) ""
+    else s""","ndvs$sfx":[${nd.map(b => s""""$b"""").mkString(",")}]"""
   }
 
   /** Parse one typed-bounds array, preserving EMPTY entries (base64 of
@@ -1292,7 +1327,7 @@ class SnapshotTable(spark: SparkSession, root: String,
           s""","mins$sfx":[${cs.mins.mkString(",")}]""" +
             s""","maxs$sfx":[${cs.maxs.mkString(",")}]""" +
             s""","nulls$sfx":[${cs.nulls.mkString(",")}]""" +
-            typedBoundsPart(cs, sfx) + bloomsPart(cs, sfx)
+            typedBoundsPart(cs, sfx) + bloomsPart(cs, sfx) + ndvsPart(cs, sfx)
         }.mkString
       }
     val schemaPart = schemaJson.fold("")(j =>
@@ -1892,6 +1927,51 @@ class SnapshotTable(spark: SparkSession, root: String,
         df.filter(bandKeyCol(df, column, snap.bandsV).between(lo, hi)).count()
       }
     (served + scanned, scan.map(fl.files))
+  }
+
+  /** Estimated DISTINCT count of `column` over the live files at
+    * `version` (default: tip), served from the manifest's per-file NDV
+    * sketches alone ([[FileNdv]] — mergeable HLL unions, no file
+    * opened). None when the column carries no sketches (legacy files,
+    * non-stats column). The estimate ignores MOR deletes (deleted rows
+    * still counted) — an upper bound, the conservative direction for
+    * planning. STRING columns estimate over the lossy prefix key: a
+    * lower bound (documented in [[FileNdv]]). */
+  def estimateDistinct(column: String, version: Long = -1L): Option[Long] = {
+    val ci = statsCols.indexOf(column)
+    if (ci < 0) return None
+    val v = if (version < 0) latestVersion() else version
+    if (v <= 0) return None
+    val fl = fileSetOf(snapshot(v))
+    ndvOf(fl, ci, fl.files.indices)
+  }
+
+  /** NDV union-estimate over a file index subset; empty files (recorded
+    * zero rows) contribute nothing and need no sketch. */
+  private def ndvOf(fl: FileSet, ci: Int, idx: Seq[Int]): Option[Long] = {
+    val nd = alignBlooms(fl.stats(ci).ndvs, fl.files.length)
+    val fr = alignLens(fl.frows, fl.files.length)
+    val nonEmpty = idx.filterNot(i => fr(i) == 0L)
+    if (nonEmpty.isEmpty) Some(0L)
+    else FileNdv.unionEstimate(nonEmpty.map(nd))
+  }
+
+  /** Post-pruning per-column NDV estimates for the file set the given
+    * pruning would plan — what the connector's column statistics report
+    * so join planning and distinct-count questions see the scan, not
+    * the table. Columns without full sketch coverage are absent. */
+  private[graft] def plannedColumnNdvs(bands: Map[String, (Long, Long)],
+                                       points: Map[String, Seq[Long]],
+                                       nullCols: Set[String],
+                                       orAlts: Seq[Seq[PruneAlt]],
+                                       version: Long): Map[String, Long] = {
+    val v = if (version < 0) latestVersion() else version
+    if (v <= 0) return Map.empty
+    val fl = fileSetOf(snapshot(v))
+    val keep = prunedKeep(fl, bands, points, nullCols, orAlts)
+    statsCols.zipWithIndex.flatMap { case (c, ci) =>
+      ndvOf(fl, ci, keep).map(c -> _)
+    }.toMap
   }
 
   /** (rows, bytes) of the file set the given pruning would PLAN — the
