@@ -696,7 +696,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       ColStats(per.flatMap(_.mins), per.flatMap(_.maxs), per.flatMap(_.nulls),
         per.flatMap(cs => alignTyped(cs.tmins, cs.mins.length)),
         per.flatMap(cs => alignTyped(cs.tmaxs, cs.mins.length)),
-        per.flatMap(cs => alignBlooms(cs.blooms, cs.mins.length)))
+        per.flatMap(cs => alignBlooms(cs.blooms, cs.mins.length)),
+        per.flatMap(cs => alignBlooms(cs.ndvs, cs.mins.length)))
     }
     // inline arrays may be empty when the inline tail is empty; align
     // each to the inline file count before concatenation
@@ -721,7 +722,9 @@ class SnapshotTable(spark: SparkSession, root: String,
           alignTyped(gStats(i).tmaxs, gStats(i).mins.length) ++
             alignTyped(inlineStats(i).tmaxs, inlineStats(i).mins.length),
           alignBlooms(gStats(i).blooms, gStats(i).mins.length) ++
-            alignBlooms(inlineStats(i).blooms, inlineStats(i).mins.length))),
+            alignBlooms(inlineStats(i).blooms, inlineStats(i).mins.length),
+          alignBlooms(gStats(i).ndvs, gStats(i).mins.length) ++
+            alignBlooms(inlineStats(i).ndvs, inlineStats(i).mins.length))),
       groupedCount = gFiles.length)
   }
 

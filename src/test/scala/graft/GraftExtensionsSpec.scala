@@ -105,8 +105,12 @@ class GraftExtensionsSpec extends SparkSpec {
       Seq((1L, 1L, 5L, 0L, true), (2L, 6L, 9L, 0L, true)))
     assert(data.forall(r => r.getLong(2) > 0L)) // manifest-recorded lengths
     val dels = rows.filter(_.getString(0) == "delete")
+    // delete files now carry their recorded KEY BAND (dmins/dmaxs —
+    // the single deleted key 2 here) keyed by the delete-key column;
+    // null_count stays absent and they carry no bloom
     assert(dels.nonEmpty && dels.forall(r => r.getLong(1) == 3L &&
-      r.isNullAt(3) && !r.getBoolean(6)))
+      r.getLong(3) == 2L && r.getLong(4) == 2L &&
+      r.isNullAt(5) && !r.getBoolean(6)))
     // version argument: at v1 only the first file exists, no deletes
     assert(spark.sql(
       s"SELECT count(*) FROM snapshot_files('${dir.toString}', 1)")

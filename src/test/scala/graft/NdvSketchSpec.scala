@@ -110,6 +110,23 @@ class NdvSketchSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.cbo.enabled")
   }
 
+  test("grouped-vs-inline differential: sketches survive the group encoding") {
+    // tiny thresholds force the file list into GROUP files; a second
+    // handle with default thresholds reads the same chain inline-style
+    val root = freshRoot("grouped")
+    val t = new SnapshotTable(spark, root, statsCols = Seq("k"),
+      groupInlineFold = 2, groupMergeAt = 3)
+    (0 until 6).foreach(i => t.commitAppend(
+      spark.range(i * 50L, i * 50L + 50L).toDF("k").repartition(1)))
+    assert(t.snapshot(t.latestVersion()).groupRefs.nonEmpty,
+      "construction must actually exercise the group encoding")
+    def near300(o: Option[Long]): Boolean = o.exists(n => n >= 270L && n <= 330L)
+    assert(near300(t.estimateDistinct("k")), s"got ${t.estimateDistinct("k")}")
+    val plain = new SnapshotTable(spark, root, Seq("k"))
+    assert(near300(plain.estimateDistinct("k")),
+      "a default-threshold handle must read the grouped sketches identically")
+  }
+
   test("sketches survive the manifest round-trip and compaction") {
     val root = freshRoot("chain")
     val t = new SnapshotTable(spark, root, statsCols = Seq("k"))
