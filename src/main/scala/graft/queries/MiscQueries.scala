@@ -1183,14 +1183,21 @@ object MiscQueries {
       s.sql("INSERT INTO gcc.db.daily SELECT * FROM catdmlcc_src " +
         "WHERE day >= DATE'1999-01-01'")
       // the gated statement pins its base version, parks in its SET
-      // expression, and loses the publish race to the inline rival
+      // expression, and loses the publish race to the inline rival.
+      // ONLY THE FIRST gate evaluation parks (one task, one slot) —
+      // parking every row of every task would starve the rival's jobs
+      // of task slots under FIFO scheduling at scale (livelock: proceed
+      // never fires), while one parked task leaves the cluster free
       val entered = new java.util.concurrent.CountDownLatch(1)
       val proceed = new java.util.concurrent.CountDownLatch(1)
       DmlRaceGate.entered = entered
       DmlRaceGate.proceed = proceed
+      DmlRaceGate.fired = new java.util.concurrent.atomic.AtomicBoolean(false)
       s.udf.register("catdmlcc_gate", (v: Long) => {
-        DmlRaceGate.entered.countDown()
-        DmlRaceGate.proceed.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        if (DmlRaceGate.fired.compareAndSet(false, true)) {
+          DmlRaceGate.entered.countDown()
+          DmlRaceGate.proceed.await(120, java.util.concurrent.TimeUnit.SECONDS)
+        }
         v
       })
       import scala.concurrent.{Await, Future}
@@ -1198,11 +1205,11 @@ object MiscQueries {
       import scala.concurrent.ExecutionContext.Implicits.global
       val gated = Future(s.sql("UPDATE gcc.db.daily SET " +
         "cents = catdmlcc_gate(cents) + 7 WHERE day < DATE'1997-01-01'"))
-      entered.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      entered.await(120, java.util.concurrent.TimeUnit.SECONDS)
       s.sql("UPDATE gcc.db.daily SET cents = cents + 11 " +
         "WHERE day >= DATE'1999-01-01'")
       proceed.countDown()
-      Await.result(gated, 120.seconds)
+      Await.result(gated, 20.minutes)
       val t = new graft.sources.SnapshotTable(s, s"$wh/db/daily", Seq("day"))
       val bothCommitted = t.history().map(_.action) ==
         Seq("overwrite", "append", "append", "append", "update", "update")
@@ -3482,8 +3489,11 @@ UNION ALL
 SELECT 'data', CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(min(k) AS BIGINT),
        CAST(max(k) AS BIGINT), CAST(0 AS BIGINT) FROM k WHERE k % 3 = 2
 UNION ALL
+-- delete files surface their recorded KEY BAND (the deleted keys'
+-- min/max); file count and null count stay absent
 SELECT 'delete', CAST(4 AS BIGINT), CAST(NULL AS BIGINT),
-       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)""",
+       CAST(min(k) AS BIGINT), CAST(max(k) AS BIGINT), CAST(NULL AS BIGINT)
+FROM k WHERE k % 30 = 0""",
 
     "misc_snapshot_history" -> """
 WITH base AS (
@@ -4443,8 +4453,14 @@ zed AS (SELECT x, y, rid, (vx | (vy << 1)) AS z FROM m5)"""
 
 /** Latch holder for [[MiscQueries]]' deterministic DML race
   * (misc_catalog_dml_concurrent): the gated statement's SET expression
-  * runs on executor task threads, which read these statics. */
+  * runs on executor task threads, which read these statics. `fired`
+  * restricts the park to the FIRST gate evaluation — one task, one
+  * slot — so the rival statement's jobs are never starved of task
+  * slots (parking every row of every task livelocks under FIFO at
+  * scale). */
 object DmlRaceGate {
   @volatile var entered: java.util.concurrent.CountDownLatch = _
   @volatile var proceed: java.util.concurrent.CountDownLatch = _
+  @volatile var fired: java.util.concurrent.atomic.AtomicBoolean =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 }

@@ -49,9 +49,14 @@ class DmlConcurrencySpec extends SparkSpec {
   private def race(gated: String, rival: () => Unit): Either[Throwable, Unit] = {
     DmlConcurrencySpec.entered = new CountDownLatch(1)
     DmlConcurrencySpec.proceed = new CountDownLatch(1)
+    DmlConcurrencySpec.fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // only the FIRST gate evaluation parks (one task, one slot): parking
+    // every task would starve the rival's jobs under FIFO scheduling
     spark.udf.register("dmlcc_gate", (v: Long) => {
-      DmlConcurrencySpec.entered.countDown()
-      DmlConcurrencySpec.proceed.await(60, TimeUnit.SECONDS)
+      if (DmlConcurrencySpec.fired.compareAndSet(false, true)) {
+        DmlConcurrencySpec.entered.countDown()
+        DmlConcurrencySpec.proceed.await(60, TimeUnit.SECONDS)
+      }
       v
     })
     import scala.concurrent.{Await, Future}
@@ -168,4 +173,6 @@ class DmlConcurrencySpec extends SparkSpec {
 object DmlConcurrencySpec {
   @volatile var entered: CountDownLatch = _
   @volatile var proceed: CountDownLatch = _
+  @volatile var fired: java.util.concurrent.atomic.AtomicBoolean =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 }
