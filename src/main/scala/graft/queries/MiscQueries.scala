@@ -1221,6 +1221,61 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // MERGE-ON-READ flavor of the optimistic-concurrency story: a delta
+    // UPDATE (equality-delete keys + replacement rows, no data file
+    // rewritten) parks mid-statement, a rival INSERT of a NON-MATCHED
+    // row commits underneath, and on release the update AUTO-REBASES —
+    // the tip recount proving the concurrent append holds none of its
+    // keys. both_committed pins the two versions; every version replays
+    // in DuckDB as the insert then the update applied sequentially.
+    "misc_catalog_mor_concurrent" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catmorcc").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gmc", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gmc.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gmc.db")
+      Tables.orders(s, d).select(col("o_orderkey").as("id"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("catmorcc_src")
+      val m = s.table("catmorcc_src").agg(max(col("id"))).head.getLong(0)
+      s.sql("CREATE TABLE gmc.db.t (id BIGINT, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='id', " +
+        "'write.update.mode'='merge-on-read', 'write.delete.key'='id')")
+      s.sql(s"INSERT INTO gmc.db.t SELECT * FROM catmorcc_src WHERE id <= ${m / 3}")
+      s.sql("INSERT INTO gmc.db.t SELECT * FROM catmorcc_src " +
+        s"WHERE id > ${m / 3} AND id <= ${2 * m / 3}")
+      s.sql(s"INSERT INTO gmc.db.t SELECT * FROM catmorcc_src WHERE id > ${2 * m / 3}")
+      val entered = new java.util.concurrent.CountDownLatch(1)
+      val proceed = new java.util.concurrent.CountDownLatch(1)
+      DmlRaceGate.entered = entered
+      DmlRaceGate.proceed = proceed
+      DmlRaceGate.fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      s.udf.register("catmorcc_gate", (v: Long) => {
+        if (DmlRaceGate.fired.compareAndSet(false, true)) {
+          DmlRaceGate.entered.countDown()
+          DmlRaceGate.proceed.await(120, java.util.concurrent.TimeUnit.SECONDS)
+        }
+        v
+      })
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val gated = Future(s.sql("UPDATE gmc.db.t SET " +
+        s"cents = catmorcc_gate(cents) + 7 WHERE id <= ${m / 3}"))
+      entered.await(120, java.util.concurrent.TimeUnit.SECONDS)
+      s.sql(s"INSERT INTO gmc.db.t VALUES (${m + 1000000}, 11)") // non-matched key
+      proceed.countDown()
+      Await.result(gated, 20.minutes)
+      val t = new graft.sources.SnapshotTable(s, s"$wh/db/t", Seq("id"))
+      val bothCommitted = t.history().map(_.action) ==
+        Seq("overwrite", "append", "append", "append", "append", "update_mor")
+      t.history().map { snap =>
+        t.read(snap.version).agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(snap.version).as("version"), lit(snap.action).as("action"),
+            lit(bothCommitted).as("both_committed"), col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // Zero-rewrite type widening through SQL DDL: `ALTER COLUMN cents
     // TYPE BIGINT` publishes a schema-only version (file identity pinned
     // by metadata_only — zero bytes rewritten), the parquet readers
@@ -3804,6 +3859,35 @@ SELECT CAST(v.version AS BIGINT) AS version, v.action,
        CAST(coalesce(sum(b.cents), 0) AS BIGINT) AS total_cents
 FROM v LEFT JOIN base b ON b.day BETWEEN v.lo AND v.hi
 GROUP BY v.version, v.action""",
+
+    // v1 = CREATE, v2..v4 = id-third inserts, v5 = the rival INSERT of
+    // one non-matched row (commits mid-update), v6 = the MOR delta
+    // UPDATE (+7 on the low third) landing via recount-proved rebase
+    "misc_catalog_mor_concurrent" -> """
+WITH base AS (
+  SELECT o_orderkey AS id, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+m AS (SELECT max(id) AS m FROM base),
+v AS (
+  SELECT 1 AS version, 'overwrite' AS action, 0 AS hi_third, 0 AS extra, 0 AS upd UNION ALL
+  SELECT 2, 'append', 1, 0, 0 UNION ALL
+  SELECT 3, 'append', 2, 0, 0 UNION ALL
+  SELECT 4, 'append', 3, 0, 0 UNION ALL
+  SELECT 5, 'append', 3, 1, 0 UNION ALL
+  SELECT 6, 'update_mor', 3, 1, 1)
+SELECT CAST(v.version AS BIGINT) AS version, v.action,
+       CAST(TRUE AS BOOLEAN) AS both_committed,
+       CAST(count(b.id) + v.extra AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(b.cents
+         + CASE WHEN v.upd = 1 AND b.id <= m.m // 3 THEN 7 ELSE 0 END), 0)
+         + v.extra * 11 AS BIGINT) AS total_cents
+FROM v
+LEFT JOIN m ON TRUE
+LEFT JOIN base b ON
+  (v.hi_third >= 1 AND b.id <= m.m // 3) OR
+  (v.hi_third >= 2 AND b.id > m.m // 3 AND b.id <= 2 * m.m // 3) OR
+  (v.hi_third >= 3 AND b.id > 2 * m.m // 3)
+GROUP BY v.version, v.action, v.extra, v.upd""",
 
     // v1 = CREATE (empty), v2..v4 = the three date-band inserts, v5 =
     // the rival UPDATE (+11 on day>=1999, commits while the other is

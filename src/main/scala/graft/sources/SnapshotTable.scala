@@ -2564,32 +2564,63 @@ class SnapshotTable(spark: SparkSession, root: String,
                                                 keyBands: Seq[(Long, Long)] = Seq.empty)
       : Option[Long] = {
     keyCols.foreach(jsonSafe(_, "delete-key column"))
-    val snapBase = snapshot(base)
-    val prev = fileSetOf(snapBase)
-    require(prev.deleteKey.isEmpty || prev.deleteKey == keyCols,
-      s"table at $root already carries MOR deletes keyed by " +
-        s"(${prev.deleteKey.mkString(",")}); got (${keyCols.mkString(",")})")
-    val removed = countMatchingKeys(base, keyFiles, keyCols, keyBand)
-    require(removed == deltaRows,
-      s"merge-on-read DELETE at $root: the predicate matched $deltaRows rows " +
-        s"but an equality delete on (${keyCols.mkString(",")}) would remove " +
-        s"$removed — write.delete.key must be row-unique and non-null for " +
-        "the matched rows (use copy-on-write mode for non-key predicates)")
     val bands =
       if (keyBands.length == keyFiles.length) keyBands
       else Seq.fill(keyFiles.length)((UnknownMin, UnknownMax))
-    publishAtBase(base, "delete_mor", prev.copy(
-      deletes = prev.deletes ++ keyFiles,
-      deleteSeqs = prev.deleteSeqs ++ Seq.fill(keyFiles.length)(base + 1),
-      deleteKey = keyCols,
-      // fresh executor-written key files: publish stats them (O(new))
-      deleteLens = alignLens(prev.deleteLens, prev.deletes.length) ++
-        Seq.fill(keyFiles.length)(-1L),
-      drows = alignLens(prev.drows, prev.deletes.length) ++
-        alignLens(keyFrows, keyFiles.length),
-      dmins = alignOr(prev.dmins, prev.deletes.length, UnknownMin) ++ bands.map(_._1),
-      dmaxs = alignOr(prev.dmaxs, prev.deletes.length, UnknownMax) ++ bands.map(_._2)),
-      snapBase.rows - removed, snapBase.schemaJson)
+    // FILE-DISJOINT OPTIMISTIC CONCURRENCY, MOR flavor: a lost race
+    // auto-rebases when the window held only appends (files superset,
+    // delete vector and schema identical) AND a RECOUNT at the new tip
+    // still matches the statement's count — the recount is the whole
+    // proof: equal means the concurrent appends hold no matching key
+    // (the published delete, outsequencing them, removes exactly the
+    // statement's rows); greater means they do, and deleting rows the
+    // statement never matched must surface as a conflict. The recount
+    // reuses the commit's own key-band-pruned scan — O(overlapping
+    // files), the cost the original commit already paid once.
+    var at = base
+    var attempts = 0
+    while (attempts < 50) {
+      val snapAt = snapshot(at)
+      val prev = fileSetOf(snapAt)
+      require(prev.deleteKey.isEmpty || prev.deleteKey == keyCols,
+        s"table at $root already carries MOR deletes keyed by " +
+          s"(${prev.deleteKey.mkString(",")}); got (${keyCols.mkString(",")})")
+      val removed = countMatchingKeys(at, keyFiles, keyCols, keyBand)
+      if (at == base)
+        require(removed == deltaRows,
+          s"merge-on-read DELETE at $root: the predicate matched $deltaRows rows " +
+            s"but an equality delete on (${keyCols.mkString(",")}) would remove " +
+            s"$removed — write.delete.key must be row-unique and non-null for " +
+            "the matched rows (use copy-on-write mode for non-key predicates)")
+      else if (removed != deltaRows)
+        return None // concurrent appends carry matching keys: conflict
+      publishAtBase(at, "delete_mor", prev.copy(
+        deletes = prev.deletes ++ keyFiles,
+        deleteSeqs = prev.deleteSeqs ++ Seq.fill(keyFiles.length)(at + 1),
+        deleteKey = keyCols,
+        // fresh executor-written key files: publish stats them (O(new))
+        deleteLens = alignLens(prev.deleteLens, prev.deletes.length) ++
+          Seq.fill(keyFiles.length)(-1L),
+        drows = alignLens(prev.drows, prev.deletes.length) ++
+          alignLens(keyFrows, keyFiles.length),
+        dmins = alignOr(prev.dmins, prev.deletes.length, UnknownMin) ++ bands.map(_._1),
+        dmaxs = alignOr(prev.dmaxs, prev.deletes.length, UnknownMax) ++ bands.map(_._2)),
+        snapAt.rows - removed, snapAt.schemaJson) match {
+        case Some(v) => return Some(v)
+        case None =>
+          val tip = latestVersion()
+          if (tip <= at) return None
+          val tipSnap = snapshot(tip)
+          val tipFs = fileSetOf(tipSnap)
+          val appendOnly = prev.files.toSet.subsetOf(tipFs.files.toSet) &&
+            tipFs.deletes == prev.deletes &&
+            tipSnap.schemaJson == snapAt.schemaJson
+          if (!appendOnly) return None
+          at = tip
+          attempts += 1
+      }
+    }
+    None
   }
 
   /** Exact count of v`base`'s live rows whose key appears in the
@@ -2644,46 +2675,72 @@ class SnapshotTable(spark: SparkSession, root: String,
                                              keyBands: Seq[(Long, Long)] = Seq.empty)
       : Option[Long] = {
     keyCols.foreach(jsonSafe(_, "delete-key column"))
-    val snapBase = snapshot(base)
-    val prev = fileSetOf(snapBase)
-    val removed =
-      if (keyFiles.isEmpty) 0L
-      else {
-        require(prev.deleteKey.isEmpty || prev.deleteKey == keyCols,
-          s"table at $root already carries MOR deletes keyed by " +
-            s"(${prev.deleteKey.mkString(",")}); got (${keyCols.mkString(",")})")
-        countMatchingKeys(base, keyFiles, keyCols, keyBand)
+    // Same MOR-flavor optimistic concurrency as
+    // [[commitWrittenDeleteByKey]]: append-only window + tip recount
+    // equal to the statement's matched count proves the rebase sound
+    // (the delta's replacement rows outsequence everything, and the
+    // concurrent appends provably hold no matched key).
+    var at = base
+    var attempts = 0
+    while (attempts < 50) {
+      val snapAt = snapshot(at)
+      val prev = fileSetOf(snapAt)
+      val removed =
+        if (keyFiles.isEmpty) 0L
+        else {
+          require(prev.deleteKey.isEmpty || prev.deleteKey == keyCols,
+            s"table at $root already carries MOR deletes keyed by " +
+              s"(${prev.deleteKey.mkString(",")}); got (${keyCols.mkString(",")})")
+          countMatchingKeys(at, keyFiles, keyCols, keyBand)
+        }
+      if (at == base)
+        require(removed == deltaDeleteRows,
+          s"merge-on-read $action at $root: the statement matched " +
+            s"$deltaDeleteRows rows but an equality delete on " +
+            s"(${keyCols.mkString(",")}) would remove $removed — " +
+            "write.delete.key must be row-unique and non-null for the " +
+            "matched rows (use copy-on-write mode otherwise)")
+      else if (removed != deltaDeleteRows)
+        return None // concurrent appends carry matched keys: conflict
+      val fls = prev.copy(
+        files = prev.files ++ dataFiles,
+        stats = concatStats(prev.stats, dataStats),
+        seqs = prev.seqs ++ Seq.fill(dataFiles.length)(at + 1),
+        lens = alignLens(prev.lens, prev.files.length) ++
+          Seq.fill(dataFiles.length)(-1L), // fresh executor files: publish stats them
+        frows = alignLens(prev.frows, prev.files.length) ++
+          alignLens(dataFrows, dataFiles.length),
+        deletes = prev.deletes ++ keyFiles,
+        deleteSeqs = prev.deleteSeqs ++ Seq.fill(keyFiles.length)(at + 1),
+        deleteKey = if (keyFiles.nonEmpty) keyCols else prev.deleteKey,
+        deleteLens = alignLens(prev.deleteLens, prev.deletes.length) ++
+          Seq.fill(keyFiles.length)(-1L),
+        drows = alignLens(prev.drows, prev.deletes.length) ++
+          alignLens(keyFrows, keyFiles.length),
+        dmins = alignOr(prev.dmins, prev.deletes.length, UnknownMin) ++
+          (if (keyBands.length == keyFiles.length) keyBands.map(_._1)
+           else Seq.fill(keyFiles.length)(UnknownMin)),
+        dmaxs = alignOr(prev.dmaxs, prev.deletes.length, UnknownMax) ++
+          (if (keyBands.length == keyFiles.length) keyBands.map(_._2)
+           else Seq.fill(keyFiles.length)(UnknownMax)))
+      // row-level DML never evolves the schema: keep the base's recorded one
+      publishAtBase(at, action, fls, snapAt.rows - removed + insertedRows,
+        snapAt.schemaJson.orElse(Some(normalizeSchema(batchSchema).json))) match {
+        case Some(v) => return Some(v)
+        case None =>
+          val tip = latestVersion()
+          if (tip <= at) return None
+          val tipSnap = snapshot(tip)
+          val tipFs = fileSetOf(tipSnap)
+          val appendOnly = prev.files.toSet.subsetOf(tipFs.files.toSet) &&
+            tipFs.deletes == prev.deletes &&
+            tipSnap.schemaJson == snapAt.schemaJson
+          if (!appendOnly) return None
+          at = tip
+          attempts += 1
       }
-    require(removed == deltaDeleteRows,
-      s"merge-on-read $action at $root: the statement matched " +
-        s"$deltaDeleteRows rows but an equality delete on " +
-        s"(${keyCols.mkString(",")}) would remove $removed — " +
-        "write.delete.key must be row-unique and non-null for the " +
-        "matched rows (use copy-on-write mode otherwise)")
-    val fls = prev.copy(
-      files = prev.files ++ dataFiles,
-      stats = concatStats(prev.stats, dataStats),
-      seqs = prev.seqs ++ Seq.fill(dataFiles.length)(base + 1),
-      lens = alignLens(prev.lens, prev.files.length) ++
-        Seq.fill(dataFiles.length)(-1L), // fresh executor files: publish stats them
-      frows = alignLens(prev.frows, prev.files.length) ++
-        alignLens(dataFrows, dataFiles.length),
-      deletes = prev.deletes ++ keyFiles,
-      deleteSeqs = prev.deleteSeqs ++ Seq.fill(keyFiles.length)(base + 1),
-      deleteKey = if (keyFiles.nonEmpty) keyCols else prev.deleteKey,
-      deleteLens = alignLens(prev.deleteLens, prev.deletes.length) ++
-        Seq.fill(keyFiles.length)(-1L),
-      drows = alignLens(prev.drows, prev.deletes.length) ++
-        alignLens(keyFrows, keyFiles.length),
-      dmins = alignOr(prev.dmins, prev.deletes.length, UnknownMin) ++
-        (if (keyBands.length == keyFiles.length) keyBands.map(_._1)
-         else Seq.fill(keyFiles.length)(UnknownMin)),
-      dmaxs = alignOr(prev.dmaxs, prev.deletes.length, UnknownMax) ++
-        (if (keyBands.length == keyFiles.length) keyBands.map(_._2)
-         else Seq.fill(keyFiles.length)(UnknownMax)))
-    // row-level DML never evolves the schema: keep the base's recorded one
-    publishAtBase(base, action, fls, snapBase.rows - removed + insertedRows,
-      snapBase.schemaJson.orElse(Some(normalizeSchema(batchSchema).json)))
+    }
+    None
   }
 
   /** Classify every file of `version` against contiguous predicate

@@ -150,6 +150,67 @@ class DmlConcurrencySpec extends SparkSpec {
     assert(at50 == Set((50L, 507L), (50L, -1L)), s"got $at50")
   }
 
+  /** Fresh MERGE-ON-READ table (delta UPDATE/DELETE paths): same three
+    * band-disjoint inserts, row-unique key id. */
+  private def freshMorTable(name: String): SnapshotTable = {
+    spark.sql(s"CREATE TABLE $cat.db.$name (id BIGINT, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='id', " +
+      "'write.delete.mode'='merge-on-read', " +
+      "'write.update.mode'='merge-on-read', 'write.delete.key'='id')")
+    Seq(0L, 100L, 200L).foreach { base =>
+      spark.sql(s"INSERT INTO $cat.db.$name SELECT id, id * 10 AS v " +
+        s"FROM range($base, ${base + 100})")
+    }
+    new SnapshotTable(spark,
+      s"${spark.conf.get(s"spark.sql.catalog.$cat.warehouse")}/db/$name")
+  }
+
+  test("MOR UPDATE delta rebases past a concurrent NON-MATCHING append") {
+    val t = freshMorTable("mupd")
+    val out = race(
+      s"UPDATE $cat.db.mupd SET v = dmlcc_gate(v) + 7 WHERE id BETWEEN 0 AND 99",
+      () => spark.sql(s"INSERT INTO $cat.db.mupd VALUES (5000, 1)"))
+    assert(out.isRight, s"append of a non-matched key must rebase, got $out")
+    val snap = t.snapshot(t.latestVersion())
+    assert(snap.action == "update_mor" && snap.deletes.nonEmpty,
+      s"the delta path must have published (delete file + data), got ${snap.action}")
+    val rows = spark.table(s"$cat.db.mupd").as[(Long, Long)].collect().toSet
+    assert(rows.contains((5000L, 1L)) && rows.contains((0L, 7L)) &&
+      rows.contains((99L, 997L)) && rows.size == 301)
+  }
+
+  test("MOR UPDATE delta conflicts when the concurrent append MATCHES its keys") {
+    val t = freshMorTable("mupdx")
+    val out = race(
+      s"UPDATE $cat.db.mupdx SET v = dmlcc_gate(v) + 7 WHERE id BETWEEN 0 AND 99",
+      // the concurrent row shares key 50: the statement's equality
+      // delete (outsequencing it) would erase a row it never matched —
+      // the tip RECOUNT detects it and the statement surfaces a conflict
+      () => spark.sql(s"INSERT INTO $cat.db.mupdx VALUES (50, -1)"))
+    assert(out.isLeft, "a matched-key append must conflict with MOR DML")
+    assert(causes(out.left.toOption.get)
+        .exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"expected a snapshot-isolation conflict, got ${out.left.toOption.get}")
+    val rows = spark.table(s"$cat.db.mupdx").as[(Long, Long)].collect().toSet
+    assert(rows.contains((50L, 500L)) && rows.contains((50L, -1L)),
+      "neither the snapshot row nor the concurrent row was touched")
+  }
+
+  test("MOR DELETE delta rebases past a disjoint append; matching append conflicts") {
+    val t = freshMorTable("mdel")
+    val ok = race(
+      s"DELETE FROM $cat.db.mdel WHERE id BETWEEN 0 AND 49 AND dmlcc_gate(id) >= 0",
+      () => spark.sql(s"INSERT INTO $cat.db.mdel VALUES (7000, 1)"))
+    assert(ok.isRight, s"disjoint append must rebase, got $ok")
+    assert(spark.table(s"$cat.db.mdel").count() == 251L)
+    val bad = race(
+      s"DELETE FROM $cat.db.mdel WHERE id BETWEEN 200 AND 249 AND dmlcc_gate(id) >= 0",
+      () => spark.sql(s"INSERT INTO $cat.db.mdel VALUES (210, -1)"))
+    assert(bad.isLeft, "an append matching the deleted keys must conflict")
+    assert(spark.table(s"$cat.db.mdel").count() == 252L,
+      "the failed DELETE applied nothing; the rival row landed")
+  }
+
   test("a concurrent equality-delete (MOR) commit still conflicts") {
     val t = freshTable("mor")
     val out = race(
