@@ -979,6 +979,7 @@ object LlmQueries {
           .unionByName(family(pngFixturesDir, "*.png", "img_([0-9]+)\\.png$", 1000L))
           .unionByName(family(wavFixturesDir, "*.wav", "clip_([0-9]+)\\.wav$", 2000L))
           .unionByName(family(y4mFixturesDir, "*.y4m", "clip_([0-9]+)\\.y4m$", 3000L))
+          .unionByName(family(mp4FixturesDir, "*.mp4", "vid_([0-9]+)\\.mp4$", 4000L))
       val meta = Multimodal.decodeMetadata(all).toDF()
       meta.join(all.select(col("media_id"), col("src_len"),
           md5(hex(col("content"))).as("bytes_md5hex")), Seq("media_id"))
@@ -2866,7 +2867,15 @@ SELECT 3000 + CAST(regexp_extract(b.filename, 'clip_([0-9]+)\\.y4m', 1) AS BIGIN
        CAST(m.frame_count AS INTEGER)
 FROM read_blob('$y4mFixturesDir/*.y4m') b
 JOIN read_csv('$y4mFixturesDir/manifest.csv') m
-  ON m.media_id = CAST(regexp_extract(b.filename, 'clip_([0-9]+)\\.y4m', 1) AS BIGINT)""",
+  ON m.media_id = CAST(regexp_extract(b.filename, 'clip_([0-9]+)\\.y4m', 1) AS BIGINT)
+UNION ALL
+SELECT 4000 + CAST(regexp_extract(b.filename, 'vid_([0-9]+)\\.mp4', 1) AS BIGINT),
+       CAST(b.size AS BIGINT), TRUE, md5(hex(b.content)), 'mp4',
+       CAST(m.width AS INTEGER), CAST(m.height AS INTEGER),
+       CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)
+FROM read_blob('$mp4FixturesDir/*.mp4') b
+JOIN read_csv('$mp4FixturesDir/manifest.csv') m
+  ON m.media_id = CAST(regexp_extract(b.filename, 'vid_([0-9]+)\\.mp4', 1) AS BIGINT)""",
 
     // the manifest is the generator's ground truth for what the PNG
     // encoder wrote; byte identity via md5 over the hex encoding (both

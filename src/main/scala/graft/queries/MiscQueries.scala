@@ -907,6 +907,38 @@ object MiscQueries {
       leg("points", points).unionByName(leg("hull", hull))
     }),
 
+    // The unified maintenance entrypoint under the oracle gate: a
+    // mixed-debris table (one big + three small files + two MOR delete
+    // commits) drains to clean via repeated maintain(), each step the
+    // cheapest applicable — compact_deletes (delete bytes are tiny)
+    // before compact_files before none — with table CONTENTS invariant
+    // across every step. The per-step totals replay in DuckDB.
+    "misc_catalog_maintain" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_catmaint").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("day"))
+      val o = Tables.orders(s, d).select(to_date(col("o_orderdate")).as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val cut = java.sql.Date.valueOf("1998-01-01")
+      t.commitAppend(o.filter(col("day") < lit(cut)).repartition(1)) // big
+      Seq("1998-01-01", "1998-06-01", "1999-01-01").zip(
+        Seq("1998-06-01", "1999-01-01", "9999-01-01")).foreach { case (lo, hi) =>
+        t.commitAppend(o.filter(col("day") >= lit(java.sql.Date.valueOf(lo)) &&
+          col("day") < lit(java.sql.Date.valueOf(hi))).repartition(1)) // small
+      }
+      t.commitDeleteByKey(s.sql("SELECT DATE'1995-03-15' AS day"), Seq("day"))
+      t.commitDeleteByKey(s.sql("SELECT DATE'1996-07-04' AS day"), Seq("day"))
+      val policy = graft.sources.MaintainPolicy(deleteFilesAt = 2,
+        smallFilesAt = 3, smallFileBytes = 64L * 1024 * 1024, overlapAt = 99)
+      val steps = (Iterator.continually(t.maintain(policy))
+        .takeWhile(_.action != "none").map(_.action).toVector :+ "none")
+      steps.zipWithIndex.map { case (a, i) =>
+        t.read().agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(i + 1).as("step"), lit(a).as("action"),
+            col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // AUTOMATIC join-driven file skipping — the same DPP-on-the-manifest
     // idea as misc_snapshot_join_skipping, but with NO API call: a plain
     // spark.sql fact⋈dim over the catalog fires JoinSkippingRule, which
@@ -3731,6 +3763,22 @@ UNION ALL
 SELECT 'hull', CAST(4 AS INTEGER), CAST(4 AS INTEGER),
        CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
 FROM hit""",
+
+    // per-step totals are INVARIANT (maintenance never changes
+    // contents); the step/action sequence pins cheapest-first draining
+    "misc_catalog_maintain" -> """
+WITH live AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) NOT IN (DATE '1995-03-15', DATE '1996-07-04')),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+        FROM live)
+SELECT CAST(1 AS INTEGER) AS step, 'compact_deletes' AS action,
+       n AS n_rows, s AS total_cents FROM agg
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'compact_files', n, s FROM agg
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'none', n, s FROM agg""",
 
     // the PLAIN-SQL auto-skipping leg: same join as join_skipping's
     // points leg, files_pruned pinned TRUE (the optimizer folded the dim

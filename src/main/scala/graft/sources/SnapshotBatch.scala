@@ -756,6 +756,32 @@ class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
     }
   }
 
+  /** The HULL fallback past the key cap: the dim's [min, max] join-key
+    * band as an extra band lane on `colName` — band keys are (at least
+    * weakly) monotonic per type, so [key(min), key(max)] covers every
+    * dim key's band key and the lane stays a sound superset. Still
+    * prunes a fact clustered on the join key (the common
+    * `write.cluster.by` layout). An existing band on the column
+    * intersects. */
+  def withJoinBand(colName: String, minValue: Any, maxValue: Any)
+      : Option[GraftSnapshotScan] = {
+    val bandsV =
+      try table.snapshot(version).bandsV
+      catch { case scala.util.control.NonFatal(_) => return None }
+    for {
+      lo <- Option(minValue).flatMap(BandKeys.valueKey(_, bandsV)).map(_._1)
+      hi <- Option(maxValue).flatMap(BandKeys.valueKey(_, bandsV)).map(_._1)
+    } yield {
+      val merged = bands.get(colName) match {
+        case Some((elo, ehi)) => (math.max(elo, lo), math.min(ehi, hi))
+        case None => (lo, hi)
+      }
+      new GraftSnapshotScan(spark, table, version, required,
+        bands.updated(colName, merged), options, nullCols, points, orAlts,
+        joinPrunedCols + colName)
+    }
+  }
+
   /** `spark.readStream.table(...)` — the catalog table reports
     * MICRO_BATCH_READ and Spark lands here; column pruning flows
     * through the same builder, so a narrow streaming projection reads

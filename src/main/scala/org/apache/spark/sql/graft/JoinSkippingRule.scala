@@ -39,8 +39,11 @@ import graft.sources.GraftSnapshotScan
   * a broadcast join ships cluster-wide, paid once more). Guards: dim
   * stats under the broadcast threshold, no Limit/Sample/nondeterminism
   * anywhere in the dim plan (a re-execution must yield the same key
-  * set), at most `spark.graft.joinSkipping.maxKeys` distinct keys, and
-  * every key must derive a band key — any miss stands the lane down.
+  * set). Past `spark.graft.joinSkipping.maxKeys` distinct keys — or
+  * when a key value derives no band key — the lane degrades to the
+  * dim's [min, max] HULL band (one distributed aggregate, no unbounded
+  * collect), which still prunes a fact clustered on the join key; an
+  * underivable hull stands the lane down entirely.
   * `spark.graft.joinSkipping.enabled=false` disables the rule.
   *
   * Registered post-pushdown (preCBO / extraOptimizations — the scan
@@ -149,15 +152,26 @@ object JoinSkippingRule extends Rule[LogicalPlan] with PredicateHelper {
       if (!scan.joinSkippingCandidate(factKey.name)) return None
       if (!stableDim(dimSide) || !smallEnough(dimSide)) return None
       // the dim's distinct non-null keys, collected BOUNDED — past the
-      // cap the lane stands down (the hull variant stays API-only:
-      // graft.operators.JoinSkipping.prunedFact)
+      // cap (or when a value derives no band key) the lane degrades to
+      // the dim's [min, max] HULL band: one distributed aggregate, zero
+      // unbounded collects, still pruning a key-clustered fact
       val spark = SparkSession.active
       val keysPlan = Project(Seq(dimKey), dimSide)
-      val sample = bridge.ofRows(spark, keysPlan)
-        .na.drop().distinct().limit(maxKeys + 1).collect()
-      if (sample.isEmpty || sample.length > maxKeys) return None
-      val pruned = scan.withJoinKeys(factKey.name,
-        sample.toSeq.map(_.get(0))).getOrElse(return None)
+      val keysDf = bridge.ofRows(spark, keysPlan).na.drop()
+      val sample = keysDf.distinct().limit(maxKeys + 1).collect()
+      if (sample.isEmpty) return None
+      def hull(): Option[GraftSnapshotScan] = {
+        val row = keysDf.agg(
+          org.apache.spark.sql.functions.min(keysDf.columns.head),
+          org.apache.spark.sql.functions.max(keysDf.columns.head)).head()
+        if (row.isNullAt(0) || row.isNullAt(1)) None
+        else scan.withJoinBand(factKey.name, row.get(0), row.get(1))
+      }
+      val pruned =
+        (if (sample.length > maxKeys) hull()
+         else scan.withJoinKeys(factKey.name, sample.toSeq.map(_.get(0)))
+           .orElse(hull()))
+          .getOrElse(return None)
       val wrapper = rel.scan.asInstanceOf[V1ScanWrapper]
       val newRel = rel.copy(scan = new StatsV1ScanWrapper(pruned,
         wrapper.handledFilters, wrapper.pushedDownOperators))

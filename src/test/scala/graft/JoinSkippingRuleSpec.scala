@@ -113,15 +113,21 @@ class JoinSkippingRuleSpec extends SparkSpec {
       "a nondeterministic dim must not feed plan-time keys")
   }
 
-  test("past the key cap the lane stands down (hull stays API-only)") {
+  test("past the key cap the lane degrades to the dim's [min,max] HULL band") {
     spark.conf.set(JoinSkippingRule.MaxKeysConf, "3")
     try {
+      // 4 distinct keys > cap 3, all inside the first file's band: the
+      // hull [1, 4] still prunes the clustered fact to that file
       Seq(1L, 2L, 3L, 4L).toDF("k").createOrReplaceTempView("jsr_dim6")
       val df = spark.sql(
         s"SELECT f.id FROM $cat.db.fact f JOIN jsr_dim6 d ON f.id = d.k")
-      assert(scanOf(df).plannedFiles.length ==
-        factTable.snapshot(factTable.latestVersion()).files.length)
-      assert(df.count() == 4L)
+      val scan = scanOf(df)
+      assert(scan.plannedFiles.length <
+        factTable.snapshot(factTable.latestVersion()).files.length,
+        s"hull band must prune: ${scan.description()}")
+      assert(scan.description().contains("id:[1,4]"),
+        s"expected the hull band lane, got ${scan.description()}")
+      assert(df.as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
     } finally spark.conf.unset(JoinSkippingRule.MaxKeysConf)
   }
 
