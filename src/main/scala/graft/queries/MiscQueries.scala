@@ -1023,6 +1023,52 @@ object MiscQueries {
           col("day") >= lit(c1) && col("day") < lit(c2), estPruned))
     }),
 
+    // The automatic rule's HULL degradation under the oracle gate: the
+    // dim's distinct keys exceed the rule's cap (forced to 8 here), so
+    // instead of a point lane the optimizer folds the dim's [min,max]
+    // band into the scan — one distributed aggregate, no unbounded
+    // collect — which still prunes the custkey-clustered fact.
+    // files_pruned pins it; values replay as the plain join.
+    "misc_snapshot_join_hull" -> ((s, d) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      val wh = Tables.freshTmpDir(s, "graft_snapjoinhull").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gjh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gjh.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gjh.db")
+      s.sql("CREATE TABLE gjh.db.fact (o_custkey BIGINT, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_custkey')")
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val m = o.agg(max(col("o_custkey"))).head.getLong(0)
+      val qs = Seq(0L, (m + 1) / 4, (m + 1) / 2, 3 * (m + 1) / 4, m + 1)
+      val t = new graft.sources.SnapshotTable(s, s"$wh/db/fact",
+        statsCols = Seq("o_custkey"))
+      (0 until 4).foreach(i => t.commitAppend(
+        o.filter(col("o_custkey") >= qs(i) && col("o_custkey") < qs(i + 1))
+          .repartition(1)))
+      // dim: every customer key in the LOWEST quarter — far more than
+      // the forced cap, hull spans only the first file's band
+      Tables.customer(s, d).filter(col("c_custkey") < qs(1))
+        .select(col("c_custkey")).createOrReplaceTempView("joinhull_dim")
+      s.conf.set("spark.graft.joinSkipping.maxKeys", "8")
+      try {
+        val q = s.sql("SELECT f.o_custkey, f.cents FROM gjh.db.fact f " +
+          "JOIN joinhull_dim d ON f.o_custkey = d.c_custkey")
+        val scan = q.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+              if r.scan.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper] =>
+            r.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper]
+              .v1Scan.asInstanceOf[graft.sources.GraftSnapshotScan]
+        }
+        val total = t.snapshot(t.latestVersion()).files.length
+        val planned = scan.map(_.plannedFiles.length).getOrElse(total)
+        q.agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+          .select(lit(planned < total && planned >= 1).as("files_pruned"),
+            col("n_rows"), col("total_cents"))
+      } finally s.conf.unset("spark.graft.joinSkipping.maxKeys")
+    }),
+
     // Manifest-served MIN/MAX over a DATE stats column: the freshness
     // probe every date-keyed pipeline runs (`SELECT max(event_date)`)
     // answers from one manifest parse — DATE's band key is its exact
@@ -3795,6 +3841,18 @@ SELECT CAST(TRUE AS BOOLEAN) AS files_pruned,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(cents) AS BIGINT) AS total_cents
 FROM hit""",
+
+    // the hull-degraded auto-skipping leg: same join values as a plain
+    // replay; files_pruned pinned TRUE
+    "misc_snapshot_join_hull" -> """
+WITH mx AS (SELECT max(o_custkey) AS mx FROM orders),
+dim AS (
+  SELECT c_custkey FROM customer, mx
+  WHERE c_custkey < (mx + 1) // 4)
+SELECT CAST(TRUE AS BOOLEAN) AS files_pruned,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders JOIN dim ON o_custkey = c_custkey""",
 
     // v1 = CREATE (empty), v2 = INT insert, v3 = the widening ALTER
     // (schema-only — same rows), v4 = the BIGINT insert (cents * 1000,

@@ -125,7 +125,10 @@ case class SnapshotFileMeta(content: String, file: String, commitSeq: Long,
                             maxKey: Map[String, Long],
                             nullCount: Map[String, Long],
                             bloomCols: Seq[String],
-                            rows: Long = -1L)
+                            rows: Long = -1L,
+                            // per-column DISTINCT estimate from the
+                            // file's own NDV sketch (absent = no sketch)
+                            ndvEst: Map[String, Long] = Map.empty)
 
 case class Snapshot(version: Long, action: String, baseVersion: Long,
                     rows: Long, files: Seq[String], batchId: Long = -1L,
@@ -4108,10 +4111,15 @@ class SnapshotTable(spark: SparkSession, root: String,
       val blooms = statsCols.zip(fls.stats).collect {
         case (c, cs) if alignBlooms(cs.blooms, n)(i).nonEmpty => c
       }
+      val ndvs = statsCols.zip(fls.stats).flatMap { case (c, cs) =>
+        val b64 = alignBlooms(cs.ndvs, n)(i)
+        if (b64.isEmpty) None
+        else FileNdv.unionEstimate(Seq(b64)).map(c -> _)
+      }.toMap
       SnapshotFileMeta("data", fls.files(i), fls.seqs.lift(i).getOrElse(0L),
         lens(i), keyed(_.mins, UnknownMin), keyed(_.maxs, UnknownMax),
         keyed(_.nulls, UnknownNulls), blooms,
-        alignLens(fls.frows, n)(i))
+        alignLens(fls.frows, n)(i), ndvs)
     }
     val dels = fls.deletes.indices.map { j =>
       val band =

@@ -272,13 +272,16 @@ object GraftFunctions {
         org.apache.spark.sql.types.StructField("min_key", keyMap, nullable = false),
         org.apache.spark.sql.types.StructField("max_key", keyMap, nullable = false),
         org.apache.spark.sql.types.StructField("null_count", keyMap, nullable = false),
-        org.apache.spark.sql.types.StructField("bloom_cols", ArrayType(StringType, containsNull = false), nullable = false)))
+        org.apache.spark.sql.types.StructField("bloom_cols", ArrayType(StringType, containsNull = false), nullable = false),
+        // per-column DISTINCT estimate from the file's own NDV sketch
+        // (see FileNdv; absent = no sketch recorded)
+        org.apache.spark.sql.types.StructField("ndv_est", keyMap, nullable = false)))
       org.apache.spark.sql.catalyst.plans.logical.LocalRelation.fromExternalRows(
         org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
         metas.map(m => org.apache.spark.sql.Row(m.content, m.file, m.commitSeq,
           if (m.bytes >= 0L) m.bytes else null,
           if (m.rows >= 0L) m.rows else null,
-          m.minKey, m.maxKey, m.nullCount, m.bloomCols)))
+          m.minKey, m.maxKey, m.nullCount, m.bloomCols, m.ndvEst)))
     })
 
   val tableFunctions: Seq[TableDescriptor] =

@@ -102,6 +102,26 @@ class DeleteRowCountsSpec extends SparkSpec {
     assert(t.checkTable().rowsBounds.contains((28L, 30L)))
   }
 
+  test("fsck FLAGS a manifest whose row count violates the MOR bounds") {
+    val root = freshRoot("tamper")
+    val t = new SnapshotTable(spark, root, statsCols = Seq("day"))
+    threeFiles(t)
+    t.commitDeleteByKey(Seq(25L).toDF("day"), Seq("day"))
+    assert(t.checkTable().ok)
+    // corrupt the tip manifest's recorded row count ABOVE the
+    // metadata bound Σfrows — a lying manifest the bounds must catch
+    // without any scan
+    val tip = t.latestVersion()
+    val mpath = java.nio.file.Paths.get(root, "_snapshots", f"v$tip%020d.json")
+    val body = new String(java.nio.file.Files.readAllBytes(mpath), "UTF-8")
+    val rows = """"rows":(\d+)""".r.findFirstMatchIn(body).get.group(1).toLong
+    java.nio.file.Files.write(mpath, body.replaceFirst(
+      """"rows":\d+""", s""""rows":${rows + 100}""").getBytes("UTF-8"))
+    val r = new SnapshotTable(spark, root, Seq("day")).checkTable()
+    assert(!r.ok && r.rowsBounds.exists { case (_, hi) => r.rowsRecorded > hi },
+      s"metadata-mode fsck must catch the bounds violation, got $r")
+  }
+
   test("drows survive appends and re-inserts; bounds stay valid (not tight)") {
     val t = new SnapshotTable(spark, freshRoot("carry"), statsCols = Seq("day"))
     threeFiles(t)

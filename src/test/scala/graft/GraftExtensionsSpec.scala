@@ -111,6 +111,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(dels.nonEmpty && dels.forall(r => r.getLong(1) == 3L &&
       r.getLong(3) == 2L && r.getLong(4) == 2L &&
       r.isNullAt(5) && !r.getBoolean(6)))
+    // data files expose their per-column NDV-sketch estimate (5 and 4
+    // distinct ids here — low counts, HLL within a small envelope)
+    val ndvs = spark.sql(
+      s"""SELECT element_at(ndv_est, 'id') FROM snapshot_files('${dir.toString}')
+          WHERE content = 'data' ORDER BY commit_seq""").collect()
+      .map(_.getLong(0))
+    assert(ndvs.length == 2 && math.abs(ndvs(0) - 5L) <= 1 &&
+      math.abs(ndvs(1) - 4L) <= 1, s"got ${ndvs.toSeq}")
     // version argument: at v1 only the first file exists, no deletes
     assert(spark.sql(
       s"SELECT count(*) FROM snapshot_files('${dir.toString}', 1)")

@@ -70,6 +70,29 @@ with open(p,"w") as f:
 PY
 fi
 head -c 200 "$OUT/bench.json"; echo
+# ADOPTION GATE (r18 advice #7): a run whose OWN in-JVM probe tagged
+# loaded_host=true (Bench samples loadavg at JVM start, which the
+# pre-bench wait above cannot fully guarantee) must never be adopted
+# as the round's canonical BENCH artifact. One retry after a fresh
+# idle wait; if the host never goes idle, fail the step loudly rather
+# than publish a noisy canonical number.
+if python3 -c 'import json,sys; sys.exit(0 if json.load(open(sys.argv[1])).get("loaded_host") else 1)' "$OUT/bench.json"; then
+  echo "  bench self-tagged loaded_host=true — retrying once after idle wait"
+  for i in 1 2 3 4 5; do
+    LA=$(cut -d' ' -f1 /proc/loadavg)
+    awk -v la="$LA" 'BEGIN{exit !(la < 3.0)}' && break
+    sleep 60
+  done
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Bench" 2>>"$OUT/bench.err" | grep '"metric"' >"$OUT/bench.json"
+  if python3 -c 'import json,sys; sys.exit(0 if json.load(open(sys.argv[1])).get("loaded_host") else 1)' "$OUT/bench.json"; then
+    mv "$OUT/bench.json" "$OUT/bench.loaded.json"
+    echo "FAIL: bench still loaded_host=true after retry — artifact kept"
+    echo "      as $OUT/bench.loaded.json (advisory only), NOT adoptable"
+    exit 1
+  fi
+  head -c 200 "$OUT/bench.json"; echo
+fi
 
 step "6/6 bench diff vs ${PREV_BENCH:-<none>}"
 if [ -n "${PREV_BENCH:-}" ] && [ -f "$PREV_BENCH" ]; then
