@@ -293,6 +293,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** IMAGE near-duplicate pairs from 64-bit perceptual hashes
+    * ([[Multimodal.imageDHash]]): chunk LSH over 8 disjoint 8-bit
+    * bands — a pair with Hamming distance ≤ maxHamming < 8 shares at
+    * least one whole band (pigeonhole: complete, not probabilistic),
+    * so candidates come from per-band equi joins and the exact
+    * bit_count verifies — never an all-pairs join. The brightness/
+    * contrast-shifted copies a crawl accumulates hash identically
+    * (distance 0) and pair here without touching a pixel twice. */
+  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val nChunks = 8; val chunkBits = 8 // 8*8 = 64 bits
+    require(maxHamming < nChunks,
+      s"chunk LSH is only complete for maxHamming < $nChunks")
+    val chunkMask = (1L << chunkBits) - 1
+    val chunks = graft.QueryCaches.scoped(
+      hashes.select(col("media_id"), col("dhash"),
+          explode(array((0 until nChunks).map(c =>
+            struct(lit(c).as("chunk"),
+              shiftright(col("dhash"), c * chunkBits).bitwiseAND(chunkMask)
+                .as("key"))): _*)).as("ck"))
+        .select(col("media_id"), col("dhash"), col("ck.chunk"), col("ck.key")))
+    chunks.select(col("media_id").as("a"), col("dhash").as("fa"),
+        col("chunk"), col("key"))
+      .join(chunks.select(col("media_id").as("b"), col("dhash").as("fb"),
+        col("chunk"), col("key")), Seq("chunk", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding-cosine near-duplicate pairs above `minCosine`, via the
     * native CosineSimilarity expression. The DEFAULT candidate generation
     * is BANDED hyperplane LSH: `nBands` independent 2^nBits-bucket

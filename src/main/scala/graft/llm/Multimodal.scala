@@ -519,6 +519,74 @@ object Multimodal {
       })
   }
 
+  // ---- REAL perceptual hash (dHash over decoded pixels) — the image
+  // near-dup signature of the training-data pipelines: uniform
+  // brightness/contrast shifts preserve every cell comparison, so
+  // shifted copies hash IDENTICALLY while different content diverges ----
+
+  /** 64-bit difference hash of decoded image pixels, integer-exact:
+    * per-pixel luma = (299r + 587g + 114b) div 1000, average-pooled to
+    * a 9×8 grid (block = w div 9 × h div 8 pixels, truncated
+    * remainders ignored — deterministic at any geometry), bit
+    * (row*8 + col) set iff cell[row][col] < cell[row][col+1]. Every
+    * step is integer division, so any decoder producing the same
+    * pixels produces the same hash (PNG is lossless — the generator's
+    * ground truth replays exactly). */
+  private[graft] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (bw, bh) = (w / 9, h / 8)
+    require(bw > 0 && bh > 0, s"dHash needs at least 9x8 pixels; got ${w}x$h")
+    val cells = Array.ofDim[Long](8, 9)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        var sum = 0L
+        var y = r * bh
+        while (y < (r + 1) * bh) {
+          var x = c * bw
+          while (x < (c + 1) * bw) {
+            val p = img.getRGB(x, y)
+            sum += (299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) +
+              114L * (p & 0xFF)) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        cells(r)(c) = sum / (bw.toLong * bh)
+        c += 1
+      }
+      r += 1
+    }
+    var d = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (cells(r)(c) < cells(r)(c + 1)) d |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    d
+  }
+
+  /** Partition-wise perceptual hash over an image column: (media_id,
+    * width, height, dhash). Undecodable payloads fail loudly — a
+    * silently wrong hash poisons the dedup downstream. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"media $id: undecodable image payload")
+        (id, img.getWidth, img.getHeight, dHash64(img))
+      })
+      .toDF("media_id", "width", "height", "dhash")
+  }
+
   /** Adapter: wrap a text corpus as opaque binary media (UTF-8 bytes) —
     * the harness has no true binary tables, so documents stand in. */
   def documentsAsMedia(docs: DataFrame): DataFrame =

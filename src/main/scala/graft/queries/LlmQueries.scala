@@ -78,6 +78,19 @@ object LlmQueries {
       .select(regexp_extract(col("path"), "vid_([0-9]+)\\.mp4$", 1)
         .cast(LongType).as("media_id"), col("content"))
 
+  /** Committed perceptual-hash fixtures (same generator): 72x64 gray
+    * PNGs with a vertical brightness step — groups share a split with
+    * brightness-SHIFTED members (dHash-identical), singletons differ by
+    * whole transition columns; manifest.csv carries each image's exact
+    * integer dHash ground truth. */
+  private val phashFixturesDir = sys.env.getOrElse("GRAFT_MEDIA_PHASH_FIXTURES",
+    new java.io.File("fixtures/media_phash").getAbsolutePath)
+
+  private def phashMedia(s: SparkSession): DataFrame =
+    graft.sources.Sources.readBinaryFiles(s, phashFixturesDir, "*.png")
+      .select(regexp_extract(col("path"), "img_([0-9]+)\\.png$", 1)
+        .cast(LongType).as("media_id"), col("content"))
+
   /** Near-dup candidate edges (minhash ∪ simhash), shared by the six
     * cluster-family queries. The two pair frames are plain `.cache()` —
     * their plans are declarative and identical across builders, so the
@@ -949,6 +962,21 @@ object LlmQueries {
           col("major_brand"), col("timescale"), col("duration"),
           col("duration_ms"), col("n_tracks"), col("n_video"),
           col("n_audio"), col("width"), col("height"))),
+    // REAL perceptual hash over decoded pixels (dHash, integer-exact:
+    // luma DIV + 8x8 average pooling + 9x8 cell comparisons) — the
+    // image near-dup signature: brightness-shifted copies hash
+    // IDENTICALLY. Gated bit-for-bit against the generator manifest.
+    "llm_image_phash" -> ((s, d) =>
+      Multimodal.imageDHash(phashMedia(s))),
+    // Image near-dup PAIRS via chunk LSH over the dHash (8 disjoint
+    // 8-bit bands — COMPLETE for Hamming <= 7 by pigeonhole, never an
+    // all-pairs join): the shifted-copy groups pair at distance 0;
+    // different splits sit >= 8 bits apart and stay out. The oracle
+    // replays the exact pair set from the manifest hashes with
+    // xor + bit_count.
+    "llm_image_neardup" -> ((s, d) =>
+      Dedup.phashNearDupPairs(Multimodal.imageDHash(phashMedia(s)))
+        .orderBy(col("a"), col("b"))),
     // REAL-bytes multimodal path: spark.read.format("binaryFile") over
     // committed deterministic fixture files (see
     // tools/gen_media_fixtures.py) — the production ingestion shape for
@@ -2966,6 +2994,23 @@ SELECT CAST(media_id AS BIGINT) AS media_id, CAST(byte_len AS BIGINT) AS byte_le
        CAST(n_audio AS INTEGER) AS n_audio,
        CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height
 FROM read_csv('$mp4FixturesDir/manifest.csv')""",
+
+    // exact integer dHash ground truth from the generator
+    "llm_image_phash" -> s"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+       CAST(dhash AS BIGINT) AS dhash
+FROM read_csv('$phashFixturesDir/manifest.csv')""",
+
+    // the exact pair set replayed from the manifest hashes
+    "llm_image_neardup" -> s"""
+WITH h AS (SELECT CAST(media_id AS BIGINT) AS id, CAST(dhash AS BIGINT) AS d
+           FROM read_csv('$phashFixturesDir/manifest.csv'))
+SELECT a.id AS a, b.id AS b,
+       CAST(bit_count(xor(a.d, b.d)) AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.id < b.id
+WHERE bit_count(xor(a.d, b.d)) <= 7
+ORDER BY a, b""",
 
     "llm_chunking" -> """
 WITH base AS (

@@ -174,6 +174,60 @@ def y4m_frame(i: int, fidx: int, n_bytes: int) -> bytes:
 OUT_MP4 = os.path.join(BASE, "media_mp4")
 N_MP4 = 10
 
+OUT_PH = os.path.join(BASE, "media_phash")
+
+
+def phash_specs():
+    """(media_id, split_cell, v_left, v_right) — 72x64 gray PNGs, a
+    vertical brightness step at an 8px cell boundary. Groups A-D share a
+    split with brightness-SHIFTED members (dHash-identical: uniform
+    shifts preserve every cell comparison); singletons use other splits
+    (16 differing bits apart) plus one flat blank (8 bits from any
+    split). All pairwise dHash distances are therefore exactly 0, 8 or
+    16 — the near-dup gate at distance <= 3 selects exactly the
+    groups."""
+    specs = []
+    mid = 0
+    for g, split in enumerate([2, 4, 6, 8]):
+        for delta in (0, 8, -8):
+            specs.append((mid, split, 96 + delta, 160 + delta))
+            mid += 1
+    for split in (1, 5, 7):
+        specs.append((mid, split, 64, 200)); mid += 1
+    specs.append((mid, 0, 128, 128))  # flat blank: dhash 0
+    return specs
+
+
+def phash_png(split_cell: int, v_left: int, v_right: int) -> bytes:
+    """72x64 truecolor PNG: gray v_left for x < split_cell*8, else
+    v_right (r=g=b=v so integer luma == v exactly)."""
+    w, h = 72, 64
+    rows = []
+    for _ in range(h):
+        row = bytearray(b"\x00")
+        for x in range(w):
+            v = v_left if x < split_cell * 8 else v_right
+            row += bytes((v, v, v))
+        rows.append(bytes(row))
+    raw = b"".join(rows)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw, 9)) + _chunk(b"IEND", b""))
+
+
+def phash_dhash(split_cell: int, v_left: int, v_right: int) -> int:
+    """The EXACT integer dHash the Scala decoder must reproduce: luma =
+    (299r+587g+114b)//1000 per pixel, 8x8-average-pooled to a 9x8 grid,
+    bit (r*8+c) set iff cell[r][c] < cell[r][c+1]; signed 64-bit."""
+    cells = [[(v_left if c < split_cell else v_right) for c in range(9)]
+             for _ in range(8)]
+    d = 0
+    for r in range(8):
+        for c in range(8):
+            if cells[r][c] < cells[r][c + 1]:
+                d |= 1 << (r * 8 + c)
+    return d - (1 << 64) if d >= (1 << 63) else d
+
 
 def mp4_spec(i: int):
     """(major_brand, timescale, duration, mvhd_version, video_wh,
@@ -337,6 +391,16 @@ def main() -> None:
     with open(os.path.join(OUT_MP4, "manifest.csv"), "w") as f:
         f.write("\n".join(mlines) + "\n")
     print(f"wrote {N_MP4} MP4s + manifest to {os.path.abspath(OUT_MP4)}")
+
+    os.makedirs(OUT_PH, exist_ok=True)
+    plines = ["media_id,width,height,split_cell,v_left,v_right,dhash"]
+    for mid, split, vl, vr in phash_specs():
+        with open(os.path.join(OUT_PH, f"img_{mid:03d}.png"), "wb") as f:
+            f.write(phash_png(split, vl, vr))
+        plines.append(f"{mid},72,64,{split},{vl},{vr},{phash_dhash(split, vl, vr)}")
+    with open(os.path.join(OUT_PH, "manifest.csv"), "w") as f:
+        f.write("\n".join(plines) + "\n")
+    print(f"wrote {len(phash_specs())} phash PNGs + manifest to {os.path.abspath(OUT_PH)}")
 
 
 if __name__ == "__main__":
