@@ -529,7 +529,7 @@ private[sources] object GraftProcedures {
       "expire_snapshots", "rollback",
       "create_tag", "drop_tag", "create_branch", "drop_branch",
       "fast_forward", "clone", "ingest_files", "compact_range",
-      "check_table", "maintain")
+      "check_table", "maintain", "estimate_distinct")
 
   def load(name: String, catalog: GraftCatalog,
            handleFor: String => SnapshotTable): UnboundProcedure = name match {
@@ -684,6 +684,24 @@ private[sources] object GraftProcedures {
           val t = handleFor(in.getString(0))
           val v = t.compactDeletes()
           Seq(v, t.snapshot(v).deletes.length.toLong)
+      }
+    case "estimate_distinct" =>
+      proc("estimate_distinct", "distinct-count estimate for a stats " +
+        "column from the manifest's per-file NDV sketches (mergeable " +
+        "HLL — one manifest parse, zero files opened); NULL when the " +
+        "column carries no sketches",
+        Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("column", DataTypes.StringType).build()),
+        StructType(Seq(
+          StructField("column", DataTypes.StringType, nullable = false),
+          StructField("ndv_est", DataTypes.LongType, nullable = true),
+          StructField("n_rows", DataTypes.LongType, nullable = false)))) {
+        in =>
+          val t = handleFor(in.getString(0))
+          val c = in.getString(1)
+          Seq(c, t.estimateDistinct(c).orNull,
+            t.snapshot(t.latestVersion()).rows)
       }
     case "maintain" =>
       proc("maintain", "ONE policy-chosen maintenance step from the " +

@@ -108,6 +108,16 @@ class NdvSketchSpec extends SparkSpec {
           n.toLong >= 45L && n.toLong <= 55L)),
         s"logical plan stats must carry the manifest NDV, got $stats")
     } finally spark.conf.unset("spark.sql.cbo.enabled")
+    // the SQL surface: CALL estimate_distinct answers from one manifest
+    // parse (zero files opened)
+    val row = spark.sql(s"CALL $cat.system.estimate_distinct('db.c', 'k')")
+      .as[(String, Option[Long], Long)].head()
+    assert(row._1 == "k" && row._3 == 5000L &&
+      row._2.exists(n => n >= 45L && n <= 55L), s"got $row")
+    // a non-stats column answers NULL, never a guess
+    val none = spark.sql(s"CALL $cat.system.estimate_distinct('db.c', 'v')")
+      .as[(String, Option[Long], Long)].head()
+    assert(none._2.isEmpty, s"got $none")
   }
 
   test("grouped-vs-inline differential: sketches survive the group encoding") {
