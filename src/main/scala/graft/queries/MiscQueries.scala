@@ -1308,20 +1308,20 @@ object MiscQueries {
     // in DuckDB as the insert then the update applied sequentially.
     "misc_catalog_mor_concurrent" -> ((s, d) => {
       val wh = Tables.freshTmpDir(s, "graft_catmorcc").getAbsolutePath
-      s.conf.set("spark.sql.catalog.gmc", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.gmc.warehouse", wh)
-      s.sql("CREATE NAMESPACE IF NOT EXISTS gmc.db")
+      s.conf.set("spark.sql.catalog.gmcq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gmcq.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gmcq.db")
       Tables.orders(s, d).select(col("o_orderkey").as("id"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
         .createOrReplaceTempView("catmorcc_src")
       val m = s.table("catmorcc_src").agg(max(col("id"))).head.getLong(0)
-      s.sql("CREATE TABLE gmc.db.t (id BIGINT, cents BIGINT) " +
+      s.sql("CREATE TABLE gmcq.db.t (id BIGINT, cents BIGINT) " +
         "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='id', " +
         "'write.update.mode'='merge-on-read', 'write.delete.key'='id')")
-      s.sql(s"INSERT INTO gmc.db.t SELECT * FROM catmorcc_src WHERE id <= ${m / 3}")
-      s.sql("INSERT INTO gmc.db.t SELECT * FROM catmorcc_src " +
+      s.sql(s"INSERT INTO gmcq.db.t SELECT * FROM catmorcc_src WHERE id <= ${m / 3}")
+      s.sql("INSERT INTO gmcq.db.t SELECT * FROM catmorcc_src " +
         s"WHERE id > ${m / 3} AND id <= ${2 * m / 3}")
-      s.sql(s"INSERT INTO gmc.db.t SELECT * FROM catmorcc_src WHERE id > ${2 * m / 3}")
+      s.sql(s"INSERT INTO gmcq.db.t SELECT * FROM catmorcc_src WHERE id > ${2 * m / 3}")
       val entered = new java.util.concurrent.CountDownLatch(1)
       val proceed = new java.util.concurrent.CountDownLatch(1)
       DmlRaceGate.entered = entered
@@ -1337,10 +1337,10 @@ object MiscQueries {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
-      val gated = Future(s.sql("UPDATE gmc.db.t SET " +
+      val gated = Future(s.sql("UPDATE gmcq.db.t SET " +
         s"cents = catmorcc_gate(cents) + 7 WHERE id <= ${m / 3}"))
       entered.await(120, java.util.concurrent.TimeUnit.SECONDS)
-      s.sql(s"INSERT INTO gmc.db.t VALUES (${m + 1000000}, 11)") // non-matched key
+      s.sql(s"INSERT INTO gmcq.db.t VALUES (${m + 1000000}, 11)") // non-matched key
       proceed.countDown()
       Await.result(gated, 20.minutes)
       val t = new graft.sources.SnapshotTable(s, s"$wh/db/t", Seq("id"))
