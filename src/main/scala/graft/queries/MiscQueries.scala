@@ -1023,6 +1023,41 @@ object MiscQueries {
           col("day") >= lit(c1) && col("day") < lit(c2), estPruned))
     }),
 
+    // Manifest-fed CBO column statistics: the DSv2 scan reports EXACT
+    // min/max (band keys typed back — injective for integrals) and the
+    // exact null census straight from the manifest vectors, zero files
+    // opened; with CBO on they land in the logical plan's
+    // attributeStats, and must equal DuckDB's own min/max/null-count
+    // over the same rows. The V2 path, not a side API.
+    "misc_snapshot_cbo_bounds" -> ((s, d) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      val wh = Tables.freshTmpDir(s, "graft_cbobounds").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gcbs", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcbs.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcbs.db")
+      s.sql("CREATE TABLE gcbs.db.t (k BIGINT, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='k,cents')")
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 10 === 0, lit(null).cast("bigint"))
+          .otherwise(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"))
+        .createOrReplaceTempView("cbobounds_src")
+      s.sql("INSERT INTO gcbs.db.t SELECT * FROM cbobounds_src")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val st = s.table("gcbs.db.t").queryExecution.optimizedPlan.stats
+        def of(name: String) = st.attributeStats.find(_._1.name == name).get._2
+        val (k, c) = (of("k"), of("cents"))
+        s.range(1).select(
+          lit(k.min.get.asInstanceOf[Long]).as("k_min"),
+          lit(k.max.get.asInstanceOf[Long]).as("k_max"),
+          lit(k.nullCount.get.toLong).as("k_nulls"),
+          lit(c.min.get.asInstanceOf[Long]).as("cents_min"),
+          lit(c.max.get.asInstanceOf[Long]).as("cents_max"),
+          lit(c.nullCount.get.toLong).as("cents_nulls"))
+      } finally s.conf.unset("spark.sql.cbo.enabled")
+    }),
+
     // The automatic rule's HULL degradation under the oracle gate: the
     // dim's distinct keys exceed the rule's cap (forced to 8 here), so
     // instead of a point lane the optimizer folds the dim's [min,max]
@@ -1482,6 +1517,49 @@ object MiscQueries {
       r.select(col("version"), col("missing"), col("length_mismatches"),
         col("misaligned_vectors"), col("rows_recorded"), col("rows_checked"),
         col("rows_lo"), col("rows_hi"), col("ok"))
+    }),
+
+    // DISASTER RECOVERY: `CALL repair_table` re-lists the tip WITHOUT
+    // the file storage lost — three band-disjoint single-file appends;
+    // the middle band's file is deleted from disk (picked BY ITS BAND,
+    // never by name — deterministic across runs); the dry run reports
+    // without committing, the repair drops exactly that file with
+    // metadata-served row accounting, reads recover, and fsck is green.
+    // Surviving contents equal DuckDB's replay of the two kept ranges.
+    "misc_catalog_repair" -> ((s, d) => {
+      val wh = Tables.freshTmpDir(s, "graft_catrepair").getAbsolutePath
+      s.conf.set("spark.sql.catalog.grpr", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.grpr.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS grpr.db")
+      s.sql("CREATE TABLE grpr.db.t (k BIGINT, cents BIGINT) " +
+        "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='k')")
+      val src = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val m = src.agg(max(col("k"))).head.getLong(0)
+      val (c1, c2) = (m / 3, 2 * m / 3)
+      // one file per band range (repartition(1)) so the damage set is
+      // exactly one file — the raw handle commits into the catalog root
+      val t = new graft.sources.SnapshotTable(s, s"$wh/db/t", Seq("k"))
+      t.commitAppend(src.filter(col("k") <= c1).repartition(1))
+      t.commitAppend(src.filter(col("k") > c1 && col("k") <= c2).repartition(1))
+      t.commitAppend(src.filter(col("k") > c2).repartition(1))
+      val snap = t.snapshot(t.latestVersion())
+      val victim = snap.files(
+        snap.stats.head.mins.indexWhere(mn => mn > c1 && mn <= c2))
+      assert(new java.io.File(new java.io.File(s"$wh/db/t", "data"), victim)
+        .delete(), "fixture must delete the victim file")
+      val dry = s.sql("CALL grpr.system.repair_table('db.t')").head
+      val run = s.sql(
+        "CALL grpr.system.repair_table('db.t', dry_run => false)").head
+      val fsckOk = s.sql("CALL grpr.system.check_table('db.t')")
+        .select(col("ok")).head.getBoolean(0)
+      s.table("grpr.db.t")
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(dry.getLong(1)).as("dry_dropped"),
+          lit(dry.isNullAt(5)).as("dry_uncommitted"),
+          lit(run.getLong(1)).as("dropped_files"),
+          lit(run.getLong(4)).as("rows_after"),
+          lit(fsckOk).as("fsck_ok"), col("n_rows"), col("total_cents"))
     }),
 
     // BAND-SCOPED compaction (OPTIMIZE WHERE): one cold file plus three
@@ -3887,6 +3965,21 @@ FROM orders
 WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
   AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'""",
 
+    // the manifest's bands/null-census are EXACT for integral columns:
+    // the connector-reported CBO statistics must equal the data's own
+    "misc_snapshot_cbo_bounds" -> """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 10 = 0 THEN NULL
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders)
+SELECT CAST(min(k) AS BIGINT) AS k_min, CAST(max(k) AS BIGINT) AS k_max,
+       CAST(0 AS BIGINT) AS k_nulls,
+       CAST(min(cents) AS BIGINT) AS cents_min,
+       CAST(max(cents) AS BIGINT) AS cents_max,
+       CAST(count(*) FILTER (WHERE cents IS NULL) AS BIGINT) AS cents_nulls
+FROM src""",
+
     "misc_snapshot_date_minmax" -> """
 WITH base AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day FROM orders)
 SELECT 'pre_delete' AS leg, CAST(count(*) AS BIGINT) AS n,
@@ -4374,6 +4467,22 @@ SELECT CAST(3 AS BIGINT) AS version, CAST(0 AS BIGINT) AS missing,
        CAST(count(*) AS BIGINT) AS rows_hi,
        CAST(TRUE AS BOOLEAN) AS ok
 FROM orders""",
+
+    // kept ranges = [min, m//3] and (2*m//3, m]; the middle third's
+    // single file was lost to storage and repaired away
+    "misc_catalog_repair" -> """
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+m AS (SELECT max(k) AS mx FROM src)
+SELECT CAST(1 AS BIGINT) AS dry_dropped,
+       CAST(TRUE AS BOOLEAN) AS dry_uncommitted,
+       CAST(1 AS BIGINT) AS dropped_files,
+       CAST(count(*) AS BIGINT) AS rows_after,
+       CAST(TRUE AS BOOLEAN) AS fsck_ok,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM src, m WHERE k <= m.mx // 3 OR k > 2 * m.mx // 3""",
 
     // both legs read the same rows; 4 files fold to 2 (cold + one hot)
     "misc_snapshot_compact_range" -> """

@@ -113,6 +113,29 @@ object BandKeys {
       Some((stringKey(u.getBytes), false))
     case _ => None
   }
+
+  /** A band key back as the CATALYST-internal value of `dt` — defined
+    * exactly for the types whose key function is injective and
+    * order-preserving under `bandsV` (the `exact` rows above), so the
+    * manifest's key-space min/max IS the column's value-space min/max.
+    * None for lossy keys (STRING always, TIMESTAMP under v1): a prefix
+    * key can prune but never BE the answer. Representations follow
+    * catalyst ColumnStat's convention (internal values: DATE = epoch
+    * days as Int, TIMESTAMP = epoch micros as Long) — what the CBO's
+    * estimators consume directly. */
+  def keyToCatalyst(key: Long, dt: org.apache.spark.sql.types.DataType,
+                    bandsV: Int): Option[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => Some(key)
+      case IntegerType | DateType => Some(key.toInt)
+      case ShortType => Some(key.toShort)
+      case ByteType => Some(key.toByte)
+      case BooleanType => Some(key == 1L)
+      case TimestampType if bandsV >= 2 => Some(key)
+      case _ => None
+    }
+  }
 }
 
 /** TYPED per-file bounds for stats columns whose LONG band key is lossy

@@ -517,6 +517,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   *  - `check_table(table [, deep])` — integrity check (fsck): files
   *    exist, lengths match, metadata vectors align, row counts
   *    reconcile; deep adds one recount scan.
+  *  - `repair_table(table [, dry_run, drop_deletes])` — disaster
+  *    recovery: re-list the tip without the files storage lost or
+  *    corrupted so the table reads again; dry_run (default true)
+  *    only reports, drop_deletes must be explicit (resurrection).
   */
 private[sources] object GraftProcedures {
   import org.apache.spark.sql.catalyst.InternalRow
@@ -529,7 +533,7 @@ private[sources] object GraftProcedures {
       "expire_snapshots", "rollback",
       "create_tag", "drop_tag", "create_branch", "drop_branch",
       "fast_forward", "clone", "ingest_files", "compact_range",
-      "check_table", "maintain", "estimate_distinct")
+      "check_table", "repair_table", "maintain", "estimate_distinct")
 
   def load(name: String, catalog: GraftCatalog,
            handleFor: String => SnapshotTable): UnboundProcedure = name match {
@@ -631,6 +635,39 @@ private[sources] object GraftProcedures {
             r.rowsDeepScan.orElse(r.rowsFromCounts).orNull,
             r.rowsBounds.map(_._1).orNull, r.rowsBounds.map(_._2).orNull,
             r.ok)
+      }
+    case "repair_table" =>
+      proc("repair_table", "disaster recovery: re-list the tip WITHOUT " +
+        "the files storage lost or corrupted (missing, or on-disk " +
+        "length differs from the recorded one) so the table reads " +
+        "again — one manifest commit, no data copied; the dropped rows " +
+        "are gone (restore from a clone/backup to get them back). " +
+        "dry_run=true (default) only reports; damaged DELETE files are " +
+        "refused unless drop_deletes=true (dropping one resurrects the " +
+        "rows it deleted)",
+        Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("dry_run", DataTypes.BooleanType)
+            .defaultValue("true").build(),
+          ProcedureParameter.in("drop_deletes", DataTypes.BooleanType)
+            .defaultValue("false").build()),
+        StructType(Seq(
+          StructField("version", DataTypes.LongType, nullable = false),
+          StructField("dropped_files", DataTypes.LongType, nullable = false),
+          StructField("dropped_deletes", DataTypes.LongType, nullable = false),
+          StructField("rows_before", DataTypes.LongType, nullable = false),
+          // -1 on a dry run whose exact accounting would need the
+          // recount scan the committing run pays
+          StructField("rows_after", DataTypes.LongType, nullable = false),
+          StructField("committed_version", DataTypes.LongType, nullable = true)))) {
+        in =>
+          val t = handleFor(in.getString(0))
+          val dry = in.isNullAt(1) || in.getBoolean(1)
+          val dropDel = !in.isNullAt(2) && in.getBoolean(2)
+          val r = t.repairTable(dryRun = dry, dropDeletes = dropDel)
+          Seq(r.version, r.droppedFiles.length.toLong,
+            r.droppedDeletes.length.toLong, r.rowsBefore, r.rowsAfter,
+            r.committed.orNull)
       }
     case "compact_range" =>
       proc("compact_range", "band-scoped compaction (OPTIMIZE WHERE): " +

@@ -829,11 +829,16 @@ class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
       private val rows: Option[Long] = plannedRows.orElse(snap.map(_.rows))
       override def numRows(): java.util.OptionalLong =
         rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
-      /** Per-column DISTINCT counts from the manifest's mergeable NDV
-        * sketches, over the PLANNED (post-pruning) file set — the CBO
-        * input that lets join planning stop guessing (DSv2 column
-        * statistics, SPARK-41378's path). Columns without full sketch
-        * coverage are simply absent. */
+      /** Per-column statistics from the manifest alone, over the PLANNED
+        * (post-pruning) file set — the CBO input that lets join planning
+        * and filter-selectivity estimation stop guessing (DSv2 column
+        * statistics, SPARK-41378's path): DISTINCT counts from the
+        * mergeable NDV sketches, MIN/MAX from the band vectors for the
+        * types whose key is exact (typed back via
+        * [[BandKeys.keyToCatalyst]] — catalyst-internal values, the
+        * representation ColumnStat expects), and NULL counts from the
+        * null-census vectors. Columns with no known statistic are
+        * simply absent; unknown vectors drop just that statistic. */
       override def columnStats(): java.util.Map[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
@@ -844,14 +849,39 @@ class GraftSnapshotScan(spark: SparkSession, table: SnapshotTable,
           try table.plannedColumnNdvs(bands, points, nullCols, orAlts, version)
           catch { case scala.util.control.NonFatal(_) =>
             Map.empty[String, Long] }
-        ndvs.foreach { case (c, n) =>
-          if (required.fieldNames.contains(c))
-            out.put(
-              org.apache.spark.sql.connector.expressions.Expressions.column(c),
-              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-                override def distinctCount(): java.util.OptionalLong =
-                  java.util.OptionalLong.of(n)
-              })
+        val boundsByCol =
+          try table.plannedColumnBounds(bands, points, nullCols, orAlts, version)
+          catch { case scala.util.control.NonFatal(_) =>
+            Map.empty[String, (Option[(Long, Long)], Option[Long])] }
+        val bandsV = snap.map(_.bandsV).getOrElse(1)
+        (ndvs.keySet ++ boundsByCol.keySet).foreach { c =>
+          val dtOpt = required.fields.find(_.name == c).map(_.dataType)
+          if (dtOpt.nonEmpty) {
+            val (keyBounds, nullsN) =
+              boundsByCol.getOrElse(c, (None, None))
+            val minV = for { dt <- dtOpt; (lo, _) <- keyBounds
+              v <- BandKeys.keyToCatalyst(lo, dt, bandsV) } yield v
+            val maxV = for { dt <- dtOpt; (_, hi) <- keyBounds
+              v <- BandKeys.keyToCatalyst(hi, dt, bandsV) } yield v
+            val ndv = ndvs.get(c)
+            if (ndv.nonEmpty || minV.nonEmpty || nullsN.nonEmpty)
+              out.put(
+                org.apache.spark.sql.connector.expressions.Expressions.column(c),
+                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    ndv.map(java.util.OptionalLong.of)
+                      .getOrElse(java.util.OptionalLong.empty())
+                  override def min(): java.util.Optional[Object] =
+                    minV.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                      .getOrElse(java.util.Optional.empty[Object]())
+                  override def max(): java.util.Optional[Object] =
+                    maxV.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                      .getOrElse(java.util.Optional.empty[Object]())
+                  override def nullCount(): java.util.OptionalLong =
+                    nullsN.map(java.util.OptionalLong.of)
+                      .getOrElse(java.util.OptionalLong.empty())
+                })
+          }
         }
         out
       }

@@ -100,6 +100,18 @@ case class TableCheckReport(version: Long, files: Long, deletes: Long,
                             // removes at most its recorded key count)
                             rowsBounds: Option[(Long, Long)] = None)
 
+/** Outcome of [[SnapshotTable.repairTable]] — the recovery verb paired
+  * with [[SnapshotTable.checkTable]]. `committed` is the published
+  * repair version (None on dry runs and when nothing is damaged);
+  * `rowsAfter` is −1 on a dry run whose exact accounting would need a
+  * recount scan (the committing run always pays it). */
+case class TableRepairReport(version: Long,
+                             droppedFiles: Seq[String],
+                             droppedDeletes: Seq[String],
+                             rowsBefore: Long,
+                             rowsAfter: Long,
+                             committed: Option[Long])
+
 /** Debris thresholds for [[SnapshotTable.maintain]] — what "needs
   * maintenance" means for a table, as configuration. `maxRetained = 0`
   * disables the retention-vacuum step (time travel is a policy choice,
@@ -1980,6 +1992,47 @@ class SnapshotTable(spark: SparkSession, root: String,
     }.toMap
   }
 
+  /** Post-pruning per-column (band-key [min, max], null count) over the
+    * file set the given pruning would PLAN — the rest of the V2 column
+    * statistics next to [[plannedColumnNdvs]], folded from the manifest
+    * vectors alone (no file opened). Bounds are absent when nothing
+    * survives pruning or when any planned non-empty file's bound is
+    * unknown (legacy stats-less files, all-null files — the same
+    * sentinel discipline every pruning lane uses); null counts are
+    * absent when any planned file's count is unknown. Under MOR deletes
+    * both are upper bounds over live rows (a delete can only shrink a
+    * range or a null census) — the conservative direction an estimate
+    * may err in. Keys convert back to typed values only where the key
+    * function is exact ([[BandKeys.keyToCatalyst]]); the caller decides. */
+  private[graft] def plannedColumnBounds(bands: Map[String, (Long, Long)],
+                                         points: Map[String, Seq[Long]],
+                                         nullCols: Set[String],
+                                         orAlts: Seq[Seq[PruneAlt]],
+                                         version: Long)
+      : Map[String, (Option[(Long, Long)], Option[Long])] = {
+    val v = if (version < 0) latestVersion() else version
+    if (v <= 0) return Map.empty
+    val fl = fileSetOf(snapshot(v))
+    val keep = prunedKeep(fl, bands, points, nullCols, orAlts)
+    statsCols.zipWithIndex.map { case (c, ci) =>
+      val cs = fl.stats(ci)
+      val mins = alignOr(cs.mins, fl.files.length, UnknownMin)
+      val maxs = alignOr(cs.maxs, fl.files.length, UnknownMax)
+      val nulls = alignOr(cs.nulls, fl.files.length, UnknownNulls)
+      // inverted band (min > max) = known-EMPTY file: contributes no
+      // rows, so it cannot move a bound (and its null count is zero)
+      val nonEmpty = keep.filterNot(i => mins(i) > maxs(i))
+      val bounds =
+        if (nonEmpty.isEmpty || nonEmpty.exists(i =>
+            mins(i) == UnknownMin || maxs(i) == UnknownMax)) None
+        else Some((nonEmpty.map(mins).min, nonEmpty.map(maxs).max))
+      val nullTotal =
+        if (keep.exists(i => nulls(i) == UnknownNulls)) None
+        else Some(keep.map(nulls).sum)
+      c -> ((bounds, nullTotal))
+    }.toMap
+  }
+
   /** (rows, bytes) of the file set the given pruning would PLAN — the
     * post-pruning statistics the connector reports so the optimizer's
     * broadcast decision sees what the scan will actually read, not the
@@ -3291,6 +3344,16 @@ class SnapshotTable(spark: SparkSession, root: String,
           // is no v-1 manifest to diff against): the carried content IS
           // the insert set — one pruned-plan read, no exceptAll
           Seq(tagged(read(v), "insert", v))
+        case "repair" =>
+          // a repair dropped files storage LOST — their rows cannot be
+          // produced to retract them (and the generic prev-vs-cur diff
+          // would open the damaged files and die). Refuse loudly: a
+          // change-feed consumer straddling a repair must reseed from
+          // the repaired snapshot.
+          sys.error(s"change feed at $root cannot serve v$v: a repair " +
+            "dropped files lost to storage damage, so their rows cannot " +
+            "be retracted row-wise — reseed consumers from the repaired " +
+            s"snapshot (readChangeFeed from >= $v)")
         case _ =>
           val prev = if (v - 1 == 0) read(v).limit(0) else read(v - 1)
           val cur = read(v)
@@ -4194,6 +4257,114 @@ class SnapshotTable(spark: SparkSession, root: String,
         frowsSum.forall(_ == s.rows) && deepRows.forall(_ == s.rows) &&
         morBounds.forall { case (lo, hi) => s.rows >= lo && s.rows <= hi },
       rowsBounds = morBounds)
+  }
+
+  /** DISASTER-RECOVERY repair: re-list the tip WITHOUT the files that
+    * storage lost or corrupted (missing on disk, or on-disk length
+    * differing from the recorded one — the same probes [[checkTable]]
+    * flags) so the table reads again. The dropped rows are GONE
+    * (restore from a clone/backup to get them back); that is the point
+    * — an unreadable 100 TB table becomes a readable (100 TB − damage)
+    * one with ONE manifest commit, no data copied or scanned beyond
+    * what exact row accounting needs.
+    *
+    *  - `dryRun = true` (default) only reports what WOULD drop; it
+    *    publishes nothing and never scans (rowsAfter is −1 when exact
+    *    accounting would need the recount the committing run pays).
+    *  - Damaged equality-DELETE files are refused unless
+    *    `dropDeletes = true`: dropping one RESURRECTS the rows it
+    *    deleted — an explicit operator decision, never a default.
+    *  - Row accounting: metadata-served (rows − Σfrows of dropped
+    *    files) when every dropped file's count is recorded and no MOR
+    *    delete outsequences it; otherwise ONE recount over the kept
+    *    plan — a synthetic in-memory snapshot of the repaired content,
+    *    so damaged files are never opened.
+    *  - Dropping EVERY data file is refused (a file-less manifest is
+    *    unreadable): that table restores from backup, it doesn't repair.
+    *  - [[readChangeFeed]] refuses to serve a repair version: rows lost
+    *    to storage cannot be retracted row-wise; reseed downstream
+    *    consumers from the repaired snapshot. Streaming reads fail
+    *    loudly at it like any non-append change. */
+  def repairTable(dryRun: Boolean = true,
+                  dropDeletes: Boolean = false): TableRepairReport = {
+    var attempts = 0
+    while (attempts < 50) {
+      val base = latestVersion()
+      require(base > 0, s"no committed snapshot to repair at $root")
+      val s = snapshot(base)
+      val fl = fileSetOf(s)
+      def statusOpt(rel: String): Option[org.apache.hadoop.fs.FileStatus] =
+        try Some(fs.getFileStatus(new Path(dataDir, rel)))
+        catch { case _: java.io.FileNotFoundException => None }
+      val lens = alignLens(fl.lens, fl.files.length)
+      val dlens = alignLens(fl.deleteLens, fl.deletes.length)
+      def damaged(rel: String, recorded: Long): Boolean =
+        statusOpt(rel) match {
+          case None => true
+          case Some(st) => recorded >= 0L && st.getLen != recorded
+        }
+      val badIdx = fl.files.indices.filter(i => damaged(fl.files(i), lens(i)))
+      val badDelIdx =
+        fl.deletes.indices.filter(j => damaged(fl.deletes(j), dlens(j)))
+      if (badIdx.isEmpty && badDelIdx.isEmpty)
+        return TableRepairReport(base, Seq.empty, Seq.empty, s.rows, s.rows, None)
+      require(badDelIdx.isEmpty || dropDeletes,
+        s"repair at $root: damaged delete files " +
+          s"(${badDelIdx.map(fl.deletes).mkString(", ")}) — dropping one " +
+          "RESURRECTS the rows it deleted; pass dropDeletes=true to accept")
+      val keptIdx = fl.files.indices.filterNot(badIdx.toSet)
+      require(keptIdx.nonEmpty,
+        s"repair at $root would drop every data file — restore from a " +
+          "backup/clone instead")
+      val keptDelIdx = fl.deletes.indices.filterNot(badDelIdx.toSet)
+      val fr = alignLens(fl.frows, fl.files.length)
+      // exact from metadata when provable: counts recorded and no MOR
+      // delete outsequences any dropped file (none of its rows were
+      // already dead) and no delete file is being dropped (nothing
+      // resurrects)
+      val cheap = badDelIdx.isEmpty && badIdx.forall(i => fr(i) >= 0L &&
+        fl.deleteSeqs.forall(_ <= fl.seqs(i)))
+      if (dryRun)
+        return TableRepairReport(base, badIdx.map(fl.files),
+          badDelIdx.map(fl.deletes), s.rows,
+          if (cheap) s.rows - badIdx.map(fr).sum else -1L, None)
+      val rowsAfter =
+        if (cheap) s.rows - badIdx.map(fr).sum
+        else {
+          // the repaired content as an in-memory snapshot view: kept
+          // data files, surviving deletes, groups already resolved —
+          // one recount plan that never touches a damaged file
+          val s2 = s.copy(
+            files = keptIdx.map(fl.files),
+            statsCols = statsCols,
+            stats = sliceStats(fl.stats, keptIdx),
+            seqs = keptIdx.map(fl.seqs),
+            deletes = keptDelIdx.map(fl.deletes),
+            deleteSeqs = keptDelIdx.map(fl.deleteSeqs),
+            lens = keptIdx.map(lens),
+            deleteLens = keptDelIdx.map(dlens),
+            frows = keptIdx.map(fr),
+            drows = keptDelIdx.map(fl.drows),
+            dmins = keptDelIdx.map(fl.dmins),
+            dmaxs = keptDelIdx.map(fl.dmaxs),
+            groupRefs = Seq.empty, groupedCount = 0)
+          morPlan(s2, s2.files.indices, mergeSchema = false).count()
+        }
+      publishAtBase(base, "repair", FileSet(
+          keptIdx.map(fl.files), sliceStats(fl.stats, keptIdx),
+          keptIdx.map(fl.seqs), keptDelIdx.map(fl.deletes),
+          keptDelIdx.map(fl.deleteSeqs), fl.deleteKey,
+          keptIdx.map(lens), keptDelIdx.map(dlens),
+          keptIdx.map(fr), keptDelIdx.map(fl.drows),
+          keptDelIdx.map(fl.dmins), keptDelIdx.map(fl.dmaxs)),
+        rowsAfter, s.schemaJson) match {
+        case Some(v) =>
+          return TableRepairReport(base, badIdx.map(fl.files),
+            badDelIdx.map(fl.deletes), s.rows, rowsAfter, Some(v))
+        case None => attempts += 1 // tip moved: re-probe and retry
+      }
+    }
+    sys.error(s"repairTable at $root: gave up after $attempts conflicts")
   }
 
   /** All RETAINED snapshots, oldest first (the table's audit history;

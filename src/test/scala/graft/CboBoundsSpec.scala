@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{BandKeys, SnapshotTable}
+
+/** Manifest-fed MIN/MAX/NULL-count column statistics through the DSv2
+  * stats path: the scan's `columnStats()` reports, over the PLANNED
+  * (post-pruning) file set, value bounds for the types whose band key
+  * is exact and the null census from the manifest vectors — so the
+  * CBO's filter-selectivity and join estimators see real ranges
+  * instead of guessing. Zero files are opened for any of it. */
+class CboBoundsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // installs V1ScanStatsRule — Spark's push-down wrapper drops the
+  // stats mix-in from V1 scans; the rule restores it (see V1ScanStats)
+  org.apache.spark.sql.graft.GraftFunctions.register(spark)
+
+  private def freshRoot(tag: String): String = {
+    val f = java.nio.file.Files.createTempDirectory(s"graft_cbo_$tag")
+    f.toFile.delete()
+    f.toString
+  }
+
+  private def withCbo[A](body: => A): A = {
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try body finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
+  private def catalogTable(cat: String, wh: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+  }
+
+  test("logical plan stats carry manifest min/max/nullCount for a BIGINT column") {
+    val cat = "gcbo1"
+    catalogTable(cat, freshRoot("bigint"))
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='k')")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id + 100 AS k, id AS v " +
+      "FROM range(0, 1000)")
+    withCbo {
+      val stats = spark.table(s"$cat.db.t").queryExecution.optimizedPlan.stats
+      val kStat = stats.attributeStats.find(_._1.name == "k").map(_._2)
+      assert(kStat.isDefined, s"no column stats for k in $stats")
+      assert(kStat.get.min.contains(100L), s"min must be 100, got ${kStat.get.min}")
+      assert(kStat.get.max.contains(1099L), s"max must be 1099, got ${kStat.get.max}")
+      assert(kStat.get.nullCount.exists(_.toLong == 0L),
+        s"nullCount must be 0, got ${kStat.get.nullCount}")
+    }
+  }
+
+  test("pruned scans report post-pruning bounds, not the table's") {
+    val cat = "gcbo2"
+    catalogTable(cat, freshRoot("pruned"))
+    spark.sql(s"CREATE TABLE $cat.db.p (k BIGINT, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='k')")
+    // three band-disjoint files: [0,999], [1000,1999], [2000,2999]
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.db.p SELECT id AS k, id AS v FROM " +
+        s"range(${i * 1000}, ${i * 1000 + 1000})")
+    }
+    withCbo {
+      val plan = spark.table(s"$cat.db.p").filter(col("k") < 1000L)
+        .queryExecution.optimizedPlan
+      // the scan under the filter carries the PLANNED file set's bounds
+      val scanStats = plan.collectLeaves().head.stats
+      val kStat = scanStats.attributeStats.find(_._1.name == "k").map(_._2)
+      assert(kStat.exists(_.max.exists(_.asInstanceOf[Long] <= 999L)),
+        s"post-pruning max must come from the single planned file, got $scanStats")
+      assert(kStat.exists(_.min.contains(0L)), s"got $scanStats")
+    }
+  }
+
+  test("null census reaches the CBO; all-null-file bounds stay absent") {
+    val cat = "gcbo3"
+    catalogTable(cat, freshRoot("nulls"))
+    spark.sql(s"CREATE TABLE $cat.db.n (k BIGINT, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='k')")
+    spark.sql(s"INSERT INTO $cat.db.n SELECT CASE WHEN id % 10 = 0 " +
+      "THEN NULL ELSE id END AS k, id AS v FROM range(0, 1000)")
+    withCbo {
+      val stats = spark.table(s"$cat.db.n").queryExecution.optimizedPlan.stats
+      val kStat = stats.attributeStats.find(_._1.name == "k").map(_._2)
+      assert(kStat.exists(_.nullCount.exists(_.toLong == 100L)),
+        s"nullCount must be the manifest's census (100), got $stats")
+    }
+  }
+
+  test("string stats columns surface NDV and nullCount but never a lossy bound") {
+    val cat = "gcbo4"
+    catalogTable(cat, freshRoot("string"))
+    spark.sql(s"CREATE TABLE $cat.db.s (name STRING, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='name')")
+    spark.sql(s"INSERT INTO $cat.db.s SELECT concat('user_', CAST(id AS STRING)) " +
+      "AS name, id AS v FROM range(0, 500)")
+    withCbo {
+      val stats = spark.table(s"$cat.db.s").queryExecution.optimizedPlan.stats
+      val nStat = stats.attributeStats.find(_._1.name == "name").map(_._2)
+      assert(nStat.isDefined, s"string column must still carry stats, got $stats")
+      assert(nStat.get.min.isEmpty && nStat.get.max.isEmpty,
+        s"an 8-byte-prefix key is lossy — no value bound may be claimed: $nStat")
+      assert(nStat.get.nullCount.exists(_.toLong == 0L), s"got $nStat")
+      assert(nStat.get.distinctCount.exists(n =>
+        n.toLong > 400L && n.toLong < 600L), s"got $nStat")
+    }
+  }
+
+  test("timestamp v2 bounds are exact micros; CBO filter estimation shrinks rows") {
+    val cat = "gcbo5"
+    catalogTable(cat, freshRoot("ts"))
+    spark.sql(s"CREATE TABLE $cat.db.e (ts TIMESTAMP, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='ts')")
+    spark.sql(s"INSERT INTO $cat.db.e SELECT " +
+      "timestampadd(SECOND, CAST(id AS INT), TIMESTAMP'2024-01-01 00:00:00Z') AS ts, " +
+      "id AS v FROM range(0, 86400)")
+    withCbo {
+      val stats = spark.table(s"$cat.db.e").queryExecution.optimizedPlan.stats
+      val tStat = stats.attributeStats.find(_._1.name == "ts").map(_._2)
+      assert(tStat.exists(_.min.isDefined) && tStat.exists(_.max.isDefined),
+        s"v2 timestamp bands are exact micros — bounds must surface: $stats")
+      val span = tStat.get.max.get.asInstanceOf[Long] -
+        tStat.get.min.get.asInstanceOf[Long]
+      assert(span == 86399L * 1000000L, s"micros span, got $span")
+      // the estimator actually uses the range: a one-hour slice of a
+      // one-day table must estimate well under the full row count
+      val full = spark.table(s"$cat.db.e").queryExecution.optimizedPlan
+        .stats.rowCount
+      val sliced = spark.table(s"$cat.db.e")
+        .filter(col("ts") < expr("TIMESTAMP'2024-01-01 01:00:00Z'"))
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(full.isDefined && sliced.isDefined, "CBO row counts must exist")
+      assert(sliced.get < full.get / 4,
+        s"range-based selectivity must bite: $sliced vs $full")
+    }
+  }
+
+  test("keyToCatalyst: exact types round-trip, lossy types decline") {
+    import org.apache.spark.sql.types._
+    assert(BandKeys.keyToCatalyst(42L, LongType, 2).contains(42L))
+    assert(BandKeys.keyToCatalyst(42L, IntegerType, 2).contains(42))
+    assert(BandKeys.keyToCatalyst(19723L, DateType, 2).contains(19723))
+    assert(BandKeys.keyToCatalyst(1L, BooleanType, 2).contains(true))
+    assert(BandKeys.keyToCatalyst(7L, ShortType, 2).contains(7.toShort))
+    assert(BandKeys.keyToCatalyst(123456789L, TimestampType, 2).contains(123456789L))
+    // v1 timestamp keys are floor-seconds — lossy, never a bound
+    assert(BandKeys.keyToCatalyst(123L, TimestampType, 1).isEmpty)
+    assert(BandKeys.keyToCatalyst(123L, StringType, 2).isEmpty)
+    assert(BandKeys.keyToCatalyst(1L, DoubleType, 2).isEmpty)
+  }
+
+  test("plannedColumnBounds: MOR delete keeps the conservative superset bound") {
+    val root = freshRoot("mor")
+    val t = new SnapshotTable(spark, root, statsCols = Seq("k"))
+    t.commitAppend(spark.range(0, 100).toDF("k").repartition(1))
+    t.commitDeleteByKey(spark.range(90, 100).toDF("k"), Seq("k"))
+    val b = t.plannedColumnBounds(Map.empty, Map.empty, Set.empty, Seq.empty, -1L)
+    // live max is 89 but the manifest bound stays 99 — a documented
+    // upper bound (deletes only shrink), never an under-claim
+    assert(b.get("k").exists(_._1.contains((0L, 99L))), s"got $b")
+    assert(b.get("k").exists(_._2.contains(0L)), s"got $b")
+  }
+}
