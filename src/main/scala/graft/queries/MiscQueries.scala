@@ -1023,6 +1023,33 @@ object MiscQueries {
           col("day") >= lit(c1) && col("day") < lit(c2), estPruned))
     }),
 
+    // The stats surface as ONE SQL call: snapshot_stats(root) — ANALYZE
+    // without a scan, served from one manifest parse. Exact bounds and
+    // null census must equal DuckDB's own aggregates; the NDV estimate
+    // is pinned within the sketch envelope (ndv_close), never exact.
+    "misc_snapshot_stats_tvf" -> ((s, d) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      val root = Tables.freshTmpDir(s, "graft_snapstats").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root,
+        statsCols = Seq("k", "cents"))
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 10 === 0, lit(null).cast("bigint"))
+          .otherwise(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"))
+      t.commitAppend(o)
+      val exact = o.agg(countDistinct(col("k")).as("dk"),
+        countDistinct(col("cents")).as("dc")).head
+      s.sql(s"SELECT * FROM snapshot_stats('$root')")
+        .withColumn("exact_distinct",
+          when(col("column") === "k", lit(exact.getLong(0)))
+            .otherwise(lit(exact.getLong(1))))
+        .select(col("column").as("col_name"), col("n_rows"), col("min_key"),
+          col("max_key"), col("null_count"),
+          (col("ndv_est") * 100 >= col("exact_distinct") * 80 &&
+            col("ndv_est") * 100 <= col("exact_distinct") * 120)
+            .as("ndv_close"))
+    }),
+
     // Manifest-fed CBO column statistics: the DSv2 scan reports EXACT
     // min/max (band keys typed back — injective for integrals) and the
     // exact null census straight from the manifest vectors, zero files
@@ -3964,6 +3991,24 @@ SELECT 'pruned',
 FROM orders
 WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
   AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'""",
+
+    // exact bounds/null census per column; NDV within the sketch envelope
+    "misc_snapshot_stats_tvf" -> """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 10 = 0 THEN NULL
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders)
+SELECT 'k' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key,
+       CAST(0 AS BIGINT) AS null_count, CAST(TRUE AS BOOLEAN) AS ndv_close
+FROM src
+UNION ALL
+SELECT 'cents', CAST(count(*) AS BIGINT),
+       CAST(min(cents) AS BIGINT), CAST(max(cents) AS BIGINT),
+       CAST(count(*) FILTER (WHERE cents IS NULL) AS BIGINT),
+       CAST(TRUE AS BOOLEAN)
+FROM src""",
 
     // the manifest's bands/null-census are EXACT for integral columns:
     // the connector-reported CBO statistics must equal the data's own

@@ -100,6 +100,14 @@ case class TableCheckReport(version: Long, files: Long, deletes: Long,
                             // removes at most its recorded key count)
                             rowsBounds: Option[(Long, Long)] = None)
 
+/** One stats column's manifest-served table statistics
+  * ([[SnapshotTable.statsSummary]]): band-key bounds and null census
+  * (absent when any live file's vector is unknown — never a guess),
+  * DISTINCT estimate from the mergeable NDV sketches. */
+case class ColumnStatsSummary(column: String,
+                              minKey: Option[Long], maxKey: Option[Long],
+                              nullCount: Option[Long], ndvEst: Option[Long])
+
 /** Outcome of [[SnapshotTable.repairTable]] — the recovery verb paired
   * with [[SnapshotTable.checkTable]]. `committed` is the published
   * repair version (None on dry runs and when nothing is damaged);
@@ -2033,13 +2041,33 @@ class SnapshotTable(spark: SparkSession, root: String,
     }.toMap
   }
 
+  /** Per-stats-column table statistics at `version` (default: tip)
+    * served from the manifest alone — ANALYZE without a scan: exact
+    * band-key bounds and null census where every live file's vector is
+    * known (absent otherwise — never a guess), DISTINCT estimates from
+    * the mergeable NDV sketches. Band keys ARE the value for integrals/
+    * bool, days-since-epoch for DATE, epoch micros for TIMESTAMP on
+    * bandsV>=2 tables, and the lossy 8-byte prefix for STRING (bounds
+    * still returned — callers needing the typed extremum use the typed
+    * bounds / a scan). What `snapshot_stats(...)` surfaces to SQL. */
+  def statsSummary(version: Long = -1L): Seq[ColumnStatsSummary] = {
+    val bounds =
+      plannedColumnBounds(Map.empty, Map.empty, Set.empty, Seq.empty, version)
+    val ndvs =
+      plannedColumnNdvs(Map.empty, Map.empty, Set.empty, Seq.empty, version)
+    statsCols.map { c =>
+      val (b, n) = bounds.getOrElse(c, (None, None))
+      ColumnStatsSummary(c, b.map(_._1), b.map(_._2), n, ndvs.get(c))
+    }
+  }
+
   /** (rows, bytes) of the file set the given pruning would PLAN — the
     * post-pruning statistics the connector reports so the optimizer's
     * broadcast decision sees what the scan will actually read, not the
     * whole table. None when any planned file lacks the recorded vector
     * (conservative: the caller falls back to unpruned totals). Rows are
     * an upper bound under MOR deletes (deletes only shrink) — exactly
-    * the conservative direction an estimate must err in. */
+    * the conservative direction an estimate may err in. */
   private[graft] def plannedStats(bands: Map[String, (Long, Long)],
                                   points: Map[String, Seq[Long]],
                                   nullCols: Set[String],
@@ -4211,19 +4239,52 @@ class SnapshotTable(spark: SparkSession, root: String,
     * and compare. Cost: one getFileStatus per listed file (metadata
     * mode) — the audit an operator runs after a storage migration or
     * before promoting a branch, not on every read. */
+  /** On-disk lengths of data-dir-relative paths (None = missing) — the
+    * existence/length probes fsck and repair share. Below
+    * `spark.graft.fsck.distributedProbeAt` (default 256) files the
+    * driver stats them directly; above it ONE Spark job probes
+    * executor-side: a 100 TB table's integrity check is O(files) HEAD
+    * calls, and sequential driver stats at a million files — not the
+    * checks themselves — would be the bottleneck (each probe is
+    * independent, the classic embarrassing parallelism). Executors
+    * build a default Configuration, the same convention as every
+    * executor-side writer in this format
+    * ([[SnapshotDeltaWriterFactory]]). */
+  private def probeLens(rels: Seq[String]): Map[String, Option[Long]] = {
+    if (rels.isEmpty) return Map.empty
+    val threshold =
+      try spark.conf.get("spark.graft.fsck.distributedProbeAt", "256").toInt
+      catch { case _: NumberFormatException => 256 }
+    if (rels.length < threshold)
+      rels.map { rel =>
+        rel -> (try Some(fs.getFileStatus(new Path(dataDir, rel)).getLen)
+          catch { case _: java.io.FileNotFoundException => None })
+      }.toMap
+    else {
+      val dd = dataDir.toString
+      val par = math.max(1, math.min(rels.length / 16,
+        spark.sparkContext.defaultParallelism * 4))
+      spark.sparkContext.parallelize(rels, par).map { rel =>
+        val p = new Path(dd, rel)
+        val lfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        rel -> (try Some(lfs.getFileStatus(p).getLen)
+          catch { case _: java.io.FileNotFoundException => None })
+      }.collect().toMap
+    }
+  }
+
   def checkTable(version: Long = -1L, deep: Boolean = false): TableCheckReport = {
     val v = if (version < 0) latestVersion() else version
     require(v > 0, s"no committed snapshot to check at $root")
     val s = snapshot(v)
     val fl = fileSetOf(s)
-    def statusOpt(rel: String): Option[org.apache.hadoop.fs.FileStatus] =
-      try Some(fs.getFileStatus(new Path(dataDir, rel)))
-      catch { case _: java.io.FileNotFoundException => None }
+    val probed = probeLens((fl.files ++ fl.deletes).distinct)
+    def statusOpt(rel: String): Option[Long] = probed.getOrElse(rel, None)
     val missing = (fl.files ++ fl.deletes).filter(statusOpt(_).isEmpty)
     val lens = alignLens(fl.lens, fl.files.length)
     val dlens = alignLens(fl.deleteLens, fl.deletes.length)
     def lenBad(rel: String, recorded: Long): Boolean =
-      recorded >= 0L && statusOpt(rel).exists(_.getLen != recorded)
+      recorded >= 0L && statusOpt(rel).exists(_ != recorded)
     val lenMismatch =
       fl.files.indices.filter(i => lenBad(fl.files(i), lens(i))).map(fl.files) ++
         fl.deletes.indices.filter(j => lenBad(fl.deletes(j), dlens(j))).map(fl.deletes)
@@ -4293,15 +4354,13 @@ class SnapshotTable(spark: SparkSession, root: String,
       require(base > 0, s"no committed snapshot to repair at $root")
       val s = snapshot(base)
       val fl = fileSetOf(s)
-      def statusOpt(rel: String): Option[org.apache.hadoop.fs.FileStatus] =
-        try Some(fs.getFileStatus(new Path(dataDir, rel)))
-        catch { case _: java.io.FileNotFoundException => None }
+      val probed = probeLens((fl.files ++ fl.deletes).distinct)
       val lens = alignLens(fl.lens, fl.files.length)
       val dlens = alignLens(fl.deleteLens, fl.deletes.length)
       def damaged(rel: String, recorded: Long): Boolean =
-        statusOpt(rel) match {
+        probed.getOrElse(rel, None) match {
           case None => true
-          case Some(st) => recorded >= 0L && st.getLen != recorded
+          case Some(onDisk) => recorded >= 0L && onDisk != recorded
         }
       val badIdx = fl.files.indices.filter(i => damaged(fl.files(i), lens(i)))
       val badDelIdx =

@@ -284,10 +284,58 @@ object GraftFunctions {
           m.minKey, m.maxKey, m.nullCount, m.bloomCols, m.ndvEst)))
     })
 
+  /** `snapshot_stats(root [, version])` — per-stats-column table
+    * statistics as a TVF (ANALYZE without a scan, served from one
+    * manifest parse): the table's rows/files plus, per column, exact
+    * band-key bounds and null census where every live file's vector is
+    * known (NULL otherwise — never a guess) and the NDV-sketch distinct
+    * estimate. Band keys are the value for integrals/bool,
+    * days-since-epoch for DATE, epoch micros for TIMESTAMP (bandsV>=2),
+    * the lossy 8-byte prefix for STRING. */
+  val snapshotStatsDescriptor: TableDescriptor = (
+    FunctionIdentifier("snapshot_stats"),
+    new ExpressionInfo(classOf[graft.sources.SnapshotTable].getName, "snapshot_stats"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.nonEmpty && exprs.length <= 2 && exprs.forall(_.foldable),
+        "snapshot_stats expects (table_root_literal [, version_literal])")
+      val root = exprs.head.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"snapshot_stats: table root must be a string literal, got $other")
+      }
+      val version = if (exprs.length < 2) -1L else exprs(1).eval() match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case other => throw new IllegalArgumentException(
+          s"snapshot_stats: version must be an integer literal, got $other")
+      }
+      val spark = SparkSession.active
+      val probe = new graft.sources.SnapshotTable(spark, root)
+      val t = new graft.sources.SnapshotTable(spark, root,
+        statsCols = probe.tipStatsCols)
+      val v = if (version < 0) t.latestVersion() else version
+      val snap = t.snapshot(v)
+      val summary = t.statsSummary(v)
+      import org.apache.spark.sql.types.LongType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("column", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_rows", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_files", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("min_key", LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("max_key", LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("null_count", LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("ndv_est", LongType, nullable = true)))
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation.fromExternalRows(
+        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+        summary.map(c => org.apache.spark.sql.Row(c.column, snap.rows,
+          snap.files.length.toLong, c.minKey.orNull, c.maxKey.orNull,
+          c.nullCount.orNull, c.ndvEst.orNull)))
+    })
+
   val tableFunctions: Seq[TableDescriptor] =
     Seq(dateSpineDescriptor, snapshotAtDescriptor, snapshotHistoryDescriptor,
       snapshotFilesDescriptor, snapshotChangesDescriptor,
-      snapshotRefsDescriptor)
+      snapshotRefsDescriptor, snapshotStatsDescriptor)
 
   /** Register into an existing session: SQL functions + the Skyline
     * planner strategy (so SkylineNode plans without the config path). */

@@ -130,6 +130,37 @@ class GraftExtensionsSpec extends SparkSpec {
       .head.getLong(0) == 2L)
   }
 
+  test("snapshot_stats is ANALYZE-as-SQL: exact bounds/nulls, NDV estimate, " +
+      "versioned, NULL where unknown — never a guess") {
+    GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvf_stats")
+    dir.toFile.delete()
+    val t = new graft.sources.SnapshotTable(spark, dir.toString,
+      statsCols = Seq("id", "v"))
+    t.commitAppend(spark.range(10, 60).selectExpr("id",
+      "CASE WHEN id % 5 = 0 THEN NULL ELSE id * 2 END AS v").repartition(2))
+    t.commitAppend(spark.range(60, 100).selectExpr("id",
+      "id * 2 AS v").repartition(1))
+    val rows = spark.sql(
+      s"""SELECT column, n_rows, n_files, min_key, max_key, null_count, ndv_est
+          FROM snapshot_stats('${dir.toString}')""").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("id", "v"))
+    val id = rows("id")
+    assert(id.getLong(1) == 90L && id.getLong(2) == 3L &&
+      id.getLong(3) == 10L && id.getLong(4) == 99L && id.getLong(5) == 0L,
+      s"got ${id}")
+    assert(math.abs(id.getLong(6) - 90L) <= 9L, s"ndv ${id.getLong(6)}")
+    val v = rows("v")
+    assert(v.getLong(3) == 22L && v.getLong(4) == 198L && v.getLong(5) == 10L,
+      s"got ${v}")
+    // versioned: at v1 only the first append's stats
+    val v1 = spark.sql(
+      s"SELECT min_key, max_key FROM snapshot_stats('${dir.toString}', 1) " +
+        "WHERE column = 'id'").head
+    assert(v1.getLong(0) == 10L && v1.getLong(1) == 59L)
+  }
+
   test("topk_agg is SQL-callable as a grouped aggregate") {
     GraftFunctions.register(spark)
     Seq((1L, 3.0, 10L), (1L, 5.0, 11L), (1L, 4.0, 12L), (2L, 1.0, 20L))

@@ -139,6 +139,25 @@ class RepairTableSpec extends SparkSpec {
       "windows strictly past the repair must serve normally")
   }
 
+  test("distributed probe path: fsck and repair agree with driver-side probes") {
+    val root = freshRoot("distprobe")
+    val t = new SnapshotTable(spark, root, statsCols = Seq("k"))
+    t.commitAppend(spark.range(0, 90).toDF("k").repartition(3))
+    t.commitAppend(spark.range(90, 120).toDF("k").repartition(1))
+    val s = t.snapshot(t.latestVersion())
+    val victim = s.files(s.stats.head.mins.indexOf(90L))
+    assert(dataFileOf(root, victim).delete())
+    // force the executor-side probe job (threshold 2 << 4 files)
+    spark.conf.set("spark.graft.fsck.distributedProbeAt", "2")
+    try {
+      val chk = t.checkTable()
+      assert(!chk.ok && chk.missingFiles == Seq(victim), s"$chk")
+      val r = t.repairTable(dryRun = false)
+      assert(r.droppedFiles == Seq(victim) && r.rowsAfter == 90L, s"$r")
+      assert(t.checkTable().ok)
+    } finally spark.conf.unset("spark.graft.fsck.distributedProbeAt")
+  }
+
   test("CALL repair_table: the SQL surface end to end") {
     val wh = freshRoot("sql")
     val cat = "grep1"
