@@ -4615,19 +4615,37 @@ class SnapshotTable(spark: SparkSession, root: String,
     }.toSet
     val dataCutoff = System.currentTimeMillis() - orphanGraceMs
     if (fs.exists(dataDir)) {
-      fs.listStatus(dataDir).map(_.getPath).foreach { commitDir =>
-        if (fs.getFileStatus(commitDir).isDirectory) {
-          fs.listStatus(commitDir)
-            .filter { st =>
-              val rel = s"${commitDir.getName}/${st.getPath.getName}"
-              st.getPath.getName.endsWith(".parquet") &&
-                !live.contains(rel) &&
-                (expiredRefs.contains(rel) ||
-                  st.getModificationTime < dataCutoff)
+      val dirs = fs.listStatus(dataDir).filter(_.isDirectory).map(_.getPath)
+      // The sweep itself is embarrassingly parallel: each commit dir's
+      // list-filter-delete touches only that dir. Past
+      // `spark.graft.vacuum.distributedSweepAt` (default 64) dirs, ONE
+      // Spark job sweeps executor-side — a million-file table's vacuum
+      // stops being a sequential driver delete loop (the same
+      // bottleneck class [[probeLens]] closes for fsck). The live /
+      // expired reference sets ship as broadcasts; executors build a
+      // default Configuration like every executor-side path here.
+      val sweepAt =
+        try spark.conf.get("spark.graft.vacuum.distributedSweepAt", "64").toInt
+        catch { case _: NumberFormatException => 64 }
+      if (dirs.length < sweepAt)
+        dirs.foreach(d =>
+          SnapshotTable.sweepCommitDir(fs, d, live, expiredRefs, dataCutoff))
+      else {
+        val dd = dataDir.toString
+        val liveB = spark.sparkContext.broadcast(live)
+        val expB = spark.sparkContext.broadcast(expiredRefs)
+        val cut = dataCutoff
+        try {
+          val par = math.max(1, math.min(dirs.length,
+            spark.sparkContext.defaultParallelism * 2))
+          spark.sparkContext.parallelize(dirs.map(_.getName).toSeq, par)
+            .foreach { name =>
+              val p = new Path(dd, name)
+              SnapshotTable.sweepCommitDir(
+                p.getFileSystem(new org.apache.hadoop.conf.Configuration()),
+                p, liveB.value, expB.value, cut)
             }
-            .foreach(st => fs.delete(st.getPath, false))
-          if (fs.listStatus(commitDir).isEmpty) fs.delete(commitDir, true)
-        }
+        } finally { liveB.destroy(); expB.destroy() }
       }
     }
     // group files (manifest-list pages): keep those referenced by ANY
@@ -4734,5 +4752,31 @@ class SnapshotFollower(table: SnapshotTable, checkpointDir: String,
         if (!fs.exists(offsetPath)) throw e // genuine failure, not a race
     }
     Some((from, tip))
+  }
+}
+
+/** Static (serializable-closure-safe) helpers shared by the driver and
+  * executor sides of maintenance sweeps. */
+object SnapshotTable {
+  /** Sweep ONE commit directory's dead data files: parquet files that
+    * are not live at any retained version and are either provably
+    * expired (listed by a manifest below the retention horizon) or
+    * older than the orphan grace window. Removes the directory itself
+    * when it empties. Pure function of its arguments — safe on both
+    * the driver (small tables) and executors (the distributed sweep). */
+  private[sources] def sweepCommitDir(fs: FileSystem, commitDir: Path,
+                                      live: Set[String],
+                                      expiredRefs: Set[String],
+                                      dataCutoff: Long): Unit = {
+    fs.listStatus(commitDir)
+      .filter { st =>
+        val rel = s"${commitDir.getName}/${st.getPath.getName}"
+        st.getPath.getName.endsWith(".parquet") &&
+          !live.contains(rel) &&
+          (expiredRefs.contains(rel) ||
+            st.getModificationTime < dataCutoff)
+      }
+      .foreach(st => fs.delete(st.getPath, false))
+    if (fs.listStatus(commitDir).isEmpty) fs.delete(commitDir, true)
   }
 }

@@ -541,6 +541,27 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[Exception](new SnapshotTable(spark, root).read(1L))
   }
 
+  test("vacuum's distributed sweep agrees with the driver-side one") {
+    val root = freshRoot("vacdist")
+    val t = new SnapshotTable(spark, root)
+    // several commit dirs, then orphan most of them behind the horizon
+    (0 until 5).foreach(i =>
+      t.commitAppend(Seq(i.toLong, i + 100L).toDF("id").repartition(1)))
+    t.commitOverwrite(Seq(42L).toDF("id").repartition(1))
+    def parquetCount(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root, "data")).count(_.getName.endsWith(".parquet"))
+    }
+    // force the executor-side sweep job (threshold 1 <= 6 commit dirs)
+    spark.conf.set("spark.graft.vacuum.distributedSweepAt", "1")
+    try t.vacuum(keepLast = 1)
+    finally spark.conf.unset("spark.graft.vacuum.distributedSweepAt")
+    assert(parquetCount() == 1, "only the tip's file survives the sweep")
+    assert(ids(t) == Set(42L))
+    assert(t.checkTable().ok)
+  }
+
   test("vacuum never sweeps a FRESH never-referenced file (in-flight publish race)") {
     val root = freshRoot("vacrace")
     val t = new SnapshotTable(spark, root)
