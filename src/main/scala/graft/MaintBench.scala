@@ -104,6 +104,28 @@ object MaintBench {
     require(maintCnt == 200000L + 40 * 50 - 12,
       s"maintain loop changed contents: $maintCnt")
 
+    // ---- 4. fsck probes at many files: driver loop vs ONE Spark job ----
+    // 600-file table (a day of streaming-sink debris). On LOCAL fs a
+    // stat costs ~0.1 ms, so the sequential driver loop is near-free and
+    // the job-launch overhead dominates — this probe pins that overhead
+    // as BOUNDED and the two paths' reports as IDENTICAL; the
+    // distributed win materializes at object-store HEAD latency
+    // (10–50 ms × files sequential vs one parallel job), which a local
+    // bench cannot exhibit, only the agreement and the overhead.
+    val proot = java.nio.file.Files.createTempDirectory("graft_probe").toString
+    val pt = new SnapshotTable(spark, proot, statsCols = Seq("k"))
+    (0 until 4).foreach(i => pt.commitAppend(
+      spark.range(i * 15000L, (i + 1) * 15000L).toDF("k").repartition(150)))
+    val probeFiles = pt.snapshot(pt.latestVersion()).files.length
+    spark.conf.set("spark.graft.fsck.distributedProbeAt", s"${Int.MaxValue}")
+    val (repDrv, fsckDriverMs) = timed(pt.checkTable())
+    spark.conf.set("spark.graft.fsck.distributedProbeAt", "1")
+    val (repDist, fsckDistMs) = timed(pt.checkTable())
+    spark.conf.unset("spark.graft.fsck.distributedProbeAt")
+    require(repDrv.ok && repDist.ok && repDrv.files == repDist.files &&
+      repDrv.rowsRecorded == repDist.rowsRecorded,
+      s"probe paths disagree: $repDrv vs $repDist")
+
     println(s"""{"metric":"maintbench","mor_deletes":$morDeletes,
       |"mor_build_ms":$delBuildMs,
       |"delete_files_before":$nBefore,"delete_files_after":$nAfter,
@@ -114,7 +136,9 @@ object MaintBench {
       |"bpe_dist_rounds_measured":$distRounds,"bpe_dist_ms":$distMs,
       |"bpe_dist_extrapolated_s":${f"$distExtrapolatedS%.1f"},
       |"maintain_steps":"${maintSteps.mkString(",")}",
-      |"maintain_ms":$maintainMs,"maintain_read_ms":$maintReadMs}"""
+      |"maintain_ms":$maintainMs,"maintain_read_ms":$maintReadMs,
+      |"fsck_files":$probeFiles,
+      |"fsck_driver_ms":$fsckDriverMs,"fsck_distributed_ms":$fsckDistMs}"""
       .stripMargin.replace("\n", ""))
     spark.stop()
   }

@@ -4241,20 +4241,25 @@ class SnapshotTable(spark: SparkSession, root: String,
     * before promoting a branch, not on every read. */
   /** On-disk lengths of data-dir-relative paths (None = missing) — the
     * existence/length probes fsck and repair share. Below
-    * `spark.graft.fsck.distributedProbeAt` (default 256) files the
-    * driver stats them directly; above it ONE Spark job probes
-    * executor-side: a 100 TB table's integrity check is O(files) HEAD
-    * calls, and sequential driver stats at a million files — not the
-    * checks themselves — would be the bottleneck (each probe is
-    * independent, the classic embarrassing parallelism). Executors
-    * build a default Configuration, the same convention as every
-    * executor-side writer in this format
+    * `spark.graft.fsck.distributedProbeAt` files the driver stats them
+    * directly; above it ONE Spark job probes executor-side: a 100 TB
+    * table's integrity check is O(files) HEAD calls, and sequential
+    * driver stats at a million files — not the checks themselves —
+    * would be the bottleneck (each probe is independent, the classic
+    * embarrassing parallelism). The default threshold is SCHEME-AWARE
+    * (MaintBench probe 4 measured why): a local-fs stat costs ~0.05 ms,
+    * so the job-launch overhead (~0.9 s) only pays past ~16k files; an
+    * object-store HEAD costs 10–50 ms and the job pays past ~256.
+    * Executors build a default Configuration, the same convention as
+    * every executor-side writer in this format
     * ([[SnapshotDeltaWriterFactory]]). */
   private def probeLens(rels: Seq[String]): Map[String, Option[Long]] = {
     if (rels.isEmpty) return Map.empty
+    val dflt = if (fs.getUri.getScheme == "file") 16384 else 256
     val threshold =
-      try spark.conf.get("spark.graft.fsck.distributedProbeAt", "256").toInt
-      catch { case _: NumberFormatException => 256 }
+      try spark.conf.get("spark.graft.fsck.distributedProbeAt",
+        dflt.toString).toInt
+      catch { case _: NumberFormatException => dflt }
     if (rels.length < threshold)
       rels.map { rel =>
         rel -> (try Some(fs.getFileStatus(new Path(dataDir, rel)).getLen)
@@ -4618,15 +4623,20 @@ class SnapshotTable(spark: SparkSession, root: String,
       val dirs = fs.listStatus(dataDir).filter(_.isDirectory).map(_.getPath)
       // The sweep itself is embarrassingly parallel: each commit dir's
       // list-filter-delete touches only that dir. Past
-      // `spark.graft.vacuum.distributedSweepAt` (default 64) dirs, ONE
-      // Spark job sweeps executor-side — a million-file table's vacuum
-      // stops being a sequential driver delete loop (the same
-      // bottleneck class [[probeLens]] closes for fsck). The live /
-      // expired reference sets ship as broadcasts; executors build a
-      // default Configuration like every executor-side path here.
+      // `spark.graft.vacuum.distributedSweepAt` dirs, ONE Spark job
+      // sweeps executor-side — a million-file table's vacuum stops
+      // being a sequential driver delete loop (the same bottleneck
+      // class [[probeLens]] closes for fsck, and the same SCHEME-AWARE
+      // default: local-fs ops are ~0.05 ms so the job overhead only
+      // pays past thousands of dirs; object-store round-trips pay past
+      // dozens). The live/expired reference sets ship as broadcasts;
+      // executors build a default Configuration like every
+      // executor-side path here.
+      val sweepDflt = if (fs.getUri.getScheme == "file") 4096 else 64
       val sweepAt =
-        try spark.conf.get("spark.graft.vacuum.distributedSweepAt", "64").toInt
-        catch { case _: NumberFormatException => 64 }
+        try spark.conf.get("spark.graft.vacuum.distributedSweepAt",
+          sweepDflt.toString).toInt
+        catch { case _: NumberFormatException => sweepDflt }
       if (dirs.length < sweepAt)
         dirs.foreach(d =>
           SnapshotTable.sweepCommitDir(fs, d, live, expiredRefs, dataCutoff))
