@@ -820,6 +820,35 @@ object LlmQueries {
       TextStats.nbClassifierScores(Tables.documents(s, d),
         col("source").isin("src0", "src1", "src2", "src3", "src4"))),
 
+    // Classifier CALIBRATION (reliability bins): the trained filter is
+    // only trustworthy if its scores mean what they claim — bucket the
+    // per-doc NB log-odds into 5 FIXED integer bands (scaled-int
+    // thresholds, exact in both engines; quantile bins would tie-break
+    // engine-dependently) and report each band's empirical positive
+    // rate in ppm (integer cross-multiplication, no doubles). The
+    // monotone-rate table IS the calibration curve a pipeline operator
+    // reads before trusting the filter's threshold.
+    "llm_nb_calibration" -> ((s, d) => {
+      val scored = TextStats.nbClassifierScores(Tables.documents(s, d),
+        col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      // band on the PER-TOKEN mean log-odds (raw totals scale with doc
+      // length — every long doc lands in an extreme band and the curve
+      // degenerates). The ratio is one IEEE double division of the same
+      // two exact integers in both engines — bit-identical, so the
+      // band comparisons can never disagree.
+      val r = col("total9") / col("n_tokens") // 1e9 fixed-point per token
+      val band = when(r < -2e7, lit(-2))
+        .when(r < -0.75e7, lit(-1))
+        .when(r <= 0.75e7, lit(0))
+        .when(r <= 2e7, lit(1))
+        .otherwise(lit(2))
+      scored.groupBy(band.cast("bigint").as("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"))
+        .select(col("band"), col("n_docs"), col("n_pos"),
+          expr("n_pos * 1000000L DIV n_docs").as("pos_ppm"))
+    }),
+
     // Top-50 PMI collocations (min pair count 5): the phrase-mining /
     // tokenizer-merge-candidate statistic. Counts are exact integers;
     // the single pmi double formula is textually mirrored by the oracle
@@ -2794,6 +2823,44 @@ SELECT f.doc_id, bool_or(f.is_pos) AS is_pos,
        (sum(f.cnt * s.lodds9) + any_value(pr.prior9)) > 0 AS predicted_pos
 FROM wf f JOIN sc s ON s.word = f.word, pr
 GROUP BY f.doc_id""",
+
+    // same NB replica, bucketed into 5 fixed scaled-int log-odds bands;
+    // empirical positive rate as integer ppm (floor division, all
+    // operands positive — both engines agree exactly)
+    "llm_nb_calibration" -> """
+WITH wf AS (SELECT doc_id, is_pos, word, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT doc_id,
+                         source IN ('src0','src1','src2','src3','src4') AS is_pos,
+                         unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE len(word) > 0 GROUP BY 1, 2, 3),
+bw AS (SELECT word,
+              CAST(sum(CASE WHEN is_pos THEN cnt ELSE 0 END) AS BIGINT) AS cp,
+              CAST(sum(CASE WHEN NOT is_pos THEN cnt ELSE 0 END) AS BIGINT) AS cn
+       FROM wf GROUP BY word),
+tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn,
+               CAST(count(*) AS BIGINT) AS v FROM bw),
+sc AS (SELECT word,
+              CAST(round((ln((CAST(cp AS DOUBLE) + 1.0) / (CAST(np AS DOUBLE) + CAST(v AS DOUBLE)))
+                          - ln((CAST(cn AS DOUBLE) + 1.0) / (CAST(nn AS DOUBLE) + CAST(v AS DOUBLE)))) * 1e9) AS BIGINT) AS lodds9
+       FROM bw, tot),
+pr AS (SELECT CAST(round(ln((CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+                          / (CAST(count(*) AS DOUBLE) - CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)) * 1e9) AS BIGINT) AS prior9
+       FROM documents),
+scored AS (
+  SELECT f.doc_id, bool_or(f.is_pos) AS is_pos,
+         CAST(sum(f.cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(f.cnt * s.lodds9) + any_value(pr.prior9) AS BIGINT) AS total9
+  FROM wf f JOIN sc s ON s.word = f.word, pr
+  GROUP BY f.doc_id)
+SELECT CAST(CASE WHEN CAST(total9 AS DOUBLE) / CAST(n_tokens AS DOUBLE) < -2e7 THEN -2
+                 WHEN CAST(total9 AS DOUBLE) / CAST(n_tokens AS DOUBLE) < -0.75e7 THEN -1
+                 WHEN CAST(total9 AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.75e7 THEN 0
+                 WHEN CAST(total9 AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 2e7 THEN 1
+                 ELSE 2 END AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS pos_ppm
+FROM scored GROUP BY 1""",
 
     // exact counts; one pmi double formula, text-mirrored; top-50
     "llm_pmi_collocations" -> """

@@ -1023,6 +1023,30 @@ object MiscQueries {
           col("day") >= lit(c1) && col("day") < lit(c2), estPruned))
     }),
 
+    // INGEST-VOLUME anomaly detection over the table's OWN history: a
+    // data platform watches rows-per-commit; five modulus-class "daily"
+    // loads then a full-reload spike, and a commit whose added rows
+    // exceed 3x the mean (exact integer cross-multiplication, no
+    // doubles) is flagged. snapshot_history is the input relation —
+    // the format's audit log doing the monitoring work.
+    "misc_history_anomaly" -> ((s, d) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      val root = Tables.freshTmpDir(s, "graft_histanom").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("k"))
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      (0 until 5).foreach(m => t.commitAppend(o.filter(col("k") % 20 === m)))
+      t.commitAppend(o) // the anomalous full load
+      val w = org.apache.spark.sql.expressions.Window.orderBy("version")
+      val h = s.sql(s"SELECT version, n_rows FROM snapshot_history('$root')")
+        .select(col("version"),
+          (col("n_rows") - coalesce(lag("n_rows", 1).over(w), lit(0L)))
+            .as("added"))
+      val tot = broadcast(h.agg(sum(col("added")).as("t"),
+        count(lit(1)).as("c")))
+      h.crossJoin(tot).select(col("version"), col("added"),
+        (col("added") * col("c") > lit(3L) * col("t")).as("anomalous"))
+    }),
+
     // The stats surface as ONE SQL call: snapshot_stats(root) — ANALYZE
     // without a scan, served from one manifest parse. Exact bounds and
     // null census must equal DuckDB's own aggregates; the NDV estimate
@@ -3991,6 +4015,23 @@ SELECT 'pruned',
 FROM orders
 WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
   AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'""",
+
+    // five modulus-class loads then the full reload; flag = added rows
+    // exceed 3x the per-commit mean, exact cross-multiplication
+    "misc_history_anomaly" -> """
+WITH src AS (SELECT o_orderkey AS k FROM orders),
+v AS (
+  SELECT 1 AS version, (SELECT count(*) FROM src WHERE k % 20 = 0) AS added
+  UNION ALL
+  SELECT 2, (SELECT count(*) FROM src WHERE k % 20 = 1) UNION ALL
+  SELECT 3, (SELECT count(*) FROM src WHERE k % 20 = 2) UNION ALL
+  SELECT 4, (SELECT count(*) FROM src WHERE k % 20 = 3) UNION ALL
+  SELECT 5, (SELECT count(*) FROM src WHERE k % 20 = 4) UNION ALL
+  SELECT 6, (SELECT count(*) FROM src))
+SELECT CAST(version AS BIGINT) AS version, CAST(added AS BIGINT) AS added,
+       (added * (SELECT count(*) FROM v) > 3 * (SELECT sum(added) FROM v))
+         AS anomalous
+FROM v""",
 
     // exact bounds/null census per column; NDV within the sketch envelope
     "misc_snapshot_stats_tvf" -> """
