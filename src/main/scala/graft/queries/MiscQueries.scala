@@ -1055,20 +1055,28 @@ object MiscQueries {
       org.apache.spark.sql.graft.GraftFunctions.register(s)
       val root = Tables.freshTmpDir(s, "graft_snapstats").getAbsolutePath
       val t = new graft.sources.SnapshotTable(s, root,
-        statsCols = Seq("k", "cents"))
+        statsCols = Seq("k", "cents", "tag"))
       val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
         when(col("o_orderkey") % 10 === 0, lit(null).cast("bigint"))
           .otherwise(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
-          .as("cents"))
+          .as("cents"),
+        concat(lit("cat_"), (col("o_orderkey") % 7).cast("string")).as("tag"))
       t.commitAppend(o)
       val exact = o.agg(countDistinct(col("k")).as("dk"),
-        countDistinct(col("cents")).as("dc")).head
+        countDistinct(col("cents")).as("dc"),
+        countDistinct(col("tag")).as("dt")).head
+      // the STRING row pins BOTH bound kinds: min/max_key are the
+      // 8-byte-prefix band keys (the oracle pins the documented key
+      // encoding as a format contract) and min/max_value the exact
+      // typed bounds the manifest records for lossy-key columns
       s.sql(s"SELECT * FROM snapshot_stats('$root')")
         .withColumn("exact_distinct",
           when(col("column") === "k", lit(exact.getLong(0)))
-            .otherwise(lit(exact.getLong(1))))
+            .when(col("column") === "cents", lit(exact.getLong(1)))
+            .otherwise(lit(exact.getLong(2))))
         .select(col("column").as("col_name"), col("n_rows"), col("min_key"),
-          col("max_key"), col("null_count"),
+          col("max_key"), col("min_value"), col("max_value"),
+          col("null_count"),
           (col("ndv_est") * 100 >= col("exact_distinct") * 80 &&
             col("ndv_est") * 100 <= col("exact_distinct") * 120)
             .as("ndv_close"))
@@ -4033,22 +4041,36 @@ SELECT CAST(version AS BIGINT) AS version, CAST(added AS BIGINT) AS added,
          AS anomalous
 FROM v""",
 
-    // exact bounds/null census per column; NDV within the sketch envelope
+    // exact bounds/null census per column; NDV within the sketch
+    // envelope. The tag row's min/max_key literals are stringKey
+    // ('cat_0'/'cat_6') — the documented 8-byte-prefix encoding (first
+    // 8 UTF-8 bytes big-endian, sign bit flipped) pinned as a FORMAT
+    // contract; its min/max_value are the exact typed bounds.
     "misc_snapshot_stats_tvf" -> """
 WITH src AS (
   SELECT o_orderkey AS k,
          CASE WHEN o_orderkey % 10 = 0 THEN NULL
-              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents,
+         'cat_' || CAST(o_orderkey % 7 AS VARCHAR) AS tag
   FROM orders)
 SELECT 'k' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key,
+       CAST(NULL AS VARCHAR) AS min_value, CAST(NULL AS VARCHAR) AS max_value,
        CAST(0 AS BIGINT) AS null_count, CAST(TRUE AS BOOLEAN) AS ndv_close
 FROM src
 UNION ALL
 SELECT 'cents', CAST(count(*) AS BIGINT),
        CAST(min(cents) AS BIGINT), CAST(max(cents) AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
        CAST(count(*) FILTER (WHERE cents IS NULL) AS BIGINT),
        CAST(TRUE AS BOOLEAN)
+FROM src
+UNION ALL
+SELECT 'tag', CAST(count(*) AS BIGINT),
+       CAST(-2062239202182955008 AS BIGINT),
+       CAST(-2062239202082291712 AS BIGINT),
+       min(tag), max(tag),
+       CAST(0 AS BIGINT), CAST(TRUE AS BOOLEAN)
 FROM src""",
 
     // the manifest's bands/null-census are EXACT for integral columns:

@@ -106,7 +106,12 @@ case class TableCheckReport(version: Long, files: Long, deletes: Long,
   * DISTINCT estimate from the mergeable NDV sketches. */
 case class ColumnStatsSummary(column: String,
                               minKey: Option[Long], maxKey: Option[Long],
-                              nullCount: Option[Long], ndvEst: Option[Long])
+                              nullCount: Option[Long], ndvEst: Option[Long],
+                              // exact typed VALUE bounds where recorded
+                              // (STRING columns, the lossy-key case) —
+                              // decoded UTF-8, absent elsewhere
+                              minValue: Option[String] = None,
+                              maxValue: Option[String] = None)
 
 /** Outcome of [[SnapshotTable.repairTable]] — the recovery verb paired
   * with [[SnapshotTable.checkTable]]. `committed` is the published
@@ -2055,9 +2060,35 @@ class SnapshotTable(spark: SparkSession, root: String,
       plannedColumnBounds(Map.empty, Map.empty, Set.empty, Seq.empty, version)
     val ndvs =
       plannedColumnNdvs(Map.empty, Map.empty, Set.empty, Seq.empty, version)
+    // TYPED value bounds (today: STRING — recorded exactly where the
+    // long key is lossy): min-of-mins / max-of-maxs under the bytewise
+    // ordering IS the column extremum ([[TypedBounds]]); any non-empty
+    // file with an Absent bound makes the whole answer absent — a
+    // partial fold would silently under-claim the range.
+    val v = if (version < 0) latestVersion() else version
+    val typed: Map[String, (Option[String], Option[String])] =
+      if (v <= 0) Map.empty
+      else {
+        val fl = fileSetOf(snapshot(v))
+        val n = fl.files.length
+        statsCols.zipWithIndex.map { case (c, ci) =>
+          val cs = fl.stats(ci)
+          val (tm, tx) = (alignTyped(cs.tmins, n), alignTyped(cs.tmaxs, n))
+          val mins = alignOr(cs.mins, n, UnknownMin)
+          val maxs = alignOr(cs.maxs, n, UnknownMax)
+          val nonEmpty = fl.files.indices.filterNot(i => mins(i) > maxs(i))
+          def fold(vs: Seq[String], pick: (String, String) => String) =
+            if (nonEmpty.isEmpty) None
+            else TypedBounds.decode(nonEmpty.map(vs).reduce(pick))
+              .map(new String(_, "UTF-8"))
+          c -> ((fold(tm, TypedBounds.minOf), fold(tx, TypedBounds.maxOf)))
+        }.toMap
+      }
     statsCols.map { c =>
-      val (b, n) = bounds.getOrElse(c, (None, None))
-      ColumnStatsSummary(c, b.map(_._1), b.map(_._2), n, ndvs.get(c))
+      val (b, nc) = bounds.getOrElse(c, (None, None))
+      val (tmin, tmax) = typed.getOrElse(c, (None, None))
+      ColumnStatsSummary(c, b.map(_._1), b.map(_._2), nc, ndvs.get(c),
+        tmin, tmax)
     }
   }
 

@@ -323,12 +323,17 @@ object GraftFunctions {
         org.apache.spark.sql.types.StructField("n_files", LongType, nullable = false),
         org.apache.spark.sql.types.StructField("min_key", LongType, nullable = true),
         org.apache.spark.sql.types.StructField("max_key", LongType, nullable = true),
+        // exact typed VALUE bounds where recorded (STRING columns —
+        // the lossy-key case); NULL elsewhere
+        org.apache.spark.sql.types.StructField("min_value", StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("max_value", StringType, nullable = true),
         org.apache.spark.sql.types.StructField("null_count", LongType, nullable = true),
         org.apache.spark.sql.types.StructField("ndv_est", LongType, nullable = true)))
       org.apache.spark.sql.catalyst.plans.logical.LocalRelation.fromExternalRows(
         org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
         summary.map(c => org.apache.spark.sql.Row(c.column, snap.rows,
           snap.files.length.toLong, c.minKey.orNull, c.maxKey.orNull,
+          c.minValue.orNull, c.maxValue.orNull,
           c.nullCount.orNull, c.ndvEst.orNull)))
     })
 
