@@ -533,7 +533,8 @@ private[sources] object GraftProcedures {
       "expire_snapshots", "rollback",
       "create_tag", "drop_tag", "create_branch", "drop_branch",
       "fast_forward", "clone", "ingest_files", "compact_range",
-      "check_table", "repair_table", "maintain", "estimate_distinct")
+      "check_table", "repair_table", "maintain", "estimate_distinct",
+      "table_stats")
 
   def load(name: String, catalog: GraftCatalog,
            handleFor: String => SnapshotTable): UnboundProcedure = name match {
@@ -635,6 +636,36 @@ private[sources] object GraftProcedures {
             r.rowsDeepScan.orElse(r.rowsFromCounts).orNull,
             r.rowsBounds.map(_._1).orNull, r.rowsBounds.map(_._2).orNull,
             r.ok)
+      }
+    case "table_stats" =>
+      procRows("table_stats", "per-stats-column table statistics from ONE " +
+        "manifest parse (ANALYZE without a scan): exact band-key bounds, " +
+        "typed string value bounds, null census (NULL where any live " +
+        "file's vector is unknown — never a guess), NDV-sketch distinct " +
+        "estimate; the catalog-name twin of the snapshot_stats TVF",
+        Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("version", DataTypes.LongType)
+            .defaultValue("-1").build()),
+        StructType(Seq(
+          StructField("column", DataTypes.StringType, nullable = false),
+          StructField("n_rows", DataTypes.LongType, nullable = false),
+          StructField("n_files", DataTypes.LongType, nullable = false),
+          StructField("min_key", DataTypes.LongType, nullable = true),
+          StructField("max_key", DataTypes.LongType, nullable = true),
+          StructField("min_value", DataTypes.StringType, nullable = true),
+          StructField("max_value", DataTypes.StringType, nullable = true),
+          StructField("null_count", DataTypes.LongType, nullable = true),
+          StructField("ndv_est", DataTypes.LongType, nullable = true)))) {
+        in =>
+          val t = handleFor(in.getString(0))
+          val version = if (in.isNullAt(1)) -1L else in.getLong(1)
+          val v = if (version < 0) t.latestVersion() else version
+          val snap = t.snapshot(v)
+          t.statsSummary(v).map(c => Seq[Any](c.column, snap.rows,
+            snap.files.length.toLong, c.minKey.orNull, c.maxKey.orNull,
+            c.minValue.orNull, c.maxValue.orNull,
+            c.nullCount.orNull, c.ndvEst.orNull))
       }
     case "repair_table" =>
       proc("repair_table", "disaster recovery: re-list the tip WITHOUT " +
@@ -929,5 +960,33 @@ private[sources] object GraftProcedures {
       case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
       case other => other
     }))
+  }
+
+  /** [[proc]] for procedures whose result is a TABLE (one row per
+    * element the body returns — e.g. per stats column). */
+  private def procRows(procName: String, doc: String,
+                       params: Array[ProcedureParameter], out: StructType)
+                      (body: InternalRow => Seq[Seq[Any]]): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = doc
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = params
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val rows = body(input)
+        java.util.Collections.singletonList[Scan](
+          new RowsScan(out, rows)).iterator()
+      }
+    }
+
+  private class RowsScan(out: StructType, data: Seq[Seq[Any]])
+      extends org.apache.spark.sql.connector.read.LocalScan {
+    override def readSchema(): StructType = out
+    override def rows(): Array[InternalRow] = data.map(r =>
+      InternalRow.fromSeq(r.map {
+        case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        case other => other
+      })).toArray
   }
 }

@@ -136,6 +136,25 @@ class CboBoundsSpec extends SparkSpec {
     }
   }
 
+  test("CALL table_stats: the catalog-name twin of snapshot_stats") {
+    val cat = "gcbo6"
+    catalogTable(cat, freshRoot("proc"))
+    spark.sql(s"CREATE TABLE $cat.db.p2 (k BIGINT, name STRING) " +
+      "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='k,name')")
+    spark.sql(s"INSERT INTO $cat.db.p2 SELECT id + 5 AS k, " +
+      "concat('u_', CAST(id % 3 AS STRING)) AS name FROM range(0, 300)")
+    val rows = spark.sql(s"CALL $cat.system.table_stats('db.p2')")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("k", "name"), s"got ${rows.keySet}")
+    val k = rows("k")
+    assert(k.getLong(1) == 300L && k.getLong(3) == 5L && k.getLong(4) == 304L
+      && k.getLong(7) == 0L, s"got $k")
+    assert(k.isNullAt(5) && k.isNullAt(6), "no typed value bounds for integrals")
+    val nm = rows("name")
+    assert(nm.getString(5) == "u_0" && nm.getString(6) == "u_2", s"got $nm")
+    assert(math.abs(nm.getLong(8) - 3L) <= 1, s"ndv ${nm.getLong(8)}")
+  }
+
   test("keyToCatalyst: exact types round-trip, lossy types decline") {
     import org.apache.spark.sql.types._
     assert(BandKeys.keyToCatalyst(42L, LongType, 2).contains(42L))

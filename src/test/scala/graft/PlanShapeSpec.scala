@@ -43,6 +43,8 @@ class PlanShapeSpec extends SparkSpec {
     "dq_ks_test",             // 1-row (N1,N2) totals broadcast, crossed twice
     "dq_column_entropy",      // 1-row per-column total broadcast
     "dq_fk_orphans",          // 1-row child-count × 1-row orphan-count per relation
+    "llm_nb_calibration",     // NB's 1-row vocab-total + class-prior broadcasts
+    "misc_history_anomaly",   // 1-row (Σadded, n) totals broadcast onto 6 rows
     "llm_bigram_surprisal",   // 1-row vocabulary-size broadcast
     "llm_dsir_weights",       // 1-row target/raw totals broadcast
     "llm_pmi_collocations",   // 1-row bigram-total + 1-row token-total broadcasts
