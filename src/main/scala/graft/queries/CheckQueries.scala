@@ -65,6 +65,38 @@ object CheckQueries {
     // order-independent and engine-exact; the drift flag is an integer
     // compare. One scan, two keyed aggregations, a 50-row dense grid —
     // the same plan at any feed size.
+    // METADATA-ONLY stats drift between table versions: on a 100 TB
+    // table the question "did this feed's range move / did nulls creep
+    // in since version V" is answered from two manifest parses, zero
+    // files opened — statsSummary(v1) vs statsSummary(tip). Exact for
+    // integral bands and null censuses. The construction shifts the
+    // upper half's distribution (new key range + introduced nulls) so
+    // both drift kinds trip.
+    "dq_stats_drift" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_statsdrift").getAbsolutePath
+      val t = new graft.sources.SnapshotTable(s, root,
+        statsCols = Seq("k", "cents"))
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val m = o.agg(max(col("k"))).head.getLong(0)
+      t.commitAppend(o.filter(col("k") <= m / 2)) // v1: clean lower half
+      t.commitAppend(o.filter(col("k") > m / 2) // v2: shifted + nully
+        .select(col("k"), when(col("k") % 5 === 0, lit(null).cast("bigint"))
+          .otherwise(col("cents")).as("cents")))
+      val v1 = t.statsSummary(1L).map(c => c.column -> c).toMap
+      val tip = t.statsSummary().map(c => c.column -> c).toMap
+      val rows = Seq("k", "cents").map { c =>
+        val (a, b) = (v1(c), tip(c))
+        (c, a.minKey.get, a.maxKey.get, b.minKey.get, b.maxKey.get,
+          a.nullCount.get, b.nullCount.get,
+          b.minKey.get < a.minKey.get || b.maxKey.get > a.maxKey.get,
+          b.nullCount.get > a.nullCount.get)
+      }
+      import s.implicits._
+      rows.toDF("col_name", "min_v1", "max_v1", "min_tip", "max_tip",
+        "nulls_v1", "nulls_tip", "range_extended", "nulls_introduced")
+    }),
+
     "dq_psi_drift" -> ((s, d) => {
       import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
       val dbl = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
@@ -478,6 +510,39 @@ SELECT tn1 AS n1, tn2 AS n2, d_scaled,
 FROM dmax CROSS JOIN tot""",
 
     // dense 10-bin grid, add-one smoothing, scaled-int PSI terms
+    // the manifest's bands/null-census replayed from the construction:
+    // lower half clean at v1, upper half appended with a new key range
+    // and k%5 nulls — both drift kinds trip on exact integers
+    "dq_stats_drift" -> """
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+m AS (SELECT max(k) AS mx FROM src),
+v1 AS (SELECT k, cents FROM src, m WHERE k <= mx // 2),
+up AS (SELECT k, CASE WHEN k % 5 = 0 THEN NULL ELSE cents END AS cents
+       FROM src, m WHERE k > mx // 2),
+tip AS (SELECT * FROM v1 UNION ALL SELECT * FROM up)
+SELECT 'k' AS col_name,
+       CAST((SELECT min(k) FROM v1) AS BIGINT) AS min_v1,
+       CAST((SELECT max(k) FROM v1) AS BIGINT) AS max_v1,
+       CAST((SELECT min(k) FROM tip) AS BIGINT) AS min_tip,
+       CAST((SELECT max(k) FROM tip) AS BIGINT) AS max_tip,
+       CAST(0 AS BIGINT) AS nulls_v1, CAST(0 AS BIGINT) AS nulls_tip,
+       ((SELECT min(k) FROM tip) < (SELECT min(k) FROM v1) OR
+        (SELECT max(k) FROM tip) > (SELECT max(k) FROM v1)) AS range_extended,
+       FALSE AS nulls_introduced
+UNION ALL
+SELECT 'cents',
+       CAST((SELECT min(cents) FROM v1) AS BIGINT),
+       CAST((SELECT max(cents) FROM v1) AS BIGINT),
+       CAST((SELECT min(cents) FROM tip) AS BIGINT),
+       CAST((SELECT max(cents) FROM tip) AS BIGINT),
+       CAST(0 AS BIGINT),
+       CAST((SELECT count(*) FROM up WHERE cents IS NULL) AS BIGINT),
+       ((SELECT min(cents) FROM tip) < (SELECT min(cents) FROM v1) OR
+        (SELECT max(cents) FROM tip) > (SELECT max(cents) FROM v1)),
+       TRUE""",
+
     "dq_psi_drift" -> """
 WITH ev AS (
   SELECT event_type,
