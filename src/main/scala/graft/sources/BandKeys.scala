@@ -83,13 +83,26 @@ object BandKeys {
   def timestampKey(micros: Long, bandsV: Int): Long =
     if (bandsV >= 2) micros else Math.floorDiv(micros, 1000000L)
 
+  /** seconds + sub-second micros as one micros long. The naive
+    * `sec * 1e6 + micro` overflows for instants within a second of
+    * Long.MinValue micros — floorDiv rounds the seconds DOWN, so the
+    * product alone lands below Long.Min before the (always
+    * non-negative) sub-second part compensates. Negative seconds
+    * compute via (sec + 1) * 1e6 + (micro − 1e6), every intermediate
+    * in range whenever the result is representable; genuinely
+    * unrepresentable instants still raise (exact arithmetic, never a
+    * silent wrap). Found by the keyToCatalyst inverse property test. */
+  private def splitMicros(sec: Long, micro: Long): Long =
+    if (sec >= 0) Math.addExact(Math.multiplyExact(sec, 1000000L), micro)
+    else Math.addExact(
+      Math.multiplyExact(Math.addExact(sec, 1L), 1000000L),
+      Math.subtractExact(micro, 1000000L))
+
   private def microsOf(t: java.sql.Timestamp): Long =
-    Math.addExact(Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L),
-      (t.getNanos / 1000).toLong)
+    splitMicros(Math.floorDiv(t.getTime, 1000L), (t.getNanos / 1000).toLong)
 
   private def microsOf(t: java.time.Instant): Long =
-    Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),
-      (t.getNano / 1000).toLong)
+    splitMicros(t.getEpochSecond, (t.getNano / 1000).toLong)
 
   /** A filter literal / collected aggregate value as (band key, exact)
     * under the table's band-semantics version. None = the type has no

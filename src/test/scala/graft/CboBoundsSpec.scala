@@ -169,6 +169,61 @@ class CboBoundsSpec extends SparkSpec {
     assert(BandKeys.keyToCatalyst(1L, DoubleType, 2).isEmpty)
   }
 
+  test("keyToCatalyst is the inverse of valueKey on exact types (property)") {
+    import org.apache.spark.sql.types._
+    import org.scalacheck.Gen
+    val longs = Gen.chooseNum(Long.MinValue + 1, Long.MaxValue - 1)
+    val ints = Gen.chooseNum(Int.MinValue, Int.MaxValue)
+    val days = Gen.chooseNum(-141427, 2932896) // full catalyst DATE range
+    def sample[A](g: Gen[A], n: Int = 200): Seq[A] =
+      Seq.fill(n)(g.sample).flatten
+    // the two mappings are maintained separately (write side / stats
+    // side); this pin keeps them inverses so a future edit to either
+    // cannot silently skew the CBO's bounds
+    sample(longs).foreach { v =>
+      assert(BandKeys.valueKey(v, 2).exists(k =>
+        BandKeys.keyToCatalyst(k._1, LongType, 2).contains(v)))
+    }
+    sample(ints).foreach { v =>
+      assert(BandKeys.valueKey(v, 2).exists(k =>
+        BandKeys.keyToCatalyst(k._1, IntegerType, 2).contains(v)))
+    }
+    sample(days).foreach { d =>
+      val date = java.time.LocalDate.ofEpochDay(d.toLong)
+      assert(BandKeys.valueKey(date, 2).exists(k =>
+        BandKeys.keyToCatalyst(k._1, DateType, 2).contains(d)))
+    }
+    sample(longs).foreach { micros =>
+      val inst = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        Math.floorMod(micros, 1000000L) * 1000L)
+      assert(BandKeys.valueKey(inst, 2).exists(k =>
+        BandKeys.keyToCatalyst(k._1, TimestampType, 2).contains(micros)),
+        s"micros=$micros")
+    }
+    Seq(true, false).foreach { b =>
+      assert(BandKeys.valueKey(b, 2).exists(k =>
+        BandKeys.keyToCatalyst(k._1, BooleanType, 2).contains(b)))
+    }
+  }
+
+  test("DATE stats column: bounds surface as internal epoch days") {
+    val cat = "gcbo7"
+    catalogTable(cat, freshRoot("date"))
+    spark.sql(s"CREATE TABLE $cat.db.d (day DATE, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='day')")
+    spark.sql(s"INSERT INTO $cat.db.d SELECT " +
+      "date_add(DATE'2024-01-01', CAST(id AS INT)) AS day, id AS v " +
+      "FROM range(0, 365)")
+    withCbo {
+      val stats = spark.table(s"$cat.db.d").queryExecution.optimizedPlan.stats
+      val dStat = stats.attributeStats.find(_._1.name == "day").map(_._2)
+      val lo = java.time.LocalDate.parse("2024-01-01").toEpochDay.toInt
+      assert(dStat.exists(_.min.contains(lo)), s"got $stats")
+      assert(dStat.exists(_.max.contains(lo + 364)), s"got $stats")
+    }
+  }
+
   test("plannedColumnBounds: MOR delete keeps the conservative superset bound") {
     val root = freshRoot("mor")
     val t = new SnapshotTable(spark, root, statsCols = Seq("k"))

@@ -139,6 +139,25 @@ class RepairTableSpec extends SparkSpec {
       "windows strictly past the repair must serve normally")
   }
 
+  test("repair scopes to the handle's chain: a branch repairs itself, " +
+      "main's tip is untouched") {
+    val root = freshRoot("branch")
+    val t = new SnapshotTable(spark, root, statsCols = Seq("k"))
+    t.commitAppend(spark.range(0, 50).toDF("k").repartition(1))
+    t.createBranch("fix")
+    val b = t.branch("fix")
+    b.commitAppend(spark.range(50, 80).toDF("k").repartition(1))
+    val bs = b.snapshot(b.latestVersion())
+    val victim = bs.files(bs.stats.head.mins.indexOf(50L))
+    assert(dataFileOf(root, victim).delete()) // branch-only staged file
+    val mainTip = t.latestVersion()
+    val r = b.repairTable(dryRun = false)
+    assert(r.droppedFiles == Seq(victim) && r.rowsAfter == 50L, s"$r")
+    assert(b.read(b.latestVersion()).count() == 50L)
+    assert(t.latestVersion() == mainTip, "main must not gain a version")
+    assert(t.read(mainTip).count() == 50L, "main reads untouched")
+  }
+
   test("distributed probe path: fsck and repair agree with driver-side probes") {
     val root = freshRoot("distprobe")
     val t = new SnapshotTable(spark, root, statsCols = Seq("k"))
