@@ -224,6 +224,33 @@ class CboBoundsSpec extends SparkSpec {
     }
   }
 
+  test("TypedBounds bytewise ordering matches UTF8String ordering (property)") {
+    import org.scalacheck.Gen
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.TypedBounds
+    // mixed alphabet: ASCII, 2-byte (é), 3-byte (€), 4-byte (emoji) —
+    // the fold in statsSummary claims min-of-mins under the BYTEWISE
+    // order IS the column extremum under Spark's own string order
+    val alpha = Gen.oneOf("a", "Z", "0", "_", " ", "é", "ß", "€", "中", "😀")
+    val str = Gen.listOf(alpha).map(_.mkString)
+    val pairs = Seq.fill(300)((str.sample, str.sample)).collect {
+      case (Some(a), Some(b)) => (a, b)
+    }
+    pairs.foreach { case (a, b) =>
+      val byBytes = Integer.signum(TypedBounds.compareBytes(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8")))
+      val byUtf8 = Integer.signum(
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+      assert(byBytes == byUtf8, s"ordering diverges on '$a' vs '$b'")
+      // and the encode/minOf/maxOf fold agrees with direct comparison
+      val (ea, eb) = (TypedBounds.encode(a), TypedBounds.encode(b))
+      if (ea != TypedBounds.Absent && eb != TypedBounds.Absent) {
+        val lo = if (byBytes <= 0) ea else eb
+        assert(TypedBounds.minOf(ea, eb) == lo, s"minOf on '$a'/'$b'")
+      }
+    }
+  }
+
   test("plannedColumnBounds: MOR delete keeps the conservative superset bound") {
     val root = freshRoot("mor")
     val t = new SnapshotTable(spark, root, statsCols = Seq("k"))
