@@ -2056,16 +2056,19 @@ class SnapshotTable(spark: SparkSession, root: String,
     * still returned — callers needing the typed extremum use the typed
     * bounds / a scan). What `snapshot_stats(...)` surfaces to SQL. */
   def statsSummary(version: Long = -1L): Seq[ColumnStatsSummary] = {
+    // ONE version resolution for all three manifest lookups — letting
+    // each resolve `-1` independently could interleave with a
+    // concurrent commit and mix two versions' stats in one report.
+    val v = if (version < 0) latestVersion() else version
     val bounds =
-      plannedColumnBounds(Map.empty, Map.empty, Set.empty, Seq.empty, version)
+      plannedColumnBounds(Map.empty, Map.empty, Set.empty, Seq.empty, v)
     val ndvs =
-      plannedColumnNdvs(Map.empty, Map.empty, Set.empty, Seq.empty, version)
+      plannedColumnNdvs(Map.empty, Map.empty, Set.empty, Seq.empty, v)
     // TYPED value bounds (today: STRING — recorded exactly where the
     // long key is lossy): min-of-mins / max-of-maxs under the bytewise
     // ordering IS the column extremum ([[TypedBounds]]); any non-empty
     // file with an Absent bound makes the whole answer absent — a
     // partial fold would silently under-claim the range.
-    val v = if (version < 0) latestVersion() else version
     val typed: Map[String, (Option[String], Option[String])] =
       if (v <= 0) Map.empty
       else {
@@ -4270,21 +4273,29 @@ class SnapshotTable(spark: SparkSession, root: String,
     * and compare. Cost: one getFileStatus per listed file (metadata
     * mode) — the audit an operator runs after a storage migration or
     * before promoting a branch, not on every read. */
-  /** On-disk lengths of data-dir-relative paths (None = missing) — the
-    * existence/length probes fsck and repair share. Below
-    * `spark.graft.fsck.distributedProbeAt` files the driver stats them
-    * directly; above it ONE Spark job probes executor-side: a 100 TB
-    * table's integrity check is O(files) HEAD calls, and sequential
-    * driver stats at a million files — not the checks themselves —
-    * would be the bottleneck (each probe is independent, the classic
-    * embarrassing parallelism). The default threshold is SCHEME-AWARE
-    * (MaintBench probe 4 measured why): a local-fs stat costs ~0.05 ms,
-    * so the job-launch overhead (~0.9 s) only pays past ~16k files; an
-    * object-store HEAD costs 10–50 ms and the job pays past ~256.
-    * Executors build a default Configuration, the same convention as
-    * every executor-side writer in this format
-    * ([[SnapshotDeltaWriterFactory]]). */
-  private def probeLens(rels: Seq[String]): Map[String, Option[Long]] = {
+  /** Integrity ANOMALIES among (data-dir-relative path, recorded byte
+    * length) pairs: `rel -> None` = missing on storage, `rel ->
+    * Some(actual)` = on-disk length differs from the recorded one (a
+    * recorded -1 = unknown checks existence only). Healthy files do
+    * NOT appear in the result — fsck and repair only consume the
+    * damaged subset, so at the million-file scale the distributed
+    * probe targets, the driver collects O(anomalies), not every
+    * path's length. Below `spark.graft.fsck.distributedProbeAt` files
+    * the driver stats them directly; above it ONE Spark job probes
+    * executor-side: a 100 TB table's integrity check is O(files) HEAD
+    * calls, and sequential driver stats at a million files — not the
+    * checks themselves — would be the bottleneck (each probe is
+    * independent, the classic embarrassing parallelism). The default
+    * threshold is SCHEME-AWARE (MaintBench probe 4 measured why): a
+    * local-fs stat costs ~0.05 ms, so the job-launch overhead (~0.9 s)
+    * only pays past ~16k files; an object-store HEAD costs 10–50 ms
+    * and the job pays past ~256. Executors rebuild the SESSION Hadoop
+    * conf from a [[org.apache.spark.util.SerializableConfiguration]] —
+    * a default `new Configuration()` would drop runtime-set
+    * credentials and make fsck fail only past the distributed
+    * threshold, a confusing mode-dependent failure. */
+  private def probeAnomalies(rels: Seq[(String, Long)])
+      : Map[String, Option[Long]] = {
     if (rels.isEmpty) return Map.empty
     val dflt = if (fs.getUri.getScheme == "file") 16384 else 256
     val threshold =
@@ -4292,19 +4303,20 @@ class SnapshotTable(spark: SparkSession, root: String,
         dflt.toString).toInt
       catch { case _: NumberFormatException => dflt }
     if (rels.length < threshold)
-      rels.map { rel =>
-        rel -> (try Some(fs.getFileStatus(new Path(dataDir, rel)).getLen)
-          catch { case _: java.io.FileNotFoundException => None })
+      rels.flatMap { case (rel, rec) =>
+        SnapshotTable.probeAnomaly(fs, new Path(dataDir, rel), rec)
+          .map(rel -> _)
       }.toMap
     else {
       val dd = dataDir.toString
+      val hconf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
       val par = math.max(1, math.min(rels.length / 16,
         spark.sparkContext.defaultParallelism * 4))
-      spark.sparkContext.parallelize(rels, par).map { rel =>
+      spark.sparkContext.parallelize(rels, par).flatMap { case (rel, rec) =>
         val p = new Path(dd, rel)
-        val lfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        rel -> (try Some(lfs.getFileStatus(p).getLen)
-          catch { case _: java.io.FileNotFoundException => None })
+        SnapshotTable.probeAnomaly(p.getFileSystem(hconf.value), p, rec)
+          .map(rel -> _)
       }.collect().toMap
     }
   }
@@ -4314,16 +4326,15 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(v > 0, s"no committed snapshot to check at $root")
     val s = snapshot(v)
     val fl = fileSetOf(s)
-    val probed = probeLens((fl.files ++ fl.deletes).distinct)
-    def statusOpt(rel: String): Option[Long] = probed.getOrElse(rel, None)
-    val missing = (fl.files ++ fl.deletes).filter(statusOpt(_).isEmpty)
     val lens = alignLens(fl.lens, fl.files.length)
     val dlens = alignLens(fl.deleteLens, fl.deletes.length)
-    def lenBad(rel: String, recorded: Long): Boolean =
-      recorded >= 0L && statusOpt(rel).exists(_ != recorded)
+    val probed = probeAnomalies(
+      (fl.files.zip(lens) ++ fl.deletes.zip(dlens)).distinct)
+    val missing =
+      (fl.files ++ fl.deletes).filter(r => probed.get(r).contains(None))
+    def lenBad(rel: String): Boolean = probed.get(rel).exists(_.isDefined)
     val lenMismatch =
-      fl.files.indices.filter(i => lenBad(fl.files(i), lens(i))).map(fl.files) ++
-        fl.deletes.indices.filter(j => lenBad(fl.deletes(j), dlens(j))).map(fl.deletes)
+      fl.files.filter(lenBad) ++ fl.deletes.filter(lenBad)
     val n = s.files.length
     val misaligned =
       (if (s.seqs.nonEmpty && s.seqs.length != n) Seq("seqs") else Seq.empty) ++
@@ -4390,17 +4401,13 @@ class SnapshotTable(spark: SparkSession, root: String,
       require(base > 0, s"no committed snapshot to repair at $root")
       val s = snapshot(base)
       val fl = fileSetOf(s)
-      val probed = probeLens((fl.files ++ fl.deletes).distinct)
       val lens = alignLens(fl.lens, fl.files.length)
       val dlens = alignLens(fl.deleteLens, fl.deletes.length)
-      def damaged(rel: String, recorded: Long): Boolean =
-        probed.getOrElse(rel, None) match {
-          case None => true
-          case Some(onDisk) => recorded >= 0L && onDisk != recorded
-        }
-      val badIdx = fl.files.indices.filter(i => damaged(fl.files(i), lens(i)))
+      val probed = probeAnomalies(
+        (fl.files.zip(lens) ++ fl.deletes.zip(dlens)).distinct)
+      val badIdx = fl.files.indices.filter(i => probed.contains(fl.files(i)))
       val badDelIdx =
-        fl.deletes.indices.filter(j => damaged(fl.deletes(j), dlens(j)))
+        fl.deletes.indices.filter(j => probed.contains(fl.deletes(j)))
       if (badIdx.isEmpty && badDelIdx.isEmpty)
         return TableRepairReport(base, Seq.empty, Seq.empty, s.rows, s.rows, None)
       require(badDelIdx.isEmpty || dropDeletes,
@@ -4661,8 +4668,9 @@ class SnapshotTable(spark: SparkSession, root: String,
       // default: local-fs ops are ~0.05 ms so the job overhead only
       // pays past thousands of dirs; object-store round-trips pay past
       // dozens). The live/expired reference sets ship as broadcasts;
-      // executors build a default Configuration like every
-      // executor-side path here.
+      // executors rebuild the SESSION Hadoop conf from a
+      // SerializableConfiguration so runtime-set object-store
+      // credentials survive into the sweep tasks.
       val sweepDflt = if (fs.getUri.getScheme == "file") 4096 else 64
       val sweepAt =
         try spark.conf.get("spark.graft.vacuum.distributedSweepAt",
@@ -4676,6 +4684,8 @@ class SnapshotTable(spark: SparkSession, root: String,
         val liveB = spark.sparkContext.broadcast(live)
         val expB = spark.sparkContext.broadcast(expiredRefs)
         val cut = dataCutoff
+        val hconf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
         try {
           val par = math.max(1, math.min(dirs.length,
             spark.sparkContext.defaultParallelism * 2))
@@ -4683,7 +4693,7 @@ class SnapshotTable(spark: SparkSession, root: String,
             .foreach { name =>
               val p = new Path(dd, name)
               SnapshotTable.sweepCommitDir(
-                p.getFileSystem(new org.apache.hadoop.conf.Configuration()),
+                p.getFileSystem(hconf.value),
                 p, liveB.value, expB.value, cut)
             }
         } finally { liveB.destroy(); expB.destroy() }
@@ -4799,17 +4809,37 @@ class SnapshotFollower(table: SnapshotTable, checkpointDir: String,
 /** Static (serializable-closure-safe) helpers shared by the driver and
   * executor sides of maintenance sweeps. */
 object SnapshotTable {
+  /** One file's integrity verdict for [[SnapshotTable.probeAnomalies]]:
+    * `Some(None)` = missing, `Some(Some(actual))` = length mismatch
+    * against a recorded length ≥ 0, `None` = healthy (or length
+    * unknown and present). Lives on the companion so the distributed
+    * probe's closure serializes WITHOUT capturing the table handle. */
+  private[sources] def probeAnomaly(lfs: FileSystem, p: Path,
+                                    recorded: Long): Option[Option[Long]] =
+    try {
+      val onDisk = lfs.getFileStatus(p).getLen
+      if (recorded >= 0L && onDisk != recorded) Some(Some(onDisk)) else None
+    } catch { case _: java.io.FileNotFoundException => Some(None) }
+
   /** Sweep ONE commit directory's dead data files: parquet files that
     * are not live at any retained version and are either provably
     * expired (listed by a manifest below the retention horizon) or
     * older than the orphan grace window. Removes the directory itself
     * when it empties. Pure function of its arguments — safe on both
-    * the driver (small tables) and executors (the distributed sweep). */
+    * the driver (small tables) and executors (the distributed sweep).
+    * IDEMPOTENT under task retry/speculation: a retried sweep task
+    * (or a speculative twin) may find the dir — or individual files —
+    * already deleted by the first attempt; an absent path IS the
+    * desired post-state, so FileNotFoundException reads as "swept"
+    * rather than failing the vacuum job. */
   private[sources] def sweepCommitDir(fs: FileSystem, commitDir: Path,
                                       live: Set[String],
                                       expiredRefs: Set[String],
                                       dataCutoff: Long): Unit = {
-    fs.listStatus(commitDir)
+    val listed =
+      try fs.listStatus(commitDir)
+      catch { case _: java.io.FileNotFoundException => return }
+    listed
       .filter { st =>
         val rel = s"${commitDir.getName}/${st.getPath.getName}"
         st.getPath.getName.endsWith(".parquet") &&
@@ -4817,7 +4847,15 @@ object SnapshotTable {
           (expiredRefs.contains(rel) ||
             st.getModificationTime < dataCutoff)
       }
-      .foreach(st => fs.delete(st.getPath, false))
-    if (fs.listStatus(commitDir).isEmpty) fs.delete(commitDir, true)
+      .foreach { st =>
+        try fs.delete(st.getPath, false)
+        catch { case _: java.io.FileNotFoundException => () }
+      }
+    val empty =
+      try fs.listStatus(commitDir).isEmpty
+      catch { case _: java.io.FileNotFoundException => false }
+    if (empty)
+      try fs.delete(commitDir, true)
+      catch { case _: java.io.FileNotFoundException => () }
   }
 }
