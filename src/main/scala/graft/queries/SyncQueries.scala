@@ -193,6 +193,58 @@ object SyncQueries {
           deltaKeys = Seq("o_orderkey"), joinKeys = Seq("o_custkey"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
           col("c_name"), col("c_nationkey"))
+    }),
+
+    // C5 transactional — the reference's flagship multi-table blue-green
+    // swap (taico_facebook_data_etl_dag.py:136-222 staging→production
+    // with backup/rollback; dags/etl.py:143-190 syncs 9 dims + the
+    // relations bridge as one unit) done ATOMICALLY: three dimension
+    // tables staged as snapshot versions, published all-or-nothing
+    // through one root transaction manifest CAS. The leg sequence:
+    // v1 cut published → full-refresh staged+promoted (validated, sticks)
+    // → a BROKEN refresh (empty dims) staged+promoted, validator rejects,
+    // ONE rollback transaction restores all three pins. Final contents =
+    // the good refresh, replayed exactly by DuckDB; the txn_log row pins
+    // the audit trail (4 transactions, rollback restored the good cut).
+    "sync_promote_txn" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_txnpromote")
+      val tx = new graft.sources.TableTransactions(s, root.getAbsolutePath)
+      val nation = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("name"))
+      val region = Tables.region(s, d)
+        .select(col("r_regionkey").cast("long").as("id"), col("r_name").as("name"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"))
+      val tn = tx.table("dim_nation"); val tr = tx.table("dim_region")
+      val tc = tx.table("dim_customer")
+      // v1 cut: partial dims
+      tx.commit(Map(
+        "dim_nation" -> tn.commitAppend(nation.filter(col("id") % 2 === 0)),
+        "dim_region" -> tr.commitAppend(region.filter(col("id") < 3)),
+        "dim_customer" -> tc.commitAppend(cust.filter(col("id") % 10 === 0))))
+      // good refresh: stage all three, promote atomically, validate rows>0
+      val good = Map(
+        "dim_nation" -> tn.commitOverwrite(nation),
+        "dim_region" -> tr.commitOverwrite(region),
+        "dim_customer" -> tc.commitOverwrite(cust.filter(col("id") % 5 === 0)))
+      val goodStuck = tx.promoteAll(good,
+        m => m.forall { case (t, v) => tx.table(t).read(v).limit(1).count() > 0 })
+      // broken refresh: empty dims — validation fails, rollback restores
+      val broken = Map(
+        "dim_nation" -> tn.commitOverwrite(nation.filter(lit(false))),
+        "dim_region" -> tr.commitOverwrite(region.filter(lit(false))),
+        "dim_customer" -> tc.commitOverwrite(cust.filter(lit(false))))
+      val brokenStuck = tx.promoteAll(broken,
+        m => m.forall { case (t, v) => tx.table(t).read(v).limit(1).count() > 0 })
+      def leg(t: String) = tx.readPublished(t)
+        .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("key_sum"))
+        .select(lit(t).as("tbl"), col("n_rows"), col("key_sum"))
+      val audit = s.range(1).select(lit("txn_log").as("tbl"),
+        lit(tx.latestTxn()).as("n_rows"),
+        lit(if (goodStuck && !brokenStuck &&
+          tx.published() == good) 1L else 0L).as("key_sum"))
+      leg("dim_nation").unionByName(leg("dim_region"))
+        .unionByName(leg("dim_customer")).unionByName(audit)
     })
   )
 
@@ -354,6 +406,20 @@ merged AS (
   SELECT * FROM a0 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
   UNION ALL SELECT * FROM delta)
 SELECT m.o_orderkey, m.o_custkey, m.o_orderpriority, b.c_name, b.c_nationkey
-FROM merged m JOIN b USING (o_custkey)"""
+FROM merged m JOIN b USING (o_custkey)""",
+
+    // Final published cut = the GOOD full refresh (the broken promote
+    // rolled back); txn_log pins 4 transactions and a restored cut.
+    "sync_promote_txn" -> """
+SELECT 'dim_nation' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM nation
+UNION ALL
+SELECT 'dim_region', CAST(count(*) AS BIGINT),
+       CAST(sum(r_regionkey) AS BIGINT) FROM region
+UNION ALL
+SELECT 'dim_customer', CAST(count(*) AS BIGINT),
+       CAST(sum(c_custkey) AS BIGINT) FROM customer WHERE c_custkey % 5 = 0
+UNION ALL
+SELECT 'txn_log', CAST(4 AS BIGINT), CAST(1 AS BIGINT)"""
   )
 }
