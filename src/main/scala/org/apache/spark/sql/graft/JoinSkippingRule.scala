@@ -46,6 +46,14 @@ import graft.sources.GraftSnapshotScan
   * underivable hull stands the lane down entirely.
   * `spark.graft.joinSkipping.enabled=false` disables the rule.
   *
+  * Cast handling (the int-fact⋈bigint-dim shape Spark itself produces
+  * via implicit widening): the DIM operand may be any deterministic
+  * expression — its actual values are what the lane evaluates; the
+  * FACT operand unwraps `Cast(attr)` when the cast is an integral
+  * widening (injective + order-preserving), narrowing dim keys back
+  * into the fact column's own type, with out-of-range keys dropping
+  * (they match no fact row) and the hull clamping to the type range.
+  *
   * Registered post-pushdown (preCBO / extraOptimizations — the scan
   * exists only after `V2ScanRelationPushDown`). Idempotent: a rewritten
   * scan remembers its join-pruned columns and refuses a second lane. */
@@ -117,32 +125,126 @@ object JoinSkippingRule extends Rule[LogicalPlan] with PredicateHelper {
     catch { case NonFatal(_) => false }
   }
 
+  /** The fact-side key reading of one equi-operand: a bare scan
+    * attribute, or `Cast(attr)` when the cast is an integral WIDENING
+    * (byte→short→int→long). Widening casts are injective and
+    * order-preserving, so `cast(fact.k) = dim.j` matches exactly the
+    * fact rows whose key equals a dim value NARROWED back into the
+    * fact column's own type — dim values outside that type's range
+    * match nothing and simply drop from the pruning lane. Non-widening
+    * casts (narrowing, string, decimal) are not invertible per-value
+    * and stand the lane down. */
+  private def factKeyOf(e: Expression): Option[(Attribute, Boolean)] =
+    e match {
+      case a: AttributeReference => Some((a, false))
+      case Cast(a: AttributeReference, dt, _, _)
+          if injectiveWidening(a.dataType, dt) => Some((a, true))
+      case _ => None
+    }
+
+  private def integralRank(dt: org.apache.spark.sql.types.DataType)
+      : Option[Int] = dt match {
+    case org.apache.spark.sql.types.ByteType => Some(0)
+    case org.apache.spark.sql.types.ShortType => Some(1)
+    case org.apache.spark.sql.types.IntegerType => Some(2)
+    case org.apache.spark.sql.types.LongType => Some(3)
+    case _ => None
+  }
+
+  private def injectiveWidening(from: org.apache.spark.sql.types.DataType,
+                                to: org.apache.spark.sql.types.DataType)
+      : Boolean =
+    (integralRank(from), integralRank(to)) match {
+      case (Some(f), Some(t)) => f <= t
+      case _ => false
+    }
+
+  /** A collected wide-side value narrowed into the fact column's own
+    * integral type; None when out of range (such a dim key can match
+    * no fact row). */
+  private def narrowTo(v: Any, to: org.apache.spark.sql.types.DataType)
+      : Option[Any] = v match {
+    case n: java.lang.Number =>
+      val l = n.longValue
+      to match {
+        case org.apache.spark.sql.types.LongType => Some(l)
+        case org.apache.spark.sql.types.IntegerType =>
+          if (l >= Int.MinValue && l <= Int.MaxValue) Some(l.toInt) else None
+        case org.apache.spark.sql.types.ShortType =>
+          if (l >= Short.MinValue && l <= Short.MaxValue) Some(l.toShort)
+          else None
+        case org.apache.spark.sql.types.ByteType =>
+          if (l >= Byte.MinValue && l <= Byte.MaxValue) Some(l.toByte)
+          else None
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** The dim hull [lo, hi] CLAMPED into the fact type's range (sound
+    * for order-preserving casts: out-of-range ends move to the type
+    * bound, since values beyond it match nothing). None when the
+    * clamped range is empty — no dim value is representable, the lane
+    * stands down. */
+  private def narrowRange(loV: Any, hiV: Any,
+                          to: org.apache.spark.sql.types.DataType)
+      : Option[(Any, Any)] = (loV, hiV) match {
+    case (a: java.lang.Number, b: java.lang.Number) =>
+      val (mn, mx) = to match {
+        case org.apache.spark.sql.types.LongType =>
+          (Long.MinValue, Long.MaxValue)
+        case org.apache.spark.sql.types.IntegerType =>
+          (Int.MinValue.toLong, Int.MaxValue.toLong)
+        case org.apache.spark.sql.types.ShortType =>
+          (Short.MinValue.toLong, Short.MaxValue.toLong)
+        case org.apache.spark.sql.types.ByteType =>
+          (Byte.MinValue.toLong, Byte.MaxValue.toLong)
+        case _ => return None
+      }
+      val lo = math.max(a.longValue, mn)
+      val hi = math.min(b.longValue, mx)
+      if (lo > hi) None
+      else for { l <- narrowTo(lo, to); h <- narrowTo(hi, to) } yield (l, h)
+    case _ => None
+  }
+
   private def rewrite(j: Join, maxKeys: Int): Option[LogicalPlan] = j match {
     case Join(left, right, jt, Some(cond), _) if j.resolved =>
       val equi = splitConjunctivePredicates(cond).collect {
-        case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
+        case EqualTo(a, b) => (a, b)
       }
-      // every (factSide, factKey, dimSide, dimKey) reading of each
+      // every (factSide, factKey, dimSide, dimExpr) reading of each
       // equi-conjunct; first applicable one rewrites (transformUp's
       // fixed visit order keeps this deterministic), the rest land on
-      // later rule passes via the per-column idempotence flag
+      // later rule passes via the per-column idempotence flag. The dim
+      // operand may be ANY deterministic expression over the dim side
+      // (a bare attribute, `cast(dim.k as bigint)`, an arithmetic
+      // derivation): the lane evaluates the actual expression values,
+      // so no invertibility is needed on that side.
       val candidates = equi.flatMap { case (a, b) =>
-        Seq((a, b, true), (b, a, false)).collect {
-          case (fk, dk, factIsLeft)
-              if (if (factIsLeft) left else right).outputSet.contains(fk) &&
-                (if (factIsLeft) right else left).outputSet.contains(dk) &&
-                canPrune(jt, factIsLeft) =>
-            (fk, dk, factIsLeft)
+        Seq((a, b, true), (b, a, false)).flatMap { case (fe, de, factIsLeft) =>
+          val factSide = if (factIsLeft) left else right
+          val dimSide = if (factIsLeft) right else left
+          factKeyOf(fe).collect {
+            case (fk, fcast)
+                if factSide.outputSet.contains(fk) &&
+                  de.references.nonEmpty &&
+                  de.references.subsetOf(dimSide.outputSet) &&
+                  de.deterministic &&
+                  canPrune(jt, factIsLeft) =>
+              (fk, fcast, de, factIsLeft)
+          }
         }
       }
-      candidates.view.flatMap { case (factKey, dimKey, factIsLeft) =>
-        applyOne(j, factKey, dimKey, factIsLeft, maxKeys)
+      candidates.view.flatMap { case (factKey, castWrapped, dimExpr, factIsLeft) =>
+        applyOne(j, factKey, castWrapped, dimExpr, factIsLeft, maxKeys)
       }.headOption
     case _ => None
   }
 
-  private def applyOne(j: Join, factKey: Attribute, dimKey: Attribute,
-                       factIsLeft: Boolean, maxKeys: Int): Option[LogicalPlan] =
+  private def applyOne(j: Join, factKey: Attribute, castWrapped: Boolean,
+                       dimExpr: Expression, factIsLeft: Boolean,
+                       maxKeys: Int): Option[LogicalPlan] =
     try {
       val factSide = if (factIsLeft) j.left else j.right
       val dimSide = if (factIsLeft) j.right else j.left
@@ -156,7 +258,7 @@ object JoinSkippingRule extends Rule[LogicalPlan] with PredicateHelper {
       // the dim's [min, max] HULL band: one distributed aggregate, zero
       // unbounded collects, still pruning a key-clustered fact
       val spark = SparkSession.active
-      val keysPlan = Project(Seq(dimKey), dimSide)
+      val keysPlan = Project(Seq(Alias(dimExpr, "graft_join_key")()), dimSide)
       val keysDf = bridge.ofRows(spark, keysPlan).na.drop()
       val sample = keysDf.distinct().limit(maxKeys + 1).collect()
       if (sample.isEmpty) return None
@@ -165,11 +267,22 @@ object JoinSkippingRule extends Rule[LogicalPlan] with PredicateHelper {
           org.apache.spark.sql.functions.min(keysDf.columns.head),
           org.apache.spark.sql.functions.max(keysDf.columns.head)).head()
         if (row.isNullAt(0) || row.isNullAt(1)) None
-        else scan.withJoinBand(factKey.name, row.get(0), row.get(1))
+        else if (!castWrapped)
+          scan.withJoinBand(factKey.name, row.get(0), row.get(1))
+        else narrowRange(row.get(0), row.get(1), factKey.dataType).flatMap {
+          case (lo, hi) => scan.withJoinBand(factKey.name, lo, hi)
+        }
       }
+      // under a fact-side cast, keys narrow into the fact column's own
+      // type (band keys derive in that type); out-of-range dim values
+      // match no fact row and drop — an all-dropped set admits no files,
+      // which is exactly the join's result for those keys
+      val keyVals =
+        if (!castWrapped) sample.toSeq.map(_.get(0))
+        else sample.toSeq.flatMap(r => narrowTo(r.get(0), factKey.dataType))
       val pruned =
         (if (sample.length > maxKeys) hull()
-         else scan.withJoinKeys(factKey.name, sample.toSeq.map(_.get(0)))
+         else scan.withJoinKeys(factKey.name, keyVals)
            .orElse(hull()))
           .getOrElse(return None)
       val wrapper = rel.scan.asInstanceOf[V1ScanWrapper]

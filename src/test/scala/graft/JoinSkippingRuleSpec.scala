@@ -142,4 +142,63 @@ class JoinSkippingRuleSpec extends SparkSpec {
     assert(scan.description().contains("points=id:2"),
       s"expected intersected 2-key lane, got: ${scan.description()}")
   }
+
+  test("a DIM-side cast(d.k as bigint) equi-key still prunes; values hash-match") {
+    // the lane evaluates the actual dim expression values, so any
+    // deterministic dim-side derivation qualifies — here the implicit
+    // widening Spark inserts when the dim key is INT and the fact BIGINT
+    Seq(5, 250).toDF("k").select(col("k").cast("int").as("k"))
+      .createOrReplaceTempView("jsr_dimcast")
+    def q = spark.sql(s"SELECT f.id, f.v FROM $cat.db.fact f " +
+      "JOIN jsr_dimcast d ON f.id = CAST(d.k AS BIGINT)")
+    val want = withRuleOff(q.as[(Long, Long)].collect().toSet)
+    assert(want == Set((5L, 50L), (250L, 2500L)))
+    val scan = scanOf(q)
+    assert(scan.plannedFiles.length <
+      factTable.snapshot(factTable.latestVersion()).files.length,
+      s"dim-side cast must not stand the lane down: ${scan.description()}")
+    assert(scan.description().contains("points=id:2"),
+      s"expected a 2-key point lane, got: ${scan.description()}")
+    assert(q.as[(Long, Long)].collect().toSet == want)
+  }
+
+  test("a FACT-side widening cast unwraps; out-of-range dim keys drop from the lane") {
+    // an INT fact joined to a BIGINT dim: Spark (or the user) wraps the
+    // fact key as CAST(id AS BIGINT) — injective + order-preserving, so
+    // keys narrow back into the fact column's own type; the key beyond
+    // Int range matches nothing and drops
+    spark.sql(s"CREATE TABLE $cat.db.facti (id INT, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='id')")
+    Seq(0, 100, 200).foreach { base =>
+      spark.sql(s"INSERT INTO $cat.db.facti " +
+        s"SELECT CAST(id AS INT), id * 10 AS v " +
+        s"FROM range($base, $base + 100)")
+    }
+    val facti = new SnapshotTable(spark,
+      s"${spark.conf.get(s"spark.sql.catalog.$cat.warehouse")}/db/facti",
+      Seq("id"))
+    Seq(5L, 250L, 5000000000L).toDF("k")
+      .createOrReplaceTempView("jsr_dimwide")
+    def q = spark.sql(s"SELECT f.id, f.v FROM $cat.db.facti f " +
+      "JOIN jsr_dimwide d ON CAST(f.id AS BIGINT) = d.k")
+    val want = withRuleOff(q.as[(Int, Long)].collect().toSet)
+    assert(want == Set((5, 50L), (250, 2500L)))
+    val scan = scanOf(q)
+    assert(scan.plannedFiles.length <
+      facti.snapshot(facti.latestVersion()).files.length,
+      s"fact-side widening cast must unwrap and prune: ${scan.description()}")
+    assert(scan.description().contains("points=id:2"),
+      s"the out-of-Int-range key must drop: ${scan.description()}")
+    assert(q.as[(Int, Long)].collect().toSet == want)
+  }
+
+  test("a non-injective fact-side cast (to STRING) stands the lane down") {
+    Seq("5", "250").toDF("s").createOrReplaceTempView("jsr_dimstr")
+    val df = spark.sql(s"SELECT f.id FROM $cat.db.fact f " +
+      "JOIN jsr_dimstr d ON CAST(f.id AS STRING) = d.s")
+    assert(scanOf(df).plannedFiles.length ==
+      factTable.snapshot(factTable.latestVersion()).files.length,
+      "a string cast is not invertible per-value — no pruning lane")
+    assert(df.as[Long].collect().toSet == Set(5L, 250L))
+  }
 }
