@@ -83,6 +83,64 @@ object BandKeys {
   def timestampKey(micros: Long, bandsV: Int): Long =
     if (bandsV >= 2) micros else Math.floorDiv(micros, 1000000L)
 
+  /** MONOTONE compression of one signed band key into `bits` (7-31)
+    * bits: a sign bit, then a 6-bit exponent (position of the
+    * magnitude's leading bit) and a left-aligned mantissa — the
+    * float-compare trick. Unlike plain high-bit truncation (which
+    * collapses every small key to one code: band keys cluster near 0,
+    * and the sign-flip parks them all under the same top bits), this
+    * keeps RELATIVE resolution at every magnitude: consecutive small
+    * keys stay distinguishable up to the mantissa width. Monotone by
+    * cases — sign, then exponent, then mantissa truncation, each
+    * order-preserving. */
+  private def monotoneCode(k: Long, bits: Int): Long = {
+    def em(u: Long, mBits: Int): Long =
+      if (u == 0L) 0L
+      else {
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(u)
+        val frac = u & ((1L << e) - 1L)
+        val mant = if (e <= mBits) frac << (mBits - e) else frac >>> (e - mBits)
+        ((e + 1).toLong << mBits) | mant
+      }
+    val m = bits - 7 // 1 sign + 6 exponent + m mantissa
+    if (k >= 0L) (1L << (bits - 1)) | em(k, m)
+    else (1L << (bits - 1)) - 1L - em(-(k + 1L), m)
+  }
+
+  /** DOMINANCE-MONOTONE Morton interleave of 2-8 band keys into one
+    * non-negative long — the COMPOSITE delete-key band primitive: each
+    * key compresses to 62/n bits via the monotone
+    * sign+exponent+mantissa code above, and the per-key bits
+    * interleave round-robin with each key's bits in significance
+    * order. That placement makes the interleave monotone under the
+    * componentwise (dominance) order: if a ≤ b in every coordinate
+    * then zBand(a) ≤ zBand(b) — at the highest differing interleaved
+    * bit, the owning coordinate's higher bits agree and a carries the
+    * 0, exactly the coordinate comparison. So a file whose per-column
+    * stats box is [m₁,M₁]×…×[mₙ,Mₙ] has EVERY row's composite key
+    * inside [zBand(m…), zBand(M…)], and two boxes with disjoint z
+    * intervals provably share no key tuple (the converse may not hold
+    * — overlap is conservative, never unsound). Lossy compression only
+    * widens the interval, same direction. Property-pinned in
+    * ZBandSpec (dominance monotonicity + box cover). */
+  def zBand(keys: Seq[Long]): Long = {
+    val n = keys.length
+    require(n >= 2 && n <= 8, s"zBand takes 2-8 keys, got $n")
+    val b = 62 / n
+    var z = 0L
+    var i = 0
+    while (i < n) {
+      val u = monotoneCode(keys(i), b)
+      var p = 0
+      while (p < b) {
+        z |= ((u >>> p) & 1L) << (p * n + i)
+        p += 1
+      }
+      i += 1
+    }
+    z
+  }
+
   /** seconds + sub-second micros as one micros long. The naive
     * `sec * 1e6 + micro` overflows for instants within a second of
     * Long.MinValue micros — floorDiv rounds the seconds DOWN, so the

@@ -1925,22 +1925,56 @@ class SnapshotTable(spark: SparkSession, root: String,
     val cs = fl.stats(ci)
     val fr = alignLens(fl.frows, fl.files.length)
     // A delete file can touch data file i only when it OUTSEQUENCES it
-    // AND (when the delete key is a single stats column with recorded
-    // bands on both sides) its key band overlaps the file's band on
-    // that column — an equality delete matches rows by key, and every
-    // row's key lies inside its file's band. Band-disjoint deletes
+    // AND its recorded key band overlaps the file's band in the SAME
+    // key space — an equality delete matches rows by key, and every
+    // row's key lies inside its file's band. Single stats-column key:
+    // raw bands on that column. COMPOSITE stats-column key: both sides
+    // compare as z-value bands ([[BandKeys.zBand]] — the delete side
+    // recorded at commit, the data side derived here from the
+    // per-column box; dominance monotonicity makes disjoint z
+    // intervals a proof of no shared key tuple). Band-disjoint deletes
     // leave the file metadata-servable; unknown bands read
     // conservatively (the sentinel band overlaps everything).
     val dk = fl.deleteKey.headOption
       .filter(_ => fl.deleteKey.length == 1).map(statsCols.indexOf)
       .filter(_ >= 0)
-    def hasDelete(i: Int) = fl.deleteSeqs.indices.exists { j =>
-      fl.deleteSeqs(j) > fl.seqs(i) && (dk match {
-        case Some(ki) =>
-          val ks = fl.stats(ki)
-          fl.dmaxs(j) >= ks.mins(i) && fl.dmins(j) <= ks.maxs(i)
-        case None => true
-      })
+    val zk: Option[Seq[Int]] =
+      if (fl.deleteKey.length >= 2 && fl.deleteKey.length <= 8 &&
+          fl.deleteKey.forall(statsCols.contains))
+        Some(fl.deleteKey.map(statsCols.indexOf))
+      else None
+    // data file i's composite-key z box: None = unknown (conservative);
+    // an inverted per-column band means the file holds NO fully
+    // non-null key tuple in that column, so no equality delete applies
+    sealed trait ZBox
+    case object ZUnknown extends ZBox
+    case object ZEmpty extends ZBox
+    case class ZRange(lo: Long, hi: Long) extends ZBox
+    def dataZ(i: Int): ZBox = zk match {
+      case None => ZUnknown
+      case Some(kis) =>
+        val mins = kis.map(k => fl.stats(k).mins(i))
+        val maxs = kis.map(k => fl.stats(k).maxs(i))
+        if (mins.zip(maxs).exists { case (lo, hi) =>
+              lo != UnknownMin && hi != UnknownMax && lo > hi }) ZEmpty
+        else if (mins.contains(UnknownMin) || maxs.contains(UnknownMax))
+          ZUnknown
+        else ZRange(BandKeys.zBand(mins), BandKeys.zBand(maxs))
+    }
+    def hasDelete(i: Int) = {
+      lazy val z = dataZ(i) // once per file, not per (file, delete) pair
+      fl.deleteSeqs.indices.exists { j =>
+        fl.deleteSeqs(j) > fl.seqs(i) && (dk match {
+          case Some(ki) =>
+            val ks = fl.stats(ki)
+            fl.dmaxs(j) >= ks.mins(i) && fl.dmins(j) <= ks.maxs(i)
+          case None => z match {
+            case ZEmpty => false
+            case ZUnknown => true
+            case ZRange(lo, hi) => fl.dmaxs(j) >= lo && fl.dmins(j) <= hi
+          }
+        })
+      }
     }
     def inside(i: Int) = cs.mins(i) >= lo && cs.maxs(i) <= hi &&
       cs.maxs(i) >= cs.mins(i) && cs.nulls(i) == 0L
@@ -2327,15 +2361,9 @@ class SnapshotTable(spark: SparkSession, root: String,
           else None
         }
       val deleted = countMatchingKeys(base, keyFiles.files, keyCols, keyBand)
-      // per-delete-file key counts + key bands (single-stats-key tables):
-      // the writer's one stats pass already folded both
-      val (newDmins, newDmaxs) =
-        if (keyCols.length == 1 && statsCols.contains(keyCols.head)) {
-          val cs = keyFiles.stats(statsCols.indexOf(keyCols.head))
-          (alignOr(cs.mins, keyFiles.files.length, UnknownMin),
-            alignOr(cs.maxs, keyFiles.files.length, UnknownMax))
-        } else (Seq.fill(keyFiles.files.length)(UnknownMin),
-          Seq.fill(keyFiles.files.length)(UnknownMax))
+      // per-delete-file key counts + key bands: the writer's one stats
+      // pass already folded both; composite keys interleave to z-bands
+      val (newDmins, newDmaxs) = deleteKeyBands(keyCols, keyFiles)
       val fls = prev.copy(
         deletes = prev.deletes ++ keyFiles.files,
         deleteSeqs = prev.deleteSeqs ++ Seq.fill(keyFiles.files.length)(base + 1),
@@ -2739,6 +2767,43 @@ class SnapshotTable(spark: SparkSession, root: String,
       }
     }
     None
+  }
+
+  /** Per-file delete-KEY bands from a written key FileSet, aligned to
+    * `kf.files`. Single stats-column key: the raw per-file band, as
+    * always. COMPOSITE key (2-8 stats columns): the per-column bands
+    * interleave into ONE z-value band via [[BandKeys.zBand]] —
+    * dominance-monotone, so every key tuple in the file's per-column
+    * box lands inside [zBand(mins), zBand(maxs)] and `countRange`/fsck
+    * can prove band-disjointness against a data file's own z box
+    * instead of declining to the conservative scan. Files where any
+    * key column lacks exact stats (or carries NULL keys) record the
+    * sentinel band, which overlaps everything — conservative, never
+    * unsound. */
+  private def deleteKeyBands(keyCols: Seq[String], kf: FileSet)
+      : (Seq[Long], Seq[Long]) = {
+    val n = kf.files.length
+    def unknown = (Seq.fill(n)(UnknownMin), Seq.fill(n)(UnknownMax))
+    if (keyCols.isEmpty || keyCols.length > 8 ||
+        !keyCols.forall(statsCols.contains)) return unknown
+    val perCol = keyCols.map { c =>
+      val cs = kf.stats(statsCols.indexOf(c))
+      (alignOr(cs.mins, n, UnknownMin), alignOr(cs.maxs, n, UnknownMax),
+        alignOr(cs.nulls, n, 1L))
+    }
+    if (keyCols.length == 1) (perCol.head._1, perCol.head._2)
+    else {
+      val rows = (0 until n).map { j =>
+        val mins = perCol.map(_._1(j))
+        val maxs = perCol.map(_._2(j))
+        val ok = perCol.forall(_._3(j) == 0L) &&
+          mins.forall(_ != UnknownMin) && maxs.forall(_ != UnknownMax) &&
+          mins.zip(maxs).forall { case (lo, hi) => lo <= hi }
+        if (ok) (BandKeys.zBand(mins), BandKeys.zBand(maxs))
+        else (UnknownMin, UnknownMax)
+      }
+      (rows.map(_._1), rows.map(_._2))
+    }
   }
 
   /** Exact count of v`base`'s live rows whose key appears in the
@@ -3764,13 +3829,7 @@ class SnapshotTable(spark: SparkSession, root: String,
               .coalesce(1) // one file per class IS the point
             val (kf, _) = writeDataFiles(keys)
             val seq = idxs.map(fl.deleteSeqs).min
-            val (bmins, bmaxs) =
-              if (fl.deleteKey.length == 1 && statsCols.contains(fl.deleteKey.head)) {
-                val cs = kf.stats(statsCols.indexOf(fl.deleteKey.head))
-                (alignOr(cs.mins, kf.files.length, UnknownMin),
-                  alignOr(cs.maxs, kf.files.length, UnknownMax))
-              } else (Seq.fill(kf.files.length)(UnknownMin),
-                Seq.fill(kf.files.length)(UnknownMax))
+            val (bmins, bmaxs) = deleteKeyBands(fl.deleteKey, kf)
             val lens = alignLens(kf.lens, kf.files.length)
             val rows = alignLens(kf.frows, kf.files.length)
             kf.files.indices.map(j =>
@@ -4247,12 +4306,19 @@ class SnapshotTable(spark: SparkSession, root: String,
         alignLens(fls.frows, n)(i), ndvs)
     }
     val dels = fls.deletes.indices.map { j =>
-      val band =
-        if (fls.deleteKey.length == 1 && fls.dmins(j) != UnknownMin &&
-            fls.dmaxs(j) != UnknownMax)
-          (Map(fls.deleteKey.head -> fls.dmins(j)),
-            Map(fls.deleteKey.head -> fls.dmaxs(j)))
-        else (Map.empty[String, Long], Map.empty[String, Long])
+      // composite keys surface their z-value band under the joined
+      // column name (the key space the band actually lives in)
+      val bandCol =
+        if (fls.deleteKey.length == 1) Some(fls.deleteKey.head)
+        else if (fls.deleteKey.length >= 2)
+          Some(fls.deleteKey.mkString("z(", ",", ")"))
+        else None
+      val band = bandCol match {
+        case Some(c) if fls.dmins(j) != UnknownMin &&
+            fls.dmaxs(j) != UnknownMax =>
+          (Map(c -> fls.dmins(j)), Map(c -> fls.dmaxs(j)))
+        case _ => (Map.empty[String, Long], Map.empty[String, Long])
+      }
       SnapshotFileMeta("delete", fls.deletes(j), fls.deleteSeqs(j), dlens(j),
         band._1, band._2, Map.empty, Seq.empty,
         alignLens(fls.drows, fls.deletes.length)(j))

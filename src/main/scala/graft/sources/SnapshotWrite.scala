@@ -67,16 +67,27 @@ object SnapshotWrite {
     else None
   }
 
-  /** PER-FILE key bands for the manifest's delete-band vector (single
-    * key column; anything unknown degrades to the all-overlapping
-    * sentinel band, never to a wrong one). */
+  /** PER-FILE key bands for the manifest's delete-band vector. Single
+    * key column: the raw band. COMPOSITE key (2-8 columns): the
+    * per-column bands interleave into one z-value band
+    * ([[graft.sources.BandKeys.zBand]] — dominance-monotone, so
+    * [zBand(mins), zBand(maxs)] covers every key tuple the file
+    * holds), matching how `countRange`/fsck derive a data file's own z
+    * box. Anything unknown degrades to the all-overlapping sentinel
+    * band, never to a wrong one. */
   private[sources] def perFileKeyBands(keyCols: Seq[String],
                                        msgs: Seq[SnapshotWriteMessage])
       : Seq[(Long, Long)] =
     msgs.map { m =>
-      if (keyCols.length == 1 && m.mins.length == 1 &&
-          m.mins(0) != UnknownMin && m.maxs(0) != UnknownMax && m.nulls(0) == 0L)
-        (m.mins(0), m.maxs(0))
+      val n = keyCols.length
+      val known = m.mins.length == n && m.maxs.length == n &&
+        m.nulls.length == n &&
+        (0 until n).forall(k => m.mins(k) != UnknownMin &&
+          m.maxs(k) != UnknownMax && m.nulls(k) == 0L &&
+          m.mins(k) <= m.maxs(k))
+      if (n == 1 && known) (m.mins(0), m.maxs(0))
+      else if (n >= 2 && n <= 8 && known)
+        (BandKeys.zBand(m.mins.toSeq), BandKeys.zBand(m.maxs.toSeq))
       else (UnknownMin, UnknownMax)
     }
 

@@ -122,6 +122,80 @@ class DeleteRowCountsSpec extends SparkSpec {
       s"metadata-mode fsck must catch the bounds violation, got $r")
   }
 
+  test("COMPOSITE key: engine MOR delete records a z-band; countRange serves disjoint files") {
+    val t = new SnapshotTable(spark, freshRoot("zeng"),
+      statsCols = Seq("day", "region"))
+    // three files band-disjoint on BOTH key columns (day ascending,
+    // region ascending) — their z boxes are disjoint too
+    Seq((1L, 100L), (11L, 200L), (21L, 300L)).foreach { case (lo, r0) =>
+      t.commitAppend(spark.range(lo, lo + 10).toDF("day")
+        .withColumn("region", col("day") - lo + r0)
+        .withColumn("v", col("day") * 10L).repartition(1))
+    }
+    t.commitDeleteByKey(
+      Seq((25L, 304L), (26L, 305L)).toDF("day", "region"),
+      Seq("day", "region"))
+    val snap = t.snapshot(t.latestVersion())
+    assert(snap.drows == Seq(2L), s"got ${snap.drows}")
+    assert(snap.dmins.head != Long.MinValue && snap.dmaxs.head != Long.MaxValue,
+      s"composite delete must record a z-band, not the sentinel: " +
+        s"${snap.dmins}/${snap.dmaxs}")
+    // file [1,10]x[100,109]: outsequenced by the delete, but its z box
+    // misses the delete's z band — served from recorded counts
+    val (n1, scanned1) = t.countRangeDetailed("day", 1L, 10L, -1L)
+    assert(n1 == 10L && scanned1.isEmpty,
+      s"z-band-disjoint MOR file must serve from metadata, got $n1 / $scanned1")
+    // file [21,30]x[300,309]: the delete's keys live inside — real scan
+    val (n3, scanned3) = t.countRangeDetailed("day", 21L, 30L, -1L)
+    assert(n3 == 8L && scanned3.nonEmpty, s"got $n3 / $scanned3")
+    // fsck MOR bounds still reconcile from drows
+    assert(t.checkTable().rowsBounds.contains((28L, 30L)))
+  }
+
+  test("COMPOSITE key: SQL MOR DELETE through the DSv2 writer records the z-band") {
+    val wh = freshRoot("zsql")
+    val cat = "drwz"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (day BIGINT, region BIGINT, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='day,region', " +
+      "'write.delete.mode'='merge-on-read', 'write.delete.key'='day,region')")
+    spark.sql(s"INSERT INTO $cat.db.t " +
+      "SELECT id AS day, id + 100 AS region, id * 10 AS v FROM range(1, 31)")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE day IN (5, 6) AND region IN (105, 106)")
+    val t = new SnapshotTable(spark, s"$wh/db/t", Seq("day", "region"))
+    val snap = t.snapshot(t.latestVersion())
+    assert(snap.deletes.nonEmpty && snap.drows.sum == 2L, s"got ${snap.drows}")
+    assert(snap.dmins.exists(_ != Long.MinValue) &&
+      snap.dmaxs.exists(_ != Long.MaxValue),
+      s"SQL composite delete must record z-bands: ${snap.dmins}/${snap.dmaxs}")
+    assert(spark.table(s"$cat.db.t").count() == 28L)
+  }
+
+  test("COMPOSITE key: compactDeletes folds z-bands; disjoint files stay servable") {
+    val t = new SnapshotTable(spark, freshRoot("zfold"),
+      statsCols = Seq("day", "region"))
+    Seq((1L, 100L), (11L, 200L), (21L, 300L)).foreach { case (lo, r0) =>
+      t.commitAppend(spark.range(lo, lo + 10).toDF("day")
+        .withColumn("region", col("day") - lo + r0)
+        .withColumn("v", col("day") * 10L).repartition(1))
+    }
+    t.commitDeleteByKey(Seq((25L, 304L)).toDF("day", "region"),
+      Seq("day", "region"))
+    t.commitDeleteByKey(Seq((27L, 306L), (25L, 304L)).toDF("day", "region"),
+      Seq("day", "region"))
+    t.compactDeletes()
+    val snap = t.snapshot(t.latestVersion())
+    assert(snap.action == "compact_deletes" && snap.deletes.length == 1)
+    assert(snap.drows == Seq(2L), s"got ${snap.drows}")
+    assert(snap.dmins.head != Long.MinValue,
+      s"the folded composite band must stay a z-band: ${snap.dmins}")
+    val (n1, scanned1) = t.countRangeDetailed("day", 1L, 10L, -1L)
+    assert(n1 == 10L && scanned1.isEmpty, s"got $n1 / $scanned1")
+    assert(t.checkTable().rowsBounds.contains((28L, 30L)))
+  }
+
   test("drows survive appends and re-inserts; bounds stay valid (not tight)") {
     val t = new SnapshotTable(spark, freshRoot("carry"), statsCols = Seq("day"))
     threeFiles(t)
