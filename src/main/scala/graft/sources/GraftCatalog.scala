@@ -532,7 +532,7 @@ private[sources] object GraftProcedures {
     Array("compact", "compact_files", "compact_deletes", "vacuum",
       "expire_snapshots", "rollback",
       "create_tag", "drop_tag", "create_branch", "drop_branch",
-      "fast_forward", "clone", "ingest_files", "compact_range",
+      "fast_forward", "merge_branch", "clone", "ingest_files", "compact_range",
       "check_table", "repair_table", "maintain", "estimate_distinct",
       "table_stats")
 
@@ -899,6 +899,17 @@ private[sources] object GraftProcedures {
           ProcedureParameter.in("name", DataTypes.StringType).build()),
         StructType(Seq(StructField("version", DataTypes.LongType, nullable = false)))) {
         in => Seq(handleFor(in.getString(0)).fastForward(in.getString(1)))
+      }
+    case "merge_branch" =>
+      proc("merge_branch", "merge a DIVERGED append-only branch onto the " +
+        "moved main: its post-fork data files replay as one append (file-" +
+        "disjoint rebase); refuses branches that rewrote files or added " +
+        "merge-on-read deletes since the fork",
+        Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("name", DataTypes.StringType).build()),
+        StructType(Seq(StructField("version", DataTypes.LongType, nullable = false)))) {
+        in => Seq(handleFor(in.getString(0)).merge(in.getString(1)))
       }
     case "clone" =>
       proc("clone", "clone source at version (default: tip) into the NEW " +

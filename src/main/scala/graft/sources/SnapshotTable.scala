@@ -4130,6 +4130,70 @@ class SnapshotTable(spark: SparkSession, root: String,
       _ => bsnap.rows, _ => bsnap.schemaJson)
   }
 
+  /** MERGE a DIVERGED branch into main — the case [[fastForward]]
+    * refuses (main advanced past the fork while the branch committed).
+    * The branch's post-fork work must be APPEND-ONLY relative to its
+    * fork state: its new data files are file-disjoint from everything
+    * main did by construction (every commit writes under a fresh
+    * commit uuid), so replaying them onto main's CURRENT tip as one
+    * big append is exactly the file-disjoint optimistic rebase the
+    * row-level DML commits already use — new files re-stamp to the
+    * merge version (main-side MOR deletes, all older, never touch
+    * them), main's own post-fork rewrites/compactions/deletes carry
+    * through untouched, and rows add up (append-only means the
+    * branch's row delta IS its appended rows).
+    *
+    * Refused loudly, same discipline as the DML rebase, when the
+    * branch REWROTE state since the fork — dropped/rewritten data
+    * files or new MOR deletes (either could overlap files main also
+    * touched; replaying them would need a semantic three-way merge no
+    * format can do safely) — or when the two tips' schemas diverged
+    * (branch appends were validated against the fork schema; publish
+    * them under a different main schema and the audit is void). For a
+    * rewriting branch: fast-forward onto an unmoved main, or re-stage
+    * on a fresh branch. The branch itself is left intact (drop it
+    * after a successful merge). Returns the new main version. */
+  def merge(name: String): Long = {
+    requireMainHandle("merge")
+    val forkedAt = forkVersion(name)
+    val b = branch(name)
+    val btip = b.latestVersion()
+    require(btip > forkedAt, s"branch '$name' has no commits past the fork")
+    val bsnap = b.snapshot(btip)
+    val bfls = b.ensureLens(b.fileSetOf(bsnap))
+    val forkSnap = snapshot(forkedAt)
+    val forkFls = fileSetOf(forkSnap)
+    val forkSet = forkFls.files.toSet
+    require(forkSet.subsetOf(bfls.files.toSet) &&
+        bfls.deletes == forkFls.deletes,
+      s"branch '$name' rewrote or deleted files (or added merge-on-read " +
+        "deletes) since the fork — merge replays APPENDS only; " +
+        "fast-forward onto an unmoved main or re-stage on a fresh branch")
+    val newIdx =
+      bfls.files.indices.filterNot(i => forkSet.contains(bfls.files(i)))
+    require(newIdx.nonEmpty, s"branch '$name' added no data files past " +
+      "the fork (nothing to merge)")
+    val addedRows = bsnap.rows - forkSnap.rows
+    val lens = alignLens(bfls.lens, bfls.files.length)
+    val frs = alignLens(bfls.frows, bfls.files.length)
+    // the new-file slice rebuilt on THIS handle (FileSet is
+    // handle-scoped), appended onto whatever main's tip is at publish
+    // time — the CAS loop rebases over racing main commits for free
+    val nw = FileSet(newIdx.map(bfls.files), sliceStats(bfls.stats, newIdx),
+      lens = newIdx.map(lens), frows = newIdx.map(frs))
+    publish("merge",
+      base => {
+        val baseSnap = snapshot(base)
+        require(baseSnap.schemaJson == bsnap.schemaJson,
+          s"merge of '$name' at $root: schema diverged between main and " +
+            "the branch — align schemas first (the branch appends were " +
+            "audited against the fork schema)")
+        appendedFileSet(base, nw)
+      },
+      base => snapshot(base).rows + addedRows,
+      base => snapshot(base).schemaJson)
+  }
+
   // ----- zero-copy table clone -----------------------------------------
 
   /** Clone this table's state at `version` (default: the tip) into a NEW

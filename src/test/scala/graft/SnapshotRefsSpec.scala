@@ -131,6 +131,55 @@ class SnapshotRefsSpec extends SparkSpec {
     assert(ids(t) == Set(1L, 3L))
   }
 
+  test("merge publishes a DIVERGED append-only branch onto the moved main") {
+    val t = new SnapshotTable(spark, freshRoot("merge"))
+    t.commitAppend(Seq(1L, 2L).toDF("id"))
+    t.createBranch("wap")
+    val b = t.branch("wap")
+    b.commitAppend(Seq(10L).toDF("id"))
+    t.commitAppend(Seq(3L).toDF("id")) // main moves: fastForward refuses
+    b.commitAppend(Seq(11L).toDF("id"))
+    t.commitDeleteByKey(Seq(2L).toDF("id"), Seq("id")) // main even deletes
+    intercept[Exception](t.fastForward("wap"))
+    val v = t.merge("wap")
+    assert(t.snapshot(v).action == "merge")
+    // union of both sides' post-fork work, main's MOR delete intact
+    assert(ids(t, v) == Set(1L, 3L, 10L, 11L))
+    // merge re-LISTED the branch's files — zero data rewrite
+    val bNew = b.snapshot(b.latestVersion()).files.toSet --
+      t.snapshot(t.forkVersion("wap")).files.toSet
+    assert(bNew.subsetOf(t.snapshot(v).files.toSet))
+    // merged files outsequence main's delete: a re-merged key survives
+    assert(t.snapshot(v).rows == 4L)
+    // branch stays intact for audit; drop releases it
+    assert(ids(b) == Set(1L, 2L, 10L, 11L))
+    t.dropBranch("wap")
+  }
+
+  test("merge refuses a branch that rewrote or MOR-deleted since the fork") {
+    val t = new SnapshotTable(spark, freshRoot("mergeconflict"))
+    t.commitAppend(Seq(1L, 2L, 3L).toDF("id"))
+    t.createBranch("rw")
+    val b = t.branch("rw")
+    b.commitAppend(Seq(10L).toDF("id"))
+    b.compact(targetRowsPerFile = 1000000L) // branch rewrote files
+    t.commitAppend(Seq(4L).toDF("id"))      // main diverged too
+    val e = intercept[Exception](t.merge("rw"))
+    assert(e.getMessage.contains("rewrote"),
+      s"a rewriting branch must refuse with guidance, got: ${e.getMessage}")
+    assert(ids(t) == Set(1L, 2L, 3L, 4L), "failed merge leaves main intact")
+
+    // post-fork MOR delete on the branch refuses the same way
+    val t2 = new SnapshotTable(spark, freshRoot("mergemor"))
+    t2.commitAppend(Seq(1L, 2L).toDF("id"))
+    t2.createBranch("md")
+    val b2 = t2.branch("md")
+    b2.commitDeleteByKey(Seq(2L).toDF("id"), Seq("id"))
+    t2.commitAppend(Seq(3L).toDF("id"))
+    intercept[Exception](t2.merge("md"))
+    assert(ids(t2) == Set(1L, 2L, 3L))
+  }
+
   test("vacuum keeps live-branch files; dropBranch + vacuum reclaims them") {
     val root = freshRoot("reclaim")
     val t = new SnapshotTable(spark, root)
@@ -312,5 +361,14 @@ class SnapshotRefsSpec extends SparkSpec {
     spark.sql(s"CALL $cat.system.drop_tag('db.rt', 'v-first')")
     intercept[Exception](
       spark.sql(s"SELECT * FROM $cat.db.rt VERSION AS OF 'v-first'").count())
+
+    // diverged-branch merge through the SQL surface
+    spark.sql(s"CALL $cat.system.create_branch('db.rt', 'late')")
+    t.branch("late").commitAppend(Seq(20L).toDF("id"))
+    spark.sql(s"INSERT INTO $cat.db.rt VALUES (6)") // main moves: diverged
+    val mv = spark.sql(s"CALL $cat.system.merge_branch('db.rt', 'late')")
+      .head.getLong(0)
+    assert(t.snapshot(mv).action == "merge")
+    assert(spark.table(s"$cat.db.rt").count() == 7L)
   }
 }
