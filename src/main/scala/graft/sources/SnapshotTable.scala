@@ -2307,13 +2307,119 @@ class SnapshotTable(spark: SparkSession, root: String,
     sys.error(s"commitRewrite at $root: gave up after $attempts conflicts")
   }
 
-  /** MERGE INTO (upsert by key, last-writer-wins on the watermark):
-    * [[commitRewrite]] around the engine's merge operator. */
+  /** MERGE INTO (upsert by key, last-writer-wins on the watermark) —
+    * FILE-SURGICAL copy-on-write: a matched row must agree with some
+    * batch row on EVERY key column, so a file whose stats band misses
+    * the batch's key box on ANY stats key column provably holds no
+    * match and carries by NAME with its original sequence; only the
+    * overlapping files rewrite (their MOR deletes materialize into the
+    * rewrite — carried delete files keep applying to carried data
+    * files, which keep their sequences). On a key-clustered 100 TB
+    * table a point upsert rewrites O(overlapping files), not the
+    * table, and [[readChangeFeed]]'s rewrite-restricted diff then
+    * serves this commit's CDF from the same O(changed) file set
+    * instead of a full-table exceptAll. Degrades to the full
+    * [[commitRewrite]] when nothing is provable: no key column carries
+    * stats, the batch evolves the schema, NULL batch keys (they never
+    * equality-match), underivable band keys, or an empty table.
+    * Same snapshot-isolation validation as every read-modify-write:
+    * publish only at the base we derived from; a lost race drops this
+    * attempt's files and re-derives. */
   def commitUpsert(batch: DataFrame, uniqueKey: Seq[String],
-                   watermarkCol: String, tieBreak: Seq[String] = Seq.empty): Long =
-    commitRewrite("upsert")(cur =>
-      graft.models.Meta.mergeUpsert(cur.getOrElse(batch.limit(0)), batch,
-        uniqueKey, watermarkCol, tieBreak))
+                   watermarkCol: String, tieBreak: Seq[String] = Seq.empty): Long = {
+    require(uniqueKey.nonEmpty, "upsert needs at least one key column")
+    import org.apache.spark.sql.functions.{col, count => fcount, lit,
+      max => fmax, min => fmin, sum => fsum, when}
+    def fullRewrite(): Long =
+      commitRewrite("upsert")(cur =>
+        graft.models.Meta.mergeUpsert(cur.getOrElse(batch.limit(0)), batch,
+          uniqueKey, watermarkCol, tieBreak))
+    val statsKeys = uniqueKey.filter(statsCols.contains)
+    if (statsKeys.isEmpty) return fullRewrite()
+    // the batch's folded key box (one small agg over the small side) +
+    // the NULL-key guard; band keys derive under the table's semantics
+    val aggRow = batch.agg(fcount(lit(1)).as("n"),
+      statsKeys.flatMap(c => Seq(fmin(col(c)), fmax(col(c)),
+        fsum(when(col(c).isNull, 1L).otherwise(0L)))): _*).head()
+    if (aggRow.getLong(0) == 0L) return fullRewrite() // empty batch: rare, cheap anyway
+    val bandsV = tableBandsV
+    val keyBox: Option[Map[String, (Long, Long)]] = {
+      val entries = statsKeys.zipWithIndex.map { case (c, k) =>
+        val (loV, hiV, nulls) =
+          (aggRow.get(1 + 3 * k), aggRow.get(2 + 3 * k), aggRow.getLong(3 + 3 * k))
+        if (nulls > 0L || loV == null || hiV == null) None
+        else for {
+          lo <- BandKeys.valueKey(loV, bandsV).map(_._1)
+          hi <- BandKeys.valueKey(hiV, bandsV).map(_._1)
+        } yield c -> (lo, hi)
+      }
+      if (entries.exists(_.isEmpty)) None
+      else Some(entries.flatten.toMap)
+    }
+    val box = keyBox.getOrElse(return fullRewrite())
+    // per-column DISTINCT key points (bounded): a batch of scattered
+    // point updates plus a few new high keys would make the hull span
+    // the whole table — the point lane prunes per KEY, and prunedKeep
+    // consults per-file bloom filters on it for free. Past the cap the
+    // column falls back to its hull band.
+    val maxPoints = 4096
+    val pointLanes: Map[String, Seq[Long]] = statsKeys.flatMap { c =>
+      val vals = batch.select(col(c)).distinct().limit(maxPoints + 1)
+        .collect().map(_.get(0))
+      if (vals.length > maxPoints) None
+      else {
+        val ks = vals.toSeq.flatMap(v =>
+          Option(v).flatMap(BandKeys.valueKey(_, bandsV).map(_._1)))
+        if (ks.length == vals.length) Some(c -> ks) else None
+      }
+    }.toMap
+    val hullLanes = box.filter { case (c, _) => !pointLanes.contains(c) }
+    var attempts = 0
+    while (attempts < 50) {
+      val base = latestVersion()
+      if (base == 0) return fullRewrite()
+      val snapBase = snapshot(base)
+      val tipSchema = tipSchemaOf(base).getOrElse(return fullRewrite())
+      if (evolveSchema(Some(tipSchema), batch.schema) != tipSchema)
+        return fullRewrite() // batch evolves the schema: full path handles it
+      val prev = ensureLens(fileSetOf(snapBase))
+      // a file is UNTOUCHABLE iff provably disjoint from the batch's
+      // keys on some stats key column (band + bloom evidence); unknown
+      // stats read as overlapping
+      val overlapIdx = prunedKeep(prev, hullLanes, pointLanes,
+        Set.empty, Seq.empty)
+      val keepIdx = prev.files.indices.filterNot(overlapIdx.toSet)
+      if (keepIdx.isEmpty) return fullRewrite() // nothing carries: same cost
+      val existing =
+        if (overlapIdx.isEmpty) read(base).limit(0)
+        else morPlan(snapBase, overlapIdx, mergeSchema = false)
+      val overlapLive = if (overlapIdx.isEmpty) 0L else existing.count()
+      val merged = graft.models.Meta.mergeUpsert(existing, batch,
+        uniqueKey, watermarkCol, tieBreak)
+      val (raw, mergedRows) = writeDataFiles(guarded(merged))
+      val lens = alignLens(prev.lens, prev.files.length)
+      val frs = alignLens(prev.frows, prev.files.length)
+      val fls = FileSet(
+        keepIdx.map(prev.files) ++ raw.files,
+        concatStats(sliceStats(prev.stats, keepIdx), raw.stats),
+        keepIdx.map(prev.seqs) ++ Seq.fill(raw.files.length)(base + 1),
+        prev.deletes, prev.deleteSeqs, prev.deleteKey,
+        keepIdx.map(lens) ++ alignLens(raw.lens, raw.files.length),
+        prev.deleteLens,
+        keepIdx.map(frs) ++ alignLens(raw.frows, raw.files.length),
+        prev.drows, prev.dmins, prev.dmaxs)
+      publishAtBase(base, "upsert", fls,
+        snapBase.rows - overlapLive + mergedRows,
+        snapBase.schemaJson) match {
+        case Some(v) => return v
+        case None => // lost the race: drop this attempt's files, re-derive
+          raw.files.map(_.split('/').head).distinct.foreach(uuid =>
+            fs.delete(new Path(dataDir, uuid), true))
+          attempts += 1
+      }
+    }
+    sys.error(s"commitUpsert at $root: gave up after $attempts conflicts")
+  }
 
   /** Row-level DELETE WHERE: keep everything the predicate does not
     * match. Same copy-on-write + validation discipline — O(table rewrite)
@@ -3482,10 +3588,54 @@ class SnapshotTable(spark: SparkSession, root: String,
             "be retracted row-wise — reseed consumers from the repaired " +
             s"snapshot (readChangeFeed from >= $v)")
         case _ =>
-          val prev = if (v - 1 == 0) read(v).limit(0) else read(v - 1)
-          val cur = read(v)
-          Seq(tagged(cur.exceptAll(prev), "insert", v),
-              tagged(prev.exceptAll(cur), "delete", v))
+          // REWRITE-RESTRICTED diff: a copy-on-write commit (CoW
+          // update/delete, replaceWhere, rollback, surgical upsert)
+          // touches only the files it removed/added — rows in files
+          // COMMON to both versions are identical multisets and would
+          // cancel in exceptAll anyway, so diffing ONLY the symmetric
+          // difference of the file lists yields the same change set at
+          // O(changed files) cost instead of two full-table reads.
+          // Provable when schema and the delete vector are unchanged
+          // and common files keep their sequences (then a common
+          // file's VISIBLE rows are bit-identical across the two
+          // versions); anything else falls back to the honest full
+          // diff — the pinned behavior for diffs this argument cannot
+          // cover.
+          val restricted =
+            if (v - 1 == 0) None
+            else {
+              val ps = snapshot(v - 1)
+              val pf = fileSetOf(ps)
+              val cf = fileSetOf(s)
+              val common = pf.files.toSet.intersect(cf.files.toSet)
+              val pSeq = pf.files.zip(pf.seqs).toMap
+              val cSeq = cf.files.zip(cf.seqs).toMap
+              val provable =
+                ps.schemaJson == s.schemaJson &&
+                pf.deletes.zip(pf.deleteSeqs) == cf.deletes.zip(cf.deleteSeqs) &&
+                common.forall(f => pSeq(f) == cSeq(f))
+              if (!provable) None
+              else {
+                val remIdx = pf.files.indices
+                  .filterNot(i => common(pf.files(i)))
+                val addIdx = cf.files.indices
+                  .filterNot(i => common(cf.files(i)))
+                val pre =
+                  if (remIdx.isEmpty) read(v).limit(0)
+                  else morPlan(ps, remIdx, mergeSchema = false)
+                val post =
+                  if (addIdx.isEmpty) read(v).limit(0)
+                  else morPlan(s, addIdx, mergeSchema = false)
+                Some(Seq(tagged(post.exceptAll(pre), "insert", v),
+                         tagged(pre.exceptAll(post), "delete", v)))
+              }
+            }
+          restricted.getOrElse {
+            val prev = if (v - 1 == 0) read(v).limit(0) else read(v - 1)
+            val cur = read(v)
+            Seq(tagged(cur.exceptAll(prev), "insert", v),
+                tagged(prev.exceptAll(cur), "delete", v))
+          }
       }
     }
     if (parts.isEmpty) tagged(read(toVersion).limit(0), "insert", 0L).limit(0)
