@@ -455,6 +455,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** `'db.tbl'` (relative to this catalog) → a handle opened with the
     * tip's stats columns, so maintenance commits carry the skipping
     * index forward. */
+  /** Public handle resolver for out-of-package SQL commands (the
+    * ANALYZE bridge lives under org.apache.spark.sql.graft): same
+    * contract as the procedures' resolver. */
+  def snapshotHandleFor(qualified: String): SnapshotTable = handleFor(qualified)
+
   private def handleFor(qualified: String): SnapshotTable = {
     val parts = qualified.split("\\.")
     require(parts.length >= 1 && parts.forall(_.nonEmpty),

@@ -3185,6 +3185,17 @@ class SnapshotTable(spark: SparkSession, root: String,
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Total live data bytes at `version` (default: tip) — recorded
+    * lengths from the manifest; any unknown entry resolves with one
+    * HEAD, never a file read. The size half of a metadata-served
+    * ANALYZE. */
+  def dataBytes(version: Long = -1L): Long = {
+    val v = if (version < 0) latestVersion() else version
+    require(v > 0, s"empty table at $root")
+    val fls = ensureLens(fileSetOf(snapshot(v)))
+    alignLens(fls.lens, fls.files.length).filter(_ >= 0L).sum
+  }
+
   /** The tip's recorded stats columns (empty on an empty/stats-less
     * table) — what a by-name consumer (catalog, sink) opens handles
     * with so appended manifests carry the skipping index forward. */

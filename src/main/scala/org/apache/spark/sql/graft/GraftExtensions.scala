@@ -22,13 +22,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => SkylineStrategy)
     ext.injectOptimizerRule(_ => RangeBinJoinRule)
     ext.injectOptimizerRule(_ => MatViewRewriteRule)
-    // post-pushdown: restore SupportsReportStatistics that Spark's
-    // V1ScanWrapper drops (see V1ScanStats.scala)
-    ext.injectPreCBORule(_ => V1ScanStatsRule)
-    // post-pushdown: fold a broadcast-sized dim's join keys into the
-    // snapshot scan's manifest pruning (see JoinSkippingRule.scala)
-    ext.injectPreCBORule(_ => JoinSkippingRule)
+    // POST-PUSHDOWN rules (scan-stats restore, join-driven file
+    // skipping) need the DataSourceV2ScanRelation to exist — but
+    // Spark 4 runs the "Pre CBO Rules" batch BEFORE "Early Filter and
+    // Projection Push-Down" (batch 15 vs 16 in SparkOptimizer), so
+    // injectPreCBORule never sees a scan and silently no-ops. The only
+    // post-pushdown logical batch an extension can reach is "User
+    // Provided Optimizers" (experimental.extraOptimizations, the last
+    // batch — where GraftFunctions.register has always put these for
+    // running sessions); this builder is the one extension hook that
+    // receives the session, so it installs them there once.
+    ext.injectOptimizerRule { session =>
+      GraftFunctions.installPostPushdownRules(session)
+      PostPushdownInstallMarker
+    }
+    // ANALYZE TABLE on graft catalog tables, metadata-served — Spark
+    // refuses the command for v2 tables during resolution, so the
+    // interception must happen at the parser (see GraftAnalyze.scala)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
+}
+
+/** Identity rule returned by the extensions' post-pushdown installer
+  * hook — the hook's value is its SIDE EFFECT (registering the real
+  * rules into "User Provided Optimizers"); this marker keeps the
+  * builder contract honest and visible in the batch listing. */
+object PostPushdownInstallMarker
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = plan
 }
 
 object GraftFunctions {
@@ -358,6 +381,16 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(MatViewRewriteRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ MatViewRewriteRule
+    installPostPushdownRules(spark)
+  }
+
+  /** The post-pushdown rules, into the ONE logical batch that runs
+    * after `V2ScanRelationPushDown` and is reachable from outside
+    * ("User Provided Optimizers"). Idempotent; shared by [[register]]
+    * (running sessions) and [[GraftExtensions]] (configured sessions —
+    * whose injectPreCBORule hook runs BEFORE pushdown in Spark 4 and
+    * therefore cannot host these). */
+  private[graft] def installPostPushdownRules(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(V1ScanStatsRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ V1ScanStatsRule
