@@ -290,6 +290,33 @@ object MiscQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // Diverged-branch MERGE on the snapshot format (the WAP story's
+    // last verb): main appends a third, a branch stages another third,
+    // main diverges with the final third — fastForward would refuse —
+    // then merge() replays the branch's post-fork appends onto the
+    // moved main as one file-disjoint commit. Every version's
+    // (rows, cents) replays in DuckDB from the key arithmetic, gating
+    // that the merge is the union of both sides' work and that the
+    // pre-merge versions stay readable.
+    "misc_snapshot_merge" -> ((s, d) => {
+      val root = Tables.freshTmpDir(s, "graft_snapmerge")
+      val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      t.commitAppend(o.filter(col("o_orderkey") % 3 === 0))
+      t.createBranch("wap")
+      val b = t.branch("wap")
+      b.commitAppend(o.filter(col("o_orderkey") % 3 === 1)) // staged
+      t.commitAppend(o.filter(col("o_orderkey") % 3 === 2)) // main diverges
+      val mv = t.merge("wap")
+      t.history().map { snap =>
+        t.read(snap.version)
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(snap.version).as("version"), lit(snap.action).as("action"),
+            col("n_rows"), col("total_cents"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // Row-level DML on the snapshot format: append → MERGE-by-key
     // (doubling the cents of every 8th key) → DELETE WHERE, then read
     // back through the version history. Each version's (rows, cents)
@@ -4727,6 +4754,21 @@ v AS (
 SELECT CAST(v.version AS BIGINT) AS version, v.action,
        CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(b.cents) AS BIGINT) AS total_cents
 FROM v JOIN base b ON b.m BETWEEN v.lo AND v.hi
+GROUP BY 1, 2""",
+
+    // main thirds at v1/v2, the branch's third lands at the merge
+    "misc_snapshot_merge" -> """
+WITH base AS (
+  SELECT o_orderkey % 3 AS m, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+v AS (
+  SELECT 1 AS version, 'append' AS action UNION ALL
+  SELECT 2, 'append' UNION ALL
+  SELECT 3, 'merge')
+SELECT CAST(v.version AS BIGINT) AS version, v.action,
+       CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(b.cents) AS BIGINT) AS total_cents
+FROM v JOIN base b ON (v.version = 1 AND b.m = 0)
+  OR (v.version = 2 AND b.m IN (0, 2)) OR v.version = 3
 GROUP BY 1, 2""",
 
     // unpartitioned recompute of the dynamically-pruned join
