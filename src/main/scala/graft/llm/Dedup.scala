@@ -345,7 +345,8 @@ object Dedup {
     * accept the larger candidate volume. */
   def embeddingNearDupPairs(embeddings: DataFrame, minCosine: Double = 0.5,
                             exhaustive: Boolean = false, nBits: Int = 6,
-                            nBands: Int = 3): DataFrame = {
+                            nBands: Int = 3,
+                            maxBucket: Int = 256): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding"))
     val pairs =
       if (exhaustive)
@@ -358,17 +359,56 @@ object Dedup {
         // drops bands whose dims lie past the vector end: without it an
         // out-of-range band would hash EVERY vector to bucket 0 and its
         // join would degenerate to the full a<b cross product.
-        val banded = graft.QueryCaches.scoped(e.select(col("vec_id"),
+        //
+        // BUCKET-SIZE GUARD (`maxBucket`): a band-bucket's candidate
+        // volume is |bucket|²/2, and with 2^nBits fixed buckets the
+        // occupancy grows LINEARLY with n — so candidates grow
+        // quadratically (the r20 full-registry 100× session measured
+        // the low-threshold 4-bit tuning degenerating to ~10 billion
+        // candidate pairs at 200k vectors and OOM-ing the session).
+        // Buckets past the cap SUBDIVIDE with extra sign-hyperplane
+        // bits (odd-aligned dim pairs — deterministic pure
+        // comparisons, a different hyperplane family from the band's
+        // own even-aligned pairs), enough bits to bring the expected
+        // sub-bucket under the cap. Candidate volume is then bounded
+        // by ~n·maxBucket·nBands/2 — LINEAR in n. Near pairs split
+        // across sub-buckets of a dense region are the recall price,
+        // the standard LSH remedy at scale; buckets at or under the
+        // cap take zero extra bits, so small-corpus results (and the
+        // DuckDB oracle at harness SFs) are bit-identical.
+        val maxExtraBits = 10
+        val bandedRaw = e.select(col("vec_id"), col("embedding"),
             explode(array((0 until nBands).map { t =>
               struct(lit(t).as("band"),
                 Similarity.hyperplaneBucket(col("embedding"), nBits, 2 * nBits * t).as("bucket"),
                 (size(col("embedding")) > 2 * nBits * t + 1).as("in_range"))
             }: _*)).as("bb"))
           .filter(col("bb.in_range"))
-          .select(col("vec_id"), col("bb.band"), col("bb.bucket")))
-        val cand = banded.select(col("vec_id").as("a"), col("band"), col("bucket"))
-          .join(banded.select(col("vec_id").as("b"), col("band"), col("bucket")),
+          .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.bucket"))
+        val bucketSizes = bandedRaw.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("bn")) // ≤ nBands·2^nBits rows: broadcast
+        val extraBits = when(col("bn") <= maxBucket, lit(0)).otherwise(
+          least(lit(maxExtraBits),
+            ceil(log(2.0, col("bn").cast("double") / maxBucket)).cast("int")))
+        def oddPairBit(i: Int): Column = {
+          val a = 2 * i + 1 // odd-aligned pair (dims a, a+1), 0-based
+          when(size(col("embedding")) > a + 1 &&
+            element_at(col("embedding"), a + 1) >
+              element_at(col("embedding"), a + 2), 1 << i).otherwise(0)
+        }
+        val subBucket = (0 until maxExtraBits).map(i =>
+          when(lit(i) < col("extra_bits"), oddPairBit(i)).otherwise(0))
+          .reduce(_ + _)
+        val banded = graft.QueryCaches.scoped(bandedRaw
+          .join(org.apache.spark.sql.functions.broadcast(bucketSizes),
             Seq("band", "bucket"))
+          .withColumn("extra_bits", extraBits)
+          .select(col("vec_id"), col("band"), col("bucket"),
+            subBucket.as("sub")))
+        val cand = banded.select(col("vec_id").as("a"), col("band"),
+            col("bucket"), col("sub"))
+          .join(banded.select(col("vec_id").as("b"), col("band"),
+            col("bucket"), col("sub")), Seq("band", "bucket", "sub"))
           .filter(col("a") < col("b"))
           .select("a", "b").distinct()
         cand

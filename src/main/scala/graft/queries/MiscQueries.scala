@@ -1487,8 +1487,13 @@ object MiscQueries {
       s.conf.set("spark.sql.catalog.gwd", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.gwd.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS gwd.db")
-      Tables.orders(s, d).select(col("o_orderkey").cast("int").as("k"),
-        expr("CAST(round(o_totalprice * 100) AS INT)").as("cents"))
+      // k folds into INT range (pmod, not a raw cast): the 100× fixture
+      // scales orderkeys past Int.MaxValue and an ANSI cast would fail
+      // the INSERT — the r20 full-registry 100× session caught exactly
+      // that. The oracle only reads counts/cents, so the fold is free.
+      Tables.orders(s, d)
+        .select(pmod(col("o_orderkey"), lit(1000000000L)).cast("int").as("k"),
+          expr("CAST(round(o_totalprice * 100) AS INT)").as("cents"))
         .createOrReplaceTempView("catwiden_src")
       s.sql("CREATE TABLE gwd.db.w (k INT, cents INT) USING `graft-snapshot` " +
         "TBLPROPERTIES('stats_cols'='k')")
