@@ -1155,47 +1155,70 @@ class SnapshotTable(spark: SparkSession, root: String,
         writtenPhys.select(writtenPhys.columns.toIndexedSeq.map(c =>
           col(c).as(inverse.getOrElse(c, c))): _*)
       }
-    // ONE per-file aggregation replaces the flat count: the manifest
-    // records each file's row count (the record_count vector), and the
-    // total falls out for free. Zero-row files simply don't group.
+    // ONE per-file aggregation serves EVERYTHING the manifest records
+    // about the written files — row counts, per-stats-column
+    // min/max/null-count/NDV sketch, and point-lookup blooms — so the
+    // write's read-back costs exactly one job regardless of how many
+    // stats/bloom columns the table declares (this path used to run up
+    // to three read-backs: count, stats, blooms — r20 measurement:
+    // every snapshot commit paid 1-2 avoidable scans of its own
+    // output). Zero-row files simply don't group.
     import org.apache.spark.sql.functions.input_file_name
-    val rowsByFile = written.groupBy(input_file_name().as("__f")).count()
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    val rows = rowsByFile.valuesIterator.sum
-    def rowsFor(rel: String): Long = rowsByFile.collectFirst {
-      case (uri, n) if uri.endsWith(rel.split('/').last) => n }.getOrElse(0L)
     // stats only for the stats columns the written frame carries
     // (delete-key files may carry none) — absent stats read as the
     // never-pruned sentinel, unknown null counts as -1
     val presentCols = statsCols.filter(written.columns.contains)
+    // per-file point-lookup blooms for the opted columns ride the same
+    // aggregation, ONLY on bloom-opted tables (the DSv2 executor
+    // writers fold theirs inline; this is the driver path)
+    val bloomColsHere = bloomColumns.filter(presentCols.contains)
+    val combined: Array[org.apache.spark.sql.Row] = {
+      import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
+      // native typed MIN/MAX (string min/max IS bytewise-lexicographic,
+      // which BandKeys' prefix key preserves), mapped to band keys
+      // driver-side via the ONE shared BandKeys.valueKey — the same
+      // mapping the executor writers fold inline and the read side
+      // applies to filter literals, so the three can never disagree.
+      // Unmapped types (double, decimal, …) fold to the unknown
+      // sentinel: never pruned, conservatively correct.
+      // the NDV sketch rides the SAME aggregation (4th slot per
+      // column): hll_sketch_agg over the band key — zero extra jobs;
+      // unmapped column types carry a null placeholder (no sketch)
+      def ndvAgg(c: String): org.apache.spark.sql.Column = {
+        import org.apache.spark.sql.types._
+        written.schema.fields.find(_.name == c).map(_.dataType) match {
+          case Some(ByteType | ShortType | IntegerType | LongType |
+                    BooleanType | DateType | TimestampType | StringType) =>
+            org.apache.spark.sql.functions.hll_sketch_agg(
+              bandKeyCol(written, c, bandsV), FileNdv.LgK)
+          case _ => min(lit(null).cast("binary"))
+        }
+      }
+      def bloomAgg(c: String): org.apache.spark.sql.Column = {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        bridge.column(new BloomFilterAggregate(
+          bridge.expression(bandKeyCol(written, c, bandsV)),
+          Literal(FileBlooms.ExpectedItems),
+          Literal(FileBlooms.NumBits)).toAggregateExpression())
+      }
+      // layout: [__f, count, (min,max,nulls,ndv)×presentCols, blooms…]
+      val aggExprs = count(lit(1)) +:
+        (presentCols.flatMap(c => Seq(
+          min(col(c)), max(col(c)),
+          sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L))),
+          ndvAgg(c))) ++ bloomColsHere.map(bloomAgg))
+      written.groupBy(input_file_name().as("__f"))
+        .agg(aggExprs.head, aggExprs.tail: _*)
+        .collect() // ≤ one row per written file — commit-sized, bounded
+    }
+    val rowsByFile = combined.map(r => (r.getString(0), r.getLong(1))).toMap
+    val rows = rowsByFile.valuesIterator.sum
+    def rowsFor(rel: String): Long = rowsByFile.collectFirst {
+      case (uri, n) if uri.endsWith(rel.split('/').last) => n }.getOrElse(0L)
     val stats: Seq[ColStats] =
       if (presentCols.isEmpty) statsCols.map(_ => unknownStats(parts.length))
       else {
-        import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min, sum, when}
-        // native typed MIN/MAX (string min/max IS bytewise-lexicographic,
-        // which BandKeys' prefix key preserves), mapped to band keys
-        // driver-side via the ONE shared BandKeys.valueKey — the same
-        // mapping the executor writers fold inline and the read side
-        // applies to filter literals, so the three can never disagree.
-        // Unmapped types (double, decimal, …) fold to the unknown
-        // sentinel: never pruned, conservatively correct.
-        // the NDV sketch rides the SAME aggregation (4th slot per
-        // column): hll_sketch_agg over the band key — zero extra jobs;
-        // unmapped column types carry a null placeholder (no sketch)
-        def ndvAgg(c: String): org.apache.spark.sql.Column = {
-          import org.apache.spark.sql.types._
-          written.schema.fields.find(_.name == c).map(_.dataType) match {
-            case Some(ByteType | ShortType | IntegerType | LongType |
-                      BooleanType | DateType | TimestampType | StringType) =>
-              org.apache.spark.sql.functions.hll_sketch_agg(
-                bandKeyCol(written, c, bandsV), FileNdv.LgK)
-            case _ => min(lit(null).cast("binary"))
-          }
-        }
-        val aggExprs = presentCols.flatMap(c => Seq(
-          min(col(c)), max(col(c)),
-          sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L))),
-          ndvAgg(c)))
         def keyOr(v: Any, unknown: Long): Long =
           Option(v).flatMap(BandKeys.valueKey(_, bandsV).map(_._1)).getOrElse(unknown)
         // typed bounds ride the same collected min/max: for STRING stats
@@ -1205,17 +1228,16 @@ class SnapshotTable(spark: SparkSession, root: String,
           case s: String => TypedBounds.encode(s)
           case _ => TypedBounds.Absent
         }
-        val byFile = written
-          .groupBy(input_file_name().as("__f"))
-          .agg(aggExprs.head, aggExprs.tail: _*)
-          .collect() // ≤ one row per written file — commit-sized, bounded
+        // parse the combined rows: slot 0 = file, 1 = count, then the
+        // 4-wide (min,max,nulls,ndv) stats blocks
+        val byFile = combined
           .map { r =>
             val per = presentCols.zipWithIndex.map { case (c, i) =>
-              c -> ((keyOr(r.get(1 + 4 * i), UnknownMin),
-                     keyOr(r.get(2 + 4 * i), UnknownMax),
-                     Option(r.get(3 + 4 * i)).fold(UnknownNulls)(_.asInstanceOf[Long]),
-                     typedOr(r.get(1 + 4 * i)), typedOr(r.get(2 + 4 * i)),
-                     Option(r.get(4 + 4 * i)).map(b =>
+              c -> ((keyOr(r.get(2 + 4 * i), UnknownMin),
+                     keyOr(r.get(3 + 4 * i), UnknownMax),
+                     Option(r.get(4 + 4 * i)).fold(UnknownNulls)(_.asInstanceOf[Long]),
+                     typedOr(r.get(2 + 4 * i)), typedOr(r.get(3 + 4 * i)),
+                     Option(r.get(5 + 4 * i)).map(b =>
                        java.util.Base64.getEncoder.encodeToString(
                          b.asInstanceOf[Array[Byte]])).getOrElse("")))
             }.toMap
@@ -1234,31 +1256,18 @@ class SnapshotTable(spark: SparkSession, root: String,
               (UnknownMax, UnknownMin, 0L, TypedBounds.Absent, TypedBounds.Absent, "")
             else (UnknownMin, UnknownMax, UnknownNulls,
               TypedBounds.Absent, TypedBounds.Absent, ""))
-        // per-file point-lookup blooms for the opted columns — one extra
-        // bounded aggregation, run ONLY on bloom-opted tables (the DSv2
-        // executor writers fold theirs inline; this is the driver path)
-        val bloomColsHere = bloomColumns.filter(presentCols.contains)
+        // blooms ride the tail of the same combined rows (offset past
+        // the count slot and the 4-wide stats blocks)
+        val bloomBase = 2 + 4 * presentCols.length
         val bloomByFile: Map[String, Map[String, String]] =
           if (bloomColsHere.isEmpty) Map.empty
-          else {
-            import org.apache.spark.sql.functions.input_file_name
-            import org.apache.spark.sql.catalyst.expressions.Literal
-            import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-            val aggs = bloomColsHere.map { c =>
-              bridge.column(new BloomFilterAggregate(
-                bridge.expression(bandKeyCol(written, c, bandsV)),
-                Literal(FileBlooms.ExpectedItems),
-                Literal(FileBlooms.NumBits)).toAggregateExpression())
-            }
-            written.groupBy(input_file_name()).agg(aggs.head, aggs.tail: _*)
-              .collect().map { r =>
-                r.getString(0) -> bloomColsHere.zipWithIndex.map { case (c, i) =>
-                  c -> Option(r.get(1 + i)).map(b =>
-                    java.util.Base64.getEncoder.encodeToString(
-                      b.asInstanceOf[Array[Byte]])).getOrElse("")
-                }.toMap
-              }.toMap
-          }
+          else combined.map { r =>
+            r.getString(0) -> bloomColsHere.zipWithIndex.map { case (c, i) =>
+              c -> Option(r.get(bloomBase + i)).map(b =>
+                java.util.Base64.getEncoder.encodeToString(
+                  b.asInstanceOf[Array[Byte]])).getOrElse("")
+            }.toMap
+          }.toMap
         def bloomFor(rel: String, c: String): String =
           bloomByFile.collectFirst {
             case (uri, per) if uri.endsWith(rel.split('/').last) =>

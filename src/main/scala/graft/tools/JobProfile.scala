@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: per-JOB wall-time breakdown of one registered query — the
+  * "where do a snapshot query's 25 jobs spend their 4 seconds" view the
+  * bench's per-query medians can't give. Runs the query once warm, once
+  * profiled, and prints every Spark job with its callsite and duration.
+  *
+  * Usage: sbt "runMain graft.tools.JobProfile [sfDir] queryName…"
+  */
+object JobProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1)
+    require(names.nonEmpty, "usage: JobProfile [sfDir] queryName…")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long)]()
+    val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        val site = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        starts.put(e.jobId, (System.nanoTime(), site)); ()
+      }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+        Option(starts.remove(e.jobId)).foreach { case (t0, site) =>
+          done.add((e.jobId, site, System.nanoTime() - t0)); ()
+        }
+      }
+    }
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      // warm pass: caches, codegen, parquet footers
+      fn(spark, dir).count()
+      graft.QueryCaches.releaseAll()
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      val total = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(listener)
+      graft.QueryCaches.releaseAll()
+      Thread.sleep(300) // let async job-end events drain
+      import scala.jdk.CollectionConverters._
+      val jobs = done.asScala.toSeq.sortBy(_._1)
+      done.clear()
+      println(f"==== $name total=$total%.2f s, ${jobs.length} jobs, " +
+        f"job-sum=${jobs.map(_._3).sum / 1e9}%.2f s")
+      jobs.foreach { case (id, site, ns) =>
+        println(f"  job $id%3d ${ns / 1e6}%8.1f ms  $site")
+      }
+    }
+    spark.stop()
+  }
+}
