@@ -120,7 +120,11 @@ object PageRank {
     * total mass decays by < n units per round — irrelevant at 10^12
     * granularity and identical in every engine.
     *
-    * Same two-jobs-per-round shape and checkpoint hygiene as [[pageRank]];
+    * Loop shape (r20): the state frame carries (node, deg, rank_fp) —
+    * out-degree is loop-invariant, joined in ONCE — and the edge
+    * checkpoint is hash-partitioned on src, so each round is one eager
+    * next-state job whose only exchange is the groupBy(dst) aggregation
+    * (the state⋈edges and state⋈contribs joins are co-partitioned).
     * `dampNum/dampDen` is the rational damping factor (85/100 = 0.85).
     * Returns (node: long, rank_fp: long). */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
@@ -128,67 +132,66 @@ object PageRank {
                          dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampNum < dampDen,
       s"need iters >= 1 and 0 < dampNum < dampDen; got $iters, $dampNum/$dampDen")
+    // Edges checkpoint HASH-PARTITIONED ON src (one repartition, paid
+    // once): every round's contributions join keys the rank state (hash
+    // on node) against e on node = src, so with e laid out by src the
+    // join is co-partitioned — zero per-round edge shuffle. The round's
+    // only exchange left is the groupBy(dst) aggregation (guide §2.4:
+    // establish the partitioning once, reuse it every round).
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .repartition(col("src"))
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n = nodes.count()
     require(n > 0, "pageRankFixedPoint needs at least one edge")
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
     // (1-d)/n of the total mass, in units — driver-side long division,
     // matching the oracle's `((dampDen-dampNum)*massUnit) // (dampDen*n)`
     val base = (dampDen - dampNum) * massUnit / (dampDen * n)
-    var ranks = nodes.select(col("node"), lit(massUnit / n).as("rank_fp"))
+    // State carries (node, deg, rank_fp): the out-degree is LOOP
+    // INVARIANT, so joining it in once — instead of ranks⋈outDeg every
+    // round (the r20-measured shape: one extra join + checkpoint job per
+    // round) — removes a whole shuffle join from every iteration. deg is
+    // NULL for dangling nodes, exactly the old withDeg contract.
+    var ranks = nodes.join(outDeg, nodes("node") === outDeg("src"), "left")
+      .select(nodes("node"), col("deg"), lit(massUnit / n).as("rank_fp"))
       .localCheckpoint(true)
-    // ONE job per round: the eager ranks⋈outDeg checkpoint is the round's
-    // only action — it also materializes the PREVIOUS round's lazy next-
-    // ranks checkpoint (no convergence scalar is needed here, unlike
-    // [[pageRank]], so the second job per round would be pure overhead).
-    // The last round's ranks checkpoint is eager instead, so the result
-    // is materialized before the finally releases the shared inputs.
-    var prevWithDeg: DataFrame = null
+    // ONE job per round: the eager next-state checkpoint (its dangling
+    // 1-row broadcast rides inside the same plan, reading the previous
+    // state's blocks).
     try {
       var it = 0
       while (it < iters) {
-        val withDeg = ranks.join(outDeg, ranks("node") === outDeg("src"), "left")
-          .localCheckpoint(true)
-        // everything downstream reads withDeg's blocks — the superseded
-        // rank frame and the previous round's join are both releasable
-        Checkpoints.release(ranks)
-        if (prevWithDeg != null) Checkpoints.release(prevWithDeg)
-        val dangling = broadcast(withDeg.filter(col("deg").isNull)
+        val dangling = broadcast(ranks.filter(col("deg").isNull)
           .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dm")))
-        val contribs = withDeg.filter(col("deg").isNotNull)
+        val contribs = ranks.filter(col("deg").isNotNull)
           .select(col("node"), expr("rank_fp div deg").as("share"))
           .join(e, col("node") === col("src"))
           .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
-        ranks = nodes
-          .join(contribs, nodes("node") === contribs("dst"), "left")
+        val next = ranks.select(col("node"), col("deg"))
+          .join(contribs, col("node") === col("dst"), "left")
           .crossJoin(dangling)
-          .select(nodes("node"),
+          .select(col("node"), col("deg"),
             (lit(base) + expr(
               s"($dampNum * (coalesce(inflow, 0L) + dm div ${n}L)) div $dampDen"))
               .as("rank_fp"))
-          .localCheckpoint(it == iters - 1)
-        prevWithDeg = withDeg
+          .localCheckpoint(true)
+        Checkpoints.release(ranks)
+        ranks = next
         it += 1
       }
-      ranks
+      // the checkpoint holds (node, deg, rank_fp); the public contract
+      // is (node, rank_fp) — a zero-cost projection over its blocks
+      ranks.select(col("node"), col("rank_fp"))
     } catch { case t: Throwable =>
       Checkpoints.release(ranks)
       throw t
     } finally {
-      // the returned frame is materialized (last round eager); the last
-      // round's join and the shared inputs are releasable on every path
-      if (prevWithDeg != null) Checkpoints.release(prevWithDeg)
       Checkpoints.release(e)
-      Checkpoints.release(nodes)
-      Checkpoints.release(outDeg)
     }
   }
 
@@ -204,18 +207,21 @@ object PageRank {
     * carried in BIGINT mass units with truncating div throughout —
     * bit-identical under any partitioning and in any engine. Seeds not
     * present in the graph are ignored (|S| counts the intersection).
-    * Same two-frame loop, one job per round, checkpoint hygiene as the
-    * uniform variant. Returns (node, is_seed, rank_fp). */
+    * Same deg-in-state loop, one job per round, checkpoint hygiene as
+    * the uniform variant. Returns (node, is_seed, rank_fp). */
   def personalizedPageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
                                      seeds: DataFrame, seedCol: String,
                                      iters: Int = 5, massUnit: Long = 1000000000000L,
                                      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampNum < dampDen,
       s"need iters >= 1 and 0 < dampNum < dampDen; got $iters, $dampNum/$dampDen")
+    // same src-partitioned edge checkpoint + deg-in-state loop shape as
+    // [[pageRankFixedPoint]] — see the comments there
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .repartition(col("src"))
       .localCheckpoint(true)
     val sd = seeds.select(col(seedCol).cast("long").as("node"))
       .filter(col("node").isNotNull).distinct()
@@ -223,53 +229,46 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct()
       .join(sd.withColumn("is_seed", lit(1L)), Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
-      .localCheckpoint(true)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // seed count BEFORE the state checkpoint (nodes' subtree runs twice,
+    // once per action, reading e's blocks — cheaper than a third
+    // checkpoint whose only reader is this count)
     val nS = nodes.filter(col("is_seed") === 1L).count()
     require(nS > 0, "personalizedPageRankFixedPoint needs >= 1 seed present in the graph")
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
     val base = (dampDen - dampNum) * massUnit / (dampDen * nS)
     // init: ALL mass on the seeds — the personalized stationary start;
-    // is_seed rides along in the rank frame so the result needs no
-    // post-loop re-join against a released checkpoint
-    var ranks = nodes
-      .select(col("node"), col("is_seed"),
+    // is_seed AND deg ride in the state frame (loop invariants both)
+    var ranks = nodes.join(outDeg, nodes("node") === outDeg("src"), "left")
+      .select(nodes("node"), col("is_seed"), col("deg"),
         (col("is_seed") * lit(massUnit / nS)).as("rank_fp"))
       .localCheckpoint(true)
-    var prevWithDeg: DataFrame = null
     try {
       var it = 0
       while (it < iters) {
-        val withDeg = ranks.join(outDeg, ranks("node") === outDeg("src"), "left")
-          .localCheckpoint(true)
-        Checkpoints.release(ranks)
-        if (prevWithDeg != null) Checkpoints.release(prevWithDeg)
-        val dangling = broadcast(withDeg.filter(col("deg").isNull)
+        val dangling = broadcast(ranks.filter(col("deg").isNull)
           .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dm")))
-        val contribs = withDeg.filter(col("deg").isNotNull)
+        val contribs = ranks.filter(col("deg").isNotNull)
           .select(col("node"), expr("rank_fp div deg").as("share"))
           .join(e, col("node") === col("src"))
           .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
-        ranks = nodes
-          .join(contribs, nodes("node") === contribs("dst"), "left")
+        val next = ranks.select(col("node"), col("is_seed"), col("deg"))
+          .join(contribs, col("node") === col("dst"), "left")
           .crossJoin(dangling)
-          .select(nodes("node"), nodes("is_seed"),
+          .select(col("node"), col("is_seed"), col("deg"),
             (col("is_seed") * lit(base) + expr(
               s"($dampNum * (coalesce(inflow, 0L) + is_seed * (dm div ${nS}L))) div $dampDen"))
               .as("rank_fp"))
-          .localCheckpoint(it == iters - 1)
-        prevWithDeg = withDeg
+          .localCheckpoint(true)
+        Checkpoints.release(ranks)
+        ranks = next
         it += 1
       }
-      ranks
+      ranks.select(col("node"), col("is_seed"), col("rank_fp"))
     } catch { case t: Throwable =>
       Checkpoints.release(ranks)
       throw t
     } finally {
-      if (prevWithDeg != null) Checkpoints.release(prevWithDeg)
       Checkpoints.release(e)
-      Checkpoints.release(nodes)
-      Checkpoints.release(outDeg)
     }
   }
 }

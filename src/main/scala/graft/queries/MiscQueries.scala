@@ -2845,12 +2845,9 @@ object MiscQueries {
     // mass every round and is fully exercised by the gate. The
     // tolerance-converged double variant stays spec-gated (PageRankSpec,
     // == sequential reference within 1e-6).
-    "misc_pagerank" -> ((s, d) => {
-      val edges = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      graft.operators.PageRank.pageRankFixedPoint(edges, "src", "dst", iters = 5)
-    }),
+    "misc_pagerank" -> ((s, d) =>
+      graft.operators.PageRank.pageRankFixedPoint(
+        bipartiteEdges(s, d), "src", "dst", iters = 5)),
 
     // HITS hubs & authorities (Kleinberg, JACM 1999) on the same
     // customer→supplier bipartite graph: customers are pure hubs (who
@@ -2859,12 +2856,9 @@ object MiscQueries {
     // Same fixed-iteration BIGINT mass discipline as misc_pagerank with
     // L1 normalization per side (L2 needs a square root no integer
     // replay has); 3 unrolled rounds replayed by the oracle.
-    "misc_hits" -> ((s, d) => {
-      val edges = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      graft.operators.Hits.hitsFixedPoint(edges, "src", "dst", iters = 3)
-    }),
+    "misc_hits" -> ((s, d) =>
+      graft.operators.Hits.hitsFixedPoint(
+        bipartiteEdges(s, d), "src", "dst", iters = 3)),
 
     // TrustRank / personalized PageRank (Gyöngyi et al., VLDB 2004) on
     // the same customer→supplier bipartite graph: teleport and dangling
@@ -2875,9 +2869,7 @@ object MiscQueries {
     // Same fixed-iteration BIGINT mass discipline as misc_pagerank;
     // 5 unrolled rounds replayed by the oracle.
     "misc_trustrank" -> ((s, d) => {
-      val edges = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = bipartiteEdges(s, d)
       val seeds = edges.filter(col("src") % 194 === 0).select(col("src").as("seed"))
       graft.operators.PageRank.personalizedPageRankFixedPoint(
         edges, "src", "dst", seeds, "seed", iters = 5)
@@ -3094,6 +3086,20 @@ object MiscQueries {
       .select(col("x.pk").as("a"), col("y.pk").as("b"))
       .cache()
   }
+
+  /** The customer→supplier bipartite interaction graph shared by the
+    * mass-diffusion queries (misc_pagerank / misc_hits / misc_trustrank).
+    * Plain `.cache()` (unscoped — the coPurchaseEdges / retail raw
+    * pattern): the three queries build the identical projection, so the
+    * cache manager plan-matches them to ONE materialization per session
+    * instead of re-running the orders⋈lineitem join per query per run.
+    * Id-pair longs only (~600k rows at sf0.1), session-resident is
+    * free; the operators' own distinct/repartition still run per call. */
+  private def bipartiteEdges(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .cache()
 
   /** The co-purchase edge CTEs shared by the graph-analytics oracles
     * (mirrors coPurchaseEdges; `e` is the canonical distinct pair set). */

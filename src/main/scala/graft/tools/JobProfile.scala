@@ -34,26 +34,54 @@ object JobProfile {
         }
       }
     }
+    // per-ACTION plan shapes: every action's executed plan, summarized
+    // as counts of the load-bearing operators — the evidence that a
+    // restructure actually removed Exchanges/joins from a multi-action
+    // query (explain() on the returned frame only shows the LAST plan).
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def summarize(qe: org.apache.spark.sql.execution.QueryExecution): String = {
+        val ops = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+        qe.executedPlan.foreach { p =>
+          val n = p.getClass.getSimpleName
+          if (n.contains("Exchange") || n.contains("Join") || n.contains("Aggregate") ||
+            n.contains("Scan") || n.contains("Sort"))
+            ops(n.stripSuffix("Exec")) += 1
+        }
+        ops.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" ")
+      }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        actions.add(f"${durationNs / 1e6}%8.1f ms  $funcName%-12s ${summarize(qe)}"); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       // warm pass: caches, codegen, parquet footers
       fn(spark, dir).count()
       graft.QueryCaches.releaseAll()
       spark.sparkContext.addSparkListener(listener)
+      spark.listenerManager.register(qel)
       val t0 = System.nanoTime()
       fn(spark, dir).count()
       val total = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.removeSparkListener(listener)
+      spark.listenerManager.unregister(qel)
       graft.QueryCaches.releaseAll()
-      Thread.sleep(300) // let async job-end events drain
+      Thread.sleep(500) // let async job-end / listener events drain
       import scala.jdk.CollectionConverters._
       val jobs = done.asScala.toSeq.sortBy(_._1)
       done.clear()
+      val acts = actions.asScala.toSeq
+      actions.clear()
       println(f"==== $name total=$total%.2f s, ${jobs.length} jobs, " +
-        f"job-sum=${jobs.map(_._3).sum / 1e9}%.2f s")
+        f"job-sum=${jobs.map(_._3).sum / 1e9}%.2f s, ${acts.length} actions")
       jobs.foreach { case (id, site, ns) =>
         println(f"  job $id%3d ${ns / 1e6}%8.1f ms  $site")
       }
+      acts.foreach(a => println(s"  action $a"))
     }
     spark.stop()
   }
