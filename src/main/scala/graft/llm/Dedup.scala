@@ -36,21 +36,28 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
 
-  /** Per-document distinct shingle ARRAY. Dedup happens inside the row
-    * (array_distinct) — shingle-set semantics need uniqueness per doc only,
-    * so no cross-partition shuffle is ever required for it. */
-  private def shingleArray(n: Int): Column = {
-    val ws = split(col("text"), " ")
+  /** Per-document distinct shingle ARRAY over a MATERIALIZED word-array
+    * column. Dedup happens inside the row (array_distinct) — shingle-set
+    * semantics need uniqueness per doc only, so no cross-partition
+    * shuffle is ever required for it.
+    *
+    * `ws` must be a bound ATTRIBUTE (the split projected in a prior
+    * select), never an inline `split(text)`: transform()'s lambda body
+    * re-evaluates non-leaf outer expressions per array element (HOFs are
+    * interpreted, no cross-invocation subexpression elimination), so an
+    * inline split makes shingling O(words²) per document — the r20
+    * measurement on the bigram sibling was 2.7x end-to-end. */
+  private def shingleArrayOf(ws: Column, n: Int): Column =
     array_distinct(
       when(size(ws) >= n,
         transform(sequence(lit(0), size(ws) - n),
           i => array_join(slice(ws, i + 1, lit(n)), " ")))
         .otherwise(array().cast(ArrayType(StringType))))
-  }
 
   /** (doc_id, shingle) pairs: distinct word n-grams per document. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(shingleArray(n)).as("shingle"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .select(col("doc_id"), explode(shingleArrayOf(col("__ws"), n)).as("shingle"))
 
   /** Hashed shingle set: (doc_id, lo, hi) with the shingle replaced by its
     * two 58-bit md5 folds. All downstream dedup joins/aggregations then
@@ -59,7 +66,7 @@ object Dedup {
     * Hash collisions are shared with the DuckDB oracle by construction, so
     * results stay bit-identical. */
   def hashedShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(shingleArray(n)).as("shingle"))
+    shingles(docs, n)
       .select(col("doc_id"), md5lo58(col("shingle")).as("lo"), md5hi58(col("shingle")).as("hi"))
 
   /** Candidate pairs sharing ≥1 shingle, with exact Jaccard similarity
@@ -439,8 +446,11 @@ object Dedup {
     * Output: (doc_id, n_grams, n_repeated, dup_frac) for docs with >= n
     * words; dup_frac divides two exact longs (engine-identical double). */
   def repeatedSpanCoverage(docs: DataFrame, n: Int = 5): DataFrame = {
-    val ws = split(col("text"), " ")
-    val eligible = docs.filter(size(ws) >= n)
+    // split materialized before the lambda — see shingleArrayOf
+    val ws = col("__ws")
+    val eligible = docs
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .filter(size(ws) >= n)
     val grams = eligible.select(col("doc_id"),
       explode(transform(sequence(lit(0), size(ws) - n),
         i => array_join(slice(ws, i + 1, lit(n)), " "))).as("gram"))

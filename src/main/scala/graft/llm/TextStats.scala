@@ -133,12 +133,16 @@ object TextStats {
                      textCol: String = "text"): DataFrame = {
     require(overlap < size, "overlap must be smaller than chunk size")
     val stride = size - overlap
-    val ws = words(col(textCol))
+    // split materialized before the lambda (Dedup.shingleArrayOf rule):
+    // an inline words(text) inside the per-chunk slices re-splits the
+    // document once per chunk — O(words²/stride) per doc
+    val ws = col("__ws")
     val len = org.apache.spark.sql.functions.size(ws)
     // nChunks = 1 if len <= size else ceil((len-size)/stride) + 1
     val nChunks = when(len <= size, lit(1))
       .otherwise(((len - size + stride - 1).cast(DoubleType) / stride).cast(IntegerType) + 1)
-    df.select(col("doc_id"),
+    df.select(col("doc_id"), words(col(textCol)).as("__ws"))
+      .select(col("doc_id"),
         explode(transform(sequence(lit(0), nChunks - 1), i => struct(
           i.as("chunk_idx"),
           array_join(slice(ws, i * stride + 1, lit(size)), " ").as("chunk_text"),
@@ -448,10 +452,12 @@ object TextStats {
     * bytes, and text never shuffles — only (doc, bigram) counts. */
   def bigramSurprisal(docs: DataFrame): DataFrame = {
     val dbl = (c: Column) => c.cast(DoubleType)
-    val ws = words(col("text"))
+    // split materialized before the lambda — see Dedup.shingleArrayOf
+    val ws = col("__ws")
     // positional bigrams over non-empty adjacent tokens
     val bg = graft.QueryCaches.scoped(
-      docs.filter(size(ws) >= 2)
+      docs.select(col("doc_id"), words(col("text")).as("__ws"))
+        .filter(size(ws) >= 2)
         .select(col("doc_id"), explode(transform(
           sequence(lit(1), size(ws) - 1),
           i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))

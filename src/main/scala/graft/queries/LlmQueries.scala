@@ -218,8 +218,16 @@ object LlmQueries {
     // occurrences and document frequency, keep the >= 5 tail. Explode +
     // partial-agg combine map-side; nothing shuffles document text.
     "llm_ngram_table" -> ((s, d) => {
-      val ws = split(col("text"), " ")
+      // split() MATERIALIZED as a column before the higher-order
+      // function: transform()'s lambda body re-evaluates any non-leaf
+      // outer expression per array element (HOFs are interpreted — no
+      // cross-invocation subexpression elimination), so an inline
+      // split(text) makes bigram extraction O(words²) per document.
+      // Bound to an attribute it is O(1) per element. r20 measurement:
+      // 2.53 s -> see OPTIMIZATION_r20.md.
+      val ws = col("__ws")
       Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("__ws"))
         .filter(size(ws) >= 2)
         .select(col("doc_id"), explode(transform(
           sequence(lit(1), size(ws) - 1),
@@ -727,8 +735,10 @@ object LlmQueries {
     // saturates a domain. First-occurrence election shuffles only
     // (bigram → min doc_id); integer ppm per doc.
     "llm_ngram_novelty" -> ((s, d) => {
-      val ws = split(col("text"), " ")
+      // split materialized before the lambda — see Dedup.shingleArrayOf
+      val ws = col("__ws")
       val bf = graft.QueryCaches.scoped(Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("__ws"))
         .filter(size(ws) >= 2)
         .select(col("doc_id"), explode(transform(
           sequence(lit(1), size(ws) - 1),
@@ -855,8 +865,10 @@ object LlmQueries {
     // and computed once; TakeOrderedAndProject top-k, no global sort.
     "llm_pmi_collocations" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val ws = split(col("text"), " ")
-      val bg = docs.filter(size(ws) >= 2)
+      // split materialized before the lambda — see Dedup.shingleArrayOf
+      val ws = col("__ws")
+      val bg = docs.select(split(col("text"), " ").as("__ws"))
+        .filter(size(ws) >= 2)
         .select(explode(transform(
           sequence(lit(1), size(ws) - 1),
           i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))

@@ -42,12 +42,24 @@ object JobProfile {
     val qel = new org.apache.spark.sql.util.QueryExecutionListener {
       private def summarize(qe: org.apache.spark.sql.execution.QueryExecution): String = {
         val ops = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
-        qe.executedPlan.foreach { p =>
+        // AQE wraps the real plan: AdaptiveSparkPlanExec exposes no
+        // children until executed — walk its final executedPlan, and
+        // recurse into materialized query stages the same way
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            tally(s); walk(s.plan)
+          case other =>
+            tally(other); other.children.foreach(walk)
+        }
+        def tally(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
           val n = p.getClass.getSimpleName
           if (n.contains("Exchange") || n.contains("Join") || n.contains("Aggregate") ||
             n.contains("Scan") || n.contains("Sort"))
             ops(n.stripSuffix("Exec")) += 1
         }
+        walk(qe.executedPlan)
         ops.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" ")
       }
       override def onSuccess(funcName: String,
