@@ -245,8 +245,7 @@ object MiscQueries {
     "misc_snapshot_refs" -> ((s, d) => {
       val root = Tables.freshTmpDir(s, "graft_snaprefs")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       t.commitAppend(o.filter(col("o_orderkey") % 3 === 0)) // v1 = main
       t.createTag("base", 1L)
       t.createBranch("wap")
@@ -276,8 +275,7 @@ object MiscQueries {
         fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
       }
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       t.commitAppend(o.filter(col("o_orderkey") % 4 === 0))
       val v2 = t.commitAppend(o.filter(col("o_orderkey") % 4 === 1))
       t.commitOverwrite(o.filter(col("o_orderkey") % 4 >= 2))
@@ -301,8 +299,7 @@ object MiscQueries {
     "misc_snapshot_merge" -> ((s, d) => {
       val root = Tables.freshTmpDir(s, "graft_snapmerge")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       t.commitAppend(o.filter(col("o_orderkey") % 3 === 0))
       t.createBranch("wap")
       val b = t.branch("wap")
@@ -326,8 +323,7 @@ object MiscQueries {
     "misc_snapshot_dml" -> ((s, d) => {
       val root = Tables.freshTmpDir(s, "graft_snapdml")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       t.commitAppend(o.filter(col("o_orderkey") % 4 === 0).withColumn("w", lit(1L)))
       t.commitUpsert(
         o.filter(col("o_orderkey") % 8 === 0)
@@ -356,8 +352,7 @@ object MiscQueries {
     "misc_snapshot_mor" -> ((s, d) => {
       val root = Tables.freshTmpDir(s, "graft_snapmor")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       t.commitAppend(o.filter(col("o_orderkey") % 4 === 0))
       t.commitDeleteByKey(
         o.filter(col("o_orderkey") % 8 === 0).select("o_orderkey"), Seq("o_orderkey"))
@@ -385,8 +380,7 @@ object MiscQueries {
     "misc_snapshot_incremental" -> ((s, d) => {
       val root = Tables.freshTmpDir(s, "graft_snapincr")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       t.commitAppend(o.filter(col("o_orderkey") % 3 === 0))
       val v2 = t.commitAppend(o.filter(col("o_orderkey") % 3 === 1))
       val v3 = t.commitAppend(o.filter(col("o_orderkey") % 3 === 2))
@@ -411,8 +405,7 @@ object MiscQueries {
       org.apache.spark.sql.graft.GraftFunctions.register(s)
       val root = Tables.freshTmpDir(s, "graft_snaphist")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       t.commitAppend(o.filter(col("o_orderkey") % 4 === 0))
       t.commitDeleteByKey(
         o.filter(col("o_orderkey") % 8 === 0).select("o_orderkey"), Seq("o_orderkey"))
@@ -435,8 +428,7 @@ object MiscQueries {
       val root = Tables.freshTmpDir(s, "graft_snapfiles")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath,
         statsCols = Seq("o_orderkey"))
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       (0 to 2).foreach(i =>
         t.commitAppend(o.filter(col("o_orderkey") % 3 === i).repartition(1)))
       t.commitDeleteByKey(
@@ -460,8 +452,7 @@ object MiscQueries {
     "misc_snapshot_asof" -> ((s, d) => {
       val root = Tables.freshTmpDir(s, "graft_snapasof")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       t.commitAppend(o.filter(col("o_orderkey") % 2 === 0))
       Thread.sleep(10)
       val instant = System.currentTimeMillis()
@@ -487,8 +478,7 @@ object MiscQueries {
       val root = Tables.freshTmpDir(s, "graft_snaprepl")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath,
         statsCols = Seq("o_orderkey"))
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       val m = o.agg(max(col("o_orderkey"))).head.getLong(0)
       val (t1, t2) = ((m + 1) / 3, 2 * (m + 1) / 3)
       t.commitAppend(o.filter(col("o_orderkey") < t1).repartition(1))
@@ -519,8 +509,7 @@ object MiscQueries {
       org.apache.spark.sql.graft.GraftFunctions.register(s)
       val root = Tables.freshTmpDir(s, "graft_snapsql")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       t.commitAppend(o.filter(col("o_orderkey") % 2 === 0))
       t.commitAppend(o.filter(col("o_orderkey") % 2 === 1))
       t.commitDeleteByKey(
@@ -545,8 +534,7 @@ object MiscQueries {
     "misc_snapshot_cdf" -> ((s, d) => {
       val root = Tables.freshTmpDir(s, "graft_snapcdf")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath)
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       t.commitAppend(o.filter(col("o_orderkey") % 4 === 0).withColumn("w", lit(1L)))
       t.commitDeleteByKey(
         o.filter(col("o_orderkey") % 8 === 0).select("o_orderkey"), Seq("o_orderkey"))
@@ -570,8 +558,7 @@ object MiscQueries {
       org.apache.spark.sql.graft.GraftFunctions.register(s)
       val root = Tables.freshTmpDir(s, "graft_snapchtvf").getAbsolutePath
       val t = new graft.sources.SnapshotTable(s, root)
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       t.commitAppend(o.filter(col("o_orderkey") % 2 === 0))
       t.commitAppend(o.filter(col("o_orderkey") % 2 === 1))
       t.commitDeleteByKey(
@@ -661,8 +648,7 @@ object MiscQueries {
       val root = Tables.freshTmpDir(s, "graft_snapskip")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath,
         statsCols = Seq("o_orderkey"))
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       val m = o.agg(max(col("o_orderkey"))).head.getLong(0)
       val (t1, t2) = ((m + 1) / 3, 2 * (m + 1) / 3)
       t.commitAppend(o.filter(col("o_orderkey") < t1).repartition(1))
@@ -690,8 +676,7 @@ object MiscQueries {
       val root = Tables.freshTmpDir(s, "graft_snapbatch").getAbsolutePath
       val t = new graft.sources.SnapshotTable(s, root,
         statsCols = Seq("o_orderkey"))
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       t.commitAppend(o.filter(col("o_orderkey") % 2 === 0))
       t.commitAppend(o.filter(col("o_orderkey") % 2 === 1))
       t.commitDeleteByKey(
@@ -724,8 +709,7 @@ object MiscQueries {
       s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.gsql.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS gsql.db")
-      Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      SharedFrames.ordersCents(s, d)
         .createOrReplaceTempView("catsql_src")
       s.sql("CREATE TABLE gsql.db.orders_cat (o_orderkey BIGINT, cents BIGINT) " +
         "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_orderkey')")
@@ -805,8 +789,7 @@ object MiscQueries {
       val root = Tables.freshTmpDir(s, "graft_snapdateskip")
       val t = new graft.sources.SnapshotTable(s, root.getAbsolutePath,
         statsCols = Seq("day"))
-      val o = Tables.orders(s, d).select(to_date(col("o_orderdate")).as("day"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersDayCents(s, d)
       val (d1, d2) = (java.sql.Date.valueOf("1997-01-01"),
         java.sql.Date.valueOf("1999-01-01"))
       t.commitAppend(o.filter(col("day") < lit(d1)).repartition(1))
@@ -833,8 +816,7 @@ object MiscQueries {
     "misc_snapshot_or_skipping" -> ((s, d) => {
       val root = Tables.freshTmpDir(s, "graft_snaporskip").getAbsolutePath
       val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("day"))
-      val o = Tables.orders(s, d).select(to_date(col("o_orderdate")).as("day"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersDayCents(s, d)
       val (c1, c2) = (java.sql.Date.valueOf("1997-01-01"),
         java.sql.Date.valueOf("1999-01-01"))
       t.commitAppend(o.filter(col("day") < lit(c1)).repartition(1))
@@ -909,8 +891,7 @@ object MiscQueries {
     "misc_snapshot_join_skipping" -> ((s, d) => {
       val root = Tables.freshTmpDir(s, "graft_snapjoinskip").getAbsolutePath
       val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("o_custkey"))
-      val o = Tables.orders(s, d).select(col("o_custkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCustCents(s, d)
       val m = o.agg(max(col("o_custkey"))).head.getLong(0)
       val qs = Seq(0L, (m + 1) / 4, (m + 1) / 2, 3 * (m + 1) / 4, m + 1)
       (0 until 4).foreach(i => t.commitAppend(
@@ -943,8 +924,7 @@ object MiscQueries {
     "misc_catalog_maintain" -> ((s, d) => {
       val root = Tables.freshTmpDir(s, "graft_catmaint").getAbsolutePath
       val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("day"))
-      val o = Tables.orders(s, d).select(to_date(col("o_orderdate")).as("day"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersDayCents(s, d)
       val cut = java.sql.Date.valueOf("1998-01-01")
       t.commitAppend(o.filter(col("day") < lit(cut)).repartition(1)) // big
       Seq("1998-01-01", "1998-06-01", "1999-01-01").zip(
@@ -982,8 +962,7 @@ object MiscQueries {
       s.sql("CREATE NAMESPACE IF NOT EXISTS gja.db")
       s.sql("CREATE TABLE gja.db.fact (o_custkey BIGINT, cents BIGINT) " +
         "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_custkey')")
-      val o = Tables.orders(s, d).select(col("o_custkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCustCents(s, d)
       val m = o.agg(max(col("o_custkey"))).head.getLong(0)
       val qs = Seq(0L, (m + 1) / 4, (m + 1) / 2, 3 * (m + 1) / 4, m + 1)
       // quartile-clustered files through the engine handle (shared
@@ -1158,8 +1137,7 @@ object MiscQueries {
       s.sql("CREATE NAMESPACE IF NOT EXISTS gjh.db")
       s.sql("CREATE TABLE gjh.db.fact (o_custkey BIGINT, cents BIGINT) " +
         "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_custkey')")
-      val o = Tables.orders(s, d).select(col("o_custkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCustCents(s, d)
       val m = o.agg(max(col("o_custkey"))).head.getLong(0)
       val qs = Seq(0L, (m + 1) / 4, (m + 1) / 2, 3 * (m + 1) / 4, m + 1)
       val t = new graft.sources.SnapshotTable(s, s"$wh/db/fact",
@@ -1225,8 +1203,7 @@ object MiscQueries {
       s.conf.set("spark.sql.catalog.gdd", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.gdd.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS gdd.db")
-      Tables.orders(s, d).select(to_date(col("o_orderdate")).as("day"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      SharedFrames.ordersDayCents(s, d)
         .createOrReplaceTempView("catdmldate_src")
       s.sql("CREATE TABLE gdd.db.daily (day DATE, cents BIGINT) " +
         "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='day')")
@@ -1259,8 +1236,7 @@ object MiscQueries {
     // ELT loader, on the snapshot format.
     "misc_catalog_ingest" -> ((s, d) => {
       val base = Tables.freshTmpDir(s, "graft_catingest").getAbsolutePath
-      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersKCents(s, d)
       (0 until 3).foreach(i => o.filter(col("k") % 3 === i)
         .repartition(1).write.parquet(s"$base/in/src_$i"))
       s.conf.set("spark.sql.catalog.gin", "graft.sources.GraftCatalog")
@@ -1292,8 +1268,7 @@ object MiscQueries {
       s.conf.set("spark.sql.catalog.gor", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.gor.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS gor.db")
-      Tables.orders(s, d).select(to_date(col("o_orderdate")).as("day"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      SharedFrames.ordersDayCents(s, d)
         .createOrReplaceTempView("catdmlor_src")
       s.sql("CREATE TABLE gor.db.daily (day DATE, cents BIGINT) " +
         "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='day')")
@@ -1370,8 +1345,7 @@ object MiscQueries {
       s.conf.set("spark.sql.catalog.gcc", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.gcc.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS gcc.db")
-      Tables.orders(s, d).select(to_date(col("o_orderdate")).as("day"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      SharedFrames.ordersDayCents(s, d)
         .createOrReplaceTempView("catdmlcc_src")
       s.sql("CREATE TABLE gcc.db.daily (day DATE, cents BIGINT) " +
         "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='day')")
@@ -1593,8 +1567,7 @@ object MiscQueries {
       s.conf.set("spark.sql.catalog.gfk", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.gfk.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS gfk.db")
-      Tables.orders(s, d).select(col("o_orderkey").as("k"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      SharedFrames.ordersKCents(s, d)
         .createOrReplaceTempView("catfsck_src")
       s.sql("CREATE TABLE gfk.db.t (k BIGINT, cents BIGINT) " +
         "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='k', " +
@@ -1624,8 +1597,7 @@ object MiscQueries {
       s.sql("CREATE NAMESPACE IF NOT EXISTS grpr.db")
       s.sql("CREATE TABLE grpr.db.t (k BIGINT, cents BIGINT) " +
         "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='k')")
-      val src = Tables.orders(s, d).select(col("o_orderkey").as("k"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val src = SharedFrames.ordersKCents(s, d)
       val m = src.agg(max(col("k"))).head.getLong(0)
       val (c1, c2) = (m / 3, 2 * m / 3)
       // one file per band range (repartition(1)) so the damage set is
@@ -1691,8 +1663,7 @@ object MiscQueries {
     "misc_snapshot_small_compact" -> ((s, d) => {
       val root = Tables.freshTmpDir(s, "graft_smallcomp").getAbsolutePath
       val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("k"))
-      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersKCents(s, d)
       // the big file: everything except the three tiny fixed key slices
       t.commitAppend(o.filter(col("k") % 4 =!= 0 || col("k") >= 600)
         .repartition(1))
@@ -1723,8 +1694,7 @@ object MiscQueries {
     "misc_snapshot_mor_compact" -> ((s, d) => {
       val root = Tables.freshTmpDir(s, "graft_morcomp").getAbsolutePath
       val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("k"))
-      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersKCents(s, d)
       t.commitAppend(o)
       (1 to 4).foreach(m =>
         t.commitDeleteByKey(o.filter(col("k") % 10 === m).select("k"), Seq("k")))
@@ -1749,8 +1719,7 @@ object MiscQueries {
     "misc_snapshot_null_skipping" -> ((s, d) => {
       val root = Tables.freshTmpDir(s, "graft_snapnull").getAbsolutePath
       val t = new graft.sources.SnapshotTable(s, root, statsCols = Seq("k"))
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       def slice(m: Int, nullify: Boolean) = {
         val base = o.filter(col("o_orderkey") % 3 === m)
         val keyed =
@@ -1841,8 +1810,7 @@ object MiscQueries {
       s.conf.set("spark.sql.catalog.grw", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.grw.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS grw.db")
-      val base = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val base = SharedFrames.ordersCents(s, d)
       base.createOrReplaceTempView("catrw_src")
       val m = base.agg(max(col("o_orderkey"))).head.getLong(0)
       val (t1, t2) = ((m + 1) / 3, 2 * (m + 1) / 3)
@@ -1890,8 +1858,7 @@ object MiscQueries {
       s.conf.set("spark.sql.catalog.gmt", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.gmt.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS gmt.db")
-      Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      SharedFrames.ordersCents(s, d)
         .createOrReplaceTempView("catmt_src")
       s.sql("CREATE TABLE gmt.db.orders_mt (o_orderkey BIGINT, cents BIGINT) " +
         "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_orderkey')")
@@ -1928,8 +1895,7 @@ object MiscQueries {
       s.conf.set("spark.sql.catalog.gctr", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.gctr.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS gctr.db")
-      Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      SharedFrames.ordersCents(s, d)
         .createOrReplaceTempView("catconstr_src")
       s.sql("CREATE TABLE gctr.db.oc (o_orderkey BIGINT, cents BIGINT) " +
         "USING `graft-snapshot` TBLPROPERTIES(" +
@@ -1960,8 +1926,7 @@ object MiscQueries {
       s.conf.set("spark.sql.catalog.gdml", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS gdml.db")
-      val base = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val base = SharedFrames.ordersCents(s, d)
       base.createOrReplaceTempView("catdml_src")
       base.filter(col("o_orderkey") % 6 === 0)
         .select(col("o_orderkey"), (col("cents") * 5).as("cents"))
@@ -2002,8 +1967,7 @@ object MiscQueries {
       s.conf.set("spark.sql.catalog.gdmlp", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.gdmlp.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS gdmlp.db")
-      val base = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val base = SharedFrames.ordersCents(s, d)
       base.createOrReplaceTempView("catdmlp_src")
       val m = base.agg(max(col("o_orderkey"))).head.getLong(0)
       val (t1, t2) = ((m + 1) / 3, 2 * (m + 1) / 3)
@@ -2060,8 +2024,7 @@ object MiscQueries {
       s.conf.set("spark.sql.catalog.gmor", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.gmor.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS gmor.db")
-      Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      SharedFrames.ordersCents(s, d)
         .createOrReplaceTempView("catmor_src")
       s.sql("CREATE TABLE gmor.db.orders_mor (o_orderkey BIGINT, cents BIGINT) " +
         "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_orderkey', " +
@@ -2106,8 +2069,7 @@ object MiscQueries {
       s.conf.set("spark.sql.catalog.gumor", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.gumor.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS gumor.db")
-      val base = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val base = SharedFrames.ordersCents(s, d)
       base.filter(col("o_orderkey") % 3 === 0)
         .createOrReplaceTempView("catumor_src")
       base.filter(col("o_orderkey") % 4 === 0)
@@ -2164,8 +2126,7 @@ object MiscQueries {
       s.conf.set("spark.sql.catalog.gmbsq", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.gmbsq.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS gmbsq.db")
-      val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val base = SharedFrames.ordersKCents(s, d)
       base.filter(col("k") % 2 === 0)
         .select(col("k"), (col("cents") * 2).as("cents"))
         .createOrReplaceTempView("catmbs_src")
@@ -2218,8 +2179,7 @@ object MiscQueries {
       s.conf.set("spark.sql.catalog.gcln", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.gcln.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS gcln.db")
-      Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      SharedFrames.ordersCents(s, d)
         .createOrReplaceTempView("catclone_src")
       s.sql("CREATE TABLE gcln.db.src (o_orderkey BIGINT, cents BIGINT) " +
         "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_orderkey')")

@@ -243,8 +243,7 @@ object StreamQueries {
       val root = new java.io.File(base, "table").getAbsolutePath
       val outDir = new java.io.File(base, "out").getAbsolutePath
       val t = new graft.sources.SnapshotTable(s, root)
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       t.commitAppend(o.filter(col("o_orderkey") % 3 === 0))
       t.commitAppend(o.filter(col("o_orderkey") % 3 === 1))
       t.compact(targetRowsPerFile = 1000000L) // must deliver nothing
@@ -276,8 +275,7 @@ object StreamQueries {
       val root = new java.io.File(base, "table").getAbsolutePath
       val outDir = new java.io.File(base, "out").getAbsolutePath
       val t = new graft.sources.SnapshotTable(s, root)
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       (0 to 2).foreach(k => t.commitAppend(o.filter(col("o_orderkey") % 3 === k)))
       val seq = new java.util.concurrent.atomic.AtomicLong(0L)
       val q = s.readStream.format("graft-snapshot")
@@ -311,8 +309,7 @@ object StreamQueries {
       val root = new java.io.File(base, "table").getAbsolutePath
       val outDir = new java.io.File(base, "out").getAbsolutePath
       val t = new graft.sources.SnapshotTable(s, root)
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       t.commitAppend(o.filter(col("o_orderkey") % 4 === 0))
       t.commitDeleteByKey(
         o.filter(col("o_orderkey") % 8 === 0).select("o_orderkey"), Seq("o_orderkey"))
@@ -348,8 +345,7 @@ object StreamQueries {
       val src = new java.io.File(base, "src").getAbsolutePath
       val dst = new java.io.File(base, "dst").getAbsolutePath
       val in = new graft.sources.SnapshotTable(s, src)
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       def pump(): Unit = {
         val q = s.readStream.format("graft-snapshot").load(src)
           .writeStream.format("graft-snapshot").option("path", dst)
@@ -386,8 +382,7 @@ object StreamQueries {
       s.conf.set("spark.sql.catalog.gstr", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.gstr.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS gstr.db")
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = SharedFrames.ordersCents(s, d)
       o.createOrReplaceTempView("catstr_src")
       s.sql("CREATE TABLE gstr.db.feed (o_orderkey BIGINT, cents BIGINT) " +
         "USING `graft-snapshot` TBLPROPERTIES('stats_cols'='o_orderkey')")
