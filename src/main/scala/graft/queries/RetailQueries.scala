@@ -69,19 +69,26 @@ object RetailQueries {
   private def fct(s: SparkSession, d: String) =
     Retail.fctInvoices(raw(s, d), ctry(s, d)).cache()
   private def ctry(s: SparkSession, d: String) = TestdataAdapter.country(s, d)
+  // The two dims the report queries re-derive are shared the same way
+  // (r20): dim_customer's distinct+surrogate-md5 over raw ran once per
+  // consuming query per run before — the cache manager now plan-matches
+  // the dim query and its report consumers to one materialization, the
+  // exact star-schema materialization the reference's dbt DAG performs.
+  private def dimC(s: SparkSession, d: String) =
+    Retail.dimCustomer(raw(s, d), ctry(s, d)).cache()
+  private def dimD(s: SparkSession, d: String) =
+    Retail.dimDatetime(raw(s, d), TestdataAdapter.parseAdapterTs).cache()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "retail_dim_customer" -> ((s, d) => Retail.dimCustomer(raw(s, d), ctry(s, d))),
+    "retail_dim_customer" -> ((s, d) => dimC(s, d)),
     "retail_dim_product" -> ((s, d) => Retail.dimProduct(raw(s, d))),
-    "retail_dim_datetime" -> ((s, d) =>
-      Retail.dimDatetime(raw(s, d), TestdataAdapter.parseAdapterTs)),
+    "retail_dim_datetime" -> ((s, d) => dimD(s, d)),
     "retail_fct_invoices" -> ((s, d) => fct(s, d)),
     "retail_report_customer" -> ((s, d) =>
-      Retail.reportCustomerInvoices(fct(s, d), Retail.dimCustomer(raw(s, d), ctry(s, d)))),
+      Retail.reportCustomerInvoices(fct(s, d), dimC(s, d))),
     "retail_report_product" -> ((s, d) => Retail.reportProductInvoices(raw(s, d))),
     "retail_report_year" -> ((s, d) =>
-      Retail.reportYearInvoices(fct(s, d),
-        Retail.dimDatetime(raw(s, d), TestdataAdapter.parseAdapterTs)))
+      Retail.reportYearInvoices(fct(s, d), dimD(s, d)))
   )
 
   private val productId = sk("StockCode", "Description", money("UnitPrice"))
