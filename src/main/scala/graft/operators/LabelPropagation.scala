@@ -46,13 +46,21 @@ object LabelPropagation {
       .localCheckpoint(true)
     try {
       for (_ <- 1 to rounds) {
+        // argmax label = ArgMinLongPair over (-count, label): identical
+        // semantics to the min(struct((-c), l)).lb idiom but with a FLAT
+        // (long, long, bool) buffer, so both aggregations hash-aggregate
+        // with whole-stage codegen — the struct-buffer form planned a
+        // SortAggregate with a Sort on each side of the exchange every
+        // round (r20 measurement; see ArgMinLongPair's scaladoc, which
+        // also records why the two-phase and packed-long rewrites lost)
         val next = und.join(lbl, und("dst") === lbl("node"))
           .select(und("src").as("n"), lbl("lbl").as("l"))
           .groupBy(col("n"), col("l"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("n"))
-          .agg(min(struct((-col("c")).as("nc"), col("l").as("lb"))).as("best"))
-          .select(col("n").as("node"), col("best.lb").as("lbl"))
+          .agg(org.apache.spark.sql.graft.ArgMinLongPair
+            .argminValue(-col("c"), col("l")).as("lbl"))
+          .select(col("n").as("node"), col("lbl"))
           .localCheckpoint(true)
         Checkpoints.release(lbl)
         lbl = next
